@@ -1,0 +1,367 @@
+package graft.classify
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{FieldType, LogSchema, ParserKind}
+import graft.functions.Glob
+
+/** Compiles a [[LogSchema]] into pure Column pipelines.
+  *
+  * The reference parses row-at-a-time in Python
+  * (streamalert/classifier/parsers.py:450-501 `parse()`); here every check —
+  * strict key-set equality (parsers.py:256-272), type coercion
+  * (parsers.py:294-369), log_patterns (parsers.py:173-221), JMESPath record
+  * explosion (parsers.py:429-448) — is a Catalyst expression over the raw
+  * string column, so classification stays inside whole-stage codegen with no
+  * UDFs and no shuffle. Validity is decided WITHOUT materializing the parse:
+  * `validCol` is usable as a predicate in a CASE/first-match chain, and the
+  * typed record column is only computed for rows already routed to this type.
+  */
+final case class CompiledSchema(s: LogSchema) {
+
+  private val required: Set[String] = s.schema.keys -- s.optionalTopLevelKeys
+
+  /** All-string mirror of the declared schema: structure preserved, every
+    * scalar leaf read as StringType so we control coercion (and its failure
+    * semantics) ourselves, mirroring parsers.py:294-369. */
+  private def stringified(t: FieldType): DataType = t match {
+    case FieldType.TStruct(fs) =>
+      StructType(fs.map { case (n, ft) => StructField(n, stringified(ft), nullable = true) }.toSeq)
+    case FieldType.TList   => ArrayType(StringType, containsNull = true)
+    case FieldType.TAnyMap => MapType(StringType, StringType, valueContainsNull = true)
+    case _                 => StringType
+  }
+
+  private val rawStructType: StructType = stringified(s.schema).asInstanceOf[StructType]
+
+  // -------------------------------------------------------------------------
+  // JSON helpers
+  // -------------------------------------------------------------------------
+
+  private def jsonKeys(c: Column): Column = call_function("json_object_keys", c)
+
+  /** Strict key-set check on a JSON object string (parsers.py:256-272):
+    * record keys ∪ optionals == schema keys, i.e. keys ⊆ schema AND
+    * required ⊆ keys. Nested struct fields are checked recursively
+    * (parsers.py:274-284); `{}`-typed (TAnyMap) fields skip the check
+    * (parsers.py:240-242). */
+  private def jsonKeyCheck(json: Column, struct: FieldType.TStruct,
+      optionals: Set[String], pathPrefix: String = "$"): Column = {
+    val node = if (pathPrefix == "$") json else get_json_object(json, pathPrefix)
+    val keys = jsonKeys(node)
+    val schemaKeys = array(struct.fields.keys.toSeq.map(lit): _*)
+    val req = (struct.keys -- optionals).toSeq
+    val topOk = keys.isNotNull &&
+      size(array_except(keys, schemaKeys)) === 0 &&
+      (if (req.isEmpty) lit(true)
+       else size(array_except(array(req.map(lit): _*), keys)) === 0)
+    struct.fields.foldLeft(topOk) {
+      case (acc, (name, nested: FieldType.TStruct)) =>
+        val childJson = get_json_object(json, s"$pathPrefix.$name")
+        val childOk = jsonKeyCheck(json, nested, Set.empty, s"$pathPrefix.$name")
+        // absent optional nested struct: skip; present: strict recursive check
+        if (optionals.contains(name)) acc && (childJson.isNull || childOk) else acc && childOk
+      case (acc, _) => acc
+    }
+  }
+
+  private def jsonKeyCheckAt(json: Column, struct: FieldType.TStruct, optionals: Set[String],
+      path: String): Column =
+    jsonKeyCheck(if (path == "$") json else get_json_object(json, path), struct, optionals)
+
+  // -------------------------------------------------------------------------
+  // Coercion (shared by all parsers): raw string struct -> typed struct
+  // -------------------------------------------------------------------------
+
+  /** (typedColumn, castFailed) for one field. Failure semantics mirror
+    * parsers.py:294-369: int/float coercion failure invalidates the record;
+    * boolean is `lower(v)=='true'`; falsey values are skipped (here: null). */
+  private def coerceField(raw: Column, t: FieldType): (Column, Column) = t match {
+    case FieldType.TString  => (raw, lit(false))
+    case FieldType.TInteger =>
+      val nonEmpty = raw.isNotNull && trim(raw) =!= ""
+      val casted = raw.try_cast(LongType)
+      (when(nonEmpty, casted), nonEmpty && casted.isNull)
+    case FieldType.TFloat =>
+      val nonEmpty = raw.isNotNull && trim(raw) =!= ""
+      val casted = raw.try_cast(DoubleType)
+      (when(nonEmpty, casted), nonEmpty && casted.isNull)
+    case FieldType.TBoolean => (lower(raw) === "true", lit(false))
+    case FieldType.TList    => (raw, lit(false))   // presence-checked only (parsers.py:357-363)
+    case FieldType.TAnyMap  => (raw, lit(false))
+    case st: FieldType.TStruct => coerceStruct(raw, st, Set.empty)
+  }
+
+  /** Build the typed struct from the all-string struct, collecting cast
+    * failures; optional keys absent → zero-value default (parsers.py:157-171). */
+  private def coerceStruct(raw: Column, st: FieldType.TStruct,
+      optionals: Set[String]): (Column, Column) = {
+    val parts = st.fields.toSeq.map { case (name, ft) =>
+      val (typed, failed) = coerceField(raw.getField(name), ft)
+      val withDefault =
+        if (optionals.contains(name)) coalesce(typed, ft.zeroLiteral) else typed
+      (name, withDefault, failed)
+    }
+    val structCol = struct(parts.map { case (n, c, _) => c.as(n) }: _*)
+    val anyFailed = parts.map(_._3).reduceOption(_ || _).getOrElse(lit(false))
+    (structCol, anyFailed)
+  }
+
+  /** Typed record from a JSON child string. */
+  def jsonRecord(childJson: Column): Column = {
+    val raw = from_json(childJson, rawStructType)
+    coerceStruct(raw, s.schema, s.optionalTopLevelKeys)._1
+  }
+
+  private def jsonCastFailed(childJson: Column): Column = {
+    val raw = from_json(childJson, rawStructType)
+    coerceStruct(raw, s.schema, s.optionalTopLevelKeys)._2
+  }
+
+  // -------------------------------------------------------------------------
+  // log_patterns (parsers.py:173-221): ALL fields must match, ANY pattern per
+  // field; fnmatch globs compiled to anchored regexes at plan-build time.
+  // -------------------------------------------------------------------------
+
+  private def patternsOk(record: Column, envelope: Option[Column]): Column = {
+    if (s.logPatterns.isEmpty) lit(true)
+    else s.logPatterns.map { case (fieldPath, patterns) =>
+      val parts = fieldPath.split('.')
+      val target: Column =
+        if (parts.head == "streamalert:envelope_keys" || parts.head == LogSchema.EnvelopeKey)
+          parts.tail.foldLeft(envelope.getOrElse(lit(null)))((c, p) => c.getField(p))
+        else parts.foldLeft(record)((c, p) => c.getField(p))
+      val str = target.cast(StringType)
+      patterns.map(p => str.rlike(Glob.toRegex(p))).reduce(_ || _)
+    }.reduce(_ && _)
+  }
+
+  // -------------------------------------------------------------------------
+  // JMESPath subset (parsers.py:429-448): `a.b` nested access, `arr[]` /
+  // `arr[*]` explosion, optional `.tail` projection after the explode.
+  // -------------------------------------------------------------------------
+
+  private case class JsonPathPlan(arrayPath: Option[String], tail: Option[String],
+      scalarPath: Option[String])
+
+  private val jsonPathPlan: Option[JsonPathPlan] = s.jsonPath.map { jp =>
+    val norm = jp.replace("[*]", "[]")
+    if (norm.contains("[]")) {
+      val idx = norm.indexOf("[]")
+      val arr = norm.substring(0, idx)
+      val tail = norm.substring(idx + 2).stripPrefix(".")
+      JsonPathPlan(Some("$." + arr), if (tail.isEmpty) None else Some("$." + tail), None)
+    } else JsonPathPlan(None, None, Some("$." + norm))
+  }
+
+  /** Array of child JSON strings extracted from the payload. from_json with
+    * ArrayType(StringType) yields each element's raw JSON text. */
+  def childrenArray(value: Column): Column = jsonPathPlan match {
+    case None => array(value)
+    case Some(JsonPathPlan(Some(arrPath), tail, _)) =>
+      val arr = from_json(get_json_object(value, arrPath), ArrayType(StringType))
+      val projected = tail match {
+        case Some(t) => transform(arr, c => get_json_object(c, t))
+        case None    => arr
+      }
+      coalesce(projected, array())
+    case Some(JsonPathPlan(None, _, Some(p))) =>
+      val one = get_json_object(value, p)
+      when(one.isNotNull, array(one)).otherwise(array())
+    case _ => array(value)
+  }
+
+  /** Validity of ONE child JSON string (key check + coercion + patterns). */
+  def jsonChildValid(child: Column, envelope: Option[Column]): Column =
+    jsonKeyCheck(child, s.schema, s.optionalTopLevelKeys) &&
+      !jsonCastFailed(child) &&
+      patternsOk(jsonRecord(child), envelope)
+
+  // -------------------------------------------------------------------------
+  // Envelope (parsers.py:410-427,480-491): selected top-level keys of the
+  // ORIGINAL payload, key-subset-checked, coerced, optional-filled.
+  // -------------------------------------------------------------------------
+
+  def envelopeOk(value: Column): Column = s.envelope match {
+    case None => lit(true)
+    case Some(env) =>
+      val requiredEnv = (env.keys -- s.optionalEnvelopeKeys).toSeq
+      val keys = jsonKeys(value)
+      val present =
+        if (requiredEnv.isEmpty) lit(true)
+        else keys.isNotNull && size(array_except(array(requiredEnv.map(lit): _*), keys)) === 0
+      val castOk = !envelopeStruct(value).map { case (_, failed) => failed }
+        .getOrElse(lit(false))
+      present && castOk
+  }
+
+  private def envelopeStruct(value: Column): Option[(Column, Column)] = s.envelope.map { env =>
+    val parts = env.fields.toSeq.map { case (name, ft) =>
+      val raw = get_json_object(value, s"$$.$name")
+      val (typed, failed) = coerceField(raw, ft)
+      val withDefault =
+        if (s.optionalEnvelopeKeys.contains(name)) coalesce(typed, ft.zeroLiteral) else typed
+      (name, withDefault, failed)
+    }
+    (struct(parts.map { case (n, c, _) => c.as(n) }: _*),
+      parts.map(_._3).reduceOption(_ || _).getOrElse(lit(false)))
+  }
+
+  def envelopeColumn(value: Column): Column =
+    envelopeStruct(value).map(_._1).getOrElse(lit(null).cast(StringType))
+
+  // -------------------------------------------------------------------------
+  // CSV (parsers.py:625-745)
+  // -------------------------------------------------------------------------
+
+  /** Sentinel-extended CSV schema: one extra trailing string column so that a
+    * row with more tokens than the schema is detectable (the reference checks
+    * exact column count, parsers.py:727-728). nullValue is remapped so empty
+    * fields survive as "" and only MISSING fields are null. */
+  private val csvOptions = Map(
+    "sep" -> s.csvDelimiter, "quote" -> s.csvQuote,
+    "nullValue" -> "\u0000") ++ s.csvEscape.map("escape" -> _)
+
+  private val csvSentinel = "__graft_extra__"
+
+  private def csvRawType: StructType = {
+    val base = s.schema.fields.keys.toSeq.map(n => StructField(n, StringType, nullable = true))
+    StructType(base :+ StructField(csvSentinel, StringType, nullable = true))
+  }
+
+  private def csvRaw(value: Column): Column =
+    from_csv(value, csvRawType, csvOptions)
+
+  def csvValid(value: Column): Column = {
+    val raw = csvRaw(value)
+    val lastField = s.schema.fields.keys.last
+    val countOk = raw.getField(csvSentinel).isNull && raw.getField(lastField).isNotNull
+    countOk && !csvCoerced(value)._2 && patternsOk(csvCoerced(value)._1, None)
+  }
+
+  private def csvCoerced(value: Column): (Column, Column) = {
+    val raw = csvRaw(value)
+    // nested dict schema in CSV = CSV-in-CSV cell (parsers.py:732-740)
+    val parts = s.schema.fields.toSeq.map {
+      case (name, nested: FieldType.TStruct) =>
+        val cellType = StructType(nested.fields.keys.toSeq
+          .map(n => StructField(n, StringType, nullable = true)))
+        val cell = from_csv(raw.getField(name), cellType, csvOptions)
+        val (typed, failed) = coerceStruct(cell, nested, Set.empty)
+        (name, typed, failed || cell.isNull)
+      case (name, ft) =>
+        val (typed, failed) = coerceField(raw.getField(name), ft)
+        (name, typed, failed)
+    }
+    (struct(parts.map { case (n, c, _) => c.as(n) }: _*),
+      parts.map(_._3).reduceOption(_ || _).getOrElse(lit(false)))
+  }
+
+  def csvRecord(value: Column): Column = csvCoerced(value)._1
+
+  // -------------------------------------------------------------------------
+  // KV (parsers.py:748-812)
+  // -------------------------------------------------------------------------
+
+  private def kvMap(value: Column): Column = {
+    val m = call_function("str_to_map", value,
+      lit(java.util.regex.Pattern.quote(s.kvDelimiter) + "+"),
+      lit(java.util.regex.Pattern.quote(s.kvSeparator)))
+    map_filter(m, (k, _) => k =!= "")
+  }
+
+  def kvValid(value: Column): Column = {
+    val m = kvMap(value)
+    val schemaKeys = array(s.schema.fields.keys.toSeq.map(lit): _*)
+    // field count must equal schema size and keys must match the schema
+    // (duplicate-key positional fallback of parsers.py:795-801 not supported)
+    size(m) === s.schema.fields.size &&
+      size(array_except(map_keys(m), schemaKeys)) === 0 &&
+      !kvCoerced(value)._2 && patternsOk(kvCoerced(value)._1, None)
+  }
+
+  private def kvCoerced(value: Column): (Column, Column) = {
+    val m = kvMap(value)
+    val parts = s.schema.fields.toSeq.map { case (name, ft) =>
+      val (typed, failed) = coerceField(element_at(m, name), ft)
+      (name, typed, failed)
+    }
+    (struct(parts.map { case (n, c, _) => c.as(n) }: _*),
+      parts.map(_._3).reduceOption(_ || _).getOrElse(lit(false)))
+  }
+
+  def kvRecord(value: Column): Column = kvCoerced(value)._1
+
+  // -------------------------------------------------------------------------
+  // Syslog (parsers.py:815-844)
+  // -------------------------------------------------------------------------
+
+  private val syslogRegex =
+    "^(\\w{3}\\s\\d{2}\\s(?:\\d{2}:?)+)\\s((?:\\w[-]*)+)\\s(\\w+)(?:\\[\\w+\\])*:\\s(.*)$"
+
+  def syslogValid(value: Column): Column =
+    value.rlike(syslogRegex) && patternsOk(syslogRecord(value), None)
+
+  def syslogRecord(value: Column): Column = {
+    val groups = Map("timestamp" -> 1, "host" -> 2, "application" -> 3, "message" -> 4)
+    struct(s.schema.fields.keys.toSeq.map { n =>
+      regexp_extract(value, syslogRegex, groups.getOrElse(n, 0)).as(n)
+    }: _*)
+  }
+
+  // -------------------------------------------------------------------------
+  // Unified surface
+  // -------------------------------------------------------------------------
+
+  /** Classification predicate over the raw value column — usable inside a
+    * first-match CASE chain (classifier.py:116-149 "first full success wins").
+    * For exploding (json_path) schemas this is `exists(children, valid)`
+    * without materializing the explode. */
+  def validCol(value: Column): Column = s.parser match {
+    case ParserKind.Json =>
+      val env = envelopeStruct(value).map(_._1)
+      envelopeOk(value) && exists(childrenArray(value), c => jsonChildValid(childJson(c), env))
+    case ParserKind.Csv    => csvValid(value)
+    case ParserKind.Kv     => kvValid(value)
+    case ParserKind.Syslog => syslogValid(value)
+  }
+
+  /** embedded_json / json_regex_key transform of one extracted child
+    * (parsers.py:546-563, :565-593). */
+  private def childJson(c: Column): Column = s.jsonRegexKey match {
+    case Some(key) =>
+      regexp_extract(get_json_object(c, s"$$.$key"), "(\\{.+[:,].+\\}|\\[.+[,:].+\\])", 1)
+    case None => c // embedded_json children are already the extracted JSON strings
+  }
+
+  /** DataFrame-level materialization for rows already classified as this
+    * type: explode children (json_path), attach typed `record` + envelope.
+    * Invalid children within a valid payload are dropped here and counted
+    * upstream via the dead-letter path (parsers.py:393-408). */
+  def parseTyped(df: DataFrame, valueCol: String): DataFrame = {
+    val value = col(valueCol)
+    s.parser match {
+      case ParserKind.Json =>
+        val env = envelopeStruct(value).map(_._1)
+        val withChild =
+          if (jsonPathPlan.isEmpty && s.jsonRegexKey.isEmpty)
+            df.withColumn("__child", value)
+          else df.withColumn("__child", childJson(explode(childrenArray(value))))
+        withChild
+          .withColumn("record", jsonRecord(col("__child")))
+          .where(jsonChildValid(col("__child"), env))
+          .withColumn(LogSchema.EnvelopeKey, envelopeColumn(value))
+          .drop("__child")
+      case ParserKind.Csv =>
+        df.withColumn("record", csvRecord(value))
+          .withColumn(LogSchema.EnvelopeKey, lit(null).cast(StringType))
+      case ParserKind.Kv =>
+        df.withColumn("record", kvRecord(value))
+          .withColumn(LogSchema.EnvelopeKey, lit(null).cast(StringType))
+      case ParserKind.Syslog =>
+        df.withColumn("record", syslogRecord(value))
+          .withColumn(LogSchema.EnvelopeKey, lit(null).cast(StringType))
+    }
+  }
+}

@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.classify._
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Fixtures mirror the reference unit tests
+  * (tests/unit/streamalert/classifier/test_parsers_{json,csv,kv,syslog}.py):
+  * same behaviors — strict key check, coercion, optionals, log_patterns,
+  * json_path explosion, envelope — asserted through our Column pipelines. */
+class ClassifierSpec extends AnyFunSuite {
+  import FieldType._
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val jsonSchema = LogSchema(
+    name = "test:json",
+    parser = ParserKind.Json,
+    schema = TStruct.of(
+      "name" -> TString, "count" -> TInteger, "score" -> TFloat,
+      "ok" -> TBoolean, "tags" -> TList,
+      "detail" -> TStruct.of("a" -> TString, "b" -> TInteger)),
+    optionalTopLevelKeys = Set("tags"))
+
+  private val csvSchema = LogSchema(
+    name = "test:csv", parser = ParserKind.Csv,
+    schema = TStruct.of("host" -> TString, "port" -> TInteger, "msg" -> TString))
+
+  private val kvSchema = LogSchema(
+    name = "test:kv", parser = ParserKind.Kv,
+    schema = TStruct.of("user" -> TString, "result" -> TString, "code" -> TInteger))
+
+  private val syslogSchema = LogSchema(
+    name = "test:syslog", parser = ParserKind.Syslog,
+    schema = TStruct.of(
+      "timestamp" -> TString, "host" -> TString,
+      "application" -> TString, "message" -> TString))
+
+  private def classify(schemas: Seq[LogSchema], lines: Seq[String]) =
+    new Classifier(schemas).classify(lines.toDF("value"))
+
+  test("json: valid record parses with coercion and optional back-fill") {
+    val line = """{"name":"n1","count":"42","score":1.5,"ok":"True","detail":{"a":"x","b":7}}"""
+    val out = classify(Seq(jsonSchema), Seq(line)).forType("test:json")
+    val row = out.selectExpr(
+      "record.name", "record.count", "record.score", "record.ok",
+      "record.tags", "record.detail.b").collect()(0)
+    assert(row.getString(0) == "n1")
+    assert(row.getLong(1) == 42L)
+    assert(row.getDouble(2) == 1.5)
+    assert(row.getBoolean(3) == true)
+    assert(row.getSeq[String](4) == Seq.empty) // optional list back-filled
+    assert(row.getLong(5) == 7L)
+  }
+
+  test("json: extra key or missing key fails strict check") {
+    val extra = """{"name":"n","count":1,"score":1.0,"ok":true,"detail":{"a":"x","b":1},"zzz":1}"""
+    val missing = """{"name":"n","count":1,"score":1.0,"ok":true}"""
+    val c = classify(Seq(jsonSchema), Seq(extra, missing))
+    assert(c.forType("test:json").count() == 0)
+    assert(c.invalid.count() == 2)
+  }
+
+  test("json: int coercion failure invalidates the record") {
+    val bad = """{"name":"n","count":"notanint","score":1.0,"ok":true,"detail":{"a":"x","b":1}}"""
+    val c = classify(Seq(jsonSchema), Seq(bad))
+    assert(c.invalid.count() == 1)
+  }
+
+  test("json_path: one payload explodes into N child records with envelope") {
+    val schema = LogSchema(
+      name = "cloudtrail:events", parser = ParserKind.Json,
+      schema = TStruct.of("eventName" -> TString, "awsRegion" -> TString),
+      jsonPath = Some("Records[]"),
+      envelope = Some(TStruct.of("requestId" -> TString)))
+    val line =
+      """{"requestId":"r-1","Records":[
+        |{"eventName":"PutObject","awsRegion":"us-east-1"},
+        |{"eventName":"GetObject","awsRegion":"us-west-2"}]}""".stripMargin.replace("\n", "")
+    val out = classify(Seq(schema), Seq(line)).forType("cloudtrail:events")
+    val rows = out.selectExpr("record.eventName", s"${LogSchema.EnvelopeKey}.requestId")
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq(("GetObject", "r-1"), ("PutObject", "r-1")))
+  }
+
+  test("log_patterns gate classification (fnmatch globs)") {
+    val schema = jsonSchema.copy(
+      name = "test:patterned",
+      logPatterns = Map("name" -> Seq("prod-*")))
+    val ok = """{"name":"prod-a","count":1,"score":1.0,"ok":true,"detail":{"a":"x","b":1}}"""
+    val no = """{"name":"dev-a","count":1,"score":1.0,"ok":true,"detail":{"a":"x","b":1}}"""
+    val c = classify(Seq(schema), Seq(ok, no))
+    assert(c.forType("test:patterned").count() == 1)
+    assert(c.invalid.count() == 1)
+  }
+
+  test("csv: positional parse + column count check") {
+    val c = classify(Seq(csvSchema), Seq(
+      "web-1,8080,started",
+      "web-2,9090,stopped,EXTRA",   // too many columns
+      "web-3,notaport,x"))          // int coercion failure
+    val ok = c.forType("test:csv")
+      .selectExpr("record.host", "record.port").collect()
+    assert(ok.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("web-1", 8080L)))
+    assert(c.invalid.count() == 2)
+  }
+
+  test("kv: delimiter/separator split with field count check") {
+    val c = classify(Seq(kvSchema), Seq(
+      "user=alice result=ok code=200",
+      "user=bob result=fail",            // too few fields
+      "user=carol result=ok code=200 x=1")) // too many
+    val ok = c.forType("test:kv").selectExpr("record.user", "record.code").collect()
+    assert(ok.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("alice", 200L)))
+    assert(c.invalid.count() == 2)
+  }
+
+  test("syslog: regex parse into 4 fields") {
+    val line = "Jan 10 19:35:33 vagrant-ubuntu-trusty-64 sudo: session opened for root"
+    val out = classify(Seq(syslogSchema), Seq(line)).forType("test:syslog")
+    val r = out.selectExpr("record.timestamp", "record.host", "record.application",
+      "record.message").collect()(0)
+    assert(r.getString(0) == "Jan 10 19:35:33")
+    assert(r.getString(1) == "vagrant-ubuntu-trusty-64")
+    assert(r.getString(2) == "sudo")
+    assert(r.getString(3) == "session opened for root")
+  }
+
+  test("first matching schema wins, in declared order") {
+    // A kv line that would also parse under a looser kv schema declared later
+    val strict = kvSchema.copy(name = "test:kv_strict")
+    val loose = LogSchema(name = "test:kv_loose", parser = ParserKind.Kv,
+      schema = TStruct.of("user" -> TString, "result" -> TString, "code" -> TString))
+    val c = classify(Seq(strict, loose), Seq("user=a result=b code=1"))
+    assert(c.tagged.select("log_schema_type").collect()(0).getString(0) == "test:kv_strict")
+  }
+
+  test("conf JSON loader round-trips the reference schema format") {
+    val conf =
+      """{
+        |  "my:log": {
+        |    "schema": {"a": "string", "b": "integer", "nested": {"x": "float"},
+        |               "open": {}, "lst": []},
+        |    "parser": "json",
+        |    "configuration": {
+        |      "optional_top_level_keys": ["lst"],
+        |      "log_patterns": {"a": ["x-*"]},
+        |      "json_path": "Records[]",
+        |      "envelope_keys": {"env1": "string"}
+        |    }
+        |  }
+        |}""".stripMargin
+    val loaded = LogSchema.loadConfJson(conf)
+    assert(loaded.size == 1)
+    val s = loaded.head
+    assert(s.name == "my:log" && s.parser == ParserKind.Json)
+    assert(s.schema.fields("b") == TInteger)
+    assert(s.schema.fields("open") == TAnyMap)
+    assert(s.optionalTopLevelKeys == Set("lst"))
+    assert(s.jsonPath.contains("Records[]"))
+    assert(s.envelope.exists(_.fields.contains("env1")))
+  }
+}
