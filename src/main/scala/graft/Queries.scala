@@ -52,6 +52,173 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------------
+  // Classifier operators (SURVEY §2.2): each query serializes testdata rows
+  // into the wire format the operator consumes, runs the REAL classify
+  // pipeline, and projects the typed record — so the DuckDB oracle is the
+  // identity projection over the original table.
+  // ---------------------------------------------------------------------------
+
+  import graft.classify.Classifier
+  import graft.core.LogSchema
+
+  // O1: JSON parser — parse + strict key check + coercion round-trip.
+  register(
+    "o1_json_parser",
+    "SELECT event_id, event_type, value AS val, props FROM events") { (s, dir) =>
+    val raw = t(s, dir, "events").select(
+      to_json(struct(col("event_id"), col("event_type"), col("value"), col("props")))
+        .as("line"))
+    new Classifier(Seq(DemoSchemas.jsonEvents))
+      .classify(raw, "line").forType("demo:json_events")
+      .select(
+        col("record.event_id").as("event_id"),
+        col("record.event_type").as("event_type"),
+        col("record.value").as("val"),
+        col("record.props").as("props"))
+  }
+
+  // O1b + O8: json_path record explosion with envelope extraction — one
+  // payload becomes two child records, each carrying the parent's event_id.
+  register(
+    "o1_json_path_envelope",
+    """SELECT event_id, 1 AS n, value AS v FROM events
+      |UNION ALL
+      |SELECT event_id, 2 AS n, value + 1 AS v FROM events""".stripMargin) { (s, dir) =>
+    val raw = t(s, dir, "events").select(
+      to_json(struct(
+        col("event_id"),
+        array(
+          struct(lit(1).as("n"), col("value").as("v")),
+          struct(lit(2).as("n"), (col("value") + 1).as("v"))).as("Records")))
+        .as("line"))
+    new Classifier(Seq(DemoSchemas.jsonNested))
+      .classify(raw, "line").forType("demo:json_nested")
+      .select(
+        col(s"${LogSchema.EnvelopeKey}.event_id").as("event_id"),
+        col("record.n").as("n"),
+        col("record.v").as("v"))
+  }
+
+  // O2: CSV parser — positional columns to schema keys.
+  register(
+    "o2_csv_parser",
+    "SELECT p_partkey AS partkey, p_brand AS brand, p_size AS psize FROM part") { (s, dir) =>
+    val raw = t(s, dir, "part").select(
+      concat_ws(",", col("p_partkey"), col("p_brand"), col("p_size")).as("line"))
+    new Classifier(Seq(DemoSchemas.csvParts))
+      .classify(raw, "line").forType("demo:csv_parts")
+      .select(
+        col("record.partkey").as("partkey"),
+        col("record.brand").as("brand"),
+        col("record.psize").as("psize"))
+  }
+
+  // O3: KV parser — delimiter/separator split into schema keys.
+  register(
+    "o3_kv_parser",
+    "SELECT user_id AS uid, event_type AS etype, event_id AS eid FROM events") { (s, dir) =>
+    val raw = t(s, dir, "events").select(
+      concat(lit("uid="), col("user_id"), lit(" etype="), col("event_type"),
+        lit(" eid="), col("event_id")).as("line"))
+    new Classifier(Seq(DemoSchemas.kvEvents))
+      .classify(raw, "line").forType("demo:kv_events")
+      .select(
+        col("record.uid").as("uid"),
+        col("record.etype").as("etype"),
+        col("record.eid").as("eid"))
+  }
+
+  // O4: Syslog parser — fixed regex into 4 fields.
+  register(
+    "o4_syslog_parser",
+    """SELECT concat('h-', CAST(user_id AS VARCHAR)) AS host,
+      |       concat('app', CAST(event_id AS VARCHAR)) AS application,
+      |       concat(event_type, ' event') AS message
+      |FROM events""".stripMargin) { (s, dir) =>
+    val raw = t(s, dir, "events").select(
+      concat(lit("Jan 10 19:35:33 h-"), col("user_id"), lit(" app"), col("event_id"),
+        lit(": "), col("event_type"), lit(" event")).as("line"))
+    new Classifier(Seq(DemoSchemas.syslog))
+      .classify(raw, "line").forType("demo:syslog")
+      .select(
+        col("record.host").as("host"),
+        col("record.application").as("application"),
+        col("record.message").as("message"))
+  }
+
+  // O5: schema resolution — mixed csv/kv input, first full parse wins,
+  // per-type routing counts.
+  register(
+    "o5_schema_resolution",
+    """SELECT * FROM (
+      |  SELECT 'demo:csv_parts' AS log_schema_type, count(*) AS n FROM part
+      |  UNION ALL
+      |  SELECT 'demo:kv_events' AS log_schema_type, count(*) AS n FROM events)
+      |ORDER BY log_schema_type""".stripMargin) { (s, dir) =>
+    val csvLines = t(s, dir, "part").select(
+      concat_ws(",", col("p_partkey"), col("p_brand"), col("p_size")).as("line"))
+    val kvLines = t(s, dir, "events").select(
+      concat(lit("uid="), col("user_id"), lit(" etype="), col("event_type"),
+        lit(" eid="), col("event_id")).as("line"))
+    new Classifier(Seq(DemoSchemas.csvParts, DemoSchemas.kvEvents))
+      .classify(csvLines.unionAll(kvLines), "line")
+      .tagged.groupBy("log_schema_type").agg(count(lit(1)).as("n"))
+      .orderBy("log_schema_type")
+  }
+
+  // O6: type coercion + optional-key zero-value back-fill.
+  register(
+    "o6_coercion_optionals",
+    "SELECT event_id, '' AS opt_s, 0 AS opt_i FROM events") { (s, dir) =>
+    val raw = t(s, dir, "events").select(
+      to_json(struct(col("event_id").cast("string").as("event_id"))).as("line"))
+    new Classifier(Seq(DemoSchemas.jsonOptional))
+      .classify(raw, "line").forType("demo:json_optional")
+      .select(
+        col("record.event_id").as("event_id"),
+        col("record.opt_s").as("opt_s"),
+        col("record.opt_i").as("opt_i"))
+  }
+
+  // O9: invalid-record routing — records failing coercion go to the
+  // dead-letter stream; valid/invalid split counts.
+  register(
+    "o9_invalid_routing",
+    """SELECT sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS n_invalid,
+      |       sum(CASE WHEN event_id % 10 = 0 THEN 0 ELSE 1 END) AS n_valid
+      |FROM events""".stripMargin) { (s, dir) =>
+    val raw = t(s, dir, "events").select(
+      to_json(struct(
+        when(col("event_id") % 10 === 0, lit("bad"))
+          .otherwise(col("event_id").cast("string")).as("event_id"),
+        col("event_type"), col("value"), col("props"))).as("line"))
+    val c = new Classifier(Seq(DemoSchemas.jsonEvents.copy(schema =
+      graft.core.FieldType.TStruct.of(
+        "event_id" -> graft.core.FieldType.TInteger,
+        "event_type" -> graft.core.FieldType.TString,
+        "value" -> graft.core.FieldType.TFloat,
+        "props" -> graft.core.FieldType.TString))))
+      .classify(raw, "line")
+    c.tagged.agg(
+      sum(when(col("log_schema_type").isNull, 1).otherwise(0)).as("n_invalid"),
+      sum(when(col("log_schema_type").isNull, 0).otherwise(1)).as("n_valid"))
+  }
+
+  // O10: log_patterns fnmatch filter — only event types matching p*/s* classify.
+  register(
+    "o10_log_patterns",
+    """SELECT event_type AS etype, count(*) AS n FROM events
+      |WHERE event_type LIKE 'p%' OR event_type LIKE 's%'
+      |GROUP BY event_type ORDER BY etype""".stripMargin) { (s, dir) =>
+    val raw = t(s, dir, "events").select(
+      to_json(struct(col("event_id"), col("event_type").as("etype"))).as("line"))
+    new Classifier(Seq(DemoSchemas.jsonPatterned))
+      .classify(raw, "line").forType("demo:json_patterned")
+      .groupBy(col("record.etype").as("etype")).agg(count(lit(1)).as("n"))
+      .orderBy("etype")
+  }
+
+  // ---------------------------------------------------------------------------
   // Public accessors for SparkEntry
   // ---------------------------------------------------------------------------
 
