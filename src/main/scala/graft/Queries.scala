@@ -219,6 +219,159 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------------
+  // Rules engine (SURVEY §2.3) + alert construction (§2.4 A1): rules run over
+  // the REAL classified stream; the oracle re-states each predicate in SQL.
+  // ---------------------------------------------------------------------------
+
+  import graft.rules._
+
+  private def classifiedEvents(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events").select(
+      to_json(struct(col("event_id"), col("event_type"), col("value"), col("props")))
+        .as("line"))
+    new Classifier(Seq(DemoSchemas.jsonEvents))
+      .classify(raw, "line").forType("demo:json_events")
+  }
+
+  private val fixedClock = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+
+  // R1+R2: dispatch by log type, predicate evaluation, multi-rule explosion.
+  register(
+    "r1_rule_dispatch",
+    """SELECT * FROM (
+      |  SELECT 'any_error' AS rule_name, count(*) AS n FROM events WHERE event_type = 'error'
+      |  UNION ALL
+      |  SELECT 'big_value' AS rule_name, count(*) AS n FROM events WHERE value > 150)
+      |ORDER BY rule_name""".stripMargin) { (s, dir) =>
+    val rules = Seq(
+      Rule("any_error", RuleOpts(logs = Seq("demo:json_events")),
+        rec => rec.getField("event_type") === "error"),
+      Rule("big_value", RuleOpts(logs = Seq("demo:json_events")),
+        rec => rec.getField("value") > 150))
+    new RulesEngine(rules, deterministicIds = true, clock = Some(fixedClock))
+      .evaluate(classifiedEvents(s, dir), "demo:json_events")
+      .groupBy("rule_name").agg(count(lit(1)).as("n")).orderBy("rule_name")
+  }
+
+  // R2 projection + A1 alert field surface (fixed clock for determinism).
+  register(
+    "r2_alert_construction",
+    """SELECT 'high_value_error' AS rule_name,
+      |       TIMESTAMP '2024-01-01 00:00:00' AS created,
+      |       'local' AS cluster, 'demo:json_events' AS log_type,
+      |       'aws-firehose:alerts,slack:alerts' AS outputs,
+      |       event_id, value AS val
+      |FROM events WHERE event_type = 'error' AND value > 100""".stripMargin) { (s, dir) =>
+    val rules = Seq(
+      Rule("high_value_error",
+        RuleOpts(logs = Seq("demo:json_events"), outputs = Seq("slack:alerts")),
+        rec => rec.getField("event_type") === "error" && rec.getField("value") > 100))
+    new RulesEngine(rules, deterministicIds = true, clock = Some(fixedClock))
+      .evaluate(classifiedEvents(s, dir), "demo:json_events")
+      .select(
+        col("rule_name"), col("created"), col("cluster"), col("log_type"),
+        array_join(col("outputs"), ",").as("outputs"),
+        col("record.event_id").as("event_id"),
+        col("record.value").as("val"))
+  }
+
+  // R3: matchers ANDed ahead of the rule body.
+  register(
+    "r3_matchers",
+    """SELECT event_id FROM events
+      |WHERE event_type = 'purchase' AND value > 100""".stripMargin) { (s, dir) =>
+    val m = new MatcherRegistry
+    m.register("is_purchase")(rec => rec.getField("event_type") === "purchase")
+    val rules = Seq(
+      Rule("big_purchase", RuleOpts(logs = Seq("demo:json_events"), matchers = Seq("is_purchase")),
+        rec => rec.getField("value") > 100))
+    new RulesEngine(rules, m, deterministicIds = true, clock = Some(fixedClock))
+      .evaluate(classifiedEvents(s, dir), "demo:json_events")
+      .select(col("record.event_id").as("event_id"))
+  }
+
+  // R4: req_subkeys null-safety guard over a nested optional struct.
+  register(
+    "r4_req_subkeys",
+    """SELECT event_id FROM events
+      |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 != 0""".stripMargin) { (s, dir) =>
+    import graft.core.FieldType._
+    val schema = graft.core.LogSchema(
+      name = "demo:json_subkeys", parser = graft.core.ParserKind.Json,
+      schema = TStruct.of("event_id" -> TInteger,
+        "props" -> TStruct.of("k" -> TInteger)),
+      optionalTopLevelKeys = Set("props"))
+    val raw = t(s, dir, "events").select(
+      to_json(struct(
+        col("event_id"),
+        when(get_json_object(col("props"), "$.k").cast("long") % 5 =!= 0,
+          struct(get_json_object(col("props"), "$.k").cast("long").as("k")))
+          .as("props"))).as("line"))
+    val typed = new Classifier(Seq(schema)).classify(raw, "line").forType("demo:json_subkeys")
+    val rules = Seq(
+      Rule("has_k", RuleOpts(logs = Seq("demo:json_subkeys"),
+        reqSubkeys = Map("props" -> Seq("k"))), _ => lit(true)))
+    new RulesEngine(rules, deterministicIds = true, clock = Some(fixedClock))
+      .evaluate(typed, "demo:json_subkeys")
+      .select(col("record.event_id").as("event_id"))
+  }
+
+  // R6: helper library — CIDR membership + prefix matching as codegen'd
+  // Column predicates.
+  register(
+    "r6_helpers",
+    """SELECT event_id,
+      |       concat(CASE WHEN user_id % 2 = 0 THEN '10.0.' ELSE '192.168.' END,
+      |              CAST(user_id % 256 AS VARCHAR), '.',
+      |              CAST(event_id % 256 AS VARCHAR)) AS ip
+      |FROM events
+      |WHERE user_id % 2 = 0
+      |  AND (event_type LIKE 'p%' OR event_type LIKE 's%')""".stripMargin) { (s, dir) =>
+    import graft.core.FieldType._
+    val schema = graft.core.LogSchema(
+      name = "demo:json_ip", parser = graft.core.ParserKind.Json,
+      schema = TStruct.of("event_id" -> TInteger, "etype" -> TString, "ip" -> TString))
+    val raw = t(s, dir, "events").select(
+      to_json(struct(
+        col("event_id"), col("event_type").as("etype"),
+        concat(
+          when(col("user_id") % 2 === 0, lit("10.0.")).otherwise(lit("192.168.")),
+          (col("user_id") % 256).cast("string"), lit("."),
+          (col("event_id") % 256).cast("string")).as("ip"))).as("line"))
+    val typed = new Classifier(Seq(schema)).classify(raw, "line").forType("demo:json_ip")
+    val rules = Seq(
+      Rule("internal_ps", RuleOpts(logs = Seq("demo:json_ip")), rec =>
+        Helpers.inNetwork(rec.getField("ip"), Seq("10.0.0.0/8")) &&
+          Helpers.startsWithAny(rec.getField("etype"), Seq("p", "s"))))
+    new RulesEngine(rules, deterministicIds = true, clock = Some(fixedClock))
+      .evaluate(typed, "demo:json_ip")
+      .select(col("record.event_id").as("event_id"), col("record.ip").as("ip"))
+  }
+
+  // R11+R12: dynamic outputs computed from the record, unioned with rule +
+  // required outputs, ':'-validated.
+  register(
+    "r11_dynamic_outputs",
+    """SELECT event_id,
+      |       concat('aws-firehose:alerts,pagerduty:',
+      |              CASE WHEN value > 150 THEN 'high' ELSE 'low' END,
+      |              ',slack:chan') AS outputs
+      |FROM events WHERE event_type = 'error'""".stripMargin) { (s, dir) =>
+    val rules = Seq(
+      Rule("dyn", RuleOpts(logs = Seq("demo:json_events"),
+        outputs = Seq("slack:chan", "bad-no-colon"),
+        dynamicOutputs = Some(rec => array(
+          concat(lit("pagerduty:"),
+            when(rec.getField("value") > 150, lit("high")).otherwise(lit("low")))))),
+        rec => rec.getField("event_type") === "error"))
+    new RulesEngine(rules, deterministicIds = true, clock = Some(fixedClock))
+      .evaluate(classifiedEvents(s, dir), "demo:json_events")
+      .select(
+        col("record.event_id").as("event_id"),
+        array_join(col("outputs"), ",").as("outputs"))
+  }
+
+  // ---------------------------------------------------------------------------
   // Public accessors for SparkEntry
   // ---------------------------------------------------------------------------
 

@@ -1,0 +1,114 @@
+package graft.rules
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** Static alert metadata attached at construction
+  * (rules_engine/rules_engine.py:183-217: cluster, log source/type, source
+  * entity/service). In a deployed pipeline these come from the stream
+  * metadata columns; literals here. */
+final case class AlertContext(
+    cluster: String = "local",
+    sourceService: String = "graft",
+    sourceEntity: String = "stream")
+
+/** Rule evaluation + alert construction — the "WHERE clause" surface
+  * (SURVEY §2.3) re-expressed as ONE narrow Catalyst pass per log type.
+  *
+  * The reference loops rules-per-record in Python
+  * (rules_engine/rules_engine.py:484-501). Here all applicable rules are
+  * evaluated in a single projection building `array(CASE WHEN pred_i THEN
+  * 'rule_i')`; a record firing k rules explodes into k alerts. Guards run in
+  * the reference's order (req_subkeys → matchers → rule body,
+  * rules_engine.py:490-497) via && short-circuit. No shuffle; predicate
+  * pushdown and codegen come free. At 100 TB this is scan-side map work that
+  * scales linearly with executors.
+  */
+final class RulesEngine(
+    rules: Seq[Rule],
+    matchers: MatcherRegistry = new MatcherRegistry,
+    requiredOutputs: Seq[String] = Seq("aws-firehose:alerts"), // rules_engine.py:364-365
+    deterministicIds: Boolean = false,
+    clock: Option[java.sql.Timestamp] = None) {
+
+  /** rules_for_log_type (shared/rule.py:231-234): rules whose `logs` list
+    * contains the type, or datatype-driven rules with no `logs`. */
+  def rulesForLogType(logType: String): Seq[Rule] =
+    rules.filter(r =>
+      r.opts.logs.contains(logType) || (r.opts.logs.isEmpty && r.opts.datatypes.nonEmpty))
+
+  /** req_subkeys (rules_engine.py:135-170) → null-safety conjunction;
+    * matchers (rule.py:92-122) → ANDed shared predicates; then rule body. */
+  def fullPredicate(r: Rule, record: Column): Column = {
+    val subkeys = r.opts.reqSubkeys.toSeq.flatMap { case (key, subs) =>
+      subs.map(sub => record.getField(key).getField(sub).isNotNull)
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    val matched = r.opts.matchers.map(m => matchers(m)(record))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    subkeys && matched && r.predicate(record)
+  }
+
+  private def perRule(fired: Column, pairs: Seq[(String, Column)], default: Column): Column =
+    pairs.foldRight(default) { case ((name, c), acc) => when(fired === name, c).otherwise(acc) }
+
+  /** Evaluate all applicable rules over a classified typed stream
+    * (columns: `record` struct + passthrough metadata) and construct alerts
+    * (shared/alert.py:37-109 field surface). */
+  def evaluate(typed: DataFrame, logType: String, ctx: AlertContext = AlertContext()): DataFrame = {
+    val applicable = rulesForLogType(logType)
+    if (applicable.isEmpty) return typed.sparkSession.emptyDataFrame
+
+    val rec = col("record")
+    val firedArr = array_compact(array(
+      applicable.map(r => when(fullPredicate(r, rec), lit(r.name))): _*))
+
+    val fired = typed
+      .withColumn("__fired", firedArr)
+      .where(size(col("__fired")) > 0)
+      .withColumn("rule_name", explode(col("__fired")))
+      .drop("__fired")
+
+    // Per-rule static metadata via CASE chains on rule_name.
+    val ruleOutputs = perRule(col("rule_name"),
+      applicable.map(r => r.name -> array(r.opts.outputs.map(lit): _*)),
+      array().cast("array<string>"))
+    val dynOutputs = perRule(col("rule_name"),
+      applicable.map(r => r.name ->
+        r.opts.dynamicOutputs.map(f => f(rec)).getOrElse(array().cast("array<string>"))),
+      array().cast("array<string>"))
+    // Output union + `service:descriptor` validation (rules_engine.py:219-243,310-338)
+    val outputs = array_sort(array_distinct(filter(
+      concat(array(requiredOutputs.map(lit): _*), ruleOutputs, dynOutputs),
+      o => o.contains(":"))))
+
+    val createdCol = clock.map(ts => lit(ts).cast(TimestampType))
+      .getOrElse(current_timestamp())
+    val idCol =
+      if (deterministicIds) md5(concat_ws(":", col("rule_name"), to_json(rec)))
+      else expr("uuid()")
+
+    fired.select(
+      idCol.as("alert_id"),
+      col("rule_name"),
+      createdCol.as("created"),
+      lit(ctx.cluster).as("cluster"),
+      lit(logType).as("log_type"),
+      lit(ctx.sourceService).as("source_service"),
+      lit(ctx.sourceEntity).as("source_entity"),
+      outputs.as("outputs"),
+      perRule(col("rule_name"),
+        applicable.map(r => r.name -> lit(r.opts.mergeByKeys.mkString(","))),
+        lit("")).as("merge_by_keys"),
+      perRule(col("rule_name"),
+        applicable.map(r => r.name -> lit(r.opts.mergeWindowMins)),
+        lit(0)).as("merge_window_mins"),
+      perRule(col("rule_name"),
+        applicable.map(r => r.name -> lit(r.opts.publishers.mkString(","))),
+        lit("")).as("publishers"),
+      perRule(col("rule_name"),
+        applicable.map(r => r.name -> lit(r.opts.description)),
+        lit("")).as("rule_description"),
+      rec.as("record"))
+  }
+}

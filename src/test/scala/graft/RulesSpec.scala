@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.rules._
+
+/** Mirrors behaviors of tests/unit/streamalert/rules_engine/ and
+  * tests/unit/streamalert/shared/test_rule.py: dispatch by log type,
+  * matcher conjunction, req_subkeys guard, output union/validation,
+  * alert field surface. */
+class RulesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def typedEvents = {
+    Seq(
+      (1L, "error", 185.0, Some(7L)),
+      (2L, "purchase", 9.0, Some(3L)),
+      (3L, "error", 42.0, None),
+      (4L, "signup", 200.0, Some(1L)))
+      .toDF("event_id", "etype", "value", "k")
+      .select(struct(col("event_id"), col("etype"), col("value"),
+        struct(col("k")).as("props")).as("record"))
+  }
+
+  private val matchers = {
+    val m = new MatcherRegistry
+    m.register("is_error")(rec => rec.getField("etype") === "error")
+    m
+  }
+
+  test("rule dispatch by log type + single-pass multi-rule explosion") {
+    val rules = Seq(
+      Rule("big_value", RuleOpts(logs = Seq("demo:events")),
+        rec => rec.getField("value") > 100),
+      Rule("any_error", RuleOpts(logs = Seq("demo:events")),
+        rec => rec.getField("etype") === "error"),
+      Rule("other_log", RuleOpts(logs = Seq("other:type")), _ => lit(true)))
+    val eng = new RulesEngine(rules, matchers, deterministicIds = true,
+      clock = Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    val alerts = eng.evaluate(typedEvents, "demo:events")
+    val got = alerts.select("rule_name", "record.event_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(identity).toSeq
+    // event 1: both rules; event 3: any_error; event 4: big_value
+    assert(got == Seq(("any_error", 1L), ("any_error", 3L), ("big_value", 1L), ("big_value", 4L)))
+  }
+
+  test("matchers are ANDed before the rule body") {
+    val rules = Seq(Rule("error_and_big",
+      RuleOpts(logs = Seq("demo:events"), matchers = Seq("is_error")),
+      rec => rec.getField("value") > 100))
+    val eng = new RulesEngine(rules, matchers, deterministicIds = true)
+    val got = eng.evaluate(typedEvents, "demo:events")
+      .select("record.event_id").as[Long].collect().toSeq
+    assert(got == Seq(1L)) // event 4 is big but not error
+  }
+
+  test("req_subkeys guards null nested fields") {
+    val rules = Seq(Rule("has_k",
+      RuleOpts(logs = Seq("demo:events"), reqSubkeys = Map("props" -> Seq("k"))),
+      _ => lit(true)))
+    val eng = new RulesEngine(rules, matchers, deterministicIds = true)
+    val got = eng.evaluate(typedEvents, "demo:events")
+      .select("record.event_id").as[Long].collect().toSeq.sorted
+    assert(got == Seq(1L, 2L, 4L)) // event 3 has props.k = null
+  }
+
+  test("outputs = required ∪ rule ∪ dynamic, ':'-validated, sorted distinct") {
+    val rules = Seq(Rule("dyn",
+      RuleOpts(logs = Seq("demo:events"), outputs = Seq("slack:chan", "bad-no-colon"),
+        dynamicOutputs = Some(rec =>
+          array(when(rec.getField("value") > 100, lit("pagerduty:high"))
+            .otherwise(lit("pagerduty:low"))))),
+      _ => lit(true)))
+    val eng = new RulesEngine(rules, matchers, deterministicIds = true)
+    val got = eng.evaluate(typedEvents, "demo:events")
+      .select(col("record.event_id"), array_join(col("outputs"), ",").as("o"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got(0) == (1L, "aws-firehose:alerts,pagerduty:high,slack:chan"))
+    assert(got(1) == (2L, "aws-firehose:alerts,pagerduty:low,slack:chan"))
+  }
+
+  test("deterministic alert ids + fixed clock for replayable tests") {
+    val rules = Seq(Rule("r", RuleOpts(logs = Seq("demo:events")), _ => lit(true)))
+    val eng = new RulesEngine(rules, matchers, deterministicIds = true,
+      clock = Some(java.sql.Timestamp.valueOf("2024-06-01 12:00:00")))
+    val a = eng.evaluate(typedEvents, "demo:events")
+      .select("alert_id", "created").collect()
+    assert(a.map(_.getString(0)).distinct.length == 4) // unique per record
+    assert(a.forall(_.getTimestamp(1) == java.sql.Timestamp.valueOf("2024-06-01 12:00:00")))
+    // same input -> same ids
+    val b = eng.evaluate(typedEvents, "demo:events").select("alert_id").collect()
+    assert(a.map(_.getString(0)).sorted.sameElements(b.map(_.getString(0)).sorted))
+  }
+
+  test("helpers: cidr membership, glob matching, ip validity") {
+    val df = Seq("10.1.2.3", "192.168.0.5", "not-an-ip", "10.255.0.1")
+      .toDF("ip")
+    val got = df.select(
+      Helpers.inNetwork(col("ip"), Seq("10.0.0.0/8")).as("in10"),
+      Helpers.validIp(col("ip")).as("valid"))
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1))).toSeq
+    assert(got == Seq((true, true), (false, true), (false, false), (true, true)))
+    val m = Seq("prod-web-1").toDF("h").select(
+      Helpers.matchesAny(col("h"), Seq("prod-*")),
+      Helpers.startsWithAny(col("h"), Seq("dev-", "prod-")),
+      Helpers.pathMatchesAny(lit("/Users/foo/path/to/file"), Seq("/Users/*/path/*/file")))
+      .collect()(0)
+    assert(m.getBoolean(0) && m.getBoolean(1) && m.getBoolean(2))
+  }
+}
