@@ -372,6 +372,106 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------------
+  // Normalization (O11), artifacts (O12), sanitization (O7), datatype rules (R5)
+  // ---------------------------------------------------------------------------
+
+  import graft.classify.{ArtifactExtractor, Normalizer, Sanitizer}
+  import graft.core.{NormCondition, NormalizedField}
+  import graft.core.FieldType._
+
+  private val normSchema = graft.core.LogSchema(
+    name = "demo:json_norm", parser = graft.core.ParserKind.Json,
+    schema = TStruct.of("event_id" -> TInteger, "etype" -> TString, "k" -> TInteger))
+
+  private val normConfig: Map[String, Seq[NormalizedField]] = Map(
+    "event_category" -> Seq(NormalizedField(
+      path = Seq("etype"), function = Some("Event category"),
+      condition = Some(NormCondition(Seq("etype"), "in", Seq("purchase", "signup"))))),
+    "numeric_k" -> Seq(NormalizedField(path = Seq("k"), function = Some("K value"))),
+    "hidden_id" -> Seq(NormalizedField(path = Seq("event_id"), sendToArtifacts = false)))
+
+  private def normalizedEvents(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events").select(
+      to_json(struct(col("event_id"), col("event_type").as("etype"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))).as("line"))
+    val typed = new Classifier(Seq(normSchema)).classify(raw, "line")
+      .forType("demo:json_norm")
+    typed
+      .withColumn(Normalizer.NormalizationKey,
+        Normalizer.normalizationCol(col("record"), normConfig, Some(normSchema.schema)))
+      .withColumn(Normalizer.RecordIdKey,
+        Normalizer.recordIdCol(col(Normalizer.NormalizationKey),
+          deterministicFrom = Some(col("record.event_id"))))
+  }
+
+  // O11: normalization map + conditional extraction + falsey semantics.
+  register(
+    "o11_normalization",
+    """SELECT event_id,
+      |  CASE WHEN event_type IN ('purchase','signup') THEN event_type ELSE '' END AS cat,
+      |  CASE WHEN CAST(json_extract_string(props,'$.k') AS BIGINT) != 0
+      |       THEN json_extract_string(props,'$.k') ELSE '' END AS kv
+      |FROM events""".stripMargin) { (s, dir) =>
+    normalizedEvents(s, dir).select(
+      col("record.event_id").as("event_id"),
+      array_join(Normalizer.valuesForNormalizedType(
+        col(Normalizer.NormalizationKey), "event_category"), ",").as("cat"),
+      array_join(Normalizer.valuesForNormalizedType(
+        col(Normalizer.NormalizationKey), "numeric_k"), ",").as("kv"))
+  }
+
+  // O12: artifact explosion into 5 string columns; send_to_artifacts=false
+  // entries skipped.
+  register(
+    "o12_artifacts",
+    """SELECT 'Event category' AS function, md5(CAST(event_id AS VARCHAR)) AS streamalert_record_id,
+      |       'demo:json_norm' AS source_type, 'event_category' AS type, event_type AS value
+      |FROM events WHERE event_type IN ('purchase','signup')
+      |UNION ALL
+      |SELECT 'K value', md5(CAST(event_id AS VARCHAR)), 'demo:json_norm', 'numeric_k',
+      |       json_extract_string(props,'$.k')
+      |FROM events WHERE CAST(json_extract_string(props,'$.k') AS BIGINT) != 0""".stripMargin) {
+    (s, dir) =>
+      ArtifactExtractor.artifacts(normalizedEvents(s, dir), "demo:json_norm")
+  }
+
+  // O7: key sanitization — hostile (nested) key names rewritten \W -> _ as a
+  // pure schema transform before the historical sink.
+  register(
+    "o7_sanitize_keys",
+    """SELECT concat('u', CAST(user_id AS VARCHAR)) AS user_name,
+      |       event_id % 500 AS status_code
+      |FROM events""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types._
+    val hostileSchema = graft.core.LogSchema(
+      name = "demo:json_hostile", parser = graft.core.ParserKind.Json,
+      schema = TStruct.of("user name" -> TString, "status-code" -> TInteger))
+    val raw = t(s, dir, "events").select(
+      to_json(struct(
+        concat(lit("u"), col("user_id")).as("user name"),
+        (col("event_id") % 500).as("status-code"))).as("line"))
+    val typed = new Classifier(Seq(hostileSchema)).classify(raw, "line")
+      .forType("demo:json_hostile")
+    Sanitizer.sanitizeKeys(typed.select("record.*"))
+  }
+
+  // R5: datatype-selected rule reading values via the normalization map
+  // (get_values_for_normalized_type).
+  register(
+    "r5_datatype_rule",
+    "SELECT event_id FROM events WHERE event_type = 'purchase'") { (s, dir) =>
+    val rules = Seq(
+      Rule("purchase_by_datatype",
+        RuleOpts(datatypes = Seq("event_category")),
+        _ => array_contains(
+          Normalizer.valuesForNormalizedType(
+            col(Normalizer.NormalizationKey), "event_category"), "purchase")))
+    new RulesEngine(rules, deterministicIds = true, clock = Some(fixedClock))
+      .evaluate(normalizedEvents(s, dir), "demo:json_norm")
+      .select(col("record.event_id").as("event_id"))
+  }
+
+  // ---------------------------------------------------------------------------
   // Public accessors for SparkEntry
   // ---------------------------------------------------------------------------
 
