@@ -472,6 +472,113 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------------
+  // Joins (SURVEY §2.3 R7-R9): threat intel, lookup tables, staging gate
+  // ---------------------------------------------------------------------------
+
+  // R7: IOC annotate — explode candidates from the normalization map,
+  // broadcast-join the IOC table, CIDR exclusions, re-aggregate per record.
+  register(
+    "r7_threat_intel",
+    """WITH ips AS (
+      |  SELECT event_id, user_id,
+      |         concat('10.0.', CAST(user_id % 256 AS VARCHAR), '.',
+      |                CAST(event_id % 256 AS VARCHAR)) AS ip
+      |  FROM events),
+      |ioc AS (SELECT DISTINCT ip AS ioc_value FROM ips
+      |        WHERE event_id % 13 = 0 AND user_id % 256 != 99)
+      |SELECT i.event_id, i.ip FROM ips i JOIN ioc ON i.ip = ioc.ioc_value
+      |ORDER BY i.event_id""".stripMargin) { (s, dir) =>
+    import graft.core.FieldType._
+    val ipSchema = graft.core.LogSchema(
+      name = "demo:json_ioc", parser = graft.core.ParserKind.Json,
+      schema = TStruct.of("event_id" -> TInteger, "ip" -> TString))
+    val ipCol = concat(lit("10.0."), (col("user_id") % 256).cast("string"),
+      lit("."), (col("event_id") % 256).cast("string"))
+    val raw = t(s, dir, "events").select(
+      to_json(struct(col("event_id"), ipCol.as("ip"))).as("line"))
+    val typed = new Classifier(Seq(ipSchema)).classify(raw, "line").forType("demo:json_ioc")
+      .withColumn(Normalizer.NormalizationKey,
+        Normalizer.normalizationCol(col("record"),
+          Map("sourceAddress" -> Seq(NormalizedField(path = Seq("ip")))),
+          Some(ipSchema.schema)))
+      .withColumn(Normalizer.RecordIdKey,
+        Normalizer.recordIdCol(col(Normalizer.NormalizationKey),
+          deterministicFrom = Some(col("record.event_id"))))
+    // IOC table: every 13th event's ip is "malicious" (minus an excluded /24)
+    val iocTable = t(s, dir, "events")
+      .where(col("event_id") % 13 === 0 && col("user_id") % 256 =!= 99)
+      .select(ipCol.as("ioc_value"), lit("ip").as("sub_type")).distinct()
+    val ti = new ThreatIntel(iocTable,
+      normalizedTypeToIoc = Map("sourceAddress" -> "ip"),
+      excluded = Map("ip" -> Seq("10.0.99.0/24")))
+    val annotated = ti.annotate(typed)
+    annotated.where(size(map_keys(col(ti.IocKey))) > 0)
+      .select(col("record.event_id").as("event_id"), col("record.ip").as("ip"))
+      .orderBy("event_id")
+  }
+
+  // R8: lookup-table reference join — small S3-style doc as a literal map
+  // (zero-join path) used inside a rule body.
+  register(
+    "r8_lookup_table",
+    """SELECT c_custkey, c_name, n.n_name AS nation_name
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE n.n_name LIKE 'NATION_1%'""".stripMargin) { (s, dir) =>
+    val nationMap = t(s, dir, "nation").collect()
+      .map(r => r.getInt(0).toString -> r.getString(1)).toMap
+    val lookups = new LookupTables(Map("nations" -> MapLookupTable(nationMap)))
+    t(s, dir, "customer")
+      .withColumn("nation_name",
+        lookups.get("nations", col("c_nationkey"), lit("unknown")))
+      .where(Helpers.startsWithAny(col("nation_name"), Seq("NATION_1")))
+      .select("c_custkey", "c_name", "nation_name")
+  }
+
+  // R8b: DataFrame-style lookup join (the DynamoDB per-key driver analogue)
+  // via broadcast-hash join.
+  register(
+    "r8_lookup_join",
+    """SELECT s_suppkey, s_name, coalesce(n.n_name, 'unknown') AS nation_name
+      |FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey""".stripMargin) {
+    (s, dir) =>
+      val table = DataFrameLookupTable(t(s, dir, "nation"), "n_nationkey", "n_name")
+      table.join(t(s, dir, "supplier"), col("s_nationkey"), "nation_name", lit("unknown"))
+        .select("s_suppkey", "s_name", "nation_name")
+  }
+
+  // R9: staging gate — staged rules restricted to required outputs.
+  register(
+    "r9_staging_gate",
+    """SELECT * FROM (
+      |  SELECT 'staged_rule' AS rule_name, true AS staged,
+      |         'aws-firehose:alerts' AS outputs, count(*) AS n
+      |  FROM events WHERE event_type = 'error'
+      |  UNION ALL
+      |  SELECT 'live_rule', false, 'aws-firehose:alerts,slack:live', count(*)
+      |  FROM events WHERE value > 150) ORDER BY rule_name""".stripMargin) { (s, dir) =>
+    val rules = Seq(
+      Rule("staged_rule", RuleOpts(logs = Seq("demo:json_events"), outputs = Seq("slack:staged")),
+        rec => rec.getField("event_type") === "error"),
+      Rule("live_rule", RuleOpts(logs = Seq("demo:json_events"), outputs = Seq("slack:live")),
+        rec => rec.getField("value") > 150))
+    val alerts = new RulesEngine(rules, deterministicIds = true, clock = Some(fixedClock))
+      .evaluate(classifiedEvents(s, dir), "demo:json_events")
+    val ruleTable = s.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row("staged_rule", true),
+        org.apache.spark.sql.Row("live_rule", false)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rule_name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("staged",
+          org.apache.spark.sql.types.BooleanType))))
+    Staging.applyStaging(alerts, ruleTable)
+      .groupBy(col("rule_name"), col("staged"), array_join(col("outputs"), ",").as("outputs"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("rule_name")
+  }
+
+  // ---------------------------------------------------------------------------
   // Public accessors for SparkEntry
   // ---------------------------------------------------------------------------
 

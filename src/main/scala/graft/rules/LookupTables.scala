@@ -1,0 +1,69 @@
+package graft.rules
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lookup tables (streamalert/shared/lookup_tables/): named KV reference data
+  * readable from rule bodies via `LookupTables.get(table, key, default)`
+  * (core.py:1-153, table.py:32-44).
+  *
+  * Two driver styles, size-tiered like the reference:
+  *  - [[MapLookupTable]] — the S3 driver (driver_s3.py:36,135-157): whole
+  *    JSON doc held in memory. Here: a Scala map folded into the plan as a
+  *    literal MapType column — zero joins at runtime, refreshed per batch by
+  *    rebuilding the plan (the TTL-cache analogue).
+  *  - [[DataFrameLookupTable]] — the DynamoDB driver (driver_dynamodb.py:32):
+  *    per-key lookup. Here: a broadcast-hash equi-join; the lookup side is
+  *    the build side, so stream size never affects the shuffle (none).
+  */
+sealed trait LookupTable {
+  /** Column expression returning the looked-up value for a key column. */
+  def get(key: Column, default: Column): Column
+}
+
+final case class MapLookupTable(data: Map[String, String]) extends LookupTable {
+  def get(key: Column, default: Column): Column = {
+    if (data.isEmpty) default
+    else {
+      val entries = data.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+      coalesce(element_at(map(entries: _*), key.cast("string")), default)
+    }
+  }
+}
+
+/** For big tables: join-based. `get` is not expressible as a pure Column, so
+  * this table exposes a DataFrame transform instead. */
+final case class DataFrameLookupTable(df: DataFrame, keyCol: String, valueCol: String)
+    extends LookupTable {
+  def get(key: Column, default: Column): Column =
+    throw new UnsupportedOperationException(
+      "DataFrame-backed lookup tables join via LookupTables.joinLookup")
+
+  def join(input: DataFrame, key: Column, as: String, default: Column): DataFrame = {
+    val lookup = broadcast(df.select(col(keyCol).as("__lk"), col(valueCol).as("__lv")))
+    input.join(lookup, key === col("__lk"), "left_outer")
+      .withColumn(as, coalesce(col("__lv"), default))
+      .drop("__lk", "__lv")
+  }
+}
+
+final class LookupTables(tables: Map[String, LookupTable]) {
+
+  /** Rule-author surface: LookupTables.get('table', key, default)
+    * (rules/community/duo_authentication/duo_lookup_tables_example.py:14-18). */
+  def get(table: String, key: Column, default: Column = lit(null)): Column =
+    tables.get(table) match {
+      case Some(t: MapLookupTable) => t.get(key, default)
+      case Some(_) => throw new UnsupportedOperationException(
+        s"table '$table' is join-based; use joinLookup")
+      case None => default
+    }
+
+  def joinLookup(input: DataFrame, table: String, key: Column, as: String,
+      default: Column = lit(null)): DataFrame =
+    tables.get(table) match {
+      case Some(t: DataFrameLookupTable) => t.join(input, key, as, default)
+      case Some(t: MapLookupTable) => input.withColumn(as, t.get(key, default))
+      case None => input.withColumn(as, default)
+    }
+}
