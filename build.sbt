@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Streaming tests share one SparkSession; concurrent suites deadlock in
+// processAllAvailable — run suites sequentially in the forked JVM.
+Test / parallelExecution := false

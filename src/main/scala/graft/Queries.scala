@@ -579,6 +579,195 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------------
+  // Alert merge (SURVEY §2.4 A2-A3): anchored-window grouped aggregation.
+  // Data is shaped so every (rule, merge-key) group structurally fits one
+  // anchored window (span 30min < window 35min) and stays under the 50-cap,
+  // making the result expressible as a plain GROUP BY for the oracle.
+  // ---------------------------------------------------------------------------
+
+  import graft.alerts.{AlertMerger, MergeInputAlert}
+
+  register(
+    "a2_merge_groups",
+    """SELECT CAST(event_id // 30 AS VARCHAR) AS merge_keys,
+      |       count(*) AS alert_count,
+      |       min(TIMESTAMP '2024-01-01 00:00:00'
+      |           + to_minutes(CAST(event_id % 4 * 10 AS BIGINT))) AS alert_time_first,
+      |       max(TIMESTAMP '2024-01-01 00:00:00'
+      |           + to_minutes(CAST(event_id % 4 * 10 AS BIGINT))) AS alert_time_last,
+      |       concat('{"mk":"', CAST(event_id // 30 AS VARCHAR), '"}') AS merged_by_json
+      |FROM events
+      |GROUP BY event_id // 30 ORDER BY CAST(event_id // 30 AS BIGINT)""".stripMargin) {
+    (s, dir) =>
+      import org.apache.spark.sql.Encoders
+      implicit val enc = Encoders.product[MergeInputAlert]
+      val alerts = t(s, dir, "events").select(
+        md5(col("event_id").cast("string")).as("alert_id"),
+        lit("merge_demo").as("rule_name"),
+        // 1704067200 = 2024-01-01T00:00:00Z; +10min per (event_id % 4)
+        (lit(1704067200L) + col("event_id") % 4 * 600L).cast(TimestampType).as("created"),
+        to_json(struct(
+          col("event_id"),
+          floor(col("event_id") / 30).cast("string").as("mk"))).as("record_json"),
+        lit("mk").as("merge_by_keys"),
+        lit(35).as("merge_window_mins"),
+        array(lit("aws-firehose:alerts")).as("outputs"),
+        lit(false).as("staged")).as[MergeInputAlert]
+      AlertMerger.mergeBatch(alerts)
+        .select(col("merge_keys"), col("alert_count"), col("alert_time_first"),
+          col("alert_time_last"), col("merged_by_json"))
+        .orderBy(col("merge_keys").cast("long"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // Sources (S1-S3), historical store + partition pruning (S6), scheduled
+  // queries (§2.5), streamquery re-injection (S10), rule promotion (§3.3),
+  // publishers (A5)
+  // ---------------------------------------------------------------------------
+
+  import graft.sources.Sources
+  import graft.history.{HistoricalSink, RulePromotion, ScheduledQueries}
+  import graft.alerts.Publishers
+
+  // S1: kinesis-style base64(+gzip) payload decode -> classify.
+  register(
+    "s1_kinesis_decode",
+    "SELECT event_id, event_type FROM events") { (s, dir) =>
+    val gzB64 = udf { (text: String) =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(text.getBytes("UTF-8")); gz.close()
+      java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+    }
+    val encoded = t(s, dir, "events").select(gzB64(
+      to_json(struct(col("event_id"), col("event_type")))).as("data"))
+    val schema = graft.core.LogSchema(
+      name = "demo:kinesis", parser = graft.core.ParserKind.Json,
+      schema = graft.core.FieldType.TStruct.of(
+        "event_id" -> graft.core.FieldType.TInteger,
+        "event_type" -> graft.core.FieldType.TString))
+    new Classifier(Seq(schema))
+      .classify(encoded.select(Sources.decodeKinesisData(col("data")).as("value")))
+      .forType("demo:kinesis")
+      .select(col("record.event_id").as("event_id"),
+        col("record.event_type").as("event_type"))
+  }
+
+  // S3: SNS envelope unwrap -> classify the inner message.
+  register(
+    "s3_sns_unwrap",
+    "SELECT event_id, value AS val FROM events") { (s, dir) =>
+    val envelope = t(s, dir, "events").select(
+      to_json(struct(struct(
+        to_json(struct(col("event_id"), col("value"))).as("Message")).as("Sns")))
+        .as("envelope"))
+    val schema = graft.core.LogSchema(
+      name = "demo:sns", parser = graft.core.ParserKind.Json,
+      schema = graft.core.FieldType.TStruct.of(
+        "event_id" -> graft.core.FieldType.TInteger,
+        "value" -> graft.core.FieldType.TFloat))
+    new Classifier(Seq(schema))
+      .classify(envelope.select(Sources.snsMessage(col("envelope")).as("value")))
+      .forType("demo:sns")
+      .select(col("record.event_id").as("event_id"), col("record.value").as("val"))
+  }
+
+  // S6: historical sink round-trip — write alerts dt-partitioned, read back
+  // with a dt predicate (partition-pruned scan).
+  register(
+    "s6_historical_sink",
+    """SELECT count(*) AS n FROM events WHERE event_type = 'error'""".stripMargin) { (s, dir) =>
+    val alerts = {
+      val rules = Seq(Rule("err", RuleOpts(logs = Seq("demo:json_events")),
+        rec => rec.getField("event_type") === "error"))
+      new RulesEngine(rules, deterministicIds = true, clock = Some(fixedClock))
+        .evaluate(classifiedEvents(s, dir), "demo:json_events")
+    }
+    val root = s"/tmp/graft_hist_${dir.replaceAll("\\W", "_")}"
+    val dirF = new java.io.File(s"$root/demo_events")
+    if (dirF.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dirF)
+    HistoricalSink.write(alerts, root, "demo:events")
+    s.read.parquet(s"$root/demo_events")
+      .where(col("dt") === "2024-01-01-00")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  // §2.5: scheduled query with time-param substitution over the store.
+  register(
+    "sq_scheduled_query",
+    """SELECT l_returnflag AS flag, count(*) AS n FROM lineitem
+      |WHERE strftime(l_shipdate, '%Y-%m-%d-%H') < '1995-06-17-12'
+      |GROUP BY l_returnflag ORDER BY flag""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    ScheduledQueries.run(s,
+      """SELECT l_returnflag AS flag, count(*) AS n FROM lineitem
+        |WHERE date_format(l_shipdate, 'yyyy-MM-dd-HH') < '{utcdatehour_minus1day}'
+        |GROUP BY l_returnflag ORDER BY flag""".stripMargin,
+      java.time.Instant.parse("1995-06-18T12:00:00Z"))
+  }
+
+  // S10: scheduled-query results wrapped as streamquery records, re-entering
+  // the classifier, fields recovered downstream.
+  register(
+    "s10_streamquery_reinject",
+    """SELECT 'hourly_by_flag' AS qname, l_returnflag AS flag, count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY flag""".stripMargin) { (s, dir) =>
+    val result = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("flag")).agg(count(lit(1)).as("n"))
+    val wrapped = ScheduledQueries.asStreamQueryRecords(result, "hourly_by_flag")
+    val sqSchema = graft.core.LogSchema(
+      name = "streamquery:version1", parser = graft.core.ParserKind.Json,
+      schema = graft.core.FieldType.TStruct.of(
+        "streamquery_name" -> graft.core.FieldType.TString,
+        "streamquery_version" -> graft.core.FieldType.TString,
+        "data" -> graft.core.FieldType.TString))
+    new Classifier(Seq(sqSchema)).classify(wrapped, "value")
+      .forType("streamquery:version1")
+      .select(
+        col("record.streamquery_name").as("qname"),
+        get_json_object(col("record.data"), "$.flag").as("flag"),
+        get_json_object(col("record.data"), "$.n").cast("long").as("n"))
+      .orderBy("flag")
+  }
+
+  // §3.3: rule-promotion staging statistics (compound count query).
+  register(
+    "rp_promotion_stats",
+    """SELECT * FROM (
+      |  SELECT 'err_rule' AS rule_name, count(*) AS alert_count
+      |  FROM events WHERE event_type = 'error'
+      |  UNION ALL
+      |  SELECT 'big_rule', count(*) FROM events WHERE value > 150)
+      |ORDER BY rule_name""".stripMargin) { (s, dir) =>
+    val rules = Seq(
+      Rule("err_rule", RuleOpts(logs = Seq("demo:json_events")),
+        rec => rec.getField("event_type") === "error"),
+      Rule("big_rule", RuleOpts(logs = Seq("demo:json_events")),
+        rec => rec.getField("value") > 150))
+    val alerts = new RulesEngine(rules, deterministicIds = true, clock = Some(fixedClock))
+      .evaluate(classifiedEvents(s, dir), "demo:json_events")
+      .withColumn("dt", HistoricalSink.dtColumn(col("created")))
+    RulePromotion.stagingStatistics(alerts,
+      Map("err_rule" -> "2024-01-01-00", "big_rule" -> "2024-01-01-00"))
+      .orderBy("rule_name")
+  }
+
+  // A5: publisher chain — strip internal fields, publication JSON produced.
+  register(
+    "a5_publishers",
+    """SELECT event_id, 'high_value' AS rule_name FROM events
+      |WHERE value > 150 ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val rules = Seq(Rule("high_value", RuleOpts(logs = Seq("demo:json_events")),
+      rec => rec.getField("value") > 150))
+    val alerts = new RulesEngine(rules, deterministicIds = true, clock = Some(fixedClock))
+      .evaluate(classifiedEvents(s, dir), "demo:json_events")
+      .withColumn("staged", lit(false))
+    Publishers.publish(alerts, Seq("remove_internal_fields"))
+      .select(col("record.event_id").as("event_id"), col("rule_name"))
+      .orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------------------------
   // Public accessors for SparkEntry
   // ---------------------------------------------------------------------------
 

@@ -1,0 +1,183 @@
+package graft.alerts
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One alert as consumed by the merger. */
+final case class MergeInputAlert(
+    alert_id: String,
+    rule_name: String,
+    created: Timestamp,
+    record_json: String,
+    merge_by_keys: String,  // comma-joined key paths ('' = merging disabled)
+    merge_window_mins: Int,
+    outputs: Seq[String],
+    staged: Boolean)
+
+/** The merged alert emitted per group window
+  * (merged record fields: shared/alert.py:399-417). */
+final case class MergedAlert(
+    rule_name: String,
+    merge_keys: String,      // joined merge-key VALUES identifying the group
+    alert_count: Long,       // AlertCount
+    alert_time_first: Timestamp, // AlertTimeFirst
+    alert_time_last: Timestamp,  // AlertTimeLast
+    merged_by_json: String,      // MergedBy {key -> value}
+    other_common_keys_json: String, // OtherCommonKeys (greatest common sub-dict)
+    value_diffs_json: String,    // ValueDiffs {created -> diff vs common}
+    outputs: Seq[String],        // most recent alert's outputs (alert.py:419)
+    staged: Boolean)             // any(staged)
+
+/** Alert merge grouping + aggregation (SURVEY §2.4 A2-A4).
+  *
+  * Window semantics (alert_merger/main.py:106-132 + shared/alert.py:246-269):
+  * alerts group by (rule_name, values at merge_by_keys); a window is ANCHORED
+  * at the group's oldest alert and spans merge_window_mins; ≤50 alerts per
+  * merged group (alert_merger/main.py:34). NOT expressible as built-in
+  * `window()`/`session_window` (anchor + cap), hence:
+  *   - streaming: `flatMapGroupsWithState` with processing-time timeout —
+  *     the state store IS the reference's DynamoDB alert table (A4)
+  *   - batch: `flatMapGroups` with the same core window-assignment code
+  *
+  * Scale: the ONLY shuffle in the whole alert pipeline is this groupBy on
+  * (rule, merge-key values) — cardinality = number of alerting entities, not
+  * stream size. State per group is bounded (≤50 alerts before forced flush).
+  */
+object AlertMerger {
+
+  /** Adapt the RulesEngine output DataFrame to the merger input. */
+  def fromAlerts(alerts: DataFrame): Dataset[MergeInputAlert] = {
+    implicit val enc = Encoders.product[MergeInputAlert]
+    alerts.select(
+      col("alert_id"), col("rule_name"), col("created"),
+      to_json(col("record")).as("record_json"),
+      col("merge_by_keys"), col("merge_window_mins"), col("outputs"),
+      coalesce(col("staged"), lit(false)).as("staged"))
+      .as[MergeInputAlert]
+  }
+
+  private def groupKey(a: MergeInputAlert): String = {
+    val rec = MergeRecord.parse(a.record_json)
+    val keyVals = a.merge_by_keys.split(',').filter(_.nonEmpty)
+      .map(k => MergeRecord.valueAtPath(rec, k)).mkString("|")
+    s"${a.rule_name}|$keyVals"
+  }
+
+  /** Split a chronologically sorted group into anchored windows with the
+    * 50-alert cap applied inside each window. */
+  def assignWindows(sorted: Seq[MergeInputAlert]): Seq[Seq[MergeInputAlert]] = {
+    val out = Seq.newBuilder[Seq[MergeInputAlert]]
+    var remaining = sorted
+    while (remaining.nonEmpty) {
+      val anchor = remaining.head
+      val windowEnd = anchor.created.getTime + anchor.merge_window_mins * 60000L
+      val (in, rest) = remaining.span(_.created.getTime <= windowEnd)
+      in.grouped(50).foreach(out += _) // merge cap (alert_merger/main.py:34)
+      remaining = rest
+    }
+    out.result()
+  }
+
+  /** The merge algorithm (shared/alert.py:382-433) over one window. */
+  def mergeWindow(group: Seq[MergeInputAlert]): MergedAlert = {
+    val sorted = group.sortBy(a => (a.created.getTime, a.alert_id))
+    val mergeKeys = sorted.head.merge_by_keys.split(',').filter(_.nonEmpty).toSeq
+    val parsed = sorted.map(a => MergeRecord.parse(a.record_json))
+    val cleaned = parsed.map(MergeRecord.cleanRecord(_, mergeKeys.toSet))
+    val common = MergeRecord.computeCommon(cleaned)
+    val mergedBy = {
+      val node = com.fasterxml.jackson.databind.node.JsonNodeFactory.instance.objectNode()
+      mergeKeys.foreach(k => node.put(k, MergeRecord.valueAtPath(parsed.head, k)))
+      MergeRecord.write(node)
+    }
+    val diffs = {
+      val node = com.fasterxml.jackson.databind.node.JsonNodeFactory.instance.objectNode()
+      sorted.zip(cleaned).foreach { case (a, rec) =>
+        node.set[com.fasterxml.jackson.databind.JsonNode](
+          a.created.toInstant.toString, MergeRecord.computeDiff(common, rec))
+      }
+      MergeRecord.write(node)
+    }
+    MergedAlert(
+      rule_name = sorted.head.rule_name,
+      merge_keys = mergeKeys.map(k =>
+        MergeRecord.valueAtPath(parsed.head, k)).mkString("|"),
+      alert_count = sorted.size.toLong,
+      alert_time_first = sorted.head.created,
+      alert_time_last = sorted.last.created,
+      merged_by_json = mergedBy,
+      other_common_keys_json = MergeRecord.write(common),
+      value_diffs_json = diffs,
+      outputs = sorted.last.outputs,
+      staged = sorted.exists(_.staged))
+  }
+
+  /** Batch merge: same grouping + window assignment, no state. Alerts with
+    * merging disabled pass through as singleton groups (the merger
+    * "dispatches unmerged alerts immediately", alert_merger/main.py:106-120). */
+  def mergeBatch(alerts: Dataset[MergeInputAlert]): Dataset[MergedAlert] = {
+    implicit val enc = Encoders.product[MergedAlert]
+    implicit val strEnc = Encoders.STRING
+    val mergeable = alerts.filter((a: MergeInputAlert) =>
+      a.merge_by_keys.nonEmpty && a.merge_window_mins > 0)
+    val passthrough = alerts.filter((a: MergeInputAlert) =>
+      a.merge_by_keys.isEmpty || a.merge_window_mins <= 0)
+      .map(a => mergeWindow(Seq(a)))
+    val merged = mergeable
+      .groupByKey(groupKey _)
+      .flatMapGroups { (_, it) =>
+        val sorted = it.toSeq.sortBy(a => (a.created.getTime, a.alert_id))
+        assignWindows(sorted).map(mergeWindow).iterator
+      }
+    merged.union(passthrough)
+  }
+
+  /** Streaming merge: state per (rule, merge-key values); a window flushes
+    * when the watermark passes its anchored end (event-time timeout), when 50
+    * alerts accumulate, or when an arriving alert falls outside it.
+    *
+    * Event-time (watermark on `created`) rather than the reference's wall
+    * clock: same observable grouping, but deterministic under replay and
+    * testable without waiting out real minutes — the SURVEY §2.6 "optional
+    * upgrade" taken as the default. `withWatermark` must be applied by the
+    * caller via `watermarkDelay`. */
+  def mergeStream(alerts: Dataset[MergeInputAlert],
+      watermarkDelay: String = "0 seconds"): Dataset[MergedAlert] = {
+    implicit val enc = Encoders.product[MergedAlert]
+    implicit val bufEnc = Encoders.kryo[List[MergeInputAlert]]
+    implicit val strEnc = Encoders.STRING
+
+    alerts
+      .withWatermark("created", watermarkDelay)
+      .groupByKey(groupKey _)
+      .flatMapGroupsWithState[List[MergeInputAlert], MergedAlert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, incoming: Iterator[MergeInputAlert], state: GroupState[List[MergeInputAlert]]) =>
+          val buffered = state.getOption.getOrElse(Nil)
+          val wm = state.getCurrentWatermarkMs()
+          def windowEnd(w: Seq[MergeInputAlert]): Long =
+            w.head.created.getTime + w.head.merge_window_mins * 60000L
+          val all = (buffered ++ incoming).sortBy(a => (a.created.getTime, a.alert_id))
+          if (all.isEmpty) { state.remove(); Iterator.empty }
+          else {
+            val windows = assignWindows(all)
+            // closed: every window before the last (data proves it ended),
+            // a full 50-cap chunk, or a last window the watermark passed
+            val last = windows.last
+            val lastClosed = last.size >= 50 || windowEnd(last) <= wm
+            val (closed, open) =
+              if (lastClosed) (windows, Nil)
+              else (windows.dropRight(1), last)
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(open.toList)
+              // fire when the watermark passes the open window's end
+              state.setTimeoutTimestamp(math.max(windowEnd(open), wm + 1))
+            }
+            closed.map(mergeWindow).iterator
+          }
+      }
+  }
+}

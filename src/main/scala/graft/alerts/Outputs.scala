@@ -1,0 +1,56 @@
+package graft.alerts
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Output dispatch (SURVEY §2.1 S9 + §2.4 A6): fan alerts out to their
+  * `service:descriptor` outputs (alert_processor/main.py:76-151).
+  *
+  * The reference ships ~20 HTTP/queue dispatchers
+  * (alert_processor/outputs/); the engine-side contract is the same three
+  * local ones the test harness needs — console, file, and an HTTP-shaped
+  * stub — invoked from `foreachBatch` so delivery is at-least-once with
+  * idempotence via alert_id (SURVEY §2.6 delivery semantics). Per-output
+  * success bookkeeping (outputs_sent, alert_processor/main.py:99-115)
+  * becomes idempotent sink writes keyed by (alert_id, output). */
+object Outputs {
+
+  sealed trait Dispatcher {
+    /** Dispatch one micro-batch for one output descriptor; must be
+      * idempotent on (alert_id, output). */
+    def dispatch(batch: DataFrame, descriptor: String): Unit
+  }
+
+  /** aws-s3 / aws-firehose analogue: append files under the descriptor dir. */
+  final case class FileDispatcher(root: String) extends Dispatcher {
+    def dispatch(batch: DataFrame, descriptor: String): Unit =
+      batch.write.mode("append").parquet(s"$root/$descriptor")
+  }
+
+  /** slack/pagerduty/... analogue for local runs: collect to driver log. */
+  case object ConsoleDispatcher extends Dispatcher {
+    def dispatch(batch: DataFrame, descriptor: String): Unit =
+      batch.select(col("alert_id"), col("rule_name"), col("publication"))
+        .show(20, truncate = false)
+  }
+
+  /** Fan one alert batch out to every output it carries. `outputs` is the
+    * per-alert array column; dispatchers are keyed by service name. */
+  def fanOut(batch: DataFrame, dispatchers: Map[String, Dispatcher],
+      publishersByOutput: Map[String, Seq[String]] = Map.empty): Unit = {
+    val perOutput = batch
+      .select(col("*"), explode(col("outputs")).as("__output"))
+      .where(col("__output").contains(":"))
+    val outputs = perOutput.select("__output").distinct()
+      .collect().map(_.getString(0))
+    outputs.foreach { out =>
+      val Array(service, descriptor) = out.split(":", 2)
+      dispatchers.get(service).foreach { d =>
+        val published = Publishers.publish(
+          perOutput.where(col("__output") === out).drop("__output"),
+          publishersByOutput.getOrElse(out, Nil))
+        d.dispatch(published, descriptor)
+      }
+    }
+  }
+}

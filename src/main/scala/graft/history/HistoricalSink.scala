@@ -1,0 +1,55 @@
+package graft.history
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.classify.Sanitizer
+
+/** The historical store (SURVEY §2.1 S6-S8): classified data lands
+  * partitioned by hour under `dt=YYYY-MM-DD-HH`, one directory tree per log
+  * type, keys sanitized — the Firehose→S3→Athena-partitioner chain
+  * (streamalert/shared/firehose.py:77-129; athena_partitioner/main.py:41-59;
+  * CREATE EXTERNAL TABLE ... PARTITIONED BY (dt string),
+  * streamalert_cli/athena/handler.py:33-34) collapsed into
+  * `writeStream/write.partitionBy("dt").parquet(...)`.
+  *
+  * No partitioner Lambda exists here: Spark's catalog partition discovery
+  * replaces ALTER TABLE ADD PARTITION, and `dt=` predicates prune at the
+  * file-listing level (the reference's main query optimization, kept).
+  *
+  * Scale notes: `dt` is hour-granular so a 100 TB/day store is ~4 TB/hour
+  * partitions; within a partition, files split by Spark's
+  * maxPartitionBytes. Batching/retry limits of Firehose (500 rec/4 MB) are
+  * sink-side concerns that vanish; key sanitization stays (plan-only). */
+object HistoricalSink {
+
+  /** Hourly partition column from a timestamp column
+    * (athena_partitioner/main.py:41-59 path regex `dt=YYYY-MM-DD-HH`). */
+  def dtColumn(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    date_format(ts, "yyyy-MM-dd-HH")
+
+  /** Batch write a classified typed stream for one log type. */
+  def write(df: DataFrame, root: String, logType: String, tsCol: String = "created"): Unit = {
+    val sanitized = Sanitizer.sanitizeKeys(
+      df.withColumn("dt", dtColumn(col(tsCol))))
+    sanitized.write.mode("append").partitionBy("dt")
+      .parquet(s"$root/${Sanitizer.sanitizeName(logType)}")
+  }
+
+  /** Streaming variant. */
+  def writeStream(df: DataFrame, root: String, logType: String,
+      checkpoint: String, tsCol: String = "created") = {
+    val sanitized = Sanitizer.sanitizeKeys(
+      df.withColumn("dt", dtColumn(col(tsCol))))
+    sanitized.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("dt")
+      .format("parquet")
+      .option("path", s"$root/${Sanitizer.sanitizeName(logType)}")
+  }
+
+  /** Register the store as a SQL table (the Athena external-table analogue). */
+  def registerTable(spark: SparkSession, root: String, logType: String,
+      table: String): Unit =
+    spark.read.parquet(s"$root/${Sanitizer.sanitizeName(logType)}")
+      .createOrReplaceTempView(table)
+}

@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, StringType}
+
+/** Stream sources (SURVEY §2.1 S1-S5) normalized to a `value: STRING` column
+  * plus service/resource metadata — the StreamPayload surface
+  * (streamalert/classifier/payload/payload_base.py:191-280).
+  *
+  * The SQS classifier→rules hop (S5) disappears: one pipeline. The app
+  * pollers (S4) are out of engine scope (SURVEY §7.6). */
+object Sources {
+
+  /** S1 Kinesis payloads arrive base64'd and possibly gzip'd
+    * (classifier/payload/kinesis.py). unbase64 is built-in; gunzip is a
+    * boundary decode implemented as a vectorizable UDF over binary. */
+  private val gunzipUdf = udf { (bytes: Array[Byte]) =>
+    if (bytes == null) null
+    else if (bytes.length > 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte) {
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    } else new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Decode a kinesis-style record: base64 → (transparent) gunzip → text. */
+  def decodeKinesisData(data: Column): Column = gunzipUdf(unbase64(data))
+
+  /** Attach the payload envelope metadata (service + resource — the
+    * resource mapper, payload_base.py:248-253). */
+  def withSourceMetadata(df: DataFrame, service: String, resource: String): DataFrame =
+    df.withColumn("source_service", lit(service))
+      .withColumn("source_entity", lit(resource))
+
+  /** S2: S3-object / file-drop source — JSON-lines or raw lines; gzip is
+    * handled transparently by the text reader via file extension
+    * (classifier/payload/s3.py:124-137,153-174). */
+  def fileDrop(spark: SparkSession, path: String): DataFrame =
+    withSourceMetadata(spark.read.text(path).withColumnRenamed("value", "value"),
+      "s3", path)
+
+  /** Streaming variant of the file-drop source (the Auto-Loader-style
+    * file-notification mode). */
+  def fileDropStream(spark: SparkSession, path: String,
+      schemaHint: String = "value STRING"): DataFrame =
+    spark.readStream.schema(schemaHint).text(path)
+
+  /** S3 source (SNS): the record is JSON inside `Sns.Message`
+    * (classifier/payload/sns.py); S3-event-via-SNS unwraps one more level
+    * (payload_base.py:264-273). */
+  def snsMessage(envelope: Column): Column =
+    get_json_object(envelope, "$.Sns.Message")
+
+  /** S10: scheduled-query results re-entering the pipeline are just another
+    * value column — see graft.history.ScheduledQueries.asStreamQueryRecords. */
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.classify.{Classifier, Normalizer}
+import graft.core.LogSchema
+import graft.rules.{AlertContext, RulesEngine}
+import graft.alerts.{AlertMerger, Outputs}
+import graft.history.HistoricalSink
+
+/** End-to-end wiring (SURVEY §3.1): the five-Lambda topology
+  * (classifier ⇒ SQS ⇒ rules engine ⇒ DynamoDB ⇒ merger ⇒ processor)
+  * collapsed into ONE Structured Streaming query:
+  *
+  *   source → classify/normalize (narrow) → rules (narrow) → alerts
+  *          → [stateful merge] → foreachBatch{ historical sink + dispatch }
+  *
+  * The only shuffle in the pipeline is the merge groupBy (SURVEY §3.1
+  * "Spark shape"); everything upstream is scan-side map work. */
+final class Pipeline(
+    schemas: Seq[LogSchema],
+    engine: RulesEngine,
+    normalization: Map[String, Map[String, Seq[graft.core.NormalizedField]]] = Map.empty) {
+
+  private val classifier = new Classifier(schemas)
+
+  /** Classify + normalize + evaluate one (micro-)batch of raw lines. */
+  def alertsFor(raw: DataFrame, valueCol: String = "value"): DataFrame = {
+    val classified = classifier.classify(raw, valueCol)
+    // static applicability check — no action on the (possibly streaming) DF
+    val perType = schemas.filter(s => engine.rulesForLogType(s.name).nonEmpty).map { s =>
+      val typed = classified.forType(s.name)
+      val normConfig = normalization.getOrElse(s.name, Map.empty)
+      val withNorm = typed
+        .withColumn(Normalizer.NormalizationKey,
+          Normalizer.normalizationCol(col("record"), normConfig, Some(s.schema)))
+        .withColumn(Normalizer.RecordIdKey,
+          Normalizer.recordIdCol(col(Normalizer.NormalizationKey)))
+      engine.evaluate(withNorm, s.name)
+    }
+    perType.reduceOption(_ unionByName _)
+      .getOrElse(raw.sparkSession.emptyDataFrame)
+  }
+
+  /** Launch the streaming pipeline over a raw stream: alerts merge in the
+    * state store; merged alerts land in the alerts table and fan out. */
+  def start(rawStream: DataFrame, alertsRoot: String, checkpoint: String,
+      dispatchers: Map[String, Outputs.Dispatcher] = Map.empty,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): StreamingQuery = {
+    val merged = AlertMerger.mergeStream(
+      AlertMerger.fromAlerts(
+        alertsFor(rawStream).withColumn("staged", lit(false))))
+    val writer0 = merged.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+    val writer = trigger.fold(writer0)(writer0.trigger)
+    writer
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.alerts.MergedAlert], id: Long) =>
+        val df = batch.toDF()
+          .withColumn("dt", HistoricalSink.dtColumn(col("alert_time_first")))
+        df.write.mode("append").partitionBy("dt").parquet(alertsRoot)
+        if (dispatchers.nonEmpty)
+          Outputs.fanOut(
+            df.withColumn("alert_id",
+              md5(concat_ws("|", col("rule_name"), col("merge_keys"),
+                col("alert_time_first").cast("string"))))
+              .withColumn("record", col("other_common_keys_json")),
+            dispatchers)
+        ()
+      }
+      .start()
+  }
+}
