@@ -768,6 +768,191 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------------
+  // Training-data pipeline operators: dedup family, ANN, text analysis,
+  // multimodal plumbing (documents/embeddings tables)
+  // ---------------------------------------------------------------------------
+
+  import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+  // Exact dedup: hash-groupBy on the normalized-text fingerprint.
+  register(
+    "d1_dedup_exact",
+    """SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
+      |       count(*) AS n_docs, min(doc_id) AS canonical_id
+      |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+    Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")
+  }
+
+  // MinHash+LSH near-dup: shingle -> signature -> band-bucket join -> exact
+  // Jaccard verify. LSH bucketing is not ANSI-SQL-expressible -> rows-only.
+  registerNoOracle("d2_dedup_minhash_lsh") { (s, dir) =>
+    Dedup.minhashNearDups(t(s, dir, "documents"), "text", "doc_id",
+      shingleWords = 2, numHashes = 32, bands = 16, threshold = 0.4)
+  }
+
+  // SimHash near-dup: 64-bit fingerprint, hamming <= 6, chunk-bucketed.
+  registerNoOracle("d3_dedup_simhash") { (s, dir) =>
+    Dedup.simhashNearDups(t(s, dir, "documents"), "text", "doc_id", maxDist = 6)
+  }
+
+  // n-gram Jaccard: the exact verifier over adjacent-id document pairs.
+  register(
+    "d4_ngram_jaccard",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(t) >= 2
+      |    THEN list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+      |    ELSE [array_to_string(t, ' ')] END AS s
+      |  FROM toks)
+      |SELECT a.doc_id AS id, round(len(list_intersect(a.s, b.s))::DOUBLE /
+      |       len(list_distinct(list_concat(a.s, b.s))), 6) AS j
+      |FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id ORDER BY id""".stripMargin) { (s, dir) =>
+    val d = t(s, dir, "documents")
+    val paired = d.as("a").join(d.as("b"), col("a.doc_id") + 1 === col("b.doc_id"))
+      .select(col("a.doc_id").as("id"), col("a.text").as("ta"), col("b.text").as("tb"))
+    paired.select(col("id"),
+      round(Dedup.ngramJaccardPairs(paired, "ta", "tb", shingleWords = 2), 6).as("j"))
+      .orderBy("id")
+  }
+
+  // Embedding-cosine near-dup (exact verify path over adjacent pairs; the
+  // LSH-bucketed variant is d5b below).
+  register(
+    "d5_embedding_cosine",
+    """SELECT a.vec_id AS id,
+      |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+      |FROM embeddings a JOIN embeddings b ON a.vec_id + 1 = b.vec_id
+      |ORDER BY id""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    e.as("a").join(e.as("b"), col("a.vec_id") + 1 === col("b.vec_id"))
+      .select(col("a.vec_id").as("id"),
+        round(Dedup.cosine(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+      .orderBy("id")
+  }
+
+  // Hyperplane-LSH bucketed embedding near-dup (the 100 TB scale path).
+  registerNoOracle("d5b_embedding_lsh_neardup") { (s, dir) =>
+    // synthetic embeddings are near-orthogonal (max pairwise cos ~0.3), so
+    // the "near-dup" bar is set to the top of that range
+    Dedup.embeddingNearDups(t(s, dir, "embeddings"), "embedding", "vec_id",
+      planes = 6, threshold = 0.2)
+  }
+
+  // Brute-force cosine top-k ANN (correctness baseline).
+  register(
+    "ann_bruteforce_topk",
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.q_id, c.vec_id AS neighbor_id,
+      |         round(list_cosine_similarity(c.embedding::DOUBLE[], q.q_vec::DOUBLE[]), 6) AS cos
+      |  FROM embeddings c CROSS JOIN q WHERE c.vec_id != q.q_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      |  FROM scored)
+      |SELECT q_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val queries = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.bruteForceTopK(e, queries, k = 3).orderBy("q_id", "rank")
+  }
+
+  // LSH-bucketed ANN with multi-probe (approximate -> rows-only check).
+  registerNoOracle("ann_lsh_topk") { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val queries = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.lshTopK(e, queries, k = 3, planes = 6).orderBy("q_id", "rank")
+  }
+
+  // Text analysis: token counts (whitespace + BPE-ish), punctuation ratio.
+  register(
+    "t1_token_counts",
+    """SELECT doc_id,
+      |  len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS n_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"))
+      .orderBy("doc_id")
+  }
+
+  // Quality scoring: length/stopword/punctuation composite.
+  register(
+    "t2_quality_score",
+    """SELECT doc_id, round(
+      |  greatest(0.0,
+      |    least(length(text) / 500.0, 1.0) * 0.4 +
+      |    least((len(list_filter(string_split_regex(lower(text), '\s+'),
+      |            x -> x IN ('the','a','of','and','to','in'))) ::DOUBLE /
+      |           greatest(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |            x -> x != '')), 1)) * 3.0, 1.0) * 0.4 +
+      |    (1.0 - least(len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE /
+      |                 greatest(length(text), 1) * 5.0, 1.0)) * 0.2), 6) AS quality
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.qualityScore(col("text"),
+        Seq("the", "a", "of", "and", "to", "in")).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  // Language ID: stopword-hit argmax (leftmost wins).
+  register(
+    "t3_langid",
+    """WITH toks AS (
+      |  SELECT doc_id, list_distinct(list_filter(
+      |    string_split_regex(lower(text), '\s+'), x -> x != '')) AS t
+      |  FROM documents),
+      |scores AS (
+      |  SELECT doc_id,
+      |    len(list_intersect(t, ['the','a','and','scan','join'])) AS s_en,
+      |    len(list_intersect(t, ['el','la','que','datos'])) AS s_es,
+      |    len(list_intersect(t, ['der','die','und','das'])) AS s_de
+      |  FROM toks)
+      |SELECT doc_id, CASE
+      |  WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+      |  WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS langid
+      |FROM scores ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.langId(col("text"), Seq(
+        "en" -> Seq("the", "a", "and", "scan", "join"),
+        "es" -> Seq("el", "la", "que", "datos"),
+        "de" -> Seq("der", "die", "und", "das"))).as("langid"))
+      .orderBy("doc_id")
+  }
+
+  // Document fingerprinting (md5 oracle path; the codegen'd polynomial
+  // rolling hash is covered by PipelineOpsSpec).
+  register(
+    "t4_fingerprint",
+    """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  // Multimodal: binary media table with typed metadata + stub frame sampling
+  // (decode itself is stubbed; schema/partitioning/batch shape are real).
+  register(
+    "mm_media_frames",
+    """SELECT doc_id AS media_id, f AS frame_idx,
+      |       (f * length(text)) // 4 AS byte_offset,
+      |       md5(text || CAST(f AS VARCHAR)) AS frame_md5
+      |FROM documents, range(4) r(f) ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
+    val media = Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text", "image")
+    Multimodal.stubFrameSample(media, 4)
+      .select("media_id", "frame_idx", "byte_offset", "frame_md5")
+      .orderBy("media_id", "frame_idx")
+  }
+
+  // ---------------------------------------------------------------------------
   // Public accessors for SparkEntry
   // ---------------------------------------------------------------------------
 

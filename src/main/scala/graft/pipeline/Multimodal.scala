@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video as opaque `binary` with typed
+  * metadata. The Spark-side plumbing — schema, batch shape, partitioning,
+  * per-partition decode loop — is real; the codec itself is a clearly
+  * marked STUB (image/audio libraries are not in this container): decode
+  * produces deterministic fake features derived from the bytes, with the
+  * same shape a real decoder would emit. Swap `stubDecode*` for a JNI/FFmpeg
+  * call and nothing else changes.
+  */
+object Multimodal {
+
+  /** Canonical media-table schema. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),     // image|audio|video
+    StructField("bytes", BinaryType, nullable = true),     // opaque payload
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("codec", StringType, nullable = true))), nullable = true)))
+
+  /** Wrap any (id, string payload) source as a media table. */
+  def asMediaTable(df: DataFrame, idCol: String, payloadCol: String,
+      kind: String): DataFrame =
+    df.select(
+      col(idCol).cast(LongType).as("media_id"),
+      lit(kind).as("kind"),
+      col(payloadCol).cast(BinaryType).as("bytes"),
+      struct(
+        (length(col(payloadCol)) % 1920).cast(IntegerType).as("width"),
+        (length(col(payloadCol)) % 1080).cast(IntegerType).as("height"),
+        (length(col(payloadCol)) * 10L).cast(LongType).as("duration_ms"),
+        lit("stub").as("codec")).as("meta"))
+
+  /** STUB feature extraction — deterministic `dim` pseudo-floats per payload
+    * from md5(bytes); shape matches a real image/audio embedding. Pure
+    * Column pipeline: at scale this is scan-side, no shuffle. */
+  def stubDecodeFeatures(bytes: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)), i =>
+      round((conv(substring(md5(bytes), 1, 8), 16, 10).cast(DoubleType)
+        + i.cast(DoubleType) * 31.0) % 1000.0 / 1000.0, 6))
+
+  /** STUB frame sampling — n evenly spaced "frames"; each row carries the
+    * byte offset a real demuxer would seek to plus a frame checksum. */
+  def stubFrameSample(media: DataFrame, nFrames: Int): DataFrame =
+    media
+      .withColumn("frame_idx", explode(sequence(lit(0), lit(nFrames - 1))))
+      .withColumn("byte_offset",
+        (col("frame_idx") * greatest(length(col("bytes")), lit(1)) / nFrames)
+          .cast(LongType))
+      .withColumn("frame_md5",
+        md5(concat(col("bytes"), col("frame_idx").cast(StringType))))
+      .select("media_id", "kind", "frame_idx", "byte_offset", "frame_md5")
+
+  /** STUB resize — metadata-only transform (a real implementation rewrites
+    * bytes; the engine contract is the meta update + passthrough schema). */
+  def stubResize(media: DataFrame, w: Int, h: Int): DataFrame =
+    media.withColumn("meta", struct(
+      lit(w).cast(IntegerType).as("width"),
+      lit(h).cast(IntegerType).as("height"),
+      col("meta.duration_ms").as("duration_ms"),
+      col("meta.codec").as("codec")))
+
+  /** The mapPartitions decode loop a real codec would use (the Scala
+    * analogue of mapInPandas batches): demonstrates the per-partition
+    * batching shape with the STUB codec. */
+  def decodePartitioned(media: DataFrame, dim: Int): DataFrame = {
+    val session = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("features", ArrayType(DoubleType))))
+    val rdd = media.select("media_id", "bytes").rdd.mapPartitions { rows =>
+      // real impl: initialize the codec ONCE per partition here  // ??? codec
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val h = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        val base = java.lang.Long.parseLong(
+          h.take(4).map("%02x".format(_)).mkString, 16).toDouble
+        org.apache.spark.sql.Row(id,
+          (0 until dim).map(i => math.rint(((base + i * 31.0) % 1000.0) / 1000.0 * 1e6) / 1e6))
+      }
+    }
+    session.createDataFrame(rdd, outSchema)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Text analysis for large-scale training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * Column expressions (codegen'd, no UDFs) — at 100 TB these run scan-side
+  * with zero shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy: alpha runs, digit runs, and single punctuation
+    * marks each count as one token (the usual pre-tokenizer shape). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      size(regexp_extract_all(text, lit("[^\\w\\s]"), lit(0))).cast(DoubleType)
+        / length(text).cast(DoubleType))
+      .otherwise(lit(0.0))
+
+  /** Fraction of tokens that are in the stopword list. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(lower(text))
+    when(size(toks) > 0,
+      size(filter(toks, t => t.isin(stopwords: _*))).cast(DoubleType)
+        / size(toks).cast(DoubleType))
+      .otherwise(lit(0.0))
+  }
+
+  def meanWordLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast(LongType))
+        .cast(DoubleType) / size(toks).cast(DoubleType))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1]: length saturation + stopword evidence
+    * − punctuation noise. Deterministic arithmetic, rounded for comparison. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(length(text).cast(DoubleType) / lit(500.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text, stopwords) * 3.0, lit(1.0))
+    val punctPenalty = least(punctRatio(text) * 5.0, lit(1.0))
+    round(greatest(lit(0.0),
+      lenScore * 0.4 + stopScore * 0.4 + (lit(1.0) - punctPenalty) * 0.2), 6)
+  }
+
+  /** Language-ID by stopword-hit counting (n-gram heuristic): score each
+    * language by distinct stopword hits, argmax with first-wins tie-break. */
+  def langScores(text: Column, stopwordsByLang: Seq[(String, Seq[String])]): Seq[(String, Column)] = {
+    val toks = array_distinct(tokens(lower(text)))
+    stopwordsByLang.map { case (lang, words) =>
+      lang -> size(array_intersect(toks, array(words.map(lit): _*)))
+    }
+  }
+
+  def langId(text: Column, stopwordsByLang: Seq[(String, Seq[String])]): Column = {
+    val scores = langScores(text, stopwordsByLang)
+    // first language whose score is >= all later ones (stable argmax)
+    scores.zipWithIndex.foldRight(lit(scores.last._1): Column) {
+      case (((lang, score), idx), acc) =>
+        val laterScores = scores.drop(idx + 1).map(_._2)
+        val isMax = laterScores.foldLeft(lit(true))((c, s) => c && score >= s)
+        when(isMax, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Document fingerprint: md5 over the normalized text (lowercase,
+    * non-alphanumerics stripped) — the exact-dedup key. For a codegen'd
+    * polynomial rolling hash see [[graft.functions.RollingHash]]. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
+}

@@ -1,0 +1,145 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+import graft.functions.RollingHash
+
+/** Training-data pipeline operators: dedup family, ANN, text analysis,
+  * multimodal plumbing. */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),     // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat"),     // near dup of 0
+    (3L, "completely different content about spark engines and joins"),
+    (4L, "The Quick, Brown Fox jumps over the lazy dog!"))   // exact after normalize
+    .toDF("doc_id", "text")
+
+  test("exact dedup: fingerprint groups with canonical id") {
+    val groups = Dedup.exactGroups(docs, "text", "doc_id").collect()
+    assert(groups.length == 3) // {0,1,4}, {2}, {3}
+    val big = groups.find(_.getLong(1) == 3L).get
+    assert(big.getLong(2) == 0L) // canonical = min id
+    val kept = Dedup.dropExactDuplicates(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 2L, 3L))
+  }
+
+  test("minhash LSH finds the planted near-duplicate pair") {
+    val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
+      shingleWords = 2, numHashes = 32, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // exact dup always survives
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc clean
+  }
+
+  test("simhash near-dups by hamming distance") {
+    val pairs = Dedup.simhashNearDups(docs, "text", "doc_id", maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // identical text -> distance 0
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard on adjacent pairs") {
+    val paired = docs.as("a").join(docs.as("b"),
+      col("a.doc_id") + 1 === col("b.doc_id"))
+      .select(col("a.doc_id").as("id"), col("a.text").as("ta"), col("b.text").as("tb"))
+    val j = paired.withColumn("j", Dedup.ngramJaccardPairs(paired, "ta", "tb"))
+      .select("id", "j").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(j(0L) == 1.0)          // identical
+    assert(j(1L) > 0.5 && j(1L) < 1.0) // near dup
+    assert(j(2L) < 0.2)           // unrelated
+  }
+
+  test("embedding near-dups via hyperplane LSH + exact cosine verify") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.2f, 0.1f)),
+      (1L, Array(0.99f, 0.01f, 0.2f, 0.1f)),  // near dup of 0
+      (2L, Array(-1.0f, 0.5f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, -0.5f, 0.3f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(vecs, "embedding", "vec_id",
+      planes = 8, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("brute-force ANN top-k matches hand-computed ranking") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, Array(1.0f, 0.0f))).toDF("q_id", "q_vec")
+    val top = Similarity.bruteForceTopK(corpus, queries, k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(top == Seq(0L, 1L))
+  }
+
+  test("LSH ANN recalls the exact top-1 for clustered vectors") {
+    val corpus = (0 until 50).map(i =>
+      (i.toLong, Array(math.cos(i / 8.0).toFloat, math.sin(i / 8.0).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((999L, Array(math.cos(3 / 8.0).toFloat, math.sin(3 / 8.0).toFloat)))
+      .toDF("q_id", "q_vec")
+    val got = Similarity.lshTopK(corpus, queries, k = 1, planes = 6)
+      .select("neighbor_id").as[Long].collect()
+    assert(got.length == 1 && got(0) == 3L) // its own twin vector
+  }
+
+  test("text analysis: tokens, quality, langid, fingerprints") {
+    val r = Seq("The quick brown fox, jumps!").toDF("text").select(
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("bpe"),
+      TextAnalysis.punctRatio(col("text")).as("punct"),
+      TextAnalysis.qualityScore(col("text"), Seq("the", "a", "of")).as("q"),
+      TextAnalysis.fingerprint(col("text")).as("fp")).collect()(0)
+    assert(r.getInt(0) == 5)
+    assert(r.getInt(1) == 7) // 5 words + comma + bang
+    assert(r.getDouble(2) > 0 && r.getDouble(2) < 0.2)
+    assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0)
+    assert(r.getString(4).length == 32)
+    val lang = Seq("el perro que corre").toDF("text").select(
+      TextAnalysis.langId(col("text"), Seq(
+        "en" -> Seq("the", "dog", "that"),
+        "es" -> Seq("el", "perro", "que")))).collect()(0).getString(0)
+    assert(lang == "es")
+  }
+
+  test("rolling hash expression: codegen path, determinism, distribution") {
+    val hashes = docs.select(RollingHash.rolling_hash(col("text")).as("h"))
+      .as[Long].collect()
+    assert(hashes(0) == hashes(1)) // identical text
+    assert(hashes.toSet.size == 4) // raw-text hash: {0,1} collide; 2,3,4 distinct
+    assert(hashes.forall(h => h >= 0 && h < (1L << 61) - 1))
+    // matches the reference Scala implementation exactly
+    val expected = RollingHash.hash(
+      "the quick brown fox jumps over the lazy dog".getBytes("UTF-8"))
+    assert(hashes(0) == expected)
+  }
+
+  test("multimodal: media table schema, stub features, frame sampling") {
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text", "image")
+    assert(media.schema.fieldNames.toSeq ==
+      Seq("media_id", "kind", "bytes", "meta"))
+    val feats = media.select(col("media_id"),
+      Multimodal.stubDecodeFeatures(col("bytes"), 8).as("f"))
+    val row = feats.where(col("media_id") === 0).collect()(0)
+    assert(row.getSeq[Double](1).size == 8)
+    assert(row.getSeq[Double](1).forall(v => v >= 0.0 && v < 1.0))
+    // identical bytes -> identical features
+    val f01 = feats.where(col("media_id").isin(0, 1))
+      .collect().map(_.getSeq[Double](1))
+    assert(f01(0) == f01(1))
+    val frames = Multimodal.stubFrameSample(media, 4)
+    assert(frames.count() == 5 * 4)
+    assert(frames.schema.fieldNames.contains("byte_offset"))
+    // mapPartitions decode loop produces the same features per id
+    val decoded = Multimodal.decodePartitioned(media, 8)
+    assert(decoded.count() == 5)
+  }
+}
