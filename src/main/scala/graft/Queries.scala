@@ -786,8 +786,11 @@ object Queries {
   // MinHash+LSH near-dup: shingle -> signature -> band-bucket join -> exact
   // Jaccard verify. LSH bucketing is not ANSI-SQL-expressible -> rows-only.
   registerNoOracle("d2_dedup_minhash_lsh") { (s, dir) =>
+    // 8 bands × 4 rows: band-collision prob j^4 — near-random pairs
+    // (baseline jaccard ~0.03 on this corpus) generate ~zero candidates
+    // while planted near-dups (j>0.9) are caught with ~certainty
     Dedup.minhashNearDups(t(s, dir, "documents"), "text", "doc_id",
-      shingleWords = 2, numHashes = 32, bands = 16, threshold = 0.4)
+      shingleWords = 2, numHashes = 32, bands = 8, threshold = 0.5)
   }
 
   // SimHash near-dup: 64-bit fingerprint, hamming <= 6, chunk-bucketed.

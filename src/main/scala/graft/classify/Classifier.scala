@@ -8,48 +8,76 @@ import graft.core.LogSchema
 /** Schema resolution: try each candidate log type in declared order, first
   * full success wins (streamalert/classifier/classifier.py:116-149).
   *
-  * Spark shape: ONE narrow projection computes `log_schema_type` via a lazy
-  * CASE chain of the compiled validity predicates (left-to-right
-  * short-circuit = the reference's early exit, classifier.py:131-147), then
-  * per-type DataFrames are filtered views that materialize the typed record
-  * only for their own rows. No shuffle anywhere; everything stays inside
-  * whole-stage codegen, so at 100 TB this is a pure scan-side map.
-  */
+  * Spark shape: one projection materializes each schema's expensive parse
+  * (`from_json`/`from_csv`/`str_to_map`) exactly once (see
+  * CompiledSchema.rawParse for why this matters — those expressions are
+  * CodegenFallback and would otherwise be re-evaluated per field reference);
+  * a second projection derives `log_schema_type` via a CASE chain of cheap
+  * field-level checks. Per-type DataFrames reuse the same materialized
+  * parse for the typed record. No shuffle anywhere — at 100 TB this is pure
+  * scan-side map work that scales linearly with executors. */
 final class Classifier(schemas: Seq[LogSchema]) {
 
   val compiled: Seq[CompiledSchema] = schemas.map(CompiledSchema)
 
-  /** Column with the resolved log type name (null = unclassifiable). */
-  def logTypeCol(value: Column): Column =
-    compiled.foldRight(lit(null).cast(StringType): Column) { (cs, acc) =>
-      when(cs.validCol(value), lit(cs.s.name)).otherwise(acc)
-    }
+  private[classify] def rawColName(name: String): String =
+    "__graft_raw_" + name.replaceAll("\\W", "_")
 
-  /** Classify a DataFrame bearing a raw string column.
-    *
-    * Returns the input with a `log_schema_type` column, plus accessors for
-    * per-type typed streams and the dead-letter stream
-    * (invalid-record routing, classifier.py:202-215).
-    */
+  /** Classify a DataFrame bearing a raw string column. */
   def classify(df: DataFrame, valueCol: String = "value"): ClassifiedStreams = {
-    val tagged = df.withColumn("log_schema_type", logTypeCol(col(valueCol)))
-    ClassifiedStreams(tagged, compiled, valueCol)
+    val value = col(valueCol)
+    val withRaw = compiled.foldLeft(df) { (acc, cs) =>
+      cs.rawParse(value) match {
+        case Some(rp) => acc.withColumn(rawColName(cs.s.name), rp)
+        case None => acc
+      }
+    }
+    val typeCol = compiled.foldRight(lit(null).cast(StringType): Column) { (cs, acc) =>
+      val valid = cs.rawParse(value) match {
+        case Some(_) => cs.validFromRaw(value, col(rawColName(cs.s.name)))
+        case None => cs.validCol(value)
+      }
+      when(valid, lit(cs.s.name)).otherwise(acc)
+    }
+    // Optimizer fence (see graft.functions.OptimizerFence): keeps
+    // `log_schema_type = ...` filters from being pushed below this
+    // projection, which would re-inline the full CodegenFallback parse tree
+    // into a scan-level predicate (~7× slowdown measured at sf0.1).
+    val tagged = withRaw.withColumn("log_schema_type",
+      graft.functions.OptimizerFence.fence(typeCol))
+    ClassifiedStreams(tagged, compiled, valueCol, this)
   }
 }
 
 final case class ClassifiedStreams(
-    tagged: DataFrame, compiled: Seq[CompiledSchema], valueCol: String) {
+    tagged: DataFrame, compiled: Seq[CompiledSchema], valueCol: String,
+    classifier: Classifier) {
 
-  /** Typed stream for one log type: metadata + `record` struct + envelope. */
+  private def rawCols: Seq[String] =
+    compiled.filter(_.rawParse(col(valueCol)).isDefined)
+      .map(cs => classifier.rawColName(cs.s.name))
+
+  /** Typed stream for one log type: metadata + `record` struct + envelope.
+    * Reuses the materialized raw parse; rows already passed validation via
+    * the log_schema_type tag. */
   def forType(name: String): DataFrame = {
     val cs = compiled.find(_.s.name == name)
       .getOrElse(throw new NoSuchElementException(s"unknown log type: $name"))
-    cs.parseTyped(tagged.where(col("log_schema_type") === name), valueCol)
+    val filtered = tagged.where(col("log_schema_type") === name)
+    val typed = cs.rawParse(col(valueCol)) match {
+      case Some(_) =>
+        filtered
+          .withColumn("record", cs.recordFromRaw(col(classifier.rawColName(name))))
+          .withColumn(LogSchema.EnvelopeKey, cs.envelopeColumn(col(valueCol)))
+      case None => cs.parseTyped(filtered, valueCol)
+    }
+    typed.drop(rawCols: _*)
   }
 
   /** Records matching no declared schema — FAILED_PARSES dead letter
     * (classifier.py:236-239). */
-  def invalid: DataFrame = tagged.where(col("log_schema_type").isNull)
+  def invalid: DataFrame =
+    tagged.where(col("log_schema_type").isNull).drop(rawCols: _*)
 
   def types: Seq[String] = compiled.map(_.s.name)
 }

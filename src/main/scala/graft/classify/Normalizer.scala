@@ -88,7 +88,9 @@ object Normalizer {
     val m = map_from_arrays(
       array(keys.map(lit): _*),
       array(keys.map(k => entriesFor(record, config(k), schema)): _*))
-    map_filter(m, (_, v) => size(v) > 0)
+    // fenced: keeps explode-inferred filters (size>0) from re-inlining the
+    // whole map construction into upstream predicates
+    graft.functions.OptimizerFence.fence(map_filter(m, (_, v) => size(v) > 0))
   }
 
   /** streamalert_record_id (normalize.py:218): uuid per record when anything

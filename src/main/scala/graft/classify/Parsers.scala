@@ -311,6 +311,88 @@ final case class CompiledSchema(s: LogSchema) {
   }
 
   // -------------------------------------------------------------------------
+  // Split parse/validate surface — performance-critical path.
+  //
+  // from_json / from_csv / str_to_map are CodegenFallback expressions: any
+  // operator containing them drops out of whole-stage codegen, and the
+  // interpreted path re-evaluates EVERY occurrence. A validity predicate
+  // that derives each field check from `from_json(value).field` therefore
+  // re-parses the payload dozens of times per row. The split below performs
+  // the expensive parse ONCE into a materialized column (CollapseProject
+  // keeps non-cheap aliases with multiple consumers as projection
+  // boundaries), and validity/record are cheap GetStructField trees over
+  // that attribute. ~10× on the classify hot path at sf0.1.
+  // -------------------------------------------------------------------------
+
+  /** The single expensive parse for this schema, when separable from
+    * validation (not possible for json_path / json_regex_key schemas whose
+    * children only exist inside a lambda). */
+  def rawParse(value: Column): Option[Column] = s.parser match {
+    case ParserKind.Json if jsonPathPlan.isEmpty && s.jsonRegexKey.isEmpty =>
+      Some(from_json(value, rawStructType))
+    case ParserKind.Csv => Some(csvRaw(value))
+    case ParserKind.Kv  => Some(kvMap(value))
+    case _ => None
+  }
+
+  /** Validity from the materialized raw parse (+ the original value for the
+    * key-set check, which must see undeclared keys the struct dropped). */
+  def validFromRaw(value: Column, raw: Column): Column = s.parser match {
+    case ParserKind.Json =>
+      val (typed, castFailed) = coerceStruct(raw, s.schema, s.optionalTopLevelKeys)
+      val env = envelopeStruct(value).map(_._1)
+      envelopeOk(value) &&
+        jsonKeyCheck(value, s.schema, s.optionalTopLevelKeys) &&
+        !castFailed && patternsOk(typed, env)
+    case ParserKind.Csv =>
+      val (typed, castFailed) = csvCoercedFromRaw(raw)
+      val lastField = s.schema.fields.keys.last
+      raw.getField(csvSentinel).isNull && raw.getField(lastField).isNotNull &&
+        !castFailed && patternsOk(typed, None)
+    case ParserKind.Kv =>
+      val (typed, castFailed) = kvCoercedFromRaw(raw)
+      val schemaKeys = array(s.schema.fields.keys.toSeq.map(lit): _*)
+      size(raw) === s.schema.fields.size &&
+        size(array_except(map_keys(raw), schemaKeys)) === 0 &&
+        !castFailed && patternsOk(typed, None)
+    case ParserKind.Syslog => syslogValid(value)
+  }
+
+  /** Typed record from the materialized raw parse. */
+  def recordFromRaw(raw: Column): Column = s.parser match {
+    case ParserKind.Json => coerceStruct(raw, s.schema, s.optionalTopLevelKeys)._1
+    case ParserKind.Csv  => csvCoercedFromRaw(raw)._1
+    case ParserKind.Kv   => kvCoercedFromRaw(raw)._1
+    case ParserKind.Syslog =>
+      throw new IllegalStateException("syslog has no separable raw parse")
+  }
+
+  private def csvCoercedFromRaw(raw: Column): (Column, Column) = {
+    val parts = s.schema.fields.toSeq.map {
+      case (name, nested: FieldType.TStruct) =>
+        val cellType = StructType(nested.fields.keys.toSeq
+          .map(n => StructField(n, StringType, nullable = true)))
+        val cell = from_csv(raw.getField(name), cellType, csvOptions)
+        val (typed, failed) = coerceStruct(cell, nested, Set.empty)
+        (name, typed, failed || cell.isNull)
+      case (name, ft) =>
+        val (typed, failed) = coerceField(raw.getField(name), ft)
+        (name, typed, failed)
+    }
+    (struct(parts.map { case (n, c, _) => c.as(n) }: _*),
+      parts.map(_._3).reduceOption(_ || _).getOrElse(lit(false)))
+  }
+
+  private def kvCoercedFromRaw(raw: Column): (Column, Column) = {
+    val parts = s.schema.fields.toSeq.map { case (name, ft) =>
+      val (typed, failed) = coerceField(element_at(raw, name), ft)
+      (name, typed, failed)
+    }
+    (struct(parts.map { case (n, c, _) => c.as(n) }: _*),
+      parts.map(_._3).reduceOption(_ || _).getOrElse(lit(false)))
+  }
+
+  // -------------------------------------------------------------------------
   // Unified surface
   // -------------------------------------------------------------------------
 

@@ -56,11 +56,33 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks))))
   }
 
-  /** MinHash signature: H independent permutation proxies via seeded
-    * xxhash64; entry i = min over shingles of xxhash64(i, shingle). */
+  /** MinHash signature: H independent permutation proxies. Strings are
+    * hashed ONCE (xxhash64); the H permutations are multiply-shift mixes of
+    * that base hash (a_i·h + b_i with odd a_i — universal hashing), computed
+    * in a single fold so the shingle array is traversed once, not H times.
+    * HOF expressions are CodegenFallback, so avoiding repeated string
+    * hashing matters: ~5× on the signature stage at sf0.1. */
   def minhashSignature(shingleArr: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(i =>
-      array_min(transform(shingleArr, s => xxhash64(lit(i), s)))): _*)
+    minhashSignatureFromHashes(transform(shingleArr, s => xxhash64(s)), numHashes)
+
+  private def mixA(i: Int): Long = 0x9E3779B97F4A7C15L ^ (0xBF58476D1CE4E5B9L * (i + 1L))
+  private def mixR(i: Int): Int = (i * 7 % 63) + 1
+
+  /** Signature from pre-computed per-shingle 64-bit hashes (pass these as a
+    * materialized column so the base hashing runs once). Each permutation
+    * proxy is an XOR + bit-rotation of the base hash — a 64-bit bijection
+    * with no overflow under ANSI arithmetic. */
+  def minhashSignatureFromHashes(baseHashes: Column, numHashes: Int): Column = {
+    val as = array((0 until numHashes).map(i => lit(mixA(i))): _*)
+    val rs = array((0 until numHashes).map(i => lit(mixR(i))): _*)
+    val init = array_repeat(lit(Long.MaxValue), numHashes)
+    def rot(x: Column, r: Column): Column =
+      call_function("shiftleft", x, r.cast("int"))
+        .bitwiseOR(call_function("shiftrightunsigned", x, (lit(64) - r).cast("int")))
+    aggregate(baseHashes, init, (acc, h) =>
+      zip_with(acc, zip_with(as, rs, (a, r) => rot(h.bitwiseXOR(a), r)),
+        (m, v) => least(m, v)))
+  }
 
   /** LSH banding: (band_idx, hash of the band's signature slice) pairs. */
   def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
@@ -73,22 +95,33 @@ object Dedup {
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
       shingleWords: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.7): DataFrame = {
-    val withSig = df.select(
+    // Shingle sets are computed ONCE and kept aside; the band-bucket join
+    // moves only (id, bucket) pairs — at 16 bands an id is duplicated 16×,
+    // but a shingle array would be 16× its full size. Candidate pairs (rare)
+    // then re-attach the two shingle sets by id for the exact-Jaccard
+    // verify. At 100 TB: two narrow scans + one skinny shuffle + a verify
+    // join whose build side is only the candidate ids.
+    val shingled = df.select(
       col(idCol).as("id"),
       wordShingles(col(textCol), shingleWords).as("shingles"))
-      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
-      .withColumn("bands", lshBands(col("sig"), bands, numHashes / bands))
-    val buckets = withSig.select(col("id"), col("shingles"),
-      explode(col("bands")).as("b"))
-    val a = buckets.select(col("id").as("id_a"), col("shingles").as("sh_a"),
-      col("b").as("ba"))
-    val bb = buckets.select(col("id").as("id_b"), col("shingles").as("sh_b"),
-      col("b").as("bb"))
-    val pairs = a.join(bb,
-      a("ba") === bb("bb") && a("id_a") < bb("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+    val buckets = shingled
+      // base hashes AND the signature are materialized columns: the band
+      // array references the signature 16×, and inlining would re-run the
+      // whole fold per band (measured 30s+ single-threaded inside a
+      // broadcast build at sf0.1)
+      .withColumn("__h", transform(col("shingles"), s => xxhash64(s)))
+      .withColumn("__sig", minhashSignatureFromHashes(col("__h"), numHashes))
+      .select(col("id"),
+        explode(lshBands(col("__sig"), bands, numHashes / bands)).as("b"))
+      .select(col("id"), col("b.band"), col("b.bucket"))
+    val pairs = buckets.as("x").join(buckets.as("y"),
+      col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     pairs
+      .join(shingled.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(shingled.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -112,25 +145,32 @@ object Dedup {
   // SimHash
   // -------------------------------------------------------------------------
 
-  /** 64-bit SimHash: per-bit majority vote over token hashes. Column-only:
-    * for each bit position, sum ±1 across tokens, then assemble the sign
-    * bits into one long. */
-  def simhash64(text: Column): Column = {
-    val toks = TextAnalysis.tokens(lower(text))
-    val hashes = transform(toks, t => xxhash64(t))
-    val bits = (0 until 64).map { i =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << i)
-    }
-    bits.reduce(_ + _)
+  /** 64-bit SimHash: per-bit majority vote over token hashes. One fold over
+    * the token-hash array maintains all 64 vote counters at once (64
+    * separate aggregates would re-hash every token per bit — HOFs are
+    * CodegenFallback, nothing dedupes the repetition). */
+  def simhash64(text: Column): Column =
+    simhash64FromHashes(transform(TextAnalysis.tokens(lower(text)), t => xxhash64(t)))
+
+  def simhash64FromHashes(hashes: Column): Column = {
+    val bitIdx = array((0 until 64).map(i => lit(i)): _*)
+    val votes = aggregate(hashes, array_repeat(lit(0L), 64), (acc, h) =>
+      zip_with(acc, bitIdx, (a, i) =>
+        a + when(call_function("shiftright", h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(votes, bitIdx, (v, i) =>
+        when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc + b)
   }
 
   /** Near-dups by Hamming distance ≤ maxDist, bucketed on 16-bit chunks
     * (pigeonhole: distance ≤ 3 ⇒ some chunk of 4 is identical). */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
       maxDist: Int = 3): DataFrame = {
-    val withSim = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
+    val withSim = df
+      .select(col(idCol).as("id"),
+        transform(TextAnalysis.tokens(lower(col(textCol))), t => xxhash64(t)).as("__th"))
+      .select(col("id"), simhash64FromHashes(col("__th")).as("sim"))
     val chunked = withSim.select(col("id"), col("sim"),
       explode(array((0 until 4).map(c => struct(
         lit(c).as("chunk"),
