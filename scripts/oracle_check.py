@@ -36,13 +36,15 @@ def main(sf_dir, out_dir):
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
         order = sorted(range(len(cols)), key=lambda i: cols[i])
-        want = sorted(tuple(canon(r[i]) for i in order) for r in want_rows)
+        sort_key = lambda t: tuple((v is None, str(type(v)), v) for v in t)
+        want = sorted((tuple(canon(r[i]) for i in order) for r in want_rows), key=sort_key)
         tbl = pq.read_table(qdir)
         got_cols = sorted(tbl.column_names)
         if got_cols != sorted(cols):
             print(f"FAIL {name}: columns {got_cols} != {sorted(cols)}"); n_fail += 1; continue
-        got = sorted(tuple(canon(v) for v in row)
-                     for row in zip(*[tbl.column(c).to_pylist() for c in got_cols]))
+        got = sorted((tuple(canon(v) for v in row)
+                     for row in zip(*[tbl.column(c).to_pylist() for c in got_cols])),
+                     key=sort_key)
         if got == want:
             print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
         else:

@@ -52,6 +52,142 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------------
+  // SQL surface (SURVEY §2.5), continued: every construct the reference's
+  // scheduled queries / rule promotion actually use, plus the join/window/
+  // set-op machinery "full parity = whatever Spark SQL supports" implies.
+  // ---------------------------------------------------------------------------
+
+  // json_extract + string fns + NOT IN (sample/athena.py:27,46).
+  register(
+    "q2_json_string_fns",
+    """SELECT event_id,
+      |       upper(substr(event_type, 1, 3)) AS etype3,
+      |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events
+      |WHERE event_type NOT IN ('signup', 'login')
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .where(!col("event_type").isin("signup", "login"))
+      .select(
+        col("event_id"),
+        upper(substring(col("event_type"), 1, 3)).as("etype3"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy("event_id")
+  }
+
+  // TPC-H Q3 shape: 3-way join + aggregation + top-N.
+  register(
+    "q3_join_topn",
+    """SELECT o.o_orderkey,
+      |       sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS revenue
+      |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |GROUP BY o.o_orderkey
+      |ORDER BY revenue DESC, o.o_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+    val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy("o_orderkey")
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1) - col("l_discount").cast(DecimalType(4, 2)))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
+  }
+
+  // TPC-H Q5 shape: 5-way join through the region/nation dimension chain.
+  register(
+    "q5_multi_join",
+    """SELECT n.n_name AS nation, count(*) AS n_items,
+      |       sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS total
+      |FROM lineitem l
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name = 'REGION_0'
+      |GROUP BY n.n_name ORDER BY nation""".stripMargin) { (s, dir) =>
+    val l = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region").where(col("r_name") === "REGION_0")
+    l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("total"))
+      .orderBy("nation")
+  }
+
+  // TPC-H Q6 shape: selective filter + single aggregate (predicate pushdown
+  // reaches the parquet scan).
+  register(
+    "q6_filter_agg",
+    """SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS revenue
+      |FROM lineitem
+      |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .where(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+        col("l_discount").cast(DecimalType(4, 2))).as("revenue"))
+  }
+
+  // Window functions: top-2 orders per customer (row_number, partitioned).
+  register(
+    "q7_window_topk",
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price"),
+        row_number().over(w).as("rn"))
+      .where(col("rn") <= 2)
+      .orderBy("o_custkey", "rn")
+  }
+
+  // SELECT DISTINCT (athena/helpers.py:136-151 dedup of result values).
+  register(
+    "q8_distinct",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2") { (s, dir) =>
+    t(s, dir, "lineitem").select("l_returnflag", "l_linestatus")
+      .distinct().orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // EXISTS / left-semi join.
+  register(
+    "q9_exists_semi",
+    """SELECT o_orderkey FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val big = t(s, dir, "lineitem").where(col("l_quantity") >= 49)
+      .select(col("l_orderkey").as("o_orderkey"))
+    t(s, dir, "orders").join(big, Seq("o_orderkey"), "left_semi")
+      .select("o_orderkey").orderBy("o_orderkey")
+  }
+
+  // ROLLUP grouping sets via spark.sql (the raw-SQL execution surface).
+  register(
+    "q10_rollup",
+    """SELECT l_returnflag, l_linestatus,
+      |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------------------
   // Classifier operators (SURVEY §2.2): each query serializes testdata rows
   // into the wire format the operator consumes, runs the REAL classify
   // pipeline, and projects the typed record — so the DuckDB oracle is the
