@@ -55,7 +55,8 @@ final class RulesEngine(
   /** Evaluate all applicable rules over a classified typed stream
     * (columns: `record` struct + passthrough metadata) and construct alerts
     * (shared/alert.py:37-109 field surface). */
-  def evaluate(typed: DataFrame, logType: String, ctx: AlertContext = AlertContext()): DataFrame = {
+  def evaluate(typed: DataFrame, logType: String, ctx: AlertContext = AlertContext(),
+      passthrough: Seq[String] = Nil): DataFrame = {
     val applicable = rulesForLogType(logType)
     if (applicable.isEmpty) return typed.sparkSession.emptyDataFrame
 
@@ -88,7 +89,7 @@ final class RulesEngine(
       if (deterministicIds) md5(concat_ws(":", col("rule_name"), to_json(rec)))
       else expr("uuid()")
 
-    fired.select(
+    val alertCols = Seq(
       idCol.as("alert_id"),
       col("rule_name"),
       createdCol.as("created"),
@@ -110,5 +111,6 @@ final class RulesEngine(
         applicable.map(r => r.name -> lit(r.opts.description)),
         lit("")).as("rule_description"),
       rec.as("record"))
+    fired.select(alertCols ++ passthrough.map(col): _*)
   }
 }

@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.core.FieldType._
+import graft.rules._
+import graft.testing._
+
+/** Port of the reference's rule-integration-test shape: the
+  * cloudtrail_put_object_acl_public rule
+  * (rules/community/cloudwatch_events/cloudtrail_put_object_acl_public.py:16-38)
+  * with its paired JSON test events, through the real classify→rules path. */
+class RuleTestHarnessSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val cloudwatchEvents = LogSchema(
+    name = "cloudwatch:events",
+    parser = ParserKind.Json,
+    schema = TStruct.of(
+      "account" -> TInteger,
+      "detail" -> TStruct.of(
+        "eventName" -> TString,
+        "requestParameters" -> TStruct.of(
+          "bucketName" -> TString,
+          "acl" -> TString))))
+
+  // the rule: PutObjectAcl with a public-ish grant, excluding allowed buckets
+  private val publicAclRule = Rule(
+    "cloudtrail_put_object_acl_public",
+    RuleOpts(
+      logs = Seq("cloudwatch:events"),
+      reqSubkeys = Map("detail" -> Seq("requestParameters"))),
+    rec =>
+      rec.getField("detail").getField("eventName") === "PutObjectAcl" &&
+        Helpers.containsAny(rec.getField("detail").getField("requestParameters")
+          .getField("acl"), Seq("AllUsers", "AuthenticatedUsers")) &&
+        !rec.getField("detail").getField("requestParameters")
+          .getField("bucketName").isin("allowed-bucket"))
+
+  private val eventsJson =
+    """[
+      |  {"description": "public-read ACL triggers",
+      |   "log": "cloudwatch:events", "service": "s3", "source": "test-bucket",
+      |   "data": {"account": 12345, "detail": {"eventName": "PutObjectAcl",
+      |     "requestParameters": {"bucketName": "secret-bucket",
+      |       "acl": "http://acs.amazonaws.com/groups/global/AllUsers"}}},
+      |   "trigger_rules": ["cloudtrail_put_object_acl_public"]},
+      |  {"description": "private ACL does not trigger",
+      |   "log": "cloudwatch:events", "service": "s3", "source": "test-bucket",
+      |   "data": {"account": 12345, "detail": {"eventName": "PutObjectAcl",
+      |     "requestParameters": {"bucketName": "b", "acl": "private"}}},
+      |   "trigger_rules": []},
+      |  {"description": "allowed bucket excluded",
+      |   "log": "cloudwatch:events", "service": "s3", "source": "test-bucket",
+      |   "data": {"account": 12345, "detail": {"eventName": "PutObjectAcl",
+      |     "requestParameters": {"bucketName": "allowed-bucket",
+      |       "acl": "AllUsers"}}},
+      |   "trigger_rules": []},
+      |  {"description": "classify only",
+      |   "log": "cloudwatch:events", "service": "s3", "source": "test-bucket",
+      |   "data": {"account": 1, "detail": {"eventName": "GetObject",
+      |     "requestParameters": {"bucketName": "b", "acl": ""}}},
+      |   "classify_only": true}
+      |]""".stripMargin
+
+  test("rule test events run through real classify -> rules, assertions hold") {
+    val events = RuleTestEvent.fromJson(eventsJson)
+    assert(events.length == 4)
+    val harness = new RuleTestHarness(Seq(cloudwatchEvents), Seq(publicAclRule))
+    val results = harness.run(spark, events)
+    results.foreach(r => info(r.report))
+    assert(results.forall(_.passed))
+    assert(results(0).triggered == Set("cloudtrail_put_object_acl_public"))
+    assert(results(1).triggered.isEmpty)
+  }
+
+  test("untested rules are reported (handler.py:294-302)") {
+    val extraRule = Rule("never_tested", RuleOpts(logs = Seq("cloudwatch:events")),
+      _ => lit(false))
+    val harness = new RuleTestHarness(Seq(cloudwatchEvents),
+      Seq(publicAclRule, extraRule))
+    assert(harness.untestedRules(RuleTestEvent.fromJson(eventsJson)) == Seq("never_tested"))
+  }
+}
