@@ -34,6 +34,16 @@ object Outputs {
         .show(20, truncate = false)
   }
 
+  /** HTTP-shaped dispatcher: the engine-side contract of the ~20 webhook
+    * outputs (slack/pagerduty/jira/...; alert_processor/outputs/ in the
+    * reference). `send` receives (descriptor, publication JSON) per alert —
+    * plug an HTTP client in deployment; keep it idempotent on alert_id. */
+  final case class WebhookDispatcher(send: (String, String) => Unit) extends Dispatcher {
+    def dispatch(batch: DataFrame, descriptor: String): Unit =
+      batch.select(col("publication")).collect()
+        .foreach(r => send(descriptor, r.getString(0)))
+  }
+
   /** Fan one alert batch out to every output it carries. `outputs` is the
     * per-alert array column; dispatchers are keyed by service name. */
   def fanOut(batch: DataFrame, dispatchers: Map[String, Dispatcher],

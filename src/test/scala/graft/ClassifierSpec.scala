@@ -134,6 +134,22 @@ class ClassifierSpec extends AnyFunSuite {
     assert(c.invalid.count() == 2)
   }
 
+  test("csv: nested CSV-in-CSV cell (parsers.py:732-740)") {
+    val nested = LogSchema(
+      name = "test:csv_nested", parser = ParserKind.Csv,
+      schema = TStruct.of(
+        "host" -> TString,
+        "inner" -> TStruct.of("code" -> TInteger, "msg" -> TString)),
+      csvDelimiter = ",", csvQuote = "'")
+    // the inner cell is itself CSV, quoted in the outer row
+    val c = classify(Seq(nested), Seq("web-1,'200,ok'"))
+    val r = c.forType("test:csv_nested")
+      .selectExpr("record.host", "record.inner.code", "record.inner.msg").collect()
+    assert(r.length == 1)
+    assert(r(0).getString(0) == "web-1")
+    assert(r(0).getLong(1) == 200L && r(0).getString(2) == "ok")
+  }
+
   test("syslog: regex parse into 4 fields") {
     val line = "Jan 10 19:35:33 vagrant-ubuntu-trusty-64 sudo: session opened for root"
     val out = classify(Seq(syslogSchema), Seq(line)).forType("test:syslog")
