@@ -187,6 +187,49 @@ object Queries {
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
   }
 
+  // Event-time tumbling-window aggregation over the events stream table —
+  // the batch face of the streaming windowed-agg path (ts is epoch nanos
+  // via nanosAsLong).
+  register(
+    "q11_time_window",
+    """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+      |       event_type, count(*) AS n,
+      |       sum(CAST(value AS DECIMAL(18,2))) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .withColumn("ts_sec", (col("ts") / 1000000000L).cast("timestamp"))
+      .groupBy(window(col("ts_sec"), "1 hour").getField("start").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("total"))
+      .orderBy("window_start", "event_type")
+  }
+
+  // Skew-mitigation operators: salted join + two-phase aggregation produce
+  // the same result as their unsalted forms (that IS the correctness
+  // contract), while splitting hot keys across tasks.
+  register(
+    "q12_salted_join",
+    """SELECT e.event_id, n.n_name AS nation_name FROM events e
+      |JOIN nation n ON e.user_id % 25 = n.n_nationkey
+      |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+    val big = t(s, dir, "events")
+      .select(col("event_id"), (col("user_id") % 25).cast("int").as("n_nationkey"))
+    val small = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    graft.functions.Skew.saltedJoin(big, small, "n_nationkey", salts = 8)
+      .select(col("event_id"), col("n_name").as("nation_name"))
+      .orderBy("event_id")
+  }
+
+  register(
+    "q13_salted_agg",
+    """SELECT event_type, count(*) AS n FROM events
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    graft.functions.Skew.saltedCount(
+      t(s, dir, "events").select("event_type"), "event_type", salts = 8)
+      .orderBy("event_type")
+  }
+
   // ---------------------------------------------------------------------------
   // Classifier operators (SURVEY §2.2): each query serializes testdata rows
   // into the wire format the operator consumes, runs the REAL classify

@@ -43,6 +43,36 @@ final class Pipeline(
       .getOrElse(raw.sparkSession.emptyDataFrame)
   }
 
+  /** The classified typed stream per log type (for the historical sink). */
+  def classifiedFor(raw: DataFrame, logType: String, valueCol: String = "value"): DataFrame =
+    classifier.classify(raw, valueCol).forType(logType)
+
+  /** Historical + dead-letter side of the topology (S6 + O9): classified
+    * data lands dt-partitioned per log type; unclassifiable records go to a
+    * dead-letter directory with their raw payload for replay. One streaming
+    * query per sink path, all fed from the same classified stream. */
+  def startHistorical(rawStream: DataFrame, root: String, checkpointRoot: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): Seq[StreamingQuery] = {
+    val classified = classifier.classify(rawStream)
+    val perType = schemas.map { s =>
+      val typed = classified.forType(s.name)
+        .withColumn("created", current_timestamp())
+      val w = HistoricalSink.writeStream(typed.drop("value"), root,
+        s.name, s"$checkpointRoot/${graft.classify.Sanitizer.sanitizeName(s.name)}")
+      trigger.fold(w)(w.trigger).start()
+    }
+    val deadLetter = {
+      val w = classified.invalid
+        .withColumn("dt", HistoricalSink.dtColumn(current_timestamp()))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$checkpointRoot/__dead_letter")
+        .partitionBy("dt").format("parquet")
+        .option("path", s"$root/__dead_letter")
+      trigger.fold(w)(w.trigger).start()
+    }
+    perType :+ deadLetter
+  }
+
   /** Launch the streaming pipeline over a raw stream: alerts merge in the
     * state store; merged alerts land in the alerts table and fan out. */
   def start(rawStream: DataFrame, alertsRoot: String, checkpoint: String,

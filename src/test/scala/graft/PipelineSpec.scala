@@ -68,6 +68,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(alerts.select("rule_name").as[String].collect().toSeq == Seq("big"))
   }
 
+  test("streaming historical + dead-letter sinks land partitioned parquet") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hist_stream").toString
+    val input = MemoryStream[String]
+    input.addData(
+      """{"event_id":1,"etype":"error","value":150.0}""",
+      "not even json")
+    val pipeline = new Pipeline(Seq(schema), engine)
+    val queries = pipeline.startHistorical(input.toDF(), s"$tmp/store", s"$tmp/ckpt",
+      trigger = Some(Trigger.AvailableNow()))
+    try queries.foreach(q => assert(q.awaitTermination(120000)))
+    finally queries.foreach(_.stop())
+    val stored = spark.read.parquet(s"$tmp/store/demo_events")
+    assert(stored.count() == 1)
+    assert(stored.columns.contains("dt"))
+    val dead = spark.read.parquet(s"$tmp/store/__dead_letter")
+    assert(dead.select("value").collect()(0).getString(0) == "not even json")
+  }
+
   test("historical sink: dt partitioning + pruned read-back") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_hist").toString
     val alerts = engine.evaluate(
