@@ -330,7 +330,7 @@ final case class CompiledSchema(s: LogSchema) {
   def rawParse(value: Column): Option[Column] = s.parser match {
     case ParserKind.Json if jsonPathPlan.isEmpty && s.jsonRegexKey.isEmpty =>
       Some(from_json(value, rawStructType))
-    case ParserKind.Csv => Some(csvRaw(value))
+    case ParserKind.Csv if s.jsonPath.isEmpty => Some(csvRaw(value))
     case ParserKind.Kv  => Some(kvMap(value))
     case _ => None
   }
@@ -404,7 +404,10 @@ final case class CompiledSchema(s: LogSchema) {
     case ParserKind.Json =>
       val env = envelopeStruct(value).map(_._1)
       envelopeOk(value) && exists(childrenArray(value), c => jsonChildValid(childJson(c), env))
-    case ParserKind.Csv    => csvValid(value)
+    case ParserKind.Csv =>
+      // CSV-within-JSON via json_path (parsers.py:676-683)
+      if (s.jsonPath.isDefined) exists(childrenArray(value), c => csvValid(c))
+      else csvValid(value)
     case ParserKind.Kv     => kvValid(value)
     case ParserKind.Syslog => syslogValid(value)
   }
@@ -433,6 +436,12 @@ final case class CompiledSchema(s: LogSchema) {
         withChild
           .withColumn("record", jsonRecord(col("__child")))
           .where(jsonChildValid(col("__child"), env))
+          .withColumn(LogSchema.EnvelopeKey, envelopeColumn(value))
+          .drop("__child")
+      case ParserKind.Csv if s.jsonPath.isDefined =>
+        df.withColumn("__child", explode(childrenArray(value)))
+          .withColumn("record", csvRecord(col("__child")))
+          .where(csvValid(col("__child")))
           .withColumn(LogSchema.EnvelopeKey, envelopeColumn(value))
           .drop("__child")
       case ParserKind.Csv =>

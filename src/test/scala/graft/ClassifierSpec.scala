@@ -150,6 +150,28 @@ class ClassifierSpec extends AnyFunSuite {
     assert(r(0).getLong(1) == 200L && r(0).getString(2) == "ok")
   }
 
+  test("csv within json via json_path (parsers.py:676-683)") {
+    val schema = LogSchema(
+      name = "test:csv_in_json", parser = ParserKind.Csv,
+      schema = TStruct.of("host" -> TString, "port" -> TInteger),
+      jsonPath = Some("logs[]"))
+    val line = """{"logs":["web-1,8080","web-2,9090"],"other":"x"}"""
+    val out = classify(Seq(schema), Seq(line)).forType("test:csv_in_json")
+      .selectExpr("record.host", "record.port").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(out.toSeq == Seq(("web-1", 8080L), ("web-2", 9090L)))
+  }
+
+  test("default matchers library registers under reference names") {
+    val m = graft.rules.DefaultMatchers.registry
+    assert(m.contains("guard_duty") && m.contains("user_login") &&
+      m.contains("is_config_compliance") && m.contains("is_auto_remediation"))
+    import org.apache.spark.sql.functions._
+    val rec = struct(lit("GuardDuty Finding").as("detail-type"))
+    val got = Seq(1).toDF("x").select(m("guard_duty")(rec)).collect()(0).getBoolean(0)
+    assert(got)
+  }
+
   test("syslog: regex parse into 4 fields") {
     val line = "Jan 10 19:35:33 vagrant-ubuntu-trusty-64 sudo: session opened for root"
     val out = classify(Seq(syslogSchema), Seq(line)).forType("test:syslog")
