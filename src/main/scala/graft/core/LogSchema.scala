@@ -115,6 +115,38 @@ object LogSchema {
         walk(Nil, lp).toMap
       }.getOrElse(Map.empty)
 
+    // v2 normalization embedded in the schema conf (normalize.py:371-426):
+    // per type either a bare path array ["a","b"] or a list of
+    // {path, function, condition?, send_to_artifacts?} param objects
+    val normalization: Map[String, Seq[NormalizedField]] =
+      conf.flatMap(c => Option(c.get("normalization"))).map { n =>
+        def parseCondition(cn: JsonNode): NormCondition = {
+          val path = cn.get("path").elements().asScala.map(_.asText).toSeq
+          val (op, operandNode) = cn.properties().asScala
+            .find(_.getKey != "path")
+            .map(e => e.getKey -> e.getValue)
+            .getOrElse(throw new IllegalArgumentException("condition without operator"))
+          val operand =
+            if (operandNode.isArray) operandNode.elements().asScala.map(_.asText).toSeq
+            else Seq(operandNode.asText)
+          NormCondition(path, op, operand)
+        }
+        n.properties().asScala.map { e =>
+          val v = e.getValue
+          val fields: Seq[NormalizedField] =
+            if (v.isArray && v.elements().asScala.forall(_.isTextual))
+              Seq(NormalizedField(path = v.elements().asScala.map(_.asText).toSeq))
+            else v.elements().asScala.map { p =>
+              NormalizedField(
+                path = p.get("path").elements().asScala.map(_.asText).toSeq,
+                function = Option(p.get("function")).map(_.asText),
+                condition = Option(p.get("condition")).map(parseCondition),
+                sendToArtifacts = Option(p.get("send_to_artifacts")).forall(_.asBoolean))
+            }.toSeq
+          e.getKey -> fields
+        }.toMap
+      }.getOrElse(Map.empty)
+
     val envelope = conf.flatMap(c => Option(c.get("envelope_keys"))).map { ek =>
       FieldType.fromConf(ek) match {
         case s: FieldType.TStruct => s
@@ -137,6 +169,7 @@ object LogSchema {
       csvQuote = confStr("quotechar").getOrElse("\""),
       csvEscape = confStr("escapechar"),
       kvDelimiter = if (parser == ParserKind.Kv) confStr("delimiter").getOrElse(" ") else " ",
-      kvSeparator = confStr("separator").getOrElse("="))
+      kvSeparator = confStr("separator").getOrElse("="),
+      normalization = normalization)
   }
 }
