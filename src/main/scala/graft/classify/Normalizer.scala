@@ -27,8 +27,28 @@ object Normalizer {
     StructField("function", StringType),
     StructField("send_to_artifacts", BooleanType))))
 
-  private def walk(record: Column, path: Seq[String]): Column =
-    path.foldLeft(record)((c, p) => c.getField(p))
+  /** Schema-aware path walk. The reference digs through schemaless dicts
+    * (normalize.py:224-238); our typed records flatten `{}`-declared open
+    * maps to map<string,string> whose nested objects are raw JSON text — so
+    * a path crossing an open map continues via get_json_object, and a path
+    * descending into a scalar yields null (the reference's "not found"). */
+  private def walk(record: Column, path: Seq[String],
+      schema: Option[graft.core.FieldType] = None): Column = {
+    import graft.core.FieldType._
+    def go(c: Column, t: Option[graft.core.FieldType], rest: Seq[String]): Column = rest match {
+      case Seq() => c
+      case p +: tail => t match {
+        case Some(TStruct(fs)) if fs.contains(p) => go(c.getField(p), Some(fs(p)), tail)
+        case Some(TStruct(_)) => lit(null).cast(StringType) // undeclared key
+        case Some(TAnyMap) =>
+          val v = element_at(c, p)
+          if (tail.isEmpty) v else get_json_object(v, "$." + tail.mkString("."))
+        case Some(_) => lit(null).cast(StringType) // walked into a scalar/list
+        case None => go(c.getField(p), None, tail) // schemaless fallback
+      }
+    }
+    go(record, schema, path)
+  }
 
   /** Python falsey semantics of `_find_value` (normalize.py:224-238):
     * None / '' / 0 / 0.0 / False / [] all read as "not found". */
@@ -37,9 +57,10 @@ object Normalizer {
     c.isNull || s === "" || s === "0" || s === "0.0" || lower(s) === "false" || s === "[]"
   }
 
-  private def conditionOk(record: Column, cond: NormCondition): Column = {
-    val v = lower(walk(record, cond.path).cast(StringType))
-    val present = !isFalsey(walk(record, cond.path))
+  private def conditionOk(record: Column, cond: NormCondition,
+      schema: Option[graft.core.FieldType.TStruct]): Column = {
+    val v = lower(walk(record, cond.path, schema).cast(StringType))
+    val present = !isFalsey(walk(record, cond.path, schema))
     val opExpr = cond.op match {
       case "is"           => v === cond.operand.head
       case "is_not"       => v =!= cond.operand.head
@@ -58,7 +79,7 @@ object Normalizer {
   private def entriesFor(record: Column, fields: Seq[NormalizedField],
       schema: Option[graft.core.FieldType.TStruct]): Column = {
     val structs = fields.map { f =>
-      val target = walk(record, f.path)
+      val target = walk(record, f.path, schema)
       // list-ness comes from the DECLARED schema (resolution hasn't run yet)
       val declared = schema.flatMap(st => f.path.foldLeft(
         Option(st): Option[graft.core.FieldType]) {
@@ -70,7 +91,7 @@ object Normalizer {
         if (isList) target.cast(ArrayType(StringType))
         else array(target.cast(StringType))
       val gate = !isFalsey(target) &&
-        f.condition.map(conditionOk(record, _)).getOrElse(lit(true))
+        f.condition.map(conditionOk(record, _, schema)).getOrElse(lit(true))
       when(gate, struct(
         valuesCol.as("values"),
         f.function.map(lit).getOrElse(lit(null).cast(StringType)).as("function"),

@@ -34,6 +34,41 @@ class ConfParitySpec extends AnyFunSuite {
     assert(events.schema.fields.contains("eventName"))
   }
 
+  test("reference test event classifies through the reference's own conf schema") {
+    assume(confDir.isDirectory)
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // the reference's own rule-test fixture (read at runtime, read-only)
+    val eventFile = new java.io.File(
+      "/root/reference/rules/community/cloudwatch_events/cloudtrail_put_object_acl_public.json")
+    assume(eventFile.isFile)
+    val events = graft.testing.RuleTestEvent.fromJson(
+      new String(java.nio.file.Files.readAllBytes(eventFile.toPath), "UTF-8"))
+    assert(events.nonEmpty)
+    val schemas = LogSchema.loadConfJson(new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(confDir, "cloudwatch.json").toPath), "UTF-8"))
+    val classified = new graft.classify.Classifier(schemas)
+      .classify(events.map(_.dataJson).toDF("value"))
+    val types = classified.tagged.select("log_schema_type")
+      .collect().map(r => Option(r.getString(0)))
+    // every fixture event declares log = cloudwatch:events and must classify so
+    events.zip(types).foreach { case (e, t) =>
+      info(s"${e.description}: classified=$t expected=${e.log}")
+      assert(t.contains(e.log))
+    }
+    // and the conf's own v2 normalization extracts the event name
+    val cw = schemas.find(_.name == "cloudwatch:events").get
+    val normed = classified.forType("cloudwatch:events")
+      .withColumn(graft.classify.Normalizer.NormalizationKey,
+        graft.classify.Normalizer.normalizationCol(
+          org.apache.spark.sql.functions.col("record"), cw.normalization, Some(cw.schema)))
+    val names = normed.select(org.apache.spark.sql.functions.array_join(
+      graft.classify.Normalizer.valuesForNormalizedType(
+        org.apache.spark.sql.functions.col(graft.classify.Normalizer.NormalizationKey),
+        "event_name"), ",")).as[String].collect()
+    assert(names.forall(_ == "PutObjectAcl"))
+  }
+
   test("cloudwatch:events carries v2 normalization with paths and functions") {
     assume(confDir.isDirectory)
     val cw = LogSchema.loadConfJson(new String(java.nio.file.Files.readAllBytes(
