@@ -69,6 +69,43 @@ class ConfParitySpec extends AnyFunSuite {
     assert(names.forall(_ == "PutObjectAcl"))
   }
 
+  test("reference rule re-authored in Scala passes the reference's own test events") {
+    assume(confDir.isDirectory)
+    import org.apache.spark.sql.functions._
+    val eventFile = new java.io.File(
+      "/root/reference/rules/community/cloudwatch_events/cloudtrail_put_object_acl_public.json")
+    assume(eventFile.isFile)
+    val events = graft.testing.RuleTestEvent.fromJson(
+      new String(java.nio.file.Files.readAllBytes(eventFile.toPath), "UTF-8"))
+    val schemas = LogSchema.loadConfJson(new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(confDir, "cloudwatch.json").toPath), "UTF-8"))
+
+    // the rule body (cloudtrail_put_object_acl_public.py:16-38) over the
+    // REAL conf schema: `detail` is a `{}` open map, so requestParameters
+    // arrives as raw JSON text — deep substring search + bucket exclusion
+    val publicAcls = Seq(
+      "http://acs.amazonaws.com/groups/global/AllUsers",
+      "http://acs.amazonaws.com/groups/global/AuthenticatedUsers")
+    val rule = graft.rules.Rule(
+      "cloudtrail_put_object_acl_public",
+      graft.rules.RuleOpts(logs = Seq("cloudwatch:events"),
+        reqSubkeys = Map.empty), // open-map detail: guard expressed in-body
+      rec => {
+        val detail = rec.getField("detail")
+        val reqParams = element_at(detail, "requestParameters")
+        reqParams.isNotNull &&
+          element_at(detail, "eventName") === "PutObjectAcl" &&
+          graft.rules.Helpers.dataHasValueFromSubstringList(reqParams, publicAcls) &&
+          !get_json_object(reqParams, "$.bucketName")
+            .isin("example-bucket-to-ignore") // _PUBLIC_BUCKETS (rule file :12)
+      })
+    val harness = new graft.testing.RuleTestHarness(schemas, Seq(rule))
+    val results = harness.run(TestSpark.spark, events)
+    results.foreach(r => info(r.report))
+    assert(results.forall(_.passed))
+    assert(results.exists(_.triggered.nonEmpty)) // at least one firing event
+  }
+
   test("cloudwatch:events carries v2 normalization with paths and functions") {
     assume(confDir.isDirectory)
     val cw = LogSchema.loadConfJson(new String(java.nio.file.Files.readAllBytes(
