@@ -1041,6 +1041,29 @@ object Queries {
     Similarity.bruteForceTopK(e, queries, k = 3).orderBy("q_id", "rank")
   }
 
+  // IVF coarse-quantizer training step: per-group per-dimension centroids.
+  register(
+    "ann_centroids",
+    """SELECT label AS grp, pos - 1 AS pos, round(avg(v), 6) AS centroid
+      |FROM (SELECT label, unnest(embedding) AS v,
+      |             generate_subscripts(embedding, 1) AS pos FROM embeddings)
+      |GROUP BY label, pos ORDER BY grp, pos""".stripMargin) { (s, dir) =>
+    graft.pipeline.Similarity.centroids(
+      t(s, dir, "embeddings").withColumnRenamed("label", "grp"), "embedding", "grp")
+      .select(col("group").as("grp"), col("pos"),
+        round(col("centroid"), 6).as("centroid"))
+      .orderBy("grp", "pos")
+  }
+
+  // IVF ANN: inverted lists by nearest centroid, n-probe search (rows-only).
+  registerNoOracle("ann_ivf_topk") { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val queries = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    graft.pipeline.Similarity.ivfTopK(e, queries, k = 3, nLists = 8, nProbe = 3)
+      .orderBy("q_id", "rank")
+  }
+
   // LSH-bucketed ANN with multi-probe (approximate -> rows-only check).
   registerNoOracle("ann_lsh_topk") { (s, dir) =>
     val e = t(s, dir, "embeddings")
