@@ -174,8 +174,9 @@ final case class CompiledSchema(s: LogSchema) {
 
   /** Validity of ONE child JSON string (key check + coercion + patterns). */
   def jsonChildValid(child: Column, envelope: Option[Column]): Column =
-    jsonKeyCheck(child, s.schema, s.optionalTopLevelKeys) &&
-      !jsonCastFailed(child) &&
+    // native one-pass validation (graft.functions.JsonSchemaValid) — inside
+    // exists() lambdas the column formulation would re-parse per field check
+    graft.functions.JsonSchemaValid.column(child, s.schema, s.optionalTopLevelKeys) &&
       patternsOk(jsonRecord(child), envelope)
 
   // -------------------------------------------------------------------------
@@ -434,10 +435,12 @@ final case class CompiledSchema(s: LogSchema) {
             df.withColumn("__child", value)
           else df.withColumn("__child", childJson(explode(childrenArray(value))))
         withChild
-          .withColumn("record", jsonRecord(col("__child")))
+          // parse once per child; record derives from the attribute
+          .withColumn("__raw", from_json(col("__child"), rawStructType))
+          .withColumn("record", recordFromRaw(col("__raw")))
           .where(jsonChildValid(col("__child"), env))
           .withColumn(LogSchema.EnvelopeKey, envelopeColumn(value))
-          .drop("__child")
+          .drop("__child", "__raw")
       case ParserKind.Csv if s.jsonPath.isDefined =>
         df.withColumn("__child", explode(childrenArray(value)))
           .withColumn("record", csvRecord(col("__child")))
