@@ -47,12 +47,19 @@ object Dedup {
       .otherwise(array(text)))
   }
 
-  /** Word w-shingles (token n-grams). */
+  /** Word w-shingles (token n-grams), built by iterated zip_with against
+    * shifted views of the token array — no per-position slice allocation
+    * (the naive transform(sequence)+slice formulation was the dominant cost
+    * of the whole minhash pipeline at sf0.1). */
   def wordShingles(text: Column, w: Int): Column = {
     val toks = TextAnalysis.tokens(lower(text))
-    array_distinct(when(size(toks) >= w,
-      transform(sequence(lit(0), size(toks) - w),
-        i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
+    val grams = (1 until w).foldLeft(toks) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k + 1), greatest(size(toks) - k, lit(1))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    // zip_with pads the shorter side with nulls -> concat yields trailing
+    // nulls; drop them before dedup
+    array_distinct(when(size(toks) >= w, array_compact(grams))
       .otherwise(array(concat_ws(" ", toks))))
   }
 

@@ -13,18 +13,15 @@ object Debug2 {
     }
     val shingled = docs.select(col("doc_id").as("id"),
       Dedup.wordShingles(col("text"), 2).as("shingles"))
-    time("shingle+count")(println("docs=" + shingled.count()))
-    val buckets = shingled
+    time("shingles full write")(
+      shingled.write.mode("overwrite").format("noop").save())
+    val withSig = shingled
       .withColumn("__h", transform(col("shingles"), s => xxhash64(s)))
-      .select(col("id"),
-        explode(Dedup.lshBands(Dedup.minhashSignatureFromHashes(col("__h"), 32), 16, 2)).as("b"))
-      .select(col("id"), col("b.band"), col("b.bucket"))
-    time("buckets")(println("buckets=" + buckets.count()))
-    val pairs = buckets.as("x").join(buckets.as("y"),
-      col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-        col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-    println(pairs.queryExecution.executedPlan.treeString.split("\n")
-      .map(_.take(120)).take(30).mkString("\n"))
+      .withColumn("__sig", Dedup.minhashSignatureFromHashes(col("__h"), 32))
+      .select("id", "__sig")
+    time("signatures full write")(
+      withSig.write.mode("overwrite").format("noop").save())
+    time("full minhashNearDups")(println("pairs=" +
+      Dedup.minhashNearDups(docs, "text", "doc_id", 2, 32, 8, 0.5).count()))
   }
 }
