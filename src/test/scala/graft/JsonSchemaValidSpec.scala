@@ -61,4 +61,36 @@ class JsonSchemaValidSpec extends AnyFunSuite {
     assert(both(0).getBoolean(1) && both(1).getBoolean(1))
     assert(!both(2).getBoolean(1) && !both(6).getBoolean(1))
   }
+
+  test("seeded fuzz: native and column paths agree on random records") {
+    val rnd = new scala.util.Random(42)
+    val keys = Seq("a", "n", "f", "b", "lst", "open", "nest", "zzz")
+    def randValue(): String = rnd.nextInt(8) match {
+      case 0 => "\"str\""
+      case 1 => rnd.nextInt(100).toString
+      case 2 => "1.5"
+      case 3 => "true"
+      case 4 => "null"
+      case 5 => """["x"]"""
+      case 6 => """{"x":"v","y":2}"""
+      case 7 => "\"\""
+    }
+    val fuzz = (0 until 300).map { _ =>
+      val n = rnd.nextInt(keys.length) + 1
+      rnd.shuffle(keys).take(n).map(k => s""""$k":${randValue()}""")
+        .mkString("{", ",", "}")
+    }
+    val cs = CompiledSchema(schema)
+    val rows = fuzz.toDF("value").select(
+      col("value"),
+      JsonSchemaValid.column(col("value"), schema.schema, schema.optionalTopLevelKeys)
+        .as("native"),
+      cs.rawParse(col("value")).map(r => cs.validFromRaw(col("value"), r))
+        .getOrElse(lit(false)).as("columnar"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getBoolean(1) == r.getBoolean(2),
+        s"fuzz divergence on ${r.getString(0)}")
+    }
+  }
 }

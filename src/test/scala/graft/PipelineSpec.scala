@@ -163,5 +163,12 @@ class PipelineSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("graft_out").toString
     Outputs.fanOut(alerts, Map("aws-firehose" -> Outputs.FileDispatcher(tmp)))
     assert(spark.read.parquet(s"$tmp/alerts").count() == 1)
+    // webhook-shaped dispatcher receives (descriptor, publication) pairs
+    val sent = scala.collection.mutable.Buffer[(String, String)]()
+    Outputs.fanOut(
+      alerts.withColumn("outputs", array(lit("slack:sec-chan"))),
+      Map("slack" -> Outputs.WebhookDispatcher((d, p) => sent += (d -> p))))
+    assert(sent.size == 1 && sent.head._1 == "sec-chan")
+    assert(sent.head._2.contains("\"rule_name\":\"big\""))
   }
 }
