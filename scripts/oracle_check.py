@@ -1,21 +1,34 @@
 #!/usr/bin/env python3
 """Local replica of the driver's t2 check: run Verify output vs DuckDB oracle.
 
+Mimics the driver's likely compare path: the oracle result goes through
+pandas (`.df()`, where e.g. DuckDB HUGEINT sums become float64), the Spark
+side through parquet, and cells are compared on canonicalized *string*
+values (floats rounded to 6). This catches type-surface divergences like
+`1000.0` vs `1000` that pure Python `==` hides (Decimal(1000) == 1000).
+
 Usage: python3 scripts/oracle_check.py <sfDir> <verifyOutDir>
 """
-import sys, json, glob, os
+import sys, json, os
 import duckdb
+import pandas as pd
 import pyarrow.parquet as pq
 
 TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]
 
 def canon(v):
+    if v is None or v != v:  # None / NaN / NaT
+        return "<null>"
     if isinstance(v, float):
-        return round(v, 6)
-    if isinstance(v, list):
-        return tuple(canon(x) for x in v)
-    return v
+        return repr(round(v, 6))
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+def rows_of(df, cols):
+    return sorted(tuple(canon(v) for v in row)
+                  for row in df[cols].itertuples(index=False, name=None))
 
 def main(sf_dir, out_dir):
     sql = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
@@ -30,29 +43,25 @@ def main(sf_dir, out_dir):
         if not os.path.isdir(qdir):
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            res = con.execute(sql[name])
-            cols = [d[0] for d in res.description]
-            want_rows = res.fetchall()
+            want_df = con.execute(sql[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
-        order = sorted(range(len(cols)), key=lambda i: cols[i])
-        sort_key = lambda t: tuple((v is None, str(type(v)), v) for v in t)
-        want = sorted((tuple(canon(r[i]) for i in order) for r in want_rows), key=sort_key)
-        tbl = pq.read_table(qdir)
-        got_cols = sorted(tbl.column_names)
-        if got_cols != sorted(cols):
-            print(f"FAIL {name}: columns {got_cols} != {sorted(cols)}"); n_fail += 1; continue
-        got = sorted((tuple(canon(v) for v in row)
-                     for row in zip(*[tbl.column(c).to_pylist() for c in got_cols])),
-                     key=sort_key)
+        got_df = pq.read_table(qdir).to_pandas()
+        cols = sorted(want_df.columns)
+        if sorted(got_df.columns) != cols:
+            print(f"FAIL {name}: columns {sorted(got_df.columns)} != {cols}")
+            n_fail += 1; continue
+        want = rows_of(want_df, cols)
+        got = rows_of(got_df, cols)
         if got == want:
             print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
         else:
             n_fail += 1
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
-            for g, w in list(zip(got, want))[:3]:
-                if g != w:
-                    print(f"  got  {g}\n  want {w}")
+            shown = 0
+            for g, w in zip(got, want):
+                if g != w and shown < 3:
+                    print(f"  got  {g}\n  want {w}"); shown += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
     return 1 if n_fail else 0
 

@@ -33,11 +33,16 @@ object Queries {
 
   // TPC-H Q1 shape: the canonical historical-store aggregation
   // (reference delegates these to Athena; we are the engine).
+  //
+  // Money math is done in exact integer cents — floor(x*100 + 0.5) is
+  // bit-identical IEEE arithmetic in Spark and DuckDB, unlike double→DECIMAL
+  // casts whose rounding mode differs across engines/versions. DuckDB integer
+  // sums are CAST to BIGINT because HUGEINT surfaces as float64 in pandas.
   register(
     "q1_agg",
     """SELECT l_returnflag, l_linestatus,
-      |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-      |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+      |       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty,
+      |       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
       |       count(*) AS count_order
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus
@@ -45,8 +50,8 @@ object Queries {
     t(s, dir, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
-        sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("sum_base_price"),
+        (sum(floor(col("l_quantity") * 100 + 0.5)) / 100.0).as("sum_qty"),
+        (sum(floor(col("l_extendedprice") * 100 + 0.5)) / 100.0).as("sum_base_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -79,7 +84,8 @@ object Queries {
   register(
     "q3_join_topn",
     """SELECT o.o_orderkey,
-      |       sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS revenue
+      |       CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+      |                * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue
       |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
       |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
       |WHERE c.c_mktsegment = 'BUILDING'
@@ -91,8 +97,8 @@ object Queries {
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy("o_orderkey")
-      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
-        (lit(1) - col("l_discount").cast(DecimalType(4, 2)))).as("revenue"))
+      .agg((sum(floor(col("l_extendedprice") * 100 + 0.5) *
+        (lit(100) - floor(col("l_discount") * 100 + 0.5))) / 10000.0).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
   }
 
@@ -100,7 +106,7 @@ object Queries {
   register(
     "q5_multi_join",
     """SELECT n.n_name AS nation, count(*) AS n_items,
-      |       sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS total
+      |       CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS total
       |FROM lineitem l
       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
       |JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -116,7 +122,7 @@ object Queries {
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("n_name").as("nation"))
       .agg(count(lit(1)).as("n_items"),
-        sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("total"))
+        (sum(floor(col("l_extendedprice") * 100 + 0.5)) / 100.0).as("total"))
       .orderBy("nation")
   }
 
@@ -124,20 +130,22 @@ object Queries {
   // reaches the parquet scan).
   register(
     "q6_filter_agg",
-    """SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS revenue
+    """SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+      |                * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
       |FROM lineitem
       |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin) { (s, dir) =>
     t(s, dir, "lineitem")
       .where(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
-        col("l_discount").cast(DecimalType(4, 2))).as("revenue"))
+      .agg((sum(floor(col("l_extendedprice") * 100 + 0.5) *
+        floor(col("l_discount") * 100 + 0.5)) / 10000.0).as("revenue"))
   }
 
   // Window functions: top-2 orders per customer (row_number, partitioned).
   register(
     "q7_window_topk",
     """SELECT * FROM (
-      |  SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+      |  SELECT o_custkey, o_orderkey,
+      |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) / 100.0 AS price,
       |         row_number() OVER (PARTITION BY o_custkey
       |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
       |  FROM orders) WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
@@ -145,8 +153,8 @@ object Queries {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
     t(s, dir, "orders")
       .select(col("o_custkey"), col("o_orderkey"),
-        col("o_totalprice").cast(DecimalType(18, 2)).as("price"),
-        row_number().over(w).as("rn"))
+        (floor(col("o_totalprice") * 100 + 0.5) / 100.0).as("price"),
+        row_number().over(w).cast("long").as("rn"))
       .where(col("rn") <= 2)
       .orderBy("o_custkey", "rn")
   }
@@ -176,13 +184,13 @@ object Queries {
   register(
     "q10_rollup",
     """SELECT l_returnflag, l_linestatus,
-      |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      |       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS qty
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
     Tables.registerAll(s, dir)
     s.sql(
       """SELECT l_returnflag, l_linestatus,
-        |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |       sum(floor(l_quantity * 100 + 0.5)) / CAST(100 AS DOUBLE) AS qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
   }
@@ -194,14 +202,14 @@ object Queries {
     "q11_time_window",
     """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
       |       event_type, count(*) AS n,
-      |       sum(CAST(value AS DECIMAL(18,2))) AS total
+      |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS total
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
     t(s, dir, "events")
       .withColumn("ts_sec", (col("ts") / 1000000000L).cast("timestamp"))
       .groupBy(window(col("ts_sec"), "1 hour").getField("start").as("window_start"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 2))).as("total"))
+        (sum(floor(col("value") * 100 + 0.5)) / 100.0).as("total"))
       .orderBy("window_start", "event_type")
   }
 
@@ -363,8 +371,8 @@ object Queries {
   // dead-letter stream; valid/invalid split counts.
   register(
     "o9_invalid_routing",
-    """SELECT sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS n_invalid,
-      |       sum(CASE WHEN event_id % 10 = 0 THEN 0 ELSE 1 END) AS n_valid
+    """SELECT CAST(sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+      |       CAST(sum(CASE WHEN event_id % 10 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_valid
       |FROM events""".stripMargin) { (s, dir) =>
     val raw = t(s, dir, "events").select(
       to_json(struct(
