@@ -1,7 +1,9 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Deduplication family for training-data pipelines, each shaped for 100 TB:
@@ -97,20 +99,50 @@ object Dedup {
       lit(b).as("band"),
       xxhash64(concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand))).as("bucket"))): _*)
 
+  /** Distinct candidate pairs (id_a < id_b) from bucket-ranked rows, with a
+    * per-bucket pairing cap. `ranked` must carry `id`, a per-bucket
+    * `rn` (row_number ordered by id), and the bucket key columns.
+    *
+    * Skew guard: a viral duplicate cluster of size k would otherwise emit
+    * k²/2 candidates from ONE bucket. Beyond `cap`, members pair only with
+    * the bucket head (rn == 1) — a star, k-1 pairs — which still links the
+    * whole cluster transitively for dedup while bounding the blow-up to
+    * cap²/2 + k. Both join sides read the SAME ranked plan, so with the
+    * caller persisting it the bucketing stage computes once. */
+  private def cappedPairs(ranked: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
+    val joinCond = keyCols.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
+      col("x.id") < col("y.id") &&
+      (col("y.rn") <= cap || col("x.rn") === 1)
+    ranked.as("x").join(ranked.as("y"), joinCond)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Candidate pairs from shared LSH buckets, verified with exact Jaccard
-    * over the shingle sets. Returns (id_a, id_b, jaccard) with id_a < id_b. */
+    * over the shingle sets. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * `maxBucketPairing` bounds per-bucket candidate generation (see
+    * cappedPairs) so duplicate mega-clusters stay linear. */
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
       shingleWords: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, maxBucketPairing: Int = 64): DataFrame = {
     // Shingle sets are computed ONCE and kept aside; the band-bucket join
     // moves only (id, bucket) pairs — at 16 bands an id is duplicated 16×,
     // but a shingle array would be 16× its full size. Candidate pairs (rare)
     // then re-attach the two shingle sets by id for the exact-Jaccard
     // verify. At 100 TB: two narrow scans + one skinny shuffle + a verify
     // join whose build side is only the candidate ids.
+    //
+    // Both the shingle stage and the ranked-bucket stage are persisted:
+    // the self-join and the two verify joins each reference them, and
+    // without materialization every branch would recompute the dominant
+    // cost (shingling + the 32-permutation signature) from a fresh corpus
+    // scan — AQE's broadcast of the bucket join defeats ReuseExchange. At
+    // 100 TB the equivalent is a staged write of the signature table.
     val shingled = df.select(
       col(idCol).as("id"),
       wordShingles(col(textCol), shingleWords).as("shingles"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val buckets = shingled
       // base hashes AND the signature are materialized columns: the band
       // array references the signature 16×, and inlining would re-run the
@@ -121,12 +153,11 @@ object Dedup {
       .select(col("id"),
         explode(lshBands(col("__sig"), bands, numHashes / bands)).as("b"))
       .select(col("id"), col("b.band"), col("b.bucket"))
-    val pairs = buckets.as("x").join(buckets.as("y"),
-      col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-        col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    pairs
+    val ranked = buckets
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("band", "bucket").orderBy("id")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    cappedPairs(ranked, Seq("band", "bucket"), maxBucketPairing)
       .join(shingled.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(shingled.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
@@ -171,21 +202,29 @@ object Dedup {
   }
 
   /** Near-dups by Hamming distance ≤ maxDist, bucketed on 16-bit chunks
-    * (pigeonhole: distance ≤ 3 ⇒ some chunk of 4 is identical). */
+    * (pigeonhole: distance ≤ 3 ⇒ some chunk of 4 is identical).
+    *
+    * The simhash stage is persisted so the 64-bit majority-vote fold runs
+    * once; the self-join and the verify both read the cache. Pairing is
+    * capped per bucket (see cappedPairs). */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, maxBucketPairing: Int = 64): DataFrame = {
     val withSim = df
       .select(col(idCol).as("id"),
         transform(TextAnalysis.tokens(lower(col(textCol))), t => xxhash64(t)).as("__th"))
       .select(col("id"), simhash64FromHashes(col("__th")).as("sim"))
-    val chunked = withSim.select(col("id"), col("sim"),
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ranked = withSim.select(col("id"), col("sim"),
       explode(array((0 until 4).map(c => struct(
         lit(c).as("chunk"),
         shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("b"))
-    val l = chunked.select(col("id").as("id_a"), col("sim").as("sim_a"), col("b").as("ba"))
-    val r = chunked.select(col("id").as("id_b"), col("sim").as("sim_b"), col("b").as("bb"))
-    l.join(r, l("ba") === r("bb") && l("id_a") < r("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("id"), col("b.chunk").as("chunk"), col("b.key").as("key"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("chunk", "key").orderBy("id")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    cappedPairs(ranked, Seq("chunk", "key"), maxBucketPairing)
+      .join(withSim.select(col("id").as("id_a"), col("sim").as("sim_a")), "id_a")
+      .join(withSim.select(col("id").as("id_b"), col("sim").as("sim_b")), "id_b")
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .where(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
@@ -220,14 +259,23 @@ object Dedup {
   }
 
   /** Embedding near-dups: bucket by hyperplane signature (all `planes` bits
-    * equal ⇒ likely high cosine), verify exactly. */
+    * equal ⇒ likely high cosine), verify exactly.
+    *
+    * The signature stage is persisted (one dot-product sweep per vector);
+    * the bucket self-join moves only (id, sig, rn) and candidate pairs
+    * re-attach vectors by id from the same cache for the cosine verify. */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
-      planes: Int = 12, threshold: Double = 0.95): DataFrame = {
+      planes: Int = 12, threshold: Double = 0.95,
+      maxBucketPairing: Int = 64): DataFrame = {
     val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       hyperplaneSignature(col(vecCol), planes).as("sig"))
-    val l = sigs.select(col("id").as("id_a"), col("v").as("v_a"), col("sig").as("sig_a"))
-    val r = sigs.select(col("id").as("id_b"), col("v").as("v_b"), col("sig").as("sig_b"))
-    l.join(r, l("sig_a") === r("sig_b") && l("id_a") < r("id_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ranked = sigs.select(col("id"), col("sig"))
+      .withColumn("rn", row_number().over(Window.partitionBy("sig").orderBy("id")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    cappedPairs(ranked, Seq("sig"), maxBucketPairing)
+      .join(sigs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .withColumn("cos", cosine(col("v_a"), col("v_b")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))

@@ -45,6 +45,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("minhash bucket-skew cap bounds a viral duplicate cluster") {
+    // 1000 identical docs share every band bucket: uncapped pairing would
+    // emit k²/2 ≈ 500k candidates; the star cap keeps it linear while still
+    // linking every member (transitively, via the bucket head) for dedup
+    val viral = (0L until 1000L).map(i => (i, "same viral text repeated everywhere"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(viral, "text", "doc_id",
+      shingleWords = 2, numHashes = 32, bands = 8, threshold = 0.5,
+      maxBucketPairing = 16)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length < 5000, s"cap failed: ${pairs.length} candidate pairs")
+    val covered = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(covered == (0L until 1000L).toSet) // every member reachable
+    // only head-star pairs (x = bucket head) or pairs inside the cap window
+    assert(pairs.forall(p => p._1 == 0L || p._2 <= 15L))
+  }
+
   test("ngram jaccard on adjacent pairs") {
     val paired = docs.as("a").join(docs.as("b"),
       col("a.doc_id") + 1 === col("b.doc_id"))

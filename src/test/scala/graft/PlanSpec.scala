@@ -40,4 +40,15 @@ class PlanSpec extends AnyFunSuite {
   test("threat-intel join broadcasts the IOC table") {
     assert(plan("r7_threat_intel").contains("BroadcastHashJoin"))
   }
+
+  test("LSH dedup pipelines read their signature stage from cache") {
+    // every self-join/verify branch must read the materialized signature
+    // stage (InMemoryTableScan), not recompute it from a fresh corpus scan
+    for (q <- Seq("d2_dedup_minhash_lsh", "d3_dedup_simhash",
+        "d5b_embedding_lsh_neardup")) {
+      val p = plan(q)
+      assert(p.contains("InMemoryTableScan"), s"$q: signature stage not cached")
+    }
+    spark.catalog.clearCache()
+  }
 }
