@@ -840,6 +840,44 @@ object Queries {
         col("record.event_type").as("event_type"))
   }
 
+  // S2: whole-object S3 drop — pretty-printed multi-line JSON objects (one
+  // gzip-compressed) read wholetext, minified, classified via json_path
+  // explosion (ref s3.py:124-174: gz reader -> json.load -> jsonlines).
+  register(
+    "s2_s3_object",
+    "SELECT event_id, event_type FROM events WHERE event_id < 120") { (s, dir) =>
+    val root = new java.io.File(s"/tmp/graft_s2_${dir.replaceAll("\\W", "_")}")
+    if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+    root.mkdirs()
+    // fixture prep (driver-side, 120 tiny rows — test scaffolding, not the
+    // operator): 4 pretty-printed {"Records":[...]} documents, the
+    // CloudTrail-export shape, one of them gzipped
+    val rows = t(s, dir, "events").where(col("event_id") < 120)
+      .select(col("event_id"), col("event_type")).collect()
+    rows.groupBy(r => r.getLong(0) % 4).foreach { case (k, rs) =>
+      val recs = rs.map(r =>
+        s"""    {\n      "event_id": ${r.getLong(0)},\n      "event_type": "${r.getString(1)}"\n    }""")
+        .mkString(",\n")
+      val doc = s"{\n  \"Records\": [\n$recs\n  ]\n}\n"
+      if (k == 3) {
+        val out = new java.util.zip.GZIPOutputStream(
+          new java.io.FileOutputStream(new java.io.File(root, s"obj_$k.json.gz")))
+        out.write(doc.getBytes("UTF-8")); out.close()
+      } else
+        java.nio.file.Files.writeString(root.toPath.resolve(s"obj_$k.json"), doc)
+    }
+    val schema = graft.core.LogSchema(
+      name = "demo:s3_object", parser = graft.core.ParserKind.Json,
+      schema = graft.core.FieldType.TStruct.of(
+        "event_id" -> graft.core.FieldType.TInteger,
+        "event_type" -> graft.core.FieldType.TString),
+      jsonPath = Some("Records[]"))
+    new Classifier(Seq(schema)).classify(Sources.objectDrop(s, root.getPath))
+      .forType("demo:s3_object")
+      .select(col("record.event_id").as("event_id"),
+        col("record.event_type").as("event_type"))
+  }
+
   // S3: SNS envelope unwrap -> classify the inner message.
   register(
     "s3_sns_unwrap",

@@ -40,6 +40,34 @@ object Sources {
     withSourceMetadata(spark.read.text(path).withColumnRenamed("value", "value"),
       "s3", path)
 
+  /** S2 whole-object mode (classifier/payload/s3.py:153-174): each S3
+    * object is first tried as ONE JSON document — the pretty-printed
+    * multi-line CloudTrail-export shape — and only falls back to
+    * line-orientation (JSON-lines or raw text) when that parse fails.
+    *
+    * `wholetext` reads one row per file (gzip decoded transparently by
+    * extension, s3.py:124-137); `try_parse_json` is the engine-side
+    * `json.load` probe, and a whole-file hit is re-serialized to a single
+    * minified line so the downstream classifier sees the same wire format
+    * as every other source. Scale shape: files parallelize across
+    * executors; no driver involvement. */
+  def objectDrop(spark: SparkSession, path: String): DataFrame = {
+    val whole = spark.read.option("wholetext", "true").text(path)
+    val asOneJson = to_json(try_parse_json(col("value")))
+    val lines = filter(split(col("value"), "\\r?\\n"), l => trim(l) =!= "")
+    // try_parse_json is permissive about trailing data (a JSON-lines file
+    // "parses" as its first value) where the reference's json.load raises
+    // and falls back to jsonlines — so whole-object mode additionally
+    // requires the first line NOT to be complete JSON on its own (a
+    // pretty-printed document's first line is "{"), or a single-line file
+    val firstLineIsJson = try_parse_json(trim(element_at(lines, 1))).isNotNull
+    val wholeMode = asOneJson.isNotNull && (size(lines) === 1 || !firstLineIsJson)
+    withSourceMetadata(
+      whole.select(explode(
+        when(wholeMode, array(asOneJson)).otherwise(lines)).as("value")),
+      "s3", path)
+  }
+
   /** Streaming variant of the file-drop source (the Auto-Loader-style
     * file-notification mode). */
   def fileDropStream(spark: SparkSession, path: String,

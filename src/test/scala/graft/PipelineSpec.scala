@@ -46,6 +46,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == """{"event_id":2}""")
   }
 
+  test("object drop: whole-file JSON vs JSON-lines vs raw lines (s3.py:153-174)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_objdrop")
+    // pretty-printed whole-object JSON -> ONE minified record
+    java.nio.file.Files.writeString(dir.resolve("whole.json"),
+      "{\n  \"a\": 1,\n  \"b\": [\n    2,\n    3\n  ]\n}\n")
+    // two JSON objects on separate lines -> whole parse fails -> two records
+    java.nio.file.Files.writeString(dir.resolve("lines.json"),
+      "{\"a\":10}\n{\"a\":11}\n")
+    // raw non-JSON lines -> passed through, blanks dropped
+    java.nio.file.Files.writeString(dir.resolve("raw.log"),
+      "plain line one\n\nplain line two\n")
+    val got = Sources.objectDrop(spark, dir.toString)
+      .select("value").as[String].collect().toSet
+    assert(got.exists(v => v.replaceAll("\\s", "") == """{"a":1,"b":[2,3]}"""))
+    assert(got.contains("""{"a":10}""") && got.contains("""{"a":11}"""))
+    assert(got.contains("plain line one") && got.contains("plain line two"))
+    assert(got.size == 5)
+  }
+
   test("streaming pipeline: raw lines -> classified -> rules -> merged alerts on disk") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
