@@ -11,6 +11,7 @@ Usage: python3 scripts/oracle_check.py <sfDir> <verifyOutDir>
 """
 import sys, json, os
 import duckdb
+import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
 
@@ -18,7 +19,11 @@ TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]
 
 def canon(v):
-    if v is None or v != v:  # None / NaN / NaT
+    if isinstance(v, np.ndarray):  # pandas surfaces list columns as ndarray
+        return canon(v.tolist())
+    if isinstance(v, float) and v != v:
+        return "<nan>"  # distinct from NULL: Spark NaN vs oracle NULL must fail
+    if v is None or v != v:  # None / NaT
         return "<null>"
     if isinstance(v, float):
         return repr(round(v, 6))
@@ -44,9 +49,9 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
             want_df = con.execute(sql[name]).df()
+            got_df = pq.read_table(qdir).to_pandas()
         except Exception as e:
-            print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
-        got_df = pq.read_table(qdir).to_pandas()
+            print(f"FAIL {name}: oracle/read error {e}"); n_fail += 1; continue
         cols = sorted(want_df.columns)
         if sorted(got_df.columns) != cols:
             print(f"FAIL {name}: columns {sorted(got_df.columns)} != {cols}")

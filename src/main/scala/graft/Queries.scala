@@ -9,8 +9,9 @@ import graft.core.Tables
   *
   * Each entry is a Spark DataFrame pipeline over the TESTDATA.md parquet
   * tables plus, when the semantics are ANSI-SQL expressible, a DuckDB
-  * oracle string with identical column aliases. Float aggregations are
-  * cast to DECIMAL on both sides so the hash compare is order-insensitive.
+  * oracle string with identical column aliases. Money aggregations use
+  * exact integer-cents arithmetic — floor(x*100 + 0.5) on both sides — so
+  * the hash compare is summation-order-insensitive (see the q1 comment).
   */
 object Queries {
 
@@ -312,6 +313,25 @@ object Queries {
       .select(
         col("record.uid").as("uid"),
         col("record.etype").as("etype"),
+        col("record.eid").as("eid"))
+  }
+
+  // O3b: KV duplicate-key positional fallback (parsers.py:795-801) — the
+  // repeated key 'k' lands in the schema key at its position ('k2').
+  register(
+    "o3b_kv_duplicate_keys",
+    "SELECT user_id AS k, event_type AS k2, event_id AS eid FROM events") { (s, dir) =>
+    import graft.core.FieldType._
+    val schema = graft.core.LogSchema(
+      name = "demo:kv_dup", parser = graft.core.ParserKind.Kv,
+      schema = TStruct.of("k" -> TInteger, "k2" -> TString, "eid" -> TInteger))
+    val raw = t(s, dir, "events").select(
+      concat(lit("k="), col("user_id"), lit(" k="), col("event_type"),
+        lit(" eid="), col("event_id")).as("line"))
+    new Classifier(Seq(schema)).classify(raw, "line").forType("demo:kv_dup")
+      .select(
+        col("record.k").as("k"),
+        col("record.k2").as("k2"),
         col("record.eid").as("eid"))
   }
 

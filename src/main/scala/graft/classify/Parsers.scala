@@ -265,34 +265,78 @@ final case class CompiledSchema(s: LogSchema) {
   // KV (parsers.py:748-812)
   // -------------------------------------------------------------------------
 
-  private def kvMap(value: Column): Column = {
-    val m = call_function("str_to_map", value,
-      lit(java.util.regex.Pattern.quote(s.kvDelimiter) + "+"),
-      lit(java.util.regex.Pattern.quote(s.kvSeparator)))
-    map_filter(m, (k, _) => k =!= "")
+  private val kvNFields = "__graft_kv_nfields"
+  private val kvBadField = "__graft_kv_badfield"
+
+  /** Positional KV parse with the duplicate-key fallback
+    * (parsers.py:786-812): split on the literal delimiter dropping empty
+    * fields; each field's key is the text before the FIRST separator; a key
+    * that an earlier field already produced is replaced by the schema key
+    * at this field's POSITION; later fields overwrite earlier ones for the
+    * same effective key (dict semantics). The schema width is known at plan
+    * time, so the whole parse unrolls into codegen'd split/substring
+    * expressions — no str_to_map (CodegenFallback) anywhere.
+    *
+    * Returns a struct: one resolved string per schema key (null = absent)
+    * plus field-count / bad-field bookkeeping for the validity check. */
+  private def kvRaw(value: Column): Column = {
+    val n = s.schema.fields.size
+    val schemaKeys = s.schema.fields.keys.toSeq
+    val fields = filter(split(value, java.util.regex.Pattern.quote(s.kvDelimiter)),
+      f => f =!= "")
+    val field = (0 until n).map(i => try_element_at(fields, lit(i + 1)))
+    val hasSep = (0 until n).map(i =>
+      coalesce(field(i).contains(s.kvSeparator), lit(false)))
+    val rawKey = (0 until n).map(i => substring_index(field(i), s.kvSeparator, 1))
+    val vals = (0 until n).map { i =>
+      field(i).substr(length(rawKey(i)) + (s.kvSeparator.length + 1), length(field(i)))
+    }
+    // effective key per position: duplicate of any earlier field's effective
+    // key -> the schema key at this index (parsers.py:795-801)
+    val effKey = scala.collection.mutable.ArrayBuffer[Column]()
+    for (i <- 0 until n) {
+      val dup = (0 until i).map(j => hasSep(j) && effKey(j) === rawKey(i))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      effKey += when(dup, lit(schemaKeys(i))).otherwise(rawKey(i))
+    }
+    val resolved = schemaKeys.map { name =>
+      coalesce(((n - 1) to 0 by -1).map(i =>
+        when(hasSep(i) && effKey(i) === name, vals(i))): _*)
+    }
+    // a present field either lacks the separator (reference logs + skips,
+    // leaving its schema key unfilled) or resolves outside the schema
+    val badField = (0 until n).map(i =>
+      field(i).isNotNull &&
+        (!hasSep(i) || !effKey(i).isin(schemaKeys.map(k => k: Any): _*)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    struct((schemaKeys.zip(resolved).map { case (nm, c) => c.as(nm) } ++ Seq(
+      size(fields).as(kvNFields),
+      coalesce(badField, lit(false)).as(kvBadField))): _*)
   }
 
-  def kvValid(value: Column): Column = {
-    val m = kvMap(value)
-    val schemaKeys = array(s.schema.fields.keys.toSeq.map(lit): _*)
-    // field count must equal schema size and keys must match the schema
-    // (duplicate-key positional fallback of parsers.py:795-801 not supported)
-    size(m) === s.schema.fields.size &&
-      size(array_except(map_keys(m), schemaKeys)) === 0 &&
-      !kvCoerced(value)._2 && patternsOk(kvCoerced(value)._1, None)
+  private def kvValidFromRaw(raw: Column): Column = {
+    val (typed, castFailed) = kvCoercedFromRawStruct(raw)
+    // field count must equal schema size (parsers.py:791-793) and every
+    // schema key must have resolved a value
+    raw.getField(kvNFields) === s.schema.fields.size &&
+      !raw.getField(kvBadField) &&
+      s.schema.fields.keys.map(k => raw.getField(k).isNotNull)
+        .reduceOption(_ && _).getOrElse(lit(true)) &&
+      !castFailed && patternsOk(typed, None)
   }
 
-  private def kvCoerced(value: Column): (Column, Column) = {
-    val m = kvMap(value)
+  private def kvCoercedFromRawStruct(raw: Column): (Column, Column) = {
     val parts = s.schema.fields.toSeq.map { case (name, ft) =>
-      val (typed, failed) = coerceField(element_at(m, name), ft)
+      val (typed, failed) = coerceField(raw.getField(name), ft)
       (name, typed, failed)
     }
     (struct(parts.map { case (n, c, _) => c.as(n) }: _*),
       parts.map(_._3).reduceOption(_ || _).getOrElse(lit(false)))
   }
 
-  def kvRecord(value: Column): Column = kvCoerced(value)._1
+  def kvValid(value: Column): Column = kvValidFromRaw(kvRaw(value))
+
+  def kvRecord(value: Column): Column = kvCoercedFromRawStruct(kvRaw(value))._1
 
   // -------------------------------------------------------------------------
   // Syslog (parsers.py:815-844)
@@ -332,7 +376,7 @@ final case class CompiledSchema(s: LogSchema) {
     case ParserKind.Json if jsonPathPlan.isEmpty && s.jsonRegexKey.isEmpty =>
       Some(from_json(value, rawStructType))
     case ParserKind.Csv if s.jsonPath.isEmpty => Some(csvRaw(value))
-    case ParserKind.Kv  => Some(kvMap(value))
+    case ParserKind.Kv  => Some(kvRaw(value))
     case _ => None
   }
 
@@ -350,12 +394,7 @@ final case class CompiledSchema(s: LogSchema) {
       val lastField = s.schema.fields.keys.last
       raw.getField(csvSentinel).isNull && raw.getField(lastField).isNotNull &&
         !castFailed && patternsOk(typed, None)
-    case ParserKind.Kv =>
-      val (typed, castFailed) = kvCoercedFromRaw(raw)
-      val schemaKeys = array(s.schema.fields.keys.toSeq.map(lit): _*)
-      size(raw) === s.schema.fields.size &&
-        size(array_except(map_keys(raw), schemaKeys)) === 0 &&
-        !castFailed && patternsOk(typed, None)
+    case ParserKind.Kv => kvValidFromRaw(raw)
     case ParserKind.Syslog => syslogValid(value)
   }
 
@@ -363,7 +402,7 @@ final case class CompiledSchema(s: LogSchema) {
   def recordFromRaw(raw: Column): Column = s.parser match {
     case ParserKind.Json => coerceStruct(raw, s.schema, s.optionalTopLevelKeys)._1
     case ParserKind.Csv  => csvCoercedFromRaw(raw)._1
-    case ParserKind.Kv   => kvCoercedFromRaw(raw)._1
+    case ParserKind.Kv   => kvCoercedFromRawStruct(raw)._1
     case ParserKind.Syslog =>
       throw new IllegalStateException("syslog has no separable raw parse")
   }
@@ -379,15 +418,6 @@ final case class CompiledSchema(s: LogSchema) {
       case (name, ft) =>
         val (typed, failed) = coerceField(raw.getField(name), ft)
         (name, typed, failed)
-    }
-    (struct(parts.map { case (n, c, _) => c.as(n) }: _*),
-      parts.map(_._3).reduceOption(_ || _).getOrElse(lit(false)))
-  }
-
-  private def kvCoercedFromRaw(raw: Column): (Column, Column) = {
-    val parts = s.schema.fields.toSeq.map { case (name, ft) =>
-      val (typed, failed) = coerceField(element_at(raw, name), ft)
-      (name, typed, failed)
     }
     (struct(parts.map { case (n, c, _) => c.as(n) }: _*),
       parts.map(_._3).reduceOption(_ || _).getOrElse(lit(false)))

@@ -134,6 +134,21 @@ class ClassifierSpec extends AnyFunSuite {
     assert(c.invalid.count() == 2)
   }
 
+  test("kv: duplicate keys fall back to the schema key at their position (parsers.py:795-801)") {
+    val dup = LogSchema(
+      name = "test:kv_dup", parser = ParserKind.Kv,
+      schema = TStruct.of("user" -> TString, "user2" -> TString, "code" -> TInteger))
+    val c = classify(Seq(dup), Seq(
+      "user=alice user=bob code=200",   // repeated 'user' -> 'user2' at position 1
+      "user=x user2=y code=1",          // explicit keys still work
+      "user=a user=b user=c"))          // third dup -> 'code', fails int coercion
+    val ok = c.forType("test:kv_dup")
+      .selectExpr("record.user", "record.user2", "record.code").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(ok.toSeq == Seq(("alice", "bob", 200L), ("x", "y", 1L)))
+    assert(c.invalid.count() == 1)
+  }
+
   test("csv: nested CSV-in-CSV cell (parsers.py:732-740)") {
     val nested = LogSchema(
       name = "test:csv_nested", parser = ParserKind.Csv,
