@@ -819,7 +819,11 @@ object Queries {
         lit("mk").as("merge_by_keys"),
         lit(35).as("merge_window_mins"),
         array(lit("aws-firehose:alerts")).as("outputs"),
-        lit(false).as("staged")).as[MergeInputAlert]
+        lit(false).as("staged"),
+        // precomputed merge-key values (the RulesEngine path) — grouping
+        // then needs no JSON parse
+        floor(col("event_id") / 30).cast("string").as("merge_key_vals"))
+        .as[MergeInputAlert]
       AlertMerger.mergeBatch(alerts)
         .select(col("merge_keys"), col("alert_count"), col("alert_time_first"),
           col("alert_time_last"), col("merged_by_json"))

@@ -5,7 +5,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** One alert as consumed by the merger. */
+/** One alert as consumed by the merger.
+  *
+  * `merge_key_vals` is the '|'-joined VALUES at `merge_by_keys`,
+  * precomputed by RulesEngine column-side over the typed record (paths are
+  * plan-time literals there) so grouping needs no reduce- or map-side JSON
+  * parse; null = not precomputed, groupKey falls back to one Jackson parse. */
 final case class MergeInputAlert(
     alert_id: String,
     rule_name: String,
@@ -14,7 +19,8 @@ final case class MergeInputAlert(
     merge_by_keys: String,  // comma-joined key paths ('' = merging disabled)
     merge_window_mins: Int,
     outputs: Seq[String],
-    staged: Boolean)
+    staged: Boolean,
+    merge_key_vals: String = null)
 
 /** The merged alert emitted per group window
   * (merged record fields: shared/alert.py:399-417). */
@@ -50,18 +56,26 @@ object AlertMerger {
   /** Adapt the RulesEngine output DataFrame to the merger input. */
   def fromAlerts(alerts: DataFrame): Dataset[MergeInputAlert] = {
     implicit val enc = Encoders.product[MergeInputAlert]
+    val keyVals =
+      if (alerts.columns.contains("merge_key_vals")) col("merge_key_vals")
+      else lit(null).cast("string")
     alerts.select(
       col("alert_id"), col("rule_name"), col("created"),
       to_json(col("record")).as("record_json"),
       col("merge_by_keys"), col("merge_window_mins"), col("outputs"),
-      coalesce(col("staged"), lit(false)).as("staged"))
+      coalesce(col("staged"), lit(false)).as("staged"),
+      keyVals.as("merge_key_vals"))
       .as[MergeInputAlert]
   }
 
   private def groupKey(a: MergeInputAlert): String = {
-    val rec = MergeRecord.parse(a.record_json)
-    val keyVals = a.merge_by_keys.split(',').filter(_.nonEmpty)
-      .map(k => MergeRecord.valueAtPath(rec, k)).mkString("|")
+    val keyVals =
+      if (a.merge_key_vals != null) a.merge_key_vals
+      else {
+        val rec = MergeRecord.parse(a.record_json)
+        a.merge_by_keys.split(',').filter(_.nonEmpty)
+          .map(k => MergeRecord.valueAtPath(rec, k)).mkString("|")
+      }
     s"${a.rule_name}|$keyVals"
   }
 
@@ -102,8 +116,8 @@ object AlertMerger {
     }
     MergedAlert(
       rule_name = sorted.head.rule_name,
-      merge_keys = mergeKeys.map(k =>
-        MergeRecord.valueAtPath(parsed.head, k)).mkString("|"),
+      merge_keys = Option(sorted.head.merge_key_vals).getOrElse(
+        mergeKeys.map(k => MergeRecord.valueAtPath(parsed.head, k)).mkString("|")),
       alert_count = sorted.size.toLong,
       alert_time_first = sorted.head.created,
       alert_time_last = sorted.last.created,

@@ -2,7 +2,7 @@ package graft.rules
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.types._
 
 /** Static alert metadata attached at construction
   * (rules_engine/rules_engine.py:183-217: cluster, log source/type, source
@@ -83,6 +83,42 @@ final class RulesEngine(
       concat(array(requiredOutputs.map(lit): _*), ruleOutputs, dynOutputs),
       o => o.contains(":"))))
 
+    // Merge-key VALUES, extracted column-side from the typed record struct —
+    // paths are plan-time literals per rule, so the merger's groupBy key
+    // needs no JSON parse at all (the old path Jackson-parsed record_json
+    // once per record just to group). Semantics mirror
+    // MergeRecord.valueAtPath over to_json(record): string fields verbatim,
+    // scalars as their JSON text, nested containers as JSON, absent paths /
+    // null values (which to_json omits) -> '(n/a)'.
+    val recType = typed.schema("record").dataType.asInstanceOf[StructType]
+    def typedPathValue(path: String): Column = {
+      val parts = path.split('.').toSeq
+      def resolve(dt: DataType, ps: Seq[String]): Option[DataType] = ps match {
+        case Seq() => Some(dt)
+        case p +: rest => dt match {
+          case st: StructType if st.fieldNames.contains(p) => resolve(st(p).dataType, rest)
+          case _ => None
+        }
+      }
+      resolve(recType, parts) match {
+        case None => lit("(n/a)")
+        case Some(dt) =>
+          val c = parts.foldLeft(rec)((acc, p) => acc.getField(p))
+          val str = dt match {
+            case StringType => c
+            case _: StructType | _: MapType | _: ArrayType => to_json(c)
+            case TimestampType => date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+            case _ => c.cast(StringType)
+          }
+          coalesce(str, lit("(n/a)"))
+      }
+    }
+    val mergeKeyVals = perRule(col("rule_name"),
+      applicable.map(r => r.name -> (
+        if (r.opts.mergeByKeys.isEmpty) lit("")
+        else concat_ws("|", r.opts.mergeByKeys.map(typedPathValue): _*))),
+      lit(""))
+
     val createdCol = clock.map(ts => lit(ts).cast(TimestampType))
       .getOrElse(current_timestamp())
     val idCol =
@@ -104,6 +140,7 @@ final class RulesEngine(
       perRule(col("rule_name"),
         applicable.map(r => r.name -> lit(r.opts.mergeWindowMins)),
         lit(0)).as("merge_window_mins"),
+      mergeKeyVals.as("merge_key_vals"),
       perRule(col("rule_name"),
         applicable.map(r => r.name -> lit(r.opts.publishers.mkString(","))),
         lit("")).as("publishers"),
