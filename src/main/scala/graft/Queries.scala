@@ -830,6 +830,108 @@ object Queries {
         .orderBy(col("merge_keys").cast("long"))
   }
 
+  // A3: merged-record common/diff surface (alert.py:289-380). Records carry a
+  // group-constant field ('svc' -> always in OtherCommonKeys) and a varying
+  // field ('etype' -> common iff uniform in the group, else per-alert diffs
+  // keyed by the alert's created Instant). The corpus is shaped so both JSON
+  // fields are exactly constructible in SQL: flat records, distinct whole-
+  // second created per group member, deterministic field order (svc, etype).
+  register(
+    "a3_merge_common_diff",
+    """WITH base AS (
+      |  SELECT event_id // 30 AS grp,
+      |         'svc-' || CAST((event_id // 30) % 3 AS VARCHAR) AS svc,
+      |         event_type AS etype,
+      |         TIMESTAMP '2024-01-01 00:00:00'
+      |           + to_seconds(CAST(event_id % 30 AS BIGINT)) AS created
+      |  FROM events),
+      |g AS (
+      |  SELECT grp, any_value(svc) AS svc, count(*) AS n,
+      |         min(etype) AS min_e, max(etype) AS max_e
+      |  FROM base GROUP BY grp),
+      |d AS (
+      |  SELECT b.grp,
+      |         string_agg(
+      |           '"' || strftime(b.created, '%Y-%m-%dT%H:%M:%SZ') || '":'
+      |             || CASE WHEN g.min_e = g.max_e THEN '{}'
+      |                     ELSE '{"etype":"' || b.etype || '"}' END,
+      |           ',' ORDER BY b.created) AS body
+      |  FROM base b JOIN g USING (grp) GROUP BY b.grp)
+      |SELECT CAST(g.grp AS VARCHAR) AS merge_keys,
+      |       g.n AS alert_count,
+      |       CASE WHEN g.min_e = g.max_e
+      |            THEN '{"svc":"' || g.svc || '","etype":"' || g.min_e || '"}'
+      |            ELSE '{"svc":"' || g.svc || '"}' END AS other_common_keys_json,
+      |       '{' || d.body || '}' AS value_diffs_json
+      |FROM g JOIN d USING (grp)""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[MergeInputAlert]
+    val grp = floor(col("event_id") / 30).cast("string")
+    val alerts = t(s, dir, "events").select(
+      md5(col("event_id").cast("string")).as("alert_id"),
+      lit("common_diff_demo").as("rule_name"),
+      (lit(1704067200L) + col("event_id") % 30).cast(TimestampType).as("created"),
+      to_json(struct(
+        grp.as("mk"),
+        concat(lit("svc-"), (floor(col("event_id") / 30) % 3).cast("string")).as("svc"),
+        col("event_type").as("etype"))).as("record_json"),
+      lit("mk").as("merge_by_keys"),
+      lit(35).as("merge_window_mins"),
+      array(lit("aws-firehose:alerts")).as("outputs"),
+      lit(false).as("staged"),
+      grp.as("merge_key_vals"))
+      .as[MergeInputAlert]
+    AlertMerger.mergeBatch(alerts)
+      .select(col("merge_keys"), col("alert_count"),
+        col("other_common_keys_json"), col("value_diffs_json"))
+  }
+
+  // A4/A6: dispatch round-trip (alert_processor/main.py:76-151). Alerts fan
+  // out to per-service FileDispatchers, are dispatched TWICE (a redelivery),
+  // and the result is read back from the sinks — counts stay exactly one per
+  // (alert_id, output) because the sink dir doubles as the outputs_sent
+  // ledger (main.py:99-115).
+  register(
+    "a6_dispatch_roundtrip",
+    """SELECT * FROM (
+      |  SELECT 'aws-firehose:alerts' AS output, 'any_purchase' AS rule_name,
+      |         count(*) AS n
+      |  FROM events WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT 'aws-firehose:alerts', 'big_error', count(*) FROM events
+      |  WHERE event_type = 'error' AND value > 100
+      |  UNION ALL
+      |  SELECT 'slack:alerts', 'big_error', count(*) FROM events
+      |  WHERE event_type = 'error' AND value > 100)
+      |ORDER BY output, rule_name""".stripMargin) { (s, dir) =>
+    import graft.alerts.Outputs
+    val root = s"/tmp/graft_a6_${dir.replaceAll("\\W", "_")}"
+    val rootFile = new java.io.File(root)
+    if (rootFile.exists()) org.apache.commons.io.FileUtils.deleteDirectory(rootFile)
+    val rules = Seq(
+      Rule("any_purchase", RuleOpts(logs = Seq("demo:json_events")),
+        rec => rec.getField("event_type") === "purchase"),
+      Rule("big_error",
+        RuleOpts(logs = Seq("demo:json_events"), outputs = Seq("slack:alerts")),
+        rec => rec.getField("event_type") === "error" && rec.getField("value") > 100))
+    val alerts = new RulesEngine(rules, deterministicIds = true, clock = Some(fixedClock))
+      .evaluate(classifiedEvents(s, dir), "demo:json_events")
+    val dispatchers = Map(
+      "aws-firehose" -> Outputs.FileDispatcher(s"$root/aws-firehose"),
+      "slack" -> Outputs.FileDispatcher(s"$root/slack"))
+    Outputs.fanOut(alerts, dispatchers)
+    Outputs.fanOut(alerts, dispatchers) // redelivery: ledger gate skips all
+    Seq("aws-firehose:alerts" -> s"$root/aws-firehose/alerts",
+        "slack:alerts" -> s"$root/slack/alerts")
+      .map { case (out, path) =>
+        s.read.parquet(path)
+          .select(lit(out).as("output"), col("rule_name"), col("alert_id"))
+      }
+      .reduce(_ unionAll _)
+      .groupBy("output", "rule_name").agg(count(lit(1)).as("n"))
+      .orderBy("output", "rule_name")
+  }
+
   // ---------------------------------------------------------------------------
   // Sources (S1-S3), historical store + partition pruning (S6), scheduled
   // queries (§2.5), streamquery re-injection (S10), rule promotion (§3.3),

@@ -21,10 +21,24 @@ object Outputs {
     def dispatch(batch: DataFrame, descriptor: String): Unit
   }
 
-  /** aws-s3 / aws-firehose analogue: append files under the descriptor dir. */
+  /** aws-s3 / aws-firehose analogue: append files under the descriptor dir.
+    *
+    * The sink dir doubles as the `outputs_sent` ledger
+    * (alert_processor/main.py:99-115): redelivered batches anti-join
+    * against already-landed alert_ids, so retries after a partial failure
+    * are idempotent on (alert_id, output). The ledger read is
+    * alert-cardinality (broadcast), never stream-cardinality. */
   final case class FileDispatcher(root: String) extends Dispatcher {
-    def dispatch(batch: DataFrame, descriptor: String): Unit =
-      batch.write.mode("append").parquet(s"$root/$descriptor")
+    def dispatch(batch: DataFrame, descriptor: String): Unit = {
+      val target = s"$root/$descriptor"
+      val fresh = scala.util.Try(batch.sparkSession.read.parquet(target)) match {
+        case scala.util.Success(sent) =>
+          batch.join(broadcast(sent.select("alert_id").distinct()),
+            Seq("alert_id"), "left_anti")
+        case scala.util.Failure(_) => batch // first delivery: no ledger yet
+      }
+      fresh.write.mode("append").parquet(target)
+    }
   }
 
   /** slack/pagerduty/... analogue for local runs: collect to driver log. */
