@@ -555,6 +555,44 @@ object Queries {
       .select(col("record.event_id").as("event_id"), col("record.ip").as("ip"))
   }
 
+  // R6b: typed-record deep search (shared/utils.py:79-145 get_keys BFS +
+  // base.py:203-224 data_has_value_from_substring_list) over a 3-level
+  // nested schema with a string list. The needles hit DIFFERENT branches:
+  // 'err' matches meta.type for error events, 'tag-3' matches a tags list
+  // element — the plan-time BFS must find both without knowing where.
+  register(
+    "r6b_deep_search",
+    """SELECT event_id, event_type AS type_val FROM events
+      |WHERE event_type LIKE '%err%'
+      |   OR CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 3""".stripMargin) {
+    (s, dir) =>
+    import graft.core.FieldType._
+    val schema = graft.core.LogSchema(
+      name = "demo:json_deep", parser = graft.core.ParserKind.Json,
+      schema = TStruct.of(
+        "event_id" -> TInteger,
+        "meta" -> TStruct.of(
+          "type" -> TString,
+          "inner" -> TStruct.of("v" -> TFloat)),
+        "tags" -> TList))
+    val raw = t(s, dir, "events").select(
+      to_json(struct(
+        col("event_id"),
+        struct(col("event_type").as("type"),
+          struct(col("value").as("v")).as("inner")).as("meta"),
+        array(concat(lit("tag-"),
+          (get_json_object(col("props"), "$.k").cast("long") % 10).cast("string")))
+          .as("tags"))).as("line"))
+    val typed = new Classifier(Seq(schema)).classify(raw, "line")
+      .forType("demo:json_deep")
+    val recType = typed.schema("record").dataType
+    val rec = col("record")
+    typed
+      .where(Helpers.dataHasValueFromSubstringList(rec, recType, Seq("err", "tag-3")))
+      .select(col("record.event_id").as("event_id"),
+        Helpers.getFirstKey(rec, recType, "type", lit("(n/a)")).as("type_val"))
+  }
+
   // R11+R12: dynamic outputs computed from the record, unioned with rule +
   // required outputs, ':'-validated.
   register(

@@ -2,7 +2,7 @@ package graft.rules
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types._
 import graft.functions.Glob
 
 /** Column-first re-expression of the reference's rule helper library
@@ -83,20 +83,136 @@ object Helpers {
   def safeJsonLoads(text: Column, schema: org.apache.spark.sql.types.DataType): Column =
     from_json(text, schema)
 
-  /** get_first_key / deep value search over the RAW JSON payload
-    * (shared/utils.py:79-145 BFS deep search; rules/helpers/base.py
-    * data_has_value family). The declared-schema fast path is a static
-    * field-path predicate (preferred; see SURVEY §7.4) — these dynamic
-    * variants regex-scan the serialized record, matching the reference's
-    * "value anywhere in the record" semantics for scalar needles.
-    */
-  def dataHasValue(rawJson: Column, value: String): Column = {
+  // -------------------------------------------------------------------------
+  // Typed-record deep search (shared/utils.py:79-145 get_keys BFS +
+  // rules/helpers/base.py:144-224 data_has_value family).
+  //
+  // The reference BFS-walks the parsed dict at runtime; here the record's
+  // StructType is declared, so the walk happens at PLAN TIME: every scalar
+  // leaf reachable from the record — descending structs, arrays, and maps —
+  // becomes a codegen'd boolean term, arrays/maps fold with `exists`. No
+  // JSON re-parse, no UDF, and Catalyst prunes untouched columns.
+  // -------------------------------------------------------------------------
+
+  /** The normalization metadata key, excluded from deep search exactly as
+    * the reference excludes it (utils.py:128-135). */
+  private val SkipKeys = Set(graft.classify.Normalizer.NormalizationKey)
+
+  /** OR `pred` across every scalar leaf under `rec` (declared type `dt`). */
+  private def anyLeaf(rec: Column, dt: DataType)(
+      pred: (Column, DataType) => Column): Column = dt match {
+    case st: StructType =>
+      st.fields.filterNot(f => SkipKeys.contains(f.name))
+        .map(f => anyLeaf(rec.getField(f.name), f.dataType)(pred))
+        .toSeq.reduceOption(_ || _).getOrElse(lit(false))
+    case at: ArrayType =>
+      coalesce(exists(rec, e => anyLeaf(e, at.elementType)(pred)), lit(false))
+    case mt: MapType =>
+      coalesce(exists(map_values(rec), v => anyLeaf(v, mt.valueType)(pred)),
+        lit(false))
+    case leaf => coalesce(pred(rec, leaf), lit(false))
+  }
+
+  /** data_has_value (base.py:144-160): exact equality against any leaf of a
+    * compatible type (Python `==` never equates str with int, so string
+    * needles only test string leaves, numeric only numeric, etc.). */
+  def dataHasValue(rec: Column, recType: DataType, needle: Any): Column =
+    anyLeaf(rec, recType) { (c, dt) =>
+      (needle, dt) match {
+        case (_: String, StringType)                       => c === lit(needle)
+        case (_: Boolean, BooleanType)                     => c === lit(needle)
+        case (n, _) if n.isInstanceOf[Number] && dt.isInstanceOf[NumericType] =>
+          c === lit(needle)
+        case _ => lit(false)
+      }
+    }
+
+  /** data_has_value_with_substring (base.py:163-179): substring match
+    * against any string leaf. */
+  def dataHasValueWithSubstring(rec: Column, recType: DataType, needle: String): Column =
+    anyLeaf(rec, recType) {
+      case (c, StringType) => c.contains(needle)
+      case _               => lit(false)
+    }
+
+  /** data_has_value_from_list (base.py:182-200): fnmatch-glob match of any
+    * non-empty string leaf against any needle. */
+  def dataHasValueFromList(rec: Column, recType: DataType, globs: Seq[String]): Column =
+    anyLeaf(rec, recType) {
+      case (c, StringType) => c =!= "" && matchesAny(c, globs)
+      case _               => lit(false)
+    }
+
+  /** data_has_value_from_substring_list (base.py:203-224): any needle a
+    * substring of any non-empty string leaf. */
+  def dataHasValueFromSubstringList(rec: Column, recType: DataType,
+      needles: Seq[String]): Column =
+    anyLeaf(rec, recType) {
+      case (c, StringType) => c =!= "" && containsAny(c, needles)
+      case _               => lit(false)
+    }
+
+  /** get_keys (utils.py:79-145): every value under a field named `key`,
+    * anywhere in the record, as one flat array (pre-order over the declared
+    * schema; the reference documents its BFS result as unordered).
+    * All matching fields must share one scalar type — a plan-time error
+    * otherwise, where the reference would silently return mixed types.
+    * Null values are treated as absent (a typed struct cannot distinguish
+    * a JSON-absent key from an explicit null). */
+  def getKeys(rec: Column, recType: DataType, key: String): Column = {
+    def walk(c: Column, dt: DataType): Seq[(Column, DataType)] = dt match {
+      case st: StructType =>
+        val self = st.fields.filter(f => f.name == key && !SkipKeys.contains(key))
+          .map { f =>
+            val v = c.getField(f.name)
+            (when(v.isNotNull, array(v)).otherwise(array().cast(
+              ArrayType(f.dataType))), f.dataType)
+          }.toSeq
+        val nested = st.fields.filterNot(f => SkipKeys.contains(f.name))
+          .flatMap(f => walk(c.getField(f.name), f.dataType)).toSeq
+        self ++ nested
+      case at: ArrayType =>
+        walk(element_at(c, 1), at.elementType) match {
+          case Seq() => Seq()
+          case hits  =>
+            // re-walk per element and flatten: one array per match path
+            hits.indices.map { i =>
+              val eltType = hits(i)._2
+              (coalesce(flatten(transform(c, e =>
+                walk(e, at.elementType)(i)._1)), array().cast(ArrayType(eltType))),
+                eltType)
+            }
+        }
+      case mt: MapType if !SkipKeys.contains(key) =>
+        // direct lookup only; map VALUES have no declared keys to descend
+        Seq((when(map_contains_key(c, lit(key)),
+          array(element_at(c, lit(key)))).otherwise(array().cast(
+            ArrayType(mt.valueType))), mt.valueType))
+      case _ => Seq()
+    }
+    val hits = walk(rec, recType)
+    require(hits.nonEmpty, s"get_keys: no field named '$key' in the declared schema")
+    val types = hits.map(_._2).distinct
+    require(types.size == 1,
+      s"get_keys: fields named '$key' have mixed types ${types.mkString(",")}")
+    concat(hits.map(_._1): _*)
+  }
+
+  /** get_first_key (utils.py:64-76): first get_keys hit or `default`. */
+  def getFirstKey(rec: Column, recType: DataType, key: String,
+      default: Column): Column =
+    coalesce(try_element_at(getKeys(rec, recType, key), lit(1)), default)
+
+  /** Deep value search over a RAW JSON payload — the dynamic-schema
+    * fallback when no StructType is declared (e.g. probing an opaque
+    * sub-document). Regex approximation of the reference semantics. */
+  def rawJsonHasValue(rawJson: Column, value: String): Column = {
     val quoted = java.util.regex.Pattern.quote(jsonString(value))
     rawJson.rlike(s"[:,\\[]\\s*$quoted\\s*[,}\\]]")
   }
 
-  def dataHasValueFromSubstringList(rawJson: Column, substrings: Seq[String]): Column =
-    substrings.map(ss => rawJson.contains(ss)).reduceOption(_ || _).getOrElse(lit(false))
+  def rawJsonHasSubstring(rawJson: Column, substrings: Seq[String]): Column =
+    containsAny(rawJson, substrings)
 
   private def jsonString(v: String): String = "\"" + v + "\""
 }

@@ -95,7 +95,7 @@ class ConfParitySpec extends AnyFunSuite {
         val reqParams = element_at(detail, "requestParameters")
         reqParams.isNotNull &&
           element_at(detail, "eventName") === "PutObjectAcl" &&
-          graft.rules.Helpers.dataHasValueFromSubstringList(reqParams, publicAcls) &&
+          graft.rules.Helpers.rawJsonHasSubstring(reqParams, publicAcls) &&
           !get_json_object(reqParams, "$.bucketName")
             .isin("example-bucket-to-ignore") // _PUBLIC_BUCKETS (rule file :12)
       })

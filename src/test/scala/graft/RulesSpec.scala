@@ -108,4 +108,38 @@ class RulesSpec extends AnyFunSuite {
       .collect()(0)
     assert(m.getBoolean(0) && m.getBoolean(1) && m.getBoolean(2))
   }
+
+  test("typed deep search: get_keys BFS + data_has_value family (utils.py:79-145)") {
+    // the get_keys docstring example: 'path' at root, nested struct, and a
+    // list of structs -> all three values, root first
+    val df = spark.sql(
+      """SELECT named_struct(
+        |  'path', 'ABC',
+        |  'details', named_struct('parent', named_struct('path', 'DEF')),
+        |  'events', array(named_struct('path', 'GHI'), named_struct('path', 'JKL')),
+        |  'count', 7L,
+        |  'labels', map('env', 'prod')) AS record""".stripMargin)
+    val recType = df.schema("record").dataType
+    val rec = col("record")
+    val r = df.select(
+      Helpers.getKeys(rec, recType, "path").as("paths"),
+      Helpers.getFirstKey(rec, recType, "path", lit("(n/a)")).as("first"),
+      Helpers.getFirstKey(rec, recType, "missing_key_in_map_only", lit("dflt")).as("miss"),
+      Helpers.dataHasValue(rec, recType, "DEF").as("hasDef"),
+      Helpers.dataHasValue(rec, recType, 7L).as("has7"),
+      Helpers.dataHasValue(rec, recType, "7").as("hasStr7"),   // str != int
+      Helpers.dataHasValue(rec, recType, "prod").as("hasMapVal"),
+      Helpers.dataHasValueWithSubstring(rec, recType, "HI").as("hasHi"),
+      Helpers.dataHasValueFromSubstringList(rec, recType, Seq("zz", "KL")).as("hasKl"),
+      Helpers.dataHasValueFromList(rec, recType, Seq("A*")).as("globA"))
+      .collect()(0)
+    assert(r.getSeq[String](0) == Seq("ABC", "DEF", "GHI", "JKL"))
+    assert(r.getString(1) == "ABC")
+    assert(r.getString(2) == "dflt")
+    assert(r.getBoolean(3) && r.getBoolean(4) && !r.getBoolean(5))
+    assert(r.getBoolean(6) && r.getBoolean(7) && r.getBoolean(8) && r.getBoolean(9))
+    // map direct-lookup path of get_keys
+    val env = df.select(Helpers.getKeys(rec, recType, "env").as("envs")).collect()(0)
+    assert(env.getSeq[String](0) == Seq("prod"))
+  }
 }
