@@ -172,4 +172,52 @@ object LogSchema {
       kvSeparator = confStr("separator").getOrElse("="),
       normalization = normalization)
   }
+
+  /** Load the v1 normalization conf (`conf/normalized_types.json`): keyed by
+    * log SOURCE (the part before ':'), normalized_type -> list of original
+    * key NAMES. The v1 engine deep-searched those key names anywhere in each
+    * record at runtime (the format predates v2's explicit paths). */
+  def loadNormalizedTypesJson(json: String): Map[String, Map[String, Seq[String]]] = {
+    val root = mapper.readTree(json)
+    root.properties().asScala.map { src =>
+      src.getKey -> src.getValue.properties().asScala.map { t =>
+        t.getKey -> t.getValue.elements().asScala.map(_.asText).toSeq
+      }.toMap
+    }.toMap
+  }
+
+  /** Merge v1 normalization into a loaded schema set (the reference loads
+    * both formats and unions them per log type). Each v1 original-key NAME
+    * is resolved against the declared schema at LOAD time — a pre-order
+    * search over the TStruct, the typed analogue of the v1 runtime deep
+    * search — yielding one NormalizedField per site where the key exists. A
+    * normalized type already defined by v2 keeps its v2 definition; v1 keys
+    * absent from a log type's schema contribute nothing there. */
+  def mergeV1Normalization(schemas: Seq[LogSchema],
+      v1: Map[String, Map[String, Seq[String]]]): Seq[LogSchema] =
+    schemas.map { s =>
+      v1.get(s.name.split(':').head) match {
+        case None => s
+        case Some(types) =>
+          def findPaths(st: FieldType.TStruct, prefix: Seq[String],
+              key: String): Seq[Seq[String]] =
+            st.fields.toSeq.flatMap { case (n, ft) =>
+              val self = if (n == key) Seq(prefix :+ n) else Seq.empty
+              val nested = ft match {
+                case inner: FieldType.TStruct => findPaths(inner, prefix :+ n, key)
+                case _ => Seq.empty
+              }
+              self ++ nested
+            }
+          val fromV1 = types.flatMap { case (normType, keys) =>
+            if (s.normalization.contains(normType)) None // v2 wins
+            else {
+              val fields = keys.flatMap(k => findPaths(s.schema, Nil, k))
+                .map(p => NormalizedField(path = p))
+              if (fields.isEmpty) None else Some(normType -> fields)
+            }
+          }
+          s.copy(normalization = s.normalization ++ fromV1)
+      }
+    }
 }

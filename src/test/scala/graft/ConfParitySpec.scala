@@ -25,6 +25,55 @@ class ConfParitySpec extends AnyFunSuite {
     assert(loaded.map(_.name).distinct.length == loaded.length)
   }
 
+  test("v1 normalized_types.json loads and merges into reference schemas") {
+    assume(confDir.isDirectory)
+    val v1File = new java.io.File("/root/reference/conf/normalized_types.json")
+    assume(v1File.isFile)
+    val v1 = LogSchema.loadNormalizedTypesJson(new String(
+      java.nio.file.Files.readAllBytes(v1File.toPath), "UTF-8"))
+    assert(v1.contains("cloudtrail") && v1.contains("osquery"))
+    val ct = LogSchema.loadConfJson(new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(confDir, "cloudtrail.json").toPath), "UTF-8"))
+    val merged = LogSchema.mergeV1Normalization(ct, v1)
+    val events = merged.find(_.name == "cloudtrail:events").get
+    // v1 key names resolved to declared-schema paths at load time
+    assert(events.normalization("sourceAddress").map(_.path) == Seq(Seq("sourceIPAddress")))
+    assert(events.normalization("region").map(_.path).contains(Seq("awsRegion")))
+    // v1 'region' lists original keys ['region','awsRegion']; only awsRegion
+    // exists in this schema, so only it resolves
+    assert(!events.normalization("region").map(_.path).contains(Seq("region")))
+    // digest has none of the v1 keys -> untouched
+    assert(merged.find(_.name == "cloudtrail:digest").get.normalization.isEmpty)
+  }
+
+  test("a v1-sourced normalized type extracts through the Normalizer column path") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val schema = LogSchema(
+      name = "demo:v1norm", parser = ParserKind.Json,
+      schema = FieldType.TStruct.of(
+        "eventName" -> FieldType.TString,
+        "detail" -> FieldType.TStruct.of("remote_ip" -> FieldType.TString)))
+    val v1 = Map("demo" -> Map(
+      "destinationAddress" -> Seq("remote_ip"),  // nested hit
+      "eventType" -> Seq("eventType")))          // absent from schema -> dropped
+    val Seq(merged) = LogSchema.mergeV1Normalization(Seq(schema), v1)
+    assert(merged.normalization("destinationAddress").map(_.path)
+      == Seq(Seq("detail", "remote_ip")))
+    assert(!merged.normalization.contains("eventType"))
+    val typed = new graft.classify.Classifier(Seq(merged))
+      .classify(Seq("""{"eventName":"x","detail":{"remote_ip":"1.2.3.4"}}""").toDF("value"))
+      .forType("demo:v1norm")
+      .withColumn(graft.classify.Normalizer.NormalizationKey,
+        graft.classify.Normalizer.normalizationCol(
+          col("record"), merged.normalization, Some(merged.schema)))
+    val vals = typed.select(graft.classify.Normalizer.valuesForNormalizedType(
+      col(graft.classify.Normalizer.NormalizationKey), "destinationAddress"))
+      .collect()(0).getSeq[String](0)
+    assert(vals == Seq("1.2.3.4"))
+  }
+
   test("cloudtrail: json_path + envelope-free explosion config survives") {
     assume(confDir.isDirectory)
     val ct = LogSchema.loadConfJson(new String(java.nio.file.Files.readAllBytes(
