@@ -555,6 +555,39 @@ object Queries {
       .select(col("record.event_id").as("event_id"), col("record.ip").as("ip"))
   }
 
+  // R10: per-rule stats via observe() metrics (shared/stats.py:26-100) —
+  // counts ride the alerts action as AggregateMetrics, zero extra passes;
+  // the query materializes the collected Observation as rows. alerts_total
+  // is the sum of per-rule counts (a record firing k rules is k alerts).
+  register(
+    "r10_rule_stats",
+    """SELECT * FROM (
+      |  SELECT 'any_error' AS rule_name, count(*) AS n FROM events
+      |  WHERE event_type = 'error'
+      |  UNION ALL
+      |  SELECT 'big_value', count(*) FROM events WHERE value > 150
+      |  UNION ALL
+      |  SELECT '__total__',
+      |         (SELECT count(*) FROM events WHERE event_type = 'error')
+      |         + (SELECT count(*) FROM events WHERE value > 150))
+      |ORDER BY rule_name""".stripMargin) { (s, dir) =>
+    import graft.rules.RuleStats
+    val rules = Seq(
+      Rule("any_error", RuleOpts(logs = Seq("demo:json_events")),
+        rec => rec.getField("event_type") === "error"),
+      Rule("big_value", RuleOpts(logs = Seq("demo:json_events")),
+        rec => rec.getField("value") > 150))
+    val alerts = new RulesEngine(rules, deterministicIds = true, clock = Some(fixedClock))
+      .evaluate(classifiedEvents(s, dir), "demo:json_events")
+    val (observed, obs) = RuleStats.observed(alerts, rules)
+    observed.write.mode("overwrite").format("noop").save() // action -> metrics
+    val m = obs.get
+    import s.implicits._
+    (Seq("__total__" -> m("alerts_total").asInstanceOf[Long]) ++
+      rules.map(r => r.name -> m(s"alerts_${r.name}").asInstanceOf[Long]))
+      .toDF("rule_name", "n").orderBy("rule_name")
+  }
+
   // R6b: typed-record deep search (shared/utils.py:79-145 get_keys BFS +
   // base.py:203-224 data_has_value_from_substring_list) over a 3-level
   // nested schema with a string list. The needles hit DIFFERENT branches:
