@@ -985,13 +985,17 @@ object Queries {
       Rule("big_error",
         RuleOpts(logs = Seq("demo:json_events"), outputs = Seq("slack:alerts")),
         rec => rec.getField("event_type") === "error" && rec.getField("value") > 100))
+    // persisted across the two fan-outs: the classify->rules pipeline
+    // evaluates once, both deliveries read the cache
     val alerts = new RulesEngine(rules, deterministicIds = true, clock = Some(fixedClock))
-      .evaluate(classifiedEvents(s, dir), "demo:json_events")
+      .evaluate(classifiedEvents(s, dir), "demo:json_events").persist()
     val dispatchers = Map(
       "aws-firehose" -> Outputs.FileDispatcher(s"$root/aws-firehose"),
       "slack" -> Outputs.FileDispatcher(s"$root/slack"))
-    Outputs.fanOut(alerts, dispatchers)
-    Outputs.fanOut(alerts, dispatchers) // redelivery: ledger gate skips all
+    try {
+      Outputs.fanOut(alerts, dispatchers)
+      Outputs.fanOut(alerts, dispatchers) // redelivery: ledger gate skips all
+    } finally alerts.unpersist()
     Seq("aws-firehose:alerts" -> s"$root/aws-firehose/alerts",
         "slack:alerts" -> s"$root/slack/alerts")
       .map { case (out, path) =>

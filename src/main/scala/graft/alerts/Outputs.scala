@@ -31,12 +31,17 @@ object Outputs {
   final case class FileDispatcher(root: String) extends Dispatcher {
     def dispatch(batch: DataFrame, descriptor: String): Unit = {
       val target = s"$root/$descriptor"
-      val fresh = scala.util.Try(batch.sparkSession.read.parquet(target)) match {
-        case scala.util.Success(sent) =>
-          batch.join(broadcast(sent.select("alert_id").distinct()),
-            Seq("alert_id"), "left_anti")
-        case scala.util.Failure(_) => batch // first delivery: no ledger yet
-      }
+      // explicit FileSystem probe: read analysis is deferred in Spark 4.1,
+      // so a Try around read.parquet would not catch a missing first-
+      // delivery dir until the write executes
+      val hPath = new org.apache.hadoop.fs.Path(target)
+      val fs = hPath.getFileSystem(
+        batch.sparkSession.sparkContext.hadoopConfiguration)
+      val fresh =
+        if (fs.exists(hPath))
+          batch.join(broadcast(batch.sparkSession.read.parquet(target)
+            .select("alert_id").distinct()), Seq("alert_id"), "left_anti")
+        else batch // first delivery: no ledger yet
       fresh.write.mode("append").parquet(target)
     }
   }
@@ -62,19 +67,25 @@ object Outputs {
     * per-alert array column; dispatchers are keyed by service name. */
   def fanOut(batch: DataFrame, dispatchers: Map[String, Dispatcher],
       publishersByOutput: Map[String, Seq[String]] = Map.empty): Unit = {
+    // one action per output PLUS the distinct scan below all read `batch` —
+    // cache it so the upstream pipeline (classify -> rules) evaluates once
+    // per fan-out, not once per output
     val perOutput = batch
       .select(col("*"), explode(col("outputs")).as("__output"))
       .where(col("__output").contains(":"))
-    val outputs = perOutput.select("__output").distinct()
-      .collect().map(_.getString(0))
-    outputs.foreach { out =>
-      val Array(service, descriptor) = out.split(":", 2)
-      dispatchers.get(service).foreach { d =>
-        val published = Publishers.publish(
-          perOutput.where(col("__output") === out).drop("__output"),
-          publishersByOutput.getOrElse(out, Nil))
-        d.dispatch(published, descriptor)
+      .persist()
+    try {
+      val outputs = perOutput.select("__output").distinct()
+        .collect().map(_.getString(0))
+      outputs.foreach { out =>
+        val Array(service, descriptor) = out.split(":", 2)
+        dispatchers.get(service).foreach { d =>
+          val published = Publishers.publish(
+            perOutput.where(col("__output") === out).drop("__output"),
+            publishersByOutput.getOrElse(out, Nil))
+          d.dispatch(published, descriptor)
+        }
       }
-    }
+    } finally perOutput.unpersist()
   }
 }
