@@ -287,6 +287,26 @@ object Queries {
         col("record.v").as("v"))
   }
 
+  // O1b: json_regex_key — a JSON blob embedded in a string field (the
+  // osquery-via-syslog shape) regex-extracted then parsed
+  // (parsers.py:520,565-593).
+  register(
+    "o1b_json_regex_key",
+    "SELECT event_id, event_type FROM events") { (s, dir) =>
+    import graft.core.FieldType._
+    val schema = graft.core.LogSchema(
+      name = "demo:json_regex", parser = graft.core.ParserKind.Json,
+      schema = TStruct.of("event_id" -> TInteger, "event_type" -> TString),
+      jsonRegexKey = Some("data"))
+    val raw = t(s, dir, "events").select(
+      to_json(struct(
+        concat(lit("app[123]: "),
+          to_json(struct(col("event_id"), col("event_type")))).as("data"))).as("line"))
+    new Classifier(Seq(schema)).classify(raw, "line").forType("demo:json_regex")
+      .select(col("record.event_id").as("event_id"),
+        col("record.event_type").as("event_type"))
+  }
+
   // O2: CSV parser — positional columns to schema keys.
   register(
     "o2_csv_parser",

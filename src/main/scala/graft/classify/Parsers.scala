@@ -463,7 +463,12 @@ final case class CompiledSchema(s: LogSchema) {
         val withChild =
           if (jsonPathPlan.isEmpty && s.jsonRegexKey.isEmpty)
             df.withColumn("__child", value)
-          else df.withColumn("__child", childJson(explode(childrenArray(value))))
+          else df
+            // generators cannot nest inside expressions: explode into a
+            // column first, then apply the regex-key/embedded transform
+            .withColumn("__child0", explode(childrenArray(value)))
+            .withColumn("__child", childJson(col("__child0")))
+            .drop("__child0")
         withChild
           // parse once per child; record derives from the attribute
           .withColumn("__raw", from_json(col("__child"), rawStructType))
