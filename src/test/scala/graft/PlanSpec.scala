@@ -41,6 +41,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("r7_threat_intel").contains("BroadcastHashJoin"))
   }
 
+  test("typed deep search stays a shuffle-free codegen'd predicate") {
+    val p = plan("r6b_deep_search")
+    assert(!p.contains("Exchange"), "deep search must not shuffle")
+    assert(!p.contains("BatchEvalPython") && !p.contains("UDF"),
+      "deep search must compile to built-in expressions, not UDFs")
+  }
+
+  test("KV parse unrolls to codegen'd splits, no str_to_map fallback") {
+    val p = plan("o3b_kv_duplicate_keys")
+    assert(!p.contains("Exchange"))
+    assert(!p.contains("str_to_map"), "KV path must avoid CodegenFallback str_to_map")
+  }
+
   test("LSH dedup pipelines read their signature stage from cache") {
     // every self-join/verify branch must read the materialized signature
     // stage (InMemoryTableScan), not recompute it from a fresh corpus scan
