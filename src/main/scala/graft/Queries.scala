@@ -1213,6 +1213,34 @@ object Queries {
       .orderBy("event_id")
   }
 
+  // A5b: community publisher library — record_only + enumerate_fields
+  // (dotted-path flattening, generic.py:115-168) and populate_fields (deep
+  // get_keys extraction, generic.py:171-203) — publication JSON checked
+  // byte-for-byte against SQL-built strings.
+  register(
+    "a5b_publishers_library",
+    """SELECT event_id,
+      |       '{"record.event_id":' || event_id
+      |         || ',"record.event_type":"' || event_type
+      |         || '","record.who.uid":' || user_id || '}' AS enum_pub,
+      |       '{"uid":[' || user_id || ']}' AS pop_pub
+      |FROM events""".stripMargin) { (s, dir) =>
+    import graft.alerts.Publishers
+    val alerts = t(s, dir, "events").select(
+      md5(col("event_id").cast("string")).as("alert_id"),
+      lit("pub_demo").as("rule_name"),
+      struct(col("event_id"), col("event_type"),
+        struct(col("user_id").as("uid")).as("who")).as("record"),
+      lit(false).as("staged"))
+    Publishers.register("populate_uid")(Publishers.populateFields(Seq("uid")))
+    val enumPub = Publishers.publish(alerts, Seq("record_only", "enumerate_fields"))
+      .select(col("alert_id"), col("record.event_id").as("event_id"),
+        col("publication").as("enum_pub"))
+    val popPub = Publishers.publish(alerts, Seq("populate_uid"))
+      .select(col("alert_id"), col("publication").as("pop_pub"))
+    enumPub.join(popPub, "alert_id").drop("alert_id")
+  }
+
   // ---------------------------------------------------------------------------
   // Training-data pipeline operators: dedup family, ANN, text analysis,
   // multimodal plumbing (documents/embeddings tables)

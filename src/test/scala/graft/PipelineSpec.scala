@@ -177,8 +177,11 @@ class PipelineSpec extends AnyFunSuite {
         .forType("demo:events"), "demo:events")
       .withColumn("staged", lit(false))
     val published = Publishers.publish(alerts, Seq("strip_record", "remove_internal_fields"))
-    assert(!published.columns.contains("record"))
-    assert(published.select("publication").as[String].collect()(0).contains("\"rule_name\":\"big\""))
+    val pubJson = published.select("publication").as[String].collect()(0)
+    assert(!pubJson.contains("\"record\"")) // stripped from the publication
+    assert(published.columns.contains("record")) // ...but kept for dispatch bookkeeping
+    assert(pubJson.contains("\"rule_name\":\"big\""))
+    assert(!pubJson.contains("\"staged\""))
     val tmp = java.nio.file.Files.createTempDirectory("graft_out").toString
     Outputs.fanOut(alerts, Map("aws-firehose" -> Outputs.FileDispatcher(tmp)))
     assert(spark.read.parquet(s"$tmp/alerts").count() == 1)
