@@ -1367,6 +1367,27 @@ object Queries {
     Similarity.lshTopK(e, queries, k = 3, planes = 6).orderBy("q_id", "rank")
   }
 
+  // Token-bounded chunking with overlap (context-window prep): chunk i
+  // covers words [i*48, i*48+64), every word covered, zero shuffle.
+  register(
+    "t5_chunking",
+    """WITH w AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(text, '\s+'), x -> x != '') AS words
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, words,
+      |         unnest(generate_series(0, greatest(len(words) - 17, 0) // 48)) AS chunk_idx
+      |  FROM w)
+      |SELECT doc_id, chunk_idx,
+      |       array_to_string(list_slice(words, chunk_idx*48 + 1, chunk_idx*48 + 64), ' ')
+      |         AS chunk_text,
+      |       least(len(words) - chunk_idx*48, 64) AS chunk_words
+      |FROM c""".stripMargin) { (s, dir) =>
+    TextAnalysis.chunkDocuments(t(s, dir, "documents"), "text", "doc_id",
+      chunkWords = 64, overlapWords = 16)
+  }
+
   // Text analysis: token counts (whitespace + BPE-ish), punctuation ratio.
   register(
     "t1_token_counts",

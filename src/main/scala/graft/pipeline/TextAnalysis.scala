@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -81,4 +81,33 @@ object TextAnalysis {
     * polynomial rolling hash see [[graft.functions.RollingHash]]. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
+
+  /** Token-bounded chunking with overlap — the context-window prep op for
+    * training pipelines. Chunk i covers words [i*step, i*step+chunkWords),
+    * step = chunkWords − overlapWords; the last chunk is the first one whose
+    * start reaches past (nWords − overlapWords), so every word is covered
+    * and no chunk is a pure suffix of its predecessor.
+    *
+    * Scale shape: tokens materialize ONCE per doc (the generator input is a
+    * cheap int sequence, not the token array — SCALE.md lesson 3), one
+    * posexplode per doc, zero shuffle; output rows carry (doc_id, chunk_idx,
+    * chunk_text, chunk_words). */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+      chunkWords: Int = 64, overlapWords: Int = 16): DataFrame = {
+    require(chunkWords > overlapWords && overlapWords >= 0,
+      "chunkWords must exceed overlapWords")
+    val step = chunkWords - overlapWords
+    val lastChunk = floor(
+      greatest(size(col("__toks")) - overlapWords - 1, lit(0))
+        .cast(DoubleType) / step).cast("int")
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        explode(sequence(lit(0), lastChunk)).as("chunk_idx"))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        array_join(slice(col("__toks"), col("chunk_idx") * step + 1, lit(chunkWords)),
+          " ").as("chunk_text"),
+        least(size(col("__toks")) - col("chunk_idx") * step, lit(chunkWords))
+          .as("chunk_words"))
+  }
 }
