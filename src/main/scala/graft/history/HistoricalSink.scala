@@ -52,4 +52,28 @@ object HistoricalSink {
       table: String): Unit =
     spark.read.parquet(s"$root/${Sanitizer.sanitizeName(logType)}")
       .createOrReplaceTempView(table)
+
+  /** generate_firehose_name (firehose.py:305-336): delivery-stream name
+    * `<prefix_>streamalert_<log>`, `\W`→`_` sanitized; when longer than the
+    * 64-char Firehose limit, truncate to 56, normalize the tail to exactly
+    * one trailing underscore, and append the first chars of the full name's
+    * md5 up to the limit. Config-time naming — kept for store-layout parity
+    * so a reference deployment's directory names carry over. */
+  def firehoseStreamName(prefix: String, logStreamName: String): String = {
+    val p = if (prefix.nonEmpty) prefix + "_" else ""
+    val name = s"${p}streamalert_$logStreamName".replaceAll("\\W", "_")
+    val maxLen = 64
+    val hashLen = 8
+    if (name.length <= maxLen) name
+    else {
+      val cut = name.substring(0, maxLen - hashLen)
+      val base =
+        if (cut.endsWith("_")) cut
+        else if (cut.charAt(cut.length - 2) != '_') cut.dropRight(1) + "_"
+        else cut.dropRight(2) + "_"
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(name.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (base + md5).take(maxLen)
+    }
+  }
 }

@@ -170,6 +170,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(promoted == Map("staged_a" -> false, "staged_b" -> true))
   }
 
+  test("firehose stream-name generation matches the reference algorithm") {
+    import graft.history.HistoricalSink.firehoseStreamName
+    // expected values computed with the reference's generate_firehose_name
+    // (firehose.py:305-336) on these inputs
+    assert(firehoseStreamName("prod", "cloudwatch:events")
+      == "prod_streamalert_cloudwatch_events")
+    assert(firehoseStreamName("", "osquery:differential")
+      == "streamalert_osquery_differential")
+    assert(firehoseStreamName("myverylongcompanyprefix",
+      "carbonblack:ingress.event.procstart.extremely.long")
+      == "myverylongcompanyprefix_streamalert_carbonblack_ingress_74d3b3de")
+    assert(firehoseStreamName("x" * 40, "a_b")
+      == "x" * 40 + "_streamalert_a_b")
+  }
+
   test("publishers chain + file output dispatch") {
     val alerts = engine.evaluate(
       new graft.classify.Classifier(Seq(schema))
