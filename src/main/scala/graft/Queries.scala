@@ -307,6 +307,24 @@ object Queries {
         col("record.event_type").as("event_type"))
   }
 
+  // O1c: embedded_json — json_path children that are STRINGIFIED JSON,
+  // parsed a second time (parsers.py:546-563; the CloudWatch-Logs shape).
+  register(
+    "o1c_embedded_json",
+    "SELECT event_id, event_type FROM events") { (s, dir) =>
+    import graft.core.FieldType._
+    val schema = graft.core.LogSchema(
+      name = "demo:json_embedded", parser = graft.core.ParserKind.Json,
+      schema = TStruct.of("event_id" -> TInteger, "event_type" -> TString),
+      jsonPath = Some("logs[]"), embeddedJson = true)
+    val raw = t(s, dir, "events").select(
+      to_json(struct(array(
+        to_json(struct(col("event_id"), col("event_type")))).as("logs"))).as("line"))
+    new Classifier(Seq(schema)).classify(raw, "line").forType("demo:json_embedded")
+      .select(col("record.event_id").as("event_id"),
+        col("record.event_type").as("event_type"))
+  }
+
   // O2: CSV parser — positional columns to schema keys.
   register(
     "o2_csv_parser",
