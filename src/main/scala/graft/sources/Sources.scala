@@ -12,20 +12,12 @@ import org.apache.spark.sql.types.{BinaryType, StringType}
   * pollers (S4) are out of engine scope (SURVEY §7.6). */
 object Sources {
 
-  /** S1 Kinesis payloads arrive base64'd and possibly gzip'd
-    * (classifier/payload/kinesis.py). unbase64 is built-in; gunzip is a
-    * boundary decode implemented as a vectorizable UDF over binary. */
-  private val gunzipUdf = udf { (bytes: Array[Byte]) =>
-    if (bytes == null) null
-    else if (bytes.length > 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte) {
-      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
-    } else new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-  }
-
-  /** Decode a kinesis-style record: base64 → (transparent) gunzip → text. */
-  def decodeKinesisData(data: Column): Column = gunzipUdf(unbase64(data))
+  /** Decode a kinesis-style record: base64 → (transparent) gunzip → text
+    * (classifier/payload/kinesis.py). unbase64 is built-in; gunzip is the
+    * native codegen'd expression [[graft.functions.Gunzip]] — the decode
+    * stays inside the whole-stage generated loop, no UDF boundary. */
+  def decodeKinesisData(data: Column): Column =
+    graft.functions.Gunzip.gunzip(unbase64(data))
 
   /** Attach the payload envelope metadata (service + resource — the
     * resource mapper, payload_base.py:248-253). */
