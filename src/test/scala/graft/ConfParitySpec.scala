@@ -74,6 +74,29 @@ class ConfParitySpec extends AnyFunSuite {
     assert(vals == Seq("1.2.3.4"))
   }
 
+  test("cluster data_sources filters candidate schemas per (service, resource)") {
+    val clusterFile = new java.io.File("/root/reference/conf/clusters/prod.json")
+    assume(clusterFile.isFile && confDir.isDirectory)
+    val ds = DataSources.loadClusterJson(new String(
+      java.nio.file.Files.readAllBytes(clusterFile.toPath), "UTF-8"))
+    assert(ds.contains("kinesis"))
+    val schemas = confDir.listFiles().filter(_.getName.endsWith(".json"))
+      .sortBy(_.getName).toSeq.flatMap(f => LogSchema.loadConfJson(
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")))
+    val (resource, allowed) = ds("kinesis").head
+    val cands = DataSources.candidates(schemas, ds, "kinesis", resource)
+    assert(cands.nonEmpty)
+    assert(cands.map(_.name.split(':').head).forall(allowed.contains))
+    // order preserved for first-match-wins classification
+    assert(cands == schemas.filter(cands.contains))
+    intercept[IllegalArgumentException] {
+      DataSources.candidates(schemas, ds, "nope", resource)
+    }
+    intercept[IllegalArgumentException] {
+      DataSources.candidates(schemas, ds, "kinesis", "not-a-resource")
+    }
+  }
+
   test("cloudtrail: json_path + envelope-free explosion config survives") {
     assume(confDir.isDirectory)
     val ct = LogSchema.loadConfJson(new String(java.nio.file.Files.readAllBytes(
