@@ -1285,6 +1285,22 @@ object Queries {
       shingleWords = 2, numHashes = 32, bands = 8, threshold = 0.5)
   }
 
+  // Incremental near-dup (the 100 TB operating mode): even doc_ids act as
+  // the staged corpus signature store, odd doc_ids as the arriving batch —
+  // only the batch is shingled/signed; cross-batch dups surface via the
+  // bucket join against the store.
+  registerNoOracle("d2b_dedup_incremental") { (s, dir) =>
+    val d = t(s, dir, "documents")
+    val (storeShingles, storeBuckets) = Dedup.minhashStages(
+      d.where(col("doc_id") % 2 === 0), "text", "doc_id",
+      shingleWords = 2, numHashes = 32, bands = 8)
+    Dedup.minhashNearDupsAgainstStore(
+      d.where(col("doc_id") % 2 === 1), "text", "doc_id",
+      storeShingles, storeBuckets,
+      shingleWords = 2, numHashes = 32, bands = 8, threshold = 0.5)
+      .orderBy("id_new", "id_store")
+  }
+
   // SimHash near-dup: 64-bit fingerprint, hamming <= 6, chunk-bucketed.
   registerNoOracle("d3_dedup_simhash") { (s, dir) =>
     Dedup.simhashNearDups(t(s, dir, "documents"), "text", "doc_id", maxDist = 6)

@@ -37,6 +37,18 @@ object Dedup {
     df.join(canon, Seq(idCol), "left_semi")
   }
 
+  /** Streaming ingestion dedup: drop redeliveries of the same document
+    * within the watermark horizon. State carries ONLY the 16-byte
+    * fingerprint + event time (dropDuplicatesWithinWatermark evicts state
+    * as the watermark advances), so an unbounded stream holds bounded
+    * state — the at-least-once source → exactly-once-ish corpus gate. */
+  def streamingDropExactDuplicates(df: DataFrame, textCol: String,
+      tsCol: String, watermark: String): DataFrame =
+    df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   // -------------------------------------------------------------------------
   // MinHash + LSH
   // -------------------------------------------------------------------------
@@ -139,20 +151,9 @@ object Dedup {
     // cost (shingling + the 32-permutation signature) from a fresh corpus
     // scan — AQE's broadcast of the bucket join defeats ReuseExchange. At
     // 100 TB the equivalent is a staged write of the signature table.
-    val shingled = df.select(
-      col(idCol).as("id"),
-      wordShingles(col(textCol), shingleWords).as("shingles"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val buckets = shingled
-      // base hashes AND the signature are materialized columns: the band
-      // array references the signature 16×, and inlining would re-run the
-      // whole fold per band (measured 30s+ single-threaded inside a
-      // broadcast build at sf0.1)
-      .withColumn("__h", transform(col("shingles"), s => xxhash64(s)))
-      .withColumn("__sig", minhashSignatureFromHashes(col("__h"), numHashes))
-      .select(col("id"),
-        explode(lshBands(col("__sig"), bands, numHashes / bands)).as("b"))
-      .select(col("id"), col("b.band"), col("b.bucket"))
+    val (shingledRaw, buckets) = minhashStages(df, textCol, idCol,
+      shingleWords, numHashes, bands)
+    val shingled = shingledRaw.persist(StorageLevel.MEMORY_AND_DISK)
     val ranked = buckets
       .withColumn("rn", row_number().over(
         Window.partitionBy("band", "bucket").orderBy("id")))
@@ -163,6 +164,58 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** The two materialization stages of the minhash pipeline:
+    * (id, shingles) and the exploded (id, band, bucket) rows. At 100 TB
+    * these ARE the signature store schema — write both as staged tables
+    * and the corpus text is never re-shingled. */
+  def minhashStages(df: DataFrame, textCol: String, idCol: String,
+      shingleWords: Int = 3, numHashes: Int = 32, bands: Int = 8)
+      : (DataFrame, DataFrame) = {
+    val shingled = df.select(
+      col(idCol).as("id"),
+      wordShingles(col(textCol), shingleWords).as("shingles"))
+    val buckets = shingled
+      // base hashes AND the signature are materialized columns: the band
+      // array references the signature 16×, and inlining would re-run the
+      // whole fold per band (measured 30s+ single-threaded inside a
+      // broadcast build at sf0.1)
+      .withColumn("__h", transform(col("shingles"), s => xxhash64(s)))
+      .withColumn("__sig", minhashSignatureFromHashes(col("__h"), numHashes))
+      .select(col("id"),
+        explode(lshBands(col("__sig"), bands, numHashes / bands)).as("b"))
+      .select(col("id"), col("b.band"), col("b.bucket"))
+    (shingled, buckets)
+  }
+
+  /** Incremental near-dup — the 100 TB operating mode: dedupe a NEW batch
+    * against an existing corpus signature store (the minhashStages tables,
+    * staged to parquet) without touching corpus text. Signatures compute
+    * for the batch only; the bucket join ships (id, band, bucket) rows; the
+    * verify re-attaches shingles by id from each side (the batch side from
+    * cache, the store side by a join that AQE broadcasts the rare candidate
+    * ids into). Returns (id_new, id_store, jaccard). */
+  def minhashNearDupsAgainstStore(newDocs: DataFrame, textCol: String,
+      idCol: String, storeShingles: DataFrame, storeBuckets: DataFrame,
+      shingleWords: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.7): DataFrame = {
+    val (newShingledRaw, newBuckets) = minhashStages(newDocs, textCol, idCol,
+      shingleWords, numHashes, bands)
+    val newShingled = newShingledRaw.persist(StorageLevel.MEMORY_AND_DISK)
+    val candidates = newBuckets.as("n")
+      .join(storeBuckets.as("s"), Seq("band", "bucket"))
+      .select(col("n.id").as("id_new"), col("s.id").as("id_store"))
+      .where(col("id_new") =!= col("id_store")) // store may already hold the doc
+      .dropDuplicates("id_new", "id_store")
+    candidates
+      .join(newShingled.select(col("id").as("id_new"), col("shingles").as("sh_n")),
+        "id_new")
+      .join(storeShingles.select(col("id").as("id_store"), col("shingles").as("sh_s")),
+        "id_store")
+      .withColumn("jaccard", jaccard(col("sh_n"), col("sh_s")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_store"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** Exact Jaccard over two string arrays. */

@@ -38,6 +38,47 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc clean
   }
 
+  test("incremental minhash: new batch dedupes against the signature store") {
+    // corpus batch -> staged signature store; new batch computes signatures
+    // for ITS docs only and finds cross-batch near-dups via the bucket join
+    val corpus = docs.where(col("doc_id") <= 2)
+    val (storeShingles, storeBuckets) = Dedup.minhashStages(
+      corpus, "text", "doc_id", shingleWords = 2, numHashes = 32, bands = 16)
+    val newBatch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),  // dup of store 0/1
+      (11L, "entirely novel text that matches nothing at all"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.minhashNearDupsAgainstStore(newBatch, "text", "doc_id",
+      storeShingles, storeBuckets,
+      shingleWords = 2, numHashes = 32, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.contains((10L, 0L)) && hits.contains((10L, 1L)))
+    assert(!hits.exists(_._1 == 11L))
+  }
+
+  test("streaming exact dedup drops redeliveries within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData(
+      (1L, "doc one text", ts("2024-01-01 00:00:00")),
+      (2L, "doc one text", ts("2024-01-01 00:00:05")),   // redelivery
+      (3L, "doc two text", ts("2024-01-01 00:00:10")))
+    val deduped = Dedup.streamingDropExactDuplicates(
+      input.toDF().toDF("doc_id", "text", "event_ts"),
+      "text", "event_ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      assert(q.awaitTermination(120000), "streaming dedup did not finish")
+      val texts = spark.sql("SELECT text FROM dedup_out")
+        .collect().map(_.getString(0)).sorted
+      assert(texts.toSeq == Seq("doc one text", "doc two text"))
+    } finally q.stop()
+  }
+
   test("simhash near-dups by hamming distance") {
     val pairs = Dedup.simhashNearDups(docs, "text", "doc_id", maxDist = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
