@@ -149,6 +149,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.length == 1 && got(0) == 3L) // its own twin vector
   }
 
+  test("IVF and LSH ANN recall vs brute force on the sf0.001 embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def topSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topSet(Similarity.bruteForceTopK(e, queries, k = 3))
+    val ivf = topSet(Similarity.ivfTopK(e, queries, k = 3, nLists = 8, nProbe = 4))
+    val lsh = topSet(Similarity.lshTopK(e, queries, k = 3, planes = 4))
+    // probing half the lists / 4-plane buckets must recover most of the
+    // exact neighborhood — a floor, not an exact match (they're approximate)
+    assert(ivf.intersect(exact).size >= exact.size / 2,
+      s"IVF recall ${ivf.intersect(exact).size}/${exact.size}")
+    assert(lsh.intersect(exact).size >= exact.size / 3,
+      s"LSH recall ${lsh.intersect(exact).size}/${exact.size}")
+  }
+
   test("text analysis: tokens, quality, langid, fingerprints") {
     val r = Seq("The quick brown fox, jumps!").toDF("text").select(
       TextAnalysis.tokenCount(col("text")).as("n"),

@@ -54,6 +54,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("str_to_map"), "KV path must avoid CodegenFallback str_to_map")
   }
 
+  test("historical store reads prune dt partitions at the file level") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("plan_hist").toString
+    val df = spark.range(100).select(
+      col("id"), lit("x").as("v"),
+      (lit(1704067200L) + col("id") % 3 * 3600L).cast("timestamp").as("created"))
+    graft.history.HistoricalSink.write(df, root, "demo:events")
+    val read = spark.read.parquet(s"$root/demo_events")
+      .where(col("dt") === "2024-01-01-00")
+    val p = read.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("dt"),
+      "dt predicate must prune at the partition level")
+    assert(read.count() == 34) // ids ≡ 0 mod 3
+  }
+
   test("LSH dedup pipelines read their signature stage from cache") {
     // every self-join/verify branch must read the materialized signature
     // stage (InMemoryTableScan), not recompute it from a fresh corpus scan
