@@ -15,6 +15,32 @@ import org.apache.spark.sql.functions._
   * becomes idempotent sink writes keyed by (alert_id, output). */
 object Outputs {
 
+  /** conf/outputs.json loader: service -> configured descriptors. The
+    * reference validates every alert output against this registry before
+    * dispatch (alert_processor resolves `service:descriptor` here); value
+    * shapes vary per service (object keyed by descriptor, array of
+    * descriptors, or a single string). */
+  def loadOutputsJson(json: String): Map[String, Seq[String]] = {
+    import scala.jdk.CollectionConverters._
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    root.properties().asScala.map { e =>
+      val v = e.getValue
+      val descriptors =
+        if (v.isObject) v.properties().asScala.map(_.getKey).toSeq
+        else if (v.isArray) v.elements().asScala.map(_.asText).toSeq
+        else Seq(v.asText)
+      e.getKey -> descriptors
+    }.toMap
+  }
+
+  /** Is `service:descriptor` declared in the outputs conf? */
+  def isConfigured(output: String, conf: Map[String, Seq[String]]): Boolean =
+    output.split(":", 2) match {
+      case Array(service, descriptor) =>
+        conf.get(service).exists(_.contains(descriptor))
+      case _ => false
+    }
+
   sealed trait Dispatcher {
     /** Dispatch one micro-batch for one output descriptor; must be
       * idempotent on (alert_id, output). */

@@ -47,6 +47,56 @@ final case class DataFrameLookupTable(df: DataFrame, keyCol: String, valueCol: S
   }
 }
 
+object LookupTables {
+  /** One table's entry in conf/lookup_tables.json. */
+  final case class TableConf(name: String, driver: String,
+      params: Map[String, String])
+
+  /** Parse conf/lookup_tables.json (`tables` -> driver + params; the
+    * reference's core.py config surface). Cache/TTL knobs become no-ops:
+    * the Spark analogue is per-batch plan rebuild (map tier) or broadcast
+    * refresh (join tier). */
+  def parseConfJson(json: String): Seq[TableConf] = {
+    import scala.jdk.CollectionConverters._
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    Option(root.get("tables")).map(_.properties().asScala.map { e =>
+      val params = e.getValue.properties().asScala
+        .map(p => p.getKey -> p.getValue.asText).toMap
+      TableConf(e.getKey, params.getOrElse("driver",
+        throw new IllegalArgumentException(s"table ${e.getKey} has no driver")),
+        params)
+    }.toSeq).getOrElse(Seq.empty)
+  }
+
+  /** Materialize configured tables. The S3 driver's whole-JSON-doc fetch
+    * (driver_s3.py:135-157) is pluggable via `s3Fetch(bucket, key)` (no
+    * egress here; production plugs an S3 client); the DynamoDB driver
+    * (driver_dynamodb.py) maps to a join-tier DataFrame supplied by
+    * `dynamoSource`. */
+  def fromConf(confs: Seq[TableConf],
+      s3Fetch: (String, String) => String,
+      dynamoSource: TableConf => DataFrame): LookupTables = {
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    new LookupTables(confs.map { c =>
+      c.driver match {
+        case "s3" =>
+          val doc = s3Fetch(c.params("bucket"), c.params("key"))
+          val data = mapper.readTree(doc).properties().asScala
+            .map(e => e.getKey -> (if (e.getValue.isTextual) e.getValue.asText
+              else e.getValue.toString)).toMap
+          c.name -> (MapLookupTable(data): LookupTable)
+        case "dynamodb" =>
+          val df = dynamoSource(c)
+          c.name -> (DataFrameLookupTable(df,
+            c.params("partition_key"), c.params("value_key")): LookupTable)
+        case other =>
+          throw new IllegalArgumentException(s"unknown lookup driver: $other")
+      }
+    }.toMap)
+  }
+}
+
 final class LookupTables(tables: Map[String, LookupTable]) {
 
   /** Rule-author surface: LookupTables.get('table', key, default)

@@ -77,3 +77,25 @@ final class ThreatIntel(
     * rules/community/onelogin/onelogin_events_threat_intel_example.py:24). */
   def isIoc(df: DataFrame): Column = size(map_keys(col(IocKey))) > 0
 }
+
+object ThreatIntel {
+  /** conf/threat_intel.json loader: `normalized_ioc_types` maps ioc_type ->
+    * list of normalized keys (threat_intel.py:64-102; inverted here to the
+    * per-key mapping the candidate extraction wants) and `excluded_iocs`
+    * maps ioc_type -> {value-or-CIDR -> {comment}}. The DynamoDB table the
+    * conf names is supplied as the `iocTable` DataFrame — the engine-side
+    * equivalent of the batch lookup client. */
+  def fromConfJson(json: String, iocTable: DataFrame): ThreatIntel = {
+    import scala.jdk.CollectionConverters._
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val normToIoc = Option(root.get("normalized_ioc_types")).map(
+      _.properties().asScala.flatMap { e =>
+        e.getValue.elements().asScala.map(k => k.asText -> e.getKey)
+      }.toMap).getOrElse(Map.empty)
+    val excluded = Option(root.get("excluded_iocs")).map(
+      _.properties().asScala.map { e =>
+        e.getKey -> e.getValue.properties().asScala.map(_.getKey).toSeq
+      }.toMap).getOrElse(Map.empty[String, Seq[String]])
+    new ThreatIntel(iocTable, normToIoc, excluded)
+  }
+}

@@ -74,6 +74,67 @@ class ConfParitySpec extends AnyFunSuite {
     assert(vals == Seq("1.2.3.4"))
   }
 
+  test("threat_intel / lookup_tables / outputs conf files load and wire up") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def read(p: String) = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+    assume(new java.io.File("/root/reference/conf/threat_intel.json").isFile)
+
+    // threat_intel.json: ioc-type mapping inverted, exclusions honored
+    val ioc = Seq(("1.2.3.4", "ip")).toDF("ioc_value", "sub_type")
+    val ti = graft.rules.ThreatIntel.fromConfJson(
+      read("/root/reference/conf/threat_intel.json"), ioc)
+    val norm = Seq(1).toDF("x")
+      .withColumn(graft.classify.Normalizer.RecordIdKey, lit("r1"))
+      .withColumn(graft.classify.Normalizer.NormalizationKey,
+        map(lit("sourceAddress"), array(struct(
+          array(lit("1.2.3.4")).as("values"),
+          lit(null).cast("string").as("function"),
+          lit(true).as("send_to_artifacts")))).cast(
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            graft.classify.Normalizer.entryType)))
+    val annotated = ti.annotate(norm)
+    val hit = annotated.select(element_at(col(ti.IocKey), "ip")).collect()(0)
+    assert(hit.getSeq[String](0) == Seq("1.2.3.4"))
+    // 10.x is RFC1918-excluded by the reference conf
+    val norm10 = norm.withColumn(graft.classify.Normalizer.NormalizationKey,
+      map(lit("sourceAddress"), array(struct(
+        array(lit("10.1.2.3")).as("values"),
+        lit(null).cast("string").as("function"),
+        lit(true).as("send_to_artifacts")))).cast(
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          graft.classify.Normalizer.entryType)))
+    assert(ti.annotate(norm10).select(size(map_keys(col(ti.IocKey))))
+      .collect()(0).getInt(0) == 0)
+
+    // lookup_tables.json: s3 tier -> plan-literal map, dynamo tier -> join
+    val confs = graft.rules.LookupTables.parseConfJson(
+      read("/root/reference/conf/lookup_tables.json"))
+    assert(confs.map(_.driver).toSet == Set("dynamodb", "s3"))
+    val tables = graft.rules.LookupTables.fromConf(confs,
+      s3Fetch = (_, _) => """{"k1":"v1"}""",
+      dynamoSource = _ => Seq(("pk1", "pv1")).toDF("partition-key", "value-column"))
+    val got = Seq("k1").toDF("k")
+      .select(tables.get("s3-backed-table", col("k"), lit("dflt")))
+      .collect()(0).getString(0)
+    assert(got == "v1")
+    val joined = tables.joinLookup(Seq("pk1").toDF("k"),
+      "dynamo-backed-table", col("k"), "v")
+    assert(joined.select("v").collect()(0).getString(0) == "pv1")
+
+    // outputs.json: service -> descriptors across all three value shapes
+    val outs = graft.alerts.Outputs.loadOutputsJson(
+      read("/root/reference/conf/outputs.json"))
+    assert(graft.alerts.Outputs.isConfigured("aws-lambda:sample-lambda", outs))
+    assert(graft.alerts.Outputs.isConfigured("aws-s3:bucket", outs))
+    assert(!graft.alerts.Outputs.isConfigured("aws-s3:nope", outs))
+    assert(!graft.alerts.Outputs.isConfigured("not-a-service:x", outs))
+  }
+
   test("cluster data_sources filters candidate schemas per (service, resource)") {
     val clusterFile = new java.io.File("/root/reference/conf/clusters/prod.json")
     assume(clusterFile.isFile && confDir.isDirectory)
