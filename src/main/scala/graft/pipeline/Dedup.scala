@@ -199,12 +199,19 @@ object Dedup {
   def minhashNearDupsAgainstStore(newDocs: DataFrame, textCol: String,
       idCol: String, storeShingles: DataFrame, storeBuckets: DataFrame,
       shingleWords: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, maxBucketPairing: Int = 64): DataFrame = {
     val (newShingledRaw, newBuckets) = minhashStages(newDocs, textCol, idCol,
       shingleWords, numHashes, bands)
     val newShingled = newShingledRaw.persist(StorageLevel.MEMORY_AND_DISK)
+    // bipartite skew cap: a batch doc sharing a bucket with a viral store
+    // cluster of size k only needs the first `cap` members to decide
+    // duplicate-ness — the cluster's members are interchangeable witnesses
+    val cappedStore = storeBuckets
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("band", "bucket").orderBy("id")))
+      .where(col("__rn") <= maxBucketPairing).drop("__rn")
     val candidates = newBuckets.as("n")
-      .join(storeBuckets.as("s"), Seq("band", "bucket"))
+      .join(cappedStore.as("s"), Seq("band", "bucket"))
       .select(col("n.id").as("id_new"), col("s.id").as("id_store"))
       .where(col("id_new") =!= col("id_store")) // store may already hold the doc
       .dropDuplicates("id_new", "id_store")
