@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.{BinaryType, StringType}
   * (streamalert/classifier/payload/payload_base.py:191-280).
   *
   * The SQS classifier→rules hop (S5) disappears: one pipeline. The app
-  * pollers (S4) are out of engine scope (SURVEY §7.6). */
+  * pollers (S4) are the [[AppPollerSource]] MicroBatchStream connector. */
 object Sources {
 
   /** Decode a kinesis-style record: base64 → (transparent) gunzip → text
