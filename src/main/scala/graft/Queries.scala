@@ -411,6 +411,26 @@ object Queries {
       .orderBy("log_schema_type")
   }
 
+  // O5b: cluster data_sources candidate filtering (classifier.py:82-114) —
+  // two sources declare IDENTICAL schemas; the resource's source config
+  // admits only 'beta', so every record classifies as beta:events even
+  // though alpha:events is declared first and would otherwise win.
+  register(
+    "o5b_data_sources_filter",
+    "SELECT 'beta:events' AS log_schema_type, count(*) AS n FROM events") { (s, dir) =>
+    import graft.core.FieldType._
+    def schemaFor(src: String) = graft.core.LogSchema(
+      name = s"$src:events", parser = graft.core.ParserKind.Json,
+      schema = TStruct.of("event_id" -> TInteger, "event_type" -> TString))
+    val ds = Map("kinesis" -> Map("stream-1" -> Seq("beta")))
+    val candidates = graft.core.DataSources.candidates(
+      Seq(schemaFor("alpha"), schemaFor("beta")), ds, "kinesis", "stream-1")
+    val raw = t(s, dir, "events").select(
+      to_json(struct(col("event_id"), col("event_type"))).as("line"))
+    new Classifier(candidates).classify(raw, "line")
+      .tagged.groupBy("log_schema_type").agg(count(lit(1)).as("n"))
+  }
+
   // O6: type coercion + optional-key zero-value back-fill.
   register(
     "o6_coercion_optionals",
