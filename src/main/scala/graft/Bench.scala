@@ -29,7 +29,11 @@ object Bench {
     for (_ <- 1 to runs; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      // failures must be LOUD: a silently-swallowed exception times as ~0s
+      // and reads as a perf win (bit by the a6 repeat-run bug)
+      try fn(spark, sfDir).count() catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
       samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
       // drop persisted stages (dedup/ANN pipelines cache their signature
       // stage) so every run recomputes rather than reading the cache
