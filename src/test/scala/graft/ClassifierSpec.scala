@@ -149,6 +149,54 @@ class ClassifierSpec extends AnyFunSuite {
     assert(c.invalid.count() == 1)
   }
 
+  test("kv: seeded fuzz against a direct port of the reference extract (parsers.py:786-812)") {
+    // in-test oracle: the reference's _extract_record, ported line-for-line
+    def refExtract(data: String, schemaKeys: Seq[String]): Option[Map[String, String]] = {
+      val fields = data.split(" ").filter(_.nonEmpty)
+      if (fields.length != schemaKeys.length) return None
+      val payload = scala.collection.mutable.LinkedHashMap[String, String]()
+      fields.zipWithIndex.foreach { case (field, index) =>
+        if (field.contains("=")) {
+          val Array(key, value) = field.split("=", 2)
+          if (payload.contains(key)) payload(schemaKeys(index)) = value
+          else payload(key) = value
+        } // else: logged + skipped in the reference
+      }
+      Some(payload.toMap)
+    }
+    val schemaKeys = Seq("k1", "k2", "k3")
+    val dup = LogSchema(
+      name = "test:kv_fuzz", parser = ParserKind.Kv,
+      schema = TStruct.of("k1" -> TString, "k2" -> TString, "k3" -> TString))
+    val rnd = new scala.util.Random(42)
+    val lines = (0 until 300).map { _ =>
+      val n = 2 + rnd.nextInt(3) // 2-4 fields: exercises the count check
+      (0 until n).map { _ =>
+        val key = schemaKeys(rnd.nextInt(3))
+        if (rnd.nextInt(10) == 0) s"v${rnd.nextInt(5)}" // no separator
+        else s"$key=v${rnd.nextInt(5)}"
+      }.mkString(" ")
+    }.distinct
+    val c = classify(Seq(dup), lines)
+    val types = c.tagged.select("value", "log_schema_type").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    val recs = c.forType("test:kv_fuzz")
+      .selectExpr("value", "record.k1", "record.k2", "record.k3").collect()
+      .map(r => r.getString(0) -> Map(
+        "k1" -> r.getString(1), "k2" -> r.getString(2), "k3" -> r.getString(3)))
+      .toMap
+    lines.foreach { line =>
+      // reference validity: exact key-set match after extraction
+      refExtract(line, schemaKeys).filter(_.keySet == schemaKeys.toSet) match {
+        case Some(m) =>
+          assert(types(line).contains("test:kv_fuzz"), s"'$line' should classify")
+          assert(recs(line) == m, s"'$line': ${recs.get(line)} vs $m")
+        case None =>
+          assert(types(line).isEmpty, s"'$line' should NOT classify")
+      }
+    }
+  }
+
   test("csv: nested CSV-in-CSV cell (parsers.py:732-740)") {
     val nested = LogSchema(
       name = "test:csv_nested", parser = ParserKind.Csv,
