@@ -25,7 +25,12 @@ final case class RuleOpts(
     mergeByKeys: Seq[String] = Nil,
     mergeWindowMins: Int = 0,
     publishers: Seq[String] = Nil,
-    description: String = "No rule description provided") {
+    description: String = "No rule description provided",
+    /** static per-rule context dict (rule.py:70-76) — lands on the alert as
+      * a map column, so downstream publishers/outputs read it exactly like
+      * the reference's alert.context (e.g. remove_fields/populate_fields
+      * configuration) */
+    context: Map[String, String] = Map.empty) {
   require(logs.nonEmpty || datatypes.nonEmpty,
     "rule must have either 'logs' or 'datatypes' declared") // rule.py:86-90
 }

@@ -147,6 +147,12 @@ final class RulesEngine(
       perRule(col("rule_name"),
         applicable.map(r => r.name -> lit(r.opts.description)),
         lit("")).as("rule_description"),
+      perRule(col("rule_name"),
+        applicable.map(r => r.name -> (
+          if (r.opts.context.isEmpty) map().cast("map<string,string>")
+          else map(r.opts.context.toSeq.flatMap {
+            case (k, v) => Seq(lit(k), lit(v)) }: _*))),
+        map().cast("map<string,string>")).as("context"),
       rec.as("record"))
     fired.select(alertCols ++ passthrough.map(col): _*)
   }

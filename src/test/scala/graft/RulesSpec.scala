@@ -109,6 +109,20 @@ class RulesSpec extends AnyFunSuite {
     assert(m.getBoolean(0) && m.getBoolean(1) && m.getBoolean(2))
   }
 
+  test("rule context lands on the alert as a map column (rule.py:70-76)") {
+    val typed = Seq((1L, "error")).toDF("event_id", "etype")
+      .select(struct(col("event_id"), col("etype")).as("record"))
+    val rules = Seq(
+      Rule("with_ctx", RuleOpts(logs = Seq("t"),
+        context = Map("populate_fields" -> "event_id", "team" -> "sec")),
+        r => r.getField("etype") === "error"))
+    val alert = new RulesEngine(rules, deterministicIds = true)
+      .evaluate(typed, "t")
+      .select(element_at(col("context"), "team"),
+        element_at(col("context"), "populate_fields")).collect()(0)
+    assert(alert.getString(0) == "sec" && alert.getString(1) == "event_id")
+  }
+
   test("typed deep search: get_keys BFS + data_has_value family (utils.py:79-145)") {
     // the get_keys docstring example: 'path' at root, nested struct, and a
     // list of structs -> all three values, root first
