@@ -125,15 +125,37 @@ final case class CompiledSchema(s: LogSchema) {
   // -------------------------------------------------------------------------
 
   private def patternsOk(record: Column, envelope: Option[Column]): Column = {
+    // a pattern field not declared in the schema can never be "in record" —
+    // the reference logs + returns False (parsers.py:204-211); resolve that
+    // at plan time instead of building an unresolvable getField
+    def declared(parts: Seq[String], st: FieldType.TStruct): Boolean =
+      parts match {
+        case Seq(p) => st.fields.contains(p)
+        case p +: rest => st.fields.get(p) match {
+          case Some(inner: FieldType.TStruct) => declared(rest, inner)
+          // open map: one level of runtime key lookup (deeper values are
+          // raw JSON text, not navigable columns)
+          case Some(FieldType.TAnyMap) => rest.size == 1
+          case _ => false
+        }
+        case _ => false
+      }
     if (s.logPatterns.isEmpty) lit(true)
     else s.logPatterns.map { case (fieldPath, patterns) =>
-      val parts = fieldPath.split('.')
-      val target: Column =
-        if (parts.head == "streamalert:envelope_keys" || parts.head == LogSchema.EnvelopeKey)
-          parts.tail.foldLeft(envelope.getOrElse(lit(null)))((c, p) => c.getField(p))
-        else parts.foldLeft(record)((c, p) => c.getField(p))
-      val str = target.cast(StringType)
-      patterns.map(p => str.rlike(Glob.toRegex(p))).reduce(_ || _)
+      val parts = fieldPath.split('.').toSeq
+      val isEnvelope =
+        parts.head == "streamalert:envelope_keys" || parts.head == LogSchema.EnvelopeKey
+      if (!isEnvelope && !declared(parts, s.schema)) lit(false)
+      else if (isEnvelope && !s.envelope.exists(e => declared(parts.tail, e)))
+        lit(false)
+      else {
+        val target: Column =
+          if (isEnvelope)
+            parts.tail.foldLeft(envelope.getOrElse(lit(null)))((c, p) => c.getField(p))
+          else parts.foldLeft(record)((c, p) => c.getField(p))
+        val str = target.cast(StringType)
+        patterns.map(p => str.rlike(Glob.toRegex(p))).reduce(_ || _)
+      }
     }.reduce(_ && _)
   }
 

@@ -3,11 +3,84 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import scala.jdk.CollectionConverters._
 import graft.classify.{Classifier, Normalizer}
 import graft.core.LogSchema
 import graft.rules.{AlertContext, RulesEngine}
 import graft.alerts.{AlertMerger, Outputs}
 import graft.history.HistoricalSink
+
+/** Everything a reference `conf/` directory declares, in one bundle —
+  * see [[Pipeline.loadConfDir]]. */
+final case class EngineConf(
+    schemas: Seq[LogSchema],
+    dataSources: Map[String, Map[String, Map[String, Seq[String]]]], // cluster -> service -> resource -> source prefixes
+    outputs: Map[String, Seq[String]],
+    lookupTables: Seq[graft.rules.LookupTables.TableConf],
+    threatIntelJson: Option[String])
+
+object Pipeline {
+  private def read(p: java.nio.file.Path): String =
+    new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+
+  /** Parse an existing reference `conf/` directory: the schemas JSON files
+    * under conf/schemas with v1 normalized_types merged in, per-cluster
+    * data_sources, the outputs registry, lookup-table and threat-intel
+    * configs. The switch-over surface: point this at the conf tree a
+    * streamalert deployment already maintains. */
+  def loadConfDir(confDir: String): EngineConf = {
+    val dir = java.nio.file.Paths.get(confDir)
+    val schemaFiles = java.nio.file.Files.list(dir.resolve("schemas")).iterator()
+      .asScala.filter(_.toString.endsWith(".json")).toSeq.sortBy(_.getFileName.toString)
+    val loaded = schemaFiles.flatMap(f => LogSchema.loadConfJson(read(f)))
+    val v1File = dir.resolve("normalized_types.json")
+    val schemas =
+      if (java.nio.file.Files.isRegularFile(v1File))
+        LogSchema.mergeV1Normalization(loaded,
+          LogSchema.loadNormalizedTypesJson(read(v1File)))
+      else loaded
+    val clustersDir = dir.resolve("clusters")
+    val clusters =
+      if (java.nio.file.Files.isDirectory(clustersDir))
+        java.nio.file.Files.list(clustersDir).iterator().asScala
+          .filter(_.toString.endsWith(".json")).map { f =>
+            f.getFileName.toString.stripSuffix(".json") ->
+              graft.core.DataSources.loadClusterJson(read(f))
+          }.toMap
+      else Map.empty[String, Map[String, Map[String, Seq[String]]]]
+    def opt(name: String): Option[String] = {
+      val p = dir.resolve(name)
+      if (java.nio.file.Files.isRegularFile(p)) Some(read(p)) else None
+    }
+    EngineConf(
+      schemas = schemas,
+      dataSources = clusters,
+      outputs = opt("outputs.json").map(graft.alerts.Outputs.loadOutputsJson)
+        .getOrElse(Map.empty),
+      lookupTables = opt("lookup_tables.json")
+        .map(graft.rules.LookupTables.parseConfJson).getOrElse(Seq.empty),
+      threatIntelJson = opt("threat_intel.json"))
+  }
+
+  /** Assemble a runnable pipeline straight from a reference conf directory.
+    * Rules are Scala code (the reference's are Python functions) and are
+    * passed in; schemas, normalization (v1+v2), and candidate filtering all
+    * come from the conf tree. When `cluster`/`service`/`resource` are given,
+    * only the data_sources-declared schemas for that input compete in
+    * classification (classifier.py:82-114). */
+  def fromConfDir(confDir: String, rules: Seq[graft.rules.Rule],
+      cluster: Option[String] = None, service: String = "",
+      resource: String = ""): Pipeline = {
+    val conf = loadConfDir(confDir)
+    val schemas = cluster match {
+      case Some(c) => graft.core.DataSources.candidates(
+        conf.schemas, conf.dataSources(c), service, resource)
+      case None => conf.schemas
+    }
+    new Pipeline(schemas, new RulesEngine(rules),
+      schemas.map(s => s.name -> s.normalization).toMap)
+  }
+}
 
 /** End-to-end wiring (SURVEY §3.1): the five-Lambda topology
   * (classifier ⇒ SQS ⇒ rules engine ⇒ DynamoDB ⇒ merger ⇒ processor)

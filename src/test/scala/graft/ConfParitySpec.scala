@@ -74,6 +74,33 @@ class ConfParitySpec extends AnyFunSuite {
     assert(vals == Seq("1.2.3.4"))
   }
 
+  test("Pipeline.fromConfDir assembles the engine from the reference conf tree") {
+    assume(new java.io.File("/root/reference/conf/schemas").isDirectory)
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val conf = graft.streaming.Pipeline.loadConfDir("/root/reference/conf")
+    assert(conf.schemas.length >= 50)
+    assert(conf.dataSources.contains("prod"))
+    assert(conf.outputs.nonEmpty && conf.lookupTables.nonEmpty)
+    assert(conf.threatIntelJson.isDefined)
+    // v1 normalization merged into the loaded schemas
+    assert(conf.schemas.find(_.name == "cloudtrail:events")
+      .exists(_.normalization.contains("sourceAddress")))
+    // a runnable pipeline over the reference's own fixture event
+    val eventFile = new java.io.File(
+      "/root/reference/rules/community/cloudwatch_events/cloudtrail_put_object_acl_public.json")
+    assume(eventFile.isFile)
+    val events = graft.testing.RuleTestEvent.fromJson(new String(
+      java.nio.file.Files.readAllBytes(eventFile.toPath), "UTF-8"))
+    val rule = graft.rules.Rule("any_cloudwatch",
+      graft.rules.RuleOpts(logs = Seq("cloudwatch:events")),
+      rec => org.apache.spark.sql.functions.lit(true))
+    val pipeline = graft.streaming.Pipeline.fromConfDir(
+      "/root/reference/conf", Seq(rule))
+    val alerts = pipeline.alertsFor(events.map(_.dataJson).toDF("value"))
+    assert(alerts.count() >= 1)
+  }
+
   test("threat_intel / lookup_tables / outputs conf files load and wire up") {
     import org.apache.spark.sql.functions._
     val spark = TestSpark.spark
