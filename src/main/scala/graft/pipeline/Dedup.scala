@@ -269,16 +269,9 @@ object Dedup {
     * capped per bucket (see cappedPairs). */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
       maxDist: Int = 3, maxBucketPairing: Int = 64): DataFrame = {
-    val withSim = df
-      .select(col(idCol).as("id"),
-        transform(TextAnalysis.tokens(lower(col(textCol))), t => xxhash64(t)).as("__th"))
-      .select(col("id"), simhash64FromHashes(col("__th")).as("sim"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val ranked = withSim.select(col("id"), col("sim"),
-      explode(array((0 until 4).map(c => struct(
-        lit(c).as("chunk"),
-        shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("b"))
-      .select(col("id"), col("b.chunk").as("chunk"), col("b.key").as("key"))
+    val (withSimRaw, buckets) = simhashStages(df, textCol, idCol)
+    val withSim = withSimRaw.persist(StorageLevel.MEMORY_AND_DISK)
+    val ranked = buckets
       .withColumn("rn", row_number().over(
         Window.partitionBy("chunk", "key").orderBy("id")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -288,6 +281,46 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .where(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** The simhash store tables: (id, sim) fingerprints and the exploded
+    * (id, chunk, key) pigeonhole buckets — stage these to parquet and new
+    * batches never re-fingerprint the corpus. */
+  def simhashStages(df: DataFrame, textCol: String, idCol: String)
+      : (DataFrame, DataFrame) = {
+    val withSim = df
+      .select(col(idCol).as("id"),
+        transform(TextAnalysis.tokens(lower(col(textCol))), t => xxhash64(t)).as("__th"))
+      .select(col("id"), simhash64FromHashes(col("__th")).as("sim"))
+    val buckets = withSim.select(col("id"),
+      explode(array((0 until 4).map(c => struct(
+        lit(c).as("chunk"),
+        shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("b"))
+      .select(col("id"), col("b.chunk").as("chunk"), col("b.key").as("key"))
+    (withSim, buckets)
+  }
+
+  /** Incremental simhash: a new batch against the staged store — same
+    * bipartite shape as [[minhashNearDupsAgainstStore]]. Returns
+    * (id_new, id_store, hamming). */
+  def simhashNearDupsAgainstStore(newDocs: DataFrame, textCol: String,
+      idCol: String, storeSims: DataFrame, storeBuckets: DataFrame,
+      maxDist: Int = 3, maxBucketPairing: Int = 64): DataFrame = {
+    val (newSimsRaw, newBuckets) = simhashStages(newDocs, textCol, idCol)
+    val newSims = newSimsRaw.persist(StorageLevel.MEMORY_AND_DISK)
+    val cappedStore = storeBuckets
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("chunk", "key").orderBy("id")))
+      .where(col("__rn") <= maxBucketPairing).drop("__rn")
+    newBuckets.as("n").join(cappedStore.as("s"), Seq("chunk", "key"))
+      .select(col("n.id").as("id_new"), col("s.id").as("id_store"))
+      .where(col("id_new") =!= col("id_store"))
+      .dropDuplicates("id_new", "id_store")
+      .join(newSims.select(col("id").as("id_new"), col("sim").as("sim_n")), "id_new")
+      .join(storeSims.select(col("id").as("id_store"), col("sim").as("sim_s")), "id_store")
+      .withColumn("hamming", bit_count(col("sim_n").bitwiseXOR(col("sim_s"))))
+      .where(col("hamming") <= maxDist)
+      .select("id_new", "id_store", "hamming")
   }
 
   // -------------------------------------------------------------------------

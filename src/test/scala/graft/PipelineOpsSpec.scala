@@ -56,6 +56,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!hits.exists(_._1 == 11L))
   }
 
+  test("incremental simhash: new batch against the staged fingerprint store") {
+    val corpus = docs.where(col("doc_id") <= 2)
+    val (storeSims, storeBuckets) = Dedup.simhashStages(corpus, "text", "doc_id")
+    val newBatch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "entirely novel text that matches nothing at all"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.simhashNearDupsAgainstStore(newBatch, "text", "doc_id",
+      storeSims, storeBuckets, maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.contains((10L, 0L)) && hits.contains((10L, 1L)))
+    assert(!hits.exists(_._1 == 11L))
+  }
+
   test("streaming exact dedup drops redeliveries within the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
