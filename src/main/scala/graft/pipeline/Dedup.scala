@@ -357,11 +357,40 @@ object Dedup {
     * The signature stage is persisted (one dot-product sweep per vector);
     * the bucket self-join moves only (id, sig, rn) and candidate pairs
     * re-attach vectors by id from the same cache for the cosine verify. */
+  /** The embedding store table: (id, v, sig) — the signature IS the bucket
+    * key, so one staged table serves both candidate generation and the
+    * cosine verify. */
+  def embeddingStages(df: DataFrame, vecCol: String, idCol: String,
+      planes: Int = 12): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      hyperplaneSignature(col(vecCol), planes).as("sig"))
+
+  /** Incremental embedding near-dup: a new batch of vectors against the
+    * staged (id, v, sig) store — capped bipartite signature join, exact
+    * cosine verify. `planes` must match the store's. Returns
+    * (id_new, id_store, cos). */
+  def embeddingNearDupsAgainstStore(newVecs: DataFrame, vecCol: String,
+      idCol: String, storeSigs: DataFrame, planes: Int = 12,
+      threshold: Double = 0.95, maxBucketPairing: Int = 64): DataFrame = {
+    val newSigs = embeddingStages(newVecs, vecCol, idCol, planes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cappedStore = storeSigs
+      .withColumn("__rn", row_number().over(Window.partitionBy("sig").orderBy("id")))
+      .where(col("__rn") <= maxBucketPairing).drop("__rn")
+    newSigs.select(col("id").as("id_new"), col("v").as("v_n"), col("sig"))
+      .join(cappedStore.select(col("id").as("id_store"), col("v").as("v_s"),
+        col("sig")), Seq("sig"))
+      .where(col("id_new") =!= col("id_store"))
+      .dropDuplicates("id_new", "id_store")
+      .withColumn("cos", cosine(col("v_n"), col("v_s")))
+      .where(col("cos") >= threshold)
+      .select(col("id_new"), col("id_store"), round(col("cos"), 6).as("cos"))
+  }
+
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
       planes: Int = 12, threshold: Double = 0.95,
       maxBucketPairing: Int = 64): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      hyperplaneSignature(col(vecCol), planes).as("sig"))
+    val sigs = embeddingStages(df, vecCol, idCol, planes)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val ranked = sigs.select(col("id"), col("sig"))
       .withColumn("rn", row_number().over(Window.partitionBy("sig").orderBy("id")))

@@ -141,6 +141,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("incremental embedding near-dup against the staged signature store") {
+    val store = Dedup.embeddingStages(Seq(
+      (0L, Array(1.0f, 0.0f, 0.2f, 0.1f)),
+      (2L, Array(-1.0f, 0.5f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding"), "embedding", "vec_id", planes = 8)
+    val newBatch = Seq(
+      (10L, Array(0.99f, 0.01f, 0.2f, 0.1f)),  // near dup of store 0
+      (11L, Array(0.0f, 0.0f, -1.0f, 0.9f)))   // unrelated
+      .toDF("vec_id", "embedding")
+    val hits = Dedup.embeddingNearDupsAgainstStore(newBatch, "embedding",
+      "vec_id", store, planes = 8, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((10L, 0L)))
+  }
+
   test("brute-force ANN top-k matches hand-computed ranking") {
     val corpus = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
