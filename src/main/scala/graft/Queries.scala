@@ -1513,6 +1513,94 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // PII redaction: regexp_replace chain over RE2-compatible patterns. The
+  // corpus text is augmented with synthesized contact strings so every row
+  // exercises all three pattern classes; counts are attributed on the
+  // progressively-redacted text exactly as TextAnalysis.piiCounts does.
+  register(
+    "t6_pii_redact",
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      |    '@example.com from 10.' || CAST(doc_id % 200 AS VARCHAR) ||
+      |    '.0.1 ref ' || CAST(1234567 + doc_id AS VARCHAR) AS t
+      |  FROM documents),
+      |r1 AS (SELECT doc_id, t,
+      |  regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+      |    '<EMAIL>', 'g') AS te FROM aug),
+      |r2 AS (SELECT doc_id, t, te,
+      |  regexp_replace(te, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+      |    '<IPV4>', 'g') AS ti FROM r1)
+      |SELECT doc_id,
+      |  regexp_replace(ti, '\b\d{7,}\b', '<NUMID>', 'g') AS redacted,
+      |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+      |  len(regexp_extract_all(te, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+      |  len(regexp_extract_all(ti, '\b\d{7,}\b')) AS n_numid
+      |FROM r2 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val aug = concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com from 10."), (col("doc_id") % 200).cast("string"),
+      lit(".0.1 ref "), (lit(1234567) + col("doc_id")).cast("string"))
+    val counts = TextAnalysis.piiCounts(aug)
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.piiRedact(aug).as("redacted"),
+      counts(0)._2.as("n_email"),
+      counts(1)._2.as("n_ipv4"),
+      counts(2)._2.as("n_numid"))
+      .orderBy("doc_id")
+  }
+
+  // Deterministic stratified sampling: md5-hex keep-threshold per stratum —
+  // reproducible across engines/cluster sizes, verified bit-for-bit by the
+  // oracle running the same arithmetic.
+  register(
+    "t7_stratified_sample",
+    """SELECT doc_id, lang FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+      |  CASE lang WHEN 'en' THEN '40000000' WHEN 'es' THEN '80000000'
+      |            WHEN 'fr' THEN '33333333' ELSE '00000000' END
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.stratifiedHashSample(t(s, dir, "documents"), "doc_id", "lang",
+      Map("en" -> 0.25, "es" -> 0.5, "fr" -> 0.2))
+      .select("doc_id", "lang").orderBy("doc_id")
+  }
+
+  // Duplicate-cluster labeling: prefix-fingerprint chain edges → min-label
+  // propagation to fixpoint (Dedup.connectedComponents). The oracle computes
+  // the same clusters independently via a window over the fingerprint —
+  // verifying the distributed graph algorithm against a declarative spec.
+  register(
+    "d6_dedup_clusters",
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 80) AS f
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS cluster_id,
+      |         count(*) OVER (PARTITION BY f) AS n
+      |  FROM fp)
+      |SELECT doc_id AS id, cluster_id FROM g WHERE n > 1 ORDER BY id""".stripMargin) { (s, dir) =>
+    Dedup.exactDupClusters(t(s, dir, "documents"), "text", "doc_id", prefixLen = 80)
+      .orderBy("id")
+  }
+
+  // Benchmark decontamination: exact-substring containment of a broadcast
+  // snippet set (the first tier of train/test-overlap filtering).
+  register(
+    "t8_decontaminate",
+    """WITH s AS (
+      |  SELECT DISTINCT substr(text, 1, 60) AS snip FROM documents
+      |  WHERE doc_id % 50 = 0 AND length(text) >= 60)
+      |SELECT d.doc_id, count(*) AS n_matches
+      |FROM documents d JOIN s ON contains(d.text, s.snip)
+      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val snips = docs.where(col("doc_id") % 50 === 0 && length(col("text")) >= 60)
+      .select(substring(col("text"), 1, 60).as("snip")).distinct()
+    TextAnalysis.contaminatedDocs(docs, "text", "doc_id", snips, "snip")
+      .orderBy("doc_id")
+  }
+
   // Multimodal: binary media table with typed metadata + stub frame sampling
   // (decode itself is stubbed; schema/partitioning/batch shape are real).
   register(

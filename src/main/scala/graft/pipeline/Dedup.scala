@@ -225,6 +225,80 @@ object Dedup {
       .select(col("id_new"), col("id_store"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  // -------------------------------------------------------------------------
+  // Cluster labeling (connected components over candidate pairs)
+  // -------------------------------------------------------------------------
+
+  /** Connected components over an undirected edge list (src, dst): the
+    * canonicalization step after any near-dup pass — every document in a
+    * duplicate cluster gets the cluster's minimum id as its label, so
+    * "keep one per cluster" is a single filter.
+    *
+    * Min-label propagation to fixpoint: each round every vertex takes the
+    * minimum label in its closed neighborhood. Converges in graph-diameter
+    * rounds — duplicate clusters are short chains/stars (diameter ≤ a few),
+    * so 3-5 rounds in practice; `maxIter` bounds pathological chains. Each
+    * round is one skinny shuffle of (vertex, label) pairs — at 100 TB the
+    * edge list (near-dup pairs) is tiny next to the corpus, and the
+    * alternating large-star/small-star variant (same primitive ops) is the
+    * drop-in upgrade if diameter ever grows. The convergence check is one
+    * count() per round on labels-that-changed — driver sees a single long.
+    *
+    * Returns (id, cluster_id) for every vertex that appears in an edge. */
+  def connectedComponents(edges: DataFrame, srcCol: String = "id_a",
+      dstCol: String = "id_b", maxIter: Int = 10): DataFrame = {
+    val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = und.groupBy(col("u").as("id"))
+      .agg(least(min(col("v")), first(col("u"))).as("cluster_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // min over neighbours' labels, then min with own label
+      val viaNeighbors = und
+        .join(labels.withColumnRenamed("id", "v"), "v")
+        .groupBy(col("u").as("id"))
+        .agg(min(col("cluster_id")).as("n_min"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "id")
+        .where(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    und.unpersist()
+    labels
+  }
+
+  /** End-to-end duplicate clustering: documents → duplicate pair edges
+    * (consecutive ids within a fingerprint group — a chain, so the label
+    * propagation is genuinely exercised) → connected components. With
+    * `prefixLen` > 0 the fingerprint covers only the first prefixLen
+    * normalized chars (prefix-duplicate clustering — catches truncation /
+    * re-crawl variants that exact hashing misses). Only documents with at
+    * least one duplicate appear in the output. */
+  def exactDupClusters(df: DataFrame, textCol: String, idCol: String,
+      prefixLen: Int = 0): DataFrame = {
+    val norm = regexp_replace(lower(col(textCol)), "[^a-z0-9]", "")
+    val fpCol =
+      if (prefixLen > 0) md5(substring(norm, 1, prefixLen))
+      else TextAnalysis.fingerprint(col(textCol))
+    val fp = df.select(col(idCol).as("id"), fpCol.as("fp"))
+    val nxt = lead(col("id"), 1).over(
+      Window.partitionBy("fp").orderBy("id"))
+    val edges = fp.withColumn("id_b", nxt)
+      .where(col("id_b").isNotNull)
+      .select(col("id").as("id_a"), col("id_b"))
+    connectedComponents(edges)
+  }
+
   /** Exact Jaccard over two string arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast(DoubleType)

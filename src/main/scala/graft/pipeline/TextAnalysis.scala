@@ -82,6 +82,89 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
 
+  // ---------------------------------------------------------------------------
+  // PII redaction
+  // ---------------------------------------------------------------------------
+
+  /** PII patterns kept RE2-compatible (no lookarounds/backrefs) so the same
+    * pattern strings run in Spark (java.util.regex) and any RE2-based
+    * verifier. Ordered: longest/most-specific first so e.g. an email is
+    * redacted as EMAIL, not as a digit run inside it. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "EMAIL" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "IPV4"  -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "NUMID" -> "\\b\\d{7,}\\b")
+
+  /** Scrub PII spans, replacing each with `<TYPE>`. Pure codegen'd
+    * regexp_replace chain — scan-side, zero shuffle at any scale. */
+  def piiRedact(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (acc, (tag, pat)) =>
+      regexp_replace(acc, pat, s"<$tag>")
+    }
+
+  /** Count of PII spans per type (for corpus audit dashboards). */
+  def piiCounts(text: Column): Seq[(String, Column)] = {
+    // count on the progressively-redacted text so overlapping patterns are
+    // attributed once, matching piiRedact's first-wins ordering
+    val redactedBefore = piiPatterns.indices.map { i =>
+      piiPatterns.take(i).foldLeft(text) { case (acc, (tag, pat)) =>
+        regexp_replace(acc, pat, s"<$tag>")
+      }
+    }
+    piiPatterns.zip(redactedBefore).map { case ((tag, pat), base) =>
+      tag -> size(regexp_extract_all(base, lit(pat), lit(0)))
+    }
+  }
+
+  // ---------------------------------------------------------------------------
+  // Deterministic sampling
+  // ---------------------------------------------------------------------------
+
+  /** Hex threshold for a sampling rate: the first 8 md5 hex chars are a
+    * uniform 32-bit draw, and lowercase-hex strings compare lexically in
+    * numeric order — so the keep test is a plain string `<`, identical in
+    * any engine with md5 (no hex→int conversion needed). rate ≥ 1 maps to
+    * "g", lexically above every hex digit. */
+  private def hexThreshold(rate: Double): String = {
+    require(rate >= 0 && rate <= 1, "rate must be in [0,1]")
+    if (rate >= 1.0) "g" else f"${(rate * 4294967296.0).toLong}%08x"
+  }
+
+  /** Deterministic keep-predicate sampling at `rate` via the md5 of the key:
+    * reproducible across runs, engines, and cluster sizes (no RNG state,
+    * no partition sensitivity — the properties `sample()` lacks for
+    * training-data lineage). */
+  def hashSampleKeep(key: Column, rate: Double): Column =
+    substring(md5(key.cast("string")), 1, 8) < lit(hexThreshold(rate))
+
+  /** Stratified deterministic sampling: per-stratum rates, unlisted strata
+    * dropped. One scan-side filter — no shuffle, no driver involvement. */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, stratumCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    val thr = rates.foldLeft(lit("00000000")) { case (acc, (stratum, r)) =>
+      when(col(stratumCol) === stratum, lit(hexThreshold(r))).otherwise(acc)
+    }
+    df.where(substring(md5(col(keyCol).cast("string")), 1, 8) < thr)
+  }
+
+  // ---------------------------------------------------------------------------
+  // Benchmark decontamination
+  // ---------------------------------------------------------------------------
+
+  /** Test-set decontamination: count, per document, the benchmark snippets
+    * it contains as an exact substring (the first filtering tier of
+    * train/test-overlap removal). The snippet set is small — benchmark
+    * suites are thousands of strings — so it broadcasts and the containment
+    * check runs scan-side as a broadcast nested-loop join: no corpus
+    * shuffle, one aggregation over matches only. For pattern sets too big
+    * to O(|doc|·|patterns|)-scan, the upgrade is a shingle equi-join (the
+    * MinHash candidate machinery in [[Dedup]]) — same output contract. */
+  def contaminatedDocs(docs: DataFrame, textCol: String, idCol: String,
+      snippets: DataFrame, snippetCol: String): DataFrame =
+    docs.join(broadcast(snippets), col(textCol).contains(col(snippetCol)))
+      .groupBy(col(idCol).as("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+
   /** Token-bounded chunking with overlap — the context-window prep op for
     * training pipelines. Chunk i covers words [i*step, i*step+chunkWords),
     * step = chunkWords − overlapWords; the last chunk is the first one whose

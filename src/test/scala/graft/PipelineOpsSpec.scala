@@ -247,4 +247,63 @@ class PipelineOpsSpec extends AnyFunSuite {
     val decoded = Multimodal.decodePartitioned(media, 8)
     assert(decoded.count() == 5)
   }
+
+  test("connected components: chain, star, and disjoint clusters converge") {
+    // chain 1-2-3-4-5 (diameter 4 forces multiple propagation rounds),
+    // star 10-{11,12}, isolated edge 20-21
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 4L),
+      (10L, 11L), (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(labels(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(labels(_) == 10L))
+    assert(Seq(20L, 21L).forall(labels(_) == 20L))
+    assert(labels.size == 10)
+  }
+
+  test("exact-dup clustering labels every duplicate with the group minimum") {
+    val labels = Dedup.exactDupClusters(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(0L -> 0L, 1L -> 0L, 4L -> 0L)) // {0,1,4} normalize equal
+  }
+
+  test("pii redaction scrubs emails, ipv4, and long digit runs with counts") {
+    val df = Seq(
+      "mail a@b.co and c.d-e@f.org, host 10.1.2.3, order 123456789, ok 123")
+      .toDF("text")
+    val cols = TextAnalysis.piiRedact(col("text")).as("red") +:
+      TextAnalysis.piiCounts(col("text")).map { case (t, c) => c.as(t) }
+    val out = df.select(cols: _*).collect()(0)
+    assert(out.getString(0) ==
+      "mail <EMAIL> and <EMAIL>, host <IPV4>, order <NUMID>, ok 123")
+    assert(out.getInt(1) == 2 && out.getInt(2) == 1 && out.getInt(3) == 1)
+  }
+
+  test("hash sampling is deterministic, subset-monotone, and near the rate") {
+    val ids = spark.range(0, 4000).toDF("id")
+    val kept20 = ids.where(TextAnalysis.hashSampleKeep(col("id"), 0.2))
+      .as[Long].collect().toSet
+    val kept50 = ids.where(TextAnalysis.hashSampleKeep(col("id"), 0.5))
+      .as[Long].collect().toSet
+    assert(kept20.subsetOf(kept50)) // raising the rate only adds rows
+    assert(math.abs(kept20.size / 4000.0 - 0.2) < 0.03)
+    assert(ids.where(TextAnalysis.hashSampleKeep(col("id"), 1.0)).count() == 4000)
+    assert(ids.where(TextAnalysis.hashSampleKeep(col("id"), 0.0)).count() == 0)
+    // re-evaluation returns the identical set (no RNG state)
+    val again = ids.where(TextAnalysis.hashSampleKeep(col("id"), 0.2))
+      .as[Long].collect().toSet
+    assert(again == kept20)
+    val strat = TextAnalysis.stratifiedHashSample(
+      ids.withColumn("s", when(col("id") % 2 === 0, "a").otherwise("b")),
+      "id", "s", Map("a" -> 1.0)) // keep all of stratum a, drop b entirely
+    assert(strat.where(col("s") === "b").count() == 0)
+    assert(strat.count() == 2000)
+  }
+
+  test("decontamination counts benchmark snippets contained in documents") {
+    val snips = Seq("quick brown fox", "spark engines").toDF("snip")
+    val hits = TextAnalysis.contaminatedDocs(docs, "text", "doc_id", snips, "snip")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L)) // doc 4 punctuated
+  }
 }
