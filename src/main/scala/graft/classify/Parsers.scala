@@ -408,9 +408,19 @@ final case class CompiledSchema(s: LogSchema) {
     case ParserKind.Json =>
       val (typed, castFailed) = coerceStruct(raw, s.schema, s.optionalTopLevelKeys)
       val env = envelopeStruct(value).map(_._1)
-      envelopeOk(value) &&
-        jsonKeyCheck(value, s.schema, s.optionalTopLevelKeys) &&
-        !castFailed && patternsOk(typed, env)
+      // Key-check strategy by schema shape: the Column formulation parses
+      // the payload once per nested level (each get_json_object /
+      // json_object_keys is an independent parse), so for nested schemas
+      // the native one-pass JsonSchemaValid (which also subsumes the
+      // coercion-failure check) is cheaper despite being interpreted; flat
+      // schemas keep the fully codegen'd single json_object_keys path.
+      val hasNestedStruct =
+        s.schema.fields.values.exists(_.isInstanceOf[FieldType.TStruct])
+      val structurallyValid =
+        if (hasNestedStruct)
+          graft.functions.JsonSchemaValid.column(value, s.schema, s.optionalTopLevelKeys)
+        else jsonKeyCheck(value, s.schema, s.optionalTopLevelKeys) && !castFailed
+      envelopeOk(value) && structurallyValid && patternsOk(typed, env)
     case ParserKind.Csv =>
       val (typed, castFailed) = csvCoercedFromRaw(raw)
       val lastField = s.schema.fields.keys.last
