@@ -86,6 +86,36 @@ class ClassifierSpec extends AnyFunSuite {
     assert(c.invalid.count() == 1)
   }
 
+  test("json: nested-struct strictness (native one-pass validation path)") {
+    def line(detail: String) =
+      s"""{"name":"n","count":1,"score":1.0,"ok":true,"detail":$detail}"""
+    val cases = Seq(
+      line("""{"a":"x","b":1}""")          -> true,  // exact nested keys
+      line("""{"a":"x","b":1,"c":2}""")    -> false, // extra nested key
+      line("""{"a":"x"}""")                -> false, // missing nested key
+      line("""{"a":"x","b":"notint"}""")   -> false, // nested coercion failure
+      line("""{"a":"x","b":""}""")         -> true,  // falsey value skipped
+      line("""null""")                     -> false, // required nested struct null
+      line(""""stringnotobject"""")        -> false) // wrong nested shape
+    val c = classify(Seq(jsonSchema), cases.map(_._1))
+    assert(c.forType("test:json").count() == cases.count(_._2))
+    assert(c.invalid.count() == cases.count(!_._2))
+    // two-level nesting with an optional inner struct
+    val deep = LogSchema(
+      name = "test:deep", parser = ParserKind.Json,
+      schema = TStruct.of(
+        "id" -> TInteger,
+        "outer" -> TStruct.of(
+          "mid" -> TStruct.of("leaf" -> TFloat), "tag" -> TString)))
+    val deepCases = Seq(
+      """{"id":1,"outer":{"mid":{"leaf":2.5},"tag":"t"}}"""   -> true,
+      """{"id":1,"outer":{"mid":{"leaf":"x"},"tag":"t"}}"""   -> false, // leaf coercion
+      """{"id":1,"outer":{"mid":{},"tag":"t"}}"""             -> false, // missing leaf
+      """{"id":1,"outer":{"tag":"t"}}"""                      -> false) // missing mid
+    val d = classify(Seq(deep), deepCases.map(_._1))
+    assert(d.forType("test:deep").count() == deepCases.count(_._2))
+  }
+
   test("json_path: one payload explodes into N child records with envelope") {
     val schema = LogSchema(
       name = "cloudtrail:events", parser = ParserKind.Json,
