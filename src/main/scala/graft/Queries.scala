@@ -1513,6 +1513,29 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // Repetition signal: repeated-bigram fraction for quality filtering.
+  register(
+    "t9_repetition",
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             x -> x != '') AS words
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, CASE WHEN len(words) >= 2
+      |    THEN list_transform(generate_series(1, len(words) - 1),
+      |                        i -> words[i] || ' ' || words[i + 1])
+      |    ELSE [] END AS grams
+      |  FROM w)
+      |SELECT doc_id, CASE WHEN len(grams) > 0
+      |  THEN round(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 6)
+      |  ELSE 0.0 END AS rep_frac
+      |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.repetitionFraction(col("text"), 2).as("rep_frac"))
+      .orderBy("doc_id")
+  }
+
   // PII redaction: regexp_replace chain over RE2-compatible patterns. The
   // corpus text is augmented with synthesized contact strings so every row
   // exercises all three pattern classes; counts are attributed on the

@@ -56,6 +56,24 @@ object TextAnalysis {
       lenScore * 0.4 + stopScore * 0.4 + (lit(1.0) - punctPenalty) * 0.2), 6)
   }
 
+  /** Fraction of repeated word n-grams — the Gopher/RefinedWeb-style
+    * repetition signal (1 − |distinct n-grams| / |n-grams|); high values
+    * flag boilerplate/spam for quality filtering. Pure Column, zero
+    * shuffle. (Dedup.wordShingles is the distinct variant of the same
+    * n-gram builder.) */
+  def repetitionFraction(text: Column, n: Int = 2): Column = {
+    val toks = tokens(lower(text))
+    val grams = (1 until n).foldLeft(toks) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k + 1), greatest(size(toks) - k, lit(1))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    val g = array_compact(grams) // zip_with pads the short side with nulls
+    when(size(toks) >= n,
+      round(lit(1.0) -
+        size(array_distinct(g)).cast(DoubleType) / size(g).cast(DoubleType), 6))
+      .otherwise(lit(0.0))
+  }
+
   /** Language-ID by stopword-hit counting (n-gram heuristic): score each
     * language by distinct stopword hits, argmax with first-wins tie-break. */
   def langScores(text: Column, stopwordsByLang: Seq[(String, Seq[String])]): Seq[(String, Column)] = {

@@ -300,6 +300,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(strat.count() == 2000)
   }
 
+  test("repetition fraction flags repeated bigrams, 0 for short/unique text") {
+    val out = Seq(
+      (0L, "spam spam spam spam"),       // bigrams: 3x "spam spam" -> 2/3
+      (1L, "all words are unique here"), // 0.0
+      (2L, "one"),                       // too short -> 0.0
+      (3L, ""))                          // empty -> 0.0
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.repetitionFraction(col("text"), 2).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(0L) - 0.666667) < 1e-6)
+    assert(out(1L) == 0.0 && out(2L) == 0.0 && out(3L) == 0.0)
+  }
+
   test("decontamination counts benchmark snippets contained in documents") {
     val snips = Seq("quick brown fox", "spark engines").toDF("snip")
     val hits = TextAnalysis.contaminatedDocs(docs, "text", "doc_id", snips, "snip")
