@@ -79,4 +79,22 @@ class PlanSpec extends AnyFunSuite {
     }
     spark.catalog.clearCache()
   }
+
+  test("sampling and PII scrub stay scan-side (no shuffle beyond the sort)") {
+    // the single Exchange allowed is the oracle-stability orderBy
+    for (q <- Seq("t7_stratified_sample", "t6_pii_redact", "t9_repetition")) {
+      val p = plan(q)
+      assert(p.split("Exchange").length - 1 <= 1, s"$q: unexpected shuffle")
+      assert(!p.contains("BatchEvalPython") && !p.contains("UDF"), s"$q: UDF in plan")
+    }
+  }
+
+  test("decontamination broadcasts the snippet set, never shuffles the corpus") {
+    val p = plan("t8_decontaminate")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "substring containment must be a broadcast NLJ")
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "corpus must not shuffle or cartesian for the pattern join")
+  }
 }
