@@ -61,7 +61,18 @@ object StreamBench {
       Map(DemoSchemas.jsonEvents.name -> Map.empty))
     val alerts = pipeline.alertsFor(raw)
 
-    val q = alerts.writeStream.format("noop")
+    // SPARK_GRAFT_STREAM_MERGE=1 extends the measured path through the
+    // stateful merge (the pipeline's only shuffle + the state store) —
+    // input rows/sec then reflects the full source→merged-alert topology
+    val mergeMode = sys.env.get("SPARK_GRAFT_STREAM_MERGE").contains("1")
+    val out =
+      if (mergeMode)
+        graft.alerts.AlertMerger.mergeStream(
+          graft.alerts.AlertMerger.fromAlerts(
+            alerts.withColumn("staged", lit(false)))).toDF()
+      else alerts
+
+    val q = out.writeStream.format("noop")
       .option("checkpointLocation",
         s"/tmp/graft_streambench_ckpt_${System.nanoTime()}")
       .start()
@@ -84,7 +95,7 @@ object StreamBench {
     val median = if (steady.isEmpty) 0.0 else steady(steady.size / 2)
     println(s"""{"metric":"stream_records_per_sec","value":${median.round},""" +
       s""""unit":"rec/s","offered":$rate,"secs":$secs,"cpus":$cpus,""" +
-      s""""samples":${steady.size}}""")
+      s""""merge":$mergeMode,"samples":${steady.size}}""")
     spark.stop()
   }
 }
