@@ -239,6 +239,42 @@ object Queries {
       .orderBy("event_type")
   }
 
+  // GROUPING SETS: the general form of q10's ROLLUP (Athena/Presto surface;
+  // Catalyst's Expand operator underneath).
+  register(
+    "q14_grouping_sets",
+    """SELECT l_returnflag, l_linestatus, count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  }
+
+  // Set operations: INTERSECT / EXCEPT between customer segments — the
+  // remaining §2.5 construct family (distinct-based set semantics).
+  register(
+    "q15_setops",
+    """SELECT c_nationkey FROM customer WHERE c_acctbal > 5000
+      |INTERSECT
+      |SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |EXCEPT
+      |SELECT c_nationkey FROM customer WHERE c_acctbal < -950
+      |ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT c_nationkey FROM customer WHERE c_acctbal > 5000
+        |INTERSECT
+        |SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT c_nationkey FROM customer WHERE c_acctbal < -950
+        |ORDER BY c_nationkey""".stripMargin)
+  }
+
   // ---------------------------------------------------------------------------
   // Classifier operators (SURVEY §2.2): each query serializes testdata rows
   // into the wire format the operator consumes, runs the REAL classify
