@@ -52,7 +52,7 @@ object StreamBench {
           (col("value") % 3 + 1).cast("int")),
         lit("""","value":"""), (col("value") % 500).cast("string"),
         lit(""","props":"{\"k\":"""), (col("value") % 10).cast("string"),
-        lit("""}\""}""")).as("value"))
+        lit("""}\"}""")).as("value"))
 
     val rules = Seq(
       Rule("any_purchase", RuleOpts(logs = Seq("demo:json_events")),

@@ -90,7 +90,15 @@ object JsonSchemaValid {
       else if (v.isContainerNode) false
       else {
         val t = v.asText.trim
-        t.isEmpty || scala.util.Try(java.lang.Double.parseDouble(t)).isSuccess
+        // match Spark's string→double cast exactly: it additionally accepts
+        // case-insensitive inf/+inf/-inf/infinity/nan, which
+        // Double.parseDouble alone rejects (probed against try_cast)
+        val special = t.toLowerCase.stripPrefix("+").stripPrefix("-") match {
+          case "inf" | "infinity" | "nan" => true
+          case _ => false
+        }
+        t.isEmpty || special ||
+          scala.util.Try(java.lang.Double.parseDouble(t)).isSuccess
       }
   }
 }

@@ -234,45 +234,67 @@ object Dedup {
     * duplicate cluster gets the cluster's minimum id as its label, so
     * "keep one per cluster" is a single filter.
     *
-    * Min-label propagation to fixpoint: each round every vertex takes the
-    * minimum label in its closed neighborhood. Converges in graph-diameter
-    * rounds — duplicate clusters are short chains/stars (diameter ≤ a few),
-    * so 3-5 rounds in practice; `maxIter` bounds pathological chains. Each
-    * round is one skinny shuffle of (vertex, label) pairs — at 100 TB the
-    * edge list (near-dup pairs) is tiny next to the corpus, and the
-    * alternating large-star/small-star variant (same primitive ops) is the
-    * drop-in upgrade if diameter ever grows. The convergence check is one
-    * count() per round on labels-that-changed — driver sees a single long.
+    * Min-label propagation with pointer jumping: each round every vertex
+    * takes the minimum label over its neighborhood, then contracts one
+    * indirection (label ← label's label — the Shiloach-Vishkin shortcut),
+    * so the reached distance DOUBLES per round and a chain of length n
+    * converges in O(log n) rounds, not n. `maxIter = 16` therefore covers
+    * components of diameter ~2^16; if that is ever exceeded the function
+    * WARNS on stderr rather than silently returning split clusters. Each
+    * round is two skinny shuffles of (vertex, label) pairs — at 100 TB the
+    * edge list (near-dup pairs) is tiny next to the corpus. The convergence
+    * check is one count() per round on labels-that-changed.
+    *
+    * The result is localCheckpoint-ed (lineage truncated, stored as RDD
+    * blocks that the ContextCleaner frees once unreferenced) so no
+    * CacheManager entry outlives the call.
     *
     * Returns (id, cluster_id) for every vertex that appears in an edge. */
   def connectedComponents(edges: DataFrame, srcCol: String = "id_a",
-      dstCol: String = "id_b", maxIter: Int = 10): DataFrame = {
+      dstCol: String = "id_b", maxIter: Int = 16): DataFrame = {
     val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // every round's labels are localCheckpoint-ed: iterative plans otherwise
+    // grow multiplicatively (each round embeds the previous round's tree
+    // several times via the joins), which blows up optimizer/explain cost
+    // long before data size matters. The checkpoint truncates lineage to a
+    // LogicalRDD; block cleanup is the ContextCleaner's once unreferenced.
     var labels = und.groupBy(col("u").as("id"))
       .agg(least(min(col("v")), first(col("u"))).as("cluster_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // min over neighbours' labels, then min with own label
+      // hop 1: min over neighbours' labels, then min with own label
       val viaNeighbors = und
         .join(labels.withColumnRenamed("id", "v"), "v")
         .groupBy(col("u").as("id"))
         .agg(min(col("cluster_id")).as("n_min"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
+      val hopped = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
             .as("cluster_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK) // read by both jump sides
+      // pointer jump: follow the label's own label (labels always point at
+      // existing vertices, so the lookup is total)
+      val next = hopped.as("a")
+        .join(hopped.select(col("id").as("cluster_id"),
+          col("cluster_id").as("parent")).as("b"), Seq("cluster_id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("parent"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "id")
         .where(col("cluster_id") =!= col("old")).count()
-      labels.unpersist()
+      hopped.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      System.err.println(s"[graft] connectedComponents: NOT converged after " +
+        s"$maxIter rounds — labels may split components of diameter > ~2^$maxIter")
     und.unpersist()
     labels
   }
@@ -286,7 +308,7 @@ object Dedup {
     * least one duplicate appear in the output. */
   def exactDupClusters(df: DataFrame, textCol: String, idCol: String,
       prefixLen: Int = 0): DataFrame = {
-    val norm = regexp_replace(lower(col(textCol)), "[^a-z0-9]", "")
+    val norm = TextAnalysis.normalizedText(col(textCol))
     val fpCol =
       if (prefixLen > 0) md5(substring(norm, 1, prefixLen))
       else TextAnalysis.fingerprint(col(textCol))

@@ -94,11 +94,17 @@ object TextAnalysis {
     }
   }
 
-  /** Document fingerprint: md5 over the normalized text (lowercase,
-    * non-alphanumerics stripped) — the exact-dedup key. For a codegen'd
-    * polynomial rolling hash see [[graft.functions.RollingHash]]. */
+  /** Dedup normalization: lowercase, non-alphanumerics stripped. The ONE
+    * definition shared by exact fingerprinting and prefix clustering so the
+    * two can never silently diverge. */
+  def normalizedText(text: Column): Column =
+    regexp_replace(lower(text), "[^a-z0-9]", "")
+
+  /** Document fingerprint: md5 over the normalized text — the exact-dedup
+    * key. For a codegen'd polynomial rolling hash see
+    * [[graft.functions.RollingHash]]. */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
+    md5(normalizedText(text))
 
   // ---------------------------------------------------------------------------
   // PII redaction

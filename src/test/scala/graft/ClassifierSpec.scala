@@ -97,6 +97,17 @@ class ClassifierSpec extends AnyFunSuite {
       line("""{"a":"x","b":""}""")         -> true,  // falsey value skipped
       line("""null""")                     -> false, // required nested struct null
       line(""""stringnotobject"""")        -> false) // wrong nested shape
+    // float leaves must match Spark's cast acceptance: inf/nan spellings
+    // that Double.parseDouble alone rejects are valid (probed vs try_cast)
+    val floatSchema = LogSchema(
+      name = "test:float", parser = ParserKind.Json,
+      schema = TStruct.of("x" -> TFloat, "n" -> TStruct.of("y" -> TFloat)))
+    val fl = classify(Seq(floatSchema), Seq(
+      """{"x":"inf","n":{"y":"-Inf"}}""",
+      """{"x":"nan","n":{"y":"1.5"}}""",
+      """{"x":"notafloat","n":{"y":"1.5"}}"""))
+    assert(fl.forType("test:float").count() == 2)
+    assert(fl.invalid.count() == 1)
     val c = classify(Seq(jsonSchema), cases.map(_._1))
     assert(c.forType("test:json").count() == cases.count(_._2))
     assert(c.invalid.count() == cases.count(!_._2))

@@ -261,6 +261,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(labels.size == 10)
   }
 
+  test("connected components: a 200-node chain converges via pointer jumping") {
+    // one-hop propagation alone would need 199 rounds; the Shiloach-Vishkin
+    // shortcut must close a diameter-199 component within maxIter
+    val edges = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == 200)
+    assert(labels.forall(_._2 == 1L), "every chain member must label to the min id")
+  }
+
   test("exact-dup clustering labels every duplicate with the group minimum") {
     val labels = Dedup.exactDupClusters(docs, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
