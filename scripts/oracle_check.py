@@ -9,7 +9,7 @@ values (floats rounded to 6). This catches type-surface divergences like
 
 Usage: python3 scripts/oracle_check.py <sfDir> <verifyOutDir>
 """
-import sys, json, os
+import sys, json, os, decimal
 import duckdb
 import numpy as np
 import pandas as pd
@@ -21,6 +21,8 @@ TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
 def canon(v):
     if isinstance(v, np.ndarray):  # pandas surfaces list columns as ndarray
         return canon(v.tolist())
+    if isinstance(v, decimal.Decimal):  # duckdb DECIMAL via arrow
+        return canon(float(v))
     if isinstance(v, float) and v != v:
         return "<nan>"  # distinct from NULL: Spark NaN vs oracle NULL must fail
     if v is None or v != v:  # None / NaT
@@ -31,9 +33,12 @@ def canon(v):
         return "[" + ",".join(canon(x) for x in v) + "]"
     return str(v)
 
-def rows_of(df, cols):
-    return sorted(tuple(canon(v) for v in row)
-                  for row in df[cols].itertuples(index=False, name=None))
+def rows_of(tbl, cols):
+    # pyarrow to_pylist preserves None (SQL NULL) vs float('nan') — pandas
+    # float64 columns collapse NULL into NaN, which would make the
+    # '<null>' / '<nan>' distinction in canon() unfireable
+    data = tbl.select(cols).to_pylist()
+    return sorted(tuple(canon(row[c]) for c in cols) for row in data)
 
 def main(sf_dir, out_dir):
     sql = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
@@ -48,16 +53,16 @@ def main(sf_dir, out_dir):
         if not os.path.isdir(qdir):
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            want_df = con.execute(sql[name]).df()
-            got_df = pq.read_table(qdir).to_pandas()
+            want_tbl = con.execute(sql[name]).arrow()
+            got_tbl = pq.read_table(qdir)
         except Exception as e:
             print(f"FAIL {name}: oracle/read error {e}"); n_fail += 1; continue
-        cols = sorted(want_df.columns)
-        if sorted(got_df.columns) != cols:
-            print(f"FAIL {name}: columns {sorted(got_df.columns)} != {cols}")
+        cols = sorted(want_tbl.column_names)
+        if sorted(got_tbl.column_names) != cols:
+            print(f"FAIL {name}: columns {sorted(got_tbl.column_names)} != {cols}")
             n_fail += 1; continue
-        want = rows_of(want_df, cols)
-        got = rows_of(got_df, cols)
+        want = rows_of(want_tbl, cols)
+        got = rows_of(got_tbl, cols)
         if got == want:
             print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
         else:

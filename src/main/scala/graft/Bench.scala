@@ -26,19 +26,26 @@ object Bench {
     // query don't share a hot page cache/JIT state unrealistically
     val samples = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     for (_ <- 1 to runs; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      // failures must be LOUD: a silently-swallowed exception times as ~0s
-      // and reads as a perf win (bit by the a6 repeat-run bug)
-      try fn(spark, sfDir).count() catch { case e: Throwable =>
+      // failures must be LOUD — in the JSON itself, not just stderr: a
+      // swallowed exception would otherwise time as ~0s and read as a
+      // perf win (bit by the a6 repeat-run bug)
+      try {
+        fn(spark, sfDir).count()
+        samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
+      } catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
-      samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
       // drop persisted stages (dedup/ANN pipelines cache their signature
       // stage) so every run recomputes rather than reading the cache
       spark.catalog.clearCache()
     }
+    // a failed query reports -1 (never a time-to-throw) and is excluded
+    // from the total; the "failed" list makes it machine-visible
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
       if (s.isEmpty) -1.0
@@ -50,10 +57,14 @@ object Bench {
       val xs = samples(n)
       n -> (if (xs.isEmpty) 0.0 else xs.max - xs.min)
     }.toMap
+    // Locale.ROOT: the f"" interpolator honors the default locale, and a
+    // comma decimal separator would emit malformed JSON
+    def num(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", d)
     def jmap(m: Map[String, Double]): String =
-      names.map(n => s"\"" + n + "\":" + f"${m(n)}%.3f").mkString("{", ",", "}")
+      names.map(n => s"\"" + n + "\":" + num(m(n))).mkString("{", ",", "}")
     val total = med.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total_median","value":$total,"unit":"sec","runs":$runs,"queries":${jmap(med)},"spread":${jmap(spread)},"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total_median","value":$total,"unit":"sec","runs":$runs,"failed":$failedJson,"queries":${jmap(med)},"spread":${jmap(spread)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

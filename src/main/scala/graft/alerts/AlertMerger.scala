@@ -10,7 +10,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * `merge_key_vals` is the '|'-joined VALUES at `merge_by_keys`,
   * precomputed by RulesEngine column-side over the typed record (paths are
   * plan-time literals there) so grouping needs no reduce- or map-side JSON
-  * parse; null = not precomputed, groupKey falls back to one Jackson parse. */
+  * parse; null = not precomputed, groupKey falls back to one Jackson parse.
+  *
+  * CHECKPOINT COMPATIBILITY: mergeStream stores state as
+  * Encoders.kryo[List[MergeInputAlert]], which serializes by field set —
+  * changing this class's fields invalidates existing streaming checkpoints
+  * (restart from a fresh checkpoint directory after any field change). */
 final case class MergeInputAlert(
     alert_id: String,
     rule_name: String,

@@ -63,11 +63,22 @@ object Outputs {
       val hPath = new org.apache.hadoop.fs.Path(target)
       val fs = hPath.getFileSystem(
         batch.sparkSession.sparkContext.hadoopConfiguration)
-      val fresh =
+      // a dir can exist with NO committed parquet footers (a delivery that
+      // died mid-write leaves target/_temporary only) — treating that as a
+      // readable ledger would fail schema inference and wedge every retry,
+      // so an unreadable/empty ledger means "nothing delivered yet"
+      val ledger =
         if (fs.exists(hPath))
-          batch.join(broadcast(batch.sparkSession.read.parquet(target)
-            .select("alert_id").distinct()), Seq("alert_id"), "left_anti")
-        else batch // first delivery: no ledger yet
+          scala.util.Try {
+            val df = batch.sparkSession.read.parquet(target)
+            df.schema // force analysis NOW — read resolution is deferred in 4.1
+            df.select("alert_id").distinct()
+          }.toOption
+        else None // first delivery: no ledger yet
+      val fresh = ledger match {
+        case Some(sent) => batch.join(broadcast(sent), Seq("alert_id"), "left_anti")
+        case None => batch
+      }
       fresh.write.mode("append").parquet(target)
     }
   }

@@ -6,7 +6,18 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
-/** Deduplication family for training-data pipelines, each shaped for 100 TB:
+/** Deduplication family for training-data pipelines, each shaped for 100 TB.
+  *
+  * CACHING CONTRACT: the batch near-dup entry points persist their
+  * signature stages (MEMORY_AND_DISK) and deliberately do NOT unpersist —
+  * the returned DataFrame still reads them lazily. A caller that invokes
+  * them repeatedly in one session (per-micro-batch loops) should
+  * `spark.catalog.clearCache()` after consuming each result, or use the
+  * `*AgainstStore` incremental mode with parquet-staged stores, which is
+  * the intended operating shape at scale (only the new batch's signatures
+  * are ever cached).
+  *
+  * Family overview:
   *
   *  - exact: one hash-groupBy shuffle on a 16-byte fingerprint (not the text)
   *  - MinHash+LSH: shingle → signature → band-bucket join; candidate pairs

@@ -91,32 +91,41 @@ final class RulesEngine(
     // scalars as their JSON text, nested containers as JSON, absent paths /
     // null values (which to_json omits) -> '(n/a)'.
     val recType = typed.schema("record").dataType.asInstanceOf[StructType]
-    def typedPathValue(path: String): Column = {
+    def typedPathValue(path: String): Option[Column] = {
       val parts = path.split('.').toSeq
       def resolve(dt: DataType, ps: Seq[String]): Option[DataType] = ps match {
         case Seq() => Some(dt)
         case p +: rest => dt match {
           case st: StructType if st.fieldNames.contains(p) => resolve(st(p).dataType, rest)
+          // open-map ({} / TAnyMap) fields: getField navigates map keys too,
+          // the value type is the map's declared value type
+          case mt: MapType => resolve(mt.valueType, rest)
           case _ => None
         }
       }
-      resolve(recType, parts) match {
-        case None => lit("(n/a)")
-        case Some(dt) =>
-          val c = parts.foldLeft(rec)((acc, p) => acc.getField(p))
-          val str = dt match {
-            case StringType => c
-            case _: StructType | _: MapType | _: ArrayType => to_json(c)
-            case TimestampType => date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
-            case _ => c.cast(StringType)
-          }
-          coalesce(str, lit("(n/a)"))
+      resolve(recType, parts).map { dt =>
+        val c = parts.foldLeft(rec)((acc, p) => acc.getField(p))
+        val str = dt match {
+          case StringType => c
+          case _: StructType | _: MapType | _: ArrayType => to_json(c)
+          case TimestampType => date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+          case _ => c.cast(StringType)
+        }
+        coalesce(str, lit("(n/a)"))
       }
     }
     val mergeKeyVals = perRule(col("rule_name"),
-      applicable.map(r => r.name -> (
-        if (r.opts.mergeByKeys.isEmpty) lit("")
-        else concat_ws("|", r.opts.mergeByKeys.map(typedPathValue): _*))),
+      applicable.map { r =>
+        val resolved = r.opts.mergeByKeys.map(typedPathValue)
+        r.name -> (
+          if (r.opts.mergeByKeys.isEmpty) lit("")
+          // any statically-unresolvable path (e.g. through an array) →
+          // NULL, so the merger's groupKey falls back to the Jackson walk
+          // over record_json rather than grouping everything under a
+          // sentinel value
+          else if (resolved.exists(_.isEmpty)) lit(null).cast(StringType)
+          else concat_ws("|", resolved.flatten: _*))
+      },
       lit(""))
 
     val createdCol = clock.map(ts => lit(ts).cast(TimestampType))

@@ -50,10 +50,21 @@ object Sources {
     // try_parse_json is permissive about trailing data (a JSON-lines file
     // "parses" as its first value) where the reference's json.load raises
     // and falls back to jsonlines — so whole-object mode additionally
-    // requires the first line NOT to be complete JSON on its own (a
-    // pretty-printed document's first line is "{"), or a single-line file
+    // requires (a) the document to start as an object/array (a scalar
+    // prefix like "123 abc" must stay a raw line) and (b) multiple lines
+    // whose first is NOT complete JSON on its own (a pretty-printed
+    // document's first line is "{"). Single-line files take line mode — a
+    // one-line JSON doc classifies identically there, and any trailing
+    // garbage is preserved for the dead letter instead of truncated.
+    // Known narrowing vs the reference: two CONCATENATED pretty-printed
+    // docs in one object emit only the first (json.load raises and falls
+    // back to lines); detecting that needs parse positions, which
+    // try_parse_json does not expose.
+    val firstChar = substring(trim(col("value")), 1, 1)
     val firstLineIsJson = try_parse_json(trim(element_at(lines, 1))).isNotNull
-    val wholeMode = asOneJson.isNotNull && (size(lines) === 1 || !firstLineIsJson)
+    val wholeMode = asOneJson.isNotNull &&
+      (firstChar === "{" || firstChar === "[") &&
+      size(lines) > 1 && !firstLineIsJson
     withSourceMetadata(
       whole.select(explode(
         when(wholeMode, array(asOneJson)).otherwise(lines)).as("value")),

@@ -23,6 +23,13 @@ object Pipeline {
   private def read(p: java.nio.file.Path): String =
     new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
 
+  /** Files.list returns a Stream backed by an open DirectoryStream — it
+    * must be closed, or each conf load leaks a file handle. */
+  private def listDir(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = java.nio.file.Files.list(dir)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   /** Parse an existing reference `conf/` directory: the schemas JSON files
     * under conf/schemas with v1 normalized_types merged in, per-cluster
     * data_sources, the outputs registry, lookup-table and threat-intel
@@ -30,8 +37,8 @@ object Pipeline {
     * streamalert deployment already maintains. */
   def loadConfDir(confDir: String): EngineConf = {
     val dir = java.nio.file.Paths.get(confDir)
-    val schemaFiles = java.nio.file.Files.list(dir.resolve("schemas")).iterator()
-      .asScala.filter(_.toString.endsWith(".json")).toSeq.sortBy(_.getFileName.toString)
+    val schemaFiles = listDir(dir.resolve("schemas"))
+      .filter(_.toString.endsWith(".json")).sortBy(_.getFileName.toString)
     val loaded = schemaFiles.flatMap(f => LogSchema.loadConfJson(read(f)))
     val v1File = dir.resolve("normalized_types.json")
     val schemas =
@@ -42,7 +49,7 @@ object Pipeline {
     val clustersDir = dir.resolve("clusters")
     val clusters =
       if (java.nio.file.Files.isDirectory(clustersDir))
-        java.nio.file.Files.list(clustersDir).iterator().asScala
+        listDir(clustersDir)
           .filter(_.toString.endsWith(".json")).map { f =>
             f.getFileName.toString.stripSuffix(".json") ->
               graft.core.DataSources.loadClusterJson(read(f))

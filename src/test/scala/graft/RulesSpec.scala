@@ -156,4 +156,28 @@ class RulesSpec extends AnyFunSuite {
     val env = df.select(Helpers.getKeys(rec, recType, "env").as("envs")).collect()(0)
     assert(env.getSeq[String](0) == Seq("prod"))
   }
+
+  test("merge_key_vals resolves through map-typed fields; arrays fall back to null") {
+    // detail is an open map ({} schema) — the typed path must navigate it
+    // (cloudwatch:events-style mergeByKeys = detail.region); a path through
+    // an ARRAY is not statically resolvable and must yield NULL so the
+    // merger's Jackson fallback does the grouping instead of a sentinel
+    val df = Seq(
+      (1L, Map("region" -> "us-east-1"), Seq("t1")),
+      (2L, Map("region" -> "eu-west-2"), Seq("t2")))
+      .toDF("event_id", "detail", "tags")
+      .select(struct(col("event_id"), col("detail"), col("tags")).as("record"))
+    val viaMap = new RulesEngine(Seq(
+      Rule("by_region", RuleOpts(logs = Seq("demo:map"),
+        mergeByKeys = Seq("detail.region"), mergeWindowMins = 5), _ => lit(true))),
+      deterministicIds = true).evaluate(df, "demo:map")
+      .select("merge_key_vals").as[String].collect().sorted.toSeq
+    assert(viaMap == Seq("eu-west-2", "us-east-1"))
+    val viaArray = new RulesEngine(Seq(
+      Rule("by_tag", RuleOpts(logs = Seq("demo:map"),
+        mergeByKeys = Seq("tags.name"), mergeWindowMins = 5), _ => lit(true))),
+      deterministicIds = true).evaluate(df, "demo:map")
+      .select("merge_key_vals").collect()
+    assert(viaArray.forall(_.isNullAt(0)), "unresolvable path must be null")
+  }
 }
