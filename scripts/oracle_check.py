@@ -1,27 +1,24 @@
 #!/usr/bin/env python3
 """Local replica of the driver's t2 check: run Verify output vs DuckDB oracle.
 
-Mimics the driver's likely compare path: the oracle result goes through
-pandas (`.df()`, where e.g. DuckDB HUGEINT sums become float64), the Spark
-side through parquet, and cells are compared on canonicalized *string*
-values (floats rounded to 6). This catches type-surface divergences like
-`1000.0` vs `1000` that pure Python `==` hides (Decimal(1000) == 1000).
+Mimics the driver's compare: both sides materialize through Arrow
+(`.arrow()` / `pq.read_table` + `to_pylist`), which preserves SQL NULL
+(None) vs float NaN and surfaces DuckDB HUGEINT/DECIMAL as
+decimal.Decimal; cells compare on canonicalized *string* values (floats
+rounded to 6). This catches type-surface divergences like `1000.0` vs
+`1000` that pure Python `==` hides (Decimal(1000) == 1000).
 
 Usage: python3 scripts/oracle_check.py <sfDir> <verifyOutDir>
 """
 import sys, json, os, decimal
 import duckdb
-import numpy as np
-import pandas as pd
 import pyarrow.parquet as pq
 
 TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]
 
 def canon(v):
-    if isinstance(v, np.ndarray):  # pandas surfaces list columns as ndarray
-        return canon(v.tolist())
-    if isinstance(v, decimal.Decimal):  # duckdb DECIMAL via arrow
+    if isinstance(v, decimal.Decimal):  # duckdb HUGEINT/DECIMAL via arrow
         return canon(float(v))
     if isinstance(v, float) and v != v:
         return "<nan>"  # distinct from NULL: Spark NaN vs oracle NULL must fail

@@ -44,15 +44,17 @@ object Bench {
       // stage) so every run recomputes rather than reading the cache
       spark.catalog.clearCache()
     }
-    // a failed query reports -1 (never a time-to-throw) and is excluded
-    // from the total; the "failed" list makes it machine-visible
+    // a query that failed in ANY run reports -1 (never a time-to-throw,
+    // never a partial-sample median) and is excluded from the total; the
+    // "failed" list makes it machine-visible
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
       if (s.isEmpty) -1.0
       else if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val med = names.map(n => n -> median(samples(n))).toMap
+    val med = names.map(n =>
+      n -> (if (failed.contains(n)) -1.0 else median(samples(n)))).toMap
     val spread = names.map { n =>
       val xs = samples(n)
       n -> (if (xs.isEmpty) 0.0 else xs.max - xs.min)

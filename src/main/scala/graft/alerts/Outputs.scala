@@ -65,15 +65,21 @@ object Outputs {
         batch.sparkSession.sparkContext.hadoopConfiguration)
       // a dir can exist with NO committed parquet footers (a delivery that
       // died mid-write leaves target/_temporary only) — treating that as a
-      // readable ledger would fail schema inference and wedge every retry,
-      // so an unreadable/empty ledger means "nothing delivered yet"
+      // readable ledger would fail schema inference and wedge every retry.
+      // ONLY that specific failure may downgrade to "nothing delivered
+      // yet": a transient FS error must propagate, or a healthy ledger
+      // would be ignored and already-sent alerts redelivered.
       val ledger =
         if (fs.exists(hPath))
-          scala.util.Try {
+          try {
             val df = batch.sparkSession.read.parquet(target)
             df.schema // force analysis NOW — read resolution is deferred in 4.1
-            df.select("alert_id").distinct()
-          }.toOption
+            Some(df.select("alert_id").distinct())
+          } catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getMessage.toLowerCase.contains("infer schema") =>
+              None // footers absent: treat as empty ledger
+          }
         else None // first delivery: no ledger yet
       val fresh = ledger match {
         case Some(sent) => batch.join(broadcast(sent), Seq("alert_id"), "left_anti")

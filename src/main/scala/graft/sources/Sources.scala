@@ -60,7 +60,9 @@ object Sources {
     // docs in one object emit only the first (json.load raises and falls
     // back to lines); detecting that needs parse positions, which
     // try_parse_json does not expose.
-    val firstChar = substring(trim(col("value")), 1, 1)
+    // NOT trim(): Spark's trim strips ASCII space only — a document opening
+    // with "\n{" must still whole-parse, so strip the full whitespace class
+    val firstChar = substring(regexp_replace(col("value"), "^\\s+", ""), 1, 1)
     val firstLineIsJson = try_parse_json(trim(element_at(lines, 1))).isNotNull
     val wholeMode = asOneJson.isNotNull &&
       (firstChar === "{" || firstChar === "[") &&
