@@ -1549,6 +1549,18 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // Corpus vocabulary: token-frequency top-k (one pre-aggregated shuffle).
+  register(
+    "t10_vocab_topk",
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                            x -> x != '')) AS tok
+      |  FROM documents)
+      |SELECT tok, count(*) AS n FROM toks
+      |GROUP BY tok ORDER BY n DESC, tok LIMIT 100""".stripMargin) { (s, dir) =>
+    TextAnalysis.vocabularyTopK(t(s, dir, "documents"), "text", 100)
+  }
+
   // Repetition signal: repeated-bigram fraction for quality filtering.
   register(
     "t9_repetition",

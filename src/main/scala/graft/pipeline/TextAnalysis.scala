@@ -172,6 +172,22 @@ object TextAnalysis {
   }
 
   // ---------------------------------------------------------------------------
+  // Corpus vocabulary statistics
+  // ---------------------------------------------------------------------------
+
+  /** Top-k corpus vocabulary by token frequency — the corpus-statistics
+    * shape (vocab building, stopword discovery, Zipf audits). One shuffle:
+    * hash aggregation with map-side partial combine, which is also why no
+    * salting is needed — a skewed token ("the") is pre-summed to one row
+    * per map task before the exchange. The (count desc, token asc) order
+    * makes the top-k cut deterministic under ties. */
+  def vocabularyTopK(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(k)
+
+  // ---------------------------------------------------------------------------
   // Benchmark decontamination
   // ---------------------------------------------------------------------------
 

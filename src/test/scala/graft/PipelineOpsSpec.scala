@@ -323,6 +323,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(1L) == 0.0 && out(2L) == 0.0 && out(3L) == 0.0)
   }
 
+  test("vocabulary top-k counts tokens with deterministic tie order") {
+    val vocab = TextAnalysis.vocabularyTopK(docs, "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // "the" appears 2x in docs 0,1,2,4 => 8; ties broken by token asc
+    assert(vocab(0) == ("the", 8L))
+    assert(vocab.length == 3)
+    assert(vocab.sortBy(t => (-t._2, t._1)).toSeq == vocab.toSeq)
+  }
+
   test("decontamination counts benchmark snippets contained in documents") {
     val snips = Seq("quick brown fox", "spark engines").toDF("snip")
     val hits = TextAnalysis.contaminatedDocs(docs, "text", "doc_id", snips, "snip")
