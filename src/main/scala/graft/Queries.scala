@@ -1549,6 +1549,28 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // Domain extraction: per-domain reference counts (the blocklist /
+  // source-mix audit). URLs are synthesized onto the corpus text so every
+  // row exercises the extractor, mirroring the t6 augmentation pattern.
+  register(
+    "t11_url_domains",
+    """WITH aug AS (
+      |  SELECT 'see https://site' || CAST(doc_id % 20 AS VARCHAR) ||
+      |         '.example.com/p/' || CAST(doc_id AS VARCHAR) || ' ' || text AS t
+      |  FROM documents),
+      |d AS (
+      |  SELECT unnest(regexp_extract_all(lower(t), 'https?://([a-z0-9.-]+)', 1))
+      |    AS domain
+      |  FROM aug)
+      |SELECT domain, count(*) AS n
+      |FROM d GROUP BY domain ORDER BY domain""".stripMargin) { (s, dir) =>
+    val aug = concat(lit("see https://site"), (col("doc_id") % 20).cast("string"),
+      lit(".example.com/p/"), col("doc_id").cast("string"), lit(" "), col("text"))
+    TextAnalysis.domainCounts(
+      t(s, dir, "documents").select(aug.as("t")), "t")
+      .orderBy("domain")
+  }
+
   // Corpus vocabulary: token-frequency top-k (one pre-aggregated shuffle).
   register(
     "t10_vocab_topk",

@@ -172,6 +172,27 @@ object TextAnalysis {
   }
 
   // ---------------------------------------------------------------------------
+  // URL / domain extraction
+  // ---------------------------------------------------------------------------
+
+  /** RE2-compatible URL matcher (scheme + host; path chars up to whitespace). */
+  val urlPattern = "https?://[A-Za-z0-9.-]+(/[^\\s]*)?"
+  private val domainPattern = "https?://([A-Za-z0-9.-]+)"
+
+  /** All URLs in a document (scan-side; the input to domain filtering). */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit(urlPattern), lit(0))
+
+  /** Per-domain reference counts across the corpus — the blocklist /
+    * source-mix audit table of a web-scrape pipeline. One pre-aggregated
+    * shuffle, same shape as [[vocabularyTopK]]. */
+  def domainCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(
+        regexp_extract_all(lower(col(textCol)), lit(domainPattern), lit(1)))
+        .as("domain"))
+      .groupBy("domain").agg(count(lit(1)).as("n"))
+
+  // ---------------------------------------------------------------------------
   // Corpus vocabulary statistics
   // ---------------------------------------------------------------------------
 

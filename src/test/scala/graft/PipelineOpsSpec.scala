@@ -93,6 +93,64 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingestion gate: foreachBatch near-dup vs a growing staged store") {
+    // the 100 TB operating mode end-to-end: each arriving micro-batch is
+    // checked against the parquet-staged signature store, only novel docs
+    // append to the corpus, and THEIR signatures extend the store — so a
+    // near-dup arriving in a LATER batch is caught without re-shingling
+    // any corpus text
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val (shRoot, bkRoot, corpusRoot) =
+      (s"$root/shingles", s"$root/buckets", s"$root/corpus")
+    // seed the store from an initial corpus batch
+    val seed = docs.where(col("doc_id") <= 3)
+    val (sh0, bk0) = Dedup.minhashStages(seed, "text", "doc_id",
+      shingleWords = 2, numHashes = 32, bands = 16)
+    sh0.write.parquet(shRoot); bk0.write.parquet(bkRoot)
+    seed.write.parquet(corpusRoot)
+
+    val input = MemoryStream[(Long, String)]
+    // one checkpointed AvailableNow run per arriving batch (MemoryStream
+    // folds all pending data into one micro-batch otherwise; the shared
+    // checkpoint makes run 2 resume past run 1's offsets)
+    def runGate(): Unit = {
+      val q = input.toDF().toDF("doc_id", "text").writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val hits = Dedup.minhashNearDupsAgainstStore(batch, "text", "doc_id",
+            spark.read.parquet(shRoot), spark.read.parquet(bkRoot),
+            shingleWords = 2, numHashes = 32, bands = 16, threshold = 0.5)
+          val novel = batch.join(
+            hits.select(col("id_new").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          novel.write.mode("append").parquet(corpusRoot)
+          val (shN, bkN) = Dedup.minhashStages(novel, "text", "doc_id",
+            shingleWords = 2, numHashes = 32, bands = 16)
+          shN.write.mode("append").parquet(shRoot)
+          bkN.write.mode("append").parquet(bkRoot)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try assert(q.awaitTermination(180000), "ingestion gate did not finish")
+      finally q.stop()
+    }
+    input.addData(
+      (10L, "the quick brown fox jumps over the lazy dog"), // dup of seed 0/1
+      (11L, "genuinely novel content in the first batch"))
+    runGate()
+    input.addData(
+      (12L, "genuinely novel content in the first batch"),  // dup of 11 (cross-batch)
+      (13L, "another novel document arriving later"))
+    runGate()
+    val corpus = spark.read.parquet(corpusRoot)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // 10 (dup of seed) and 12 (dup of batch-1's 11, via the GROWN store)
+    // are gated out; 11 and 13 land
+    assert(corpus == Seq(0L, 1L, 2L, 3L, 11L, 13L))
+  }
+
   test("simhash near-dups by hamming distance") {
     val pairs = Dedup.simhashNearDups(docs, "text", "doc_id", maxDist = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
