@@ -1549,6 +1549,18 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // Sketch-class operator: HLL++ approximate distinct counts per group —
+  // at 100 TB the ONLY way to count distinct users/URLs/tokens without a
+  // full distinct shuffle (fixed-size sketch per partition, merged). The
+  // estimate is engine-specific so there is no DuckDB hash oracle; the
+  // rows-only check plus PipelineOpsSpec's error-bound test (vs exact,
+  // within 3×rsd) cover it.
+  registerNoOracle("q16_approx_distinct") { (s, dir) =>
+    t(s, dir, "events").groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .orderBy("event_type")
+  }
+
   // Domain extraction: per-domain reference counts (the blocklist /
   // source-mix audit). URLs are synthesized onto the corpus text so every
   // row exercises the extractor, mirroring the t6 augmentation pattern.

@@ -381,6 +381,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(1L) == 0.0 && out(2L) == 0.0 && out(3L) == 0.0)
   }
 
+  test("approx distinct (HLL sketch) lands within the error bound of exact") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val approx = Queries.registry("q16_approx_distinct")(
+      spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, e) <- exact)
+      assert(math.abs(approx(k) - e) <= math.max(3, e * 0.06),
+        s"$k: approx ${approx(k)} vs exact $e outside 3x rsd bound")
+  }
+
   test("vocabulary top-k counts tokens with deterministic tie order") {
     val vocab = TextAnalysis.vocabularyTopK(docs, "text", 3)
       .collect().map(r => (r.getString(0), r.getLong(1)))
