@@ -175,9 +175,11 @@ object TextAnalysis {
   // URL / domain extraction
   // ---------------------------------------------------------------------------
 
-  /** RE2-compatible URL matcher (scheme + host; path chars up to whitespace). */
-  val urlPattern = "https?://[A-Za-z0-9.-]+(/[^\\s]*)?"
-  private val domainPattern = "https?://([A-Za-z0-9.-]+)"
+  /** One host class shared by the URL and domain matchers so they cannot
+    * drift; all RE2-compatible. */
+  private val hostPattern = "[A-Za-z0-9.-]+"
+  val urlPattern = s"https?://$hostPattern(/[^\\s]*)?"
+  private val domainPattern = s"https?://($hostPattern)"
 
   /** All URLs in a document (scan-side; the input to domain filtering). */
   def extractUrls(text: Column): Column =

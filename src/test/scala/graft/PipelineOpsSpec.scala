@@ -119,17 +119,30 @@ class PipelineOpsSpec extends AnyFunSuite {
       val q = input.toDF().toDF("doc_id", "text").writeStream
         .option("checkpointLocation", s"$root/ckpt")
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          val hits = Dedup.minhashNearDupsAgainstStore(batch, "text", "doc_id",
+          // tier 1: intra-batch near-dups (the store only knows PAST
+          // batches) — keep each within-batch pair's smaller id
+          val intra = Dedup.minhashNearDups(batch, "text", "doc_id",
+            shingleWords = 2, numHashes = 32, bands = 16, threshold = 0.5)
+          val batchCanon = batch.join(
+            intra.select(col("id_b").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          // tier 2: survivors vs the staged signature store
+          val hits = Dedup.minhashNearDupsAgainstStore(batchCanon, "text", "doc_id",
             spark.read.parquet(shRoot), spark.read.parquet(bkRoot),
             shingleWords = 2, numHashes = 32, bands = 16, threshold = 0.5)
-          val novel = batch.join(
+          // novel drives 3 actions (corpus append + 2 store appends):
+          // persist so the gate joins execute once, not three times
+          val novel = batchCanon.join(
             hits.select(col("id_new").as("doc_id")).distinct(),
-            Seq("doc_id"), "left_anti")
+            Seq("doc_id"), "left_anti").persist()
           novel.write.mode("append").parquet(corpusRoot)
           val (shN, bkN) = Dedup.minhashStages(novel, "text", "doc_id",
             shingleWords = 2, numHashes = 32, bands = 16)
           shN.write.mode("append").parquet(shRoot)
           bkN.write.mode("append").parquet(bkRoot)
+          // release this batch's gate caches (novel + the dedup-internal
+          // signature stages) — a long-running gate must not accumulate
+          spark.catalog.clearCache()
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -138,7 +151,8 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
     input.addData(
       (10L, "the quick brown fox jumps over the lazy dog"), // dup of seed 0/1
-      (11L, "genuinely novel content in the first batch"))
+      (11L, "genuinely novel content in the first batch"),
+      (14L, "genuinely novel content in the first batch"))  // intra-batch dup of 11
     runGate()
     input.addData(
       (12L, "genuinely novel content in the first batch"),  // dup of 11 (cross-batch)
@@ -146,8 +160,8 @@ class PipelineOpsSpec extends AnyFunSuite {
     runGate()
     val corpus = spark.read.parquet(corpusRoot)
       .select("doc_id").as[Long].collect().sorted.toSeq
-    // 10 (dup of seed) and 12 (dup of batch-1's 11, via the GROWN store)
-    // are gated out; 11 and 13 land
+    // 10 (dup of seed), 14 (intra-batch dup of 11), and 12 (dup of
+    // batch-1's 11, via the GROWN store) are gated out; 11 and 13 land
     assert(corpus == Seq(0L, 1L, 2L, 3L, 11L, 13L))
   }
 
@@ -393,6 +407,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     for ((k, e) <- exact)
       assert(math.abs(approx(k) - e) <= math.max(3, e * 0.06),
         s"$k: approx ${approx(k)} vs exact $e outside 3x rsd bound")
+  }
+
+  test("url extraction captures full urls; domain counts aggregate hosts") {
+    val df = Seq(
+      "see https://a.example.com/x/y and http://b.org plain text",
+      "again https://a.example.com/z").toDF("t")
+    val urls = df.select(TextAnalysis.extractUrls(col("t")).as("u"))
+      .collect().map(_.getSeq[String](0))
+    assert(urls(0) == Seq("https://a.example.com/x/y", "http://b.org"))
+    assert(urls(1) == Seq("https://a.example.com/z"))
+    val domains = TextAnalysis.domainCounts(df, "t")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(domains == Map("a.example.com" -> 2L, "b.org" -> 1L))
   }
 
   test("vocabulary top-k counts tokens with deterministic tie order") {

@@ -89,6 +89,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus aggregations pre-combine: one agg exchange + the sort, no UDFs") {
+    for (q <- Seq("t10_vocab_topk", "t11_url_domains", "q16_approx_distinct")) {
+      val p = plan(q)
+      assert(p.split("Exchange").length - 1 <= 2,
+        s"$q: expected at most agg + order exchanges")
+      assert(p.contains("partial"), s"$q: map-side partial aggregation missing")
+      assert(!p.contains("BatchEvalPython") && !p.contains("UDF"), s"$q: UDF in plan")
+    }
+  }
+
   test("decontamination broadcasts the snippet set, never shuffles the corpus") {
     val p = plan("t8_decontaminate")
     assert(p.contains("BroadcastNestedLoopJoin"),
