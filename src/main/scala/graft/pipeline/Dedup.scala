@@ -9,13 +9,18 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
 /** Deduplication family for training-data pipelines, each shaped for 100 TB.
   *
   * CACHING CONTRACT: the batch near-dup entry points persist their
-  * signature stages (MEMORY_AND_DISK) and deliberately do NOT unpersist —
-  * the returned DataFrame still reads them lazily. A caller that invokes
-  * them repeatedly in one session (per-micro-batch loops) should
-  * `spark.catalog.clearCache()` after consuming each result, or use the
-  * `*AgainstStore` incremental mode with parquet-staged stores, which is
-  * the intended operating shape at scale (only the new batch's signatures
-  * are ever cached).
+  * signature stages (MEMORY_AND_DISK) for the duration of the call ONLY.
+  * Each entry point materializes its (small) pair result eagerly via
+  * `localCheckpoint` and unpersists every stage before returning, so a
+  * session invoking them in a loop (per-micro-batch dedup) holds no
+  * CacheManager entries between calls — no `clearCache()` hygiene is
+  * required of the caller. The returned DataFrame reads the checkpointed
+  * result blocks (candidate pairs — orders of magnitude smaller than the
+  * corpus); the ContextCleaner frees those once the frame is unreferenced,
+  * the same lifetime rule [[connectedComponents]] already uses. The
+  * `*AgainstStore` incremental mode with parquet-staged stores remains the
+  * intended operating shape at scale (only the new batch's signatures are
+  * ever cached, and only within the call).
   *
   * Family overview:
   *
@@ -31,6 +36,15 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * Everything before the bucket joins is pure Column work (no UDFs).
   */
 object Dedup {
+
+  /** Run `result`'s plan NOW (one job; `localCheckpoint` truncates lineage
+    * to the materialized pair blocks) and release every stage cache before
+    * returning — the enforcement point of the caching contract above. The
+    * stages are unpersisted even if the job fails, so an error mid-pipeline
+    * can't leak cache entries either. */
+  private def materializeAndRelease(result: DataFrame, stages: Seq[DataFrame]): DataFrame =
+    try result.localCheckpoint(eager = true)
+    finally stages.foreach(_.unpersist(false))
 
   // -------------------------------------------------------------------------
   // Exact
@@ -149,6 +163,16 @@ object Dedup {
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
       shingleWords: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.7, maxBucketPairing: Int = 64): DataFrame = {
+    val (pairs, stages) = minhashPairsPlan(df, textCol, idCol,
+      shingleWords, numHashes, bands, threshold, maxBucketPairing)
+    materializeAndRelease(pairs, stages)
+  }
+
+  /** The lazy pair plan + its persisted stages (exposed for plan tests;
+    * callers use [[minhashNearDups]], which materializes and releases). */
+  private[graft] def minhashPairsPlan(df: DataFrame, textCol: String, idCol: String,
+      shingleWords: Int, numHashes: Int, bands: Int,
+      threshold: Double, maxBucketPairing: Int): (DataFrame, Seq[DataFrame]) = {
     // Shingle sets are computed ONCE and kept aside; the band-bucket join
     // moves only (id, bucket) pairs — at 16 bands an id is duplicated 16×,
     // but a shingle array would be 16× its full size. Candidate pairs (rare)
@@ -169,12 +193,13 @@ object Dedup {
       .withColumn("rn", row_number().over(
         Window.partitionBy("band", "bucket").orderBy("id")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    cappedPairs(ranked, Seq("band", "bucket"), maxBucketPairing)
+    val pairs = cappedPairs(ranked, Seq("band", "bucket"), maxBucketPairing)
       .join(shingled.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(shingled.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    (pairs, Seq(shingled, ranked))
   }
 
   /** The two materialization stages of the minhash pipeline:
@@ -226,7 +251,7 @@ object Dedup {
       .select(col("n.id").as("id_new"), col("s.id").as("id_store"))
       .where(col("id_new") =!= col("id_store")) // store may already hold the doc
       .dropDuplicates("id_new", "id_store")
-    candidates
+    val pairs = candidates
       .join(newShingled.select(col("id").as("id_new"), col("shingles").as("sh_n")),
         "id_new")
       .join(storeShingles.select(col("id").as("id_store"), col("shingles").as("sh_s")),
@@ -234,6 +259,7 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sh_n"), col("sh_s")))
       .where(col("jaccard") >= threshold)
       .select(col("id_new"), col("id_store"), round(col("jaccard"), 6).as("jaccard"))
+    materializeAndRelease(pairs, Seq(newShingled))
   }
 
   // -------------------------------------------------------------------------
@@ -376,18 +402,25 @@ object Dedup {
     * capped per bucket (see cappedPairs). */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
       maxDist: Int = 3, maxBucketPairing: Int = 64): DataFrame = {
+    val (pairs, stages) = simhashPairsPlan(df, textCol, idCol, maxDist, maxBucketPairing)
+    materializeAndRelease(pairs, stages)
+  }
+
+  private[graft] def simhashPairsPlan(df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int, maxBucketPairing: Int): (DataFrame, Seq[DataFrame]) = {
     val (withSimRaw, buckets) = simhashStages(df, textCol, idCol)
     val withSim = withSimRaw.persist(StorageLevel.MEMORY_AND_DISK)
     val ranked = buckets
       .withColumn("rn", row_number().over(
         Window.partitionBy("chunk", "key").orderBy("id")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    cappedPairs(ranked, Seq("chunk", "key"), maxBucketPairing)
+    val pairs = cappedPairs(ranked, Seq("chunk", "key"), maxBucketPairing)
       .join(withSim.select(col("id").as("id_a"), col("sim").as("sim_a")), "id_a")
       .join(withSim.select(col("id").as("id_b"), col("sim").as("sim_b")), "id_b")
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .where(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
+    (pairs, Seq(withSim, ranked))
   }
 
   /** The simhash store tables: (id, sim) fingerprints and the exploded
@@ -419,7 +452,7 @@ object Dedup {
       .withColumn("__rn", row_number().over(
         Window.partitionBy("chunk", "key").orderBy("id")))
       .where(col("__rn") <= maxBucketPairing).drop("__rn")
-    newBuckets.as("n").join(cappedStore.as("s"), Seq("chunk", "key"))
+    val pairs = newBuckets.as("n").join(cappedStore.as("s"), Seq("chunk", "key"))
       .select(col("n.id").as("id_new"), col("s.id").as("id_store"))
       .where(col("id_new") =!= col("id_store"))
       .dropDuplicates("id_new", "id_store")
@@ -428,6 +461,7 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sim_n").bitwiseXOR(col("sim_s"))))
       .where(col("hamming") <= maxDist)
       .select("id_new", "id_store", "hamming")
+    materializeAndRelease(pairs, Seq(newSims))
   }
 
   // -------------------------------------------------------------------------
@@ -484,7 +518,7 @@ object Dedup {
     val cappedStore = storeSigs
       .withColumn("__rn", row_number().over(Window.partitionBy("sig").orderBy("id")))
       .where(col("__rn") <= maxBucketPairing).drop("__rn")
-    newSigs.select(col("id").as("id_new"), col("v").as("v_n"), col("sig"))
+    val pairs = newSigs.select(col("id").as("id_new"), col("v").as("v_n"), col("sig"))
       .join(cappedStore.select(col("id").as("id_store"), col("v").as("v_s"),
         col("sig")), Seq("sig"))
       .where(col("id_new") =!= col("id_store"))
@@ -492,21 +526,30 @@ object Dedup {
       .withColumn("cos", cosine(col("v_n"), col("v_s")))
       .where(col("cos") >= threshold)
       .select(col("id_new"), col("id_store"), round(col("cos"), 6).as("cos"))
+    materializeAndRelease(pairs, Seq(newSigs))
   }
 
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
       planes: Int = 12, threshold: Double = 0.95,
       maxBucketPairing: Int = 64): DataFrame = {
+    val (pairs, stages) = embeddingPairsPlan(df, vecCol, idCol, planes,
+      threshold, maxBucketPairing)
+    materializeAndRelease(pairs, stages)
+  }
+
+  private[graft] def embeddingPairsPlan(df: DataFrame, vecCol: String, idCol: String,
+      planes: Int, threshold: Double, maxBucketPairing: Int): (DataFrame, Seq[DataFrame]) = {
     val sigs = embeddingStages(df, vecCol, idCol, planes)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val ranked = sigs.select(col("id"), col("sig"))
       .withColumn("rn", row_number().over(Window.partitionBy("sig").orderBy("id")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    cappedPairs(ranked, Seq("sig"), maxBucketPairing)
+    val pairs = cappedPairs(ranked, Seq("sig"), maxBucketPairing)
       .join(sigs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .withColumn("cos", cosine(col("v_a"), col("v_b")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+    (pairs, Seq(sigs, ranked))
   }
 }
