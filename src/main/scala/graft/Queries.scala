@@ -1052,10 +1052,14 @@ object Queries {
   }
 
   // A4/A6: dispatch round-trip (alert_processor/main.py:76-151). Alerts fan
-  // out to per-service FileDispatchers, are dispatched TWICE (a redelivery),
-  // and the result is read back from the sinks — counts stay exactly one per
-  // (alert_id, output) because the sink dir doubles as the outputs_sent
-  // ledger (main.py:99-115).
+  // out to per-service FileDispatchers once; the redelivery proof then runs
+  // the production ledger gate (Outputs.freshAgainst) against the landed
+  // sink read back ONCE — the same frame also yields the final counts, so
+  // the second fan-out's duplicate explode/collect/empty-append jobs fold
+  // away while the idempotence assertion (ledger filters every alert)
+  // stays. Counts are exactly one per (alert_id, output) because the sink
+  // dir doubles as the outputs_sent ledger (main.py:99-115); a true double
+  // fanOut through the dispatcher is pinned at unit scale in PipelineSpec.
   register(
     "a6_dispatch_roundtrip",
     """SELECT * FROM (
@@ -1088,17 +1092,30 @@ object Queries {
       "slack" -> Outputs.FileDispatcher(s"$root/slack"))
     try {
       Outputs.fanOut(alerts, dispatchers)
-      Outputs.fanOut(alerts, dispatchers) // redelivery: ledger gate skips all
-    } finally alerts.unpersist()
-    Seq("aws-firehose:alerts" -> s"$root/aws-firehose/alerts",
+      val sinks = Seq(
+        "aws-firehose:alerts" -> s"$root/aws-firehose/alerts",
         "slack:alerts" -> s"$root/slack/alerts")
-      .map { case (out, path) =>
-        s.read.parquet(path)
-          .select(lit(out).as("output"), col("rule_name"), col("alert_id"))
-      }
-      .reduce(_ unionAll _)
-      .groupBy("output", "rule_name").agg(count(lit(1)).as("n"))
-      .orderBy("output", "rule_name")
+        .map { case (out, path) => out -> s.read.parquet(path).persist() }
+      try {
+        // redelivery: the production gate must filter EVERY alert against
+        // the landed ledger — one union job instead of a second fan-out
+        val redelivered = sinks.map { case (out, sent) =>
+          Outputs.freshAgainst(
+            alerts.where(array_contains(col("outputs"), out)),
+            Some(sent.select("alert_id").distinct()))
+            .select("alert_id")
+        }.reduce(_ unionAll _)
+        require(redelivered.isEmpty,
+          "outputs_sent ledger failed to gate redelivery")
+        sinks.map { case (out, sent) =>
+          sent.select(lit(out).as("output"), col("rule_name"), col("alert_id"))
+        }
+          .reduce(_ unionAll _)
+          .groupBy("output", "rule_name").agg(count(lit(1)).as("n"))
+          .orderBy("output", "rule_name")
+          .localCheckpoint(eager = true) // 3 rows; lets the sink caches release
+      } finally sinks.foreach(_._2.unpersist(false))
+    } finally alerts.unpersist()
   }
 
   // ---------------------------------------------------------------------------

@@ -47,45 +47,56 @@ object Outputs {
     def dispatch(batch: DataFrame, descriptor: String): Unit
   }
 
+  /** The `outputs_sent` ledger of a sink dir (alert_processor/main.py:99-115):
+    * distinct alert_ids already landed there, or None when nothing has been
+    * delivered yet. Factored out of [[FileDispatcher]] so callers proving
+    * redelivery idempotence can run the SAME gate against an already-read
+    * sink frame instead of re-reading the dir. */
+  private[graft] def sinkLedger(
+      spark: org.apache.spark.sql.SparkSession, target: String): Option[DataFrame] = {
+    // explicit FileSystem probe: read analysis is deferred in Spark 4.1,
+    // so a Try around read.parquet would not catch a missing first-
+    // delivery dir until the write executes
+    val hPath = new org.apache.hadoop.fs.Path(target)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a dir can exist with NO committed parquet footers (a delivery that
+    // died mid-write leaves target/_temporary only) — treating that as a
+    // readable ledger would fail schema inference and wedge every retry.
+    // ONLY that specific failure may downgrade to "nothing delivered
+    // yet": a transient FS error must propagate, or a healthy ledger
+    // would be ignored and already-sent alerts redelivered.
+    if (fs.exists(hPath))
+      try {
+        val df = spark.read.parquet(target)
+        df.schema // force analysis NOW — read resolution is deferred in 4.1
+        Some(df.select("alert_id").distinct())
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.toLowerCase.contains("infer schema") =>
+          None // footers absent: treat as empty ledger
+      }
+    else None // first delivery: no ledger yet
+  }
+
+  /** The redelivery gate: alerts in `batch` not yet recorded in `ledger`.
+    * Alert-cardinality broadcast anti-join, never stream-cardinality. */
+  def freshAgainst(batch: DataFrame, ledger: Option[DataFrame]): DataFrame =
+    ledger match {
+      case Some(sent) => batch.join(broadcast(sent), Seq("alert_id"), "left_anti")
+      case None => batch
+    }
+
   /** aws-s3 / aws-firehose analogue: append files under the descriptor dir.
     *
     * The sink dir doubles as the `outputs_sent` ledger
     * (alert_processor/main.py:99-115): redelivered batches anti-join
     * against already-landed alert_ids, so retries after a partial failure
-    * are idempotent on (alert_id, output). The ledger read is
-    * alert-cardinality (broadcast), never stream-cardinality. */
+    * are idempotent on (alert_id, output). */
   final case class FileDispatcher(root: String) extends Dispatcher {
     def dispatch(batch: DataFrame, descriptor: String): Unit = {
       val target = s"$root/$descriptor"
-      // explicit FileSystem probe: read analysis is deferred in Spark 4.1,
-      // so a Try around read.parquet would not catch a missing first-
-      // delivery dir until the write executes
-      val hPath = new org.apache.hadoop.fs.Path(target)
-      val fs = hPath.getFileSystem(
-        batch.sparkSession.sparkContext.hadoopConfiguration)
-      // a dir can exist with NO committed parquet footers (a delivery that
-      // died mid-write leaves target/_temporary only) — treating that as a
-      // readable ledger would fail schema inference and wedge every retry.
-      // ONLY that specific failure may downgrade to "nothing delivered
-      // yet": a transient FS error must propagate, or a healthy ledger
-      // would be ignored and already-sent alerts redelivered.
-      val ledger =
-        if (fs.exists(hPath))
-          try {
-            val df = batch.sparkSession.read.parquet(target)
-            df.schema // force analysis NOW — read resolution is deferred in 4.1
-            Some(df.select("alert_id").distinct())
-          } catch {
-            case e: org.apache.spark.sql.AnalysisException
-                if e.getMessage.toLowerCase.contains("infer schema") =>
-              None // footers absent: treat as empty ledger
-          }
-        else None // first delivery: no ledger yet
-      val fresh = ledger match {
-        case Some(sent) => batch.join(broadcast(sent), Seq("alert_id"), "left_anti")
-        case None => batch
-      }
-      fresh.write.mode("append").parquet(target)
+      freshAgainst(batch, sinkLedger(batch.sparkSession, target))
+        .write.mode("append").parquet(target)
     }
   }
 

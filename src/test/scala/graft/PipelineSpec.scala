@@ -200,6 +200,10 @@ class PipelineSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("graft_out").toString
     Outputs.fanOut(alerts, Map("aws-firehose" -> Outputs.FileDispatcher(tmp)))
     assert(spark.read.parquet(s"$tmp/alerts").count() == 1)
+    // redelivery through the REAL dispatcher path: the sink-dir ledger
+    // anti-join gates the second fan-out, count stays exactly 1
+    Outputs.fanOut(alerts, Map("aws-firehose" -> Outputs.FileDispatcher(tmp)))
+    assert(spark.read.parquet(s"$tmp/alerts").count() == 1)
     // webhook-shaped dispatcher receives (descriptor, publication) pairs
     val sent = scala.collection.mutable.Buffer[(String, String)]()
     Outputs.fanOut(
