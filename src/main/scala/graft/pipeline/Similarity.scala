@@ -44,8 +44,18 @@ object Similarity {
   /** IVF-style ANN: vectors are assigned to their nearest centroid (inverted
     * lists); a query searches only the `nProbe` nearest lists. Centroids are
     * collected to the driver ONCE (k × dim doubles — tiny) and folded into
-    * the plan as literals, so assignment is a scan-side argmin with no
-    * join. */
+    * the plan as ONE matrix literal (`typedlit`), so assignment stays a
+    * scan-side argmin with no join and no shuffle.
+    *
+    * Why a one-ROW broadcast and not per-centroid literals or a k-row
+    * broadcast centroid join: nLists separate `array(lit…)` nodes make the
+    * plan (and codegen) grow O(nLists × dim) — at a production nLists≈4096
+    * analysis alone blows up — while a k-row join needs an argmin over an
+    * nLists× row explosion, i.e. a corpus-cardinality groupBy shuffle that
+    * the scan-side form simply doesn't have. Broadcasting the whole matrix
+    * as a single row (1-row BroadcastNestedLoopJoin — preserves corpus
+    * partitioning) keeps the plan O(1) in nLists and the distance argmin a
+    * per-row higher-order-function loop over the matrix column. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nLists: Int = 16, nProbe: Int = 4,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
@@ -60,23 +70,34 @@ object Similarity {
       .select(col("group"), transform(col("cs"), c => c.getField("centroid")).as("centroid"))
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
 
-    def centroidLit(g: Int): Column =
-      array(cents(g).map(v => lit(v)): _*)
+    // the centroid table as ONE broadcast row: group-id vector + centroid
+    // matrix, index-aligned (only groups the hash populated) — the k×dim
+    // data never appears in the plan text
+    val groupsSorted = cents.keys.toSeq.sorted
+    val session = corpus.sparkSession
+    import session.implicits._
+    val centRow = broadcast(Seq(
+      (groupsSorted, groupsSorted.map(g => cents(g).toSeq)))
+      .toDF("__cent_groups", "__cent_mat"))
+
     def dist2(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
         lit(0.0), (acc, v) => acc + v)
 
-    // nearest-centroid assignment as a plan-literal argmin (no join)
+    // nearest-centroid assignment: argmin over the matrix column (struct
+    // ordering compares d first, then group id for deterministic ties)
     def nearestLists(vec: Column, n: Int): Column = {
-      val scored = array(cents.keys.toSeq.sorted.map(g =>
-        struct(dist2(vec, centroidLit(g)).as("d"), lit(g).as("g"))): _*)
+      val scored = zip_with(col("__cent_mat"), col("__cent_groups"),
+        (c, g) => struct(dist2(vec, c).as("d"), g.as("g")))
       slice(transform(array_sort(scored), s => s.getField("g")), 1, n)
     }
 
-    val invLists = corpus.withColumn("list",
-      nearestLists(col(corpusVec), 1).getItem(0))
-    val probes = queries.withColumn("list",
-      explode(nearestLists(col(queryVec), nProbe)))
+    val invLists = corpus.crossJoin(centRow)
+      .withColumn("list", nearestLists(col(corpusVec), 1).getItem(0))
+      .drop("__cent_groups", "__cent_mat")
+    val probes = queries.crossJoin(centRow)
+      .withColumn("list", explode(nearestLists(col(queryVec), nProbe)))
+      .drop("__cent_groups", "__cent_mat")
     val candidates = invLists.join(broadcast(probes), Seq("list"))
       .where(col(corpusId) =!= col(queryId))
       .withColumn("cos", Dedup.cosine(col(corpusVec), col(queryVec)))

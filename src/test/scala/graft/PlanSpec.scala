@@ -141,6 +141,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF centroid argmin stays O(1) in nLists: one matrix literal, fast planning") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val queries = e.limit(4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val t0 = System.nanoTime()
+    val df = graft.pipeline.Similarity.ivfTopK(e, queries, k = 3,
+      nLists = 256, nProbe = 4)
+    val p = df.queryExecution.executedPlan.toString
+    val planSecs = (System.nanoTime() - t0) / 1e9
+    // nLists=256 × dim literals inlined one-by-one made analysis explode;
+    // the one-row matrix broadcast keeps the plan O(1) in nLists
+    assert(p.length < 100 * 1024, s"plan text blew up: ${p.length} chars")
+    assert(planSecs < 30.0, f"IVF planning took $planSecs%.1f s at nLists=256")
+    assert(!p.contains("SortMergeJoin"), "assignment must not join-shuffle the corpus")
+  }
+
   test("decontamination broadcasts the snippet set, never shuffles the corpus") {
     val p = plan("t8_decontaminate")
     assert(p.contains("BroadcastNestedLoopJoin"),
