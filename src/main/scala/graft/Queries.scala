@@ -1304,6 +1304,60 @@ object Queries {
       .orderBy("event_id")
   }
 
+  // A5c: real publication shapes — the slack default message (header,
+  // mrkdwn'd record attachment with sorted bolded keys / tabbed nesting /
+  // html escape, rule-description pretext; slack.py:68-149,297-412) and the
+  // pagerduty-v2 event (descriptor-namespaced dedup_key, critical payload;
+  // pagerduty.py:56-144) — every published field reconstructed
+  // byte-for-byte in SQL.
+  register(
+    "a5c_publishers_shapes",
+    """SELECT event_id,
+      |  '*StreamAlert Rule Triggered: high_value*' AS slack_text,
+      |  'Record:' AS slack_title,
+      |  '*Rule Description:*' || chr(10) || 'Large value event' || chr(10) AS slack_pretext,
+      |  '*event_id:* ' || event_id || chr(10)
+      |    || '*event_type:* ' || event_type || chr(10)
+      |    || '*note:* a&lt;b&amp;c&quot;d&#x27;e' || chr(10)
+      |    || '*tags:*' || chr(10)
+      |    || chr(9) || '*[1]* x' || chr(10) || chr(9) || '*[2]* y' || chr(10)
+      |    || '*who:*' || chr(10) || chr(9) || '*uid:* ' || user_id AS slack_mrkdwn,
+      |  'demo:' || md5(CAST(event_id AS VARCHAR)) AS pd_dedup_key,
+      |  'StreamAlert Rule Triggered - high_value' AS pd_summary,
+      |  'demo:json_events' AS pd_source,
+      |  'critical' AS pd_severity,
+      |  event_id AS pd_event_id
+      |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import graft.alerts.Publishers
+    val alerts = t(s, dir, "events").where(col("event_id") < 200)
+      .select(
+        md5(col("event_id").cast("string")).as("alert_id"),
+        lit("high_value").as("rule_name"),
+        lit("Large value event").as("rule_description"),
+        lit("demo:json_events").as("log_type"),
+        struct(col("event_id"), col("event_type"),
+          lit("a<b&c\"d'e").as("note"),
+          array(lit("x"), lit("y")).as("tags"),
+          struct(col("user_id").as("uid")).as("who")).as("record"))
+    Publishers.register("pagerduty_v2_demo")(
+      Publishers.pagerDutyV2Event(routingKey = "demo-routing-key", descriptor = "demo"))
+    val slack = Publishers.publish(alerts, Seq("slack_message"))
+      .select(col("alert_id"), col("record.event_id").as("event_id"),
+        get_json_object(col("publication"), "$.text").as("slack_text"),
+        get_json_object(col("publication"), "$.attachments[0].title").as("slack_title"),
+        get_json_object(col("publication"), "$.attachments[0].pretext").as("slack_pretext"),
+        get_json_object(col("publication"), "$.attachments[0].text").as("slack_mrkdwn"))
+    val pd = Publishers.publish(alerts, Seq("pagerduty_v2_demo"))
+      .select(col("alert_id"),
+        get_json_object(col("publication"), "$.dedup_key").as("pd_dedup_key"),
+        get_json_object(col("publication"), "$.payload.summary").as("pd_summary"),
+        get_json_object(col("publication"), "$.payload.source").as("pd_source"),
+        get_json_object(col("publication"), "$.payload.severity").as("pd_severity"),
+        get_json_object(col("publication"), "$.payload.custom_details.record.event_id")
+          .cast("long").as("pd_event_id"))
+    slack.join(pd, "alert_id").drop("alert_id").orderBy("event_id")
+  }
+
   // A5b: community publisher library — record_only + enumerate_fields
   // (dotted-path flattening, generic.py:115-168) and populate_fields (deep
   // get_keys extraction, generic.py:171-203) — publication JSON checked

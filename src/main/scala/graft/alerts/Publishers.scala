@@ -98,4 +98,176 @@ object Publishers {
     }
     df.withColumn(PublicationCol, struct(cols: _*))
   }
+
+  // ---------------------------------------------------------------------------
+  // Real publication shapes (SURVEY §2.4 A5 / S9 practical gap): the slack
+  // attachment layout and the pagerduty-v2 event, as pure column transforms.
+  // The HTTP delivery stays a Dispatcher concern; these produce the exact
+  // payload dicts the reference POSTs.
+  // ---------------------------------------------------------------------------
+
+  /** Python `str(value)` for a scalar column (what the reference's mrkdwn
+    * renderer interpolates with '{}'.format): True/False for booleans,
+    * None for null. */
+  private def pyStr(c: Column, dt: DataType): Column = dt match {
+    case BooleanType =>
+      coalesce(when(c, lit("True")).otherwise(lit("False")), lit("None"))
+    case _ => coalesce(c.cast(StringType), lit("None"))
+  }
+
+  /** slack.py:336-412 `_json_to_slack_mrkdwn`: render a value as indented
+    * mrkdwn lines — dict keys sorted and bolded (`*key:*`), list items
+    * `*[i]*` 1-based, nested non-empty containers on their own header line
+    * with children one tab deeper, scalars inline. The recursion is over
+    * the plan-time schema, so the whole rendering fuses into one
+    * projection; maps (runtime keys) support scalar values. */
+  private[graft] def slackMrkdwnLines(c: Column, dt: DataType, indent: Int): Column = {
+    val pad = "\t" * indent
+    dt match {
+      case st: StructType =>
+        val fieldLines = st.fields.sortBy(_.name).toSeq.map { f =>
+          val child = c.getField(f.name)
+          f.dataType match {
+            case cst: StructType =>
+              // a struct is a dict with plan-time keys: always truthy
+              concat(array(lit(s"$pad*${f.name}:*")),
+                slackMrkdwnLines(child, cst, indent + 1))
+            case at: ArrayType =>
+              when(size(child) > 0,
+                concat(array(lit(s"$pad*${f.name}:*")),
+                  slackMrkdwnLines(child, at, indent + 1)))
+                .otherwise(array(lit(s"$pad*${f.name}:* []")))
+            case mt: MapType =>
+              when(size(child) > 0,
+                concat(array(lit(s"$pad*${f.name}:*")),
+                  slackMrkdwnLines(child, mt, indent + 1)))
+                .otherwise(array(lit(s"$pad*${f.name}:* {}")))
+            case t =>
+              array(concat(lit(s"$pad*${f.name}:* "), pyStr(child, t)))
+          }
+        }
+        concat(fieldLines: _*)
+      case ArrayType(et, _) => et match {
+        case est: StructType =>
+          flatten(transform(c, (v, i) =>
+            concat(array(concat(lit(s"$pad*["), (i + 1).cast(StringType), lit("]*"))),
+              slackMrkdwnLines(v, est, indent + 1))))
+        case innerAt: ArrayType =>
+          flatten(transform(c, (v, i) =>
+            when(size(v) > 0,
+              concat(
+                array(concat(lit(s"$pad*["), (i + 1).cast(StringType), lit("]*"))),
+                slackMrkdwnLines(v, innerAt, indent + 1)))
+              .otherwise(array(concat(
+                lit(s"$pad*["), (i + 1).cast(StringType), lit("]* []"))))))
+        case t =>
+          transform(c, (v, i) =>
+            concat(lit(s"$pad*["), (i + 1).cast(StringType), lit("]* "), pyStr(v, t)))
+      }
+      case MapType(_, vt, _) =>
+        // runtime dict: sorted entries, scalar values inline
+        transform(array_sort(map_entries(c)), e =>
+          concat(lit(s"$pad*"), e.getField("key").cast(StringType), lit(":* "),
+            pyStr(e.getField("value"), vt)))
+      case t => array(pyStr(c, t))
+    }
+  }
+
+  /** Python `html.escape` (quote=True), as the reference applies to the
+    * joined mrkdwn before chunking (slack.py:81-82). `&` first. */
+  private[graft] def htmlEscape(c: Column): Column = {
+    val repl = Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;",
+      "\"" -> "&quot;", "'" -> "&#x27;")
+    repl.foldLeft(c) { case (acc, (from, to)) =>
+      regexp_replace(acc, java.util.regex.Pattern.quote(from), to) }
+  }
+
+  /** slack.py:68-102 `_split_attachment_text`: chunk escaped text into
+    * ≤`max`-char parts, splitting at the last newline in the first max+1
+    * chars, else the last space, else hard at max (the reference then skips
+    * one char — reproduced faithfully). Runs as ONE `aggregate` loop over
+    * `maxParts` steps, so plan size is O(1) in the part cap. */
+  private[graft] def slackSplitText(text: Column, max: Int, maxParts: Int): Column = {
+    val zero = struct(
+      array().cast(ArrayType(StringType)).as("parts"), text.as("rest"))
+    val stepped = aggregate(
+      sequence(lit(1), lit(maxParts)), zero, (st, _) => {
+        val rest = st.getField("rest")
+        val prefix = substring(rest, 1, max + 1)
+        val revNl = locate("\n", reverse(prefix))
+        val revSp = locate(" ", reverse(prefix))
+        // 1-based position of the split char; max+1 = hard split
+        val pos = coalesce(
+          when(revNl > 0, length(prefix) - revNl + 1),
+          when(revSp > 0, length(prefix) - revSp + 1),
+          lit(max + 1))
+        val fits = length(rest) <= max
+        val part = when(fits, rest).otherwise(rest.substr(lit(1), pos - 1))
+        val newRest = when(fits, lit("")).otherwise(
+          rest.substr(pos + 1, length(rest)))
+        struct(
+          when(length(part) > 0, concat(st.getField("parts"), array(part)))
+            .otherwise(st.getField("parts")).as("parts"),
+          newRest.as("rest"))
+      })
+    stepped.getField("parts")
+  }
+
+  /** The slack default message (slack.py:297-333 `_format_message` +
+    * :105-149 `_format_default_attachments`): header text, mrkdwn'd +
+    * html-escaped record chunked into ≤4000-char attachments titled
+    * `Record:` / `Record (Part i of N):`, rule description as the first
+    * attachment's pretext, color #b22222, fallback = header. `maxParts`
+    * bounds the chunk loop (the reference caps at MAX_ATTACHMENTS=20). */
+  def slackDefaultMessage(maxParts: Int = 20): Publisher = df => {
+    val recType = df.schema("record").dataType
+    val header = concat(lit("*StreamAlert Rule Triggered: "),
+      col("rule_name"), lit("*"))
+    val escaped = htmlEscape(
+      array_join(slackMrkdwnLines(col("record"), recType, 0), "\n"))
+    val parts = slackSplitText(escaped, max = 4000, maxParts = maxParts)
+    val n = size(parts)
+    val attachments = transform(parts, (m, i) => struct(
+      header.as("fallback"),
+      lit("#b22222").as("color"),
+      when(i === 0, concat(lit("*Rule Description:*\n"),
+        col("rule_description"), lit("\n"))).otherwise(lit("")).as("pretext"),
+      when(n === 1, lit("Record:")).otherwise(concat(
+        lit("Record (Part "), (i + 1).cast(StringType),
+        lit(" of "), n.cast(StringType), lit("):"))).as("title"),
+      m.as("text"),
+      array(lit("text"), lit("pretext")).as("mrkdwn_in")))
+    df.withColumn(PublicationCol, struct(
+      header.as("text"), lit(true).as("mrkdwn"), attachments.as("attachments")))
+  }
+
+  /** The pagerduty-v2 event (pagerduty.py:56-144 `events_v2_data`):
+    * trigger action, descriptor-namespaced dedup_key, payload with
+    * critical severity and description+record custom_details, StreamAlert
+    * client fields. */
+  def pagerDutyV2Event(routingKey: String, descriptor: String,
+      withRecord: Boolean = true): Publisher = df => {
+    val details =
+      if (withRecord)
+        struct(col("rule_description").as("description"), col("record").as("record"))
+      else struct(col("rule_description").as("description"))
+    df.withColumn(PublicationCol, struct(
+      lit(routingKey).as("routing_key"),
+      lit("trigger").as("event_action"),
+      concat_ws(":", lit(descriptor), col("alert_id")).as("dedup_key"),
+      struct(
+        concat(lit("StreamAlert Rule Triggered - "), col("rule_name")).as("summary"),
+        col("log_type").as("source"),
+        lit("critical").as("severity"),
+        details.as("custom_details"),
+        lit(null).cast(StringType).as("component"),
+        lit(null).cast(StringType).as("group"),
+        lit(null).cast(StringType).as("class")).as("payload"),
+      lit("StreamAlert").as("client"),
+      lit(null).cast(StringType).as("client_url"),
+      array().cast(ArrayType(StringType)).as("images"),
+      array().cast(ArrayType(StringType)).as("links")))
+  }
+
+  register("slack_message")(slackDefaultMessage())
 }

@@ -212,4 +212,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(sent.size == 1 && sent.head._1 == "sec-chan")
     assert(sent.head._2.contains("\"rule_name\":\"big\""))
   }
+
+  test("slack attachment text splits exactly like the reference chunker") {
+    import org.apache.spark.sql.functions._
+    def split(text: String, max: Int): Seq[String] =
+      Seq(text).toDF("t")
+        .select(Publishers.slackSplitText(col("t"), max, maxParts = 6).as("p"))
+        .as[Seq[String]].collect()(0)
+    // prefers the last newline in the first max+1 chars, else last space
+    assert(split("abcde fghij\nklmno pqrst", 10)
+      == Seq("abcde", "fghij", "klmno", "pqrst"))
+    // hard split at max when no break char exists (the reference then
+    // skips one char — slack.py:98-102 faithful)
+    assert(split("abcdefghijklmno", 10) == Seq("abcdefghij", "lmno"))
+    // fits in one part
+    assert(split("short", 10) == Seq("short"))
+  }
 }
