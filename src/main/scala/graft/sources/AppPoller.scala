@@ -63,6 +63,85 @@ object AppPollerRegistry {
   }
 }
 
+/** One CONCRETE connector's pagination/cursor semantics demonstrated
+  * against the generic poller contract: Duo's timestamp cursor + page loop
+  * (apps/_apps/duo.py).
+  *
+  * The reference requests `mintime = last_timestamp + 1` (duo.py:131),
+  * advances the cursor to the LAST event's timestamp after every page
+  * (duo.py:156 — mid-backlog advance, so a crash between pages resumes
+  * from the last full page, not the batch start), and keeps polling while
+  * a page comes back full (`_more_to_poll`, duo.py:161-163). Here the
+  * cursor is the [[AppPollerRegistry.Poller]] offset: `latest()` is the
+  * API's newest visible timestamp (half-open bound), and `fetch(from,
+  * until)` runs the same page loop bounded to that range, so Structured
+  * Streaming's offset log replays any range bit-for-bit.
+  *
+  * Faithfully reproduced quirk: because the next page starts at
+  * `last_ts + 1`, events sharing the last page-item's timestamp but cut
+  * off by the page cap are SKIPPED, exactly as in the reference
+  * (duo.py:131 + :156) — pinned by a spec so the behavior is a documented
+  * decision, not an accident.
+  */
+object DuoStylePoller {
+
+  /** The SaaS HTTP surface behind `_get_duo_logs` (duo.py:96-164): one
+    * signed GET returning up to `pageSize` logs with `timestamp >=
+    * mintime`, ordered by timestamp (Duo returns them sequentially). */
+  trait PageApi extends Serializable {
+    def pageSize: Int
+    def fetchPage(mintime: Long): Seq[(Long, String)]
+    def maxTimestamp(): Long
+  }
+
+  /** In-memory PageApi with a page-request counter for rate-limit specs. */
+  final class InMemoryDuoApi(val pageSize: Int) extends PageApi {
+    import scala.jdk.CollectionConverters._
+    private val events = new java.util.concurrent.CopyOnWriteArrayList[(Long, String)]()
+    val pageCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    def append(ts: Long, rec: String): Unit = events.add((ts, rec))
+    def fetchPage(mintime: Long): Seq[(Long, String)] = {
+      pageCalls.incrementAndGet()
+      events.asScala.toSeq.filter(_._1 >= mintime).sortBy(_._1).take(pageSize)
+    }
+    def maxTimestamp(): Long =
+      if (events.isEmpty) -1L else events.asScala.map(_._1).max
+  }
+
+  /** Duo's inter-page rate-limit schedule (duo.py:189-198): 2 requests per
+    * minute allowed, so every second poll sleeps 60 s. Exposed as a pure
+    * function — in the Spark shape the micro-batch trigger interval
+    * replaces the Lambda's in-process sleep. */
+  def sleepSeconds(pollCount: Int): Int = math.abs((pollCount % 2) - 1) * 60
+}
+
+final class DuoStylePoller(api: DuoStylePoller.PageApi)
+    extends AppPollerRegistry.Poller {
+  /** Half-open high-water mark: one past the newest visible timestamp. */
+  def latest(): Long = api.maxTimestamp() + 1
+
+  def fetch(from: Long, until: Long): Iterator[String] = {
+    val out = scala.collection.mutable.Buffer[String]()
+    var mintime = from
+    var more = true
+    while (more) {
+      val raw = api.fetchPage(mintime)
+      if (raw.isEmpty) more = false
+      else {
+        val kept = raw.filter(_._1 < until) // later events belong to later batches
+        out ++= kept.map(_._2)
+        if (raw.size < api.pageSize || kept.size < raw.size) more = false
+        else {
+          // duo.py:156 + :131 — cursor = last event's ts, next mintime +1
+          mintime = raw.last._1 + 1
+          more = mintime < until
+        }
+      }
+    }
+    out.iterator
+  }
+}
+
 /** `spark.readStream.format("graft-app-poller").option("app", name)`.
   * Options: `app` (required, registry key), `partitions` (reader splits
   * per micro-batch, default 4). */
