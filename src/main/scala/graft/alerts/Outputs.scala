@@ -117,6 +117,112 @@ object Outputs {
         .foreach(r => send(descriptor, r.getString(0)))
   }
 
+  /** Per-(alert, output) delivery attempt state — the engine analogue of
+    * the reference alert table's Attempts / Dispatched / OutputsSent
+    * bookkeeping (shared/alert_table.py:84-190): the merger re-dispatches
+    * alerts whose outputs haven't all sent, skipping those dispatched too
+    * recently, and the processor updates the sent set per try.
+    *
+    * Append-only parquet rows (alert_id, output, ok, attempt_ts); current
+    * state = one aggregate over alert-cardinality data (attempts = row
+    * count, sent = any ok, last_attempt = latest try). At 100 TB the
+    * ledger stays tiny relative to the stream — it only ever holds alert
+    * rows, and reads broadcast. */
+  final case class AttemptLedger(path: String) {
+    import org.apache.spark.sql.SparkSession
+
+    private[graft] def read(spark: SparkSession): Option[DataFrame] = {
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(hPath))
+        try {
+          val df = spark.read.parquet(path)
+          df.schema // force analysis NOW — read resolution is deferred in 4.1
+          Some(df)
+        } catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getMessage.toLowerCase.contains("infer schema") =>
+            None // footers absent: no attempts recorded yet
+        }
+      else None
+    }
+
+    private[graft] def append(rows: DataFrame): Unit =
+      rows.write.mode("append").parquet(path)
+
+    /** (alert_id, output, attempts, sent, last_attempt). */
+    def state(spark: SparkSession): DataFrame = read(spark) match {
+      case Some(df) => df.groupBy("alert_id", "output").agg(
+        count(lit(1)).as("attempts"),
+        max(col("ok")).as("sent"),
+        max(col("attempt_ts")).as("last_attempt"))
+      case None => spark.emptyDataFrame
+        .select(lit("").as("alert_id"), lit("").as("output"),
+          lit(0L).as("attempts"), lit(false).as("sent"),
+          lit(null).cast("timestamp").as("last_attempt"))
+    }
+
+    /** Rows still owed a delivery: attempted but never sent (the
+      * reference's `remaining_outputs`, shared/alert.py). */
+    def retryable(spark: SparkSession): DataFrame =
+      state(spark).where(!col("sent"))
+  }
+
+  /** Fan out with per-output attempt tracking: a throwing dispatcher
+    * records a failed attempt for its (alert, output) rows and the rest of
+    * the fan-out proceeds; the next invocation retries exactly the
+    * not-yet-sent pairs (attempt count incremented), and already-sent
+    * pairs are never re-dispatched. Returns per-output success.
+    *
+    * This is the engine shape of the reference's retry loop
+    * (alert_merger dispatch filter + alert_table attempts bookkeeping):
+    * state lives in the [[AttemptLedger]], not in the stream. */
+  def fanOutTracked(batch: DataFrame, dispatchers: Map[String, Dispatcher],
+      ledger: AttemptLedger,
+      publishersByOutput: Map[String, Seq[String]] = Map.empty,
+      clock: Option[java.sql.Timestamp] = None): Map[String, Boolean] = {
+    val spark = batch.sparkSession
+    val ts = clock.map(t => lit(t).cast("timestamp"))
+      .getOrElse(current_timestamp())
+    val perOutput = batch
+      .select(col("*"), explode(col("outputs")).as("__output"))
+      .where(col("__output").contains(":"))
+      .persist()
+    try {
+      val outputs = perOutput.select("__output").distinct()
+        .collect().map(_.getString(0))
+      val sent = ledger.state(spark).where(col("sent"))
+        .select(col("alert_id"), col("output").as("__output"))
+      outputs.flatMap { out =>
+        val Array(service, descriptor) = out.split(":", 2)
+        dispatchers.get(service).map { d =>
+          val owed = perOutput.where(col("__output") === out)
+            .join(broadcast(sent.where(col("__output") === out)
+              .select("alert_id")), Seq("alert_id"), "left_anti")
+            .drop("__output")
+            .persist()
+          try {
+            val ok =
+              if (owed.isEmpty) true // nothing owed: nothing to record
+              else {
+                val delivered =
+                  try {
+                    d.dispatch(Publishers.publish(owed,
+                      publishersByOutput.getOrElse(out, Nil)), descriptor)
+                    true
+                  } catch { case scala.util.control.NonFatal(_) => false }
+                ledger.append(owed.select(col("alert_id"),
+                  lit(out).as("output"), lit(delivered).as("ok"),
+                  ts.as("attempt_ts")))
+                delivered
+              }
+            out -> ok
+          } finally owed.unpersist()
+        }
+      }.toMap
+    } finally perOutput.unpersist()
+  }
+
   /** Fan one alert batch out to every output it carries. `outputs` is the
     * per-alert array column; dispatchers are keyed by service name. */
   def fanOut(batch: DataFrame, dispatchers: Map[String, Dispatcher],

@@ -213,6 +213,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(sent.head._2.contains("\"rule_name\":\"big\""))
   }
 
+  test("attempt ledger: transient failure leaves a retryable row, retry clears it") {
+    val alerts = engine.evaluate(
+      new graft.classify.Classifier(Seq(schema))
+        .classify(Seq("""{"event_id":9,"etype":"error","value":200.0}""").toDF("value"))
+        .forType("demo:events"), "demo:events")
+      .withColumn("staged", lit(false))
+      .withColumn("outputs", array(lit("slack:sec-chan")))
+    val ledger = Outputs.AttemptLedger(
+      java.nio.file.Files.createTempDirectory("graft_attempts").toString + "/ledger")
+    val delivered = scala.collection.mutable.Buffer[String]()
+    var failNext = true
+    val flaky = Outputs.WebhookDispatcher { (_, pub) =>
+      if (failNext) sys.error("transient 500")
+      delivered += pub
+    }
+    val clock = Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+
+    // attempt 1: dispatcher throws; fan-out survives and records the failure
+    val r1 = Outputs.fanOutTracked(alerts, Map("slack" -> flaky), ledger, clock = clock)
+    assert(r1 == Map("slack:sec-chan" -> false))
+    val st1 = ledger.state(spark).collect()
+    assert(st1.length == 1 && st1(0).getAs[Long]("attempts") == 1
+      && !st1(0).getAs[Boolean]("sent"))
+    assert(ledger.retryable(spark).count() == 1)
+
+    // attempt 2: retried (attempts=2), success marks sent
+    failNext = false
+    val r2 = Outputs.fanOutTracked(alerts, Map("slack" -> flaky), ledger, clock = clock)
+    assert(r2 == Map("slack:sec-chan" -> true))
+    val st2 = ledger.state(spark).collect()
+    assert(st2.length == 1 && st2(0).getAs[Long]("attempts") == 2
+      && st2(0).getAs[Boolean]("sent"))
+    assert(delivered.size == 1)
+    assert(ledger.retryable(spark).count() == 0)
+
+    // attempt 3: already sent — dispatcher not invoked, attempts unchanged
+    failNext = true // would throw if the gate ever re-dispatched
+    val r3 = Outputs.fanOutTracked(alerts, Map("slack" -> flaky), ledger, clock = clock)
+    assert(r3 == Map("slack:sec-chan" -> true))
+    assert(ledger.state(spark).collect()(0).getAs[Long]("attempts") == 2)
+    assert(delivered.size == 1)
+  }
+
   test("slack attachment text splits exactly like the reference chunker") {
     import org.apache.spark.sql.functions._
     def split(text: String, max: Int): Seq[String] =
