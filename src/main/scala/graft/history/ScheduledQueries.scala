@@ -2,8 +2,12 @@ package graft.history
 
 import java.time.{Instant, ZoneOffset}
 import java.time.format.DateTimeFormatter
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.execution.{FileSourceScanExec, QueryExecution, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Scheduled queries (SURVEY §3.2): user-authored SQL with `{param}` time
   * placeholders, executed against the historical store, results re-injected
@@ -48,6 +52,69 @@ object ScheduledQueries {
   def run(spark: SparkSession, sql: String, now: Instant,
       extra: Map[String, String] = Map.empty): DataFrame =
     spark.sql(substitute(sql, now, extra))
+
+  /** Execution stats for one scheduled-query run — the engine-side analogue
+    * of the Athena statistics block the reference surfaces per query
+    * (`data_scanned_in_bytes` / `engine_execution_time_in_millis`,
+    * scheduled_queries/handlers/athena.py:160-166). `dataScannedBytes` /
+    * `filesRead` come from the file-scan driver metrics AFTER partition
+    * pruning, so a `dt=`-filtered query over the historical store reports
+    * only the pruned partitions' bytes — the stat users watch to confirm
+    * their query packs prune. */
+  final case class ExecutionStats(
+      wallTimeMs: Long,
+      dataScannedBytes: Long,
+      filesRead: Long,
+      rowsReturned: Long)
+
+  /** File-scan leaves of an executed plan, descending through AQE stages
+    * and subqueries (the adaptive plan hides scans behind QueryStageExec). */
+  private def fileScans(plan: SparkPlan): Seq[FileSourceScanExec] = plan match {
+    case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+    case q: QueryStageExec        => fileScans(q.plan)
+    case s: FileSourceScanExec    => Seq(s)
+    case other =>
+      other.children.flatMap(fileScans) ++
+        other.subqueries.flatMap(fileScans)
+  }
+
+  /** Run one scheduled query eagerly and return its rows plus execution
+    * stats, captured via a one-shot `QueryExecutionListener` (the Spark
+    * analogue of polling `get_query_execution` until the statistics block
+    * appears, athena.py:129-166). */
+  def runWithStats(spark: SparkSession, sql: String, now: Instant,
+      extra: Map[String, String] = Map.empty): (Seq[Row], ExecutionStats) = {
+    val df = run(spark, sql, now, extra)
+    val latch = new CountDownLatch(1)
+    @volatile var captured: Option[(QueryExecution, Long)] = None
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit =
+        // collect() executes the Dataset's own QueryExecution — identity
+        // match scopes the listener to this run in a shared session
+        if (qe eq df.queryExecution) {
+          captured = Some((qe, durationNs)); latch.countDown()
+        }
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit =
+        if (qe eq df.queryExecution) latch.countDown()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val rows = df.collect().toSeq
+      // the execution-listener bus is async; the event is already posted
+      latch.await(30, TimeUnit.SECONDS)
+      val (qe, durationNs) = captured.getOrElse((df.queryExecution, 0L))
+      val scans = fileScans(qe.executedPlan)
+      def metricSum(name: String): Long =
+        scans.flatMap(_.metrics.get(name)).map(_.value).sum
+      (rows, ExecutionStats(
+        wallTimeMs = durationNs / 1000000L,
+        dataScannedBytes = metricSum("filesSize"),
+        filesRead = metricSum("numFiles"),
+        rowsReturned = rows.size.toLong))
+    } finally spark.listenerManager.unregister(listener)
+  }
 
   /** Wrap query results as `streamquery:version1` records for re-injection
     * (conf/schemas/streamquery.json shape: query name + data rows), closing

@@ -138,6 +138,34 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("scheduled-query execution stats: bytes scanned reflect partition pruning") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qstats").toString
+    // two dt partitions in the historical store
+    val rows = Seq(
+      ("2024-01-01 00:10:00", "error", 1L), ("2024-01-01 00:20:00", "x", 2L),
+      ("2024-01-01 01:10:00", "error", 3L), ("2024-01-01 01:30:00", "x", 4L))
+      .toDF("created", "etype", "event_id")
+      .withColumn("created", col("created").cast("timestamp"))
+    HistoricalSink.write(rows, tmp, "demo:events")
+    spark.read.parquet(s"$tmp/demo_events").createOrReplaceTempView("qstats_events")
+    val now = java.time.Instant.parse("2024-01-01T01:45:00Z")
+
+    val (fullRows, fullStats) = ScheduledQueries.runWithStats(spark,
+      "SELECT event_id FROM qstats_events", now)
+    val (prunedRows, prunedStats) = ScheduledQueries.runWithStats(spark,
+      "SELECT event_id FROM qstats_events WHERE dt = '{utcdatehour}'", now)
+
+    assert(fullRows.size == 4 && prunedRows.size == 2)
+    assert(fullStats.rowsReturned == 4 && prunedStats.rowsReturned == 2)
+    // the athena.py:160-166 analogue: non-zero scan + timing stats
+    assert(fullStats.dataScannedBytes > 0 && fullStats.wallTimeMs >= 0)
+    assert(fullStats.filesRead >= 2) // one file per dt partition at least
+    // pruning visible in the stat users watch: fewer bytes than a full scan
+    assert(prunedStats.dataScannedBytes > 0)
+    assert(prunedStats.dataScannedBytes < fullStats.dataScannedBytes)
+    assert(prunedStats.filesRead < fullStats.filesRead)
+  }
+
   test("streamquery re-injection: results classify back through the pipeline") {
     val result = Seq(("error", 42L)).toDF("etype", "n")
     val wrapped = ScheduledQueries.asStreamQueryRecords(result, "hourly_errors")
