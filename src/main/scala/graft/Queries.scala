@@ -1632,6 +1632,23 @@ object Queries {
       .orderBy("event_type")
   }
 
+  // Array-valued result surface: per-user sorted distinct event types —
+  // the reference's alert `outputs`/`log_sources` style list columns as a
+  // query result. Proves list cells survive the whole correctness path
+  // (Spark array<string> parquet → Arrow list → oracle list compare).
+  register(
+    "q17_array_agg",
+    """SELECT user_id,
+      |       list_sort(list(DISTINCT event_type)) AS event_types,
+      |       count(*) AS n_events
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "events").groupBy("user_id")
+      .agg(
+        array_sort(collect_set(col("event_type"))).as("event_types"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
   // Domain extraction: per-domain reference counts (the blocklist /
   // source-mix audit). URLs are synthesized onto the corpus text so every
   // row exercises the extractor, mirroring the t6 augmentation pattern.
