@@ -54,10 +54,16 @@ object StreamBench {
         lit(""","props":"{\"k\":"""), (col("value") % 10).cast("string"),
         lit("""}\"}""")).as("value"))
 
+    // merge_by_keys=value gives ~500 distinct merge groups per rule — the
+    // "merge per entity" shape (user/host). Without merge keys the alerts
+    // would take mergeStream's stateless passthrough and merge mode would
+    // measure nothing stateful.
     val rules = Seq(
-      Rule("any_purchase", RuleOpts(logs = Seq("demo:json_events")),
+      Rule("any_purchase", RuleOpts(logs = Seq("demo:json_events"),
+        mergeByKeys = Seq("value"), mergeWindowMins = 1),
         rec => rec.getField("event_type") === "purchase"),
-      Rule("big_error", RuleOpts(logs = Seq("demo:json_events")),
+      Rule("big_error", RuleOpts(logs = Seq("demo:json_events"),
+        mergeByKeys = Seq("value"), mergeWindowMins = 1),
         rec => rec.getField("event_type") === "error" && rec.getField("value") > 250))
 
     val pipeline = new Pipeline(Seq(DemoSchemas.jsonEvents),
