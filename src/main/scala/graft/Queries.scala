@@ -1794,6 +1794,78 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // N-gram-overlap decontamination: the scale path beyond t8's broadcast
+  // substring scan — both sides explode to distinct 5-grams and meet in an
+  // equi-join (corpus ships (doc_id, md5(gram)) only).
+  register(
+    "t8b_ngram_decontaminate",
+    """WITH grams AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(words) >= 5
+      |      THEN list_transform(generate_series(1, len(words) - 4),
+      |             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] ||
+      |                  ' ' || words[i+3] || ' ' || words[i+4])
+      |      ELSE [] END)) AS gram
+      |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                                   x -> x != '') AS words
+      |        FROM documents)),
+      |snips AS (
+      |  SELECT DISTINCT substr(text, 1, 120) AS snip FROM documents
+      |  WHERE doc_id % 37 = 0 AND length(text) >= 120),
+      |sgrams AS (
+      |  SELECT DISTINCT unnest(list_distinct(
+      |    CASE WHEN len(words) >= 5
+      |      THEN list_transform(generate_series(1, len(words) - 4),
+      |             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] ||
+      |                  ' ' || words[i+3] || ' ' || words[i+4])
+      |      ELSE [] END)) AS gram
+      |  FROM (SELECT list_filter(string_split_regex(lower(snip), '\s+'),
+      |                           x -> x != '') AS words
+      |        FROM snips))
+      |SELECT g.doc_id, count(*) AS n_gram_hits
+      |FROM grams g JOIN sgrams s USING (gram)
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val snips = docs.where(col("doc_id") % 37 === 0 && length(col("text")) >= 120)
+      .select(substring(col("text"), 1, 120).as("snip")).distinct()
+    TextAnalysis.ngramContamination(docs, "text", "doc_id", snips, "snip", n = 5)
+      .orderBy("doc_id")
+  }
+
+  // Semantic dedup: nearest-centroid cluster assignment + keep-one
+  // representative per cluster (embedding-space analogue of d1/d2's
+  // lexical keep-one; centroid matrix rides the ivf one-row broadcast).
+  register(
+    "d7_semantic_dedup",
+    """WITH c AS (
+      |  SELECT CAST(label AS VARCHAR) AS grp, pos, avg(v) AS centroid
+      |  FROM (SELECT label, unnest(embedding) AS v,
+      |               generate_subscripts(embedding, 1) AS pos FROM embeddings)
+      |  GROUP BY 1, pos),
+      |d AS (
+      |  SELECT e.vec_id, c.grp,
+      |         round(sum((CAST(e.v AS DOUBLE) - c.centroid) *
+      |                   (CAST(e.v AS DOUBLE) - c.centroid)), 6) AS d2
+      |  FROM (SELECT vec_id, unnest(embedding) AS v,
+      |               generate_subscripts(embedding, 1) AS pos FROM embeddings) e
+      |  JOIN c USING (pos)
+      |  GROUP BY e.vec_id, c.grp),
+      |a AS (
+      |  SELECT vec_id, grp AS cluster, d2,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, grp) AS rn
+      |  FROM d),
+      |asn AS (SELECT vec_id, cluster, d2 FROM a WHERE rn = 1),
+      |r AS (
+      |  SELECT vec_id, cluster,
+      |         row_number() OVER (PARTITION BY cluster ORDER BY d2, vec_id) AS rnk
+      |  FROM asn)
+      |SELECT vec_id, cluster, rnk = 1 AS keep FROM r ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val cents = Similarity.centroids(
+      e.withColumn("grp", col("label").cast("string")), "embedding", "grp")
+    Similarity.semanticDedup(e, cents).orderBy("vec_id")
+  }
+
   // Multimodal: binary media table with typed metadata + stub frame sampling
   // (decode itself is stubbed; schema/partitioning/batch shape are real).
   register(

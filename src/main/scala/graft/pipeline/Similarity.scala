@@ -109,6 +109,49 @@ object Similarity {
         round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** Semantic deduplication: assign every vector to its nearest centroid
+    * (clusters trained elsewhere — [[centroids]] over labels here, k-means
+    * lists in production) and keep ONE representative per cluster: the
+    * vector closest to its centroid (ties on rounded distance break by id).
+    * Everything else in the cluster is a semantic duplicate — the
+    * embedding-space analogue of [[Dedup]]'s lexical near-dup keep-one.
+    *
+    * Scale shape: the centroid table rides in as the same one-row matrix
+    * broadcast as [[ivfTopK]] (plan O(1) in cluster count, corpus
+    * partitioning preserved), assignment is a scan-side argmin, and the
+    * only shuffle is the per-cluster representative window — cardinality
+    * |clusters|, skew-bounded by cluster size. Output: (vec_id, cluster,
+    * keep). */
+  def semanticDedup(corpus: DataFrame, cents: DataFrame,
+      corpusId: String = "vec_id", corpusVec: String = "embedding"): DataFrame = {
+    val byGroup = cents
+      .groupBy("group").agg(array_sort(collect_list(struct(col("pos"), col("centroid"))))
+        .as("cs"))
+      .select(col("group"), transform(col("cs"), c => c.getField("centroid")).as("centroid"))
+      .collect().map(r => r.get(0).toString -> r.getSeq[Double](1).toArray).toMap
+    val groupsSorted = byGroup.keys.toSeq.sorted
+    val session = corpus.sparkSession
+    import session.implicits._
+    val centRow = broadcast(Seq(
+      (groupsSorted, groupsSorted.map(g => byGroup(g).toSeq)))
+      .toDF("__cent_groups", "__cent_mat"))
+
+    def dist2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, v) => acc + v)
+
+    val assigned = corpus.crossJoin(centRow)
+      .withColumn("__scored", array_sort(zip_with(col("__cent_mat"), col("__cent_groups"),
+        (c, g) => struct(round(dist2(col(corpusVec), c), 6).as("d"), g.as("g")))))
+      .select(col(corpusId),
+        col("__scored").getItem(0).getField("g").as("cluster"),
+        col("__scored").getItem(0).getField("d").as("__d"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("__d").asc, col(corpusId).asc)
+    assigned.withColumn("keep", row_number().over(w) === 1)
+      .select(col(corpusId), col("cluster"), col("keep"))
+  }
+
   /** LSH-bucketed ANN: corpus bucketed once by hyperplane signature; queries
     * probe their own bucket plus all 1-bit-flip neighbors (multi-probe), so
     * recall degrades gracefully instead of falling off a cliff. */

@@ -228,6 +228,39 @@ object TextAnalysis {
       .groupBy(col(idCol).as("doc_id"))
       .agg(count(lit(1)).as("n_matches"))
 
+  /** Distinct lowercase word n-grams of a text column (empty below n
+    * words). The shared shape for n-gram-overlap decontamination. */
+  private def wordNgrams(text: Column, n: Int): Column = {
+    val toks = tokens(lower(text))
+    array_distinct(when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>")))
+  }
+
+  /** N-gram-overlap decontamination — the standard contamination check
+    * (N-consecutive-token collision between a training document and any
+    * benchmark snippet), the scale path beyond [[contaminatedDocs]]'s
+    * broadcast substring scan: both sides explode to distinct n-grams and
+    * meet in an EQUI-JOIN, so a million-snippet benchmark suite works where
+    * an O(|doc|·|snippets|) containment scan cannot.
+    *
+    * Scale shape: the corpus side of the shuffle ships (doc_id, md5(gram))
+    * — 16-byte keys, never the text; snippet grams are distinct'd (small)
+    * and broadcast by AQE when they fit. Output: one row per contaminated
+    * doc with its distinct colliding-gram count. */
+  def ngramContamination(docs: DataFrame, textCol: String, idCol: String,
+      snippets: DataFrame, snippetCol: String, n: Int = 5): DataFrame = {
+    val docGrams = docs.select(col(idCol).as("doc_id"),
+      explode(wordNgrams(col(textCol), n)).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("gram_key"))
+    val snipGrams = snippets.select(explode(wordNgrams(col(snippetCol), n)).as("gram"))
+      .select(md5(col("gram")).as("gram_key")).distinct()
+    docGrams.join(snipGrams, "gram_key")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_gram_hits"))
+  }
+
   /** Token-bounded chunking with overlap — the context-window prep op for
     * training pipelines. Chunk i covers words [i*step, i*step+chunkWords),
     * step = chunkWords − overlapWords; the last chunk is the first one whose

@@ -167,4 +167,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       "corpus must not shuffle or cartesian for the pattern join")
   }
+
+  test("n-gram decontamination joins on md5 keys, never ships gram text") {
+    val p = plan("t8b_ngram_decontaminate")
+    // the collision join must be an equi-join keyed on the 16-byte hash
+    assert(p.contains("md5"), "gram hashing missing from the plan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "n-gram path must be an equi-join, not a containment scan")
+    assert(!p.contains("BatchEvalPython") && !p.contains("UDF"), "UDF in plan")
+  }
+
+  test("semantic dedup: one-row centroid broadcast + one cluster window shuffle") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = graft.pipeline.Similarity.centroids(
+      e.withColumn("grp", col("label").cast("string")), "embedding", "grp")
+    val df = graft.pipeline.Similarity.semanticDedup(e, cents)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "centroid matrix must ride a one-row broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "assignment must not join-shuffle the corpus")
+    // the representative window is the only exchange
+    assert(p.split("Exchange").length - 1 <= 2,
+      "expected only the cluster-window exchange (+broadcast)")
+  }
 }
