@@ -74,13 +74,18 @@ object StreamBench {
     // SPARK_GRAFT_STREAM_MERGE=1 extends the measured path through the
     // stateful merge (the pipeline's only shuffle + the state store) —
     // input rows/sec then reflects the full source→merged-alert topology
+    // SPARK_GRAFT_STREAM_TWS=1 swaps the GroupState engine for the
+    // transformWithState (arbitrary-state v2) engine — ListState appends
+    // instead of whole-buffer rewrites on the steady-state path
     val mergeMode = sys.env.get("SPARK_GRAFT_STREAM_MERGE").contains("1")
+    val twsMode = sys.env.get("SPARK_GRAFT_STREAM_TWS").contains("1")
     val out =
-      if (mergeMode)
-        graft.alerts.AlertMerger.mergeStream(
-          graft.alerts.AlertMerger.fromAlerts(
-            alerts.withColumn("staged", lit(false)))).toDF()
-      else alerts
+      if (mergeMode || twsMode) {
+        val in = graft.alerts.AlertMerger.fromAlerts(
+          alerts.withColumn("staged", lit(false)))
+        (if (twsMode) graft.alerts.AlertMerger.mergeStreamTws(in)
+         else graft.alerts.AlertMerger.mergeStream(in)).toDF()
+      } else alerts
 
     val q = out.writeStream.format("noop")
       .option("checkpointLocation",
@@ -105,7 +110,7 @@ object StreamBench {
     val median = if (steady.isEmpty) 0.0 else steady(steady.size / 2)
     println(s"""{"metric":"stream_records_per_sec","value":${median.round},""" +
       s""""unit":"rec/s","offered":$rate,"secs":$secs,"cpus":$cpus,""" +
-      s""""merge":$mergeMode,"samples":${steady.size}}""")
+      s""""merge":${mergeMode || twsMode},"tws":$twsMode,"samples":${steady.size}}""")
     spark.stop()
   }
 }

@@ -3,7 +3,8 @@ package graft.alerts
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
+  ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
 
 /** One alert as consumed by the merger.
   *
@@ -199,28 +200,100 @@ object AlertMerger {
         (_, incoming: Iterator[MergeInputAlert], state: GroupState[MergeBuffer]) =>
           val buffered = state.getOption.map(_.alerts).getOrElse(Nil)
           val wm = state.getCurrentWatermarkMs()
-          def windowEnd(w: Seq[MergeInputAlert]): Long =
-            w.head.created.getTime + w.head.merge_window_mins * 60000L
           val all = (buffered ++ incoming).sortBy(a => (a.created.getTime, a.alert_id))
           if (all.isEmpty) { state.remove(); Iterator.empty }
           else {
-            val windows = assignWindows(all)
-            // closed: every window before the last (data proves it ended),
-            // a full 50-cap chunk, or a last window the watermark passed
-            val last = windows.last
-            val lastClosed = last.size >= 50 || windowEnd(last) <= wm
-            val (closed, open) =
-              if (lastClosed) (windows, Nil)
-              else (windows.dropRight(1), last)
+            val (closed, open) = splitClosed(all, wm)
             if (open.isEmpty) state.remove()
             else {
               state.update(MergeBuffer(open.toList))
               // fire when the watermark passes the open window's end
-              state.setTimeoutTimestamp(math.max(windowEnd(open), wm + 1))
+              state.setTimeoutTimestamp(math.max(windowEndMs(open), wm + 1))
             }
             closed.map(mergeWindow).iterator
           }
       }
+    merged.union(passthrough)
+  }
+
+  /** The merge window-close decision shared by both streaming engines:
+    * every window before the last is closed (a later anchor proves it
+    * ended), and the last closes on the 50-cap or once the watermark
+    * passes its anchored end. */
+  private def splitClosed(all: Seq[MergeInputAlert], wm: Long)
+      : (Seq[Seq[MergeInputAlert]], Seq[MergeInputAlert]) = {
+    val windows = assignWindows(all)
+    val last = windows.last
+    def windowEnd(w: Seq[MergeInputAlert]): Long =
+      w.head.created.getTime + w.head.merge_window_mins * 60000L
+    if (last.size >= 50 || windowEnd(last) <= wm) (windows, Nil)
+    else (windows.dropRight(1), last)
+  }
+
+  private def windowEndMs(w: Seq[MergeInputAlert]): Long =
+    w.head.created.getTime + w.head.merge_window_mins * 60000L
+
+  /** [[mergeStream]]'s state logic on the arbitrary-state v2 API
+    * (`transformWithState`, Spark 4.x): the open window lives in a
+    * [[ListState]], so the steady-state path — alerts arriving into a
+    * still-open window — is an RocksDB APPEND per alert instead of
+    * [[GroupState]]'s read-rewrite of the whole buffer, and flush-on-time
+    * runs through a real event-time timer instead of a timeout timestamp
+    * re-armed on every update. Requires the RocksDB state store provider
+    * (the v2 API does not support the HDFS-backed store). Same observable
+    * semantics as [[mergeStream]]; the batch Dataset path and the a2/a3
+    * oracle queries pin the window algebra itself. */
+  final class MergeProcessor
+      extends StatefulProcessor[String, MergeInputAlert, MergedAlert] {
+    @transient private var buf: ListState[MergeInputAlert] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState("open_window",
+        Encoders.product[MergeInputAlert], TTLConfig.NONE)
+
+    private def flush(incoming: List[MergeInputAlert], wm: Long)
+        : Iterator[MergedAlert] = {
+      val buffered = if (buf.exists()) buf.get().toList else Nil
+      val all = (buffered ++ incoming)
+        .sortBy(a => (a.created.getTime, a.alert_id))
+      if (all.isEmpty) { buf.clear(); return Iterator.empty }
+      val (closed, open) = splitClosed(all, wm)
+      if (open.isEmpty) buf.clear()
+      else {
+        // the appending win: nothing closed means open == buffered ++
+        // incoming (order is re-imposed on read), so the state write is a
+        // pure append; only an actual window close rewrites the list
+        if (closed.isEmpty && buffered.nonEmpty) buf.appendList(incoming.toArray)
+        else buf.put(open.toArray)
+        getHandle.registerTimer(math.max(windowEndMs(open), wm + 1))
+      }
+      closed.map(mergeWindow).iterator
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[MergeInputAlert],
+        timerValues: TimerValues): Iterator[MergedAlert] =
+      flush(rows.toList, timerValues.getCurrentWatermarkInMs())
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[MergedAlert] =
+      flush(Nil, timerValues.getCurrentWatermarkInMs())
+  }
+
+  /** Streaming merge on `transformWithState` — see [[MergeProcessor]].
+    * Drop-in alternative to [[mergeStream]] for RocksDB deployments. */
+  def mergeStreamTws(alerts: Dataset[MergeInputAlert],
+      watermarkDelay: String = "0 seconds"): Dataset[MergedAlert] = {
+    implicit val enc = Encoders.product[MergedAlert]
+    implicit val strEnc = Encoders.STRING
+
+    val passthrough = alerts
+      .filter((a: MergeInputAlert) => a.merge_by_keys.isEmpty || a.merge_window_mins <= 0)
+      .map(a => mergeWindow(Seq(a)))
+    val merged = alerts
+      .filter((a: MergeInputAlert) => a.merge_by_keys.nonEmpty && a.merge_window_mins > 0)
+      .withWatermark("created", watermarkDelay)
+      .groupByKey(groupKey _)
+      .transformWithState(new MergeProcessor, TimeMode.EventTime(), OutputMode.Append())
     merged.union(passthrough)
   }
 }

@@ -131,4 +131,44 @@ class MergeSpec extends AnyFunSuite {
       assert(closed.map(_.getLong(0)).toSeq == Seq(2L))
     } finally q.stop()
   }
+
+  test("transformWithState merge matches the GroupState engine's output") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[MergeInputAlert]
+    // the v2 state API requires the RocksDB provider; session-conf'd for
+    // this query only, restored after (other specs use the default store)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[MergeInputAlert]
+      input.addData(
+        alert("a", "2024-01-01 00:00:00", """{"mk":"g1","v":1}""", window = 1),
+        alert("b", "2024-01-01 00:00:30", """{"mk":"g1","v":2}""", window = 1),
+        alert("c", "2024-01-01 00:02:00", """{"mk":"g1","v":3}""", window = 1),
+        // merging disabled -> the stateless passthrough branch
+        alert("d", "2024-01-01 00:00:10", """{"mk":"p","v":9}""", keys = "", window = 0))
+      val q = AlertMerger.mergeStreamTws(input.toDS())
+        .writeStream.format("memory").queryName("merged_tws_out")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try {
+        assert(q.awaitTermination(120000), "tws merge did not finish in 120s")
+        // a+b share the anchored 1-min window (closed by c's arrival);
+        // d passes through unmerged as a singleton
+        val rows = spark.sql(
+          "SELECT alert_count, merge_keys FROM merged_tws_out ORDER BY alert_count")
+          .collect()
+        assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+        assert(rows(1).getString(1) == "g1")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
 }
