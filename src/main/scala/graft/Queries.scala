@@ -1326,7 +1326,14 @@ object Queries {
       |  'StreamAlert Rule Triggered - high_value' AS pd_summary,
       |  'demo:json_events' AS pd_source,
       |  'critical' AS pd_severity,
-      |  event_id AS pd_event_id
+      |  event_id AS pd_event_id,
+      |  'StreamAlert high_value' AS jira_summary,
+      |  'SECOPS' AS jira_project,
+      |  'Task' AS jira_issuetype,
+      |  '{code:JSON}' || to_json(struct_pack(record := struct_pack(
+      |     event_id := event_id, event_type := event_type,
+      |     note := 'a<b&c"d''e', tags := ['x','y'],
+      |     who := struct_pack(uid := user_id)))) || '{code}' AS jira_description
       |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin) { (s, dir) =>
     import graft.alerts.Publishers
     val alerts = t(s, dir, "events").where(col("event_id") < 200)
@@ -1355,7 +1362,18 @@ object Queries {
         get_json_object(col("publication"), "$.payload.severity").as("pd_severity"),
         get_json_object(col("publication"), "$.payload.custom_details.record.event_id")
           .cast("long").as("pd_event_id"))
-    slack.join(pd, "alert_id").drop("alert_id").orderBy("event_id")
+    Publishers.register("jira_demo")(
+      Publishers.jiraIssueFields(projectKey = "SECOPS", issueType = "Task"))
+    // record_only first: the jira body renders the publication dict, here
+    // pinned to the record so the oracle byte-matches the {code:JSON} block
+    val jira = Publishers.publish(alerts, Seq("record_only", "jira_demo"))
+      .select(col("alert_id"),
+        get_json_object(col("publication"), "$.summary").as("jira_summary"),
+        get_json_object(col("publication"), "$.project.key").as("jira_project"),
+        get_json_object(col("publication"), "$.issuetype.name").as("jira_issuetype"),
+        get_json_object(col("publication"), "$.description").as("jira_description"))
+    slack.join(pd, "alert_id").join(jira, "alert_id")
+      .drop("alert_id").orderBy("event_id")
   }
 
   // A5b: community publisher library — record_only + enumerate_fields

@@ -269,5 +269,36 @@ object Publishers {
       array().cast(ArrayType(StringType)).as("links")))
   }
 
+  /** Recursively sort struct fields by name — `json.dumps(...,
+    * sort_keys=True)`'s key order, applied at plan time so `to_json`
+    * renders it directly. */
+  private def sortKeysDeep(c: Column, dt: DataType): Column = dt match {
+    case st: StructType =>
+      struct(st.fields.sortBy(_.name).toSeq.map(f =>
+        sortKeysDeep(c.getField(f.name), f.dataType).as(f.name)): _*)
+    case ArrayType(est: StructType, _) =>
+      transform(c, v => sortKeysDeep(v, est))
+    case _ => c
+  }
+
+  /** The jira issue `fields` payload (jira.py:224-233 `_create_issue` +
+    * :305-312 presentation defaults): summary `StreamAlert <rule_name>`,
+    * description = the publication as a `{code:JSON}` block with keys
+    * sorted (`json.dumps(publication, sort_keys=True)`), project key and
+    * issue type from the output's creds. One documented deviation: the
+    * JSON inside the code block uses compact separators (Spark's
+    * `to_json`) where CPython's default is `", "` / `": "` — a wire-format
+    * detail of the interior dump, not a field difference. */
+  def jiraIssueFields(projectKey: String, issueType: String): Publisher = df => {
+    val pubType = df.schema(PublicationCol).dataType
+    val body = concat(lit("{code:JSON}"),
+      to_json(sortKeysDeep(col(PublicationCol), pubType)), lit("{code}"))
+    df.withColumn(PublicationCol, struct(
+      struct(lit(projectKey).as("key")).as("project"),
+      concat(lit("StreamAlert "), col("rule_name")).as("summary"),
+      body.as("description"),
+      struct(lit(issueType).as("name")).as("issuetype")))
+  }
+
   register("slack_message")(slackDefaultMessage())
 }

@@ -142,6 +142,78 @@ final class DuoStylePoller(api: DuoStylePoller.PageApi)
   }
 }
 
+/** Box-style poller: the SECOND cursor family among the reference's nine
+  * connectors — a server-issued OPAQUE stream position (box.py:114-116,191)
+  * instead of Duo's client-computed `last_ts + 1`. The first request keys
+  * on `created_after` (the app's `_last_timestamp`); every subsequent page
+  * resumes from the `next_stream_position` the server handed back, and
+  * `more_to_poll` is simply `chunk_size >= limit` (box.py:184).
+  *
+  * Faithfully reproduced quirk: an EMPTY page does not advance the stored
+  * stream position — box.py:186-189 returns before `_next_stream_position`
+  * is assigned (:191), so the next poll re-asks from the same place.
+  *
+  * In the Spark shape the server's stream position IS the [[Offset]]
+  * (Box positions are numeric), so `latest()` asks the API for its current
+  * position and `fetch(from, until)` pages through `[from, until)` —
+  * offset-range replay, the property the reference approximates with its
+  * parameter-store checkpoint, comes free from the offset log. */
+object BoxStylePoller {
+
+  /** The `GET /events` surface (box.py:106-155): up to `chunkLimit`
+    * entries from a stream position, plus the server's next position. */
+  trait EventsApi extends Serializable {
+    def chunkLimit: Int
+    /** (entries, nextStreamPosition) for one page from `position`. */
+    def fetchEvents(position: Long): (Seq[String], Long)
+    /** The server's current head position (what a poll could reach now). */
+    def currentPosition(): Long
+  }
+
+  /** In-memory EventsApi: the admin-event log as an append buffer, stream
+    * position = index into it (numeric, monotonic — like Box's). */
+  final class InMemoryBoxApi(val chunkLimit: Int) extends EventsApi {
+    import scala.jdk.CollectionConverters._
+    private val events = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val pageCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    def append(recs: String*): Unit = recs.foreach(events.add)
+    def fetchEvents(position: Long): (Seq[String], Long) = {
+      pageCalls.incrementAndGet()
+      val all = events.asScala.toSeq
+      val page = all.slice(position.toInt, position.toInt + chunkLimit)
+      (page, position + page.size)
+    }
+    def currentPosition(): Long = events.size().toLong
+  }
+}
+
+final class BoxStylePoller(api: BoxStylePoller.EventsApi)
+    extends AppPollerRegistry.Poller {
+  def latest(): Long = api.currentPosition()
+
+  def fetch(from: Long, until: Long): Iterator[String] = {
+    val out = scala.collection.mutable.Buffer[String]()
+    var position = from
+    var more = true
+    while (more && position < until) {
+      val (entries, next) = api.fetchEvents(position)
+      if (entries.isEmpty) more = false // box.py:186-189 — cursor NOT advanced
+      else {
+        // entries past `until` belong to later micro-batches: take only
+        // what this offset range owns and stop at the boundary
+        val owned = entries.take((until - position).toInt)
+        out ++= owned
+        if (owned.size < entries.size) more = false
+        else {
+          position = next // box.py:191 — the server's cursor, not ts math
+          more = entries.size >= api.chunkLimit // box.py:184
+        }
+      }
+    }
+    out.iterator
+  }
+}
+
 /** `spark.readStream.format("graft-app-poller").option("app", name)`.
   * Options: `app` (required, registry key), `partitions` (reader splits
   * per micro-batch, default 4). */

@@ -103,4 +103,42 @@ class AppPollerSpec extends AnyFunSuite {
   test("duo rate-limit schedule: every second poll sleeps 60s") {
     assert(Seq(1, 2, 3, 4).map(DSP.sleepSeconds) == Seq(0, 60, 0, 60))
   }
+
+  import graft.sources.BoxStylePoller.InMemoryBoxApi
+
+  test("box-style poller pages via the server-issued stream position") {
+    val api = new InMemoryBoxApi(chunkLimit = 3)
+    for (n <- 1 to 8) api.append(s"""{"n":$n}""")
+    val poller = new graft.sources.BoxStylePoller(api)
+    assert(poller.latest() == 8L)
+    val got = poller.fetch(0L, 8L).toSeq
+    assert(got == (1 to 8).map(n => s"""{"n":$n}"""))
+    // 2 full chunks + the final partial one (more_to_poll = size >= limit)
+    assert(api.pageCalls.get() == 3)
+    // replay: the same offset range re-fetches bit-for-bit
+    assert(poller.fetch(0L, 8L).toSeq == got)
+  }
+
+  test("box-style poller splits an offset range exactly at the boundary") {
+    val api = new InMemoryBoxApi(chunkLimit = 3)
+    for (n <- 1 to 8) api.append(s"""{"n":$n}""")
+    val poller = new graft.sources.BoxStylePoller(api)
+    // micro-batch 1 owns [0,5), batch 2 owns [5,8) — a chunk straddling
+    // the boundary must be cut, no duplicate or gap across batches
+    val first = poller.fetch(0L, 5L).toSeq
+    val second = poller.fetch(5L, 8L).toSeq
+    assert(first == (1 to 5).map(n => s"""{"n":$n}"""))
+    assert(second == (6 to 8).map(n => s"""{"n":$n}"""))
+  }
+
+  test("box-style poller does not advance the cursor on an empty page") {
+    // box.py:186-189 returns before next_stream_position is stored — an
+    // empty response leaves the checkpoint where it was
+    val api = new InMemoryBoxApi(chunkLimit = 3)
+    val poller = new graft.sources.BoxStylePoller(api)
+    assert(poller.fetch(0L, 5L).toSeq.isEmpty)
+    assert(poller.latest() == 0L)
+    api.append("""{"n":1}""")
+    assert(poller.fetch(0L, poller.latest()).toSeq == Seq("""{"n":1}"""))
+  }
 }
