@@ -262,9 +262,12 @@ object AlertMerger {
       else {
         // the appending win: nothing closed means open == buffered ++
         // incoming (order is re-imposed on read), so the state write is a
-        // pure append; only an actual window close rewrites the list
-        if (closed.isEmpty && buffered.nonEmpty) buf.appendList(incoming.toArray)
-        else buf.put(open.toArray)
+        // pure append — or NO write at all for a timer that fired early
+        // (empty incoming; ListState rejects empty appends) — and only an
+        // actual window close rewrites the list
+        if (closed.isEmpty && buffered.nonEmpty) {
+          if (incoming.nonEmpty) buf.appendList(incoming.toArray)
+        } else buf.put(open.toArray)
         getHandle.registerTimer(math.max(windowEndMs(open), wm + 1))
       }
       closed.map(mergeWindow).iterator

@@ -171,4 +171,47 @@ class MergeSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("transformWithState event-time timer flushes an open window with no new group data") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[MergeInputAlert]
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[MergeInputAlert]
+      val q = AlertMerger.mergeStreamTws(input.toDS())
+        .writeStream.format("memory").queryName("merged_tws_timer")
+        .outputMode("append").start()
+      try {
+        // batch 1: one alert in a 1-min window for group g1
+        input.addData(
+          alert("a", "2024-01-01 00:00:00", """{"mk":"g1","v":1}""", window = 1))
+        q.processAllAvailable()
+        assert(spark.sql("SELECT * FROM merged_tws_timer").count() == 0,
+          "window must stay open until the watermark passes its end")
+        // batch 2: an alert for a DIFFERENT group far past g1's window end —
+        // it advances the watermark; g1 flushes by TIMER, not by group data
+        input.addData(
+          alert("z", "2024-01-01 00:10:00", """{"mk":"g2","v":9}""", window = 1))
+        q.processAllAvailable()
+        // one more batch so the timer registered against the new watermark fires
+        input.addData(
+          alert("z2", "2024-01-01 00:20:00", """{"mk":"g2","v":10}""", window = 1))
+        q.processAllAvailable()
+        val flushed = spark.sql(
+          "SELECT merge_keys, alert_count FROM merged_tws_timer WHERE merge_keys = 'g1'")
+          .collect()
+        assert(flushed.length == 1 && flushed(0).getLong(1) == 1L,
+          "g1's singleton window must flush via the event-time timer")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
 }
