@@ -1850,6 +1850,35 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // Span-level corpus dedup (C4-style): non-overlapping 8-token spans,
+  // corpus-wide keep-first, documents reassembled from survivors.
+  register(
+    "d8_span_dedup",
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+      |                             x -> x != '') AS words
+      |  FROM documents),
+      |flat AS (
+      |  SELECT doc_id, sp.span_idx AS span_idx, sp.span AS span
+      |  FROM (SELECT doc_id, unnest(list_transform(
+      |          generate_series(0, CAST(ceil(len(words) / 8.0) AS BIGINT) - 1),
+      |          i -> struct_pack(span_idx := i,
+      |                 span := array_to_string(words[i*8+1:i*8+8], ' ')))) AS sp
+      |        FROM w)
+      |  WHERE length(sp.span) > 0),
+      |keep AS (
+      |  SELECT doc_id, span_idx, span,
+      |         row_number() OVER (PARTITION BY span
+      |                            ORDER BY doc_id, span_idx) AS rn
+      |  FROM flat)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans_kept,
+      |       string_agg(span, ' ' ORDER BY span_idx) AS dedup_text
+      |FROM keep WHERE rn = 1
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Dedup.spanDedup(t(s, dir, "documents"), "text", "doc_id", spanWords = 8)
+      .orderBy("doc_id")
+  }
+
   // Semantic dedup: nearest-centroid cluster assignment + keep-one
   // representative per cluster (embedding-space analogue of d1/d2's
   // lexical keep-one; centroid matrix rides the ivf one-row broadcast).

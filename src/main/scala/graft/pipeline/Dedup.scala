@@ -62,6 +62,44 @@ object Dedup {
     df.join(canon, Seq(idCol), "left_semi")
   }
 
+  /** Span-level corpus dedup (the C4-style "discard repeated spans
+    * corpus-wide, keep one copy" cleanup, applied at sub-document
+    * granularity): documents chunk into non-overlapping `spanWords`-token
+    * spans; every span occurring more than once across the WHOLE corpus
+    * keeps only its first occurrence (ordered by id, then position);
+    * surviving spans reassemble per document. A document made entirely of
+    * repeated spans disappears — its content lives on in the first
+    * occurrences.
+    *
+    * Scale shape: spans materialize once from the scan (an int-sequence
+    * posexplode, like chunking); the keep-first decision is ONE window
+    * shuffle partitioned by the 16-byte span fingerprint (span text rides
+    * it once as payload), reassembly is one groupBy(doc). No self-join, no
+    * all-pairs anything. Output: (doc_id, n_spans_kept, dedup_text). */
+  def spanDedup(df: DataFrame, textCol: String, idCol: String,
+      spanWords: Int = 8): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val lastSpan = ceil(size(col("__toks")).cast("double") / spanWords).cast("int") - 1
+    val spans = df
+      .select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        explode(sequence(lit(0), greatest(lastSpan, lit(0)))).as("span_idx"))
+      .select(col("doc_id"), col("span_idx"),
+        array_join(slice(col("__toks"), col("span_idx") * spanWords + 1,
+          lit(spanWords)), " ").as("span"))
+      .where(length(col("span")) > 0)
+    val w = Window.partitionBy(md5(col("span")))
+      .orderBy(col("doc_id").asc, col("span_idx").asc)
+    spans.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("span_idx"), col("span")))),
+          s => s.getField("span")), " ").as("dedup_text"))
+  }
+
   /** Streaming ingestion dedup: drop redeliveries of the same document
     * within the watermark horizon. State carries ONLY the 16-byte
     * fingerprint + event time (dropDuplicatesWithinWatermark evicts state

@@ -177,6 +177,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BatchEvalPython") && !p.contains("UDF"), "UDF in plan")
   }
 
+  test("span dedup: window + reassembly shuffles only, no self-join") {
+    val p = plan("d8_span_dedup")
+    // keep-first window + groupBy(doc) + the orderBy — and nothing else
+    assert(p.split("Exchange").length - 1 <= 3,
+      "expected window + reassembly + order exchanges only")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "span dedup must not join the corpus against itself")
+    assert(!p.contains("BatchEvalPython") && !p.contains("UDF"), "UDF in plan")
+  }
+
   test("semantic dedup: one-row centroid broadcast + one cluster window shuffle") {
     import org.apache.spark.sql.functions._
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
