@@ -1850,6 +1850,26 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // Unigram-LM surprisal (perplexity-proxy quality filter): frequencies
+  // trained on the corpus itself, docs scored by mean -ln p(token).
+  register(
+    "t12_unigram_surprisal",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                                    x -> x != '')) AS tok
+      |  FROM documents),
+      |dc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+      |freq AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+      |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM freq)
+      |SELECT dc.doc_id, CAST(sum(dc.c) AS BIGINT) AS n_tokens,
+      |       round(sum(dc.c * -ln(freq.n / tot.total)) / sum(dc.c), 6)
+      |         AS avg_surprisal
+      |FROM dc JOIN freq USING (tok), tot
+      |GROUP BY dc.doc_id ORDER BY dc.doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.unigramSurprisal(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy("doc_id")
+  }
+
   // Span-level corpus dedup (C4-style): non-overlapping 8-token spans,
   // corpus-wide keep-first, documents reassembled from survivors.
   register(

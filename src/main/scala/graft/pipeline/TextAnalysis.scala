@@ -228,6 +228,39 @@ object TextAnalysis {
       .groupBy(col(idCol).as("doc_id"))
       .agg(count(lit(1)).as("n_matches"))
 
+  /** Unigram-LM surprisal per document — the perplexity-proxy quality
+    * filter (the role a kenlm model plays in CCNet-style pipelines), as
+    * pure relational ops: train token frequencies over a reference corpus
+    * (one pre-combined aggregation), score each document by the
+    * count-weighted mean of `-ln p(token)`. Low = fluent/common text,
+    * high = gibberish or vocabulary far from the reference.
+    *
+    * Scale shape: per-doc token COUNTS aggregate before the frequency
+    * join (the join input shrinks by each doc's repetition factor); the
+    * frequency table joins by AQE's choice — broadcast for real-world
+    * vocab sizes. Out-of-vocabulary tokens score with a floor probability
+    * of `oovFloorOver / total` instead of dropping. Output: (doc_id,
+    * n_tokens, avg_surprisal rounded to 6). */
+  def unigramSurprisal(docs: DataFrame, textCol: String, idCol: String,
+      refCorpus: Option[DataFrame] = None, refTextCol: String = "text",
+      oovFloorOver: Double = 0.5): DataFrame = {
+    def toksOf(df: DataFrame, tc: String, extra: Column*): DataFrame =
+      df.select(extra :+ explode(tokens(lower(col(tc)))).as("tok"): _*)
+    val ref = toksOf(refCorpus.getOrElse(docs),
+      refCorpus.map(_ => refTextCol).getOrElse(textCol))
+    val freqs = ref.groupBy("tok").agg(count(lit(1)).as("__n"))
+    val total = broadcast(freqs.agg(sum(col("__n")).as("__total")))
+    val docToks = toksOf(docs, textCol, col(idCol).as("doc_id"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("__c"))
+    docToks.join(freqs, Seq("tok"), "left").crossJoin(total)
+      .withColumn("__s",
+        -log(coalesce(col("__n").cast("double"), lit(oovFloorOver)) / col("__total")))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("__c")).as("n_tokens"),
+        round(sum(col("__c") * col("__s")) / sum(col("__c")), 6).as("avg_surprisal"))
+  }
+
   /** Distinct lowercase word n-grams of a text column (empty below n
     * words). The shared shape for n-gram-overlap decontamination. */
   private def wordNgrams(text: Column, n: Int): Column = {

@@ -177,6 +177,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BatchEvalPython") && !p.contains("UDF"), "UDF in plan")
   }
 
+  test("unigram surprisal: pre-combined aggs, one-row total broadcast, no UDF") {
+    val p = plan("t12_unigram_surprisal")
+    assert(p.contains("partial"), "map-side partial aggregation missing")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the corpus total must ride a broadcast, not a shuffle")
+    assert(!p.contains("CartesianProduct"), "cartesian in plan")
+    assert(!p.contains("BatchEvalPython") && !p.contains("UDF"), "UDF in plan")
+  }
+
   test("span dedup: window + reassembly shuffles only, no self-join") {
     val p = plan("d8_span_dedup")
     // keep-first window + groupBy(doc) + the orderBy — and nothing else
