@@ -261,14 +261,21 @@ object TextAnalysis {
         round(sum(col("__c") * col("__s")) / sum(col("__c")), 6).as("avg_surprisal"))
   }
 
-  /** Distinct lowercase word n-grams of a text column (empty below n
-    * words). The shared shape for n-gram-overlap decontamination. */
-  private def wordNgrams(text: Column, n: Int): Column = {
-    val toks = tokens(lower(text))
-    array_distinct(when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
-      .otherwise(array().cast("array<string>")))
+  /** Distinct word n-grams from an ALREADY-MATERIALIZED tokens column
+    * (empty below n words — decontamination can't match a sub-n-gram
+    * snippet). Two perf lessons baked in (both measured): `toksCol` must
+    * be a plain column reference, not an inline `split(...)` captured in
+    * a lambda (re-evaluates per element — O(n²) tokenization), and grams
+    * build by iterated zip_with against shifted views, not
+    * transform(sequence)+slice (per-position slice allocation dominated
+    * the minhash pipeline the same way — see Dedup.wordShingles). */
+  private def wordNgrams(toksCol: Column, n: Int): Column = {
+    val grams = (1 until n).foldLeft(toksCol) { (acc, k) =>
+      zip_with(acc, slice(toksCol, lit(k + 1), greatest(size(toksCol) - k, lit(1))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    when(size(toksCol) >= n, array_distinct(array_compact(grams)))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** N-gram-overlap decontamination — the standard contamination check
@@ -284,10 +291,13 @@ object TextAnalysis {
     * doc with its distinct colliding-gram count. */
   def ngramContamination(docs: DataFrame, textCol: String, idCol: String,
       snippets: DataFrame, snippetCol: String, n: Int = 5): DataFrame = {
-    val docGrams = docs.select(col(idCol).as("doc_id"),
-      explode(wordNgrams(col(textCol), n)).as("gram"))
+    val docGrams = docs
+      .select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("__toks"))
+      .select(col("doc_id"), explode(wordNgrams(col("__toks"), n)).as("gram"))
       .select(col("doc_id"), md5(col("gram")).as("gram_key"))
-    val snipGrams = snippets.select(explode(wordNgrams(col(snippetCol), n)).as("gram"))
+    val snipGrams = snippets
+      .select(tokens(lower(col(snippetCol))).as("__toks"))
+      .select(explode(wordNgrams(col("__toks"), n)).as("gram"))
       .select(md5(col("gram")).as("gram_key")).distinct()
     docGrams.join(snipGrams, "gram_key")
       .groupBy("doc_id")
