@@ -437,4 +437,57 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hits == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L)) // doc 4 punctuated
   }
+
+  test("ngram contamination: token-exact n-gram collisions, case-folded") {
+    val snips = Seq("The QUICK brown fox jumps").toDF("snip") // 5 tokens, 1 gram
+    val hits = TextAnalysis.ngramContamination(docs, "text", "doc_id",
+      snips, "snip", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 0/1/2 contain "the quick brown fox jumps"; doc 4's comma breaks
+    // the token ("quick," != "quick"); doc 3 shares nothing
+    assert(hits == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("span dedup: keep-first across the corpus, survivors reassemble in order") {
+    val spanDocs = Seq(
+      (0L, "a b c d e f g h i j"),   // spans: [a..h], [i j]
+      (1L, "a b c d e f g h x y"),   // first span duplicates doc 0's -> dropped
+      (2L, "a b c d e f g h"))       // entirely doc 0's first span -> doc vanishes
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedup(spanDocs, "text", "doc_id", spanWords = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(0L) == (2L, "a b c d e f g h i j"))
+    assert(out(1L) == (1L, "x y"))
+    assert(!out.contains(2L), "a doc made entirely of repeated spans must vanish")
+    // invariant: surviving text is a subsequence of the original tokens
+    assert(out(1L)._2.split(" ").forall(Set("x", "y")))
+  }
+
+  test("unigram surprisal: rare-token docs score higher than common-token docs") {
+    val corpus = Seq(
+      (0L, "the the the the the"),
+      (1L, "the the the the rare"))
+      .toDF("doc_id", "text")
+    val scored = TextAnalysis.unigramSurprisal(corpus, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored(1L) > scored(0L), "the doc containing the rare token must surprise more")
+    // doc 0 is all 'the': p = 9/10, avg = -ln(0.9)
+    assert(math.abs(scored(0L) - (-math.log(9.0 / 10.0))) < 1e-6)
+  }
+
+  test("semantic dedup keeps exactly one representative per cluster") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), "a"), (1L, Array(0.9f, 0.1f), "a"),
+      (2L, Array(0.0f, 1.0f), "b"), (3L, Array(0.1f, 0.9f), "b"),
+      (4L, Array(0.05f, 0.95f), "b"))
+      .toDF("vec_id", "embedding", "grp")
+    val cents = Similarity.centroids(vecs, "embedding", "grp")
+    val out = Similarity.semanticDedup(vecs, cents)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val byCluster = out.groupBy(_._2)
+    assert(byCluster.keySet == Set("a", "b"))
+    // exactly one keep per cluster, and it is the closest-to-centroid vector
+    assert(byCluster.values.forall(_.count(_._3) == 1))
+    assert(out.filter(_._3).map(_._1).toSet == Set(0L, 4L))
+  }
 }
