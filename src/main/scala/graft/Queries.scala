@@ -1933,6 +1933,31 @@ object Queries {
     Similarity.semanticDedup(e, cents).orderBy("vec_id")
   }
 
+  // Multimodal perceptual-hash near-dup: the pigeonhole machinery over a
+  // 64-bit media hash (stub = md5-derived, so only byte-identical media
+  // collide — which is exactly what the oracle can pin; a real pHash slots
+  // into the same pipeline).
+  register(
+    "mm_phash_neardup",
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 97 = 0),
+      |h AS (SELECT doc_id, md5(text) AS m FROM corpus)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming
+      |FROM h a JOIN h b ON a.m = b.m AND a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    // plant byte-identical "media" (re-ingested copies) so the pair output
+    // is non-empty and the oracle pins them exactly
+    val corpus = docs.unionAll(docs.where(col("doc_id") % 97 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    val media = Multimodal.asMediaTable(corpus, "doc_id", "text", "image")
+    Multimodal.phashNearDups(media)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
   // Multimodal: binary media table with typed metadata + stub frame sampling
   // (decode itself is stubbed; schema/partitioning/batch shape are real).
   register(

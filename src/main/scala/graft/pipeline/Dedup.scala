@@ -445,10 +445,26 @@ object Dedup {
   }
 
   private[graft] def simhashPairsPlan(df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int, maxBucketPairing: Int): (DataFrame, Seq[DataFrame]) =
+    fingerprintPairsPlan(simhashStages(df, textCol, idCol)._1, maxDist, maxBucketPairing)
+
+  /** Pigeonhole 16-bit-chunk buckets for any (id, sim: 64-bit) fingerprint
+    * table — any pair within hamming distance 3 shares at least one chunk. */
+  private[graft] def fingerprintBuckets(withSim: DataFrame): DataFrame =
+    withSim.select(col("id"),
+      explode(array((0 until 4).map(c => struct(
+        lit(c).as("chunk"),
+        shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("b"))
+      .select(col("id"), col("b.chunk").as("chunk"), col("b.key").as("key"))
+
+  /** The simhash candidate/verify machinery over an ARBITRARY 64-bit
+    * fingerprint table (id, sim) — factored out so other fingerprint
+    * families (perceptual hashes over media bytes, [[Multimodal]]) reuse
+    * the same skew-capped pigeonhole join. */
+  private[graft] def fingerprintPairsPlan(withSimRaw: DataFrame,
       maxDist: Int, maxBucketPairing: Int): (DataFrame, Seq[DataFrame]) = {
-    val (withSimRaw, buckets) = simhashStages(df, textCol, idCol)
     val withSim = withSimRaw.persist(StorageLevel.MEMORY_AND_DISK)
-    val ranked = buckets
+    val ranked = fingerprintBuckets(withSimRaw)
       .withColumn("rn", row_number().over(
         Window.partitionBy("chunk", "key").orderBy("id")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -461,6 +477,15 @@ object Dedup {
     (pairs, Seq(withSim, ranked))
   }
 
+  /** Near-dup pairs for a prepared (id, sim) fingerprint table, eagerly
+    * materialized with stage caches released (the [[materializeAndRelease]]
+    * contract). */
+  def fingerprintNearDups(withSim: DataFrame, maxDist: Int = 3,
+      maxBucketPairing: Int = 64): DataFrame = {
+    val (pairs, stages) = fingerprintPairsPlan(withSim, maxDist, maxBucketPairing)
+    materializeAndRelease(pairs, stages)
+  }
+
   /** The simhash store tables: (id, sim) fingerprints and the exploded
     * (id, chunk, key) pigeonhole buckets — stage these to parquet and new
     * batches never re-fingerprint the corpus. */
@@ -470,12 +495,7 @@ object Dedup {
       .select(col(idCol).as("id"),
         transform(TextAnalysis.tokens(lower(col(textCol))), t => xxhash64(t)).as("__th"))
       .select(col("id"), simhash64FromHashes(col("__th")).as("sim"))
-    val buckets = withSim.select(col("id"),
-      explode(array((0 until 4).map(c => struct(
-        lit(c).as("chunk"),
-        shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("b"))
-      .select(col("id"), col("b.chunk").as("chunk"), col("b.key").as("key"))
-    (withSim, buckets)
+    (withSim, fingerprintBuckets(withSim))
   }
 
   /** Incremental simhash: a new batch against the staged store — same

@@ -58,6 +58,27 @@ object Multimodal {
         md5(concat(col("bytes"), col("frame_idx").cast(StringType))))
       .select("media_id", "kind", "frame_idx", "byte_offset", "frame_md5")
 
+  /** STUB 64-bit perceptual hash: 60 bits from md5(bytes) (15 hex chars —
+    * fits a signed long without overflow). A real pHash — DCT over
+    * downsampled luma, sign-quantized — plugs in here; everything
+    * downstream (pigeonhole bucketing, hamming verify, skew cap) is the
+    * REAL near-dup machinery shared with SimHash ([[Dedup.fingerprintNearDups]]).
+    * With the stub, only byte-identical media collide (an md5 prefix has
+    * no locality); a real pHash makes visually-near media land within
+    * small hamming distance and the same pipeline finds them. */
+  def stubPerceptualHash64(bytes: Column): Column =
+    conv(substring(md5(bytes), 1, 15), 16, 10).cast(LongType)
+
+  /** Near-duplicate media pairs by perceptual hash: (id_a, id_b, hamming),
+    * id_a < id_b, via the 16-bit-chunk pigeonhole join. One skinny shuffle
+    * of (id, 8-byte hash) — media bytes never move. */
+  def phashNearDups(media: DataFrame, maxDist: Int = 3,
+      maxBucketPairing: Int = 64): DataFrame =
+    Dedup.fingerprintNearDups(
+      media.select(col("media_id").as("id"),
+        stubPerceptualHash64(col("bytes")).as("sim")),
+      maxDist, maxBucketPairing)
+
   /** STUB resize — metadata-only transform (a real implementation rewrites
     * bytes; the engine contract is the meta update + passthrough schema). */
   def stubResize(media: DataFrame, w: Int, h: Int): DataFrame =

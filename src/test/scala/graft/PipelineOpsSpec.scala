@@ -475,6 +475,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(scored(0L) - (-math.log(9.0 / 10.0))) < 1e-6)
   }
 
+  test("phash near-dup pairs byte-identical media; generic fingerprints pair within hamming 3") {
+    val media = Multimodal.asMediaTable(Seq(
+      (10L, "same payload"), (11L, "same payload"), (12L, "other payload"))
+      .toDF("doc_id", "text"), "doc_id", "text", "image")
+    val pairs = Multimodal.phashNearDups(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((10L, 11L, 0)))
+    // the generic machinery on hand-built fingerprints: one bit apart
+    // pairs, far fingerprints don't
+    val fps = Seq((1L, 0x00000000000000FFL), (2L, 0x00000000000000FEL),
+      (3L, 0x7F00FF00FF00FF00L)).toDF("id", "sim")
+    val got = Dedup.fingerprintNearDups(fps, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1)))
+  }
+
   test("semantic dedup keeps exactly one representative per cluster") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f), "a"), (1L, Array(0.9f, 0.1f), "a"),
