@@ -214,6 +214,48 @@ object Queries {
       .orderBy("window_start", "event_type")
   }
 
+  // Gap-based sessionization — the analytics staple the fixed-window q11
+  // can't express: a session breaks after 30 idle minutes; session index =
+  // running count of breaks (lag + running sum, two window passes over ONE
+  // user-partitioned sort). All arithmetic in integer nanos end-to-end.
+  register(
+    "q18_sessionize",
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+      |m AS (
+      |  SELECT user_id, tus,
+      |         CASE WHEN lag(tus) OVER w IS NULL
+      |                OR tus - lag(tus) OVER w > 1800000000 THEN 1
+      |              ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+      |s AS (
+      |  SELECT user_id, tus,
+      |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus
+      |                             ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM m)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       min(tus) AS sess_start_us, max(tus) AS sess_end_us
+      |FROM s GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tus")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // integer micros on both sides: DuckDB's TIMESTAMP carries micro
+    // precision, so nanos would hash-mismatch on the trailing digits
+    t(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("tus"))
+      .withColumn("new_sess",
+        when(lag(col("tus"), 1).over(w).isNull ||
+          col("tus") - lag(col("tus"), 1).over(w) > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum(col("new_sess")).over(wRun))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("tus")).as("sess_start_us"),
+        max(col("tus")).as("sess_end_us"))
+      .orderBy("user_id", "session_idx")
+  }
+
   // Skew-mitigation operators: salted join + two-phase aggregation produce
   // the same result as their unsalted forms (that IS the correctness
   // contract), while splitting hot keys across tasks.
