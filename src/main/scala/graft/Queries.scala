@@ -1160,6 +1160,62 @@ object Queries {
     } finally alerts.unpersist()
   }
 
+  // A4/A6: the attempt-ledger retry loop, oracle-proven end-to-end — a
+  // transiently failing dispatcher records a failed attempt WITHOUT
+  // aborting the fan-out; the next fan-out retries exactly the unsent
+  // pairs (attempts=2) and never re-dispatches sent ones (attempts stays
+  // 1). The ledger state IS the reference alert table's Attempts /
+  // OutputsSent bookkeeping (shared/alert_table.py:84-190).
+  register(
+    "a7_attempt_ledger",
+    """SELECT * FROM (
+      |  SELECT 'aws-firehose:alerts' AS output, CAST(1 AS BIGINT) AS attempts,
+      |         true AS sent, count(*) AS n_pairs
+      |  FROM events WHERE event_id < 20000
+      |    AND (event_type = 'purchase' OR (event_type = 'error' AND value > 100))
+      |  UNION ALL
+      |  SELECT 'slack:alerts', CAST(2 AS BIGINT), true, count(*)
+      |  FROM events WHERE event_id < 20000
+      |    AND event_type = 'error' AND value > 100)
+      |ORDER BY output""".stripMargin) { (s, dir) =>
+    import graft.alerts.Outputs
+    val root = s"/tmp/graft_a7_${dir.replaceAll("\\W", "_")}"
+    val rootFile = new java.io.File(root)
+    if (rootFile.exists()) org.apache.commons.io.FileUtils.deleteDirectory(rootFile)
+    val rules = Seq(
+      Rule("any_purchase", RuleOpts(logs = Seq("demo:json_events")),
+        rec => rec.getField("event_type") === "purchase"),
+      Rule("big_error",
+        RuleOpts(logs = Seq("demo:json_events"), outputs = Seq("slack:alerts")),
+        rec => rec.getField("event_type") === "error" && rec.getField("value") > 100))
+    val alerts = new RulesEngine(rules, deterministicIds = true, clock = Some(fixedClock))
+      .evaluate(
+        classifiedEvents(s, dir).where(col("record.event_id") < 20000),
+        "demo:json_events")
+      .persist()
+    val ledger = Outputs.AttemptLedger(s"$root/ledger")
+    // slack is transiently down for the first fan-out only
+    var slackDown = true
+    val dispatchers = Map(
+      "aws-firehose" -> Outputs.FileDispatcher(s"$root/aws-firehose"),
+      "slack" -> Outputs.WebhookDispatcher((_, _) =>
+        if (slackDown) sys.error("transient 500")))
+    try {
+      val r1 = Outputs.fanOutTracked(alerts, dispatchers, ledger,
+        clock = Some(fixedClock))
+      require(r1("slack:alerts") == false && r1("aws-firehose:alerts") == true,
+        s"expected slack down / firehose up on attempt 1, got $r1")
+      slackDown = false
+      val r2 = Outputs.fanOutTracked(alerts, dispatchers, ledger,
+        clock = Some(fixedClock))
+      require(r2("slack:alerts") == true, s"expected slack retry to succeed, got $r2")
+      ledger.state(s).groupBy("output", "attempts", "sent")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("output")
+        .localCheckpoint(eager = true)
+    } finally alerts.unpersist()
+  }
+
   // ---------------------------------------------------------------------------
   // Sources (S1-S3), historical store + partition pruning (S6), scheduled
   // queries (§2.5), streamquery re-injection (S10), rule promotion (§3.3),
