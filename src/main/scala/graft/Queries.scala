@@ -256,6 +256,26 @@ object Queries {
       .orderBy("user_id", "session_idx")
   }
 
+  // PIVOT: long→wide reshaping (the reporting face of the scheduled-query
+  // surface). Spark's relational pivot plans as ONE aggregation with a
+  // pivot-aggregate per value — same shape as the CASE-per-column oracle.
+  register(
+    "q19_pivot",
+    """SELECT user_id % 10 AS user_bucket,
+      |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+      |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+      |  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+      |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+      |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup
+      |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy((col("user_id") % 10).as("user_bucket"))
+      .pivot("event_type", Seq("purchase", "view", "error", "click", "signup"))
+      .agg(coalesce(count(lit(1)), lit(0L)))
+      .na.fill(0L)
+      .orderBy("user_bucket")
+  }
+
   // Skew-mitigation operators: salted join + two-phase aggregation produce
   // the same result as their unsalted forms (that IS the correctness
   // contract), while splitting hot keys across tasks.
