@@ -1208,10 +1208,16 @@ object Queries {
       Rule("big_error",
         RuleOpts(logs = Seq("demo:json_events"), outputs = Seq("slack:alerts")),
         rec => rec.getField("event_type") === "error" && rec.getField("value") > 100))
+    // the event_id cap is pushed to the parquet scan, BEFORE the JSON
+    // round-trip — filtering the classified frame instead would serialize
+    // and re-parse the whole events table to keep 2% of it
+    val raw = t(s, dir, "events").where(col("event_id") < 20000).select(
+      to_json(struct(col("event_id"), col("event_type"), col("value"), col("props")))
+        .as("line"))
+    val typed = new Classifier(Seq(DemoSchemas.jsonEvents))
+      .classify(raw, "line").forType("demo:json_events")
     val alerts = new RulesEngine(rules, deterministicIds = true, clock = Some(fixedClock))
-      .evaluate(
-        classifiedEvents(s, dir).where(col("record.event_id") < 20000),
-        "demo:json_events")
+      .evaluate(typed, "demo:json_events")
       .persist()
     val ledger = Outputs.AttemptLedger(s"$root/ledger")
     // slack is transiently down for the first fan-out only
