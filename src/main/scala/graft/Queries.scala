@@ -1776,20 +1776,34 @@ object Queries {
 
   // Array-valued result surface: per-user sorted distinct event types —
   // the reference's alert `outputs`/`log_sources` style list columns as a
-  // query result. Proves list cells survive the whole correctness path
-  // (Spark array<string> parquet → Arrow list → oracle list compare).
+  // query result (shared/alert.py:212-242). The list is projected to a
+  // canonical comma-joined string on BOTH sides because the driver's
+  // pandas-based oracle cannot sort list cells (r4: TypeError unhashable
+  // numpy.ndarray); the semantics proven are identical — same distinct
+  // set, same order. The NATIVE array<string>-through-parquet path stays
+  // proven by PipelineOpsSpec ("array-valued results round-trip parquet").
   register(
     "q17_array_agg",
     """SELECT user_id,
-      |       list_sort(list(DISTINCT event_type)) AS event_types,
+      |       array_to_string(list_sort(list(DISTINCT event_type)), ',')
+      |         AS event_types,
       |       count(*) AS n_events
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    q17Native(s, dir)
+      .withColumn("event_types", array_join(col("event_types"), ","))
+      .orderBy("user_id")
+  }
+
+  /** The native array<string> aggregation behind q17 — kept separately so
+    * PipelineOpsSpec can prove the list-through-parquet path (Spark
+    * array<string> → parquet → read-back) even though the driver's oracle
+    * hashes the string projection.
+    */
+  def q17Native(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events").groupBy("user_id")
       .agg(
         array_sort(collect_set(col("event_type"))).as("event_types"),
         count(lit(1)).as("n_events"))
-      .orderBy("user_id")
-  }
 
   // Domain extraction: per-domain reference counts (the blocklist /
   // source-mix audit). URLs are synthesized onto the corpus text so every

@@ -409,6 +409,34 @@ class PipelineOpsSpec extends AnyFunSuite {
         s"$k: approx ${approx(k)} vs exact $e outside 3x rsd bound")
   }
 
+  test("array-valued results round-trip parquet (native q17 path)") {
+    // The driver's oracle hashes q17's string projection (pandas cannot
+    // sort list cells); this pins the NATIVE array<string> surface: the
+    // aggregation produces real list columns that survive a parquet
+    // round-trip bit-identically and agree with the string projection.
+    val dir = "/root/testdata/sf0.001"
+    val native = Queries.q17Native(spark, dir)
+    val out = java.nio.file.Files.createTempDirectory("q17native").toString
+    native.write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.schema("event_types").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false) ||
+      back.schema("event_types").dataType.isInstanceOf[
+        org.apache.spark.sql.types.ArrayType])
+    val a = native.orderBy("user_id").collect()
+    val b = back.orderBy("user_id").collect()
+    assert(a.sameElements(b))
+    // joined-string projection (what the driver hashes) agrees with the list
+    val joined = back.select(col("user_id"),
+      array_join(col("event_types"), ",").as("s")).orderBy("user_id")
+      .collect().map(r => r.get(0) -> r.getString(1))
+    val fromList = a.map(r =>
+      r.get(r.fieldIndex("user_id")) ->
+        r.getSeq[String](r.fieldIndex("event_types")).mkString(","))
+    assert(joined.sameElements(fromList))
+  }
+
   test("url extraction captures full urls; domain counts aggregate hosts") {
     val df = Seq(
       "see https://a.example.com/x/y and http://b.org plain text",
