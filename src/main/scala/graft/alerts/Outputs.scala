@@ -110,11 +110,18 @@ object Outputs {
   /** HTTP-shaped dispatcher: the engine-side contract of the ~20 webhook
     * outputs (slack/pagerduty/jira/...; alert_processor/outputs/ in the
     * reference). `send` receives (descriptor, publication JSON) per alert —
-    * plug an HTTP client in deployment; keep it idempotent on alert_id. */
+    * plug an HTTP client in deployment; keep it idempotent on alert_id.
+    *
+    * Publications stream through `toLocalIterator` — one partition on the
+    * driver at a time — so a rule misfire that alerts on every record
+    * cannot OOM the driver the way a whole-batch `collect()` would, while
+    * `send` still runs driver-side (it is a plain closure, not required to
+    * be serializable, matching alert_processor/main.py:76-92 where
+    * delivery happens in one process). */
   final case class WebhookDispatcher(send: (String, String) => Unit) extends Dispatcher {
     def dispatch(batch: DataFrame, descriptor: String): Unit =
-      batch.select(col("publication")).collect()
-        .foreach(r => send(descriptor, r.getString(0)))
+      batch.select(col("publication")).toLocalIterator()
+        .forEachRemaining(r => send(descriptor, r.getString(0)))
   }
 
   /** Per-(alert, output) delivery attempt state — the engine analogue of

@@ -241,6 +241,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(sent.head._2.contains("\"rule_name\":\"big\""))
   }
 
+  test("webhook dispatch streams partitions, never whole-batch collects") {
+    // A rule misfire can make EVERY record an alert; the dispatcher must
+    // bound driver memory to one partition (toLocalIterator), not the
+    // whole batch. 200k publications across 32 partitions — far more rows
+    // than any alert batch should hold — all delivered, exactly once.
+    val big = spark.range(200000).toDF("id")
+      .repartition(32)
+      .select(concat(lit("""{"alert_id":"""), col("id"), lit("}"))
+        .as("publication"))
+    var n = 0L
+    var sample: String = null
+    Outputs.WebhookDispatcher { (_, pub) =>
+      n += 1; if (sample == null) sample = pub
+    }.dispatch(big, "chan")
+    assert(n == 200000L)
+    assert(sample.startsWith("""{"alert_id":"""))
+  }
+
   test("attempt ledger: transient failure leaves a retryable row, retry clears it") {
     val alerts = engine.evaluate(
       new graft.classify.Classifier(Seq(schema))
