@@ -78,6 +78,36 @@ final class ThreatIntel(
   def isIoc(df: DataFrame): Column = size(map_keys(col(IocKey))) > 0
 }
 
+/** Per-micro-batch refreshed IOC table (SURVEY §7.5's flagged risk).
+  *
+  * The reference keeps its IOC DynamoDB table fresh OUT-OF-BAND via the
+  * threat_intel_downloader Lambda (threat_intel_downloader/main.py) while
+  * the rules engine queries the live table on every invocation
+  * (rules_engine/threat_intel.py:152-229) — so a new IOC takes effect on
+  * the next Lambda call without redeploying rules. The Spark analogue:
+  * IOCs live in a staged parquet table that a downloader-equivalent job
+  * overwrites; [[annotate]] re-reads it on every micro-batch inside
+  * `foreachBatch`, so an IOC published between batch N and N+1 matches at
+  * N+1 without restarting the stream. Cost per batch is one dim-sized
+  * scan + broadcast rebuild — never a stream-side shuffle, and the scan
+  * prunes to `ioc_value` exactly like the static path. */
+final class RefreshingThreatIntel(
+    iocTablePath: String,
+    normalizedTypeToIoc: Map[String, String],
+    excluded: Map[String, Seq[String]] = Map.empty) extends Serializable {
+
+  val IocKey = "streamalert_ioc"
+
+  /** Snapshot of the staged IOC table as of THIS micro-batch. */
+  def current(spark: org.apache.spark.sql.SparkSession): ThreatIntel =
+    new ThreatIntel(spark.read.parquet(iocTablePath),
+      normalizedTypeToIoc, excluded)
+
+  /** `foreachBatch` body: annotate this batch against the latest IOCs. */
+  def annotate(batch: DataFrame, recordId: String = Normalizer.RecordIdKey): DataFrame =
+    current(batch.sparkSession).annotate(batch, recordId)
+}
+
 object ThreatIntel {
   /** conf/threat_intel.json loader: `normalized_ioc_types` maps ioc_type ->
     * list of normalized keys (threat_intel.py:64-102; inverted here to the

@@ -241,6 +241,65 @@ class PipelineSpec extends AnyFunSuite {
     assert(sent.head._2.contains("\"rule_name\":\"big\""))
   }
 
+  test("threat-intel refresh: IOC staged between batches matches at N+1") {
+    // SURVEY §7.5's flagged risk: the reference's downloader Lambda
+    // refreshes the IOC table OUT-OF-BAND while the rules engine queries
+    // it live. Engine shape: RefreshingThreatIntel re-reads the staged
+    // parquet per micro-batch inside foreachBatch — the same ip misses in
+    // batch N and matches in batch N+1 after the table is overwritten,
+    // with the stream never restarting.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ti").toString
+    val iocPath = s"$tmp/ioc"
+    val outPath = s"$tmp/matches"
+    // batch-N table: some other ip is malicious
+    Seq(("10.9.9.9", "ip")).toDF("ioc_value", "sub_type")
+      .write.mode("overwrite").parquet(iocPath)
+
+    val ipSchema = LogSchema(
+      name = "demo:json_ioc", parser = ParserKind.Json,
+      schema = TStruct.of("event_id" -> TInteger, "ip" -> TString))
+    val classifier = new graft.classify.Classifier(Seq(ipSchema))
+    val ti = new RefreshingThreatIntel(iocPath, Map("sourceAddress" -> "ip"))
+    import graft.classify.Normalizer
+    def annotateBatch(batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val typed = classifier.classify(batch).forType("demo:json_ioc")
+        .withColumn(Normalizer.NormalizationKey,
+          Normalizer.normalizationCol(col("record"),
+            Map("sourceAddress" -> Seq(NormalizedField(path = Seq("ip")))),
+            Some(ipSchema.schema)))
+        .withColumn(Normalizer.RecordIdKey,
+          Normalizer.recordIdCol(col(Normalizer.NormalizationKey),
+            deterministicFrom = Some(col("record.event_id"))))
+      ti.annotate(typed) // <- re-reads the staged IOC table THIS batch
+        .where(size(map_keys(col(ti.IocKey))) > 0)
+        .select(col("record.event_id").as("event_id"), col("record.ip").as("ip"))
+    }
+
+    val input = MemoryStream[String]
+    val q = input.toDF().writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        annotateBatch(batch).write.mode("append").parquet(outPath)
+        ()
+      }.start()
+    try {
+      input.addData("""{"event_id":1,"ip":"10.0.0.1"}""")
+      q.processAllAvailable()
+      // batch N: 10.0.0.1 not yet an IOC -> no match landed
+      assert(spark.read.parquet(outPath).count() == 0)
+      // downloader-equivalent refresh between batches
+      Seq(("10.9.9.9", "ip"), ("10.0.0.1", "ip")).toDF("ioc_value", "sub_type")
+        .write.mode("overwrite").parquet(iocPath)
+      input.addData("""{"event_id":2,"ip":"10.0.0.1"}""")
+      q.processAllAvailable()
+      val got = spark.read.parquet(outPath)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(got.toSeq == Seq((2L, "10.0.0.1"))) // N+1 matches, N still absent
+    } finally q.stop()
+  }
+
   test("webhook dispatch streams partitions, never whole-batch collects") {
     // A rule misfire can make EVERY record an alert; the dispatcher must
     // bound driver memory to one partition (toLocalIterator), not the
