@@ -531,6 +531,35 @@ object Dedup {
   private def hyperplaneComponent(p: Int, j: Column): Column =
     (xxhash64(lit(p), j).cast(DoubleType) / lit(Long.MaxValue.toDouble)) / 2.0
 
+  /** Signature width that keeps EXPECTED mean bucket occupancy
+    * (corpus / 2^planes) at or under the pairing cap. Hyperplane-LSH
+    * recall saturates silently once buckets overflow the cap (the capped
+    * join drops candidates past it), so `planes` must grow
+    * ~log2(corpus/cap) — a fixed default that is fine at sf0.1 starves at
+    * 100× the corpus. Clamped to [4, 62] (signature packs into a long). */
+  def recommendedPlanes(corpusSize: Long, maxBucketPairing: Int = 64): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, corpusSize.toDouble / math.max(1, maxBucketPairing)))
+        / math.log(2.0)).toInt
+    math.min(62, math.max(4, needed))
+  }
+
+  /** Loud stderr warning (the connectedComponents non-convergence pattern,
+    * see below) when a signature is under-provisioned for the corpus:
+    * mean occupancy past the cap means dropped candidates and silently
+    * saturated recall. Returns whether it fired (unit-testable). */
+  private[graft] def warnIfUnderPlaned(op: String, corpusSize: Long,
+      planes: Int, maxBucketPairing: Int): Boolean = {
+    val mean = corpusSize.toDouble / (1L << planes)
+    val under = mean > maxBucketPairing
+    if (under)
+      System.err.println(f"[graft] $op: mean LSH bucket occupancy ~$mean%.0f " +
+        f"(corpus $corpusSize, planes=$planes) exceeds the pairing cap " +
+        f"$maxBucketPairing — candidates past the cap are dropped and recall " +
+        f"silently saturates; use planes >= ${recommendedPlanes(corpusSize, maxBucketPairing)}")
+    under
+  }
+
   /** Sign-bit signature of `planes` random hyperplanes packed into a long. */
   def hyperplaneSignature(vec: Column, planes: Int): Column =
     (0 until planes).map { p =>
@@ -573,6 +602,8 @@ object Dedup {
       threshold: Double = 0.95, maxBucketPairing: Int = 64): DataFrame = {
     val newSigs = embeddingStages(newVecs, vecCol, idCol, planes)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    warnIfUnderPlaned("embeddingNearDupsAgainstStore", newSigs.count(),
+      planes, maxBucketPairing)
     val cappedStore = storeSigs
       .withColumn("__rn", row_number().over(Window.partitionBy("sig").orderBy("id")))
       .where(col("__rn") <= maxBucketPairing).drop("__rn")
@@ -599,6 +630,8 @@ object Dedup {
       planes: Int, threshold: Double, maxBucketPairing: Int): (DataFrame, Seq[DataFrame]) = {
     val sigs = embeddingStages(df, vecCol, idCol, planes)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // one count on the (already persisted) signature stage: occupancy guard
+    warnIfUnderPlaned("embeddingNearDups", sigs.count(), planes, maxBucketPairing)
     val ranked = sigs.select(col("id"), col("sig"))
       .withColumn("rn", row_number().over(Window.partitionBy("sig").orderBy("id")))
       .persist(StorageLevel.MEMORY_AND_DISK)

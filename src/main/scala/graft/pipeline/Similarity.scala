@@ -158,6 +158,11 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "q_id", queryVec: String = "q_vec"): DataFrame = {
+    // occupancy guard: with 2^planes buckets, a fixed width saturates at
+    // 100x the corpus — candidate cost per query grows linearly and the
+    // multi-probe stops discriminating. One columnar count (vectors not read).
+    Dedup.warnIfUnderPlaned("lshTopK", corpus.count(), planes,
+      maxBucketPairing = 512)
     val bucketed = corpus.withColumn("bucket",
       Dedup.hyperplaneSignature(col(corpusVec), planes))
     val qSig = queries.withColumn("sig",

@@ -409,6 +409,28 @@ class PipelineOpsSpec extends AnyFunSuite {
         s"$k: approx ${approx(k)} vs exact $e outside 3x rsd bound")
   }
 
+  test("under-planed LSH warns loudly instead of silently losing recall") {
+    // planes must scale ~log2(corpus/cap); a fixed width that is fine at
+    // sf0.1 saturates at 100x. recommendedPlanes is the sizing rule and
+    // warnIfUnderPlaned is the guard every LSH entry point runs.
+    assert(Dedup.recommendedPlanes(64, 64) == 4)          // clamp floor
+    assert(Dedup.recommendedPlanes(1L << 20, 64) == 14)   // 2^14 buckets
+    assert(Dedup.recommendedPlanes(Long.MaxValue, 1) == 62) // clamp ceiling
+    assert(Dedup.warnIfUnderPlaned("t", 1000, 2, 64))     // 250/bucket > 64
+    assert(!Dedup.warnIfUnderPlaned("t", 1000, 6, 64))    // ~16/bucket ok
+    // the guard fires through the public operator on an under-planed corpus
+    val vecs = spark.range(200).select(col("id"),
+      array(rand(7), rand(8), rand(9), rand(10)).as("embedding"))
+    val err = new java.io.ByteArrayOutputStream()
+    val old = System.err
+    System.setErr(new java.io.PrintStream(err, true))
+    try Dedup.embeddingNearDups(vecs, "embedding", "id",
+      planes = 1, threshold = 0.999)
+    finally System.setErr(old)
+    assert(err.toString.contains("exceeds the pairing cap"),
+      s"expected occupancy warning on planes=1, got: ${err.toString.take(200)}")
+  }
+
   test("array-valued results round-trip parquet (native q17 path)") {
     // The driver's oracle hashes q17's string projection (pandas cannot
     // sort list cells); this pins the NATIVE array<string> surface: the
