@@ -1500,6 +1500,75 @@ object Queries {
       .drop("alert_id").orderBy("event_id")
   }
 
+  // A5d: github + teams publication shapes (the two most commonly deployed
+  // dialects after a5c's slack/pagerduty/jira). The github issue body IS
+  // json.dumps(record, indent=2, sort_keys=True) in a fenced block
+  // (github.py:110-114) — reconstructed byte-for-byte in SQL including
+  // two-space nesting, sorted keys, and JSON string escaping; the teams
+  // card (teams.py:95-154) checks title/text/themeColor plus both facts
+  // sections.
+  register(
+    "a5d_publishers_github_teams",
+    """SELECT event_id,
+      |  'StreamAlert: high_value' AS gh_title,
+      |  '### Description' || chr(10) || 'Large value event' || chr(10) || chr(10)
+      |    || '### Event data' || chr(10) || chr(10) || '```' || chr(10)
+      |    || '{' || chr(10)
+      |    || '  "event_id": ' || event_id || ',' || chr(10)
+      |    || '  "event_type": "' || event_type || '",' || chr(10)
+      |    || '  "note": "a<b&c\"d''e",' || chr(10)
+      |    || '  "tags": [' || chr(10)
+      |    || '    "x",' || chr(10)
+      |    || '    "y"' || chr(10)
+      |    || '  ],' || chr(10)
+      |    || '  "who": {' || chr(10)
+      |    || '    "uid": ' || user_id || chr(10)
+      |    || '  }' || chr(10)
+      |    || '}' || chr(10) || '```' AS gh_body,
+      |  '["security","streamalert"]' AS gh_labels,
+      |  'StreamAlert Rule Triggered: high_value' AS tm_title,
+      |  'Large value event' AS tm_text,
+      |  'E81123' AS tm_color,
+      |  'Alert Info' AS tm_alert_title,
+      |  'high_value' AS tm_fact_rule,
+      |  md5(CAST(event_id AS VARCHAR)) AS tm_fact_alert_id,
+      |  'StreamAlert Alert Record' AS tm_record_title,
+      |  'a<b&c"d''e' AS tm_fact_note,
+      |  CAST(event_id AS VARCHAR) AS tm_fact_event_id
+      |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import graft.alerts.Publishers
+    val alerts = t(s, dir, "events").where(col("event_id") < 200)
+      .select(
+        md5(col("event_id").cast("string")).as("alert_id"),
+        lit("high_value").as("rule_name"),
+        lit("Large value event").as("rule_description"),
+        lit("demo:json_events").as("log_type"),
+        struct(col("event_id"), col("event_type"),
+          lit("a<b&c\"d'e").as("note"),
+          array(lit("x"), lit("y")).as("tags"),
+          struct(col("user_id").as("uid")).as("who")).as("record"))
+    Publishers.register("github_demo")(
+      Publishers.githubIssue(labels = Seq("security", "streamalert")))
+    val gh = Publishers.publish(alerts, Seq("github_demo"))
+      .select(col("alert_id"), col("record.event_id").as("event_id"),
+        get_json_object(col("publication"), "$.title").as("gh_title"),
+        get_json_object(col("publication"), "$.body").as("gh_body"),
+        get_json_object(col("publication"), "$.labels").as("gh_labels"))
+    Publishers.register("teams_demo")(Publishers.teamsCard())
+    val tm = Publishers.publish(alerts, Seq("teams_demo"))
+      .select(col("alert_id"),
+        get_json_object(col("publication"), "$.title").as("tm_title"),
+        get_json_object(col("publication"), "$.text").as("tm_text"),
+        get_json_object(col("publication"), "$.themeColor").as("tm_color"),
+        get_json_object(col("publication"), "$.sections[0].activityTitle").as("tm_alert_title"),
+        get_json_object(col("publication"), "$.sections[0].facts[0].value").as("tm_fact_rule"),
+        get_json_object(col("publication"), "$.sections[0].facts[1].value").as("tm_fact_alert_id"),
+        get_json_object(col("publication"), "$.sections[1].activityTitle").as("tm_record_title"),
+        get_json_object(col("publication"), "$.sections[1].facts[2].value").as("tm_fact_note"),
+        get_json_object(col("publication"), "$.sections[1].facts[0].value").as("tm_fact_event_id"))
+    gh.join(tm, "alert_id").drop("alert_id").orderBy("event_id")
+  }
+
   // A5b: community publisher library — record_only + enumerate_fields
   // (dotted-path flattening, generic.py:115-168) and populate_fields (deep
   // get_keys extraction, generic.py:171-203) — publication JSON checked

@@ -300,5 +300,86 @@ object Publishers {
       struct(lit(issueType).as("name")).as("issuetype")))
   }
 
+  /** Python `json.dumps(value, indent=2, sort_keys=True)` rendered at plan
+    * time from the static schema — the github default issue body dumps the
+    * record exactly this way (github.py:110-114). Struct keys sort, nested
+    * levels indent by two spaces, empty containers stay inline. Documented
+    * deviations (wire details of the interior dump, not field differences):
+    * non-ASCII is not \uXXXX-escaped (CPython's ensure_ascii) and maps
+    * fall back to compact `to_json` (runtime keys are not plan-sortable). */
+  private[graft] def jsonDumpsIndent2(c: Column, dt: DataType, indent: Int): Column = {
+    val pad = " " * indent
+    val pad2 = " " * (indent + 2)
+    dt match {
+      case st: StructType =>
+        val inner = st.fields.sortBy(_.name).toSeq.map { f =>
+          concat(lit(pad2 + "\"" + f.name + "\": "),
+            jsonDumpsIndent2(c.getField(f.name), f.dataType, indent + 2))
+        }
+        if (inner.isEmpty) when(c.isNull, lit("null")).otherwise(lit("{}"))
+        else when(c.isNull, lit("null")).otherwise(
+          concat(lit("{\n"), concat_ws(",\n", inner: _*), lit("\n" + pad + "}")))
+      case ArrayType(et, _) =>
+        when(c.isNull, lit("null"))
+          .when(size(c) === 0, lit("[]"))
+          .otherwise(concat(lit("[\n"),
+            array_join(transform(c, e =>
+              concat(lit(pad2), jsonDumpsIndent2(e, et, indent + 2))), ",\n"),
+            lit("\n" + pad + "]")))
+      case _: MapType => to_json(c) // compact fallback, see Scaladoc
+      case StringType =>
+        // JSON-escape exactly as a dump would: render a one-element array,
+        // strip the brackets
+        val j = to_json(array(c))
+        when(c.isNull, lit("null")).otherwise(j.substr(lit(2), length(j) - 2))
+      case _ => coalesce(c.cast(StringType), lit("null"))
+    }
+  }
+
+  /** The github issue payload (github.py:105-126 `_dispatch`): title
+    * `StreamAlert: <rule_name>`, body = `### Description` + the rule
+    * description + the record fenced as json.dumps(indent=2,
+    * sort_keys=True), labels split from the output's conf
+    * (github.py:120-125). The POST itself stays a Dispatcher concern. */
+  def githubIssue(labels: Seq[String]): Publisher = df => {
+    val recType = df.schema("record").dataType
+    val body = concat(
+      lit("### Description\n"), col("rule_description"),
+      lit("\n\n### Event data\n\n```\n"),
+      jsonDumpsIndent2(col("record"), recType, 0),
+      lit("\n```"))
+    df.withColumn(PublicationCol, struct(
+      concat(lit("StreamAlert: "), col("rule_name")).as("title"),
+      body.as("body"),
+      array(labels.map(lit): _*).cast(ArrayType(StringType)).as("labels")))
+  }
+
+  /** The teams connector-card payload (teams.py:95-131): title
+    * `StreamAlert Rule Triggered: <rule_name>`, text = rule description,
+    * themeColor (default E81123), an `Alert Info` facts section with
+    * rule_name + alert_id (teams.py:156-177), and a
+    * `StreamAlert Alert Record` section with one str(value) fact per
+    * top-level record field in declared order (teams.py:133-154).
+    * Deviation: non-scalar fact values render as SQL casts, not Python
+    * repr (the reference str()s nested dicts verbatim). */
+  def teamsCard(cardColor: String = "E81123"): Publisher = df => {
+    val recType = df.schema("record").dataType.asInstanceOf[StructType]
+    def fact(name: String, value: Column) =
+      struct(lit(name).as("name"), value.as("value"))
+    val recordFacts = recType.fields.toSeq.map(f =>
+      fact(f.name, pyStr(col("record").getField(f.name), f.dataType)))
+    df.withColumn(PublicationCol, struct(
+      concat(lit("StreamAlert Rule Triggered: "), col("rule_name")).as("title"),
+      col("rule_description").as("text"),
+      lit(cardColor).as("themeColor"),
+      array(
+        struct(lit("Alert Info").as("activityTitle"),
+          array(
+            fact("rule_name", col("rule_name")),
+            fact("alert_id", col("alert_id"))).as("facts")),
+        struct(lit("StreamAlert Alert Record").as("activityTitle"),
+          array(recordFacts: _*).as("facts"))).as("sections")))
+  }
+
   register("slack_message")(slackDefaultMessage())
 }

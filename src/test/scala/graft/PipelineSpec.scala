@@ -361,6 +361,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(delivered.size == 1)
   }
 
+  test("json.dumps(indent=2) renderer: nulls, empty containers, escapes") {
+    // edge shapes the a5d oracle's fixed record doesn't reach
+    val df = Seq((Option.empty[String], Seq.empty[String], 1L))
+      .toDF("s", "xs", "n")
+      .select(struct(col("s"), col("xs"), col("n")).as("v"))
+    val out = df.select(Publishers.jsonDumpsIndent2(
+      col("v"), df.schema("v").dataType, 0).as("j")).as[String].collect()(0)
+    assert(out ==
+      "{\n  \"n\": 1,\n  \"s\": null,\n  \"xs\": []\n}") // sorted keys, inline []
+    val esc = Seq("a\"b\\c\nd").toDF("s").select(struct(col("s")).as("v"))
+    val out2 = esc.select(Publishers.jsonDumpsIndent2(
+      col("v"), esc.schema("v").dataType, 0).as("j")).as[String].collect()(0)
+    assert(out2 == "{\n  \"s\": \"a\\\"b\\\\c\\nd\"\n}") // JSON escapes intact
+  }
+
   test("slack attachment text splits exactly like the reference chunker") {
     import org.apache.spark.sql.functions._
     def split(text: String, max: Int): Seq[String] =
