@@ -166,6 +166,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(prunedStats.filesRead < fullStats.filesRead)
   }
 
+  test("scheduled-query executions dedup while in flight (skip-if-running)") {
+    // query_packs/manager.py:137-158: start_query is a no-op when the pack
+    // already has an execution id — overlapping schedules never double-run.
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val started = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val mgr = new ScheduledQueries.ExecutionManager(spark, (_, _) => {
+      started.incrementAndGet()
+      gate.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      Seq.empty
+    })
+    val now = java.time.Instant.parse("2024-01-01T05:00:00Z")
+    val h1 = mgr.start("pack_a", "SELECT '{utcdatehour}'", now)
+    val h2 = mgr.start("pack_a", "SELECT '{utcdatehour}'", now) // identical, in flight
+    assert(h2.executionId == h1.executionId) // second run returns the first's handle
+    // a DIFFERENT resolved-parameter window is a genuinely new execution
+    val h3 = mgr.start("pack_a", "SELECT '{utcdatehour}'",
+      java.time.Instant.parse("2024-01-01T06:00:00Z"))
+    assert(h3.executionId != h1.executionId)
+    assert(mgr.inFlightCount == 2)
+    gate.countDown()
+    scala.concurrent.Await.result(h1.result, 30.seconds)
+    scala.concurrent.Await.result(h3.result, 30.seconds)
+    // both finished and evicted: an identical re-run starts FRESH
+    org.scalatest.concurrent.Eventually.eventually(
+      org.scalatest.concurrent.Eventually.timeout(
+        org.scalatest.time.Span(10, org.scalatest.time.Seconds))) {
+      assert(mgr.inFlightCount == 0)
+    }
+    val h4 = mgr.start("pack_a", "SELECT '{utcdatehour}'", now)
+    assert(h4.executionId != h1.executionId)
+    scala.concurrent.Await.result(h4.result, 30.seconds)
+    assert(started.get() == 3) // h1, h3, h4 ran; the deduped h2 never did
+  }
+
   test("streamquery re-injection: results classify back through the pipeline") {
     val result = Seq(("error", 42L)).toDF("etype", "n")
     val wrapped = ScheduledQueries.asStreamQueryRecords(result, "hourly_errors")
