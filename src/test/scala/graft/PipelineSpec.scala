@@ -234,6 +234,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(promoted == Map("staged_a" -> false, "staged_b" -> true))
   }
 
+  test("promotion pass: quiet rule past its window promotes, noisy rule stays") {
+    // promoter.py:109-142: staged + window elapsed + zero alerts => promote
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val table = Seq(
+      ("quiet_done", true, ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00")),
+      ("noisy_done", true, ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00")),
+      ("quiet_early", true, ts("2024-01-04 00:00:00"), ts("2024-01-09 00:00:00")),
+      ("live", false, null, null))
+      .toDF("rule_name", "staged", "staged_at", "staged_until")
+    val alerts = Seq(("noisy_done", "2024-01-02-05"), ("live", "2024-01-02-06"))
+      .toDF("rule_name", "dt")
+    val now = ts("2024-01-05 12:30:00")
+    val (updated, promoted, digest) =
+      RulePromotion.promotionPass(table, alerts, now)
+    assert(promoted == Seq("quiet_done")) // others: noisy / window still open
+    val stagedNow = updated.collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(stagedNow == Map("quiet_done" -> false, "noisy_done" -> true,
+      "quiet_early" -> true, "live" -> false))
+    // digest: noisy (count 1) sorts first; past/remaining labels + deltas
+    val blocks = digest.split("\n\n")
+    assert(blocks.length == 3)
+    assert(blocks(0).startsWith("◦ noisy_done") &&
+      blocks(0).contains("Alert Count:\t\t\t\t\t1") &&
+      blocks(0).contains("Time Past Staging:") &&
+      blocks(0).contains("2d 12h 30m"))
+    assert(blocks(1).startsWith("◦ quiet_done")) // count 0, name tiebreak
+    assert(blocks(2).startsWith("◦ quiet_early") &&
+      blocks(2).contains("Remaining Stage Time:") &&
+      blocks(2).contains("3d 11h 30m"))
+    assert(RulePromotion.formatDigest(Nil, now) ==
+      "No currently staged rules to report on")
+  }
+
   test("firehose stream-name generation matches the reference algorithm") {
     import graft.history.HistoricalSink.firehoseStreamName
     // expected values computed with the reference's generate_firehose_name
