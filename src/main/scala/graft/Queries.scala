@@ -1639,6 +1639,31 @@ object Queries {
       .orderBy("id_new", "id_store")
   }
 
+  // MinHash+LSH, hash-matched: the mm_phash trick applied to the minhash
+  // pipeline. Every token is prefixed with its doc_id, so distinct docs
+  // share ZERO shingles (cross-doc jaccard 0) while planted re-ingested
+  // copies keep their source's text verbatim (jaccard 1). The REAL
+  // shingle→signature→band-bucket→exact-verify pipeline then has exactly
+  // one SQL-expressible answer: the planted pairs — identical shingle sets
+  // collide in every band with certainty, and no other pair reaches the
+  // 0.5 verify threshold. Converts the approximate family's core operator
+  // from rows-only to a full hash match (d2 keeps the realistic corpus).
+  register(
+    "d2c_dedup_minhash_planted",
+    """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+      |       CAST(1.0 AS DOUBLE) AS jaccard
+      |FROM documents WHERE doc_id % 97 = 0 ORDER BY id_a""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val prefixed = docs.select(col("doc_id"),
+      array_join(transform(split(lower(col("text")), "\\s+"),
+        x => concat_ws("_", col("doc_id").cast("string"), x)), " ").as("text"))
+    val corpus = prefixed.unionAll(prefixed.where(col("doc_id") % 97 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    Dedup.minhashNearDups(corpus, "text", "doc_id",
+      shingleWords = 2, numHashes = 32, bands = 8, threshold = 0.5)
+      .orderBy("id_a")
+  }
+
   // SimHash near-dup: 64-bit fingerprint, hamming <= 6, chunk-bucketed.
   registerNoOracle("d3_dedup_simhash") { (s, dir) =>
     Dedup.simhashNearDups(t(s, dir, "documents"), "text", "doc_id", maxDist = 6)
