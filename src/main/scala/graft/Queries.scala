@@ -217,7 +217,7 @@ object Queries {
   // Gap-based sessionization — the analytics staple the fixed-window q11
   // can't express: a session breaks after 30 idle minutes; session index =
   // running count of breaks (lag + running sum, two window passes over ONE
-  // user-partitioned sort). All arithmetic in integer nanos end-to-end.
+  // user-partitioned sort). All arithmetic in integer micros end-to-end.
   register(
     "q18_sessionize",
     """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),

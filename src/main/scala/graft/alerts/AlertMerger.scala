@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
-  ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+  ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** One alert as consumed by the merger.
   *
@@ -15,8 +15,10 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateT
   *
   * CHECKPOINT COMPATIBILITY: mergeStream stores state as
   * `MergeBuffer` through the product (UnsafeRow) encoder — changing this
-  * class's fields invalidates existing streaming checkpoints
-  * (restart from a fresh checkpoint directory after any field change). */
+  * class's fields invalidates existing streaming checkpoints. Bump
+  * [[AlertMerger.StateFormatVersion]] on any field change so
+  * [[AlertMerger.versionedCheckpoint]] cold-starts in a fresh directory
+  * instead of deserializing the old layout as garbage. */
 final case class MergeInputAlert(
     alert_id: String,
     rule_name: String,
@@ -182,6 +184,19 @@ object AlertMerger {
     * testable without waiting out real minutes — the SURVEY §2.6 "optional
     * upgrade" taken as the default. `withWatermark` must be applied by the
     * caller via `watermarkDelay`. */
+  /** Bump on ANY merge-state layout change (MergeInputAlert / MergeBuffer
+    * fields, the kryo→product encoder switch, new per-key state). Consumed
+    * by [[versionedCheckpoint]]. */
+  val StateFormatVersion = 2
+
+  /** Version-scoped checkpoint location for the merge operators: an
+    * incompatible state-format upgrade lands in a FRESH directory (a clean
+    * cold start) instead of deserializing an old checkpoint's bytes into
+    * the new layout as garbage. Use for every mergeStream/mergeStreamTws
+    * query; graft.streaming.Pipeline.start wires it in. */
+  def versionedCheckpoint(root: String): String =
+    s"$root/merge-state-v$StateFormatVersion"
+
   def mergeStream(alerts: Dataset[MergeInputAlert],
       watermarkDelay: String = "0 seconds"): Dataset[MergedAlert] = {
     implicit val enc = Encoders.product[MergedAlert]
@@ -246,19 +261,42 @@ object AlertMerger {
   final class MergeProcessor
       extends StatefulProcessor[String, MergeInputAlert, MergedAlert] {
     @transient private var buf: ListState[MergeInputAlert] = _
+    @transient private var armedTimer: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       buf = getHandle.getListState("open_window",
         Encoders.product[MergeInputAlert], TTLConfig.NONE)
+      // the one armed timer per key: timers accumulate in RocksDB unless
+      // the previous registration is deleted before re-arming (re-arming
+      // every batch would otherwise grow state unboundedly for long-lived
+      // groups and fire extra no-op flush passes)
+      armedTimer = getHandle.getValueState("armed_timer",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def disarm(): Unit =
+      if (armedTimer.exists()) {
+        getHandle.deleteTimer(armedTimer.get()) // no-op if it already fired
+        armedTimer.clear()
+      }
+
+    private def arm(ts: Long): Unit = {
+      val prev = if (armedTimer.exists()) armedTimer.get() else Long.MinValue
+      if (prev != ts) {
+        if (prev != Long.MinValue) getHandle.deleteTimer(prev)
+        getHandle.registerTimer(ts)
+        armedTimer.update(ts)
+      }
+    }
 
     private def flush(incoming: List[MergeInputAlert], wm: Long)
         : Iterator[MergedAlert] = {
       val buffered = if (buf.exists()) buf.get().toList else Nil
       val all = (buffered ++ incoming)
         .sortBy(a => (a.created.getTime, a.alert_id))
-      if (all.isEmpty) { buf.clear(); return Iterator.empty }
+      if (all.isEmpty) { buf.clear(); disarm(); return Iterator.empty }
       val (closed, open) = splitClosed(all, wm)
-      if (open.isEmpty) buf.clear()
+      if (open.isEmpty) { buf.clear(); disarm() }
       else {
         // the appending win: nothing closed means open == buffered ++
         // incoming (order is re-imposed on read), so the state write is a
@@ -268,7 +306,7 @@ object AlertMerger {
         if (closed.isEmpty && buffered.nonEmpty) {
           if (incoming.nonEmpty) buf.appendList(incoming.toArray)
         } else buf.put(open.toArray)
-        getHandle.registerTimer(math.max(windowEndMs(open), wm + 1))
+        arm(math.max(windowEndMs(open), wm + 1))
       }
       closed.map(mergeWindow).iterator
     }

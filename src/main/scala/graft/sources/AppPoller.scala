@@ -161,10 +161,20 @@ final class DuoStylePoller(api: DuoStylePoller.PageApi)
 object BoxStylePoller {
 
   /** The `GET /events` surface (box.py:106-155): up to `chunkLimit`
-    * entries from a stream position, plus the server's next position. */
+    * entries from a stream position, plus the server's next position.
+    *
+    * CONTRACT — positions are DENSE and numeric: `fetchEvents(p)` returns
+    * `next == p + entries.size`, and `currentPosition()` is the count-like
+    * head. Box's real positions are opaque server tokens; mapping them
+    * onto Spark offsets at all (latest(), `[from, until)` range replay,
+    * partition splitting in `planInputPartitions`) REQUIRES this density,
+    * so an adapter for a sparse/opaque-position API must renumber pages
+    * densely itself. `fetch` counts the entries it owns off this same
+    * contract. */
   trait EventsApi extends Serializable {
     def chunkLimit: Int
-    /** (entries, nextStreamPosition) for one page from `position`. */
+    /** (entries, nextStreamPosition) for one page from `position`;
+      * `nextStreamPosition` must equal `position + entries.size`. */
     def fetchEvents(position: Long): (Seq[String], Long)
     /** The server's current head position (what a poll could reach now). */
     def currentPosition(): Long
@@ -200,8 +210,11 @@ final class BoxStylePoller(api: BoxStylePoller.EventsApi)
       if (entries.isEmpty) more = false // box.py:186-189 — cursor NOT advanced
       else {
         // entries past `until` belong to later micro-batches: take only
-        // what this offset range owns and stop at the boundary
-        val owned = entries.take((until - position).toInt)
+        // what this offset range owns and stop at the boundary (dense-
+        // position contract, see EventsApi; Long math so a huge backlog
+        // range cannot truncate to a negative Int)
+        val owned = entries.take(
+          math.min(entries.size.toLong, until - position).toInt)
         out ++= owned
         if (owned.size < entries.size) more = false
         else {

@@ -162,7 +162,10 @@ final class Pipeline(
       AlertMerger.fromAlerts(
         alertsFor(rawStream).withColumn("staged", lit(false))))
     val writer0 = merged.writeStream
-      .option("checkpointLocation", checkpoint)
+      // version-scoped: a merge-state layout bump cold-starts in a fresh
+      // dir instead of reading an incompatible checkpoint (AlertMerger
+      // StateFormatVersion)
+      .option("checkpointLocation", AlertMerger.versionedCheckpoint(checkpoint))
       .outputMode("append")
     val writer = trigger.fold(writer0)(writer0.trigger)
     writer
