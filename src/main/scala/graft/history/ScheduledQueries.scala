@@ -78,13 +78,26 @@ object ScheduledQueries {
         other.subqueries.flatMap(fileScans)
   }
 
+  /** Driver-side result cap for [[runWithStats]]: query packs return
+    * digest-sized results (the reference pages Athena results and
+    * re-injects them record by record, kinesis.py:29-84 — implicitly
+    * bounded); a mistyped unbounded SELECT should fail loudly instead of
+    * landing the whole table on the driver. */
+  val MaxResultRows: Int = 100000
+
   /** Run one scheduled query eagerly and return its rows plus execution
     * stats, captured via a one-shot `QueryExecutionListener` (the Spark
     * analogue of polling `get_query_execution` until the statistics block
-    * appears, athena.py:129-166). */
+    * appears, athena.py:129-166). Results above `maxRows` throw — see
+    * [[MaxResultRows]]. */
   def runWithStats(spark: SparkSession, sql: String, now: Instant,
-      extra: Map[String, String] = Map.empty): (Seq[Row], ExecutionStats) = {
-    val df = run(spark, sql, now, extra)
+      extra: Map[String, String] = Map.empty,
+      maxRows: Int = MaxResultRows): (Seq[Row], ExecutionStats) = {
+    // limit+1 probe: free when the result is in bounds (the scan metrics
+    // below are plan-level, so the limit does not skew them), and it
+    // short-circuits an unbounded SELECT BEFORE the whole table lands on
+    // the driver
+    val df = run(spark, sql, now, extra).limit(maxRows + 1)
     val latch = new CountDownLatch(1)
     @volatile var captured: Option[(QueryExecution, Long)] = None
     val listener = new QueryExecutionListener {
@@ -102,6 +115,11 @@ object ScheduledQueries {
     spark.listenerManager.register(listener)
     try {
       val rows = df.collect().toSeq
+      if (rows.size > maxRows)
+        throw new IllegalStateException(
+          s"scheduled query returned more than $maxRows rows — query-pack " +
+            "results are driver-collected for re-injection; add a LIMIT or " +
+            "aggregate, or raise maxRows deliberately")
       // the execution-listener bus is async; the event is already posted
       latch.await(30, TimeUnit.SECONDS)
       val (qe, durationNs) = captured.getOrElse((df.queryExecution, 0L))

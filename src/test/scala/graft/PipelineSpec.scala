@@ -166,6 +166,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(prunedStats.filesRead < fullStats.filesRead)
   }
 
+  test("scheduled-query results above the driver cap fail loudly") {
+    // query-pack results are driver-collected for re-injection; a mistyped
+    // unbounded SELECT must throw, not OOM the driver
+    spark.range(50).toDF("id").createOrReplaceTempView("qcap_events")
+    val now = java.time.Instant.parse("2024-01-01T01:45:00Z")
+    val e = intercept[IllegalStateException] {
+      ScheduledQueries.runWithStats(spark,
+        "SELECT id FROM qcap_events", now, maxRows = 10)
+    }
+    assert(e.getMessage.contains("more than 10 rows"))
+    // in-bounds results are untouched by the probe
+    val (rows, stats) = ScheduledQueries.runWithStats(spark,
+      "SELECT id FROM qcap_events", now, maxRows = 100)
+    assert(rows.size == 50 && stats.rowsReturned == 50)
+  }
+
   test("scheduled-query executions dedup while in flight (skip-if-running)") {
     // query_packs/manager.py:137-158: start_query is a no-op when the pack
     // already has an execution id — overlapping schedules never double-run.
