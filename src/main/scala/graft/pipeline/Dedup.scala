@@ -461,9 +461,29 @@ object Dedup {
     * fingerprint table (id, sim) — factored out so other fingerprint
     * families (perceptual hashes over media bytes, [[Multimodal]]) reuse
     * the same skew-capped pigeonhole join. */
+  /** Pigeonhole variant of [[warnIfUnderPlaned]]: 16-bit chunk keys give a
+    * FIXED 2^16 buckets, so past ~cap×65536 docs the capped join drops
+    * candidates and recall saturates silently. The fix at that scale is a
+    * sharded corpus (dedupe per shard/day, cross-shard via the
+    * `*AgainstStore` incremental mode) or a wider fingerprint. */
+  private[graft] def warnIfUnderBucketed(op: String, corpusSize: Long,
+      maxBucketPairing: Int): Boolean = {
+    val mean = corpusSize.toDouble / 65536.0
+    val under = mean > maxBucketPairing
+    if (under)
+      System.err.println(f"[graft] $op: mean pigeonhole bucket occupancy " +
+        f"~$mean%.0f (corpus $corpusSize over 2^16 buckets) exceeds the " +
+        f"pairing cap $maxBucketPairing — candidates past the cap are " +
+        "dropped and recall silently saturates; shard the corpus " +
+        "(incremental *AgainstStore mode) or widen the fingerprint")
+    under
+  }
+
   private[graft] def fingerprintPairsPlan(withSimRaw: DataFrame,
       maxDist: Int, maxBucketPairing: Int): (DataFrame, Seq[DataFrame]) = {
     val withSim = withSimRaw.persist(StorageLevel.MEMORY_AND_DISK)
+    // one count on the (already persisted) fingerprint stage: occupancy guard
+    warnIfUnderBucketed("fingerprintNearDups", withSim.count(), maxBucketPairing)
     val ranked = fingerprintBuckets(withSimRaw)
       .withColumn("rn", row_number().over(
         Window.partitionBy("chunk", "key").orderBy("id")))

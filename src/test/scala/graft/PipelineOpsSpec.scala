@@ -418,6 +418,9 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Dedup.recommendedPlanes(Long.MaxValue, 1) == 62) // clamp ceiling
     assert(Dedup.warnIfUnderPlaned("t", 1000, 2, 64))     // 250/bucket > 64
     assert(!Dedup.warnIfUnderPlaned("t", 1000, 6, 64))    // ~16/bucket ok
+    // pigeonhole (simhash/phash) guard: fixed 2^16 buckets
+    assert(Dedup.warnIfUnderBucketed("t", 65536L * 65, 64))  // 65/bucket
+    assert(!Dedup.warnIfUnderBucketed("t", 65536L * 63, 64)) // 63/bucket
     // the guard fires through the public operator on an under-planed corpus
     val vecs = spark.range(200).select(col("id"),
       array(rand(7), rand(8), rand(9), rand(10)).as("embedding"))
