@@ -1569,6 +1569,67 @@ object Queries {
     gh.join(tm, "alert_id").drop("alert_id").orderBy("event_id")
   }
 
+  // A5e: victorops + komand + demisto publication shapes. Demisto is the
+  // interesting one: the publication flattens into sorted string labels
+  // with RUNTIME list indices (record.tags[0], record.tags[1]) — the
+  // byte-exact labels JSON is reconstructed in SQL below.
+  register(
+    "a5e_publishers_victorops_demisto",
+    """SELECT event_id,
+      |  'CRITICAL' AS vo_message_type,
+      |  'streamalert/alert' AS vo_entity_id,
+      |  'high_value' AS vo_entity_display_name,
+      |  event_id AS vo_event_id,
+      |  'high_value' AS ko_data_rule,
+      |  'high_value' AS dm_name,
+      |  'StreamAlert' AS dm_owner,
+      |  'Unclassified' AS dm_type,
+      |  '0.0' AS dm_severity,
+      |  'Unknown' AS dm_playbook,
+      |  'true' AS dm_create,
+      |  'Large value event' AS dm_details,
+      |  '[{"type":"record.event_id","value":"' || event_id
+      |    || '"},{"type":"record.event_type","value":"' || event_type
+      |    || '"},{"type":"record.note","value":"a<b&c\"d''e"}'
+      |    || ',{"type":"record.tags[0]","value":"x"}'
+      |    || ',{"type":"record.tags[1]","value":"y"}'
+      |    || ',{"type":"record.who.uid","value":"' || user_id || '"}]' AS dm_labels
+      |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import graft.alerts.Publishers
+    val alerts = t(s, dir, "events").where(col("event_id") < 200)
+      .select(
+        md5(col("event_id").cast("string")).as("alert_id"),
+        lit("high_value").as("rule_name"),
+        lit("Large value event").as("rule_description"),
+        struct(col("event_id"), col("event_type"),
+          lit("a<b&c\"d'e").as("note"),
+          array(lit("x"), lit("y")).as("tags"),
+          struct(col("user_id").as("uid")).as("who")).as("record"))
+    val vo = Publishers.publish(alerts, Seq("victorops_message"))
+      .select(col("alert_id"), col("record.event_id").as("event_id"),
+        get_json_object(col("publication"), "$.message_type").as("vo_message_type"),
+        get_json_object(col("publication"), "$.entity_id").as("vo_entity_id"),
+        get_json_object(col("publication"), "$.entity_display_name").as("vo_entity_display_name"),
+        get_json_object(col("publication"), "$.record.event_id")
+          .cast("long").as("vo_event_id"))
+    val ko = Publishers.publish(alerts, Seq("komand_envelope"))
+      .select(col("alert_id"),
+        get_json_object(col("publication"), "$.data.rule_name").as("ko_data_rule"))
+    Publishers.register("demisto_demo")(Publishers.demistoIncident())
+    val dm = Publishers.publish(alerts, Seq("record_only", "demisto_demo"))
+      .select(col("alert_id"),
+        get_json_object(col("publication"), "$.name").as("dm_name"),
+        get_json_object(col("publication"), "$.owner").as("dm_owner"),
+        get_json_object(col("publication"), "$.type").as("dm_type"),
+        get_json_object(col("publication"), "$.severity").as("dm_severity"),
+        get_json_object(col("publication"), "$.playbook").as("dm_playbook"),
+        get_json_object(col("publication"), "$.createInvestigation").as("dm_create"),
+        get_json_object(col("publication"), "$.details").as("dm_details"),
+        get_json_object(col("publication"), "$.labels").as("dm_labels"))
+    vo.join(ko, "alert_id").join(dm, "alert_id")
+      .drop("alert_id").orderBy("event_id")
+  }
+
   // A5b: community publisher library — record_only + enumerate_fields
   // (dotted-path flattening, generic.py:115-168) and populate_fields (deep
   // get_keys extraction, generic.py:171-203) — publication JSON checked

@@ -381,5 +381,69 @@ object Publishers {
           array(recordFacts: _*).as("facts"))).as("sections")))
   }
 
+  /** The victorops message (victorops.py:99-104): CRITICAL message type,
+    * fixed entity id, rule name as the display name, and the publication's
+    * record verbatim. */
+  def victoropsMessage(): Publisher = df =>
+    df.withColumn(PublicationCol, struct(
+      lit("CRITICAL").as("message_type"),
+      lit("streamalert/alert").as("entity_id"),
+      col("rule_name").as("entity_display_name"),
+      col("record").as("record")))
+
+  /** The komand envelope (komand.py:85-86): the whole publication POSTed
+    * under a `data` key. */
+  def komandEnvelope(): Publisher = df =>
+    df.withColumn(PublicationCol, struct(col(PublicationCol).as("data")))
+
+  /** Demisto label rows: EVERY leaf of the publication flattened to
+    * `{type: dotted[indexed] path, value: str(value)}`, list elements
+    * indexed at RUNTIME via transform's index lambda (demisto.py:321-338
+    * `enumerate_fields` — unlike the generic `enumerate_fields` publisher,
+    * which must JSON-serialize arrays because its OUTPUT keys are struct
+    * fields; labels are an array column, so runtime arity is fine here),
+    * sorted by path (demisto.py:219-220 `add_label` keeps labels sorted
+    * by type; paths are unique so the value tiebreak never fires). */
+  private def demistoLabels(c: Column, dt: DataType, path: Column): Seq[Column] =
+    dt match {
+      case st: StructType => st.fields.toSeq.flatMap { f =>
+        val p = when(length(path) > 0, concat(path, lit("." + f.name)))
+          .otherwise(lit(f.name))
+        demistoLabels(c.getField(f.name), f.dataType, p)
+      }
+      case ArrayType(et, _) =>
+        Seq(flatten(transform(c, (v, i) =>
+          concat(demistoLabels(v, et,
+            concat(path, lit("["), i.cast(StringType), lit("]"))): _*))))
+      case _: MapType => // runtime keys: one label with the JSON value
+        Seq(array(struct(path.as("type"), to_json(c).as("value"))))
+      case t =>
+        Seq(array(struct(path.as("type"), pyStr(c, t).as("value"))))
+    }
+
+  /** The demisto create-incident request (demisto.py:136-147 request_data +
+    * :278-338 assembler defaults): incident name = rule name, details =
+    * rule description, the publication flattened into sorted string labels,
+    * createInvestigation always true (demisto.py:318), empty customFields. */
+  def demistoIncident(incidentType: String = "Unclassified",
+      playbook: String = "Unknown", severity: Double = 0.0,
+      owner: String = "StreamAlert"): Publisher = df => {
+    val pubType = df.schema(PublicationCol).dataType
+    val labels = array_sort(concat(
+      demistoLabels(col(PublicationCol), pubType, lit("")): _*))
+    df.withColumn(PublicationCol, struct(
+      lit(incidentType).as("type"),
+      col("rule_name").as("name"),
+      lit(owner).as("owner"),
+      lit(severity).as("severity"),
+      labels.as("labels"),
+      map().cast(MapType(StringType, StringType)).as("customFields"),
+      col("rule_description").as("details"),
+      lit(playbook).as("playbook"),
+      lit(true).as("createInvestigation")))
+  }
+
   register("slack_message")(slackDefaultMessage())
+  register("victorops_message")(victoropsMessage())
+  register("komand_envelope")(komandEnvelope())
 }
