@@ -1725,6 +1725,29 @@ object Queries {
       .orderBy("id_a")
   }
 
+  // End-to-end near-dup corpus dedup on the planted corpus: pairs →
+  // connected components → keep-one. Same doc-unique-prefix construction
+  // as d2c, so the expected clusters are exact: each planted copy joins
+  // its source's cluster (labeled by the min id = the source) and is
+  // dropped; every other doc is its own kept cluster.
+  register(
+    "d9_drop_near_duplicates",
+    """SELECT doc_id AS id, doc_id AS cluster_id, TRUE AS keep FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS id, doc_id AS cluster_id, FALSE AS keep
+      |FROM documents WHERE doc_id % 97 = 0
+      |ORDER BY id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val prefixed = docs.select(col("doc_id"),
+      array_join(transform(split(lower(col("text")), "\\s+"),
+        x => concat_ws("_", col("doc_id").cast("string"), x)), " ").as("text"))
+    val corpus = prefixed.unionAll(prefixed.where(col("doc_id") % 97 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    Dedup.dropNearDuplicates(corpus, "text", "doc_id",
+      shingleWords = 2, numHashes = 32, bands = 8, threshold = 0.5)
+      .orderBy("id")
+  }
+
   // SimHash near-dup: 64-bit fingerprint, hamming <= 6, chunk-bucketed.
   registerNoOracle("d3_dedup_simhash") { (s, dir) =>
     Dedup.simhashNearDups(t(s, dir, "documents"), "text", "doc_id", maxDist = 6)

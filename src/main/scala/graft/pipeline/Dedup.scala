@@ -397,6 +397,28 @@ object Dedup {
   }
 
   /** Exact Jaccard over two string arrays. */
+  /** End-to-end near-duplicate corpus dedup — the operation a 100 TB
+    * training-data pipeline actually runs: minhash-LSH near-dup pairs →
+    * connected components over the pair edges → keep the min-id document
+    * per cluster. Returns one row per INPUT document
+    * (id, cluster_id, keep); docs with no near-dup are their own cluster
+    * and kept. Cost profile inherits the stages': pair generation is the
+    * skinny capped bucket join, CC runs over pair-cardinality edges only
+    * (O(log diameter) rounds), and the label join-back is dup-cardinality
+    * (AQE broadcasts it against the corpus id scan). */
+  def dropNearDuplicates(df: DataFrame, textCol: String, idCol: String,
+      shingleWords: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.7, maxBucketPairing: Int = 64): DataFrame = {
+    val pairs = minhashNearDups(df, textCol, idCol,
+      shingleWords, numHashes, bands, threshold, maxBucketPairing)
+    val labels = connectedComponents(pairs) // (id, cluster_id = min id)
+    df.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      .withColumn("keep", col("cluster_id") === col("id"))
+  }
+
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast(DoubleType)
     val union = size(array_union(a, b)).cast(DoubleType)

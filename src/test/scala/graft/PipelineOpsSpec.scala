@@ -409,6 +409,21 @@ class PipelineOpsSpec extends AnyFunSuite {
         s"$k: approx ${approx(k)} vs exact $e outside 3x rsd bound")
   }
 
+  test("dropNearDuplicates keeps one doc per near-dup cluster") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"), // dup of 0
+      (2L, "completely different content about spark engines and joins"),
+      (3L, "unrelated third text mentioning shuffles and catalyst rules"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dropNearDuplicates(corpus, "text", "doc_id",
+      shingleWords = 2, numHashes = 32, bands = 16, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(0L) == (0L, true))   // cluster canonical
+    assert(out(1L) == (0L, false))  // dropped into 0's cluster
+    assert(out(2L) == (2L, true) && out(3L) == (3L, true)) // singletons kept
+  }
+
   test("under-planed LSH warns loudly instead of silently losing recall") {
     // planes must scale ~log2(corpus/cap); a fixed width that is fine at
     // sf0.1 saturates at 100x. recommendedPlanes is the sizing rule and
