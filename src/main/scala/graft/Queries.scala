@@ -1630,6 +1630,80 @@ object Queries {
       .drop("alert_id").orderBy("event_id")
   }
 
+  // A5f: aws-sns + aws-ses shapes — both build on the indent-2 sorted-keys
+  // dump (aws.py:532 / :727). SNS additionally exercises the 99-char
+  // middle-elision of an over-long subject (helpers.py:19-33) with a
+  // 160-char rule name.
+  register(
+    "a5f_publishers_sns_ses",
+    """WITH a AS (
+      |  SELECT event_id, event_type, user_id,
+      |         md5(CAST(event_id AS VARCHAR)) AS alert_id,
+      |         'high_value_' || repeat('x', 100) AS long_rule,
+      |         '{' || chr(10)
+      |           || '  "record": {' || chr(10)
+      |           || '    "event_id": ' || event_id || ',' || chr(10)
+      |           || '    "event_type": "' || event_type || '",' || chr(10)
+      |           || '    "note": "a<b&c\"d''e",' || chr(10)
+      |           || '    "tags": [' || chr(10)
+      |           || '      "x",' || chr(10)
+      |           || '      "y"' || chr(10)
+      |           || '    ],' || chr(10)
+      |           || '    "who": {' || chr(10)
+      |           || '      "uid": ' || user_id || chr(10)
+      |           || '    }' || chr(10)
+      |           || '  }' || chr(10) || '}' AS pub_dump,
+      |         '{' || chr(10)
+      |           || '  "event_id": ' || event_id || ',' || chr(10)
+      |           || '  "event_type": "' || event_type || '",' || chr(10)
+      |           || '  "note": "a<b&c\"d''e",' || chr(10)
+      |           || '  "tags": [' || chr(10)
+      |           || '    "x",' || chr(10)
+      |           || '    "y"' || chr(10)
+      |           || '  ],' || chr(10)
+      |           || '  "who": {' || chr(10)
+      |           || '    "uid": ' || user_id || chr(10)
+      |           || '  }' || chr(10) || '}' AS rec_dump
+      |  FROM events WHERE event_id < 200),
+      |s AS (SELECT *, long_rule || ' triggered alert ' || alert_id AS subj FROM a)
+      |SELECT event_id,
+      |  substr(subj, 1, 47) || ' ... ' || right(subj, 47) AS sns_subject,
+      |  pub_dump AS sns_message,
+      |  'secops@example.com' AS ses_to,
+      |  'alerts@example.com' AS ses_from,
+      |  'high_value triggered alert ' || alert_id AS ses_subject,
+      |  'Please review the attached record.json' AS ses_body,
+      |  'record.json' AS ses_att_name,
+      |  rec_dump AS ses_att_content
+      |FROM s ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import graft.alerts.Publishers
+    def alerts(rule: Column) = t(s, dir, "events").where(col("event_id") < 200)
+      .select(
+        md5(col("event_id").cast("string")).as("alert_id"),
+        rule.as("rule_name"),
+        struct(col("event_id"), col("event_type"),
+          lit("a<b&c\"d'e").as("note"),
+          array(lit("x"), lit("y")).as("tags"),
+          struct(col("user_id").as("uid")).as("who")).as("record"))
+    val longRule = concat(lit("high_value_"),
+      array_join(array_repeat(lit("x"), 100), ""))
+    val sns = Publishers.publish(alerts(longRule), Seq("record_only", "sns_message"))
+      .select(col("alert_id"),
+        get_json_object(col("publication"), "$.subject").as("sns_subject"),
+        get_json_object(col("publication"), "$.message").as("sns_message"))
+    Publishers.register("ses_demo")(
+      Publishers.sesEmailFields("secops@example.com", "alerts@example.com"))
+    val ses = Publishers.publish(alerts(lit("high_value")), Seq("ses_demo"))
+      .select(col("alert_id"), col("record.event_id").as("event_id"),
+        get_json_object(col("publication"), "$.to").as("ses_to"),
+        get_json_object(col("publication"), "$.from").as("ses_from"),
+        get_json_object(col("publication"), "$.subject").as("ses_subject"),
+        get_json_object(col("publication"), "$.body").as("ses_body"),
+        get_json_object(col("publication"), "$.attachment.filename").as("ses_att_name"),
+        get_json_object(col("publication"), "$.attachment.content").as("ses_att_content"))
+    ses.join(sns, "alert_id").drop("alert_id").orderBy("event_id")
+  }
+
   // A5b: community publisher library — record_only + enumerate_fields
   // (dotted-path flattening, generic.py:115-168) and populate_fields (deep
   // get_keys extraction, generic.py:171-203) — publication JSON checked

@@ -443,7 +443,46 @@ object Publishers {
       lit(true).as("createInvestigation")))
   }
 
+  /** elide_string_middle (alert_processor/helpers.py:19-33): replace the
+    * middle with " ... " so the text fits `maxLength` (SNS caps subjects
+    * at 100 chars). */
+  def elideStringMiddle(text: Column, maxLength: Int): Column = {
+    val halfLen = (maxLength - 5) / 2
+    when(length(text) <= maxLength, text)
+      .otherwise(concat(substring(text, 1, halfLen), lit(" ... "),
+        substring(text, -halfLen, halfLen)))
+  }
+
+  /** The aws-sns publication (aws.py:529-543): subject
+    * `<rule> triggered alert <id>` elided to 99 chars, message =
+    * json.dumps(publication, indent=2, sort_keys=True). */
+  def snsMessage(): Publisher = df => {
+    val pubType = df.schema(PublicationCol).dataType
+    df.withColumn(PublicationCol, struct(
+      elideStringMiddle(concat(col("rule_name"), lit(" triggered alert "),
+        col("alert_id")), 99).as("subject"),
+      jsonDumpsIndent2(col(PublicationCol), pubType, 0).as("message")))
+  }
+
+  /** The aws-ses email surface (aws.py:695-735 `_build_email`): To/From
+    * from the output's creds, default subject/body, and the record.json
+    * attachment = json.dumps(record, sort_keys=True, indent=2). MIME
+    * packaging stays delivery-side (a Dispatcher concern). */
+  def sesEmailFields(toEmails: String, fromEmail: String): Publisher = df => {
+    val recType = df.schema("record").dataType
+    df.withColumn(PublicationCol, struct(
+      lit(toEmails).as("to"),
+      lit(fromEmail).as("from"),
+      concat(col("rule_name"), lit(" triggered alert "),
+        col("alert_id")).as("subject"),
+      lit("Please review the attached record.json").as("body"),
+      struct(lit("record.json").as("filename"),
+        jsonDumpsIndent2(col("record"), recType, 0).as("content"))
+        .as("attachment")))
+  }
+
   register("slack_message")(slackDefaultMessage())
   register("victorops_message")(victoropsMessage())
   register("komand_envelope")(komandEnvelope())
+  register("sns_message")(snsMessage())
 }

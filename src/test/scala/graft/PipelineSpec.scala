@@ -462,6 +462,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(out2 == "{\n  \"s\": \"a\\\"b\\\\c\\nd\"\n}") // JSON escapes intact
   }
 
+  test("elide_string_middle matches the reference on both branches") {
+    // helpers.py:19-33: <= max passes through; longer keeps half_len from
+    // each end around ' ... '
+    val out = Seq(("short", "abcdefghijklmnopqrstuvwxyz"))
+      .toDF("a", "b")
+      .select(
+        Publishers.elideStringMiddle(col("a"), 10).as("s"),
+        Publishers.elideStringMiddle(col("b"), 10).as("l"))
+      .collect()(0)
+    assert(out.getString(0) == "short")
+    assert(out.getString(1) == "ab ... yz") // half_len = (10-5)//2 = 2
+  }
+
   test("slack attachment text splits exactly like the reference chunker") {
     import org.apache.spark.sql.functions._
     def split(text: String, max: Int): Seq[String] =
