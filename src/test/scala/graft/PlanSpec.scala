@@ -41,6 +41,31 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("r7_threat_intel").contains("BroadcastHashJoin"))
   }
 
+  test("publisher chains fuse into a shuffle-free, UDF-free projection") {
+    import org.apache.spark.sql.functions._
+    // every dialect is pure column work over the alert row: a chain of
+    // publishers + the JSON serialize must plan as scan -> project, with
+    // no Exchange and no UDF — the property that makes publication free
+    // at stream scale
+    val alerts = spark.read.parquet(s"$sf/events.parquet")
+      .select(md5(col("event_id").cast("string")).as("alert_id"),
+        lit("r").as("rule_name"), lit("d").as("rule_description"),
+        lit("demo:events").as("log_type"),
+        struct(col("event_id"), col("event_type"),
+          array(lit("x"), lit("y")).as("tags"),
+          struct(col("user_id").as("uid")).as("who")).as("record"))
+    for (chain <- Seq(
+        Seq("slack_message"), Seq("record_only", "sns_message"),
+        Seq("victorops_message"), Seq("komand_envelope"),
+        Seq("record_only", "enumerate_fields"))) {
+      val p = graft.alerts.Publishers.publish(alerts, chain)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"$chain must not shuffle")
+      assert(!p.contains("BatchEvalPython") && !p.contains("UDF"),
+        s"$chain must stay built-in expressions")
+    }
+  }
+
   test("typed deep search stays a shuffle-free codegen'd predicate") {
     val p = plan("r6b_deep_search")
     assert(!p.contains("Exchange"), "deep search must not shuffle")
