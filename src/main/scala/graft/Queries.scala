@@ -1739,6 +1739,64 @@ object Queries {
 
   import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 
+  // The composite training-corpus filter — the query a data-curation user
+  // actually runs: exact-dedup keep verdict ∧ quality floor ∧ language ∧
+  // minimum length, returning the kept corpus with its curation columns.
+  // Every stage is an already-oracled operator (d1/t1/t2/t3) composed in
+  // one plan: the dedup verdict is the only shuffle (16-byte fingerprint
+  // groupBy), everything else stays scan-side.
+  register(
+    "p0_training_corpus",
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |         md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS f
+      |  FROM documents),
+      |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+      |feat AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))
+      |      AS n_tokens,
+      |    round(greatest(0.0,
+      |      least(length(text) / 500.0, 1.0) * 0.4 +
+      |      least((len(list_filter(string_split_regex(lower(text), '\s+'),
+      |              x -> x IN ('the','a','of','and','to','in'))) ::DOUBLE /
+      |             greatest(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |              x -> x != '')), 1)) * 3.0, 1.0) * 0.4 +
+      |      (1.0 - least(len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE /
+      |                   greatest(length(text), 1) * 5.0, 1.0)) * 0.2), 6)
+      |      AS quality,
+      |    (SELECT CASE
+      |       WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+      |       WHEN s_es >= s_de THEN 'es' ELSE 'de' END
+      |     FROM (SELECT
+      |       len(list_intersect(t, ['the','a','and','scan','join'])) AS s_en,
+      |       len(list_intersect(t, ['el','la','que','datos'])) AS s_es,
+      |       len(list_intersect(t, ['der','die','und','das'])) AS s_de
+      |       FROM (SELECT list_distinct(list_filter(
+      |         string_split_regex(lower(text), '\s+'), x -> x != '')) AS t)))
+      |      AS langid
+      |  FROM documents)
+      |SELECT f.doc_id, f.n_tokens, f.quality
+      |FROM feat f JOIN keep k ON f.doc_id = k.doc_id
+      |WHERE f.quality >= 0.3 AND f.langid = 'en' AND f.n_tokens >= 5
+      |ORDER BY f.doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val kept = Dedup.dropExactDuplicates(docs, "text", "doc_id")
+    kept.select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.qualityScore(col("text"),
+        Seq("the", "a", "of", "and", "to", "in")).as("quality"),
+      TextAnalysis.langId(col("text"), Seq(
+        "en" -> Seq("the", "a", "and", "scan", "join"),
+        "es" -> Seq("el", "la", "que", "datos"),
+        "de" -> Seq("der", "die", "und", "das"))).as("langid"))
+      .where(col("quality") >= 0.3 && col("langid") === "en" &&
+        col("n_tokens") >= 5)
+      .drop("langid")
+      .orderBy("doc_id")
+  }
+
   // Exact dedup: hash-groupBy on the normalized-text fingerprint.
   register(
     "d1_dedup_exact",
