@@ -337,6 +337,50 @@ object Queries {
         |ORDER BY c_nationkey""".stripMargin)
   }
 
+  // Anti join (TPC-H Q22 shape): customers with no orders — completes the
+  // join-type family (inner/broadcast q3/q5, semi q9, outer inside r7,
+  // anti here; the same NOT EXISTS the redelivery ledger gate uses).
+  register(
+    "q21_anti_join",
+    """SELECT c.c_custkey, c.c_acctbal
+      |FROM customer c
+      |WHERE c.c_acctbal > 0 AND NOT EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      |ORDER BY c.c_custkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer").where(col("c_acctbal") > 0)
+      .join(t(s, dir, "orders").where(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  // Exact percentiles (the Athena/Presto approx_percentile surface, done
+  // exactly): both engines linearly interpolate at h = (n-1)*q over the
+  // sorted values, so interpolating on INTEGER CENTS is bit-identical
+  // IEEE arithmetic — the q1 money trick applied to order statistics.
+  register(
+    "q20_percentiles",
+    """SELECT o_orderpriority,
+      |  round(quantile_cont(cents, 0.5) / 100.0, 6) AS p50,
+      |  round(quantile_cont(cents, 0.95) / 100.0, 6) AS p95,
+      |  count(*) AS n
+      |FROM (SELECT o_orderpriority,
+      |        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |      FROM orders)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"),
+        floor(col("o_totalprice") * 100 + 0.5).as("cents"))
+      .groupBy("o_orderpriority")
+      .agg(
+        round(percentile(col("cents"), lit(0.5)) / 100.0, 6).as("p50"),
+        round(percentile(col("cents"), lit(0.95)) / 100.0, 6).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
   // ---------------------------------------------------------------------------
   // Classifier operators (SURVEY §2.2): each query serializes testdata rows
   // into the wire format the operator consumes, runs the REAL classify
