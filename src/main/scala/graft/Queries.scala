@@ -1748,6 +1748,43 @@ object Queries {
     ses.join(sns, "alert_id").drop("alert_id").orderBy("event_id")
   }
 
+  // A5g: phantom container + artifact payloads (the last payload-shaped
+  // dialect; carbonblack remains out as a device-action API). The
+  // container_id is the dispatcher-resolved parameter.
+  register(
+    "a5g_publishers_phantom",
+    """SELECT event_id,
+      |  'high_value' AS ph_container_name,
+      |  'Large value event' AS ph_container_desc,
+      |  42 AS ph_container_id,
+      |  'Phantom Artifact' AS ph_artifact_name,
+      |  'Alert' AS ph_artifact_label,
+      |  event_id AS ph_cef_event_id,
+      |  event_type AS ph_data_event_type
+      |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import graft.alerts.Publishers
+    val alerts = t(s, dir, "events").where(col("event_id") < 200)
+      .select(
+        md5(col("event_id").cast("string")).as("alert_id"),
+        lit("high_value").as("rule_name"),
+        lit("Large value event").as("rule_description"),
+        struct(col("event_id"), col("event_type")).as("record"))
+    Publishers.register("phantom_demo")(Publishers.phantomShapes(containerId = 42L))
+    Publishers.publish(alerts, Seq("record_only", "phantom_demo"))
+      .select(col("record.event_id").as("event_id"),
+        get_json_object(col("publication"), "$.container.name").as("ph_container_name"),
+        get_json_object(col("publication"), "$.container.description").as("ph_container_desc"),
+        get_json_object(col("publication"), "$.artifact.container_id")
+          .cast("int").as("ph_container_id"),
+        get_json_object(col("publication"), "$.artifact.name").as("ph_artifact_name"),
+        get_json_object(col("publication"), "$.artifact.label").as("ph_artifact_label"),
+        get_json_object(col("publication"), "$.artifact.cef.event_id")
+          .cast("long").as("ph_cef_event_id"),
+        get_json_object(col("publication"), "$.artifact.data.record.event_type")
+          .as("ph_data_event_type"))
+      .orderBy("event_id")
+  }
+
   // A5b: community publisher library — record_only + enumerate_fields
   // (dotted-path flattening, generic.py:115-168) and populate_fields (deep
   // get_keys extraction, generic.py:171-203) — publication JSON checked

@@ -481,6 +481,23 @@ object Publishers {
         .as("attachment")))
   }
 
+  /** The phantom two-POST payloads (phantom.py:104-127 container setup +
+    * :171-175 artifact): container = {name: rule, description}, artifact =
+    * {cef: record, container_id, data: publication, fixed name/label}.
+    * `containerId` is the value the dispatcher resolved from the container
+    * POST (or the existing-container lookup, phantom.py:71-102) — the HTTP
+    * round-trip is a Dispatcher concern; both payload shapes are column
+    * work. */
+  def phantomShapes(containerId: Long): Publisher = df =>
+    df.withColumn(PublicationCol, struct(
+      struct(col("rule_name").as("name"),
+        col("rule_description").as("description")).as("container"),
+      struct(col("record").as("cef"),
+        lit(containerId).as("container_id"),
+        col(PublicationCol).as("data"),
+        lit("Phantom Artifact").as("name"),
+        lit("Alert").as("label")).as("artifact")))
+
   register("slack_message")(slackDefaultMessage())
   register("victorops_message")(victoropsMessage())
   register("komand_envelope")(komandEnvelope())
