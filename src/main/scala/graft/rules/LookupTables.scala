@@ -97,6 +97,37 @@ object LookupTables {
   }
 }
 
+/** The S3 driver's TTL cache (driver_s3.py:47-121): the whole JSON doc
+  * reloads after `cache_refresh_minutes`, otherwise rules read the cached
+  * copy. Engine shape: `current()` re-fetches when the TTL lapses and the
+  * fresh map folds into THAT micro-batch's plan as a literal — call it
+  * inside `foreachBatch` exactly like [[graft.rules.RefreshingThreatIntel]].
+  * `fetch` is the doc source (an S3 GET in production, a file in tests);
+  * `clock` injectable so the TTL edge is unit-testable. Thread-safe via
+  * double-checked reload. */
+final class RefreshingMapLookupTable(fetch: () => String,
+    cacheRefreshMinutes: Int, clock: () => Long = () => System.currentTimeMillis()) {
+  @volatile private var loadedAt = Long.MinValue
+  @volatile private var table: MapLookupTable = null
+
+  def current(): MapLookupTable = {
+    val ttlMs = cacheRefreshMinutes * 60000L
+    if (table == null || clock() - loadedAt >= ttlMs) synchronized {
+      if (table == null || clock() - loadedAt >= ttlMs) {
+        import scala.jdk.CollectionConverters._
+        val doc = new com.fasterxml.jackson.databind.ObjectMapper().readTree(fetch())
+        table = MapLookupTable(doc.properties().asScala
+          .map(e => e.getKey -> (if (e.getValue.isTextual) e.getValue.asText
+            else e.getValue.toString)).toMap)
+        loadedAt = clock()
+      }
+    }
+    table
+  }
+
+  def get(key: Column, default: Column): Column = current().get(key, default)
+}
+
 final class LookupTables(tables: Map[String, LookupTable]) {
 
   /** Rule-author surface: LookupTables.get('table', key, default)

@@ -327,6 +327,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(sent.head._2.contains("\"rule_name\":\"big\""))
   }
 
+  test("lookup-table TTL cache reloads only after cache_refresh_minutes") {
+    // driver_s3.py:47-121: the doc is fetched once, served from cache
+    // until the TTL lapses, then re-fetched — a rule sees the new value
+    // only on the first batch after expiry
+    var fetches = 0
+    var doc = """{"k": "v1"}"""
+    var nowMs = 0L
+    val t = new RefreshingMapLookupTable(
+      () => { fetches += 1; doc }, cacheRefreshMinutes = 10, clock = () => nowMs)
+    def lookup(): String = Seq("k").toDF("key")
+      .select(t.get(col("key"), lit("miss")).as("v")).as[String].collect()(0)
+    assert(lookup() == "v1" && fetches == 1)
+    doc = """{"k": "v2"}"""
+    nowMs = 9 * 60000L
+    assert(lookup() == "v1" && fetches == 1) // inside TTL: cached copy
+    nowMs = 10 * 60000L
+    assert(lookup() == "v2" && fetches == 2) // TTL lapsed: re-fetched
+  }
+
   test("threat-intel refresh: IOC staged between batches matches at N+1") {
     // SURVEY §7.5's flagged risk: the reference's downloader Lambda
     // refreshes the IOC table OUT-OF-BAND while the rules engine queries
