@@ -43,6 +43,10 @@ object AppPollerRegistry {
     def fetch(from: Long, until: Long): Iterator[String]
   }
 
+  /** Pollers that buffer records driver-side (opaque-cursor adapters) and
+    * can release everything below a committed offset. */
+  trait Prunable { def prune(below: Long): Unit }
+
   private val pollers = new java.util.concurrent.ConcurrentHashMap[String, Poller]()
 
   def register(app: String, p: Poller): Unit = pollers.put(app, p)
@@ -227,6 +231,108 @@ final class BoxStylePoller(api: BoxStylePoller.EventsApi)
   }
 }
 
+/** Link-cursor poller: the THIRD cursor family among the reference's nine
+  * connectors — an OPAQUE server-issued continuation token (Okta's `after`
+  * link parameter, okta.py's link-header pagination; GSuite's `pageToken`,
+  * gsuite.py:150-166) that cannot be compared, ordered, or split.
+  *
+  * This is the dense-renumbering adapter the [[BoxStylePoller.EventsApi]]
+  * contract calls for: token chains don't map onto Spark's numeric offset
+  * ranges, so the adapter OWNS the numbering. `latest()` drains every
+  * available page (following tokens from the last one seen) into a
+  * driver-side buffer and returns the buffer's logical end; `fetch`
+  * serves buffered slices, so any planned `[from, until)` range replays
+  * bit-for-bit regardless of the token chain that produced it. Once
+  * Structured Streaming COMMITS an offset the records below it can never
+  * be replanned — [[AppPollerStream.commit]] calls `prune`, so steady-
+  * state buffer size is one trigger's backlog, not the stream's history
+  * (the reference's equivalent is the per-invocation batch it ships to
+  * the classifier before checkpointing `_last_timestamp`).
+  */
+object LinkCursorPoller {
+  /** The `GET /logs?after=<token>` surface: one page of records plus the
+    * next continuation token, or None when drained (Okta omits the `next`
+    * link on the last page; GSuite omits `nextPageToken`). */
+  trait LinkApi extends Serializable {
+    /** (records, nextToken); `token` None = start from the beginning. */
+    def fetchPage(token: Option[String]): (Seq[String], Option[String])
+  }
+
+  /** In-memory LinkApi: opaque tokens are deliberately NON-numeric and
+    * non-monotonic (md5 of the position) so nothing can cheat by parsing
+    * them. */
+  final class InMemoryLinkApi(val pageSize: Int) extends LinkApi {
+    import scala.jdk.CollectionConverters._
+    private val events = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val pageCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    def append(recs: String*): Unit = recs.foreach(events.add)
+    private def tok(pos: Int): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"tok:$pos".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    private def pos(token: Option[String]): Int = token match {
+      case None => 0
+      case Some(t) =>
+        (0 to events.size()).find(p => tok(p) == t)
+          .getOrElse(throw new IllegalArgumentException(s"bad token: $t"))
+    }
+    def fetchPage(token: Option[String]): (Seq[String], Option[String]) = {
+      pageCalls.incrementAndGet()
+      val p = pos(token)
+      val all = events.asScala.toSeq
+      val page = all.slice(p, p + pageSize)
+      val next = p + page.size
+      (page, if (next >= all.size) None else Some(tok(next)))
+    }
+  }
+}
+
+final class LinkCursorPoller(api: LinkCursorPoller.LinkApi)
+    extends AppPollerRegistry.Poller with AppPollerRegistry.Prunable {
+  // buffer(i) holds the record at logical offset base + i; all access
+  // synchronized — latest()/fetch run on the driver (planning + local
+  // source), prune on the commit thread
+  private val buffer = scala.collection.mutable.Buffer[String]()
+  private var base = 0L
+  private var lastToken: Option[String] = None
+  // records already buffered from re-fetchable pages PAST lastToken: a
+  // drained chain ends with no next token, so the next poll re-requests
+  // the last token and must skip what it already shipped (the same
+  // resume-and-dedupe an Okta connector does with its final `after` link)
+  private var consumedAfterToken = 0
+
+  def latest(): Long = synchronized {
+    // follow the token chain as far as the server allows right now
+    var more = true
+    while (more) {
+      val (page, next) = api.fetchPage(lastToken)
+      val fresh = page.drop(consumedAfterToken)
+      buffer ++= fresh
+      next match {
+        case Some(_) =>
+          lastToken = next; consumedAfterToken = 0; more = page.nonEmpty
+        case None =>
+          consumedAfterToken += fresh.size; more = false
+      }
+    }
+    base + buffer.size
+  }
+
+  def fetch(from: Long, until: Long): Iterator[String] = synchronized {
+    require(from >= base,
+      s"offset $from below pruned base $base — committed data re-requested")
+    buffer.slice((from - base).toInt, (until - base).toInt).toList.iterator
+  }
+
+  def prune(below: Long): Unit = synchronized {
+    val drop = math.min(math.max(0L, below - base), buffer.size.toLong).toInt
+    buffer.remove(0, drop)
+    base += drop
+  }
+
+  /** Test/monitoring surface: records currently buffered driver-side. */
+  def buffered: Int = synchronized(buffer.size)
+}
+
 /** `spark.readStream.format("graft-app-poller").option("app", name)`.
   * Options: `app` (required, registry key), `partitions` (reader splits
   * per micro-batch, default 4). */
@@ -313,7 +419,15 @@ final class AppPollerStream(app: String, numPartitions: Int) extends MicroBatchS
     }
   }
 
-  override def commit(end: Offset): Unit = () // offset log is the checkpoint
+  override def commit(end: Offset): Unit =
+    // the offset log is the checkpoint; pollers that buffer driver-side
+    // (opaque-cursor adapters) may drop records below the committed
+    // offset — they can never be replayed again
+    AppPollerRegistry(app) match {
+      case p: AppPollerRegistry.Prunable =>
+        p.prune(end.asInstanceOf[PollOffset].seq)
+      case _ => ()
+    }
   override def stop(): Unit = ()
 }
 
