@@ -256,6 +256,52 @@ object Queries {
       .orderBy("user_id", "session_idx")
   }
 
+  // Temporal correlation — "X followed by Y within the window", the
+  // security-analytics staple (the reference's correlation rules run as
+  // Athena SQL over the historical store). Scalable shape: NOT a range
+  // self-join (quadratic per key) but ONE user-partitioned sort with the
+  // last-X timestamp carried forward by a running max — each Y row then
+  // checks its gap locally. Integer micros end-to-end (the q18 pattern).
+  register(
+    "q22_correlation",
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+      |m AS (
+      |  SELECT user_id, event_type, tus,
+      |         max(CASE WHEN event_type = 'view' THEN tus END)
+      |           OVER (PARTITION BY user_id ORDER BY tus, event_type
+      |                 ROWS UNBOUNDED PRECEDING) AS last_view
+      |  FROM e)
+      |SELECT user_id,
+      |       CAST(count(*) FILTER (WHERE event_type = 'purchase'
+      |              AND last_view IS NOT NULL
+      |              AND tus - last_view <= 1800000000) AS BIGINT)
+      |         AS correlated_purchases,
+      |       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+      |         AS purchases
+      |FROM m GROUP BY user_id
+      |HAVING count(*) FILTER (WHERE event_type = 'purchase') > 0
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    // tiebreak on event_type: same-micro rows must frame identically in
+    // both engines ('purchase' sorts before 'view', so a tied view is
+    // deterministically excluded from the purchase's running frame)
+    val wRun = Window.partitionBy("user_id").orderBy("tus", "event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+      .withColumn("last_view",
+        max(when(col("event_type") === "view", col("tus"))).over(wRun))
+      .groupBy("user_id")
+      .agg(
+        count(when(col("event_type") === "purchase" &&
+          col("last_view").isNotNull &&
+          col("tus") - col("last_view") <= 1800000000L, 1))
+          .as("correlated_purchases"),
+        count(when(col("event_type") === "purchase", 1)).as("purchases"))
+      .where(col("purchases") > 0)
+      .orderBy("user_id")
+  }
+
   // PIVOT: long→wide reshaping (the reporting face of the scheduled-query
   // surface). Spark's relational pivot plans as ONE aggregation with a
   // pivot-aggregate per value — same shape as the CASE-per-column oracle.
