@@ -1831,6 +1831,71 @@ object Queries {
       .orderBy("event_id")
   }
 
+  // A5h: the remaining pagerduty dialects — Events v1 (with context
+  // validation: an invalid context is dropped, valid link/image re-emit
+  // only standardized keys) and the REST incident payload (service /
+  // escalation-policy references, urgency validation). Completes the
+  // pagerduty family alongside a5c's v2 event.
+  register(
+    "a5h_publishers_pagerduty_family",
+    """SELECT event_id,
+      |  'svc-key-1' AS pd1_service_key,
+      |  'trigger' AS pd1_event_type,
+      |  'StreamAlert Rule Triggered - high_value' AS pd1_description,
+      |  'Large value event' AS pd1_details_desc,
+      |  event_id AS pd1_record_event_id,
+      |  'streamalert' AS pd1_client,
+      |  '[{"type":"link","href":"https://runbook.example.com","text":"Runbook"},{"type":"image","src":"https://img.example.com/a.png"}]'
+      |    AS pd1_contexts,
+      |  'StreamAlert Incident - Rule triggered: high_value' AS pdi_title,
+      |  'SVC123' AS pdi_service_id,
+      |  'service_reference' AS pdi_service_type,
+      |  'incident_body' AS pdi_body_type,
+      |  'Large value event' AS pdi_body_details,
+      |  'EP456' AS pdi_policy_id,
+      |  'escalation_policy_reference' AS pdi_policy_type,
+      |  'high' AS pdi_urgency
+      |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import graft.alerts.Publishers
+    val alerts = t(s, dir, "events").where(col("event_id") < 200)
+      .select(
+        md5(col("event_id").cast("string")).as("alert_id"),
+        lit("high_value").as("rule_name"),
+        lit("Large value event").as("rule_description"),
+        struct(col("event_id")).as("record"))
+    Publishers.register("pd1_demo")(Publishers.pagerDutyV1Event(
+      serviceKey = "svc-key-1",
+      contexts = Seq(
+        Map("type" -> "link", "href" -> "https://runbook.example.com",
+          "text" -> "Runbook", "extra" -> "stripped"), // extra key dropped
+        Map("type" -> "bogus", "href" -> "x"),          // invalid: dropped
+        Map("type" -> "image", "src" -> "https://img.example.com/a.png"))))
+    val pd1 = Publishers.publish(alerts, Seq("pd1_demo"))
+      .select(col("alert_id"), col("record.event_id").as("event_id"),
+        get_json_object(col("publication"), "$.service_key").as("pd1_service_key"),
+        get_json_object(col("publication"), "$.event_type").as("pd1_event_type"),
+        get_json_object(col("publication"), "$.description").as("pd1_description"),
+        get_json_object(col("publication"), "$.details.description").as("pd1_details_desc"),
+        get_json_object(col("publication"), "$.details.record.event_id")
+          .cast("long").as("pd1_record_event_id"),
+        get_json_object(col("publication"), "$.client").as("pd1_client"),
+        get_json_object(col("publication"), "$.contexts").as("pd1_contexts"))
+    Publishers.register("pdi_demo")(Publishers.pagerDutyIncident(
+      serviceId = "SVC123", escalationPolicyId = "EP456",
+      urgency = Some("high")))
+    val pdi = Publishers.publish(alerts, Seq("pdi_demo"))
+      .select(col("alert_id"),
+        get_json_object(col("publication"), "$.incident.title").as("pdi_title"),
+        get_json_object(col("publication"), "$.incident.service.id").as("pdi_service_id"),
+        get_json_object(col("publication"), "$.incident.service.type").as("pdi_service_type"),
+        get_json_object(col("publication"), "$.incident.body.type").as("pdi_body_type"),
+        get_json_object(col("publication"), "$.incident.body.details").as("pdi_body_details"),
+        get_json_object(col("publication"), "$.incident.escalation_policy.id").as("pdi_policy_id"),
+        get_json_object(col("publication"), "$.incident.escalation_policy.type").as("pdi_policy_type"),
+        get_json_object(col("publication"), "$.incident.urgency").as("pdi_urgency"))
+    pd1.join(pdi, "alert_id").drop("alert_id").orderBy("event_id")
+  }
+
   // A5b: community publisher library — record_only + enumerate_fields
   // (dotted-path flattening, generic.py:115-168) and populate_fields (deep
   // get_keys extraction, generic.py:171-203) — publication JSON checked

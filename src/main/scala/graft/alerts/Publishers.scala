@@ -498,6 +498,72 @@ object Publishers {
         lit("Phantom Artifact").as("name"),
         lit("Alert").as("label")).as("artifact")))
 
+  /** _strip_invalid_contexts (pagerduty.py:311-346): keep only valid
+    * link/image contexts, re-emitting ONLY the standardized keys.
+    * Contexts come from publisher-author config (plan-time literals), so
+    * this is a plain function applied before folding them into the
+    * payload. */
+  def stripInvalidContexts(contexts: Seq[Map[String, String]]): Seq[Map[String, String]] =
+    contexts.flatMap { c =>
+      c.get("type") match {
+        case Some("link") if c.contains("href") && c.contains("text") =>
+          Some(Map("type" -> "link", "href" -> c("href"), "text" -> c("text")))
+        case Some("image") if c.contains("src") =>
+          Some(Map("type" -> "image", "src" -> c("src")))
+        case _ => None
+      }
+    }
+
+  /** The pagerduty Events v1 payload (pagerduty.py:289-309 presentation +
+    * :1395-1410 `send_event` body): trigger event keyed by the service
+    * key, description `StreamAlert Rule Triggered - <rule>`, details =
+    * {rule description, record}, fixed `streamalert` client, validated
+    * contexts. */
+  def pagerDutyV1Event(serviceKey: String, clientUrl: String = "",
+      contexts: Seq[Map[String, String]] = Nil): Publisher = df => {
+    val ctxCols = stripInvalidContexts(contexts).map { c =>
+      map(c.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    }
+    val ctxArray =
+      if (ctxCols.isEmpty) array().cast(ArrayType(MapType(StringType, StringType)))
+      else array(ctxCols: _*)
+    df.withColumn(PublicationCol, struct(
+      lit(serviceKey).as("service_key"),
+      lit("trigger").as("event_type"),
+      concat(lit("StreamAlert Rule Triggered - "), col("rule_name")).as("description"),
+      struct(col("rule_description").as("description"),
+        col("record").as("record")).as("details"),
+      lit("streamalert").as("client"),
+      lit(clientUrl).as("client_url"),
+      ctxArray.as("contexts")))
+  }
+
+  /** The pagerduty REST incident payload (pagerduty.py:747-803
+    * `_construct_incident_put_request_data` + :852-862 escalation policy):
+    * title `StreamAlert Incident - Rule triggered: <rule>`, service
+    * reference, incident_body = rule description, escalation-policy
+    * reference (the no-assignments default branch), optional validated
+    * urgency. */
+  def pagerDutyIncident(serviceId: String, escalationPolicyId: String,
+      urgency: Option[String] = None): Publisher = df => {
+    val base = struct(
+      lit("incident").as("type"),
+      concat(lit("StreamAlert Incident - Rule triggered: "),
+        col("rule_name")).as("title"),
+      struct(lit(serviceId).as("id"),
+        lit("service_reference").as("type")).as("service"),
+      struct(lit("incident_body").as("type"),
+        col("rule_description").as("details")).as("body"),
+      struct(lit(escalationPolicyId).as("id"),
+        lit("escalation_policy_reference").as("type")).as("escalation_policy"))
+    // urgency must be 'high'|'low' or it is dropped (pagerduty.py:820-828)
+    val incident = urgency.filter(Set("low", "high")) match {
+      case Some(u) => base.withField("urgency", lit(u))
+      case None => base
+    }
+    df.withColumn(PublicationCol, struct(incident.as("incident")))
+  }
+
   register("slack_message")(slackDefaultMessage())
   register("victorops_message")(victoropsMessage())
   register("komand_envelope")(komandEnvelope())
