@@ -284,6 +284,42 @@ class PipelineSpec extends AnyFunSuite {
       "No currently staged rules to report on")
   }
 
+  test("athena partitioner: keys parse to the reference's ALTER statements") {
+    import graft.history.AthenaPartitioner
+    // json layout: alerts/dt=... vs [data-type]/YYYY/MM/DD/HH
+    val jsonKeys = Seq(
+      ("alerts-bkt", "alerts/dt=2018-08-01-01/run.json"),
+      ("data-bkt", "cloudwatch_events/2018/08/01/02/file.gz"),
+      ("data-bkt", "cloudwatch_events/2018/08/01/02/file2.gz"), // same partition
+      ("data-bkt", "osquery_results/2018/08/01/03/file.gz"),
+      ("data-bkt", "not/a/partition/key.txt"),                  // skipped
+      ("unknown-bkt", "cloudwatch_events/2018/08/01/04/x.gz"))  // unconfigured
+    val parts = AthenaPartitioner.partitionsFromKeys(
+      jsonKeys, Set("alerts-bkt", "data-bkt"), fileFormat = "json")
+    assert(parts("alerts") ==
+      Map("(dt = '2018-08-01-01')" -> "'s3://alerts-bkt/alerts/dt=2018-08-01-01'"))
+    assert(parts("cloudwatch_events") ==
+      Map("(dt = '2018-08-01-02')" -> "'s3://data-bkt/cloudwatch_events/2018/08/01/02'"))
+    val stmts = AthenaPartitioner.addPartitionStatements(parts)
+    assert(stmts.contains(
+      "ALTER TABLE alerts ADD IF NOT EXISTS PARTITION (dt = '2018-08-01-01') " +
+        "LOCATION 's3://alerts-bkt/alerts/dt=2018-08-01-01';"))
+    assert(stmts.contains(
+      "ALTER TABLE osquery_results ADD IF NOT EXISTS " +
+        "PARTITION (dt = '2018-08-01-03') " +
+        "LOCATION 's3://data-bkt/osquery_results/2018/08/01/03';"))
+    // parquet layout: parquet/[data-type]/dt=... and alerts/dt=...parquet
+    val pq = AthenaPartitioner.partitionsFromKeys(Seq(
+      ("data-bkt", "parquet/cloudtrail/dt=2020-01-02-03/part-0.parquet"),
+      ("alerts-bkt", "alerts/dt=2020-01-02-04/part-0.parquet")),
+      Set("alerts-bkt", "data-bkt"), fileFormat = "parquet")
+    assert(pq("cloudtrail") ==
+      Map("(dt = '2020-01-02-03')" ->
+        "'s3://data-bkt/parquet/cloudtrail/dt=2020-01-02-03'"))
+    assert(pq("alerts") ==
+      Map("(dt = '2020-01-02-04')" -> "'s3://alerts-bkt/alerts/dt=2020-01-02-04'"))
+  }
+
   test("firehose stream-name generation matches the reference algorithm") {
     import graft.history.HistoricalSink.firehoseStreamName
     // expected values computed with the reference's generate_firehose_name
