@@ -285,10 +285,14 @@ object Publishers {
     * :305-312 presentation defaults): summary `StreamAlert <rule_name>`,
     * description = the publication as a `{code:JSON}` block with keys
     * sorted (`json.dumps(publication, sort_keys=True)`), project key and
-    * issue type from the output's creds. One documented deviation: the
-    * JSON inside the code block uses compact separators (Spark's
-    * `to_json`) where CPython's default is `", "` / `": "` — a wire-format
-    * detail of the interior dump, not a field difference. */
+    * issue type from the output's creds. jira-v2 (jira_v2.py:233-258)
+    * POSTs the IDENTICAL field surface wrapped under a `fields` key —
+    * `struct(jiraIssueFields(...)("...").col(PublicationCol).as("fields"))`
+    * — its differences are auth (API key vs session cookie), a Dispatcher
+    * concern. One documented deviation: the JSON inside the code block
+    * uses compact separators (Spark's `to_json`) where CPython's default
+    * is `", "` / `": "` — a wire-format detail of the interior dump, not
+    * a field difference. */
   def jiraIssueFields(projectKey: String, issueType: String): Publisher = df => {
     val pubType = df.schema(PublicationCol).dataType
     val body = concat(lit("{code:JSON}"),
