@@ -197,6 +197,42 @@ object AlertMerger {
   def versionedCheckpoint(root: String): String =
     s"$root/merge-state-v$StateFormatVersion"
 
+  /** Refuse to silently abandon an existing checkpoint. A checkpoint holds
+    * more than merge state — its OFFSET LOG is the stream's position, so
+    * relocating to a fresh versioned directory replays from initial offsets
+    * (duplicate alerts) or jumps to latest (missed alerts). That trade must
+    * be an operator DECISION, not a side effect of an upgrade: when a
+    * legacy checkpoint (an `offsets/` dir at the unversioned root or at a
+    * lower merge-state version) exists and the current versioned directory
+    * has none, this throws with migration instructions instead of starting.
+    * Once the current versioned directory has its own offset log the legacy
+    * dirs are ignored (the migration already happened). Dispatch is
+    * idempotent on alert_id (the attempt ledger dedupes redelivery,
+    * [[Outputs.fanOut]]), which bounds the duplicate window for operators
+    * who choose the cold start. */
+  def guardLegacyCheckpoint(root: String,
+      hadoopConf: org.apache.hadoop.conf.Configuration): Unit = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(hadoopConf)
+    def hasOffsets(p: Path): Boolean = fs.exists(new Path(p, "offsets"))
+    if (!hasOffsets(new Path(versionedCheckpoint(root)))) {
+      val legacy = (Option(root).filter(_ => hasOffsets(rootPath)).toSeq ++
+        (1 until StateFormatVersion).map(v => s"$root/merge-state-v$v")
+          .filter(p => hasOffsets(new Path(p))))
+      if (legacy.nonEmpty)
+        throw new IllegalStateException(
+          s"legacy streaming checkpoint found at ${legacy.mkString(", ")} but the " +
+            s"current state format v$StateFormatVersion would start fresh at " +
+            s"${versionedCheckpoint(root)} — a silent cold start abandons the " +
+            "offset log and opens a duplicate/missed-delivery window. Either " +
+            "keep running the engine version that wrote the legacy checkpoint, " +
+            "or delete/move the legacy directory to accept the cold start " +
+            "deliberately (outputs are idempotent on alert_id, so duplicates " +
+            "dedupe at dispatch).")
+    }
+  }
+
   def mergeStream(alerts: Dataset[MergeInputAlert],
       watermarkDelay: String = "0 seconds"): Dataset[MergedAlert] = {
     implicit val enc = Encoders.product[MergedAlert]

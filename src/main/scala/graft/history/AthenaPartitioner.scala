@@ -47,14 +47,21 @@ object AthenaPartitioner {
     // bare dt= data pattern — the reference then infers the table from
     // the path, which yields 'alerts' only for the alerts bucket; here
     // the same inference applies (path element before dt=).
-    m.map { case (isAlerts, g) =>
+    m.flatMap { case (isAlerts, g) =>
       val dir = key.substring(0, key.lastIndexOf('/'))
+      val parts = dir.split("/")
+      // a key whose path has fewer elements than the layout requires (e.g.
+      // a bare `dt=.../x.parquet` with no data-type element) is skipped like
+      // any other unmatched key — the reference logs-and-skips (main.py:144-146)
+      // rather than aborting the whole batch
       val table =
-        if (isAlerts || dir.split("/")(0) == "alerts") "alerts"
-        else if (isParquet) dir.split("/")(1)
-        else dir.split("/")(0)
-      val spec = s"(dt = '${g.group(1)}-${g.group(2)}-${g.group(3)}-${g.group(4)}')"
-      (table, spec, s"'s3://$bucket/$dir'")
+        if (isAlerts || parts.headOption.contains("alerts")) Some("alerts")
+        else if (isParquet) parts.lift(1)
+        else parts.headOption
+      table.map { t =>
+        val spec = s"(dt = '${g.group(1)}-${g.group(2)}-${g.group(3)}-${g.group(4)}')"
+        (t, spec, s"'s3://$bucket/$dir'")
+      }
     }
   }
 

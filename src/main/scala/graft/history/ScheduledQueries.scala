@@ -157,8 +157,7 @@ object ScheduledQueries {
     * Athena round-trip. */
   final class ExecutionManager(
       spark: SparkSession,
-      exec: (SparkSession, String) => Seq[Row] =
-        (s, q) => s.sql(q).collect().toSeq) {
+      exec: (SparkSession, String) => Seq[Row] = ExecutionManager.defaultExec) {
     import scala.concurrent.{ExecutionContext, Future, Promise}
 
     private val inFlight =
@@ -194,6 +193,22 @@ object ScheduledQueries {
           }
           fresh
       }
+    }
+  }
+
+  object ExecutionManager {
+    /** The default blocking executor enforces the SAME driver-side row cap
+      * as [[runWithStats]] — both entry points serve the query-pack surface,
+      * and an unbounded pack must fail loudly through either one instead of
+      * landing the whole table on the driver. */
+    val defaultExec: (SparkSession, String) => Seq[Row] = (s, q) => {
+      val rows = s.sql(q).limit(MaxResultRows + 1).collect().toSeq
+      if (rows.size > MaxResultRows)
+        throw new IllegalStateException(
+          s"scheduled query returned more than $MaxResultRows rows — query-pack " +
+            "results are driver-collected for re-injection; add a LIMIT or " +
+            "aggregate, or pass a custom exec deliberately")
+      rows
     }
   }
 

@@ -396,7 +396,6 @@ object Dedup {
     connectedComponents(edges)
   }
 
-  /** Exact Jaccard over two string arrays. */
   /** End-to-end near-duplicate corpus dedup — the operation a 100 TB
     * training-data pipeline actually runs: minhash-LSH near-dup pairs →
     * connected components over the pair edges → keep the min-id document
@@ -419,6 +418,7 @@ object Dedup {
       .withColumn("keep", col("cluster_id") === col("id"))
   }
 
+  /** Exact Jaccard over two string arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast(DoubleType)
     val union = size(array_union(a, b)).cast(DoubleType)
@@ -479,10 +479,6 @@ object Dedup {
         shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("b"))
       .select(col("id"), col("b.chunk").as("chunk"), col("b.key").as("key"))
 
-  /** The simhash candidate/verify machinery over an ARBITRARY 64-bit
-    * fingerprint table (id, sim) — factored out so other fingerprint
-    * families (perceptual hashes over media bytes, [[Multimodal]]) reuse
-    * the same skew-capped pigeonhole join. */
   /** Pigeonhole variant of [[warnIfUnderPlaned]]: 16-bit chunk keys give a
     * FIXED 2^16 buckets, so past ~cap×65536 docs the capped join drops
     * candidates and recall saturates silently. The fix at that scale is a
@@ -501,6 +497,10 @@ object Dedup {
     under
   }
 
+  /** The simhash candidate/verify machinery over an ARBITRARY 64-bit
+    * fingerprint table (id, sim) — factored out so other fingerprint
+    * families (perceptual hashes over media bytes, [[Multimodal]]) reuse
+    * the same skew-capped pigeonhole join. */
   private[graft] def fingerprintPairsPlan(withSimRaw: DataFrame,
       maxDist: Int, maxBucketPairing: Int): (DataFrame, Seq[DataFrame]) = {
     val withSim = withSimRaw.persist(StorageLevel.MEMORY_AND_DISK)
@@ -621,12 +621,6 @@ object Dedup {
     when(na > 0 && nb > 0, dot / (na * nb)).otherwise(lit(0.0))
   }
 
-  /** Embedding near-dups: bucket by hyperplane signature (all `planes` bits
-    * equal ⇒ likely high cosine), verify exactly.
-    *
-    * The signature stage is persisted (one dot-product sweep per vector);
-    * the bucket self-join moves only (id, sig, rn) and candidate pairs
-    * re-attach vectors by id from the same cache for the cosine verify. */
   /** The embedding store table: (id, v, sig) — the signature IS the bucket
     * key, so one staged table serves both candidate generation and the
     * cosine verify. */
@@ -660,6 +654,12 @@ object Dedup {
     materializeAndRelease(pairs, Seq(newSigs))
   }
 
+  /** Embedding near-dups: bucket by hyperplane signature (all `planes` bits
+    * equal ⇒ likely high cosine), verify exactly.
+    *
+    * The signature stage is persisted (one dot-product sweep per vector);
+    * the bucket self-join moves only (id, sig, rn) and candidate pairs
+    * re-attach vectors by id from the same cache for the cosine verify. */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
       planes: Int = 12, threshold: Double = 0.95,
       maxBucketPairing: Int = 64): DataFrame = {

@@ -154,15 +154,21 @@ object Similarity {
 
   /** LSH-bucketed ANN: corpus bucketed once by hyperplane signature; queries
     * probe their own bucket plus all 1-bit-flip neighbors (multi-probe), so
-    * recall degrades gracefully instead of falling off a cliff. */
+    * recall degrades gracefully instead of falling off a cliff.
+    *
+    * `corpusSize`, when known (the serving path over a staged corpus always
+    * knows it), feeds the occupancy guard: with 2^planes buckets a fixed
+    * width saturates at 100× the corpus — candidate cost per query grows
+    * linearly and the multi-probe stops discriminating. When None the guard
+    * is skipped so this stays a pure lazy plan-builder (no Spark job at
+    * construction time — the serving path must not double-scan the corpus
+    * for a diagnostic). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
-      queryId: String = "q_id", queryVec: String = "q_vec"): DataFrame = {
-    // occupancy guard: with 2^planes buckets, a fixed width saturates at
-    // 100x the corpus — candidate cost per query grows linearly and the
-    // multi-probe stops discriminating. One columnar count (vectors not read).
-    Dedup.warnIfUnderPlaned("lshTopK", corpus.count(), planes,
-      maxBucketPairing = 512)
+      queryId: String = "q_id", queryVec: String = "q_vec",
+      corpusSize: Option[Long] = None): DataFrame = {
+    corpusSize.foreach(n =>
+      Dedup.warnIfUnderPlaned("lshTopK", n, planes, maxBucketPairing = 512))
     val bucketed = corpus.withColumn("bucket",
       Dedup.hyperplaneSignature(col(corpusVec), planes))
     val qSig = queries.withColumn("sig",

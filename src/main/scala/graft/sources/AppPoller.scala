@@ -232,22 +232,27 @@ final class BoxStylePoller(api: BoxStylePoller.EventsApi)
 }
 
 /** Link-cursor poller: the THIRD cursor family among the reference's nine
-  * connectors — an OPAQUE server-issued continuation token (Okta's `after`
-  * link parameter, okta.py's link-header pagination; GSuite's `pageToken`,
-  * gsuite.py:150-166) that cannot be compared, ordered, or split.
+  * connectors — an OPAQUE server-issued continuation token (GSuite's
+  * `pageToken`/`nextPageToken` chain, gsuite.py:143-166; Intercom's
+  * `pages.next` URL is the same shape) that cannot be compared, ordered,
+  * or split.
   *
   * This is the dense-renumbering adapter the [[BoxStylePoller.EventsApi]]
   * contract calls for: token chains don't map onto Spark's numeric offset
-  * ranges, so the adapter OWNS the numbering. `latest()` drains every
-  * available page (following tokens from the last one seen) into a
-  * driver-side buffer and returns the buffer's logical end; `fetch`
-  * serves buffered slices, so any planned `[from, until)` range replays
-  * bit-for-bit regardless of the token chain that produced it. Once
-  * Structured Streaming COMMITS an offset the records below it can never
-  * be replanned — [[AppPollerStream.commit]] calls `prune`, so steady-
-  * state buffer size is one trigger's backlog, not the stream's history
-  * (the reference's equivalent is the per-invocation batch it ships to
-  * the classifier before checkpointing `_last_timestamp`).
+  * ranges, so the adapter OWNS the numbering. `latest()` follows the token
+  * chain — AT MOST `maxPagesPerPoll` pages per call, the per-invocation
+  * bound every reference poller applies (`_MAX_EVENTS_LIMIT`-style page
+  * caps) so a cold start against a deep pre-existing chain cannot drain
+  * the whole backlog into driver memory in one trigger; the remainder is
+  * picked up by subsequent triggers. Fetched pages land in a driver-side
+  * buffer whose logical end `latest()` returns; `fetch` serves buffered
+  * slices, so any planned `[from, until)` range replays bit-for-bit
+  * regardless of the token chain that produced it. Once Structured
+  * Streaming COMMITS an offset the records below it can never be
+  * replanned — [[AppPollerStream.commit]] calls `prune`, so steady-state
+  * buffer size is one trigger's backlog, not the stream's history (the
+  * reference's equivalent is the per-invocation batch it ships to the
+  * classifier before checkpointing `_last_timestamp`).
   */
 object LinkCursorPoller {
   /** The `GET /logs?after=<token>` surface: one page of records plus the
@@ -286,8 +291,10 @@ object LinkCursorPoller {
   }
 }
 
-final class LinkCursorPoller(api: LinkCursorPoller.LinkApi)
+final class LinkCursorPoller(api: LinkCursorPoller.LinkApi,
+    maxPagesPerPoll: Int = 100)
     extends AppPollerRegistry.Poller with AppPollerRegistry.Prunable {
+  require(maxPagesPerPoll > 0, "maxPagesPerPoll must be positive")
   // buffer(i) holds the record at logical offset base + i; all access
   // synchronized — latest()/fetch run on the driver (planning + local
   // source), prune on the commit thread
@@ -301,10 +308,14 @@ final class LinkCursorPoller(api: LinkCursorPoller.LinkApi)
   private var consumedAfterToken = 0
 
   def latest(): Long = synchronized {
-    // follow the token chain as far as the server allows right now
+    // follow the token chain as far as the server allows right now, bounded
+    // to maxPagesPerPoll pages: a deep backlog arrives over several triggers
+    // instead of one unbounded driver-side drain
     var more = true
-    while (more) {
+    var pages = 0
+    while (more && pages < maxPagesPerPoll) {
       val (page, next) = api.fetchPage(lastToken)
+      pages += 1
       val fresh = page.drop(consumedAfterToken)
       buffer ++= fresh
       next match {

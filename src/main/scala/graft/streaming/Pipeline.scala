@@ -158,13 +158,18 @@ final class Pipeline(
   def start(rawStream: DataFrame, alertsRoot: String, checkpoint: String,
       dispatchers: Map[String, Outputs.Dispatcher] = Map.empty,
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): StreamingQuery = {
+    // a merge-state layout bump must not silently abandon an existing
+    // checkpoint's offset log — refuse to start over a legacy layout
+    // (operator decides: migrate or accept the cold start deliberately)
+    AlertMerger.guardLegacyCheckpoint(checkpoint,
+      rawStream.sparkSession.sessionState.newHadoopConf())
     val merged = AlertMerger.mergeStream(
       AlertMerger.fromAlerts(
         alertsFor(rawStream).withColumn("staged", lit(false))))
     val writer0 = merged.writeStream
       // version-scoped: a merge-state layout bump cold-starts in a fresh
       // dir instead of reading an incompatible checkpoint (AlertMerger
-      // StateFormatVersion)
+      // StateFormatVersion) — guarded above so the relocation is never silent
       .option("checkpointLocation", AlertMerger.versionedCheckpoint(checkpoint))
       .outputMode("append")
     val writer = trigger.fold(writer0)(writer0.trigger)

@@ -171,12 +171,12 @@ class AppPollerSpec extends AnyFunSuite {
     val api = new InMemoryLinkApi(pageSize = 3)
     for (n <- 1 to 7) api.append(s"""{"n":$n}""")
     val poller = new LinkCursorPoller(api)
-    AppPollerRegistry.register("okta-demo", poller)
+    AppPollerRegistry.register("gsuite-demo", poller)
     val ckpt = Files.createTempDirectory("link_ckpt").toString
     val out = Files.createTempDirectory("link_out").toString
     def drain(): Unit = {
       val q = spark.readStream.format("graft-app-poller")
-        .option("app", "okta-demo").option("partitions", "2").load()
+        .option("app", "gsuite-demo").option("partitions", "2").load()
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
@@ -198,5 +198,21 @@ class AppPollerSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 10)
     assert(poller.buffered == 1,
       "steady state buffers ONE trigger's backlog, not the stream history")
+  }
+
+  test("link-cursor poller bounds a cold-start drain to maxPagesPerPoll pages") {
+    // a deep PRE-EXISTING token chain (cold start / resumed-after-stall)
+    // must arrive over several triggers, not one unbounded driver buffer
+    val api = new InMemoryLinkApi(pageSize = 2)
+    for (n <- 1 to 20) api.append(s"""{"n":$n}""") // 10-page backlog
+    val poller = new LinkCursorPoller(api, maxPagesPerPoll = 3)
+    assert(poller.latest() == 6L, "first poll stops at the page cap")
+    assert(poller.buffered == 6, "buffer growth per trigger is cap-bounded")
+    assert(poller.fetch(0L, 6L).toSeq == (1 to 6).map(n => s"""{"n":$n}"""))
+    // subsequent polls resume the chain where the cap cut it — no dup, no gap
+    assert(poller.latest() == 12L)
+    assert(poller.latest() == 18L)
+    assert(poller.latest() == 20L)
+    assert(poller.fetch(6L, 20L).toSeq == (7 to 20).map(n => s"""{"n":$n}"""))
   }
 }

@@ -214,4 +214,35 @@ class MergeSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("guardLegacyCheckpoint refuses to silently abandon an offset log") {
+    import java.nio.file.Files
+    val conf = new org.apache.hadoop.conf.Configuration()
+    def mk(): String = Files.createTempDirectory("ckpt_guard").toString
+
+    // fresh deployment: nothing anywhere -> fine
+    AlertMerger.guardLegacyCheckpoint(mk(), conf)
+
+    // legacy UNVERSIONED checkpoint at the root (pre-relocation layout):
+    // starting v2 fresh would abandon its offset log -> must throw
+    val legacyRoot = mk()
+    Files.createDirectories(java.nio.file.Paths.get(legacyRoot, "offsets"))
+    val e1 = intercept[IllegalStateException](
+      AlertMerger.guardLegacyCheckpoint(legacyRoot, conf))
+    assert(e1.getMessage.contains("offset log"))
+
+    // legacy versioned dir below the current format version -> must throw
+    val legacyV1 = mk()
+    Files.createDirectories(
+      java.nio.file.Paths.get(legacyV1, "merge-state-v1", "offsets"))
+    intercept[IllegalStateException](
+      AlertMerger.guardLegacyCheckpoint(legacyV1, conf))
+
+    // migration already happened: current versioned dir has its own offset
+    // log -> legacy dirs are ignored, start proceeds
+    val migrated = legacyV1
+    Files.createDirectories(java.nio.file.Paths.get(
+      AlertMerger.versionedCheckpoint(migrated), "offsets"))
+    AlertMerger.guardLegacyCheckpoint(migrated, conf)
+  }
 }
