@@ -2077,6 +2077,28 @@ object Queries {
     Dedup.simhashNearDups(t(s, dir, "documents"), "text", "doc_id", maxDist = 6)
   }
 
+  // SimHash, hash-matched: the d2c construction again. Doc-unique token
+  // prefixes make every distinct pair's token sets disjoint, so their
+  // 64-bit fingerprints are independent random draws — P(hamming <= 6)
+  // ~4e-12 per pair, i.e. ZERO non-planted pairs pass the verify at any
+  // test SF — while the planted byte-identical copies fingerprint to the
+  // SAME 64 bits (hamming 0, all four pigeonhole chunks collide, detection
+  // certain). The real fingerprint→chunk-bucket→exact-hamming pipeline thus
+  // has exactly one SQL-expressible answer: the planted pairs at distance 0.
+  register(
+    "d3b_dedup_simhash_planted",
+    """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 0 AS hamming
+      |FROM documents WHERE doc_id % 97 = 0 ORDER BY id_a""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val prefixed = docs.select(col("doc_id"),
+      array_join(transform(split(lower(col("text")), "\\s+"),
+        x => concat_ws("_", col("doc_id").cast("string"), x)), " ").as("text"))
+    val corpus = prefixed.unionAll(prefixed.where(col("doc_id") % 97 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    Dedup.simhashNearDups(corpus, "text", "doc_id", maxDist = 6)
+      .orderBy("id_a")
+  }
+
   // n-gram Jaccard: the exact verifier over adjacent-id document pairs.
   register(
     "d4_ngram_jaccard",
@@ -2170,6 +2192,53 @@ object Queries {
     val queries = e.where(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     Similarity.lshTopK(e, queries, k = 3, planes = 6).orderBy("q_id", "rank")
+  }
+
+  /** The d2c planting construction applied to embeddings: each query vector
+    * (vec_id < 5) is re-ingested as `reps` byte-identical copies under ids
+    * q_id + r·1,000,000. Identical vectors share every hyperplane sign and
+    * every centroid distance, so BOTH bucketed ANN paths find the copies
+    * with certainty (they sit in the query's own bucket / nearest inverted
+    * list), and cosine(v, v) rounds to exactly 1.0 — strictly above the
+    * near-orthogonal rest of the corpus (max pairwise cos ~0.3). The real
+    * bucket→probe→verify→top-k pipeline therefore has exactly ONE possible
+    * answer: the planted copies in id order. */
+  private def plantedAnnCorpus(e: DataFrame, reps: Int): DataFrame = {
+    val base = e.select(col("vec_id"), col("embedding"))
+    val planted = (1 to reps).map(r => e.where(col("vec_id") < 5)
+      .select((col("vec_id") + r * 1000000).as("vec_id"), col("embedding")))
+      .reduce(_ unionAll _)
+    base.unionAll(planted)
+  }
+
+  private val AnnPlantedOracle =
+    """SELECT e.vec_id AS q_id, e.vec_id + reps.r * 1000000 AS neighbor_id,
+      |       CAST(1.0 AS DOUBLE) AS cos, CAST(reps.r AS INTEGER) AS rank
+      |FROM embeddings e CROSS JOIN (SELECT unnest([1, 2, 3]) AS r) reps
+      |WHERE e.vec_id < 5 ORDER BY q_id, rank""".stripMargin
+
+  // Hyperplane-LSH ANN, hash-matched via the planted corpus: the top-3 for
+  // every query MUST be its three planted copies (cos 1.0, id order) — the
+  // approximate path's recall is certain by construction, so the full
+  // bucket/multi-probe/top-k machinery gets a real hash oracle.
+  register("ann_lsh_planted", AnnPlantedOracle) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val queries = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.lshTopK(plantedAnnCorpus(e, 3), queries, k = 3, planes = 6)
+      .orderBy("q_id", "rank")
+  }
+
+  // IVF ANN, hash-matched via the same planted corpus: identical vectors
+  // land in the query's own nearest inverted list, which nProbe >= 1 always
+  // searches — recall through the coarse-quantizer path is certain.
+  register("ann_ivf_planted", AnnPlantedOracle) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val queries = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    graft.pipeline.Similarity.ivfTopK(plantedAnnCorpus(e, 3), queries,
+      k = 3, nLists = 8, nProbe = 3)
+      .orderBy("q_id", "rank")
   }
 
   // Token-bounded chunking with overlap (context-window prep): chunk i
@@ -2273,6 +2342,29 @@ object Queries {
   registerNoOracle("q16_approx_distinct") { (s, dir) =>
     t(s, dir, "events").groupBy("event_type")
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .orderBy("event_type")
+  }
+
+  // The hash-matched face of q16: the HLL estimate itself is
+  // engine-specific, but its ERROR BOUND is not — per group, emit the
+  // exact distinct count plus whether |hll − exact| <= 3·rsd·exact (the
+  // same bound PipelineOpsSpec asserts). DuckDB computes the exact side
+  // and the bound claim constant-folds to TRUE, so the sketch's accuracy
+  // contract itself becomes a hash-compared row instead of a take-it-on-
+  // faith spec assertion.
+  register(
+    "q16b_approx_distinct_bound",
+    """SELECT event_type,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |       TRUE AS within_bound
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    t(s, dir, "events").groupBy("event_type")
+      .agg(
+        count_distinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("__approx"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("__approx") - col("exact_users")) <=
+          lit(3 * 0.02) * col("exact_users")).as("within_bound"))
       .orderBy("event_type")
   }
 
