@@ -1,0 +1,175 @@
+package graft.conformance
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.core.{FieldType, LogSchema, ParserKind}
+import graft.core.FieldType._
+import graft.rules.{Helpers, Rule, RuleOpts}
+
+/** Scala ports of the reference's community cloudwatch_events rules — the
+  * rules exercised by the conformance fixtures under
+  * `src/test/resources/conformance/`.
+  *
+  * The reference declares `detail` as a loose `{}` object
+  * (conf/schemas/cloudwatch.json "cloudwatch:events") and its Python rules
+  * walk the parsed dict dynamically. The engine keeps the same schema shape:
+  * `{}` is an open map whose nested values stay raw JSON text, so these
+  * ports navigate sub-documents with `get_json_object` (plan-time JSONPath,
+  * codegen'd) instead of declaring a struct the reference never declares.
+  * Every predicate cites the Python rule it re-expresses; trigger semantics
+  * are pinned event-by-event by ConformanceSpec against the reference's own
+  * `trigger_rules` expectations.
+  */
+object CommunityRules {
+
+  /** conf/schemas/cloudwatch.json "cloudwatch:events": nine top-level keys,
+    * loose detail. */
+  val cloudwatchEvents: LogSchema = LogSchema(
+    name = "cloudwatch:events",
+    parser = ParserKind.Json,
+    schema = TStruct.of(
+      "account" -> TString, "detail" -> TAnyMap, "detail-type" -> TString,
+      "id" -> TString, "region" -> TString, "resources" -> TList,
+      "source" -> TString, "time" -> TString, "version" -> TString))
+
+  private def detail(rec: Column, key: String): Column =
+    rec.getField("detail").getField(key)
+
+  /** `'needle' in get_keys(subdoc, key)` over a raw-JSON sub-document: the
+    * reference BFS-walks the dict for `key` anywhere (shared/utils.py
+    * get_keys); on compact re-serialized JSON the equivalent is the exact
+    * `"key":"value"` adjacency. */
+  private def jsonKeyHasValue(rawJson: Column, key: String, value: String): Column = {
+    val needle = "\"" + key + "\":\"" + value + "\""
+    coalesce(rawJson.contains(needle), lit(false))
+  }
+
+  private val PublicAcls = Seq(
+    "http://acs.amazonaws.com/groups/global/AuthenticatedUsers",
+    "http://acs.amazonaws.com/groups/global/AllUsers")
+
+  /** cloudtrail_put_object_acl_public.py:18-39: PutObjectAcl granting
+    * AllUsers/AuthenticatedUsers (substring match — the URI appears bare or
+    * as `uri=...`), except for expected-public buckets. */
+  val putObjectAclPublic: Rule = Rule(
+    "cloudtrail_put_object_acl_public",
+    RuleOpts(
+      logs = Seq("cloudwatch:events"),
+      reqSubkeys = Map("detail" -> Seq("requestParameters")),
+      description = "Identifies new S3 object ACLs that grant access to the public"),
+    rec => {
+      val rp = detail(rec, "requestParameters")
+      detail(rec, "eventName") === "PutObjectAcl" &&
+        Helpers.rawJsonHasSubstring(rp, PublicAcls) &&
+        // reference: req_params.get('bucketName') not in _PUBLIC_BUCKETS —
+        // absent bucketName passes the not-in check
+        coalesce(!get_json_object(rp, "$.bucketName")
+          .isin("example-bucket-to-ignore"), lit(true))
+    })
+
+  /** cloudtrail_root_account_usage.py:19-22: Root credentials used directly
+    * (not invoked by a service, not an AwsServiceEvent). */
+  val rootAccountUsage: Rule = Rule(
+    "cloudtrail_root_account_usage",
+    RuleOpts(
+      logs = Seq("cloudwatch:events"),
+      reqSubkeys = Map("detail" -> Seq("userIdentity", "eventType")),
+      description = "Root AWS credentials are being used"),
+    rec => {
+      val ui = detail(rec, "userIdentity")
+      get_json_object(ui, "$.type") === "Root" &&
+        get_json_object(ui, "$.invokedBy").isNull &&
+        detail(rec, "eventType") =!= "AwsServiceEvent"
+    })
+
+  /** cloudtrail_put_bucket_acl.py:20-46: PutBucketAcl whose grant list
+    * includes an AllUsers/AuthenticatedUsers grantee URI. */
+  val putBucketAcl: Rule = Rule(
+    "cloudtrail_put_bucket_acl",
+    RuleOpts(
+      logs = Seq("cloudwatch:events"),
+      reqSubkeys = Map("detail" -> Seq("requestParameters", "eventName")),
+      description = "S3 bucket ACL grants access to AllUsers/AuthenticatedUsers"),
+    rec => {
+      val rp = detail(rec, "requestParameters")
+      // Grant is a list in the event shape; the reference iterates it and
+      // exact-matches each Grantee URI against the denied set
+      val uris = coalesce(
+        get_json_object(rp, "$.AccessControlPolicy.AccessControlList.Grant[*].Grantee.URI"),
+        get_json_object(rp, "$.AccessControlPolicy.AccessControlList.Grant.Grantee.URI"),
+        lit(""))
+      detail(rec, "eventName") === "PutBucketAcl" &&
+        PublicAcls.map(uri => uris.contains("\"" + uri + "\"") || uris === uri)
+          .reduce(_ || _)
+    })
+
+  /** cloudtrail_network_acl_ingress_anywhere.py:17-27: CreateNetworkAclEntry
+    * allowing ingress (egress=false) from 0.0.0.0/0. */
+  val networkAclIngressAnywhere: Rule = Rule(
+    "cloudtrail_network_acl_ingress_anywhere",
+    RuleOpts(
+      logs = Seq("cloudwatch:events"),
+      reqSubkeys = Map("detail" -> Seq("eventName", "requestParameters")),
+      description = "Network ACL allows ingress from anywhere"),
+    rec => {
+      val rp = detail(rec, "requestParameters")
+      detail(rec, "eventName") === "CreateNetworkAclEntry" &&
+        get_json_object(rp, "$.cidrBlock") === "0.0.0.0/0" &&
+        get_json_object(rp, "$.ruleAction") === "allow" &&
+        get_json_object(rp, "$.egress") === "false"
+    })
+
+  /** cloudtrail_security_group_ingress_anywhere.py:17-33:
+    * AuthorizeSecurityGroupIngress with any nested cidrIp 0.0.0.0/0 or
+    * cidrIpv6 ::/0 (the reference deep-searches with get_keys). */
+  val securityGroupIngressAnywhere: Rule = Rule(
+    "cloudtrail_security_group_ingress_anywhere",
+    RuleOpts(
+      logs = Seq("cloudwatch:events"),
+      reqSubkeys = Map("detail" -> Seq("eventName", "requestParameters")),
+      description = "Security Group allows ingress from anywhere"),
+    rec => {
+      val rp = detail(rec, "requestParameters")
+      detail(rec, "eventName") === "AuthorizeSecurityGroupIngress" &&
+        (jsonKeyHasValue(rp, "cidrIp", "0.0.0.0/0") ||
+          jsonKeyHasValue(rp, "cidrIpv6", "::/0"))
+    })
+
+  /** cloudtrail_ec2_image_creation.py unencrypted_ami_volume: CreateImage
+    * whose block devices include no encrypted volume (the reference collects
+    * each device's ebs.encrypted and alerts when none is truthy). */
+  val unencryptedAmiVolume: Rule = Rule(
+    "unencrypted_ami_volume",
+    RuleOpts(
+      logs = Seq("cloudwatch:events"),
+      reqSubkeys = Map("detail" -> Seq("requestParameters", "eventName")),
+      description = "AMI created with a non-encrypted volume"),
+    rec => {
+      val rp = detail(rec, "requestParameters")
+      val items = get_json_object(rp, "$.blockDeviceMapping.items[*]")
+      val encrypted = get_json_object(rp, "$.blockDeviceMapping.items[*].ebs.encrypted")
+      detail(rec, "eventName") === "CreateImage" &&
+        items.isNotNull &&
+        coalesce(!encrypted.contains("true"), lit(true))
+    })
+
+  /** cloudtrail_ec2_image_creation.py public_ami: ModifyImageAttribute
+    * adding a launch permission for the `all` group. */
+  val publicAmi: Rule = Rule(
+    "public_ami",
+    RuleOpts(
+      logs = Seq("cloudwatch:events"),
+      reqSubkeys = Map("detail" -> Seq("requestParameters", "eventName")),
+      description = "AMI made public via launchPermission group=all"),
+    rec => {
+      val rp = detail(rec, "requestParameters")
+      val groups = get_json_object(rp, "$.launchPermission.add.items[*].group")
+      detail(rec, "eventName") === "ModifyImageAttribute" &&
+        coalesce(groups.contains("\"all\"") || groups === "all", lit(false))
+    })
+
+  val all: Seq[Rule] = Seq(
+    putObjectAclPublic, rootAccountUsage, putBucketAcl,
+    networkAclIngressAnywhere, securityGroupIngressAnywhere,
+    unencryptedAmiVolume, publicAmi)
+}

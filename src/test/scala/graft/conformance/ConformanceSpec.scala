@@ -1,0 +1,54 @@
+package graft.conformance
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.testing.{RuleTestEvent, RuleTestHarness}
+
+/** Cross-engine rule conformance: the reference's OWN community-rule test
+  * events (ported verbatim under src/test/resources/conformance — see the
+  * README there) replayed through the real classify → rules pipeline, with
+  * the reference's `trigger_rules` expectations as the assertion
+  * (streamalert_cli/test/event.py:34-43 format,
+  * streamalert_cli/test/handler.py:243-276 pass criterion). A divergence
+  * here means the Scala rule ports and the reference's Python rules disagree
+  * on a REAL fixture the reference itself tests against. */
+class ConformanceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val fixtures = Seq(
+    "cloudtrail_put_object_acl_public",
+    "cloudtrail_root_account_usage",
+    "cloudtrail_put_bucket_acl",
+    "cloudtrail_network_acl_ingress_anywhere",
+    "cloudtrail_security_group_ingress_anywhere",
+    "cloudtrail_ec2_image_creation")
+
+  private def load(name: String): Seq[RuleTestEvent] = {
+    val in = getClass.getResourceAsStream(s"/conformance/$name.json")
+    require(in != null, s"missing fixture resource $name.json")
+    try RuleTestEvent.fromJson(new String(in.readAllBytes(), "UTF-8"))
+    finally in.close()
+  }
+
+  private lazy val harness =
+    new RuleTestHarness(Seq(CommunityRules.cloudwatchEvents), CommunityRules.all)
+
+  // one batched run per fixture file, every event asserted individually so
+  // a failure names the reference event that diverged
+  for (fixture <- fixtures) {
+    test(s"reference fixture $fixture matches the reference trigger expectations") {
+      val events = load(fixture)
+      assert(events.nonEmpty, s"$fixture parsed no events")
+      val results = harness.run(spark, events)
+      val failures = results.filterNot(_.passed)
+      assert(failures.isEmpty,
+        failures.map(_.report).mkString("\n", "\n", ""))
+    }
+  }
+
+  test("every ported rule is exercised by at least one fixture event") {
+    val events = fixtures.flatMap(load)
+    val untested = harness.untestedRules(events)
+    assert(untested.isEmpty, s"rules with no triggering fixture: $untested")
+  }
+}
