@@ -1896,6 +1896,63 @@ object Queries {
     pd1.join(pdi, "alert_id").drop("alert_id").orderBy("event_id")
   }
 
+  // A5i: the raw AWS output payloads — lambda invocation (with the v1
+  // function:qualifier parsing, both branches pinned), sqs message body,
+  // and the cloudwatch-log indent-2 dump. Together with sns/ses (a5f) and
+  // the firehose/s3 file sinks this covers every payload-shaped AWS output;
+  // carbonblack remains out as a device-action API.
+  register(
+    "a5i_publishers_aws",
+    """SELECT event_id,
+      |  'alert-fn' AS l1_function,
+      |  'prod' AS l1_qualifier,
+      |  'Event' AS l1_invocation_type,
+      |  '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}'
+      |    AS l1_payload,
+      |  'bare-fn' AS l2_function,
+      |  '__absent' AS l2_qualifier,
+      |  '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}'
+      |    AS sqs_body,
+      |  '{' || chr(10)
+      |    || '  "record": {' || chr(10)
+      |    || '    "event_id": ' || event_id || ',' || chr(10)
+      |    || '    "event_type": "' || event_type || '"' || chr(10)
+      |    || '  }' || chr(10) || '}' AS cw_dump
+      |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import graft.alerts.Publishers
+    val alerts = t(s, dir, "events").where(col("event_id") < 200)
+      .select(
+        md5(col("event_id").cast("string")).as("alert_id"),
+        lit("high_value").as("rule_name"),
+        struct(col("event_id"), col("event_type")).as("record"))
+    // full-ARN config: 8 parts -> function=parts[-2], qualifier=parts[-1]
+    Publishers.register("lambda_arn_demo")(Publishers.lambdaInvocation(
+      "arn:aws:lambda:us-east-1:123456789012:function:alert-fn:prod"))
+    // bare name: 1 part -> function as-is, qualifier key omitted entirely
+    Publishers.register("lambda_bare_demo")(Publishers.lambdaInvocation("bare-fn"))
+    Publishers.register("sqs_demo")(Publishers.sqsMessage())
+    Publishers.register("cw_demo")(Publishers.cloudwatchLogEntry())
+    val l1 = Publishers.publish(alerts, Seq("lambda_arn_demo"))
+      .select(col("alert_id"), col("record.event_id").as("event_id"),
+        get_json_object(col("publication"), "$.function_name").as("l1_function"),
+        get_json_object(col("publication"), "$.qualifier").as("l1_qualifier"),
+        get_json_object(col("publication"), "$.invocation_type").as("l1_invocation_type"),
+        get_json_object(col("publication"), "$.payload").as("l1_payload"))
+    val l2 = Publishers.publish(alerts, Seq("lambda_bare_demo"))
+      .select(col("alert_id"),
+        get_json_object(col("publication"), "$.function_name").as("l2_function"),
+        coalesce(get_json_object(col("publication"), "$.qualifier"),
+          lit("__absent")).as("l2_qualifier"))
+    val sqs = Publishers.publish(alerts, Seq("sqs_demo"))
+      .select(col("alert_id"),
+        get_json_object(col("publication"), "$.message_body").as("sqs_body"))
+    val cw = Publishers.publish(alerts, Seq("record_only", "cw_demo"))
+      .select(col("alert_id"),
+        get_json_object(col("publication"), "$.message").as("cw_dump"))
+    l1.join(l2, "alert_id").join(sqs, "alert_id").join(cw, "alert_id")
+      .drop("alert_id").orderBy("event_id")
+  }
+
   // A5b: community publisher library — record_only + enumerate_fields
   // (dotted-path flattening, generic.py:115-168) and populate_fields (deep
   // get_keys extraction, generic.py:171-203) — publication JSON checked

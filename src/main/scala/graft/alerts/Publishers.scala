@@ -485,6 +485,51 @@ object Publishers {
         .as("attachment")))
   }
 
+  /** The aws-lambda invocation surface (aws.py:160-258
+    * `LambdaOutput._dispatch`): payload = COMPACT json.dumps of the alert
+    * record (`separators=(',', ':')` — Spark's `to_json` matches; an
+    * `@aws-lambda.alert_data` override is just an earlier publisher in the
+    * chain), invocation type `Event`, and the v1 qualifier parsing of the
+    * configured function value — `'name'`, `'name:qualifier'`, or a full
+    * ARN `'arn:aws:lambda:region:acct:function:name:qualifier'`: 2 or 8
+    * colon-separated parts mean the last part is the qualifier
+    * (aws.py:233-241); the qualifier key is OMITTED entirely when absent,
+    * exactly as the reference omits `Qualifier` from invoke_params
+    * (aws.py:253-256). aws-lambda-v2 (aws.py:263-377) sends the identical
+    * payload with function/qualifier configured directly as creds. */
+  def lambdaInvocation(functionConfig: String): Publisher = df => {
+    val parts = functionConfig.split(":")
+    val (function, qualifier) =
+      if (parts.length == 2 || parts.length == 8)
+        (parts(parts.length - 2), Some(parts.last))
+      else (parts.last, None)
+    val base = Seq(
+      lit(function).as("function_name"),
+      lit("Event").as("invocation_type"),
+      to_json(col("record")).as("payload"))
+    df.withColumn(PublicationCol,
+      struct(qualifier.fold(base)(q => base :+ lit(q).as("qualifier")): _*))
+  }
+
+  /** The aws-sqs message (aws.py:554-605 `SQSOutput._dispatch`):
+    * MessageBody = compact json.dumps of the record (an
+    * `@aws-sqs.message_data` override chains as an earlier publisher). */
+  def sqsMessage(): Publisher = df =>
+    df.withColumn(PublicationCol,
+      struct(to_json(col("record")).as("message_body")))
+
+  /** The aws-cloudwatch-log entry (aws.py:609-642
+    * `CloudwatchLogOutput._dispatch`): the whole publication logged as a
+    * `json.dumps(publication, indent=2)` dump. Documented deviation: keys
+    * render SORTED (the plan-time dump sorts struct fields; the reference
+    * preserves Python dict insertion order, an artifact of dict building
+    * that has no stable analogue in a column plan). */
+  def cloudwatchLogEntry(): Publisher = df => {
+    val pubType = df.schema(PublicationCol).dataType
+    df.withColumn(PublicationCol, struct(
+      jsonDumpsIndent2(col(PublicationCol), pubType, 0).as("message")))
+  }
+
   /** The phantom two-POST payloads (phantom.py:104-127 container setup +
     * :171-175 artifact): container = {name: rule, description}, artifact =
     * {cef: record, container_id, data: publication, fixed name/label}.

@@ -212,6 +212,86 @@ object ScheduledQueries {
     }
   }
 
+  // ---------------------------------------------------------------------------
+  // Query-pack configuration surface (scheduled_queries/query_packs/
+  // configuration.py + conf/scheduled_queries.json)
+  // ---------------------------------------------------------------------------
+
+  /** One query pack (configuration.py:20-56 QueryPackConfiguration): a
+    * `{param}`-templated SQL string, its declared parameters, and the tags
+    * that bind it to a scheduled group. Construction validates like the
+    * reference (missing name/query/tags raise) plus one engine upgrade:
+    * every DECLARED param must be resolvable (a known named time parameter),
+    * so a typo fails at registration instead of mid-schedule the way
+    * generate_query's KeyError does. */
+  final case class QueryPackDef(
+      name: String,
+      query: String,
+      params: Seq[String] = Nil,
+      description: String = "",
+      tags: Seq[String] = Nil) {
+    require(name.nonEmpty, "Query Pack missing name")
+    require(query.nonEmpty, s"""Query Pack "$name" missing query template""")
+    require(tags.nonEmpty, s"""Query Pack "$name" has no tags?""")
+    private val unknown = params.filterNot(p =>
+      parameterValue(p, Instant.EPOCH).isDefined)
+    require(unknown.isEmpty,
+      s"""Query Pack "$name" declares unknown parameters: ${unknown.mkString(", ")}""")
+  }
+
+  /** One conf-file pack GROUP (conf/scheduled_queries.json `packs`): a tag
+    * plus its schedule; packs whose `tags` include the group name run on
+    * that schedule (query_packs/manager.py tag selection). */
+  final case class PackGroup(
+      name: String, description: String, scheduleExpression: String)
+
+  /** conf/scheduled_queries.json: the enabled flag, the re-injection
+    * destination stream, and the pack-group registry. The Lambda/StepFn
+    * sizing knobs (`lambda_config`, sfn timeouts) have no engine analogue —
+    * Spark owns execution — and are ignored like the reference's
+    * per-deployment Terraform inputs. */
+  final case class ScheduledQueryConf(
+      enabled: Boolean,
+      destinationStream: Option[String],
+      groups: Seq[PackGroup])
+
+  /** Parse the reference's conf/scheduled_queries.json. */
+  def parseConfJson(json: String): ScheduledQueryConf = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    import scala.jdk.CollectionConverters._
+    val groups = Option(root.get("packs")).toSeq.flatMap { packs =>
+      packs.properties().asScala.map { e =>
+        PackGroup(
+          name = e.getKey,
+          description = Option(e.getValue.get("description"))
+            .map(_.asText).getOrElse(""),
+          scheduleExpression = Option(e.getValue.get("schedule_expression"))
+            .map(_.asText).getOrElse(""))
+      }.toSeq
+    }
+    ScheduledQueryConf(
+      enabled = Option(root.get("enabled")).exists(_.asBoolean),
+      destinationStream = Option(root.get("config"))
+        .flatMap(c => Option(c.get("destination_kinesis_stream"))).map(_.asText),
+      groups = groups)
+  }
+
+  /** The packs a group's schedule fires (manager.py tag selection). */
+  def packsForGroup(group: String, defs: Seq[QueryPackDef]): Seq[QueryPackDef] =
+    defs.filter(_.tags.contains(group))
+
+  /** One scheduled firing of a pack group: launch every pack in the group
+    * through the [[ExecutionManager]] (which dedupes in-flight identical
+    * executions) — the engine analogue of the reference's per-schedule
+    * Lambda pass over its tagged packs. Returns name → handle. */
+  def startGroup(mgr: ExecutionManager, group: String,
+      defs: Seq[QueryPackDef], now: Instant,
+      extra: Map[String, String] = Map.empty)(
+      implicit ec: scala.concurrent.ExecutionContext): Map[String, ExecutionHandle] =
+    packsForGroup(group, defs)
+      .map(d => d.name -> mgr.start(d.name, d.query, now, extra)).toMap
+
   /** Wrap query results as `streamquery:version1` records for re-injection
     * (conf/schemas/streamquery.json shape: query name + data rows), closing
     * the analytics-driven-detection loop — rules then fire on these. */

@@ -300,6 +300,42 @@ object Dedup {
     materializeAndRelease(pairs, Seq(newShingled))
   }
 
+  /** One micro-batch step of the STREAMING incremental near-dup loop — the
+    * actual operating shape at corpus scale: the arriving batch near-dups
+    * against the parquet-staged signature store FIRST (so a duplicate of any
+    * earlier batch's document surfaces at the batch where it arrives,
+    * [[minhashNearDupsAgainstStore]]), then the stages of the batch's
+    * non-duplicate documents APPEND to the store — keep-one semantics: the
+    * store stays canonical, and a later copy of a dropped duplicate still
+    * resolves to the originally-kept document. Returns the dup pairs
+    * (id_new, id_store, jaccard), eagerly materialized BEFORE the store
+    * append (safe read-then-append ordering). Use from
+    * `writeStream.foreachBatch`; corpus text is never re-shingled — only
+    * the new batch computes signatures, the mirror of the per-batch
+    * threat-intel refresh loop. */
+  def minhashStoreStep(batch: DataFrame, storeDir: String, textCol: String,
+      idCol: String, shingleWords: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.7, maxBucketPairing: Int = 64): DataFrame = {
+    val spark = batch.sparkSession
+    val shinglesPath = s"$storeDir/shingles"
+    val bucketsPath = s"$storeDir/buckets"
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val (storeShingles, storeBuckets) =
+      if (fs.exists(new org.apache.hadoop.fs.Path(shinglesPath)))
+        (spark.read.parquet(shinglesPath), spark.read.parquet(bucketsPath))
+      else // first batch: an empty store with the exact staged schema
+        minhashStages(batch.limit(0), textCol, idCol, shingleWords, numHashes, bands)
+    val dups = minhashNearDupsAgainstStore(batch, textCol, idCol,
+      storeShingles, storeBuckets, shingleWords, numHashes, bands,
+      threshold, maxBucketPairing)
+    val kept = batch.join(dups.select(col("id_new").as(idCol)), Seq(idCol), "left_anti")
+    val (sh, bk) = minhashStages(kept, textCol, idCol, shingleWords, numHashes, bands)
+    sh.write.mode("append").parquet(shinglesPath)
+    bk.write.mode("append").parquet(bucketsPath)
+    dups
+  }
+
   // -------------------------------------------------------------------------
   // Cluster labeling (connected components over candidate pairs)
   // -------------------------------------------------------------------------

@@ -17,7 +17,8 @@ final case class EngineConf(
     dataSources: Map[String, Map[String, Map[String, Seq[String]]]], // cluster -> service -> resource -> source prefixes
     outputs: Map[String, Seq[String]],
     lookupTables: Seq[graft.rules.LookupTables.TableConf],
-    threatIntelJson: Option[String])
+    threatIntelJson: Option[String],
+    scheduledQueries: Option[graft.history.ScheduledQueries.ScheduledQueryConf] = None)
 
 object Pipeline {
   private def read(p: java.nio.file.Path): String =
@@ -66,7 +67,9 @@ object Pipeline {
         .getOrElse(Map.empty),
       lookupTables = opt("lookup_tables.json")
         .map(graft.rules.LookupTables.parseConfJson).getOrElse(Seq.empty),
-      threatIntelJson = opt("threat_intel.json"))
+      threatIntelJson = opt("threat_intel.json"),
+      scheduledQueries = opt("scheduled_queries.json")
+        .map(graft.history.ScheduledQueries.parseConfJson))
   }
 
   /** Assemble a runnable pipeline straight from a reference conf directory.

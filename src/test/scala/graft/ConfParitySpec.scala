@@ -266,6 +266,51 @@ class ConfParitySpec extends AnyFunSuite {
     assert(results.exists(_.triggered.nonEmpty)) // at least one firing event
   }
 
+  test("scheduled_queries.json pack groups load and drive the ExecutionManager") {
+    import graft.history.ScheduledQueries
+    import graft.history.ScheduledQueries.QueryPackDef
+    val confFile = new java.io.File("/root/reference/conf/scheduled_queries.json")
+    assume(confFile.isFile)
+    // the reference conf shape parses via the same loadConfDir surface as
+    // every other conf file
+    val conf = graft.streaming.Pipeline.loadConfDir("/root/reference/conf")
+    val sq = conf.scheduledQueries.get
+    assert(!sq.enabled) // reference ships it disabled
+    assert(sq.destinationStream.contains("KINESIS_STREAM"))
+    assert(sq.groups.map(_.name) == Seq("sample"))
+    assert(sq.groups.head.scheduleExpression == "rate(1 hour)")
+
+    // a pack in the reference's QueryPackConfiguration shape
+    // (scheduled_queries/sample/athena.py:18-50: name/description/query
+    // with {param} placeholders/params/tags) binds to its group by tag and
+    // launches through the ExecutionManager
+    val pack = QueryPackDef(
+      name = "athena_any_query",
+      query = "SELECT 'window {utcdatehour_minus1hour}' AS w",
+      params = Seq("utcdatehour_minus1hour"),
+      tags = Seq("sample"))
+    val outside = QueryPackDef(name = "other", query = "SELECT 1 AS one",
+      tags = Seq("not_sample"))
+    assert(ScheduledQueries.packsForGroup("sample", Seq(pack, outside)) == Seq(pack))
+
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val mgr = new ScheduledQueries.ExecutionManager(TestSpark.spark)
+    val handles = ScheduledQueries.startGroup(mgr, "sample", Seq(pack, outside),
+      java.time.Instant.parse("2024-01-01T12:00:00Z"))
+    assert(handles.keySet == Set("athena_any_query"))
+    val rows = scala.concurrent.Await.result(
+      handles("athena_any_query").result, scala.concurrent.duration.Duration("60s"))
+    assert(rows.map(_.getString(0)) == Seq("window 2024-01-01-11"))
+
+    // registration-time validation: unknown declared params fail loudly
+    // (the reference's generate_query KeyError, moved to construction)
+    intercept[IllegalArgumentException](
+      QueryPackDef(name = "bad", query = "SELECT 1", params = Seq("nope"),
+        tags = Seq("sample")))
+    intercept[IllegalArgumentException](
+      QueryPackDef(name = "untagged", query = "SELECT 1"))
+  }
+
   test("cloudwatch:events carries v2 normalization with paths and functions") {
     assume(confDir.isDirectory)
     val cw = LogSchema.loadConfJson(new String(java.nio.file.Files.readAllBytes(

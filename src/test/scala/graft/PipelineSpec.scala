@@ -87,6 +87,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(alerts.select("rule_name").as[String].collect().toSeq == Seq("big"))
   }
 
+  test("streaming incremental near-dup: a dup of a batch-N doc is caught at batch N+1") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_neardup_stream").toString
+    val input = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.Buffer[(Long, Long)]()
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val dups = graft.pipeline.Dedup.minhashStoreStep(batch, s"$tmp/store",
+          "text", "doc_id", shingleWords = 2, numHashes = 32, bands = 8,
+          threshold = 0.5)
+        seen.synchronized {
+          seen ++= dups.select("id_new", "id_store").as[(Long, Long)].collect()
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    try {
+      // batch 1: two distinct docs seed the store — nothing to collide with
+      input.addData((1L, "alpha beta gamma delta epsilon"),
+        (2L, "one two three four five"))
+      q.processAllAvailable()
+      assert(seen.isEmpty, s"batch 1 must produce no dups, got $seen")
+      // batch 2: doc 3 duplicates batch 1's doc 1 — caught via the staged
+      // store, no corpus re-shingle; doc 4 is fresh and extends the store
+      input.addData((3L, "alpha beta gamma delta epsilon"),
+        (4L, "red green blue yellow purple"))
+      q.processAllAvailable()
+      assert(seen.toSet == Set((3L, 1L)),
+        s"batch 2 must catch doc 3 against the batch-1 store, got $seen")
+      // batch 3: a copy of the DROPPED duplicate still resolves to the
+      // canonical store doc (keep-one store semantics)
+      input.addData((5L, "alpha beta gamma delta epsilon"))
+      q.processAllAvailable()
+      assert(seen.toSet == Set((3L, 1L), (5L, 1L)),
+        s"batch 3 must catch doc 5 against the canonical doc 1, got $seen")
+    } finally q.stop()
+  }
+
   test("streaming historical + dead-letter sinks land partitioned parquet") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
