@@ -2081,29 +2081,60 @@ object Queries {
       .orderBy("id_new", "id_store")
   }
 
+  /** The planted-corpus construction shared by every lexical hash-matched
+    * approximate row (d2c/d2d/d3b/d9): every token is prefixed with its
+    * doc_id, so DISTINCT docs share zero shingles/tokens (cross-doc jaccard
+    * 0, independent fingerprints) while a re-ingested copy keeps its
+    * source's text verbatim (jaccard 1, identical fingerprint). */
+  private def docPrefixed(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      array_join(transform(split(lower(col("text")), "\\s+"),
+        x => concat_ws("_", col("doc_id").cast("string"), x)), " ").as("text"))
+
+  /** [[docPrefixed]] plus one byte-identical copy of every 97th doc under
+    * id + 1,000,000 — the planted near-dup pairs. */
+  private def docPlantedCorpus(docs: DataFrame): DataFrame = {
+    val prefixed = docPrefixed(docs)
+    prefixed.unionAll(prefixed.where(col("doc_id") % 97 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
+
   // MinHash+LSH, hash-matched: the mm_phash trick applied to the minhash
-  // pipeline. Every token is prefixed with its doc_id, so distinct docs
-  // share ZERO shingles (cross-doc jaccard 0) while planted re-ingested
-  // copies keep their source's text verbatim (jaccard 1). The REAL
-  // shingle→signature→band-bucket→exact-verify pipeline then has exactly
-  // one SQL-expressible answer: the planted pairs — identical shingle sets
-  // collide in every band with certainty, and no other pair reaches the
-  // 0.5 verify threshold. Converts the approximate family's core operator
-  // from rows-only to a full hash match (d2 keeps the realistic corpus).
+  // pipeline (see docPrefixed). The REAL shingle→signature→band-bucket→
+  // exact-verify pipeline has exactly one SQL-expressible answer: the
+  // planted pairs — identical shingle sets collide in every band with
+  // certainty, and no other pair reaches the 0.5 verify threshold.
+  // Converts the approximate family's core operator from rows-only to a
+  // full hash match (d2 keeps the realistic corpus).
   register(
     "d2c_dedup_minhash_planted",
     """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
       |       CAST(1.0 AS DOUBLE) AS jaccard
       |FROM documents WHERE doc_id % 97 = 0 ORDER BY id_a""".stripMargin) { (s, dir) =>
-    val docs = t(s, dir, "documents")
-    val prefixed = docs.select(col("doc_id"),
-      array_join(transform(split(lower(col("text")), "\\s+"),
-        x => concat_ws("_", col("doc_id").cast("string"), x)), " ").as("text"))
-    val corpus = prefixed.unionAll(prefixed.where(col("doc_id") % 97 === 0)
-      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
-    Dedup.minhashNearDups(corpus, "text", "doc_id",
+    Dedup.minhashNearDups(docPlantedCorpus(t(s, dir, "documents")), "text", "doc_id",
       shingleWords = 2, numHashes = 32, bands = 8, threshold = 0.5)
       .orderBy("id_a")
+  }
+
+  // The INCREMENTAL store mode, hash-matched: the staged corpus is the
+  // prefixed documents table, the arriving batch is the planted copies —
+  // the bipartite bucket join against the store can only pair each copy
+  // with its source (jaccard 1 vs 0 for everything else), so the exact
+  // output is SQL-computable. Proves the *AgainstStore path (d2b keeps the
+  // realistic even/odd split) with a real hash oracle.
+  register(
+    "d2d_incremental_planted",
+    """SELECT doc_id + 1000000 AS id_new, doc_id AS id_store,
+      |       CAST(1.0 AS DOUBLE) AS jaccard
+      |FROM documents WHERE doc_id % 97 = 0 ORDER BY id_new""".stripMargin) { (s, dir) =>
+    val prefixed = docPrefixed(t(s, dir, "documents"))
+    val (storeShingles, storeBuckets) = Dedup.minhashStages(prefixed,
+      "text", "doc_id", shingleWords = 2, numHashes = 32, bands = 8)
+    val batch = prefixed.where(col("doc_id") % 97 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    Dedup.minhashNearDupsAgainstStore(batch, "text", "doc_id",
+      storeShingles, storeBuckets, shingleWords = 2, numHashes = 32, bands = 8,
+      threshold = 0.5).orderBy("id_new")
   }
 
   // End-to-end near-dup corpus dedup on the planted corpus: pairs →
@@ -2118,13 +2149,7 @@ object Queries {
       |SELECT doc_id + 1000000 AS id, doc_id AS cluster_id, FALSE AS keep
       |FROM documents WHERE doc_id % 97 = 0
       |ORDER BY id""".stripMargin) { (s, dir) =>
-    val docs = t(s, dir, "documents")
-    val prefixed = docs.select(col("doc_id"),
-      array_join(transform(split(lower(col("text")), "\\s+"),
-        x => concat_ws("_", col("doc_id").cast("string"), x)), " ").as("text"))
-    val corpus = prefixed.unionAll(prefixed.where(col("doc_id") % 97 === 0)
-      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
-    Dedup.dropNearDuplicates(corpus, "text", "doc_id",
+    Dedup.dropNearDuplicates(docPlantedCorpus(t(s, dir, "documents")), "text", "doc_id",
       shingleWords = 2, numHashes = 32, bands = 8, threshold = 0.5)
       .orderBy("id")
   }
@@ -2146,14 +2171,8 @@ object Queries {
     "d3b_dedup_simhash_planted",
     """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 0 AS hamming
       |FROM documents WHERE doc_id % 97 = 0 ORDER BY id_a""".stripMargin) { (s, dir) =>
-    val docs = t(s, dir, "documents")
-    val prefixed = docs.select(col("doc_id"),
-      array_join(transform(split(lower(col("text")), "\\s+"),
-        x => concat_ws("_", col("doc_id").cast("string"), x)), " ").as("text"))
-    val corpus = prefixed.unionAll(prefixed.where(col("doc_id") % 97 === 0)
-      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
-    Dedup.simhashNearDups(corpus, "text", "doc_id", maxDist = 6)
-      .orderBy("id_a")
+    Dedup.simhashNearDups(docPlantedCorpus(t(s, dir, "documents")), "text", "doc_id",
+      maxDist = 6).orderBy("id_a")
   }
 
   // n-gram Jaccard: the exact verifier over adjacent-id document pairs.
@@ -2199,6 +2218,26 @@ object Queries {
     // the "near-dup" bar is set to the top of that range
     Dedup.embeddingNearDups(t(s, dir, "embeddings"), "embedding", "vec_id",
       planes = 6, threshold = 0.2)
+  }
+
+  // Embedding-LSH near-dup, hash-matched: byte-identical copies of every
+  // 7th vector planted under id + 1,000,000. Identical vectors share every
+  // hyperplane sign (same bucket, detection certain) and cosine 1.0, while
+  // the near-orthogonal rest of the corpus stays far below the 0.9
+  // threshold — the real signature→bucket-join→cosine-verify pipeline has
+  // exactly one SQL-expressible answer (d5b keeps the realistic corpus).
+  register(
+    "d5c_embedding_lsh_planted",
+    """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+      |       CAST(1.0 AS DOUBLE) AS cos
+      |FROM embeddings WHERE vec_id % 7 = 0 ORDER BY id_a""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val corpus = e.select(col("vec_id"), col("embedding")).unionAll(
+      e.where(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+    Dedup.embeddingNearDups(corpus, "embedding", "vec_id",
+      planes = 6, threshold = 0.9)
+      .orderBy("id_a")
   }
 
   // Brute-force cosine top-k ANN (correctness baseline).
