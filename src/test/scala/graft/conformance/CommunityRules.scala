@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.core.{FieldType, LogSchema, ParserKind}
 import graft.core.FieldType._
-import graft.rules.{Helpers, Rule, RuleOpts}
+import graft.rules.{Helpers, MatcherRegistry, Rule, RuleOpts}
 
 /** Scala ports of the reference's community cloudwatch_events rules — the
   * rules exercised by the conformance fixtures under
@@ -168,8 +168,97 @@ object CommunityRules {
         coalesce(groups.contains("\"all\"") || groups === "all", lit(false))
     })
 
+  /** conf/schemas/binaryalert.json: two loose sub-documents + a count the
+    * reference coerces from its string test value. */
+  val binaryalert: LogSchema = LogSchema(
+    name = "binaryalert",
+    parser = ParserKind.Json,
+    schema = TStruct.of(
+      "FileInfo" -> TAnyMap, "MatchedRules" -> TAnyMap,
+      "NumMatchedRules" -> TInteger))
+
+  /** The reference's OWN cloudtrail:events schema declaration
+    * (conf/schemas/cloudtrail.json — Records[*] json_path explosion,
+    * 18 optional top-level keys), loaded verbatim so the conformance run
+    * classifies through the exact declared shape. */
+  lazy val cloudtrailEvents: Option[LogSchema] = {
+    val f = new java.io.File("/root/reference/conf/schemas/cloudtrail.json")
+    if (!f.isFile) None
+    else LogSchema.loadConfJson(
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      .find(_.name == "cloudtrail:events")
+  }
+
+  /** The library matchers the community rules reference
+    * (matchers/default.py:20-95), as reusable Column predicates. */
+  val matchers: MatcherRegistry = {
+    val m = new MatcherRegistry
+    // AwsGuardDutyMatcher.guard_duty (default.py:23-24)
+    m.register("guard_duty")(rec =>
+      rec.getField("detail-type") === "GuardDuty Finding")
+    // AwsConfigMatcher.is_config_compliance (default.py:61-74): config
+    // PutEvaluations outside testMode (`not testMode` — absent counts as
+    // not-test, matching Python falsiness)
+    m.register("is_config_compliance") { rec =>
+      val testMode = rec.getField("requestParameters").getField("testMode")
+      rec.getField("eventSource") === "config.amazonaws.com" &&
+        rec.getField("eventName") === "PutEvaluations" &&
+        !coalesce(testMode === "true", lit(false))
+    }
+    // AwsConfigMatcher.is_auto_remediation (default.py:77-89)
+    m.register("is_auto_remediation")(rec =>
+      rec.getField("eventName") === "StartAutomationExecution" &&
+        rec.getField("eventSource") === "ssm.amazonaws.com" &&
+        rec.getField("sourceIPAddress") === "config.amazonaws.com")
+    m
+  }
+
+  /** guardduty/guard_duty_all.py: matcher-gated, body returns True. */
+  val guardDutyAll: Rule = Rule(
+    "guard_duty_all",
+    RuleOpts(
+      logs = Seq("cloudwatch:events"),
+      matchers = Seq("guard_duty"),
+      description = "Alert on GuardDuty events"),
+    _ => lit(true))
+
+  /** binaryalert/binaryalert_yara_match.py: NumMatchedRules > 0. */
+  val binaryalertYaraMatch: Rule = Rule(
+    "binaryalert_yara_match",
+    RuleOpts(
+      logs = Seq("binaryalert"),
+      description = "BinaryAlert found a binary matching a YARA rule"),
+    rec => rec.getField("NumMatchedRules") > 0)
+
+  /** cloudtrail/cloudtrail_aws_config.py config_compliance: any evaluation
+    * NON_COMPLIANT (the RULES_TO_ALERT_ON allowlist ships empty — all
+    * rules in scope, the branch the fixtures exercise). */
+  val configCompliance: Rule = Rule(
+    "config_compliance",
+    RuleOpts(
+      logs = Seq("cloudtrail:events"),
+      matchers = Seq("is_config_compliance"),
+      description = "AWS Config compliance change of NON_COMPLIANT"),
+    rec => {
+      val evals = rec.getField("requestParameters").getField("evaluations")
+      coalesce(get_json_object(evals, "$[*].complianceType")
+        .contains("NON_COMPLIANT"), lit(false))
+    })
+
+  /** cloudtrail/cloudtrail_aws_config.py config_auto_remediation:
+    * matcher-gated, body returns True. */
+  val configAutoRemediation: Rule = Rule(
+    "config_auto_remediation",
+    RuleOpts(
+      logs = Seq("cloudtrail:events"),
+      matchers = Seq("is_auto_remediation"),
+      description = "AWS Config auto-remediation"),
+    _ => lit(true))
+
   val all: Seq[Rule] = Seq(
     putObjectAclPublic, rootAccountUsage, putBucketAcl,
     networkAclIngressAnywhere, securityGroupIngressAnywhere,
-    unencryptedAmiVolume, publicAmi)
+    unencryptedAmiVolume, publicAmi,
+    guardDutyAll, binaryalertYaraMatch,
+    configCompliance, configAutoRemediation)
 }

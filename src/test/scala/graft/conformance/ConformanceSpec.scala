@@ -21,7 +21,10 @@ class ConformanceSpec extends AnyFunSuite {
     "cloudtrail_put_bucket_acl",
     "cloudtrail_network_acl_ingress_anywhere",
     "cloudtrail_security_group_ingress_anywhere",
-    "cloudtrail_ec2_image_creation")
+    "cloudtrail_ec2_image_creation",
+    "guard_duty_all",
+    "binaryalert_yara_match",
+    "cloudtrail_aws_config")
 
   private def load(name: String): Seq[RuleTestEvent] = {
     val in = getClass.getResourceAsStream(s"/conformance/$name.json")
@@ -30,8 +33,16 @@ class ConformanceSpec extends AnyFunSuite {
     finally in.close()
   }
 
-  private lazy val harness =
-    new RuleTestHarness(Seq(CommunityRules.cloudwatchEvents), CommunityRules.all)
+  private lazy val harness = {
+    // cloudtrail:events loads from the reference's own conf declaration
+    // (Records[*] json_path explosion) — the conformance run exercises the
+    // real envelope/explosion classify path, not a flattened stand-in
+    val cloudtrail = CommunityRules.cloudtrailEvents.getOrElse(
+      fail("reference conf/schemas/cloudtrail.json unavailable"))
+    new RuleTestHarness(
+      Seq(CommunityRules.cloudwatchEvents, CommunityRules.binaryalert, cloudtrail),
+      CommunityRules.all, matchers = CommunityRules.matchers)
+  }
 
   // one batched run per fixture file, every event asserted individually so
   // a failure names the reference event that diverged
