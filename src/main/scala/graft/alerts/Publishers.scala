@@ -617,4 +617,6 @@ object Publishers {
   register("victorops_message")(victoropsMessage())
   register("komand_envelope")(komandEnvelope())
   register("sns_message")(snsMessage())
+  register("sqs_message")(sqsMessage())
+  register("cloudwatch_log_entry")(cloudwatchLogEntry())
 }

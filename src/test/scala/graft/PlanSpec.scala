@@ -54,10 +54,14 @@ class PlanSpec extends AnyFunSuite {
         struct(col("event_id"), col("event_type"),
           array(lit("x"), lit("y")).as("tags"),
           struct(col("user_id").as("uid")).as("who")).as("record"))
+    graft.alerts.Publishers.register("lambda_plan_demo")(
+      graft.alerts.Publishers.lambdaInvocation("fn:qual"))
     for (chain <- Seq(
         Seq("slack_message"), Seq("record_only", "sns_message"),
         Seq("victorops_message"), Seq("komand_envelope"),
-        Seq("record_only", "enumerate_fields"))) {
+        Seq("record_only", "enumerate_fields"),
+        Seq("lambda_plan_demo"), Seq("sqs_message"),
+        Seq("record_only", "cloudwatch_log_entry"))) {
       val p = graft.alerts.Publishers.publish(alerts, chain)
         .queryExecution.executedPlan.toString
       assert(!p.contains("Exchange"), s"$chain must not shuffle")
