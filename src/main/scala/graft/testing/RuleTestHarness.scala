@@ -1,6 +1,7 @@
 package graft.testing
 
 import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
@@ -22,7 +23,11 @@ final case class RuleTestEvent(
     source: String,
     dataJson: String,
     triggerRules: Set[String],
-    classifyOnly: Boolean)
+    classifyOnly: Boolean,
+    /** `override_record` (event.py:51-58, 360-380): a SPARSE record whose
+      * missing fields back-fill with the log schema's zero values. Resolved
+      * against the schema by [[RuleTestHarness]] at run time. */
+    overrideRecordJson: Option[String] = None)
 
 object RuleTestEvent {
   private val mapper = new ObjectMapper()
@@ -36,10 +41,12 @@ object RuleTestEvent {
         log = e.get("log").asText,
         service = Option(e.get("service")).map(_.asText).getOrElse("graft"),
         source = Option(e.get("source")).map(_.asText).getOrElse("test"),
-        dataJson = mapper.writeValueAsString(e.get("data")),
+        dataJson = Option(e.get("data")).map(mapper.writeValueAsString).orNull,
         triggerRules = Option(e.get("trigger_rules"))
           .map(_.elements().asScala.map(_.asText).toSet).getOrElse(Set.empty),
-        classifyOnly = Option(e.get("classify_only")).exists(_.asBoolean))
+        classifyOnly = Option(e.get("classify_only")).exists(_.asBoolean),
+        overrideRecordJson =
+          Option(e.get("override_record")).map(mapper.writeValueAsString))
     }.toSeq
   }
 }
@@ -66,12 +73,48 @@ final class RuleTestHarness(
     matchers: MatcherRegistry = new MatcherRegistry,
     normalization: Map[String, Map[String, Seq[graft.core.NormalizedField]]] = Map.empty) {
 
+  private val mapper = new ObjectMapper()
+
+  /** Reference `default_optional_values` (parsers.py:139-142): the zero
+    * value of each declared type — note a nested dict declaration zeroes to
+    * an EMPTY dict (`type(value)()`), not a recursive default. */
+  private def zeroNode(ft: graft.core.FieldType): com.fasterxml.jackson.databind.JsonNode = {
+    import com.fasterxml.jackson.databind.node._
+    import graft.core.FieldType
+    ft match {
+      case FieldType.TString  => TextNode.valueOf("")
+      case FieldType.TInteger => IntNode.valueOf(0)
+      case FieldType.TFloat   => DoubleNode.valueOf(0.0)
+      case FieldType.TBoolean => BooleanNode.FALSE
+      case FieldType.TList    => mapper.createArrayNode()
+      case FieldType.TAnyMap  => mapper.createObjectNode()
+      case _: FieldType.TStruct => mapper.createObjectNode()
+    }
+  }
+
+  /** Resolve an event's payload: `data` verbatim, or `override_record`
+    * merged over the log schema's zero-value defaults (event.py:360-380 —
+    * defaults come from `envelope_keys` when the log declares them, else
+    * the main schema; the merge is a shallow top-level update). */
+  private def effectiveData(e: RuleTestEvent): String = e.overrideRecordJson match {
+    case None => e.dataJson
+    case Some(ov) =>
+      val s = schemas.find(_.name == e.log).getOrElse(throw new NoSuchElementException(
+        s"override_record event references unknown log type ${e.log}"))
+      val base = s.envelope.getOrElse(s.schema)
+      val obj = mapper.createObjectNode()
+      base.fields.foreach { case (k, ft) => obj.set[ObjectNode](k, zeroNode(ft)) }
+      mapper.readTree(ov).properties().asScala
+        .foreach(en => obj.set[ObjectNode](en.getKey, en.getValue))
+      mapper.writeValueAsString(obj)
+  }
+
   def run(spark: SparkSession, events: Seq[RuleTestEvent]): Seq[RuleTestResult] = {
     import spark.implicits._
     val engine = new RulesEngine(rules, matchers, deterministicIds = true,
       clock = Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
     val df = events.zipWithIndex
-      .map { case (e, i) => (i, e.dataJson) }.toDF("__evt_idx", "value")
+      .map { case (e, i) => (i, effectiveData(e)) }.toDF("__evt_idx", "value")
     val classified = new Classifier(schemas).classify(df)
 
     val types: Map[Int, String] = classified.tagged

@@ -168,6 +168,30 @@ object CommunityRules {
         coalesce(groups.contains("\"all\"") || groups === "all", lit(false))
     })
 
+  /** conf/schemas/duo.json "duo:authentication": flat scalars + two loose
+    * sub-documents. Its fixture's second event arrives as an
+    * `override_record` (sparse record over schema zero-values), exercising
+    * that leg of the reference test-event format. */
+  val duoAuthentication: LogSchema = LogSchema(
+    name = "duo:authentication",
+    parser = ParserKind.Json,
+    schema = TStruct.of(
+      "access_device" -> TAnyMap, "alias" -> TString, "device" -> TString,
+      "factor" -> TString, "integration" -> TString, "ip" -> TString,
+      "isotimestamp" -> TString, "location" -> TAnyMap,
+      "new_enrollment" -> TBoolean, "reason" -> TString, "result" -> TString,
+      "timestamp" -> TInteger, "username" -> TString))
+
+  /** duo_authentication/duo_anonymous_ip_failure.py: FAILURE with reason
+    * 'Anonymous IP'. */
+  val duoAnonymousIpFailure: Rule = Rule(
+    "duo_anonymous_ip_failure",
+    RuleOpts(
+      logs = Seq("duo:authentication"),
+      description = "Duo auth failure due to an Anonymous IP"),
+    rec => rec.getField("result") === "FAILURE" &&
+      rec.getField("reason") === "Anonymous IP")
+
   /** conf/schemas/binaryalert.json: two loose sub-documents + a count the
     * reference coerces from its string test value. */
   val binaryalert: LogSchema = LogSchema(
@@ -260,5 +284,6 @@ object CommunityRules {
     networkAclIngressAnywhere, securityGroupIngressAnywhere,
     unencryptedAmiVolume, publicAmi,
     guardDutyAll, binaryalertYaraMatch,
-    configCompliance, configAutoRemediation)
+    configCompliance, configAutoRemediation,
+    duoAnonymousIpFailure)
 }

@@ -24,7 +24,8 @@ class ConformanceSpec extends AnyFunSuite {
     "cloudtrail_ec2_image_creation",
     "guard_duty_all",
     "binaryalert_yara_match",
-    "cloudtrail_aws_config")
+    "cloudtrail_aws_config",
+    "duo_anonymous_ip_failure") // 2nd event = override_record + defaults
 
   private def load(name: String): Seq[RuleTestEvent] = {
     val in = getClass.getResourceAsStream(s"/conformance/$name.json")
@@ -40,7 +41,8 @@ class ConformanceSpec extends AnyFunSuite {
     val cloudtrail = CommunityRules.cloudtrailEvents.getOrElse(
       fail("reference conf/schemas/cloudtrail.json unavailable"))
     new RuleTestHarness(
-      Seq(CommunityRules.cloudwatchEvents, CommunityRules.binaryalert, cloudtrail),
+      Seq(CommunityRules.cloudwatchEvents, CommunityRules.binaryalert,
+        CommunityRules.duoAuthentication, cloudtrail),
       CommunityRules.all, matchers = CommunityRules.matchers)
   }
 
