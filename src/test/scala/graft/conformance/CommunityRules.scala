@@ -279,11 +279,53 @@ object CommunityRules {
       description = "AWS Config auto-remediation"),
     _ => lit(true))
 
+  /** The two log types the mitre right_to_left_character fixtures span,
+    * loaded from the reference's own conf declarations (v2 normalization
+    * embedded: carbonblack `command_line`→command, osquery
+    * `columns.command`→command) with the v1 normalized_types.json merged
+    * like a real deployment. */
+  lazy val mitreSchemas: Seq[LogSchema] = {
+    val confDir = new java.io.File("/root/reference/conf")
+    def read(p: java.io.File): String =
+      new String(java.nio.file.Files.readAllBytes(p.toPath), "UTF-8")
+    def load(name: String): Seq[LogSchema] =
+      LogSchema.loadConfJson(read(new java.io.File(confDir, s"schemas/$name")))
+    if (!confDir.isDirectory) Nil
+    else {
+      val wanted = load("carbonblack.json")
+        .filter(_.name == "carbonblack:ingress.event.procstart") ++
+        load("osquery.json").filter(_.name == "osquery:differential")
+      val v1 = new java.io.File(confDir, "normalized_types.json")
+      if (v1.isFile)
+        LogSchema.mergeV1Normalization(wanted,
+          LogSchema.loadNormalizedTypesJson(read(v1)))
+      else wanted
+    }
+  }
+
+  /** mitre_attack/.../right_to_left_character.py: a DATATYPE-selected rule
+    * (no logs list — it runs wherever command/path/file_name normalize),
+    * alerting when any normalized value carries the U+202E
+    * right-to-left-override character. The read surface is
+    * `Normalizer.get_values_for_normalized_type` exactly as the reference
+    * (normalize.py:336-352 → [[graft.classify.Normalizer.valuesForNormalizedType]]). */
+  val rightToLeftCharacter: Rule = Rule(
+    "right_to_left_character",
+    RuleOpts(
+      datatypes = Seq("command", "path", "file_name"),
+      description = "File disguised with the RLO unicode trick"),
+    _ => Seq("command", "path", "file_name").map { t =>
+      coalesce(exists(
+        graft.classify.Normalizer.valuesForNormalizedType(
+          col(graft.classify.Normalizer.NormalizationKey), t),
+        v => v.contains("\u202e")), lit(false))
+    }.reduce(_ || _))
+
   val all: Seq[Rule] = Seq(
     putObjectAclPublic, rootAccountUsage, putBucketAcl,
     networkAclIngressAnywhere, securityGroupIngressAnywhere,
     unencryptedAmiVolume, publicAmi,
     guardDutyAll, binaryalertYaraMatch,
     configCompliance, configAutoRemediation,
-    duoAnonymousIpFailure)
+    duoAnonymousIpFailure, rightToLeftCharacter)
 }

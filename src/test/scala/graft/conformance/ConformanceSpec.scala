@@ -25,7 +25,8 @@ class ConformanceSpec extends AnyFunSuite {
     "guard_duty_all",
     "binaryalert_yara_match",
     "cloudtrail_aws_config",
-    "duo_anonymous_ip_failure") // 2nd event = override_record + defaults
+    "duo_anonymous_ip_failure", // 2nd event = override_record + defaults
+    "right_to_left_character") // datatype-selected rule over 2 log types
 
   private def load(name: String): Seq[RuleTestEvent] = {
     val in = getClass.getResourceAsStream(s"/conformance/$name.json")
@@ -40,10 +41,13 @@ class ConformanceSpec extends AnyFunSuite {
     // real envelope/explosion classify path, not a flattened stand-in
     val cloudtrail = CommunityRules.cloudtrailEvents.getOrElse(
       fail("reference conf/schemas/cloudtrail.json unavailable"))
-    new RuleTestHarness(
-      Seq(CommunityRules.cloudwatchEvents, CommunityRules.binaryalert,
-        CommunityRules.duoAuthentication, cloudtrail),
-      CommunityRules.all, matchers = CommunityRules.matchers)
+    val schemas = Seq(CommunityRules.cloudwatchEvents, CommunityRules.binaryalert,
+      CommunityRules.duoAuthentication, cloudtrail) ++ CommunityRules.mitreSchemas
+    assert(CommunityRules.mitreSchemas.size == 2,
+      "carbonblack/osquery schemas must load from the reference conf")
+    new RuleTestHarness(schemas, CommunityRules.all,
+      matchers = CommunityRules.matchers,
+      normalization = schemas.map(s => s.name -> s.normalization).toMap)
   }
 
   // one batched run per fixture file, every event asserted individually so
