@@ -109,6 +109,10 @@ final class RefreshingThreatIntel(
 }
 
 object ThreatIntel {
+  /** The annotation column rules read (`rec[ThreatIntel.IOC_KEY]`,
+    * threat_intel.py:105-132) — the static alias of the instance vals. */
+  val IocKey = "streamalert_ioc"
+
   /** conf/threat_intel.json loader: `normalized_ioc_types` maps ioc_type ->
     * list of normalized keys (threat_intel.py:64-102; inverted here to the
     * per-key mapping the candidate extraction wants) and `excluded_iocs`

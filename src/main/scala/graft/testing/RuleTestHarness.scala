@@ -27,7 +27,15 @@ final case class RuleTestEvent(
     /** `override_record` (event.py:51-58, 360-380): a SPARSE record whose
       * missing fields back-fill with the log schema's zero values. Resolved
       * against the schema by [[RuleTestHarness]] at run time. */
-    overrideRecordJson: Option[String] = None)
+    overrideRecordJson: Option[String] = None,
+    /** `test_fixtures.lookup_tables` (event.py:36-43 + test/mocks.py
+      * LookupTableMocks): table -> key -> value (non-textual values kept as
+      * their JSON text, the MapLookupTable convention). Installed into
+      * [[TestFixtures.lookupTables]] for the run. */
+    lookupTableFixtures: Map[String, Map[String, String]] = Map.empty,
+    /** `test_fixtures.threat_intel` (ThreatIntelMocks): mocked IOC rows
+      * (ioc_value, ioc_type, sub_type) the run's annotate joins against. */
+    threatIntelFixtures: Seq[(String, String, String)] = Nil)
 
 object RuleTestEvent {
   private val mapper = new ObjectMapper()
@@ -46,9 +54,35 @@ object RuleTestEvent {
           .map(_.elements().asScala.map(_.asText).toSet).getOrElse(Set.empty),
         classifyOnly = Option(e.get("classify_only")).exists(_.asBoolean),
         overrideRecordJson =
-          Option(e.get("override_record")).map(mapper.writeValueAsString))
+          Option(e.get("override_record")).map(mapper.writeValueAsString),
+        lookupTableFixtures = Option(e.get("test_fixtures"))
+          .flatMap(f => Option(f.get("lookup_tables"))).map { lt =>
+            lt.properties().asScala.map { t =>
+              t.getKey -> t.getValue.properties().asScala.map { kv =>
+                kv.getKey -> (if (kv.getValue.isTextual) kv.getValue.asText
+                  else kv.getValue.toString)
+              }.toMap
+            }.toMap
+          }.getOrElse(Map.empty),
+        threatIntelFixtures = Option(e.get("test_fixtures"))
+          .flatMap(f => Option(f.get("threat_intel"))).map { ti =>
+            ti.elements().asScala.map(r =>
+              (r.get("ioc_value").asText, r.get("ioc_type").asText,
+                Option(r.get("sub_type")).map(_.asText).getOrElse(""))).toSeq
+          }.getOrElse(Nil))
     }.toSeq
   }
+}
+
+/** The run-scoped fixture mocks (streamalert_cli/test/mocks.py): the
+  * reference patches its global LookupTables / ThreatIntel singletons with
+  * each event file's fixtures; rule PORTS that read lookup tables reference
+  * [[TestFixtures.lookupTables]], which [[RuleTestHarness.run]] installs
+  * from the events' `test_fixtures` before building the rule plan (rule
+  * predicates are Column BUILDERS, evaluated at plan time — after install). */
+object TestFixtures {
+  @volatile var lookupTables: graft.rules.LookupTables =
+    new graft.rules.LookupTables(Map.empty)
 }
 
 final case class RuleTestResult(
@@ -71,7 +105,12 @@ final class RuleTestHarness(
     schemas: Seq[LogSchema],
     rules: Seq[Rule],
     matchers: MatcherRegistry = new MatcherRegistry,
-    normalization: Map[String, Map[String, Seq[graft.core.NormalizedField]]] = Map.empty) {
+    normalization: Map[String, Map[String, Seq[graft.core.NormalizedField]]] = Map.empty,
+    /** conf/threat_intel.json text: when given AND events carry
+      * `test_fixtures.threat_intel` rows, the run annotates records through
+      * the REAL [[graft.rules.ThreatIntel]] join against the mocked IOC
+      * table before rule evaluation (the reference's ThreatIntelMocks). */
+    threatIntelConfJson: Option[String] = None) {
 
   private val mapper = new ObjectMapper()
 
@@ -113,6 +152,24 @@ final class RuleTestHarness(
     import spark.implicits._
     val engine = new RulesEngine(rules, matchers, deterministicIds = true,
       clock = Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+
+    // install the events' lookup-table fixtures BEFORE any rule predicate
+    // builds its plan (mocks.py LookupTableMocks.add_fixtures)
+    val lookupFixtures = events.flatMap(_.lookupTableFixtures).toMap
+    TestFixtures.lookupTables = new graft.rules.LookupTables(
+      lookupFixtures.map { case (t, data) =>
+        t -> (graft.rules.MapLookupTable(data): graft.rules.LookupTable) })
+
+    // the mocked IOC table (ThreatIntelMocks.add_fixtures), joined through
+    // the real annotate path whenever TI is configured — an event file with
+    // no TI fixtures annotates against an EMPTY table, so rules reading the
+    // ioc column always resolve (the reference's mocks are likewise always
+    // installed, just empty)
+    val tiRows = events.flatMap(_.threatIntelFixtures).distinct
+    val threatIntel = threatIntelConfJson.map(conf =>
+      graft.rules.ThreatIntel.fromConfJson(conf,
+        tiRows.toDF("ioc_value", "ioc_type", "sub_type")))
+
     val df = events.zipWithIndex
       .map { case (e, i) => (i, effectiveData(e)) }.toDF("__evt_idx", "value")
     val classified = new Classifier(schemas).classify(df)
@@ -128,7 +185,9 @@ final class RuleTestHarness(
         val normConfig = normalization.getOrElse(s.name, Map.empty)
         val withNorm = typed.withColumn(Normalizer.NormalizationKey,
           Normalizer.normalizationCol(col("record"), normConfig, Some(s.schema)))
-        engine.evaluate(withNorm, s.name, passthrough = Seq("__evt_idx"))
+        val annotated = threatIntel.fold(withNorm)(
+          _.annotate(withNorm, recordId = "__evt_idx"))
+        engine.evaluate(annotated, s.name, passthrough = Seq("__evt_idx"))
           .select(col("__evt_idx"), col("rule_name"))
           .collect().map(r => r.getInt(0) -> r.getString(1))
       }

