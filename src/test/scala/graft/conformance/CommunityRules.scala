@@ -374,6 +374,96 @@ object CommunityRules {
       size(element_at(col(graft.rules.ThreatIntel.IocKey), "ip")) > 0,
       lit(false)))
 
+  /** The reference's ghe:general schema, loaded verbatim from
+    * conf/schemas/ghe.json: syslog envelope keys + `json_regex_key:
+    * "message"` extraction (the audit JSON rides inside a syslog line), with
+    * loose `data`/`org_id` sub-documents — the conformance run exercises the
+    * real envelope + json-regex-key classify leg. */
+  lazy val gheGeneral: Option[LogSchema] = {
+    val f = new java.io.File("/root/reference/conf/schemas/ghe.json")
+    if (!f.isFile) None
+    else LogSchema.loadConfJson(
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      .find(_.name == "ghe:general")
+  }
+
+  private def gheActionRule(name: String, action: String, desc: String): Rule =
+    Rule(name, RuleOpts(logs = Seq("ghe:general"), description = desc),
+      rec => rec.getField("action") === action)
+
+  /** rules/community/github (nine .py files) — the ghe:general
+    * audit-action rules. Seven are exact
+    * `rec['action'] == ...` checks; the ported predicates cite each file. */
+  val githubDisableDismissStale: Rule = gheActionRule(
+    "github_disable_dismiss_stale_pull_request_approvals",
+    // github_disable_dismiss_stale_pull_request_approvals.py:18
+    "protected_branch.dismiss_stale_reviews",
+    "Dismiss stale pull request approvals was disabled for a repo")
+
+  val githubDisableProtectBranch: Rule = gheActionRule(
+    "github_disable_protect_this_branch",
+    // github_disable_protect_this_branch.py:20
+    "protected_branch.destroy",
+    "Protect this branch was disabled for a repo")
+
+  /** github_disable_required_pull_request_reviews.py:19-21: dismissal
+    * restriction update with `data.authorized_actors_only is True`; the
+    * shipped `actor_ignorelist` is empty so the not-in check always holds
+    * (noted, not ported as a constant-true conjunct). `data` is a loose
+    * sub-document (map of raw-JSON value text), so the `is True` read
+    * compares against the literal `true`. */
+  val githubDisableRequiredReviews: Rule = Rule(
+    "github_disable_required_pull_request_reviews",
+    RuleOpts(
+      logs = Seq("ghe:general"),
+      description = "Require pull request reviews before merging was disabled"),
+    rec => rec.getField("action") === "protected_branch.dismissal_restricted_users_teams" &&
+      coalesce(rec.getField("data").getField("authorized_actors_only") === "true",
+        lit(false)))
+
+  /** github_disable_required_status_checks.py:18-23: enforcement level reset
+    * to 0 (unchecked); the JSON number 0 reads back as the text "0". */
+  val githubDisableRequiredStatusChecks: Rule = Rule(
+    "github_disable_required_status_checks",
+    RuleOpts(
+      logs = Seq("ghe:general"),
+      description = "Required status checks was disabled for a repo"),
+    rec => rec.getField("action") === "protected_branch.update_required_status_checks_enforcement_level" &&
+      coalesce(rec.getField("data").getField("required_status_checks_enforcement_level") === "0",
+        lit(false)))
+
+  val githubDisableTwoFactorOrg: Rule = gheActionRule(
+    "github_disable_two_factor_requirement_org",
+    // github_disable_two_factor_requirement_org.py:17
+    "org.disable_two_factor_requirement",
+    "Two-factor authentication requirement was disabled for an org")
+
+  val githubDisableTwoFactorUser: Rule = gheActionRule(
+    "github_disable_two_factor_requirement_user",
+    // github_disable_two_factor_requirement_user.py:14
+    "two_factor_authentication.disabled",
+    "Two-factor authentication requirement was disabled for a user")
+
+  val githubOauthApplicationCreate: Rule = gheActionRule(
+    "github_oauth_application_create",
+    // github_oauth_application_create.py:13
+    "oauth_application.create",
+    "An OAuth application was registered within Github")
+
+  /** github_site_admin_action.py:15: prefix match on staff.* actions. */
+  val githubSiteAdminAction: Rule = Rule(
+    "github_site_admin_action",
+    RuleOpts(
+      logs = Seq("ghe:general"),
+      description = "A Github site admin tool/action was used"),
+    rec => rec.getField("action").startsWith("staff."))
+
+  val githubSiteAdminUserPromotion: Rule = gheActionRule(
+    "github_site_admin_user_promotion",
+    // github_site_admin_user_promotion.py:15
+    "user.promote",
+    "A Github Enterprise user account was promoted to a site admin")
+
   val all: Seq[Rule] = Seq(
     putObjectAclPublic, rootAccountUsage, putBucketAcl,
     networkAclIngressAnywhere, securityGroupIngressAnywhere,
@@ -381,5 +471,10 @@ object CommunityRules {
     guardDutyAll, binaryalertYaraMatch,
     configCompliance, configAutoRemediation,
     duoAnonymousIpFailure, rightToLeftCharacter,
-    duoLookupTablesExample, oneloginThreatIntelExample)
+    duoLookupTablesExample, oneloginThreatIntelExample,
+    githubDisableDismissStale, githubDisableProtectBranch,
+    githubDisableRequiredReviews, githubDisableRequiredStatusChecks,
+    githubDisableTwoFactorOrg, githubDisableTwoFactorUser,
+    githubOauthApplicationCreate, githubSiteAdminAction,
+    githubSiteAdminUserPromotion)
 }

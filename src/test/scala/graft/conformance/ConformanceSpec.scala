@@ -28,7 +28,17 @@ class ConformanceSpec extends AnyFunSuite {
     "duo_anonymous_ip_failure", // 2nd event = override_record + defaults
     "right_to_left_character", // datatype-selected rule over 2 log types
     "duo_lookup_tables_example", // test_fixtures.lookup_tables leg
-    "onelogin_events_threat_intel_example") // test_fixtures.threat_intel leg
+    "onelogin_events_threat_intel_example", // test_fixtures.threat_intel leg
+    // ghe:general family: syslog envelope + json_regex_key classify leg
+    "github_disable_dismiss_stale_pull_request_approvals",
+    "github_disable_protect_this_branch",
+    "github_disable_required_pull_request_reviews",
+    "github_disable_required_status_checks",
+    "github_disable_two_factor_requirement_org",
+    "github_disable_two_factor_requirement_user",
+    "github_oauth_application_create",
+    "github_site_admin_action",
+    "github_site_admin_user_promotion")
 
   private def load(name: String): Seq[RuleTestEvent] = {
     val in = getClass.getResourceAsStream(s"/conformance/$name.json")
@@ -45,8 +55,10 @@ class ConformanceSpec extends AnyFunSuite {
       fail("reference conf/schemas/cloudtrail.json unavailable"))
     val onelogin = CommunityRules.oneloginEvents.getOrElse(
       fail("reference conf/schemas/onelogin.json unavailable"))
+    val ghe = CommunityRules.gheGeneral.getOrElse(
+      fail("reference conf/schemas/ghe.json unavailable"))
     val schemas = Seq(CommunityRules.cloudwatchEvents, CommunityRules.binaryalert,
-      CommunityRules.duoAuthentication, cloudtrail, onelogin) ++
+      CommunityRules.duoAuthentication, cloudtrail, onelogin, ghe) ++
       CommunityRules.mitreSchemas
     assert(CommunityRules.mitreSchemas.size == 2,
       "carbonblack/osquery schemas must load from the reference conf")
