@@ -173,7 +173,10 @@ final case class CompiledSchema(s: LogSchema) {
       val idx = norm.indexOf("[]")
       val arr = norm.substring(0, idx)
       val tail = norm.substring(idx + 2).stripPrefix(".")
-      JsonPathPlan(Some("$." + arr), if (tail.isEmpty) None else Some("$." + tail), None)
+      // bare "[*]" (e.g. trendmicro's conf): the payload ITSELF is the
+      // array — "$" addresses the root
+      JsonPathPlan(Some(if (arr.isEmpty) "$" else "$." + arr),
+        if (tail.isEmpty) None else Some("$." + tail), None)
     } else JsonPathPlan(None, None, Some("$." + norm))
   }
 

@@ -49,7 +49,11 @@ object RuleTestEvent {
         log = e.get("log").asText,
         service = Option(e.get("service")).map(_.asText).getOrElse("graft"),
         source = Option(e.get("source")).map(_.asText).getOrElse("test"),
-        dataJson = Option(e.get("data")).map(mapper.writeValueAsString).orNull,
+        // string data is the RAW record text (event.py:45-49 — non-JSON
+        // parsers and pre-serialized payloads like the trendmicro array),
+        // not a JSON-quoted string
+        dataJson = Option(e.get("data")).map(n =>
+          if (n.isTextual) n.asText else mapper.writeValueAsString(n)).orNull,
         triggerRules = Option(e.get("trigger_rules"))
           .map(_.elements().asScala.map(_.asText).toSet).getOrElse(Set.empty),
         classifyOnly = Option(e.get("classify_only")).exists(_.asBoolean),
@@ -110,7 +114,14 @@ final class RuleTestHarness(
       * `test_fixtures.threat_intel` rows, the run annotates records through
       * the REAL [[graft.rules.ThreatIntel]] join against the mocked IOC
       * table before rule evaluation (the reference's ThreatIntelMocks). */
-    threatIntelConfJson: Option[String] = None) {
+    threatIntelConfJson: Option[String] = None,
+    /** Cluster `data_sources` conf (conf/clusters/<id>.json): when given,
+      * each event's candidate schemas narrow to the log families declared
+      * for its (service, source) — the reference test runner's cluster
+      * resolution (handler.py:328-366) feeding the classifier's
+      * logs-for-resource filter. Without it every schema is a candidate
+      * (pure first-match ordering). */
+    dataSources: Option[Map[String, Map[String, Seq[String]]]] = None) {
 
   private val mapper = new ObjectMapper()
 
@@ -170,28 +181,51 @@ final class RuleTestHarness(
       graft.rules.ThreatIntel.fromConfJson(conf,
         tiRows.toDF("ioc_value", "ioc_type", "sub_type")))
 
-    val df = events.zipWithIndex
-      .map { case (e, i) => (i, effectiveData(e)) }.toDF("__evt_idx", "value")
-    val classified = new Classifier(schemas).classify(df)
-
-    val types: Map[Int, String] = classified.tagged
-      .select(col("__evt_idx"), col("log_schema_type"))
-      .collect().flatMap(r => Option(r.getString(1)).map(r.getInt(0) -> _)).toMap
-
-    val triggered: Map[Int, Set[String]] = schemas.flatMap { s =>
-      if (engine.rulesForLogType(s.name).isEmpty) Nil
-      else {
-        val typed = classified.forType(s.name)
-        val normConfig = normalization.getOrElse(s.name, Map.empty)
-        val withNorm = typed.withColumn(Normalizer.NormalizationKey,
-          Normalizer.normalizationCol(col("record"), normConfig, Some(s.schema)))
-        val annotated = threatIntel.fold(withNorm)(
-          _.annotate(withNorm, recordId = "__evt_idx"))
-        engine.evaluate(annotated, s.name, passthrough = Seq("__evt_idx"))
-          .select(col("__evt_idx"), col("rule_name"))
-          .collect().map(r => r.getInt(0) -> r.getString(1))
+    // one classify+evaluate batch per (service, source) group — when a
+    // data_sources conf is present each group sees only its cluster's
+    // candidate schemas (handler.py:328-366); otherwise one group, all
+    // schemas, pure first-match ordering
+    val groups: Seq[(Seq[LogSchema], Seq[(RuleTestEvent, Int)])] =
+      dataSources match {
+        case None => Seq(schemas -> events.zipWithIndex)
+        case Some(ds) =>
+          events.zipWithIndex.groupBy { case (e, _) => (e.service, e.source) }
+            .toSeq.map { case ((svc, res), evs) =>
+              graft.core.DataSources.candidates(schemas, ds, svc, res) -> evs
+            }
       }
-    }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    val perGroup: Seq[(Map[Int, String], Seq[(Int, String)])] = groups.map {
+      case (cands, evs) =>
+        val df = evs.map { case (e, i) => (i, effectiveData(e)) }
+          .toDF("__evt_idx", "value")
+        val classified = new Classifier(cands).classify(df)
+
+        val types = classified.tagged
+          .select(col("__evt_idx"), col("log_schema_type"))
+          .collect().flatMap(r => Option(r.getString(1)).map(r.getInt(0) -> _))
+          .toMap
+
+        val fired = cands.flatMap { s =>
+          if (engine.rulesForLogType(s.name).isEmpty) Nil
+          else {
+            val typed = classified.forType(s.name)
+            val normConfig = normalization.getOrElse(s.name, Map.empty)
+            val withNorm = typed.withColumn(Normalizer.NormalizationKey,
+              Normalizer.normalizationCol(col("record"), normConfig, Some(s.schema)))
+            val annotated = threatIntel.fold(withNorm)(
+              _.annotate(withNorm, recordId = "__evt_idx"))
+            engine.evaluate(annotated, s.name, passthrough = Seq("__evt_idx"))
+              .select(col("__evt_idx"), col("rule_name"))
+              .collect().map(r => r.getInt(0) -> r.getString(1)).toSeq
+          }
+        }
+        (types, fired)
+    }
+
+    val types: Map[Int, String] = perGroup.flatMap(_._1).toMap
+    val triggered: Map[Int, Set[String]] = perGroup.flatMap(_._2)
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
 
     events.zipWithIndex.map { case (e, i) =>
       val cls = types.get(i)

@@ -234,6 +234,18 @@ object CommunityRules {
       rec.getField("eventName") === "StartAutomationExecution" &&
         rec.getField("eventSource") === "ssm.amazonaws.com" &&
         rec.getField("sourceIPAddress") === "config.amazonaws.com")
+    // OsqueryMatcher.added (default.py:40-41)
+    m.register("osquery_added")(rec => rec.getField("action") === "added")
+    // OsqueryMatcher.user_login (default.py:43-55): last-table login rows
+    // (type 7) whose username is not a runlevel pseudo-user; `columns` is a
+    // loose sub-document so `int(columns['type'])` becomes a bigint cast
+    m.register("osquery_user_login") { rec =>
+      val cols = rec.getField("columns")
+      rec.getField("name") === "pack_incident-response_last" &&
+        coalesce(cols.getField("type").cast("bigint") === 7, lit(false)) &&
+        coalesce(!cols.getField("username")
+          .isin("", "LOGIN", "reboot", "shutdown", "runlevel"), lit(false))
+    }
     m
   }
 
@@ -374,18 +386,51 @@ object CommunityRules {
       size(element_at(col(graft.rules.ThreatIntel.IocKey), "ip")) > 0,
       lit(false)))
 
-  /** The reference's ghe:general schema, loaded verbatim from
-    * conf/schemas/ghe.json: syslog envelope keys + `json_regex_key:
-    * "message"` extraction (the audit JSON rides inside a syslog line), with
-    * loose `data`/`org_id` sub-documents — the conformance run exercises the
-    * real envelope + json-regex-key classify leg. */
-  lazy val gheGeneral: Option[LogSchema] = {
-    val f = new java.io.File("/root/reference/conf/schemas/ghe.json")
+  /** Load one schema verbatim from the reference's conf/schemas tree, so
+    * conformance classifies through the exact declared shape. */
+  private def refSchema(file: String, name: String): Option[LogSchema] = {
+    val f = new java.io.File(s"/root/reference/conf/schemas/$file")
     if (!f.isFile) None
     else LogSchema.loadConfJson(
       new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
-      .find(_.name == "ghe:general")
+      .find(_.name == name)
   }
+
+  /** The reference's ghe:general schema: syslog envelope keys +
+    * `json_regex_key: "message"` extraction (the audit JSON rides inside a
+    * syslog line), with loose `data`/`org_id` sub-documents — the
+    * conformance run exercises the real envelope + json-regex-key classify
+    * leg. */
+  lazy val gheGeneral: Option[LogSchema] = refSchema("ghe.json", "ghe:general")
+
+  /** duo:administrator (conf/schemas/duo.json): flat admin-action records
+    * whose `description` field is a JSON document in a string. */
+  lazy val duoAdministrator: Option[LogSchema] =
+    refSchema("duo.json", "duo:administrator")
+
+  /** fleet:results (conf/schemas/fleet.json). All nine keys required —
+    * its events ALSO satisfy osquery:differential's required set, so
+    * resolution rides the cluster data_sources filter (fleet arrives via
+    * s3, osquery via kinesis), exactly as the reference disambiguates. */
+  lazy val fleetResults: Option[LogSchema] =
+    refSchema("fleet.json", "fleet:results")
+
+  /** trendmicro:malwareevent (conf/schemas/trendmicro.json): `json_path
+    * "[*]"` — each payload is a raw JSON ARRAY that explodes into events,
+    * exercising the explosion classify leg on a reference-declared shape. */
+  lazy val trendmicroMalware: Option[LogSchema] =
+    refSchema("trendmicro.json", "trendmicro:malwareevent")
+
+  lazy val packetbeatDns: Option[LogSchema] =
+    refSchema("packetbeat.json", "packetbeat:dns")
+
+  lazy val packetbeatFlow: Option[LogSchema] =
+    refSchema("packetbeat.json", "packetbeat:flow")
+
+  /** okta:logevents — its fixture declares no rules (a classification-only
+    * negative: the event must classify and fire nothing). */
+  lazy val oktaLogevents: Option[LogSchema] =
+    refSchema("okta.json", "okta:logevents")
 
   private def gheActionRule(name: String, action: String, desc: String): Rule =
     Rule(name, RuleOpts(logs = Seq("ghe:general"), description = desc),
@@ -464,6 +509,122 @@ object CommunityRules {
     "user.promote",
     "A Github Enterprise user account was promoted to a site admin")
 
+  /** duo_administrator/duo_bypass_code_create_*.py: all three gate on
+    * `action == 'bypass_create'` then probe `safe_json_loads(description)`
+    * — the description field is JSON-in-a-string, so the probes are
+    * JSONPath reads (absent key, JSON null, and unparseable text all read
+    * back as SQL NULL, matching `safe_json_loads(...).get(...) is None`). */
+  val duoBypassNonAutoGenerated: Rule = Rule(
+    "duo_bypass_code_create_non_auto_generated",
+    RuleOpts(
+      logs = Seq("duo:administrator"),
+      description = "A Duo bypass code was artisanally crafted, not auto-generated"),
+    rec => rec.getField("action") === "bypass_create" &&
+      // ...non_auto_generated.py:14: auto_generated is False (exactly)
+      coalesce(get_json_object(rec.getField("description"),
+        "$.auto_generated") === "false", lit(false)))
+
+  val duoBypassNonExpiring: Rule = Rule(
+    "duo_bypass_code_create_non_expiring",
+    RuleOpts(
+      logs = Seq("duo:administrator"),
+      description = "A non-expiring Duo bypass code was created"),
+    rec => rec.getField("action") === "bypass_create" &&
+      // ...non_expiring.py:14: valid_secs is None
+      get_json_object(rec.getField("description"), "$.valid_secs").isNull)
+
+  val duoBypassUnlimitedUse: Rule = Rule(
+    "duo_bypass_code_create_unlimited_use",
+    RuleOpts(
+      logs = Seq("duo:administrator"),
+      description = "An unlimited-use Duo bypass code was created"),
+    rec => rec.getField("action") === "bypass_create" &&
+      // ...unlimited_use.py:14: remaining_uses is None
+      get_json_object(rec.getField("description"), "$.remaining_uses").isNull)
+
+  /** duo_authentication/duo_fraud.py:14: result marked FRAUD. */
+  val duoFraud: Rule = Rule(
+    "duo_fraud",
+    RuleOpts(
+      logs = Seq("duo:authentication"),
+      description = "Duo authentication marked as fraud"),
+    rec => rec.getField("result") === "FRAUD")
+
+  /** fleet/fleet_bad_action.py:18-20: `columns.get('bad_action', '1') ==
+    * '1'`. Deviation, documented: the reference ships this rule @disable'd;
+    * the port enables it so the fixture's trigger expectation is asserted
+    * (same treatment as onelogin_events_threat_intel_example). */
+  val fleetBadAction: Rule = Rule(
+    "fleet_bad_action",
+    RuleOpts(
+      logs = Seq("fleet:results"),
+      description = "A Fleet osquery result flagged a bad action"),
+    rec => coalesce(rec.getField("columns").getField("bad_action"), lit("1")) === "1")
+
+  /** osquery/ssh_login_activity.py: matcher-gated (OsqueryMatcher.added +
+    * user_login), body returns True. */
+  val sshLoginActivity: Rule = Rule(
+    "ssh_login_activity",
+    RuleOpts(
+      logs = Seq("osquery:differential"),
+      matchers = Seq("osquery_added", "osquery_user_login"),
+      description = "SSH login activity from the osquery last table"),
+    _ => lit(true))
+
+  /** trendmicro/trendmicro_malware_event.py: log-type gated, body True —
+    * every exploded trendmicro:malwareevent element alerts. */
+  val trendmicroMalwareEvent: Rule = Rule(
+    "trendmicro_malware_event",
+    RuleOpts(
+      logs = Seq("trendmicro:malwareevent"),
+      description = "Trend Micro identified malware on an agent"),
+    _ => lit(true))
+
+  /** onelogin/onelogin_events_assumed_role.py:14: event_type_id == 3. */
+  val oneloginAssumedRole: Rule = Rule(
+    "onelogin_events_assumed_role",
+    RuleOpts(
+      logs = Seq("onelogin:events"),
+      description = "A OneLogin user assumed the role of someone else"),
+    rec => rec.getField("event_type_id") === 3)
+
+  /** packetbeat/packetbeat_blacklisted_domain.py:17: the queried name sits
+    * in the DNS blacklist; `dns` is a loose sub-document, so the nested
+    * question.name read is a JSONPath over the question's raw JSON text. */
+  val packetbeatBlacklistedDomain: Rule = Rule(
+    "packetbeat_blacklisted_domain",
+    RuleOpts(
+      logs = Seq("packetbeat:dns"),
+      description = "DNS lookup of a blacklisted (CnC) domain"),
+    rec => coalesce(get_json_object(rec.getField("dns").getField("question"),
+      "$.name").isin("evil.com."), lit(false)))
+
+  /** packetbeat/packetbeat_blacklisted_ip.py:18: destination IP in the
+    * blacklist, guarded by the source parsing as an IPv4 address (the
+    * reference constructs ipaddress.IPv4Address(source.ip), which raises —
+    * rule false — on a malformed source). */
+  val packetbeatBlacklistedIp: Rule = Rule(
+    "packetbeat_blacklisted_ip",
+    RuleOpts(
+      logs = Seq("packetbeat:flow"),
+      description = "Network connection to a blacklisted IP"),
+    rec => {
+      val src = rec.getField("source")
+      val dst = rec.getField("dest")
+      coalesce(Helpers.validIp(src.getField("ip")), lit(false)) &&
+        coalesce(dst.getField("ip").isin("222.173.190.239"), lit(false))
+    })
+
+  /** packetbeat/packetbeat_dns_lookup.py:14: question name under the
+    * blacklisted apex (`endswith('.evil.com.')`). */
+  val packetbeatDnsLookup: Rule = Rule(
+    "packetbeat_dns_lookup",
+    RuleOpts(
+      logs = Seq("packetbeat:dns"),
+      description = "DNS lookup of a subdomain of a blacklisted domain"),
+    rec => coalesce(get_json_object(rec.getField("dns").getField("question"),
+      "$.name").endsWith(".evil.com."), lit(false)))
+
   val all: Seq[Rule] = Seq(
     putObjectAclPublic, rootAccountUsage, putBucketAcl,
     networkAclIngressAnywhere, securityGroupIngressAnywhere,
@@ -476,5 +637,9 @@ object CommunityRules {
     githubDisableRequiredReviews, githubDisableRequiredStatusChecks,
     githubDisableTwoFactorOrg, githubDisableTwoFactorUser,
     githubOauthApplicationCreate, githubSiteAdminAction,
-    githubSiteAdminUserPromotion)
+    githubSiteAdminUserPromotion,
+    duoBypassNonAutoGenerated, duoBypassNonExpiring, duoBypassUnlimitedUse,
+    duoFraud, fleetBadAction, sshLoginActivity, trendmicroMalwareEvent,
+    oneloginAssumedRole, packetbeatBlacklistedDomain,
+    packetbeatBlacklistedIp, packetbeatDnsLookup)
 }

@@ -38,7 +38,19 @@ class ConformanceSpec extends AnyFunSuite {
     "github_disable_two_factor_requirement_user",
     "github_oauth_application_create",
     "github_site_admin_action",
-    "github_site_admin_user_promotion")
+    "github_site_admin_user_promotion",
+    "duo_bypass_code_create_non_auto_generated", // JSON-in-a-string probes
+    "duo_bypass_code_create_non_expiring",
+    "duo_bypass_code_create_unlimited_use",
+    "duo_fraud",
+    "fleet_bad_action", // data_sources disambiguation vs osquery
+    "ssh_login_activity", // matcher-gated (added + user_login)
+    "trendmicro_malware_event", // json_path "[*]" raw-array explosion
+    "onelogin_events_assumed_role",
+    "okta_new_login", // classification-only negative (no okta rules)
+    "packetbeat_blacklisted_domain",
+    "packetbeat_blacklisted_ip",
+    "packetbeat_dns_lookup")
 
   private def load(name: String): Seq[RuleTestEvent] = {
     val in = getClass.getResourceAsStream(s"/conformance/$name.json")
@@ -57,17 +69,32 @@ class ConformanceSpec extends AnyFunSuite {
       fail("reference conf/schemas/onelogin.json unavailable"))
     val ghe = CommunityRules.gheGeneral.getOrElse(
       fail("reference conf/schemas/ghe.json unavailable"))
+    def ref(s: Option[graft.core.LogSchema], what: String) =
+      s.getOrElse(fail(s"reference conf schema $what unavailable"))
     val schemas = Seq(CommunityRules.cloudwatchEvents, CommunityRules.binaryalert,
-      CommunityRules.duoAuthentication, cloudtrail, onelogin, ghe) ++
+      CommunityRules.duoAuthentication, cloudtrail, onelogin, ghe,
+      ref(CommunityRules.duoAdministrator, "duo:administrator"),
+      ref(CommunityRules.fleetResults, "fleet:results"),
+      ref(CommunityRules.trendmicroMalware, "trendmicro:malwareevent"),
+      ref(CommunityRules.packetbeatDns, "packetbeat:dns"),
+      ref(CommunityRules.packetbeatFlow, "packetbeat:flow"),
+      ref(CommunityRules.oktaLogevents, "okta:logevents")) ++
       CommunityRules.mitreSchemas
     assert(CommunityRules.mitreSchemas.size == 2,
       "carbonblack/osquery schemas must load from the reference conf")
     val tiConf = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/root/reference/conf/threat_intel.json")), "UTF-8")
+    // the reference's own cluster data_sources mapping narrows each event's
+    // candidate schemas by (service, source) — this is what separates
+    // fleet:results (s3) from osquery:differential (kinesis), whose
+    // required key sets overlap
+    val clusterConf = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/conf/clusters/prod.json")), "UTF-8")
     new RuleTestHarness(schemas, CommunityRules.all,
       matchers = CommunityRules.matchers,
       normalization = schemas.map(s => s.name -> s.normalization).toMap,
-      threatIntelConfJson = Some(tiConf))
+      threatIntelConfJson = Some(tiConf),
+      dataSources = Some(graft.core.DataSources.loadClusterJson(clusterConf)))
   }
 
   // one batched run per fixture file, every event asserted individually so
