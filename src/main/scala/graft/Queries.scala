@@ -1955,15 +1955,16 @@ object Queries {
 
   // A5b: community publisher library — record_only + enumerate_fields
   // (dotted-path flattening, generic.py:115-168) and populate_fields (deep
-  // get_keys extraction, generic.py:171-203) — publication JSON checked
-  // byte-for-byte against SQL-built strings.
+  // get_keys extraction with the reference's single-hit-publishes-scalar
+  // arity, generic.py:171-203) — publication JSON checked byte-for-byte
+  // against SQL-built strings.
   register(
     "a5b_publishers_library",
     """SELECT event_id,
       |       '{"record.event_id":' || event_id
       |         || ',"record.event_type":"' || event_type
       |         || '","record.who.uid":' || user_id || '}' AS enum_pub,
-      |       '{"uid":[' || user_id || ']}' AS pop_pub
+      |       '{"uid":' || user_id || '}' AS pop_pub
       |FROM events""".stripMargin) { (s, dir) =>
     import graft.alerts.Publishers
     val alerts = t(s, dir, "events").select(

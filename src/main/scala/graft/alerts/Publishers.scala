@@ -86,15 +86,78 @@ object Publishers {
     struct(fields.map { case (p, c) => c.as(p) }: _*)
   }
 
+  /** Scalar values of `"key":` occurrences inside a raw JSON text value —
+    * the deep-search continuation across the typed boundary where a loose
+    * sub-document (`{}` schema) keeps its nested values as compact
+    * re-serialized JSON. Strings unescape through a one-element JSON-array
+    * readback; container values (objects/arrays) are out of scope for the
+    * regex and are skipped. */
+  private def jsonTextScalarValues(raw: Column, key: String): Column = {
+    val pat = java.util.regex.Pattern.quote("\"" + key + "\":") +
+      "(\"(?:[^\"\\\\]|\\\\.)*\"|[^,}\\]{\\[]+)"
+    transform(regexp_extract_all(coalesce(raw, lit("")), lit(pat), lit(1)),
+      v => when(v.startsWith("\""),
+        get_json_object(concat(lit("["), v, lit("]")), "$[0]")).otherwise(v))
+  }
+
+  /** One deep-search path for [[populateFields]]: the hit array, its value
+    * type, and whether the path is statically single-valued (a struct field
+    * or direct map lookup, vs. array elements / raw-JSON descent). */
+  private def populatePaths(c: Column, dt: DataType,
+      key: String): Seq[(Column, DataType, Boolean)] = dt match {
+    case st: StructType =>
+      val self = st.fields.filter(_.name == key).toSeq.map { f =>
+        val v = c.getField(f.name)
+        (when(v.isNotNull, array(v)).otherwise(array().cast(ArrayType(f.dataType))),
+          f.dataType, true)
+      }
+      val nested = st.fields.toSeq.flatMap(f =>
+        populatePaths(c.getField(f.name), f.dataType, key))
+      self ++ nested
+    case at: ArrayType =>
+      val probe = populatePaths(element_at(c, 1), at.elementType, key)
+      probe.indices.map { i =>
+        val t = probe(i)._2
+        (coalesce(flatten(transform(c, e =>
+          populatePaths(e, at.elementType, key)(i)._1)),
+          array().cast(ArrayType(t))), t, false)
+      }
+    case mt: MapType =>
+      val direct = (when(map_contains_key(c, lit(key)),
+        array(element_at(c, lit(key)))).otherwise(
+        array().cast(ArrayType(mt.valueType))), mt.valueType, true)
+      val descent = mt.valueType match {
+        case StringType => Seq((
+          coalesce(flatten(transform(map_values(c),
+            v => jsonTextScalarValues(v, key))),
+            array().cast(ArrayType(StringType))), StringType, false))
+        case _ => Nil
+      }
+      direct +: descent
+    case _ => Nil
+  }
+
   /** populate_fields (generic.py:171-203): keep ONLY the requested keys,
-    * each deep-searched through the publication (typed get_keys); a key
-    * absent from the schema publishes an empty array (reference: None). */
+    * each deep-searched through the publication — including scalar values
+    * inside loose raw-JSON sub-documents, the typed equivalent of the
+    * reference's whole-dict get_keys walk. Reference arity: exactly one
+    * hit publishes the value itself, none publishes null (omitted from the
+    * JSON where the reference renders `null`), several publish an array
+    * (as a JSON text when the hit count is only known at run time). */
   def populateFields(keys: Seq[String]): Publisher = df => {
     val pubType = df.schema(PublicationCol).dataType
     val cols = keys.map { k =>
-      val hits = scala.util.Try(
-        graft.rules.Helpers.getKeys(col(PublicationCol), pubType, k))
-      hits.getOrElse(array().cast(ArrayType(StringType))).as(k)
+      val paths = populatePaths(col(PublicationCol), pubType, k)
+      val c = paths match {
+        case Seq() => lit(null).cast(StringType)
+        case Seq((arr, _, true)) => element_at(arr, 1)
+        case many =>
+          val hits = concat(many.map { case (arr, t, _) =>
+            transform(arr, v => pyStr(v, t)) }: _*)
+          when(size(hits) === 1, element_at(hits, 1))
+            .when(size(hits) > 1, to_json(hits))
+      }
+      c.as(k)
     }
     df.withColumn(PublicationCol, struct(cols: _*))
   }
@@ -181,6 +244,14 @@ object Publishers {
     repl.foldLeft(c) { case (acc, (from, to)) =>
       regexp_replace(acc, java.util.regex.Pattern.quote(from), to) }
   }
+
+  /** `cgi.escape(s)` with the quote=False default the community slack
+    * layout publishers use (slack_layout.py) — only & < > escape. */
+  private[graft] def htmlEscapeNoQuote(c: Column): Column =
+    Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;").foldLeft(c) {
+      case (acc, (from, to)) =>
+        regexp_replace(acc, java.util.regex.Pattern.quote(from), to)
+    }
 
   /** slack.py:68-102 `_split_attachment_text`: chunk escaped text into
     * ≤`max`-char parts, splitting at the last newline in the first max+1
@@ -330,6 +401,20 @@ object Publishers {
             array_join(transform(c, e =>
               concat(lit(pad2), jsonDumpsIndent2(e, et, indent + 2))), ",\n"),
             lit("\n" + pad + "]")))
+      case MapType(StringType, StringType, _) =>
+        // a loose sub-document: direct keys sort and indent like the
+        // reference's parsed dict; each value re-renders from its raw
+        // JSON text (containers pretty-print via the char fold; scalars
+        // by shape — a numeric-LOOKING string renders unquoted and keys
+        // inside nested raw text keep source order, the two documented
+        // typed-boundary deviations)
+        when(c.isNull, lit("null"))
+          .when(size(c) === 0, lit("{}"))
+          .otherwise(concat(lit("{\n"),
+            array_join(transform(sort_array(map_keys(c)), k =>
+              concat(lit(pad2 + "\""), k, lit("\": "),
+                renderLooseValue(element_at(c, k), indent + 2))), ",\n"),
+            lit("\n" + pad + "}")))
       case _: MapType => to_json(c) // compact fallback, see Scaladoc
       case StringType =>
         // JSON-escape exactly as a dump would: render a one-element array,
@@ -338,6 +423,61 @@ object Publishers {
         when(c.isNull, lit("null")).otherwise(j.substr(lit(2), length(j) - 2))
       case _ => coalesce(c.cast(StringType), lit("null"))
     }
+  }
+
+  /** One raw-JSON-text value from a loose sub-document, rendered for an
+    * indented dump: containers re-format through [[jsonPrettyText]],
+    * boolean/null/numeric shapes pass through, anything else is a string
+    * and gets JSON-quoted. */
+  private def renderLooseValue(v: Column, indent: Int): Column = {
+    val quoted = { val j = to_json(array(v)); j.substr(lit(2), length(j) - 2) }
+    when(v.isNull, lit("null"))
+      .when(v.startsWith("{") || v.startsWith("["), jsonPrettyText(v, indent))
+      .when(v === "true" || v === "false" || v === "null" ||
+        v.rlike("^-?(0|[1-9][0-9]*)(\\.[0-9]+)?([eE][+-]?[0-9]+)?$"), v)
+      .otherwise(quoted)
+  }
+
+  /** Re-format compact JSON text as `json.dumps(indent=2, separators=(',',
+    * ': '))` would — one aggregate char fold tracking depth, in-string, and
+    * a pending opener (so empty containers stay inline). Runs on raw
+    * sub-document text whose structure only exists at run time; keys keep
+    * their source order (the plan cannot sort keys it cannot see). */
+  private[graft] def jsonPrettyText(raw: Column, baseIndent: Int): Column = {
+    val spaces = lit(" " * 200)
+    def pad(d: Column): Column = spaces.substr(lit(1), lit(baseIndent) + d * 2)
+    val chars = filter(split(coalesce(raw, lit("null")), ""), c => c =!= "")
+    val init = struct(lit("").as("out"), lit(0).as("d"),
+      lit("").as("pend"), lit(false).as("str"), lit(false).as("esc"))
+    val folded = aggregate(chars, init, (st, ch) => {
+      val out = st.getField("out"); val d = st.getField("d")
+      val pend = st.getField("pend"); val inStr = st.getField("str")
+      val esc = st.getField("esc")
+      // inside a string literal: copy verbatim, track escapes
+      val strState = struct(concat(out, ch).as("out"), d.as("d"),
+        pend.as("pend"), (!(ch === "\"" && !esc)).as("str"),
+        (ch === "\\" && !esc).as("esc"))
+      // structural character: flush any pending opener first
+      val closesPend = (pend === "{" && ch === "}") || (pend === "[" && ch === "]")
+      val out1 = when(pend === "", out)
+        .when(closesPend, concat(out, pend, ch))
+        .otherwise(concat(out, pend, lit("\n"), pad(d + 1)))
+      val d1 = when(pend =!= "" && !closesPend, d + 1).otherwise(d)
+      val isOpen = ch === "{" || ch === "["
+      val isClose = ch === "}" || ch === "]"
+      val d2 = when(!closesPend && isClose, d1 - 1).otherwise(d1)
+      val out2 = when(closesPend || isOpen, out1)
+        .when(isClose, concat(out1, lit("\n"), pad(d2), ch))
+        .when(ch === ":", concat(out1, lit(": ")))
+        .when(ch === ",", concat(out1, lit(",\n"), pad(d2)))
+        .otherwise(concat(out1, ch))
+      val pend2 = when(closesPend, lit("")).when(isOpen, ch).otherwise(lit(""))
+      val structural = struct(out2.as("out"), d2.as("d"), pend2.as("pend"),
+        (ch === "\"").as("str"), lit(false).as("esc"))
+      when(inStr, strState).otherwise(structural)
+    }, st => concat(st.getField("out"),
+      when(st.getField("pend") =!= "", st.getField("pend")).otherwise(lit(""))))
+    folded
   }
 
   /** The github issue payload (github.py:105-126 `_dispatch`): title
@@ -612,6 +752,248 @@ object Publishers {
     }
     df.withColumn(PublicationCol, struct(incident.as("incident")))
   }
+
+  // ---------------------------------------------------------------------------
+  // Community layout publishers (publishers/community/slack/slack_layout.py +
+  // pagerduty/pagerduty_layout.py): the Summary / AttachRuleInfo /
+  // AttachFullRecord slack chain and the ShortenTitle / as_custom_details /
+  // PrettyPrintArrays pagerduty chain, as pure column transforms over the
+  // publication.
+  // ---------------------------------------------------------------------------
+
+  /** RuleDescriptionParser (shared/description.py:19-162) as one plan-time
+    * fold over the description's lines: `field:` lines open a new field
+    * (never http/https), continuation lines join with a space, blank lines
+    * buffer newlines as the joiner, and a line that extends a URL joins
+    * with no separator. Returns struct(author, description,
+    * fields: array<struct<title, value>>) — fields in first-appearance
+    * order with author/maintainer/description lifted out, titles
+    * Python-`str.capitalize()`d, ready for AttachRuleInfo. */
+  private[graft] def presentRuleDescription(desc: Column): Column = {
+    val fieldExtract = "^([a-zA-Z0-9\\-_&\\s]{0,20}):([\\s\\S]*)$"
+    // description.py:70-72 _URL_REGEX, anchored full-line
+    val urlRegex = "^(?:http(?:s)?://)?[\\w.-]+(?:\\.[\\w\\.-]+)+" +
+      "[\\w\\-\\._~:/?#\\[\\]@!\\$&'\\(\\)\\*\\+,;=.]+$"
+    val lines = transform(split(coalesce(desc, lit("")), "\n"), l => trim(l))
+    val strMap = "map<string,string>"
+    val init = struct(
+      lit("description").as("cur"),
+      map().cast(strMap).as("docs"),
+      map().cast(strMap).as("buf"))
+    val folded = aggregate(lines, init, (acc, line) => {
+      val isField = line.rlike("^[a-zA-Z0-9\\-_&\\s]{0,20}:") &&
+        !line.startsWith("http:") && !line.startsWith("https:")
+      val field = when(isField,
+        lower(trim(regexp_extract(line, fieldExtract, 1)))).otherwise(acc.getField("cur"))
+      val value = when(isField,
+        trim(regexp_extract(line, fieldExtract, 2))).otherwise(line)
+      val doc = element_at(acc.getField("docs"), field)
+      val bufF = coalesce(element_at(acc.getField("buf"), field), lit(""))
+      val urlJoined = concat(doc, value).rlike(urlRegex)
+      val newDoc = when(value === "", doc)
+        .when(doc.isNull, value)
+        .when(urlJoined, concat(doc, value))
+        .otherwise(concat(doc,
+          when(bufF === "", lit(" ")).otherwise(bufF), value))
+      // blank line buffers a newline; the URL branch keeps the buffer
+      // (description.py:123-140), everything else clears it
+      val newBuf = when(value === "", concat(bufF, lit("\n")))
+        .when(doc.isNull || !urlJoined, lit(""))
+        .otherwise(bufF)
+      def updated(m: Column, v: Column): Column = map_concat(
+        map_filter(m, (k, _) => k =!= field), map(field, v))
+      struct(
+        field.as("cur"),
+        when(newDoc.isNull, acc.getField("docs"))
+          .otherwise(updated(acc.getField("docs"), newDoc)).as("docs"),
+        updated(acc.getField("buf"), newBuf).as("buf"))
+    })
+    val docs = folded.getField("docs")
+    // buf keys accumulate every field in first-encounter order — the
+    // field list even when a field's lines were all blank
+    val fieldKeys = filter(map_keys(folded.getField("buf")),
+      k => !k.isin("author", "maintainer", "description"))
+    struct(
+      coalesce(element_at(docs, "author"),
+        element_at(docs, "maintainer"), lit("")).as("author"),
+      coalesce(element_at(docs, "description"), lit("")).as("description"),
+      transform(fieldKeys, k => struct(
+        concat(upper(substring(k, 1, 1)), lower(substring(k, 2, 1000000)))
+          .as("title"),
+        coalesce(element_at(docs, k), lit("")).as("value"))).as("fields"))
+  }
+
+  /** The one attachment shape all slack layout publishers share — a
+    * superstruct of the three dict layouts (to_json omits the nulls each
+    * publisher leaves unset, so each attachment serializes with exactly
+    * its own keys). */
+  private def slackAttachment(
+      fallback: Column = lit(null).cast(StringType),
+      color: Column = lit(null).cast(StringType),
+      authorName: Column = lit(null).cast(StringType),
+      authorLink: Column = lit(null).cast(StringType),
+      authorIcon: Column = lit(null).cast(StringType),
+      author: Column = lit(null).cast(StringType),
+      title: Column = lit(null).cast(StringType),
+      titleLink: Column = lit(null).cast(StringType),
+      text: Column = lit(null).cast(StringType),
+      imageUrl: Column = lit(null).cast(StringType),
+      thumbUrl: Column = lit(null).cast(StringType),
+      fields: Column = lit(null).cast("array<struct<title:string,value:string>>"),
+      footer: Column = lit(null).cast(StringType),
+      footerIcon: Column = lit(null).cast(StringType),
+      ts: Column = lit(null).cast("bigint"),
+      mrkdwnIn: Column = lit(null).cast("array<string>")): Column = struct(
+    fallback.as("fallback"), color.as("color"), authorName.as("author_name"),
+    authorLink.as("author_link"), authorIcon.as("author_icon"),
+    author.as("author"), title.as("title"), titleLink.as("title_link"),
+    text.as("text"), imageUrl.as("image_url"), thumbUrl.as("thumb_url"),
+    fields.as("fields"), footer.as("footer"), footerIcon.as("footer_icon"),
+    ts.as("ts"), mrkdwnIn.as("mrkdwn_in"))
+
+  private val SlackAttachmentsType =
+    "array<struct<fallback:string,color:string,author_name:string," +
+      "author_link:string,author_icon:string,author:string,title:string," +
+      "title_link:string,text:string,image_url:string,thumb_url:string," +
+      "fields:array<struct<title:string,value:string>>,footer:string," +
+      "footer_icon:string,ts:bigint,mrkdwn_in:array<string>>>"
+
+  /** `publication['@slack.attachments'] = publication.get(...) + [more]` —
+    * the append idiom every non-Summary slack layout publisher uses. */
+  private def appendSlackAttachments(df: DataFrame, atts: Column): DataFrame = {
+    val pubType = df.schema(PublicationCol).dataType.asInstanceOf[StructType]
+    val existing =
+      if (pubType.fieldNames.contains("@slack.attachments"))
+        col(PublicationCol).getField("@slack.attachments")
+      else lit(null)
+    df.withColumn(PublicationCol, col(PublicationCol).withField(
+      "`@slack.attachments`",
+      concat(coalesce(existing, array().cast(SlackAttachmentsType)), atts)))
+  }
+
+  /** slack Summary (slack_layout.py:31-109): a fresh publication with the
+    * rule summary attachment; the prior publication passes through under
+    * `@slack._previous_publication`. The title link is the
+    * github-search URL the reference urlencodes (rule names are
+    * [a-z0-9_], so only the static query tail needs encoding). */
+  def slackSummary: Publisher = df => {
+    val presented = presentRuleDescription(col("rule_description"))
+    val att = slackAttachment(
+      fallback = concat(lit("Rule triggered: "), col("rule_name")),
+      color = lit("#ff5a5f"), // RAUSCH
+      authorName = presented.getField("author"),
+      authorLink = lit(""), authorIcon = lit(""),
+      title = col("rule_name"),
+      titleLink = concat(
+        lit("https://github.com/airbnb/streamalert/search?q="),
+        col("rule_name"), lit("+path%3A%2Frules")),
+      text = htmlEscapeNoQuote(presented.getField("description")),
+      imageUrl = lit(""), thumbUrl = lit(""),
+      footer = lit(""), footerIcon = lit(""),
+      ts = unix_timestamp(col("created")),
+      mrkdwnIn = array().cast("array<string>"))
+    df.withColumn(PublicationCol, struct(
+      lit("Rule triggered").as("@slack.text"),
+      array(att).as("@slack.attachments"),
+      col(PublicationCol).as("@slack._previous_publication")))
+  }
+
+  /** slack AttachRuleInfo (slack_layout.py:112-137): one attachment whose
+    * fields are the description's non-author non-description fields. */
+  def slackAttachRuleInfo: Publisher = df =>
+    appendSlackAttachments(df, array(slackAttachment(
+      color = lit("#8ce071"), // LIMA
+      fields = presentRuleDescription(col("rule_description")).getField("fields"))))
+
+  /** slack AttachFullRecord (slack_layout.py:225-307): the record as
+    * json.dumps(indent=2, sort_keys), html-escaped FIRST, then diced into
+    * <=3990-char line-aligned chunks, one attachment each — first carries
+    * the source entity and Record title, last carries the Alert Id field
+    * and the console-link footer. */
+  def slackAttachFullRecord: Publisher = df => {
+    val recType = df.schema("record").dataType
+    val escaped = htmlEscapeNoQuote(jsonDumpsIndent2(col("record"), recType, 0))
+    val docLines = split(escaped, "\n")
+    val limit = 4000 - 10 // _SLACK_MAXIMUM_ATTACHMENT_CHARACTER_LENGTH - padding
+    val folded = aggregate(docLines,
+      struct(array().cast("array<string>").as("parts"), lit("").as("cur")),
+      (acc, line) => {
+        val parts = acc.getField("parts")
+        val cur = acc.getField("cur")
+        val flush = cur =!= "" && (length(line) + length(cur)) > limit
+        struct(
+          when(flush, concat(parts, array(cur))).otherwise(parts).as("parts"),
+          concat(when(flush, lit("")).otherwise(cur), lit("\n"), line).as("cur"))
+      },
+      acc => when(acc.getField("cur") =!= "",
+        concat(acc.getField("parts"), array(acc.getField("cur"))))
+        .otherwise(acc.getField("parts")))
+    val n = size(folded)
+    val atts = transform(folded, (doc, i) => {
+      val isFirst = i === 0
+      val isLast = i === n - 1
+      slackAttachment(
+        color = lit("#7b0051"), // HACKBERRY
+        author = when(isFirst, col("source_entity")).otherwise(lit("")),
+        title = when(isFirst, lit("Record")).otherwise(lit("")),
+        text = concat(lit("```\n"), doc, lit("\n```")),
+        fields = when(isLast, array(struct(lit("Alert Id").as("title"),
+          col("alert_id").as("value"))))
+          .otherwise(array().cast("array<struct<title:string,value:string>>")),
+        footer = when(isLast, concat(lit("via <https://console.aws.amazon.com/"),
+          col("source_service"), lit("/home|"), col("source_service"), lit(">")))
+          .otherwise(lit("")),
+        footerIcon = lit(""),
+        mrkdwnIn = array(lit("text")))
+    })
+    appendSlackAttachments(df, atts)
+  }
+
+  /** pagerduty ShortenTitle (pagerduty_layout.py:21-38): replace the
+    * three dialects' titles with the bare rule name. */
+  def pagerdutyShortenTitle: Publisher = df =>
+    df.withColumn(PublicationCol, col(PublicationCol)
+      .withField("`@pagerduty-v2.summary`", col("rule_name"))
+      .withField("`@pagerduty-incident.incident_title`", col("rule_name"))
+      .withField("`@pagerduty.description`", col("rule_name")))
+
+  /** pagerduty as_custom_details (pagerduty_layout.py:41-57): everything
+    * that is not an @pagerduty special field becomes the details dict. */
+  def pagerdutyAsCustomDetails: Publisher = df => {
+    val pubType = df.schema(PublicationCol).dataType.asInstanceOf[StructType]
+    val custom = pubType.fields.filterNot(_.name.startsWith("@pagerduty")).toSeq
+    val details = struct(custom.map(f =>
+      col(PublicationCol).getField(f.name).as(f.name)): _*)
+    df.withColumn(PublicationCol, col(PublicationCol)
+      .withField("`@pagerduty.details`", details)
+      .withField("`@pagerduty-v2.custom_details`", details))
+  }
+
+  /** StringifyArrays (generic.py:206-246) / PrettyPrintArrays
+    * (pagerduty_layout.py:85-106): every scalar array anywhere in the
+    * publication joins into one string on the delimiter. */
+  def stringifyArrays(delimiter: String = "\n"): Publisher = df => {
+    def walk(c: Column, dt: DataType): Column = dt match {
+      case st: StructType =>
+        struct(st.fields.toSeq.map(f =>
+          walk(c.getField(f.name), f.dataType).as(f.name)): _*)
+      case ArrayType(et, _) if !et.isInstanceOf[StructType] &&
+        !et.isInstanceOf[ArrayType] && !et.isInstanceOf[MapType] =>
+        array_join(transform(c, e => pyStr(e, et)), delimiter)
+      case ArrayType(et, _) => transform(c, e => walk(e, et))
+      case _ => c
+    }
+    df.withColumn(PublicationCol,
+      walk(col(PublicationCol), df.schema(PublicationCol).dataType))
+  }
+
+  register("slack_summary")(slackSummary)
+  register("slack_attach_rule_info")(slackAttachRuleInfo)
+  register("slack_attach_full_record")(slackAttachFullRecord)
+  register("pagerduty_shorten_title")(pagerdutyShortenTitle)
+  register("pagerduty_as_custom_details")(pagerdutyAsCustomDetails)
+  register("stringify_arrays")(stringifyArrays())
+  register("pretty_print_arrays")(stringifyArrays("\n\n----------\n\n"))
 
   register("slack_message")(slackDefaultMessage())
   register("victorops_message")(victoropsMessage())

@@ -35,7 +35,19 @@ final case class RuleTestEvent(
     lookupTableFixtures: Map[String, Map[String, String]] = Map.empty,
     /** `test_fixtures.threat_intel` (ThreatIntelMocks): mocked IOC rows
       * (ioc_value, ioc_type, sub_type) the run's annotate joins against. */
-    threatIntelFixtures: Seq[(String, String, String)] = Nil)
+    threatIntelFixtures: Seq[(String, String, String)] = Nil,
+    /** `publisher_tests` (event.py + test/format docs): per-output
+      * assertions over the published payload — a JMESPath expression, a
+      * condition (`is` / `contains`), and the expected JSON value. */
+    publisherTests: Map[String, Seq[PublisherAssertion]] = Map.empty)
+
+/** One publisher_tests assertion row (either the
+  * `{jmespath_expression, condition, value}` object form or the
+  * 3-element list form). */
+final case class PublisherAssertion(
+    expression: String,
+    condition: String,
+    expected: com.fasterxml.jackson.databind.JsonNode)
 
 object RuleTestEvent {
   private val mapper = new ObjectMapper()
@@ -73,7 +85,18 @@ object RuleTestEvent {
             ti.elements().asScala.map(r =>
               (r.get("ioc_value").asText, r.get("ioc_type").asText,
                 Option(r.get("sub_type")).map(_.asText).getOrElse(""))).toSeq
-          }.getOrElse(Nil))
+          }.getOrElse(Nil),
+        publisherTests = Option(e.get("publisher_tests")).map { pt =>
+          pt.properties().asScala.map { out =>
+            out.getKey -> out.getValue.elements().asScala.map { a =>
+              if (a.isArray)
+                PublisherAssertion(a.get(0).asText, a.get(1).asText, a.get(2))
+              else
+                PublisherAssertion(a.get("jmespath_expression").asText,
+                  a.get("condition").asText, a.get("value"))
+            }.toSeq
+          }.toMap
+        }.getOrElse(Map.empty))
     }.toSeq
   }
 }
@@ -89,16 +112,79 @@ object TestFixtures {
     new graft.rules.LookupTables(Map.empty)
 }
 
+/** The subset of JMESPath the reference's publisher_tests exercise
+  * (quoted/bare keys, `.field` and `[idx]` traversal, `keys(@)`), plus the
+  * `is` / `contains` conditions. */
+object JmesPathLite {
+  import com.fasterxml.jackson.databind.JsonNode
+  private val mapper = new ObjectMapper()
+
+  def eval(root: JsonNode, expr: String): JsonNode = {
+    val e = expr.trim
+    if (e == "keys(@)") {
+      val arr = mapper.createArrayNode()
+      root.fieldNames().asScala.foreach(arr.add)
+      arr
+    } else {
+      var i = 0
+      var node: JsonNode = root
+      def missing = mapper.nullNode()
+      def step(n: JsonNode): JsonNode = if (n == null) missing else n
+      def parseIdent(): String =
+        if (i < e.length && e(i) == '"') {
+          val end = e.indexOf('"', i + 1)
+          require(end > i, s"unterminated quoted key in $expr")
+          val s = e.substring(i + 1, end); i = end + 1; s
+        } else {
+          val start = i
+          while (i < e.length && e(i) != '.' && e(i) != '[') i += 1
+          e.substring(start, i)
+        }
+      node = step(node.get(parseIdent()))
+      while (i < e.length) {
+        e(i) match {
+          case '.' => i += 1; node = step(node.get(parseIdent()))
+          case '[' =>
+            val end = e.indexOf(']', i)
+            require(end > i, s"unterminated index in $expr")
+            node = step(node.get(e.substring(i + 1, end).toInt)); i = end + 1
+          case c => throw new IllegalArgumentException(
+            s"unsupported JMESPath syntax '$c' in $expr")
+        }
+      }
+      node
+    }
+  }
+
+  def check(root: JsonNode, a: PublisherAssertion): Option[String] = {
+    val actual = eval(root, a.expression)
+    val ok = a.condition match {
+      case "is" => actual == a.expected
+      case "contains" =>
+        if (actual.isTextual) actual.asText.contains(a.expected.asText)
+        else if (actual.isArray) actual.elements().asScala.contains(a.expected)
+        else false
+      case c => throw new IllegalArgumentException(s"unsupported condition $c")
+    }
+    if (ok) None
+    else Some(s"${a.expression} ${a.condition} ${a.expected} — got $actual")
+  }
+}
+
 final case class RuleTestResult(
     event: RuleTestEvent,
     classifiedAs: Option[String],
     triggered: Set[String],
-    passed: Boolean) {
+    passed: Boolean,
+    /** output -> publication JSON, for events with publisher_tests */
+    publications: Map[String, String] = Map.empty,
+    publicationFailures: Seq[String] = Nil) {
   def report: String = {
     val status = if (passed) "PASS" else "FAIL"
     s"$status  [${event.log}] ${event.description}: classified=${classifiedAs.getOrElse("-")}" +
       s" triggered=${triggered.toSeq.sorted.mkString(",")}" +
-      s" expected=${event.triggerRules.toSeq.sorted.mkString(",")}"
+      s" expected=${event.triggerRules.toSeq.sorted.mkString(",")}" +
+      publicationFailures.map(f => s"\n        publisher: $f").mkString
   }
 }
 
@@ -121,7 +207,12 @@ final class RuleTestHarness(
       * resolution (handler.py:328-366) feeding the classifier's
       * logs-for-resource filter. Without it every schema is a candidate
       * (pure first-match ordering). */
-    dataSources: Option[Map[String, Map[String, Seq[String]]]] = None) {
+    dataSources: Option[Map[String, Map[String, Seq[String]]]] = None,
+    /** service prefix -> ordered publisher-registry names, the rule's
+      * `publishers={'slack': [...], ...}` declaration. Events carrying
+      * `publisher_tests` re-publish their fired alert through the
+      * output's service chain and assert over the payload. */
+    publisherChains: Map[String, Seq[String]] = Map.empty) {
 
   private val mapper = new ObjectMapper()
 
@@ -185,55 +276,89 @@ final class RuleTestHarness(
     // data_sources conf is present each group sees only its cluster's
     // candidate schemas (handler.py:328-366); otherwise one group, all
     // schemas, pure first-match ordering
-    val groups: Seq[(Seq[LogSchema], Seq[(RuleTestEvent, Int)])] =
+    val groups: Seq[((String, String), Seq[LogSchema], Seq[(RuleTestEvent, Int)])] =
       dataSources match {
-        case None => Seq(schemas -> events.zipWithIndex)
+        case None => Seq((("graft", "test"), schemas, events.zipWithIndex))
         case Some(ds) =>
           events.zipWithIndex.groupBy { case (e, _) => (e.service, e.source) }
             .toSeq.map { case ((svc, res), evs) =>
-              graft.core.DataSources.candidates(schemas, ds, svc, res) -> evs
+              ((svc, res), graft.core.DataSources.candidates(schemas, ds, svc, res), evs)
             }
       }
 
-    val perGroup: Seq[(Map[Int, String], Seq[(Int, String)])] = groups.map {
-      case (cands, evs) =>
-        val df = evs.map { case (e, i) => (i, effectiveData(e)) }
-          .toDF("__evt_idx", "value")
-        val classified = new Classifier(cands).classify(df)
+    val perGroup = groups.map { case ((svc, res), cands, evs) =>
+      val ctx = graft.rules.AlertContext(sourceService = svc, sourceEntity = res)
+      val df = evs.map { case (e, i) => (i, effectiveData(e)) }
+        .toDF("__evt_idx", "value")
+      val classified = new Classifier(cands).classify(df)
 
-        val types = classified.tagged
-          .select(col("__evt_idx"), col("log_schema_type"))
-          .collect().flatMap(r => Option(r.getString(1)).map(r.getInt(0) -> _))
-          .toMap
+      val types = classified.tagged
+        .select(col("__evt_idx"), col("log_schema_type"))
+        .collect().flatMap(r => Option(r.getString(1)).map(r.getInt(0) -> _))
+        .toMap
 
-        val fired = cands.flatMap { s =>
-          if (engine.rulesForLogType(s.name).isEmpty) Nil
-          else {
-            val typed = classified.forType(s.name)
-            val normConfig = normalization.getOrElse(s.name, Map.empty)
-            val withNorm = typed.withColumn(Normalizer.NormalizationKey,
-              Normalizer.normalizationCol(col("record"), normConfig, Some(s.schema)))
-            val annotated = threatIntel.fold(withNorm)(
-              _.annotate(withNorm, recordId = "__evt_idx"))
-            engine.evaluate(annotated, s.name, passthrough = Seq("__evt_idx"))
-              .select(col("__evt_idx"), col("rule_name"))
-              .collect().map(r => r.getInt(0) -> r.getString(1)).toSeq
+      val pubEvents = evs.filter(_._1.publisherTests.nonEmpty).map(_._2).toSet
+      val fired = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+      val pubs = scala.collection.mutable.Map.empty[(Int, String), String]
+      cands.foreach { s =>
+        if (engine.rulesForLogType(s.name).nonEmpty) {
+          val typed = classified.forType(s.name)
+          val normConfig = normalization.getOrElse(s.name, Map.empty)
+          val withNorm = typed.withColumn(Normalizer.NormalizationKey,
+            Normalizer.normalizationCol(col("record"), normConfig, Some(s.schema)))
+          val annotated = threatIntel.fold(withNorm)(
+            _.annotate(withNorm, recordId = "__evt_idx"))
+          val alerts = engine.evaluate(annotated, s.name, ctx = ctx,
+            passthrough = Seq("__evt_idx"))
+          fired ++= alerts.select(col("__evt_idx"), col("rule_name"))
+            .collect().map(r => r.getInt(0) -> r.getString(1))
+
+          // the publisher leg: re-publish each tested event's fired alert
+          // through its output's service chain (handler.py publisher tests)
+          evs.collect { case (e, i) if pubEvents(i) =>
+            e.publisherTests.keys.foreach { output =>
+              val service = output.split(':').head
+              val chain = publisherChains.getOrElse(service,
+                throw new NoSuchElementException(
+                  s"no publisher chain declared for service $service"))
+              val one = alerts
+                .filter(col("__evt_idx") === i &&
+                  col("rule_name").isin(e.triggerRules.toSeq: _*))
+                .drop("__evt_idx")
+              val rows = graft.alerts.Publishers.publish(one, chain)
+                .select(col(graft.alerts.Publishers.PublicationCol))
+                .collect()
+              rows.headOption.foreach(r => pubs((i, output)) = r.getString(0))
+            }
           }
         }
-        (types, fired)
+      }
+      (types, fired.toSeq, pubs.toMap)
     }
 
     val types: Map[Int, String] = perGroup.flatMap(_._1).toMap
     val triggered: Map[Int, Set[String]] = perGroup.flatMap(_._2)
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val publications: Map[(Int, String), String] =
+      perGroup.flatMap(_._3).toMap
 
     events.zipWithIndex.map { case (e, i) =>
       val cls = types.get(i)
       val fired = triggered.getOrElse(i, Set.empty)
+      val pubsForEvent = e.publisherTests.keys.flatMap(out =>
+        publications.get((i, out)).map(out -> _)).toMap
+      val pubFailures = e.publisherTests.toSeq.flatMap { case (out, asserts) =>
+        pubsForEvent.get(out) match {
+          case None => Seq(s"$out: no publication produced (rule did not fire?)")
+          case Some(json) =>
+            val root = mapper.readTree(json)
+            asserts.flatMap(a => JmesPathLite.check(root, a).map(f => s"$out: $f"))
+        }
+      }
       val passed =
         if (e.classifyOnly) cls.contains(e.log)
-        else cls.contains(e.log) && fired == e.triggerRules
-      RuleTestResult(e, cls, fired, passed)
+        else cls.contains(e.log) && fired == e.triggerRules && pubFailures.isEmpty
+      RuleTestResult(e, cls, fired, passed, pubsForEvent, pubFailures)
     }
   }
 

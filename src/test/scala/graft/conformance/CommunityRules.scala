@@ -509,6 +509,202 @@ object CommunityRules {
     "user.promote",
     "A Github Enterprise user account was promoted to a site admin")
 
+  /** cloudtrail_put_object_acl_public_publisher_example.py:18-63: the
+    * publisher-demo variant of the public-ACL rule — gated to its own test
+    * event via the `sourceIPAddress == 1.2.3.4` hack the reference
+    * documents. Carries the reference docstring VERBATIM as the rule
+    * description (the Summary / AttachRuleInfo publishers parse it) and the
+    * `populate_fields` context list. */
+  val putObjectAclPublisherExample: Rule = Rule(
+    "cloudtrail_put_object_acl_public_publisher_example",
+    RuleOpts(
+      logs = Seq("cloudwatch:events"),
+      reqSubkeys = Map("detail" ->
+        Seq("eventName", "requestParameters", "sourceIPAddress")),
+      outputs = Seq("slack:sample-channel", "pagerduty:sample-integration"),
+      context = Map("populate_fields" ->
+        "userName,sourceIPAddress,eventTime,eventName,eventSource,bucketName"),
+      description =
+        """description:    Identifies a change to an S3 object ACL that grants access
+          |                to AllUsers (anyone on the internet) or AuthenticatedUsers
+          |                (any user with an AWS account).
+          |
+          |note: This is purely for example purposes in testing, and is not meant to be used as-is""".stripMargin),
+    rec => {
+      val rp = detail(rec, "requestParameters")
+      detail(rec, "sourceIPAddress") === "1.2.3.4" &&
+        detail(rec, "eventName") === "PutObjectAcl" &&
+        Helpers.rawJsonHasSubstring(rp, PublicAcls)
+    })
+
+  /** The example rule's `publishers={'slack': [...], 'pagerduty': [...]}`
+    * declaration, as registry-name chains keyed by output service. */
+  lazy val publisherExampleChains: Map[String, Seq[String]] = {
+    graft.alerts.Publishers.register("populate_fields_acl_example")(
+      graft.alerts.Publishers.populateFields(Seq(
+        "userName", "sourceIPAddress", "eventTime", "eventName",
+        "eventSource", "bucketName")))
+    Map(
+      "slack" -> Seq(
+        "slack_summary", "slack_attach_rule_info", "slack_attach_full_record"),
+      "pagerduty" -> Seq(
+        "add_record", "populate_fields_acl_example", "pretty_print_arrays",
+        "pagerduty_shorten_title", "pagerduty_as_custom_details"))
+  }
+
+  /** cloudtrail_critical_api_calls.py:57-93: destructive/log-stopping API
+    * calls, GuardDuty disable, public-access-block weakening, and AWS
+    * Organizations changes. */
+  val criticalApiCalls: Rule = {
+    val criticalEvents = Seq(
+      "DeleteFlowLogs", "DeleteSubnet", "DeleteVpc", "DeleteDBCluster",
+      "DeleteCluster", "DeleteTrail", "PutEventSelectors", "UpdateTrail",
+      "StopLogging", "DeleteDeliveryChannel", "StopConfigurationRecorder",
+      "DeleteRule", "DisableRule", "DeleteDetector",
+      "DeleteAccountPublicAccessBlock", "DisableEbsEncryptionByDefault")
+    val orgEvents = Seq(
+      "AttachPolicy", "CreateOrganizationUnit", "CreatePolicy",
+      "DeletePolicy", "DeleteOrganizationUnit", "DetachPolicy",
+      "DisableAWSServiceAccess", "DisablePolicyType", "EnableAllFeatures",
+      "EnableAWSServiceAccess", "EnablePolicyType", "LeaveOrganization",
+      "MoveAccount", "RemoveAccountFromOrganization", "UpdatePolicy")
+    val blockActions = Seq(
+      "RestrictPublicBuckets", "BlockPublicPolicy", "BlockPublicAcls",
+      "IgnorePublicAcls")
+    Rule(
+      "cloudtrail_critical_api_calls",
+      RuleOpts(
+        logs = Seq("cloudtrail:events"),
+        description = "API calls that stop/delete security logs or critical resources"),
+      rec => {
+        val name = rec.getField("eventName")
+        val rp = rec.getField("requestParameters")
+        // :74-77 UpdateDetector with enable explicitly false (absent
+        // defaults True — no alert)
+        val guardDutyDisable = name === "UpdateDetector" &&
+          coalesce(rp.getField("enable") === "false", lit(false))
+        // :79-87 any public-access-block knob explicitly set to False
+        val blockConfig = rp.getField("PublicAccessBlockConfiguration")
+        val blockWeakened =
+          name.isin("PutBucketPublicAccessBlock", "PutAccountPublicAccessBlock") &&
+            blockActions.map(a => coalesce(
+              get_json_object(blockConfig, s"$$.$a") === "false", lit(false)))
+              .reduce(_ || _)
+        val orgChange = rec.getField("eventSource") === "organizations.amazonaws.com" &&
+          name.isin(orgEvents: _*)
+        name.isin(criticalEvents: _*) || guardDutyDisable || blockWeakened || orgChange
+      })
+  }
+
+  /** cloudtrail_mfa_policy_abuse_attempt.py:40-70: non-MFA sessions
+    * deactivating MFA, touching sensitive IAM actions, or erroring on MFA
+    * device creation/enable. Optional `errorCode` backfills to '' (falsy),
+    * matching the reference classifier's zero-value defaults. */
+  val mfaPolicyAbuseAttempt: Rule = {
+    val iamActions = Seq(
+      "CreateUser", "CreateAccessKey", "DetachUserPolicy",
+      "DetachGroupPolicy", "RemoveUserFromGroup", "DeleteUserPolicy",
+      "PutGroupPolicy", "PutUserPolicy")
+    Rule(
+      "cloudtrail_mfa_policy_abuse_attempt",
+      RuleOpts(
+        logs = Seq("cloudtrail:events"),
+        description = "Non-MFA calls that may abuse a flawed MFA enforcement policy"),
+      rec => {
+        val name = rec.getField("eventName")
+        val mfa = coalesce(get_json_object(
+          rec.getField("userIdentity").getField("sessionContext"),
+          "$.attributes.mfaAuthenticated"), lit("false"))
+        val err = rec.getField("errorCode")
+        val hasError = err.isNotNull && err =!= ""
+        mfa =!= "true" && (
+          name === "DeactivateMFADevice" ||
+            name.isin(iamActions: _*) ||
+            (hasError && name.isin("CreateVirtualMFADevice", "EnableMFADevice")))
+      })
+  }
+
+  /** `Policy.is_internet_accessible()` as the conformance fixtures pin it
+    * (policyuniverse via cloudtrail_public_resources.py:24-77): any
+    * statement with Effect Allow, a `*` principal (bare, `{"AWS":"*"}`, or
+    * in the AWS list), and NO whittling Condition. `Statement` may be a
+    * single object or a list. */
+  private def internetAccessible(policyText: Column): Column = {
+    val stmts = coalesce(
+      from_json(get_json_object(policyText, "$.Statement"),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
+      array(get_json_object(policyText, "$.Statement")))
+    coalesce(exists(stmts, s => {
+      val aws = get_json_object(s, "$.Principal.AWS[*]")
+      get_json_object(s, "$.Effect") === "Allow" &&
+        get_json_object(s, "$.Condition").isNull &&
+        (get_json_object(s, "$.Principal") === "*" ||
+          get_json_object(s, "$.Principal.AWS") === "*" ||
+          aws === "*" || coalesce(aws.contains("\"*\""), lit(false)))
+    }), lit(false))
+  }
+
+  /** cloudtrail_public_resources.py:17-77: resource policies made
+    * internet-accessible across S3 / ES / Glacier / SQS / SNS / ECR / KMS /
+    * SecretsManager — the per-service `policy_string` extraction chain,
+    * then the policyuniverse check. */
+  val publicResources: Rule = Rule(
+    "cloudtrail_public_resources",
+    RuleOpts(
+      logs = Seq("cloudtrail:events"),
+      reqSubkeys = Map.empty,
+      description = "A resource policy was made internet-accessible"),
+    rec => {
+      val name = rec.getField("eventName")
+      val rp = rec.getField("requestParameters")
+      // :18-25 — S3 bucketPolicy is a real JSON object, not a string
+      val s3 = name === "PutBucketPolicy" &&
+        internetAccessible(rp.getField("bucketPolicy"))
+      // :27-66 — the string-policy extraction chain
+      val policyString = when(
+        name.isin("CreateElasticsearchDomain", "UpdateElasticsearchDomainConfig"),
+        rp.getField("accessPolicies"))
+        .when(name === "SetVaultAccessPolicy",
+          get_json_object(rp.getField("policy"), "$.policy"))
+        .when(name.isin("SetQueueAttributes", "CreateTopic"),
+          get_json_object(rp.getField("attributes"), "$.Policy"))
+        .when(name === "SetTopicAttributes" &&
+          coalesce(rp.getField("attributeName") === "Policy", lit(false)),
+          rp.getField("attributeValue"))
+        .when(name === "SetRepositoryPolicy", rp.getField("policyText"))
+        .when(name.isin("PutKeyPolicy", "CreateKey"), rp.getField("policy"))
+        .when(name === "PutResourcePolicy", rp.getField("resourcePolicy"))
+      s3 || (policyString.isNotNull && policyString =!= "" &&
+        internetAccessible(policyString))
+    })
+
+  /** cloudtrail_snapshot_or_ami_made_public.py:17-46: launch/volume
+    * permissions or RDS snapshot attributes granted to the `all` group. */
+  val snapshotOrAmiMadePublic: Rule = {
+    def addsGroupAll(subdoc: Column): Column = {
+      val groups = get_json_object(subdoc, "$.add.items[*].group")
+      coalesce(groups === "all" || groups.contains("\"all\""), lit(false))
+    }
+    Rule(
+      "cloudtrail_snapshot_or_ami_made_public",
+      RuleOpts(
+        logs = Seq("cloudtrail:events"),
+        description = "An EBS/RDS snapshot or AMI was made public"),
+      rec => {
+        val name = rec.getField("eventName")
+        val rp = rec.getField("requestParameters")
+        val attrType = coalesce(rp.getField("attributeType"), lit(""))
+        (name === "ModifyImageAttribute" && attrType === "launchPermission" &&
+          addsGroupAll(rp.getField("launchPermission"))) ||
+          (name === "ModifySnapshotAttribute" && attrType === "CREATE_VOLUME_PERMISSION" &&
+            addsGroupAll(rp.getField("createVolumePermission"))) ||
+          (name === "ModifyDBClusterSnapshotAttribute" &&
+            coalesce(array_contains(from_json(rp.getField("valuesToAdd"),
+              org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
+              "all"), lit(false)))
+      })
+  }
+
   /** duo_administrator/duo_bypass_code_create_*.py: all three gate on
     * `action == 'bypass_create'` then probe `safe_json_loads(description)`
     * — the description field is JSON-in-a-string, so the probes are
@@ -641,5 +837,7 @@ object CommunityRules {
     duoBypassNonAutoGenerated, duoBypassNonExpiring, duoBypassUnlimitedUse,
     duoFraud, fleetBadAction, sshLoginActivity, trendmicroMalwareEvent,
     oneloginAssumedRole, packetbeatBlacklistedDomain,
-    packetbeatBlacklistedIp, packetbeatDnsLookup)
+    packetbeatBlacklistedIp, packetbeatDnsLookup,
+    criticalApiCalls, mfaPolicyAbuseAttempt, publicResources,
+    snapshotOrAmiMadePublic, putObjectAclPublisherExample)
 }

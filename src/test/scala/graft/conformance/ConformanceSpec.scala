@@ -50,7 +50,14 @@ class ConformanceSpec extends AnyFunSuite {
     "okta_new_login", // classification-only negative (no okta rules)
     "packetbeat_blacklisted_domain",
     "packetbeat_blacklisted_ip",
-    "packetbeat_dns_lookup")
+    "packetbeat_dns_lookup",
+    "cloudtrail_critical_api_calls", // 15-event positive/negative sweep
+    "cloudtrail_mfa_policy_abuse_attempt",
+    "cloudtrail_public_resources", // policyuniverse is_internet_accessible
+    "cloudtrail_snapshot_or_ami_made_public",
+    // publisher_tests leg: slack Summary/RuleInfo/FullRecord + pagerduty
+    // populate_fields/ShortenTitle/as_custom_details payload assertions
+    "cloudtrail_put_object_acl_public_publisher_example")
 
   private def load(name: String): Seq[RuleTestEvent] = {
     val in = getClass.getResourceAsStream(s"/conformance/$name.json")
@@ -94,7 +101,8 @@ class ConformanceSpec extends AnyFunSuite {
       matchers = CommunityRules.matchers,
       normalization = schemas.map(s => s.name -> s.normalization).toMap,
       threatIntelConfJson = Some(tiConf),
-      dataSources = Some(graft.core.DataSources.loadClusterJson(clusterConf)))
+      dataSources = Some(graft.core.DataSources.loadClusterJson(clusterConf)),
+      publisherChains = CommunityRules.publisherExampleChains)
   }
 
   // one batched run per fixture file, every event asserted individually so
