@@ -1953,6 +1953,69 @@ object Queries {
       .drop("alert_id").orderBy("event_id")
   }
 
+  // A5j: the community slack/pagerduty LAYOUT chains (slack_layout.py
+  // Summary + AttachRuleInfo + AttachFullRecord; pagerduty_layout.py
+  // populate_fields + PrettyPrintArrays + ShortenTitle + as_custom_details)
+  // — full publication JSON byte-exact against SQL-built strings,
+  // including the parsed rule description, the github-search title link,
+  // the indent-2 record dump inside the code fence, and the
+  // single-hit-scalar populate arity.
+  register(
+    "a5j_publishers_layout",
+    """SELECT event_id,
+      |  '{"@slack.text":"Rule triggered","@slack.attachments":['
+      |  || '{"fallback":"Rule triggered: layout_demo","color":"#ff5a5f",'
+      |  || '"author_name":"","author_link":"","author_icon":"",'
+      |  || '"title":"layout_demo","title_link":'
+      |  || '"https://github.com/airbnb/streamalert/search?q=layout_demo+path%3A%2Frules",'
+      |  || '"text":"Demo of the slack layout chain","image_url":"","thumb_url":"",'
+      |  || '"footer":"","footer_icon":"","ts":1704067200,"mrkdwn_in":[]},'
+      |  || '{"color":"#8ce071","fields":[{"title":"Note","value":"First note line continues here"},'
+      |  || '{"title":"Playbook","value":"(a) check the runbook"}]},'
+      |  || '{"color":"#7b0051","author":"stream-1","title":"Record",'
+      |  || '"text":"```\n\n{\n  \"event_id\": ' || event_id
+      |  || ',\n  \"event_type\": \"' || event_type || '\"\n}\n```",'
+      |  || '"fields":[{"title":"Alert Id","value":"' || md5(event_id::VARCHAR) || '"}],'
+      |  || '"footer":"via <https://console.aws.amazon.com/kinesis/home|kinesis>",'
+      |  || '"footer_icon":"","mrkdwn_in":["text"]}],'
+      |  || '"@slack._previous_publication":{"record":{"event_id":' || event_id
+      |  || ',"event_type":"' || event_type || '"}}}' AS slack_pub,
+      |  '{"event_id":' || event_id || ',"event_type":"' || event_type || '",'
+      |  || '"@pagerduty-v2.summary":"layout_demo",'
+      |  || '"@pagerduty-incident.incident_title":"layout_demo",'
+      |  || '"@pagerduty.description":"layout_demo",'
+      |  || '"@pagerduty.details":{"event_id":' || event_id
+      |  || ',"event_type":"' || event_type || '"},'
+      |  || '"@pagerduty-v2.custom_details":{"event_id":' || event_id
+      |  || ',"event_type":"' || event_type || '"}}' AS pd_pub
+      |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import graft.alerts.Publishers
+    val alerts = t(s, dir, "events").where(col("event_id") < 200)
+      .select(
+        md5(col("event_id").cast("string")).as("alert_id"),
+        lit("layout_demo").as("rule_name"),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+          .cast("timestamp").as("created"),
+        lit("kinesis").as("source_service"),
+        lit("stream-1").as("source_entity"),
+        lit("description: Demo of the slack layout chain\n\n" +
+          "note: First note line\n  continues here\n" +
+          "playbook: (a) check the runbook").as("rule_description"),
+        struct(col("event_id"), col("event_type")).as("record"))
+    Publishers.register("populate_a5j")(
+      Publishers.populateFields(Seq("event_id", "event_type")))
+    val slackChain = Seq("record_only", "slack_summary",
+      "slack_attach_rule_info", "slack_attach_full_record")
+    val pdChain = Seq("record_only", "populate_a5j", "pretty_print_arrays",
+      "pagerduty_shorten_title", "pagerduty_as_custom_details")
+    val sl = Publishers.publish(alerts, slackChain)
+      .select(col("alert_id"), col("record.event_id").as("event_id"),
+        col("publication").as("slack_pub"))
+    val pd = Publishers.publish(alerts, pdChain)
+      .select(col("alert_id"), col("publication").as("pd_pub"))
+    sl.join(pd, "alert_id").drop("alert_id").orderBy("event_id")
+  }
+
   // A5b: community publisher library — record_only + enumerate_fields
   // (dotted-path flattening, generic.py:115-168) and populate_fields (deep
   // get_keys extraction with the reference's single-hit-publishes-scalar

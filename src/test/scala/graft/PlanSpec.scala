@@ -51,17 +51,27 @@ class PlanSpec extends AnyFunSuite {
       .select(md5(col("event_id").cast("string")).as("alert_id"),
         lit("r").as("rule_name"), lit("d").as("rule_description"),
         lit("demo:events").as("log_type"),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("created"),
+        lit("kinesis").as("source_service"), lit("s1").as("source_entity"),
         struct(col("event_id"), col("event_type"),
           array(lit("x"), lit("y")).as("tags"),
           struct(col("user_id").as("uid")).as("who")).as("record"))
     graft.alerts.Publishers.register("lambda_plan_demo")(
       graft.alerts.Publishers.lambdaInvocation("fn:qual"))
+    graft.alerts.Publishers.register("populate_plan_demo")(
+      graft.alerts.Publishers.populateFields(Seq("uid", "event_type")))
     for (chain <- Seq(
         Seq("slack_message"), Seq("record_only", "sns_message"),
         Seq("victorops_message"), Seq("komand_envelope"),
         Seq("record_only", "enumerate_fields"),
         Seq("lambda_plan_demo"), Seq("sqs_message"),
-        Seq("record_only", "cloudwatch_log_entry"))) {
+        Seq("record_only", "cloudwatch_log_entry"),
+        // the community layout chains (a5j): description parse, record
+        // dump + chunk, and deep populate are all one fused projection
+        Seq("record_only", "slack_summary", "slack_attach_rule_info",
+          "slack_attach_full_record"),
+        Seq("record_only", "populate_plan_demo", "pretty_print_arrays",
+          "pagerduty_shorten_title", "pagerduty_as_custom_details"))) {
       val p = graft.alerts.Publishers.publish(alerts, chain)
         .queryExecution.executedPlan.toString
       assert(!p.contains("Exchange"), s"$chain must not shuffle")
