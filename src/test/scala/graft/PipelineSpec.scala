@@ -558,6 +558,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(out2 == "{\n  \"s\": \"a\\\"b\\\\c\\nd\"\n}") // JSON escapes intact
   }
 
+  test("rule description parser matches the reference on its documented shapes") {
+    // expectations generated by running the reference's
+    // RuleDescriptionParser.present on the same inputs (description.py
+    // docstring examples + a preamble/maintainer/empty-field case)
+    def present(desc: String): (String, String, Seq[(String, String)]) = {
+      val df = Seq(desc).toDF("d")
+        .select(Publishers.presentRuleDescription(col("d")).as("p"))
+      val r = df.select(col("p.author"), col("p.description"), col("p.fields"))
+        .collect()(0)
+      (r.getString(0), r.getString(1),
+        r.getSeq[org.apache.spark.sql.Row](2).map(f =>
+          f.getString(0) -> f.getString(1)))
+    }
+
+    val (a1, d1, f1) = present(
+      "author:  Derek\ndescription: Blah lorem ipsum\n             bacon bleu cheese\nplaybook: etc")
+    assert(a1 == "Derek")
+    assert(d1 == "Blah lorem ipsum bacon bleu cheese") // continuation joins with ' '
+    assert(f1 == Seq("Playbook" -> "etc"))
+
+    // long URL continuation lines smush with NO separator
+    val (_, _, f2) = present(
+      "author: Derek\nreference: https://this.is.a.really.really/long/url\n     ?that=does+not+fit#smushed")
+    assert(f2 == Seq("Reference" ->
+      "https://this.is.a.really.really/long/url?that=does+not+fit#smushed"))
+
+    // a blank line buffers a newline as the joiner (paragraph break)
+    val (_, d3, _) = present(
+      "description:\n    This is paragraph 1 and remains unbroken despite having\n" +
+        "    a linebreak in the middle of it.\n\n" +
+        "    However, this paragraph 2 is broken from paragraph 1 because\n" +
+        "    it has a double break in between.")
+    assert(d3 == "This is paragraph 1 and remains unbroken despite having " +
+      "a linebreak in the middle of it.\nHowever, this paragraph 2 is broken " +
+      "from paragraph 1 because it has a double break in between.")
+
+    // free preamble lands in description; maintainer aliases author; a
+    // field with no lines still presents (empty value)
+    val (a4, d4, f4) = present(
+      "Free preamble before fields\n\nmaintainer: Ops Team\nnote:")
+    assert(a4 == "Ops Team")
+    assert(d4 == "Free preamble before fields")
+    assert(f4 == Seq("Note" -> ""))
+  }
+
+  test("jsonPrettyText re-formats compact JSON like json.dumps(indent=2)") {
+    // expectation generated by json.dumps(..., indent=2,
+    // separators=(',', ': ')) on the same document; structural chars
+    // inside string literals must pass through untouched
+    val compact =
+      """{"a":{"b":[1,2],"c":{}},"d":[],"s":"x:y{z},[w]","e":"q\"t"}"""
+    val out = Seq(compact).toDF("j")
+      .select(Publishers.jsonPrettyText(col("j"), 0).as("p"))
+      .as[String].collect()(0)
+    val expected =
+      "{\n  \"a\": {\n    \"b\": [\n      1,\n      2\n    ],\n    \"c\": {}\n  }," +
+        "\n  \"d\": [],\n  \"s\": \"x:y{z},[w]\",\n  \"e\": \"q\\\"t\"\n}"
+    assert(out == expected)
+  }
+
   test("elide_string_middle matches the reference on both branches") {
     // helpers.py:19-33: <= max passes through; longer keeps half_len from
     // each end around ' ... '
