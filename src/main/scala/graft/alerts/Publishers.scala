@@ -56,6 +56,10 @@ object Publishers {
 
   def register(name: String)(p: Publisher): Unit = registry(name) = p
 
+  /** AlertPublisherRepository.has_publisher — the registration check the
+    * assignment pass uses to drop unknown names with a warning. */
+  def isRegistered(name: String): Boolean = registry.contains(name)
+
   def apply(name: String): Publisher =
     registry.getOrElse(name, throw new NoSuchElementException(s"unknown publisher: $name"))
 

@@ -24,7 +24,14 @@ final case class RuleOpts(
     dynamicOutputs: Option[Column => Column] = None, // record struct -> array<string>
     mergeByKeys: Seq[String] = Nil,
     mergeWindowMins: Int = 0,
+    /** the blanket string/list publisher form (rules_engine.py:371-377):
+      * these apply to every requested output */
     publishers: Seq[String] = Nil,
+    /** the dict publisher form (rules_engine.py:378-403): keys are either a
+      * service (`slack`) or an exact output (`slack:channel`); resolution
+      * loads the service key's chain first, then appends the exact output
+      * key's — see [[RulesEngine.configurePublishers]] */
+    publishersByOutput: Map[String, Seq[String]] = Map.empty,
     description: String = "No rule description provided",
     /** static per-rule context dict (rule.py:70-76) — lands on the alert as
       * a map column, so downstream publishers/outputs read it exactly like

@@ -166,3 +166,35 @@ final class RulesEngine(
     fired.select(alertCols ++ passthrough.map(col): _*)
   }
 }
+
+object RulesEngine {
+
+  /** _configure_publishers (rules_engine.py:341-408): resolve a rule's
+    * publisher declaration to a per-output chain.
+    *
+    *   - the blanket string/list form applies to every requested output;
+    *   - the dict form loads the SERVICE key's chain first, then appends
+    *     the exact output+descriptor key's chain;
+    *   - `aws-firehose:alerts` is deliberately excluded (required outputs
+    *     never have their alerts transformed);
+    *   - names missing from the publisher registry drop with a warning
+    *     (standardize_publisher_name, :443-446). */
+  def configurePublishers(rule: Rule,
+      requestedOutputs: Seq[String]): Map[String, Seq[String]] = {
+    val opts = rule.opts
+    if (opts.publishers.isEmpty && opts.publishersByOutput.isEmpty) Map.empty
+    else requestedOutputs.filterNot(_ == "aws-firehose:alerts").map { out =>
+      val requested =
+        if (opts.publishersByOutput.nonEmpty) {
+          val service = out.split(':').head
+          opts.publishersByOutput.getOrElse(service, Nil) ++
+            opts.publishersByOutput.getOrElse(out, Nil)
+        } else opts.publishers
+      val (known, unknown) =
+        requested.partition(graft.alerts.Publishers.isRegistered)
+      unknown.foreach(n => System.err.println(
+        s"[graft] rule ${rule.name}: requested publisher ($n) is not registered"))
+      out -> known
+    }.toMap
+  }
+}

@@ -207,12 +207,7 @@ final class RuleTestHarness(
       * resolution (handler.py:328-366) feeding the classifier's
       * logs-for-resource filter. Without it every schema is a candidate
       * (pure first-match ordering). */
-    dataSources: Option[Map[String, Map[String, Seq[String]]]] = None,
-    /** service prefix -> ordered publisher-registry names, the rule's
-      * `publishers={'slack': [...], ...}` declaration. Events carrying
-      * `publisher_tests` re-publish their fired alert through the
-      * output's service chain and assert over the payload. */
-    publisherChains: Map[String, Seq[String]] = Map.empty) {
+    dataSources: Option[Map[String, Map[String, Seq[String]]]] = None) {
 
   private val mapper = new ObjectMapper()
 
@@ -314,13 +309,16 @@ final class RuleTestHarness(
             .collect().map(r => r.getInt(0) -> r.getString(1))
 
           // the publisher leg: re-publish each tested event's fired alert
-          // through its output's service chain (handler.py publisher tests)
+          // through the chain the RULE declares for that output, resolved
+          // by the engine's assignment pass (handler.py publisher tests)
           evs.collect { case (e, i) if pubEvents(i) =>
             e.publisherTests.keys.foreach { output =>
-              val service = output.split(':').head
-              val chain = publisherChains.getOrElse(service,
-                throw new NoSuchElementException(
-                  s"no publisher chain declared for service $service"))
+              val rule = rules.find(r => e.triggerRules.contains(r.name))
+                .getOrElse(throw new NoSuchElementException(
+                  s"publisher_tests event has no ported trigger rule"))
+              val chain = RulesEngine.configurePublishers(rule, rule.opts.outputs)
+                .getOrElse(output, throw new NoSuchElementException(
+                  s"rule ${rule.name} declares no publishers for $output"))
               val one = alerts
                 .filter(col("__evt_idx") === i &&
                   col("rule_name").isin(e.triggerRules.toSeq: _*))

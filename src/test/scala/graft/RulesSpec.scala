@@ -180,4 +180,40 @@ class RulesSpec extends AnyFunSuite {
       .select("merge_key_vals").collect()
     assert(viaArray.forall(_.isNullAt(0)), "unresolvable path must be null")
   }
+
+  test("publisher assignment: blanket, dict precedence, firehose exclusion, unknown drop") {
+    // rules_engine.py:341-408 _configure_publishers
+    import graft.alerts.Publishers
+    Publishers.register("pub_a")(identity)
+    Publishers.register("pub_b")(identity)
+    Publishers.register("pub_c")(identity)
+    val outputs = Seq("slack:chan", "pagerduty:svc", "aws-firehose:alerts")
+
+    // blanket list applies to every output; required firehose is excluded
+    val blanket = Rule("r1", RuleOpts(logs = Seq("t"),
+      publishers = Seq("pub_a", "pub_b")), _ => lit(true))
+    assert(RulesEngine.configurePublishers(blanket, outputs) ==
+      Map("slack:chan" -> Seq("pub_a", "pub_b"),
+        "pagerduty:svc" -> Seq("pub_a", "pub_b")))
+
+    // dict form: SERVICE key's chain loads first, exact output+descriptor
+    // key's chain appends after it; unmatched outputs get an empty chain
+    val dict = Rule("r2", RuleOpts(logs = Seq("t"),
+      publishersByOutput = Map(
+        "slack" -> Seq("pub_a"),
+        "slack:chan" -> Seq("pub_b"))), _ => lit(true))
+    assert(RulesEngine.configurePublishers(dict, outputs) ==
+      Map("slack:chan" -> Seq("pub_a", "pub_b"),
+        "pagerduty:svc" -> Nil))
+
+    // unregistered names drop (standardize_publisher_name warning path)
+    val unknown = Rule("r3", RuleOpts(logs = Seq("t"),
+      publishers = Seq("pub_c", "never_registered")), _ => lit(true))
+    assert(RulesEngine.configurePublishers(unknown, Seq("slack:chan")) ==
+      Map("slack:chan" -> Seq("pub_c")))
+
+    // no declaration at all -> no assignment (reference returns None)
+    val none = Rule("r4", RuleOpts(logs = Seq("t")), _ => lit(true))
+    assert(RulesEngine.configurePublishers(none, outputs).isEmpty)
+  }
 }

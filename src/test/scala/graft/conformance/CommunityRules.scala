@@ -515,13 +515,28 @@ object CommunityRules {
     * documents. Carries the reference docstring VERBATIM as the rule
     * description (the Summary / AttachRuleInfo publishers parse it) and the
     * `populate_fields` context list. */
-  val putObjectAclPublisherExample: Rule = Rule(
+  val putObjectAclPublisherExample: Rule = {
+    // the rule's context['populate_fields'] list, bound at registration
+    // exactly as the reference's publisher reads it from the alert context
+    graft.alerts.Publishers.register("populate_fields_acl_example")(
+      graft.alerts.Publishers.populateFields(Seq(
+        "userName", "sourceIPAddress", "eventTime", "eventName",
+        "eventSource", "bucketName")))
+    Rule(
     "cloudtrail_put_object_acl_public_publisher_example",
     RuleOpts(
       logs = Seq("cloudwatch:events"),
       reqSubkeys = Map("detail" ->
         Seq("eventName", "requestParameters", "sourceIPAddress")),
       outputs = Seq("slack:sample-channel", "pagerduty:sample-integration"),
+      // the reference's publishers={'slack': [...], 'pagerduty': [...]}
+      // dict form, resolved per output by RulesEngine.configurePublishers
+      publishersByOutput = Map(
+        "slack" -> Seq(
+          "slack_summary", "slack_attach_rule_info", "slack_attach_full_record"),
+        "pagerduty" -> Seq(
+          "add_record", "populate_fields_acl_example", "pretty_print_arrays",
+          "pagerduty_shorten_title", "pagerduty_as_custom_details")),
       context = Map("populate_fields" ->
         "userName,sourceIPAddress,eventTime,eventName,eventSource,bucketName"),
       description =
@@ -536,20 +551,6 @@ object CommunityRules {
         detail(rec, "eventName") === "PutObjectAcl" &&
         Helpers.rawJsonHasSubstring(rp, PublicAcls)
     })
-
-  /** The example rule's `publishers={'slack': [...], 'pagerduty': [...]}`
-    * declaration, as registry-name chains keyed by output service. */
-  lazy val publisherExampleChains: Map[String, Seq[String]] = {
-    graft.alerts.Publishers.register("populate_fields_acl_example")(
-      graft.alerts.Publishers.populateFields(Seq(
-        "userName", "sourceIPAddress", "eventTime", "eventName",
-        "eventSource", "bucketName")))
-    Map(
-      "slack" -> Seq(
-        "slack_summary", "slack_attach_rule_info", "slack_attach_full_record"),
-      "pagerduty" -> Seq(
-        "add_record", "populate_fields_acl_example", "pretty_print_arrays",
-        "pagerduty_shorten_title", "pagerduty_as_custom_details"))
   }
 
   /** cloudtrail_critical_api_calls.py:57-93: destructive/log-stopping API

@@ -101,8 +101,7 @@ class ConformanceSpec extends AnyFunSuite {
       matchers = CommunityRules.matchers,
       normalization = schemas.map(s => s.name -> s.normalization).toMap,
       threatIntelConfJson = Some(tiConf),
-      dataSources = Some(graft.core.DataSources.loadClusterJson(clusterConf)),
-      publisherChains = CommunityRules.publisherExampleChains)
+      dataSources = Some(graft.core.DataSources.loadClusterJson(clusterConf)))
   }
 
   // one batched run per fixture file, every event asserted individually so
