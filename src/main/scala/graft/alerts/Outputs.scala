@@ -187,7 +187,8 @@ object Outputs {
   def fanOutTracked(batch: DataFrame, dispatchers: Map[String, Dispatcher],
       ledger: AttemptLedger,
       publishersByOutput: Map[String, Seq[String]] = Map.empty,
-      clock: Option[java.sql.Timestamp] = None): Map[String, Boolean] = {
+      clock: Option[java.sql.Timestamp] = None,
+      ruleChains: Map[String, Map[String, Seq[String]]] = Map.empty): Map[String, Boolean] = {
     val spark = batch.sparkSession
     val ts = clock.map(t => lit(t).cast("timestamp"))
       .getOrElse(current_timestamp())
@@ -212,10 +213,14 @@ object Outputs {
             val ok =
               if (owed.isEmpty) true // nothing owed: nothing to record
               else {
+                val subsets = chainSubsets(owed, out,
+                  publishersByOutput.getOrElse(out, Nil), ruleChains)
                 val delivered =
                   try {
-                    d.dispatch(Publishers.publish(owed,
-                      publishersByOutput.getOrElse(out, Nil)), descriptor)
+                    subsets.foreach { case (chain, df) =>
+                      if (subsets.size == 1 || !df.isEmpty)
+                        d.dispatch(Publishers.publish(df, chain), descriptor)
+                    }
                     true
                   } catch { case scala.util.control.NonFatal(_) => false }
                 ledger.append(owed.select(col("alert_id"),
@@ -230,10 +235,33 @@ object Outputs {
     } finally perOutput.unpersist()
   }
 
+  /** Split one output's alert batch by the publisher chain each alert's
+    * RULE declares for that output (the per-alert assignment of
+    * rules_engine.py:326-338, regrouped so every distinct chain publishes
+    * as ONE column plan instead of a per-alert loop). Alerts from rules
+    * with no declaration fall back to the conf-level default chain. */
+  private def chainSubsets(base: DataFrame, out: String,
+      defaultChain: Seq[String],
+      ruleChains: Map[String, Map[String, Seq[String]]]): Seq[(Seq[String], DataFrame)] = {
+    val declared = ruleChains.collect {
+      case (rn, m) if m.getOrElse(out, Nil).nonEmpty => rn -> m(out)
+    }
+    if (declared.isEmpty) Seq(defaultChain -> base)
+    else {
+      val declaredRules = declared.keys.toSeq
+      declared.groupBy(_._2).toSeq.map { case (chain, entries) =>
+        chain -> base.where(col("rule_name").isin(entries.keys.toSeq: _*))
+      } :+ (defaultChain -> base.where(!col("rule_name").isin(declaredRules: _*)))
+    }
+  }
+
   /** Fan one alert batch out to every output it carries. `outputs` is the
-    * per-alert array column; dispatchers are keyed by service name. */
+    * per-alert array column; dispatchers are keyed by service name;
+    * `ruleChains` (rule name -> output -> chain) carries the rule-declared
+    * publisher assignments from [[graft.rules.RulesEngine.publisherAssignments]]. */
   def fanOut(batch: DataFrame, dispatchers: Map[String, Dispatcher],
-      publishersByOutput: Map[String, Seq[String]] = Map.empty): Unit = {
+      publishersByOutput: Map[String, Seq[String]] = Map.empty,
+      ruleChains: Map[String, Map[String, Seq[String]]] = Map.empty): Unit = {
     // one action per output PLUS the distinct scan below all read `batch` —
     // cache it so the upstream pipeline (classify -> rules) evaluates once
     // per fan-out, not once per output
@@ -247,10 +275,15 @@ object Outputs {
       outputs.foreach { out =>
         val Array(service, descriptor) = out.split(":", 2)
         dispatchers.get(service).foreach { d =>
-          val published = Publishers.publish(
-            perOutput.where(col("__output") === out).drop("__output"),
-            publishersByOutput.getOrElse(out, Nil))
-          d.dispatch(published, descriptor)
+          val base = perOutput.where(col("__output") === out).drop("__output")
+          val subsets = chainSubsets(base, out,
+            publishersByOutput.getOrElse(out, Nil), ruleChains)
+          subsets.foreach { case (chain, df) =>
+            // a split leaves possibly-empty groups; only the single
+            // (unsplit) subset dispatches unconditionally as before
+            if (subsets.size == 1 || !df.isEmpty)
+              d.dispatch(Publishers.publish(df, chain), descriptor)
+          }
         }
       }
     } finally perOutput.unpersist()

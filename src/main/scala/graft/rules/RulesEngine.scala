@@ -32,6 +32,13 @@ final class RulesEngine(
     deterministicIds: Boolean = false,
     clock: Option[java.sql.Timestamp] = None) {
 
+  /** Every rule's resolved per-output publisher chains over its requested
+    * outputs (the assignment the reference stores on each alert,
+    * rules_engine.py:326-338) — what the dispatch fan-out consults. */
+  def publisherAssignments: Map[String, Map[String, Seq[String]]] =
+    rules.map(r => r.name -> RulesEngine.configurePublishers(r, r.opts.outputs))
+      .filter(_._2.exists(_._2.nonEmpty)).toMap
+
   /** rules_for_log_type (shared/rule.py:231-234): rules whose `logs` list
     * contains the type, or datatype-driven rules with no `logs`. */
   def rulesForLogType(logType: String): Seq[Rule] =

@@ -187,7 +187,11 @@ final class Pipeline(
               md5(concat_ws("|", col("rule_name"), col("merge_keys"),
                 col("alert_time_first").cast("string"))))
               .withColumn("record", col("other_common_keys_json")),
-            dispatchers)
+            dispatchers,
+            // rule-declared per-output publisher chains (the reference
+            // stores this assignment on each alert; here it regroups the
+            // batch per distinct chain at dispatch)
+            ruleChains = engine.publisherAssignments)
         ()
       }
       .start()

@@ -404,6 +404,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(sent.head._2.contains("\"rule_name\":\"big\""))
   }
 
+  test("fan-out applies each rule's declared publisher chain per output") {
+    // rules_engine.py:326-408: two rules share one output but declare
+    // different publisher chains — each alert's payload must be shaped by
+    // ITS rule's chain, with undeclared rules falling back to the default
+    val rules = Seq(
+      graft.rules.Rule("stripped", graft.rules.RuleOpts(
+        logs = Seq("demo:events"),
+        outputs = Seq("slack:chan"),
+        publishersByOutput = Map("slack" -> Seq("record_only"))),
+        rec => rec.getField("event_id") === 1),
+      graft.rules.Rule("fallback", graft.rules.RuleOpts(
+        logs = Seq("demo:events"),
+        outputs = Seq("slack:chan")),
+        rec => rec.getField("event_id") === 2))
+    val eng = new graft.rules.RulesEngine(rules, deterministicIds = true)
+    val alerts = eng.evaluate(
+      new graft.classify.Classifier(Seq(schema)).classify(Seq(
+        """{"event_id":1,"etype":"error","value":1.0}""",
+        """{"event_id":2,"etype":"error","value":2.0}""").toDF("value"))
+        .forType("demo:events"), "demo:events")
+      .withColumn("staged", lit(false))
+      .withColumn("outputs", array(lit("slack:chan")))
+    val sent = scala.collection.mutable.Buffer[(String, String)]()
+    Outputs.fanOut(alerts,
+      Map("slack" -> Outputs.WebhookDispatcher((d, p) => sent += (d -> p))),
+      ruleChains = eng.publisherAssignments)
+    assert(sent.size == 2)
+    val byRule = sent.map(_._2).partition(_.contains("\"rule_name\":\"fallback\""))
+    // the fallback rule's payload is the default full-alert publication
+    assert(byRule._1.size == 1 && byRule._1.head.contains("\"rule_name\""))
+    // the declared rule's payload went through record_only: bare record
+    assert(byRule._2.size == 1 &&
+      byRule._2.head.startsWith("{\"record\":") &&
+      !byRule._2.head.contains("\"rule_name\""))
+  }
+
   test("lookup-table TTL cache reloads only after cache_refresh_minutes") {
     // driver_s3.py:47-121: the doc is fetched once, served from cache
     // until the TTL lapses, then re-fetched — a rule sees the new value
