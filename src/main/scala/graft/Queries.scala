@@ -2401,6 +2401,135 @@ object Queries {
       .orderBy("q_id", "rank")
   }
 
+  // K-means Lloyd training (the trainer behind the IVF quantizer and
+  // semantic dedup), proven EXACTLY — no planting needed: Lloyd from fixed
+  // seeds is deterministic (assignment argmin on 6-decimal-rounded squared
+  // distances with cluster-id tie-break, means in double), so two rounds
+  // seeded from the first four vectors have exactly one answer and the
+  // whole assign→mean→reassign→mean loop hash-matches DuckDB.
+  register(
+    "ann_kmeans_lloyd",
+    """WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |init AS (SELECT vec_id::INT AS cluster, embedding::DOUBLE[] AS c
+      |         FROM embeddings WHERE vec_id < 4),
+      |a1 AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT corpus.vec_id, init.cluster,
+      |           row_number() OVER (PARTITION BY corpus.vec_id ORDER BY
+      |             round(list_sum(list_transform(range(1, len(v) + 1),
+      |               i -> (v[i] - c[i]) * (v[i] - c[i]))), 6), init.cluster) AS rn
+      |    FROM corpus CROSS JOIN init)
+      |  WHERE rn = 1),
+      |c1 AS (
+      |  SELECT cluster, pos - 1 AS pos, avg(val) AS cen FROM (
+      |    SELECT a1.cluster, unnest(corpus.v) AS val,
+      |           generate_subscripts(corpus.v, 1) AS pos
+      |    FROM a1 JOIN corpus ON a1.vec_id = corpus.vec_id)
+      |  GROUP BY cluster, pos),
+      |c1v AS (SELECT cluster, list(cen ORDER BY pos) AS c FROM c1 GROUP BY cluster),
+      |a2 AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT corpus.vec_id, c1v.cluster,
+      |           row_number() OVER (PARTITION BY corpus.vec_id ORDER BY
+      |             round(list_sum(list_transform(range(1, len(v) + 1),
+      |               i -> (v[i] - c[i]) * (v[i] - c[i]))), 6), c1v.cluster) AS rn
+      |    FROM corpus CROSS JOIN c1v)
+      |  WHERE rn = 1),
+      |c2 AS (
+      |  SELECT cluster, pos - 1 AS pos, avg(val) AS cen FROM (
+      |    SELECT a2.cluster, unnest(corpus.v) AS val,
+      |           generate_subscripts(corpus.v, 1) AS pos
+      |    FROM a2 JOIN corpus ON a2.vec_id = corpus.vec_id)
+      |  GROUP BY cluster, pos)
+      |SELECT cluster, pos, round(cen, 6) AS centroid FROM c2
+      |ORDER BY cluster, pos""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val init = e.where(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cluster"),
+        col("embedding").as("centroid_vec"))
+    Similarity.kmeansLloyd(e, init, iters = 2)
+      .select(col("cluster"), col("pos"),
+        round(col("centroid"), 6).as("centroid"))
+      .orderBy("cluster", "pos")
+  }
+
+  // Okapi BM25 top-k retrieval: the corpus-audit probe search ("which
+  // documents answer this query"). Postings carry (doc_id, term, tf, dl)
+  // from one scan-side explode+pre-combined agg; probe terms, their df, and
+  // the corpus stats all broadcast, so scoring touches only matched
+  // postings. Double arithmetic written identically on both sides, scores
+  // rounded to 6 BEFORE ranking, ties by doc_id — fully hash-matched.
+  register(
+    "t13_bm25_topk",
+    """WITH q AS (SELECT * FROM (VALUES ('q1', 'table scan'),
+      |    ('q2', 'merge join batch'), ('q3', 'vector data stream'))
+      |    AS q(q_id, q_text)),
+      |post AS (
+      |  SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM (
+      |    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM (
+      |      SELECT doc_id,
+      |             list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')
+      |               AS toks
+      |      FROM documents))
+      |  GROUP BY doc_id, dl, term),
+      |qt AS (
+      |  SELECT q_id, unnest(list_distinct(
+      |    list_filter(string_split_regex(lower(q_text), '\s+'), x -> x != ''))) AS term
+      |  FROM q),
+      |stats AS (
+      |  SELECT count(*)::DOUBLE AS n,
+      |         avg(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |             x -> x != ''))::DOUBLE) AS avgdl
+      |  FROM documents),
+      |dft AS (
+      |  SELECT term, count(*)::DOUBLE AS df
+      |  FROM post JOIN (SELECT DISTINCT term FROM qt) v USING (term)
+      |  GROUP BY term),
+      |scored AS (
+      |  SELECT qt.q_id, post.doc_id,
+      |         round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+      |           tf * (1.2 + 1.0) /
+      |           (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+      |  FROM post JOIN qt USING (term) JOIN dft USING (term) CROSS JOIN stats
+      |  GROUP BY qt.q_id, post.doc_id)
+      |SELECT q_id, doc_id, score, rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY score DESC, doc_id ASC) AS rank FROM scored)
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+    val session = s
+    import session.implicits._
+    val probes = Seq(("q1", "table scan"), ("q2", "merge join batch"),
+      ("q3", "vector data stream")).toDF("q_id", "q_text")
+    graft.pipeline.Retrieval.bm25TopK(t(s, dir, "documents"), probes, k = 5)
+      .orderBy("q_id", "rank")
+  }
+
+  // TF-IDF salient terms per document ("what is this document about") —
+  // full-vocabulary document frequencies from one skinny pre-combined agg,
+  // per-doc top-3 window over (doc_id, term, score) triples.
+  register(
+    "t14_tfidf_top_terms",
+    """WITH post AS (
+      |  SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM (
+      |    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM (
+      |      SELECT doc_id,
+      |             list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')
+      |               AS toks
+      |      FROM documents))
+      |  GROUP BY doc_id, dl, term),
+      |stats AS (SELECT count(*)::DOUBLE AS n FROM documents),
+      |dft AS (SELECT term, count(*)::DOUBLE AS df FROM post GROUP BY term),
+      |scored AS (
+      |  SELECT doc_id, term, round(tf / dl * ln(n / df), 6) AS tfidf
+      |  FROM post JOIN dft USING (term) CROSS JOIN stats)
+      |SELECT doc_id, term, tfidf, rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY tfidf DESC, term ASC) AS rank FROM scored)
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
+    graft.pipeline.Retrieval.tfidfTopTerms(t(s, dir, "documents"), k = 3)
+      .orderBy("doc_id", "rank")
+  }
+
   // Token-bounded chunking with overlap (context-window prep): chunk i
   // covers words [i*48, i*48+64), every word covered, zero shuffle.
   register(

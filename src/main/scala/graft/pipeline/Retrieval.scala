@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Sparse lexical retrieval over the document corpus: the postings/tf stage,
+  * Okapi BM25 top-k search, and TF-IDF salient-term extraction — the
+  * retrieval-side operators a training-data pipeline needs next to the
+  * dedup family (corpus audits: "which documents answer this probe",
+  * "what is each document about").
+  *
+  * Not in the reference (it has no free-text search surface); built
+  * Spark-first per the §2.7 charter.
+  *
+  * 100 TB shape: the ONLY corpus-cardinality structure is the (doc_id,
+  * term, tf, dl) postings relation, produced scan-side by one
+  * explode+groupBy whose partial aggregation pre-combines repeated terms
+  * per task. Everything query-sized (the probe terms, their document
+  * frequencies, the corpus N/avgdl stats) is broadcast — scoring therefore
+  * touches only postings that match a probe term (broadcast semi-join at
+  * the scan), never the full vocabulary, and the final per-(query, doc)
+  * sum + per-query top-k window shuffle only the matched slice.
+  */
+object Retrieval {
+
+  /** The postings relation: one row per (doc, term) with the term count and
+    * the document length riding along from the same scan (no separate
+    * doc-length join later). Tokenization matches [[TextAnalysis.tokens]]
+    * (lowercased, whitespace-split, empties dropped) so retrieval and the
+    * text-analysis operators agree on what a token is. */
+  def postings(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    docs.select(col(idCol), size(toks).as("dl"), explode(toks).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** One-row corpus statistics (N, avgdl) as a broadcastable DataFrame. */
+  private def corpusStats(docs: DataFrame, textCol: String): DataFrame =
+    broadcast(docs.agg(
+      count(lit(1)).cast("double").as("__n"),
+      avg(TextAnalysis.tokenCount(col(textCol)).cast("double")).as("__avgdl")))
+
+  /** Okapi BM25 top-k: for each probe query, the `k` best-scoring documents.
+    *
+    * score(q, d) = Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * with the standard non-negative idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+    *
+    * `queries` (q_id, q_text) must be probe-sized (authored audit queries,
+    * not a second corpus): its distinct term set is broadcast twice — once
+    * to semi-filter the postings scan, once to attach per-term df/idf — so
+    * the df aggregation runs over matched postings only, not the whole
+    * vocabulary. Deterministic across engines: doubles end-to-end, scores
+    * rounded to 6 before ranking, ties broken by doc id. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id",
+      queryId: String = "q_id", queryText: String = "q_text"): DataFrame = {
+    val post = postings(docs, textCol, idCol)
+    val qterms = queries.select(col(queryId),
+      explode(array_distinct(TextAnalysis.tokens(lower(col(queryText))))).as("term"))
+
+    // document frequency over the probe vocabulary only: semi-filter the
+    // postings with the broadcast term set, then one skinny agg
+    val dfT = post.join(broadcast(qterms.select("term").distinct()), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+
+    val matched = post
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfT), Seq("term"))
+      .crossJoin(corpusStats(docs, textCol))
+    val idf = log((col("__n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val tfNorm = col("tf").cast("double") * (k1 + 1.0) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("__avgdl")))
+    val scored = matched.withColumn("__s", idf * tfNorm)
+      .groupBy(col(queryId), col(idCol))
+      .agg(round(sum(col("__s")), 6).as("score"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(idCol), col("score"), col("rank"))
+  }
+
+  /** TF-IDF salient terms: the `k` highest-weighted terms per document,
+    * tfidf(t, d) = (tf/dl) · ln(N/df) — the corpus-audit "what is this
+    * document about" projection. Unlike [[bm25TopK]] the document
+    * frequencies here cover the FULL vocabulary (one pre-combined agg over
+    * the postings, vocabulary-cardinality output — still skinny: term +
+    * count, no doc ids). The per-doc top-k window shuffles (doc_id, term,
+    * score) triples only. */
+  def tfidfTopTerms(docs: DataFrame, k: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val post = postings(docs, textCol, idCol)
+    val dfT = post.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val scored = post
+      .join(dfT, Seq("term"))
+      .crossJoin(corpusStats(docs, textCol))
+      .withColumn("tfidf", round(
+        col("tf").cast("double") / col("dl").cast("double") *
+          log(col("__n") / col("df")), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tfidf"), col("rank"))
+  }
+}

@@ -152,6 +152,68 @@ object Similarity {
       .select(col(corpusId), col("cluster"), col("keep"))
   }
 
+  /** K-means (Lloyd) training from explicit initial centroids — the trainer
+    * behind [[ivfTopK]]'s coarse quantizer and [[semanticDedup]]'s cluster
+    * table, as a deterministic relational iteration. `init` is (cluster:
+    * int, centroid_vec: array) — k rows, tiny by definition. Returns the
+    * per-dimension centroids (cluster, pos, centroid) after `iters` Lloyd
+    * rounds (nearest-centroid assignment → per-cluster mean).
+    *
+    * Scale shape: each round the current centroids (k×dim doubles) are
+    * folded back into the plan as the SAME one-row matrix broadcast
+    * [[ivfTopK]] uses, so assignment stays a scan-side argmin — plan O(1)
+    * in k, no join, corpus partitioning preserved — and the only shuffle
+    * per round is the (cluster, pos) mean, cardinality k×dim. Rounds start
+    * from a fresh literal matrix, so lineage does NOT grow with `iters`
+    * (the connected-components plan-growth trap doesn't apply); callers
+    * should persist the corpus, which every round rescans. Assignment
+    * argmin compares distances rounded to 6 decimals with cluster-id
+    * tie-break — deterministic across engines. A cluster that captures no
+    * vectors drops out of subsequent rounds (callers wanting k stable
+    * should re-seed; at corpus scale with data-drawn seeds this does not
+    * arise). */
+  def kmeansLloyd(corpus: DataFrame, init: DataFrame, iters: Int,
+      vecCol: String = "embedding",
+      initCluster: String = "cluster", initVec: String = "centroid_vec"): DataFrame = {
+    require(iters >= 1, "kmeansLloyd: iters must be >= 1")
+    val session = corpus.sparkSession
+    import session.implicits._
+
+    def matRow(cents: Seq[(Int, Seq[Double])]): DataFrame = {
+      val sorted = cents.sortBy(_._1)
+      broadcast(Seq((sorted.map(_._1), sorted.map(_._2)))
+        .toDF("__cent_groups", "__cent_mat"))
+    }
+
+    def dist2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, v) => acc + v)
+
+    // one Lloyd round against a centroid literal: scan-side argmin
+    // assignment, then the k×dim mean — lazy until collected/returned
+    def meanUpdate(cents: Seq[(Int, Seq[Double])]): DataFrame =
+      corpus.crossJoin(matRow(cents))
+        .withColumn("__scored", array_sort(zip_with(col("__cent_mat"), col("__cent_groups"),
+          (c, g) => struct(round(dist2(col(vecCol), c), 6).as("d"), g.as("g")))))
+        .select(col("__scored").getItem(0).getField("g").as("cluster"),
+          posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos")
+        .agg(avg(col("v")).as("centroid"))
+
+    var cents: Seq[(Int, Seq[Double])] = init
+      .select(col(initCluster).cast("int"), col(initVec).cast("array<double>"))
+      .collect().toSeq.map(r => r.getInt(0) -> r.getSeq[Double](1))
+    var r = 1
+    while (r < iters) {
+      cents = meanUpdate(cents).collect().toSeq
+        .groupBy(_.getAs[Int]("cluster")).toSeq.map { case (c, rs) =>
+          c -> rs.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("centroid")).toSeq
+        }
+      r += 1
+    }
+    meanUpdate(cents)
+  }
+
   /** LSH-bucketed ANN: corpus bucketed once by hyperplane signature; queries
     * probe their own bucket plus all 1-bit-flip neighbors (multi-probe), so
     * recall degrades gracefully instead of falling off a cliff.

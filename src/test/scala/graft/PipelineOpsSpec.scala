@@ -574,4 +574,55 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(byCluster.values.forall(_.count(_._3) == 1))
     assert(out.filter(_._3).map(_._1).toSet == Set(0L, 4L))
   }
+
+  private val retrievalDocs = Seq(
+    (0L, "apple banana apple"),
+    (1L, "banana cherry"),
+    (2L, "cherry cherry cherry durian"))
+    .toDF("doc_id", "text")
+
+  test("bm25: hand-computed scores, matched docs only, rank order") {
+    // N=3, avgdl=3; idf(apple)=ln(2.5/1.5+1), idf(cherry)=ln(1.5/2.5+1)
+    // doc0: apple tf=2 dl=3 -> 0.980829*1.375    = 1.348640
+    // doc2: cherry tf=3 dl=4 -> 0.470004*1.466667 = 0.689339
+    // doc1: cherry tf=1 dl=2 -> 0.470004*1.157895 = 0.544215
+    val q = Seq(("q1", "apple cherry")).toDF("q_id", "q_text")
+    val got = Retrieval.bm25TopK(retrievalDocs, q, k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.map(t => (t._1, t._2, t._4)).toSeq ==
+      Seq(("q1", 0L, 1), ("q1", 2L, 2), ("q1", 1L, 3)))
+    val scores = got.map(_._3)
+    assert(math.abs(scores(0) - 1.348640) < 1e-4)
+    assert(math.abs(scores(1) - 0.689339) < 1e-4)
+    assert(math.abs(scores(2) - 0.544215) < 1e-4)
+  }
+
+  test("tfidf top terms: hand-computed weights, tie breaks on term") {
+    // doc1's banana and cherry tie exactly (tf 1, dl 2, df 2) -> banana wins
+    val got = Retrieval.tfidfTopTerms(retrievalDocs, k = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.map(t => (t._1, t._2)).toSeq ==
+      Seq((0L, "apple"), (1L, "banana"), (2L, "cherry")))
+    assert(math.abs(got(0)._3 - 2.0 / 3 * math.log(3.0)) < 1e-4)
+    assert(math.abs(got(1)._3 - 0.5 * math.log(1.5)) < 1e-4)
+    assert(math.abs(got(2)._3 - 0.75 * math.log(1.5)) < 1e-4)
+  }
+
+  test("kmeans lloyd: separable clusters converge to their true means") {
+    val corpus = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(0f, 2f)), (4L, Array(0f, 1f)),
+      (2L, Array(10f, 0f)), (3L, Array(10f, 2f)), (5L, Array(10f, 1f)))
+      .toDF("vec_id", "embedding")
+    val init = Seq((0, Array(0f, 0f)), (1, Array(10f, 0f)))
+      .toDF("cluster", "centroid_vec")
+    // round 1 assigns {0,1,4}/{2,3,5}, means [0,1]/[10,1]; round 2 is a
+    // fixed point — identical assignment, identical means
+    for (iters <- Seq(1, 2)) {
+      val cents = Similarity.kmeansLloyd(corpus, init, iters)
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+      assert(cents == Map((0, 0) -> 0.0, (0, 1) -> 1.0,
+        (1, 0) -> 10.0, (1, 1) -> 1.0))
+    }
+  }
 }

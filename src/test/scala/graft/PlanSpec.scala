@@ -250,4 +250,46 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("Exchange").length - 1 <= 2,
       "expected only the cluster-window exchange (+broadcast)")
   }
+
+  test("bm25: probe terms and df broadcast, postings pre-combine, no UDF") {
+    val p = plan("t13_bm25_topk")
+    // probe-term semi-filter + df attach are broadcast hash joins; the
+    // one-row (N, avgdl) stats rides a broadcast NLJ — the corpus-side
+    // postings must never shuffle into a sort-merge join
+    assert(p.contains("BroadcastHashJoin"), "probe-term joins must broadcast")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "corpus stats must ride a one-row broadcast")
+    assert(p.contains("partial"), "postings agg must pre-combine map-side")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "postings must not shuffle for a join")
+    assert(!p.contains("BatchEvalPython") && !p.contains("UDF"), "UDF in plan")
+  }
+
+  test("tfidf: pre-combined postings and vocabulary aggs, no UDF") {
+    val p = plan("t14_tfidf_top_terms")
+    assert(p.contains("partial"), "postings/df aggs must pre-combine map-side")
+    assert(!p.contains("CartesianProduct"), "cartesian in plan")
+    assert(!p.contains("BatchEvalPython") && !p.contains("UDF"), "UDF in plan")
+  }
+
+  test("kmeans: assignment is a scan-side argmin, plan O(1) in k") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // a production-ish k: 64 seeds — the centroid matrix must ride ONE
+    // broadcast row, not k literals or a k-row shuffle join
+    val init = e.where(col("vec_id") < 64)
+      .select(col("vec_id").cast("int").as("cluster"),
+        col("embedding").as("centroid_vec"))
+    val t0 = System.nanoTime()
+    val df = graft.pipeline.Similarity.kmeansLloyd(e, init, iters = 1)
+    val p = df.queryExecution.executedPlan.toString
+    val planSecs = (System.nanoTime() - t0) / 1e9
+    assert(p.length < 100 * 1024, s"plan text blew up: ${p.length} chars")
+    assert(planSecs < 30.0, f"k-means planning took $planSecs%.1f s at k=64")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "centroid matrix must ride a one-row broadcast")
+    assert(!p.contains("SortMergeJoin"), "assignment must not join-shuffle the corpus")
+    assert(p.contains("partial"), "the k×dim mean must pre-combine map-side")
+  }
 }
