@@ -2504,6 +2504,55 @@ object Queries {
       .orderBy("q_id", "rank")
   }
 
+  // BM25 against a staged postings store — the build-once/probe-many
+  // serving loop (the retrieval analogue of d2b's signature store): corpus
+  // stats are derived from the store's distinct (doc, dl) pairs, raw text
+  // never rescanned. Hash-matched with the stats written store-side in the
+  // oracle too, so the serving path's equivalence is proven, not assumed.
+  register(
+    "t13b_bm25_store",
+    """WITH q AS (SELECT * FROM (VALUES ('q1', 'table scan'),
+      |    ('q2', 'merge join batch'), ('q3', 'vector data stream'))
+      |    AS q(q_id, q_text)),
+      |post AS (
+      |  SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM (
+      |    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM (
+      |      SELECT doc_id,
+      |             list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')
+      |               AS toks
+      |      FROM documents))
+      |  GROUP BY doc_id, dl, term),
+      |qt AS (
+      |  SELECT q_id, unnest(list_distinct(
+      |    list_filter(string_split_regex(lower(q_text), '\s+'), x -> x != ''))) AS term
+      |  FROM q),
+      |stats AS (
+      |  SELECT count(*)::DOUBLE AS n, avg(dl::DOUBLE) AS avgdl
+      |  FROM (SELECT DISTINCT doc_id, dl FROM post)),
+      |dft AS (
+      |  SELECT term, count(*)::DOUBLE AS df
+      |  FROM post JOIN (SELECT DISTINCT term FROM qt) v USING (term)
+      |  GROUP BY term),
+      |scored AS (
+      |  SELECT qt.q_id, post.doc_id,
+      |         round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+      |           tf * (1.2 + 1.0) /
+      |           (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+      |  FROM post JOIN qt USING (term) JOIN dft USING (term) CROSS JOIN stats
+      |  GROUP BY qt.q_id, post.doc_id)
+      |SELECT q_id, doc_id, score, rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY score DESC, doc_id ASC) AS rank FROM scored)
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+    val session = s
+    import session.implicits._
+    val probes = Seq(("q1", "table scan"), ("q2", "merge join batch"),
+      ("q3", "vector data stream")).toDF("q_id", "q_text")
+    val store = graft.pipeline.Retrieval.postings(t(s, dir, "documents"))
+    graft.pipeline.Retrieval.bm25TopKAgainstStore(store, probes, k = 5)
+      .orderBy("q_id", "rank")
+  }
+
   // TF-IDF salient terms per document ("what is this document about") —
   // full-vocabulary document frequencies from one skinny pre-combined agg,
   // per-doc top-3 window over (doc_id, term, score) triples.

@@ -43,6 +43,14 @@ object Retrieval {
       count(lit(1)).cast("double").as("__n"),
       avg(TextAnalysis.tokenCount(col(textCol)).cast("double")).as("__avgdl")))
 
+  /** The same (N, avgdl) derived from an already-built postings relation —
+    * the serving path must not rescan the raw corpus for stats the store
+    * already determines. One skinny agg over the distinct (doc, dl) pairs. */
+  private def storeStats(post: DataFrame, idCol: String): DataFrame =
+    broadcast(post.select(col(idCol), col("dl")).distinct().agg(
+      count(lit(1)).cast("double").as("__n"),
+      avg(col("dl").cast("double")).as("__avgdl")))
+
   /** Okapi BM25 top-k: for each probe query, the `k` best-scoring documents.
     *
     * score(q, d) = Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
@@ -57,8 +65,26 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75,
       textCol: String = "text", idCol: String = "doc_id",
-      queryId: String = "q_id", queryText: String = "q_text"): DataFrame = {
-    val post = postings(docs, textCol, idCol)
+      queryId: String = "q_id", queryText: String = "q_text"): DataFrame =
+    bm25Score(postings(docs, textCol, idCol), corpusStats(docs, textCol),
+      queries, k, k1, b, idCol, queryId, queryText)
+
+  /** [[bm25TopK]] over an already-built postings store — the 100 TB
+    * operating loop: [[postings]] is materialized ONCE (parquet, ideally
+    * bucketed by term so probe joins prune files), then every audit probe
+    * runs against it without touching the raw corpus. Corpus stats are
+    * derived from the store itself (one pre-combined agg over the distinct
+    * (doc, dl) pairs), so the raw text is never rescanned. */
+  def bm25TopKAgainstStore(post: DataFrame, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id",
+      queryId: String = "q_id", queryText: String = "q_text"): DataFrame =
+    bm25Score(post, storeStats(post, idCol), queries, k, k1, b,
+      idCol, queryId, queryText)
+
+  private def bm25Score(post: DataFrame, stats: DataFrame, queries: DataFrame,
+      k: Int, k1: Double, b: Double, idCol: String,
+      queryId: String, queryText: String): DataFrame = {
     val qterms = queries.select(col(queryId),
       explode(array_distinct(TextAnalysis.tokens(lower(col(queryText))))).as("term"))
 
@@ -70,7 +96,7 @@ object Retrieval {
     val matched = post
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(dfT), Seq("term"))
-      .crossJoin(corpusStats(docs, textCol))
+      .crossJoin(stats)
     val idf = log((col("__n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
     val tfNorm = col("tf").cast("double") * (k1 + 1.0) /
       (col("tf").cast("double") +

@@ -609,6 +609,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(got(2)._3 - 0.75 * math.log(1.5)) < 1e-4)
   }
 
+  test("bm25 against a staged postings store matches the direct path") {
+    val q = Seq(("q1", "apple cherry"), ("q2", "durian")).toDF("q_id", "q_text")
+    val direct = Retrieval.bm25TopK(retrievalDocs, q, k = 5).collect().toSet
+    val store = Retrieval.postings(retrievalDocs)
+    val served = Retrieval.bm25TopKAgainstStore(store, q, k = 5).collect().toSet
+    assert(served == direct && served.nonEmpty)
+  }
+
   test("kmeans lloyd: separable clusters converge to their true means") {
     val corpus = Seq(
       (0L, Array(0f, 0f)), (1L, Array(0f, 2f)), (4L, Array(0f, 1f)),
