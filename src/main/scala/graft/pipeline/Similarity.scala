@@ -191,12 +191,17 @@ object Similarity {
 
     // one Lloyd round against a centroid literal: scan-side argmin
     // assignment, then the k×dim mean — lazy until collected/returned
+    // the scalar cluster id is projected in its OWN select before the
+    // posexplode: as a sibling of the generator, the k-struct argmin array
+    // would be carried (and its projection evaluated) once per exploded
+    // dimension instead of once per vector
     def meanUpdate(cents: Seq[(Int, Seq[Double])]): DataFrame =
       corpus.crossJoin(matRow(cents))
         .withColumn("__scored", array_sort(zip_with(col("__cent_mat"), col("__cent_groups"),
           (c, g) => struct(round(dist2(col(vecCol), c), 6).as("d"), g.as("g")))))
         .select(col("__scored").getItem(0).getField("g").as("cluster"),
-          posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
+          col(vecCol).cast("array<double>").as("__v"))
+        .select(col("cluster"), posexplode(col("__v")).as(Seq("pos", "v")))
         .groupBy("cluster", "pos")
         .agg(avg(col("v")).as("centroid"))
 
