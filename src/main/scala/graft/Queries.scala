@@ -2579,6 +2579,59 @@ object Queries {
       .orderBy("doc_id", "rank")
   }
 
+  // Offset-based sequence packing (pretraining batch prep): documents of
+  // each source laid end-to-end in id order; a doc joins the sequence its
+  // start offset falls in. Pure integer arithmetic over one running-sum
+  // window per source — deterministic, hash-matched.
+  register(
+    "t15_sequence_pack",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |         len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))
+      |           ::BIGINT AS n_tokens
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, source, n_tokens,
+      |         coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      |  FROM t)
+      |SELECT doc_id, source, n_tokens,
+      |       CAST(start // 256 AS BIGINT) AS seq_idx,
+      |       CAST(start % 256 AS BIGINT) AS seq_offset
+      |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.packSequences(t(s, dir, "documents"), seqTokens = 256)
+      .orderBy("doc_id")
+  }
+
+  // Per-source corpus mix report — the source-composition audit a corpus
+  // curator runs before weighting: doc/token mass and mean quality per
+  // source. One pre-combined agg; every input column is an already-oracled
+  // operator (t1/t2).
+  register(
+    "t16_source_mix",
+    """SELECT source,
+      |       count(*) AS n_docs,
+      |       CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+      |         x -> x != ''))) AS BIGINT) AS sum_tokens,
+      |       round(avg(round(greatest(0.0,
+      |         least(length(text) / 500.0, 1.0) * 0.4 +
+      |         least((len(list_filter(string_split_regex(lower(text), '\s+'),
+      |                 x -> x IN ('the','a','of','and','to','in'))) ::DOUBLE /
+      |                greatest(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |                 x -> x != '')), 1)) * 3.0, 1.0) * 0.4 +
+      |         (1.0 - least(len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE /
+      |                      greatest(length(text), 1) * 5.0, 1.0)) * 0.2), 6)), 6)
+      |         AS avg_quality
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents").groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("sum_tokens"),
+        round(avg(TextAnalysis.qualityScore(col("text"),
+          Seq("the", "a", "of", "and", "to", "in"))), 6).as("avg_quality"))
+      .orderBy("source")
+  }
+
   // Token-bounded chunking with overlap (context-window prep): chunk i
   // covers words [i*48, i*48+64), every word covered, zero shuffle.
   register(

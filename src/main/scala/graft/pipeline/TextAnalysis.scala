@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -169,6 +170,39 @@ object TextAnalysis {
       when(col(stratumCol) === stratum, lit(hexThreshold(r))).otherwise(acc)
     }
     df.where(substring(md5(col(keyCol).cast("string")), 1, 8) < thr)
+  }
+
+  // ---------------------------------------------------------------------------
+  // Sequence packing (pretraining batch prep)
+  // ---------------------------------------------------------------------------
+
+  /** Offset-based sequence packing: lay the documents of each `byCol`
+    * stratum end-to-end in `idCol` order and assign every document to the
+    * training sequence its START offset falls in — the standard
+    * approximate packing (a document may overflow its sequence by up to
+    * its own length; none is split). Output: (id, stratum, n_tokens,
+    * seq_idx, seq_offset), all integer arithmetic — deterministic across
+    * engines and cluster sizes.
+    *
+    * Scale shape: ONE running-sum window per stratum — cardinality and
+    * skew are bounded by the largest stratum, so at 100 TB the stratum
+    * key should be (source, shard) with shard = a hash of the id range,
+    * which keeps each window partition executor-sized while preserving
+    * in-shard packing density (the assignment is embarrassingly parallel
+    * across strata; no global order exists or is needed). */
+  def packSequences(docs: DataFrame, seqTokens: Int,
+      textCol: String = "text", idCol: String = "doc_id",
+      byCol: String = "source"): DataFrame = {
+    require(seqTokens > 0, "packSequences: seqTokens must be positive")
+    val w = Window.partitionBy(col(byCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol), col(byCol),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("__start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(idCol), col(byCol), col("n_tokens"),
+        floor(col("__start") / seqTokens).cast("long").as("seq_idx"),
+        (col("__start") % seqTokens).as("seq_offset"))
   }
 
   // ---------------------------------------------------------------------------

@@ -617,6 +617,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(served == direct && served.nonEmpty)
   }
 
+  test("sequence packing: per-source offsets, start-offset bin, no splits") {
+    val docs = Seq(
+      (1L, "a b c", "A"), (2L, "a b c d e", "A"), (3L, "a b", "A"),
+      (4L, "a b c d e f g h i j", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.packSequences(docs, seqTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    // A starts: 0, 3, 8 -> bins 0, 0, 2; B: one doc at offset 0
+    assert(got.toSeq == Seq(
+      (1L, "A", 3L, 0L, 0L), (2L, "A", 5L, 0L, 3L), (3L, "A", 2L, 2L, 0L),
+      (4L, "B", 10L, 0L, 0L)))
+  }
+
   test("kmeans lloyd: separable clusters converge to their true means") {
     val corpus = Seq(
       (0L, Array(0f, 0f)), (1L, Array(0f, 2f)), (4L, Array(0f, 1f)),
