@@ -2632,6 +2632,120 @@ object Queries {
       .orderBy("source")
   }
 
+  // Gopher-style rule filter (published surface-statistic thresholds):
+  // per-document stats, one boolean per rule, composite keep. All ratios
+  // are divisions of exact integer counts — hash-matched across engines.
+  register(
+    "t17_gopher_rules",
+    """WITH toks AS (
+      |  SELECT doc_id, text,
+      |         list_filter(string_split_regex(text, '\s+'), x -> x != '') AS tk,
+      |         list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS ls
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |         len(tk)::BIGINT AS n_words,
+      |         round(CASE WHEN len(tk) > 0
+      |           THEN list_sum(list_transform(tk, x -> length(x)))::DOUBLE / len(tk)
+      |           ELSE 0.0 END, 6) AS mean_word_len,
+      |         round((len(regexp_extract_all(text, '#')) +
+      |                len(regexp_extract_all(text, '\.\.\.')))::DOUBLE /
+      |               greatest(len(tk), 1), 6) AS symbol_ratio,
+      |         round(CASE WHEN len(ls) > 0
+      |           THEN len(list_filter(ls, l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•')))::DOUBLE / len(ls)
+      |           ELSE 0.0 END, 6) AS bullet_ratio,
+      |         round(CASE WHEN len(ls) > 0
+      |           THEN len(list_filter(ls, l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))::DOUBLE / len(ls)
+      |           ELSE 0.0 END, 6) AS ellipsis_ratio,
+      |         round(CASE WHEN len(tk) > 0
+      |           THEN len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(tk)
+      |           ELSE 0.0 END, 6) AS alpha_frac,
+      |         len(list_intersect(
+      |           list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')),
+      |           ['the','be','to','of','and','that','have','with']))::BIGINT AS stop_hits
+      |  FROM toks)
+      |SELECT *,
+      |       n_words BETWEEN 50 AND 100000 AS ok_words,
+      |       mean_word_len BETWEEN 3.0 AND 10.0 AS ok_word_len,
+      |       symbol_ratio < 0.1 AS ok_symbols,
+      |       bullet_ratio < 0.9 AS ok_bullets,
+      |       ellipsis_ratio < 0.3 AS ok_ellipsis,
+      |       alpha_frac >= 0.8 AS ok_alpha,
+      |       stop_hits >= 2 AS ok_stops,
+      |       (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+      |         AND symbol_ratio < 0.1 AND bullet_ratio < 0.9 AND ellipsis_ratio < 0.3
+      |         AND alpha_frac >= 0.8 AND stop_hits >= 2 AS keep
+      |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.gopherRuleReport(t(s, dir, "documents")).orderBy("doc_id")
+  }
+
+  // Deterministic global training-order shuffle: sort-by-md5(seed:id),
+  // shard by the first hex digit, in-shard rank = epoch position. Pure
+  // hash arithmetic — reproducible across engines and partition layouts.
+  register(
+    "t18_training_shuffle",
+    """WITH h AS (
+      |  SELECT doc_id, md5('ep1:' || CAST(doc_id AS VARCHAR)) AS hh FROM documents)
+      |SELECT doc_id,
+      |       ('0x' || substr(hh, 1, 1))::BIGINT AS shard,
+      |       CAST(row_number() OVER (PARTITION BY substr(hh, 1, 1)
+      |         ORDER BY hh, doc_id) AS BIGINT) AS pos
+      |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.trainingShuffle(t(s, dir, "documents"), seed = "ep1")
+      .orderBy("doc_id")
+  }
+
+  // Corpus mixing toward target source weights: per-source keep rates
+  // derived from counts (K = min n_s/w_s; rate_s = w_s*K/n_s), applied by
+  // the deterministic md5 threshold. Four sources weighted 4/2/1/1, the
+  // rest dropped — the binding source (largest n/w deficit) keeps all.
+  register(
+    "t19_target_mix",
+    """WITH w AS (SELECT * FROM (VALUES ('src0', 4.0), ('src1', 2.0),
+      |                                 ('src2', 1.0), ('src3', 1.0)) AS w(source, wt)),
+      |c AS (SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY source),
+      |j AS (SELECT c.source, n, wt, n / wt AS k FROM c JOIN w USING (source)),
+      |r AS (SELECT source, least(1.0, wt * (SELECT min(k) FROM j) / n) AS rate FROM j)
+      |SELECT d.doc_id, d.source, round(r.rate, 6) AS rate
+      |FROM documents d JOIN r USING (source)
+      |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+      |      CASE WHEN r.rate >= 1.0 THEN 'zzzzzzzz'
+      |           ELSE lower(lpad(hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT)), 8, '0')) END
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.targetMixSample(t(s, dir, "documents"),
+      Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0))
+      .orderBy("doc_id")
+  }
+
+  // Corpus-level boilerplate: fraction of a doc's distinct trigrams whose
+  // corpus document-frequency exceeds 2 (the cross-document complement of
+  // t9's intra-doc repetition signal).
+  register(
+    "t20_boilerplate_ngrams",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(t) >= 3
+      |    THEN list_distinct(list_transform(range(1, len(t) - 1),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |    ELSE [array_to_string(t, ' ')] END AS s
+      |  FROM toks),
+      |g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+      |df AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+      |per AS (
+      |  SELECT g.doc_id, count(*) AS n_grams,
+      |         sum(CASE WHEN df.df > 2 THEN 1 ELSE 0 END) AS n_common
+      |  FROM g JOIN df USING (gram) GROUP BY g.doc_id)
+      |SELECT doc_id, n_grams::BIGINT AS n_grams, n_common::BIGINT AS n_common,
+      |       round(n_common::DOUBLE / n_grams, 6) AS common_frac,
+      |       round(n_common::DOUBLE / n_grams, 6) > 0.5 AS boilerplate
+      |FROM per ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.boilerplateNgrams(t(s, dir, "documents"), "text", "doc_id",
+      n = 3, dfCutoff = 2, frac = 0.5)
+      .orderBy("doc_id")
+  }
+
   // Token-bounded chunking with overlap (context-window prep): chunk i
   // covers words [i*48, i*48+64), every word covered, zero shuffle.
   register(

@@ -75,6 +75,90 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  // ---------------------------------------------------------------------------
+  // Gopher-style rule filter (published surface-statistic thresholds)
+  // ---------------------------------------------------------------------------
+
+  /** Non-empty lines of a document — trailing/interior blank lines dropped
+    * so a trailing newline cannot shift the line-based ratios. */
+  private def nonEmptyLines(text: Column): Column =
+    filter(split(text, "\n"), l => trim(l) =!= "")
+
+  /** Fraction of non-empty lines whose first non-blank character is a
+    * bullet marker (`-`, `*`, `•`). */
+  def bulletLineRatio(text: Column): Column = {
+    val ls = nonEmptyLines(text)
+    when(size(ls) > 0,
+      size(filter(ls, l => substring(ltrim(l), 1, 1).isin("-", "*", "•")))
+        .cast(DoubleType) / size(ls).cast(DoubleType))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of non-empty lines ending in an ellipsis (`...` or `…`). */
+  def ellipsisLineRatio(text: Column): Column = {
+    val ls = nonEmptyLines(text)
+    when(size(ls) > 0,
+      size(filter(ls, l =>
+        rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
+        .cast(DoubleType) / size(ls).cast(DoubleType))
+      .otherwise(lit(0.0))
+  }
+
+  /** Symbol-to-word ratio: `#` and `...` occurrences per whitespace word. */
+  def symbolToWordRatio(text: Column): Column =
+    (size(regexp_extract_all(text, lit("#"), lit(0))) +
+      size(regexp_extract_all(text, lit("\\.\\.\\."), lit(0))))
+      .cast(DoubleType) / greatest(tokenCount(text), lit(1)).cast(DoubleType)
+
+  /** Fraction of words containing at least one alphabetic character. */
+  def alphaWordFraction(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast(DoubleType)
+        / size(toks).cast(DoubleType))
+      .otherwise(lit(0.0))
+  }
+
+  /** The rule filter's required-word list (the published 8-word English
+    * function-word set); a document must contain at least two distinct. */
+  val requiredStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def requiredStopWordHits(text: Column): Column =
+    size(array_intersect(array_distinct(tokens(lower(text))),
+      array(requiredStopWords.map(lit): _*)))
+
+  /** Gopher-style document-quality rule report — the rule-based filter
+    * standard for web-scale pretraining corpora (Rae et al. 2021, appendix
+    * A1.1 thresholds): per-document surface statistics, one boolean per
+    * published rule, and the composite keep verdict. Pure Column
+    * arithmetic, scan-side, zero shuffle; every ratio is a division of
+    * exact integer counts so the report hash-matches across engines. */
+  def gopherRuleReport(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id",
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val text = col(textCol)
+    docs.select(col(idCol),
+        tokenCount(text).cast(LongType).as("n_words"),
+        round(meanWordLength(text), 6).as("mean_word_len"),
+        round(symbolToWordRatio(text), 6).as("symbol_ratio"),
+        round(bulletLineRatio(text), 6).as("bullet_ratio"),
+        round(ellipsisLineRatio(text), 6).as("ellipsis_ratio"),
+        round(alphaWordFraction(text), 6).as("alpha_frac"),
+        requiredStopWordHits(text).cast(LongType).as("stop_hits"))
+      .withColumn("ok_words", col("n_words").between(minWords, maxWords))
+      .withColumn("ok_word_len", col("mean_word_len").between(3.0, 10.0))
+      .withColumn("ok_symbols", col("symbol_ratio") < 0.1)
+      .withColumn("ok_bullets", col("bullet_ratio") < 0.9)
+      .withColumn("ok_ellipsis", col("ellipsis_ratio") < 0.3)
+      .withColumn("ok_alpha", col("alpha_frac") >= 0.8)
+      .withColumn("ok_stops", col("stop_hits") >= 2)
+      .withColumn("keep",
+        col("ok_words") && col("ok_word_len") && col("ok_symbols") &&
+          col("ok_bullets") && col("ok_ellipsis") && col("ok_alpha") &&
+          col("ok_stops"))
+  }
+
   /** Language-ID by stopword-hit counting (n-gram heuristic): score each
     * language by distinct stopword hits, argmax with first-wins tie-break. */
   def langScores(text: Column, stopwordsByLang: Seq[(String, Seq[String])]): Seq[(String, Column)] = {
@@ -203,6 +287,105 @@ object TextAnalysis {
       .select(col(idCol), col(byCol), col("n_tokens"),
         floor(col("__start") / seqTokens).cast("long").as("seq_idx"),
         (col("__start") % seqTokens).as("seq_offset"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // Training-order shuffle and corpus mixing
+  // ---------------------------------------------------------------------------
+
+  /** Deterministic global training-order shuffle: every pretraining epoch
+    * needs the corpus in a pseudorandom order that is reproducible,
+    * independent of partition layout, and writable as N shard files in
+    * parallel. Order by md5(seed:id): the first `shardHexDigits` hex chars
+    * pick the shard (16^d shards), the in-shard position is the rank of
+    * the full hash — the standard sort-by-hash shuffle a corpus goes
+    * through before shard writes. Changing `seed` reshuffles the next
+    * epoch with zero extra state.
+    *
+    * Scale shape: ONE hash-partitioned rank window — shards are
+    * hash-uniform (no skew by construction), and `shardHexDigits` sizes a
+    * shard's (id, hash) pairs to executor memory: 100 TB of ids at d=4 is
+    * ~65k shards of a few MB of keys each. The document bytes themselves
+    * never enter the shuffle — join them back by id at shard-write time. */
+  def trainingShuffle(docs: DataFrame, seed: String,
+      shardHexDigits: Int = 1, idCol: String = "doc_id"): DataFrame = {
+    require(shardHexDigits >= 1 && shardHexDigits <= 8,
+      "trainingShuffle: shardHexDigits must be in [1, 8]")
+    docs.select(col(idCol),
+        md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))).as("__h"))
+      .withColumn("shard",
+        conv(substring(col("__h"), 1, shardHexDigits), 16, 10).cast(LongType))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol)))
+        .cast(LongType))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** Rebalance a multi-source corpus toward target mixture weights — the
+    * data-mixing step of curation ("web 60 / books 30 / code 10"): compute
+    * per-source keep rates that hit the target composition at the maximum
+    * achievable total size (the binding source keeps everything,
+    * over-represented sources down-sample), then keep rows by the same
+    * engine-independent md5-threshold rule as [[hashSampleKeep]]. Sources
+    * absent from `weights` are dropped (weight 0).
+    *
+    * Rates derive from per-source counts: K = min_s(n_s / w_s) is the
+    * largest total consistent with the weights; rate_s = w_s·K / n_s. The
+    * count aggregation is source-cardinality (tiny), rides back on a
+    * broadcast join, and the keep decision is scan-side — the corpus is
+    * read twice but never shuffled. Output: kept rows' (id, source) plus
+    * the applied rate. */
+  def targetMixSample(docs: DataFrame, weights: Map[String, Double],
+      idCol: String = "doc_id", sourceCol: String = "source"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "targetMixSample: weights must be non-empty and positive")
+    val wCol = weights.foldLeft(lit(null).cast(DoubleType)) {
+      case (acc, (s, w)) => when(col(sourceCol) === s, lit(w)).otherwise(acc)
+    }
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", wCol).where(col("__w").isNotNull)
+      .withColumn("__k", col("__n").cast(DoubleType) / col("__w"))
+    val kMin = counts.agg(min(col("__k")).as("__kmin"))
+    val rates = counts.crossJoin(broadcast(kMin))
+      .select(col(sourceCol),
+        least(lit(1.0),
+          col("__w") * col("__kmin") / col("__n").cast(DoubleType)).as("rate"))
+    // rate -> 8-hex md5 threshold; lpad TRUNCATES a 9-digit 2^32 to 8, so
+    // rate >= 1 must short-circuit to an always-true compare
+    val thr = when(col("rate") >= 1.0, lit("zzzzzzzz"))
+      .otherwise(lower(lpad(hex(
+        floor(col("rate") * 4294967296.0).cast(LongType)), 8, "0")))
+    docs.join(broadcast(rates), sourceCol)
+      .where(substring(md5(col(idCol).cast("string")), 1, 8) < thr)
+      .select(col(idCol), col(sourceCol), round(col("rate"), 6).as("rate"))
+  }
+
+  /** Corpus-level boilerplate detection: an n-gram occurring in many
+    * DOCUMENTS (high document frequency) is boilerplate — nav bars,
+    * license headers, templated snippets. Flags each document by the
+    * fraction of its distinct n-grams whose corpus document frequency
+    * exceeds `dfCutoff` — the cross-document complement of the intra-doc
+    * [[repetitionFraction]].
+    *
+    * Scale shape: distinct grams ship as (doc_id, md5(gram)) 16-byte
+    * keys; the DF table is one pre-combined aggregation over the same
+    * keys; the join back is the decontamination equi-join; the final agg
+    * is doc-cardinality. The gram stage is evaluated twice (DF build +
+    * join back) — at scale persist it, exactly like the minhash signature
+    * stage in [[Dedup.minhashStages]]. */
+  def boilerplateNgrams(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, dfCutoff: Long = 2, frac: Double = 0.5): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+        explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("g"))
+    val dfTable = grams.groupBy("g").agg(count(lit(1)).as("__df"))
+    grams.join(dfTable, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_grams"),
+        sum(when(col("__df") > dfCutoff, 1L).otherwise(0L)).as("n_common"))
+      .withColumn("common_frac", round(
+        col("n_common").cast(DoubleType) / col("n_grams").cast(DoubleType), 6))
+      .withColumn("boilerplate", col("common_frac") > frac)
   }
 
   // ---------------------------------------------------------------------------

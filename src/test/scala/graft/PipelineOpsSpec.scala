@@ -631,6 +631,68 @@ class PipelineOpsSpec extends AnyFunSuite {
       (4L, "B", 10L, 0L, 0L)))
   }
 
+  test("gopher rules: line ratios, symbol ratio, alpha fraction, stop gate") {
+    val good = (("the quick brown fox jumps over that lazy dog and more " * 6).trim)
+    val docs = Seq(
+      (1L, good),                                   // passes every rule
+      (2L, ("- item\n" * 19) + "plain " + good),    // 19/20 bullet lines: fails ok_bullets
+      (3L, "wait...\nmore...\nfine\n" + good),      // 2/3+1 ellipsis lines
+      (4L, ("12 34 " * 30).trim),                   // numeric: fails ok_alpha + ok_stops
+      (5L, ("### " + good + " ... ... ... ... ... ...")))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRuleReport(docs, minWords = 10)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Boolean]("keep"))
+    assert(!r(2L).getAs[Boolean]("ok_bullets") && r(2L).getAs[Double]("bullet_ratio") == 0.95)
+    assert(!r(3L).getAs[Boolean]("ok_ellipsis") && r(3L).getAs[Double]("ellipsis_ratio") == 0.5)
+    assert(!r(4L).getAs[Boolean]("ok_alpha") && r(4L).getAs[Long]("stop_hits") == 0L)
+    assert(!r(5L).getAs[Boolean]("ok_symbols") && !r(5L).getAs[Boolean]("keep"))
+  }
+
+  test("training shuffle: deterministic, seed-sensitive, dense in-shard ranks") {
+    val docs = (0L until 64L).toDF("doc_id")
+    val a = TextAnalysis.trainingShuffle(docs, "s1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = TextAnalysis.trainingShuffle(docs, "s1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val c = TextAnalysis.trainingShuffle(docs, "s2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.sorted.toSeq == b.sorted.toSeq)            // reproducible
+    assert(a.sorted.toSeq != c.sorted.toSeq)            // seed reshuffles
+    assert(a.forall { case (_, s, _) => s >= 0 && s < 16 })
+    // ranks are dense 1..n within each shard
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
+
+  test("target mix: binding source keeps all, others downsample toward weights") {
+    val docs = (0L until 900L).map(i =>
+      (i, if (i < 600) "web" else if (i < 870) "books" else "code"))
+      .toDF("doc_id", "source")
+    // targets 1/1/1 but code has only 30 docs -> K = 30, rate web = 30/600
+    val kept = TextAnalysis.targetMixSample(docs,
+      Map("web" -> 1.0, "books" -> 1.0, "code" -> 1.0)).collect()
+    val bySrc = kept.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(bySrc("code") == 30)                          // rate 1.0: keeps all
+    val webRate = kept.find(_.getString(1) == "web").get.getDouble(2)
+    assert(math.abs(webRate - 0.05) < 1e-9)
+    // md5 sampling is approximate but unbiased: web keeps ~30 of 600
+    assert(bySrc("web") > 10 && bySrc("web") < 60)
+  }
+
+  test("boilerplate ngrams: planted shared template flagged, unique docs not") {
+    val template = "all rights reserved by the example corp"
+    val docs = (0L until 6L).map(i => (i, template)) ++
+      Seq((10L, "alpha beta gamma delta epsilon zeta"),
+          (11L, "one two three four five six seven"))
+    val r = TextAnalysis.boilerplateNgrams(docs.toDF("doc_id", "text"), "text", "doc_id",
+      n = 3, dfCutoff = 2, frac = 0.5)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Boolean]("boilerplate")).toMap
+    (0L until 6L).foreach(i => assert(r(i), s"doc $i should be boilerplate"))
+    assert(!r(10L) && !r(11L))
+  }
+
   test("kmeans lloyd: separable clusters converge to their true means") {
     val corpus = Seq(
       (0L, Array(0f, 0f)), (1L, Array(0f, 2f)), (4L, Array(0f, 1f)),
