@@ -2401,6 +2401,82 @@ object Queries {
       .orderBy("q_id", "rank")
   }
 
+  /** Deterministic PQ codebook for the oracle rows: code c of subspace s is
+    * the s-th 16-dim slice of vector c (vec_id < 4) — SQL-expressible, so
+    * the encode/ADC machinery gets an exact hash oracle (production trains
+    * the codebook per subspace with [[graft.pipeline.Similarity.kmeansLloyd]];
+    * see the PipelineOpsSpec composition test). */
+  private def pqSliceCodebook(e: DataFrame): DataFrame =
+    e.where(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("code"),
+        explode(sequence(lit(0), lit(3))).as("sub"), col("embedding"))
+      .select(col("sub"), col("code"),
+        slice(col("embedding").cast("array<double>"),
+          col("sub") * 16 + 1, lit(16)).as("centroid"))
+
+  private val PqCbSql =
+    """cb AS (
+      |  SELECT s.s AS sub, e.vec_id::INT AS code,
+      |         list_transform(range(s.s * 16 + 1, s.s * 16 + 17),
+      |           i -> e.embedding[i]::DOUBLE) AS cvec
+      |  FROM embeddings e CROSS JOIN (SELECT unnest(range(0, 4)) AS s) s
+      |  WHERE e.vec_id < 4),
+      |enc AS (
+      |  SELECT v.vec_id, cb.sub, cb.code,
+      |         row_number() OVER (PARTITION BY v.vec_id, cb.sub ORDER BY
+      |           round(list_sum(list_transform(range(1, 17),
+      |             i -> (v.embedding[cb.sub * 16 + i]::DOUBLE - cb.cvec[i]) *
+      |                  (v.embedding[cb.sub * 16 + i]::DOUBLE - cb.cvec[i]))), 6) ASC,
+      |           cb.code ASC) AS rn
+      |  FROM embeddings v CROSS JOIN cb)""".stripMargin
+
+  // PQ encode: 64-dim float vectors -> 4 code bytes (nearest codebook
+  // centroid per 16-dim subspace). Exact hash oracle — encoding is a
+  // deterministic argmin on 6-decimal-rounded distances, no planting
+  // needed. The memory move of billion-vector ANN.
+  register(
+    "ann_pq_encode",
+    s"""WITH $PqCbSql
+      |SELECT vec_id, list(code ORDER BY sub) AS codes
+      |FROM enc WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    graft.pipeline.Similarity.pqEncode(e, pqSliceCodebook(e)).orderBy("vec_id")
+  }
+
+  // PQ asymmetric-distance top-k: per-query m-by-K distance table, candidate
+  // distance = 4 table lookups summed over the CODES table (the float
+  // corpus is never touched). Deterministic end-to-end -> exact hash oracle.
+  register(
+    "ann_pq_adc_topk",
+    s"""WITH $PqCbSql,
+      |codes AS (SELECT vec_id, sub, code FROM enc WHERE rn = 1),
+      |q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 5),
+      |dt AS (
+      |  SELECT q.q_id, cb.sub, cb.code,
+      |         round(list_sum(list_transform(range(1, 17),
+      |           i -> (q.embedding[cb.sub * 16 + i]::DOUBLE - cb.cvec[i]) *
+      |                (q.embedding[cb.sub * 16 + i]::DOUBLE - cb.cvec[i]))), 6) AS d2
+      |  FROM q CROSS JOIN cb),
+      |cand AS (
+      |  SELECT dt.q_id, c.vec_id AS neighbor_id,
+      |         round(list_sum(list(dt.d2 ORDER BY dt.sub)), 6) AS adist
+      |  FROM codes c JOIN dt ON c.sub = dt.sub AND c.code = dt.code
+      |  WHERE c.vec_id != dt.q_id
+      |  GROUP BY dt.q_id, c.vec_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY adist ASC, neighbor_id ASC) AS rank FROM cand)
+      |SELECT q_id, neighbor_id, adist, rank FROM ranked WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val cb = pqSliceCodebook(e)
+    val codes = graft.pipeline.Similarity.pqEncode(e, cb)
+    val queries = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    graft.pipeline.Similarity.pqAdcTopK(codes, queries, cb, k = 3)
+      .orderBy("q_id", "rank")
+  }
+
   // K-means Lloyd training (the trainer behind the IVF quantizer and
   // semantic dedup), proven EXACTLY — no planting needed: Lloyd from fixed
   // seeds is deterministic (assignment argmin on 6-decimal-rounded squared

@@ -219,6 +219,115 @@ object Similarity {
     meanUpdate(cents)
   }
 
+  // ---------------------------------------------------------------------------
+  // Product quantization (PQ)
+  // ---------------------------------------------------------------------------
+
+  /** Collect a PQ codebook (sub, code, centroid) into ONE broadcast row
+    * holding the m×K×subDim matrix — the same plan-O(1) shape as
+    * [[ivfTopK]]'s centroid row. The codebook is m·K·subDim doubles (a
+    * production 64×256×8 is 128k values — trivially broadcastable); codes
+    * must be dense 0..K-1 per subspace so ADC lookups are array indexing. */
+  private def pqMatrixRow(codebook: DataFrame, subCol: String, codeCol: String,
+      centroidCol: String): (DataFrame, Int, Int, Int) = {
+    val entries = codebook
+      .select(col(subCol).cast("int"), col(codeCol).cast("int"),
+        col(centroidCol).cast("array<double>"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    require(entries.nonEmpty, "pq: empty codebook")
+    val bySub = entries.groupBy(_._1)
+    val m = bySub.size
+    require(bySub.keySet == (0 until m).toSet,
+      s"pq: subspaces must be dense 0..${m - 1}, got ${bySub.keySet.toSeq.sorted}")
+    val k = bySub(0).length
+    val subDim = entries.head._3.length
+    val mats = (0 until m).map { s =>
+      val rows = bySub(s).sortBy(_._2)
+      require(rows.map(_._2).toSeq == (0 until rows.length),
+        s"pq: codes in subspace $s must be dense 0..K-1")
+      require(rows.length == k, s"pq: subspace $s has ${rows.length} codes, expected $k")
+      require(rows.forall(_._3.length == subDim),
+        s"pq: centroid length mismatch in subspace $s")
+      rows.map(_._3.toSeq).toSeq
+    }
+    val session = codebook.sparkSession
+    import session.implicits._
+    (broadcast(Seq(Tuple1(mats)).toDF("__pq_mats")), m, k, subDim)
+  }
+
+  private def dist2Col(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Per-subspace argmin codes for one vector against the matrix column
+    * (6-decimal-rounded distances, code-id tie-break — deterministic). */
+  private def pqCodesExpr(vec: Column, m: Int, k: Int, subDim: Int): Column = {
+    val v = vec.cast("array<double>")
+    transform(sequence(lit(0), lit(m - 1)), s => {
+      val subv = slice(v, s * subDim + 1, lit(subDim))
+      val scored = zip_with(element_at(col("__pq_mats"), s + 1),
+        sequence(lit(0), lit(k - 1)),
+        (c, code) => struct(round(dist2Col(subv, c), 6).as("d"), code.as("g")))
+      element_at(array_sort(scored), 1).getField("g").cast("int")
+    })
+  }
+
+  /** Product-quantization encode: each vector becomes m code-ids — its
+    * nearest codebook centroid per subspace. THE memory move of
+    * billion-vector ANN: a 64-dim float vector (256 B) becomes m bytes, so
+    * the ADC scan in [[pqAdcTopK]] touches codes only and the float
+    * corpus stays in cold storage. Train the codebook per subspace with
+    * [[kmeansLloyd]] over sliced vectors (see the spec); any (sub, code,
+    * centroid) table with dense 0..K-1 codes works.
+    *
+    * Scale shape: codebook rides in as one broadcast row (plan O(1) in
+    * m·K), encoding is a scan-side argmin per subspace — no join, no
+    * shuffle, corpus partitioning preserved. */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      subCol: String = "sub", codeCol: String = "code",
+      centroidCol: String = "centroid"): DataFrame = {
+    val (centRow, m, k, subDim) = pqMatrixRow(codebook, subCol, codeCol, centroidCol)
+    corpus.crossJoin(centRow)
+      .select(col(corpusId), pqCodesExpr(col(corpusVec), m, k, subDim).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: each query
+    * precomputes its m×K distance table against the codebook, then a
+    * candidate's approximate distance is m table lookups summed —
+    * `sum_s dt[s][code_s]` — with no float-vector access at all.
+    *
+    * Scale shape: the scan side is the (id, m codes) table — bytes per
+    * row; queries (with their tables) broadcast; the only shuffle is the
+    * per-query top-k window. Compose with [[ivfTopK]]'s inverted lists to
+    * restrict the scan to probed lists (IVF-PQ) — the candidate set
+    * shrinks, the per-candidate math is identical. Ranks ascend by
+    * distance (6-decimal-rounded) with id tie-break. */
+  def pqAdcTopK(codes: DataFrame, queries: DataFrame, codebook: DataFrame,
+      k: Int,
+      codesId: String = "vec_id", codesCol: String = "codes",
+      queryId: String = "q_id", queryVec: String = "q_vec",
+      subCol: String = "sub", codeCol: String = "code",
+      centroidCol: String = "centroid"): DataFrame = {
+    val (centRow, m, nCodes, subDim) = pqMatrixRow(codebook, subCol, codeCol, centroidCol)
+    val qv = col(queryVec).cast("array<double>")
+    val dt = transform(sequence(lit(0), lit(m - 1)), s =>
+      transform(element_at(col("__pq_mats"), s + 1),
+        c => round(dist2Col(slice(qv, s * subDim + 1, lit(subDim)), c), 6)))
+    val withDt = queries.crossJoin(centRow)
+      .select(col(queryId), dt.as("__dt"))
+    val adist = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
+      acc + element_at(element_at(col("__dt"), s + 1),
+        element_at(col(codesCol), s + 1) + 1))
+    val candidates = codes.join(broadcast(withDt), col(codesId) =!= col(queryId))
+      .withColumn("adist", round(adist, 6))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("adist").asc, col(codesId).asc)
+    candidates.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(codesId).as("neighbor_id"), col("adist"), col("rank"))
+  }
+
   /** LSH-bucketed ANN: corpus bucketed once by hyperplane signature; queries
     * probe their own bucket plus all 1-bit-flip neighbors (multi-probe), so
     * recall degrades gracefully instead of falling off a cliff.

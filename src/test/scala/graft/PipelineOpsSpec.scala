@@ -693,6 +693,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!r(10L) && !r(11L))
   }
 
+  test("pq: kmeans-trained codebook encodes clusters to their own codes; ADC ranks dups first") {
+    // 4-dim vectors, m=2 subspaces of 2 dims; each subspace has two well-
+    // separated clusters around (0,0) and (10,10)
+    val corpus = Seq(
+      (0L, Array(0f, 1f, 10f, 11f)), (1L, Array(1f, 0f, 11f, 10f)),
+      (2L, Array(10f, 11f, 0f, 1f)), (3L, Array(11f, 10f, 1f, 0f)),
+      (4L, Array(0f, 1f, 10f, 11f))) // exact dup of vec 0
+      .toDF("vec_id", "embedding")
+    // train each subspace's K=2 codebook with Lloyd over the sliced vectors
+    val cb = (0 until 2).map { s =>
+      val sliced = corpus.select(col("vec_id"),
+        slice(col("embedding"), s * 2 + 1, 2).as("embedding"))
+      val init = sliced.where(col("vec_id") < 2)
+        .select(col("vec_id").cast("int").as("cluster"),
+          col("embedding").cast("array<double>").as("centroid_vec"))
+      Similarity.kmeansLloyd(sliced, init, iters = 2)
+        .groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("pos"), col("centroid")))).as("cs"))
+        .select(lit(s).as("sub"), col("cluster").as("code"),
+          expr("transform(cs, c -> c.centroid)").as("centroid"))
+    }.reduce(_ unionAll _)
+    val codes = Similarity.pqEncode(corpus, cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes(0L) == codes(4L))                        // identical vectors, same codes
+    assert(codes(0L) != codes(2L))                        // opposite clusters differ
+    val queries = corpus.where(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val top = Similarity.pqAdcTopK(Similarity.pqEncode(corpus, cb), queries, cb, k = 2)
+      .orderBy("rank").collect()
+    // vecs 1 (same clusters in both subspaces) and 4 (exact dup) share
+    // vec 0's codes: both score the query's own quantization error (equal,
+    // small), id tie-break ranks 1 first; cross-cluster vecs score >> that
+    assert(top.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 4L))
+    val adists = top.map(_.getAs[Double]("adist"))
+    assert(adists(0) == adists(1) && adists(0) < 2.0)
+  }
+
   test("kmeans lloyd: separable clusters converge to their true means") {
     val corpus = Seq(
       (0L, Array(0f, 0f)), (1L, Array(0f, 2f)), (4L, Array(0f, 1f)),

@@ -272,6 +272,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BatchEvalPython") && !p.contains("UDF"), "UDF in plan")
   }
 
+  test("pq: codebook rides one broadcast row, encode is scan-side, plan O(1) in m*K") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // production-ish codebook: 8 subspaces × 64 codes of 8 dims
+    val cb = e.where(col("vec_id") < 64)
+      .select(col("vec_id").cast("int").as("code"),
+        explode(sequence(lit(0), lit(7))).as("sub"), col("embedding"))
+      .select(col("sub"), col("code"),
+        slice(col("embedding").cast("array<double>"),
+          col("sub") * 8 + 1, lit(8)).as("centroid"))
+    val t0 = System.nanoTime()
+    val enc = graft.pipeline.Similarity.pqEncode(e, cb)
+    val p = enc.queryExecution.executedPlan.toString
+    val planSecs = (System.nanoTime() - t0) / 1e9
+    assert(p.length < 100 * 1024, s"plan text blew up: ${p.length} chars")
+    assert(planSecs < 30.0, f"PQ encode planning took $planSecs%.1f s at 8x64")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "codebook matrix must ride a one-row broadcast")
+    assert(!p.contains("SortMergeJoin"), "encode must not join-shuffle the corpus")
+    assert(!p.contains("BatchEvalPython") && !p.contains("UDF"), "UDF in plan")
+    val queries = e.limit(4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val adc = graft.pipeline.Similarity.pqAdcTopK(enc, queries, cb, k = 3)
+    val pa = adc.queryExecution.executedPlan.toString
+    assert(pa.contains("BroadcastNestedLoopJoin"),
+      "queries+distance tables must broadcast over the codes scan")
+    assert(!pa.contains("SortMergeJoin"), "ADC must not shuffle the codes table")
+  }
+
   test("kmeans: assignment is a scan-side argmin, plan O(1) in k") {
     import org.apache.spark.sql.functions._
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
