@@ -328,6 +328,79 @@ object Similarity {
       .select(col(queryId), col(codesId).as("neighbor_id"), col("adist"), col("rank"))
   }
 
+  /** IVF-PQ top-k — the composed billion-vector serving architecture:
+    * coarse inverted lists restrict the scan, PQ codes replace the float
+    * vectors, ADC scores the candidates. Coarse centroids arrive
+    * EXPLICITLY in [[centroids]]' (group, pos, centroid) long format
+    * (train with [[kmeansLloyd]]); the codebook as (sub, code, centroid)
+    * with dense 0..K-1 codes.
+    *
+    * Scale shape: both tables fold into one-row broadcasts, so the index
+    * build (list + codes per vector) is ONE scan-side pass — no join, no
+    * shuffle, corpus partitioning preserved — and serving joins only the
+    * probed lists' code rows against the broadcast queries. The residual
+    * variant (PQ over v − centroid[list]) is the same plan with one
+    * zip_with subtraction before the code argmin. All distances compare
+    * 6-decimal-rounded with id tie-breaks — deterministic across engines,
+    * which is how this operator carries an exact SQL oracle. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, cents: DataFrame,
+      codebook: DataFrame, k: Int, nProbe: Int = 4,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "q_id", queryVec: String = "q_vec",
+      centGroup: String = "group", centPos: String = "pos",
+      centVal: String = "centroid",
+      subCol: String = "sub", codeCol: String = "code",
+      centroidCol: String = "centroid"): DataFrame = {
+    val session = corpus.sparkSession
+    import session.implicits._
+    val byGroup = cents
+      .groupBy(col(centGroup).cast("int").as("g"))
+      .agg(array_sort(collect_list(struct(col(centPos), col(centVal)))).as("cs"))
+      .select(col("g"), transform(col("cs"), c => c.getField(centVal)).as("cv"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
+      .toMap
+    require(byGroup.nonEmpty, "ivfPqTopK: empty centroid table")
+    val groupsSorted = byGroup.keys.toSeq.sorted
+    val centRow = broadcast(Seq(
+      (groupsSorted, groupsSorted.map(byGroup)))
+      .toDF("__cent_groups", "__cent_mat"))
+    val (pqRow, m, nCodes, subDim) = pqMatrixRow(codebook, subCol, codeCol, centroidCol)
+
+    def nearestLists(vec: Column, n: Int): Column = {
+      val v = vec.cast("array<double>")
+      val scored = zip_with(col("__cent_mat"), col("__cent_groups"),
+        (c, g) => struct(round(dist2Col(v, c), 6).as("d"), g.as("g")))
+      slice(transform(array_sort(scored), s => s.getField("g")), 1, n)
+    }
+
+    val index = corpus.crossJoin(centRow).crossJoin(pqRow)
+      .select(col(corpusId),
+        nearestLists(col(corpusVec), 1).getItem(0).as("list"),
+        pqCodesExpr(col(corpusVec), m, nCodes, subDim).as("codes"))
+    val qv = col(queryVec).cast("array<double>")
+    val dt = transform(sequence(lit(0), lit(m - 1)), s =>
+      transform(element_at(col("__pq_mats"), s + 1),
+        c => round(dist2Col(slice(qv, s * subDim + 1, lit(subDim)), c), 6)))
+    // probe list + distance table projected BEFORE the explode — as a
+    // generator sibling the m×K table would be recomputed per probe row
+    val probes = queries.crossJoin(centRow).crossJoin(pqRow)
+      .select(col(queryId), nearestLists(col(queryVec), nProbe).as("__probe"),
+        dt.as("__dt"))
+      .select(col(queryId), explode(col("__probe")).as("list"), col("__dt"))
+    val adist = round(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, s) => acc + element_at(element_at(col("__dt"), s + 1),
+        element_at(col("codes"), s + 1) + 1)), 6)
+    val candidates = index.join(broadcast(probes), Seq("list"))
+      .where(col(corpusId) =!= col(queryId))
+      .withColumn("adist", adist)
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("adist").asc, col(corpusId).asc)
+    candidates.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(corpusId).as("neighbor_id"), col("adist"),
+        col("rank"))
+  }
+
   /** LSH-bucketed ANN: corpus bucketed once by hyperplane signature; queries
     * probe their own bucket plus all 1-bit-flip neighbors (multi-probe), so
     * recall degrades gracefully instead of falling off a cliff.

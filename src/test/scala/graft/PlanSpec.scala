@@ -300,6 +300,17 @@ class PlanSpec extends AnyFunSuite {
     assert(pa.contains("BroadcastNestedLoopJoin"),
       "queries+distance tables must broadcast over the codes scan")
     assert(!pa.contains("SortMergeJoin"), "ADC must not shuffle the codes table")
+    // the IVF-PQ composition: index build (list + codes) must stay one
+    // scan-side pass and serving must broadcast the probes
+    val cents = e.where(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("group"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "centroid")))
+    val ivfpq = graft.pipeline.Similarity.ivfPqTopK(e, queries, cents, cb,
+      k = 3, nProbe = 4)
+    val pi = ivfpq.queryExecution.executedPlan.toString
+    assert(pi.contains("BroadcastNestedLoopJoin") || pi.contains("BroadcastHashJoin"),
+      "IVF-PQ probes must broadcast")
+    assert(!pi.contains("SortMergeJoin"), "IVF-PQ must not shuffle the corpus")
   }
 
   test("kmeans: assignment is a scan-side argmin, plan O(1) in k") {
