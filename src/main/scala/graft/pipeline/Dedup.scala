@@ -42,7 +42,7 @@ object Dedup {
     * returning — the enforcement point of the caching contract above. The
     * stages are unpersisted even if the job fails, so an error mid-pipeline
     * can't leak cache entries either. */
-  private def materializeAndRelease(result: DataFrame, stages: Seq[DataFrame]): DataFrame =
+  private[pipeline] def materializeAndRelease(result: DataFrame, stages: Seq[DataFrame]): DataFrame =
     try result.localCheckpoint(eager = true)
     finally stages.foreach(_.unpersist(false))
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.storage.StorageLevel
 
 /** Text analysis for large-scale training-data pipelines: language ID,
   * quality scoring, token counting, document fingerprinting. All pure
@@ -370,22 +371,27 @@ object TextAnalysis {
     * Scale shape: distinct grams ship as (doc_id, md5(gram)) 16-byte
     * keys; the DF table is one pre-combined aggregation over the same
     * keys; the join back is the decontamination equi-join; the final agg
-    * is doc-cardinality. The gram stage is evaluated twice (DF build +
-    * join back) — at scale persist it, exactly like the minhash signature
-    * stage in [[Dedup.minhashStages]]. */
+    * is doc-cardinality. The gram stage feeds both the DF build and the
+    * join back, so it is persisted for the run and released once the
+    * (doc-cardinality) result materializes — the
+    * [[Dedup.materializeAndRelease]] contract the minhash stages use
+    * (re-tokenizing and re-hashing the corpus twice measured ~2× the
+    * operator's cost at sf0.1). */
   def boilerplateNgrams(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, dfCutoff: Long = 2, frac: Double = 0.5): DataFrame = {
     val grams = docs.select(col(idCol).as("doc_id"),
         explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
       .select(col("doc_id"), md5(col("gram")).as("g"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val dfTable = grams.groupBy("g").agg(count(lit(1)).as("__df"))
-    grams.join(dfTable, "g")
+    val result = grams.join(dfTable, "g")
       .groupBy("doc_id")
       .agg(count(lit(1)).cast(LongType).as("n_grams"),
         sum(when(col("__df") > dfCutoff, 1L).otherwise(0L)).as("n_common"))
       .withColumn("common_frac", round(
         col("n_common").cast(DoubleType) / col("n_grams").cast(DoubleType), 6))
       .withColumn("boilerplate", col("common_frac") > frac)
+    Dedup.materializeAndRelease(result, Seq(grams))
   }
 
   // ---------------------------------------------------------------------------
