@@ -333,4 +333,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "assignment must not join-shuffle the corpus")
     assert(p.contains("partial"), "the k×dim mean must pre-combine map-side")
   }
+
+  test("curation ops: gopher scan-side, shuffle/mix ship keys not text, boilerplate joins md5 keys") {
+    // gopher rule report: pure Column — only the oracle-stability sort may shuffle
+    val pg = plan("t17_gopher_rules")
+    assert(pg.split("Exchange").length - 1 <= 1, "gopher: unexpected shuffle")
+    assert(!pg.contains("BatchEvalPython") && !pg.contains("UDF"), "gopher: UDF in plan")
+    // training shuffle: the rank window is the one real exchange, and the
+    // text column must never enter it (the projection drops it pre-window)
+    val pt = plan("t18_training_shuffle")
+    assert(!pt.contains("UDF"), "shuffle: UDF in plan")
+    assert(!pt.matches("(?s).*Exchange[^\\n]*\\n[^\\n]*text.*") &&
+      !pt.contains("text#"), "shuffle: document text entered the plan")
+    // target mix: per-source rates must broadcast back, corpus never sort-merges
+    val pm = plan("t19_target_mix")
+    assert(pm.contains("BroadcastHashJoin") || pm.contains("BroadcastNestedLoopJoin"),
+      "target mix: rates must broadcast")
+    assert(!pm.contains("SortMergeJoin"), "target mix: corpus must not join-shuffle")
+    // boilerplate: the gram join key is the 16-byte md5, not gram text
+    val pb = plan("t20_boilerplate_ngrams")
+    assert(!pb.contains("SortMergeJoin") || pb.contains("md5"),
+      "boilerplate: gram join must key on md5")
+    assert(!pb.contains("UDF"), "boilerplate: UDF in plan")
+  }
 }
