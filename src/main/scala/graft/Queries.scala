@@ -2884,6 +2884,73 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // BPE first-merge candidates: corpus-weighted adjacent-char-pair counts,
+  // exploded from the VOCABULARY (one corpus-cardinality word-count agg),
+  // top-50 with (count desc, pair asc) tie-break.
+  register(
+    "t21_bpe_pairs",
+    """WITH words AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                            x -> x != '')) AS word
+      |  FROM documents),
+      |wc AS (SELECT word, count(*) AS wc FROM words GROUP BY word),
+      |pairs AS (
+      |  SELECT wc, unnest(list_transform(range(1, len(word)),
+      |           i -> substr(word, CAST(i AS INT), 2))) AS pair
+      |  FROM wc WHERE len(word) >= 2),
+      |pc AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM pairs GROUP BY pair),
+      |r AS (SELECT pair, n,
+      |             row_number() OVER (ORDER BY n DESC, pair) AS rank FROM pc)
+      |SELECT CAST(rank AS BIGINT) AS rank, pair, n
+      |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin) { (s, dir) =>
+    TextAnalysis.bpePairCounts(t(s, dir, "documents"), "text", k = 50)
+      .orderBy("rank")
+  }
+
+  // DSIR importance weights: log p_target − log p_raw under unigram LMs;
+  // target LM = the src0/src1 slice, raw LM = the whole corpus.
+  register(
+    "t22_dsir_weights",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                                    x -> x != '')) AS tok
+      |  FROM documents),
+      |ttoks AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                            x -> x != '')) AS tok
+      |  FROM documents WHERE source IN ('src0', 'src1')),
+      |rf AS (SELECT tok, count(*) AS nr FROM toks GROUP BY tok),
+      |tf AS (SELECT tok, count(*) AS nt FROM ttoks GROUP BY tok),
+      |tot AS (SELECT (SELECT CAST(sum(nr) AS DOUBLE) FROM rf) AS totr,
+      |               (SELECT CAST(sum(nt) AS DOUBLE) FROM tf) AS tott),
+      |dc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok)
+      |SELECT dc.doc_id, CAST(sum(dc.c) AS BIGINT) AS n_tokens,
+      |       round(sum(dc.c * (ln(coalesce(CAST(tf.nt AS DOUBLE), 0.5) / tot.tott)
+      |                       - ln(coalesce(CAST(rf.nr AS DOUBLE), 0.5) / tot.totr))),
+      |             6) AS log_weight
+      |FROM dc LEFT JOIN rf USING (tok) LEFT JOIN tf USING (tok), tot
+      |GROUP BY dc.doc_id ORDER BY dc.doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    TextAnalysis.dsirWeights(docs, "text", "doc_id",
+      target = docs.where(col("source").isin("src0", "src1")))
+      .orderBy("doc_id")
+  }
+
+  // Deterministic train/val/test split: md5-interval assignment
+  // (0.8/0.1/0.1) — reproducible across engines, runs, and cluster sizes.
+  register(
+    "t23_split_assign",
+    """SELECT doc_id,
+      |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+      |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.splitAssign(t(s, dir, "documents"), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split")
+      .orderBy("doc_id")
+  }
+
   // Token-bounded chunking with overlap (context-window prep): chunk i
   // covers words [i*48, i*48+64), every word covered, zero shuffle.
   register(

@@ -257,6 +257,31 @@ object TextAnalysis {
     df.where(substring(md5(col(keyCol).cast("string")), 1, 8) < thr)
   }
 
+  /** Deterministic train/val/test split assignment: partition [0,1) into
+    * cumulative-weight intervals and place each document by where the
+    * first 8 md5 hex chars of its id fall — the leakage-proof split rule
+    * (a document's split never depends on corpus size, partitioning, or
+    * iteration order, and re-runs/re-shards cannot move a test doc into
+    * train). Weights must sum to 1; every doc gets exactly one split.
+    *
+    * Scale shape: pure scan-side CASE over the hash prefix — no shuffle,
+    * no driver state, composable with any downstream per-split write. */
+  def splitAssign(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0) &&
+      math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "splitAssign: weights must be positive and sum to 1")
+    val hexCol = substring(md5(col(idCol).cast("string")), 1, 8)
+    val cums = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    // all but the last interval test `hex < threshold(cum)`; the last is
+    // the otherwise-branch so float error at cum=1.0 can't drop a doc
+    val assigned = splits.init.zip(cums.init)
+      .foldRight(lit(splits.last._1): Column) { case (((name, _), cum), acc) =>
+        when(hexCol < lit(hexThreshold(cum)), lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", assigned)
+  }
+
   // ---------------------------------------------------------------------------
   // Sequence packing (pretraining batch prep)
   // ---------------------------------------------------------------------------
@@ -433,6 +458,34 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("tok").asc)
       .limit(k)
 
+  /** First-iteration BPE merge candidates: corpus-weighted counts of
+    * adjacent character pairs, the statistic a byte-pair-encoding trainer
+    * maximizes at each merge step (Sennrich et al. 2016). Pairs count once
+    * per occurrence IN a word, weighted by the word's corpus frequency —
+    * exactly the trainer's objective, so the top row IS the first merge.
+    *
+    * Scale shape: the corpus-cardinality work is ONE pre-combined word
+    * count (the vocabularyTopK shuffle); pairs then explode from the
+    * VOCABULARY (not the corpus) and collapse to at most alphabet² rows,
+    * so the ranking window is trivially small. Iterating merges re-runs
+    * only the vocab-side stages — the corpus is never re-read. */
+  def bpePairCounts(docs: DataFrame, textCol: String, k: Int = 50): DataFrame = {
+    val words = docs.select(explode(tokens(lower(col(textCol)))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("__wc"))
+    // sequence(1, 0) would run DESCENDING in Spark — guard short words
+    val pairsOf = when(length(col("word")) >= 2,
+      transform(sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2))))
+      .otherwise(array().cast("array<string>"))
+    val counts = words.select(col("__wc"), explode(pairsOf).as("pair"))
+      .groupBy("pair").agg(sum(col("__wc")).cast(LongType).as("n"))
+    counts
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("pair").asc)).cast(LongType))
+      .where(col("rank") <= k)
+      .select(col("rank"), col("pair"), col("n"))
+  }
+
   // ---------------------------------------------------------------------------
   // Benchmark decontamination
   // ---------------------------------------------------------------------------
@@ -482,6 +535,47 @@ object TextAnalysis {
       .agg(
         sum(col("__c")).as("n_tokens"),
         round(sum(col("__c") * col("__s")) / sum(col("__c")), 6).as("avg_surprisal"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023): score each raw document by
+    * `log p_target(x) − log p_raw(x)` under unigram bag-of-words LMs — the
+    * data-selection step that resamples a web corpus toward a target
+    * domain. The target LM trains on a (small) target-domain sample, the
+    * raw LM on the corpus being scored; high weight = target-like. OOV
+    * tokens floor at `oovFloorOver / total` on each side, mirroring
+    * [[unigramSurprisal]]. Output: (doc_id, n_tokens, log_weight rounded
+    * to 6) — feed `log_weight` through a softmax/Gumbel resample or a
+    * threshold cut downstream.
+    *
+    * Scale shape: two pre-combined frequency aggregations (raw side is
+    * the corpus-cardinality one), per-doc token COUNTS aggregate before
+    * the frequency joins (inputs shrink by each doc's repetition factor),
+    * the two totals ride one broadcast row, and AQE broadcasts the
+    * frequency tables at real vocab sizes. */
+  def dsirWeights(docs: DataFrame, textCol: String, idCol: String,
+      target: DataFrame, targetTextCol: String = "text",
+      oovFloorOver: Double = 0.5): DataFrame = {
+    def toksOf(df: DataFrame, tc: String, extra: Column*): DataFrame =
+      df.select(extra :+ explode(tokens(lower(col(tc)))).as("tok"): _*)
+    val rawFreq = toksOf(docs, textCol).groupBy("tok")
+      .agg(count(lit(1)).as("__nr"))
+    val tgtFreq = toksOf(target, targetTextCol).groupBy("tok")
+      .agg(count(lit(1)).as("__nt"))
+    val totals = broadcast(rawFreq.agg(sum(col("__nr")).as("__totr"))
+      .crossJoin(tgtFreq.agg(sum(col("__nt")).as("__tott"))))
+    val docToks = toksOf(docs, textCol, col(idCol).as("doc_id"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("__c"))
+    docToks
+      .join(rawFreq, Seq("tok"), "left")
+      .join(tgtFreq, Seq("tok"), "left")
+      .crossJoin(totals)
+      .withColumn("__lw",
+        log(coalesce(col("__nt").cast("double"), lit(oovFloorOver)) / col("__tott")) -
+          log(coalesce(col("__nr").cast("double"), lit(oovFloorOver)) / col("__totr")))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("__c")).as("n_tokens"),
+        round(sum(col("__c") * col("__lw")), 6).as("log_weight"))
   }
 
   /** Distinct word n-grams from an ALREADY-MATERIALIZED tokens column

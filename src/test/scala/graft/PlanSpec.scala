@@ -355,5 +355,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!pb.contains("SortMergeJoin") || pb.contains("md5"),
       "boilerplate: gram join must key on md5")
     assert(!pb.contains("UDF"), "boilerplate: UDF in plan")
+    // split assignment: pure scan-side CASE — only the oracle sort shuffles
+    val ps = plan("t23_split_assign")
+    assert(ps.split("Exchange").length - 1 <= 1, "split: unexpected shuffle")
+    assert(!ps.contains("UDF"), "split: UDF in plan")
+    // bpe pairs: corpus-cardinality work is ONE pre-combined word count;
+    // the ranking window runs over the alphabet²-sized pair table
+    val pp = plan("t21_bpe_pairs")
+    assert(pp.contains("partial"), "bpe: word count must pre-combine map-side")
+    assert(!pp.contains("UDF"), "bpe: UDF in plan")
+    // dsir: totals ride one broadcast row, no UDF
+    val pd = plan("t22_dsir_weights")
+    assert(pd.contains("BroadcastNestedLoopJoin"),
+      "dsir: LM totals must ride a one-row broadcast")
+    assert(!pd.contains("UDF"), "dsir: UDF in plan")
   }
 }
