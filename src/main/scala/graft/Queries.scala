@@ -2218,6 +2218,28 @@ object Queries {
       .orderBy("id")
   }
 
+  // Canonical selection by QUALITY: same planted corpus, but score = doc_id
+  // makes each planted copy (id + 1,000,000) the best-scoring cluster
+  // member — the keep verdict FLIPS relative to d9 (copy kept, source
+  // dropped), which is exactly what proves the score path: a text-derived
+  // score would tie on the byte-identical pair and fall back to d9's
+  // min-id answer.
+  register(
+    "d12_keep_best_quality",
+    """SELECT doc_id AS id, doc_id AS cluster_id,
+      |       doc_id % 97 <> 0 AS keep
+      |FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS id, doc_id AS cluster_id, TRUE AS keep
+      |FROM documents WHERE doc_id % 97 = 0
+      |ORDER BY id""".stripMargin) { (s, dir) =>
+    Dedup.dropNearDuplicatesKeepBest(
+      docPlantedCorpus(t(s, dir, "documents")), "text", "doc_id",
+      scoreCol = col("doc_id"),
+      shingleWords = 2, numHashes = 32, bands = 8, threshold = 0.5)
+      .orderBy("id")
+  }
+
   // SimHash near-dup: 64-bit fingerprint, hamming <= 6, chunk-bucketed.
   registerNoOracle("d3_dedup_simhash") { (s, dir) =>
     Dedup.simhashNearDups(t(s, dir, "documents"), "text", "doc_id", maxDist = 6)
@@ -3338,6 +3360,37 @@ object Queries {
       |FROM keep WHERE rn = 1
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
     Dedup.spanDedup(t(s, dir, "documents"), "text", "doc_id", spanWords = 8)
+      .orderBy("doc_id")
+  }
+
+  // Intra-document span dedup (the C4 page-LOCAL rule): the keep-first
+  // window scopes to (doc, span) — a span repeated inside one document
+  // collapses, but documents never affect each other.
+  register(
+    "d11_intradoc_span_dedup",
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+      |                             x -> x != '') AS words
+      |  FROM documents),
+      |flat AS (
+      |  SELECT doc_id, sp.span_idx AS span_idx, sp.span AS span
+      |  FROM (SELECT doc_id, unnest(list_transform(
+      |          generate_series(0, CAST(ceil(len(words) / 8.0) AS BIGINT) - 1),
+      |          i -> struct_pack(span_idx := i,
+      |                 span := array_to_string(words[i*8+1:i*8+8], ' ')))) AS sp
+      |        FROM w)
+      |  WHERE length(sp.span) > 0),
+      |keep AS (
+      |  SELECT doc_id, span_idx, span,
+      |         row_number() OVER (PARTITION BY doc_id, span
+      |                            ORDER BY doc_id, span_idx) AS rn
+      |  FROM flat)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans_kept,
+      |       string_agg(span, ' ' ORDER BY span_idx) AS dedup_text
+      |FROM keep WHERE rn = 1
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Dedup.spanDedup(t(s, dir, "documents"), "text", "doc_id", spanWords = 8,
+      withinDoc = true)
       .orderBy("doc_id")
   }
 

@@ -75,9 +75,15 @@ object Dedup {
     * posexplode, like chunking); the keep-first decision is ONE window
     * shuffle partitioned by the 16-byte span fingerprint (span text rides
     * it once as payload), reassembly is one groupBy(doc). No self-join, no
-    * all-pairs anything. Output: (doc_id, n_spans_kept, dedup_text). */
+    * all-pairs anything. Output: (doc_id, n_spans_kept, dedup_text).
+    *
+    * `withinDoc = true` scopes the keep-first rule to each document (the
+    * C4 page-LOCAL cleanup: a span repeated inside one page collapses, but
+    * two pages may legitimately share it) — the window partitions by
+    * (doc, fingerprint) instead, so partitions shrink and no cross-doc
+    * coordination happens at all. */
   def spanDedup(df: DataFrame, textCol: String, idCol: String,
-      spanWords: Int = 8): DataFrame = {
+      spanWords: Int = 8, withinDoc: Boolean = false): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
     val lastSpan = ceil(size(col("__toks")).cast("double") / spanWords).cast("int") - 1
     val spans = df
@@ -88,7 +94,10 @@ object Dedup {
         array_join(slice(col("__toks"), col("span_idx") * spanWords + 1,
           lit(spanWords)), " ").as("span"))
       .where(length(col("span")) > 0)
-    val w = Window.partitionBy(md5(col("span")))
+    val partCols =
+      if (withinDoc) Seq(col("doc_id"), md5(col("span")))
+      else Seq(md5(col("span")))
+    val w = Window.partitionBy(partCols: _*)
       .orderBy(col("doc_id").asc, col("span_idx").asc)
     spans.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
@@ -452,6 +461,34 @@ object Dedup {
       .select(col("id"),
         coalesce(col("cluster_id"), col("id")).as("cluster_id"))
       .withColumn("keep", col("cluster_id") === col("id"))
+  }
+
+  /** [[dropNearDuplicates]] with canonical selection by QUALITY instead of
+    * min id: within each near-dup cluster the highest-`scoreCol` member is
+    * kept (id-asc tie-break) — what production pipelines actually do, since
+    * the first-crawled copy is often the truncated or boilerplate-wrapped
+    * one. `scoreCol` is evaluated against `df`'s columns.
+    *
+    * Scale shape: identical stages, plus one window that runs over the
+    * DUP-CARDINALITY slice only — docs in no cluster never enter it (they
+    * keep by an anti-join against the label set, which AQE broadcasts at
+    * real dup rates), so the quality pass adds no corpus-wide shuffle. */
+  def dropNearDuplicatesKeepBest(df: DataFrame, textCol: String, idCol: String,
+      scoreCol: Column,
+      shingleWords: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.7, maxBucketPairing: Int = 64): DataFrame = {
+    val pairs = minhashNearDups(df, textCol, idCol,
+      shingleWords, numHashes, bands, threshold, maxBucketPairing)
+    val labels = connectedComponents(pairs) // (id, cluster_id = min id)
+    val scored = df.select(col(idCol).as("id"), scoreCol.as("__score"))
+    val dupVerdicts = scored.join(labels, Seq("id")) // dup-cardinality
+      .withColumn("keep", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("__score").desc, col("id").asc)) === 1)
+      .select(col("id"), col("cluster_id"), col("keep"))
+    val singletons = scored.join(labels, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster_id"), lit(true).as("keep"))
+    dupVerdicts.unionAll(singletons)
   }
 
   /** Exact Jaccard over two string arrays. */
