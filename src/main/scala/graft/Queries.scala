@@ -2561,6 +2561,70 @@ object Queries {
       .orderBy("q_id", "rank")
   }
 
+  // IVF-PQ against a MATERIALIZED (id, list, codes) index — the
+  // build-once/probe-many serving loop (the ANN analogue of t13b's staged
+  // postings): the index localCheckpoints so the serving plan provably
+  // starts from the store with no float-corpus lineage, and the result
+  // must hash-equal the inline composition's (same oracle).
+  register(
+    "ann_ivfpq_store",
+    s"""WITH $PqCbSql,
+      |codes AS (SELECT vec_id, sub, code FROM enc WHERE rn = 1),
+      |cen AS (SELECT vec_id::INT AS g, list_transform(embedding, x -> x::DOUBLE) AS cv
+      |        FROM embeddings WHERE vec_id < 8),
+      |lists AS (
+      |  SELECT v.vec_id, cen.g,
+      |         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |           round(list_sum(list_transform(range(1, 65),
+      |             i -> (v.embedding[i]::DOUBLE - cen.cv[i]) *
+      |                  (v.embedding[i]::DOUBLE - cen.cv[i]))), 6) ASC, cen.g ASC) AS rn
+      |  FROM embeddings v CROSS JOIN cen),
+      |assign AS (SELECT vec_id, g AS list FROM lists WHERE rn = 1),
+      |q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 5),
+      |qprobe AS (
+      |  SELECT q.q_id, cen.g AS list,
+      |         row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |           round(list_sum(list_transform(range(1, 65),
+      |             i -> (q.embedding[i]::DOUBLE - cen.cv[i]) *
+      |                  (q.embedding[i]::DOUBLE - cen.cv[i]))), 6) ASC, cen.g ASC) AS rn
+      |  FROM q CROSS JOIN cen),
+      |probes AS (SELECT q_id, list FROM qprobe WHERE rn <= 3),
+      |dt AS (
+      |  SELECT q.q_id, cb.sub, cb.code,
+      |         round(list_sum(list_transform(range(1, 17),
+      |           i -> (q.embedding[cb.sub * 16 + i]::DOUBLE - cb.cvec[i]) *
+      |                (q.embedding[cb.sub * 16 + i]::DOUBLE - cb.cvec[i]))), 6) AS d2
+      |  FROM q CROSS JOIN cb),
+      |cand AS (
+      |  SELECT p.q_id, a.vec_id AS neighbor_id
+      |  FROM probes p JOIN assign a ON a.list = p.list
+      |  WHERE a.vec_id != p.q_id),
+      |scored AS (
+      |  SELECT c.q_id, c.neighbor_id,
+      |         round(list_sum(list(dt.d2 ORDER BY dt.sub)), 6) AS adist
+      |  FROM cand c
+      |  JOIN codes co ON co.vec_id = c.neighbor_id
+      |  JOIN dt ON dt.q_id = c.q_id AND dt.sub = co.sub AND dt.code = co.code
+      |  GROUP BY c.q_id, c.neighbor_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY adist ASC, neighbor_id ASC) AS rank FROM scored)
+      |SELECT q_id, neighbor_id, adist, rank FROM ranked WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val cents = e.where(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("group"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "centroid")))
+    val queries = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val cb = pqSliceCodebook(e)
+    val index = graft.pipeline.Similarity.ivfPqIndex(e, cents, cb)
+      .localCheckpoint(true)
+    graft.pipeline.Similarity.ivfPqTopKAgainstStore(index, queries, cents, cb,
+      k = 3, nProbe = 3)
+      .orderBy("q_id", "rank")
+  }
+
   // K-means Lloyd training (the trainer behind the IVF quantizer and
   // semantic dedup), proven EXACTLY — no planting needed: Lloyd from fixed
   // seeds is deterministic (assignment argmin on 6-decimal-rounded squared

@@ -350,8 +350,19 @@ object Similarity {
       centGroup: String = "group", centPos: String = "pos",
       centVal: String = "centroid",
       subCol: String = "sub", codeCol: String = "code",
-      centroidCol: String = "centroid"): DataFrame = {
-    val session = corpus.sparkSession
+      centroidCol: String = "centroid"): DataFrame =
+    ivfPqTopKAgainstStore(
+      ivfPqIndex(corpus, cents, codebook, corpusId, corpusVec,
+        centGroup, centPos, centVal, subCol, codeCol, centroidCol),
+      queries, cents, codebook, k, nProbe, corpusId,
+      queryId, queryVec, centGroup, centPos, centVal,
+      subCol, codeCol, centroidCol)
+
+  /** Centroid table → ONE broadcast row holding (sorted group ids, their
+    * vectors) — the shared coarse-quantizer shape ([[ivfTopK]]'s matrix). */
+  private def centMatrixRow(cents: DataFrame, centGroup: String,
+      centPos: String, centVal: String): DataFrame = {
+    val session = cents.sparkSession
     import session.implicits._
     val byGroup = cents
       .groupBy(col(centGroup).cast("int").as("g"))
@@ -359,24 +370,59 @@ object Similarity {
       .select(col("g"), transform(col("cs"), c => c.getField(centVal)).as("cv"))
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
       .toMap
-    require(byGroup.nonEmpty, "ivfPqTopK: empty centroid table")
+    require(byGroup.nonEmpty, "ivfPq: empty centroid table")
     val groupsSorted = byGroup.keys.toSeq.sorted
-    val centRow = broadcast(Seq(
-      (groupsSorted, groupsSorted.map(byGroup)))
+    broadcast(Seq((groupsSorted, groupsSorted.map(byGroup)))
       .toDF("__cent_groups", "__cent_mat"))
-    val (pqRow, m, nCodes, subDim) = pqMatrixRow(codebook, subCol, codeCol, centroidCol)
+  }
 
-    def nearestLists(vec: Column, n: Int): Column = {
-      val v = vec.cast("array<double>")
-      val scored = zip_with(col("__cent_mat"), col("__cent_groups"),
-        (c, g) => struct(round(dist2Col(v, c), 6).as("d"), g.as("g")))
-      slice(transform(array_sort(scored), s => s.getField("g")), 1, n)
-    }
+  /** n nearest coarse lists for a vector, evaluated against the
+    * [[centMatrixRow]] columns (6-decimal-rounded, group-id tie-break). */
+  private def nearestListsCol(vec: Column, n: Int): Column = {
+    val v = vec.cast("array<double>")
+    val scored = zip_with(col("__cent_mat"), col("__cent_groups"),
+      (c, g) => struct(round(dist2Col(v, c), 6).as("d"), g.as("g")))
+    slice(transform(array_sort(scored), s => s.getField("g")), 1, n)
+  }
 
-    val index = corpus.crossJoin(centRow).crossJoin(pqRow)
+  /** IVF-PQ index build — ONE scan-side pass emitting (id, list, codes):
+    * the coarse list assignment and the PQ codes come from the same
+    * projection, both matrices riding one-row broadcasts (no join, no
+    * shuffle, corpus partitioning preserved). Persist the result —
+    * parquet partitioned or bucketed by `list` so probe joins prune — and
+    * serving never touches the float corpus again. */
+  def ivfPqIndex(corpus: DataFrame, cents: DataFrame, codebook: DataFrame,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      centGroup: String = "group", centPos: String = "pos",
+      centVal: String = "centroid",
+      subCol: String = "sub", codeCol: String = "code",
+      centroidCol: String = "centroid"): DataFrame = {
+    val centRow = centMatrixRow(cents, centGroup, centPos, centVal)
+    val (pqRow, m, nCodes, subDim) =
+      pqMatrixRow(codebook, subCol, codeCol, centroidCol)
+    corpus.crossJoin(centRow).crossJoin(pqRow)
       .select(col(corpusId),
-        nearestLists(col(corpusVec), 1).getItem(0).as("list"),
+        nearestListsCol(col(corpusVec), 1).getItem(0).as("list"),
         pqCodesExpr(col(corpusVec), m, nCodes, subDim).as("codes"))
+  }
+
+  /** IVF-PQ serving over an ALREADY-BUILT (id, list, codes) index — the
+    * build-once/probe-many loop, the ANN analogue of
+    * [[Retrieval.bm25TopKAgainstStore]]: each query picks its nProbe
+    * nearest lists and precomputes its m×K distance table, candidates are
+    * the probed lists' code rows only, and the raw float vectors never
+    * appear in the serving plan at all. */
+  def ivfPqTopKAgainstStore(index: DataFrame, queries: DataFrame,
+      cents: DataFrame, codebook: DataFrame, k: Int, nProbe: Int = 4,
+      corpusId: String = "vec_id",
+      queryId: String = "q_id", queryVec: String = "q_vec",
+      centGroup: String = "group", centPos: String = "pos",
+      centVal: String = "centroid",
+      subCol: String = "sub", codeCol: String = "code",
+      centroidCol: String = "centroid"): DataFrame = {
+    val centRow = centMatrixRow(cents, centGroup, centPos, centVal)
+    val (pqRow, m, nCodes, subDim) =
+      pqMatrixRow(codebook, subCol, codeCol, centroidCol)
     val qv = col(queryVec).cast("array<double>")
     val dt = transform(sequence(lit(0), lit(m - 1)), s =>
       transform(element_at(col("__pq_mats"), s + 1),
@@ -384,7 +430,7 @@ object Similarity {
     // probe list + distance table projected BEFORE the explode — as a
     // generator sibling the m×K table would be recomputed per probe row
     val probes = queries.crossJoin(centRow).crossJoin(pqRow)
-      .select(col(queryId), nearestLists(col(queryVec), nProbe).as("__probe"),
+      .select(col(queryId), nearestListsCol(col(queryVec), nProbe).as("__probe"),
         dt.as("__dt"))
       .select(col(queryId), explode(col("__probe")).as("list"), col("__dt"))
     val adist = round(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
