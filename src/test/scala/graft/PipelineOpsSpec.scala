@@ -165,6 +165,65 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(corpus == Seq(0L, 1L, 2L, 3L, 11L, 13L))
   }
 
+  test("streaming ANN index maintenance: batch-N vectors searchable at batch N+1") {
+    // the serving-side analogue of the ingestion gate: each arriving
+    // micro-batch of embeddings is first SEARCHED against the staged
+    // IVF-PQ index, then its own (id, list, codes) rows append to the
+    // store — so a vector that arrived at batch N is a candidate for
+    // batch N+1's queries without ever re-reading float vectors of the
+    // existing corpus
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+    val (idxRoot, hitsRoot) = (s"$root/index", s"$root/hits")
+    // dim 8; two coarse lists; PQ = 2 subspaces of 4 dims, 2 codes each
+    val cents = Seq(
+      (0, Seq(1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0)),
+      (1, Seq(0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0)))
+      .toDF("group", "cv")
+      .select(col("group"), posexplode(col("cv")).as(Seq("pos", "centroid")))
+    val cb = Seq(
+      (0, 0, Seq(1.0, 1.0, 1.0, 1.0)), (0, 1, Seq(0.0, 0.0, 0.0, 0.0)),
+      (1, 0, Seq(0.0, 0.0, 0.0, 0.0)), (1, 1, Seq(1.0, 1.0, 1.0, 1.0)))
+      .toDF("sub", "code", "centroid")
+    val seed = Seq(
+      (0L, Seq(1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    Similarity.ivfPqIndex(seed, cents, cb).write.parquet(idxRoot)
+
+    val input = MemoryStream[(Long, Seq[Double])]
+    def runBatch(): Unit = {
+      val q = input.toDF().toDF("vec_id", "embedding").writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val queries = batch.select(col("vec_id").as("q_id"),
+            col("embedding").as("q_vec")).persist()
+          Similarity.ivfPqTopKAgainstStore(
+            spark.read.parquet(idxRoot), queries, cents, cb, k = 2, nProbe = 1)
+            .write.mode("append").parquet(hitsRoot)
+          Similarity.ivfPqIndex(batch, cents, cb)
+            .write.mode("append").parquet(idxRoot)
+          spark.catalog.clearCache()
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try assert(q.awaitTermination(180000), "index maintenance did not finish")
+      finally q.stop()
+    }
+    input.addData((10L, Seq(0.9, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0)))
+    runBatch()
+    input.addData((20L, Seq(0.95, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0)))
+    runBatch()
+    val hits = spark.read.parquet(hitsRoot)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // batch 1's query sees only the seed; batch 2's query sees the seed
+    // AND batch 1's vector — the store grew
+    assert(hits.contains((10L, 0L)))
+    assert(hits.contains((20L, 0L)) && hits.contains((20L, 10L)),
+      s"batch-2 query missed the batch-1 arrival: $hits")
+  }
+
   test("simhash near-dups by hamming distance") {
     val pairs = Dedup.simhashNearDups(docs, "text", "doc_id", maxDist = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
