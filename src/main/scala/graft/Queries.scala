@@ -3022,6 +3022,38 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // Vocabulary drift audit: top-30 tokens by pointwise KL contribution
+  // between two source cohorts — every value per-term arithmetic, so the
+  // report hash-matches (no cross-term float sums).
+  register(
+    "t24_vocab_drift",
+    """WITH ta AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                            x -> x != '')) AS tok
+      |  FROM documents WHERE source IN ('src0','src1','src2','src3','src4')),
+      |tb AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                            x -> x != '')) AS tok
+      |  FROM documents
+      |  WHERE source NOT IN ('src0','src1','src2','src3','src4')),
+      |fa AS (SELECT tok, count(*) AS n_a FROM ta GROUP BY tok),
+      |fb AS (SELECT tok, count(*) AS n_b FROM tb GROUP BY tok),
+      |tot AS (SELECT (SELECT CAST(sum(n_a) AS DOUBLE) FROM fa) AS tta,
+      |               (SELECT CAST(sum(n_b) AS DOUBLE) FROM fb) AS ttb)
+      |SELECT fa.tok, fa.n_a, coalesce(fb.n_b, 0) AS n_b,
+      |       round((fa.n_a / tot.tta) * ln((fa.n_a / tot.tta) /
+      |             (coalesce(CAST(fb.n_b AS DOUBLE), 0.5) / tot.ttb)), 9)
+      |         AS kl_contrib
+      |FROM fa LEFT JOIN fb USING (tok), tot
+      |ORDER BY kl_contrib DESC, tok ASC LIMIT 30""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val aSrc = Seq("src0", "src1", "src2", "src3", "src4")
+    TextAnalysis.vocabDriftTopK(
+      docs.where(col("source").isin(aSrc: _*)),
+      docs.where(!col("source").isin(aSrc: _*)),
+      "text", k = 30)
+  }
+
   // Deterministic train/val/test split: md5-interval assignment
   // (0.8/0.1/0.1) — reproducible across engines, runs, and cluster sizes.
   register(

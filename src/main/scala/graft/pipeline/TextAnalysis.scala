@@ -578,6 +578,37 @@ object TextAnalysis {
         round(sum(col("__c") * col("__lw")), 6).as("log_weight"))
   }
 
+  /** Vocabulary drift between two corpus slices (crawl snapshots, source
+    * cohorts): the top-k tokens by pointwise KL contribution
+    * p_a·ln(p_a/p_b) — "which tokens drove the distribution shift", the
+    * audit run before/after a recrawl or filter change. Tokens absent
+    * from `b` floor at `oovFloorOver / total_b` (the drift spike a truly
+    * new token deserves). Every output value is per-term arithmetic — no
+    * cross-term float sums — so the report hash-matches across engines.
+    *
+    * Scale shape: two pre-combined frequency aggs; totals ride one
+    * broadcast row; the top-k is an orderBy+limit (TakeOrdered — no
+    * single-partition sort even at 100M-term vocabularies). */
+  def vocabDriftTopK(a: DataFrame, b: DataFrame, textCol: String,
+      k: Int = 30, oovFloorOver: Double = 0.5): DataFrame = {
+    def freqs(df: DataFrame) = df
+      .select(explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy("tok")
+    val fa = freqs(a).agg(count(lit(1)).as("n_a"))
+    val fb = freqs(b).agg(count(lit(1)).as("n_b"))
+    val tot = broadcast(fa.agg(sum(col("n_a")).as("__ta"))
+      .crossJoin(fb.agg(sum(col("n_b")).as("__tb"))))
+    fa.join(fb, Seq("tok"), "left").crossJoin(tot)
+      .withColumn("__pa", col("n_a").cast(DoubleType) / col("__ta"))
+      .withColumn("__pb",
+        coalesce(col("n_b").cast(DoubleType), lit(oovFloorOver)) / col("__tb"))
+      .select(col("tok"), col("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        round(col("__pa") * log(col("__pa") / col("__pb")), 9).as("kl_contrib"))
+      .orderBy(col("kl_contrib").desc, col("tok").asc)
+      .limit(k)
+  }
+
   /** Distinct word n-grams from an ALREADY-MATERIALIZED tokens column
     * (empty below n words — decontamination can't match a sub-n-gram
     * snippet). Two perf lessons baked in (both measured): `toksCol` must
