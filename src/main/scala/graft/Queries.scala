@@ -2240,6 +2240,39 @@ object Queries {
       .orderBy("id")
   }
 
+  // Winnowing (MOSS) near-dup candidates: deterministic fingerprint
+  // selection, so — unlike the minhash/simhash family — the REALISTIC
+  // corpus run is exactly SQL-expressible, star cap and all. Window
+  // minima compare md5 hex strings lexicographically on both engines.
+  register(
+    "d10_winnowing",
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             x -> x != '') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, list_transform(generate_series(0, len(t) - 3),
+      |           i -> md5(array_to_string(t[i+1:i+3], ' '))) AS grams
+      |  FROM w WHERE len(t) >= 3),
+      |fps AS (
+      |  SELECT DISTINCT doc_id, fp FROM (
+      |    SELECT doc_id, unnest(list_distinct(list_transform(
+      |             generate_series(0, greatest(len(grams) - 4, 0)),
+      |             i -> list_min(grams[i+1:i+4])))) AS fp
+      |    FROM g)),
+      |rk AS (
+      |  SELECT fp, doc_id AS id,
+      |         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |  FROM fps)
+      |SELECT DISTINCT x.id AS id_a, y.id AS id_b
+      |FROM rk x JOIN rk y
+      |  ON x.fp = y.fp AND x.id < y.id AND (y.rn <= 64 OR x.rn = 1)
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    Dedup.winnowingCandidates(t(s, dir, "documents"), "text", "doc_id",
+      k = 3, window = 4, maxBucketPairing = 64)
+      .orderBy("id_a", "id_b")
+  }
+
   // SimHash near-dup: 64-bit fingerprint, hamming <= 6, chunk-bucketed.
   registerNoOracle("d3_dedup_simhash") { (s, dir) =>
     Dedup.simhashNearDups(t(s, dir, "documents"), "text", "doc_id", maxDist = 6)
@@ -3052,6 +3085,50 @@ object Queries {
       docs.where(col("source").isin(aSrc: _*)),
       docs.where(!col("source").isin(aSrc: _*)),
       "text", k = 30)
+  }
+
+  // Bigram-LM surprisal with stupid backoff: LM trained on the src0 slice
+  // only, scoring the whole corpus — cross-source bigrams genuinely miss,
+  // so the backoff leg (0.4 · p_unigram, OOV-floored) is exercised for
+  // real, not just reachable.
+  register(
+    "t25_bigram_surprisal",
+    """WITH w AS (
+      |  SELECT doc_id, source,
+      |         list_filter(string_split_regex(lower(text), '\s+'),
+      |                     x -> x != '') AS toks
+      |  FROM documents),
+      |refw AS (SELECT toks FROM w WHERE source = 'src0' AND len(toks) >= 2),
+      |refbg AS (
+      |  SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS nb FROM (
+      |    SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+      |      i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS bg
+      |    FROM refw) GROUP BY 1, 2),
+      |ctx AS (SELECT w1, CAST(sum(nb) AS DOUBLE) AS nc FROM refbg GROUP BY w1),
+      |uni AS (SELECT tok, count(*) AS nu
+      |        FROM (SELECT unnest(toks) AS tok FROM refw) GROUP BY tok),
+      |tot AS (SELECT CAST(sum(nu) AS DOUBLE) AS total FROM uni),
+      |docbg AS (
+      |  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+      |      i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS bg
+      |    FROM w WHERE len(toks) >= 2) GROUP BY 1, 2, 3),
+      |scored AS (
+      |  SELECT d.doc_id, d.c,
+      |         CASE WHEN refbg.nb IS NOT NULL THEN -ln(refbg.nb / ctx.nc)
+      |              ELSE -ln(0.4 * coalesce(CAST(uni.nu AS DOUBLE), 0.5) /
+      |                       tot.total) END AS s
+      |  FROM docbg d
+      |  LEFT JOIN refbg ON d.w1 = refbg.w1 AND d.w2 = refbg.w2
+      |  LEFT JOIN ctx ON d.w1 = ctx.w1
+      |  LEFT JOIN uni ON d.w2 = uni.tok, tot)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |       round(sum(c * s) / sum(c), 6) AS avg_surprisal
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    TextAnalysis.bigramSurprisal(docs, "text", "doc_id",
+      refCorpus = Some(docs.where(col("source") === "src0")))
+      .orderBy("doc_id")
   }
 
   // Deterministic train/val/test split: md5-interval assignment

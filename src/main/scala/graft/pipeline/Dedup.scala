@@ -506,6 +506,59 @@ object Dedup {
       wordShingles(col(textB), shingleWords))
 
   // -------------------------------------------------------------------------
+  // Winnowing
+  // -------------------------------------------------------------------------
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003,
+    * the MOSS algorithm): hash every `k`-word gram, slide a `window`-wide
+    * window over the hash sequence, and keep each window's minimum — the
+    * selected set carries the GUARANTEE that any shared run of at least
+    * `window + k − 1` words between two documents shares at least one
+    * fingerprint. Unlike MinHash this is deterministic (no probabilistic
+    * recall), which is why its output can be oracle-checked exactly.
+    * Window minima use the md5 hex string itself — lexicographic order on
+    * hex is engine-independent, so no numeric conversion is needed.
+    *
+    * Output: distinct (doc_id, fp). All work is scan-side Column
+    * arithmetic until the final distinct; a document's fingerprint count
+    * is ~`tokens / window`, so the shuffle carries ids + 32-char hashes,
+    * never text. */
+  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, window: Int = 4): DataFrame = {
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    df.select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .where(size(col("__toks")) >= k)
+      .withColumn("__grams", transform(
+        sequence(lit(0), size(col("__toks")) - k),
+        i => md5(array_join(slice(col("__toks"), i + 1, lit(k)), " "))))
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), greatest(size(col("__grams")) - window, lit(0))),
+          i => array_min(slice(col("__grams"), i + 1, lit(window)))))).as("fp"))
+      .dropDuplicates("doc_id", "fp")
+  }
+
+  /** Near-dup candidate pairs from shared winnowing fingerprints: the
+    * deterministic alternative to the MinHash band join. Same skew story
+    * as every bucket join here — a boilerplate fingerprint shared by a
+    * million docs pairs via the capped star (see [[cappedPairs]]), keeping
+    * per-fingerprint work linear. Shuffles ship (doc_id, 16-byte fp). */
+  def winnowingCandidates(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, window: Int = 4, maxBucketPairing: Int = 64): DataFrame = {
+    // persisted: the self-join references the ranked stage twice, and
+    // without the cache each side re-tokenizes and re-winnows the corpus
+    // (same contract as minhashPairsPlan — materialized pairs, zero cache
+    // entries on return)
+    val ranked = winnowFingerprints(df, textCol, idCol, k, window)
+      .select(col("fp"), col("doc_id").as("id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("fp").orderBy("id")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    materializeAndRelease(cappedPairs(ranked, Seq("fp"), maxBucketPairing),
+      Seq(ranked))
+  }
+
+  // -------------------------------------------------------------------------
   // SimHash
   // -------------------------------------------------------------------------
 

@@ -537,6 +537,64 @@ object TextAnalysis {
         round(sum(col("__c") * col("__s")) / sum(col("__c")), 6).as("avg_surprisal"))
   }
 
+  /** Bigram-LM surprisal with stupid backoff: docs scored by mean
+    * −ln P(w2|w1), one model order up from [[unigramSurprisal]] — the
+    * relational form of the CCNet-style LM quality filter. P(w2|w1) is
+    * the MLE `c(w1,w2) / c(w1,·)`; a bigram unseen in the training slice
+    * backs off to `alpha · p_unigram(w2)` (the "stupid backoff" of
+    * Brants et al. 2007, designed precisely for MapReduce-scale LMs —
+    * no normalization pass, so it stays a pure join), and an unseen
+    * unigram floors at `oovFloorOver / total` as everywhere else.
+    *
+    * Scale shape: each corpus is scanned once per frequency table it
+    * feeds; every table pre-combines map-side (bigram counts, their
+    * per-context sums — derived from the ALREADY-AGGREGATED bigram
+    * table, not a corpus re-scan — and unigram counts); per-doc bigram
+    * COUNTS aggregate before any join, so join inputs shrink by each
+    * doc's repetition factor; the unigram total rides one broadcast row.
+    * AQE broadcasts the LM tables at real vocabulary sizes. */
+  def bigramSurprisal(docs: DataFrame, textCol: String, idCol: String,
+      refCorpus: Option[DataFrame] = None, refTextCol: String = "text",
+      backoffAlpha: Double = 0.4, oovFloorOver: Double = 0.5): DataFrame = {
+    def bigramsOf(toks: Column): Column = explode(zip_with(
+      slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2"))))
+    def withToks(df: DataFrame, tc: String, extra: Column*): DataFrame =
+      df.select(extra :+ tokens(lower(col(tc))).as("__toks"): _*)
+        .where(size(col("__toks")) >= 2)
+
+    val refT = withToks(refCorpus.getOrElse(docs),
+      refCorpus.map(_ => refTextCol).getOrElse(textCol))
+    val refBg = refT.select(bigramsOf(col("__toks")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("__nb"))
+    val ctx = refBg.groupBy("w1")
+      .agg(sum(col("__nb")).cast(DoubleType).as("__nc"))
+    val uni = refT.select(explode(col("__toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("__nu"))
+    val tot = broadcast(uni.agg(sum(col("__nu")).cast(DoubleType).as("__total")))
+
+    val docBg = withToks(docs, textCol, col(idCol).as("doc_id"))
+      .select(col("doc_id"), bigramsOf(col("__toks")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("__c"))
+
+    docBg.join(refBg, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(uni, col("w2") === col("tok"), "left").drop("tok")
+      .crossJoin(tot)
+      .withColumn("__s", when(col("__nb").isNotNull,
+          -log(col("__nb").cast(DoubleType) / col("__nc")))
+        .otherwise(-log(lit(backoffAlpha) *
+          coalesce(col("__nu").cast(DoubleType), lit(oovFloorOver)) /
+          col("__total"))))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("__c")).as("n_bigrams"),
+        round(sum(col("__c") * col("__s")) / sum(col("__c")), 6)
+          .as("avg_surprisal"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023): score each raw document by
     * `log p_target(x) − log p_raw(x)` under unigram bag-of-words LMs — the
     * data-selection step that resamples a web corpus toward a target

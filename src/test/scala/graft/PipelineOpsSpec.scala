@@ -602,6 +602,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(scored(0L) - (-math.log(9.0 / 10.0))) < 1e-6)
   }
 
+  test("bigram surprisal: seen bigrams score MLE, unseen back off through the unigram") {
+    // LM trained on doc 0 only; doc 1 repeats a trained bigram, doc 2's
+    // bigram is unseen but both words are known unigrams (stupid backoff),
+    // doc 3's second word is OOV entirely (unigram floor)
+    val ref = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    val score = TextAnalysis.bigramSurprisal(
+      Seq((1L, "a b"), (2L, "b b"), (3L, "a z")).toDF("doc_id", "text"),
+      "text", "doc_id", refCorpus = Some(ref))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // trained counts: bigrams (a,b)=2, (b,a)=1; unigrams a=2, b=2, total=4
+    assert(math.abs(score(1L) - (-math.log(2.0 / 2.0))) < 1e-6,
+      "seen bigram must score c(a,b)/c(a,.) = 1")
+    assert(math.abs(score(2L) - (-math.log(0.4 * 2.0 / 4.0))) < 1e-6,
+      "unseen bigram must back off to alpha * p_uni(b)")
+    assert(math.abs(score(3L) - (-math.log(0.4 * 0.5 / 4.0))) < 1e-6,
+      "OOV continuation must floor at alpha * oovFloor / total")
+  }
+
+  test("winnowing: shared run >= window+k-1 words guarantees a shared fingerprint") {
+    // k=3, window=4: the guarantee threshold is 6 words. Docs 20/21 share
+    // exactly a 6-word run embedded in otherwise-disjoint text; doc 22 is
+    // disjoint from both.
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val corpus = Seq(
+      (20L, s"u1 u2 u3 $shared v1 v2"),
+      (21L, s"w1 w2 $shared x1 x2 x3"),
+      (22L, "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowingCandidates(corpus, "text", "doc_id",
+      k = 3, window = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((20L, 21L)),
+      s"expected exactly the sharing pair, got $pairs")
+  }
+
   test("phash near-dup pairs byte-identical media; generic fingerprints pair within hamming 3") {
     val media = Multimodal.asMediaTable(Seq(
       (10L, "same payload"), (11L, "same payload"), (12L, "other payload"))

@@ -370,4 +370,35 @@ class PlanSpec extends AnyFunSuite {
       "dsir: LM totals must ride a one-row broadcast")
     assert(!pd.contains("UDF"), "dsir: UDF in plan")
   }
+
+  test("LM scoring and drift: pre-combined aggs, broadcast totals, no UDF") {
+    val p25 = plan("t25_bigram_surprisal")
+    assert(p25.contains("partial"), "bigram counts must pre-combine map-side")
+    assert(p25.contains("BroadcastNestedLoopJoin"),
+      "unigram total must ride a one-row broadcast")
+    assert(!p25.contains("CartesianProduct"), "bigram: cartesian in plan")
+    assert(!p25.contains("UDF"), "bigram: UDF in plan")
+    val p24 = plan("t24_vocab_drift")
+    assert(p24.contains("partial"), "cohort freq aggs must pre-combine")
+    assert(p24.contains("BroadcastNestedLoopJoin"),
+      "drift totals must ride a one-row broadcast")
+    assert(p24.contains("TakeOrdered"),
+      "drift top-k must be TakeOrdered, not a global sort")
+    assert(!p24.contains("UDF"), "drift: UDF in plan")
+  }
+
+  test("winnowing: selection is scan-side, candidate join releases caches") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val fps = graft.pipeline.Dedup.winnowFingerprints(docs, "text", "doc_id")
+    val p = fps.queryExecution.executedPlan.toString
+    assert(!p.contains("UDF") && !p.contains("BatchEvalPython"),
+      "winnowing: UDF in plan")
+    assert(p.split("Exchange").length - 1 <= 1,
+      "fingerprint selection must not shuffle beyond its distinct")
+    assert(spark.sharedState.cacheManager.isEmpty, "pre-existing cache entries")
+    assert(graft.pipeline.Dedup.winnowingCandidates(
+      docs, "text", "doc_id").count() > 0)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "winnowing leaked cache entries")
+  }
 }
