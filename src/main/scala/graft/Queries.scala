@@ -2810,6 +2810,64 @@ object Queries {
       .orderBy("q_id", "rank")
   }
 
+  // BM25 hard-negative mining (the DPR recipe): per (query, positive) pair,
+  // the k best-scoring docs that are NOT the positive. Positives here are
+  // the BM25 top-1 per probe — deterministic on both engines — so the
+  // negatives are exactly ranks 2..k+1 renumbered, and the whole
+  // candidates→exclude→re-rank path is hash-proven.
+  register(
+    "t13c_bm25_hard_negatives",
+    """WITH q AS (SELECT * FROM (VALUES ('q1', 'table scan'),
+      |    ('q2', 'merge join batch'), ('q3', 'vector data stream'))
+      |    AS q(q_id, q_text)),
+      |post AS (
+      |  SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM (
+      |    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM (
+      |      SELECT doc_id,
+      |             list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')
+      |               AS toks
+      |      FROM documents))
+      |  GROUP BY doc_id, dl, term),
+      |qt AS (
+      |  SELECT q_id, unnest(list_distinct(
+      |    list_filter(string_split_regex(lower(q_text), '\s+'), x -> x != ''))) AS term
+      |  FROM q),
+      |stats AS (
+      |  SELECT count(*)::DOUBLE AS n,
+      |         avg(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |             x -> x != ''))::DOUBLE) AS avgdl
+      |  FROM documents),
+      |dft AS (
+      |  SELECT term, count(*)::DOUBLE AS df
+      |  FROM post JOIN (SELECT DISTINCT term FROM qt) v USING (term)
+      |  GROUP BY term),
+      |scored AS (
+      |  SELECT qt.q_id, post.doc_id,
+      |         round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+      |           tf * (1.2 + 1.0) /
+      |           (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+      |  FROM post JOIN qt USING (term) JOIN dft USING (term) CROSS JOIN stats
+      |  GROUP BY qt.q_id, post.doc_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY score DESC, doc_id ASC) AS rank FROM scored),
+      |pos AS (SELECT q_id, doc_id AS pos_id FROM ranked WHERE rank = 1)
+      |SELECT r.q_id, pos_id, doc_id, score, rank - 1 AS neg_rank
+      |FROM ranked r JOIN pos USING (q_id)
+      |WHERE rank BETWEEN 2 AND 6
+      |ORDER BY q_id, neg_rank""".stripMargin) { (s, dir) =>
+    val session = s
+    import session.implicits._
+    val probes = Seq(("q1", "table scan"), ("q2", "merge join batch"),
+      ("q3", "vector data stream")).toDF("q_id", "q_text")
+    val docs = t(s, dir, "documents")
+    val top1 = graft.pipeline.Retrieval.bm25TopK(docs, probes, k = 1)
+      .select(col("q_id"), col("doc_id").as("pos_id"))
+    val posPairs = probes.join(top1, Seq("q_id"))
+    graft.pipeline.Retrieval.hardNegatives(docs, posPairs, k = 5)
+      .orderBy("q_id", "neg_rank")
+  }
+
   // TF-IDF salient terms per document ("what is this document about") —
   // full-vocabulary document frequencies from one skinny pre-combined agg,
   // per-doc top-3 window over (doc_id, term, score) triples.

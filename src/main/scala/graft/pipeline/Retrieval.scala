@@ -116,6 +116,36 @@ object Retrieval {
       .select(col(queryId), col(idCol), col("score"), col("rank"))
   }
 
+  /** BM25 hard-negative mining — the retrieval-training data-prep step
+    * (the BM25-negatives recipe of Karpukhin et al. 2020, DPR): for each
+    * (query, positive-document) pair, the `k` best-scoring documents that
+    * are NOT the positive. Lexically confusable non-answers are what a
+    * dense retriever trains against; random negatives are too easy.
+    *
+    * `posPairs` (q_id, q_text, pos_id) is probe-sized and broadcasts.
+    * Candidates come from [[bm25TopK]] at k+1 (one exclusion per query at
+    * most), then re-rank after dropping the positive — exact, not a
+    * heuristic margin. Near-duplicates of the positive (false negatives)
+    * are the caller's concern: compose with the Dedup family first when
+    * the corpus isn't already deduped. */
+  def hardNegatives(docs: DataFrame, posPairs: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id",
+      queryId: String = "q_id", queryText: String = "q_text",
+      posId: String = "pos_id"): DataFrame = {
+    val cands = bm25TopK(docs, posPairs.select(col(queryId), col(queryText)),
+      k + 1, k1, b, textCol, idCol, queryId, queryText)
+    val neg = cands
+      .join(broadcast(posPairs.select(col(queryId), col(posId))), Seq(queryId))
+      .where(col(idCol) =!= col(posId))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("score").desc, col(idCol).asc)
+    neg.withColumn("neg_rank", row_number().over(w))
+      .where(col("neg_rank") <= k)
+      .select(col(queryId), col(posId), col(idCol), col("score"),
+        col("neg_rank"))
+  }
+
   /** TF-IDF salient terms: the `k` highest-weighted terms per document,
     * tfidf(t, d) = (tf/dl) · ln(N/df) — the corpus-audit "what is this
     * document about" projection. Unlike [[bm25TopK]] the document

@@ -711,6 +711,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(served == direct && served.nonEmpty)
   }
 
+  test("bm25 hard negatives: positive excluded, remainder re-ranked") {
+    val q = Seq(("q1", "apple cherry")).toDF("q_id", "q_text")
+    // positive is the top-1 doc: negatives are ranks 2..3 renumbered
+    val posTop = q.withColumn("pos_id", lit(0L))
+    val got = Retrieval.hardNegatives(retrievalDocs, posTop, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(4)))
+    assert(got.toSeq == Seq(("q1", 0L, 2L, 1), ("q1", 0L, 1L, 2)))
+    // positive mid-ranking: survivors keep relative order, ranks close up
+    val posMid = q.withColumn("pos_id", lit(2L))
+    val got2 = Retrieval.hardNegatives(retrievalDocs, posMid, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(4)))
+    assert(got2.toSeq == Seq(("q1", 2L, 0L, 1), ("q1", 2L, 1L, 2)))
+  }
+
   test("sequence packing: per-source offsets, start-offset bin, no splits") {
     val docs = Seq(
       (1L, "a b c", "A"), (2L, "a b c d e", "A"), (3L, "a b", "A"),
