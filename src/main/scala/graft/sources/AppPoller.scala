@@ -256,8 +256,8 @@ final class BoxStylePoller(api: BoxStylePoller.EventsApi)
   */
 object LinkCursorPoller {
   /** The `GET /logs?after=<token>` surface: one page of records plus the
-    * next continuation token, or None when drained (Okta omits the `next`
-    * link on the last page; GSuite omits `nextPageToken`). */
+    * next continuation token, or None when drained (GSuite omits
+    * `nextPageToken` on the last page, gsuite.py:194). */
   trait LinkApi extends Serializable {
     /** (records, nextToken); `token` None = start from the beginning. */
     def fetchPage(token: Option[String]): (Seq[String], Option[String])
