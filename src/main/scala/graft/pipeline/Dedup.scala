@@ -558,6 +558,35 @@ object Dedup {
       Seq(ranked))
   }
 
+  /** Incremental winnowing — [[winnowingCandidates]] in the against-store
+    * operating mode (the deterministic analogue of
+    * [[minhashNearDupsAgainstStore]]): a NEW batch fingerprints itself and
+    * joins a staged corpus fingerprint store ([[winnowFingerprints]] output
+    * on parquet, ideally bucketed by fp) — corpus text is never
+    * re-winnowed. The store side of each fingerprint is capped the same
+    * bipartite way as the minhash store join: a batch doc sharing a
+    * boilerplate fingerprint with a viral store cluster needs only the
+    * first `maxBucketPairing` members as witnesses. Returns (id_new,
+    * id_store, shared_fps) with the count of (capped) shared fingerprints
+    * as the match-strength signal — deterministic end-to-end, so the store
+    * path is exactly SQL-expressible, unlike minhash's. Shuffles ship
+    * (fp, id) pairs only. */
+  def winnowingCandidatesAgainstStore(newDocs: DataFrame, textCol: String,
+      idCol: String, storeFps: DataFrame,
+      k: Int = 3, window: Int = 4, maxBucketPairing: Int = 64): DataFrame = {
+    val newFps = winnowFingerprints(newDocs, textCol, idCol, k, window)
+      .select(col("fp"), col("doc_id").as("id_new"))
+    val cappedStore = storeFps
+      .select(col("fp"), col("doc_id").as("id_store"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("fp").orderBy("id_store")))
+      .where(col("__rn") <= maxBucketPairing).drop("__rn")
+    newFps.join(cappedStore, Seq("fp"))
+      .where(col("id_new") =!= col("id_store")) // store may already hold the doc
+      .groupBy("id_new", "id_store")
+      .agg(count(lit(1)).as("shared_fps"))
+  }
+
   // -------------------------------------------------------------------------
   // SimHash
   // -------------------------------------------------------------------------
