@@ -197,8 +197,9 @@ object Queries {
   }
 
   // Event-time tumbling-window aggregation over the events stream table —
-  // the batch face of the streaming windowed-agg path (ts is epoch nanos
-  // via nanosAsLong).
+  // the batch face of the streaming windowed-agg path. `ts` is a session-UTC
+  // TimestampType whatever the parquet physical type was (Tables.normalize),
+  // so hour buckets align with DuckDB's epoch-anchored time_bucket.
   register(
     "q11_time_window",
     """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
@@ -206,8 +207,7 @@ object Queries {
       |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS total
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
     t(s, dir, "events")
-      .withColumn("ts_sec", (col("ts") / 1000000000L).cast("timestamp"))
-      .groupBy(window(col("ts_sec"), "1 hour").getField("start").as("window_start"),
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("window_start"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
         (sum(floor(col("value") * 100 + 0.5)) / 100.0).as("total"))
@@ -241,9 +241,10 @@ object Queries {
     val w = Window.partitionBy("user_id").orderBy("tus")
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // integer micros on both sides: DuckDB's TIMESTAMP carries micro
-    // precision, so nanos would hash-mismatch on the trailing digits
+    // precision, and unix_micros over the normalized TimestampType `ts`
+    // (Tables.normalize) is exactly DuckDB's epoch_us
     t(s, dir, "events")
-      .select(col("user_id"), expr("ts div 1000").as("tus"))
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"))
       .withColumn("new_sess",
         when(lag(col("tus"), 1).over(w).isNull ||
           col("tus") - lag(col("tus"), 1).over(w) > 1800000000L, 1)
@@ -288,7 +289,7 @@ object Queries {
     val wRun = Window.partitionBy("user_id").orderBy("tus", "event_type")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "events")
-      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
       .withColumn("last_view",
         max(when(col("event_type") === "view", col("tus"))).over(wRun))
       .groupBy("user_id")
@@ -2488,14 +2489,19 @@ object Queries {
   // PQ encode: 64-dim float vectors -> 4 code bytes (nearest codebook
   // centroid per 16-dim subspace). Exact hash oracle — encoding is a
   // deterministic argmin on 6-decimal-rounded distances, no planting
-  // needed. The memory move of billion-vector ANN.
+  // needed. The memory move of billion-vector ANN. Codes project as ONE
+  // comma-joined string on both sides — the q17_array_agg trick — because
+  // the driver's pandas compare cannot lexsort a LIST column.
   register(
     "ann_pq_encode",
     s"""WITH $PqCbSql
-      |SELECT vec_id, list(code ORDER BY sub) AS codes
+      |SELECT vec_id, string_agg(code::VARCHAR, ',' ORDER BY sub) AS codes
       |FROM enc WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, dir) =>
     val e = t(s, dir, "embeddings")
-    graft.pipeline.Similarity.pqEncode(e, pqSliceCodebook(e)).orderBy("vec_id")
+    graft.pipeline.Similarity.pqEncode(e, pqSliceCodebook(e))
+      .select(col("vec_id"),
+        concat_ws(",", col("codes").cast("array<string>")).as("codes"))
+      .orderBy("vec_id")
   }
 
   // PQ asymmetric-distance top-k: per-query m-by-K distance table, candidate
