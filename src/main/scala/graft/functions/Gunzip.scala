@@ -37,12 +37,27 @@ case class Gunzip(child: Expression) extends UnaryExpression {
 }
 
 object Gunzip {
-  /** Static decode target for both interpreted and generated code paths. */
+  /** Static decode target for both interpreted and generated code paths.
+    *
+    * Header sniffing mirrors the reference's `zlib.decompress(record, 47)`
+    * (classifier/payload/kinesis.py:55 — wbits 32+15 auto-detects gzip OR
+    * zlib framing): gzip magic 0x1f8b, or a zlib header (low nibble 8 =
+    * deflate, 16-bit header divisible by 31 per RFC 1950). Anything else
+    * passes through as text, the reference's `except zlib.error` arm. */
   def decode(bytes: Array[Byte]): UTF8String =
     if (bytes.length > 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte) {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try UTF8String.fromBytes(in.readAllBytes()) finally in.close()
+    } else if (bytes.length > 2 && (bytes(0) & 0x0f) == 8 &&
+        (((bytes(0) & 0xff) << 8) | (bytes(1) & 0xff)) % 31 == 0) {
+      val in = new java.util.zip.InflaterInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      // a text record can collide with the 2-byte header check (e.g. "x^");
+      // failed inflation passes through, the reference's `except zlib.error`
+      try UTF8String.fromBytes(in.readAllBytes())
+      catch { case _: java.io.IOException => UTF8String.fromBytes(bytes) }
+      finally in.close()
     } else UTF8String.fromBytes(bytes)
 
   /** Column surface. */

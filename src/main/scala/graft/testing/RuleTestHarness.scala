@@ -24,6 +24,12 @@ final case class RuleTestEvent(
     dataJson: String,
     triggerRules: Set[String],
     classifyOnly: Boolean,
+    /** `compress` (event.py:37,80-81,271-272): the kinesis test shape
+      * zlib-compresses `data` before base64-encoding it into the record;
+      * the classifier transparently inflates (kinesis.py:52-56). The
+      * harness replicates the wire round-trip: compress driver-side, decode
+      * through the REAL [[graft.sources.Sources.decodeKinesisData]] column. */
+    compress: Boolean = false,
     /** `override_record` (event.py:51-58, 360-380): a SPARSE record whose
       * missing fields back-fill with the log schema's zero values. Resolved
       * against the schema by [[RuleTestHarness]] at run time. */
@@ -69,6 +75,7 @@ object RuleTestEvent {
         triggerRules = Option(e.get("trigger_rules"))
           .map(_.elements().asScala.map(_.asText).toSet).getOrElse(Set.empty),
         classifyOnly = Option(e.get("classify_only")).exists(_.asBoolean),
+        compress = Option(e.get("compress")).exists(_.asBoolean),
         overrideRecordJson =
           Option(e.get("override_record")).map(mapper.writeValueAsString),
         lookupTableFixtures = Option(e.get("test_fixtures"))
@@ -228,6 +235,19 @@ final class RuleTestHarness(
     }
   }
 
+  /** RFC-1950 zlib framing, the reference test shape's `zlib.compress`
+    * (event.py:272). */
+  private def zlibCompress(s: String): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
   /** Resolve an event's payload: `data` verbatim, or `override_record`
     * merged over the log schema's zero-value defaults (event.py:360-380 —
     * defaults come from `envelope_keys` when the log declares them, else
@@ -283,8 +303,19 @@ final class RuleTestHarness(
 
     val perGroup = groups.map { case ((svc, res), cands, evs) =>
       val ctx = graft.rules.AlertContext(sourceService = svc, sourceEntity = res)
-      val df = evs.map { case (e, i) => (i, effectiveData(e)) }
-        .toDF("__evt_idx", "value")
+      // compress events take the kinesis wire round-trip: zlib + base64
+      // driver-side (event.py:271-276 format_record), then the engine's
+      // own decode column inflates them back before classification
+      val df = evs.map { case (e, i) =>
+        val data = effectiveData(e)
+        if (e.compress)
+          (i, java.util.Base64.getEncoder.encodeToString(zlibCompress(data)), true)
+        else (i, data, false)
+      }.toDF("__evt_idx", "__wire", "__compressed")
+        .withColumn("value", when(col("__compressed"),
+          graft.sources.Sources.decodeKinesisData(col("__wire")))
+          .otherwise(col("__wire")))
+        .drop("__wire", "__compressed")
       val classified = new Classifier(cands).classify(df)
 
       val types = classified.tagged

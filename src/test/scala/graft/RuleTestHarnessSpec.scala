@@ -82,4 +82,56 @@ class RuleTestHarnessSpec extends AnyFunSuite {
       Seq(publicAclRule, extraRule))
     assert(harness.untestedRules(RuleTestEvent.fromJson(eventsJson)) == Seq("never_tested"))
   }
+
+  // `compress: true` (event.py:37,80-81,271-272): data is zlib-compressed
+  // into the kinesis wire shape and must classify + trigger identically
+  // after the engine's own base64→inflate decode column.
+  test("compress flag round-trips through the kinesis zlib decode path") {
+    val compressedJson =
+      """[
+        |  {"description": "compressed public ACL still triggers",
+        |   "log": "cloudwatch:events", "service": "kinesis", "source": "stream",
+        |   "compress": true,
+        |   "data": {"account": 12345, "detail": {"eventName": "PutObjectAcl",
+        |     "requestParameters": {"bucketName": "secret-bucket",
+        |       "acl": "AllUsers"}}},
+        |   "trigger_rules": ["cloudtrail_put_object_acl_public"]},
+        |  {"description": "compressed private ACL stays quiet",
+        |   "log": "cloudwatch:events", "service": "kinesis", "source": "stream",
+        |   "compress": true,
+        |   "data": {"account": 12345, "detail": {"eventName": "PutObjectAcl",
+        |     "requestParameters": {"bucketName": "b", "acl": "private"}}},
+        |   "trigger_rules": []}
+        |]""".stripMargin
+    val events = RuleTestEvent.fromJson(compressedJson)
+    assert(events.forall(_.compress))
+    val harness = new RuleTestHarness(Seq(cloudwatchEvents), Seq(publicAclRule))
+    val results = harness.run(spark, events)
+    results.foreach(r => info(r.report))
+    assert(results.forall(_.passed))
+    assert(results(0).triggered == Set("cloudtrail_put_object_acl_public"))
+    assert(results(1).triggered.isEmpty)
+  }
+
+  // Gunzip's header sniff must match zlib.decompress(record, 47)
+  // (kinesis.py:55): gzip framing, zlib framing, and raw-text passthrough.
+  test("gunzip decode handles gzip, zlib and passthrough framings") {
+    import graft.functions.Gunzip
+    def gzipBytes(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("UTF-8")); g.close(); bos.toByteArray
+    }
+    def zlibBytes(s: String): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(s.getBytes("UTF-8")); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    assert(Gunzip.decode(gzipBytes("""{"gz": true}""")).toString == """{"gz": true}""")
+    assert(Gunzip.decode(zlibBytes("""{"zlib": true}""")).toString == """{"zlib": true}""")
+    assert(Gunzip.decode("plain text".getBytes("UTF-8")).toString == "plain text")
+  }
 }
