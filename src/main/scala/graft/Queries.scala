@@ -2295,6 +2295,66 @@ object Queries {
       maxDist = 6).orderBy("id_a")
   }
 
+  // The q16b pattern for d3's REALISTIC corpus (d3b proves the planted
+  // one): simhash is approximate in WHICH candidate pairs it surfaces, but
+  // its recall against the exact high-Jaccard ground truth is a
+  // deterministic number (seeded token hashing, no randomness), so the
+  // bound CLAIM hash-compares. DuckDB brute-forces the exact 2-gram
+  // Jaccard >= 0.5 pair count (the d4 gram conventions) and constant-folds
+  // the claim to TRUE; Spark computes the same exact count plus the actual
+  // containment of those pairs in d3's hamming<=6 output. A recall
+  // regression in the fingerprint/bucket/verify pipeline flips the bool
+  // and fails the hash. The all-pairs join is the VERIFICATION harness at
+  // test SF, not the scale path — the scale path is d3 itself; the ground
+  // truth is id-bounded to doc_id < 500 (the whole corpus at the
+  // correctness SFs, a fixed slice at larger ones) so the brute force
+  // stays O(1) in corpus size while simhash still runs full-corpus.
+  register(
+    "d3c_simhash_recall_bound",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS t
+      |  FROM documents WHERE doc_id < 500),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(t) >= 2
+      |    THEN list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+      |    ELSE [array_to_string(t, ' ')] END AS s
+      |  FROM toks)
+      |SELECT CAST(count(*) AS BIGINT) AS exact_pairs, TRUE AS recall_floor_met
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
+      |      len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5""".stripMargin) { (s, dir) =>
+    val d = t(s, dir, "documents")
+    // shingle once per DOC before pairing — per-pair re-tokenization would
+    // run the shingle pipeline n² times instead of n
+    // shingle once per DOC and MATERIALIZE (localCheckpoint): the
+    // inequality join is a nested-loop whose condition/projection would
+    // otherwise re-evaluate the shingle pipeline per candidate pair
+    val sh = d.where(col("doc_id") < 500)
+      .select(col("doc_id"), Dedup.wordShingles(col("text"), 2).as("s"))
+      .withColumn("n", size(col("s")))
+      // spread the streamed side of the nested-loop pair join — the
+      // filtered slice otherwise rides in one parquet-split partition
+      .repartition(32)
+      .localCheckpoint()
+    // length-ratio prune: J(A,B) >= 0.5 forces |A| and |B| within 2x of
+    // each other, so most pairs skip the array intersect entirely
+    val exact = sh.as("a").join(sh.as("b"),
+        col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * 2 >= col("b.n") && col("b.n") * 2 >= col("a.n"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        round(Dedup.jaccard(col("a.s"), col("b.s")), 6).as("j"))
+      .where(col("j") >= 0.5)
+      .select("id_a", "id_b")
+    val sim = Dedup.simhashNearDups(d, "text", "doc_id", maxDist = 6)
+      .select(col("id_a"), col("id_b"), lit(1).as("__found"))
+    exact.join(sim, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("__exact"), sum(coalesce(col("__found"), lit(0))).as("__hit"))
+      .select(col("__exact").cast("long").as("exact_pairs"),
+        // measured recall is 0.92-0.93 at sf0.001/sf0.01 (deterministic);
+        // 0.8 leaves drift margin while still catching a real regression
+        (col("__hit").cast("double") / col("__exact") >= 0.8).as("recall_floor_met"))
+  }
+
   // n-gram Jaccard: the exact verifier over adjacent-id document pairs.
   register(
     "d4_ngram_jaccard",
