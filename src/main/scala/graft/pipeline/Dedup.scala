@@ -757,11 +757,14 @@ object Dedup {
     under
   }
 
-  /** Sign-bit signature of `planes` random hyperplanes packed into a long. */
-  def hyperplaneSignature(vec: Column, planes: Int): Column =
+  /** Sign-bit signature of `planes` random hyperplanes packed into a long.
+    * `planeOffset` selects an independent hyperplane family — the banded
+    * variant derives band b's planes from offset b·planesPerBand, so bands
+    * share no hyperplane. */
+  def hyperplaneSignature(vec: Column, planes: Int, planeOffset: Int = 0): Column =
     (0 until planes).map { p =>
       val dot = aggregate(zip_with(vec,
-        transform(sequence(lit(0), size(vec) - 1), j => hyperplaneComponent(p, j)),
+        transform(sequence(lit(0), size(vec) - 1), j => hyperplaneComponent(planeOffset + p, j)),
         (v, r) => v.cast(DoubleType) * r), lit(0.0), (acc, x) => acc + x)
       when(dot > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
     }.reduce(_ + _)
@@ -839,5 +842,62 @@ object Dedup {
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
     (pairs, Seq(sigs, ranked))
+  }
+
+  /** Banded (OR-amplified) hyperplane-LSH stages: the (id, v) vector table
+    * plus exploded (id, band, sig) bucket rows — the minhash band layout
+    * (AND within a band's `planesPerBand` sign bits, OR across `bands`
+    * independent hyperplane families). At 100 TB both ARE the staged index
+    * schema, exactly like [[minhashStages]]. */
+  def embeddingStagesBanded(df: DataFrame, vecCol: String, idCol: String,
+      bands: Int = 16, planesPerBand: Int = 8): (DataFrame, DataFrame) = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val buckets = base.select(col("id"),
+      explode(array((0 until bands).map(b => struct(
+        lit(b).as("band"),
+        hyperplaneSignature(col("v"), planesPerBand, b * planesPerBand).as("sig"))): _*))
+        .as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    (base, buckets)
+  }
+
+  /** Banded embedding near-dup — the RECALL face of hyperplane LSH. A
+    * single `planes`-bit signature ([[embeddingNearDups]]) needs every sign
+    * to agree, so pair-recall at moderate cosine collapses exponentially
+    * (p^planes with p = 1 − θ/π); banding OR-amplifies it to
+    * 1 − (1 − p^r)^b while keeping candidate generation a bucket equi-join.
+    * Same scale shape as the minhash band join: shuffles carry
+    * (id, band, sig) — never vectors — candidate pairs re-attach vectors by
+    * id for the exact cosine verify, and the per-bucket star cap bounds
+    * viral buckets. Deterministic seeded hyperplanes, so measured recall is
+    * reproducible (d5e pins it against brute-force ground truth). */
+  def embeddingNearDupsBanded(df: DataFrame, vecCol: String, idCol: String,
+      bands: Int = 16, planesPerBand: Int = 8, threshold: Double = 0.95,
+      maxBucketPairing: Int = 64): DataFrame = {
+    val (pairs, stages) = embeddingBandedPairsPlan(df, vecCol, idCol, bands,
+      planesPerBand, threshold, maxBucketPairing)
+    materializeAndRelease(pairs, stages)
+  }
+
+  private[graft] def embeddingBandedPairsPlan(df: DataFrame, vecCol: String,
+      idCol: String, bands: Int, planesPerBand: Int, threshold: Double,
+      maxBucketPairing: Int): (DataFrame, Seq[DataFrame]) = {
+    val (baseRaw, buckets) = embeddingStagesBanded(df, vecCol, idCol, bands, planesPerBand)
+    val base = baseRaw.persist(StorageLevel.MEMORY_AND_DISK)
+    // per-band occupancy is corpus / 2^planesPerBand — the guard reads the
+    // (already persisted) vector stage once
+    warnIfUnderPlaned("embeddingNearDupsBanded", base.count(), planesPerBand,
+      maxBucketPairing)
+    val ranked = buckets
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("band", "sig").orderBy("id")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = cappedPairs(ranked, Seq("band", "sig"), maxBucketPairing)
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+    (pairs, Seq(base, ranked))
   }
 }

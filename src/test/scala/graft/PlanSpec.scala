@@ -153,6 +153,9 @@ class PlanSpec extends AnyFunSuite {
     graft.pipeline.Dedup.embeddingNearDups(
       embs, "embedding", "vec_id", planes = 6, threshold = 0.2).count()
     assert(spark.sharedState.cacheManager.isEmpty, "embedding leaked cache entries")
+    graft.pipeline.Dedup.embeddingNearDupsBanded(
+      embs, "embedding", "vec_id", bands = 4, planesPerBand = 4, threshold = 0.2).count()
+    assert(spark.sharedState.cacheManager.isEmpty, "banded embedding leaked cache entries")
     val (storeSh, storeBk) = graft.pipeline.Dedup.minhashStages(
       docs.where(col("doc_id") % 2 === 0), "text", "doc_id", 2, 32, 8)
     graft.pipeline.Dedup.minhashNearDupsAgainstStore(
