@@ -66,7 +66,11 @@ object Bench {
       names.map(n => s"\"" + n + "\":" + num(m(n))).mkString("{", ",", "}")
     val total = med.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total_median","value":$total,"unit":"sec","runs":$runs,"failed":$failedJson,"queries":${jmap(med)},"spread":${jmap(spread)},"sf":"$sfDir"}"""
+    // field order matters: harness snapshots keep only a TAIL window of
+    // stdout, so the dict that must survive truncation — the medians — goes
+    // LAST (r8 post-mortem: spread-last meant the driver artifact's visible
+    // tail was the spread dict, read as 200x-wrong "medians")
+    val json = s"""{"metric":"total_median","value":$total,"unit":"sec","runs":$runs,"failed":$failedJson,"sf":"$sfDir","spread":${jmap(spread)},"queries":${jmap(med)}}"""
     // printed TWICE and mirrored to a repo file: harness snapshots that keep
     // only a tail window of stdout front-truncate a single long line (seen
     // r4+r5); the duplicate line and the file keep the full payload reachable

@@ -2324,11 +2324,10 @@ object Queries {
       |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
       |      len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5""".stripMargin) { (s, dir) =>
     val d = t(s, dir, "documents")
-    // shingle once per DOC before pairing — per-pair re-tokenization would
-    // run the shingle pipeline n² times instead of n
     // shingle once per DOC and MATERIALIZE (localCheckpoint): the
     // inequality join is a nested-loop whose condition/projection would
-    // otherwise re-evaluate the shingle pipeline per candidate pair
+    // otherwise re-evaluate the shingle pipeline per candidate pair —
+    // n² shingle runs instead of n
     val sh = d.where(col("doc_id") < 500)
       .select(col("doc_id"), Dedup.wordShingles(col("text"), 2).as("s"))
       .withColumn("n", size(col("s")))
@@ -2351,8 +2350,11 @@ object Queries {
       .agg(count(lit(1)).as("__exact"), sum(coalesce(col("__found"), lit(0))).as("__hit"))
       .select(col("__exact").cast("long").as("exact_pairs"),
         // measured recall is 0.92-0.93 at sf0.001/sf0.01 (deterministic);
-        // 0.8 leaves drift margin while still catching a real regression
-        (col("__hit").cast("double") / col("__exact") >= 0.8).as("recall_floor_met"))
+        // 0.8 leaves drift margin while still catching a real regression.
+        // coalesce: empty ground truth → 0/0 → NULL would hash-mismatch the
+        // oracle's constant TRUE; degrade to vacuous-true on both engines
+        coalesce(col("__hit").cast("double") / col("__exact") >= 0.8, lit(true))
+          .as("recall_floor_met"))
   }
 
   // n-gram Jaccard: the exact verifier over adjacent-id document pairs.
@@ -2438,8 +2440,12 @@ object Queries {
       .agg(count(lit(1)).as("__exact"), sum(coalesce(col("__found"), lit(0))).as("__hit"))
       .select(col("__exact").cast("long").as("exact_pairs"),
         // measured recall 0.849-0.857 at sf0.001/sf0.01 (deterministic,
-        // theory ~0.82 for cos 0.2 at 16 bands x 4 planes); floor 0.7
-        (col("__hit").cast("double") / col("__exact") >= 0.7).as("recall_floor_met"))
+        // theory ~0.82 for cos 0.2 at 16 bands x 4 planes); floor 0.8 sits
+        // within 0.05 of the worst measurement (r8 shipped 0.7; tightened
+        // after a second round of stable measurements). coalesce: empty
+        // ground truth → vacuous-true on both engines, not a NULL mismatch
+        coalesce(col("__hit").cast("double") / col("__exact") >= 0.8, lit(true))
+          .as("recall_floor_met"))
   }
 
   // Embedding-LSH near-dup, hash-matched: byte-identical copies of every

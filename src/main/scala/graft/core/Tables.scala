@@ -37,11 +37,25 @@ object Tables {
     val afterTs =
       if (!df.columns.contains("ts")) df
       else df.schema("ts").dataType match {
-        // TIMESTAMP(NANOS) read as epoch-nanos long (nanosAsLong): truncate
-        // to micros (integer div — no double round-trip) and lift to a zoned
-        // timestamp. DuckDB does the identical truncation reading nanos.
+        // Raw epoch long (e.g. TIMESTAMP(NANOS) under nanosAsLong): branch on
+        // the observed magnitude instead of assuming nanos — a warehouse
+        // regeneration emitting epoch-micros/millis/seconds as a raw long
+        // would otherwise be silently misread by 1e3-1e9. Plausible dates
+        // (1971-2200) are >100x disjoint across the four scales, so one
+        // sampled row pins the encoding; integer arithmetic only (no double
+        // round-trip). DuckDB applies the identical truncation reading nanos.
         case LongType =>
-          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          val sample = df.select(col("ts")).filter(col("ts").isNotNull)
+            .limit(1).collect().headOption.map(r => math.abs(r.getLong(0)))
+          val toMicros = sample match {
+            case Some(v) if v >= 3e16.toLong => expr("ts div 1000")     // epoch-nanos
+            case Some(v) if v >= 3e13.toLong => col("ts")               // epoch-micros
+            case Some(v) if v >= 3e10.toLong => col("ts") * lit(1000L)  // epoch-millis
+            case Some(v) if v > 0L           => col("ts") * lit(1000000L) // epoch-seconds
+            // empty table: current-warehouse default (nanos) keeps behavior
+            case _ => expr("ts div 1000")
+          }
+          df.withColumn("ts", timestamp_micros(toMicros))
         // timestamp[us] without UTC adjustment: reinterpret the wall-clock
         // in the session zone (UTC) — the instant DuckDB's epoch_us sees.
         case TimestampNTZType =>

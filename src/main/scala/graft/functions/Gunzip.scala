@@ -46,9 +46,16 @@ object Gunzip {
     * passes through as text, the reference's `except zlib.error` arm. */
   def decode(bytes: Array[Byte]): UTF8String =
     if (bytes.length > 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte) {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      try UTF8String.fromBytes(in.readAllBytes()) finally in.close()
+      // same passthrough-on-failure as the zlib arm: a record whose first
+      // bytes happen to be 0x1f 0x8b with a corrupt body/header raises
+      // zlib.error in the reference and falls through to text — match that,
+      // don't throw (the GZIPInputStream CONSTRUCTOR reads the header, so it
+      // sits inside the try as well)
+      try {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try UTF8String.fromBytes(in.readAllBytes()) finally in.close()
+      } catch { case _: java.io.IOException => UTF8String.fromBytes(bytes) }
     } else if (bytes.length > 2 && (bytes(0) & 0x0f) == 8 &&
         (((bytes(0) & 0xff) << 8) | (bytes(1) & 0xff)) % 31 == 0) {
       val in = new java.util.zip.InflaterInputStream(

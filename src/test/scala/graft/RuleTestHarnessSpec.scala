@@ -133,5 +133,13 @@ class RuleTestHarnessSpec extends AnyFunSuite {
     assert(Gunzip.decode(gzipBytes("""{"gz": true}""")).toString == """{"gz": true}""")
     assert(Gunzip.decode(zlibBytes("""{"zlib": true}""")).toString == """{"zlib": true}""")
     assert(Gunzip.decode("plain text".getBytes("UTF-8")).toString == "plain text")
+    // corrupt bodies behind valid-looking magic bytes must pass through as
+    // text on BOTH framings — the reference's `except zlib.error` arm
+    // (kinesis.py:56-58) fires for a bad stream regardless of which header
+    // the auto-detect sniffed
+    val fakeGzip = Array(0x1f, 0x8b, 0x41, 0x42, 0x43).map(_.toByte)
+    assert(Gunzip.decode(fakeGzip).toString == new String(fakeGzip, "UTF-8"))
+    val truncated = gzipBytes("""{"gz": true}""").take(6)
+    assert(Gunzip.decode(truncated).toString == new String(truncated, "UTF-8"))
   }
 }

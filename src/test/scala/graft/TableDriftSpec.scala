@@ -51,6 +51,21 @@ class TableDriftSpec extends AnyFunSuite {
     assert(read(2) === micros, "zoned path passes through")
   }
 
+  test("raw epoch long branches on magnitude: micros/millis/seconds regenerations read correctly") {
+    // a future warehouse regeneration could emit the same instants as raw
+    // epoch-micros, -millis or -seconds longs; the absorber must branch on
+    // the observed magnitude, not silently assume nanos (which would shift
+    // every timestamp by 1e3-1e6)
+    val wholeSec = micros.map(v => v / 1000000L * 1000000L)
+    val wholeMs = micros.map(v => v / 1000L * 1000L)
+    def readBack(d: String): Seq[Long] =
+      Tables.load(spark, d, "events")
+        .select(unix_micros(col("ts"))).as[Long].collect().sorted.toSeq
+    assert(readBack(dump(micros.toDF("ts"))) === micros, "epoch-micros long")
+    assert(readBack(dump(micros.map(_ / 1000L).toDF("ts"))) === wholeMs, "epoch-millis long")
+    assert(readBack(dump(micros.map(_ / 1000000L).toDF("ts"))) === wholeSec, "epoch-seconds long")
+  }
+
   test("q11-style hour bucketing agrees across encodings") {
     val nanosDir = dump(micros.map(_ * 1000L).toDF("ts"))
     val ntzDir = dump(micros.toDF("us")
