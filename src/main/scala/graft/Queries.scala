@@ -2507,6 +2507,31 @@ object Queries {
           .as("recall_floor_met"))
   }
 
+  // The banded index's INCREMENTAL mode, hash-matched — the d2d
+  // construction over embeddings: the staged store is the corpus's banded
+  // (id, v) + (id, band, sig) stages, the arriving batch is byte-identical
+  // copies of every 7th vector under id + 1,000,000. A copy shares every
+  // band signature with its source (detection certain, cos exactly 1.0)
+  // while the near-orthogonal rest of the corpus stays far below the 0.9
+  // threshold, so the bipartite new-vs-store join has exactly one
+  // SQL-expressible answer. Proves the *AgainstStore path of the banded
+  // family (d5e pins the full-corpus recall).
+  register(
+    "d5f_banded_incremental_planted",
+    """SELECT vec_id + 1000000 AS id_new, vec_id AS id_store,
+      |       CAST(1.0 AS DOUBLE) AS cos
+      |FROM embeddings WHERE vec_id % 7 = 0 ORDER BY id_new""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val (storeBase, storeBuckets) = Dedup.embeddingStagesBanded(
+      e.select(col("vec_id"), col("embedding")), "embedding", "vec_id",
+      bands = 16, planesPerBand = 4)
+    val batch = e.where(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    Dedup.embeddingNearDupsBandedAgainstStore(batch, "embedding", "vec_id",
+      storeBase, storeBuckets, bands = 16, planesPerBand = 4, threshold = 0.9)
+      .orderBy("id_new")
+  }
+
   // Embedding-LSH near-dup, hash-matched: byte-identical copies of every
   // 7th vector planted under id + 1,000,000. Identical vectors share every
   // hyperplane sign (same bucket, detection certain) and cosine 1.0, while

@@ -900,4 +900,73 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
     (pairs, Seq(base, ranked))
   }
+
+  /** Incremental banded near-dup: a new batch of vectors against the staged
+    * banded index — the bipartite twin of [[embeddingNearDupsBanded]],
+    * completing the `*AgainstStore` family (minhash/simhash/single-sig LSH
+    * already have one). `storeBase` is the staged (id, v) vector table and
+    * `storeBuckets` the staged (id, band, sig) rows, both as written by
+    * [[embeddingStagesBanded]] (band/plane params must match). Only the
+    * batch computes signatures; the join ships (id, band, sig) — never
+    * vectors — and candidate pairs re-attach the two vectors by id for the
+    * exact cosine verify. Returns (id_new, id_store, cos). */
+  def embeddingNearDupsBandedAgainstStore(newVecs: DataFrame, vecCol: String,
+      idCol: String, storeBase: DataFrame, storeBuckets: DataFrame,
+      bands: Int = 16, planesPerBand: Int = 8, threshold: Double = 0.95,
+      maxBucketPairing: Int = 64): DataFrame = {
+    val (newBaseRaw, newBuckets) = embeddingStagesBanded(newVecs, vecCol, idCol,
+      bands, planesPerBand)
+    val newBase = newBaseRaw.persist(StorageLevel.MEMORY_AND_DISK)
+    warnIfUnderPlaned("embeddingNearDupsBandedAgainstStore", newBase.count(),
+      planesPerBand, maxBucketPairing)
+    // bipartite skew cap: a batch vector sharing a band-bucket with a viral
+    // store cluster only needs the first `cap` members as witnesses
+    val cappedStore = storeBuckets
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("band", "sig").orderBy("id")))
+      .where(col("__rn") <= maxBucketPairing).drop("__rn")
+    val candidates = newBuckets.as("n")
+      .join(cappedStore.as("s"), Seq("band", "sig"))
+      .select(col("n.id").as("id_new"), col("s.id").as("id_store"))
+      .where(col("id_new") =!= col("id_store")) // store may already hold the vec
+      .dropDuplicates("id_new", "id_store")
+    val pairs = candidates
+      .join(newBase.select(col("id").as("id_new"), col("v").as("v_n")), "id_new")
+      .join(storeBase.select(col("id").as("id_store"), col("v").as("v_s")), "id_store")
+      .withColumn("cos", cosine(col("v_n"), col("v_s")))
+      .where(col("cos") >= threshold)
+      .select(col("id_new"), col("id_store"), round(col("cos"), 6).as("cos"))
+    materializeAndRelease(pairs, Seq(newBase))
+  }
+
+  /** One micro-batch step of the streaming banded near-dup loop — the
+    * [[minhashStoreStep]] shape over embeddings: the arriving batch checks
+    * against the parquet-staged banded index FIRST, then the stages of its
+    * non-duplicate vectors APPEND (keep-one semantics: the store stays
+    * canonical, a later copy of a dropped duplicate still resolves to the
+    * originally-kept vector). Dup pairs are eagerly materialized BEFORE the
+    * append (safe read-then-append ordering). Use from
+    * `writeStream.foreachBatch`; corpus vectors are never re-signed — only
+    * the batch computes signatures. */
+  def bandedStoreStep(batch: DataFrame, storeDir: String, vecCol: String,
+      idCol: String, bands: Int = 16, planesPerBand: Int = 8,
+      threshold: Double = 0.95, maxBucketPairing: Int = 64): DataFrame = {
+    val spark = batch.sparkSession
+    val basePath = s"$storeDir/vectors"
+    val bucketsPath = s"$storeDir/buckets"
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val (storeBase, storeBuckets) =
+      if (fs.exists(new org.apache.hadoop.fs.Path(basePath)))
+        (spark.read.parquet(basePath), spark.read.parquet(bucketsPath))
+      else // first batch: an empty store with the exact staged schema
+        embeddingStagesBanded(batch.limit(0), vecCol, idCol, bands, planesPerBand)
+    val dups = embeddingNearDupsBandedAgainstStore(batch, vecCol, idCol,
+      storeBase, storeBuckets, bands, planesPerBand, threshold, maxBucketPairing)
+    val kept = batch.join(dups.select(col("id_new").as(idCol)), Seq(idCol), "left_anti")
+    val (base, bk) = embeddingStagesBanded(kept, vecCol, idCol, bands, planesPerBand)
+    base.write.mode("append").parquet(basePath)
+    bk.write.mode("append").parquet(bucketsPath)
+    dups
+  }
 }

@@ -128,6 +128,47 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming banded embedding near-dup: a dup of a batch-N vector is caught at batch N+1") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_banded_stream").toString
+    def unit(dims: Int*): Seq[Double] =
+      (0 until 8).map(i => if (dims.contains(i)) 1.0 / math.sqrt(dims.size) else 0.0)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val seen = scala.collection.mutable.Buffer[(Long, Long)]()
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val dups = graft.pipeline.Dedup.bandedStoreStep(batch, s"$tmp/store",
+          "embedding", "vec_id", bands = 16, planesPerBand = 4,
+          threshold = 0.95)
+        seen.synchronized {
+          seen ++= dups.select("id_new", "id_store").as[(Long, Long)].collect()
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    try {
+      // batch 1: two orthogonal vectors seed the store — nothing collides
+      input.addData((1L, unit(0)), (2L, unit(1)))
+      q.processAllAvailable()
+      assert(seen.isEmpty, s"batch 1 must produce no dups, got $seen")
+      // batch 2: vec 3 duplicates batch 1's vec 1 — caught via the staged
+      // banded index, no corpus re-signing; vec 4 is fresh and extends it
+      input.addData((3L, unit(0)), (4L, unit(2)))
+      q.processAllAvailable()
+      assert(seen.toSet == Set((3L, 1L)),
+        s"batch 2 must catch vec 3 against the batch-1 store, got $seen")
+      // batch 3: a copy of the DROPPED duplicate still resolves to the
+      // canonical store vector (keep-one store semantics)
+      input.addData((5L, unit(0)))
+      q.processAllAvailable()
+      assert(seen.toSet == Set((3L, 1L), (5L, 1L)),
+        s"batch 3 must catch vec 5 against the canonical vec 1, got $seen")
+    } finally q.stop()
+  }
+
   test("streaming historical + dead-letter sinks land partitioned parquet") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger

@@ -162,6 +162,13 @@ class PlanSpec extends AnyFunSuite {
       docs.where(col("doc_id") % 2 === 1), "text", "doc_id", storeSh, storeBk,
       shingleWords = 2, numHashes = 32, bands = 8, threshold = 0.5).count()
     assert(spark.sharedState.cacheManager.isEmpty, "incremental mode leaked cache entries")
+    val (storeBase, storeBuckets) = graft.pipeline.Dedup.embeddingStagesBanded(
+      embs.where(col("vec_id") % 2 === 0), "embedding", "vec_id", 4, 4)
+    graft.pipeline.Dedup.embeddingNearDupsBandedAgainstStore(
+      embs.where(col("vec_id") % 2 === 1), "embedding", "vec_id",
+      storeBase, storeBuckets, bands = 4, planesPerBand = 4, threshold = 0.2).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "banded incremental mode leaked cache entries")
   }
 
   test("sampling and PII scrub stay scan-side (no shuffle beyond the sort)") {
