@@ -3450,6 +3450,62 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // Per-source quality calibration: keep each source's exact top-30% by
+  // quality score. The cutoff is an order statistic computed over the
+  // per-source score HISTOGRAM (distinct rounded scores), never a
+  // corpus-cardinality window — ties at the cutoff all kept.
+  register(
+    "t26_quality_calibration",
+    """WITH scored AS (
+      |  SELECT doc_id, source, round(
+      |    greatest(0.0,
+      |      least(length(text) / 500.0, 1.0) * 0.4 +
+      |      least((len(list_filter(string_split_regex(lower(text), '\s+'),
+      |              x -> x IN ('the','a','of','and','to','in'))) ::DOUBLE /
+      |             greatest(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |              x -> x != '')), 1)) * 3.0, 1.0) * 0.4 +
+      |      (1.0 - least(len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE /
+      |                   greatest(length(text), 1) * 5.0, 1.0)) * 0.2), 6) AS quality
+      |  FROM documents),
+      |hist AS (SELECT source, quality, count(*) AS n FROM scored GROUP BY 1, 2),
+      |cum AS (SELECT source, quality,
+      |        sum(n) OVER (PARTITION BY source ORDER BY quality DESC) AS cum FROM hist),
+      |tot AS (SELECT source, sum(n) AS total FROM hist GROUP BY 1),
+      |cut AS (SELECT c.source, max(c.quality) AS cutoff
+      |        FROM cum c JOIN tot t ON c.source = t.source
+      |        WHERE c.cum >= ceil(t.total * 0.3) GROUP BY 1)
+      |SELECT s.doc_id, s.source, s.quality
+      |FROM scored s JOIN cut ON s.source = cut.source
+      |WHERE s.quality >= cut.cutoff ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.qualityCalibration(t(s, dir, "documents"), keepFraction = 0.3)
+      .orderBy("doc_id")
+  }
+
+  // Token-budget corpus assembly: per-source budgets consumed in
+  // deterministic md5(id) order — kept iff the running token sum including
+  // the doc still fits. The Spark side is the two-level (shard-prefix)
+  // exact prefix sum; the oracle's single running sum is the same order
+  // because the shard key is a PREFIX of the hash.
+  register(
+    "t27_token_budget_mix",
+    """WITH base AS (
+      |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h,
+      |         CAST(len(list_filter(string_split_regex(text, '\s+'),
+      |              x -> x != '')) AS BIGINT) AS tokens,
+      |         CASE source WHEN 'src0' THEN 800 WHEN 'src3' THEN 900
+      |                     WHEN 'src7' THEN 500 END AS b
+      |  FROM documents),
+      |runs AS (
+      |  SELECT doc_id, source, tokens, b,
+      |         sum(tokens) OVER (PARTITION BY source ORDER BY h) AS cum
+      |  FROM base WHERE b IS NOT NULL)
+      |SELECT doc_id, source, tokens FROM runs WHERE cum <= b
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.tokenBudgetAssemble(t(s, dir, "documents"),
+      budgets = Map("src0" -> 800L, "src3" -> 900L, "src7" -> 500L))
+      .orderBy("doc_id")
+  }
+
   // Deterministic train/val/test split: md5-interval assignment
   // (0.8/0.1/0.1) — reproducible across engines, runs, and cluster sizes.
   register(

@@ -386,6 +386,96 @@ object TextAnalysis {
       .select(col(idCol), col(sourceCol), round(col("rate"), 6).as("rate"))
   }
 
+  /** Per-source quality calibration: keep each source's top `keepFraction`
+    * of documents by [[qualityScore]] — the curation step "keep the best
+    * 30% of web, books uncut". The cutoff is an exact per-source order
+    * statistic, but computed over the per-source SCORE HISTOGRAM, never a
+    * corpus-cardinality window: scores round to 6 dp and group to
+    * (source, score, count) rows, the cumulative count runs in a window
+    * over those histogram rows (cardinality = distinct scores per source,
+    * ≤ 10^6 regardless of corpus size), and the keep decision joins the
+    * source-cardinality cutoff table back broadcast. Documents TIED at the
+    * cutoff score are all kept (deterministic, may over-keep by the tie
+    * count — the honest semantics of a score threshold). At 100 TB: one
+    * pre-combined histogram shuffle + a broadcast join; the corpus is
+    * scanned twice and shuffled never. */
+  def qualityCalibration(docs: DataFrame, keepFraction: Double,
+      textCol: String = "text", idCol: String = "doc_id",
+      sourceCol: String = "source",
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")): DataFrame = {
+    require(keepFraction > 0.0 && keepFraction <= 1.0,
+      "qualityCalibration: keepFraction must be in (0, 1]")
+    val scored = docs.select(col(idCol), col(sourceCol),
+      round(qualityScore(col(textCol), stopwords), 6).as("quality"))
+    val hist = scored.groupBy(col(sourceCol), col("quality"))
+      .agg(count(lit(1)).as("__n"))
+    val cum = hist.withColumn("__cum",
+      sum(col("__n")).over(
+        Window.partitionBy(sourceCol).orderBy(col("quality").desc)))
+    val totals = hist.groupBy(col(sourceCol)).agg(sum(col("__n")).as("__total"))
+    // walking the histogram from the best score down, the cutoff is the
+    // first (largest) score whose cumulative count reaches the target —
+    // i.e. the max score among rows at-or-past the target
+    val cutoffs = cum.join(totals, sourceCol)
+      .where(col("__cum") >= ceil(col("__total") * lit(keepFraction)))
+      .groupBy(col(sourceCol)).agg(max(col("quality")).as("__cutoff"))
+    scored.join(broadcast(cutoffs), sourceCol)
+      .where(col("quality") >= col("__cutoff"))
+      .select(col(idCol), col(sourceCol), col("quality"))
+  }
+
+  /** Assemble a token-budgeted subset per source — the final-pass step of
+    * data mixing ("exactly 50 B web tokens, 10 B code tokens"): documents
+    * are taken in deterministic md5(id) hash order (= a reproducible
+    * uniform shuffle, the [[hashSampleKeep]] ordering) until the source's
+    * token budget is exhausted; a document is kept iff the running token
+    * sum INCLUDING it still fits. Sources absent from `budgets` drop.
+    *
+    * The running sum is exact but never corpus-cardinality in one window:
+    * a two-level prefix sum shards each source into 256 hash-prefix
+    * shards, cumulates per-shard token SUBTOTALS in a shard-cardinality
+    * window, keeps interior shards wholesale by their interval, and only
+    * the single boundary shard (budget crossing) runs a per-document
+    * running sum over its own 1/256 slice — the distributed take-while.
+    * At 100 TB: one pre-combined shard aggregation + one 256-row window +
+    * one shard-sized window; shuffles carry (id, hash, token-count), never
+    * text. [[targetMixSample]] is the rate-based sibling when an
+    * approximate fraction is enough. */
+  def tokenBudgetAssemble(docs: DataFrame, budgets: Map[String, Long],
+      textCol: String = "text", idCol: String = "doc_id",
+      sourceCol: String = "source"): DataFrame = {
+    require(budgets.nonEmpty && budgets.values.forall(_ > 0),
+      "tokenBudgetAssemble: budgets must be non-empty and positive")
+    val bCol = budgets.foldLeft(lit(null).cast(LongType)) {
+      case (acc, (s, b)) => when(col(sourceCol) === s, lit(b)).otherwise(acc)
+    }
+    val base = docs.select(col(idCol), col(sourceCol),
+        md5(col(idCol).cast("string")).as("__h"),
+        tokenCount(col(textCol)).cast(LongType).as("tokens"))
+      .withColumn("__budget", bCol).where(col("__budget").isNotNull)
+      .withColumn("__shard", substring(col("__h"), 1, 2))
+    val shardSums = base.groupBy(col(sourceCol), col("__shard"))
+      .agg(sum(col("tokens")).as("__st"))
+    val shardCum = shardSums.withColumn("__before",
+      coalesce(sum(col("__st")).over(
+        Window.partitionBy(sourceCol).orderBy(col("__shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val withShard = base.join(shardCum, Seq(sourceCol, "__shard"))
+    // interior shards fit entirely inside the budget — no per-doc work
+    val whole = withShard
+      .where(col("__before") + col("__st") <= col("__budget"))
+    // the one shard straddling the budget runs the per-document take-while
+    val boundary = withShard
+      .where(col("__before") < col("__budget") &&
+        col("__before") + col("__st") > col("__budget"))
+      .withColumn("__doccum",
+        sum(col("tokens")).over(
+          Window.partitionBy(col(sourceCol), col("__shard")).orderBy(col("__h"))))
+      .where(col("__before") + col("__doccum") <= col("__budget"))
+    whole.select(col(idCol), col(sourceCol), col("tokens"))
+      .unionAll(boundary.select(col(idCol), col(sourceCol), col("tokens")))
+  }
+
   /** Corpus-level boilerplate detection: an n-gram occurring in many
     * DOCUMENTS (high document frequency) is boilerplate — nav bars,
     * license headers, templated snippets. Flags each document by the

@@ -381,6 +381,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!pd.contains("UDF"), "dsir: UDF in plan")
   }
 
+  test("calibration + token budget: histogram/shard windows only, text never shuffles") {
+    // quality calibration: the order statistic runs over the per-source
+    // score HISTOGRAM (an agg feeds the window, never raw docs), the
+    // cutoff table broadcasts back, and document text never crosses a wire
+    val pc = plan("t26_quality_calibration")
+    assert(pc.contains("BroadcastHashJoin"), "calibration: cutoffs must broadcast")
+    assert(!pc.contains("SortMergeJoin"), "calibration: corpus must not join-shuffle")
+    assert(pc.contains("partial"), "calibration: histogram must pre-combine map-side")
+    assert(!pc.matches("(?s).*Exchange[^\\n]*\\n[^\\n]*text#.*"),
+      "calibration: document text entered a shuffle")
+    assert(!pc.contains("UDF"), "calibration: UDF in plan")
+    // token budget: shuffles carry (id, hash, tokens) — never text; the
+    // shard-interval split reads one aggregated shard table
+    val pt = plan("t27_token_budget_mix")
+    assert(pt.contains("partial"), "budget: shard sums must pre-combine map-side")
+    assert(!pt.matches("(?s).*Exchange[^\\n]*\\n[^\\n]*text#.*"),
+      "budget: document text entered a shuffle")
+    assert(!pt.contains("UDF"), "budget: UDF in plan")
+  }
+
   test("LM scoring and drift: pre-combined aggs, broadcast totals, no UDF") {
     val p25 = plan("t25_bigram_surprisal")
     assert(p25.contains("partial"), "bigram counts must pre-combine map-side")
