@@ -2300,6 +2300,41 @@ object Queries {
       .orderBy("id")
   }
 
+  // Corpus snapshot diff: snapshot B derives deterministically from the
+  // documents table — every doc_id % 7 == 0 removed, % 11 == 0 rewritten
+  // (changed), % 13 == 0 re-added under id+1,000,000 (added; the %7
+  // deletions win where they overlap) — so all four statuses are
+  // genuinely exercised. The operator joins (id, md5) fingerprints only.
+  register(
+    "d13_snapshot_diff",
+    """WITH b AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END
+      |           AS text
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text
+      |  FROM documents WHERE doc_id % 13 = 0),
+      |j AS (
+      |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+      |         md5(a.text) AS ha, md5(b.text) AS hb
+      |  FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+      |SELECT doc_id,
+      |       CASE WHEN ha IS NULL THEN 'added'
+      |            WHEN hb IS NULL THEN 'removed'
+      |            WHEN ha = hb THEN 'unchanged'
+      |            ELSE 'changed' END AS status
+      |FROM j ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val a = t(s, dir, "documents")
+    val b = a.where(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(a.where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    Dedup.snapshotDiff(a, b, "doc_id", "text").orderBy("doc_id")
+  }
+
   // Winnowing (MOSS) near-dup candidates: deterministic fingerprint
   // selection, so — unlike the minhash/simhash family — the REALISTIC
   // corpus run is exactly SQL-expressible, star cap and all. Window
@@ -3504,6 +3539,80 @@ object Queries {
     TextAnalysis.tokenBudgetAssemble(t(s, dir, "documents"),
       budgets = Map("src0" -> 800L, "src3" -> 900L, "src7" -> 500L))
       .orderBy("doc_id")
+  }
+
+  // Multinomial Naive Bayes classifier (fasttext-style curation gate):
+  // self-supervised on the documents table with `lang` as the class —
+  // the model is three aggregate tables, prediction a per-doc argmax.
+  // Scores round to 6 dp after the per-(doc,class) sum (t12 pattern);
+  // argmax tie-breaks on the label so both engines agree.
+  register(
+    "t28_nb_classifier",
+    """WITH toks AS (
+      |  SELECT doc_id, lang AS lbl,
+      |         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                            x -> x != '')) AS tok
+      |  FROM documents),
+      |tc AS (SELECT lbl, tok, count(*) AS nwc FROM toks GROUP BY lbl, tok),
+      |ct AS (SELECT lbl, CAST(sum(nwc) AS DOUBLE) AS nc FROM tc GROUP BY lbl),
+      |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM tc),
+      |pri AS (SELECT lang AS lbl, count(*) AS docs FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS DOUBLE) AS totdocs FROM documents),
+      |cs AS (SELECT pri.lbl, ct.nc, v.v,
+      |              ln(CAST(pri.docs AS DOUBLE) / tot.totdocs) AS prior
+      |       FROM pri JOIN ct USING (lbl) CROSS JOIN v CROSS JOIN tot),
+      |dt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+      |scored AS (
+      |  SELECT dt.doc_id, cs.lbl,
+      |         round(cs.prior + sum(dt.c *
+      |           ln((coalesce(CAST(tc.nwc AS DOUBLE), 0.0) + 1.0) /
+      |              (cs.nc + 1.0 * cs.v))), 6) AS score
+      |  FROM dt CROSS JOIN cs
+      |       LEFT JOIN tc ON tc.tok = dt.tok AND tc.lbl = cs.lbl
+      |  GROUP BY dt.doc_id, cs.lbl, cs.prior),
+      |ranked AS (
+      |  SELECT doc_id, lbl, score,
+      |         row_number() OVER (PARTITION BY doc_id
+      |                            ORDER BY score DESC, lbl) AS rn
+      |  FROM scored)
+      |SELECT r.doc_id, r.lbl AS predicted, r.score,
+      |       (r.lbl = d.lang) AS correct
+      |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+      |WHERE rn = 1 ORDER BY r.doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.naiveBayesClassify(t(s, dir, "documents"), "text", "doc_id",
+      "lang")
+      .orderBy("doc_id")
+  }
+
+  // PMI collocation mining (Church & Hanks 1990): top-30 adjacent pairs
+  // by pointwise mutual information, pair count >= 5. Per-pair arithmetic
+  // only (no cross-pair float sums), identical expression nesting both
+  // engines, ties broken on (w1, w2).
+  register(
+    "t29_pmi_collocations",
+    """WITH w AS (
+      |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+      |                     x -> x != '') AS toks
+      |  FROM documents),
+      |uni AS (SELECT tok, count(*) AS n
+      |        FROM (SELECT unnest(toks) AS tok FROM w) GROUP BY tok),
+      |bg AS (
+      |  SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS pair_count FROM (
+      |    SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+      |      i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS b
+      |    FROM w WHERE len(toks) >= 2) GROUP BY 1, 2),
+      |tot AS (SELECT (SELECT CAST(sum(n) AS DOUBLE) FROM uni) AS nt,
+      |               (SELECT CAST(sum(pair_count) AS DOUBLE) FROM bg) AS np)
+      |SELECT bg.w1, bg.w2, pair_count,
+      |       round(ln((CAST(pair_count AS DOUBLE) / np) /
+      |                ((CAST(u1.n AS DOUBLE) / nt) *
+      |                 (CAST(u2.n AS DOUBLE) / nt))), 6) AS pmi
+      |FROM bg JOIN uni u1 ON u1.tok = bg.w1
+      |        JOIN uni u2 ON u2.tok = bg.w2, tot
+      |WHERE pair_count >= 5
+      |ORDER BY pmi DESC, bg.w1, bg.w2 LIMIT 30""".stripMargin) { (s, dir) =>
+    TextAnalysis.pmiCollocations(t(s, dir, "documents"), "text", k = 30,
+      minCount = 5L)
   }
 
   // Deterministic train/val/test split: md5-interval assignment

@@ -969,4 +969,27 @@ object Dedup {
     bk.write.mode("append").parquet(bucketsPath)
     dups
   }
+
+  /** Corpus snapshot diff: classify every document id across two corpus
+    * snapshots (crawl N vs crawl N+1, pre- vs post-filter) as
+    * added / removed / changed / unchanged — the delta report an
+    * incremental curation pipeline runs before reprocessing, so unchanged
+    * mass (typically >95% of a recrawl) skips the expensive stages.
+    *
+    * Scale shape: each side reduces to (id, 16-byte md5) at the scan —
+    * document text NEVER enters the join; the full-outer join shuffles
+    * two skinny fingerprint tables on id. Status is a scan-side CASE
+    * after the join. At 100 TB this is two column-pruned parquet scans
+    * plus one hash-partitioned exchange of ~24-byte rows. */
+  def snapshotDiff(a: DataFrame, b: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val fa = a.select(col(idCol).as("doc_id"), md5(col(textCol)).as("__ha"))
+    val fb = b.select(col(idCol).as("doc_id"), md5(col(textCol)).as("__hb"))
+    fa.join(fb, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("__ha").isNull, lit("added"))
+          .when(col("__hb").isNull, lit("removed"))
+          .when(col("__ha") === col("__hb"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }

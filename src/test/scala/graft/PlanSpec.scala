@@ -417,6 +417,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p24.contains("UDF"), "drift: UDF in plan")
   }
 
+  test("NB classifier / PMI / snapshot diff: pre-combined model aggs, broadcast stats, skinny joins") {
+    val p28 = plan("t28_nb_classifier")
+    assert(p28.contains("partial"), "nb: token-class counts must pre-combine")
+    assert(p28.contains("BroadcastNestedLoopJoin"),
+      "nb: class stats must ride a small broadcast")
+    assert(!p28.contains("CartesianProduct"), "nb: cartesian in plan")
+    assert(!p28.contains("UDF"), "nb: UDF in plan")
+    val p29 = plan("t29_pmi_collocations")
+    assert(p29.contains("partial"), "pmi: unigram/bigram aggs must pre-combine")
+    assert(p29.contains("BroadcastNestedLoopJoin"),
+      "pmi: totals must ride a one-row broadcast")
+    assert(p29.contains("TakeOrdered"),
+      "pmi: top-k must be TakeOrdered, not a global sort")
+    assert(!p29.contains("UDF"), "pmi: UDF in plan")
+    val p13 = plan("d13_snapshot_diff")
+    assert(!p13.contains("UDF"), "diff: UDF in plan")
+    assert(p13.contains("md5"), "diff: fingerprints must be computed scan-side")
+    // the diff join carries (id, 16-byte md5) only — text is projected away
+    // before the exchange, so no Exchange row type may include `text`
+    p13.split("\n").filter(_.contains("Exchange")).foreach { ln =>
+      assert(!ln.contains("text#"), s"diff: text in shuffle: $ln")
+    }
+  }
+
   test("winnowing: selection is scan-side, candidate join releases caches") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val fps = graft.pipeline.Dedup.winnowFingerprints(docs, "text", "doc_id")
