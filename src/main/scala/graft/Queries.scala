@@ -428,6 +428,64 @@ object Queries {
       .orderBy("o_orderpriority")
   }
 
+  // Point-in-time (as-of) join: each purchase event picks up the most
+  // recent signup state for its user (ties at equal ts match; purchases
+  // before any signup keep NULL). Spark side is the union trick — one
+  // shuffle on user_id + one ordered window; DuckDB's native ASOF LEFT
+  // JOIN is the oracle.
+  register(
+    "q23_asof_join",
+    """WITH dim AS (
+      |  SELECT user_id, ts, max(value) AS state_value
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts),
+      |fact AS (
+      |  SELECT event_id, user_id, ts
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT f.event_id, f.user_id, f.ts,
+      |       d.ts AS asof_ts, d.state_value AS asof_state_value
+      |FROM fact f ASOF LEFT JOIN dim d
+      |  ON f.user_id = d.user_id AND f.ts >= d.ts
+      |ORDER BY f.event_id""".stripMargin) { (s, dir) =>
+    val events = t(s, dir, "events")
+    val dim = events.where(col("event_type") === "signup")
+      .groupBy("user_id", "ts").agg(max(col("value")).as("state_value"))
+    val fact = events.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    graft.operators.TemporalJoins
+      .asofJoin(fact, dim, Seq("user_id"), "ts", Seq("state_value"))
+      .orderBy("event_id")
+  }
+
+  // Interval (range) join via time bucketing: events against 360
+  // half-open one-hour maintenance windows spaced every two hours. The
+  // Spark plan is an EQUI-join on the derived hour bucket (never a
+  // nested-loop over the inequality); the oracle is the plain BETWEEN
+  // join. Money in integer cents (the q1 trick).
+  register(
+    "q24_range_join",
+    """WITH iv AS (
+      |  SELECT k AS window_id,
+      |         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (k*7200) SECOND AS ws,
+      |         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (k*7200+3600) SECOND AS we
+      |  FROM (SELECT unnest(generate_series(0, 359)) AS k))
+      |SELECT iv.window_id, count(*) AS n_events,
+      |       CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |         AS sum_cents
+      |FROM events e JOIN iv ON e.ts >= iv.ws AND e.ts < iv.we
+      |GROUP BY iv.window_id ORDER BY iv.window_id""".stripMargin) { (s, dir) =>
+    val t0 = 1704067200000000L // 2024-01-01T00:00:00Z in epoch micros
+    val iv = s.range(360).select(col("id").as("window_id"),
+      timestamp_micros(lit(t0) + col("id") * lit(7200000000L)).as("ws"),
+      timestamp_micros(lit(t0) + col("id") * lit(7200000000L) + lit(3600000000L)).as("we"))
+    graft.operators.TemporalJoins
+      .rangeJoinBucketed(t(s, dir, "events"), "ts", iv, "ws", "we",
+        bucketSeconds = 3600L)
+      .groupBy("window_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + 0.5)).cast("long").as("sum_cents"))
+      .orderBy("window_id")
+  }
+
   // ---------------------------------------------------------------------------
   // Classifier operators (SURVEY §2.2): each query serializes testdata rows
   // into the wire format the operator consumes, runs the REAL classify

@@ -441,6 +441,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("temporal joins: as-of is one window pass, range join is an equi join on the bucket") {
+    val p23 = plan("q23_asof_join")
+    assert(p23.contains("Window"), "asof: expected the union-trick window")
+    assert(!p23.contains("NestedLoop") && !p23.contains("CartesianProduct"),
+      "asof: per-row lookup shape in plan")
+    val p24 = plan("q24_range_join")
+    assert(p24.contains("BroadcastHashJoin") || p24.contains("SortMergeJoin")
+      || p24.contains("ShuffledHashJoin"),
+      "range: bucket equi-join expected")
+    assert(!p24.contains("BroadcastNestedLoopJoin") && !p24.contains("CartesianProduct"),
+      "range: inequality nested-loop in plan")
+  }
+
   test("winnowing: selection is scan-side, candidate join releases caches") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val fps = graft.pipeline.Dedup.winnowFingerprints(docs, "text", "doc_id")
