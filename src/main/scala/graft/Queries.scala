@@ -3642,6 +3642,24 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // Sketch percentiles with a hash-pinned rank-error bound (the q16b
+  // construction for order statistics): per-source GK-sketch median of
+  // token counts, claimed within ±2/accuracy rank error of the exact
+  // order statistics; the oracle computes the exact interpolated median
+  // (bit-identical on integers) and folds the claim constant-TRUE.
+  register(
+    "t30_approx_quantile_bound",
+    """SELECT source, count(*) AS n,
+      |  round(quantile_cont(CAST(len(list_filter(
+      |    string_split_regex(text, '\s+'), x -> x != '')) AS BIGINT),
+      |    0.5), 6) AS exact_p50,
+      |  TRUE AS approx_within_eps
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    TextAnalysis.lengthQuantileSketchBound(t(s, dir, "documents"), "text",
+      "source", q = 0.5, accuracy = 100, margin = 2.0)
+      .orderBy("source")
+  }
+
   // PMI collocation mining (Church & Hanks 1990): top-30 adjacent pairs
   // by pointwise mutual information, pair count >= 5. Per-pair arithmetic
   // only (no cross-pair float sums), identical expression nesting both

@@ -26,6 +26,7 @@ object StreamBench {
     val secs = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "30").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")

@@ -726,6 +726,42 @@ object TextAnalysis {
         round(sum(col("__c") * col("__lw")), 6).as("log_weight"))
   }
 
+  /** Sketch-percentile harness: per-group `percentile_approx` (Spark's
+    * Greenwald-Khanna variant — THE length/latency percentile at 100 TB,
+    * one fixed-size sketch per partition, merged) hash-pinned by a
+    * rank-error bound. percentile_approx(acc) guarantees the returned
+    * value's rank is within n/acc of the target; this report checks the
+    * sketch value sits between the EXACT order statistics at ranks
+    * (q ± margin/acc)·n and emits the claim as a boolean next to the
+    * exact interpolated percentile (integer inputs interpolate
+    * bit-identically across engines — the q20 trick).
+    *
+    * The exact side is the VERIFY harness, not the scale path: one
+    * rank window per group. The operator a cluster runs is the sketch
+    * agg alone. */
+  def lengthQuantileSketchBound(docs: DataFrame, textCol: String,
+      groupCol: String, q: Double = 0.5, accuracy: Int = 100,
+      margin: Double = 2.0): DataFrame = {
+    val base = docs.select(col(groupCol),
+      tokenCount(col(textCol)).cast(LongType).as("__len"))
+    val eps = margin / accuracy
+    val stats = base.groupBy(groupCol).agg(
+      count(lit(1)).as("n"),
+      percentile_approx(col("__len"), lit(q), lit(accuracy)).as("__approx"),
+      round(percentile(col("__len"), lit(q)), 6).as(s"exact_p${(q * 100).toInt}"))
+    val ranked = base.withColumn("__rn",
+      row_number().over(Window.partitionBy(groupCol).orderBy(col("__len"))))
+    val bounds = ranked.join(stats.select(col(groupCol), col("n")), Seq(groupCol))
+      .where(col("__rn") === greatest(lit(1L), floor(lit(q - eps) * col("n"))) ||
+        col("__rn") === least(col("n"), ceil(lit(q + eps) * col("n"))))
+      .groupBy(groupCol)
+      .agg(min(col("__len")).as("__lo"), max(col("__len")).as("__hi"))
+    stats.join(bounds, Seq(groupCol))
+      .select(col(groupCol), col("n"), col(s"exact_p${(q * 100).toInt}"),
+        (col("__approx") >= col("__lo") && col("__approx") <= col("__hi"))
+          .as("approx_within_eps"))
+  }
+
   /** Multinomial Naive Bayes classifier, trained AND applied relationally
     * — the fasttext-style shallow classifier that curation pipelines use
     * for language ID and quality gating (e.g. the GPT-3/LLaMA "looks like

@@ -1,0 +1,122 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Optimizer rule: rewrite an inequality-only interval join into an
+  * equi-join on a derived time bucket.
+  *
+  * A join whose entire condition is `point >= start AND point < end`
+  * (any of `>=`/`>` for the lower and `<`/`<=` for the upper bound, either
+  * orientation) has no equi-predicate, so Spark plans a nested-loop —
+  * O(|fact|·|intervals|) comparisons, catastrophic at 100 TB. This rule
+  * rebuilds it as the bucketed range join (the shape
+  * `graft.operators.TemporalJoins.rangeJoinBucketed` hand-writes): the
+  * point side gains `bucket = unix_micros(point) div W`, the interval side
+  * explodes to the buckets each interval covers, and the join becomes a
+  * HASH join on bucket equality with the exact containment predicate kept
+  * as a residual. Coverage is correct for any monotone bucket function, so
+  * truncating `div` is fine; `<=` upper bounds are covered because the
+  * explode always includes `bucket(end)`.
+  *
+  * Width comes from `spark.graft.rangeJoin.bucketSeconds` (default 3600);
+  * disable with `spark.graft.rangeJoin.enabled=false`. The rewrite fires
+  * once: the rewritten join HAS an equality conjunct, so it no longer
+  * matches. Registered through [[GraftExtensions]] —
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+case class RangeJoinRewrite() extends Rule[LogicalPlan]
+    with PredicateHelper {
+
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.rangeJoin.enabled", "true").toBoolean
+  private def bucketMicros: Long =
+    conf.getConfString("spark.graft.rangeJoin.bucketSeconds", "3600").toLong * 1000000L
+
+  /** (point, start, end) when the condition is exactly a lower and an
+    * upper bound on one timestamp expression against bounds from the other
+    * side. */
+  private def asRange(cond: Expression, leftSet: AttributeSet,
+      rightSet: AttributeSet): Option[(Expression, Expression, Expression, Boolean)] = {
+    def sideOf(e: Expression): Option[Boolean] = // true = left
+      if (e.references.subsetOf(leftSet)) Some(true)
+      else if (e.references.subsetOf(rightSet)) Some(false)
+      else None
+    // normalize each conjunct to (point, bound, isLower)
+    def norm(c: Expression): Option[(Expression, Expression, Boolean)] = c match {
+      case GreaterThanOrEqual(p, b) => Some((p, b, true))
+      case GreaterThan(p, b)        => Some((p, b, true))
+      case LessThan(p, b)           => Some((p, b, false))
+      case LessThanOrEqual(p, b)    => Some((p, b, false))
+      case _ => None
+    }
+    // flip `start <= point` style orientations so the point is on the left
+    def oriented(c: Expression): Seq[(Expression, Expression, Boolean)] = c match {
+      case GreaterThanOrEqual(a, b) => Seq((a, b, true), (b, a, false))
+      case GreaterThan(a, b)        => Seq((a, b, true), (b, a, false))
+      case LessThan(a, b)           => Seq((a, b, false), (b, a, true))
+      case LessThanOrEqual(a, b)    => Seq((a, b, false), (b, a, true))
+      case _ => Seq.empty
+    }
+    splitConjunctivePredicates(cond) match {
+      case Seq(c1, c2) =>
+        (for {
+          (p1, b1, low1) <- oriented(c1)
+          (p2, b2, low2) <- oriented(c2)
+          if low1 && !low2 && p1.semanticEquals(p2)
+          if p1.dataType == TimestampType && b1.dataType == TimestampType &&
+            b2.dataType == TimestampType
+          ps <- sideOf(p1); bs1 <- sideOf(b1); bs2 <- sideOf(b2)
+          if bs1 == bs2 && ps != bs1
+        } yield (p1, b1, b2, ps)).headOption
+      case _ => None
+    }
+  }
+
+  private def bucketOf(e: Expression): Expression =
+    IntegralDivide(UnixMicros(e), Literal(bucketMicros))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transform {
+      case j @ Join(left, right, Inner, Some(cond), hint)
+          if asRange(cond, left.outputSet, right.outputSet).isDefined =>
+        val (point, start, end, pointOnLeft) =
+          asRange(cond, left.outputSet, right.outputSet).get
+        val (factSide, intervalSide) = if (pointOnLeft) (left, right) else (right, left)
+        val factBucket = AttributeReference("__graft_bucket_f", LongType,
+          nullable = true)()
+        val ivBucket = AttributeReference("__graft_bucket_i", LongType,
+          nullable = true)()
+        val fact = Project(factSide.output :+
+          Alias(bucketOf(point), factBucket.name)(factBucket.exprId), factSide)
+        // explode to every bucket the interval touches; bucket(end) is
+        // always included, which also covers `<=` upper bounds exactly
+        // Sequence is TimeZoneAwareExpression: without an explicit zone it
+        // stays unresolved and the optimizer rejects the plan
+        val intervals = Generate(
+          Explode(Sequence(bucketOf(start), bucketOf(end), None,
+            Some(conf.sessionLocalTimeZone))),
+          unrequiredChildIndex = Nil, outer = false, qualifier = None,
+          generatorOutput = Seq(ivBucket), child = intervalSide)
+        val (newLeft, newRight) =
+          if (pointOnLeft) (fact, intervals) else (intervals, fact)
+        val newCond = And(EqualTo(factBucket, ivBucket), cond)
+        Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), hint))
+    }
+  }
+}
+
+/** `SparkSessionExtensions` entry point for graft's Catalyst extensions.
+  * Usage: `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => RangeJoinRewrite())
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.plans.RangeJoinRewrite
+import java.sql.Timestamp
+
+/** The inequality-join → bucketed equi-join optimizer rule: plan shape
+  * flips from nested-loop to hash join, results stay identical, and the
+  * rule leaves non-matching joins alone. */
+class RangeJoinRewriteSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val fact = Seq(
+    (200L, ts("2024-01-01 10:00:00")), (201L, ts("2024-01-01 10:30:00")),
+    (202L, ts("2024-01-01 10:59:59")), (203L, ts("2024-01-01 11:00:00")),
+    (204L, ts("2024-01-01 13:29:59")), (205L, ts("2024-01-01 13:30:00")),
+    (206L, ts("2024-01-01 09:59:59"))).toDF("event_id", "ts")
+  private lazy val iv = Seq(
+    (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 13:30:00")),
+    (2L, ts("2024-01-01 10:30:00"), ts("2024-01-01 11:00:00")))
+    .toDF("window_id", "ws", "we")
+
+  private def withRule[A](f: => A): A = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ RangeJoinRewrite()
+    try f
+    finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_.isInstanceOf[RangeJoinRewrite])
+  }
+
+  // QueryExecution memoizes its optimized plan, so the joined frame must be
+  // rebuilt after the rule is (un)installed
+  private def intervalJoin() =
+    fact.join(iv, fact("ts") >= iv("ws") && fact("ts") < iv("we"))
+      .select("event_id", "window_id")
+
+  test("interval join rewrites to a hash join on the bucket, same results") {
+    val baseline = intervalJoin().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val basePlan = intervalJoin().queryExecution.executedPlan.toString
+    assert(basePlan.contains("NestedLoop") || basePlan.contains("CartesianProduct"),
+      s"pre-rewrite plan should be a nested loop:\n$basePlan")
+    withRule {
+      val join = intervalJoin()
+      val p = join.queryExecution.executedPlan.toString
+      // the rewritten join keys on the derived bucket
+      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+        s"rewrite did not fire:\n$p")
+      assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+        s"expected a hash/SMJ join on the bucket:\n$p")
+      val got = join.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == baseline, "rewrite changed the join result")
+    }
+  }
+
+  test("upper-bound <= and flipped orientations rewrite too, boundary exact") {
+    withRule {
+      // start <= point AND point <= end, point on the RIGHT side
+      val join = iv.join(fact, iv("ws") <= fact("ts") && fact("ts") <= iv("we"))
+        .select("event_id", "window_id")
+      val p = join.queryExecution.executedPlan.toString
+      assert(!p.contains("NestedLoop"), s"flipped form did not rewrite:\n$p")
+      val got = join.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // inclusive upper bound now admits 205 (== we of window 1) and 203 (== we of 2)
+      assert(got.contains((205L, 1L)) && got.contains((203L, 2L)))
+      assert(!got.contains((206L, 1L)))
+    }
+  }
+
+  test("joins with equi-predicates or non-range conditions are left alone") {
+    withRule {
+      val keyed = fact.withColumn("k", col("event_id") % 2)
+        .join(iv.withColumn("k", col("window_id") % 2), "k")
+      assert(keyed.queryExecution.optimizedPlan.toString.contains("Join"))
+      assert(!keyed.queryExecution.optimizedPlan.toString.contains("__graft_bucket"))
+      val oneSided = fact.join(iv, fact("ts") >= iv("ws")) // lower bound only
+      assert(!oneSided.queryExecution.optimizedPlan.toString.contains("__graft_bucket"))
+      // disabled by conf
+      spark.conf.set("spark.graft.rangeJoin.enabled", "false")
+      try {
+        val join = fact.join(iv, fact("ts") >= iv("ws") && fact("ts") < iv("we"))
+        assert(!join.queryExecution.optimizedPlan.toString.contains("__graft_bucket"))
+      } finally spark.conf.unset("spark.graft.rangeJoin.enabled")
+    }
+  }
+}
