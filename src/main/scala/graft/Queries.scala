@@ -2531,6 +2531,41 @@ object Queries {
       .orderBy("id")
   }
 
+  // EXACT similarity join via prefix filtering (AllPairs/PPJoin): every
+  // pair with bigram-shingle Jaccard >= 0.8, no candidate-recall loss —
+  // the deterministic complement to d2's minhash path, so the oracle is
+  // the full quadratic ground truth (tractable in DuckDB at oracle SF;
+  // the Spark side runs the prefix-filtered plan, never the all-pairs
+  // join, and must produce the IDENTICAL pair set to hash-match).
+  // 0.8 is the operator's intended high-similarity regime: the synthetic
+  // corpus's templated bigrams make moderate thresholds adversarial for
+  // prefix filtering (τ=0.6 leaves 2.4M of 12.5M pairs as candidates at
+  // sf0.1; τ=0.8 prunes to the true near-dup structure) — below ~0.7 on
+  // such corpora the minhash band join (d2) is the scale path, which the
+  // similarityJoin Scaladoc states.
+  register(
+    "d14_similarity_join",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(t) >= 2
+      |    THEN list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+      |    ELSE [array_to_string(t, ' ')] END AS s
+      |  FROM toks),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         len(list_intersect(a.s, b.s))::DOUBLE /
+      |         len(list_distinct(list_concat(a.s, b.s))) AS j
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, round(j, 6) AS jaccard
+      |FROM pairs WHERE j >= 0.8 ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    Dedup.similarityJoin(t(s, dir, "documents"), "text", "doc_id",
+        shingleWords = 2, threshold = 0.8)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
   // Embedding-cosine near-dup (exact verify path over adjacent pairs; the
   // LSH-bucketed variant is d5b below).
   register(

@@ -506,6 +506,109 @@ object Dedup {
       wordShingles(col(textB), shingleWords))
 
   // -------------------------------------------------------------------------
+  // Exact set-similarity join (AllPairs / PPJoin prefix filtering)
+  // -------------------------------------------------------------------------
+
+  /** EXACT Jaccard similarity join via prefix filtering — AllPairs
+    * (Bayardo, Ma & Srikant, WWW'07) with PPJoin's positional filter
+    * (Xiao et al., VLDB'08). Returns every pair (id_a < id_b) whose
+    * word-shingle Jaccard is >= `threshold`, with no recall loss — the
+    * deterministic complement to the probabilistic minhash/simhash paths
+    * (reference posture: rules must not silently drop matches,
+    * rules_engine.py asserts full evaluation per record).
+    *
+    * Why this scales where the naive all-pairs join cannot:
+    *  - each document's shingle set is put in ONE canonical global order,
+    *    rarest-first: the sort key is (corpus_doc_freq, shingle) itself,
+    *    so no vocabulary-sized rank window is ever built — just an
+    *    equi-join of exploded shingles against the (pre-combined) doc-freq
+    *    aggregate, then a per-document array_sort;
+    *  - a pair with J >= t MUST share a shingle inside each side's first
+    *    p = n - ceil(t*n) + 1 shingles, so only the short, rare prefix
+    *    explodes into the candidate join — bucket sizes stay small because
+    *    prefix tokens are by construction the rare ones;
+    *  - candidates pass the length filter (min(n) >= t * max(n)) and
+    *    PPJoin's positional filter (suffix-overlap upper bound
+    *    min(n_a - pos_a, n_b - pos_b) >= ceil(t/(1+t) * (n_a + n_b)))
+    *    as join-condition Column arithmetic, before anything wide moves;
+    *  - ONE verify join re-attaches the two full shingle arrays for the
+    *    exact Jaccard — shingle arrays travel only for surviving
+    *    candidates, never for the corpus.
+    *
+    * A viral exact-duplicate cluster of size k legitimately yields k²/2
+    * output pairs (exactness demands them); run [[dropExactDuplicates]]
+    * first so only genuine near-dup structure reaches this join. */
+  def similarityJoin(df: DataFrame, textCol: String, idCol: String,
+      shingleWords: Int = 2, threshold: Double = 0.6): DataFrame = {
+    val (verified, stages) =
+      similarityJoinPlan(df, textCol, idCol, shingleWords, threshold)
+    materializeAndRelease(verified, stages)
+  }
+
+  /** The lazy PPJoin plan + its persisted stages (exposed for plan tests;
+    * callers use [[similarityJoin]], which materializes and releases). */
+  private[graft] def similarityJoinPlan(df: DataFrame, textCol: String,
+      idCol: String, shingleWords: Int,
+      threshold: Double): (DataFrame, Seq[DataFrame]) = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    // Shingles are hashed to 64 bits AT THE SCAN and never travel as
+    // strings: the df-attachment join, the canonical sort, the prefix
+    // explode, and the verify arrays all carry longs. Set semantics are
+    // preserved modulo xxhash64 collisions — P ≈ v²/2⁶⁵ over vocabulary
+    // v (a 10¹²-shingle corpus expects ~30 colliding shingle pairs
+    // worldwide, each perturbing one pair's Jaccard by O(1/n)) — while
+    // shuffle bytes drop ~3× and the struct sort compares longs.
+    val sh = df.select(col(idCol).cast(LongType).as("id"),
+      array_distinct(transform(wordShingles(col(textCol), shingleWords),
+        s => xxhash64(s))).as("s"))
+    val exploded = sh.select(col("id"), explode(col("s")).as("tok"))
+    // corpus document-frequency rides a window count over the SAME pass
+    // that explodes the shingles — one scan, one (tok)-partitioned
+    // exchange — instead of a second shingle scan + aggregate + join
+    // (the shingle HOF chain is CodegenFallback, so recomputing it was
+    // the dominant cost of the two-branch shape)
+    val withDf = exploded.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("tok")))
+    // canonical rarest-first order: sort by (df, tok_hash) — a total order
+    // that is identical across documents without a global rank table
+    val sorted = withDf
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("st"))
+      .select(col("id"),
+        transform(col("st"), x => x.getField("tok")).as("toks"),
+        size(col("st")).as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // prefix length p = n - ceil(t*n) + 1; 0-based pos from posexplode
+    val p = (col("n") - ceil(lit(threshold) * col("n")) + lit(1)).cast("int")
+    val prefix = sorted.select(col("id"), col("n"),
+        posexplode(slice(col("toks"), lit(1), p)))
+      .toDF("id", "n", "pos", "tok")
+    val overlapNeeded =
+      ceil(lit(threshold / (1 + threshold)) * (col("a.n") + col("b.n")))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+        least(col("a.n"), col("b.n")) >=
+          ceil(lit(threshold) * greatest(col("a.n"), col("b.n"))) &&
+        least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >= overlapNeeded)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    // verify computes ONLY the intersection: |union| = n_a + n_b − |∩|
+    // (sets are distinct), so the second per-pair hash-set build that
+    // array_union would do is replaced by two already-carried lengths —
+    // the verify stage is the candidate-count-bound cost at scale
+    val verified = cand
+      .join(sorted.select(col("id").as("id_a"), col("toks").as("__ta"),
+        col("n").as("__na")), "id_a")
+      .join(sorted.select(col("id").as("id_b"), col("toks").as("__tb"),
+        col("n").as("__nb")), "id_b")
+      .withColumn("__i", size(array_intersect(col("__ta"), col("__tb"))).cast(DoubleType))
+      .select(col("id_a"), col("id_b"),
+        (col("__i") / (col("__na") + col("__nb") - col("__i"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+    (verified, Seq(sorted))
+  }
+
+  // -------------------------------------------------------------------------
   // Winnowing
   // -------------------------------------------------------------------------
 

@@ -895,4 +895,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(st == Map(1L -> "unchanged", 2L -> "changed",
       3L -> "removed", 4L -> "added"))
   }
+
+  test("exact similarity join (PPJoin): equals the brute-force pair set") {
+    // exactness is THE property: the prefix-filtered plan must return the
+    // identical pair set the quadratic join would, on a corpus with exact
+    // dups, near dups, and unrelated docs
+    def bruteForce(df: org.apache.spark.sql.DataFrame, t: Double) = {
+      val a = df.select(col("doc_id").as("id_a"), col("text").as("ta"))
+      val b = df.select(col("doc_id").as("id_b"), col("text").as("tb"))
+      a.crossJoin(b).where(col("id_a") < col("id_b"))
+        .where(Dedup.jaccard(Dedup.wordShingles(col("ta"), 2),
+          Dedup.wordShingles(col("tb"), 2)) >= t)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    for (t <- Seq(0.4, 0.6, 0.95)) {
+      val out = Dedup.similarityJoin(docs, "text", "doc_id",
+          shingleWords = 2, threshold = t)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(out == bruteForce(docs, t), s"threshold $t")
+    }
+    assert(bruteForce(docs, 0.6).nonEmpty) // the test corpus must have pairs
+  }
+
+  test("similarity join: single-token and empty docs keep the bound sound") {
+    val edge = Seq((0L, "alpha"), (1L, "alpha"), (2L, "beta"),
+      (3L, ""), (4L, "alpha beta gamma")).toDF("doc_id", "text")
+    val out = Dedup.similarityJoin(edge, "text", "doc_id",
+        shingleWords = 2, threshold = 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only the identical single-token pair survives at 0.9; the empty doc
+    // pairs with nothing (no other empty doc exists)
+    assert(out == Set((0L, 1L)))
+  }
 }

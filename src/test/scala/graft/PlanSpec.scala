@@ -454,6 +454,29 @@ class PlanSpec extends AnyFunSuite {
       "range: inequality nested-loop in plan")
   }
 
+  test("PPJoin similarity join: prefix equi-join, no quadratic operator, cached stage, skinny shuffles") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val (pairs, stages) = graft.pipeline.Dedup.similarityJoinPlan(
+      docs, "text", "doc_id", 2, 0.6)
+    val p = pairs.queryExecution.executedPlan.toString
+    // exact join but NEVER the all-pairs shape: candidates come from the
+    // prefix-token equi-join, so no nested-loop/cartesian may appear
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "ppjoin: quadratic join operator in plan")
+    assert(p.contains("InMemoryTableScan"), "ppjoin: sorted stage not cached")
+    assert(!p.contains("UDF") && !p.contains("BatchEvalPython"), "ppjoin: UDF in plan")
+    // candidate-join shuffles carry (id, n, pos, tok) — never document text
+    p.split("\n").filter(_.contains("Exchange hashpartitioning")).foreach { ln =>
+      assert(!ln.contains("text#"), s"ppjoin: text in shuffle: $ln")
+    }
+    stages.foreach(_.unpersist(true))
+    // entry point releases its cache like the rest of the family
+    assert(spark.sharedState.cacheManager.isEmpty, "pre-existing cache entries")
+    assert(graft.pipeline.Dedup.similarityJoin(
+      docs, "text", "doc_id", 2, 0.6).count() > 0)
+    assert(spark.sharedState.cacheManager.isEmpty, "ppjoin leaked cache entries")
+  }
+
   test("winnowing: selection is scan-side, candidate join releases caches") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val fps = graft.pipeline.Dedup.winnowFingerprints(docs, "text", "doc_id")
