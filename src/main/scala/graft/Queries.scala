@@ -3695,6 +3695,50 @@ object Queries {
       .orderBy("source")
   }
 
+  // Misra–Gries heavy hitters with the sketch guarantee hash-pinned
+  // (the q16b construction): the custom TypedImperativeAggregate
+  // summarizes the token stream with k=64 counters (partial-aggregated —
+  // only k-entry sketches cross the exchange, never the vocabulary), and
+  // the row claims the MG theorem held on this corpus: every token with
+  // exact frequency > n/65 is present in the sketch, no estimate
+  // overcounts, and no estimate undercounts by more than n/65. The
+  // sketch's tail below the guarantee line is stream-order dependent, so
+  // the pinned row is the order-independent guarantee plus the exact
+  // heavy-hitter count, which DuckDB recomputes exactly.
+  register(
+    "t31_heavy_hitters_bound",
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                x -> x != '')) AS tok
+      |  FROM documents),
+      |c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks)
+      |SELECT CAST((SELECT count(*) FROM c, n
+      |             WHERE CAST(cnt AS DOUBLE) > n / 65.0) AS BIGINT) AS heavy_count,
+      |       TRUE AS bound_met""".stripMargin) { (s, dir) =>
+    val k = 64
+    val toks = t(s, dir, "documents")
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+    val sketch = toks.agg(
+      graft.functions.MisraGriesAgg.misra_gries(col("tok"), k).as("hh"))
+    val tot = toks.agg(count(lit(1)).cast("double").as("n"))
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    exact.crossJoin(broadcast(tot))
+      .where(col("cnt").cast("double") > col("n") / (k + 1))
+      .crossJoin(broadcast(sketch))
+      .withColumn("__m",
+        filter(col("hh"), x => x.getField("item") === col("tok")))
+      .withColumn("__est",
+        when(size(col("__m")) === 1, element_at(col("__m"), 1).getField("est")))
+      .agg(
+        count(lit(1)).cast("long").as("heavy_count"),
+        // empty heavy set → vacuous-true on both engines (ADVICE r8)
+        coalesce(bool_and(col("__est").isNotNull &&
+          col("__est") <= col("cnt") &&
+          (col("cnt") - col("__est")).cast("double") <= col("n") / (k + 1)),
+          lit(true)).as("bound_met"))
+  }
+
   // PMI collocation mining (Church & Hanks 1990): top-30 adjacent pairs
   // by pointwise mutual information, pair count >= 5. Per-pair arithmetic
   // only (no cross-pair float sums), identical expression nesting both

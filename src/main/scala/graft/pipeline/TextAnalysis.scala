@@ -548,6 +548,20 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("tok").asc)
       .limit(k)
 
+  /** Heavy-hitter tokens via the Misra–Gries sketch aggregate
+    * ([[graft.functions.MisraGriesAgg]]): every partition reduces its
+    * token stream to a k-entry summary map-side, so only k-sized sketches
+    * cross the exchange — the scale replacement for an exact
+    * `groupBy(token)` when only the head of the distribution matters.
+    * Deterministic guarantee regardless of partitioning: contains every
+    * token with frequency > n/(k+1); estimates undercount by at most
+    * n/(k+1) and never overcount. */
+  def heavyHitters(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(tokens(lower(col(textCol)))).as("tok"))
+      .agg(graft.functions.MisraGriesAgg.misra_gries(col("tok"), k).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("item"), col("e.est").as("est"))
+
   /** First-iteration BPE merge candidates: corpus-weighted counts of
     * adjacent character pairs, the statistic a byte-pair-encoding trainer
     * maximizes at each merge step (Sennrich et al. 2016). Pairs count once

@@ -454,6 +454,19 @@ class PlanSpec extends AnyFunSuite {
       "range: inequality nested-loop in plan")
   }
 
+  test("misra-gries: ObjectHashAggregate with a map-side partial sketch") {
+    val p = plan("t31_heavy_hitters_bound")
+    // the TypedImperativeAggregate must partial-aggregate: a k-entry
+    // sketch per partition map-side, merged after the exchange — two
+    // ObjectHashAggregate nodes (partial + final), never a full token
+    // shuffle into a single aggregation
+    assert(p.split("ObjectHashAggregate").length - 1 >= 2,
+      "expected partial+final ObjectHashAggregate pair for misra_gries")
+    assert(p.contains("partial_misra_gries") || p.contains("misra_gries"),
+      "misra_gries aggregate missing from plan")
+    assert(!p.contains("UDF") && !p.contains("BatchEvalPython"), "UDF in plan")
+  }
+
   test("PPJoin similarity join: prefix equi-join, no quadratic operator, cached stage, skinny shuffles") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val (pairs, stages) = graft.pipeline.Dedup.similarityJoinPlan(
