@@ -4052,6 +4052,27 @@ object Queries {
       .select("doc_id", "lang").orderBy("doc_id")
   }
 
+  // Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+  // k smallest deterministic exponential keys -ln(u)/w with u from the
+  // md5-uniform family (13 hex chars = 52 bits, exact in a double) —
+  // the oracle runs the IDENTICAL key arithmetic, so the selected id
+  // set hash-compares exactly. Weight = n_chars: longer docs
+  // proportionally likelier, the usual curation-mix primitive.
+  register(
+    "t32_weighted_sample",
+    """SELECT doc_id, n_chars FROM (
+      |  SELECT doc_id, n_chars,
+      |    -ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'es1'),
+      |                                  1, 13)) AS BIGINT) + 0.5)
+      |        / 4503599627370496.0) / n_chars AS ekey
+      |  FROM documents WHERE n_chars > 0
+      |  ORDER BY ekey LIMIT 25)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.weightedSample(t(s, dir, "documents"), "doc_id",
+        col("n_chars"), k = 25, seed = "es1")
+      .select("doc_id", "n_chars").orderBy("doc_id")
+  }
+
   // Duplicate-cluster labeling: prefix-fingerprint chain edges → min-label
   // propagation to fixpoint (Dedup.connectedComponents). The oracle computes
   // the same clusters independently via a window over the fingerprint —

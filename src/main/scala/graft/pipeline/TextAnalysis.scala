@@ -257,6 +257,33 @@ object TextAnalysis {
     df.where(substring(md5(col(keyCol).cast("string")), 1, 8) < thr)
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * algorithm A-ES): each row draws an exponential key
+    * `-ln(u) / w` from a deterministic md5-derived uniform
+    * u = (hash52 + 0.5) / 2⁵², and the k SMALLEST keys form the sample —
+    * equivalent to sequential draws with probability w_i/Σw_remaining,
+    * but embarrassingly parallel and reproducible across engines, runs,
+    * and cluster sizes (the same md5-uniform family the split/sample ops
+    * use; 13 hex chars = 52 bits, exact in a double).
+    *
+    * Rows with non-positive or null weight are excluded (an infinite /
+    * undefined key has zero selection probability anyway).
+    *
+    * Scale shape: scan-side key arithmetic + distributed top-k
+    * (TakeOrderedAndProject: per-partition heads, one k-row merge) — no
+    * global sort, no full shuffle, no driver-side weighing. */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column, k: Int,
+      seed: String): DataFrame = {
+    val hex = substring(md5(concat(col(idCol).cast("string"), lit(seed))), 1, 13)
+    val u = (conv(hex, 16, 10).cast(DoubleType) + lit(0.5)) /
+      lit(4503599627370496.0) // 2^52
+    df.where(weight.isNotNull && weight > 0)
+      .withColumn("__ekey", -log(u) / weight)
+      .orderBy("__ekey")
+      .limit(k)
+      .drop("__ekey")
+  }
+
   /** Deterministic train/val/test split assignment: partition [0,1) into
     * cumulative-weight intervals and place each document by where the
     * first 8 md5 hex chars of its id fall — the leakage-proof split rule

@@ -896,6 +896,26 @@ class PipelineOpsSpec extends AnyFunSuite {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("weighted sample (A-ES): deterministic, weight-biased, excludes w<=0") {
+    val rows = ((0 until 50).map(i => (i.toLong, 1.0)) :+ (99L, 1000.0))
+      .toDF("id", "w")
+    def pick(seed: String, k: Int) = TextAnalysis.weightedSample(
+      rows, "id", col("w"), k, seed).select("id").as[Long].collect().toSet
+    // same seed -> same set; a different seed moves the light picks
+    assert(pick("s1", 5) == pick("s1", 5))
+    assert(pick("s1", 5) != pick("s2", 5) || pick("s1", 10) != pick("s2", 10))
+    // the w=1000 row dominates 50 w=1 rows: selected under every seed here
+    for (seed <- Seq("a", "b", "c", "d", "e"))
+      assert(pick(seed, 1).contains(99L), s"heavy row lost at seed=$seed")
+    // zero/negative/null weights never selected
+    val withBad = rows.unionAll(Seq((100L, 0.0), (101L, -3.0)).toDF("id", "w"))
+      .unionAll(Seq(Tuple1(102L)).toDF("id").withColumn("w", lit(null).cast("double")))
+    val all = TextAnalysis.weightedSample(withBad, "id", col("w"), 100, "s")
+      .select("id").as[Long].collect().toSet
+    assert(!all.exists(_ >= 100L))
+    assert(all.size == 51)
+  }
+
   test("exact similarity join (PPJoin): equals the brute-force pair set") {
     // exactness is THE property: the prefix-filtered plan must return the
     // identical pair set the quadratic join would, on a corpus with exact

@@ -454,6 +454,17 @@ class PlanSpec extends AnyFunSuite {
       "range: inequality nested-loop in plan")
   }
 
+  test("weighted sample: distributed top-k, not a global sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = graft.pipeline.TextAnalysis.weightedSample(
+        docs, "doc_id", org.apache.spark.sql.functions.col("n_chars"), 25, "es1")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      "A-ES selection must be per-partition top-k + k-row merge")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "global sort exchange in the sample path")
+  }
+
   test("misra-gries: ObjectHashAggregate with a map-side partial sketch") {
     val p = plan("t31_heavy_hitters_bound")
     // the TypedImperativeAggregate must partial-aggregate: a k-entry
