@@ -2109,7 +2109,7 @@ object Queries {
   // multimodal plumbing (documents/embeddings tables)
   // ---------------------------------------------------------------------------
 
-  import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+  import graft.pipeline.{Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
 
   // The composite training-corpus filter — the query a data-curation user
   // actually runs: exact-dedup keep verdict ∧ quality floor ∧ language ∧
@@ -3909,6 +3909,42 @@ object Queries {
       .select(col("event_type"), col("exact_users"),
         (abs(col("__approx") - col("exact_users")) <=
           lit(3 * 0.02) * col("exact_users")).as("within_bound"))
+      .orderBy("event_type")
+  }
+
+  // Mergeable HLL sketch store (DataSketches HLL via native
+  // hll_sketch_agg): each batch reduces to one fixed-size sketch per
+  // group; cross-batch rollups merge sketch BYTES, never re-shuffling
+  // raw keys — the incremental replacement for re-running
+  // count(DISTINCT) per scheduled-query window. The row pins two
+  // claims: (1) the 4-batch-merged estimate is IDENTICAL to the
+  // single-pass estimate (HLL unions at a common lgConfigK are
+  // lossless), (2) both sit within the 3σ standard-error envelope
+  // (1.04/√2¹² ≈ 1.6% per σ) of the exact count, which DuckDB
+  // recomputes exactly and constant-folds TRUE.
+  register(
+    "q25_hll_sketch_store",
+    """SELECT event_type,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |       TRUE AS merge_lossless, TRUE AS within_eps
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    // 4 synthetic ingest batches stand in for dt-partitioned store writes
+    val store = Sketches.hllSketches(
+      ev.withColumn("__batch", pmod(col("event_id"), lit(4))),
+      Seq("event_type", "__batch"), "user_id", lgConfigK = 12)
+    val merged = Sketches.hllEstimate(store, Seq("event_type"))
+    val direct = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col("user_id"), 12)).as("__direct"))
+    val exact = ev.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    exact.join(merged, "event_type").join(direct, "event_type")
+      .select(col("event_type"), col("exact_users"),
+        (col("distinct_est") === col("__direct")).as("merge_lossless"),
+        (abs(col("distinct_est").cast("double") - col("exact_users")) <=
+          lit(3 * 1.04 / math.sqrt(1 << 12)) * col("exact_users"))
+          .as("within_eps"))
       .orderBy("event_type")
   }
 

@@ -1,0 +1,35 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality sketches — the incremental distinct-count store.
+  *
+  * The reference recomputes distinct-entity rollups per scheduled query
+  * run (athena_partitioner/handler.py re-scans the partition); at 100 TB a
+  * `count(DISTINCT key)` is a full shuffle of the key column every time.
+  * The store pattern instead has each ingest batch reduce to ONE
+  * fixed-size HLL sketch per group (DataSketches HLL via Spark's native
+  * `hll_sketch_agg`, ~2^lgConfigK bytes); any later rollup — across days,
+  * sources, or the whole store — merges sketches, so bytes read and
+  * shuffled are O(groups × sketch_size) regardless of how much raw data
+  * the sketches summarize. HLL unions are lossless at a common lgConfigK:
+  * the merged estimate is IDENTICAL to the single-pass estimate, which
+  * the q25 bound row pins (plus the ±1.04/√2^lgK standard-error envelope
+  * against the exact count).
+  */
+object Sketches {
+
+  /** One batch's per-group sketch rows — the store row format. Append
+    * these to a parquet store partitioned by batch/dt. */
+  def hllSketches(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lgConfigK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lgConfigK).as("hll"))
+
+  /** Roll a sketch store up to per-group distinct-count estimates —
+    * touches only sketch bytes, never the raw keys. */
+  def hllEstimate(store: DataFrame, groupCols: Seq[String]): DataFrame =
+    store.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("hll"))).as("distinct_est"))
+}

@@ -896,6 +896,22 @@ class PipelineOpsSpec extends AnyFunSuite {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("hll sketch store: binary parquet round-trip, merged == direct estimate") {
+    // two "ingest batches" sketch separately, persist as parquet (the
+    // store), and the rolled-up estimate must equal the single-pass one
+    val rows = (0 until 3000).map(i => (s"u${i % 800}", i % 2)).toDF("user", "batch")
+    val store = Sketches.hllSketches(rows, Seq("batch"), "user", lgConfigK = 12)
+    val dir = java.nio.file.Files.createTempDirectory("hllstore").toString
+    store.write.mode("overwrite").parquet(dir)
+    val est = Sketches.hllEstimate(
+      spark.read.parquet(dir).drop("batch").withColumn("g", lit(1)), Seq("g"))
+      .select("distinct_est").as[Long].head()
+    val direct = rows.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("user"), 12))).as[Long].head()
+    assert(est == direct, "union of stored sketches must equal single-pass")
+    assert(math.abs(est - 800L) <= 800 * 0.05, s"estimate $est far from 800")
+  }
+
   test("weighted sample (A-ES): deterministic, weight-biased, excludes w<=0") {
     val rows = ((0 until 50).map(i => (i.toLong, 1.0)) :+ (99L, 1000.0))
       .toDF("id", "w")
