@@ -4183,6 +4183,49 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // Bloom-pruned n-gram decontamination: identical semantics to t8b but
+  // the corpus grams probe a constant bloom (built from the snippet
+  // grams, ~10 bits/item) in the scan-side filter, so only suspected
+  // hits reach the exchange; the exact md5 equi-join then kills the
+  // false positives. The oracle is the SAME exact ground truth — the
+  // bloom is a pruning layer, not an approximation, so the row must
+  // hash-match the unpruned semantics bit-for-bit.
+  register(
+    "t33_bloom_decontaminate",
+    """WITH grams AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(words) >= 5
+      |      THEN list_transform(generate_series(1, len(words) - 4),
+      |             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] ||
+      |                  ' ' || words[i+3] || ' ' || words[i+4])
+      |      ELSE [] END)) AS gram
+      |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                                   x -> x != '') AS words
+      |        FROM documents)),
+      |snips AS (
+      |  SELECT DISTINCT substr(text, 1, 100) AS snip FROM documents
+      |  WHERE doc_id % 41 = 0 AND length(text) >= 100),
+      |sgrams AS (
+      |  SELECT DISTINCT unnest(list_distinct(
+      |    CASE WHEN len(words) >= 5
+      |      THEN list_transform(generate_series(1, len(words) - 4),
+      |             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] ||
+      |                  ' ' || words[i+3] || ' ' || words[i+4])
+      |      ELSE [] END)) AS gram
+      |  FROM (SELECT list_filter(string_split_regex(lower(snip), '\s+'),
+      |                           x -> x != '') AS words
+      |        FROM snips))
+      |SELECT g.doc_id, count(*) AS n_gram_hits
+      |FROM grams g JOIN sgrams s USING (gram)
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val snips = docs.where(col("doc_id") % 41 === 0 && length(col("text")) >= 100)
+      .select(substring(col("text"), 1, 100).as("snip")).distinct()
+    TextAnalysis.ngramContaminationBloom(docs, "text", "doc_id", snips, "snip",
+        n = 5)
+      .orderBy("doc_id")
+  }
+
   // Unigram-LM surprisal (perplexity-proxy quality filter): frequencies
   // trained on the corpus itself, docs scored by mean -ln p(token).
   register(

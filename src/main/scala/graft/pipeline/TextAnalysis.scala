@@ -972,6 +972,53 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_gram_hits"))
   }
 
+  /** Bloom-pruned n-gram decontamination — [[ngramContamination]] with the
+    * corpus side of the shuffle cut to (suspected) hits only. The snippet
+    * grams build ONE bloom filter (bounded: numBits/8 bytes, collected
+    * driver-side and inlined as a constant — the centroid/codebook
+    * pattern); the corpus gram explosion then probes the bloom in the
+    * SCAN-SIDE filter, so only grams that might match (true hits + the
+    * ~1% false-positive trickle) ever reach the exchange. The exact
+    * md5-key equi-join stays as the verifier, so false positives cannot
+    * reach the output and the result is identical to the unpruned path.
+    *
+    * At 100 TB this is the difference between shuffling every corpus
+    * 5-gram key (~20 bytes × grams) and shuffling ~nothing: bloom probes
+    * are codegen'd hash arithmetic against a broadcast-once constant. */
+  def ngramContaminationBloom(docs: DataFrame, textCol: String, idCol: String,
+      snippets: DataFrame, snippetCol: String, n: Int = 5): DataFrame = {
+    import graft.functions.Bloom
+    val snipGrams = snippets
+      .select(tokens(lower(col(snippetCol))).as("__toks"))
+      .select(explode(wordNgrams(col("__toks"), n)).as("gram"))
+      .select(md5(col("gram")).as("gram_key"), xxhash64(col("gram")).as("__h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val items = snipGrams.count()
+    if (items == 0) {
+      snipGrams.unpersist(false)
+      // no snippets -> no contamination; keep the output schema
+      docs.select(col(idCol).as("doc_id"), lit(0L).as("n_gram_hits"))
+        .where(lit(false))
+    } else {
+      // ~10 bits/item ≈ 1% false positives — FPs only cost verify-join
+      // traffic, never correctness
+      val numBits = math.max(items * 10L, 64L)
+      val bloomBytes = snipGrams
+        .agg(Bloom.bloom_filter_agg(col("__h"), items, numBits).as("bf"))
+        .collect()(0).getAs[Array[Byte]](0)
+      val docGrams = docs
+        .select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("__toks"))
+        .select(col("doc_id"), explode(wordNgrams(col("__toks"), n)).as("gram"))
+        .where(Bloom.might_contain(bloomBytes, xxhash64(col("gram"))))
+        .select(col("doc_id"), md5(col("gram")).as("gram_key"))
+      val out = docGrams.join(snipGrams.select("gram_key"), "gram_key")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_gram_hits"))
+      Dedup.materializeAndRelease(out, Seq(snipGrams))
+    }
+  }
+
   /** Token-bounded chunking with overlap — the context-window prep op for
     * training pipelines. Chunk i covers words [i*step, i*step+chunkWords),
     * step = chunkWords − overlapWords; the last chunk is the first one whose

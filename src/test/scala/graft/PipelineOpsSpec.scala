@@ -896,6 +896,31 @@ class PipelineOpsSpec extends AnyFunSuite {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("bloom decontamination: identical output to the unpruned path; empty snippets") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"),
+      (3L, "alpha beta gamma delta epsilon completely different tail here"),
+      (4L, "nothing in common with anything else at all right"))
+      .toDF("doc_id", "text")
+    val snips = Seq("alpha beta gamma delta epsilon", "five six seven eight nine")
+      .toDF("snip")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = asMap(TextAnalysis.ngramContamination(
+      corpus, "text", "doc_id", snips, "snip", n = 5))
+    val bloom = asMap(TextAnalysis.ngramContaminationBloom(
+      corpus, "text", "doc_id", snips, "snip", n = 5))
+    assert(bloom == base, "bloom pruning must not change the result")
+    assert(base == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // empty snippet side: empty result, schema intact, no leaked cache
+    val none = TextAnalysis.ngramContaminationBloom(
+      corpus, "text", "doc_id", snips.where(lit(false)), "snip", n = 5)
+    assert(none.columns.toSeq == Seq("doc_id", "n_gram_hits"))
+    assert(none.count() == 0)
+    assert(spark.sharedState.cacheManager.isEmpty, "bloom op leaked cache")
+  }
+
   test("hll sketch store: binary parquet round-trip, merged == direct estimate") {
     // two "ingest batches" sketch separately, persist as parquet (the
     // store), and the rolled-up estimate must equal the single-pass one

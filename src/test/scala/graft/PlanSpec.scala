@@ -454,6 +454,23 @@ class PlanSpec extends AnyFunSuite {
       "range: inequality nested-loop in plan")
   }
 
+  test("bloom might_contain probes scan-side, before any exchange") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bloomBytes = docs.limit(50)
+      .agg(graft.functions.Bloom.bloom_filter_agg(
+        xxhash64(col("text")), 50L, 640L))
+      .collect()(0).getAs[Array[Byte]](0)
+    val pruned = docs
+      .where(graft.functions.Bloom.might_contain(bloomBytes, xxhash64(col("text"))))
+      .groupBy("source").count()
+    val p = pruned.queryExecution.executedPlan.toString
+    val preExchange = p.split("Exchange")(p.split("Exchange").length - 1)
+    assert(preExchange.contains("might_contain"),
+      "bloom probe must sit below the exchange (scan-side filter)")
+    assert(!p.contains("BatchEvalPython") && !p.contains("UDF"), "UDF in plan")
+  }
+
   test("weighted sample: distributed top-k, not a global sort") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = graft.pipeline.TextAnalysis.weightedSample(
