@@ -2566,6 +2566,39 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  // The incremental twin, fully oracled (exactness makes that possible —
+  // the probabilistic incremental rows d2b/d5f settle for planted twins):
+  // docs < 250 found the staged store and FREEZE the canonical token
+  // order; docs >= 250 arrive as the new batch and join bipartite
+  // against the store, with unseen tokens ranking at frozen-df 0. The
+  // oracle is the quadratic bipartite ground truth.
+  register(
+    "d15_similarity_join_incremental",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(t) >= 2
+      |    THEN list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+      |    ELSE [array_to_string(t, ' ')] END AS s
+      |  FROM toks),
+      |pairs AS (
+      |  SELECT b.doc_id AS id_new, a.doc_id AS id_store,
+      |         len(list_intersect(a.s, b.s))::DOUBLE /
+      |         len(list_distinct(list_concat(a.s, b.s))) AS j
+      |  FROM sh a JOIN sh b ON a.doc_id < 250 AND b.doc_id >= 250)
+      |SELECT id_new, id_store, round(j, 6) AS jaccard
+      |FROM pairs WHERE j >= 0.8 ORDER BY id_new, id_store""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val (freq, sorted) = Dedup.similarityStages(
+      docs.where(col("doc_id") < 250), "text", "doc_id", shingleWords = 2)
+    Dedup.similarityJoinAgainstStore(docs.where(col("doc_id") >= 250),
+        "text", "doc_id", freq, sorted, shingleWords = 2, threshold = 0.8)
+      .select(col("id_new"), col("id_store"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_new", "id_store")
+  }
+
   // Embedding-cosine near-dup (exact verify path over adjacent pairs; the
   // LSH-bucketed variant is d5b below).
   register(

@@ -552,37 +552,23 @@ object Dedup {
       threshold: Double): (DataFrame, Seq[DataFrame]) = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
     // Shingles are hashed to 64 bits AT THE SCAN and never travel as
-    // strings: the df-attachment join, the canonical sort, the prefix
-    // explode, and the verify arrays all carry longs. Set semantics are
-    // preserved modulo xxhash64 collisions — P ≈ v²/2⁶⁵ over vocabulary
-    // v (a 10¹²-shingle corpus expects ~30 colliding shingle pairs
-    // worldwide, each perturbing one pair's Jaccard by O(1/n)) — while
-    // shuffle bytes drop ~3× and the struct sort compares longs.
-    val sh = df.select(col(idCol).cast(LongType).as("id"),
-      array_distinct(transform(wordShingles(col(textCol), shingleWords),
-        s => xxhash64(s))).as("s"))
-    val exploded = sh.select(col("id"), explode(col("s")).as("tok"))
-    // corpus document-frequency rides a window count over the SAME pass
-    // that explodes the shingles — one scan, one (tok)-partitioned
-    // exchange — instead of a second shingle scan + aggregate + join
-    // (the shingle HOF chain is CodegenFallback, so recomputing it was
-    // the dominant cost of the two-branch shape)
-    val withDf = exploded.withColumn("df",
-      count(lit(1)).over(Window.partitionBy("tok")))
-    // canonical rarest-first order: sort by (df, tok_hash) — a total order
-    // that is identical across documents without a global rank table
-    val sorted = withDf
-      .groupBy("id")
-      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("st"))
-      .select(col("id"),
-        transform(col("st"), x => x.getField("tok")).as("toks"),
-        size(col("st")).as("n"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // strings: the df attachment, the canonical sort, the prefix explode,
+    // and the verify arrays all carry longs. Set semantics are preserved
+    // modulo xxhash64 collisions — P ≈ v²/2⁶⁵ over vocabulary v (a
+    // 10¹²-shingle corpus expects ~30 colliding shingle pairs worldwide,
+    // each perturbing one pair's Jaccard by O(1/n)) — while shuffle bytes
+    // drop ~3× and the struct sort compares longs. Document frequency
+    // rides a window count over the SAME pass that explodes the shingles
+    // (one scan, one (tok)-partitioned exchange) instead of a second
+    // shingle scan + aggregate + join — the shingle HOF chain is
+    // CodegenFallback, so recomputing it was the dominant cost of the
+    // two-branch shape. The (df, tok_hash) sort is a total order
+    // identical across documents, no global rank table needed.
+    val withDf = ppjoinExploded(df, textCol, idCol, shingleWords)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
+    val sorted = ppjoinSorted(withDf).persist(StorageLevel.MEMORY_AND_DISK)
     // prefix length p = n - ceil(t*n) + 1; 0-based pos from posexplode
-    val p = (col("n") - ceil(lit(threshold) * col("n")) + lit(1)).cast("int")
-    val prefix = sorted.select(col("id"), col("n"),
-        posexplode(slice(col("toks"), lit(1), p)))
-      .toDF("id", "n", "pos", "tok")
+    val prefix = ppjoinPrefix(sorted, threshold)
     val overlapNeeded =
       ceil(lit(threshold / (1 + threshold)) * (col("a.n") + col("b.n")))
     val cand = prefix.as("a").join(prefix.as("b"),
@@ -606,6 +592,130 @@ object Dedup {
         (col("__i") / (col("__na") + col("__nb") - col("__i"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
     (verified, Seq(sorted))
+  }
+
+  /** (id, tok) rows of 64-bit-hashed distinct shingles — the shared scan
+    * stage of the PPJoin family. */
+  private def ppjoinExploded(df: DataFrame, textCol: String, idCol: String,
+      shingleWords: Int): DataFrame =
+    df.select(col(idCol).cast(LongType).as("id"),
+        array_distinct(transform(wordShingles(col(textCol), shingleWords),
+          s => xxhash64(s))).as("s"))
+      .select(col("id"), explode(col("s")).as("tok"))
+
+  /** Sort each document's tokens under the (df, tok) canonical order the
+    * `df` column encodes; output (id, toks, n). */
+  private def ppjoinSorted(explodedWithDf: DataFrame): DataFrame =
+    explodedWithDf.groupBy("id")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("st"))
+      .select(col("id"),
+        transform(col("st"), x => x.getField("tok")).as("toks"),
+        size(col("st")).as("n"))
+
+  /** Prefix rows (id, n, pos, tok): the first n − ceil(t·n) + 1 tokens of
+    * each sorted document — the only part that enters the candidate join. */
+  private def ppjoinPrefix(sorted: DataFrame, threshold: Double): DataFrame =
+    sorted.select(col("id"), col("n"),
+        posexplode(slice(col("toks"), lit(1),
+          (col("n") - ceil(lit(threshold) * col("n")) + lit(1)).cast("int"))))
+      .toDF("id", "n", "pos", "tok")
+
+  /** The PPJoin store stages: the token-frequency table that FREEZES the
+    * canonical order, plus each document's order-sorted token-hash array.
+    * Stage both to parquet; [[similarityJoinAgainstStore]] dedupes any
+    * later batch against them without re-reading corpus text.
+    *
+    * The frozen order is a correctness-free choice: prefix filtering is
+    * exact under ANY fixed total order — frequencies only make prefixes
+    * rare (= fast). As the corpus drifts from the frozen frequencies the
+    * join stays exact and merely prunes less; rebuild the store when
+    * candidate volume creeps up. */
+  def similarityStages(df: DataFrame, textCol: String, idCol: String,
+      shingleWords: Int = 2): (DataFrame, DataFrame) = {
+    val exploded = ppjoinExploded(df, textCol, idCol, shingleWords)
+    val freq = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
+    val sorted = ppjoinSorted(exploded.join(freq, "tok"))
+    (freq, sorted)
+  }
+
+  /** EXACT incremental similarity join: every (new, store) pair with
+    * shingle-Jaccard >= threshold — [[similarityJoin]]'s bipartite twin
+    * over a parquet-staged store ([[similarityStages]]). The new batch
+    * sorts under the store's FROZEN canonical order (unseen tokens rank
+    * rarest at df 0 — still one total order across both sides, so the
+    * prefix theorem holds and the join stays exact). Only the new batch
+    * is shingled; store docs contribute their staged prefix tokens and
+    * arrays. */
+  def similarityJoinAgainstStore(newDocs: DataFrame, textCol: String,
+      idCol: String, storeFreq: DataFrame, storeSorted: DataFrame,
+      shingleWords: Int = 2, threshold: Double = 0.6): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    val newSorted = ppjoinSorted(
+        ppjoinExploded(newDocs, textCol, idCol, shingleWords)
+          .join(storeFreq, Seq("tok"), "left")
+          .na.fill(0L, Seq("df")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val newPrefix = ppjoinPrefix(newSorted, threshold)
+    val storePrefix = ppjoinPrefix(storeSorted, threshold)
+    val overlapNeeded =
+      ceil(lit(threshold / (1 + threshold)) * (col("a.n") + col("b.n")))
+    val cand = newPrefix.as("a").join(storePrefix.as("b"),
+        col("a.tok") === col("b.tok") &&
+        col("a.id") =!= col("b.id") && // the store may already hold the doc
+        least(col("a.n"), col("b.n")) >=
+          ceil(lit(threshold) * greatest(col("a.n"), col("b.n"))) &&
+        least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >= overlapNeeded)
+      .select(col("a.id").as("id_new"), col("b.id").as("id_store"))
+      .dropDuplicates("id_new", "id_store")
+    val verified = cand
+      .join(newSorted.select(col("id").as("id_new"), col("toks").as("__ta"),
+        col("n").as("__na")), "id_new")
+      .join(storeSorted.select(col("id").as("id_store"), col("toks").as("__tb"),
+        col("n").as("__nb")), "id_store")
+      .withColumn("__i",
+        size(array_intersect(col("__ta"), col("__tb"))).cast(DoubleType))
+      .select(col("id_new"), col("id_store"),
+        (col("__i") / (col("__na") + col("__nb") - col("__i"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+    materializeAndRelease(verified, Seq(newSorted))
+  }
+
+  /** One micro-batch step of the streaming EXACT-similarity dedup loop —
+    * the [[minhashStoreStep]] shape for the PPJoin family: dedupe the
+    * arriving batch against the staged store, then append the sorted
+    * arrays of the batch's non-duplicates under the store's frozen
+    * canonical order (the frequency table is written once, by the first
+    * batch, and never rewritten — see [[similarityStages]] on why that
+    * preserves exactness). Returns (id_new, id_store, jaccard), eagerly
+    * materialized BEFORE the append. */
+  def similarityStoreStep(batch: DataFrame, storeDir: String, textCol: String,
+      idCol: String, shingleWords: Int = 2, threshold: Double = 0.6): DataFrame = {
+    val spark = batch.sparkSession
+    val freqPath = s"$storeDir/freq"
+    val sortedPath = s"$storeDir/sorted"
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(freqPath))) {
+      // first batch founds the store and freezes the canonical order
+      val (freq, sorted) = similarityStages(batch, textCol, idCol, shingleWords)
+      freq.write.mode("overwrite").parquet(freqPath)
+      sorted.write.mode("overwrite").parquet(sortedPath)
+      batch.limit(0).select(col(idCol).cast(LongType).as("id_new"),
+        col(idCol).cast(LongType).as("id_store"), lit(0.0).as("jaccard"))
+    } else {
+      val storeFreq = spark.read.parquet(freqPath)
+      val storeSorted = spark.read.parquet(sortedPath)
+      val dups = similarityJoinAgainstStore(batch, textCol, idCol,
+        storeFreq, storeSorted, shingleWords, threshold)
+      val kept = batch.join(dups.select(col("id_new").as(idCol)),
+        Seq(idCol), "left_anti")
+      ppjoinSorted(
+          ppjoinExploded(kept, textCol, idCol, shingleWords)
+            .join(storeFreq, Seq("tok"), "left")
+            .na.fill(0L, Seq("df")))
+        .write.mode("append").parquet(sortedPath)
+      dups
+    }
   }
 
   // -------------------------------------------------------------------------

@@ -980,6 +980,54 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(bruteForce(docs, 0.6).nonEmpty) // the test corpus must have pairs
   }
 
+  test("incremental PPJoin: batch-vs-store equals the brute-force bipartite set") {
+    val corpus = docs.where(col("doc_id") <= 3)
+    val (freq, sorted) = Dedup.similarityStages(corpus, "text", "doc_id", 2)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),   // dup of 0/1
+      (11L, "the quick brown fox jumps over the lazy cat"),   // dup of 2 (and near 0/1)
+      (12L, "entirely novel text that matches nothing at all here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.similarityJoinAgainstStore(batch, "text", "doc_id",
+        freq, sorted, shingleWords = 2, threshold = 0.6)
+      .select("id_new", "id_store").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: the quadratic bipartite join (new tokens absent from
+    // the frozen order sort at df 0 — exactness must survive that)
+    val gt = batch.select(col("doc_id").as("id_new"), col("text").as("tn"))
+      .crossJoin(corpus.select(col("doc_id").as("id_store"),
+        col("text").as("ts_")))
+      .withColumn("j", Dedup.jaccard(Dedup.wordShingles(col("tn"), 2),
+        Dedup.wordShingles(col("ts_"), 2)))
+      .where(col("j") >= 0.6)
+      .select("id_new", "id_store").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == gt)
+    assert(gt.nonEmpty && !out.exists(_._1 == 12L))
+  }
+
+  test("PPJoin store step: founds the store, dedupes later batches, appends survivors") {
+    val dir = java.nio.file.Files.createTempDirectory("ppjstore").toString
+    val b1 = Seq((0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "some other corpus document about engines")).toDF("doc_id", "text")
+    assert(Dedup.similarityStoreStep(b1, dir, "text", "doc_id").count() == 0)
+    val b2 = Seq((10L, "the quick brown fox jumps over the lazy dog"), // dup of 0
+      (11L, "a wholly new document with unseen vocabulary")).toDF("doc_id", "text")
+    val d2 = Dedup.similarityStoreStep(b2, dir, "text", "doc_id")
+      .select("id_new", "id_store").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d2 == Set((10L, 0L)))
+    // 11 (all-unseen tokens, appended under the frozen order) must be
+    // findable by a LATER batch — the drifted-order exactness claim
+    val b3 = Seq((20L, "a wholly new document with unseen vocabulary"))
+      .toDF("doc_id", "text")
+    val d3 = Dedup.similarityStoreStep(b3, dir, "text", "doc_id")
+      .select("id_new", "id_store").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d3 == Set((20L, 11L)))
+    assert(spark.sharedState.cacheManager.isEmpty, "store step leaked cache")
+  }
+
   test("similarity join: single-token and empty docs keep the bound sound") {
     val edge = Seq((0L, "alpha"), (1L, "alpha"), (2L, "beta"),
       (3L, ""), (4L, "alpha beta gamma")).toDF("doc_id", "text")
