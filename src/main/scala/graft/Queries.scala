@@ -486,6 +486,49 @@ object Queries {
       .orderBy("window_id")
   }
 
+  // Ordered funnel conversion (signup → click → purchase): step i's
+  // per-user time is the min step-i event STRICTLY AFTER step i-1's —
+  // k-1 skinny (user, micros) joins, never a per-user event array, so
+  // one power user cannot skew a task. Integer micros end-to-end.
+  register(
+    "q26_funnel",
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_type FROM events),
+      |s1 AS (SELECT user_id, min(tus) AS t1 FROM e
+      |       WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(tus) AS t2 FROM e JOIN s1 USING (user_id)
+      |       WHERE event_type = 'click' AND tus > t1 GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(tus) AS t3 FROM e JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND tus > t2 GROUP BY e.user_id)
+      |SELECT * FROM (
+      |  SELECT 1 AS step_idx, 'signup' AS step,
+      |         (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users
+      |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+      |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+      |ORDER BY step_idx""".stripMargin) { (s, dir) =>
+    graft.operators.Behavior.funnelCounts(t(s, dir, "events"),
+        "user_id", "ts", "event_type", Seq("signup", "click", "purchase"))
+      .orderBy("step_idx")
+  }
+
+  // Weekly cohort retention: cohort = epoch-week of a user's first event
+  // (integer micros // 604800e6 — no calendar functions, so engines
+  // agree bit-for-bit); cells count distinct active cohort members.
+  register(
+    "q27_retention_cohorts",
+    """WITH w AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+      |  FROM events),
+      |c AS (SELECT user_id, min(wk) AS cohort_wk FROM w GROUP BY user_id)
+      |SELECT c.cohort_wk, w.wk - c.cohort_wk AS week_offset,
+      |       CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
+      |FROM w JOIN c USING (user_id)
+      |WHERE w.wk - c.cohort_wk <= 3
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    graft.operators.Behavior.retentionCohorts(t(s, dir, "events"),
+        "user_id", "ts", maxOffset = 3)
+      .orderBy("cohort_wk", "week_offset")
+  }
+
   // ---------------------------------------------------------------------------
   // Classifier operators (SURVEY §2.2): each query serializes testdata rows
   // into the wire format the operator consumes, runs the REAL classify

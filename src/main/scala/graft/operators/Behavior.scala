@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Behavioral event-sequence analytics — the funnel/cohort staples a
+  * scheduled-query surface is expected to answer over the historical
+  * store (the reference delegates these shapes to Athena SQL;
+  * sample/athena.py runs windowed per-entity aggregations of the same
+  * family).
+  *
+  * Both operators work in integer epoch arithmetic end-to-end
+  * (unix_micros — exactly DuckDB's epoch_us over the normalized
+  * timestamps), so results are engine- and partitioning-independent.
+  */
+object Behavior {
+
+  /** Ordered funnel conversion: how many users reached step 1, then step
+    * 2 STRICTLY AFTER their step-1 time, then step 3 after step 2, …
+    *
+    * Shape: step i is a conditional min — filter to step-i events, join
+    * the (user, t_{i-1}) frame, keep events after t_{i-1}, min per user.
+    * Each hop shuffles only (user, micros) pairs for ONE event type; no
+    * per-user event array is ever collected, so a power user with
+    * millions of events costs the same as anyone else (contrast the
+    * collect_list-then-fold funnel, which OOMs on skew). The final
+    * counts are one row per step, unpivoted from a single aggregate.
+    *
+    * Returns (step_idx, step, n_users) with step_idx 1-based. */
+  def funnelCounts(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val e = events.select(col(userCol).as("user"),
+      unix_micros(col(tsCol)).as("tus"), col(typeCol).as("typ"))
+    // (user, t_i) per step: t_i = min step-i event time after t_{i-1}
+    val reached: Seq[DataFrame] = steps.zipWithIndex
+      .scanLeft(Option.empty[DataFrame]) { case (prev, (step, _)) =>
+        Some(prev match {
+          case None =>
+            e.where(col("typ") === step)
+              .groupBy("user").agg(min(col("tus")).as("t"))
+          case Some(p) =>
+            e.where(col("typ") === step).as("e")
+              .join(p.as("p"), col("e.user") === col("p.user") &&
+                col("e.tus") > col("p.t"))
+              .groupBy(col("e.user")).agg(min(col("e.tus")).as("t"))
+        })
+      }.flatten
+    // one wide row of per-step user counts, then unpivot to rows
+    val base = reached.head.select(col("user"), col("t").as("t0"))
+    val wide = reached.tail.zipWithIndex.foldLeft(base) {
+      case (acc, (r, i)) =>
+        acc.join(r.select(col("user"), col("t").as(s"t${i + 1}")),
+          Seq("user"), "left")
+    }
+    val countCols = steps.indices.map(i => count(col(s"t$i")).as(s"n$i"))
+    val stepRows = steps.zipWithIndex.map { case (step, i) =>
+      struct(lit(i + 1).as("step_idx"), lit(step).as("step"),
+        col(s"n$i").cast("long").as("n_users"))
+    }
+    wide.agg(countCols.head, countCols.tail: _*)
+      .select(explode(array(stepRows: _*)).as("r"))
+      .select(col("r.step_idx"), col("r.step"), col("r.n_users"))
+  }
+
+  /** Weekly cohort retention: users are cohorted by the epoch-week of
+    * their FIRST event; for each (cohort_week, week_offset ≤ maxOffset)
+    * cell, the count of distinct cohort members active that week.
+    * Epoch weeks are integer micros divided by 604800e6 — no calendar
+    * functions, so Spark and any SQL engine agree bit-for-bit.
+    *
+    * Shape: one (user → min week) aggregate, one skinny (user, week)
+    * join back, one grouped count-distinct — shuffles carry ids and
+    * 8-byte week numbers only. */
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: String,
+      maxOffset: Int = 3): DataFrame = {
+    // SQL `div` = exact integer floor division, matching DuckDB's `//`
+    val weeks = events
+      .select(col(userCol).as("user"), unix_micros(col(tsCol)).as("tus"))
+      .select(col("user"), expr("tus div 604800000000").as("wk")).distinct()
+    val cohorts = weeks.groupBy("user").agg(min(col("wk")).as("cohort_wk"))
+    weeks.join(cohorts, "user")
+      .withColumn("week_offset", col("wk") - col("cohort_wk"))
+      .where(col("week_offset") <= maxOffset)
+      .groupBy("cohort_wk", "week_offset")
+      .agg(count_distinct(col("user")).as("n_users"))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Behavior
+
+/** Funnel / cohort-retention semantics on hand-computed timelines. */
+class BehaviorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(min: Int) =
+    java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  test("funnel: order is strict — a step before its predecessor doesn't count") {
+    val events = Seq(
+      // u1 completes the funnel in order
+      (1L, ts(1), "signup"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      // u2 purchases BEFORE clicking: reaches step 2 only
+      (2L, ts(1), "signup"), (2L, ts(5), "click"), (2L, ts(4), "purchase"),
+      // u3 clicks before signing up, then never again: step 1 only
+      (3L, ts(1), "click"), (3L, ts(2), "signup"),
+      // u4 never signs up: no steps
+      (4L, ts(1), "click"), (4L, ts(2), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Behavior.funnelCounts(events, "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set((1, "signup", 3L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
+
+  test("funnel: equal timestamps do not advance (strictly-after semantics)") {
+    val events = Seq(
+      (1L, ts(1), "signup"), (1L, ts(1), "click"), // same instant: no advance
+      (2L, ts(1), "signup"), (2L, ts(2), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Behavior.funnelCounts(events, "user_id", "ts", "event_type",
+        Seq("signup", "click"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(out == Map("signup" -> 2L, "click" -> 1L))
+  }
+
+  test("retention cohorts: offsets count distinct members of the first-week cohort") {
+    def wts(week: Int, day: Int) = new java.sql.Timestamp(
+      (week * 7L + day) * 86400L * 1000L)
+    val events = Seq(
+      // u1 first active week 0, returns weeks 1 and 3
+      (1L, wts(0, 1)), (1L, wts(1, 2)), (1L, wts(3, 0)), (1L, wts(3, 4)),
+      // u2 first active week 0 only
+      (2L, wts(0, 3)),
+      // u3 first active week 1, returns week 2
+      (3L, wts(1, 0)), (3L, wts(2, 6)))
+      .toDF("user_id", "ts")
+    val out = Behavior.retentionCohorts(events, "user_id", "ts", maxOffset = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val w0 = events.select(expr("unix_micros(ts) div 604800000000"))
+      .as[Long].collect().min
+    assert(out == Map(
+      (w0, 0L) -> 2L, (w0 + 1L, 0L) -> 1L,
+      (w0, 1L) -> 1L, (w0 + 1L, 1L) -> 1L,
+      (w0, 3L) -> 1L))
+  }
+}
