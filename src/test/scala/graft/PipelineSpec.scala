@@ -128,6 +128,47 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact-similarity dedup: PPJoin store loop catches cross-batch dups") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ppjoin_stream").toString
+    val input = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.Buffer[(Long, Long)]()
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val dups = graft.pipeline.Dedup.similarityStoreStep(batch, s"$tmp/store",
+          "text", "doc_id", shingleWords = 2, threshold = 0.6)
+        seen.synchronized {
+          seen ++= dups.select("id_new", "id_store").as[(Long, Long)].collect()
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    try {
+      // batch 1 founds the store and freezes the canonical order
+      input.addData((1L, "alpha beta gamma delta epsilon"),
+        (2L, "one two three four five"))
+      q.processAllAvailable()
+      assert(seen.isEmpty, s"batch 1 must produce no dups, got $seen")
+      // batch 2: doc 3 duplicates doc 1 EXACTLY (PPJoin: guaranteed, not
+      // probabilistic); doc 4 is fresh vocabulary, appended at frozen-df 0
+      input.addData((3L, "alpha beta gamma delta epsilon"),
+        (4L, "red green blue yellow purple"))
+      q.processAllAvailable()
+      assert(seen.toSet == Set((3L, 1L)),
+        s"batch 2 must catch doc 3 against the batch-1 store, got $seen")
+      // batch 3: dups of the dropped duplicate AND of the unseen-vocab doc
+      // both resolve against the canonical store rows
+      input.addData((5L, "alpha beta gamma delta epsilon"),
+        (6L, "red green blue yellow purple"))
+      q.processAllAvailable()
+      assert(seen.toSet == Set((3L, 1L), (5L, 1L), (6L, 4L)),
+        s"batch 3 must catch both canonical targets, got $seen")
+    } finally q.stop()
+  }
+
   test("streaming banded embedding near-dup: a dup of a batch-N vector is caught at batch N+1") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
