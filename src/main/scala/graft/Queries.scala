@@ -4185,6 +4185,23 @@ object Queries {
       .select("doc_id", "n_chars").orderBy("doc_id")
   }
 
+  // Stratified A-ES: 10 docs per language, weighted by n_chars — the
+  // per-stratum window variant of t32 (rank over the same deterministic
+  // exponential keys).
+  register(
+    "t32b_weighted_sample_per_group",
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY
+      |    -ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'es2'),
+      |                                  1, 13)) AS BIGINT) + 0.5)
+      |        / 4503599627370496.0) / n_chars) AS rn
+      |  FROM documents WHERE n_chars > 0)
+      |WHERE rn <= 10 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.weightedSamplePerGroup(t(s, dir, "documents"), "doc_id",
+        "lang", col("n_chars"), k = 10, seed = "es2")
+      .select("doc_id", "lang").orderBy("doc_id")
+  }
+
   // Duplicate-cluster labeling: prefix-fingerprint chain edges → min-label
   // propagation to fixpoint (Dedup.connectedComponents). The oracle computes
   // the same clusters independently via a window over the fingerprint —

@@ -284,6 +284,23 @@ object TextAnalysis {
       .drop("__ekey")
   }
 
+  /** Per-group A-ES: k-per-stratum weighted sampling without replacement —
+    * [[weightedSample]]'s key arithmetic with the top-k as a rank window
+    * per group instead of a global TakeOrdered. Window partitions are
+    * stratum-sized; the shuffle carries (group, id, key) only. */
+  def weightedSamplePerGroup(df: DataFrame, idCol: String, groupCol: String,
+      weight: Column, k: Int, seed: String): DataFrame = {
+    val hex = substring(md5(concat(col(idCol).cast("string"), lit(seed))), 1, 13)
+    val u = (conv(hex, 16, 10).cast(DoubleType) + lit(0.5)) /
+      lit(4503599627370496.0)
+    df.where(weight.isNotNull && weight > 0)
+      .withColumn("__ekey", -log(u) / weight)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(groupCol).orderBy("__ekey")))
+      .where(col("__rn") <= k)
+      .drop("__ekey", "__rn")
+  }
+
   /** Deterministic train/val/test split assignment: partition [0,1) into
     * cumulative-weight intervals and place each document by where the
     * first 8 md5 hex chars of its id fall — the leakage-proof split rule
