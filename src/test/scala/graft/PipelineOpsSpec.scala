@@ -957,6 +957,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(all.size == 51)
   }
 
+  test("per-group weighted sample: k per stratum, deterministic, weight-biased") {
+    val rows = (0 until 40).map(i => (i.toLong, s"g${i % 2}", 1.0))
+      .toDF("id", "g", "w")
+    val out = TextAnalysis.weightedSamplePerGroup(rows, "id", "g",
+        col("w"), k = 5, seed = "s")
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(out.groupBy(_._1).view.mapValues(_.length).toMap ==
+      Map("g0" -> 5, "g1" -> 5))
+    // small group keeps everything up to k
+    val tiny = Seq((1L, "g", 1.0), (2L, "g", 1.0)).toDF("id", "g", "w")
+    assert(TextAnalysis.weightedSamplePerGroup(tiny, "id", "g",
+      col("w"), k = 5, seed = "s").count() == 2)
+    // heavy row dominates its stratum at k=1
+    val skewed = ((0 until 30).map(i => (i.toLong, "g", 1.0)) :+ (99L, "g", 1000.0))
+      .toDF("id", "g", "w")
+    val picked = TextAnalysis.weightedSamplePerGroup(skewed, "id", "g",
+      col("w"), k = 1, seed = "s").select("id").as[Long].collect().toSeq
+    assert(picked == Seq(99L))
+  }
+
   test("exact similarity join (PPJoin): equals the brute-force pair set") {
     // exactness is THE property: the prefix-filtered plan must return the
     // identical pair set the quadratic join would, on a corpus with exact
