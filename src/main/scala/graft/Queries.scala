@@ -2633,8 +2633,12 @@ object Queries {
       |SELECT id_new, id_store, round(j, 6) AS jaccard
       |FROM pairs WHERE j >= 0.8 ORDER BY id_new, id_store""".stripMargin) { (s, dir) =>
     val docs = t(s, dir, "documents")
-    val (freq, sorted) = Dedup.similarityStages(
+    val (freqPlan, sortedPlan) = Dedup.similarityStages(
       docs.where(col("doc_id") < 250), "text", "doc_id", shingleWords = 2)
+    // materialize the stages like the parquet-staged store they stand in
+    // for: the prefix AND verify branches both read the store side, and
+    // an unmaterialized plan would recompute the shingle scan twice
+    val (freq, sorted) = (freqPlan.localCheckpoint(), sortedPlan.localCheckpoint())
     Dedup.similarityJoinAgainstStore(docs.where(col("doc_id") >= 250),
         "text", "doc_id", freq, sorted, shingleWords = 2, threshold = 0.8)
       .select(col("id_new"), col("id_store"),

@@ -454,6 +454,20 @@ class PlanSpec extends AnyFunSuite {
       "range: inequality nested-loop in plan")
   }
 
+  test("hll store / funnel / retention: sketch partials, no quadratic ops, no per-user arrays") {
+    val p25 = plan("q25_hll_sketch_store")
+    assert(p25.split("ObjectHashAggregate").length - 1 >= 2,
+      "hll sketches must partial-aggregate map-side")
+    val p26 = plan("q26_funnel")
+    assert(!p26.contains("collect_list") && !p26.contains("CartesianProduct"),
+      "funnel must be conditional-min joins, never per-user event arrays")
+    val p27 = plan("q27_retention_cohorts")
+    assert(!p27.contains("CartesianProduct") && !p27.contains("NestedLoop"),
+      "retention must stay equi-join shaped")
+    for (p <- Seq(p25, p26, p27))
+      assert(!p.contains("UDF") && !p.contains("BatchEvalPython"), "UDF in plan")
+  }
+
   test("bloom might_contain probes scan-side, before any exchange") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
