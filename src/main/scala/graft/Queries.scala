@@ -4189,6 +4189,82 @@ object Queries {
       .select("doc_id", "n_chars").orderBy("doc_id")
   }
 
+  // Composite curation v2 — the round-9 operators chained end-to-end the
+  // way a real corpus build runs them: exact dedup (md5 keep-min) →
+  // EXACT PPJoin near-dup drop at τ=0.8 (drop the higher id of every
+  // pair among exact survivors) → Bloom-pruned 5-gram decontamination
+  // (drop any doc colliding with the benchmark snippets) → stratified
+  // A-ES sample (15 per language by n_chars). Every stage is
+  // individually hash-proven (d1/d14/t33/t32b); this row pins the
+  // COMPOSITION, stage ordering included, against one DuckDB program.
+  register(
+    "p1_curation_v2",
+    """WITH fp AS (
+      |  SELECT doc_id, lang, n_chars, text,
+      |         md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS f
+      |  FROM documents),
+      |s1 AS (  -- exact dedup survivors (keep min id per fingerprint)
+      |  SELECT * FROM fp WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY f)),
+      |toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS t
+      |  FROM s1),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(t) >= 2
+      |    THEN list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+      |    ELSE [array_to_string(t, ' ')] END AS s
+      |  FROM toks),
+      |neardup_b AS (  -- higher id of every >=0.8 pair among s1
+      |  SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+      |        len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+      |s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM neardup_b)),
+      |grams AS (
+      |  SELECT s2.doc_id, unnest(list_distinct(
+      |    CASE WHEN len(t.t) >= 5
+      |      THEN list_transform(generate_series(1, len(t.t) - 4),
+      |             i -> t.t[i] || ' ' || t.t[i+1] || ' ' || t.t[i+2] ||
+      |                  ' ' || t.t[i+3] || ' ' || t.t[i+4])
+      |      ELSE [] END)) AS gram
+      |  FROM s2 JOIN toks t ON t.doc_id = s2.doc_id),
+      |snips AS (
+      |  SELECT DISTINCT substr(text, 1, 100) AS snip FROM documents
+      |  WHERE doc_id % 41 = 0 AND length(text) >= 100),
+      |sgrams AS (
+      |  SELECT DISTINCT unnest(list_distinct(
+      |    CASE WHEN len(words) >= 5
+      |      THEN list_transform(generate_series(1, len(words) - 4),
+      |             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] ||
+      |                  ' ' || words[i+3] || ' ' || words[i+4])
+      |      ELSE [] END)) AS gram
+      |  FROM (SELECT list_filter(string_split_regex(lower(snip), '\s+'),
+      |                           x -> x != '') AS words FROM snips)),
+      |contaminated AS (SELECT DISTINCT g.doc_id FROM grams g JOIN sgrams USING (gram)),
+      |s3 AS (SELECT * FROM s2
+      |       WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+      |         AND n_chars > 0)
+      |SELECT doc_id, lang, n_chars FROM (
+      |  SELECT doc_id, lang, n_chars, row_number() OVER (PARTITION BY lang ORDER BY
+      |    -ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'cur1'),
+      |                                  1, 13)) AS BIGINT) + 0.5)
+      |        / 4503599627370496.0) / n_chars) AS rn
+      |  FROM s3)
+      |WHERE rn <= 15 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val s1 = Dedup.dropExactDuplicates(docs, "text", "doc_id")
+      .localCheckpoint() // three downstream stages read the survivor set
+    val dropB = Dedup.similarityJoin(s1, "text", "doc_id",
+      shingleWords = 2, threshold = 0.8).select(col("id_b").as("doc_id"))
+    val s2 = s1.join(dropB, Seq("doc_id"), "left_anti")
+    val snips = docs.where(col("doc_id") % 41 === 0 && length(col("text")) >= 100)
+      .select(substring(col("text"), 1, 100).as("snip")).distinct()
+    val contaminated = TextAnalysis.ngramContaminationBloom(
+      s2, "text", "doc_id", snips, "snip", n = 5).select("doc_id")
+    val s3 = s2.join(contaminated, Seq("doc_id"), "left_anti")
+    TextAnalysis.weightedSamplePerGroup(s3, "doc_id", "lang",
+        col("n_chars"), k = 15, seed = "cur1")
+      .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+  }
+
   // Stratified A-ES: 10 docs per language, weighted by n_chars — the
   // per-stratum window variant of t32 (rank over the same deterministic
   // exponential keys).
