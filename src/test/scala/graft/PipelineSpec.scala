@@ -210,6 +210,43 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream correlation: Y within the window pairs, late/early Y does not") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val logins = MemoryStream[(Long, java.sql.Timestamp)]
+    val errors = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = graft.streaming.Correlation.followedBy(
+      logins.toDF().toDF("user_id", "ts"),
+      errors.toDF().toDF("user_id", "ts"),
+      "user_id", "ts", "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("corr_out")
+      .outputMode("append").start()
+    try {
+      logins.addData((1L, ts(0)), (2L, ts(0)), (3L, ts(30)))
+      errors.addData(
+        (1L, ts(10)),  // within 30m after login -> pair
+        (2L, ts(45)),  // 45m after login -> outside window
+        (3L, ts(20)))  // BEFORE user 3's login -> strictly-after excludes
+      q.processAllAvailable()
+      val rows = spark.table("corr_out")
+        .select("user_id", "ts_a", "ts_b").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+      assert(rows == Set((1L, ts(0), ts(10))), s"got $rows")
+      // a second error for user 1 inside the window pairs with the SAME login
+      errors.addData((1L, ts(25)))
+      q.processAllAvailable()
+      assert(spark.table("corr_out").count() == 2)
+    } finally q.stop()
+    // the same operator runs in batch mode (backtests share the definition)
+    val batch = graft.streaming.Correlation.followedBy(
+      Seq((1L, ts(0))).toDF("user_id", "ts"),
+      Seq((1L, ts(10)), (1L, ts(50))).toDF("user_id", "ts"),
+      "user_id", "ts", "30 minutes")
+    assert(batch.count() == 1)
+  }
+
   test("streaming historical + dead-letter sinks land partitioned parquet") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
