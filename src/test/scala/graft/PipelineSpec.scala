@@ -247,6 +247,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(batch.count() == 1)
   }
 
+  test("streaming sessionization: gap splits sessions, watermark closes them") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(h: Int, min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$min%02d:00")
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val sessions = graft.streaming.Sessions.sessionize(
+      input.toDF().toDF("user_id", "ts"), "user_id", "ts",
+      gap = "30 minutes", watermark = "10 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // user 1: two bursts 2h apart (two sessions); user 2: one event
+      input.addData((1L, ts(10, 0)), (1L, ts(10, 10)), (1L, ts(10, 20)),
+        (1L, ts(12, 0)), (2L, ts(10, 5)))
+      q.processAllAvailable()
+      // advance the watermark far past every session close
+      input.addData((9L, ts(20, 0)))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select("user_id", "session_start", "n_events").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        (1L, ts(10, 0), 3L),   // burst 1: 3 events merged into one session
+        (1L, ts(12, 0), 1L),   // burst 2 after a >30m gap: its own session
+        (2L, ts(10, 5), 1L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("streaming historical + dead-letter sinks land partitioned parquet") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
