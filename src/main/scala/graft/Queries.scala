@@ -486,6 +486,38 @@ object Queries {
       .orderBy("window_id")
   }
 
+  // Z-order values (Morton interleave) over (user_id, event time) — the
+  // arithmetic behind history.Layout's multi-dimensional file layout,
+  // hash-pinned cross-engine: 16-bit rank normalization against table
+  // bounds (floor, not cast — Spark truncates, DuckDB rounds) and the
+  // 32-bit interleave built from the same shift/mask terms on both
+  // sides. The layout BENEFIT (file skipping on either dimension) is
+  // pinned by LayoutSpec; this row pins the curve itself.
+  register(
+    "q28_zorder_values", {
+      val interleave = (0 until 16).map(i =>
+        s"(((r1 >> $i) & 1) << ${2 * i}) | (((r2 >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"""WITH b AS (SELECT min(user_id) AS mn1, max(user_id) AS mx1,
+         |                 min(epoch_us(ts)) AS mn2, max(epoch_us(ts)) AS mx2
+         |           FROM events),
+         |r AS (SELECT event_id,
+         |        CAST(floor((user_id - mn1)::DOUBLE / (mx1 - mn1)::DOUBLE
+         |                   * 65535.0) AS BIGINT) AS r1,
+         |        CAST(floor((epoch_us(ts) - mn2)::DOUBLE / (mx2 - mn2)::DOUBLE
+         |                   * 65535.0) AS BIGINT) AS r2
+         |      FROM events, b)
+         |SELECT event_id, CAST($interleave AS BIGINT) AS z
+         |FROM r ORDER BY event_id""".stripMargin
+    }) { (s, dir) =>
+    graft.history.Layout.withZValue(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("tus")),
+        "user_id", "tus")
+      .select(col("event_id"), col("__z").as("z"))
+      .orderBy("event_id")
+  }
+
   // Ordered funnel conversion (signup → click → purchase): step i's
   // per-user time is the min step-i event STRICTLY AFTER step i-1's —
   // k-1 skinny (user, micros) joins, never a per-user event array, so

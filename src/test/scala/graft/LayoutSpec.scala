@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.history.Layout
+
+/** Z-order layout: the file-skipping benefit itself — a filter on EITHER
+  * dimension touches a small fraction of z-ordered files, where a
+  * time-sorted layout only helps the time predicate. */
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("z-order files are narrow in both dimensions; either filter skips most files") {
+    // 40k rows over 200 users × a long time axis
+    val rows = spark.range(40000).select(
+      col("id").as("event_id"),
+      (col("id") % 200).as("user_id"),
+      (lit(1704067200000000L) + col("id") * 1000000L).as("tus"))
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    Layout.zorderWrite(rows, "user_id", "tus", s"$dir/z", numFiles = 16)
+    // baseline: the same data laid out by time only
+    rows.repartitionByRange(16, col("tus")).sortWithinPartitions("tus")
+      .write.mode("overwrite").parquet(s"$dir/t")
+    def filesTouched(path: String, cond: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(path).where(cond)
+        .select(input_file_name()).distinct().count()
+    val total = spark.read.parquet(s"$dir/z")
+      .select(input_file_name()).distinct().count()
+    assert(total >= 12, s"expected ~16 files, got $total")
+    // a single-user filter: z-order confines the user to few z-ranges;
+    // the time-sorted layout scatters every user across ALL files
+    val zUser = filesTouched(s"$dir/z", col("user_id") === 7)
+    val tUser = filesTouched(s"$dir/t", col("user_id") === 7)
+    assert(zUser <= total / 2, s"z-order user filter touched $zUser/$total files")
+    assert(tUser >= total - 2, s"time layout should scatter users, got $tUser")
+    assert(zUser < tUser, s"z-order must beat time layout on the entity filter")
+    // a time-slice filter still skips most z-ordered files too (the curve
+    // keeps time locality as well — that's the point of interleaving)
+    val zTime = filesTouched(s"$dir/z",
+      col("tus") < lit(1704067200000000L + 2000L * 1000000L))
+    assert(zTime <= total / 2, s"z-order time filter touched $zTime/$total files")
+    // correctness: both layouts hold the same rows
+    assert(spark.read.parquet(s"$dir/z").count() == 40000)
+    assert(spark.read.parquet(s"$dir/z").columns.toSet ==
+      Set("event_id", "user_id", "tus"))
+  }
+}
