@@ -32,4 +32,31 @@ object Sketches {
   def hllEstimate(store: DataFrame, groupCols: Seq[String]): DataFrame =
     store.groupBy(groupCols.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col("hll"))).as("distinct_est"))
+
+  /** Merge STORED Misra–Gries summaries relationally — the heavy-hitter
+    * counterpart of [[hllEstimate]]. Each batch stages its sketch as
+    * (item, est) rows ([[graft.pipeline.TextAnalysis.heavyHitters]]);
+    * the mergeable-summaries rule (sum counters; if more than k survive,
+    * subtract the (k+1)-th largest and drop non-positive) is exactly
+    * expressible as an aggregate + rank window over the UNION OF
+    * SUMMARIES — ≤ batches × k rows, never the corpus — so the merged
+    * result carries the same guarantee as a single-pass sketch: total
+    * undercount ≤ Σ batch errors ≤ n/(k+1) per batch. */
+  def mgMerge(store: DataFrame, k: Int): DataFrame = {
+    val summed = store.groupBy("item").agg(sum(col("est")).as("est"))
+    val ranked = summed.withColumn("__rk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("est").desc, col("item"))))
+    // the offset is the (k+1)-th largest summed counter (0 if <= k rows);
+    // one row, broadcast back
+    val offset = ranked.where(col("__rk") === k + 1)
+      .select(col("est").as("__off"))
+    ranked.crossJoin(broadcast(
+        offset.unionAll(offset.sparkSession.range(1)
+            .select(lit(0L).as("__off")))
+          .agg(max(col("__off")).as("__off"))))
+      .withColumn("est", col("est") - col("__off"))
+      .where(col("est") > 0 && col("__rk") <= k)
+      .select("item", "est")
+  }
 }

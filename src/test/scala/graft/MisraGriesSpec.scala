@@ -60,6 +60,37 @@ class MisraGriesSpec extends AnyFunSuite {
     assert(out == Set(("g1", "x", 2L), ("g1", "y", 1L), ("g2", "z", 1L)))
   }
 
+  test("relational store merge: batches sketch independently, mgMerge keeps the guarantee") {
+    // 3 "ingest batches" sketch independently (the staged-store shape);
+    // the relational merge over the union of (item, est) rows must keep
+    // the MG guarantee for the WHOLE stream: heavies present, no
+    // overcount, undercount <= n/(k+1)
+    // lowercase items: heavyHitters tokenizes with lower()
+    val heavy = (0 until 4).flatMap(i => Seq.fill(900)(s"h$i"))
+    val tail = (0 until 3600).map(i => s"t${i % 400}")
+    val items = scala.util.Random.shuffle(heavy ++ tail)
+    val truth = items.groupBy(identity).map { case (s, v) => s -> v.size.toLong }
+    val n = items.size
+    val k = 16
+    val batches = items.grouped(items.size / 3 + 1).toSeq
+    val store = batches.map { b =>
+      graft.pipeline.TextAnalysis.heavyHitters(
+        b.map(x => Tuple1(x)).toDF("text"), "text", k)
+    }.reduce(_ unionAll _)
+    val merged = pipelineMergeMap(store, k)
+    for (i <- 0 until 4)
+      assert(merged.contains(s"h$i"), s"heavy h$i missing from merged store")
+    for ((item, est) <- merged) {
+      assert(est <= truth(item), s"overcount $item")
+      assert(truth(item) - est <= n / (k + 1), s"undercount beyond bound: $item")
+    }
+  }
+
+  private def pipelineMergeMap(store: org.apache.spark.sql.DataFrame,
+      k: Int): Map[String, Long] =
+    graft.pipeline.Sketches.mgMerge(store, k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
   test("nulls are skipped; output is (est desc, item asc) ordered") {
     val df = Seq(Some("b"), None, Some("a"), Some("b"), Some("a"), Some("b"))
       .toDF("item")
