@@ -47,6 +47,42 @@ object HistoricalSink {
       .option("path", s"$root/${Sanitizer.sanitizeName(logType)}")
   }
 
+  /** Compact a dt partition's small files in place — the operational
+    * counterpart of the streaming writer: each micro-batch appends a file
+    * per task, so an hour that saw many batches accumulates hundreds of
+    * KB-sized files, and at 100 TB the file-listing + per-file open cost
+    * starts dominating scheduled-query scans of that hour. Rewrites the
+    * partition to `ceil(bytes / targetBytes)` files (atomic-ish: new
+    * files land under a temp dir, then swap via rename — crash before the
+    * swap leaves the original partition untouched).
+    *
+    * Returns (filesBefore, filesAfter). Compact CLOSED hours only — the
+    * streaming writer must no longer be appending to the partition. */
+  def compactPartition(spark: SparkSession, root: String, logType: String,
+      dt: String, targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val dir = s"$root/${Sanitizer.sanitizeName(logType)}/dt=$dt"
+    val hadoop = spark.sessionState.newHadoopConf()
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(hadoop)
+    require(fs.exists(path), s"no such partition: $dir")
+    val files = fs.listStatus(path)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    val bytes = files.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    if (files.length <= nOut) return (files.length, files.length)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir.__compacting")
+    spark.read.parquet(dir).coalesce(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // swap: drop originals, move compacted files in, remove the temp dir
+    files.foreach(f => fs.delete(f.getPath, false))
+    val moved = fs.listStatus(tmp)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    moved.foreach(f => fs.rename(f.getPath,
+      new org.apache.hadoop.fs.Path(path, f.getPath.getName)))
+    fs.delete(tmp, true)
+    (files.length, moved.length)
+  }
+
   /** Register the store as a SQL table (the Athena external-table analogue). */
   def registerTable(spark: SparkSession, root: String, logType: String,
       table: String): Unit =

@@ -315,6 +315,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(back.schema.fieldNames.contains("dt"))
   }
 
+  test("historical compaction: small files merge in place, rows and other partitions intact") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val rows = spark.range(2000).select(col("id"),
+      (lit(java.sql.Timestamp.valueOf("2024-03-01 10:00:00")) +
+        when(col("id") % 2 === 0, expr("INTERVAL 0 HOURS"))
+          .otherwise(expr("INTERVAL 1 HOURS"))).as("created"))
+    // 16 micro-batch-sized files per hour partition
+    graft.history.HistoricalSink.write(
+      rows.repartition(16), tmp, "demo:events")
+    def filesIn(dt: String) = new java.io.File(s"$tmp/demo_events/dt=$dt")
+      .listFiles().count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    val before10 = filesIn("2024-03-01-10")
+    val before11 = filesIn("2024-03-01-11")
+    assert(before10 >= 8, s"expected many small files, got $before10")
+    val (was, now) = graft.history.HistoricalSink.compactPartition(
+      spark, tmp, "demo:events", "2024-03-01-10")
+    assert(was == before10 && now == 1, s"compacted $was -> $now")
+    assert(filesIn("2024-03-01-10") == 1)
+    assert(filesIn("2024-03-01-11") == before11, "untouched partition changed")
+    val back = spark.read.parquet(s"$tmp/demo_events")
+    assert(back.count() == 2000)
+    assert(back.where(col("dt") === "2024-03-01-10")
+      .agg(sum("id")).head.getLong(0) ==
+      (0L until 2000L by 2).sum)
+  }
+
   test("scheduled-query param substitution (8 named time params)") {
     val now = java.time.Instant.parse("2024-01-02T12:00:00Z")
     assert(ScheduledQueries.substitute(
