@@ -118,5 +118,37 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan]
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RangeJoinRewrite())
+    // the custom expressions, callable from scheduled SQL text — the
+    // reference's users write raw SQL (Athena), so engine extensions
+    // that only exist on the Column API would be invisible to them
+    GraftExtensions.functions.foreach(ext.injectFunction)
   }
+}
+
+object GraftExtensions {
+  type FnEntry = (org.apache.spark.sql.catalyst.FunctionIdentifier,
+    ExpressionInfo, Seq[Expression] => Expression)
+
+  /** The SQL-surface registrations, shared by the injection path and the
+    * registry-based spec. */
+  val functions: Seq[FnEntry] = Seq(
+    (new org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[graft.functions.RollingHash].getName,
+        "rolling_hash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "rolling_hash(str) takes one argument")
+        graft.functions.RollingHash(args.head)
+      }),
+    (new org.apache.spark.sql.catalyst.FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[graft.functions.MisraGriesAgg].getName,
+        "misra_gries"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "misra_gries(item, k) takes two arguments")
+        val k = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"misra_gries k must be an integer literal, got $other")
+        }
+        graft.functions.MisraGriesAgg(args.head, k)
+      }))
 }
