@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Σ aᵢ·bᵢ over two float/double arrays as a CODEGEN'D Catalyst
+  * expression — the hot kernel of every cosine verify and ANN scoring
+  * path. The HOF formulation (`aggregate(zip_with(...))`) is
+  * CodegenFallback: per row it allocates the zipped array and walks an
+  * interpreter over closures, which dominates candidate-verify joins
+  * that evaluate hundreds of thousands of pairs. This compiles to a
+  * tight primitive loop.
+  *
+  * Null semantics MATCH the HOF chain exactly (hash-compared oracles
+  * depend on it): any null element — including the padding nulls
+  * zip_with adds when lengths differ — nulls the whole sum; products
+  * accumulate left-to-right in doubles, so results are bit-identical. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val (tx, ty) = (elemType(left), elemType(right))
+    var sum = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = tx match {
+        case FloatType => x.getFloat(i).toDouble
+        case _ => x.getDouble(i)
+      }
+      val yv = ty match {
+        case FloatType => y.getFloat(i).toDouble
+        case _ => y.getDouble(i)
+      }
+      sum += xv * yv
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      val bad = ctx.freshName("bad")
+      def get(arr: String, t: DataType): String = t match {
+        case FloatType => s"(double) $arr.getFloat($i)"
+        case _ => s"$arr.getDouble($i)"
+      }
+      s"""
+         |int $n = $a.numElements();
+         |boolean $bad = $n != $b.numElements();
+         |double $sum = 0.0;
+         |if (!$bad) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    $sum += ${get(a, elemType(left))} * ${get(b, elemType(right))};
+         |  }
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $sum; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorOps {
+  /** Column surface: codegen'd Σ aᵢ·bᵢ (arrays of float or double). */
+  def dot_product(a: Column, b: Column): Column =
+    GraftColumnBridge.toColumn(DotProduct(
+      GraftColumnBridge.toExpression(a), GraftColumnBridge.toExpression(b)))
+}

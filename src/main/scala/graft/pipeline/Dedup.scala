@@ -982,13 +982,59 @@ object Dedup {
       when(dot > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
     }.reduce(_ + _)
 
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x => x.cast(DoubleType) * x.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v))
+  /** The exact per-component value [[hyperplaneComponent]] computes,
+    * evaluated ONCE on the driver: the same catalyst XxHash64 (seed 42)
+    * over the same Int literals, the same double arithmetic — bit-equal
+    * to the expression path, so signatures (and the d5c/d5e/d5f oracle
+    * hashes) are unchanged. */
+  private def hyperplaneComponentValue(p: Int, j: Int): Double = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit, XxHash64}
+    val h = new XxHash64(Seq(CatLit(p), CatLit(j))).eval(null).asInstanceOf[Long]
+    (h.toDouble / Long.MaxValue.toDouble) / 2.0
+  }
+
+  /** [[hyperplaneSignature]] with the hyperplane matrix inlined as column
+    * LITERALS for a known, fixed dimension — the HOF chain is interpreted
+    * (CodegenFallback), so hashing the constant components per
+    * row × plane × dim dominated the signature stage; pre-evaluating them
+    * leaves one multiply-add per element. Requires every vector to have
+    * exactly `dim` components (the staged-index contract the PQ/IVF ops
+    * already assume). */
+  private[graft] def hyperplaneSignatureLit(vec: Column, planes: Int, dim: Int,
+      planeOffset: Int = 0): Column =
+    (0 until planes).map { p =>
+      val comps = array((0 until dim).map(j =>
+        lit(hyperplaneComponentValue(planeOffset + p, j))): _*)
+      val dot = aggregate(zip_with(vec, comps,
+        (v, r) => v.cast(DoubleType) * r), lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
+    }.reduce(_ + _)
+
+  /** Vector width from one row (None on an empty frame — callers fall
+    * back to the dimension-agnostic expression path, which is vacuously
+    * identical on zero rows). */
+  private def vecDim(df: DataFrame, vecCol: String): Option[Int] =
+    df.select(size(col(vecCol)).as("__d")).limit(1).collect()
+      .headOption.map(_.getInt(0))
+
+  def cosine(a: Column, b: Column): Column =
+    cosineFromNorms(a, b, vecNorm(a), vecNorm(b))
+
+  /** ‖v‖₂ via the codegen'd [[graft.functions.DotProduct]] kernel —
+    * left-to-right double accumulation, bit-identical to the HOF
+    * `aggregate(transform(v, x·x))` it replaced. */
+  def vecNorm(v: Column): Column =
+    sqrt(graft.functions.VectorOps.dot_product(v, v))
+
+  /** Cosine with the norms PRECOMPUTED per vector: candidate-verify joins
+    * evaluate one codegen'd dot product per PAIR instead of three
+    * interpreted HOF aggregates — norms are per-vector quantities, so the
+    * stages compute them once (2·|corpus| sqrts) rather than
+    * 2·|candidates| times. Accumulation order and null semantics match
+    * the original HOF chain, so values (and the d5* oracle hashes) are
+    * bit-identical. */
+  def cosineFromNorms(a: Column, b: Column, na: Column, nb: Column): Column = {
+    val dot = graft.functions.VectorOps.dot_product(a, b)
     when(na > 0 && nb > 0, dot / (na * nb)).otherwise(lit(0.0))
   }
 
@@ -996,9 +1042,20 @@ object Dedup {
     * key, so one staged table serves both candidate generation and the
     * cosine verify. */
   def embeddingStages(df: DataFrame, vecCol: String, idCol: String,
-      planes: Int = 12): DataFrame =
+      planes: Int = 12): DataFrame = {
+    val sig = vecDim(df, vecCol) match {
+      case Some(d) => hyperplaneSignatureLit(col(vecCol), planes, d)
+      case None => hyperplaneSignature(col(vecCol), planes)
+    }
     df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      hyperplaneSignature(col(vecCol), planes).as("sig"))
+      vecNorm(col(vecCol)).as("nrm"), sig.as("sig"))
+  }
+
+  /** Tolerate stores staged before the `nrm` column existed: attach it
+    * scan-side on read (per-vector cost, same arithmetic). */
+  private def withNorm(df: DataFrame): DataFrame =
+    if (df.columns.contains("nrm")) df
+    else df.withColumn("nrm", vecNorm(col("v")))
 
   /** Incremental embedding near-dup: a new batch of vectors against the
     * staged (id, v, sig) store — capped bipartite signature join, exact
@@ -1014,12 +1071,14 @@ object Dedup {
     val cappedStore = storeSigs
       .withColumn("__rn", row_number().over(Window.partitionBy("sig").orderBy("id")))
       .where(col("__rn") <= maxBucketPairing).drop("__rn")
-    val pairs = newSigs.select(col("id").as("id_new"), col("v").as("v_n"), col("sig"))
-      .join(cappedStore.select(col("id").as("id_store"), col("v").as("v_s"),
-        col("sig")), Seq("sig"))
+    val pairs = newSigs.select(col("id").as("id_new"), col("v").as("v_n"),
+        col("nrm").as("n_n"), col("sig"))
+      .join(withNorm(cappedStore).select(col("id").as("id_store"),
+        col("v").as("v_s"), col("nrm").as("n_s"), col("sig")), Seq("sig"))
       .where(col("id_new") =!= col("id_store"))
       .dropDuplicates("id_new", "id_store")
-      .withColumn("cos", cosine(col("v_n"), col("v_s")))
+      .withColumn("cos",
+        cosineFromNorms(col("v_n"), col("v_s"), col("n_n"), col("n_s")))
       .where(col("cos") >= threshold)
       .select(col("id_new"), col("id_store"), round(col("cos"), 6).as("cos"))
     materializeAndRelease(pairs, Seq(newSigs))
@@ -1049,9 +1108,12 @@ object Dedup {
       .withColumn("rn", row_number().over(Window.partitionBy("sig").orderBy("id")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = cappedPairs(ranked, Seq("sig"), maxBucketPairing)
-      .join(sigs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
-      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .join(sigs.select(col("id").as("id_a"), col("v").as("v_a"),
+        col("nrm").as("n_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("v").as("v_b"),
+        col("nrm").as("n_b")), "id_b")
+      .withColumn("cos",
+        cosineFromNorms(col("v_a"), col("v_b"), col("n_a"), col("n_b")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
     (pairs, Seq(sigs, ranked))
@@ -1064,11 +1126,16 @@ object Dedup {
     * schema, exactly like [[minhashStages]]. */
   def embeddingStagesBanded(df: DataFrame, vecCol: String, idCol: String,
       bands: Int = 16, planesPerBand: Int = 8): (DataFrame, DataFrame) = {
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      vecNorm(col(vecCol)).as("nrm"))
+    val dim = vecDim(df, vecCol) // one tiny driver job, shared by all bands
+    def bandSig(b: Int): Column = dim match {
+      case Some(d) => hyperplaneSignatureLit(col("v"), planesPerBand, d, b * planesPerBand)
+      case None => hyperplaneSignature(col("v"), planesPerBand, b * planesPerBand)
+    }
     val buckets = base.select(col("id"),
       explode(array((0 until bands).map(b => struct(
-        lit(b).as("band"),
-        hyperplaneSignature(col("v"), planesPerBand, b * planesPerBand).as("sig"))): _*))
+        lit(b).as("band"), bandSig(b).as("sig"))): _*))
         .as("bs"))
       .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     (base, buckets)
@@ -1106,9 +1173,12 @@ object Dedup {
         Window.partitionBy("band", "sig").orderBy("id")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = cappedPairs(ranked, Seq("band", "sig"), maxBucketPairing)
-      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
-      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a"),
+        col("nrm").as("n_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b"),
+        col("nrm").as("n_b")), "id_b")
+      .withColumn("cos",
+        cosineFromNorms(col("v_a"), col("v_b"), col("n_a"), col("n_b")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
     (pairs, Seq(base, ranked))
@@ -1144,9 +1214,12 @@ object Dedup {
       .where(col("id_new") =!= col("id_store")) // store may already hold the vec
       .dropDuplicates("id_new", "id_store")
     val pairs = candidates
-      .join(newBase.select(col("id").as("id_new"), col("v").as("v_n")), "id_new")
-      .join(storeBase.select(col("id").as("id_store"), col("v").as("v_s")), "id_store")
-      .withColumn("cos", cosine(col("v_n"), col("v_s")))
+      .join(newBase.select(col("id").as("id_new"), col("v").as("v_n"),
+        col("nrm").as("n_n")), "id_new")
+      .join(withNorm(storeBase).select(col("id").as("id_store"),
+        col("v").as("v_s"), col("nrm").as("n_s")), "id_store")
+      .withColumn("cos",
+        cosineFromNorms(col("v_n"), col("v_s"), col("n_n"), col("n_s")))
       .where(col("cos") >= threshold)
       .select(col("id_new"), col("id_store"), round(col("cos"), 6).as("cos"))
     materializeAndRelease(pairs, Seq(newBase))

@@ -957,6 +957,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(all.size == 51)
   }
 
+  test("codegen'd dot product: HOF-equal values, null/length semantics preserved") {
+    import graft.functions.VectorOps.dot_product
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(32).select(col("vec_id"), col("embedding"))
+    val paired = vecs.as("a").join(vecs.as("b"),
+      col("a.vec_id") + 1 === col("b.vec_id"))
+    paired.select(
+        dot_product(col("a.embedding"), col("b.embedding")).as("cg"),
+        hofDot(col("a.embedding"), col("b.embedding")).as("hof"))
+      .collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+        "codegen dot diverged from the HOF accumulation"))
+    // null element and length mismatch both null out, like zip_with+agg
+    val edge = Seq(
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)),
+      (Seq[java.lang.Double](1.0), Seq[java.lang.Double](3.0, 4.0)))
+      .toDF("a", "b")
+      .select(dot_product(col("a"), col("b")).as("d")).collect()
+    assert(edge(0).getDouble(0) == 11.0)
+    assert(edge(1).isNullAt(0) && edge(2).isNullAt(0))
+  }
+
+  test("literal-matrix hyperplane signature is bit-equal to the expression path") {
+    // the perf rewrite must not move a single sign: same XxHash64 seed,
+    // same literal types, same double arithmetic
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(64)
+    val both = vecs.select(
+      Dedup.hyperplaneSignature(col("embedding"), 12).as("expr_sig"),
+      Dedup.hyperplaneSignatureLit(col("embedding"), 12, 64).as("lit_sig"),
+      Dedup.hyperplaneSignature(col("embedding"), 4, 20).as("expr_off"),
+      Dedup.hyperplaneSignatureLit(col("embedding"), 4, 64, 20).as("lit_off"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), "offset-0 signature diverged")
+      assert(r.getLong(2) == r.getLong(3), "offset-20 signature diverged")
+    }
+  }
+
   test("per-group weighted sample: k per stratum, deterministic, weight-biased") {
     val rows = (0 until 40).map(i => (i.toLong, s"g${i % 2}", 1.0))
       .toDF("id", "g", "w")
