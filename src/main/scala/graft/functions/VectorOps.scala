@@ -82,9 +82,84 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Σ (aᵢ−bᵢ)² — the squared-L2 twin of [[DotProduct]], same codegen
+  * rationale and identical-to-HOF accumulation/null semantics. The IVF /
+  * PQ / k-means argmins evaluate this per row × centroid, which made the
+  * interpreted `aggregate(zip_with((x−y)²))` the assignment hot spot. */
+case class L2Squared(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "l2_sq"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val (tx, ty) = (elemType(left), elemType(right))
+    var sum = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = tx match {
+        case FloatType => x.getFloat(i).toDouble
+        case _ => x.getDouble(i)
+      }
+      val yv = ty match {
+        case FloatType => y.getFloat(i).toDouble
+        case _ => y.getDouble(i)
+      }
+      val d = xv - yv
+      sum += d * d
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      val bad = ctx.freshName("bad")
+      val d = ctx.freshName("d")
+      def get(arr: String, t: DataType): String = t match {
+        case FloatType => s"(double) $arr.getFloat($i)"
+        case _ => s"$arr.getDouble($i)"
+      }
+      s"""
+         |int $n = $a.numElements();
+         |boolean $bad = $n != $b.numElements();
+         |double $sum = 0.0;
+         |if (!$bad) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    double $d = ${get(a, elemType(left))} - ${get(b, elemType(right))};
+         |    $sum += $d * $d;
+         |  }
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $sum; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2Squared =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorOps {
   /** Column surface: codegen'd Σ aᵢ·bᵢ (arrays of float or double). */
   def dot_product(a: Column, b: Column): Column =
     GraftColumnBridge.toColumn(DotProduct(
+      GraftColumnBridge.toExpression(a), GraftColumnBridge.toExpression(b)))
+
+  /** Column surface: codegen'd Σ (aᵢ−bᵢ)². */
+  def l2_sq(a: Column, b: Column): Column =
+    GraftColumnBridge.toColumn(L2Squared(
       GraftColumnBridge.toExpression(a), GraftColumnBridge.toExpression(b)))
 }

@@ -81,8 +81,7 @@ object Similarity {
       .toDF("__cent_groups", "__cent_mat"))
 
     def dist2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-        lit(0.0), (acc, v) => acc + v)
+      graft.functions.VectorOps.l2_sq(a, b) // codegen'd; HOF-bit-identical
 
     // nearest-centroid assignment: argmin over the matrix column (struct
     // ordering compares d first, then group id for deterministic ties)
@@ -137,8 +136,7 @@ object Similarity {
       .toDF("__cent_groups", "__cent_mat"))
 
     def dist2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-        lit(0.0), (acc, v) => acc + v)
+      graft.functions.VectorOps.l2_sq(a, b) // codegen'd; HOF-bit-identical
 
     val assigned = corpus.crossJoin(centRow)
       .withColumn("__scored", array_sort(zip_with(col("__cent_mat"), col("__cent_groups"),
@@ -186,8 +184,7 @@ object Similarity {
     }
 
     def dist2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-        lit(0.0), (acc, v) => acc + v)
+      graft.functions.VectorOps.l2_sq(a, b) // codegen'd; HOF-bit-identical
 
     // one Lloyd round against a centroid literal: scan-side argmin
     // assignment, then the k×dim mean — lazy until collected/returned
@@ -256,8 +253,7 @@ object Similarity {
   }
 
   private def dist2Col(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorOps.l2_sq(a, b) // codegen'd; HOF-bit-identical
 
   /** Per-subspace argmin codes for one vector against the matrix column
     * (6-decimal-rounded distances, code-id tie-break — deterministic). */
