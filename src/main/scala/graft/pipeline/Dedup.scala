@@ -158,24 +158,16 @@ object Dedup {
   def minhashSignature(shingleArr: Column, numHashes: Int): Column =
     minhashSignatureFromHashes(transform(shingleArr, s => xxhash64(s)), numHashes)
 
-  private def mixA(i: Int): Long = 0x9E3779B97F4A7C15L ^ (0xBF58476D1CE4E5B9L * (i + 1L))
-  private def mixR(i: Int): Int = (i * 7 % 63) + 1
-
   /** Signature from pre-computed per-shingle 64-bit hashes (pass these as a
     * materialized column so the base hashing runs once). Each permutation
     * proxy is an XOR + bit-rotation of the base hash — a 64-bit bijection
-    * with no overflow under ANSI arithmetic. */
-  def minhashSignatureFromHashes(baseHashes: Column, numHashes: Int): Column = {
-    val as = array((0 until numHashes).map(i => lit(mixA(i))): _*)
-    val rs = array((0 until numHashes).map(i => lit(mixR(i))): _*)
-    val init = array_repeat(lit(Long.MaxValue), numHashes)
-    def rot(x: Column, r: Column): Column =
-      call_function("shiftleft", x, r.cast("int"))
-        .bitwiseOR(call_function("shiftrightunsigned", x, (lit(64) - r).cast("int")))
-    aggregate(baseHashes, init, (acc, h) =>
-      zip_with(acc, zip_with(as, rs, (a, r) => rot(h.bitwiseXOR(a), r)),
-        (m, v) => least(m, v)))
-  }
+    * with no overflow under ANSI arithmetic. Since r9 the fold is the
+    * codegen'd [[graft.functions.MinHashSig]] kernel (same mixA/mixR
+    * constants, same rotate, min per permutation — bit-equal signatures);
+    * the triple-HOF formulation it replaced allocated three arrays per
+    * shingle per row in the CodegenFallback interpreter. */
+  def minhashSignatureFromHashes(baseHashes: Column, numHashes: Int): Column =
+    graft.functions.MinHashSig.minhash_sig(baseHashes, numHashes)
 
   /** LSH banding: (band_idx, hash of the band's signature slice) pairs. */
   def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
