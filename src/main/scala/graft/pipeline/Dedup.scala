@@ -244,20 +244,26 @@ object Dedup {
   /** The two materialization stages of the minhash pipeline:
     * (id, shingles) and the exploded (id, band, bucket) rows. At 100 TB
     * these ARE the signature store schema — write both as staged tables
-    * and the corpus text is never re-shingled. */
+    * and the corpus text is never re-shingled.
+    *
+    * Since r9 the staged `shingles` column holds the 64-BIT HASHES of the
+    * shingles, not the strings (the d14 PPJoin rationale): shingle text
+    * never persists or shuffles, the Jaccard verify intersects long
+    * arrays, and the signature fold reads the same hashes — set semantics
+    * preserved modulo xxhash64 collisions (P ≈ v²/2⁶⁵ over the shingle
+    * vocabulary; a collision perturbs one pair's Jaccard by O(1/n)). */
   def minhashStages(df: DataFrame, textCol: String, idCol: String,
       shingleWords: Int = 3, numHashes: Int = 32, bands: Int = 8)
       : (DataFrame, DataFrame) = {
     val shingled = df.select(
       col(idCol).as("id"),
-      wordShingles(col(textCol), shingleWords).as("shingles"))
+      array_distinct(transform(wordShingles(col(textCol), shingleWords),
+        s => xxhash64(s))).as("shingles"))
     val buckets = shingled
-      // base hashes AND the signature are materialized columns: the band
-      // array references the signature 16×, and inlining would re-run the
-      // whole fold per band (measured 30s+ single-threaded inside a
-      // broadcast build at sf0.1)
-      .withColumn("__h", transform(col("shingles"), s => xxhash64(s)))
-      .withColumn("__sig", minhashSignatureFromHashes(col("__h"), numHashes))
+      // the signature is a materialized column: the band array references
+      // it bands×, and inlining would re-run the whole fold per band
+      // (measured 30s+ single-threaded inside a broadcast build at sf0.1)
+      .withColumn("__sig", minhashSignatureFromHashes(col("shingles"), numHashes))
       .select(col("id"),
         explode(lshBands(col("__sig"), bands, numHashes / bands)).as("b"))
       .select(col("id"), col("b.band"), col("b.bucket"))
