@@ -809,16 +809,13 @@ object Dedup {
   def simhash64(text: Column): Column =
     simhash64FromHashes(transform(TextAnalysis.tokens(lower(text)), t => xxhash64(t)))
 
-  def simhash64FromHashes(hashes: Column): Column = {
-    val bitIdx = array((0 until 64).map(i => lit(i)): _*)
-    val votes = aggregate(hashes, array_repeat(lit(0L), 64), (acc, h) =>
-      zip_with(acc, bitIdx, (a, i) =>
-        a + when(call_function("shiftright", h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(votes, bitIdx, (v, i) =>
-        when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (acc, b) => acc + b)
-  }
+  /** Since r9 the majority-vote fold is the codegen'd
+    * [[graft.functions.SimHashSig]] kernel — same vote rule and strict
+    * positivity threshold, bit-equal fingerprints; the 64-wide
+    * zip_with-per-token HOF it replaced ran in the CodegenFallback
+    * interpreter. */
+  def simhash64FromHashes(hashes: Column): Column =
+    graft.functions.SimHashSig.simhash_sig(hashes)
 
   /** Near-dups by Hamming distance ≤ maxDist, bucketed on 16-bit chunks
     * (pigeonhole: distance ≤ 3 ⇒ some chunk of 4 is identical).
