@@ -152,6 +152,75 @@ case class L2Squared(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** |A ∩ B| over two long arrays (distinct-value count, exactly
+  * `size(array_intersect(a, b))` semantics) without materializing the
+  * intersection ARRAY: copies both element sets into primitive long[]
+  * buffers, sorts, and merge-counts — no per-row hash table, no result
+  * ArrayData, no boxing. The Jaccard verify of every hashed-shingle
+  * candidate join evaluates this per pair, which is why the size is the
+  * only thing worth computing. Null elements follow array_intersect: a
+  * null present on BOTH sides counts once. */
+case class IntersectSizeLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "intersect_size"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    IntersectSizeLong.count(x, y)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.IntersectSizeLong.count($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectSizeLong =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntersectSizeLong {
+  /** Shared by the interpreted and generated paths (the generated code
+    * calls this directly — the loop is already JIT-friendly Java). */
+  def count(x: ArrayData, y: ArrayData): Int = {
+    var nullX = false
+    var nullY = false
+    val xs = new Array[Long](x.numElements())
+    var nx = 0
+    var i = 0
+    while (i < x.numElements()) {
+      if (x.isNullAt(i)) nullX = true
+      else { xs(nx) = x.getLong(i); nx += 1 }
+      i += 1
+    }
+    val ys = new Array[Long](y.numElements())
+    var ny = 0
+    i = 0
+    while (i < y.numElements()) {
+      if (y.isNullAt(i)) nullY = true
+      else { ys(ny) = y.getLong(i); ny += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(xs, 0, nx)
+    java.util.Arrays.sort(ys, 0, ny)
+    var (a, b, c) = (0, 0, 0)
+    while (a < nx && b < ny) {
+      val d = java.lang.Long.compare(xs(a), ys(b))
+      if (d == 0) {
+        c += 1
+        val v = xs(a)
+        while (a < nx && xs(a) == v) a += 1 // distinct semantics
+        while (b < ny && ys(b) == v) b += 1
+      } else if (d < 0) a += 1
+      else b += 1
+    }
+    if (nullX && nullY) c + 1 else c
+  }
+}
+
 object VectorOps {
   /** Column surface: codegen'd Σ aᵢ·bᵢ (arrays of float or double). */
   def dot_product(a: Column, b: Column): Column =
@@ -161,5 +230,10 @@ object VectorOps {
   /** Column surface: codegen'd Σ (aᵢ−bᵢ)². */
   def l2_sq(a: Column, b: Column): Column =
     GraftColumnBridge.toColumn(L2Squared(
+      GraftColumnBridge.toExpression(a), GraftColumnBridge.toExpression(b)))
+
+  /** Column surface: codegen'd |A ∩ B| for long arrays. */
+  def intersect_size(a: Column, b: Column): Column =
+    GraftColumnBridge.toColumn(IntersectSizeLong(
       GraftColumnBridge.toExpression(a), GraftColumnBridge.toExpression(b)))
 }

@@ -235,7 +235,7 @@ object Dedup {
     val pairs = cappedPairs(ranked, Seq("band", "bucket"), maxBucketPairing)
       .join(shingled.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(shingled.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", jaccardLongDistinct(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     (pairs, Seq(shingled, ranked))
@@ -301,7 +301,7 @@ object Dedup {
         "id_new")
       .join(storeShingles.select(col("id").as("id_store"), col("shingles").as("sh_s")),
         "id_store")
-      .withColumn("jaccard", jaccard(col("sh_n"), col("sh_s")))
+      .withColumn("jaccard", jaccardLongDistinct(col("sh_n"), col("sh_s")))
       .where(col("jaccard") >= threshold)
       .select(col("id_new"), col("id_store"), round(col("jaccard"), 6).as("jaccard"))
     materializeAndRelease(pairs, Seq(newShingled))
@@ -489,6 +489,17 @@ object Dedup {
     dupVerdicts.unionAll(singletons)
   }
 
+  /** Exact Jaccard over two DISTINCT long arrays (hashed shingles):
+    * |∩| from the codegen'd merge-count kernel, |∪| = |a| + |b| − |∩| —
+    * the same integers (and so the same doubles) the array_intersect/
+    * array_union formulation produced, without materializing either
+    * result array per pair. */
+  def jaccardLongDistinct(a: Column, b: Column): Column = {
+    val inter = graft.functions.VectorOps.intersect_size(a, b).cast(DoubleType)
+    val union = size(a) + size(b) - inter
+    when(union > 0, inter / union).otherwise(lit(0.0))
+  }
+
   /** Exact Jaccard over two string arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast(DoubleType)
@@ -585,7 +596,8 @@ object Dedup {
         col("n").as("__na")), "id_a")
       .join(sorted.select(col("id").as("id_b"), col("toks").as("__tb"),
         col("n").as("__nb")), "id_b")
-      .withColumn("__i", size(array_intersect(col("__ta"), col("__tb"))).cast(DoubleType))
+      .withColumn("__i", graft.functions.VectorOps
+        .intersect_size(col("__ta"), col("__tb")).cast(DoubleType))
       .select(col("id_a"), col("id_b"),
         (col("__i") / (col("__na") + col("__nb") - col("__i"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
@@ -670,8 +682,8 @@ object Dedup {
         col("n").as("__na")), "id_new")
       .join(storeSorted.select(col("id").as("id_store"), col("toks").as("__tb"),
         col("n").as("__nb")), "id_store")
-      .withColumn("__i",
-        size(array_intersect(col("__ta"), col("__tb"))).cast(DoubleType))
+      .withColumn("__i", graft.functions.VectorOps
+        .intersect_size(col("__ta"), col("__tb")).cast(DoubleType))
       .select(col("id_new"), col("id_store"),
         (col("__i") / (col("__na") + col("__nb") - col("__i"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
