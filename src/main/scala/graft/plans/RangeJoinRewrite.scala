@@ -150,5 +150,20 @@ object GraftExtensions {
             s"misra_gries k must be an integer literal, got $other")
         }
         graft.functions.MisraGriesAgg(args.head, k)
-      }))
+      }),
+    binaryFn("dot_product", classOf[graft.functions.DotProduct].getName,
+      graft.functions.DotProduct(_, _)),
+    binaryFn("l2_sq", classOf[graft.functions.L2Squared].getName,
+      graft.functions.L2Squared(_, _)),
+    binaryFn("intersect_size", classOf[graft.functions.IntersectSizeLong].getName,
+      graft.functions.IntersectSizeLong(_, _)))
+
+  private def binaryFn(name: String, className: String,
+      mk: (Expression, Expression) => Expression): FnEntry =
+    (new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+      new ExpressionInfo(className, name),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"$name takes two arguments")
+        mk(args(0), args(1))
+      })
 }

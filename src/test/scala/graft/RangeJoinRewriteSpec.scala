@@ -103,6 +103,13 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
       .head.getSeq[org.apache.spark.sql.Row](0)
       .map(r => (r.getString(0), r.getLong(1)))
     assert(hh == Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+    // the codegen'd vector kernels are SQL-callable too
+    val v = spark.sql(
+      """SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       l2_sq(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS l,
+        |       intersect_size(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS i""".stripMargin)
+      .head
+    assert(v.getDouble(0) == 11.0 && v.getDouble(1) == 8.0 && v.getInt(2) == 2)
     // non-literal k must fail loudly, not silently mis-sketch
     intercept[Exception] {
       spark.sql("SELECT misra_gries(item, length(item)) FROM VALUES ('a') AS t(item)")
