@@ -755,9 +755,11 @@ object Dedup {
         sequence(lit(0), size(col("__toks")) - k),
         i => md5(array_join(slice(col("__toks"), i + 1, lit(k)), " "))))
       .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(0), greatest(size(col("__grams")) - window, lit(0))),
-          i => array_min(slice(col("__grams"), i + 1, lit(window)))))).as("fp"))
+        // codegen'd O(T) monotone-deque minima — same windows, same
+        // lexicographic-on-hex comparison, same fingerprint set as the
+        // transform+slice+array_min formulation it replaced
+        explode(graft.functions.WinnowMins.winnow_mins(
+          col("__grams"), window)).as("fp"))
       .dropDuplicates("doc_id", "fp")
   }
 
