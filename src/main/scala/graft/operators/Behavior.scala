@@ -28,11 +28,15 @@ object Behavior {
     *
     * Returns (step_idx, step, n_users) with step_idx 1-based. */
   def funnelCounts(events: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, steps: Seq[String]): DataFrame = {
+      typeCol: String, steps: Seq[String],
+      stepWithinMicros: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val e = events.select(col(userCol).as("user"),
       unix_micros(col(tsCol)).as("tus"), col(typeCol).as("typ"))
     // (user, t_i) per step: t_i = min step-i event time after t_{i-1}
+    // (and within the optional per-step conversion window)
+    val upperBound = stepWithinMicros
+      .map(w => col("e.tus") <= col("p.t") + w).getOrElse(lit(true))
     val reached: Seq[DataFrame] = steps.zipWithIndex
       .scanLeft(Option.empty[DataFrame]) { case (prev, (step, _)) =>
         Some(prev match {
@@ -42,7 +46,7 @@ object Behavior {
           case Some(p) =>
             e.where(col("typ") === step).as("e")
               .join(p.as("p"), col("e.user") === col("p.user") &&
-                col("e.tus") > col("p.t"))
+                col("e.tus") > col("p.t") && upperBound)
               .groupBy(col("e.user")).agg(min(col("e.tus")).as("t"))
         })
       }.flatten

@@ -40,6 +40,22 @@ class BehaviorSpec extends AnyFunSuite {
     assert(out == Map("signup" -> 2L, "click" -> 1L))
   }
 
+  test("funnel: per-step conversion window excludes slow conversions") {
+    val events = Seq(
+      (1L, ts(1), "signup"), (1L, ts(5), "click"),   // 4 min: converts
+      (2L, ts(1), "signup"), (2L, ts(40), "click"))  // 39 min: too slow
+      .toDF("user_id", "ts", "event_type")
+    val bounded = Behavior.funnelCounts(events, "user_id", "ts", "event_type",
+        Seq("signup", "click"), stepWithinMicros = Some(10L * 60 * 1000000))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(bounded == Map("signup" -> 2L, "click" -> 1L))
+    // unbounded: both convert
+    val open = Behavior.funnelCounts(events, "user_id", "ts", "event_type",
+        Seq("signup", "click"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(open == Map("signup" -> 2L, "click" -> 2L))
+  }
+
   test("retention cohorts: offsets count distinct members of the first-week cohort") {
     def wts(week: Int, day: Int) = new java.sql.Timestamp(
       (week * 7L + day) * 86400L * 1000L)
