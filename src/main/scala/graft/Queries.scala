@@ -518,6 +518,59 @@ object Queries {
       .orderBy("event_id")
   }
 
+  // Rolling volume-anomaly detection — the scheduled-query alerting
+  // staple ("this hour's event volume is k sigma off its trailing
+  // baseline"). Hourly counts per event type, baseline = the previous
+  // 24 hourly buckets (rows frame, ordered by hour — deterministic).
+  // Mean and variance are built EXPLICITLY from integer sums
+  // (sum, sum of squares, count — exact in both engines) rather than
+  // avg/stddev aggregates whose accumulation internals differ; the
+  // z-score is one identical double expression, rounded at 6.
+  register(
+    "q29_volume_anomaly",
+    """WITH hourly AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+      |         count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, hr, n,
+      |         sum(n) OVER w AS s,
+      |         sum(n * n) OVER w AS sq,
+      |         count(*) OVER w AS c
+      |  FROM hourly
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+      |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, hr, n,
+      |       round((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / c) /
+      |             sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) *
+      |                   CAST(s AS DOUBLE) / c) / (c - 1)), 6) AS z
+      |FROM stats
+      |WHERE c >= 12
+      |  AND (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / c)
+      |      / (c - 1) > 0
+      |ORDER BY event_type, hr""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("hr")
+      .rowsBetween(-24, -1)
+    val hourly = t(s, dir, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("tus"))
+      .select(col("event_type"), expr("tus div 3600000000").as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("n"))
+    val stats = hourly
+      .withColumn("s", sum(col("n")).over(w))
+      .withColumn("sq", sum(col("n") * col("n")).over(w))
+      .withColumn("c", count(lit(1)).over(w))
+    val variance = (col("sq").cast("double") -
+      col("s").cast("double") * col("s").cast("double") / col("c")) /
+      (col("c") - 1)
+    stats
+      .where(col("c") >= 12 && variance > 0)
+      .select(col("event_type"), col("hr"), col("n"),
+        round((col("n").cast("double") - col("s").cast("double") / col("c")) /
+          sqrt(variance), 6).as("z"))
+      .orderBy("event_type", "hr")
+  }
+
   // Ordered funnel conversion (signup → click → purchase): step i's
   // per-user time is the min step-i event STRICTLY AFTER step i-1's —
   // k-1 skinny (user, micros) joins, never a per-user event array, so
