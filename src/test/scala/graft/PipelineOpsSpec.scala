@@ -982,6 +982,66 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(edge(1).isNullAt(0) && edge(2).isNullAt(0))
   }
 
+  test("kernel equivalence under random inputs: intersect_size, winnow_mins, minhash/simhash sigs") {
+    val rnd = new scala.util.Random(7)
+    // intersect_size == size(array_intersect) over random long multisets
+    val sets = (0 until 200).map { _ =>
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(20).toLong)
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(20).toLong)
+      (a, b)
+    }.toDF("a", "b")
+    sets.select(
+        graft.functions.VectorOps.intersect_size(col("a"), col("b")).as("k"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .collect().foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // winnow_mins == distinct sliding array_min over random gram strings
+    val w = 4
+    val grams = (0 until 100).map { _ =>
+      Seq.fill(rnd.nextInt(25) + 1)(f"${rnd.nextInt(500)}%03d")
+    }.toDF("g")
+    grams.select(
+        array_sort(graft.functions.WinnowMins.winnow_mins(col("g"), w)).as("k"),
+        array_sort(array_distinct(transform(
+          sequence(lit(0), greatest(size(col("g")) - w, lit(0))),
+          i => array_min(slice(col("g"), i + 1, lit(w)))))).as("ref"))
+      .collect().foreach(r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    // minhash/simhash kernels == their original HOF folds
+    val hs = (0 until 100).map(_ => Seq.fill(rnd.nextInt(40) + 1)(rnd.nextLong()))
+      .toDF("h")
+    def hofMinhash(c: org.apache.spark.sql.Column, numHashes: Int) = {
+      val as = array((0 until numHashes).map(i =>
+        lit(graft.functions.MinHashSig.mixA(i))): _*)
+      val rs = array((0 until numHashes).map(i =>
+        lit(graft.functions.MinHashSig.mixR(i))): _*)
+      aggregate(c, array_repeat(lit(Long.MaxValue), numHashes), (acc, h) =>
+        zip_with(acc, zip_with(as, rs, (a, r) =>
+          call_function("shiftleft", h.bitwiseXOR(a), r.cast("int"))
+            .bitwiseOR(call_function("shiftrightunsigned", h.bitwiseXOR(a),
+              (lit(64) - r).cast("int")))),
+          (m, v) => least(m, v)))
+    }
+    def hofSimhash(c: org.apache.spark.sql.Column) = {
+      val bitIdx = array((0 until 64).map(i => lit(i)): _*)
+      val votes = aggregate(c, array_repeat(lit(0L), 64), (acc, h) =>
+        zip_with(acc, bitIdx, (a, i) =>
+          a + when(call_function("shiftright", h, i).bitwiseAND(1L) === 1L, 1L)
+            .otherwise(-1L)))
+      aggregate(zip_with(votes, bitIdx, (v, i) =>
+        when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+        lit(0L), (acc, b) => acc + b)
+    }
+    hs.select(
+        graft.functions.MinHashSig.minhash_sig(col("h"), 16).as("k"),
+        hofMinhash(col("h"), 16).as("ref"),
+        graft.functions.SimHashSig.simhash_sig(col("h")).as("ks"),
+        hofSimhash(col("h")).as("refs"))
+      .collect().foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), "minhash kernel diverged")
+        assert(r.getLong(2) == r.getLong(3), "simhash kernel diverged")
+      }
+  }
+
   test("literal-matrix hyperplane signature is bit-equal to the expression path") {
     // the perf rewrite must not move a single sign: same XxHash64 seed,
     // same literal types, same double arithmetic
