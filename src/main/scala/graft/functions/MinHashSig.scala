@@ -74,7 +74,7 @@ case class MinHashSig(child: Expression, numHashes: Int)
          |    if ($v < $out[$p]) $out[$p] = $v;
          |  }
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
          |  .fromPrimitiveArray($out);
        """.stripMargin
     })
