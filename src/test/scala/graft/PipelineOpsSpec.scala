@@ -982,6 +982,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(edge(1).isNullAt(0) && edge(2).isNullAt(0))
   }
 
+  test("kernels compile under CODEGEN_ONLY — no silent interpreter fallback") {
+    // the r9 UnsafeArrayData-package bug compiled fine in Scala but broke
+    // the GENERATED Java, and Spark fell back silently; forcing codegen
+    // turns that class of regression into a loud failure
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq((Seq(1L, 2L, 3L), Seq(2L, 3L, 9L),
+        Seq(1.0, 2.0), Seq(3.0, 4.0), Seq("cc", "aa", "ab", "ba")))
+        .toDF("la", "lb", "da", "db", "g")
+      val r = df.select(
+        graft.functions.VectorOps.intersect_size(col("la"), col("lb")).as("i"),
+        graft.functions.VectorOps.dot_product(col("da"), col("db")).as("d"),
+        graft.functions.VectorOps.l2_sq(col("da"), col("db")).as("l"),
+        graft.functions.MinHashSig.minhash_sig(col("la"), 8).as("mh"),
+        graft.functions.SimHashSig.simhash_sig(col("la")).as("sh"),
+        graft.functions.WinnowMins.winnow_mins(col("g"), 2).as("w"),
+        graft.functions.RollingHash.rolling_hash(lit("abc")).as("rh"))
+        .collect().head
+      assert(r.getInt(0) == 2 && r.getDouble(1) == 11.0 && r.getDouble(2) == 8.0)
+      assert(r.getSeq[Long](3).length == 8)
+      assert(r.getSeq[String](5) == Seq("aa", "ab"))
+    } finally {
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("kernel equivalence under random inputs: intersect_size, winnow_mins, minhash/simhash sigs") {
     val rnd = new scala.util.Random(7)
     // intersect_size == size(array_intersect) over random long multisets
