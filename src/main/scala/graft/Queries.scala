@@ -614,6 +614,29 @@ object Queries {
       .orderBy("cohort_wk", "week_offset")
   }
 
+  // First-order Markov transitions over per-user event paths: adjacent
+  // (prev → next) pairs from ONE lead window (ordered by integer micros
+  // with the event-id tie-break, so simultaneous events are
+  // deterministic), then P(next|prev) from exact integer counts — the
+  // "what do users do after X" path-analysis staple.
+  register(
+    "q32_markov_transitions",
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY epoch_us(ts), event_id) AS next_type
+      |  FROM events),
+      |c AS (SELECT event_type AS prev_type, next_type, count(*) AS n
+      |      FROM e WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+      |       round(CAST(n AS DOUBLE) /
+      |             CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE),
+      |             6) AS p
+      |FROM c ORDER BY prev_type, next_type""".stripMargin) { (s, dir) =>
+    graft.operators.Behavior.markovTransitions(t(s, dir, "events"),
+      "user_id", "ts", "event_type", "event_id")
+  }
+
   // ---------------------------------------------------------------------------
   // Classifier operators (SURVEY §2.2): each query serializes testdata rows
   // into the wire format the operator consumes, runs the REAL classify
@@ -4111,6 +4134,47 @@ object Queries {
           lit(3 * 1.04 / math.sqrt(1 << 12)) * col("exact_users"))
           .as("within_eps"))
       .orderBy("event_type")
+  }
+
+  // Mergeable MOMENT store (exact sufficient statistics): each batch
+  // reduces to per-group (n, Σcents, Σcents²); cross-batch rollups sum
+  // integers, so the merged mean/variance is BIT-IDENTICAL to the
+  // single-pass aggregate — no error envelope needed, which the row pins
+  // (merge_lossless) alongside the derived stats that DuckDB recomputes
+  // from the same integer sums with the same expression nesting.
+  register(
+    "q30_moment_store",
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+      |              AS BIGINT) AS s,
+      |         CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) *
+      |                  CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+      |              AS BIGINT) AS ss
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |       round((CAST(s AS DOUBLE) / 100.0) / n, 6) AS mean,
+      |       round((CAST(ss AS DOUBLE) / 10000.0 -
+      |              (CAST(s AS DOUBLE) / 100.0) *
+      |              (CAST(s AS DOUBLE) / 100.0) / n) / n, 6) AS var_pop,
+      |       TRUE AS merge_lossless
+      |FROM m ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val li = t(s, dir, "lineitem")
+    val cents = floor(col("l_quantity") * 100 + 0.5).cast("long")
+    // 4 synthetic ingest batches stand in for dt-partitioned store writes
+    val store = Sketches.momentSketches(
+      li.withColumn("__batch", pmod(col("l_orderkey"), lit(4))),
+      Seq("l_returnflag", "__batch"), cents)
+    val merged = Sketches.momentMerge(store, Seq("l_returnflag"))
+    val direct = Sketches.momentSketches(li, Seq("l_returnflag"), cents)
+      .select(col("l_returnflag"), col("n").as("__nd"), col("s").as("__sd"),
+        col("ss").as("__ssd"))
+    Sketches.momentStats(merged).join(direct, "l_returnflag")
+      .select(col("l_returnflag"), col("n"), col("mean"), col("var_pop"),
+        (col("n") === col("__nd") && col("s") === col("__sd") &&
+          col("ss") === col("__ssd")).as("merge_lossless"))
+      .orderBy("l_returnflag")
   }
 
   // Array-valued result surface: per-user sorted distinct event types —

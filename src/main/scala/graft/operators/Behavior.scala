@@ -67,6 +67,37 @@ object Behavior {
       .select(col("r.step_idx"), col("r.step"), col("r.n_users"))
   }
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * for each ordered (prev_type → next_type) adjacent pair, the count and
+    * the transition probability P(next | prev).
+    *
+    * Shape: ONE window shuffle keyed by user (lead over (micros, event id)
+    * — the id tie-break makes simultaneous events deterministic), then one
+    * pre-combined (prev, next) count agg; the per-prev total folds back as
+    * a window over the event-type-cardinality matrix, so nothing after
+    * the first window is corpus-sized. Probability = count/total computed
+    * by one double division over exact integer counts, rounded at 6 dp —
+    * engine-identical.
+    *
+    * Returns (prev_type, next_type, n, p) ordered by (prev, next). */
+  def markovTransitions(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user").orderBy(col("tus"), col("id"))
+    val pairs = events
+      .select(col(userCol).as("user"), unix_micros(col(tsCol)).as("tus"),
+        col(idCol).as("id"), col(typeCol).as("typ"))
+      .withColumn("next_type", lead(col("typ"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("typ").as("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val perPrev = Window.partitionBy("prev_type")
+    pairs
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(perPrev).cast("double"), 6))
+      .orderBy("prev_type", "next_type")
+  }
+
   /** Weekly cohort retention: users are cohorted by the epoch-week of
     * their FIRST event; for each (cohort_week, week_offset ≤ maxOffset)
     * cell, the count of distinct cohort members active that week.

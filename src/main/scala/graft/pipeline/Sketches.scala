@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Mergeable cardinality sketches — the incremental distinct-count store.
@@ -32,6 +32,43 @@ object Sketches {
   def hllEstimate(store: DataFrame, groupCols: Seq[String]): DataFrame =
     store.groupBy(groupCols.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col("hll"))).as("distinct_est"))
+
+  /** One batch's per-group MOMENT rows — exact sufficient statistics
+    * (n, Σx, Σx²) over an integer-scaled measure (cents). Unlike a
+    * probabilistic sketch these merge LOSSLESSLY: integer sums are
+    * associative and order-free, so a rollup over any batch partitioning
+    * is bit-identical to the single-pass aggregate — count/mean/variance
+    * over a year of stored batches costs O(groups × batches) rows, never
+    * a raw re-scan. (The scheduled-query analogue: the reference re-runs
+    * its Athena aggregation over the full partition each time —
+    * athena_partitioner re-registers, the query re-scans.)
+    *
+    * `centsCol` must be integer-valued (pre-scaled); Σx² of a 50-unit
+    * measure at cents scale stays < 2^63 past 10^12 rows — for wide
+    * measures scale down or split the store by range. */
+  def momentSketches(df: DataFrame, groupCols: Seq[String],
+      centsCol: Column): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(centsCol).as("s"),
+        sum(centsCol * centsCol).as("ss"))
+
+  /** Roll a moment store up to per-group (n, s, ss) — integer sums of
+    * integer sums, exactly the single-pass values. */
+  def momentMerge(store: DataFrame, groupCols: Seq[String]): DataFrame =
+    store.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
+        sum(col("ss")).as("ss"))
+
+  /** Derive mean / population variance from (n, s, ss) moment rows at
+    * cents scale, rounded at 6 dp — one double expression over exact
+    * integers with fixed nesting, so any engine reproduces it. */
+  def momentStats(moments: DataFrame): DataFrame = {
+    val sd = col("s").cast("double") / 100.0
+    val ssd = col("ss").cast("double") / 10000.0
+    moments
+      .withColumn("mean", round(sd / col("n"), 6))
+      .withColumn("var_pop", round((ssd - sd * sd / col("n")) / col("n"), 6))
+  }
 
   /** Merge STORED Misra–Gries summaries relationally — the heavy-hitter
     * counterpart of [[hllEstimate]]. Each batch stages its sketch as
