@@ -4177,6 +4177,66 @@ object Queries {
       .orderBy("l_returnflag")
   }
 
+  // SCD type-2 upsert: an append log of entity versions (snapshot + three
+  // deterministic change batches, one of them pure no-ops) assembles into
+  // validity-interval rows — MERGE-style dimension history over the
+  // historical store. No-op versions (tracked attributes identical to the
+  // predecessor) emit no row; intervals are integer epoch-days, so both
+  // engines agree bit-for-bit. One hash exchange on the key feeds both
+  // windows.
+  register(
+    "q33_scd2_upsert",
+    """WITH v AS (
+      |  SELECT o_orderkey AS k, epoch_us(o_orderdate) // 86400000000 AS d,
+      |         o_orderstatus AS status,
+      |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+      |  FROM orders),
+      |log AS (
+      |  SELECT k, d, status, price_cents FROM v
+      |  UNION ALL
+      |  SELECT k, d + 30, 'F2', price_cents + price_cents // 10
+      |  FROM v WHERE k % 7 = 0
+      |  UNION ALL
+      |  SELECT k, d + 60, 'F2', price_cents + price_cents // 10
+      |  FROM v WHERE k % 14 = 0
+      |  UNION ALL
+      |  SELECT k, d + 90, 'X', price_cents + price_cents // 10 + 5
+      |  FROM v WHERE k % 21 = 0),
+      |lagged AS (
+      |  SELECT *, lag(status) OVER w AS ps, lag(price_cents) OVER w AS pp
+      |  FROM log WINDOW w AS (PARTITION BY k ORDER BY d)),
+      |changed AS (
+      |  SELECT k, d, status, price_cents FROM lagged
+      |  WHERE ps IS NULL OR status != ps OR price_cents != pp)
+      |SELECT k AS o_orderkey, status, price_cents,
+      |       d AS valid_from, lead(d) OVER w AS valid_to,
+      |       lead(d) OVER w IS NULL AS is_current
+      |FROM changed WINDOW w AS (PARTITION BY k ORDER BY d)
+      |ORDER BY o_orderkey, valid_from""".stripMargin) { (s, dir) =>
+    val v = t(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      // orderdate is TIMESTAMP_NTZ; cast in the UTC session zone = the
+      // naive instant DuckDB's epoch_us sees (see Tables.normalize)
+      expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        .as("d"),
+      col("o_orderstatus").as("status"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("price_cents"))
+    val upd1 = v.where(col("k") % 7 === 0).select(col("k"),
+      (col("d") + 30).as("d"), lit("F2").as("status"),
+      (col("price_cents") + expr("price_cents div 10")).as("price_cents"))
+    val noop = v.where(col("k") % 14 === 0).select(col("k"),
+      (col("d") + 60).as("d"), lit("F2").as("status"),
+      (col("price_cents") + expr("price_cents div 10")).as("price_cents"))
+    val upd2 = v.where(col("k") % 21 === 0).select(col("k"),
+      (col("d") + 90).as("d"), lit("X").as("status"),
+      (col("price_cents") + expr("price_cents div 10") + 5).as("price_cents"))
+    graft.history.Scd.scd2(v.unionAll(upd1).unionAll(noop).unionAll(upd2),
+        Seq("k"), "d", Seq("status", "price_cents"))
+      .select(col("k").as("o_orderkey"), col("status"), col("price_cents"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy("o_orderkey", "valid_from")
+  }
+
   // Array-valued result surface: per-user sorted distinct event types —
   // the reference's alert `outputs`/`log_sources` style list columns as a
   // query result (shared/alert.py:212-242). The list is projected to a
