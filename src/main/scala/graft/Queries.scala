@@ -3109,6 +3109,56 @@ object Queries {
       .orderBy("q_id", "rank")
   }
 
+  // Two-stage PQ serving: the ADC scan over-fetches a 10-candidate
+  // shortlist per query (codes only), then exact squared-L2 re-ranks
+  // just those ids to top-3 — the standard recovery for PQ quantization
+  // error. Float reads are shortlist-cardinality; every stage is a
+  // deterministic argmin on 6-decimal-rounded distances → exact oracle.
+  register(
+    "ann_pq_refine_topk",
+    s"""WITH $PqCbSql,
+      |codes AS (SELECT vec_id, sub, code FROM enc WHERE rn = 1),
+      |q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 5),
+      |dt AS (
+      |  SELECT q.q_id, cb.sub, cb.code,
+      |         round(list_sum(list_transform(range(1, 17),
+      |           i -> (q.embedding[cb.sub * 16 + i]::DOUBLE - cb.cvec[i]) *
+      |                (q.embedding[cb.sub * 16 + i]::DOUBLE - cb.cvec[i]))), 6) AS d2
+      |  FROM q CROSS JOIN cb),
+      |cand AS (
+      |  SELECT dt.q_id, c.vec_id AS neighbor_id,
+      |         round(list_sum(list(dt.d2 ORDER BY dt.sub)), 6) AS adist
+      |  FROM codes c JOIN dt ON c.sub = dt.sub AND c.code = dt.code
+      |  WHERE c.vec_id != dt.q_id
+      |  GROUP BY dt.q_id, c.vec_id),
+      |shortlist AS (
+      |  SELECT q_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id
+      |      ORDER BY adist ASC, neighbor_id ASC) AS arank FROM cand)
+      |  WHERE arank <= 10),
+      |refined AS (
+      |  SELECT s.q_id, s.neighbor_id,
+      |         round(list_sum(list_transform(range(1, 65),
+      |           i -> (q.embedding[i]::DOUBLE - v.embedding[i]::DOUBLE) *
+      |                (q.embedding[i]::DOUBLE - v.embedding[i]::DOUBLE))), 6) AS dist2
+      |  FROM shortlist s
+      |  JOIN embeddings v ON v.vec_id = s.neighbor_id
+      |  JOIN q ON q.q_id = s.q_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY dist2 ASC, neighbor_id ASC) AS rank FROM refined)
+      |SELECT q_id, neighbor_id, dist2, rank FROM ranked WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val cb = pqSliceCodebook(e)
+    val codes = graft.pipeline.Similarity.pqEncode(e, cb)
+    val queries = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    graft.pipeline.Similarity.pqRefineTopK(e, codes, queries, cb,
+        k = 3, rerank = 10)
+      .orderBy("q_id", "rank")
+  }
+
   // IVF-PQ: the composed serving architecture (coarse inverted lists
   // restrict the scan, PQ codes replace floats, ADC scores candidates).
   // Explicit centroids (vectors 0-7) + sliced codebook make EVERY stage —

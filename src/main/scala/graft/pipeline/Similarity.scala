@@ -324,6 +324,43 @@ object Similarity {
       .select(col(queryId), col(codesId).as("neighbor_id"), col("adist"), col("rank"))
   }
 
+  /** Two-stage PQ serving: ADC shortlist → EXACT re-rank. The quantized
+    * scan ([[pqAdcTopK]]) over-fetches `rerank` candidates per query, then
+    * only those ids re-attach their float vectors for a true squared-L2
+    * re-rank to top-k — the standard accuracy recovery for PQ's
+    * quantization error (re-ranked top-k ⊇ ADC top-k whenever the true
+    * neighbors survive the shortlist, at the cost of rerank·|Q| float-row
+    * reads instead of a corpus scan).
+    *
+    * Scale shape: stage 1 touches codes only; stage 2's float reads are
+    * shortlist-cardinality — the (q, candidate) pairs broadcast against
+    * the corpus id scan, so the float corpus is FILTERED, never shuffled;
+    * the final top-k is a per-query window over ≤ rerank rows. */
+  def pqRefineTopK(corpus: DataFrame, codes: DataFrame, queries: DataFrame,
+      codebook: DataFrame, k: Int, rerank: Int,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      codesId: String = "vec_id", codesCol: String = "codes",
+      queryId: String = "q_id", queryVec: String = "q_vec",
+      subCol: String = "sub", codeCol: String = "code",
+      centroidCol: String = "centroid"): DataFrame = {
+    require(rerank >= k, s"rerank window $rerank must cover top-k $k")
+    val shortlist = pqAdcTopK(codes, queries, codebook, rerank, codesId,
+      codesCol, queryId, queryVec, subCol, codeCol, centroidCol)
+      .select(col(queryId), col("neighbor_id"))
+    val floats = corpus.select(col(corpusId).as("neighbor_id"),
+      col(corpusVec).cast("array<double>").as("__cv"))
+    val qv = queries.select(col(queryId),
+      col(queryVec).cast("array<double>").as("__qv"))
+    val exact = floats.join(broadcast(shortlist), "neighbor_id")
+      .join(broadcast(qv), queryId)
+      .withColumn("dist2", round(dist2Col(col("__qv"), col("__cv")), 6))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("dist2").asc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryId), col("neighbor_id"), col("dist2"), col("rank"))
+  }
+
   /** IVF-PQ top-k — the composed billion-vector serving architecture:
     * coarse inverted lists restrict the scan, PQ codes replace the float
     * vectors, ADC scores the candidates. Coarse centroids arrive
