@@ -3977,6 +3977,48 @@ object Queries {
           lit(true)).as("bound_met"))
   }
 
+  // Count-Min sketch with the guarantee hash-pinned (the t31
+  // construction): the custom TypedImperativeAggregate folds the token
+  // stream into a 4×8192 counter array (linear — partial-aggregated
+  // map-side, only sketches cross the exchange), the Column-side
+  // cm_estimate reads it back with pure built-in functions, and the row
+  // claims the CM theorem held on this corpus for every token with exact
+  // count >= 50: estimates never undercount, and overcount stays under
+  // the measured envelope (see floor comment). DuckDB recomputes the
+  // exact queried-token count and constant-folds the claims TRUE.
+  register(
+    "t34_count_min_bound",
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                x -> x != '')) AS tok
+      |  FROM documents),
+      |c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+      |SELECT CAST((SELECT count(*) FROM c WHERE cnt >= 50) AS BIGINT)
+      |         AS n_queried,
+      |       TRUE AS never_undercounts, TRUE AS within_bound""".stripMargin) { (s, dir) =>
+    val depth = 4; val width = 8192
+    val toks = t(s, dir, "documents")
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+    val sketch = toks.agg(
+      graft.functions.CountMinAgg.count_min(col("tok"), depth, width).as("cm"))
+    val tot = toks.agg(count(lit(1)).cast("double").as("n"))
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 50)
+    exact.crossJoin(broadcast(sketch)).crossJoin(broadcast(tot))
+      .withColumn("__est", graft.functions.CountMinAgg
+        .cm_estimate(col("cm"), col("tok"), depth, width))
+      .agg(
+        count(lit(1)).cast("long").as("n_queried"),
+        coalesce(bool_and(col("__est") >= col("cnt")), lit(true))
+          .as("never_undercounts"),
+        // measured max overcount is 0 at sf0.01 AND sf0.1 (few hundred
+        // distinct tokens vs width 8192 — min-over-4-rows kills the rare
+        // collisions); pin the textbook ε = 2n/w envelope, which leaves
+        // the full theorem margin against data drift
+        coalesce(bool_and((col("__est") - col("cnt")).cast("double") <=
+          lit(2.0) * col("n") / width), lit(true)).as("within_bound"))
+  }
+
   // PMI collocation mining (Church & Hanks 1990): top-30 adjacent pairs
   // by pointwise mutual information, pair count >= 5. Per-pair arithmetic
   // only (no cross-pair float sums), identical expression nesting both

@@ -33,6 +33,26 @@ object Sketches {
     store.groupBy(groupCols.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col("hll"))).as("distinct_est"))
 
+  /** Merge STORED Count-Min sketches relationally — CM sketches are
+    * LINEAR (counters add), so a store of per-batch
+    * [[graft.functions.CountMinAgg]] rows rolls up to EXACTLY the
+    * single-pass sketch: posexplode each flattened counter array, sum per
+    * position, reassemble in position order. Work is
+    * O(groups × batches × depth·width) counter rows — never the stream. */
+  def cmMerge(store: DataFrame, groupCols: Seq[String],
+      sketchCol: String = "cm"): DataFrame = {
+    val exploded = store
+      .select(groupCols.map(col) :+
+        posexplode(col(sketchCol)).as(Seq("__pos", "__v")): _*)
+      .groupBy((groupCols :+ "__pos").map(col): _*)
+      .agg(sum(col("__v")).as("__v"))
+    exploded
+      .groupBy(groupCols.map(col): _*)
+      .agg(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__v")))),
+        e => e.getField("__v")).as(sketchCol))
+  }
+
   /** One batch's per-group MOMENT rows — exact sufficient statistics
     * (n, Σx, Σx²) over an integer-scaled measure (cents). Unlike a
     * probabilistic sketch these merge LOSSLESSLY: integer sums are

@@ -151,6 +151,19 @@ object GraftExtensions {
         }
         graft.functions.MisraGriesAgg(args.head, k)
       }),
+    (new org.apache.spark.sql.catalyst.FunctionIdentifier("count_min"),
+      new ExpressionInfo(classOf[graft.functions.CountMinAgg].getName,
+        "count_min"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "count_min(item, depth, width) takes three arguments")
+        val ints = args.drop(1).map {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"count_min depth/width must be integer literals, got $other")
+        }
+        graft.functions.CountMinAgg(args.head, ints(0), ints(1))
+      }),
     binaryFn("dot_product", classOf[graft.functions.DotProduct].getName,
       graft.functions.DotProduct(_, _)),
     binaryFn("l2_sq", classOf[graft.functions.L2Squared].getName,

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.CountMinAgg.{cm_estimate, count_min}
+
+/** The Count-Min TypedImperativeAggregate: the no-undercount guarantee
+  * under forced partial/merge paths, Column-side estimate parity with the
+  * imperative update hashing, linearity (relational store merge equals
+  * single-pass), and the SQL-surface registration. */
+class CountMinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val D = 4
+  private val W = 1024
+
+  private def estimates(items: Seq[String], queried: Seq[String],
+      partitions: Int): Map[String, Long] = {
+    val sketch = items.toDF("item").repartition(partitions)
+      .agg(count_min(col("item"), D, W).as("cm"))
+    queried.toDF("q").crossJoin(broadcast(sketch))
+      .select(col("q"), cm_estimate(col("cm"), col("q"), D, W).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("estimates never undercount, exact when uncontended, across partitionings") {
+    val items = (0 until 2000).map(i => s"t${i % 97}") // 97 distinct << W
+    val truth = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    for (p <- Seq(1, 4, 16)) {
+      val est = estimates(items, truth.keys.toSeq, p)
+      for ((item, exact) <- truth) {
+        assert(est(item) >= exact, s"undercount $item at partitions=$p")
+        // 97 items in 256 buckets collide sometimes, but min-over-4-rows
+        // with independent row hashes keeps the overcount within 2n/W
+        assert(est(item) - exact <= 2L * items.size / W,
+          s"overcount beyond 2n/W: $item at partitions=$p")
+      }
+    }
+  }
+
+  test("an absent item estimates only collision mass") {
+    val est = estimates(Seq.fill(100)("present"), Seq("absent-item"), 4)
+    assert(est("absent-item") <= 100L)
+  }
+
+  test("linearity: relational cmMerge over batch sketches == single-pass sketch") {
+    val items = (0 until 3000).map(i => s"w${i % 151}")
+    val single = items.toDF("item")
+      .agg(count_min(col("item"), D, W).as("cm"))
+      .collect().head.getSeq[Long](0)
+    val store = items.grouped(1000).toSeq.zipWithIndex.map { case (b, i) =>
+      b.toDF("item").agg(lit(i).as("g"), count_min(col("item"), D, W).as("cm"))
+    }.reduce(_ unionAll _).withColumn("src", lit("all"))
+    val merged = graft.pipeline.Sketches.cmMerge(store, Seq("src"))
+      .collect().head.getSeq[Long](1)
+    assert(merged == single)
+  }
+
+  test("count_min + nulls skipped via SQL surface") {
+    // same entries Verify/Bench sessions get via injectFunction
+    graft.plans.GraftExtensions.functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+    Seq(Some("a"), None, Some("a"), Some("b")).toDF("item")
+      .createOrReplaceTempView("cm_in")
+    val arr = spark.sql("SELECT count_min(item, 2, 64) AS cm FROM cm_in")
+      .collect().head.getSeq[Long](0)
+    assert(arr.length == 2 * 64)
+    assert(arr.sum == 2 * 3) // 3 non-null items hit depth=2 rows each
+  }
+}
