@@ -3977,6 +3977,65 @@ object Queries {
           lit(true)).as("bound_met"))
   }
 
+  // Fixed-point weighted PageRank (3 iterations, d=0.85) over the
+  // nation-trade graph: customer nation → supplier nation edges weighted
+  // by lineitem count. Total rank mass is 10^9 integer units and every
+  // division floors, so the eigenvector arithmetic is bit-identical
+  // across engines — the generic operator (Graphs.pagerank) is the
+  // crawl-domain-authority scorer; the edge build here is the
+  // corpus-cardinality stage, the iteration is graph-cardinality.
+  register(
+    "q31_pagerank_trade",
+    """WITH e AS (
+      |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+      |         CAST(count(*) AS BIGINT) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2),
+      |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |nn AS (SELECT count(*) AS n FROM nodes),
+      |ow AS (SELECT src, sum(w) AS outw FROM e GROUP BY src),
+      |r0 AS (SELECT node, 1000000000 // (SELECT n FROM nn) AS rank
+      |       FROM nodes),
+      |r1 AS (SELECT nodes.node,
+      |         (15 * (1000000000 // (SELECT n FROM nn))) // 100 +
+      |         (85 * coalesce(m.s, 0)) // 100 AS rank
+      |       FROM nodes LEFT JOIN (
+      |         SELECT e.dst AS node, sum((r0.rank * e.w) // ow.outw) AS s
+      |         FROM e JOIN ow ON e.src = ow.src
+      |                JOIN r0 ON r0.node = e.src
+      |         GROUP BY e.dst) m ON m.node = nodes.node),
+      |r2 AS (SELECT nodes.node,
+      |         (15 * (1000000000 // (SELECT n FROM nn))) // 100 +
+      |         (85 * coalesce(m.s, 0)) // 100 AS rank
+      |       FROM nodes LEFT JOIN (
+      |         SELECT e.dst AS node, sum((r1.rank * e.w) // ow.outw) AS s
+      |         FROM e JOIN ow ON e.src = ow.src
+      |                JOIN r1 ON r1.node = e.src
+      |         GROUP BY e.dst) m ON m.node = nodes.node),
+      |r3 AS (SELECT nodes.node,
+      |         (15 * (1000000000 // (SELECT n FROM nn))) // 100 +
+      |         (85 * coalesce(m.s, 0)) // 100 AS rank
+      |       FROM nodes LEFT JOIN (
+      |         SELECT e.dst AS node, sum((r2.rank * e.w) // ow.outw) AS s
+      |         FROM e JOIN ow ON e.src = ow.src
+      |                JOIN r2 ON r2.node = e.src
+      |         GROUP BY e.dst) m ON m.node = nodes.node)
+      |SELECT node, CAST(rank AS BIGINT) AS rank_e9
+      |FROM r3 ORDER BY node""".stripMargin) { (s, dir) =>
+    val edges = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    graft.pipeline.Graphs.pagerank(edges, iters = 3, dampingPct = 85)
+      .select(col("node"), col("rank").as("rank_e9"))
+      .orderBy("node")
+  }
+
   // Count-Min sketch with the guarantee hash-pinned (the t31
   // construction): the custom TypedImperativeAggregate folds the token
   // stream into a 4×8192 counter array (linear — partial-aggregated
