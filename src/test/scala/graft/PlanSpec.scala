@@ -532,6 +532,43 @@ class PlanSpec extends AnyFunSuite {
     assert(spark.sharedState.cacheManager.isEmpty, "ppjoin leaked cache entries")
   }
 
+  test("r10 ops: scd2 one exchange for both windows, markov one window, moment/cm sketch partials, pq refine broadcasts the shortlist") {
+    // SCD2: the no-op-drop lag and the interval lead share ONE hash
+    // exchange on the key (plus only the final presentation sort)
+    val p33 = plan("q33_scd2_upsert")
+    assert(p33.split("Exchange hashpartitioning").length - 1 == 1,
+      "scd2 must reuse one key exchange for both windows")
+    // markov: one window exchange on user + the (prev,next) agg — never a
+    // per-user array
+    val p32 = plan("q32_markov_transitions")
+    assert(!p32.contains("collect_list") && !p32.contains("CartesianProduct"),
+      "markov must be a lead window, not per-user arrays")
+    // moment store: plain hash aggregates, integer sums — no object aggs,
+    // no UDF; count_min: TypedImperativeAggregate partial+final pair
+    val p30 = plan("q30_moment_store")
+    assert(p30.contains("HashAggregate"), "moment store must hash-aggregate")
+    val p34 = plan("t34_count_min_bound")
+    assert(p34.split("ObjectHashAggregate").length - 1 >= 2,
+      "count_min must partial-aggregate map-side")
+    // pq refine: the float re-attach join BROADCASTS the shortlist — the
+    // corpus scan is filtered, never shuffled into the join
+    val pRef = plan("ann_pq_refine_topk")
+    assert(pRef.contains("BroadcastHashJoin"),
+      "refine must broadcast the shortlist against the float scan")
+    for (p <- Seq(p33, p32, p30, p34, pRef))
+      assert(!p.contains("UDF") && !p.contains("BatchEvalPython"), "UDF in plan")
+  }
+
+  test("pagerank: flat iterative plan, skinny rank shuffles") {
+    // after 3 localCheckpoint-ed rounds the executed plan must NOT contain
+    // the unrolled iteration lineage (checkpoint per round, the iterative
+    // invariant) — the final plan reads one checkpointed RDD
+    val p = plan("q31_pagerank_trade")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      "pagerank output must read the checkpointed round, not replay lineage")
+    assert(!p.contains("UDF") && !p.contains("BatchEvalPython"), "UDF in plan")
+  }
+
   test("winnowing: selection is scan-side, candidate join releases caches") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val fps = graft.pipeline.Dedup.winnowFingerprints(docs, "text", "doc_id")
