@@ -53,6 +53,64 @@ object Sketches {
         e => e.getField("__v")).as(sketchCol))
   }
 
+  /** One micro-batch step of the STREAMING trending-item detector — the
+    * [[graft.pipeline.Dedup.minhashStoreStep]] shape for frequency
+    * sketches: the arriving batch's candidate items (its Misra–Gries
+    * top-k — a bounded probe set, never the vocabulary) compare their
+    * in-batch rate against the historical per-batch rate read from the
+    * Count-Min sketch STORE, then the batch's own sketch appends as one
+    * fixed-size row. An item trends when
+    * `batch_est × nBatches > spikeFactor × baseline_est` — all-integer
+    * arithmetic; a never-seen item bursting in (baseline 0) trends by
+    * construction, and CM's no-undercount guarantee means a trend verdict
+    * is never caused by the baseline UNDER-estimating history.
+    *
+    * State is O(batches × depth·width) sketch bytes regardless of stream
+    * volume; the emitted result materializes BEFORE the append (safe
+    * read-then-append under batch retries). Use from
+    * `writeStream.foreachBatch`. Returns (item, batch_est, baseline_est);
+    * the first batch (empty store) emits nothing and seeds the store. */
+  def cmTrendStep(batch: DataFrame, storeDir: String, itemCol: String,
+      depth: Int = 4, width: Int = 8192, candidateK: Int = 64,
+      spikeFactor: Int = 4): DataFrame = {
+    import graft.functions.CountMinAgg.{cm_estimate, count_min}
+    import graft.functions.MisraGriesAgg.misra_gries
+    val spark = batch.sparkSession
+    val sketchPath = s"$storeDir/cm"
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val items = batch.select(col(itemCol).as("item"))
+      .where(col("item").isNotNull)
+    val batchSketch = items.agg(count_min(col("item"), depth, width).as("cm"))
+    val trending = if (fs.exists(new org.apache.hadoop.fs.Path(sketchPath))) {
+      val store = spark.read.parquet(sketchPath)
+      val nBatches = store.count()
+      val baseline = cmMerge(store.withColumn("__g", lit(1)), Seq("__g"))
+      val candidates = items
+        .agg(misra_gries(col("item"), candidateK).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("item"), col("e.est").as("batch_est"))
+      candidates.crossJoin(broadcast(baseline))
+        .withColumn("baseline_est",
+          cm_estimate(col("cm"), col("item"), depth, width))
+        .where(col("batch_est") * nBatches >
+          lit(spikeFactor.toLong) * col("baseline_est"))
+        .select("item", "batch_est", "baseline_est")
+    } else {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("item",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("batch_est",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("baseline_est",
+            org.apache.spark.sql.types.LongType))))
+    }
+    val out = trending.localCheckpoint()
+    batchSketch.write.mode("append").parquet(sketchPath)
+    out
+  }
+
   /** One batch's per-group MOMENT rows — exact sufficient statistics
     * (n, Σx, Σx²) over an integer-scaled measure (cents). Unlike a
     * probabilistic sketch these merge LOSSLESSLY: integer sums are

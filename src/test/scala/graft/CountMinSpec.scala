@@ -57,6 +57,32 @@ class CountMinSpec extends AnyFunSuite {
     assert(merged == single)
   }
 
+  test("cmTrendStep: sketch store baseline, spike detection, seed batch emits nothing") {
+    val tmp = java.nio.file.Files.createTempDirectory("cmtrend").toString
+    def batchOf(items: Seq[String]) = items.toDF("tok")
+    // two seed batches: steady mix of "common" (100/batch) + "rare" (5/batch)
+    val steady = Seq.fill(100)("common") ++ Seq.fill(5)("rare")
+    val first = graft.pipeline.Sketches.cmTrendStep(
+      batchOf(steady), tmp, "tok", depth = D, width = W)
+    assert(first.isEmpty, "first batch must only seed the store")
+    assert(!graft.pipeline.Sketches.cmTrendStep(
+        batchOf(steady), tmp, "tok", depth = D, width = W)
+      .collect().map(_.getString(0)).contains("common"),
+      "steady token must not trend")
+    // spike batch: "burst" never seen before + "rare" at 20x its rate
+    val spiked = Seq.fill(100)("common") ++ Seq.fill(100)("rare") ++
+      Seq.fill(50)("burst")
+    val out = graft.pipeline.Sketches.cmTrendStep(
+        batchOf(spiked), tmp, "tok", depth = D, width = W)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.contains("burst") && out("burst")._2 == 0L,
+      s"never-seen burst must trend with baseline 0: $out")
+    assert(out.contains("rare"), s"20x rate spike must trend: $out")
+    assert(!out.contains("common"), s"steady token trended: $out")
+    // store grew one fixed-size sketch row per batch
+    assert(spark.read.parquet(s"$tmp/cm").count() == 3)
+  }
+
   test("count_min + nulls skipped via SQL surface") {
     // same entries Verify/Bench sessions get via injectFunction
     graft.plans.GraftExtensions.functions.foreach { case (id, info, builder) =>
