@@ -4036,6 +4036,59 @@ object Queries {
       .orderBy("node")
   }
 
+  // HITS hubs & authorities (2 full iterations) over the same trade
+  // graph — integer "ppm" mass with floor-division L1 rescaling, so the
+  // mutual-reinforcement arithmetic is engine-identical. Hub scores flag
+  // aggregator nations (broad supplier reach), authority scores flag
+  // supply concentration.
+  register(
+    "q34_hits_trade",
+    """WITH e AS (
+      |  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+      |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |nn AS (SELECT count(*) AS n FROM nodes),
+      |h0 AS (SELECT node, 1000000 // (SELECT n FROM nn) AS s FROM nodes),
+      |a1r AS (SELECT e.dst AS node, sum(h0.s) AS raw
+      |        FROM e JOIN h0 ON h0.node = e.src GROUP BY e.dst),
+      |a1 AS (SELECT nodes.node,
+      |         CAST((coalesce(a1r.raw, 0) * 1000000) //
+      |              (SELECT sum(raw) FROM a1r) AS BIGINT) AS s
+      |       FROM nodes LEFT JOIN a1r ON a1r.node = nodes.node),
+      |h1r AS (SELECT e.src AS node, sum(a1.s) AS raw
+      |        FROM e JOIN a1 ON a1.node = e.dst GROUP BY e.src),
+      |h1 AS (SELECT nodes.node,
+      |         CAST((coalesce(h1r.raw, 0) * 1000000) //
+      |              (SELECT sum(raw) FROM h1r) AS BIGINT) AS s
+      |       FROM nodes LEFT JOIN h1r ON h1r.node = nodes.node),
+      |a2r AS (SELECT e.dst AS node, sum(h1.s) AS raw
+      |        FROM e JOIN h1 ON h1.node = e.src GROUP BY e.dst),
+      |a2 AS (SELECT nodes.node,
+      |         CAST((coalesce(a2r.raw, 0) * 1000000) //
+      |              (SELECT sum(raw) FROM a2r) AS BIGINT) AS s
+      |       FROM nodes LEFT JOIN a2r ON a2r.node = nodes.node),
+      |h2r AS (SELECT e.src AS node, sum(a2.s) AS raw
+      |        FROM e JOIN a2 ON a2.node = e.dst GROUP BY e.src),
+      |h2 AS (SELECT nodes.node,
+      |         CAST((coalesce(h2r.raw, 0) * 1000000) //
+      |              (SELECT sum(raw) FROM h2r) AS BIGINT) AS s
+      |       FROM nodes LEFT JOIN h2r ON h2r.node = nodes.node)
+      |SELECT h2.node, h2.s AS hub_ppm, a2.s AS auth_ppm
+      |FROM h2 JOIN a2 ON a2.node = h2.node
+      |ORDER BY h2.node""".stripMargin) { (s, dir) =>
+    val edges = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .distinct()
+    graft.pipeline.Graphs.hits(edges, iters = 2)
+      .orderBy("node")
+  }
+
   // Count-Min sketch with the guarantee hash-pinned (the t31
   // construction): the custom TypedImperativeAggregate folds the token
   // stream into a 4×8192 counter array (linear — partial-aggregated

@@ -34,6 +34,51 @@ object Graphs {
     * `localCheckpoint` keeps the plan flat (the iterative-algorithm
     * invariant — lineage would otherwise grow multiplicatively). The only
     * driver action is N, one scalar. */
+  /** HITS hubs & authorities (Kleinberg 1999) for a fixed iteration count
+    * over unweighted `edges` (src, dst) — the link-spam-resistant
+    * complement to [[pagerank]] for domain curation: a hub score flags
+    * aggregator/directory domains, an authority score flags content
+    * domains worth crawl budget.
+    *
+    * Per half-iteration: new authority mass = Σ incoming hub scores, then
+    * rescaled so total mass is 10⁶ "ppm" units (`(raw·10⁶) div Σraw` —
+    * integer floor division stands in for the L1 normalization);
+    * symmetrically for hubs. The ppm scale keeps every intermediate under
+    * 2⁶³ for graphs up to ~10⁶ max in-degree × 10⁶ nodes; rescale the
+    * constant for denser graphs.
+    *
+    * Scale shape: each half-iteration is one skinny (node, long) join
+    * against edges plus one pre-combined groupBy and a one-row total
+    * broadcast; per-round `localCheckpoint` keeps the plan flat. Returns
+    * (node, hub_ppm, auth_ppm). */
+  def hits(edges: DataFrame, iters: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1)
+    val scale = 1000000L
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    def normalize(raw: DataFrame): DataFrame = {
+      val tot = raw.agg(sum(col("raw")).as("tot"))
+      nodes.join(raw, Seq("node"), "left").crossJoin(broadcast(tot))
+        .select(col("node"),
+          expr(s"(coalesce(raw, 0L) * $scale) div tot").as("score"))
+        .localCheckpoint()
+    }
+    val n = nodes.count()
+    var hubs = nodes.select(col("node"), lit(scale / n).as("score"))
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      auths = normalize(e.join(hubs.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("score")).as("raw")))
+      hubs = normalize(e.join(auths.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("score")).as("raw")))
+    }
+    hubs.withColumnRenamed("score", "hub_ppm")
+      .join(auths.withColumnRenamed("score", "auth_ppm"), "node")
+  }
+
   def pagerank(edges: DataFrame, iters: Int, dampingPct: Int = 85,
       srcCol: String = "src", dstCol: String = "dst",
       wCol: String = "w"): DataFrame = {
