@@ -3388,6 +3388,88 @@ object Queries {
       .orderBy("q_id", "rank")
   }
 
+  // Reciprocal-rank fusion of lexical BM25 and dense cosine rankings —
+  // the hybrid-retrieval merge (Cormack et al. 2009): score =
+  // Σ 1/(60+rank), missing entries contribute 0, no cross-system score
+  // calibration. Probes q1-q3 pair their BM25 text with embedding
+  // vectors 1-3 as the dense queries (synthetic 1:1 id spaces). Two-term
+  // IEEE addition is exactly commutative, so the fused doubles are
+  // engine-identical; ranks tie-break on doc_id.
+  register(
+    "t35_rrf_fusion",
+    """WITH q AS (SELECT * FROM (VALUES ('q1', 'table scan'),
+      |    ('q2', 'merge join batch'), ('q3', 'vector data stream'))
+      |    AS q(q_id, q_text)),
+      |post AS (
+      |  SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM (
+      |    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM (
+      |      SELECT doc_id,
+      |             list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')
+      |               AS toks
+      |      FROM documents))
+      |  GROUP BY doc_id, dl, term),
+      |qt AS (
+      |  SELECT q_id, unnest(list_distinct(
+      |    list_filter(string_split_regex(lower(q_text), '\s+'), x -> x != ''))) AS term
+      |  FROM q),
+      |stats AS (
+      |  SELECT count(*)::DOUBLE AS n,
+      |         avg(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |             x -> x != ''))::DOUBLE) AS avgdl
+      |  FROM documents),
+      |dft AS (
+      |  SELECT term, count(*)::DOUBLE AS df
+      |  FROM post JOIN (SELECT DISTINCT term FROM qt) v USING (term)
+      |  GROUP BY term),
+      |scored AS (
+      |  SELECT qt.q_id, post.doc_id,
+      |         round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+      |           tf * (1.2 + 1.0) /
+      |           (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+      |  FROM post JOIN qt USING (term) JOIN dft USING (term) CROSS JOIN stats
+      |  GROUP BY qt.q_id, post.doc_id),
+      |lex10 AS (
+      |  SELECT q_id, doc_id, rank FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id
+      |      ORDER BY score DESC, doc_id ASC) AS rank FROM scored)
+      |  WHERE rank <= 10),
+      |dq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (1, 2, 3)),
+      |dense10 AS (
+      |  SELECT q_id, doc_id, rank FROM (
+      |    SELECT 'q' || dq.vec_id AS q_id, c.vec_id AS doc_id,
+      |           row_number() OVER (PARTITION BY dq.vec_id ORDER BY
+      |             round(list_cosine_similarity(c.embedding::DOUBLE[],
+      |               dq.embedding::DOUBLE[]), 6) DESC, c.vec_id ASC) AS rank
+      |    FROM embeddings c CROSS JOIN dq WHERE c.vec_id != dq.vec_id)
+      |  WHERE rank <= 10),
+      |fused AS (
+      |  SELECT coalesce(l.q_id, d.q_id) AS q_id,
+      |         coalesce(l.doc_id, d.doc_id) AS doc_id,
+      |         round(coalesce(1.0 / (60 + l.rank), 0) +
+      |               coalesce(1.0 / (60 + d.rank), 0), 6) AS rrf_score
+      |  FROM lex10 l FULL OUTER JOIN dense10 d
+      |    ON l.q_id = d.q_id AND l.doc_id = d.doc_id)
+      |SELECT q_id, doc_id, rrf_score, rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY rrf_score DESC, doc_id ASC) AS rank FROM fused)
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+    val session = s
+    import session.implicits._
+    val probes = Seq(("q1", "table scan"), ("q2", "merge join batch"),
+      ("q3", "vector data stream")).toDF("q_id", "q_text")
+    val lex = graft.pipeline.Retrieval
+      .bm25TopK(t(s, dir, "documents"), probes, k = 10)
+      .select(col("q_id"), col("doc_id"), col("rank"))
+    val e = t(s, dir, "embeddings")
+    val dq = e.where(col("vec_id").isin(1, 2, 3))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val dense = Similarity.bruteForceTopK(e, dq, k = 10)
+      .select(concat(lit("q"), col("q_id")).as("q_id"),
+        col("neighbor_id").as("doc_id"), col("rank"))
+    graft.pipeline.Retrieval.rrfFuse(Seq(lex, dense), k = 5)
+      .orderBy("q_id", "rank")
+  }
+
   // BM25 against a staged postings store — the build-once/probe-many
   // serving loop (the retrieval analogue of d2b's signature store): corpus
   // stats are derived from the store's distinct (doc, dl) pairs, raw text

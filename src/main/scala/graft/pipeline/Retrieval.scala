@@ -153,6 +153,41 @@ object Retrieval {
     * the postings, vocabulary-cardinality output — still skinny: term +
     * count, no doc ids). The per-doc top-k window shuffles (doc_id, term,
     * score) triples only. */
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of ranked
+    * result lists — the hybrid-retrieval merge: a lexical ([[bm25TopK]])
+    * and a dense ([[Similarity.bruteForceTopK]] / IVF-PQ) list fuse into
+    * one ranking with `score = Σᵢ 1/(rrfK + rankᵢ)`, missing entries
+    * contributing 0. No score calibration across systems is needed —
+    * only ranks — which is why RRF is the standard first fusion.
+    *
+    * Each input holds (q_id, doc_id, rank). Determinism: the fold joins
+    * lists full-outer in ARGUMENT ORDER and sums coalesced terms in that
+    * fixed nesting, so the double arithmetic is engine-reproducible
+    * (and exactly commutative for the common two-list case).
+    *
+    * Scale shape: rank lists are (queries × k) rows — everything here is
+    * probe-sized; the corpus was touched only inside the upstream
+    * retrievers. The final per-query window runs over ≤ Σ list sizes. */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, rrfK: Int = 60,
+      qCol: String = "q_id", idCol: String = "doc_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val prepared = lists.zipWithIndex.map { case (df, i) =>
+      df.select(col(qCol), col(idCol),
+        (lit(1.0) / (lit(rrfK) + col(rankCol))).as(s"__s$i"))
+    }
+    val joined = prepared.reduce((a, b) => a.join(b, Seq(qCol, idCol), "full_outer"))
+    val score = round(lists.indices
+      .map(i => coalesce(col(s"__s$i"), lit(0.0)))
+      .reduce(_ + _), 6)
+    val w = Window.partitionBy(col(qCol))
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+    joined.withColumn("rrf_score", score)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qCol), col(idCol), col("rrf_score"), col("rank"))
+  }
+
   def tfidfTopTerms(docs: DataFrame, k: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val post = postings(docs, textCol, idCol)
