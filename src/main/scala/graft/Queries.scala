@@ -3388,6 +3388,28 @@ object Queries {
       .orderBy("q_id", "rank")
   }
 
+  // k-anonymity audit (Sweeney 2002): equivalence classes over the
+  // quasi-identifier tuple (event_type, epoch-day, value decile); classes
+  // smaller than k=5 are re-identifiable and flagged for suppression —
+  // the structured-data counterpart of PII redaction before a corpus
+  // ships. One pre-combined agg keyed by the QI tuple.
+  register(
+    "t36_k_anonymity",
+    """SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |       CAST(floor(value / 10.0) AS BIGINT) AS value_bucket,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       count(*) < 5 AS suppress
+      |FROM events GROUP BY 1, 2, 3
+      |ORDER BY event_type, day, value_bucket""".stripMargin) { (s, dir) =>
+    val qi = t(s, dir, "events").select(
+      col("event_type"),
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      floor(col("value") / 10.0).cast("long").as("value_bucket"))
+    graft.pipeline.TextAnalysis.kAnonymityClasses(qi,
+        Seq("event_type", "day", "value_bucket"), k = 5)
+      .orderBy("event_type", "day", "value_bucket")
+  }
+
   // Reciprocal-rank fusion of lexical BM25 and dense cosine rankings —
   // the hybrid-retrieval merge (Cormack et al. 2009): score =
   // Σ 1/(60+rank), missing entries contribute 0, no cross-system score

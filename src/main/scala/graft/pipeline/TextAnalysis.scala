@@ -226,6 +226,21 @@ object TextAnalysis {
     }
   }
 
+  /** k-anonymity audit over quasi-identifier columns (Sweeney 2002): a
+    * record whose QI combination is shared by fewer than k records is
+    * re-identifiable and must be suppressed (or generalized) before the
+    * data enters a training corpus — the structured-data counterpart of
+    * [[piiRedact]].
+    *
+    * Returns one row per QI equivalence class: the QI columns, `n`, and
+    * `suppress` (n < k). Join back on the QI columns (class-cardinality,
+    * AQE broadcasts it) to filter records; ONE pre-combined agg shuffle
+    * keyed by the QI tuple — never wider than the class table. */
+  def kAnonymityClasses(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame =
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("suppress", col("n") < k)
+
   // ---------------------------------------------------------------------------
   // Deterministic sampling
   // ---------------------------------------------------------------------------
