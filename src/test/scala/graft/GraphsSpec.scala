@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.Graphs
+
+/** Fixed-point PageRank / HITS: partitioning invariance (the point of the
+  * integer arithmetic), direction of the scores on known shapes, and
+  * dangling-mass behavior. */
+class GraphsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // star graph: every spoke links to the hub, hub links to one spoke
+  private def starEdges = Seq(
+    (1L, 0L, 1L), (2L, 0L, 1L), (3L, 0L, 1L), (4L, 0L, 1L), (0L, 1L, 1L)
+  ).toDF("src", "dst", "w")
+
+  test("pagerank: hub of a star outranks spokes; results partitioning-invariant") {
+    val r1 = Graphs.pagerank(starEdges.repartition(1), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r7 = Graphs.pagerank(starEdges.repartition(7), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == r7, "integer fixed-point must be partitioning-invariant")
+    assert(r1(0L) > r1(2L) && r1(0L) > r1(3L), s"hub must outrank spokes: $r1")
+    // total mass never exceeds the initial 1e9 (floor divisions + dangling
+    // decay only lose mass)
+    assert(r1.values.sum <= 1000000000L)
+  }
+
+  test("pagerank: weighted edges shift rank toward the heavy target") {
+    // 0 links to 1 (w=9) and 2 (w=1)
+    val e = Seq((0L, 1L, 9L), (0L, 2L, 1L), (1L, 0L, 1L), (2L, 0L, 1L))
+      .toDF("src", "dst", "w")
+    val r = Graphs.pagerank(e, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) > r(2L), s"9:1 edge weight must rank 1 above 2: $r")
+  }
+
+  test("pagerank: dangling mass decays, teleport keeps every node positive") {
+    val e = Seq((0L, 1L, 1L), (1L, 2L, 1L)).toDF("src", "dst", "w") // 2 dangles
+    val r = Graphs.pagerank(e, iters = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.values.forall(_ > 0L), s"teleport floor must keep ranks positive: $r")
+    assert(r.values.sum < 1000000000L, "dangling mass must decay")
+  }
+
+  test("hits: directory page is the hub, linked pages the authorities; partitioning-invariant") {
+    // 0 links to 1,2,3 (a directory); 4 links to 1 as well
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (4L, 1L)).toDF("src", "dst")
+    val h1 = Graphs.hits(e.repartition(1), iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val h5 = Graphs.hits(e.repartition(5), iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(h1 == h5, "integer fixed-point must be partitioning-invariant")
+    assert(h1(0L)._1 > h1(4L)._1, s"3-out directory must out-hub 1-out node: $h1")
+    assert(h1(1L)._2 > h1(2L)._2, s"doubly-linked page must out-auth others: $h1")
+    assert(h1(0L)._2 == 0L, "unlinked node has zero authority")
+  }
+}
