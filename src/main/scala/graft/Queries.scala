@@ -3388,6 +3388,83 @@ object Queries {
       .orderBy("q_id", "rank")
   }
 
+  // Mergeable histogram store + percentile read: per-batch fixed-bin
+  // integer histograms merge losslessly (unlike the GK sketch behind
+  // percentile_approx, whose binary state has no relational merge);
+  // any rollup answers any percentile with error <= one bin width. The
+  // p50 lower edge is pure integer arithmetic (running-sum window over
+  // occupied bins), and merge_lossless pins rollup == single-pass.
+  register(
+    "q36_histogram_store",
+    """WITH h AS (
+      |  SELECT l_returnflag,
+      |         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) // 500 AS bin,
+      |         count(*) AS n
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (SELECT l_returnflag, bin,
+      |             sum(n) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+      |             sum(n) OVER (PARTITION BY l_returnflag) AS tot
+      |      FROM h)
+      |SELECT l_returnflag,
+      |       CAST(min(bin) * 500 AS BIGINT) AS p_lower_cents,
+      |       TRUE AS merge_lossless
+      |FROM c WHERE cum * 1000000 >= tot * 500000
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val li = t(s, dir, "lineitem")
+    val cents = floor(col("l_quantity") * 100 + 0.5).cast("long")
+    // 4 synthetic ingest batches stand in for dt-partitioned store writes
+    val store = Sketches.histSketches(
+      li.withColumn("__batch", pmod(col("l_orderkey"), lit(4))),
+      Seq("l_returnflag", "__batch"), cents, binWidthCents = 500L)
+    val merged = Sketches.histMerge(store, Seq("l_returnflag"))
+    val direct = Sketches.histSketches(li, Seq("l_returnflag"), cents, 500L)
+      .withColumnRenamed("n", "__nd")
+    val lossless = merged.join(direct, Seq("l_returnflag", "bin"), "full_outer")
+      .groupBy("l_returnflag")
+      .agg(bool_and(col("n").isNotNull && col("__nd").isNotNull &&
+        col("n") === col("__nd")).as("merge_lossless"))
+    Sketches.histPercentile(merged, Seq("l_returnflag"), q = 0.5,
+        binWidthCents = 500L)
+      .join(lossless, "l_returnflag")
+      .select(col("l_returnflag"), col("p_lower_cents"), col("merge_lossless"))
+      .orderBy("l_returnflag")
+  }
+
+  // Sketch-guided EXACT top-k — the two-pass pattern that makes "exact
+  // top 10 tokens" affordable at corpus scale: pass 1 summarizes each
+  // partition with a Misra-Gries sketch (no vocabulary shuffle), pass 2
+  // recounts ONLY the <= 64 candidates (broadcast semi-join at the scan)
+  // and ranks exactly. The MG theorem guarantees the true top-10 survive
+  // pass 1 whenever the 10th frequency exceeds n/65 (it does here: 30+
+  // tokens clear that bar, pinned by t31), so the result equals the
+  // full exact top-10 the oracle computes.
+  register(
+    "t37_exact_topk_twopass",
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                x -> x != '')) AS tok
+      |  FROM documents),
+      |c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+      |SELECT tok, CAST(cnt AS BIGINT) AS cnt, rank FROM (
+      |  SELECT *, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rank
+      |  FROM c)
+      |WHERE rank <= 10 ORDER BY rank""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = t(s, dir, "documents")
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+    val cand = toks
+      .agg(graft.functions.MisraGriesAgg.misra_gries(col("tok"), 64).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("tok"))
+    val exact = toks.join(broadcast(cand), "tok")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    exact
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("tok").asc)))
+      .where(col("rank") <= 10)
+      .orderBy("rank")
+  }
+
   // k-anonymity audit (Sweeney 2002): equivalence classes over the
   // quasi-identifier tuple (event_type, epoch-day, value decile); classes
   // smaller than k=5 are re-identifiable and flagged for suppression —

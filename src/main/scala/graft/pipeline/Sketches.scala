@@ -148,6 +148,47 @@ object Sketches {
       .withColumn("var_pop", round((ssd - sd * sd / col("n")) / col("n"), 6))
   }
 
+  /** One batch's per-group fixed-bin HISTOGRAM rows over an integer-scaled
+    * measure — the STORABLE percentile path: per-batch (group, bin, n)
+    * rows merge losslessly (integer sums), unlike the GK sketch behind
+    * `percentile_approx` whose binary state has no relational merge. Any
+    * later rollup answers any percentile with error ≤ one bin width —
+    * bounded a priori by the bin choice, not the data. Row count per
+    * batch is groups × occupied bins, never the stream. */
+  def histSketches(df: DataFrame, groupCols: Seq[String], centsCol: Column,
+      binWidthCents: Long): DataFrame =
+    df.groupBy(groupCols.map(col) :+
+        floor(centsCol.cast("long") / binWidthCents).cast("long").as("bin"): _*)
+      .agg(count(lit(1)).as("n"))
+
+  /** Roll a histogram store up per group — integer sums of integer sums,
+    * exactly the single-pass histogram. */
+  def histMerge(store: DataFrame, groupCols: Seq[String]): DataFrame =
+    store.groupBy((groupCols :+ "bin").map(col): _*)
+      .agg(sum(col("n")).as("n"))
+
+  /** Percentile-q lower bound per group from histogram rows: the smallest
+    * bin whose cumulative count reaches ceil(q·n), reported as that bin's
+    * lower edge — pure integer arithmetic (one bin-ordered running-sum
+    * window per group, partitions are occupied-bin-cardinality), so any
+    * engine reproduces it; true percentile lies within [edge, edge+width). */
+  def histPercentile(hist: DataFrame, groupCols: Seq[String], q: Double,
+      binWidthCents: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val qNum = math.round(q * 1000000L) // integer q in ppm: ceil(q*n) exact
+    hist
+      .withColumn("__cum", sum(col("n")).over(w))
+      .withColumn("__tot", sum(col("n")).over(wAll))
+      .where(col("__cum") * 1000000L >= col("__tot") * qNum)
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(col("bin")).as("__bin"))
+      .withColumn(s"p_lower_cents", col("__bin") * binWidthCents)
+      .drop("__bin")
+  }
+
   /** Merge STORED Misra–Gries summaries relationally — the heavy-hitter
     * counterpart of [[hllEstimate]]. Each batch stages its sketch as
     * (item, est) rows ([[graft.pipeline.TextAnalysis.heavyHitters]]);
