@@ -559,6 +559,20 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("UDF") && !p.contains("BatchEvalPython"), "UDF in plan")
   }
 
+  test("histogram store hash-aggregates; two-pass top-k broadcasts candidates") {
+    val p36 = plan("q36_histogram_store")
+    assert(p36.contains("HashAggregate"), "histogram bins must hash-aggregate")
+    assert(!p36.contains("ObjectHashAggregate"),
+      "histogram store is plain integer aggregation, no object sketch state")
+    val p37 = plan("t37_exact_topk_twopass")
+    assert(p37.split("ObjectHashAggregate").length - 1 >= 2,
+      "pass 1 must be the partial+final MG sketch pair")
+    assert(p37.contains("BroadcastHashJoin"),
+      "pass 2 recount must broadcast the candidate set against the scan")
+    for (p <- Seq(p36, p37))
+      assert(!p.contains("UDF") && !p.contains("BatchEvalPython"), "UDF in plan")
+  }
+
   test("pagerank: flat iterative plan, skinny rank shuffles") {
     // after 3 localCheckpoint-ed rounds the executed plan must NOT contain
     // the unrolled iteration lineage (checkpoint per round, the iterative
