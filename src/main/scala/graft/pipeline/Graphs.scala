@@ -55,7 +55,11 @@ object Graphs {
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(iters >= 1)
     val scale = 1000000L
+    // materialize the (graph-cardinality) edge list ONCE — every
+    // half-iteration's checkpoint action would otherwise re-run the
+    // upstream edge-building joins from scratch
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
@@ -83,8 +87,12 @@ object Graphs {
       srcCol: String = "src", dstCol: String = "dst",
       wCol: String = "w"): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    // materialize the (graph-cardinality) edge list ONCE — every
+    // iteration's checkpoint action would otherwise re-run the upstream
+    // edge-building joins from scratch
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(wCol).cast("long").as("w"))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
