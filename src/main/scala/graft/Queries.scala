@@ -3430,6 +3430,60 @@ object Queries {
       .orderBy("l_returnflag")
   }
 
+  // Population stability index between two snapshot histograms — the
+  // standard drift monitor over the q36 histogram store (PSI > 0.1 =
+  // moderate drift). Snapshot B deterministically drops 2/3 of the
+  // high-quantity mass FOR RETURNFLAG 'A' ONLY, so the alarm fires for
+  // A (psi 0.24 at sf0.01) and stays silent for N/R (~0.002) — both of
+  // the verdict are exercised and hash-pinned; per-bin
+  // contributions are ratios of exact integers and the cross-bin sum
+  // folds in bin order (the ADC ordered-list pattern), engine-identical.
+  register(
+    "q37_psi_drift",
+    """WITH a AS (
+      |  SELECT l_returnflag,
+      |         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) // 500 AS bin,
+      |         count(*) AS n
+      |  FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1, 2),
+      |b AS (
+      |  SELECT l_returnflag,
+      |         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) // 500 AS bin,
+      |         count(*) AS n
+      |  FROM lineitem WHERE l_orderkey % 2 = 1
+      |    AND NOT (floor(l_quantity * 100 + 0.5) > 2500
+      |             AND l_orderkey % 3 < 2 AND l_returnflag = 'A')
+      |  GROUP BY 1, 2),
+      |ta AS (SELECT l_returnflag, CAST(sum(n) AS DOUBLE) AS t FROM a GROUP BY 1),
+      |tb AS (SELECT l_returnflag, CAST(sum(n) AS DOUBLE) AS t FROM b GROUP BY 1),
+      |j AS (
+      |  SELECT coalesce(a.l_returnflag, b.l_returnflag) AS l_returnflag,
+      |         coalesce(a.bin, b.bin) AS bin,
+      |         coalesce(a.n, 0) AS na, coalesce(b.n, 0) AS nb
+      |  FROM a FULL OUTER JOIN b
+      |    ON a.l_returnflag = b.l_returnflag AND a.bin = b.bin),
+      |c AS (
+      |  SELECT j.l_returnflag, j.bin,
+      |         (greatest(CAST(na AS DOUBLE) / ta.t, 0.000001) -
+      |          greatest(CAST(nb AS DOUBLE) / tb.t, 0.000001)) *
+      |         ln(greatest(CAST(na AS DOUBLE) / ta.t, 0.000001) /
+      |            greatest(CAST(nb AS DOUBLE) / tb.t, 0.000001)) AS c
+      |  FROM j JOIN ta USING (l_returnflag) JOIN tb USING (l_returnflag))
+      |SELECT l_returnflag,
+      |       round(list_sum(list(c ORDER BY bin)), 6) AS psi,
+      |       round(list_sum(list(c ORDER BY bin)), 6) > 0.1 AS drifted
+      |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val li = t(s, dir, "lineitem")
+    val cents = floor(col("l_quantity") * 100 + 0.5).cast("long")
+    val a = Sketches.histSketches(li.where(col("l_orderkey") % 2 === 0),
+      Seq("l_returnflag"), cents, binWidthCents = 500L)
+    val b = Sketches.histSketches(li.where(col("l_orderkey") % 2 === 1 &&
+        !(cents > 2500 && col("l_orderkey") % 3 < 2 &&
+          col("l_returnflag") === "A")),
+      Seq("l_returnflag"), cents, binWidthCents = 500L)
+    Sketches.psiDrift(a, b, Seq("l_returnflag"), alarm = 0.1)
+      .orderBy("l_returnflag")
+  }
+
   // Sketch-guided EXACT top-k — the two-pass pattern that makes "exact
   // top 10 tokens" affordable at corpus scale: pass 1 summarizes each
   // partition with a Misra-Gries sketch (no vocabulary shuffle), pass 2

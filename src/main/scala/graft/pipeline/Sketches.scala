@@ -189,6 +189,45 @@ object Sketches {
       .drop("__bin")
   }
 
+  /** Population stability index between two histogram snapshots — the
+    * standard distribution-drift monitor (PSI = Σ_bins (pa−pb)·ln(pa/pb),
+    * probabilities floored at 1e-6 so empty bins contribute finitely;
+    * > 0.1 is the conventional "moderate drift" alarm). Composes
+    * [[histSketches]]/[[histMerge]] rows, so drift between any two store
+    * rollups — days, crawls, sources — costs O(groups × bins), never a
+    * raw re-scan.
+    *
+    * Determinism: probabilities are ratios of exact integers, per-bin
+    * contributions are identical doubles on any engine, and the cross-bin
+    * sum folds in BIN ORDER (array_sort + ordered aggregate — the ADC
+    * distance-table pattern), so the result is reproducible bit-for-bit.
+    * Returns (groupCols…, psi, drifted). */
+  def psiDrift(histA: DataFrame, histB: DataFrame, groupCols: Seq[String],
+      alarm: Double = 0.1): DataFrame = {
+    val gc = groupCols.map(col)
+    def tot(h: DataFrame, n: String) =
+      h.groupBy(gc: _*).agg(sum(col("n")).as(n))
+    val a = histA.select(gc :+ col("bin") :+ col("n").as("__na"): _*)
+    val b = histB.select(gc :+ col("bin") :+ col("n").as("__nb"): _*)
+    val eps = 0.000001
+    val joined = a.join(b, groupCols :+ "bin", "full_outer")
+      .join(tot(histA, "__ta"), groupCols)
+      .join(tot(histB, "__tb"), groupCols)
+      .withColumn("__pa", greatest(
+        coalesce(col("__na"), lit(0L)).cast("double") / col("__ta"), lit(eps)))
+      .withColumn("__pb", greatest(
+        coalesce(col("__nb"), lit(0L)).cast("double") / col("__tb"), lit(eps)))
+      .withColumn("__c",
+        (col("__pa") - col("__pb")) * log(col("__pa") / col("__pb")))
+    joined
+      .groupBy(gc: _*)
+      .agg(array_sort(collect_list(struct(col("bin"), col("__c")))).as("__arr"))
+      .withColumn("psi", round(aggregate(col("__arr"), lit(0.0),
+        (acc, x) => acc + x.getField("__c")), 6))
+      .withColumn("drifted", col("psi") > alarm)
+      .drop("__arr")
+  }
+
   /** Merge STORED Misra–Gries summaries relationally — the heavy-hitter
     * counterpart of [[hllEstimate]]. Each batch stages its sketch as
     * (item, est) rows ([[graft.pipeline.TextAnalysis.heavyHitters]]);
