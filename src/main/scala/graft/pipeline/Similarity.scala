@@ -361,6 +361,86 @@ object Similarity {
       .select(col(queryId), col("neighbor_id"), col("dist2"), col("rank"))
   }
 
+  /** Seed the streaming centroid store: train with [[kmeansLloyd]], then
+    * one extra assignment pass counts each cluster's members so later
+    * [[kmeansStoreStep]] updates can weight correctly. Store rows:
+    * (cluster, pos, centroid, n). */
+  def kmeansStoreInit(corpus: DataFrame, init: DataFrame, iters: Int,
+      storeDir: String, vecCol: String = "embedding"): Unit = {
+    val trained = kmeansLloyd(corpus, init, iters, vecCol)
+    val cents = collectCentroids(trained)
+    val counts = assignToCentroids(corpus, cents, vecCol)
+      .groupBy("cluster").agg(count(lit(1)).as("n"))
+    val store = trained.join(counts, "cluster")
+      .select(col("cluster"), col("pos"), col("centroid"), col("n"))
+    store.write.mode("overwrite").parquet(s"$storeDir/centroids")
+  }
+
+  /** One micro-batch step of STREAMING centroid maintenance — mini-batch
+    * k-means (Sculley, WWW 2010) against the parquet-staged store: the
+    * arriving vectors assign to the stored centroids (one-row matrix
+    * broadcast, scan-side argmin — the Lloyd shape), then each touched
+    * centroid moves to the count-weighted mean
+    * `(centroid·n + Σ batch) / (n + n_batch)` and the store rewrites.
+    * Untouched clusters are byte-stable. The drift counterpart of the
+    * streaming ANN index loop: embeddings distributions move, the
+    * quantizer follows without retraining from scratch.
+    *
+    * Per batch: one batch-sized argmin scan + one (cluster, pos) agg +
+    * one store-sized join — never a corpus re-scan. The result
+    * materializes (localCheckpoint) BEFORE the overwrite, so the
+    * read-then-rewrite is safe. Returns the updated store rows. */
+  def kmeansStoreStep(batch: DataFrame, storeDir: String,
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = batch.sparkSession
+    val path = s"$storeDir/centroids"
+    val store = spark.read.parquet(path)
+    val cents = collectCentroids(store)
+    val sums = assignToCentroids(batch, cents, vecCol)
+      .select(col("cluster"), posexplode(col("__v")).as(Seq("pos", "v")))
+      .groupBy("cluster", "pos")
+      .agg(sum(col("v")).as("__s"), count(lit(1)).as("__bn"))
+    val updated = store.join(sums, Seq("cluster", "pos"), "left")
+      .select(col("cluster"), col("pos"),
+        when(col("__bn").isNull, col("centroid"))
+          .otherwise((col("centroid") * col("n") + col("__s")) /
+            (col("n") + col("__bn"))).as("centroid"),
+        when(col("__bn").isNull, col("n"))
+          .otherwise(col("n") + col("__bn")).as("n"))
+      .localCheckpoint()
+    updated.write.mode("overwrite").parquet(path)
+    updated
+  }
+
+  /** (cluster, pos, centroid) long rows → driver-side centroid seq (k×dim
+    * doubles — tiny, the same collect [[kmeansLloyd]] performs per round). */
+  private def collectCentroids(rows: DataFrame): Seq[(Int, Seq[Double])] =
+    rows.select(col("cluster").cast("int"), col("pos").cast("int"),
+        col("centroid").cast("double"))
+      .collect().toSeq
+      .groupBy(_.getInt(0)).toSeq.map { case (c, rs) =>
+        c -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+
+  /** Scan-side nearest-centroid assignment against a one-row matrix
+    * broadcast — the [[kmeansLloyd]] argmin (rounded distances, cluster-id
+    * tie-break), shared by the store init/step. Output: (cluster, __v). */
+  private def assignToCentroids(df: DataFrame, cents: Seq[(Int, Seq[Double])],
+      vecCol: String): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val sorted = cents.sortBy(_._1)
+    val matRow = broadcast(Seq((sorted.map(_._1), sorted.map(_._2)))
+      .toDF("__cent_groups", "__cent_mat"))
+    df.crossJoin(matRow)
+      .withColumn("__scored", array_sort(zip_with(col("__cent_mat"),
+        col("__cent_groups"),
+        (c, g) => struct(round(graft.functions.VectorOps.l2_sq(col(vecCol), c), 6)
+          .as("d"), g.as("g")))))
+      .select(col("__scored").getItem(0).getField("g").as("cluster"),
+        col(vecCol).cast("array<double>").as("__v"))
+  }
+
   /** IVF-PQ top-k — the composed billion-vector serving architecture:
     * coarse inverted lists restrict the scan, PQ codes replace the float
     * vectors, ADC scores the candidates. Coarse centroids arrive

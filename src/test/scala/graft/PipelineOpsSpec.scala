@@ -1189,4 +1189,47 @@ class PipelineOpsSpec extends AnyFunSuite {
     // pairs with nothing (no other empty doc exists)
     assert(out == Set((0L, 1L)))
   }
+
+  test("streaming centroid maintenance: mini-batch k-means against the store") {
+    // seed a 2-cluster store from a tiny corpus, then feed a drifted
+    // batch: the touched centroid moves to the count-weighted mean, the
+    // untouched one is byte-stable, counts accumulate — and a second
+    // step sees batch 1's counts (state lives in the store)
+    val root = java.nio.file.Files.createTempDirectory("graft_kmstore").toString
+    val corpus = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(0.2, 0.0)),      // cluster around x~0.1
+      (2L, Seq(4.0, 4.0)), (3L, Seq(4.2, 4.0)))      // cluster around x~4.1
+      .toDF("vec_id", "embedding")
+    val init = Seq((0, Seq(0.0, 0.0)), (1, Seq(4.0, 4.0)))
+      .toDF("cluster", "centroid_vec")
+    Similarity.kmeansStoreInit(corpus, init, iters = 2, root)
+    val store0 = spark.read.parquet(s"$root/centroids")
+    val c0 = store0.where(col("cluster") === 0 && col("pos") === 0)
+      .head.getAs[Double]("centroid")
+    assert(math.abs(c0 - 0.1) < 1e-9 && store0.where(col("cluster") === 0)
+      .head.getAs[Long]("n") == 2L)
+
+    // batch of two vectors near cluster 0, shifted right
+    val batch = Seq((10L, Seq(1.0, 0.0)), (11L, Seq(1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val updated = Similarity.kmeansStoreStep(batch, root)
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getDouble(2), r.getLong(3)))
+    val up0x = updated.find(u => u._1 == 0 && u._2 == 0).get
+    // weighted mean: (0.1*2 + 1.0 + 1.0) / 4 = 0.55
+    assert(math.abs(up0x._3 - 0.55) < 1e-9, s"got $up0x")
+    assert(up0x._4 == 4L, "counts must accumulate")
+    val up1 = updated.filter(_._1 == 1)
+    assert(up1.forall(_._4 == 2L), "untouched cluster keeps its count")
+    assert(math.abs(up1.find(_._2 == 0).get._3 - 4.1) < 1e-9,
+      "untouched centroid must not move")
+
+    // second step reads batch-1 state from the store
+    val again = Similarity.kmeansStoreStep(
+      Seq((12L, Seq(0.55, 0.0))).toDF("vec_id", "embedding"), root)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    val again0 = again.find(u => u._1 == 0 && u._2 == 0).get
+    // (0.55*4 + 0.55) / 5 = 0.55 — a vector AT the centroid leaves it fixed
+    assert(math.abs(again0._3 - 0.55) < 1e-9 && again0._4 == 5L)
+  }
 }
