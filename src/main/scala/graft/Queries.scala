@@ -3430,6 +3430,60 @@ object Queries {
       .orderBy("l_returnflag")
   }
 
+  /** Piece vocabulary for the t38 WordPiece fertility row — fixed multi-char
+    * pieces; single characters are the implicit fallback on both engines. */
+  private val WpVocab = Seq("ta", "er", "an", "in", "re", "st", "on",
+    "ing", "ion", "ble", "data", "scan")
+
+  /** One greedy-match step of the t38 oracle: consume the longest vocab
+    * piece at the cursor (or one char), frozen once the cursor passes the
+    * word end — the CTE-unrolled mirror of the Spark-side aggregate fold
+    * (10 steps cover the corpus's max 8-char token with margin). */
+  private def wpStepSql(i: Int): String =
+    s"""s$i AS (
+       |  SELECT tok, pos + step AS pos,
+       |         cnt + (CASE WHEN pos <= len(tok) THEN 1 ELSE 0 END) AS cnt
+       |  FROM (
+       |    SELECT s.tok, s.pos, s.cnt,
+       |           CASE WHEN s.pos <= len(s.tok)
+       |                THEN max(CASE WHEN substr(s.tok, s.pos, len(v.piece)) = v.piece
+       |                              THEN len(v.piece) ELSE 1 END)
+       |                ELSE 0 END AS step
+       |    FROM s${i - 1} s CROSS JOIN v
+       |    GROUP BY s.tok, s.pos, s.cnt))""".stripMargin
+
+  // WordPiece-style tokenization fertility (pieces per word): greedy
+  // longest-match segmentation against a fixed piece vocabulary, run as
+  // a codegen'd aggregate fold over character positions on the Spark
+  // side and as 10 unrolled greedy CTE steps in the oracle — the
+  // tokenizer-choice metric for a pretraining corpus. Segmentation is
+  // vocabulary-cardinality work (distinct words), joined back to
+  // pre-combined per-doc word counts; all-integer until the final 6 dp
+  // division.
+  register(
+    "t38_wordpiece_fertility",
+    s"""WITH wc AS (
+      |  SELECT doc_id, tok, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(list_filter(
+      |      string_split_regex(lower(text), '\\s+'), x -> x != '')) AS tok
+      |    FROM documents) GROUP BY doc_id, tok),
+      |dw AS (SELECT DISTINCT tok FROM wc),
+      |v(piece) AS (SELECT * FROM (VALUES
+      |  ${WpVocab.map(p => s"('$p')").mkString(", ")}) t(piece)),
+      |s0 AS (SELECT tok, 1 AS pos, 0 AS cnt FROM dw),
+      |${(1 to 10).map(wpStepSql).mkString(",\n")}
+      |SELECT wc.doc_id,
+      |       CAST(sum(wc.c) AS BIGINT) AS n_words,
+      |       CAST(sum(wc.c * s10.cnt) AS BIGINT) AS n_pieces,
+      |       round(CAST(sum(wc.c * s10.cnt) AS DOUBLE) / sum(wc.c), 6)
+      |         AS fertility
+      |FROM wc JOIN s10 USING (tok)
+      |GROUP BY wc.doc_id ORDER BY wc.doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.wordpieceFertility(t(s, dir, "documents"), "text", "doc_id",
+        WpVocab)
+      .orderBy("doc_id")
+  }
+
   // Population stability index between two snapshot histograms — the
   // standard drift monitor over the q36 histogram store (PSI > 0.1 =
   // moderate drift). Snapshot B deterministically drops 2/3 of the

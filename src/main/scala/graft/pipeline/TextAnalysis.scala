@@ -226,6 +226,56 @@ object TextAnalysis {
     }
   }
 
+  /** WordPiece-style tokenization fertility audit: greedy longest-match
+    * segmentation of each word against a piece vocabulary (single
+    * characters are the implicit fallback, so segmentation always
+    * terminates), reported per document as pieces-per-word — THE
+    * tokenizer-choice metric for a pretraining corpus (high fertility =
+    * the tokenizer fragments this text; compare across sources/languages
+    * before committing a vocab).
+    *
+    * The greedy match runs as a codegen'd `aggregate` fold over character
+    * positions: each step consumes the longest vocabulary piece at the
+    * cursor (per-length map literals, so a short tail can never
+    * mis-match a longer piece) or one character. Segmentation is computed
+    * once per DISTINCT word (vocabulary-cardinality work — the surprisal
+    * shape) and joins back to pre-combined per-doc word counts; no UDF,
+    * no shuffle wider than (doc, word, count).
+    *
+    * Returns (idCol, n_words, n_pieces, fertility). */
+  def wordpieceFertility(docs: DataFrame, textCol: String, idCol: String,
+      vocab: Seq[String]): DataFrame = {
+    require(vocab.forall(_.length >= 2), "vocab pieces must be multi-char")
+    val pieceLens = vocab.map(_.length).distinct.sorted.reverse
+    val mapsByLen: Map[Int, Column] = pieceLens.map { l =>
+      l -> typedlit(vocab.filter(_.length == l).map(_ -> true).toMap)
+    }.toMap
+    def pieceCount(w: Column): Column = {
+      val init = struct(lit(1).as("pos"), lit(0).as("cnt"))
+      val folded = aggregate(sequence(lit(1), length(w)), init, (st, _) => {
+        val pos = st.getField("pos")
+        val matchLen = coalesce(pieceLens.map { l =>
+          when(element_at(mapsByLen(l), w.substr(pos, lit(l))).isNotNull, lit(l))
+        } :+ lit(1): _*)
+        when(pos > length(w), st).otherwise(
+          struct((pos + matchLen).as("pos"),
+            (st.getField("cnt") + 1).as("cnt")))
+      })
+      folded.getField("cnt")
+    }
+    val wordCounts = docs
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("__w"))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))
+    val pieces = wordCounts.select(col("__w")).distinct()
+      .withColumn("__p", pieceCount(col("__w")))
+    wordCounts.join(pieces, "__w")
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_words"),
+        sum(col("__c") * col("__p")).as("n_pieces"))
+      .withColumn("fertility",
+        round(col("n_pieces").cast("double") / col("n_words"), 6))
+  }
+
   /** k-anonymity audit over quasi-identifier columns (Sweeney 2002): a
     * record whose QI combination is shared by fewer than k records is
     * re-identifiable and must be suppressed (or generalized) before the
