@@ -3430,6 +3430,44 @@ object Queries {
       .orderBy("l_returnflag")
   }
 
+  // Split-leakage audit — the eval-hygiene composite: near-duplicate
+  // pairs whose members land in DIFFERENT train/val/test splits are
+  // contamination that benchmark decontamination (t8/t8b/t33) cannot
+  // see, because both sides live inside the corpus. Composes the real
+  // minhash near-dup pipeline with the md5-interval split rule on the
+  // planted corpus (byte-identical copies under id+1e6 — the d2c
+  // construction), where the leaked set is SQL-exact: the planted pairs
+  // whose two ids hash into different splits (4 at sf0.01, 22 at sf0.1).
+  register(
+    "p2_split_leakage",
+    """WITH p AS (SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+      |           FROM documents WHERE doc_id % 97 = 0),
+      |s AS (SELECT id,
+      |        CASE WHEN substr(md5(CAST(id AS VARCHAR)), 1, 8) < 'cccccccc'
+      |               THEN 'train'
+      |             WHEN substr(md5(CAST(id AS VARCHAR)), 1, 8) < 'e6666666'
+      |               THEN 'val'
+      |             ELSE 'test' END AS split
+      |      FROM (SELECT id_a AS id FROM p UNION SELECT id_b FROM p))
+      |SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b
+      |FROM p JOIN s sa ON sa.id = p.id_a JOIN s sb ON sb.id = p.id_b
+      |WHERE sa.split != sb.split ORDER BY p.id_a""".stripMargin) { (s, dir) =>
+    val corpus = docPlantedCorpus(t(s, dir, "documents"))
+    val pairs = Dedup.minhashNearDups(corpus, "text", "doc_id",
+      shingleWords = 2, numHashes = 32, bands = 8, threshold = 0.5)
+    val splits = TextAnalysis.splitAssign(corpus.select("doc_id"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("id_a"), col("split").as("split_a")),
+        "id_a")
+      .join(splits.select(col("doc_id").as("id_b"), col("split").as("split_b")),
+        "id_b")
+      .where(col("split_a") =!= col("split_b"))
+      .select("id_a", "id_b", "split_a", "split_b")
+      .orderBy("id_a")
+  }
+
   /** Piece vocabulary for the t38 WordPiece fertility row — fixed multi-char
     * pieces; single characters are the implicit fallback on both engines. */
   private val WpVocab = Seq("ta", "er", "an", "in", "re", "st", "on",
