@@ -3430,6 +3430,82 @@ object Queries {
       .orderBy("l_returnflag")
   }
 
+  // Time-weighted average value per event type (TWAP — the
+  // billing/uptime scheduled-query staple): each reading holds until the
+  // next event of the SAME type, so its weight is that duration. One
+  // lead window keyed by type (event-id tie-break), integer seconds ×
+  // integer cents products, one pre-combined agg — the double division
+  // happens once per group at 6 dp.
+  register(
+    "q38_twap",
+    """WITH e AS (
+      |  SELECT event_type,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+      |         epoch_us(ts) AS tus,
+      |         lead(epoch_us(ts)) OVER (PARTITION BY event_type
+      |           ORDER BY epoch_us(ts), event_id) AS next_tus
+      |  FROM events),
+      |d AS (SELECT event_type, cents,
+      |             (next_tus - tus) // 1000000 AS dur_s
+      |      FROM e WHERE next_tus IS NOT NULL)
+      |SELECT event_type,
+      |       CAST(sum(dur_s) AS BIGINT) AS total_s,
+      |       round((CAST(sum(cents * dur_s) AS DOUBLE) / 100.0) /
+      |             CAST(sum(dur_s) AS DOUBLE), 6) AS twap
+      |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy(col("tus"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("next_tus", lead(col("tus"), 1).over(w))
+      .where(col("next_tus").isNotNull)
+      .withColumn("dur_s", expr("(next_tus - tus) div 1000000"))
+      .groupBy("event_type")
+      .agg(sum(col("dur_s")).as("total_s"),
+        round((sum(col("cents") * col("dur_s")).cast("double") / 100.0) /
+          sum(col("dur_s")).cast("double"), 6).as("twap"))
+      .orderBy("event_type")
+  }
+
+  // Lexical diversity per source: distinct-trigram ratio (the distinct-n
+  // diversity audit — low ratios flag templated/boilerplate sources that
+  // would teach a model to repeat itself). Exact integer counts from one
+  // explode + pre-combined aggs; ratio at 6 dp.
+  register(
+    "t39_ngram_diversity",
+    """WITH g AS (
+      |  SELECT source, t.gram FROM (
+      |    SELECT source, list_filter(string_split_regex(lower(text), '\s+'),
+      |                               x -> x != '') AS toks
+      |    FROM documents) d,
+      |  LATERAL (SELECT unnest(list_transform(
+      |    generate_series(1, len(d.toks) - 2),
+      |    i -> d.toks[i] || ' ' || d.toks[i+1] || ' ' || d.toks[i+2])) AS gram) t)
+      |SELECT source,
+      |       CAST(count(*) AS BIGINT) AS total_trigrams,
+      |       CAST(count(DISTINCT gram) AS BIGINT) AS distinct_trigrams,
+      |       round(CAST(count(DISTINCT gram) AS DOUBLE) / count(*), 6)
+      |         AS diversity
+      |FROM g GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val toks = TextAnalysis.tokens(lower(col("text")))
+    t(s, dir, "documents")
+      .select(col("source"), toks.as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("source"), explode(transform(
+        sequence(lit(0), size(col("toks")) - 3),
+        i => concat_ws(" ", element_at(col("toks"), i + 1),
+          element_at(col("toks"), i + 2), element_at(col("toks"), i + 3))))
+        .as("gram"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("total_trigrams"),
+        count_distinct(col("gram")).as("distinct_trigrams"),
+        round(count_distinct(col("gram")).cast("double") / count(lit(1)), 6)
+          .as("diversity"))
+      .orderBy("source")
+  }
+
   // Split-leakage audit — the eval-hygiene composite: near-duplicate
   // pairs whose members land in DIFFERENT train/val/test splits are
   // contamination that benchmark decontamination (t8/t8b/t33) cannot

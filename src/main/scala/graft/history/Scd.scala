@@ -30,6 +30,50 @@ import org.apache.spark.sql.functions._
   */
 object Scd {
 
+  /** One micro-batch step of the STREAMING dimension-history loop — the
+    * store-step shape ([[graft.pipeline.Dedup.minhashStoreStep]]) for
+    * SCD2: the parquet-staged store holds the assembled interval rows;
+    * an arriving change batch touches ONLY its own keys (semi-join), the
+    * touched keys' version chains rebuild from store + batch, and
+    * untouched rows pass through byte-stable. (key, ts) duplicates are
+    * dropped before assembly, so re-delivery of the same batch is
+    * idempotent. The result materializes BEFORE the overwrite
+    * (retry-safe read-then-rewrite).
+    *
+    * Per batch: one store-sized anti/semi-join pair + the scd2 windows
+    * over batch-key version chains — never a history re-scan of
+    * untouched entities. First batch seeds the store. Returns the
+    * updated store rows. */
+  def scd2StoreStep(batch: DataFrame, storeDir: String, keyCols: Seq[String],
+      tsCol: String, trackedCols: Seq[String]): DataFrame = {
+    val spark = batch.sparkSession
+    val path = s"$storeDir/scd2"
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val versionCols = (keyCols :+ tsCol) ++ trackedCols
+    val batchVersions = batch.select(versionCols.map(col): _*)
+    val updated =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
+        scd2(batchVersions.dropDuplicates(keyCols :+ tsCol),
+          keyCols, tsCol, trackedCols)
+      } else {
+        val store = spark.read.parquet(path)
+        val affected = batch.select(keyCols.map(col): _*).distinct()
+        val storeVersions = store.select(
+          (keyCols.map(col) :+ col("valid_from").as(tsCol)) ++
+            trackedCols.map(col): _*)
+        val rebuilt = scd2(
+          storeVersions.join(affected, keyCols)
+            .unionByName(batchVersions)
+            .dropDuplicates(keyCols :+ tsCol),
+          keyCols, tsCol, trackedCols)
+        store.join(affected, keyCols, "left_anti").unionByName(rebuilt)
+      }
+    val out = updated.localCheckpoint()
+    out.write.mode("overwrite").parquet(path)
+    out
+  }
+
   def scd2(versions: DataFrame, keyCols: Seq[String], tsCol: String,
       trackedCols: Seq[String]): DataFrame = {
     val keys = keyCols.map(col)

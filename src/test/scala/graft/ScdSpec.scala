@@ -39,6 +39,35 @@ class ScdSpec extends AnyFunSuite {
       "a->b->a must keep three versions (change detection is vs predecessor)")
   }
 
+  test("scd2StoreStep: seed, incremental change batches, idempotent re-delivery") {
+    val root = java.nio.file.Files.createTempDirectory("scdstore").toString
+    // batch 1 seeds the store
+    val seeded = Scd.scd2StoreStep(
+      Seq((1L, 0L, "a"), (2L, 0L, "x")).toDF("k", "ts", "v"),
+      root, Seq("k"), "ts", Seq("v"))
+    assert(seeded.count() == 2 &&
+      seeded.where(col("is_current")).count() == 2)
+    // batch 2: real update for key 1, no-op for key 2, new key 3
+    val batch2 = Seq((1L, 10L, "b"), (2L, 10L, "x"), (3L, 10L, "z"))
+      .toDF("k", "ts", "v")
+    val after = Scd.scd2StoreStep(batch2, root, Seq("k"), "ts", Seq("v"))
+      .select("k", "v", "valid_from", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(after == Set(
+      (1L, "a", 0L, false), (1L, "b", 10L, true),   // version chain rebuilt
+      (2L, "x", 0L, true),                          // no-op folded away
+      (3L, "z", 10L, true)))                        // insert
+    // re-delivering batch 2 changes nothing (dropDuplicates on (k, ts))
+    val again = Scd.scd2StoreStep(batch2, root, Seq("k"), "ts", Seq("v"))
+      .select("k", "v", "valid_from", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(again == after, "store step must be idempotent under re-delivery")
+  }
+
   test("exactly one current row per key") {
     val cur = Scd.scd2(log, Seq("k"), "ts", Seq("v"))
       .where(col("is_current")).groupBy("k").count().collect()
