@@ -1,0 +1,111 @@
+package graft.history
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Manifest-based snapshot isolation and time travel for the historical
+  * store — the commit protocol a 100 TB parquet store on object storage
+  * needs and plain directory listings cannot give:
+  *
+  *  - **Atomic commits.** A writer lands its data directory fully, then
+  *    publishes a new manifest (one small file, written once) listing
+  *    every live data directory. The manifest write IS the commit point:
+  *    readers resolve the latest manifest first, so a half-written data
+  *    directory is invisible until published (the reference's Firehose +
+  *    Athena-partition registration plays this role for its store;
+  *    athena_partitioner/handler.py registers partitions after landing).
+  *  - **Snapshot isolation.** A query pins the manifest version it
+  *    resolved — concurrent commits cannot change its file set mid-scan.
+  *  - **Time travel.** `read(root, Some(v))` reproduces any historical
+  *    version — the corpus-snapshot diff (d13) and PSI drift (q37)
+  *    operators get their "as of" inputs from here.
+  *  - **Non-destructive compaction.** `commit(replace = true)` publishes
+  *    a manifest listing ONLY the new (compacted) directory; prior
+  *    versions still reference the old directories, so readers pinned to
+  *    them are unaffected. Old data dirs are reclaimable once no live
+  *    manifest references them (`expire`).
+  *
+  * Single-writer by design (the engine's batch loop / foreachBatch sink
+  * is one writer); manifests are versioned files `manifests/v<N>` whose
+  * body is one data-directory path per line.
+  */
+object Snapshots {
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Live versions, ascending (empty if never committed). */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val f = fs(spark, root)
+    val dir = new Path(s"$root/manifests")
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("v"))
+      .map(_.drop(1).toLong).sorted
+  }
+
+  private def manifestDirs(spark: SparkSession, root: String, v: Long): Seq[String] = {
+    val f = fs(spark, root)
+    val in = f.open(new Path(s"$root/manifests/v$v"))
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).toList
+    } finally in.close()
+  }
+
+  /** Commit a batch: land `df` as data directory `data/d<version>`, then
+    * publish manifest v<version>. `replace = true` publishes ONLY the new
+    * directory (compaction/rewrite semantics); otherwise the new manifest
+    * is the previous file set plus the new directory. Returns the new
+    * version number. */
+  def commit(df: DataFrame, root: String, replace: Boolean = false): Long = {
+    val spark = df.sparkSession
+    val f = fs(spark, root)
+    val prev = versions(spark, root)
+    val v = prev.lastOption.getOrElse(0L) + 1L
+    val dataDir = s"$root/data/d$v"
+    df.write.parquet(dataDir) // fails if the dir exists — no silent reuse
+    val dirs =
+      if (replace || prev.isEmpty) Seq(dataDir)
+      else manifestDirs(spark, root, prev.last) :+ dataDir
+    val tmp = new Path(s"$root/manifests/.v$v.tmp")
+    val out = f.create(tmp, false)
+    try out.write((dirs.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    // rename is the atomic publish on HDFS-like stores; on object stores
+    // swap in a conditional-put equivalent
+    require(f.rename(tmp, new Path(s"$root/manifests/v$v")),
+      s"snapshot commit v$v lost a publish race — single-writer invariant violated")
+    v
+  }
+
+  /** Read the store at a version (default: latest). The file set is
+    * pinned at manifest-resolution time — concurrent commits don't move
+    * this scan. */
+  def read(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no snapshots at $root")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"unknown snapshot v$v (have ${vs.mkString(",")})")
+    val dirs = manifestDirs(spark, root, v)
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** Drop manifests older than `keepLast` versions and delete data
+    * directories no surviving manifest references. Returns reclaimed
+    * directories. */
+  def expire(spark: SparkSession, root: String, keepLast: Int): Seq[String] = {
+    require(keepLast >= 1, "must keep at least the latest snapshot")
+    val f = fs(spark, root)
+    val vs = versions(spark, root)
+    val (dead, live) = vs.splitAt(math.max(0, vs.size - keepLast))
+    val liveDirs = live.flatMap(manifestDirs(spark, root, _)).toSet
+    val reclaimed = dead.flatMap(manifestDirs(spark, root, _)).distinct
+      .filterNot(liveDirs)
+    dead.foreach(v => f.delete(new Path(s"$root/manifests/v$v"), false))
+    reclaimed.foreach(d => f.delete(new Path(d), true))
+    reclaimed
+  }
+}
