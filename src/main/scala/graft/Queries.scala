@@ -3430,6 +3430,33 @@ object Queries {
       .orderBy("l_returnflag")
   }
 
+  // Snapshot store end-to-end: three batch commits land a projected
+  // lineitem slice each, a replace-commit compacts the union, and the
+  // query TIME-TRAVELS to version 2 — whose content (batches 0 and 1)
+  // the oracle recomputes directly from lineitem. Proves the manifest
+  // protocol's read path: the compaction and the third batch must be
+  // invisible to the pinned version.
+  register(
+    "q39_snapshot_store",
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+      |            AS BIGINT) / 100.0 AS sum_qty
+      |FROM lineitem WHERE l_orderkey % 3 IN (0, 1)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    import graft.history.Snapshots
+    val root = java.nio.file.Files.createTempDirectory("graft_snapq").toString
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_returnflag"),
+      floor(col("l_quantity") * 100 + 0.5).cast("long").as("qc"))
+    for (b <- 0 to 2)
+      Snapshots.commit(li.where(pmod(col("l_orderkey"), lit(3)) === b), root)
+    Snapshots.commit(Snapshots.read(s, root), root, replace = true) // compact
+    Snapshots.read(s, root, version = Some(2L))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("qc")) / 100.0).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   // Time-weighted average value per event type (TWAP — the
   // billing/uptime scheduled-query staple): each reading holds until the
   // next event of the SAME type, so its weight is that duration. One
