@@ -3457,6 +3457,47 @@ object Queries {
       .orderBy("l_returnflag")
   }
 
+  // Incremental materialized view over the snapshot store: three
+  // commits, a refresh after each — refresh 2 and 3 read ONLY the new
+  // data directory and fold it into the stored moment rows
+  // (Materialized.refresh + the q30 mergeable shapes). The final view's
+  // derived stats must equal the direct full-history aggregation, which
+  // the oracle computes from lineitem in one pass.
+  register(
+    "q40_incremental_view",
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+      |              AS BIGINT) AS s,
+      |         CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) *
+      |                  CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+      |              AS BIGINT) AS ss
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |       round((CAST(s AS DOUBLE) / 100.0) / n, 6) AS mean,
+      |       round((CAST(ss AS DOUBLE) / 10000.0 -
+      |              (CAST(s AS DOUBLE) / 100.0) *
+      |              (CAST(s AS DOUBLE) / 100.0) / n) / n, 6) AS var_pop
+      |FROM m ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    import graft.history.{Materialized, Snapshots}
+    val root = java.nio.file.Files.createTempDirectory("graft_mvbase").toString
+    val viewRoot = java.nio.file.Files.createTempDirectory("graft_mview").toString
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_returnflag"),
+      floor(col("l_quantity") * 100 + 0.5).cast("long").as("qc"))
+    val partial = (df: DataFrame) =>
+      Sketches.momentSketches(df, Seq("l_returnflag"), col("qc"))
+    val merge = (df: DataFrame) => Sketches.momentMerge(df, Seq("l_returnflag"))
+    var view: DataFrame = null
+    for (b <- 0 to 2) {
+      Snapshots.commit(li.where(pmod(col("l_orderkey"), lit(3)) === b), root)
+      view = Materialized.refresh(s, root, viewRoot, partial, merge)
+    }
+    Sketches.momentStats(view)
+      .select(col("l_returnflag"), col("n"), col("mean"), col("var_pop"))
+      .orderBy("l_returnflag")
+  }
+
   // Time-weighted average value per event type (TWAP — the
   // billing/uptime scheduled-query staple): each reading holds until the
   // next event of the SAME type, so its weight is that duration. One

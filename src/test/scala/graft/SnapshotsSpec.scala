@@ -46,6 +46,41 @@ class SnapshotsSpec extends AnyFunSuite {
     }
   }
 
+  test("materialized view: incremental refresh reads ONLY new directories; replace falls back") {
+    import graft.history.Materialized
+    import graft.pipeline.Sketches
+    val base = java.nio.file.Files.createTempDirectory("mvbase").toString
+    val view = java.nio.file.Files.createTempDirectory("mview").toString
+    val partial = (df: org.apache.spark.sql.DataFrame) =>
+      Sketches.momentSketches(df, Seq("g"), col("cents"))
+    val merge = (df: org.apache.spark.sql.DataFrame) =>
+      Sketches.momentMerge(df, Seq("g"))
+    def stats(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    Snapshots.commit(Seq(("a", 100L), ("a", 200L)).toDF("g", "cents"), base)
+    val v1 = Materialized.refresh(spark, base, view, partial, merge)
+    assert(stats(v1.select("g", "n", "s")) == Map("a" -> (2L, 300L)))
+    // PROOF of incrementality: delete batch 1's data from disk — a
+    // full-rescan refresh would now fail; the delta refresh must not care
+    val f = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(f.delete(new org.apache.hadoop.fs.Path(s"$base/data/d1"), true))
+    Snapshots.commit(Seq(("a", 50L), ("b", 10L)).toDF("g", "cents"), base)
+    val v2 = Materialized.refresh(spark, base, view, partial, merge)
+    assert(stats(v2.select("g", "n", "s")) ==
+      Map("a" -> (3L, 350L), "b" -> (1L, 10L)),
+      "delta refresh must fold only the new directory into the stored view")
+    // refresh when already current: unchanged
+    assert(stats(Materialized.refresh(spark, base, view, partial, merge)
+      .select("g", "n", "s")) == stats(v2.select("g", "n", "s")))
+    // replace-commit rewrites history -> detected, full rebuild from latest
+    Snapshots.commit(Seq(("c", 7L)).toDF("g", "cents"), base, replace = true)
+    val v3 = Materialized.refresh(spark, base, view, partial, merge)
+    assert(stats(v3.select("g", "n", "s")) == Map("c" -> (1L, 7L)),
+      "history rewrite must trigger a full rebuild, never a stale merge")
+  }
+
   test("a half-written data directory is invisible until its manifest publishes") {
     val root = java.nio.file.Files.createTempDirectory("snapstore3").toString
     Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), root)
