@@ -32,26 +32,32 @@ object Materialized {
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
 
+  // The refreshed-to base version is recorded PER VIEW SNAPSHOT in
+  // `base_of_v<viewVersion>`, written BEFORE that view version commits.
+  // Crash-safety argument: if the writer dies between the meta write and
+  // the commit, the orphan meta has no matching view snapshot and is
+  // ignored — the next refresh resolves the PREVIOUS view version and
+  // ITS meta, so a delta can never be merged twice (the single
+  // trailing-meta-file design had exactly that double-merge window).
   private def readMeta(spark: SparkSession, viewRoot: String): Option[Long] = {
-    val f = fs(spark, viewRoot)
-    val p = new Path(s"$viewRoot/base_version")
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
-      finally in.close()
+    Snapshots.versions(spark, viewRoot).lastOption.flatMap { vv =>
+      val f = fs(spark, viewRoot)
+      val p = new Path(s"$viewRoot/base_of_v$vv")
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+        finally in.close()
+      }
     }
   }
 
-  private def writeMeta(spark: SparkSession, viewRoot: String, v: Long): Unit = {
+  private def writeMeta(spark: SparkSession, viewRoot: String,
+      viewVersion: Long, baseVersion: Long): Unit = {
     val f = fs(spark, viewRoot)
-    val tmp = new Path(s"$viewRoot/.base_version.tmp")
-    val out = f.create(tmp, true)
-    try out.write(s"$v\n".getBytes(StandardCharsets.UTF_8))
+    val out = f.create(new Path(s"$viewRoot/base_of_v$viewVersion"), true)
+    try out.write(s"$baseVersion\n".getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    f.delete(new Path(s"$viewRoot/base_version"), false)
-    require(f.rename(tmp, new Path(s"$viewRoot/base_version")),
-      "view meta publish failed")
   }
 
   /** Data directories of version `v` in `storeRoot` (internal mirror of
@@ -95,8 +101,14 @@ object Materialized {
         merge(partial(Snapshots.read(spark, storeRoot)))
     }
     val out = updated.localCheckpoint()
-    Snapshots.commit(out, viewRoot, replace = true)
-    writeMeta(spark, viewRoot, target)
+    // meta BEFORE commit (see readMeta's crash-safety argument); the
+    // next view version is deterministic under the single-writer rule
+    val nextViewVersion = Snapshots.versions(spark, viewRoot)
+      .lastOption.getOrElse(0L) + 1L
+    writeMeta(spark, viewRoot, nextViewVersion, target)
+    val committed = Snapshots.commit(out, viewRoot, replace = true)
+    require(committed == nextViewVersion,
+      s"view commit raced: expected v$nextViewVersion, got v$committed")
     out
   }
 }

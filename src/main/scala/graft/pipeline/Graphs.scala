@@ -16,24 +16,6 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
-  /** Weighted PageRank with damping d = dampingPct/100 for a fixed
-    * iteration count over `edges` (src, dst, w):
-    *
-    *   rank₀(v)   = 10⁹ div N
-    *   rankₜ₊₁(v) = ((100−d)·rank₀) div 100 +
-    *                (d · Σ_{u→v} (rankₜ(u)·w(u,v)) div outw(u)) div 100
-    *
-    * Dangling-node mass (nodes with no out-edges) decays rather than
-    * redistributing — acceptable for ranking (relative order of connected
-    * mass is unaffected) and keeps every term a per-edge integer.
-    *
-    * Scale shape: per iteration — the rank table is (node, long), node-
-    * cardinality, so the edges⋈ranks join shuffles edges ONCE on src (or
-    * broadcasts ranks when the graph's node set fits), and the in-mass
-    * aggregation is one pre-combined groupBy(dst). Per-round
-    * `localCheckpoint` keeps the plan flat (the iterative-algorithm
-    * invariant — lineage would otherwise grow multiplicatively). The only
-    * driver action is N, one scalar. */
   /** HITS hubs & authorities (Kleinberg 1999) for a fixed iteration count
     * over unweighted `edges` (src, dst) — the link-spam-resistant
     * complement to [[pagerank]] for domain curation: a hub score flags
@@ -71,6 +53,7 @@ object Graphs {
         .localCheckpoint()
     }
     val n = nodes.count()
+    require(n > 0, "hits needs a non-empty edge list")
     var hubs = nodes.select(col("node"), lit(scale / n).as("score"))
     var auths: DataFrame = null
     for (_ <- 1 to iters) {
@@ -83,6 +66,24 @@ object Graphs {
       .join(auths.withColumnRenamed("score", "auth_ppm"), "node")
   }
 
+  /** Weighted PageRank with damping d = dampingPct/100 for a fixed
+    * iteration count over `edges` (src, dst, w):
+    *
+    *   rank₀(v)   = 10⁹ div N
+    *   rankₜ₊₁(v) = ((100−d)·rank₀) div 100 +
+    *                (d · Σ_{u→v} (rankₜ(u)·w(u,v)) div outw(u)) div 100
+    *
+    * Dangling-node mass (nodes with no out-edges) decays rather than
+    * redistributing — acceptable for ranking (relative order of connected
+    * mass is unaffected) and keeps every term a per-edge integer.
+    *
+    * Scale shape: per iteration — the rank table is (node, long), node-
+    * cardinality, so the edges⋈ranks join shuffles edges ONCE on src (or
+    * broadcasts ranks when the graph's node set fits), and the in-mass
+    * aggregation is one pre-combined groupBy(dst). Per-round
+    * `localCheckpoint` keeps the plan flat (the iterative-algorithm
+    * invariant — lineage would otherwise grow multiplicatively). The only
+    * driver action is N, one scalar. */
   def pagerank(edges: DataFrame, iters: Int, dampingPct: Int = 85,
       srcCol: String = "src", dstCol: String = "dst",
       wCol: String = "w"): DataFrame = {
@@ -97,6 +98,7 @@ object Graphs {
       .unionAll(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
     val n = nodes.count()
+    require(n > 0, "pagerank needs a non-empty edge list")
     val init = 1000000000L / n
     val teleport = (100L - dampingPct) * init / 100L
     val outW = e.groupBy("src").agg(sum(col("w")).as("outw"))

@@ -79,6 +79,17 @@ class SnapshotsSpec extends AnyFunSuite {
     val v3 = Materialized.refresh(spark, base, view, partial, merge)
     assert(stats(v3.select("g", "n", "s")) == Map("c" -> (1L, 7L)),
       "history rewrite must trigger a full rebuild, never a stale merge")
+    // crashed refresh: meta published for a view version that never
+    // committed must be ignored — the delta is applied exactly ONCE
+    val orphanV = Snapshots.versions(spark, view).last + 1
+    val out = f.create(
+      new org.apache.hadoop.fs.Path(s"$view/base_of_v$orphanV"), true)
+    out.write(s"${Snapshots.versions(spark, base).last}\n".getBytes("UTF-8"))
+    out.close()
+    Snapshots.commit(Seq(("c", 3L)).toDF("g", "cents"), base)
+    val v4 = Materialized.refresh(spark, base, view, partial, merge)
+    assert(stats(v4.select("g", "n", "s")) == Map("c" -> (2L, 10L)),
+      "orphan meta from a crashed refresh must not skip or double-merge the delta")
   }
 
   test("a half-written data directory is invisible until its manifest publishes") {
