@@ -347,6 +347,29 @@ object Dedup {
   // Cluster labeling (connected components over candidate pairs)
   // -------------------------------------------------------------------------
 
+  /** One micro-batch step of STREAMING cluster-label maintenance: the
+    * batch's near-dup pairs (e.g. [[minhashStoreStep]]'s output) append
+    * to the parquet-staged edge store, then labels recompute over the
+    * full stored edge list. Append-then-recompute is RETRY-SAFE because
+    * connected components is idempotent under duplicate edges, and
+    * min-label canonicalization is MERGE-STABLE: when two clusters join,
+    * the surviving label is the min of their mins, so a document's
+    * canonical id only ever decreases (never flips arbitrarily) as
+    * evidence accumulates.
+    *
+    * Recompute-over-all-edges is the honest cost model: the edge store
+    * is near-dup-PAIR cardinality — tiny against the corpus — and CC is
+    * O(edges · log diameter); an incremental union-find would save
+    * little and lose the determinism/restart story. Returns the full
+    * (id, cluster_id) labeling. */
+  def ccStoreStep(newEdges: DataFrame, storeDir: String,
+      srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame = {
+    val path = s"$storeDir/edges"
+    newEdges.select(col(srcCol).as("id_a"), col(dstCol).as("id_b"))
+      .write.mode("append").parquet(path)
+    connectedComponents(newEdges.sparkSession.read.parquet(path))
+  }
+
   /** Connected components over an undirected edge list (src, dst): the
     * canonicalization step after any near-dup pass — every document in a
     * duplicate cluster gets the cluster's minimum id as its label, so

@@ -1232,4 +1232,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     // (0.55*4 + 0.55) / 5 = 0.55 — a vector AT the centroid leaves it fixed
     assert(math.abs(again0._3 - 0.55) < 1e-9 && again0._4 == 5L)
   }
+
+  test("streaming cluster labels: ccStoreStep accumulates edges, labels merge-stable") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ccstore").toString
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch 1: two separate pairs
+    val l1 = labels(Dedup.ccStoreStep(
+      Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b"), root))
+    assert(l1 == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    // batch 2: an edge joins the two clusters -> min-of-mins canonical
+    val l2 = labels(Dedup.ccStoreStep(
+      Seq((2L, 3L)).toDF("id_a", "id_b"), root))
+    assert(l2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L),
+      "merged cluster must take the min of the merged mins")
+    // re-delivery of batch 2 changes nothing (CC idempotent under dups)
+    val l3 = labels(Dedup.ccStoreStep(
+      Seq((2L, 3L)).toDF("id_a", "id_b"), root))
+    assert(l3 == l2)
+  }
 }

@@ -92,6 +92,27 @@ class SnapshotsSpec extends AnyFunSuite {
       "orphan meta from a crashed refresh must not skip or double-merge the delta")
   }
 
+  test("streaming sink: foreachBatch commits one atomic snapshot per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("snapstream").toString
+    val input = MemoryStream[Long]
+    def drain(): Unit = {
+      val q = input.toDF().toDF("id").writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          Snapshots.commit(b, root): Unit
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+    input.addData(1L, 2L); drain()
+    input.addData(3L); drain()
+    assert(Snapshots.versions(spark, root) == Seq(1L, 2L))
+    assert(Snapshots.read(spark, root).count() == 3)
+    assert(Snapshots.read(spark, root, Some(1L)).count() == 2,
+      "each micro-batch must be its own pinnable snapshot")
+  }
+
   test("a half-written data directory is invisible until its manifest publishes") {
     val root = java.nio.file.Files.createTempDirectory("snapstore3").toString
     Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), root)
