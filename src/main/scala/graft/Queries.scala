@@ -196,6 +196,29 @@ object Queries {
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
   }
 
+  // Full CUBE with grouping() provenance — completes the grouping-sets
+  // family next to q10's ROLLUP: all four (flag, status) slice
+  // combinations in one pass, gid disambiguating which NULLs mean
+  // "aggregated over" (grouping(col), not data NULLs).
+  register(
+    "q41_cube",
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+      |            AS BIGINT) AS gid,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+      .stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg((grouping(col("l_returnflag")) * 2 +
+        grouping(col("l_linestatus"))).cast("long").as("gid"),
+        count(lit(1)).as("n"))
+      .select("l_returnflag", "l_linestatus", "gid", "n")
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
   // Event-time tumbling-window aggregation over the events stream table —
   // the batch face of the streaming windowed-agg path. `ts` is a session-UTC
   // TimestampType whatever the parquet physical type was (Tables.normalize),

@@ -45,4 +45,27 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/z").columns.toSet ==
       Set("event_id", "user_id", "tus"))
   }
+
+  test("file blooms: point lookup reads only admitted files; missing key reads none") {
+    import graft.history.FileBlooms
+    val root = java.nio.file.Files.createTempDirectory("fblooms").toString
+    val (store, idx) = (s"$root/store", s"$root/index")
+    // 4 range-partitioned files: each holds one contiguous user slice
+    spark.range(0, 4000).selectExpr("id AS user_id", "id % 7 AS v")
+      .repartitionByRange(4, col("user_id"))
+      .write.parquet(store)
+    FileBlooms.build(spark.read.parquet(store), "user_id", idx,
+      expectedPerFile = 2000, numBits = 1L << 16)
+    val total = spark.read.parquet(idx).count()
+    assert(total == 4)
+    val cand = FileBlooms.candidateFiles(spark, idx, 1234L)
+    assert(cand.nonEmpty && cand.size < 4,
+      s"bloom must prune most range files, admitted ${cand.size}")
+    val hit = FileBlooms.lookup(spark, store, idx, "user_id", 1234L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hit.toSeq == Seq((1234L, 1234L % 7)))
+    // absent key: no candidate files, empty result with the store schema
+    val miss = FileBlooms.lookup(spark, store, idx, "user_id", 999999L)
+    assert(miss.columns.toSeq == Seq("user_id", "v") && miss.isEmpty)
+  }
 }
