@@ -196,6 +196,25 @@ object Queries {
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
   }
 
+  // Hopping (sliding) window aggregation — the overlapping-window face
+  // of q11's tumbling buckets: a 2-hour window sliding hourly, so every
+  // event lands in exactly two windows (Spark's window() generator; the
+  // oracle derives the same two epoch-anchored hop starts by integer
+  // hour arithmetic).
+  register(
+    "q42_hopping_window",
+    """SELECT make_timestamp((h - k) * 3600000000) AS window_start,
+      |       event_type, CAST(count(*) AS BIGINT) AS n
+      |FROM (SELECT epoch_us(ts) // 3600000000 AS h, event_type FROM events),
+      |     (VALUES (0), (1)) t(k)
+      |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "2 hours", "1 hour").getField("start")
+        .as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("window_start", "event_type")
+  }
+
   // Full CUBE with grouping() provenance — completes the grouping-sets
   // family next to q10's ROLLUP: all four (flag, status) slice
   // combinations in one pass, gid disambiguating which NULLs mean
