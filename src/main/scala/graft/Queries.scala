@@ -196,6 +196,40 @@ object Queries {
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
   }
 
+  // EWMA per event-type hourly series (the alerting baseline metric):
+  // s_1 = x_1, s_t = 0.7·s_{t-1} + 0.3·x_t over hour-ordered exact
+  // integer sums. Order-dependent recursion made engine-identical by the
+  // ordered-fold pattern: Spark's aggregate() and DuckDB's list_reduce()
+  // are both left folds seeded with the first element, applied to the
+  // same hour-sorted list of identical doubles.
+  register(
+    "q43_ewma",
+    """WITH hourly AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+      |         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |series AS (
+      |  SELECT event_type, list(CAST(cents AS DOUBLE) ORDER BY h) AS arr
+      |  FROM hourly GROUP BY event_type)
+      |SELECT event_type, CAST(len(arr) AS BIGINT) AS n_hours,
+      |       round(list_reduce(arr, (acc, x) -> acc * 0.7 + x * 0.3), 6)
+      |         AS ewma
+      |FROM series ORDER BY event_type""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      .groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("h"), col("cents")))).as("arr"))
+      .select(col("event_type"),
+        size(col("arr")).cast("long").as("n_hours"),
+        round(aggregate(
+          expr("slice(arr, 2, size(arr) - 1)"),
+          element_at(col("arr"), 1).getField("cents").cast("double"),
+          (acc, x) => acc * 0.7 + x.getField("cents").cast("double") * 0.3),
+          6).as("ewma"))
+      .orderBy("event_type")
+  }
+
   // Hopping (sliding) window aggregation — the overlapping-window face
   // of q11's tumbling buckets: a 2-hour window sliding hourly, so every
   // event lands in exactly two windows (Spark's window() generator; the
