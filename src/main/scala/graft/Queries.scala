@@ -196,6 +196,43 @@ object Queries {
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
   }
 
+  // Fill-in-middle transform (Bavarian et al. 2022): each document is
+  // deterministically cut into (prefix, middle, suffix) at two
+  // id-derived character offsets and re-emitted in PSM order with
+  // sentinels — the pretraining transform that teaches infilling. Pure
+  // integer cut-point arithmetic + substring, scan-side, zero shuffle;
+  // the id-derived offsets make the transform reproducible across runs
+  // and engines (no RNG), which is what makes the epoch deterministic.
+  register(
+    "t40_fim_transform",
+    """SELECT doc_id,
+      |       '<PRE>' || substr(text, 1, a) ||
+      |       '<SUF>' || substr(text, b + 1) ||
+      |       '<MID>' || substr(text, a + 1, b - a) AS fim
+      |FROM (
+      |  SELECT doc_id, text,
+      |         least(lo, hi) AS a, greatest(lo, hi) AS b
+      |  FROM (
+      |    SELECT doc_id, text,
+      |           1 + (doc_id * 37) % greatest(len(text) - 2, 1) AS lo,
+      |           1 + (doc_id * 61 + 13) % greatest(len(text) - 2, 1) AS hi
+      |    FROM documents WHERE len(text) >= 3))
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .where(length(col("text")) >= 3)
+      .withColumn("__m", greatest(length(col("text")) - 2, lit(1)))
+      .withColumn("lo", lit(1) + (col("doc_id") * 37) % col("__m"))
+      .withColumn("hi", lit(1) + (col("doc_id") * 61 + 13) % col("__m"))
+      .withColumn("a", least(col("lo"), col("hi")))
+      .withColumn("b", greatest(col("lo"), col("hi")))
+      .select(col("doc_id"), concat(
+        lit("<PRE>"), expr("substring(text, 1, cast(a as int))"),
+        lit("<SUF>"), expr("substring(text, cast(b as int) + 1)"),
+        lit("<MID>"), expr("substring(text, cast(a as int) + 1, cast(b - a as int))"))
+        .as("fim"))
+      .orderBy("doc_id")
+  }
+
   // EWMA per event-type hourly series (the alerting baseline metric):
   // s_1 = x_1, s_t = 0.7·s_{t-1} + 0.3·x_t over hour-ordered exact
   // integer sums. Order-dependent recursion made engine-identical by the
