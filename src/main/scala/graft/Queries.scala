@@ -196,6 +196,41 @@ object Queries {
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
   }
 
+  // Robust statistics: median absolute deviation per group — the
+  // outlier-resistant scale estimate (1.4826·MAD ≈ σ under normality)
+  // as two chained exact-percentile passes with the median riding a
+  // group-cardinality broadcast join. Exact percentile buffers each
+  // group's values, so THIS row is the verify-harness face; at corpus
+  // scale the same statistic reads from the q36 histogram store within
+  // one bin width.
+  register(
+    "q44_mad_robust",
+    """WITH base AS (
+      |  SELECT l_returnflag,
+      |         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS c
+      |  FROM lineitem),
+      |med AS (SELECT l_returnflag, quantile_cont(c, 0.5) AS med
+      |        FROM base GROUP BY 1)
+      |SELECT m.l_returnflag,
+      |       round(m.med / 100.0, 6) AS median_qty,
+      |       round(quantile_cont(abs(CAST(b.c AS DOUBLE) - m.med), 0.5)
+      |             / 100.0, 6) AS mad_qty
+      |FROM base b JOIN med m ON b.l_returnflag = m.l_returnflag
+      |GROUP BY m.l_returnflag, m.med
+      |ORDER BY m.l_returnflag""".stripMargin) { (s, dir) =>
+    val base = t(s, dir, "lineitem").select(col("l_returnflag"),
+      floor(col("l_quantity") * 100 + 0.5).cast("long").as("c"))
+    val med = base.groupBy("l_returnflag")
+      .agg(expr("percentile(c, 0.5)").as("med"))
+    base.join(broadcast(med), "l_returnflag")
+      .groupBy(col("l_returnflag"), col("med"))
+      .agg(round(expr("percentile(abs(cast(c as double) - med), 0.5)")
+        / 100.0, 6).as("mad_qty"))
+      .select(col("l_returnflag"), round(col("med") / 100.0, 6).as("median_qty"),
+        col("mad_qty"))
+      .orderBy("l_returnflag")
+  }
+
   // Fill-in-middle transform (Bavarian et al. 2022): each document is
   // deterministically cut into (prefix, middle, suffix) at two
   // id-derived character offsets and re-emitted in PSM order with
