@@ -196,6 +196,56 @@ object Queries {
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
   }
 
+  // Span-corruption transform (Raffel et al. 2020, T5): two id-derived
+  // word spans are replaced by sentinels in the input and emitted as the
+  // target sequence — the denoising-objective prep, RNG-free like t40 so
+  // epochs reproduce across runs/engines. Token-array slicing is pure
+  // scan-side arithmetic; spans are disjoint by construction (first span
+  // in the first half, second in the second half).
+  register(
+    "t41_span_corruption",
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             x -> x != '') AS toks
+      |  FROM documents),
+      |cut AS (
+      |  SELECT doc_id, toks, len(toks) AS n,
+      |         1 + (doc_id * 13) % greatest(len(toks) // 2 - 2, 1) AS s1,
+      |         len(toks) // 2 + 1 +
+      |           (doc_id * 29 + 7) % greatest((len(toks) + 1) // 2 - 2, 1) AS s2
+      |  FROM w WHERE len(toks) >= 8)
+      |SELECT doc_id,
+      |       coalesce(array_to_string(toks[1:s1-1], ' '), '') || ' <X> ' ||
+      |       coalesce(array_to_string(toks[s1+2:s2-1], ' '), '') || ' <Y> ' ||
+      |       coalesce(array_to_string(toks[s2+2:n], ' '), '') AS corrupted,
+      |       '<X> ' || array_to_string(toks[s1:s1+1], ' ') ||
+      |       ' <Y> ' || array_to_string(toks[s2:s2+1], ' ') || ' <Z>'
+      |         AS target
+      |FROM cut ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val toks = graft.pipeline.TextAnalysis.tokens(lower(col("text")))
+    t(s, dir, "documents")
+      .select(col("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= 8)
+      .withColumn("n", size(col("toks")))
+      .withColumn("s1", lit(1) +
+        (col("doc_id") * 13) % greatest(expr("n div 2") - 2, lit(1)))
+      .withColumn("s2", expr("n div 2") + 1 +
+        (col("doc_id") * 29 + 7) % greatest(expr("(n + 1) div 2") - 2, lit(1)))
+      .select(col("doc_id"),
+        concat(
+          array_join(expr("slice(toks, 1, cast(s1 - 1 as int))"), " "),
+          lit(" <X> "),
+          array_join(expr("slice(toks, cast(s1 + 2 as int), cast(s2 - s1 - 2 as int))"), " "),
+          lit(" <Y> "),
+          array_join(expr("slice(toks, cast(s2 + 2 as int), cast(n - s2 - 1 as int))"), " "))
+          .as("corrupted"),
+        concat(
+          lit("<X> "), array_join(expr("slice(toks, cast(s1 as int), 2)"), " "),
+          lit(" <Y> "), array_join(expr("slice(toks, cast(s2 as int), 2)"), " "),
+          lit(" <Z>")).as("target"))
+      .orderBy("doc_id")
+  }
+
   // Robust statistics: median absolute deviation per group — the
   // outlier-resistant scale estimate (1.4826·MAD ≈ σ under normality)
   // as two chained exact-percentile passes with the median riding a
