@@ -68,6 +68,39 @@ class ScdSpec extends AnyFunSuite {
     assert(again == after, "store step must be idempotent under re-delivery")
   }
 
+  test("randomized: intervals chain, no consecutive no-ops, state-at-T matches the naive model") {
+    val rnd = new scala.util.Random(4242)
+    for (_ <- 1 to 30) {
+      val log = (1L to 4L).flatMap { k =>
+        val nv = 1 + rnd.nextInt(6)
+        rnd.shuffle((0L until 20L).toList).take(nv)
+          .map(ts => (k, ts, s"v${rnd.nextInt(3)}"))
+      }
+      val out = Scd.scd2(log.toDF("k", "ts", "v"), Seq("k"), "ts", Seq("v"))
+        .select("k", "v", "valid_from", "valid_to")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) Long.MaxValue else r.getLong(3)))
+        .groupBy(_._1)
+      for ((k, rows) <- out) {
+        val chain = rows.sortBy(_._3)
+        // intervals partition time from the first version onward
+        for (Array(a, b) <- chain.sliding(2).map(_.toArray))
+          assert(a._4 == b._3, s"gap/overlap in key $k: $chain")
+        assert(chain.last._4 == Long.MaxValue)
+        // no-op folding: consecutive versions always differ
+        for (Array(a, b) <- chain.sliding(2).map(_.toArray))
+          assert(a._2 != b._2, s"consecutive equal versions in key $k")
+        // state at time T == last version at or before T in the raw log
+        val versions = log.filter(_._1 == k).sortBy(_._2)
+        for (t <- 0L until 20L if versions.exists(_._2 <= t)) {
+          val expect = versions.filter(_._2 <= t).last._3
+          val got = chain.find(c => c._3 <= t && t < c._4).get._2
+          assert(got == expect, s"state at t=$t for key $k: $got != $expect")
+        }
+      }
+    }
+  }
+
   test("exactly one current row per key") {
     val cur = Scd.scd2(log, Seq("k"), "ts", Seq("v"))
       .where(col("is_current")).groupBy("k").count().collect()
