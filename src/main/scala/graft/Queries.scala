@@ -196,6 +196,49 @@ object Queries {
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
   }
 
+  // Capped running balance per customer — the classic NON-LINEAR window
+  // recursion plain SQL window functions cannot express (balance floors
+  // at zero after every order: b_t = max(0, b_{t-1} + delta_t)). The
+  // ordered-fold pattern solves it deterministically: both engines fold
+  // the same (day, orderkey)-sorted integer delta list left-to-right,
+  // zero-seeded (DuckDB's first-element-seeded list_reduce gets an
+  // explicit prepended 0 to match Spark's aggregate init). Per-entity
+  // lists are order-count bounded.
+  register(
+    "q45_capped_balance",
+    """WITH o AS (
+      |  SELECT o_custkey AS k,
+      |         epoch_us(o_orderdate) // 86400000000 AS d, o_orderkey,
+      |         CASE WHEN o_orderkey % 2 = 0
+      |              THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+      |              ELSE -CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+      |         END AS delta
+      |  FROM orders),
+      |s AS (SELECT k, list(delta ORDER BY d, o_orderkey) AS arr
+      |      FROM o GROUP BY k)
+      |SELECT k AS o_custkey, CAST(len(arr) AS BIGINT) AS n_orders,
+      |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), arr),
+      |            (acc, x) -> greatest(CAST(0 AS BIGINT), acc + x))
+      |         AS BIGINT) AS balance_cents
+      |FROM s ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+    val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+    t(s, dir, "orders")
+      .select(col("o_custkey").as("k"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+          .as("d"),
+        col("o_orderkey"),
+        when(col("o_orderkey") % 2 === 0, cents).otherwise(-cents).as("delta"))
+      .groupBy("k")
+      .agg(array_sort(collect_list(
+        struct(col("d"), col("o_orderkey"), col("delta")))).as("arr"))
+      .select(col("k").as("o_custkey"),
+        size(col("arr")).cast("long").as("n_orders"),
+        aggregate(col("arr"), lit(0L),
+          (acc, x) => greatest(lit(0L), acc + x.getField("delta")))
+          .as("balance_cents"))
+      .orderBy("o_custkey")
+  }
+
   // Span-corruption transform (Raffel et al. 2020, T5): two id-derived
   // word spans are replaced by sentinels in the input and emitted as the
   // target sequence — the denoising-objective prep, RNG-free like t40 so

@@ -45,6 +45,29 @@ class GraphsSpec extends AnyFunSuite {
     assert(r.values.sum < 1000000000L, "dangling mass must decay")
   }
 
+  test("randomized: pagerank and hits are partitioning-invariant, mass bounded") {
+    val rnd = new scala.util.Random(777)
+    for (_ <- 1 to 5) {
+      val edges = (1 to 40).map(_ =>
+        (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong, 1L + rnd.nextInt(5)))
+        .filter(e => e._1 != e._2).distinct
+      val e = edges.toDF("src", "dst", "w")
+      val pr1 = Graphs.pagerank(e.repartition(1), iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val pr8 = Graphs.pagerank(e.repartition(8), iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(pr1 == pr8, "pagerank must not depend on partitioning")
+      assert(pr1.values.sum <= 1000000000L && pr1.values.forall(_ > 0L))
+      val h1 = Graphs.hits(e.repartition(1), iters = 2)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val h8 = Graphs.hits(e.repartition(8), iters = 2)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(h1 == h8, "hits must not depend on partitioning")
+      assert(h1.values.map(_._1).sum <= 1000000L &&
+        h1.values.map(_._2).sum <= 1000000L)
+    }
+  }
+
   test("hits: directory page is the hub, linked pages the authorities; partitioning-invariant") {
     // 0 links to 1,2,3 (a directory); 4 links to 1 as well
     val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (4L, 1L)).toDF("src", "dst")
