@@ -196,6 +196,37 @@ object Queries {
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
   }
 
+  // Sweep-line interval occupancy: how many orders are "active" (within
+  // 7 days of placement) at each change point — the scalable alternative
+  // to an interval self-join (which explodes quadratically on overlap):
+  // each interval becomes a +1/-1 delta event, one pre-combined agg per
+  // day, one running sum over the DAY-cardinality change points. At
+  // corpus scale the running sum partitions by coarse time shard with a
+  // carried-in prefix (the t15 sequence-packing shard pattern).
+  register(
+    "q46_sweepline_occupancy",
+    """WITH d AS (
+      |  SELECT epoch_us(o_orderdate) // 86400000000 AS day, 1 AS delta
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT epoch_us(o_orderdate) // 86400000000 + 7, -1 FROM orders),
+      |g AS (SELECT day, sum(delta) AS delta FROM d GROUP BY day)
+      |SELECT day, CAST(sum(delta) OVER (ORDER BY day) AS BIGINT)
+      |         AS active_orders
+      |FROM g ORDER BY day""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val day = expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+    val o = t(s, dir, "orders")
+    val deltas = o.select(day.as("day"), lit(1L).as("delta"))
+      .unionAll(o.select((day + 7).as("day"), lit(-1L).as("delta")))
+      .groupBy("day").agg(sum(col("delta")).as("delta"))
+    deltas
+      .withColumn("active_orders", sum(col("delta")).over(
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)))
+      .select("day", "active_orders")
+      .orderBy("day")
+  }
+
   // Capped running balance per customer — the classic NON-LINEAR window
   // recursion plain SQL window functions cannot express (balance floors
   // at zero after every order: b_t = max(0, b_{t-1} + delta_t)). The
