@@ -196,6 +196,67 @@ object Queries {
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
   }
 
+  // Largest-remainder proration: distribute each order's total price
+  // across its line items proportionally to quantity, in EXACT integer
+  // cents — floor shares first, then the remainder cents go to the
+  // largest fractional parts (linenumber tie-break), so every order's
+  // allocations sum EXACTLY to its total (the billing/quota-allocation
+  // staple; same machinery allocates sampling quotas). Two windows over
+  // the per-order partition; allocation correctness is pinned by the
+  // alloc_sum_ok column the oracle constant-folds TRUE.
+  register(
+    "q47_proration",
+    """WITH li AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q
+      |  FROM lineitem),
+      |o AS (SELECT o_orderkey,
+      |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total
+      |      FROM orders),
+      |base AS (
+      |  SELECT li.l_orderkey, li.l_linenumber, li.q, o.total,
+      |         sum(li.q) OVER (PARTITION BY li.l_orderkey) AS qsum
+      |  FROM li JOIN o ON li.l_orderkey = o.o_orderkey),
+      |shares AS (
+      |  SELECT *, (total * q) // qsum AS fl,
+      |         (total * q) % qsum AS frac
+      |  FROM base),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY l_orderkey
+      |           ORDER BY frac DESC, l_linenumber ASC) AS rk,
+      |         total - sum(fl) OVER (PARTITION BY l_orderkey) AS rem
+      |  FROM shares)
+      |SELECT l_orderkey, l_linenumber,
+      |       CAST(fl + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS BIGINT)
+      |         AS alloc_cents,
+      |       CAST(sum(fl + CASE WHEN rk <= rem THEN 1 ELSE 0 END)
+      |            OVER (PARTITION BY l_orderkey) AS BIGINT) = max(total)
+      |            OVER (PARTITION BY l_orderkey) AS alloc_sum_ok
+      |FROM ranked ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val wO = Window.partitionBy("l_orderkey")
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+      floor(col("l_quantity") * 100 + 0.5).cast("long").as("q"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("total"))
+    val base = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("qsum", sum(col("q")).over(wO))
+    val shares = base
+      .withColumn("fl", expr("(total * q) div qsum"))
+      .withColumn("frac", (col("total") * col("q")) % col("qsum"))
+    val ranked = shares
+      .withColumn("rk", row_number().over(
+        wO.orderBy(col("frac").desc, col("l_linenumber").asc)))
+      .withColumn("rem", col("total") - sum(col("fl")).over(wO))
+      .withColumn("alloc_cents",
+        col("fl") + when(col("rk") <= col("rem"), 1L).otherwise(0L))
+    ranked
+      .withColumn("alloc_sum_ok",
+        sum(col("alloc_cents")).over(wO) === max(col("total")).over(wO))
+      .select("l_orderkey", "l_linenumber", "alloc_cents", "alloc_sum_ok")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   // Sweep-line interval occupancy: how many orders are "active" (within
   // 7 days of placement) at each change point — the scalable alternative
   // to an interval self-join (which explodes quadratically on overlap):
