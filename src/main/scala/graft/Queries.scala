@@ -196,6 +196,50 @@ object Queries {
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
   }
 
+  // Rolling 3-month distinct customers from the HLL sketch store — the
+  // dashboard staple ("distinct entities, trailing window") that exact
+  // distinct cannot serve incrementally: per-month sketches merge across
+  // the window (months-cardinality join + hll_union_agg), so the rolling
+  // series costs O(months × sketch) regardless of order volume. Pinned
+  // q25-style: every window's estimate within the 3σ standard-error
+  // envelope of the exact count, which DuckDB recomputes.
+  register(
+    "q48_rolling_distinct",
+    """WITH mc AS (
+      |  SELECT DISTINCT epoch_us(o_orderdate) // 86400000000 // 30 AS m,
+      |                  o_custkey
+      |  FROM orders),
+      |months AS (SELECT DISTINCT m FROM mc)
+      |SELECT w.m,
+      |       CAST(count(DISTINCT mc.o_custkey) AS BIGINT) AS exact_custs,
+      |       TRUE AS within_eps
+      |FROM months w JOIN mc ON mc.m BETWEEN w.m - 2 AND w.m
+      |GROUP BY w.m ORDER BY w.m""".stripMargin) { (s, dir) =>
+    val o = t(s, dir, "orders")
+      .select(expr(
+        "unix_micros(cast(o_orderdate as timestamp)) div 86400000000 div 30")
+        .as("m"), col("o_custkey"))
+    val sketches = o.groupBy("m")
+      .agg(hll_sketch_agg(col("o_custkey"), 12).as("hll"))
+    val months = sketches.select(col("m").as("w"))
+    val rolled = months
+      .join(sketches, col("m").between(col("w") - 2, col("w")))
+      .groupBy(col("w").as("m"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("hll"))).as("__est"))
+    val exact = months
+      .join(o.dropDuplicates("m", "o_custkey"),
+        col("m").between(col("w") - 2, col("w")))
+      .groupBy(col("w"))
+      .agg(count_distinct(col("o_custkey")).as("exact_custs"))
+      .withColumnRenamed("w", "m")
+    exact.join(rolled, "m")
+      .select(col("m"), col("exact_custs"),
+        (abs(col("__est").cast("double") - col("exact_custs")) <=
+          lit(3 * 1.04 / math.sqrt(1 << 12)) * col("exact_custs"))
+          .as("within_eps"))
+      .orderBy("m")
+  }
+
   // Largest-remainder proration: distribute each order's total price
   // across its line items proportionally to quantity, in EXACT integer
   // cents — floor shares first, then the remainder cents go to the
@@ -276,7 +320,6 @@ object Queries {
       |         AS active_orders
       |FROM g ORDER BY day""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val day = expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
     val o = t(s, dir, "orders")
     val deltas = o.select(day.as("day"), lit(1L).as("delta"))
       .unionAll(o.select((day + 7).as("day"), lit(-1L).as("delta")))
