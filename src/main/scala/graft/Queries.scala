@@ -320,6 +320,7 @@ object Queries {
       |         AS active_orders
       |FROM g ORDER BY day""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
+    val day = expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
     val o = t(s, dir, "orders")
     val deltas = o.select(day.as("day"), lit(1L).as("delta"))
       .unionAll(o.select((day + 7).as("day"), lit(-1L).as("delta")))
