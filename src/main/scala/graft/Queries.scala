@@ -5813,6 +5813,33 @@ object Queries {
       .orderBy("media_id", "frame_idx")
   }
 
+  // Scene-change detection over the sampled frames: consecutive frame
+  // hashes' hamming distance against a threshold — the shot-segmentation
+  // primitive for video corpora (threshold 30 splits the stub hash's
+  // random ~30-bit median, so both verdicts occur; a real pHash makes it
+  // a visual knob). One lag window per media.
+  register(
+    "mm_scene_changes",
+    """WITH f AS (
+      |  SELECT doc_id AS media_id, f AS frame_idx,
+      |         CAST(('0x' || substr(md5(text || CAST(f AS VARCHAR)), 1, 15))
+      |              AS BIGINT) AS h
+      |  FROM documents, range(4) r(f)),
+      |l AS (SELECT media_id, frame_idx, h,
+      |             lag(h) OVER (PARTITION BY media_id ORDER BY frame_idx) AS ph
+      |      FROM f)
+      |SELECT media_id, frame_idx,
+      |       CAST(bit_count(xor(h, ph)) AS BIGINT) AS hamming,
+      |       bit_count(xor(h, ph)) > 30 AS is_scene_change
+      |FROM l WHERE ph IS NOT NULL
+      |ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
+    val media = Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id",
+      "text", "video")
+    Multimodal.sceneChanges(Multimodal.stubFrameSample(media, 4),
+        hammingThreshold = 30)
+      .orderBy("media_id", "frame_idx")
+  }
+
   // ---------------------------------------------------------------------------
   // Public accessors for SparkEntry
   // ---------------------------------------------------------------------------

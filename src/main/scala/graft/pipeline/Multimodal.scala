@@ -79,6 +79,28 @@ object Multimodal {
         stubPerceptualHash64(col("bytes")).as("sim")),
       maxDist, maxBucketPairing)
 
+  /** Scene-change detection over sampled frames: consecutive frames whose
+    * 64-bit perceptual hashes differ by more than `hammingThreshold` bits
+    * mark a boundary — the shot-segmentation primitive for video corpora
+    * (sample frames per shot, dedup per shot, caption per shot). One lag
+    * window per media over frame-count-bounded partitions; with a real
+    * pHash the threshold is a visual-difference knob, with the stub it
+    * splits the ~30-bit random-hash median. Returns (media_id, frame_idx,
+    * hamming, is_scene_change) for every consecutive pair. */
+  def sceneChanges(frames: DataFrame, hammingThreshold: Int = 30): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    frames
+      .withColumn("__h",
+        conv(substring(col("frame_md5"), 1, 15), 16, 10).cast(LongType))
+      .withColumn("__ph", lag(col("__h"), 1).over(w))
+      .where(col("__ph").isNotNull)
+      .withColumn("hamming",
+        expr("bit_count(__h ^ __ph)").cast(LongType))
+      .withColumn("is_scene_change", col("hamming") > hammingThreshold)
+      .select("media_id", "frame_idx", "hamming", "is_scene_change")
+  }
+
   /** STUB resize — metadata-only transform (a real implementation rewrites
     * bytes; the engine contract is the meta update + passthrough schema). */
   def stubResize(media: DataFrame, w: Int, h: Int): DataFrame =
