@@ -3405,6 +3405,55 @@ object Queries {
       floor = 0.15)
   }
 
+  // Matryoshka-truncation audit: recall@3 of 16-dim-prefix cosine search
+  // against the full 64-dim ranking — the "can we serve on a prefix"
+  // embedding-efficiency question (Kusupati et al. 2022). Both rankings
+  // are deterministic (6-dp cosines, id tie-breaks), so per-query recall
+  // is EXACT on both engines — no floor needed, the values themselves
+  // hash-match. Measured recall here is 0.0: the synthetic random
+  // embeddings have NO nested structure, and the audit's whole point is
+  // to measure that before anyone serves on a prefix (MRL-trained
+  // embeddings would score near 1). Truncation is a scan-side slice.
+  register(
+    "ann_matryoshka_recall",
+    """WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 5),
+      |full_r AS (
+      |  SELECT q_id, neighbor_id FROM (
+      |    SELECT q.q_id, c.vec_id AS neighbor_id,
+      |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |             round(list_cosine_similarity(c.embedding::DOUBLE[],
+      |               q.embedding::DOUBLE[]), 6) DESC, c.vec_id ASC) AS rank
+      |    FROM embeddings c CROSS JOIN q WHERE c.vec_id != q.q_id)
+      |  WHERE rank <= 3),
+      |tr AS (
+      |  SELECT q_id, neighbor_id FROM (
+      |    SELECT q.q_id, c.vec_id AS neighbor_id,
+      |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |             round(list_cosine_similarity(c.embedding[1:16]::DOUBLE[],
+      |               q.embedding[1:16]::DOUBLE[]), 6) DESC, c.vec_id ASC) AS rank
+      |    FROM embeddings c CROSS JOIN q WHERE c.vec_id != q.q_id)
+      |  WHERE rank <= 3)
+      |SELECT f.q_id,
+      |       round(CAST(count(t.neighbor_id) AS DOUBLE) / 3.0, 6) AS recall
+      |FROM full_r f LEFT JOIN tr t
+      |  ON t.q_id = f.q_id AND t.neighbor_id = f.neighbor_id
+      |GROUP BY f.q_id ORDER BY f.q_id""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val queries = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val full = Similarity.bruteForceTopK(e, queries, k = 3)
+      .select(col("q_id"), col("neighbor_id"))
+    val eT = e.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+    val qT = queries.select(col("q_id"), slice(col("q_vec"), 1, 16).as("q_vec"))
+    val trunc = Similarity.bruteForceTopK(eT, qT, k = 3)
+      .select(col("q_id"), col("neighbor_id"), lit(1).as("__hit"))
+    full.join(trunc, Seq("q_id", "neighbor_id"), "left")
+      .groupBy("q_id")
+      .agg(round(sum(coalesce(col("__hit"), lit(0))).cast("double") / 3.0, 6)
+        .as("recall"))
+      .orderBy("q_id")
+  }
+
   /** Deterministic PQ codebook for the oracle rows: code c of subspace s is
     * the s-th 16-dim slice of vector c (vec_id < 4) — SQL-expressible, so
     * the encode/ADC machinery gets an exact hash oracle (production trains
