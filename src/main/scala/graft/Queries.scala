@@ -3405,6 +3405,73 @@ object Queries {
       floor = 0.15)
   }
 
+  // Classifier-accuracy audit against labeled data: the t3 language-ID
+  // heuristic scored per DECLARED label. Measured: en 1.0, everything
+  // else 0.0 — the synthetic non-English docs don't contain the es/de
+  // stopword lists, so the tiny heuristic defaults to 'en'. That HONEST
+  // confusion readout is the point: this is the eval-loop shape every
+  // curation classifier needs (predictions join ground truth, one
+  // pre-combined agg, exact integer rates) and it correctly reports that
+  // this classifier must not gate non-English sources.
+  register(
+    "t42_langid_accuracy",
+    """WITH toks AS (
+      |  SELECT doc_id, lang, list_distinct(list_filter(
+      |    string_split_regex(lower(text), '\s+'), x -> x != '')) AS t
+      |  FROM documents),
+      |scores AS (
+      |  SELECT doc_id, lang,
+      |    len(list_intersect(t, ['the','a','and','scan','join'])) AS s_en,
+      |    len(list_intersect(t, ['el','la','que','datos'])) AS s_es,
+      |    len(list_intersect(t, ['der','die','und','das'])) AS s_de
+      |  FROM toks),
+      |pred AS (
+      |  SELECT doc_id, lang, CASE
+      |    WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+      |    WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS langid
+      |  FROM scores)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN langid = lang THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_match,
+      |       round(CAST(sum(CASE WHEN langid = lang THEN 1 ELSE 0 END)
+      |             AS DOUBLE) / count(*), 6) AS accuracy
+      |FROM pred GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("lang"),
+        (TextAnalysis.langId(col("text"), Seq(
+          "en" -> Seq("the", "a", "and", "scan", "join"),
+          "es" -> Seq("el", "la", "que", "datos"),
+          "de" -> Seq("der", "die", "und", "das"))) === col("lang"))
+          .cast("long").as("__m"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__m")).as("n_match"),
+        round(sum(col("__m")).cast("double") / count(lit(1)), 6).as("accuracy"))
+      .orderBy("lang")
+  }
+
+  // Edit-distance verification (the character-level complement to n-gram
+  // Jaccard for SHORT strings — titles, names, URLs — where shingles are
+  // too coarse): Levenshtein over adjacent-id document pairs, normalized
+  // by the longer length at 6 dp. Classic DP is engine-identical;
+  // per-pair O(len²) work stays scan-side.
+  register(
+    "d16_edit_distance",
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+      |       round(CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+      |             greatest(len(a.text), len(b.text)), 6) AS norm_dist
+      |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |ORDER BY id_a""".stripMargin) { (s, dir) =>
+    val d = t(s, dir, "documents")
+    d.as("a").join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        levenshtein(col("a.text"), col("b.text")).cast("long").as("dist"),
+        round(levenshtein(col("a.text"), col("b.text")).cast("double") /
+          greatest(length(col("a.text")), length(col("b.text"))), 6)
+          .as("norm_dist"))
+      .orderBy("id_a")
+  }
+
   // Matryoshka-truncation audit: recall@3 of 16-dim-prefix cosine search
   // against the full 64-dim ranking — the "can we serve on a prefix"
   // embedding-efficiency question (Kusupati et al. 2022). Both rankings
