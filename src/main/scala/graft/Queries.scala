@@ -3449,6 +3449,89 @@ object Queries {
       .orderBy("lang")
   }
 
+  // Round-10 warehouse loop composite: three batches COMMIT to the
+  // snapshot store, the materialized view refreshes incrementally after
+  // each (manifest delta + moment merge), and the drift monitor compares
+  // the first and last ingest batches' histograms — the steady-state
+  // closed loop a 100 TB store runs daily, pinned as ONE hash-matched
+  // program (the p0/p1 composite tradition for the storage family).
+  // Random thirds drift ~0, so the monitor correctly stays silent.
+  register(
+    "p3_warehouse_loop",
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+      |              AS BIGINT) AS s,
+      |         CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) *
+      |                  CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+      |              AS BIGINT) AS ss
+      |  FROM lineitem GROUP BY l_returnflag),
+      |a AS (
+      |  SELECT l_returnflag,
+      |         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) // 500 AS bin,
+      |         count(*) AS n
+      |  FROM lineitem WHERE l_orderkey % 3 = 0 GROUP BY 1, 2),
+      |b AS (
+      |  SELECT l_returnflag,
+      |         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) // 500 AS bin,
+      |         count(*) AS n
+      |  FROM lineitem WHERE l_orderkey % 3 = 2 GROUP BY 1, 2),
+      |ta AS (SELECT l_returnflag, CAST(sum(n) AS DOUBLE) AS t FROM a GROUP BY 1),
+      |tb AS (SELECT l_returnflag, CAST(sum(n) AS DOUBLE) AS t FROM b GROUP BY 1),
+      |j AS (
+      |  SELECT coalesce(a.l_returnflag, b.l_returnflag) AS l_returnflag,
+      |         coalesce(a.bin, b.bin) AS bin,
+      |         coalesce(a.n, 0) AS na, coalesce(b.n, 0) AS nb
+      |  FROM a FULL OUTER JOIN b
+      |    ON a.l_returnflag = b.l_returnflag AND a.bin = b.bin),
+      |c AS (
+      |  SELECT j.l_returnflag, j.bin,
+      |         (greatest(CAST(na AS DOUBLE) / ta.t, 0.000001) -
+      |          greatest(CAST(nb AS DOUBLE) / tb.t, 0.000001)) *
+      |         ln(greatest(CAST(na AS DOUBLE) / ta.t, 0.000001) /
+      |            greatest(CAST(nb AS DOUBLE) / tb.t, 0.000001)) AS c
+      |  FROM j JOIN ta USING (l_returnflag) JOIN tb USING (l_returnflag)),
+      |psi AS (
+      |  SELECT l_returnflag,
+      |         round(list_sum(list(c ORDER BY bin)), 6) AS psi
+      |  FROM c GROUP BY l_returnflag)
+      |SELECT m.l_returnflag, m.n,
+      |       round((CAST(m.s AS DOUBLE) / 100.0) / m.n, 6) AS mean,
+      |       round((CAST(m.ss AS DOUBLE) / 10000.0 -
+      |              (CAST(m.s AS DOUBLE) / 100.0) *
+      |              (CAST(m.s AS DOUBLE) / 100.0) / m.n) / m.n, 6) AS var_pop,
+      |       psi.psi, psi.psi > 0.1 AS drifted
+      |FROM m JOIN psi USING (l_returnflag)
+      |ORDER BY m.l_returnflag""".stripMargin) { (s, dir) =>
+    import graft.history.{Materialized, Snapshots}
+    val root = java.nio.file.Files.createTempDirectory("graft_p3base").toString
+    val viewRoot = java.nio.file.Files.createTempDirectory("graft_p3view").toString
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_returnflag"),
+      floor(col("l_quantity") * 100 + 0.5).cast("long").as("qc"))
+    val partial = (df: DataFrame) =>
+      Sketches.momentSketches(df, Seq("l_returnflag"), col("qc"))
+    val merge = (df: DataFrame) => Sketches.momentMerge(df, Seq("l_returnflag"))
+    var view: DataFrame = null
+    for (b <- 0 to 2) {
+      Snapshots.commit(li.where(pmod(col("l_orderkey"), lit(3)) === b), root)
+      view = Materialized.refresh(s, root, viewRoot, partial, merge)
+    }
+    // drift monitor over the FIRST vs LAST committed batches, read back
+    // from their snapshot versions (time travel is the monitor's input)
+    def hist(v: Long) = Sketches.histSketches(
+      if (v == 1) Snapshots.read(s, root, Some(1L))
+      else Snapshots.read(s, root, Some(v))
+        .exceptAll(Snapshots.read(s, root, Some(v - 1))),
+      Seq("l_returnflag"), col("qc"), binWidthCents = 500L)
+    val drift = Sketches.psiDrift(hist(1L), hist(3L), Seq("l_returnflag"))
+    Sketches.momentStats(view)
+      .join(drift, "l_returnflag")
+      .select(col("l_returnflag"), col("n"), col("mean"), col("var_pop"),
+        col("psi"), col("drifted"))
+      .orderBy("l_returnflag")
+  }
+
   // Edit-distance verification (the character-level complement to n-gram
   // Jaccard for SHORT strings — titles, names, URLs — where shingles are
   // too coarse): Levenshtein over adjacent-id document pairs, normalized
