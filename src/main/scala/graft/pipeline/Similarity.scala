@@ -364,7 +364,9 @@ object Similarity {
   /** Seed the streaming centroid store: train with [[kmeansLloyd]], then
     * one extra assignment pass counts each cluster's members so later
     * [[kmeansStoreStep]] updates can weight correctly. Store rows:
-    * (cluster, pos, centroid, n). */
+    * (cluster, pos, centroid, n), published as snapshot version 1 of a
+    * [[graft.history.Snapshots]] store (atomic commits + the retry
+    * markers the step relies on). */
   def kmeansStoreInit(corpus: DataFrame, init: DataFrame, iters: Int,
       storeDir: String, vecCol: String = "embedding"): Unit = {
     val trained = kmeansLloyd(corpus, init, iters, vecCol)
@@ -373,7 +375,9 @@ object Similarity {
       .groupBy("cluster").agg(count(lit(1)).as("n"))
     val store = trained.join(counts, "cluster")
       .select(col("cluster"), col("pos"), col("centroid"), col("n"))
-    store.write.mode("overwrite").parquet(s"$storeDir/centroids")
+      .localCheckpoint()
+    graft.history.Snapshots.commit(store, s"$storeDir/centroids",
+      replace = true): Unit
   }
 
   /** One micro-batch step of STREAMING centroid maintenance — mini-batch
@@ -387,14 +391,34 @@ object Similarity {
     * quantizer follows without retraining from scratch.
     *
     * Per batch: one batch-sized argmin scan + one (cluster, pos) agg +
-    * one store-sized join — never a corpus re-scan. The result
-    * materializes (localCheckpoint) BEFORE the overwrite, so the
-    * read-then-rewrite is safe. Returns the updated store rows. */
+    * one store-sized join — never a corpus re-scan. The store is a
+    * [[graft.history.Snapshots]] store: each step publishes a
+    * replace-commit, and passing foreachBatch's `batchId` makes retries
+    * IDEMPOTENT via the Materialized meta scheme — the batch id is
+    * recorded per store version, written BEFORE that version commits, so
+    * a re-delivered batch either finds its id on the latest version
+    * (returns it unchanged) or recomputes from the pre-batch state; a
+    * crash between marker and commit leaves an orphan marker with no
+    * matching version, which is ignored. Returns the updated store
+    * rows. */
   def kmeansStoreStep(batch: DataFrame, storeDir: String,
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", batchId: Option[Long] = None): DataFrame = {
+    import graft.history.Snapshots
     val spark = batch.sparkSession
     val path = s"$storeDir/centroids"
-    val store = spark.read.parquet(path)
+    val fsys = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val curVersion = Snapshots.versions(spark, path).last
+    def markerPath(v: Long) = new org.apache.hadoop.fs.Path(s"$path/batch_of_v$v")
+    val appliedToCurrent = batchId.exists { id =>
+      fsys.exists(markerPath(curVersion)) && {
+        val in = fsys.open(markerPath(curVersion))
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim == id.toString
+        finally in.close()
+      }
+    }
+    if (appliedToCurrent) return Snapshots.read(spark, path)
+    val store = Snapshots.read(spark, path)
     val cents = collectCentroids(store)
     val sums = assignToCentroids(batch, cents, vecCol)
       .select(col("cluster"), posexplode(col("__v")).as(Seq("pos", "v")))
@@ -408,7 +432,13 @@ object Similarity {
         when(col("__bn").isNull, col("n"))
           .otherwise(col("n") + col("__bn")).as("n"))
       .localCheckpoint()
-    updated.write.mode("overwrite").parquet(path)
+    batchId.foreach { id =>
+      val out = fsys.create(markerPath(curVersion + 1), true)
+      try out.write(s"$id\n".getBytes("UTF-8")) finally out.close()
+    }
+    val committed = Snapshots.commit(updated, path, replace = true)
+    require(committed == curVersion + 1,
+      s"centroid store commit raced: expected v${curVersion + 1}, got v$committed")
     updated
   }
 

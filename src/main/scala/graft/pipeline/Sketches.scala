@@ -66,13 +66,17 @@ object Sketches {
     * is never caused by the baseline UNDER-estimating history.
     *
     * State is O(batches × depth·width) sketch bytes regardless of stream
-    * volume; the emitted result materializes BEFORE the append (safe
-    * read-then-append under batch retries). Use from
-    * `writeStream.foreachBatch`. Returns (item, batch_est, baseline_est);
-    * the first batch (empty store) emits nothing and seeds the store. */
+    * volume; the emitted result materializes BEFORE the append. Pass
+    * foreachBatch's `batchId` to make retries IDEMPOTENT: the batch's
+    * sketch lands in its own `batch=<id>` partition with overwrite, so a
+    * re-delivered batch replaces rather than double-counts itself
+    * (without an id the append is at-least-once and a retry inflates
+    * that batch's mass in the baseline). Returns
+    * (item, batch_est, baseline_est); the first batch (empty store)
+    * emits nothing and seeds the store. */
   def cmTrendStep(batch: DataFrame, storeDir: String, itemCol: String,
       depth: Int = 4, width: Int = 8192, candidateK: Int = 64,
-      spikeFactor: Int = 4): DataFrame = {
+      spikeFactor: Int = 4, batchId: Option[Long] = None): DataFrame = {
     import graft.functions.CountMinAgg.{cm_estimate, count_min}
     import graft.functions.MisraGriesAgg.misra_gries
     val spark = batch.sparkSession
@@ -83,7 +87,15 @@ object Sketches {
       .where(col("item").isNotNull)
     val batchSketch = items.agg(count_min(col("item"), depth, width).as("cm"))
     val trending = if (fs.exists(new org.apache.hadoop.fs.Path(sketchPath))) {
-      val store = spark.read.parquet(sketchPath)
+      val storeAll = spark.read.parquet(sketchPath)
+      // idempotent mode: a retried batch's own earlier partition is
+      // EXCLUDED from the baseline, so the re-run sees exactly what the
+      // first attempt saw and emits the same verdicts
+      val store = batchId match {
+        case Some(id) if storeAll.columns.contains("batch") =>
+          storeAll.where(col("batch") =!= id)
+        case _ => storeAll
+      }
       val nBatches = store.count()
       val baseline = cmMerge(store.withColumn("__g", lit(1)), Seq("__g"))
       val candidates = items
@@ -107,7 +119,13 @@ object Sketches {
             org.apache.spark.sql.types.LongType))))
     }
     val out = trending.localCheckpoint()
-    batchSketch.write.mode("append").parquet(sketchPath)
+    batchId match {
+      // one partition per batch, overwritten on retry — idempotent; do
+      // not mix modes within one store (partition discovery differs)
+      case Some(id) => batchSketch.write.mode("overwrite")
+        .parquet(s"$sketchPath/batch=$id")
+      case None => batchSketch.write.mode("append").parquet(sketchPath)
+    }
     out
   }
 

@@ -83,6 +83,26 @@ class CountMinSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/cm").count() == 3)
   }
 
+  test("cmTrendStep with batchId: re-delivered batches replace, not double-count") {
+    val tmp = java.nio.file.Files.createTempDirectory("cmtrendid").toString
+    def step(items: Seq[String], id: Long) = graft.pipeline.Sketches
+      .cmTrendStep(items.toDF("tok"), tmp, "tok", depth = D, width = W,
+        batchId = Some(id))
+    val steady = Seq.fill(100)("common")
+    assert(step(steady, 0L).isEmpty)
+    val spiked = Seq.fill(100)("common") ++ Seq.fill(80)("burst")
+    val first = step(spiked, 1L).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(first.exists(_._1 == "burst"))
+    // retry of batch 1: its earlier partition is excluded from the
+    // baseline, so the verdicts are IDENTICAL and the store still holds
+    // exactly one sketch row per batch id
+    val retry = step(spiked, 1L).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(retry == first, s"retry diverged: $retry vs $first")
+    assert(spark.read.parquet(s"$tmp/cm").count() == 2)
+  }
+
   test("count_min + nulls skipped via SQL surface") {
     // same entries Verify/Bench sessions get via injectFunction
     graft.plans.GraftExtensions.functions.foreach { case (id, info, builder) =>

@@ -1203,7 +1203,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     val init = Seq((0, Seq(0.0, 0.0)), (1, Seq(4.0, 4.0)))
       .toDF("cluster", "centroid_vec")
     Similarity.kmeansStoreInit(corpus, init, iters = 2, root)
-    val store0 = spark.read.parquet(s"$root/centroids")
+    val store0 = graft.history.Snapshots.read(spark, s"$root/centroids")
     val c0 = store0.where(col("cluster") === 0 && col("pos") === 0)
       .head.getAs[Double]("centroid")
     assert(math.abs(c0 - 0.1) < 1e-9 && store0.where(col("cluster") === 0)
@@ -1226,11 +1226,20 @@ class PipelineOpsSpec extends AnyFunSuite {
 
     // second step reads batch-1 state from the store
     val again = Similarity.kmeansStoreStep(
-      Seq((12L, Seq(0.55, 0.0))).toDF("vec_id", "embedding"), root)
+      Seq((12L, Seq(0.55, 0.0))).toDF("vec_id", "embedding"), root,
+      batchId = Some(7L))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
     val again0 = again.find(u => u._1 == 0 && u._2 == 0).get
     // (0.55*4 + 0.55) / 5 = 0.55 — a vector AT the centroid leaves it fixed
     assert(math.abs(again0._3 - 0.55) < 1e-9 && again0._4 == 5L)
+    // re-delivery of batch 7: the version marker short-circuits — counts
+    // must NOT double-apply
+    val retried = Similarity.kmeansStoreStep(
+      Seq((12L, Seq(0.55, 0.0))).toDF("vec_id", "embedding"), root,
+      batchId = Some(7L))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    val r0 = retried.find(u => u._1 == 0 && u._2 == 0).get
+    assert(r0._4 == 5L, s"retried batch double-applied: $r0")
   }
 
   test("streaming cluster labels: ccStoreStep accumulates edges, labels merge-stable") {
