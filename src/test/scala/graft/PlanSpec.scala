@@ -583,6 +583,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("UDF") && !p.contains("BatchEvalPython"), "UDF in plan")
   }
 
+  test("r10 wave-2: proration one exchange for four windows, folds/transforms UDF-free") {
+    // largest-remainder proration: ONE hash exchange on the order key
+    // feeds all four window passes; the orders side broadcasts
+    val p47 = plan("q47_proration")
+    assert(p47.contains("BroadcastHashJoin"),
+      "order totals must broadcast against the lineitem scan")
+    assert(p47.split("Exchange hashpartitioning").length - 1 <= 1,
+      "proration windows must share one key exchange")
+    // ordered-fold rows (EWMA, capped balance) and the scan-side
+    // transforms (FIM, span corruption, scene changes, edit distance)
+    // stay UDF-free with no quadratic operator
+    for (n <- Seq("q43_ewma", "q45_capped_balance", "t40_fim_transform",
+        "t41_span_corruption", "mm_scene_changes", "d16_edit_distance",
+        "q42_hopping_window", "t38_wordpiece_fertility")) {
+      val p = plan(n)
+      assert(!p.contains("UDF") && !p.contains("BatchEvalPython"),
+        s"UDF in $n")
+      assert(!p.contains("CartesianProduct"), s"cartesian in $n")
+    }
+  }
+
   test("winnowing: selection is scan-side, candidate join releases caches") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val fps = graft.pipeline.Dedup.winnowFingerprints(docs, "text", "doc_id")
