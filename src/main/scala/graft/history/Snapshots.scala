@@ -66,7 +66,10 @@ object Snapshots {
     val prev = versions(spark, root)
     val v = prev.lastOption.getOrElse(0L) + 1L
     val dataDir = s"$root/data/d$v"
-    df.write.parquet(dataDir) // fails if the dir exists — no silent reuse
+    // overwrite: an UNPUBLISHED directory can only be debris from a
+    // writer that crashed before its manifest landed (published dirs are
+    // never re-versioned), so a retry safely replaces it
+    df.write.mode("overwrite").parquet(dataDir)
     val dirs =
       if (replace || prev.isEmpty) Seq(dataDir)
       else manifestDirs(spark, root, prev.last) :+ dataDir

@@ -121,5 +121,13 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, root).count() == 1,
       "unpublished data dir must not leak into reads")
     assert(Snapshots.versions(spark, root) == Seq(1L))
+    // crashed-commit debris at the NEXT version number: the retry must
+    // overwrite the unpublished directory and publish cleanly
+    Seq((50L, "half")).toDF("id", "v").write.parquet(s"$root/data/d2")
+    val v2 = Snapshots.commit(Seq((2L, "b")).toDF("id", "v"), root)
+    assert(v2 == 2L)
+    assert(Snapshots.read(spark, root).select("id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L),
+      "retried commit must replace crash debris, not surface it")
   }
 }
