@@ -3449,6 +3449,50 @@ object Queries {
       .orderBy("lang")
   }
 
+  // Pareto frontier (skyline): line items no other item dominates
+  // (cheaper-or-equal AND bigger-or-equal quantity, strict somewhere) —
+  // the classic multi-criteria shortlist, solved in O(n log n) with ONE
+  // RANGE-frame window per group (running max quantity over all STRICTLY
+  // cheaper rows) plus a same-price max, instead of the naive quadratic
+  // dominance self-join. Skyline size is bounded by distinct quantity
+  // levels (≤ 50 here), so the output is tiny at any scale.
+  register(
+    "q49_skyline",
+    """WITH b AS (
+      |  SELECT l_returnflag,
+      |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price,
+      |         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty
+      |  FROM lineitem),
+      |w AS (
+      |  SELECT l_returnflag, price, qty,
+      |         max(qty) OVER (PARTITION BY l_returnflag ORDER BY price
+      |           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS best_cheaper,
+      |         max(qty) OVER (PARTITION BY l_returnflag, price)
+      |           AS best_same
+      |  FROM b)
+      |SELECT l_returnflag, price, qty,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM w
+      |WHERE qty > coalesce(best_cheaper, -1) AND qty = best_same
+      |GROUP BY l_returnflag, price, qty
+      |ORDER BY l_returnflag, price""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val b = t(s, dir, "lineitem").select(col("l_returnflag"),
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("price"),
+      floor(col("l_quantity") * 100 + 0.5).cast("long").as("qty"))
+    val wCheaper = Window.partitionBy("l_returnflag").orderBy("price")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wSame = Window.partitionBy("l_returnflag", "price")
+    b.withColumn("best_cheaper", max(col("qty")).over(wCheaper))
+      .withColumn("best_same", max(col("qty")).over(wSame))
+      .where(col("qty") > coalesce(col("best_cheaper"), lit(-1L)) &&
+        col("qty") === col("best_same"))
+      .groupBy("l_returnflag", "price", "qty")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "price")
+  }
+
   // Round-10 warehouse loop composite: three batches COMMIT to the
   // snapshot store, the materialized view refreshes incrementally after
   // each (manifest delta + moment merge), and the drift monitor compares
