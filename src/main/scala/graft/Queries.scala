@@ -3449,6 +3449,30 @@ object Queries {
       .orderBy("lang")
   }
 
+  // Recursive hierarchy closure — the WITH RECURSIVE gap: every node's
+  // root and depth in the doc_id div 10 forest (parent = id/10, root 0),
+  // computed by pointer doubling in ⌈log₂ depth⌉ skinny self-join rounds
+  // (never depth sequential passes); DuckDB answers the same question
+  // with its native recursive CTE, so the closure is hash-verified
+  // across two entirely different evaluation strategies.
+  register(
+    "q50_tree_closure",
+    """WITH RECURSIVE r AS (
+      |  SELECT doc_id AS node, doc_id AS root, 0 AS depth
+      |  FROM documents WHERE doc_id = 0
+      |  UNION ALL
+      |  SELECT d.doc_id, r.root, r.depth + 1
+      |  FROM documents d JOIN r ON r.node = d.doc_id // 10
+      |  WHERE d.doc_id > 0)
+      |SELECT node, root, CAST(depth AS BIGINT) AS depth
+      |FROM r ORDER BY node""".stripMargin) { (s, dir) =>
+    val edges = t(s, dir, "documents").where(col("doc_id") > 0)
+      .select(col("doc_id").as("child"),
+        expr("doc_id div 10").as("parent"))
+    graft.pipeline.Graphs.forestRootDepth(edges)
+      .orderBy("node")
+  }
+
   // Pareto frontier (skyline): line items no other item dominates
   // (cheaper-or-equal AND bigger-or-equal quantity, strict somewhere) —
   // the classic multi-criteria shortlist, solved in O(n log n) with ONE

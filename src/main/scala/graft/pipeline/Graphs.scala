@@ -16,6 +16,39 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  /** Ancestor closure over a FOREST (child → parent edges): every node's
+    * root and depth — the recursive-hierarchy query (org charts, BOM
+    * explosion, category trees) that Spark lacks a `WITH RECURSIVE` for.
+    * Pointer doubling: each round joins the state to itself on the
+    * current ancestor, DOUBLING the jump distance, so a depth-D
+    * hierarchy closes in ⌈log₂ D⌉ rounds of skinny (node, anc, depth)
+    * self-joins — never D sequential passes. Roots (nodes with no parent
+    * edge) fix to themselves at distance 0, which makes the iteration a
+    * fixpoint once every pointer reaches a root. `maxIter` bounds depth
+    * at 2^maxIter; per-round `localCheckpoint` keeps the plan flat.
+    * Returns (node, root, depth) for every node in the forest. */
+  def forestRootDepth(edges: DataFrame, maxIter: Int = 6,
+      childCol: String = "child", parentCol: String = "parent"): DataFrame = {
+    val e = edges.select(col(childCol).as("node"), col(parentCol).as("p"))
+      .localCheckpoint()
+    val roots = e.select(col("p").as("node"))
+      .unionAll(e.select(col("node"))).distinct()
+      .join(e.select(col("node")), Seq("node"), "left_anti")
+    var state = e.select(col("node"), col("p").as("anc"), lit(0L).as("d"))
+      .unionAll(roots.select(col("node"), col("node").as("anc"), lit(-1L).as("d")))
+      .select(col("node"), col("anc"), (col("d") + 1).as("d"))
+      .localCheckpoint()
+    // after the unionAll: non-roots (node, parent, 1), roots (node, node, 0)
+    for (_ <- 1 to maxIter) {
+      val jumped = state.as("s1")
+        .join(state.as("s2"), col("s1.anc") === col("s2.node"))
+        .select(col("s1.node").as("node"), col("s2.anc").as("anc"),
+          (col("s1.d") + col("s2.d")).as("d"))
+      state = jumped.localCheckpoint()
+    }
+    state.select(col("node"), col("anc").as("root"), col("d").as("depth"))
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999) for a fixed iteration count
     * over unweighted `edges` (src, dst) — the link-spam-resistant
     * complement to [[pagerank]] for domain curation: a hub score flags

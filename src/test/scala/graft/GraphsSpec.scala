@@ -68,6 +68,19 @@ class GraphsSpec extends AnyFunSuite {
     }
   }
 
+  test("forestRootDepth: a 50-deep chain closes in log rounds; multi-tree forests keep roots apart") {
+    // chain 1->0, 2->1, ..., 49->48 (depth up to 49 needs only 6 doubling
+    // rounds), plus a separate 2-node tree rooted at 100
+    val edges = ((1L to 49L).map(i => (i, i - 1)) :+ (101L, 100L))
+      .toDF("child", "parent")
+    val out = Graphs.forestRootDepth(edges, maxIter = 6)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (i <- 0L to 49L)
+      assert(out(i) == (0L, i), s"node $i: ${out(i)}")
+    assert(out(100L) == (100L, 0L) && out(101L) == (100L, 1L),
+      "second tree must keep its own root")
+  }
+
   test("hits: directory page is the hub, linked pages the authorities; partitioning-invariant") {
     // 0 links to 1,2,3 (a directory); 4 links to 1 as well
     val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (4L, 1L)).toDF("src", "dst")
