@@ -3449,6 +3449,45 @@ object Queries {
       .orderBy("lang")
   }
 
+  // Quantity-weighted median price per group: pre-aggregate weight per
+  // distinct price (shrinks the window input to price-cardinality), then
+  // the smallest price whose cumulative weight reaches half the total —
+  // all integer arithmetic, one running-sum window per group. The q36
+  // histogram store answers the same statistic within a bin at scales
+  // where even the distinct-price table is too wide.
+  register(
+    "q51_weighted_median",
+    """WITH b AS (
+      |  SELECT l_returnflag,
+      |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price,
+      |         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS wt
+      |  FROM lineitem),
+      |g AS (SELECT l_returnflag, price, sum(wt) AS wt FROM b GROUP BY 1, 2),
+      |c AS (SELECT l_returnflag, price,
+      |             sum(wt) OVER (PARTITION BY l_returnflag ORDER BY price)
+      |               AS cum,
+      |             sum(wt) OVER (PARTITION BY l_returnflag) AS tot
+      |      FROM g)
+      |SELECT l_returnflag, CAST(min(price) AS BIGINT) AS wmedian_cents
+      |FROM c WHERE cum * 2 >= tot
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val g = t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("price"),
+        floor(col("l_quantity") * 100 + 0.5).cast("long").as("wt"))
+      .groupBy("l_returnflag", "price").agg(sum(col("wt")).as("wt"))
+    val wCum = Window.partitionBy("l_returnflag").orderBy("price")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("l_returnflag")
+    g.withColumn("cum", sum(col("wt")).over(wCum))
+      .withColumn("tot", sum(col("wt")).over(wAll))
+      .where(col("cum") * 2 >= col("tot"))
+      .groupBy("l_returnflag")
+      .agg(min(col("price")).as("wmedian_cents"))
+      .orderBy("l_returnflag")
+  }
+
   // Recursive hierarchy closure — the WITH RECURSIVE gap: every node's
   // root and depth in the doc_id div 10 forest (parent = id/10, root 0),
   // computed by pointer doubling in ⌈log₂ depth⌉ skinny self-join rounds
