@@ -3449,6 +3449,40 @@ object Queries {
       .orderBy("lang")
   }
 
+  // Top user journeys: the most common 3-step event paths (sequence
+  // mining — the k-step generalization of q32's 1-step Markov matrix).
+  // Two lead windows over the same (user, time, id) ordering extract
+  // every consecutive triple; counts pre-combine; top-10 with path
+  // tie-break. Journey strings are path-cardinality, never per-user
+  // arrays.
+  register(
+    "q52_top_paths",
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |         lead(event_type, 1) OVER w AS t2,
+      |         lead(event_type, 2) OVER w AS t3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |p AS (
+      |  SELECT event_type || '>' || t2 || '>' || t3 AS path, count(*) AS n
+      |  FROM e WHERE t3 IS NOT NULL GROUP BY 1)
+      |SELECT path, CAST(n AS BIGINT) AS n FROM p
+      |ORDER BY n DESC, path LIMIT 10""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .where(col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(10)
+  }
+
   // Quantity-weighted median price per group: pre-aggregate weight per
   // distinct price (shrinks the window input to price-cardinality), then
   // the smallest price whose cumulative weight reaches half the total —
