@@ -28,6 +28,26 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** One per-JVM scratch root for the snapshot-store queries (q39/q40/p3),
+    * removed recursively on shutdown — Bench re-executes those queries
+    * n>=3 times and a bare createTempDirectory would leak a committed
+    * parquet store under /tmp per execution. */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p
+  }
+
+  private def scratchDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(scratchRoot, prefix).toString
+
   // ---------------------------------------------------------------------------
   // SQL surface (SURVEY §2.5) — scheduled-query style aggregation
   // ---------------------------------------------------------------------------
@@ -3646,8 +3666,8 @@ object Queries {
       |FROM m JOIN psi USING (l_returnflag)
       |ORDER BY m.l_returnflag""".stripMargin) { (s, dir) =>
     import graft.history.{Materialized, Snapshots}
-    val root = java.nio.file.Files.createTempDirectory("graft_p3base").toString
-    val viewRoot = java.nio.file.Files.createTempDirectory("graft_p3view").toString
+    val root = scratchDir("graft_p3base")
+    val viewRoot = scratchDir("graft_p3view")
     val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_returnflag"),
       floor(col("l_quantity") * 100 + 0.5).cast("long").as("qc"))
     val partial = (df: DataFrame) =>
@@ -4161,7 +4181,7 @@ object Queries {
       |FROM lineitem WHERE l_orderkey % 3 IN (0, 1)
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
     import graft.history.Snapshots
-    val root = java.nio.file.Files.createTempDirectory("graft_snapq").toString
+    val root = scratchDir("graft_snapq")
     val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_returnflag"),
       floor(col("l_quantity") * 100 + 0.5).cast("long").as("qc"))
     for (b <- 0 to 2)
@@ -4198,8 +4218,8 @@ object Queries {
       |              (CAST(s AS DOUBLE) / 100.0) / n) / n, 6) AS var_pop
       |FROM m ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
     import graft.history.{Materialized, Snapshots}
-    val root = java.nio.file.Files.createTempDirectory("graft_mvbase").toString
-    val viewRoot = java.nio.file.Files.createTempDirectory("graft_mview").toString
+    val root = scratchDir("graft_mvbase")
+    val viewRoot = scratchDir("graft_mview")
     val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_returnflag"),
       floor(col("l_quantity") * 100 + 0.5).cast("long").as("qc"))
     val partial = (df: DataFrame) =>

@@ -5,7 +5,7 @@ import java.nio.ByteBuffer
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, XXH64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -44,9 +44,15 @@ case class CountMinAgg(
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]]
+  with ImplicitCastInputTypes
   with UnaryLike[Expression] {
 
   require(depth >= 1 && width >= 2, s"count_min needs depth >= 1, width >= 2")
+  // SQL-registered (GraftExtensions): without declared input types a
+  // non-string column passes analysis and throws ClassCastException at
+  // executor runtime on the UTF8String cast — declare StringType so
+  // misuse fails (or implicit-casts) at analysis time
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = "count_min"

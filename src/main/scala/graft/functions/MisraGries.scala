@@ -7,7 +7,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -42,11 +42,14 @@ case class MisraGriesAgg(
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.HashMap[String, Long]]
+  with ImplicitCastInputTypes
   with UnaryLike[Expression] {
 
-  // input must already be StringType — the companion Column surface is the
-  // only constructor path and callers pass token columns
   require(k >= 1, s"misra_gries needs k >= 1, got $k")
+  // also SQL-registered (GraftExtensions): declare StringType so a
+  // non-string column fails (or implicit-casts) at analysis time instead
+  // of ClassCastException on executors
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("item", StringType, nullable = false),
     StructField("est", LongType, nullable = false))), containsNull = false)

@@ -107,8 +107,14 @@ object Snapshots {
     val liveDirs = live.flatMap(manifestDirs(spark, root, _)).toSet
     val reclaimed = dead.flatMap(manifestDirs(spark, root, _)).distinct
       .filterNot(liveDirs)
-    dead.foreach(v => f.delete(new Path(s"$root/manifests/v$v"), false))
+    // Data dirs FIRST, manifests second: the dead manifests are the only
+    // record of which dirs are reclaimable, so deleting them first would
+    // permanently strand data if we crash between the two loops. In the
+    // reverse order a crash leaves dead manifests behind — and the next
+    // expire re-derives the same reclaim list and finishes the job
+    // (deleting an already-deleted path is a no-op).
     reclaimed.foreach(d => f.delete(new Path(d), true))
+    dead.foreach(v => f.delete(new Path(s"$root/manifests/v$v"), false))
     reclaimed
   }
 }

@@ -589,16 +589,22 @@ object Dedup {
     // modulo xxhash64 collisions — P ≈ v²/2⁶⁵ over vocabulary v (a
     // 10¹²-shingle corpus expects ~30 colliding shingle pairs worldwide,
     // each perturbing one pair's Jaccard by O(1/n)) — while shuffle bytes
-    // drop ~3× and the struct sort compares longs. Document frequency
-    // rides a window count over the SAME pass that explodes the shingles
-    // (one scan, one (tok)-partitioned exchange) instead of a second
-    // shingle scan + aggregate + join — the shingle HOF chain is
-    // CodegenFallback, so recomputing it was the dominant cost of the
-    // two-branch shape. The (df, tok_hash) sort is a total order
-    // identical across documents, no global rank table needed.
-    val withDf = ppjoinExploded(df, textCol, idCol, shingleWords)
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
-    val sorted = ppjoinSorted(withDf).persist(StorageLevel.MEMORY_AND_DISK)
+    // drop ~3× and the struct sort compares longs. Document frequency is
+    // the pre-combined `groupBy(tok).count` joined back — partial
+    // aggregation combines map-side and the join streams, so a hot
+    // boilerplate shingle costs one combined (tok, count) row instead of
+    // buffering a corpus-scale row group in one window partition (a
+    // `count().over(Window.partitionBy(tok))` has no map-side combine and
+    // melts on skewed tokens at 100 TB). The exploded (id, tok) rows —
+    // 16 bytes each — persist ONCE so the CodegenFallback shingle HOF
+    // chain is not recomputed for the frequency branch. The (df, tok_hash)
+    // sort is a total order identical across documents, no global rank
+    // table needed.
+    val exploded = ppjoinExploded(df, textCol, idCol, shingleWords)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val freq = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
+    val sorted = ppjoinSorted(exploded.join(freq, "tok"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // prefix length p = n - ceil(t*n) + 1; 0-based pos from posexplode
     val prefix = ppjoinPrefix(sorted, threshold)
     val overlapNeeded =
@@ -624,7 +630,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (col("__i") / (col("__na") + col("__nb") - col("__i"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
-    (verified, Seq(sorted))
+    (verified, Seq(exploded, sorted))
   }
 
   /** (id, tok) rows of 64-bit-hashed distinct shingles — the shared scan

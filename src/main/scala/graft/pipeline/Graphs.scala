@@ -46,6 +46,18 @@ object Graphs {
           (col("s1.d") + col("s2.d")).as("d"))
       state = jumped.localCheckpoint()
     }
+    // Fail loudly instead of returning a partial closure: at fixpoint
+    // EVERY pointer must have reached a root (roots point at themselves,
+    // so a converged anc is always in the root set). A hierarchy deeper
+    // than 2^maxIter would otherwise silently report an intermediate
+    // ancestor as the root. One skinny anti-join against the (small) root
+    // set; state is already checkpointed so this re-scans, not re-derives.
+    val unconverged = state
+      .join(roots.select(col("node").as("anc")), Seq("anc"), "left_anti")
+      .limit(1).count()
+    require(unconverged == 0L,
+      s"forestRootDepth: some node(s) did not reach a root in $maxIter " +
+        s"doubling rounds (hierarchy deeper than 2^$maxIter); raise maxIter")
     state.select(col("node"), col("anc").as("root"), col("d").as("depth"))
   }
 

@@ -83,6 +83,26 @@ object Sketches {
     val sketchPath = s"$storeDir/cm"
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    // The store's write mode (idempotent batch=<id> partitions vs plain
+    // append) is decided on FIRST write and pinned in a marker file: a
+    // store seeded without batchId that later receives batchId calls (or
+    // vice versa) would silently change baseline semantics — the
+    // columns.contains("batch") probe would stop/start excluding the
+    // current batch, and append-mode retries double-count. Fail loudly.
+    val modeMarker = new org.apache.hadoop.fs.Path(storeDir, "_cm_mode")
+    val wantMode = if (batchId.isDefined) "batch" else "append"
+    if (fs.exists(modeMarker)) {
+      val in = fs.open(modeMarker)
+      val seeded =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(seeded == wantMode,
+        s"cmTrendStep: store at $storeDir was seeded in '$seeded' mode " +
+          s"but this call is '$wantMode' — modes cannot mix within one store")
+    } else {
+      val out = fs.create(modeMarker, false)
+      try out.write(wantMode.getBytes("UTF-8")) finally out.close()
+    }
     val items = batch.select(col(itemCol).as("item"))
       .where(col("item").isNotNull)
     val batchSketch = items.agg(count_min(col("item"), depth, width).as("cm"))

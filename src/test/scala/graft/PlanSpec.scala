@@ -519,6 +519,10 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "ppjoin: quadratic join operator in plan")
     assert(p.contains("InMemoryTableScan"), "ppjoin: sorted stage not cached")
+    // doc-frequency must be the pre-combined groupBy(tok) + join, never a
+    // full window over the skewed token key (no map-side combine → one
+    // corpus-scale buffered partition per hot boilerplate shingle)
+    assert(!p.contains("Window"), "ppjoin: window over tok in plan (skew exposure)")
     assert(!p.contains("UDF") && !p.contains("BatchEvalPython"), "ppjoin: UDF in plan")
     // candidate-join shuffles carry (id, n, pos, tok) — never document text
     p.split("\n").filter(_.contains("Exchange hashpartitioning")).foreach { ln =>
