@@ -2102,6 +2102,34 @@ object Queries {
       java.time.Instant.parse("1995-06-18T12:00:00Z"))
   }
 
+  // §2.5: a USER-AUTHORED inequality interval join through the
+  // scheduled-query surface — proves plans/RangeJoinRewrite.scala fires on
+  // raw SQL text (not just the q24 operator path): the join condition is
+  // bound-only (ts >= start AND ts < end, no equi-conjunct), which Spark
+  // would plan as a nested loop; the injected optimizer rule rebuilds it
+  // as a bucketed hash join (RangeJoinRewriteSqSpec pins the plan shape).
+  // The oracle brute-forces the same SQL in DuckDB.
+  register(
+    "sq_range_join",
+    """WITH iv AS (
+      |  SELECT event_type AS itype, min(ts) AS start_ts,
+      |         min(ts) + INTERVAL 2 HOUR AS end_ts
+      |  FROM events GROUP BY event_type)
+      |SELECT itype, count(*) AS n
+      |FROM events e JOIN iv ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
+      |GROUP BY itype ORDER BY itype""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    ScheduledQueries.run(s,
+      """WITH iv AS (
+        |  SELECT event_type AS itype, min(ts) AS start_ts,
+        |         min(ts) + INTERVAL 2 HOUR AS end_ts
+        |  FROM events GROUP BY event_type)
+        |SELECT itype, count(*) AS n
+        |FROM events e JOIN iv ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
+        |GROUP BY itype ORDER BY itype""".stripMargin,
+      java.time.Instant.parse("1995-06-18T12:00:00Z"))
+  }
+
   // S10: scheduled-query results wrapped as streamquery records, re-entering
   // the classifier, fields recovered downstream.
   register(

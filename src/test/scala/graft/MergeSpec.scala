@@ -215,6 +215,68 @@ class MergeSpec extends AnyFunSuite {
     }
   }
 
+  test("event-time merge EVICTS data later than the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[MergeInputAlert]
+    val input = MemoryStream[MergeInputAlert]
+    val q = AlertMerger.mergeStream(input.toDS(), watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("merged_evict")
+      .outputMode("append").start()
+    try {
+      // batch 1: g1 opens its anchored 1-min window [00:00, 00:01]
+      input.addData(
+        alert("a", "2024-01-01 00:00:00", """{"mk":"g1","v":1}""", window = 1))
+      q.processAllAvailable()
+      // batch 2: a different group far ahead advances the watermark to 00:10
+      input.addData(
+        alert("z", "2024-01-01 00:10:00", """{"mk":"g2","v":9}""", window = 1))
+      q.processAllAvailable()
+      // batch 3: a LATE g1 alert (00:00:10, inside g1's window but behind
+      // the 00:10 watermark) — the watermark contract evicts it BEFORE the
+      // stateful operator; the same batch's watermark fires g1's timer
+      input.addData(
+        alert("late", "2024-01-01 00:00:10", """{"mk":"g1","v":2}""", window = 1))
+      q.processAllAvailable()
+      val g1 = spark.sql(
+        "SELECT alert_count FROM merged_evict WHERE merge_keys = 'g1'").collect()
+      assert(g1.length == 1 && g1(0).getLong(0) == 1L,
+        "late alert behind the watermark must be evicted, not merged")
+    } finally q.stop()
+  }
+
+  test("event-time merge KEEPS late data within the watermark delay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[MergeInputAlert]
+    val input = MemoryStream[MergeInputAlert]
+    // same arrival order as the eviction test, but a 15-minute allowed
+    // lateness: the watermark after 00:10 is 23:55 of the PREVIOUS day, so
+    // the 00:00:10 straggler is in-bounds and must join g1's open window
+    val q = AlertMerger.mergeStream(input.toDS(), watermarkDelay = "15 minutes")
+      .writeStream.format("memory").queryName("merged_keep_late")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        alert("a", "2024-01-01 00:00:00", """{"mk":"g1","v":1}""", window = 1))
+      q.processAllAvailable()
+      input.addData(
+        alert("z", "2024-01-01 00:10:00", """{"mk":"g2","v":9}""", window = 1))
+      q.processAllAvailable()
+      input.addData(
+        alert("late", "2024-01-01 00:00:10", """{"mk":"g1","v":2}""", window = 1))
+      q.processAllAvailable()
+      // a later in-window-key alert OUTSIDE g1's anchored window closes it
+      input.addData(
+        alert("b", "2024-01-01 00:02:00", """{"mk":"g1","v":3}""", window = 1))
+      q.processAllAvailable()
+      val g1 = spark.sql(
+        "SELECT alert_count FROM merged_keep_late WHERE merge_keys = 'g1'").collect()
+      assert(g1.length == 1 && g1(0).getLong(0) == 2L,
+        "straggler within the allowed lateness must merge into its window")
+    } finally q.stop()
+  }
+
   test("guardLegacyCheckpoint refuses to silently abandon an offset log") {
     import java.nio.file.Files
     val conf = new org.apache.hadoop.conf.Configuration()

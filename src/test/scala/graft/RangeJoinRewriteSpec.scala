@@ -88,6 +88,40 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("sq_range_join: the rewrite fires on user-authored scheduled SQL") {
+    // the registry row runs this text through ScheduledQueries.run; here
+    // the rule is installed the spec way and the SAME SQL must rewrite
+    withRule {
+      fact.createOrReplaceTempView("sq_fact_events")
+      val sql =
+        """WITH iv AS (
+          |  SELECT event_id % 2 AS itype, min(ts) AS start_ts,
+          |         min(ts) + INTERVAL 2 HOUR AS end_ts
+          |  FROM sq_fact_events GROUP BY event_id % 2)
+          |SELECT itype, count(*) AS n
+          |FROM sq_fact_events e JOIN iv
+          |  ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
+          |GROUP BY itype ORDER BY itype""".stripMargin
+      val df = graft.history.ScheduledQueries.run(spark, sql,
+        java.time.Instant.parse("2024-01-01T00:00:00Z"))
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("__graft_bucket"),
+        s"range-join rewrite did not fire on scheduled SQL:\n$opt")
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+        s"sq range join still a nested loop:\n$p")
+      // brute-force twin without the rule must agree
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows.nonEmpty)
+      spark.conf.set("spark.graft.rangeJoin.enabled", "false")
+      try {
+        val base = spark.sql(sql).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(rows == base, "rewrite changed the sq result")
+      } finally spark.conf.unset("spark.graft.rangeJoin.enabled")
+    }
+  }
+
   test("SQL surface: rolling_hash and misra_gries callable from SQL text") {
     // GraftExtensions.functions feeds injectFunction at session build
     // (Verify/Bench/VerifyOne sessions); here the same entries register
