@@ -6241,6 +6241,109 @@ object Queries {
       .orderBy("media_id", "frame_idx")
   }
 
+  // Voice-activity segmentation over the sampled frames: runs of
+  // consecutive "speech" frames (stub energy = md5 hex lexically >= 'c',
+  // ~25% of frames) collapse to segments — the gaps-and-islands
+  // run-length grouping every audio corpus needs before transcription.
+  // The window partitions by media_id over the frame-count-bounded frame
+  // set, never a corpus-cardinality key.
+  register(
+    "mm_audio_vad",
+    """WITH f AS (
+      |  SELECT doc_id AS media_id, f AS frame_idx,
+      |         md5(text || CAST(f AS VARCHAR)) AS h
+      |  FROM documents, range(8) r(f)),
+      |sp AS (SELECT media_id, frame_idx,
+      |              row_number() OVER (PARTITION BY media_id
+      |                                 ORDER BY frame_idx) AS rn
+      |       FROM f WHERE h >= 'c')
+      |SELECT media_id, min(frame_idx) AS seg_start,
+      |       max(frame_idx) AS seg_end,
+      |       CAST(count(*) AS BIGINT) AS n_frames
+      |FROM sp GROUP BY media_id, frame_idx - rn
+      |ORDER BY media_id, seg_start""".stripMargin) { (s, dir) =>
+    val media = Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id",
+      "text", "audio")
+    Multimodal.vadSegments(Multimodal.stubFrameSample(media, 8),
+        speechThresholdHex = "c")
+      .orderBy("media_id", "seg_start")
+  }
+
+  // Exact triangle count over the undirected nation trade graph — the
+  // degree-orientation shape (Graphs.triangleCount) that survives hub
+  // skew at 100 TB: every wedge is generated at its lowest-(degree, id)
+  // apex, bounding per-key fan-out by O(sqrt(edges)) instead of the hub
+  // degree. The oracle brute-forces the a<b<c triple join in DuckDB.
+  register(
+    "q53_triangle_count",
+    """WITH e0 AS (
+      |  SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS a,
+      |         greatest(c.c_nationkey, s.s_nationkey) AS b
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE c.c_nationkey <> s.s_nationkey)
+      |SELECT CAST(count(*) AS BIGINT) AS triangles
+      |FROM e0 ab JOIN e0 bc ON ab.b = bc.a
+      |JOIN e0 ac ON ac.a = ab.a AND ac.b = bc.b""".stripMargin) { (s, dir) =>
+    val edges = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+    graft.pipeline.Graphs.triangleCount(edges)
+  }
+
+  // Seeded label propagation over the trade graph: every 5th nation is a
+  // labeled seed (its region), two clamped spreading rounds label the
+  // rest — the semi-supervised label-expansion primitive (propagate a few
+  // human quality/toxicity labels through a similarity graph). Integer
+  // mass, unnormalized, ties to the smallest label — the oracle unrolls
+  // both rounds as CTEs (the q31 fixed-point pattern).
+  register(
+    "q54_label_propagation",
+    """WITH e0 AS (
+      |  SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS a,
+      |         greatest(c.c_nationkey, s.s_nationkey) AS b
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE c.c_nationkey <> s.s_nationkey),
+      |und AS (SELECT a AS src, b AS dst FROM e0
+      |        UNION ALL SELECT b AS src, a AS dst FROM e0),
+      |seeds AS (SELECT n_nationkey AS node, CAST(n_regionkey AS BIGINT) AS label
+      |          FROM nation WHERE n_nationkey % 5 = 0),
+      |s0 AS (SELECT node, label, CAST(1000000 AS BIGINT) AS m FROM seeds),
+      |p1 AS (SELECT und.dst AS node, s0.label AS label,
+      |              CAST(sum(s0.m) AS BIGINT) AS m
+      |       FROM und JOIN s0 ON und.src = s0.node GROUP BY 1, 2),
+      |s1 AS (SELECT node, label, m FROM p1
+      |       WHERE node NOT IN (SELECT node FROM seeds)
+      |       UNION ALL SELECT node, label, m FROM s0),
+      |p2 AS (SELECT und.dst AS node, s1.label AS label,
+      |              CAST(sum(s1.m) AS BIGINT) AS m
+      |       FROM und JOIN s1 ON und.src = s1.node GROUP BY 1, 2),
+      |s2 AS (SELECT node, label, m FROM p2
+      |       WHERE node NOT IN (SELECT node FROM seeds)
+      |       UNION ALL SELECT node, label, m FROM s0)
+      |SELECT node, label FROM (
+      |  SELECT node, label,
+      |         row_number() OVER (PARTITION BY node
+      |                            ORDER BY m DESC, label ASC) AS rn
+      |  FROM s2) WHERE rn = 1 ORDER BY node""".stripMargin) { (s, dir) =>
+    val edges = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+    val seeds = t(s, dir, "nation").where(col("n_nationkey") % 5 === 0)
+      .select(col("n_nationkey").as("node"), col("n_regionkey").as("label"))
+    graft.pipeline.Graphs.labelPropagation(edges, seeds, iters = 2)
+      .orderBy("node")
+  }
+
   // ---------------------------------------------------------------------------
   // Public accessors for SparkEntry
   // ---------------------------------------------------------------------------

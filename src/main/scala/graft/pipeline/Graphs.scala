@@ -161,4 +161,108 @@ object Graphs {
     }
     ranks
   }
+
+  /** Exact global triangle count via DEGREE ORIENTATION (Suri &
+    * Vassilvitskii, WWW'11, "Counting triangles and the curse of the last
+    * reducer") — the clustering/community-density signal for link-graph
+    * curation. Each undirected edge orients from its lower-(degree, id)
+    * endpoint to the higher, so every wedge is generated at its LOWEST-
+    * order apex: out-degrees under this orientation are O(√m) on any
+    * graph, which caps the wedge explosion a hub vertex causes under the
+    * naive formulation (the "last reducer" skew — a degree-10⁶ hub would
+    * otherwise emit 10¹² wedges from one key). Each triangle is generated
+    * exactly once (at its lowest-order vertex, closed by its
+    * lowest-order edge), so the count needs no /3 or /6 correction.
+    *
+    * Scale shape: dedup + degree join are skinny (node/edge, long)
+    * shuffles; the wedge self-join keys on the apex and the closing join
+    * keys on the (v1, v2) pair — both hash equi-joins; nothing wider than
+    * (id, id, long) ever moves. Input orientation/duplicates/self-loops
+    * are normalized here. Returns one row (triangles). */
+  def triangleCount(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val deg = canon.select(col("a").as("node"))
+      .unionAll(canon.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = canon
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    // orient by the (deg, node) total order; carry the head's order key so
+    // wedges can impose the same order on their two far endpoints without
+    // a global rank table
+    val oriented = withDeg.select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+          .otherwise(
+            struct(col("b").as("u"), col("a").as("v"), col("da").as("dv"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+      .localCheckpoint() // reused by the wedge self-join AND the closing join
+    // wedge (u→v1, u→v2) with (dv1,v1) < (dv2,v2): the closing edge, if it
+    // exists, is oriented v1→v2 under the SAME total order
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.u") === col("y.u") &&
+          struct(col("x.dv"), col("x.v")) < struct(col("y.dv"), col("y.v")))
+      .select(col("x.v").as("u"), col("y.v").as("v"))
+    wedges.join(oriented.select("u", "v"), Seq("u", "v"))
+      .agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Seeded label propagation (semi-supervised label spreading, Zhu &
+    * Ghahramani 2002 shape) over an undirected graph — the
+    * label-expansion primitive for corpus curation: a few human-labeled
+    * seeds (quality tiers, toxicity, topical domains) spread through a
+    * similarity/link graph to label every reachable node.
+    *
+    * Per round, every node's per-label mass is the sum of its neighbors'
+    * mass; SEEDS ARE CLAMPED back to (seed label, 10⁶) each round (the
+    * standard semi-supervised constraint — ground truth never drifts).
+    * All mass is integer and unnormalized, so any partitioning and any
+    * engine reproduces it bit-for-bit; with S seeds and max degree d the
+    * largest mass after k rounds is ≤ 10⁶·S·dᵏ — keep k small (label
+    * spreading converges in a few hops) or rescale for extreme graphs.
+    * Final label = argmax mass, ties to the SMALLEST label id
+    * (deterministic). Seeds are labeled by their clamp; unreachable
+    * unlabeled nodes are absent from the output.
+    *
+    * Scale shape: per round one skinny (node, label, long) join against
+    * the mirrored edge list + one pre-combined groupBy — the PageRank
+    * cost envelope with a label-cardinality fan-out (bounded: labels are
+    * human-defined tiers, not data). `localCheckpoint` per round keeps
+    * lineage flat. */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame, iters: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      nodeCol: String = "node", labelCol: String = "label"): DataFrame = {
+    require(iters >= 1)
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val und = canon.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(canon.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val seedState = seeds
+      .select(col(nodeCol).as("node"), col(labelCol).cast("long").as("label"),
+        lit(1000000L).as("m"))
+      .localCheckpoint()
+    val seedNodes = seedState.select("node")
+    var state = seedState
+    for (_ <- 1 to iters) {
+      val prop = und
+        .join(state.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(sum(col("m")).as("m"))
+      state = prop.join(seedNodes, Seq("node"), "left_anti")
+        .unionAll(seedState)
+        .localCheckpoint()
+    }
+    state.groupBy("node")
+      .agg(min(struct((-col("m")).as("nm"), col("label").as("l"))).as("best"))
+      .select(col("node"), col("best.l").as("label"))
+  }
 }

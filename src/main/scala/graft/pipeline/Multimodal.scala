@@ -101,6 +101,33 @@ object Multimodal {
       .select("media_id", "frame_idx", "hamming", "is_scene_change")
   }
 
+  /** Voice-activity segmentation over sampled frames — the audio twin of
+    * [[sceneChanges]]: runs of consecutive "speech" frames collapse to
+    * segments (media_id, seg_start, seg_end, n_frames), the
+    * speech-extraction primitive for audio corpora (segment, then
+    * transcribe/caption per segment). Frame energy is the STUB: a frame is
+    * speech when its md5 hex is lexically >= `speechThresholdHex` (a real
+    * VAD replaces the predicate with an RMS/model score; everything
+    * downstream — the run-length grouping, the per-media bounded window —
+    * is the real machinery). Gaps-and-islands: island id = frame_idx −
+    * rank-within-speech-frames, one window over the frame-count-bounded
+    * media partition, so no corpus-cardinality window key exists. */
+  def vadSegments(frames: DataFrame,
+      speechThresholdHex: String = "c"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    frames
+      .where(col("frame_md5") >= speechThresholdHex)
+      .withColumn("__island",
+        col("frame_idx") - row_number().over(w))
+      .groupBy("media_id", "__island")
+      .agg(
+        min(col("frame_idx")).as("seg_start"),
+        max(col("frame_idx")).as("seg_end"),
+        count(lit(1)).as("n_frames"))
+      .select("media_id", "seg_start", "seg_end", "n_frames")
+  }
+
   /** STUB resize — metadata-only transform (a real implementation rewrites
     * bytes; the engine contract is the meta update + passthrough schema). */
   def stubResize(media: DataFrame, w: Int, h: Int): DataFrame =

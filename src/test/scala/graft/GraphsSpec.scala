@@ -81,6 +81,56 @@ class GraphsSpec extends AnyFunSuite {
       "second tree must keep its own root")
   }
 
+  test("forestRootDepth: fails loudly when the hierarchy exceeds 2^maxIter") {
+    // depth-8 chain with maxIter=2 (reach 2^2=4): must throw, not return
+    // an intermediate ancestor as the root
+    val edges = (1L to 8L).map(i => (i, i - 1)).toDF("child", "parent")
+    val e = intercept[IllegalArgumentException](
+      Graphs.forestRootDepth(edges, maxIter = 2))
+    assert(e.getMessage.contains("did not reach a root"))
+  }
+
+  test("triangleCount: counts exactly once; orientation handles duplicates and hubs") {
+    // K4 has 4 triangles; an extra pendant edge adds none. Feed edges in
+    // BOTH orientations plus duplicates and a self-loop — normalization
+    // must collapse them all.
+    val k4 = for {
+      a <- 0L to 3L; b <- 0L to 3L if a != b
+    } yield (a, b)
+    val edges = (k4 ++ Seq((0L, 0L), (3L, 9L), (9L, 3L), (1L, 2L)))
+      .toDF("src", "dst")
+    val n = Graphs.triangleCount(edges).head().getLong(0)
+    assert(n == 4L, s"K4 + pendant must have 4 triangles, got $n")
+    // a hub star has no triangles at any fan-out
+    val star = (1L to 40L).map(i => (0L, i)).toDF("src", "dst")
+    assert(Graphs.triangleCount(star).head().getLong(0) == 0L)
+    // partitioning invariance (exact count)
+    val n7 = Graphs.triangleCount(edges.repartition(7)).head().getLong(0)
+    assert(n7 == 4L)
+  }
+
+  test("labelPropagation: spreads from seeds, clamps seeds, ties to smallest label") {
+    // path 0-1-2-3-4, seeds 0→10 and 4→20: after 2 rounds node 1 takes 10,
+    // node 3 takes 20, and node 2 receives EQUAL mass from both sides —
+    // the deterministic tie-break must pick the smaller label
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val seeds = Seq((0L, 10L), (4L, 20L)).toDF("node", "label")
+    val out = Graphs.labelPropagation(edges, seeds, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 10L, 1L -> 10L, 2L -> 10L, 3L -> 20L, 4L -> 20L),
+      s"unexpected labels: $out")
+    // partitioning invariance (integer mass, no normalization)
+    val out7 = Graphs.labelPropagation(edges.repartition(7), seeds, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out7 == out)
+    // a seed surrounded by the other label keeps its clamp
+    val hostile = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val seeds2 = Seq((0L, 99L), (1L, 5L), (2L, 5L), (3L, 5L)).toDF("node", "label")
+    val o2 = Graphs.labelPropagation(hostile, seeds2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(o2(0L) == 99L, s"seed must stay clamped: $o2")
+  }
+
   test("hits: directory page is the hub, linked pages the authorities; partitioning-invariant") {
     // 0 links to 1,2,3 (a directory); 4 links to 1 as well
     val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (4L, 1L)).toDF("src", "dst")

@@ -622,4 +622,20 @@ class PlanSpec extends AnyFunSuite {
     assert(spark.sharedState.cacheManager.isEmpty,
       "winnowing leaked cache entries")
   }
+
+  test("r11 ops: triangle count is equi-join only; vad window is frame-bounded") {
+    // degree orientation must keep every join an equi (hash/SMJ) join —
+    // the naive wedge formulation shows up as a nested loop or cartesian
+    val p53 = plan("q53_triangle_count")
+    assert(!p53.contains("CartesianProduct") &&
+      !p53.contains("BroadcastNestedLoopJoin"),
+      s"triangle count: quadratic join operator in plan")
+    assert(!p53.contains("UDF"), "triangle count: UDF in plan")
+    // vad: the only window partitions by media_id, whose partitions are
+    // frame-count-bounded (8 rows) by construction — and no UDF
+    val pv = plan("mm_audio_vad")
+    assert(pv.contains("Window"), "vad: expected the islands window")
+    assert(!pv.contains("UDF") && !pv.contains("BatchEvalPython"),
+      "vad: UDF in plan")
+  }
 }
