@@ -4960,6 +4960,51 @@ object Queries {
       .orderBy("rank")
   }
 
+  // Full BPE merge-rule learning (the tokenizer-induction loop): 8
+  // iterative rounds of pair-count → argmax → greedy merge over the
+  // word-count vocabulary. No SQL oracle — the merge table depends on the
+  // loop, which t44b proves end-to-end on a planted corpus with an
+  // ANALYTIC merge sequence (the d2c planted-twin pattern); BpeSpec pins
+  // the classic low/lower/newest hand example and the greedy-fold
+  // semantics ('aaaa' -> 'aa aa', never 'aaa a').
+  registerNoOracle("t44_bpe_learn") { (s, dir) =>
+    TextAnalysis.bpeLearn(t(s, dir, "documents"), "text", merges = 8)
+      .orderBy("rank")
+  }
+
+  // BPE planted twin: every document collapses to one of three words
+  // (abab/abc/bc by doc_id % 3), so the merge sequence is analytic:
+  // round 1 is always ('a','b') with count 2*n0+n1 (it dominates (b,a)=n0
+  // and (b,c)=n1+n2 whenever 2*n0 > n2 — any near-balanced id split),
+  // and round 2's candidates are exactly ('ab','ab')=n0, ('ab','c')=n1,
+  // ('b','c')=n2, which the oracle argmaxes under the operator's own
+  // (count desc, lhs, rhs) tie-break.
+  register(
+    "t44b_bpe_learn_planted",
+    """WITH n AS (
+      |  SELECT count(*) FILTER (WHERE doc_id % 3 = 0) AS n0,
+      |         count(*) FILTER (WHERE doc_id % 3 = 1) AS n1,
+      |         count(*) FILTER (WHERE doc_id % 3 = 2) AS n2
+      |  FROM documents),
+      |cand AS (
+      |  SELECT 'ab' AS lhs, 'ab' AS rhs, n0 AS n FROM n
+      |  UNION ALL SELECT 'ab', 'c', n1 FROM n
+      |  UNION ALL SELECT 'b', 'c', n2 FROM n),
+      |w2 AS (SELECT lhs, rhs, CAST(n AS BIGINT) AS n,
+      |              row_number() OVER (ORDER BY n DESC, lhs, rhs) AS rn
+      |       FROM cand)
+      |SELECT CAST(1 AS BIGINT) AS rank, 'a' AS lhs, 'b' AS rhs,
+      |       CAST(2*n0+n1 AS BIGINT) AS n FROM n
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), lhs, rhs, n FROM w2 WHERE rn = 1
+      |ORDER BY rank""".stripMargin) { (s, dir) =>
+    val planted = t(s, dir, "documents").select(
+      when(col("doc_id") % 3 === 0, "abab")
+        .when(col("doc_id") % 3 === 1, "abc")
+        .otherwise("bc").as("text"))
+    TextAnalysis.bpeLearn(planted, "text", merges = 2).orderBy("rank")
+  }
+
   // DSIR importance weights: log p_target − log p_raw under unigram LMs;
   // target LM = the src0/src1 slice, raw LM = the whole corpus.
   register(

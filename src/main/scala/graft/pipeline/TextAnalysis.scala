@@ -699,6 +699,71 @@ object TextAnalysis {
       .select(col("rank"), col("pair"), col("n"))
   }
 
+  /** Learn `merges` BPE merge rules over the corpus (Sennrich et al. 2016;
+    * the tokenizer-induction loop, one model step past [[bpePairCounts]]'
+    * single pair table). Classic BPE on the word-count vocabulary:
+    * symbols start as characters, each round (1) counts adjacent symbol
+    * pairs weighted by word frequency, (2) picks the most frequent pair
+    * (ties: lexicographically smallest (lhs, rhs) — deterministic across
+    * engines and partitionings), (3) rewrites every word with the pair
+    * merged left-to-right greedily. Returns (rank, lhs, rhs, n): the
+    * ordered merge table a tokenizer ships.
+    *
+    * Scale shape: the corpus is scanned ONCE (word counts); every round
+    * after that runs on the VOCABULARY-cardinality (syms, wc) table —
+    * one pre-combined pair aggregation, a 1-row argmax collect (the only
+    * driver action, O(1)), and a scan-side `aggregate` HOF fold that
+    * applies the merge (no UDF, no shuffle). `localCheckpoint` per round
+    * keeps lineage flat across the k iterations (the iterative-operator
+    * invariant). The fold is exact greedy BPE: a freshly merged symbol
+    * cannot re-match as the lhs of the same pair in the same pass. */
+  def bpeLearn(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    require(merges >= 1, s"bpeLearn needs merges >= 1, got $merges")
+    val spark = docs.sparkSession
+    var vocab = docs
+      .select(explode(tokens(lower(col(textCol)))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .select(split(col("word"), "").as("syms"), col("wc"))
+      .localCheckpoint()
+    val rules = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to merges if !exhausted) {
+      val pairs = vocab
+        .select(col("wc"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("wc")).as("n"))
+      val top = pairs
+        .orderBy(col("n").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, rr, n) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        rules += ((r.toLong, l, rr, n))
+        val merged = l + rr
+        // greedy left-to-right merge: fold each word, collapsing a tail
+        // symbol == lhs followed by rhs into the merged symbol. On an
+        // empty accumulator try_element_at(-1) is null (plain element_at
+        // throws under ANSI), the comparison is null, and `when` falls
+        // through to append — no extra guard needed.
+        vocab = vocab.select(
+            aggregate(col("syms"),
+              array().cast("array<string>"),
+              (acc, x) => when(
+                try_element_at(acc, lit(-1)) === lit(l) && x === lit(rr),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+                .otherwise(concat(acc, array(x)))).as("syms"),
+            col("wc"))
+          .localCheckpoint()
+      }
+    }
+    import spark.implicits._
+    rules.toSeq.toDF("rank", "lhs", "rhs", "n")
+  }
+
   // ---------------------------------------------------------------------------
   // Benchmark decontamination
   // ---------------------------------------------------------------------------
