@@ -6340,6 +6340,42 @@ object Queries {
     graft.pipeline.Graphs.triangleCount(edges)
   }
 
+  // Local clustering coefficient per nation over the trade graph —
+  // per-node triangle membership from the same degree-oriented machinery
+  // as q53, divided by the node's possible neighbor pairs. The density
+  // signal that separates genuine communities from hub spam.
+  register(
+    "q55_clustering_coeff",
+    """WITH e0 AS (
+      |  SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS a,
+      |         greatest(c.c_nationkey, s.s_nationkey) AS b
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE c.c_nationkey <> s.s_nationkey),
+      |und AS (SELECT a AS src FROM e0 UNION ALL SELECT b FROM e0),
+      |deg AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY src),
+      |tri AS (
+      |  SELECT unnest([ab.a, ab.b, bc.b]) AS node
+      |  FROM e0 ab JOIN e0 bc ON ab.b = bc.a
+      |  JOIN e0 ac ON ac.a = ab.a AND ac.b = bc.b),
+      |tn AS (SELECT node, count(*) AS triangles FROM tri GROUP BY node)
+      |SELECT deg.node, CAST(deg.deg AS BIGINT) AS deg,
+      |       CAST(coalesce(tn.triangles, 0) AS BIGINT) AS triangles,
+      |       CASE WHEN deg.deg >= 2
+      |            THEN round(coalesce(tn.triangles, 0) * 2.0 /
+      |                       (deg.deg * (deg.deg - 1)), 6)
+      |            ELSE 0.0 END AS coeff
+      |FROM deg LEFT JOIN tn USING (node) ORDER BY node""".stripMargin) { (s, dir) =>
+    val edges = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+    graft.pipeline.Graphs.clusteringCoefficient(edges).orderBy("node")
+  }
+
   // Seeded label propagation over the trade graph: every 5th nation is a
   // labeled seed (its region), two clamped spreading rounds label the
   // rest — the semi-supervised label-expansion primitive (propagate a few

@@ -180,7 +180,35 @@ object Graphs {
     * (id, id, long) ever moves. Input orientation/duplicates/self-loops
     * are normalized here. Returns one row (triangles). */
   def triangleCount(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame =
+    triangleNodes(edges, srcCol, dstCol)._1
+      .agg((count(lit(1)) / 3).cast("long").as("triangles"))
+
+  /** Local clustering coefficient per node: 2·T(v) / (deg(v)·(deg(v)−1)) —
+    * the community-density / link-spam signal per vertex. Triangles come
+    * from the SAME degree-oriented machinery as [[triangleCount]] (each
+    * triangle contributes one membership row per corner); degrees are the
+    * undirected distinct-neighbor counts. Nodes with deg < 2 have
+    * coefficient 0 by convention. Returns (node, deg, triangles, coeff),
+    * coeff rounded at 6 dp (exact integer inputs, one double division —
+    * engine-reproducible). */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
+    val (members, deg) = triangleNodes(edges, srcCol, dstCol)
+    val perNode = members.groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("deg") >= 2,
+          round(coalesce(col("triangles"), lit(0L)) * 2.0 /
+            (col("deg") * (col("deg") - 1)), 6))
+          .otherwise(lit(0.0)).as("coeff"))
+  }
+
+  /** Shared degree-orientation core: one membership row per (triangle,
+    * corner) plus the undirected degree table. Global count = rows/3. */
+  private def triangleNodes(edges: DataFrame, srcCol: String,
+      dstCol: String): (DataFrame, DataFrame) = {
     val canon = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
@@ -203,13 +231,16 @@ object Graphs {
       .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
       .localCheckpoint() // reused by the wedge self-join AND the closing join
     // wedge (u→v1, u→v2) with (dv1,v1) < (dv2,v2): the closing edge, if it
-    // exists, is oriented v1→v2 under the SAME total order
+    // exists, is oriented v1→v2 under the SAME total order; each triangle
+    // is generated exactly once (at its lowest-order apex)
     val wedges = oriented.as("x").join(oriented.as("y"),
         col("x.u") === col("y.u") &&
           struct(col("x.dv"), col("x.v")) < struct(col("y.dv"), col("y.v")))
-      .select(col("x.v").as("u"), col("y.v").as("v"))
-    wedges.join(oriented.select("u", "v"), Seq("u", "v"))
-      .agg(count(lit(1)).as("triangles"))
+      .select(col("x.u").as("apex"), col("x.v").as("u"), col("y.v").as("v"))
+    val triangles = wedges.join(oriented.select("u", "v"), Seq("u", "v"))
+    val members = triangles.select(
+        explode(array(col("apex"), col("u"), col("v"))).as("node"))
+    (members, deg)
   }
 
   /** Seeded label propagation (semi-supervised label spreading, Zhu &

@@ -109,6 +109,22 @@ class GraphsSpec extends AnyFunSuite {
     assert(n7 == 4L)
   }
 
+  test("clusteringCoefficient: K4 corners are 1.0, pendant 0, bridge scales") {
+    // K4 (nodes 0-3) + pendant 9 attached to 3: nodes 0-2 have deg 3 and
+    // all 3 of their neighbor pairs closed (coeff 1.0); node 3 has deg 4
+    // with 3 of its 6 pairs closed (0.5); node 9 has deg 1 (0.0)
+    val k4 = for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)
+    val edges = (k4 :+ ((3L, 9L))).toDF("src", "dst")
+    val out = Graphs.clusteringCoefficient(edges)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(0L) == ((3L, 3L, 1.0)) && out(1L) == ((3L, 3L, 1.0)) &&
+      out(2L) == ((3L, 3L, 1.0)), s"K4 corners: $out")
+    assert(out(3L) == ((4L, 3L, 0.5)), s"bridge node: $out")
+    assert(out(9L) == ((1L, 0L, 0.0)), s"pendant: $out")
+  }
+
   test("labelPropagation: spreads from seeds, clamps seeds, ties to smallest label") {
     // path 0-1-2-3-4, seeds 0→10 and 4→20: after 2 rounds node 1 takes 10,
     // node 3 takes 20, and node 2 receives EQUAL mass from both sides —
