@@ -3757,6 +3757,43 @@ object Queries {
       .orderBy("id_a")
   }
 
+  // Greedy k-center diverse selection (Gonzalez farthest-point): 4
+  // selection rounds, each a corpus scan folding the running min-distance
+  // against a one-row broadcast center — the coreset/diversity sampler
+  // for curation. The oracle unrolls all 4 rounds as CTEs with the
+  // operator's exact fold nesting (least of 6-dp-rounded distances) and
+  // argmax tie-break (mind desc, vec_id asc).
+  register(
+    "ann_kcenter_select",
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |c1 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1),
+      |d1 AS (SELECT e.vec_id,
+      |              round(1 - list_cosine_similarity(e.embedding::DOUBLE[],
+      |                    c1.embedding::DOUBLE[]), 6) AS mind
+      |       FROM e, c1),
+      |c2 AS (SELECT e.vec_id, e.embedding FROM e JOIN d1 USING (vec_id)
+      |       ORDER BY d1.mind DESC, e.vec_id LIMIT 1),
+      |d2 AS (SELECT d1.vec_id,
+      |              least(d1.mind, round(1 - list_cosine_similarity(
+      |                e.embedding::DOUBLE[], c2.embedding::DOUBLE[]), 6)) AS mind
+      |       FROM d1 JOIN e USING (vec_id), c2),
+      |c3 AS (SELECT e.vec_id, e.embedding FROM e JOIN d2 USING (vec_id)
+      |       ORDER BY d2.mind DESC, e.vec_id LIMIT 1),
+      |d3 AS (SELECT d2.vec_id,
+      |              least(d2.mind, round(1 - list_cosine_similarity(
+      |                e.embedding::DOUBLE[], c3.embedding::DOUBLE[]), 6)) AS mind
+      |       FROM d2 JOIN e USING (vec_id), c3),
+      |c4 AS (SELECT e.vec_id FROM e JOIN d3 USING (vec_id)
+      |       ORDER BY d3.mind DESC, e.vec_id LIMIT 1)
+      |SELECT CAST(1 AS BIGINT) AS sel_rank, (SELECT vec_id FROM c1) AS vec_id
+      |UNION ALL SELECT 2, (SELECT vec_id FROM c2)
+      |UNION ALL SELECT 3, (SELECT vec_id FROM c3)
+      |UNION ALL SELECT 4, (SELECT vec_id FROM c4)
+      |ORDER BY sel_rank""".stripMargin) { (s, dir) =>
+    Similarity.kCenterSelect(t(s, dir, "embeddings"), "embedding", "vec_id",
+      k = 4).orderBy("sel_rank")
+  }
+
   // Matryoshka-truncation audit: recall@3 of 16-dim-prefix cosine search
   // against the full 64-dim ranking — the "can we serve on a prefix"
   // embedding-efficiency question (Kusupati et al. 2022). Both rankings

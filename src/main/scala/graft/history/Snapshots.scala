@@ -117,4 +117,30 @@ object Snapshots {
     dead.foreach(v => f.delete(new Path(s"$root/manifests/v$v"), false))
     reclaimed
   }
+
+  /** Delete every directory under `data/` that NO live manifest
+    * references — the backstop for crash debris [[expire]] cannot see
+    * (a writer that died between landing its data dir and publishing its
+    * manifest, or historical strandings from a pre-ordering-fix expire).
+    *
+    * Safe against the one in-flight writer the store permits: the next
+    * version's un-published directory is `data/d<latest+1>`, which the
+    * sweep always spares (whether or not it exists yet), so a concurrent
+    * commit's landed-but-unpublished data survives. Returns the swept
+    * directories. */
+  def sweepOrphans(spark: SparkSession, root: String): Seq[String] = {
+    val f = fs(spark, root)
+    val vs = versions(spark, root)
+    val dataRoot = new Path(s"$root/data")
+    if (!f.exists(dataRoot)) return Seq.empty
+    val referenced = vs.flatMap(manifestDirs(spark, root, _)).toSet
+      .map((d: String) => new Path(d).getName)
+    val inFlight = s"d${vs.lastOption.getOrElse(0L) + 1L}"
+    val orphans = f.listStatus(dataRoot).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filterNot(p => referenced(p.getName) || p.getName == inFlight)
+    orphans.foreach(p => f.delete(p, true))
+    orphans.map(_.toString)
+  }
 }

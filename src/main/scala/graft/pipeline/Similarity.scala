@@ -628,4 +628,51 @@ object Similarity {
       .select(col(queryId), col(corpusId).as("neighbor_id"),
         round(col("cos"), 6).as("cos"), col("rank"))
   }
+
+  /** Greedy k-center (farthest-point, Gonzalez 1985) diverse-subset
+    * selection — the coreset/diversity sampler for training-data curation:
+    * pick the min-id point, then k−1 times the point FARTHEST (max
+    * min-cosine-distance) from everything chosen so far. The classic
+    * 2-approximation to the k-center objective, and the standard "cover
+    * the embedding space" selection for dedup-aware sampling.
+    *
+    * Determinism: distances are `round(1 − cos, 6)`; min-distances fold
+    * as `least(prev, round(dist, 6))` — the exact nesting a SQL oracle
+    * reproduces — and argmax ties break to the smallest id. (If every
+    * remaining distance is 0 — an all-duplicates corpus — the argmax
+    * degenerates to the smallest id, identically in any engine.)
+    *
+    * Scale shape: each of the k rounds is ONE corpus scan folding the
+    * running min-distance against a one-row broadcast center (the
+    * codebook pattern — vectors never shuffle), plus a 1-row argmax
+    * collect; `localCheckpoint` per round keeps lineage flat. Cost is
+    * k × scan; k is a human-chosen selection budget, never data-sized.
+    * Returns (sel_rank, vec_id) in selection order. */
+  def kCenterSelect(df: DataFrame, vecCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"kCenterSelect needs k >= 1, got $k")
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .localCheckpoint()
+    val firstId = base.orderBy("id").limit(1).collect()(0).getLong(0)
+    val chosen = scala.collection.mutable.ListBuffer((1L, firstId))
+    def centerVec(id: Long) =
+      broadcast(base.where(col("id") === id).select(col("v").as("cv")))
+    var state = base.crossJoin(centerVec(firstId))
+      .select(col("id"), col("v"),
+        round(lit(1.0) - Dedup.cosine(col("v"), col("cv")), 6).as("mind"))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      val next = state.orderBy(col("mind").desc, col("id").asc)
+        .limit(1).collect()(0).getLong(0)
+      chosen += ((r.toLong, next))
+      state = state.crossJoin(centerVec(next))
+        .select(col("id"), col("v"),
+          least(col("mind"),
+            round(lit(1.0) - Dedup.cosine(col("v"), col("cv")), 6)).as("mind"))
+        .localCheckpoint()
+    }
+    import spark.implicits._
+    chosen.toSeq.toDF("sel_rank", "vec_id")
+  }
 }

@@ -46,6 +46,26 @@ class SnapshotsSpec extends AnyFunSuite {
     }
   }
 
+  test("sweepOrphans removes crash debris but spares live data and the in-flight dir") {
+    val root = java.nio.file.Files.createTempDirectory("snapstore3").toString
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), root)
+    Snapshots.commit(Seq((2L, "b")).toDF("id", "v"), root)
+    // crash debris: a data dir whose manifest never published (not the
+    // next version's slot), plus the NEXT version's in-flight dir
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/data/d99"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/data/d3")) // in-flight
+    val swept = Snapshots.sweepOrphans(spark, root)
+    assert(swept.map(new org.apache.hadoop.fs.Path(_).getName) == Seq("d99"),
+      s"must sweep exactly the orphan: $swept")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/data/d3")),
+      "in-flight next-version dir must survive")
+    assert(Snapshots.read(spark, root).count() == 2, "live data untouched")
+    // idempotent: nothing left to sweep
+    assert(Snapshots.sweepOrphans(spark, root).isEmpty)
+  }
+
   test("materialized view: incremental refresh reads ONLY new directories; replace falls back") {
     import graft.history.Materialized
     import graft.pipeline.Sketches
