@@ -3757,6 +3757,45 @@ object Queries {
       .orderBy("id_a")
   }
 
+  // Blocked fuzzy entity resolution: a corrupted twin of every customer
+  // (the '#' separator swapped for '=') must link back to exactly its
+  // source — levenshtein 1 to the source, >= 2 to every other name —
+  // searched only inside (name-digit-prefix, nation) blocks so the
+  // quadratic edit distance never sees the table, just the block.
+  register(
+    "p4_entity_resolution",
+    """WITH dirty AS (
+      |  SELECT c_custkey + 1000000 AS d_id,
+      |         replace(c_name, '#', '=') AS d_name,
+      |         c_nationkey AS d_nat
+      |  FROM customer),
+      |m AS (
+      |  SELECT d.d_id, c.c_custkey,
+      |         CAST(levenshtein(d.d_name, c.c_name) AS BIGINT) AS dist
+      |  FROM dirty d JOIN customer c
+      |    ON substr(d.d_name, 10, 6) = substr(c.c_name, 10, 6)
+      |   AND d.d_nat = c.c_nationkey
+      |  WHERE levenshtein(d.d_name, c.c_name) <= 1),
+      |r AS (SELECT d_id, c_custkey, dist,
+      |             row_number() OVER (PARTITION BY d_id
+      |                                ORDER BY dist, c_custkey) AS rn
+      |      FROM m)
+      |SELECT d_id, c_custkey AS matched_id, dist
+      |FROM r WHERE rn = 1 ORDER BY d_id""".stripMargin) { (s, dir) =>
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val dirty = cust.select(
+      (col("c_custkey") + 1000000).as("d_id"),
+      regexp_replace(col("c_name"), "#", "=").as("d_name"),
+      col("c_nationkey").as("d_nat"))
+    Dedup.entityMatch(dirty, cust, "d_id", "c_custkey", "d_name", "c_name",
+        blockKeys = Seq(
+          substring(col("d.d_name"), 10, 6) -> substring(col("c.c_name"), 10, 6),
+          col("d.d_nat") -> col("c.c_nationkey")),
+        maxDist = 1)
+      .orderBy("d_id")
+  }
+
   // Greedy k-center diverse selection (Gonzalez farthest-point): 4
   // selection rounds, each a corpus scan folding the running min-distance
   // against a one-row broadcast center — the coreset/diversity sampler

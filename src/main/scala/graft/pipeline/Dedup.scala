@@ -1316,4 +1316,43 @@ object Dedup {
           .when(col("__ha") === col("__hb"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
+
+  // -------------------------------------------------------------------------
+  // Entity resolution (blocked fuzzy record linkage)
+  // -------------------------------------------------------------------------
+
+  /** Blocked fuzzy entity matching — the record-linkage primitive
+    * (Fellegi–Sunter shape, deterministic scoring): for each `dirty` row,
+    * the best `clean` match under an edit-distance threshold, searched
+    * ONLY within equal blocking keys. This is dedup's cross-table twin:
+    * near-dup joins ask "same document?", entity matching asks "same
+    * real-world entity across two tables?" (ingest reconciliation,
+    * master-data joins, training-data source alignment).
+    *
+    * `blockKeys` maps dirty-side Column -> clean-side Column; all pairs
+    * are equality conjuncts of the blocking join, so candidate scoring is
+    * confined to block-cardinality groups — the quadratic levenshtein
+    * never sees the corpus, just the block (choose keys so blocks stay
+    * bounded: name prefixes, geo keys, phonetic codes). Keep-best is a
+    * per-dirty-id window over candidate-cardinality partitions:
+    * (distance asc, clean id asc) — fully deterministic. Returns
+    * (d_id, matched_id, dist); dirty rows with no candidate under
+    * `maxDist` are absent. */
+  def entityMatch(dirty: DataFrame, clean: DataFrame,
+      dirtyId: String, cleanId: String,
+      dirtyName: String, cleanName: String,
+      blockKeys: Seq[(Column, Column)], maxDist: Int): DataFrame = {
+    require(blockKeys.nonEmpty, "entityMatch needs at least one blocking key")
+    val cond = blockKeys.map { case (d, c) => d === c }.reduce(_ && _)
+    val scored = dirty.as("d").join(clean.as("c"), cond)
+      .select(col(s"d.$dirtyId").as("d_id"), col(s"c.$cleanId").as("c_id"),
+        levenshtein(col(s"d.$dirtyName"), col(s"c.$cleanName"))
+          .cast(LongType).as("dist"))
+      .where(col("dist") <= maxDist)
+    scored
+      .withColumn("__rn", row_number().over(Window.partitionBy("d_id")
+        .orderBy(col("dist").asc, col("c_id").asc)))
+      .where(col("__rn") === 1)
+      .select(col("d_id"), col("c_id").as("matched_id"), col("dist"))
+  }
 }
