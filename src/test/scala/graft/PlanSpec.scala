@@ -623,6 +623,20 @@ class PlanSpec extends AnyFunSuite {
       "winnowing leaked cache entries")
   }
 
+  test("r11 ops: entity match blocks before scoring; label prop and k-center stay skinny") {
+    // p4: levenshtein must be computed AFTER the blocking equi-join — no
+    // cartesian/nested-loop pairing, and the keep-best window keys on d_id
+    val p4 = plan("p4_entity_resolution")
+    assert(!p4.contains("CartesianProduct") && !p4.contains("BroadcastNestedLoopJoin"),
+      "entity match: unblocked quadratic pairing in plan")
+    assert(!p4.contains("UDF"), "entity match: UDF in plan")
+    // q54: per-round shapes are joins + partial-aggregated groupBys — the
+    // argmax/label pick must not appear as a global all-rows window
+    val p54 = plan("q54_label_propagation")
+    assert(!p54.contains("CartesianProduct"), "label prop: cartesian in plan")
+    assert(!p54.contains("UDF"), "label prop: UDF in plan")
+  }
+
   test("r11 ops: triangle count is equi-join only; vad window is frame-bounded") {
     // degree orientation must keep every join an equi (hash/SMJ) join —
     // the naive wedge formulation shows up as a nested loop or cartesian
