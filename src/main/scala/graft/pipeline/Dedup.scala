@@ -671,7 +671,12 @@ object Dedup {
     * candidate volume creeps up. */
   def similarityStages(df: DataFrame, textCol: String, idCol: String,
       shingleWords: Int = 2): (DataFrame, DataFrame) = {
+    // localCheckpoint (eager, GC-released — not the cache manager) so the
+    // CodegenFallback shingle HOF chain runs ONCE for the two branches
+    // (frequency + canonical sort), the same recompute the in-line
+    // similarityJoinPlan avoids by persisting its explode
     val exploded = ppjoinExploded(df, textCol, idCol, shingleWords)
+      .localCheckpoint()
     val freq = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
     val sorted = ppjoinSorted(exploded.join(freq, "tok"))
     (freq, sorted)
