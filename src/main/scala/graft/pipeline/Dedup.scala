@@ -255,10 +255,16 @@ object Dedup {
   def minhashStages(df: DataFrame, textCol: String, idCol: String,
       shingleWords: Int = 3, numHashes: Int = 32, bands: Int = 8)
       : (DataFrame, DataFrame) = {
+    // localCheckpoint: both returned stages consume this (the store write
+    // AND the bucket derivation), and the CodegenFallback shingle chain is
+    // the dominant cost — materialize once (the in-line minhashPairsPlan
+    // makes the same trade with persist). Storage cost ≈ the store itself,
+    // which the caller is about to land anyway.
     val shingled = df.select(
       col(idCol).as("id"),
       array_distinct(transform(wordShingles(col(textCol), shingleWords),
         s => xxhash64(s))).as("shingles"))
+      .localCheckpoint()
     val buckets = shingled
       // the signature is a materialized column: the band array references
       // it bands×, and inlining would re-run the whole fold per band
