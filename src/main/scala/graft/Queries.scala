@@ -3348,12 +3348,13 @@ object Queries {
       .orderBy("q_id", "rank")
   }
 
-  // LSH-bucketed ANN with multi-probe (approximate -> rows-only check).
+  // Banded (AND-OR) LSH ANN with in-band multi-probe (approximate ->
+  // rows-only check; the recall-bound row pins the measured quality).
   registerNoOracle("ann_lsh_topk") { (s, dir) =>
     val e = t(s, dir, "embeddings")
     val queries = e.where(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    Similarity.lshTopK(e, queries, k = 3, planes = 6).orderBy("q_id", "rank")
+    Similarity.lshTopK(e, queries, k = 3).orderBy("q_id", "rank")
   }
 
   /** The d2c planting construction applied to embeddings: each query vector
@@ -3387,7 +3388,7 @@ object Queries {
     val e = t(s, dir, "embeddings")
     val queries = e.where(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    Similarity.lshTopK(plantedAnnCorpus(e, 3), queries, k = 3, planes = 6)
+    Similarity.lshTopK(plantedAnnCorpus(e, 3), queries, k = 3)
       .orderBy("q_id", "rank")
   }
 
@@ -3442,13 +3443,13 @@ object Queries {
     annRecallClaim(
       Similarity.bruteForceTopK(e, queries, k = 3),
       graft.pipeline.Similarity.ivfTopK(e, queries, k = 3, nLists = 8, nProbe = 3),
-      // measured recall@3 is 0.667 (10/15) at BOTH sf0.001 and sf0.01 —
-      // an honest number: the synthetic corpus is near-orthogonal, so the
-      // "true" top-3 sit at cos ~0.3 where 3-of-8 probed lists genuinely
-      // miss some (the planted rows prove the machinery; this row pins the
-      // realistic-corpus behavior). Floor 0.6 catches a quantizer/probe
-      // regression while absorbing data drift
-      floor = 0.6)
+      // measured recall@3 is 0.667 (10/15) at BOTH sf0.001 and sf0.01,
+      // stable for three rounds — an honest number: the synthetic corpus
+      // is near-orthogonal, so the "true" top-3 sit at cos ~0.3 where
+      // 3-of-8 probed lists genuinely miss some (the planted rows prove
+      // the machinery; this row pins the realistic-corpus behavior).
+      // Floor 0.65 = within 0.05 of worst measured (the d5e stability rule)
+      floor = 0.65)
   }
 
   register("ann_lsh_recall_bound", AnnRecallOracle) { (s, dir) =>
@@ -3457,13 +3458,14 @@ object Queries {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     annRecallClaim(
       Similarity.bruteForceTopK(e, queries, k = 3),
-      Similarity.lshTopK(e, queries, k = 3, planes = 6),
-      // measured recall@3 is 0.2 (3/15) at BOTH sf0.001 and sf0.01 — the
-      // hyperplane-bucket worst case: near-orthogonal "neighbors" (cos
-      // ~0.3) share few sign bits, the d5b story at top-k granularity.
-      // Pinning the honest number is the point — a floor of 0.15 fails if
-      // a signature/probe regression drops even one of the 3 hits
-      floor = 0.15)
+      Similarity.lshTopK(e, queries, k = 3),
+      // banded AND-OR scheme (8 bands x 6 planes + in-band 1-bit probes):
+      // measured recall@3 is 0.867 (13/15) at sf0.001 and 0.933 (14/15)
+      // at sf0.01 — theory for cos~0.3 neighbors (p ~ 0.6) predicts ~0.98
+      // with probes, vs the 0.2 the single 6-bit signature measured before
+      // the r12 graduation. Floor 0.8 = within 0.05 of worst measured
+      // (the d5e stability rule)
+      floor = 0.8)
   }
 
   // Classifier-accuracy audit against labeled data: the t3 language-ID
@@ -3800,8 +3802,9 @@ object Queries {
   // selection rounds, each a corpus scan folding the running min-distance
   // against a one-row broadcast center — the coreset/diversity sampler
   // for curation. The oracle unrolls all 4 rounds as CTEs with the
-  // operator's exact fold nesting (least of 6-dp-rounded distances) and
-  // argmax tie-break (mind desc, vec_id asc).
+  // operator's exact fold nesting (least of 6-dp-rounded distances),
+  // argmax tie-break (mind desc, vec_id asc), and the chosen-id
+  // exclusion (NOT IN prior centers — k distinct ids guaranteed).
   register(
     "ann_kcenter_select",
     """WITH e AS (SELECT vec_id, embedding FROM embeddings),
@@ -3811,18 +3814,24 @@ object Queries {
       |                    c1.embedding::DOUBLE[]), 6) AS mind
       |       FROM e, c1),
       |c2 AS (SELECT e.vec_id, e.embedding FROM e JOIN d1 USING (vec_id)
+      |       WHERE e.vec_id NOT IN (SELECT vec_id FROM c1)
       |       ORDER BY d1.mind DESC, e.vec_id LIMIT 1),
       |d2 AS (SELECT d1.vec_id,
       |              least(d1.mind, round(1 - list_cosine_similarity(
       |                e.embedding::DOUBLE[], c2.embedding::DOUBLE[]), 6)) AS mind
       |       FROM d1 JOIN e USING (vec_id), c2),
       |c3 AS (SELECT e.vec_id, e.embedding FROM e JOIN d2 USING (vec_id)
+      |       WHERE e.vec_id NOT IN (SELECT vec_id FROM c1
+      |                              UNION SELECT vec_id FROM c2)
       |       ORDER BY d2.mind DESC, e.vec_id LIMIT 1),
       |d3 AS (SELECT d2.vec_id,
       |              least(d2.mind, round(1 - list_cosine_similarity(
       |                e.embedding::DOUBLE[], c3.embedding::DOUBLE[]), 6)) AS mind
       |       FROM d2 JOIN e USING (vec_id), c3),
       |c4 AS (SELECT e.vec_id FROM e JOIN d3 USING (vec_id)
+      |       WHERE e.vec_id NOT IN (SELECT vec_id FROM c1
+      |                              UNION SELECT vec_id FROM c2
+      |                              UNION SELECT vec_id FROM c3)
       |       ORDER BY d3.mind DESC, e.vec_id LIMIT 1)
       |SELECT CAST(1 AS BIGINT) AS sel_rank, (SELECT vec_id FROM c1) AS vec_id
       |UNION ALL SELECT 2, (SELECT vec_id FROM c2)

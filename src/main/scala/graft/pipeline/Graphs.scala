@@ -254,8 +254,14 @@ object Graphs {
     * standard semi-supervised constraint — ground truth never drifts).
     * All mass is integer and unnormalized, so any partitioning and any
     * engine reproduces it bit-for-bit; with S seeds and max degree d the
-    * largest mass after k rounds is ≤ 10⁶·S·dᵏ — keep k small (label
-    * spreading converges in a few hops) or rescale for extreme graphs.
+    * largest mass after k rounds is ≤ 10⁶·S·dᵏ. That envelope is ENFORCED,
+    * not just documented (the [[forestRootDepth]] fail-loudly tradition):
+    * before each round a max-mass probe over the (already checkpointed)
+    * skinny state requires max(m) ≤ Long.Max / max-degree — the exact
+    * precondition under which the coming round's neighbor sum cannot wrap
+    * — and fails with a clear message (fewer iters, or pre-aggregate the
+    * graph) instead of letting a hub graph overflow silently. Cost: one
+    * scalar agg per round over cached (node, label, long) rows.
     * Final label = argmax mass, ties to the SMALLEST label id
     * (deterministic). Seeds are labeled by their clamp; unreachable
     * unlabeled nodes are absent from the output.
@@ -277,13 +283,24 @@ object Graphs {
     val und = canon.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(canon.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
+    // undirected max degree (und is mirrored, so out-degree IS degree):
+    // the worst-case per-(node,label) fan-in of one propagation round
+    val degMax = math.max(1L, und.groupBy("src").agg(count(lit(1)).as("d"))
+      .agg(max(col("d")).as("dm")).collect()(0).getLong(0))
     val seedState = seeds
       .select(col(nodeCol).as("node"), col(labelCol).cast("long").as("label"),
         lit(1000000L).as("m"))
       .localCheckpoint()
     val seedNodes = seedState.select("node")
     var state = seedState
-    for (_ <- 1 to iters) {
+    for (r <- 1 to iters) {
+      // overflow envelope, enforced BEFORE the sum that would wrap: the
+      // round's in-mass per (node, label) is at most degMax · max(m)
+      val maxM = state.agg(max(col("m")).as("mm")).collect()(0).getLong(0)
+      require(maxM <= Long.MaxValue / degMax,
+        s"labelPropagation: round $r max mass $maxM times max degree " +
+          s"$degMax would overflow Long — use fewer iters or pre-aggregate " +
+          "the graph (10^6-unit seed mass grows as degree^rounds)")
       val prop = und
         .join(state.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"), col("label"))

@@ -590,83 +590,123 @@ object Similarity {
         col("rank"))
   }
 
-  /** LSH-bucketed ANN: corpus bucketed once by hyperplane signature; queries
-    * probe their own bucket plus all 1-bit-flip neighbors (multi-probe), so
-    * recall degrades gracefully instead of falling off a cliff.
+  /** LSH-bucketed ANN — banded (AND-OR amplified) hyperplane buckets with
+    * multi-probe. A single wide signature ANDs every sign bit, so pair
+    * recall at moderate cosine collapses exponentially (p^planes with
+    * p = 1 − θ/π — the measured-0.2-recall trap the pre-banded version
+    * fell into); banding OR-amplifies it to 1 − (1 − p^r)^b while
+    * candidate generation stays a (band, sig) equi-join. Each query probes
+    * its own bucket per band plus every 1-bit-flip neighbor WITHIN the
+    * band, so recall degrades gracefully instead of falling off a cliff.
+    *
+    * Scale shape ([[Dedup.embeddingNearDupsBanded]]'s): the bucket join
+    * ships (id, band, sig) — never vectors — survivors re-attach their
+    * vectors by id for the exact cosine verify, and the final top-k is a
+    * per-query window. Per-query candidate cost is
+    * ~bands · (1 + planesPerBand) · corpus / 2^planesPerBand: at corpus
+    * scale widen `planesPerBand` (buckets sharpen exponentially) and
+    * recover the lost per-band recall with more `bands` — the knobs move
+    * cost and recall independently, which the single-signature scheme
+    * could not.
     *
     * `corpusSize`, when known (the serving path over a staged corpus always
-    * knows it), feeds the occupancy guard: with 2^planes buckets a fixed
-    * width saturates at 100× the corpus — candidate cost per query grows
-    * linearly and the multi-probe stops discriminating. When None the guard
-    * is skipped so this stays a pure lazy plan-builder (no Spark job at
-    * construction time — the serving path must not double-scan the corpus
-    * for a diagnostic). */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
+    * knows it), feeds the occupancy guard: a fixed band width saturates at
+    * 100× the corpus — candidate cost per query grows linearly and the
+    * probes stop discriminating. When None the guard is skipped so this
+    * stays a pure plan-builder (one limit(1) dimension probe aside — the
+    * [[Dedup.embeddingStagesBanded]] literal-matrix fast path). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      bands: Int = 8, planesPerBand: Int = 6,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "q_id", queryVec: String = "q_vec",
       corpusSize: Option[Long] = None): DataFrame = {
     corpusSize.foreach(n =>
-      Dedup.warnIfUnderPlaned("lshTopK", n, planes, maxBucketPairing = 512))
-    val bucketed = corpus.withColumn("bucket",
-      Dedup.hyperplaneSignature(col(corpusVec), planes))
-    val qSig = queries.withColumn("sig",
-      Dedup.hyperplaneSignature(col(queryVec), planes))
-    // multi-probe: own bucket + flip each of the `planes` bits
-    val probes = qSig.withColumn("bucket",
-      explode(array((-1 until planes).map {
+      Dedup.warnIfUnderPlaned("lshTopK", n, planesPerBand, maxBucketPairing = 512))
+    val (cBase, cBuckets) =
+      Dedup.embeddingStagesBanded(corpus, corpusVec, corpusId, bands, planesPerBand)
+    val (qBase, qBuckets) =
+      Dedup.embeddingStagesBanded(queries, queryVec, queryId, bands, planesPerBand)
+    // multi-probe: own bucket + flip each of the band's `planesPerBand` bits
+    val probes = qBuckets.select(col("id").as("__qid"), col("band"),
+      explode(array((-1 until planesPerBand).map {
         case -1 => col("sig")
         case p  => col("sig").bitwiseXOR(lit(1L << p))
-      }: _*)))
-    val candidates = bucketed.join(broadcast(probes), Seq("bucket"))
-      .where(col(corpusId) =!= col(queryId))
-      .dropDuplicates(queryId, corpusId)
-      .withColumn("cos", Dedup.cosine(col(corpusVec), col(queryVec)))
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(round(col("cos"), 6).desc, col(corpusId).asc)
-    candidates.withColumn("rank", row_number().over(w))
+      }: _*)).as("sig"))
+    val candIds = cBuckets.select(col("id").as("__cid"), col("band"), col("sig"))
+      .join(broadcast(probes), Seq("band", "sig"))
+      .where(col("__cid") =!= col("__qid"))
+      .select(col("__qid"), col("__cid"))
+      .dropDuplicates("__qid", "__cid")
+    val scored = candIds
+      .join(cBase.select(col("id").as("__cid"), col("v").as("__cv"),
+        col("nrm").as("__cn")), "__cid")
+      .join(broadcast(qBase.select(col("id").as("__qid"), col("v").as("__qv"),
+        col("nrm").as("__qn"))), "__qid")
+      .withColumn("cos",
+        Dedup.cosineFromNorms(col("__cv"), col("__qv"), col("__cn"), col("__qn")))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(round(col("cos"), 6).desc, col("__cid").asc)
+    scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select(col(queryId), col(corpusId).as("neighbor_id"),
+      .select(col("__qid").as(queryId), col("__cid").as("neighbor_id"),
         round(col("cos"), 6).as("cos"), col("rank"))
   }
 
   /** Greedy k-center (farthest-point, Gonzalez 1985) diverse-subset
     * selection — the coreset/diversity sampler for training-data curation:
-    * pick the min-id point, then k−1 times the point FARTHEST (max
-    * min-cosine-distance) from everything chosen so far. The classic
+    * pick the min-id point, then k−1 times the UNCHOSEN point FARTHEST
+    * (max min-cosine-distance) from everything chosen so far. The classic
     * 2-approximation to the k-center objective, and the standard "cover
     * the embedding space" selection for dedup-aware sampling.
     *
     * Determinism: distances are `round(1 − cos, 6)`; min-distances fold
     * as `least(prev, round(dist, 6))` — the exact nesting a SQL oracle
-    * reproduces — and argmax ties break to the smallest id. (If every
-    * remaining distance is 0 — an all-duplicates corpus — the argmax
-    * degenerates to the smallest id, identically in any engine.)
+    * reproduces — and argmax ties break to the smallest id. Chosen ids
+    * are EXCLUDED from later argmaxes (a ≤k-element isin filter), so a
+    * duplicate-heavy corpus where every remaining distance is 0 still
+    * yields k DISTINCT ids; asking for more centers than the input has
+    * rows fails loudly, as does an empty input.
     *
     * Scale shape: each of the k rounds is ONE corpus scan folding the
     * running min-distance against a one-row broadcast center (the
-    * codebook pattern — vectors never shuffle), plus a 1-row argmax
-    * collect; `localCheckpoint` per round keeps lineage flat. Cost is
-    * k × scan; k is a human-chosen selection budget, never data-sized.
-    * Returns (sel_rank, vec_id) in selection order. */
+    * codebook pattern — vectors never shuffle); the center's VECTOR rides
+    * the same 1-row argmax collect that picks its id (no second scan to
+    * fetch it — r11 finding) and re-enters the plan via a literal 1-row
+    * frame; `localCheckpoint` per round keeps lineage flat. Cost is
+    * k × one scan; k is a human-chosen selection budget, never
+    * data-sized. Returns (sel_rank, vec_id) in selection order. */
   def kCenterSelect(df: DataFrame, vecCol: String, idCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"kCenterSelect needs k >= 1, got $k")
     val spark = df.sparkSession
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .localCheckpoint()
-    val firstId = base.orderBy("id").limit(1).collect()(0).getLong(0)
-    val chosen = scala.collection.mutable.ListBuffer((1L, firstId))
-    def centerVec(id: Long) =
-      broadcast(base.where(col("id") === id).select(col("v").as("cv")))
-    var state = base.crossJoin(centerVec(firstId))
+    val vType = base.schema("v").dataType
+    // the collected (id, v) row → a broadcast 1-row center frame; the
+    // vector re-enters the plan without touching `base` again
+    def centerRow(row: org.apache.spark.sql.Row): DataFrame = {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cv", vType)))
+      broadcast(spark.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row(row.get(1))), schema))
+    }
+    val firstRows = base.orderBy("id").limit(1).collect()
+    require(firstRows.nonEmpty, "kCenterSelect: empty input")
+    val chosen = scala.collection.mutable.ListBuffer((1L, firstRows(0).getLong(0)))
+    var state = base.crossJoin(centerRow(firstRows(0)))
       .select(col("id"), col("v"),
         round(lit(1.0) - Dedup.cosine(col("v"), col("cv")), 6).as("mind"))
       .localCheckpoint()
     for (r <- 2 to k) {
-      val next = state.orderBy(col("mind").desc, col("id").asc)
-        .limit(1).collect()(0).getLong(0)
-      chosen += ((r.toLong, next))
-      state = state.crossJoin(centerVec(next))
+      val chosenIds = chosen.map(_._2).toSeq
+      val nextRows = state.where(!col("id").isin(chosenIds: _*))
+        .orderBy(col("mind").desc, col("id").asc)
+        .limit(1).collect()
+      require(nextRows.nonEmpty,
+        s"kCenterSelect: k=$k exceeds the ${chosenIds.size} distinct input rows")
+      chosen += ((r.toLong, nextRows(0).getLong(0)))
+      state = state.crossJoin(centerRow(nextRows(0)))
         .select(col("id"), col("v"),
           least(col("mind"),
             round(lit(1.0) - Dedup.cosine(col("v"), col("cv")), 6)).as("mind"))

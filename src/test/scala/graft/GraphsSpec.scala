@@ -147,6 +147,28 @@ class GraphsSpec extends AnyFunSuite {
     assert(o2(0L) == 99L, s"seed must stay clamped: $o2")
   }
 
+  test("labelPropagation: hub-graph mass overflow fails loudly, not silently") {
+    // an UNLABELED 100-clique with one seed touching every member: clique
+    // masses multiply by ~99 per round (10^6 · 99^(r-1)), so by round 8
+    // the neighbor sum would exceed Long.Max — the per-round guard must
+    // trip BEFORE the wrap (max(m) · degMax > Long.Max), with a clear
+    // message, while a shallow run on the same graph stays fine
+    val clique = (for {
+      a <- 1 to 100; b <- (a + 1) to 100
+    } yield (a.toLong, b.toLong)).toDF("src", "dst")
+    val edges = clique.unionAll(
+      (1 to 100).map(n => (0L, n.toLong)).toDF("src", "dst"))
+    val seeds = Seq((0L, 7L)).toDF("node", "label")
+    // 3 rounds: max mass ~10^10 — comfortably inside the envelope
+    val ok = Graphs.labelPropagation(edges, seeds, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok.size == 101 && ok.values.forall(_ == 7L), s"shallow run: $ok")
+    val e = intercept[IllegalArgumentException] {
+      Graphs.labelPropagation(edges, seeds, iters = 9)
+    }
+    assert(e.getMessage.contains("overflow"), e.getMessage)
+  }
+
   test("hits: directory page is the hub, linked pages the authorities; partitioning-invariant") {
     // 0 links to 1,2,3 (a directory); 4 links to 1 as well
     val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (4L, 1L)).toDF("src", "dst")
