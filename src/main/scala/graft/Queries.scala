@@ -61,8 +61,14 @@ object Queries {
   private val harnessCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), DataFrame]()
   private def cachedHarness(s: SparkSession, dir: String, key: String)(
-      build: => DataFrame): DataFrame =
+      build: => DataFrame): DataFrame = {
+    // evict entries owned by stopped sessions (their checkpoint blocks
+    // died with the context; the stale DataFrame handles must not pin the
+    // session object or accumulate across sessions in one JVM)
+    val it = harnessCache.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
     harnessCache.computeIfAbsent((s, dir, key), _ => build.localCheckpoint())
+  }
 
   /** Shared d2e/d3c ground truth: all (id_a < id_b) pairs among
     * doc_id < 500 with 2-gram-shingle Jaccard >= 0.5, with the j value. */
@@ -3792,8 +3798,8 @@ object Queries {
       col("c_nationkey").as("d_nat"))
     Dedup.entityMatch(dirty, cust, "d_id", "c_custkey", "d_name", "c_name",
         blockKeys = Seq(
-          substring(col("d.d_name"), 10, 6) -> substring(col("c.c_name"), 10, 6),
-          col("d.d_nat") -> col("c.c_nationkey")),
+          substring(col("d_name"), 10, 6) -> substring(col("c_name"), 10, 6),
+          col("d_nat") -> col("c_nationkey")),
         maxDist = 1)
       .orderBy("d_id")
   }
@@ -3889,6 +3895,58 @@ object Queries {
       .agg(round(sum(coalesce(col("__hit"), lit(0))).cast("double") / 3.0, 6)
         .as("recall"))
       .orderBy("q_id")
+  }
+
+  // Margin-based parallel-pair mining (Artetxe & Schwenk 2019 — the
+  // CCMatrix/NLLB bitext-mining score): even vec_ids play the source
+  // language, odd ones the target; each source keeps its best-margin
+  // target (cos normalized by both sides' mean top-4 neighborhood
+  // cosine). EXACT hash oracle: cosines round to 6 dp then lift to
+  // integer micro-units (the money-in-cents move), neighborhood means
+  // stay integer-sum / exact-count, and the margin is one fixed-shape
+  // double expression over exact integers — bit-identical across
+  // engines. Source side is id-bounded (< 200) so the mining pass stays
+  // O(|X|·|Y|) with a small X at every sf; cos is symmetric, so both
+  // kNN directions share one scored table in the oracle.
+  register(
+    "ann_margin_mine",
+    """WITH x AS (SELECT vec_id AS x_id, embedding AS xv FROM embeddings
+      |           WHERE vec_id % 2 = 0 AND vec_id < 200),
+      |y AS (SELECT vec_id AS y_id, embedding AS yv FROM embeddings
+      |      WHERE vec_id % 2 = 1),
+      |sx AS (SELECT x_id, y_id,
+      |              round(list_cosine_similarity(yv::DOUBLE[], xv::DOUBLE[]), 6) AS cos
+      |       FROM x CROSS JOIN y),
+      |xk AS (SELECT x_id, y_id, cos FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY x_id
+      |                    ORDER BY cos DESC, y_id ASC) AS rn FROM sx)
+      |       WHERE rn <= 4),
+      |yk AS (SELECT x_id, y_id, cos FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY y_id
+      |                    ORDER BY cos DESC, x_id ASC) AS rn FROM sx)
+      |       WHERE rn <= 4),
+      |xa AS (SELECT x_id, sum(CAST(floor(cos * 1000000 + 0.5) AS BIGINT)) AS sxs,
+      |              count(*) AS cx FROM xk GROUP BY x_id),
+      |ya AS (SELECT y_id, sum(CAST(floor(cos * 1000000 + 0.5) AS BIGINT)) AS sys,
+      |              count(*) AS cy FROM yk GROUP BY y_id),
+      |m AS (SELECT xk.x_id, xk.y_id, xk.cos,
+      |             CASE WHEN (CAST(sxs AS DOUBLE) / cx + CAST(sys AS DOUBLE) / cy) / 2 > 0
+      |               THEN round(CAST(floor(xk.cos * 1000000 + 0.5) AS BIGINT) /
+      |                 ((CAST(sxs AS DOUBLE) / cx + CAST(sys AS DOUBLE) / cy) / 2), 6)
+      |             END AS margin
+      |      FROM xk JOIN xa USING (x_id) JOIN ya USING (y_id)),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY x_id
+      |               ORDER BY margin DESC NULLS LAST, y_id ASC) AS rn FROM m)
+      |SELECT x_id, y_id, cos, margin FROM r
+      |WHERE rn = 1 AND margin IS NOT NULL AND margin >= 1.0
+      |ORDER BY x_id""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val xs = e.where(col("vec_id") % 2 === 0 && col("vec_id") < 200)
+      .select(col("vec_id").as("x_id"), col("embedding").as("x_vec"))
+    val ys = e.where(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("y_id"), col("embedding").as("y_vec"))
+    Similarity.marginMine(xs, ys, k = 4, threshold = 1.0)
+      .orderBy("x_id")
   }
 
   /** Deterministic PQ codebook for the oracle rows: code c of subspace s is
@@ -5046,12 +5104,15 @@ object Queries {
   }
 
   // Full BPE merge-rule learning (the tokenizer-induction loop): 8
-  // iterative rounds of pair-count → argmax → greedy merge over the
-  // word-count vocabulary. No SQL oracle — the merge table depends on the
-  // loop, which t44b proves end-to-end on a planted corpus with an
-  // ANALYTIC merge sequence (the d2c planted-twin pattern); BpeSpec pins
-  // the classic low/lower/newest hand example and the greedy-fold
-  // semantics ('aaaa' -> 'aa aa', never 'aaa a').
+  // rounds of pair-count → argmax → greedy merge over the word-count
+  // vocabulary — here via the driver-local incremental loop (the vocab
+  // is far under driverVocabLimit; the distributed fallback is
+  // byte-identical, BpeSpec pins the equality). No SQL oracle — the
+  // merge table depends on the loop, which t44b proves end-to-end on a
+  // planted corpus with an ANALYTIC merge sequence (the d2c
+  // planted-twin pattern); BpeSpec pins the classic low/lower/newest
+  // hand example and the greedy-fold semantics ('aaaa' -> 'aa aa',
+  // never 'aaa a').
   registerNoOracle("t44_bpe_learn") { (s, dir) =>
     TextAnalysis.bpeLearn(t(s, dir, "documents"), "text", merges = 8)
       .orderBy("rank")
@@ -5088,6 +5149,41 @@ object Queries {
         .when(col("doc_id") % 3 === 1, "abc")
         .otherwise("bc").as("text"))
     TextAnalysis.bpeLearn(planted, "text", merges = 2).orderBy("rank")
+  }
+
+  // Tokenizer APPLICATION over the realistic corpus: learn 8 merges, then
+  // count per-document BPE tokens under the learned table — the
+  // token-budget statistic (learn → encode is the full tokenizer loop).
+  // No SQL oracle (the table comes from the iterative loop); t45b is the
+  // planted hash twin, BpeSpec pins the encode algebra.
+  registerNoOracle("t45_bpe_encode") { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val rules = TextAnalysis.bpeLearn(docs, "text", merges = 8)
+    TextAnalysis.bpeTokenCounts(docs, "text", "doc_id", rules)
+      .orderBy("doc_id")
+  }
+
+  // Encode planted twin: the t44b corpus (abab/abc/bc by doc_id % 3)
+  // under the FIXED table [(a,b), (ab,ab)] has an analytic encoding —
+  // abab -> [abab] (both rules fire), abc -> [ab, c], bc -> [b, c] — so
+  // the vocabulary-encode + join-back + per-doc rollup machinery gets an
+  // exact hash oracle.
+  register(
+    "t45b_bpe_encode_planted",
+    """SELECT doc_id, CAST(1 AS BIGINT) AS n_words,
+      |       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS BIGINT)
+      |         AS n_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val planted = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, "abab")
+        .when(col("doc_id") % 3 === 1, "abc")
+        .otherwise("bc").as("text"))
+    val spark = s
+    import spark.implicits._
+    val rules = Seq((1L, "a", "b"), (2L, "ab", "ab"))
+      .toDF("rank", "lhs", "rhs")
+    TextAnalysis.bpeTokenCounts(planted, "text", "doc_id", rules)
+      .orderBy("doc_id")
   }
 
   // DSIR importance weights: log p_target − log p_raw under unigram LMs;

@@ -78,14 +78,19 @@ object StreamBench {
     // SPARK_GRAFT_STREAM_TWS=1 swaps the GroupState engine for the
     // transformWithState (arbitrary-state v2) engine — ListState appends
     // instead of whole-buffer rewrites on the steady-state path
+    // SPARK_GRAFT_STREAM_WM sets the event-time watermark delay on the
+    // merge (e.g. "30 seconds"): the lateness budget end users tune when
+    // sources deliver out of order — buffered windows are held open past
+    // their close by the delay, so state grows with it
     val mergeMode = sys.env.get("SPARK_GRAFT_STREAM_MERGE").contains("1")
     val twsMode = sys.env.get("SPARK_GRAFT_STREAM_TWS").contains("1")
+    val wmDelay = sys.env.getOrElse("SPARK_GRAFT_STREAM_WM", "0 seconds")
     val out =
       if (mergeMode || twsMode) {
         val in = graft.alerts.AlertMerger.fromAlerts(
           alerts.withColumn("staged", lit(false)))
-        (if (twsMode) graft.alerts.AlertMerger.mergeStreamTws(in)
-         else graft.alerts.AlertMerger.mergeStream(in)).toDF()
+        (if (twsMode) graft.alerts.AlertMerger.mergeStreamTws(in, wmDelay)
+         else graft.alerts.AlertMerger.mergeStream(in, wmDelay)).toDF()
       } else alerts
 
     val q = out.writeStream.format("noop")
@@ -111,7 +116,8 @@ object StreamBench {
     val median = if (steady.isEmpty) 0.0 else steady(steady.size / 2)
     println(s"""{"metric":"stream_records_per_sec","value":${median.round},""" +
       s""""unit":"rec/s","offered":$rate,"secs":$secs,"cpus":$cpus,""" +
-      s""""merge":${mergeMode || twsMode},"tws":$twsMode,"samples":${steady.size}}""")
+      s""""merge":${mergeMode || twsMode},"tws":$twsMode,"wm":"$wmDelay",""" +
+      s""""samples":${steady.size}}""")
     spark.stop()
   }
 }

@@ -1340,25 +1340,32 @@ object Dedup {
     * real-world entity across two tables?" (ingest reconciliation,
     * master-data joins, training-data source alignment).
     *
-    * `blockKeys` maps dirty-side Column -> clean-side Column; all pairs
-    * are equality conjuncts of the blocking join, so candidate scoring is
-    * confined to block-cardinality groups — the quadratic levenshtein
-    * never sees the corpus, just the block (choose keys so blocks stay
-    * bounded: name prefixes, geo keys, phonetic codes). Keep-best is a
-    * per-dirty-id window over candidate-cardinality partitions:
-    * (distance asc, clean id asc) — fully deterministic. Returns
-    * (d_id, matched_id, dist); dirty rows with no candidate under
-    * `maxDist` are absent. */
+    * `blockKeys` maps a dirty-side expression -> clean-side expression,
+    * each written against ITS OWN frame's plain column names (e.g.
+    * `substring(col("d_name"), 1, 4) -> substring(col("name"), 1, 4)`) —
+    * the expressions are resolved per side BEFORE the join, so callers
+    * never touch join-internal aliases. All pairs are equality conjuncts
+    * of the blocking join, so candidate scoring is confined to
+    * block-cardinality groups — the quadratic levenshtein never sees the
+    * corpus, just the block (choose keys so blocks stay bounded: name
+    * prefixes, geo keys, phonetic codes). Keep-best is a per-dirty-id
+    * window over candidate-cardinality partitions: (distance asc, clean
+    * id asc) — fully deterministic. Returns (d_id, matched_id, dist);
+    * dirty rows with no candidate under `maxDist` are absent. */
   def entityMatch(dirty: DataFrame, clean: DataFrame,
       dirtyId: String, cleanId: String,
       dirtyName: String, cleanName: String,
       blockKeys: Seq[(Column, Column)], maxDist: Int): DataFrame = {
     require(blockKeys.nonEmpty, "entityMatch needs at least one blocking key")
-    val cond = blockKeys.map { case (d, c) => d === c }.reduce(_ && _)
-    val scored = dirty.as("d").join(clean.as("c"), cond)
-      .select(col(s"d.$dirtyId").as("d_id"), col(s"c.$cleanId").as("c_id"),
-        levenshtein(col(s"d.$dirtyName"), col(s"c.$cleanName"))
-          .cast(LongType).as("dist"))
+    // resolve each side's key expressions against its own frame, then
+    // join USING the materialized key columns — an unambiguous equi-join
+    val dk = dirty.select(col(dirtyId).as("d_id") +: col(dirtyName).as("__dn") +:
+      blockKeys.zipWithIndex.map { case ((d, _), i) => d.as(s"__bk$i") }: _*)
+    val ck = clean.select(col(cleanId).as("c_id") +: col(cleanName).as("__cn") +:
+      blockKeys.zipWithIndex.map { case ((_, c), i) => c.as(s"__bk$i") }: _*)
+    val scored = dk.join(ck, blockKeys.indices.map(i => s"__bk$i"))
+      .select(col("d_id"), col("c_id"),
+        levenshtein(col("__dn"), col("__cn")).cast(LongType).as("dist"))
       .where(col("dist") <= maxDist)
     scored
       .withColumn("__rn", row_number().over(Window.partitionBy("d_id")

@@ -652,6 +652,91 @@ object Similarity {
         round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** Cross-set exact top-k by cosine — [[bruteForceTopK]] WITHOUT the
+    * same-id exclusion: `corpus` and `queries` are different tables
+    * (different id namespaces), so id equality across them is
+    * meaningless, not a self-match. The margin-mining building block. */
+  private def crossTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .withColumn("cos", Dedup.cosine(col(corpusVec), col(queryVec)))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(round(col("cos"), 6).desc, col(corpusId).asc)
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(corpusId).as("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
+  /** Margin-based parallel-pair mining (Artetxe & Schwenk, ACL 2019 —
+    * the CCMatrix/NLLB bitext-mining score): for source set X and target
+    * set Y (e.g. sentence embeddings of two languages), a candidate pair
+    * scores `margin(x,y) = cos(x,y) / ((avg_kNN_cos(x→Y) +
+    * avg_kNN_cos(y→X)) / 2)` — cosine normalized by both sides' local
+    * neighborhood density, which suppresses hub vectors that score high
+    * against EVERYTHING. Each x keeps its best-margin y ("max" strategy);
+    * pairs below `threshold` drop. The mined pairs are the training
+    * corpus for translation / cross-lingual alignment.
+    *
+    * Determinism (how this carries an exact SQL oracle): cosines are
+    * 6-dp-rounded then lifted to integer MICRO-units
+    * (`floor(cos·10⁶ + 0.5)` — the money-in-cents move); neighborhood
+    * means stay exact-integer sums ÷ exact counts, so the margin is one
+    * fixed-shape double expression over exact integers — bit-identical
+    * in any engine. Ties in the per-x argmax break to the smallest y id.
+    * A non-positive denominator (pathological anti-aligned neighborhoods)
+    * yields no pair rather than a sign-flipped margin.
+    *
+    * Scale shape: both kNN passes here are the exact [[crossTopK]]
+    * (correctness baseline — one broadcast of the smaller set per pass,
+    * corpus never shuffles); at billion-pair scale generate the SAME
+    * (q_id, neighbor_id, cos, rank) tables with the banded [[lshTopK]]
+    * and feed them to [[marginMineFromKnn]] — the margin algebra only
+    * ever touches the skinny kNN tables (id, id, long), never vectors. */
+  def marginMine(xs: DataFrame, ys: DataFrame, k: Int, threshold: Double,
+      xId: String = "x_id", xVec: String = "x_vec",
+      yId: String = "y_id", yVec: String = "y_vec"): DataFrame = {
+    val xk = crossTopK(ys.select(col(yId), col(yVec)),
+      xs.select(col(xId), col(xVec)), k, yId, yVec, xId, xVec)
+      .select(col(xId).as("q_id"), col("neighbor_id"), col("cos"))
+    val yk = crossTopK(xs.select(col(xId), col(xVec)),
+      ys.select(col(yId), col(yVec)), k, xId, xVec, yId, yVec)
+      .select(col(yId).as("q_id"), col("neighbor_id"), col("cos"))
+    marginMineFromKnn(xk, yk, threshold)
+  }
+
+  /** Margin scoring over PRECOMPUTED kNN tables — `xk` = X→Y neighbors,
+    * `yk` = Y→X neighbors, both (q_id, neighbor_id, cos[, ...]) as
+    * [[bruteForceTopK]]/[[lshTopK]] emit. Returns
+    * (x_id, y_id, cos, margin) — the best-margin y per x at or above
+    * `threshold`. All shuffles are skinny (id, id, long) rows. */
+  def marginMineFromKnn(xk: DataFrame, yk: DataFrame,
+      threshold: Double): DataFrame = {
+    def micro(c: Column): Column =
+      floor(c * 1000000.0 + 0.5).cast("long")
+    val xAvg = xk.groupBy(col("q_id").as("x_id"))
+      .agg(sum(micro(col("cos"))).as("__sx"), count(lit(1)).as("__cx"))
+    val yAvg = yk.groupBy(col("q_id").as("y_id"))
+      .agg(sum(micro(col("cos"))).as("__sy"), count(lit(1)).as("__cy"))
+    val denom = (col("__sx").cast("double") / col("__cx") +
+      col("__sy").cast("double") / col("__cy")) / 2.0
+    val scored = xk
+      .select(col("q_id").as("x_id"), col("neighbor_id").as("y_id"),
+        col("cos"))
+      .join(xAvg, "x_id")
+      .join(yAvg, "y_id")
+      .withColumn("margin",
+        when(denom > 0,
+          round(micro(col("cos")).cast("double") / denom, 6)))
+    val w = Window.partitionBy(col("x_id"))
+      .orderBy(col("margin").desc, col("y_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 && col("margin").isNotNull &&
+        col("margin") >= threshold)
+      .select(col("x_id"), col("y_id"), col("cos"), col("margin"))
+  }
+
   /** Greedy k-center (farthest-point, Gonzalez 1985) diverse-subset
     * selection — the coreset/diversity sampler for training-data curation:
     * pick the min-id point, then k−1 times the UNCHOSEN point FARTHEST

@@ -100,8 +100,22 @@ object Sketches {
         s"cmTrendStep: store at $storeDir was seeded in '$seeded' mode " +
           s"but this call is '$wantMode' — modes cannot mix within one store")
     } else {
+      // marker absent: a store that ALREADY has sketch data predates the
+      // marker scheme, so infer its seeded mode from the data itself
+      // (idempotent mode writes batch=<id> partitions → a 'batch'
+      // partition column) rather than trusting this call's mode — the
+      // upgrade boundary is exactly where stamping the caller's mode
+      // would let a mixed-mode store slip past the guard
+      val seeded =
+        if (fs.exists(new org.apache.hadoop.fs.Path(sketchPath))) {
+          if (spark.read.parquet(sketchPath).columns.contains("batch"))
+            "batch" else "append"
+        } else wantMode
+      require(seeded == wantMode,
+        s"cmTrendStep: store at $storeDir was seeded in '$seeded' mode " +
+          s"but this call is '$wantMode' — modes cannot mix within one store")
       val out = fs.create(modeMarker, false)
-      try out.write(wantMode.getBytes("UTF-8")) finally out.close()
+      try out.write(seeded.getBytes("UTF-8")) finally out.close()
     }
     val items = batch.select(col(itemCol).as("item"))
       .where(col("item").isNotNull)

@@ -704,27 +704,137 @@ object TextAnalysis {
     * single pair table). Classic BPE on the word-count vocabulary:
     * symbols start as characters, each round (1) counts adjacent symbol
     * pairs weighted by word frequency, (2) picks the most frequent pair
-    * (ties: lexicographically smallest (lhs, rhs) — deterministic across
-    * engines and partitionings), (3) rewrites every word with the pair
-    * merged left-to-right greedily. Returns (rank, lhs, rhs, n): the
-    * ordered merge table a tokenizer ships.
+    * (ties: lexicographically smallest (lhs, rhs) in UTF-8 byte order —
+    * deterministic across engines and partitionings), (3) rewrites every
+    * word with the pair merged left-to-right greedily. Returns
+    * (rank, lhs, rhs, n): the ordered merge table a tokenizer ships.
     *
-    * Scale shape: the corpus is scanned ONCE (word counts); every round
-    * after that runs on the VOCABULARY-cardinality (syms, wc) table —
-    * one pre-combined pair aggregation, a 1-row argmax collect (the only
-    * driver action, O(1)), and a scan-side `aggregate` HOF fold that
-    * applies the merge (no UDF, no shuffle). `localCheckpoint` per round
-    * keeps lineage flat across the k iterations (the iterative-operator
-    * invariant). The fold is exact greedy BPE: a freshly merged symbol
-    * cannot re-match as the lhs of the same pair in the same pass. */
-  def bpeLearn(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    * Scale shape: the corpus is scanned ONCE (one pre-combined word
+    * count — the only corpus-cardinality work regardless of `merges`).
+    * The resulting (syms, wc) vocabulary is BOUNDED (distinct words, not
+    * corpus rows), so when it fits under `driverVocabLimit` entries the
+    * merge loop runs ON THE DRIVER with incremental pair-count updates
+    * (only words containing the merged pair are touched, argmax via an
+    * ordered set) — a shipped tokenizer's ~30k merge rounds cost zero
+    * Spark jobs after the scan instead of 30k of them. Vocabularies past
+    * the limit fall back to the distributed loop: per round one
+    * vocabulary-cardinality pre-combined pair aggregation, a 1-row argmax
+    * collect, and a scan-side `aggregate` HOF fold that applies the merge
+    * (no UDF, no shuffle), `localCheckpoint` per round. Both paths
+    * implement the IDENTICAL greedy fold (a freshly merged symbol cannot
+    * re-match as the lhs of the same pair in the same pass) and the
+    * identical (n desc, lhs, rhs) UTF-8 tie-break, so the merge table is
+    * byte-equal whichever path runs (BpeSpec pins this). */
+  def bpeLearn(docs: DataFrame, textCol: String, merges: Int,
+      driverVocabLimit: Long = 2000000L): DataFrame = {
     require(merges >= 1, s"bpeLearn needs merges >= 1, got $merges")
     val spark = docs.sparkSession
-    var vocab = docs
+    val vocab = docs
       .select(explode(tokens(lower(col(textCol)))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("wc"))
       .select(split(col("word"), "").as("syms"), col("wc"))
       .localCheckpoint()
+    if (vocab.count() <= driverVocabLimit) bpeLearnLocal(spark, vocab, merges)
+    else bpeLearnDistributed(spark, vocab, merges)
+  }
+
+  /** Spark's UTF8String binary comparison, reproduced on the driver so the
+    * local path's tie-breaks match the distributed `orderBy` byte-for-byte
+    * (UTF-16 String.compareTo differs for supplementary characters). */
+  private def utf8Compare(a: String, b: String): Int = {
+    val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(ab.length, bb.length)
+    while (i < n) {
+      val c = (ab(i) & 0xff) - (bb(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    ab.length - bb.length
+  }
+
+  /** (n, lhs, rhs) argmax order: n desc, then lhs/rhs ascending UTF-8 —
+    * the TreeSet head IS the next merge rule. */
+  private val bpePairOrdering: Ordering[(Long, String, String)] =
+    new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+        val byN = java.lang.Long.compare(y._1, x._1)
+        if (byN != 0) byN
+        else {
+          val byL = utf8Compare(x._2, y._2)
+          if (byL != 0) byL else utf8Compare(x._3, y._3)
+        }
+      }
+    }
+
+  /** The greedy left-to-right merge fold, driver-side — semantics
+    * identical to the distributed `aggregate` HOF (compare the tail of
+    * the accumulator, so a freshly merged symbol never re-matches as lhs
+    * in the same pass). Shared with the encode expression so train and
+    * apply can never drift. */
+  private def bpeApplyMerge(syms: Array[String], l: String, r: String,
+      merged: String): Array[String] =
+    graft.functions.BpeEncode.applyMerge(syms, l, r, merged)
+
+  /** Driver-local merge loop over the collected (syms, wc) vocabulary:
+    * incremental pair counts (a merge touches only the words that contain
+    * the pair — indexed, not scanned) with an ordered-set argmax, so each
+    * round is O(affected-words · word-length + log |pairs|). This is what
+    * makes merges≈30k practical: the whole loop is sub-second once the
+    * corpus scan has produced the vocabulary. */
+  private def bpeLearnLocal(spark: org.apache.spark.sql.SparkSession,
+      vocab: DataFrame, merges: Int): DataFrame = {
+    val collected = vocab.collect()
+    val words = collected.map(_.getSeq[String](0).toArray)
+    val wcs = collected.map(_.getLong(1))
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val occ = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.Set[Int]]
+    val tree = scala.collection.mutable.TreeSet.empty(bpePairOrdering)
+    def pairsOf(syms: Array[String]): Iterator[(String, String)] =
+      (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1)))
+    def bump(p: (String, String), delta: Long): Unit = {
+      val old = counts.getOrElse(p, 0L)
+      if (old != 0L) tree.remove((old, p._1, p._2))
+      val nw = old + delta
+      if (nw != 0L) { counts(p) = nw; tree.add((nw, p._1, p._2)) }
+      else counts.remove(p)
+    }
+    for (wi <- words.indices; p <- pairsOf(words(wi))) {
+      bump(p, wcs(wi))
+      occ.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += wi
+    }
+    val rules = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    while (r <= merges && tree.nonEmpty) {
+      val (n, l, rr) = tree.head
+      rules += ((r.toLong, l, rr, n))
+      val merged = l + rr
+      val affected = occ.getOrElse((l, rr), scala.collection.mutable.Set.empty)
+        .toArray.sorted
+      for (wi <- affected) {
+        val oldSyms = words(wi)
+        for (p <- pairsOf(oldSyms)) { bump(p, -wcs(wi)); occ(p) -= wi }
+        val newSyms = bpeApplyMerge(oldSyms, l, rr, merged)
+        words(wi) = newSyms
+        for (p <- pairsOf(newSyms)) {
+          bump(p, wcs(wi))
+          occ.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += wi
+        }
+      }
+      r += 1
+    }
+    import spark.implicits._
+    rules.toSeq.toDF("rank", "lhs", "rhs", "n")
+  }
+
+  /** The distributed merge loop — vocabulary-cardinality rounds for
+    * vocabularies too large to collect. Kept semantically in lockstep
+    * with [[bpeLearnLocal]] (BpeSpec asserts path equality). */
+  private def bpeLearnDistributed(spark: org.apache.spark.sql.SparkSession,
+      vocab0: DataFrame, merges: Int): DataFrame = {
+    var vocab = vocab0
     val rules = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
     var exhausted = false
     for (r <- 1 to merges if !exhausted) {
@@ -762,6 +872,37 @@ object TextAnalysis {
     }
     import spark.implicits._
     rules.toSeq.toDF("rank", "lhs", "rhs", "n")
+  }
+
+  /** Tokenizer APPLICATION — per-document BPE token counts under a
+    * learned merge table ([[bpeLearn]]'s output or any (rank, lhs, rhs)
+    * table): the statistic every token-budget / mix-planning /
+    * fertility-audit stage needs once a tokenizer is fixed. Returns
+    * (doc_id, n_words, n_tokens).
+    *
+    * Scale shape — encode the VOCABULARY, never the corpus: the corpus
+    * scan pre-combines to per-(doc, word) counts; the
+    * [[graft.functions.BpeEncode]] expression (native, codegen'd, rules
+    * as one per-executor reference object) runs once per DISTINCT word
+    * on a vocabulary-cardinality scan; token counts join back by word
+    * (AQE broadcasts the vocab side at real-world vocabulary sizes) and
+    * the per-doc rollup is one pre-combined agg. The merge table is
+    * human-budget-sized (30k rules ≈ 1 MB) — collected once, shipped
+    * once per executor. */
+  def bpeTokenCounts(docs: DataFrame, textCol: String, idCol: String,
+      rules: DataFrame): DataFrame = {
+    val ruleSeq = rules.orderBy("rank").select("lhs", "rhs")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val words = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(lower(col(textCol)))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("__c"))
+    val vocab = words.select("word").distinct()
+      .withColumn("__nt",
+        size(graft.functions.BpeEncode.bpe_encode(col("word"), ruleSeq)))
+    words.join(vocab, "word")
+      .groupBy("doc_id")
+      .agg(sum(col("__c")).as("n_words"),
+        sum(col("__c") * col("__nt")).as("n_tokens"))
   }
 
   // ---------------------------------------------------------------------------

@@ -157,10 +157,17 @@ final class Pipeline(
   }
 
   /** Launch the streaming pipeline over a raw stream: alerts merge in the
-    * state store; merged alerts land in the alerts table and fan out. */
+    * state store; merged alerts land in the alerts table and fan out.
+    * `watermarkDelay` is the event-time lateness budget for the merge
+    * (passed to [[AlertMerger.mergeStream]]): alerts whose `created` falls
+    * behind the watermark by more than this are dropped from merging, and
+    * merge windows flush once the watermark passes their anchor + window
+    * + delay. "0 seconds" (default) = flush as soon as event time passes
+    * the window; raise it when upstream sources deliver out of order. */
   def start(rawStream: DataFrame, alertsRoot: String, checkpoint: String,
       dispatchers: Map[String, Outputs.Dispatcher] = Map.empty,
-      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): StreamingQuery = {
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      watermarkDelay: String = "0 seconds"): StreamingQuery = {
     // a merge-state layout bump must not silently abandon an existing
     // checkpoint's offset log — refuse to start over a legacy layout
     // (operator decides: migrate or accept the cold start deliberately)
@@ -168,7 +175,8 @@ final class Pipeline(
       rawStream.sparkSession.sessionState.newHadoopConf())
     val merged = AlertMerger.mergeStream(
       AlertMerger.fromAlerts(
-        alertsFor(rawStream).withColumn("staged", lit(false))))
+        alertsFor(rawStream).withColumn("staged", lit(false))),
+      watermarkDelay = watermarkDelay)
     val writer0 = merged.writeStream
       // version-scoped: a merge-state layout bump cold-starts in a fresh
       // dir instead of reading an incompatible checkpoint (AlertMerger

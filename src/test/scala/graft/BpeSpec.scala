@@ -43,4 +43,67 @@ class BpeSpec extends AnyFunSuite {
     val rules = learn(Seq("Ab ab ab", "xy"), 1)
     assert(rules.head == (1L, "a", "b", 3L))
   }
+
+  test("encode applies merges lowest-rank-first with the greedy fold") {
+    import org.apache.spark.sql.functions.col
+    val rules = Seq(("a", "b"), ("ab", "ab"), ("c", "d"))
+    val out = Seq("abab", "abc", "cd", "x", "", "abcd")
+      .toDF("word")
+      .select(col("word"),
+        graft.functions.BpeEncode.bpe_encode(col("word"), rules).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(out("abab") == List("abab"))    // (a,b) twice, then (ab,ab)
+    assert(out("abc") == List("ab", "c"))
+    assert(out("cd") == List("cd"))
+    assert(out("x") == List("x"))
+    assert(out("") == Nil)
+    assert(out("abcd") == List("ab", "cd"))
+  }
+
+  test("encode of a learned table reproduces the training segmentation") {
+    // learn on a corpus, re-encode the corpus's own words: every word's
+    // token sequence must equal the trained vocabulary's final symbols —
+    // train and apply share one fold, so fertility audits are exact
+    val corpus = Seq("low low low", "lower lower", "newest")
+    val rules = TextAnalysis.bpeLearn(corpus.toDF("text"), "text", 3)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = Seq("low", "lower", "newest").toDF("word")
+      .select(org.apache.spark.sql.functions.col("word"),
+        graft.functions.BpeEncode.bpe_encode(
+          org.apache.spark.sql.functions.col("word"), rules).as("t"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    // rules: (l,o), (lo,w), (e,r)
+    assert(enc("low") == List("low"))
+    assert(enc("lower") == List("low", "er"))
+    // 'newest' contains none of the learned pairs adjacently -> chars
+    assert(enc("newest") == List("n", "e", "w", "e", "s", "t"), enc("newest"))
+  }
+
+  test("bpeTokenCounts: vocabulary-encode + join-back rollup") {
+    val docs = Seq((1L, "ab ab cd"), (2L, "ab x")).toDF("doc_id", "text")
+    val rules = Seq((1L, "a", "b")).toDF("rank", "lhs", "rhs")
+    val out = TextAnalysis.bpeTokenCounts(docs, "text", "doc_id", rules)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1: words ab,ab,cd -> tokens 1+1+2 = 4; doc 2: ab,x -> 1+1 = 2
+    assert(out == Map(1L -> ((3L, 4L)), 2L -> ((2L, 2L))), out)
+  }
+
+  test("driver-local and distributed paths produce byte-identical merge tables") {
+    // a corpus exercising ties, repeats, overlaps, and exhaustion — run
+    // deep enough that the vocabulary fully collapses; driverVocabLimit=0
+    // forces the distributed loop on the same input
+    val corpus = Seq("low low low", "lower lower", "newest", "aaaa aaaa",
+      "banana bandana", "abc bca cab", "zz zz yz")
+    def run(limit: Long) =
+      TextAnalysis.bpeLearn(corpus.toDF("text"), "text", merges = 25,
+          driverVocabLimit = limit)
+        .orderBy("rank")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq
+    val local = run(Long.MaxValue)
+    val distributed = run(0L)
+    assert(local == distributed,
+      s"path divergence:\nlocal: $local\ndist:  $distributed")
+    assert(local.nonEmpty && local.size <= 25)
+  }
 }

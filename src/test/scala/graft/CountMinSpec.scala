@@ -103,6 +103,36 @@ class CountMinSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/cm").count() == 2)
   }
 
+  test("cmTrendStep: marker-less pre-upgrade store infers its mode from the schema") {
+    // simulate a store seeded BEFORE the _cm_mode marker existed: seed in
+    // append mode, then delete the marker. A batchId call must still be
+    // rejected — the mode is inferred from the sketch schema (no 'batch'
+    // partition column), not stamped from the caller's mode
+    val tmp = java.nio.file.Files.createTempDirectory("cmtrendup").toString
+    def step(id: Option[Long]) = graft.pipeline.Sketches.cmTrendStep(
+      Seq.fill(20)("x").toDF("tok"), tmp, "tok", depth = D, width = W,
+      batchId = id)
+    step(None)
+    val marker = new java.io.File(tmp, "_cm_mode")
+    assert(marker.delete(), "marker must exist after the seed")
+    val e = intercept[IllegalArgumentException] { step(Some(1L)) }
+    assert(e.getMessage.contains("seeded in 'append'"), e.getMessage)
+    // the matching mode passes and re-stamps the marker with the
+    // INFERRED mode
+    step(None)
+    assert(scala.io.Source.fromFile(marker).mkString.trim == "append")
+    // symmetric: a marker-less batch-partitioned store rejects append calls
+    val tmp2 = java.nio.file.Files.createTempDirectory("cmtrendup2").toString
+    graft.pipeline.Sketches.cmTrendStep(Seq.fill(20)("x").toDF("tok"), tmp2,
+      "tok", depth = D, width = W, batchId = Some(0L))
+    assert(new java.io.File(tmp2, "_cm_mode").delete())
+    val e2 = intercept[IllegalArgumentException] {
+      graft.pipeline.Sketches.cmTrendStep(Seq.fill(20)("x").toDF("tok"), tmp2,
+        "tok", depth = D, width = W)
+    }
+    assert(e2.getMessage.contains("seeded in 'batch'"), e2.getMessage)
+  }
+
   test("count_min + nulls skipped via SQL surface") {
     // same entries Verify/Bench sessions get via injectFunction
     graft.plans.GraftExtensions.functions.foreach { case (id, info, builder) =>

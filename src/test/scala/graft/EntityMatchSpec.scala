@@ -17,7 +17,7 @@ class EntityMatchSpec extends AnyFunSuite {
 
   private def matchAll(dirty: org.apache.spark.sql.DataFrame, maxDist: Int) =
     Dedup.entityMatch(dirty, clean, "d_id", "id", "d_name", "name",
-        blockKeys = Seq(col("d.d_geo") -> col("c.geo")), maxDist = maxDist)
+        blockKeys = Seq(col("d_geo") -> col("geo")), maxDist = maxDist)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
 
   test("best match wins; ties break to the smallest clean id") {

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Similarity
+
+/** Margin-based bitext mining: best-pair identity on a hand-built
+  * geometry, the threshold wall, and the non-positive-denominator
+  * guard. */
+class MarginMineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // x1 aligns with y1, x2 with y2; y3 is anti-aligned noise
+  private lazy val xs = Seq(
+    (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+    .toDF("x_id", "x_vec")
+  private lazy val ys = Seq(
+    (11L, Array(1.0f, 0.1f)), (12L, Array(0.1f, 1.0f)),
+    (13L, Array(-1.0f, 0.0f)))
+    .toDF("y_id", "y_vec")
+
+  test("each source mines its aligned target; margin normalizes by both neighborhoods") {
+    val out = Similarity.marginMine(xs, ys, k = 2, threshold = 1.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(out.keySet == Set(1L, 2L), s"sources mined: $out")
+    assert(out(1L)._1 == 11L && out(2L)._1 == 12L, s"wrong pairs: $out")
+    // cos(top) ~0.995 over mean-neighborhood ~0.547 -> margin ~1.82
+    assert(out.values.forall(v => v._2 > 1.7 && v._2 < 1.9), s"margins: $out")
+  }
+
+  test("threshold is a hard wall") {
+    assert(Similarity.marginMine(xs, ys, k = 2, threshold = 2.0)
+      .collect().isEmpty)
+  }
+
+  test("non-positive denominator yields no pair instead of a flipped margin") {
+    // every target is anti-aligned with every source: all cosines are
+    // negative, so both neighborhood means are negative and the margin
+    // is undefined — the pair must be absent, not emitted with a
+    // sign-flipped score
+    val xneg = Seq((1L, Array(1.0f, 0.0f))).toDF("x_id", "x_vec")
+    val yneg = Seq((21L, Array(-1.0f, 0.0f)), (22L, Array(-1.0f, -0.1f)))
+      .toDF("y_id", "y_vec")
+    assert(Similarity.marginMine(xneg, yneg, k = 2, threshold = 0.0)
+      .collect().isEmpty)
+  }
+}

@@ -652,4 +652,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!pv.contains("UDF") && !pv.contains("BatchEvalPython"),
       "vad: UDF in plan")
   }
+
+  test("r12 ops: margin mining broadcasts the small set; banded lshTopK is bucket-equi-join only; bpe encode is vocab-side, no UDF") {
+    // margin mine: both kNN passes broadcast one side (the bounded X set
+    // or the query set), and the margin algebra joins SKINNY aggregates —
+    // no shuffle may carry an embedding column
+    val pm = plan("ann_margin_mine")
+    assert(pm.contains("BroadcastNestedLoopJoin"),
+      "margin mine: kNN passes must broadcast the small side")
+    assert(!pm.contains("UDF") && !pm.contains("BatchEvalPython"),
+      "margin mine: UDF in plan")
+    pm.split("\n").filter(_.contains("Exchange hashpartitioning")).foreach { ln =>
+      assert(!ln.contains("embedding#") && !ln.contains("x_vec#") &&
+        !ln.contains("y_vec#"), s"margin mine: vectors in shuffle: $ln")
+    }
+    // banded lshTopK: candidates come from the (band, sig) equi-join —
+    // no cartesian pairing of corpus and queries anywhere
+    val pl = plan("ann_lsh_topk")
+    assert(!pl.contains("CartesianProduct"),
+      "lshTopK: cartesian in plan")
+    assert(pl.contains("BroadcastHashJoin") || pl.contains("SortMergeJoin"),
+      "lshTopK: bucket equi-join missing")
+    assert(!pl.contains("UDF"), "lshTopK: UDF in plan")
+    // bpe encode: the expression runs on the DISTINCT-word vocabulary
+    // side (an aggregate precedes it), and the per-doc rollup is a
+    // pre-combined hash agg — native expression, no UDF wrapper
+    val pe = plan("t45b_bpe_encode_planted")
+    // the encode output (__nt) is computed INSIDE the vocab-distinct
+    // aggregate's projection (the expression itself doesn't print in the
+    // simple plan string) and joins back to the per-(doc, word) counts
+    assert(pe.contains("__nt"), "bpe encode vocab projection missing")
+    assert(!pe.contains("UDF") && !pe.contains("BatchEvalPython"),
+      "bpe encode: UDF in plan")
+    assert(pe.contains("HashAggregate"), "bpe rollup must hash-aggregate")
+  }
 }
