@@ -3765,6 +3765,38 @@ object Queries {
       .orderBy("id_a")
   }
 
+  // Semantic (embedding-space) test-set decontamination: the benchmark
+  // slice (vec_id < 5) broadcasts with precomputed norms; every training
+  // vector takes its max cosine against it, pre-combined map-side —
+  // paraphrased benchmark leakage the lexical tiers (t8/t8b/t33) miss.
+  // Planted copies of the benchmark vectors (ids + 1,000,000, cos 1.0 by
+  // construction) MUST be flagged, so the drop verdict is hash-proven
+  // alongside the realistic rows (the near-orthogonal corpus keeps its
+  // honest max-cos ~0.3, all kept).
+  register(
+    "d17_semantic_decontaminate",
+    """WITH bench AS (SELECT embedding AS bv FROM embeddings WHERE vec_id < 5),
+      |train AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT t.vec_id,
+      |         max(round(list_cosine_similarity(t.embedding::DOUBLE[],
+      |                                          b.bv::DOUBLE[]), 6)) AS max_bench_cos
+      |  FROM train t CROSS JOIN bench b GROUP BY t.vec_id)
+      |SELECT vec_id, max_bench_cos, max_bench_cos < 0.95 AS keep
+      |FROM scored ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val train = e.select(col("vec_id"), col("embedding")).unionAll(
+      e.where(col("vec_id") < 5)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+    val bench = e.where(col("vec_id") < 5).select(col("embedding"))
+    Dedup.semanticDecontaminate(train, bench, "vec_id", "embedding",
+        "embedding", threshold = 0.95)
+      .orderBy("vec_id")
+  }
+
   // Blocked fuzzy entity resolution: a corrupted twin of every customer
   // (the '#' separator swapped for '=') must link back to exactly its
   // source — levenshtein 1 to the source, >= 2 to every other name —
@@ -3895,6 +3927,37 @@ object Queries {
       .agg(round(sum(coalesce(col("__hit"), lit(0))).cast("double") / 3.0, 6)
         .as("recall"))
       .orderBy("q_id")
+  }
+
+  // Embedding covariance matrix (the PCA/whitening/OPQ training
+  // statistic): ONE corpus pass through the vec_moments
+  // TypedImperativeAggregate — fixed-size [n, Σx, upper-tri Σxy] buffers
+  // partial-aggregate map-side, never a dim²-per-row explode. Per-term
+  // integer micro-unit lifting makes the sums partitioning-exact, and
+  // the covariance derivation is the same double expression tree in both
+  // engines — full hash oracle over all dim(dim+1)/2 = 2080 cells.
+  register(
+    "ann_covariance",
+    """WITH v AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS p,
+      |         unnest(embedding)::DOUBLE AS x
+      |  FROM embeddings),
+      |pp AS (
+      |  SELECT a.p AS i, b.p AS j,
+      |         sum(CAST(floor(a.x * b.x * 1000000 + 0.5) AS BIGINT)) AS pxy
+      |  FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.p <= b.p
+      |  GROUP BY a.p, b.p),
+      |s AS (SELECT p, sum(CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS sx
+      |      FROM v GROUP BY p),
+      |n AS (SELECT count(*) AS n FROM embeddings)
+      |SELECT pp.i - 1 AS i, pp.j - 1 AS j,
+      |       round(pxy / (1000000.0 * n) -
+      |             (sa.sx / (1000000.0 * n)) * (sb.sx / (1000000.0 * n)), 6)
+      |         + 0.0 AS cov
+      |FROM pp JOIN s sa ON sa.p = pp.i JOIN s sb ON sb.p = pp.j CROSS JOIN n
+      |ORDER BY i, j""".stripMargin) { (s, dir) =>
+    Similarity.covarianceMatrix(t(s, dir, "embeddings"), "embedding", dim = 64)
+      .orderBy("i", "j")
   }
 
   // Margin-based parallel-pair mining (Artetxe & Schwenk 2019 — the

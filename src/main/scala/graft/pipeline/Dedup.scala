@@ -1328,6 +1328,39 @@ object Dedup {
           .otherwise(lit("changed")).as("status"))
   }
 
+  /** Embedding-space test-set decontamination — the SEMANTIC tier of
+    * train/eval overlap removal (the lexical tiers are
+    * [[graft.pipeline.TextAnalysis.contaminatedDocs]] and the n-gram /
+    * bloom variants): a training example whose embedding lands within
+    * `threshold` cosine of ANY benchmark embedding is flagged for
+    * removal — paraphrased or re-formatted benchmark leakage that exact
+    * and n-gram matching miss. Returns (id, max_bench_cos, keep) for
+    * every training row.
+    *
+    * Scale shape: benchmark suites are thousands of vectors — the bench
+    * side BROADCASTS (with precomputed norms), the scan-side cross pairs
+    * each training vector against it, and the per-id max pre-combines
+    * map-side before one skinny (id, double) exchange; the training
+    * corpus is never shuffled and never pairs with itself. For benchmark
+    * sets too large to broadcast, generate candidates with the banded
+    * [[embeddingNearDupsBandedAgainstStore]] machinery instead — same
+    * verdict algebra. */
+  def semanticDecontaminate(train: DataFrame, bench: DataFrame,
+      trainId: String, trainVec: String, benchVec: String,
+      threshold: Double): DataFrame = {
+    val b = broadcast(bench.select(col(benchVec).as("__bv"),
+      vecNorm(col(benchVec)).as("__bn")))
+    train.select(col(trainId), col(trainVec).as("__tv"),
+        vecNorm(col(trainVec)).as("__tn"))
+      .crossJoin(b)
+      .select(col(trainId),
+        round(cosineFromNorms(col("__tv"), col("__bv"), col("__tn"),
+          col("__bn")), 6).as("__c"))
+      .groupBy(trainId)
+      .agg(max(col("__c")).as("max_bench_cos"))
+      .withColumn("keep", col("max_bench_cos") < threshold)
+  }
+
   // -------------------------------------------------------------------------
   // Entity resolution (blocked fuzzy record linkage)
   // -------------------------------------------------------------------------

@@ -652,6 +652,43 @@ object Similarity {
         round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** Empirical covariance matrix of an embedding column — the training
+    * statistic for PCA / whitening / OPQ-style rotations in embedding
+    * pipelines. ONE pass: the corpus folds into a single fixed-size
+    * moments buffer via [[graft.functions.GramAgg]] (partial-aggregated
+    * map-side — dim·(dim+3)/2+1 longs cross the exchange, never a
+    * dim²-per-row explode), then the (i ≤ j, cov) triangle unpacks from
+    * that one row with `cov_ij = E[x_i·x_j] − E[x_i]·E[x_j]` over the
+    * exact fixed-point integer sums (per-term micro-unit rounding — see
+    * GramAgg — makes the result engine- and partitioning-exact, which is
+    * how this row hash-matches a SQL oracle). Eigen-decomposition of the
+    * returned dim×dim matrix is driver-side math by construction (the
+    * matrix is tiny; the DATA work is this one scan). Returns
+    * (i, j, cov) for i ≤ j, 6 dp. */
+  def covarianceMatrix(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    val m = df.agg(graft.functions.GramAgg.vec_moments(
+      col(vecCol).cast("array<double>"), dim).as("m"))
+    val pairs = m
+      .select(col("m"), explode(sequence(lit(0), lit(dim - 1))).as("i"))
+      .select(col("m"), col("i"),
+        explode(sequence(col("i"), lit(dim - 1))).as("j"))
+    val n = element_at(col("m"), 1).cast("double")
+    val si = element_at(col("m"), (col("i") + 2).cast("int")).cast("double")
+    val sj = element_at(col("m"), (col("j") + 2).cast("int")).cast("double")
+    // upper-tri row-major: row i starts at i·dim − i(i−1)/2 (exact: the
+    // product is even), entry (i, j) sits (j − i) further along
+    val start = col("i") * dim - (col("i") * (col("i") - 1)) / 2
+    val p = element_at(col("m"),
+      (lit(1 + dim) + start + (col("j") - col("i")) + 1).cast("int"))
+      .cast("double")
+    // p/scale = E[x_i·x_j]; si/scale = E[x_i] (micro-units cancel);
+    // + 0.0 collapses IEEE negative zero (round can yield −0.0, whose
+    // textual form differs between engines)
+    val scale = lit(1000000.0) * n
+    pairs.select(col("i"), col("j"),
+      (round(p / scale - (si / scale) * (sj / scale), 6) + lit(0.0)).as("cov"))
+  }
+
   /** Cross-set exact top-k by cosine — [[bruteForceTopK]] WITHOUT the
     * same-id exclusion: `corpus` and `queries` are different tables
     * (different id namespaces), so id equality across them is

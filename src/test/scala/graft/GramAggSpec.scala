@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.Similarity
+
+/** Fixed-point second-moment aggregate + covariance derivation:
+  * hand-computed values, partitioning invariance, and the width guard. */
+class GramAggSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+    (3L, Array(1.0f, 1.0f)), (4L, Array(0.0f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("covariance matches the hand computation") {
+    // x0: [1,0,1,0] mean .5 var .25; x1: [0,1,1,0] mean .5 var .25
+    // E[x0·x1] = (0+0+1+0)/4 = .25; cov01 = .25 − .25 = 0
+    val out = Similarity.covarianceMatrix(vecs, "embedding", dim = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out == Map((0, 0) -> 0.25, (0, 1) -> 0.0, (1, 1) -> 0.25), out)
+  }
+
+  test("moments are partitioning-exact (integer micro-unit sums)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def run(parts: Int) = Similarity.covarianceMatrix(
+        e.repartition(parts), "embedding", dim = 64)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val a = run(1)
+    val b = run(13)
+    assert(a.size == 64 * 65 / 2)
+    assert(a == b, "covariance must not depend on partitioning")
+  }
+
+  test("wrong vector width fails loudly") {
+    val bad = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.covarianceMatrix(bad, "embedding", dim = 2).collect()
+    }
+    assert(e.getMessage != null)
+  }
+}

@@ -577,6 +577,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(hits == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("semantic decontamination: benchmark-aligned vectors drop, orthogonal keep") {
+    // train ids 1 (copy of bench), 2 (near-copy), 3 (orthogonal)
+    val train = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.05f)),
+      (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val bench = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("embedding")
+    val out = Dedup.semanticDecontaminate(train, bench, "vec_id",
+        "embedding", "embedding", threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2)))
+      .toMap
+    assert(out(1L) == ((1.0, false)), s"exact copy must drop: $out")
+    assert(out(2L)._1 > 0.95 && !out(2L)._2, s"paraphrase-close must drop: $out")
+    assert(out(3L) == ((0.0, true)), s"orthogonal must keep: $out")
+  }
+
   test("span dedup: keep-first across the corpus, survivors reassemble in order") {
     val spanDocs = Seq(
       (0L, "a b c d e f g h i j"),   // spans: [a..h], [i j]

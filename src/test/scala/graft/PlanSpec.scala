@@ -674,6 +674,23 @@ class PlanSpec extends AnyFunSuite {
     assert(pl.contains("BroadcastHashJoin") || pl.contains("SortMergeJoin"),
       "lshTopK: bucket equi-join missing")
     assert(!pl.contains("UDF"), "lshTopK: UDF in plan")
+    // covariance: the moments aggregate must partial-aggregate — a
+    // partial+final ObjectHashAggregate pair, fixed-size buffers across
+    // the exchange, never a dim²-per-row explode (no Generate upstream
+    // of the aggregate)
+    val pc = plan("ann_covariance")
+    assert(pc.split("ObjectHashAggregate").length - 1 >= 2,
+      "covariance: expected partial+final vec_moments pair")
+    assert(!pc.contains("UDF"), "covariance: UDF in plan")
+    // semantic decontamination: the bench side broadcasts (one NLJ
+    // against the scan), the verdict agg pre-combines — the training
+    // corpus never shuffles vectors
+    val pd = plan("d17_semantic_decontaminate")
+    assert(pd.contains("BroadcastNestedLoopJoin"),
+      "semantic decontaminate: bench side must broadcast")
+    assert(pd.split("HashAggregate").length - 1 >= 2,
+      "semantic decontaminate: max-cos agg must pre-combine map-side")
+    assert(!pd.contains("UDF"), "semantic decontaminate: UDF in plan")
     // bpe encode: the expression runs on the DISTINCT-word vocabulary
     // side (an aggregate precedes it), and the per-doc rollup is a
     // pre-combined hash agg — native expression, no UDF wrapper
