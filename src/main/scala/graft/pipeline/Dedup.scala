@@ -1046,16 +1046,19 @@ object Dedup {
     * LITERALS for a known, fixed dimension — the HOF chain is interpreted
     * (CodegenFallback), so hashing the constant components per
     * row × plane × dim dominated the signature stage; pre-evaluating them
-    * leaves one multiply-add per element. Requires every vector to have
-    * exactly `dim` components (the staged-index contract the PQ/IVF ops
-    * already assume). */
+    * leaves one multiply-add per element, and the dot itself runs through
+    * the CODEGEN'D [[graft.functions.DotProduct]] kernel (r12 — its
+    * left-to-right float→double accumulation and null/length semantics
+    * are bit-identical to the HOF `aggregate(zip_with(...))` it replaced,
+    * so signatures and the d5c/d5e/d5f oracle hashes are unchanged).
+    * Requires every vector to have exactly `dim` components (the
+    * staged-index contract the PQ/IVF ops already assume). */
   private[graft] def hyperplaneSignatureLit(vec: Column, planes: Int, dim: Int,
       planeOffset: Int = 0): Column =
     (0 until planes).map { p =>
       val comps = array((0 until dim).map(j =>
         lit(hyperplaneComponentValue(planeOffset + p, j))): _*)
-      val dot = aggregate(zip_with(vec, comps,
-        (v, r) => v.cast(DoubleType) * r), lit(0.0), (acc, x) => acc + x)
+      val dot = graft.functions.VectorOps.dot_product(vec, comps)
       when(dot > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
     }.reduce(_ + _)
 

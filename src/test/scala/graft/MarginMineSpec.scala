@@ -33,6 +33,33 @@ class MarginMineSpec extends AnyFunSuite {
       .collect().isEmpty)
   }
 
+  test("approximate path: banded-LSH kNN tables feed the same margin algebra") {
+    // the scale composition — marginMineFromKnn over lshTopK output —
+    // must recover most of the exact-path pairs on the sf0.001
+    // embeddings (banded recall ~0.87 here, and the argmax pair is the
+    // easiest to retain: it has the highest cosine of the neighborhood)
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val xsE = e.where(col("vec_id") % 2 === 0 && col("vec_id") < 100)
+      .select(col("vec_id").as("x_id"), col("embedding").as("x_vec"))
+    val ysE = e.where(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("y_id"), col("embedding").as("y_vec"))
+    val exact = Similarity.marginMine(xsE, ysE, k = 4, threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val xkA = Similarity.lshTopK(ysE, xsE, k = 4,
+        corpusId = "y_id", corpusVec = "y_vec",
+        queryId = "x_id", queryVec = "x_vec")
+      .select(col("x_id").as("q_id"), col("neighbor_id"), col("cos"))
+    val ykA = Similarity.lshTopK(xsE, ysE, k = 4,
+        corpusId = "x_id", corpusVec = "x_vec",
+        queryId = "y_id", queryVec = "y_vec")
+      .select(col("y_id").as("q_id"), col("neighbor_id"), col("cos"))
+    val approx = Similarity.marginMineFromKnn(xkA, ykA, threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.intersect(exact).size >= (exact.size * 3) / 5,
+      s"approx path recovered ${approx.intersect(exact).size}/${exact.size}")
+  }
+
   test("non-positive denominator yields no pair instead of a flipped margin") {
     // every target is anti-aligned with every source: all cosines are
     // negative, so both neighborhood means are negative and the margin
