@@ -3960,6 +3960,48 @@ object Queries {
       .orderBy("i", "j")
   }
 
+  // Two-sample embedding drift: covariance cells of the even-id slice vs
+  // the odd-id slice with |delta| — the quantizer-retraining signal
+  // between corpus snapshots. Same fixed-point moments machinery as
+  // ann_covariance (one GramAgg pass per slice), so every cell
+  // hash-matches; on the synthetic corpus the halves are iid draws and
+  // the measured dcov is honestly tiny but nonzero.
+  register(
+    "ann_embedding_drift",
+    """WITH v AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS p,
+      |         unnest(embedding)::DOUBLE AS x
+      |  FROM embeddings),
+      |cov AS (
+      |  SELECT pp.side, i - 1 AS i, j - 1 AS j,
+      |         round(pxy / (1000000.0 * n) -
+      |               (si / (1000000.0 * n)) * (sj / (1000000.0 * n)), 6) + 0.0
+      |           AS cov
+      |  FROM (
+      |    SELECT a.vec_id % 2 AS side, a.p AS i, b.p AS j,
+      |           sum(CAST(floor(a.x * b.x * 1000000 + 0.5) AS BIGINT)) AS pxy
+      |    FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.p <= b.p
+      |    GROUP BY 1, 2, 3) pp
+      |  JOIN (SELECT vec_id % 2 AS side, p,
+      |               sum(CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS si
+      |        FROM v GROUP BY 1, 2) s1 ON s1.side = pp.side AND s1.p = pp.i
+      |  JOIN (SELECT vec_id % 2 AS side, p,
+      |               sum(CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS sj
+      |        FROM v GROUP BY 1, 2) s2 ON s2.side = pp.side AND s2.p = pp.j
+      |  JOIN (SELECT vec_id % 2 AS side, count(*) AS n
+      |        FROM embeddings GROUP BY 1) nn ON nn.side = pp.side)
+      |SELECT ca.i, ca.j, ca.cov AS cov_a, cb.cov AS cov_b,
+      |       round(abs(ca.cov - cb.cov), 6) + 0.0 AS dcov
+      |FROM (SELECT * FROM cov WHERE side = 0) ca
+      |JOIN (SELECT * FROM cov WHERE side = 1) cb USING (i, j)
+      |ORDER BY i, j""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    Similarity.embeddingDrift(
+      e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 === 1),
+      "embedding", dim = 64)
+      .orderBy("i", "j")
+  }
+
   // Margin-based parallel-pair mining (Artetxe & Schwenk 2019 — the
   // CCMatrix/NLLB bitext-mining score): even vec_ids play the source
   // language, odd ones the target; each source keeps its best-margin

@@ -689,6 +689,25 @@ object Similarity {
       (round(p / scale - (si / scale) * (sj / scale), 6) + lit(0.0)).as("cov"))
   }
 
+  /** Two-sample embedding distribution drift — covariance cells of slice
+    * A vs slice B (crawl N vs crawl N+1, pre- vs post-filter corpus) with
+    * their absolute difference: the "has the embedding distribution
+    * moved" diagnostic that decides when IVF/PQ quantizers and LSH
+    * planes need retraining ([[kmeansStoreStep]] tracks drift
+    * incrementally; this measures it exactly between two snapshots).
+    * Diagonal rows (i = j) are per-dimension variance drift; summing
+    * `dcov²` gives the Frobenius drift norm. Cost: one
+    * [[covarianceMatrix]] pass per slice (fixed-size moment buffers,
+    * map-side combined) + a dim²-cardinality join — corpus vectors never
+    * shuffle. Returns (i, j, cov_a, cov_b, dcov) for i ≤ j, 6 dp. */
+  def embeddingDrift(a: DataFrame, b: DataFrame, vecCol: String,
+      dim: Int): DataFrame =
+    covarianceMatrix(a, vecCol, dim).withColumnRenamed("cov", "cov_a")
+      .join(covarianceMatrix(b, vecCol, dim).withColumnRenamed("cov", "cov_b"),
+        Seq("i", "j"))
+      .select(col("i"), col("j"), col("cov_a"), col("cov_b"),
+        (round(abs(col("cov_a") - col("cov_b")), 6) + lit(0.0)).as("dcov"))
+
   /** Cross-set exact top-k by cosine — [[bruteForceTopK]] WITHOUT the
     * same-id exclusion: `corpus` and `queries` are different tables
     * (different id namespaces), so id equality across them is

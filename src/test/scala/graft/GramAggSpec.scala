@@ -34,6 +34,26 @@ class GramAggSpec extends AnyFunSuite {
     assert(a == b, "covariance must not depend on partitioning")
   }
 
+  test("embedding drift: iid halves are near-flat, a planted shift lights up") {
+    import org.apache.spark.sql.DataFrame
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def fro(d: DataFrame): Double = d
+      .agg(org.apache.spark.sql.functions.sum(col("dcov") * col("dcov")))
+      .collect()(0).getDouble(0)
+    val iid = fro(Similarity.embeddingDrift(
+      e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 === 1),
+      "embedding", 64))
+    // plant a shift: scale every component 3x in slice B — variances 9x
+    val shifted = e.where(col("vec_id") % 2 === 1)
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => x * lit(3.0f)).as("embedding"))
+    val drifted = fro(Similarity.embeddingDrift(
+      e.where(col("vec_id") % 2 === 0), shifted, "embedding", 64))
+    assert(drifted > 10 * iid,
+      s"planted 3x scale must dominate iid noise: iid=$iid drifted=$drifted")
+  }
+
   test("wrong vector width fails loudly") {
     val bad = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
     val e = intercept[Exception] {
