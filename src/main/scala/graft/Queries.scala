@@ -4054,6 +4054,71 @@ object Queries {
       .orderBy("x_id")
   }
 
+  // Composite program (the p0/p1 tradition): margin-mine parallel pairs,
+  // then gate each mined pair's TARGET through semantic benchmark
+  // decontamination — the bitext-curation loop a multilingual pipeline
+  // runs end to end (mine -> decontaminate -> ship), pinned as ONE
+  // hash-matched program. Mining algebra = ann_margin_mine's; the gate =
+  // d17's max-bench-cos; on this corpus the keeps are honestly all true
+  // (near-orthogonal bench), with d17 carrying the planted drop proof.
+  register(
+    "p5_mined_pair_curation",
+    """WITH x AS (SELECT vec_id AS x_id, embedding AS xv FROM embeddings
+      |           WHERE vec_id % 2 = 0 AND vec_id < 200),
+      |y AS (SELECT vec_id AS y_id, embedding AS yv FROM embeddings
+      |      WHERE vec_id % 2 = 1),
+      |sx AS (SELECT x_id, y_id,
+      |              round(list_cosine_similarity(yv::DOUBLE[], xv::DOUBLE[]), 6) AS cos
+      |       FROM x CROSS JOIN y),
+      |xk AS (SELECT x_id, y_id, cos FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY x_id
+      |                    ORDER BY cos DESC, y_id ASC) AS rn FROM sx)
+      |       WHERE rn <= 4),
+      |yk AS (SELECT x_id, y_id, cos FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY y_id
+      |                    ORDER BY cos DESC, x_id ASC) AS rn FROM sx)
+      |       WHERE rn <= 4),
+      |xa AS (SELECT x_id, sum(CAST(floor(cos * 1000000 + 0.5) AS BIGINT)) AS sxs,
+      |              count(*) AS cx FROM xk GROUP BY x_id),
+      |ya AS (SELECT y_id, sum(CAST(floor(cos * 1000000 + 0.5) AS BIGINT)) AS sys,
+      |              count(*) AS cy FROM yk GROUP BY y_id),
+      |m AS (SELECT xk.x_id, xk.y_id, xk.cos,
+      |             CASE WHEN (CAST(sxs AS DOUBLE) / cx + CAST(sys AS DOUBLE) / cy) / 2 > 0
+      |               THEN round(CAST(floor(xk.cos * 1000000 + 0.5) AS BIGINT) /
+      |                 ((CAST(sxs AS DOUBLE) / cx + CAST(sys AS DOUBLE) / cy) / 2), 6)
+      |             END AS margin
+      |      FROM xk JOIN xa USING (x_id) JOIN ya USING (y_id)),
+      |mined AS (SELECT x_id, y_id, cos, margin FROM (
+      |            SELECT *, row_number() OVER (PARTITION BY x_id
+      |                       ORDER BY margin DESC NULLS LAST, y_id ASC) AS rn
+      |            FROM m)
+      |          WHERE rn = 1 AND margin IS NOT NULL AND margin >= 1.0),
+      |deco AS (SELECT y.y_id,
+      |                max(round(list_cosine_similarity(y.yv::DOUBLE[],
+      |                                                 be.bv::DOUBLE[]), 6))
+      |                  AS bench_cos
+      |         FROM y CROSS JOIN (SELECT embedding AS bv FROM embeddings
+      |                            WHERE vec_id < 5) be
+      |         GROUP BY y.y_id)
+      |SELECT mined.x_id, mined.y_id, mined.margin, deco.bench_cos,
+      |       deco.bench_cos < 0.95 AS keep
+      |FROM mined JOIN deco USING (y_id)
+      |ORDER BY x_id""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val xs = e.where(col("vec_id") % 2 === 0 && col("vec_id") < 200)
+      .select(col("vec_id").as("x_id"), col("embedding").as("x_vec"))
+    val ys = e.where(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("y_id"), col("embedding").as("y_vec"))
+    val bench = e.where(col("vec_id") < 5).select(col("embedding"))
+    val mined = Similarity.marginMine(xs, ys, k = 4, threshold = 1.0)
+    val deco = Dedup.semanticDecontaminate(ys, bench, "y_id", "y_vec",
+      "embedding", threshold = 0.95)
+    mined.join(deco, "y_id")
+      .select(col("x_id"), col("y_id"), col("margin"),
+        col("max_bench_cos").as("bench_cos"), col("keep"))
+      .orderBy("x_id")
+  }
+
   /** Deterministic PQ codebook for the oracle rows: code c of subspace s is
     * the s-th 16-dim slice of vector c (vec_id < 4) — SQL-expressible, so
     * the encode/ADC machinery gets an exact hash oracle (production trains
@@ -5254,6 +5319,35 @@ object Queries {
         .when(col("doc_id") % 3 === 1, "abc")
         .otherwise("bc").as("text"))
     TextAnalysis.bpeLearn(planted, "text", merges = 2).orderBy("rank")
+  }
+
+  // Vocabulary coverage curve: fraction of corpus token occurrences the
+  // top-N words cover, for tokenizer vocab sizing — distributed top-k
+  // cut, windows only over the bounded survivors, one-row total
+  // broadcast. Exact integer token mass -> hash oracle.
+  register(
+    "t46_vocab_coverage",
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                            x -> x != '')) AS tok
+      |  FROM documents),
+      |c AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_tokens FROM c),
+      |r AS (SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rnk
+      |      FROM c),
+      |cum AS (SELECT rnk, CAST(sum(n) OVER (ORDER BY rnk) AS BIGINT) AS cum
+      |        FROM r WHERE rnk <= 1000),
+      |sizes AS (SELECT unnest([10, 100, 1000]) AS n_vocab)
+      |SELECT CAST(n_vocab AS BIGINT) AS n_vocab,
+      |       CAST(max(cum) AS BIGINT) AS covered_tokens,
+      |       CAST(tot.total_tokens AS BIGINT) AS total_tokens,
+      |       round(CAST(max(cum) AS DOUBLE) / tot.total_tokens, 6) AS coverage
+      |FROM sizes JOIN cum ON cum.rnk <= sizes.n_vocab CROSS JOIN tot
+      |GROUP BY n_vocab, tot.total_tokens
+      |ORDER BY n_vocab""".stripMargin) { (s, dir) =>
+    TextAnalysis.vocabCoverage(t(s, dir, "documents"), "text",
+      sizes = Seq(10, 100, 1000))
+      .orderBy("n_vocab")
   }
 
   // Tokenizer APPLICATION over the realistic corpus: learn 8 merges, then

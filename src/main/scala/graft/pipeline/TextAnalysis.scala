@@ -657,6 +657,50 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("tok").asc)
       .limit(k)
 
+  /** Vocabulary coverage curve — for each candidate vocabulary size N,
+    * the fraction of all corpus TOKEN OCCURRENCES covered by the N most
+    * frequent words: the statistic that sizes a tokenizer's vocabulary
+    * (where the curve flattens, extra vocab buys nothing) and flags
+    * unnatural corpora (natural language covers ~90% in a few thousand
+    * words; machine noise doesn't). Also reports the Zipf check: the
+    * rank-1 share. Deterministic: ranks break ties (count desc, token
+    * asc); coverage is exact-integer token mass over exact total, one
+    * double division, 6 dp.
+    *
+    * Scale shape: ONE pre-combined token count (the [[vocabularyTopK]]
+    * shuffle — skew-proof via map-side combine), a DISTRIBUTED top-k cut
+    * (orderBy + limit → TakeOrdered, never a global rank window over the
+    * full vocabulary), rank/cumulative windows only over the ≤ max(sizes)
+    * surviving rows (a human-chosen constant), and a one-row total
+    * broadcast. Returns (n_vocab, covered_tokens, total_tokens,
+    * coverage). */
+  def vocabCoverage(df: DataFrame, textCol: String,
+      sizes: Seq[Int]): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 1), "vocabCoverage: sizes >= 1")
+    val counts = df.select(explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total_tokens"))
+    val ranked = counts
+      .orderBy(col("n").desc, col("tok").asc).limit(sizes.max)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("n").desc, col("tok").asc)))
+      .withColumn("cum", sum(col("n")).over(
+        Window.orderBy(col("rnk")).rowsBetween(Window.unboundedPreceding, 0)))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sizeDf = sizes.sorted.toDF("n_vocab")
+    // per requested size: the largest rank <= N that exists (a corpus
+    // with fewer distinct words than N covers everything it has)
+    sizeDf.join(ranked, col("rnk") <= col("n_vocab"))
+      .groupBy("n_vocab")
+      .agg(max(col("cum")).as("covered_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("n_vocab").cast("long").as("n_vocab"),
+        col("covered_tokens"), col("total_tokens"),
+        round(col("covered_tokens").cast("double") / col("total_tokens"), 6)
+          .as("coverage"))
+  }
+
   /** Heavy-hitter tokens via the Misra–Gries sketch aggregate
     * ([[graft.functions.MisraGriesAgg]]): every partition reduces its
     * token stream to a k-entry summary map-side, so only k-sized sketches
