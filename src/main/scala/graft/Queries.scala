@@ -5350,6 +5350,87 @@ object Queries {
       .orderBy("n_vocab")
   }
 
+  // Temperature-scaled source sampling (the multilingual "sampling
+  // temperature": p_s ∝ n_s^alpha flattens the source distribution so
+  // low-resource sources are not drowned; alpha = 0.5 here — sqrt is
+  // correctly-rounded IEEE, so unlike pow() it is bit-identical across
+  // engines). Weights lift to integer micro-units before the normalizing
+  // sum (exact under any partitioning), making the probabilities and the
+  // per-source token allocation for a 1M-token epoch one fixed double
+  // expression over exact integers — hash oracle.
+  register(
+    "t47_temperature_mix",
+    """WITH c AS (
+      |  SELECT source,
+      |         CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |                                  x -> x != ''))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |w AS (SELECT source, n_tokens,
+      |             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5)
+      |               AS BIGINT) AS wu
+      |      FROM c),
+      |tot AS (SELECT CAST(sum(wu) AS BIGINT) AS wt FROM w)
+      |SELECT source, n_tokens,
+      |       round(CAST(wu AS DOUBLE) / wt, 6) AS p_temp,
+      |       CAST(floor(CAST(wu AS DOUBLE) / wt * 1000000 + 0.5) AS BIGINT)
+      |         AS epoch_tokens
+      |FROM w CROSS JOIN tot ORDER BY source""".stripMargin) { (s, dir) =>
+    val counts = t(s, dir, "documents")
+      .groupBy("source")
+      .agg(sum(size(TextAnalysis.tokens(lower(col("text")))))
+        .cast("long").as("n_tokens"))
+      .withColumn("wu",
+        floor(sqrt(col("n_tokens").cast("double")) * 1000000 + 0.5).cast("long"))
+    counts.crossJoin(broadcast(counts.agg(sum(col("wu")).cast("long").as("wt"))))
+      .select(col("source"), col("n_tokens"),
+        round(col("wu").cast("double") / col("wt"), 6).as("p_temp"),
+        floor(col("wu").cast("double") / col("wt") * 1000000 + 0.5)
+          .cast("long").as("epoch_tokens"))
+      .orderBy("source")
+  }
+
+  // Padding-waste audit for length-bucketed batching: each document
+  // rounds up to the smallest bucket that holds it (cap-truncated at the
+  // top bucket), and the per-bucket padded-token overhead is what the
+  // batching scheme wastes — the statistic that picks bucket boundaries.
+  // Exact integer token counts -> hash oracle.
+  register(
+    "t48_padding_waste",
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         len(list_filter(string_split_regex(lower(text), '\s+'),
+      |                         x -> x != '')) AS n
+      |  FROM documents),
+      |b AS (SELECT doc_id, least(n, 1024) AS eff,
+      |             CASE WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+      |                  WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+      |                  ELSE 1024 END AS bucket
+      |      FROM d)
+      |SELECT CAST(bucket AS BIGINT) AS bucket,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(eff) AS BIGINT) AS real_tokens,
+      |       CAST(sum(bucket - eff) AS BIGINT) AS pad_tokens,
+      |       round(CAST(sum(bucket - eff) AS DOUBLE) /
+      |             (CAST(count(*) AS BIGINT) * bucket), 6) AS waste_ratio
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(lower(col("text")))).as("n"))
+    val b = d.select(col("doc_id"), least(col("n"), lit(1024)).as("eff"),
+      when(col("n") <= 64, 64).when(col("n") <= 128, 128)
+        .when(col("n") <= 256, 256).when(col("n") <= 512, 512)
+        .otherwise(1024).as("bucket"))
+    b.groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("eff")).cast("long").as("real_tokens"),
+        sum(col("bucket") - col("eff")).cast("long").as("pad_tokens"))
+      .select(col("bucket").cast("long").as("bucket"), col("n_docs"),
+        col("real_tokens"), col("pad_tokens"),
+        round(col("pad_tokens").cast("double") /
+          (col("n_docs") * col("bucket")), 6).as("waste_ratio"))
+      .orderBy("bucket")
+  }
+
   // Tokenizer APPLICATION over the realistic corpus: learn 8 merges, then
   // count per-document BPE tokens under the learned table — the
   // token-budget statistic (learn → encode is the full tokenizer loop).
