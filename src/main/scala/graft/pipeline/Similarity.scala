@@ -665,9 +665,21 @@ object Similarity {
     * returned dim×dim matrix is driver-side math by construction (the
     * matrix is tiny; the DATA work is this one scan). Returns
     * (i, j, cov) for i ≤ j, 6 dp. */
-  def covarianceMatrix(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
-    val m = df.agg(graft.functions.GramAgg.vec_moments(
-      col(vecCol).cast("array<double>"), dim).as("m"))
+  def covarianceMatrix(df: DataFrame, vecCol: String, dim: Int): DataFrame =
+    covarianceFromMoments(
+      df.agg(graft.functions.GramAgg.vec_moments(
+        col(vecCol).cast("array<double>"), dim).as("m")),
+      dim)
+
+  /** Covariance cells from an ALREADY-AGGREGATED one-row moments frame
+    * (`m` = the [[graft.functions.GramAgg]] array) — the read side of the
+    * STORED moments path: per-batch moment rows from
+    * [[Sketches.gramSketch]] roll up losslessly through
+    * [[Sketches.gramMerge]] (the moments are linear integer sums), so
+    * covariance/drift over any stored time window derives without ever
+    * re-scanning vectors. Bit-identical to [[covarianceMatrix]] on the
+    * same data under any batch split (GramAggSpec pins it). */
+  def covarianceFromMoments(m: DataFrame, dim: Int): DataFrame = {
     val pairs = m
       .select(col("m"), explode(sequence(lit(0), lit(dim - 1))).as("i"))
       .select(col("m"), col("i"),

@@ -200,6 +200,31 @@ object Sketches {
       .withColumn("var_pop", round((ssd - sd * sd / col("n")) / col("n"), 6))
   }
 
+  /** One batch's EMBEDDING-moment row — the [[graft.functions.GramAgg]]
+    * fixed-point [n, Σx, upper-tri Σxy] array as a single fixed-size
+    * row: the storable sufficient statistic for covariance and
+    * distribution-drift monitoring over embedding streams. Append one
+    * row per micro-batch (the [[momentSketches]] pattern at vector
+    * rank); any later window of batches rolls up through [[gramMerge]]
+    * and reads back as exact covariance via
+    * [[graft.pipeline.Similarity.covarianceFromMoments]] — vectors are
+    * scanned once, at ingest, never again. */
+  def gramSketch(df: DataFrame, vecCol: String, dim: Int): DataFrame =
+    df.agg(graft.functions.GramAgg.vec_moments(
+      col(vecCol).cast("array<double>"), dim).as("m"))
+
+  /** Lossless rollup of stored gram-moment rows — the moments are LINEAR
+    * (exact integer sums), so elementwise addition over any batch
+    * partitioning is bit-identical to the single-pass aggregate (the
+    * [[cmMerge]] shape: explode by position, sum, reassemble in
+    * position order). */
+  def gramMerge(store: DataFrame, mCol: String = "m"): DataFrame =
+    store.select(posexplode(col(mCol)).as(Seq("__pos", "__v")))
+      .groupBy("__pos").agg(sum(col("__v")).as("__v"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__v")))),
+        e => e.getField("__v")).as(mCol))
+
   /** One batch's per-group fixed-bin HISTOGRAM rows over an integer-scaled
     * measure — the STORABLE percentile path: per-batch (group, bin, n)
     * rows merge losslessly (integer sums), unlike the GK sketch behind

@@ -54,6 +54,22 @@ class GramAggSpec extends AnyFunSuite {
       s"planted 3x scale must dominate iid noise: iid=$iid drifted=$drifted")
   }
 
+  test("stored gram rows roll up losslessly: batched == single-pass covariance") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // three "micro-batches" append one fixed-size moment row each
+    val store = (0 until 3).map(b =>
+        graft.pipeline.Sketches.gramSketch(
+          e.where(col("vec_id") % 3 === b), "embedding", 64))
+      .reduce(_ unionAll _)
+    val merged = graft.pipeline.Sketches.gramMerge(store)
+    val fromStore = Similarity.covarianceFromMoments(merged, 64)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val direct = Similarity.covarianceMatrix(e, "embedding", 64)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(fromStore == direct,
+      "stored-moments covariance must be bit-identical to the single pass")
+  }
+
   test("wrong vector width fails loudly") {
     val bad = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
     val e = intercept[Exception] {
