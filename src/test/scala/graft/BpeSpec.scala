@@ -88,6 +88,37 @@ class BpeSpec extends AnyFunSuite {
     assert(out == Map(1L -> ((3L, 4L)), 2L -> ((2L, 2L))), out)
   }
 
+  test("randomized corpora: local and distributed paths never drift") {
+    // seeded generative net over a tiny alphabet (maximizes pair ties and
+    // deep merge chains — the divergence-prone regime); any ordering or
+    // fold mismatch between the driver-local incremental loop and the
+    // distributed rounds shows up as a table diff
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val wordGen = for {
+      n <- Gen.choose(1, 7)
+      cs <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    } yield cs.mkString
+    val corpusGen = for {
+      n <- Gen.choose(3, 12)
+      ws <- Gen.listOfN(n, wordGen)
+    } yield ws.mkString(" ")
+    val params = Gen.Parameters.default
+    for (i <- 1 to 12) {
+      val corpus = (1 to 3).map(j =>
+        corpusGen.pureApply(params, Seed(i.toLong * 100 + j)))
+      def run(limit: Long) =
+        TextAnalysis.bpeLearn(corpus.toDF("text"), "text", merges = 10,
+            driverVocabLimit = limit)
+          .orderBy("rank").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+            r.getLong(3))).toSeq
+      val l = run(Long.MaxValue)
+      val d = run(0L)
+      assert(l == d, s"seed $i diverged:\nlocal: $l\ndist:  $d\n($corpus)")
+    }
+  }
+
   test("driver-local and distributed paths produce byte-identical merge tables") {
     // a corpus exercising ties, repeats, overlaps, and exhaustion — run
     // deep enough that the vocabulary fully collapses; driverVocabLimit=0
