@@ -5350,6 +5350,61 @@ object Queries {
       .orderBy("n_vocab")
   }
 
+  // Surgical span decontamination: benchmark snippets = the first five
+  // tokens of every doc_id % 97 == 0 document, so hits exist by
+  // construction (those docs lose their opening span; any other doc
+  // sharing a 5-gram is cleaned too) while most of the corpus passes
+  // untouched. Exact set logic over positional grams -> hash oracle,
+  // including the reassembled clean_text bytes.
+  register(
+    "t49_surgical_decontaminate",
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             x -> x != '') AS toks
+      |  FROM documents),
+      |sg AS (
+      |  SELECT DISTINCT md5(array_to_string(toks[1 : 5], ' ')) AS gram_key
+      |  FROM t WHERE doc_id % 97 = 0 AND len(toks) >= 5),
+      |d AS (
+      |  SELECT doc_id, toks,
+      |         CASE WHEN len(toks) >= 5 THEN
+      |           list_transform(range(1, len(toks) - 5 + 2),
+      |                          s -> md5(array_to_string(toks[s : s + 4], ' ')))
+      |         ELSE [] END AS gkeys
+      |  FROM t),
+      |starts AS (
+      |  SELECT doc_id, generate_subscripts(gkeys, 1) AS s,
+      |         unnest(gkeys) AS gram_key
+      |  FROM d),
+      |covered AS (
+      |  SELECT DISTINCT starts.doc_id, starts.s + o.off AS pos
+      |  FROM starts JOIN sg USING (gram_key)
+      |  CROSS JOIN (SELECT unnest(range(0, 5)) AS off) o),
+      |dt AS (SELECT doc_id, unnest(toks) AS tok,
+      |              generate_subscripts(toks, 1) AS pos
+      |       FROM t),
+      |kept AS (
+      |  SELECT dt.doc_id, dt.tok, dt.pos FROM dt
+      |  ANTI JOIN covered ON covered.doc_id = dt.doc_id
+      |                   AND covered.pos = dt.pos),
+      |agg AS (
+      |  SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS clean_text,
+      |         count(*) AS n_kept
+      |  FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+      |       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+      |       CAST(len(t.toks) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
+      |FROM t LEFT JOIN agg USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val snippets = docs.where(col("doc_id") % 97 === 0)
+      .select(concat_ws(" ",
+        slice(TextAnalysis.tokens(lower(col("text"))), 1, 5)).as("snip"))
+    TextAnalysis.removeContaminatedSpans(docs, "text", "doc_id",
+        snippets, "snip", n = 5)
+      .orderBy("doc_id")
+  }
+
   // Temperature-scaled source sampling (the multilingual "sampling
   // temperature": p_s ∝ n_s^alpha flattens the source distribution so
   // low-resource sources are not drowned; alpha = 0.5 here — sqrt is

@@ -1351,6 +1351,59 @@ object TextAnalysis {
     }
   }
 
+  /** SURGICAL span decontamination — remove the n-gram-matching SPANS and
+    * keep the rest of the document, instead of dropping whole documents
+    * ([[ngramContamination]] counts; this cleans): the standard upgrade
+    * when a long document merely QUOTES a benchmark item. Every token
+    * covered by any n-gram that appears in the snippet set is cut; the
+    * survivors reassemble in order (whitespace-canonicalized, lowered —
+    * the same token stream every other text op sees). Returns every
+    * input document as (doc_id, clean_text, n_tokens, n_removed) — a
+    * fully-contaminated document comes back with empty text, never
+    * silently vanishes.
+    *
+    * Scale shape: positional grams explode once per document (the
+    * chunking/contamination gram shuffle, md5 keys — gram text never
+    * shuffles past the hash); the snippet gram set is benchmark-sized
+    * and its join prunes to matched starts; covered positions and the
+    * keep anti-join ship skinny (doc_id, int) pairs; reassembly is one
+    * per-doc pre-combined collect over kept tokens only. */
+  def removeContaminatedSpans(docs: DataFrame, textCol: String, idCol: String,
+      snippets: DataFrame, snippetCol: String, n: Int = 5): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      tokens(lower(col(textCol))).as("__toks"))
+    // positional n-grams: index s (0-based) covers tokens s .. s+n-1
+    val starts = base.select(col("doc_id"),
+      posexplode(
+        when(size(col("__toks")) >= n,
+          transform(sequence(lit(0), size(col("__toks")) - n),
+            s => concat_ws(" ", slice(col("__toks"), s + 1, lit(n)))))
+          .otherwise(array().cast("array<string>"))).as(Seq("s", "gram")))
+      .select(col("doc_id"), col("s"), md5(col("gram")).as("gram_key"))
+    val snipGrams = snippets
+      .select(tokens(lower(col(snippetCol))).as("__toks"))
+      .select(explode(wordNgrams(col("__toks"), n)).as("gram"))
+      .select(md5(col("gram")).as("gram_key")).distinct()
+    val covered = starts.join(snipGrams, "gram_key")
+      .select(col("doc_id"),
+        explode(sequence(col("s"), col("s") + (n - 1))).as("pos"))
+      .distinct()
+    val docToks = base.select(col("doc_id"),
+      posexplode(col("__toks")).as(Seq("pos", "tok")))
+    val kept = docToks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          e => e.getField("tok"))).as("__clean"),
+        count(lit(1)).as("__n_kept"))
+    base.select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__clean"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Token-bounded chunking with overlap — the context-window prep op for
     * training pipelines. Chunk i covers words [i*step, i*step+chunkWords),
     * step = chunkWords − overlapWords; the last chunk is the first one whose

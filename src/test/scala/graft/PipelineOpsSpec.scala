@@ -577,6 +577,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(hits == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("surgical decontamination cuts matching spans, keeps the rest, never drops docs") {
+    val docsIn = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"), // quotes the bench opening
+      (2L, "totally unrelated words here live now"),
+      (3L, "alpha beta gamma delta epsilon")) // the whole doc IS the snippet
+      .toDF("doc_id", "text")
+    val snips = Seq("alpha beta gamma delta epsilon").toDF("snip")
+    val out = TextAnalysis.removeContaminatedSpans(docsIn, "text", "doc_id",
+        snips, "snip", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(out(1L) == (("zeta eta", 7L, 5L)), s"span cut: ${out(1L)}")
+    assert(out(2L) == (("totally unrelated words here live now", 6L, 0L)))
+    // fully contaminated: comes back EMPTY, not absent
+    assert(out(3L) == (("", 5L, 5L)), s"full removal: ${out(3L)}")
+    assert(out.size == 3)
+  }
+
   test("semantic decontamination: benchmark-aligned vectors drop, orthogonal keep") {
     // train ids 1 (copy of bench), 2 (near-copy), 3 (orthogonal)
     val train = Seq(

@@ -674,6 +674,17 @@ class PlanSpec extends AnyFunSuite {
     assert(pl.contains("BroadcastHashJoin") || pl.contains("SortMergeJoin"),
       "lshTopK: bucket equi-join missing")
     assert(!pl.contains("UDF"), "lshTopK: UDF in plan")
+    // surgical decontamination: gram text never crosses an exchange
+    // (md5 keys only), and no quadratic join appears — the snippet side
+    // is an equi-join on the hash
+    val ps = plan("t49_surgical_decontaminate")
+    assert(!ps.contains("CartesianProduct") &&
+      !ps.contains("BroadcastNestedLoopJoin"),
+      "surgical decon: quadratic join in plan")
+    assert(!ps.contains("UDF"), "surgical decon: UDF in plan")
+    ps.split("\n").filter(_.contains("Exchange hashpartitioning")).foreach { ln =>
+      assert(!ln.contains("gram#"), s"surgical decon: gram text in shuffle: $ln")
+    }
     // covariance: the moments aggregate must partial-aggregate — a
     // partial+final ObjectHashAggregate pair, fixed-size buffers across
     // the exchange, never a dim²-per-row explode (no Generate upstream
