@@ -3122,6 +3122,67 @@ object Queries {
       .orderBy("id")
   }
 
+  // Asymmetric containment C(A->B) = |A∩B|/|A| — the subset-duplication
+  // detector symmetric Jaccard structurally misses (a short doc fully
+  // quoted in a long one has J ≈ 0 but C = 1). Realistic rows: adjacent
+  // doc pairs, both directions + J for contrast; planted rows: each
+  // doc's own 8-token prefix vs the full doc, where C(prefix->doc) MUST
+  // be exactly 1.0 while C(doc->prefix) and J stay fractional — the
+  // asymmetry proven in the same hash-matched result.
+  register(
+    "d18_containment",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             x -> x != '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(t) >= 2
+      |    THEN list_distinct(list_transform(range(1, len(t)),
+      |                                      i -> t[i] || ' ' || t[i+1]))
+      |    ELSE [array_to_string(t, ' ')] END AS s
+      |  FROM toks),
+      |psh AS (
+      |  SELECT doc_id, CASE WHEN least(len(t), 8) >= 2
+      |    THEN list_distinct(list_transform(range(1, least(len(t), 8)),
+      |                                      i -> t[i] || ' ' || t[i+1]))
+      |    ELSE [array_to_string(t[1 : 8], ' ')] END AS s
+      |  FROM toks),
+      |realistic AS (
+      |  SELECT a.doc_id AS id,
+      |    round(len(list_intersect(a.s, b.s))::DOUBLE / len(a.s), 6) AS c_ab,
+      |    round(len(list_intersect(a.s, b.s))::DOUBLE / len(b.s), 6) AS c_ba,
+      |    round(len(list_intersect(a.s, b.s))::DOUBLE /
+      |          len(list_distinct(list_concat(a.s, b.s))), 6) AS j
+      |  FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id),
+      |planted AS (
+      |  SELECT p.doc_id + 1000000 AS id,
+      |    round(len(list_intersect(p.s, f.s))::DOUBLE / len(p.s), 6) AS c_ab,
+      |    round(len(list_intersect(p.s, f.s))::DOUBLE / len(f.s), 6) AS c_ba,
+      |    round(len(list_intersect(p.s, f.s))::DOUBLE /
+      |          len(list_distinct(list_concat(p.s, f.s))), 6) AS j
+      |  FROM psh p JOIN sh f USING (doc_id))
+      |SELECT id, c_ab, c_ba, j FROM realistic
+      |UNION ALL SELECT id, c_ab, c_ba, j FROM planted
+      |ORDER BY id""".stripMargin) { (s, dir) =>
+    val d = t(s, dir, "documents")
+    val paired = d.as("a").join(d.as("b"), col("a.doc_id") + 1 === col("b.doc_id"))
+      .select(col("a.doc_id").as("id"), col("a.text").as("ta"),
+        col("b.text").as("tb"))
+    def row(df: DataFrame): DataFrame = {
+      val sa = Dedup.wordShingles(col("ta"), 2)
+      val sb = Dedup.wordShingles(col("tb"), 2)
+      df.select(col("id"),
+        round(Dedup.containment(sa, sb), 6).as("c_ab"),
+        round(Dedup.containment(sb, sa), 6).as("c_ba"),
+        round(Dedup.jaccard(sa, sb), 6).as("j"))
+    }
+    val planted = d.select((col("doc_id") + 1000000).as("id"),
+      concat_ws(" ",
+        slice(TextAnalysis.tokens(lower(col("text"))), 1, 8)).as("ta"),
+      col("text").as("tb"))
+    row(paired).unionAll(row(planted)).orderBy("id")
+  }
+
   // EXACT similarity join via prefix filtering (AllPairs/PPJoin): every
   // pair with bigram-shingle Jaccard >= 0.8, no candidate-recall loss —
   // the deterministic complement to d2's minhash path, so the oracle is

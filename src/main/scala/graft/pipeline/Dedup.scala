@@ -543,6 +543,19 @@ object Dedup {
     jaccard(wordShingles(col(textA), shingleWords),
       wordShingles(col(textB), shingleWords))
 
+  /** ASYMMETRIC containment C(A→B) = |A ∩ B| / |A| — the
+    * subset-duplication detector symmetric Jaccard structurally misses: a
+    * short document fully quoted inside a long one has
+    * J = |A|/|B| ≈ 0 but C(A→B) = 1 (quote mining, boilerplate-inside-
+    * article, doc-inside-crawl-dump). Same shingle machinery as
+    * [[jaccard]]; at corpus scale generate candidates with the prefix/
+    * band joins and use this as the verify predicate — the candidate
+    * plumbing is direction-blind, only the threshold algebra changes. */
+  def containment(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast(DoubleType)
+    when(size(a) > 0, inter / size(a)).otherwise(lit(0.0))
+  }
+
   // -------------------------------------------------------------------------
   // Exact set-similarity join (AllPairs / PPJoin prefix filtering)
   // -------------------------------------------------------------------------

@@ -248,6 +248,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs.forall(p => p._1 == 0L || p._2 <= 15L))
   }
 
+  test("containment is asymmetric: a quoted fragment scores 1 toward its host") {
+    val sa = Dedup.wordShingles(lit("alpha beta gamma"), 2)
+    val sb = Dedup.wordShingles(lit("intro words alpha beta gamma outro end"), 2)
+    val r = spark.range(1).select(
+      Dedup.containment(sa, sb).as("cab"),
+      Dedup.containment(sb, sa).as("cba"),
+      Dedup.jaccard(sa, sb).as("j")).collect()(0)
+    assert(r.getDouble(0) == 1.0, s"fragment->host must be 1.0: $r")
+    assert(r.getDouble(1) < 0.5 && r.getDouble(2) < 0.5,
+      s"host->fragment and jaccard must stay fractional: $r")
+    // empty-side guard
+    val e = spark.range(1).select(Dedup.containment(
+      array().cast("array<string>"), sb)).collect()(0).getDouble(0)
+    assert(e == 0.0)
+  }
+
   test("ngram jaccard on adjacent pairs") {
     val paired = docs.as("a").join(docs.as("b"),
       col("a.doc_id") + 1 === col("b.doc_id"))
