@@ -5411,6 +5411,40 @@ object Queries {
       .orderBy("n_vocab")
   }
 
+  // Character-entropy quality signal: gibberish and encoded blobs sit
+  // outside natural text's entropy band. Order-free fixed-point term
+  // summation (floor(p·ln p·1e9 + 0.5) integer sums) makes the value
+  // partitioning- and engine-exact — hash oracle.
+  register(
+    "t51_char_entropy",
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), '')) AS ch
+      |  FROM documents),
+      |c AS (SELECT doc_id, ch, count(*) AS c FROM ch
+      |      WHERE ch != '' GROUP BY doc_id, ch),
+      |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+      |               CAST(count(*) AS BIGINT) AS k
+      |        FROM c GROUP BY doc_id),
+      |u AS (SELECT c.doc_id, tot.n, tot.k,
+      |             CAST(floor((CAST(c.c AS DOUBLE) / tot.n) *
+      |                        ln(CAST(c.c AS DOUBLE) / tot.n) *
+      |                        1000000000.0 + 0.5) AS BIGINT) AS u
+      |      FROM c JOIN tot USING (doc_id)),
+      |s AS (SELECT doc_id, max(n) AS n_chars, max(k) AS distinct_chars,
+      |             round(-CAST(sum(u) AS DOUBLE) / 1000000000.0, 6)
+      |               AS entropy_nats
+      |      FROM u GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       coalesce(s.n_chars, 0) AS n_chars,
+      |       coalesce(s.distinct_chars, 0) AS distinct_chars,
+      |       coalesce(s.entropy_nats, 0.0) AS entropy_nats
+      |FROM (SELECT DISTINCT doc_id FROM documents) d
+      |LEFT JOIN s USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.charEntropy(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy("doc_id")
+  }
+
   // Surgical span decontamination: benchmark snippets = the first five
   // tokens of every doc_id % 97 == 0 document, so hits exist by
   // construction (those docs lose their opening span; any other doc

@@ -1351,6 +1351,46 @@ object TextAnalysis {
     }
   }
 
+  /** Per-document character-level Shannon entropy (nats) — the
+    * gibberish / encoded-blob / repeated-filler detector that rounds out
+    * the quality family (low entropy = repetitive filler, high ≈ uniform
+    * entropy = base64/compressed junk; natural text sits in a stable
+    * band). Characters are code points of the lowered text, whitespace
+    * included.
+    *
+    * Determinism (the money-in-cents move on − p·ln p): each character
+    * class's term `floor(p·ln(p)·10⁹ + 0.5)` is one fixed double
+    * expression over exact integer counts, and the per-document SUM is
+    * an INTEGER sum — order-free under any partitioning and any engine,
+    * so the row hash-matches (ln parity with DuckDB is already proven by
+    * the surprisal rows). Scale shape: one char explode into a
+    * pre-combined (doc, char) count, a skinny per-doc total join, one
+    * pre-combined integer agg; empty documents return entropy 0, never
+    * vanish. Returns (doc_id, n_chars, distinct_chars, entropy_nats). */
+  def charEntropy(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val counts = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), "")).as("ch"))
+      .where(col("ch") =!= "")
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy("doc_id")
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("k"))
+    val p = col("c").cast("double") / col("n")
+    val scored = counts.join(tot, "doc_id")
+      .select(col("doc_id"), col("n"), col("k"),
+        floor(p * log(p) * 1000000000.0 + 0.5).cast("long").as("u"))
+      .groupBy("doc_id")
+      .agg(max(col("n")).as("n_chars"), max(col("k")).as("distinct_chars"),
+        round(-sum(col("u")).cast("double") / 1000000000.0, 6)
+          .as("entropy_nats"))
+    docs.select(col(idCol).as("doc_id")).distinct()
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("distinct_chars"), lit(0L)).as("distinct_chars"),
+        coalesce(col("entropy_nats"), lit(0.0)).as("entropy_nats"))
+  }
+
   /** SURGICAL span decontamination — remove the n-gram-matching SPANS and
     * keep the rest of the document, instead of dropping whole documents
     * ([[ngramContamination]] counts; this cleans): the standard upgrade

@@ -248,6 +248,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs.forall(p => p._1 == 0L || p._2 <= 15L))
   }
 
+  test("char entropy: repetitive filler scores low, varied text high, empty is 0") {
+    val docsIn = Seq(
+      (1L, "aaaaaaaaaaaaaaaa"),       // one class -> entropy 0
+      (2L, "abcdefghijklmnop"),       // 16 uniform classes -> ln 16
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(docsIn, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(out(1L) == ((16L, 1L, 0.0)), s"constant text: ${out(1L)}")
+    assert(out(2L)._1 == 16L && out(2L)._2 == 16L &&
+      math.abs(out(2L)._3 - math.log(16.0)) < 1e-5, s"uniform: ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, 0.0)), s"empty doc must not vanish: ${out(3L)}")
+    // partitioning invariance of the integer-term sum
+    val rep = TextAnalysis.charEntropy(docsIn.repartition(7), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rep == out.view.mapValues(_._3).toMap)
+  }
+
   test("containment is asymmetric: a quoted fragment scores 1 toward its host") {
     val sa = Dedup.wordShingles(lit("alpha beta gamma"), 2)
     val sb = Dedup.wordShingles(lit("intro words alpha beta gamma outro end"), 2)
