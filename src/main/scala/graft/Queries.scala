@@ -5411,6 +5411,68 @@ object Queries {
       .orderBy("n_vocab")
   }
 
+  // URL canonicalization — the dedup-key normalizer of web-corpus
+  // pipelines. One synthetic URL per doc cycles through the adversarial
+  // branches (default port + www + tracking params + unsorted query +
+  // fragment + trailing slash; http:80; a kept non-default port;
+  // non-URL passthrough), and both engines apply the IDENTICAL
+  // RE2-compatible regex/list pipeline — hash oracle on the canonical
+  // strings themselves.
+  register(
+    "t52_url_canonicalize",
+    """WITH raw AS (
+      |  SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
+      |    WHEN 0 THEN 'HTTPS://WWW.Example' || (doc_id % 7) || '.com:443/Path'
+      |                || (doc_id % 5) || '/?utm_source=x&b=2&a=1&fbclid=z#frag'
+      |    WHEN 1 THEN 'http://Site' || (doc_id % 7) || '.org:80/a'
+      |    WHEN 2 THEN 'http://site' || (doc_id % 7) || '.org:8080/a?z=1&y=2'
+      |    ELSE 'not a url ' || doc_id END AS url
+      |  FROM documents),
+      |s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag
+      |       FROM raw),
+      |s2 AS (SELECT *,
+      |         lower(regexp_extract(nofrag,
+      |           '^([a-zA-Z][a-zA-Z0-9+.-]*)://.*$', 1)) AS scheme,
+      |         lower(regexp_extract(nofrag, '^[^:]+://([^/?]*).*', 1)) AS auth0,
+      |         regexp_extract(nofrag, '^[^:]+://[^/?]*(.*)', 1) AS rest
+      |       FROM s1),
+      |s3 AS (SELECT *, regexp_replace(auth0, '^www\.', '') AS auth1 FROM s2),
+      |s4 AS (SELECT *,
+      |         CASE WHEN scheme = 'http' THEN regexp_replace(auth1, ':80$', '')
+      |              WHEN scheme = 'https' THEN regexp_replace(auth1, ':443$', '')
+      |              ELSE auth1 END AS host,
+      |         regexp_extract(rest, '^([^?]*)', 1) AS path0,
+      |         regexp_extract(rest, '\?(.*)$', 1) AS query
+      |       FROM s3),
+      |s5 AS (SELECT *,
+      |         CASE WHEN len(path0) > 1 THEN regexp_replace(path0, '/$', '')
+      |              ELSE path0 END AS path,
+      |         array_to_string(list_sort(list_filter(string_split(query, '&'),
+      |           p -> p != '' AND NOT regexp_matches(p,
+      |             '^(utm_[^=]*|gclid|fbclid)(=|$)'))), '&') AS joined
+      |       FROM s4)
+      |SELECT doc_id, url,
+      |       CASE WHEN scheme = '' THEN url
+      |            ELSE scheme || '://' || host || path ||
+      |                 CASE WHEN len(joined) > 0 THEN '?' || joined
+      |                      ELSE '' END END AS canon
+      |FROM s5 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val raw = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("HTTPS://WWW.Example"), col("doc_id") % 7,
+          lit(".com:443/Path"), col("doc_id") % 5,
+          lit("/?utm_source=x&b=2&a=1&fbclid=z#frag")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("http://Site"), col("doc_id") % 7, lit(".org:80/a")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("http://site"), col("doc_id") % 7,
+            lit(".org:8080/a?z=1&y=2")))
+        .otherwise(concat(lit("not a url "), col("doc_id"))).as("url"))
+    raw.select(col("doc_id"), col("url"),
+        TextAnalysis.canonicalizeUrl(col("url")).as("canon"))
+      .orderBy("doc_id")
+  }
+
   // Character-entropy quality signal: gibberish and encoded blobs sit
   // outside natural text's entropy band. Order-free fixed-point term
   // summation (floor(p·ln p·1e9 + 0.5) integer sums) makes the value

@@ -632,6 +632,39 @@ object TextAnalysis {
   def extractUrls(text: Column): Column =
     regexp_extract_all(text, lit(urlPattern), lit(0))
 
+  /** Canonical URL for dedup keys — the normalization every web-corpus
+    * pipeline applies before URL-level dedup/frontier accounting, as one
+    * scan-side Column expression (regex + array ops; RE2-compatible
+    * patterns, so a SQL oracle reproduces it):
+    *   1. fragment dropped;  2. scheme and host lowered;
+    *   3. leading `www.` stripped;  4. the scheme's default port
+    *   stripped (http:80 / https:443);  5. tracking params removed
+    *   (utm_*, gclid, fbclid);  6. surviving query params SORTED (byte
+    *   order);  7. trailing path slash stripped (root kept as-is).
+    * Non-URL input (no scheme://authority) passes through unchanged —
+    * canonicalization is total, never destructive on garbage. */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag,
+      "^([a-zA-Z][a-zA-Z0-9+.-]*)://.*$", 1))
+    val auth0 = lower(regexp_extract(noFrag, "^[^:]+://([^/?]*).*", 1))
+    val auth1 = regexp_replace(auth0, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(auth1, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth1, ":443$", ""))
+      .otherwise(auth1)
+    val rest = regexp_extract(noFrag, "^[^:]+://[^/?]*(.*)", 1)
+    val path0 = regexp_extract(rest, "^([^?]*)", 1)
+    val path = when(length(path0) > 1, regexp_replace(path0, "/$", ""))
+      .otherwise(path0)
+    val query = regexp_extract(rest, "\\?(.*)$", 1)
+    val params = array_sort(filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid)(=|$)")))
+    val joined = array_join(params, "&")
+    when(scheme === "", u).otherwise(
+      concat(scheme, lit("://"), host, path,
+        when(length(joined) > 0, concat(lit("?"), joined)).otherwise(lit(""))))
+  }
+
   /** Per-domain reference counts across the corpus — the blocklist /
     * source-mix audit table of a web-scrape pipeline. One pre-aggregated
     * shuffle, same shape as [[vocabularyTopK]]. */

@@ -248,6 +248,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs.forall(p => p._1 == 0L || p._2 <= 15L))
   }
 
+  test("url canonicalization: all rules fire; garbage passes through") {
+    def canon(s: String): String = Seq(s).toDF("u")
+      .select(TextAnalysis.canonicalizeUrl(col("u"))).collect()(0).getString(0)
+    assert(canon("HTTPS://WWW.Ex.COM:443/A/?b=2&utm_x=1&a=1#f") ==
+      "https://ex.com/A?a=1&b=2")
+    assert(canon("http://ex.com:8080/") == "http://ex.com:8080/")
+    assert(canon("http://ex.com:80/x/y/") == "http://ex.com/x/y")
+    assert(canon("https://ex.com") == "https://ex.com")
+    assert(canon("ftp://Ex.com:443/z") == "ftp://ex.com:443/z") // not https's port
+    assert(canon("plain words") == "plain words")
+    // canonical forms COLLIDE where they should: dedup-key property
+    assert(canon("http://WWW.a.com/p?x=1&y=2") == canon("http://a.com:80/p/?y=2&x=1&gclid=g"))
+  }
+
   test("char entropy: repetitive filler scores low, varied text high, empty is 0") {
     val docsIn = Seq(
       (1L, "aaaaaaaaaaaaaaaa"),       // one class -> entropy 0
