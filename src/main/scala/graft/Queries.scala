@@ -5473,6 +5473,72 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // URL-keyed dedup — canonicalize, group, keep the smallest doc_id: the
+  // first dedup tier of every web-corpus pipeline (crawls re-fetch the
+  // same page under www/port/tracking-param/fragment noise). The
+  // construction plants exactly that noise: doc_id % 50 picks the true
+  // page, doc_id % 4 the noise variant, so each canonical key collapses
+  // ~10 fetches to one keeper. Hash oracle over (doc_id, canon, keep).
+  register(
+    "d19_url_dedup",
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN 'https://www.site' || (doc_id % 50) || '.com/page/'
+      |      WHEN 1 THEN 'HTTPS://Site' || (doc_id % 50) || '.com:443/page'
+      |      WHEN 2 THEN 'https://site' || (doc_id % 50) || '.com/page?utm_k=9'
+      |      ELSE 'https://site' || (doc_id % 50) || '.com/page#sec2' END AS url
+      |  FROM documents),
+      |s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag
+      |       FROM raw),
+      |s2 AS (SELECT *,
+      |         lower(regexp_extract(nofrag,
+      |           '^([a-zA-Z][a-zA-Z0-9+.-]*)://.*$', 1)) AS scheme,
+      |         lower(regexp_extract(nofrag, '^[^:]+://([^/?]*).*', 1)) AS auth0,
+      |         regexp_extract(nofrag, '^[^:]+://[^/?]*(.*)', 1) AS rest
+      |       FROM s1),
+      |s3 AS (SELECT *, regexp_replace(auth0, '^www\.', '') AS auth1 FROM s2),
+      |s4 AS (SELECT *,
+      |         CASE WHEN scheme = 'http' THEN regexp_replace(auth1, ':80$', '')
+      |              WHEN scheme = 'https' THEN regexp_replace(auth1, ':443$', '')
+      |              ELSE auth1 END AS host,
+      |         regexp_extract(rest, '^([^?]*)', 1) AS path0,
+      |         regexp_extract(rest, '\?(.*)$', 1) AS query
+      |       FROM s3),
+      |s5 AS (SELECT *,
+      |         CASE WHEN len(path0) > 1 THEN regexp_replace(path0, '/$', '')
+      |              ELSE path0 END AS path,
+      |         array_to_string(list_sort(list_filter(string_split(query, '&'),
+      |           p -> p != '' AND NOT regexp_matches(p,
+      |             '^(utm_[^=]*|gclid|fbclid)(=|$)'))), '&') AS joined
+      |       FROM s4),
+      |c AS (SELECT doc_id,
+      |        CASE WHEN scheme = '' THEN url
+      |             ELSE scheme || '://' || host || path ||
+      |                  CASE WHEN len(joined) > 0 THEN '?' || joined
+      |                       ELSE '' END END AS canon
+      |      FROM s5)
+      |SELECT doc_id, canon,
+      |       doc_id = min(doc_id) OVER (PARTITION BY canon) AS keep
+      |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val raw = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("https://www.site"), col("doc_id") % 50, lit(".com/page/")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("HTTPS://Site"), col("doc_id") % 50, lit(".com:443/page")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://site"), col("doc_id") % 50,
+            lit(".com/page?utm_k=9")))
+        .otherwise(concat(lit("https://site"), col("doc_id") % 50,
+          lit(".com/page#sec2"))).as("url"))
+    val canon = raw.select(col("doc_id"),
+      TextAnalysis.canonicalizeUrl(col("url")).as("canon"))
+    canon.withColumn("keep",
+        col("doc_id") === min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("canon")))
+      .orderBy("doc_id")
+  }
+
   // Character-entropy quality signal: gibberish and encoded blobs sit
   // outside natural text's entropy band. Order-free fixed-point term
   // summation (floor(p·ln p·1e9 + 0.5) integer sums) makes the value

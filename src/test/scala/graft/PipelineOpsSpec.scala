@@ -262,6 +262,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(canon("http://WWW.a.com/p?x=1&y=2") == canon("http://a.com:80/p/?y=2&x=1&gclid=g"))
   }
 
+  test("url canonicalization is idempotent over randomized urls") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val urlGen = for {
+      scheme <- Gen.oneOf("http", "HTTPS", "ftp")
+      www <- Gen.oneOf("", "www.", "WWW.")
+      host <- Gen.oneOf("Ex.com", "a.b.ORG", "x.io")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/", "/A/b", "/A/b/", "/p.html")
+      q <- Gen.oneOf("", "?b=2&a=1", "?utm_s=1", "?z=1&utm_x=2&y=3&gclid=g")
+      frag <- Gen.oneOf("", "#f", "#x/y?z")
+    } yield s"$scheme://$www$host$port$path$q$frag"
+    val params = Gen.Parameters.default
+    val urls = (1 to 60).map(i => urlGen.pureApply(params, Seed(i.toLong))) :+
+      "not a url" :+ ""
+    val once = urls.toDF("u")
+      .select(col("u"), TextAnalysis.canonicalizeUrl(col("u")).as("c1"))
+    val twice = once.select(col("u"), col("c1"),
+        TextAnalysis.canonicalizeUrl(col("c1")).as("c2"))
+      .collect()
+    twice.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"not idempotent: ${r.getString(0)} -> ${r.getString(1)} -> ${r.getString(2)}")
+    }
+  }
+
   test("char entropy: repetitive filler scores low, varied text high, empty is 0") {
     val docsIn = Seq(
       (1L, "aaaaaaaaaaaaaaaa"),       // one class -> entropy 0
