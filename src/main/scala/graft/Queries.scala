@@ -5411,6 +5411,47 @@ object Queries {
       .orderBy("n_vocab")
   }
 
+  // Dialogue-format validation (instruction-data QA): events per user
+  // read as a conversation, event types mapped to roles; a transcript is
+  // training-grade only if roles strictly alternate, the user opens and
+  // the assistant closes. On this synthetic stream most conversations
+  // honestly FAIL (random role sequences repeat) — the gate's job is
+  // exactly that filtering. One conversation-key exchange serves all
+  // three windows; exact integers + total turn order -> hash oracle.
+  register(
+    "t53_dialogue_validate",
+    """WITH r AS (
+      |  SELECT user_id AS conv_id,
+      |         CASE WHEN event_type IN ('purchase', 'signup') THEN 'user'
+      |              ELSE 'assistant' END AS role,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY epoch_us(ts), event_id) AS rn,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY epoch_us(ts) DESC, event_id DESC)
+      |           AS rnd,
+      |         lag(CASE WHEN event_type IN ('purchase', 'signup') THEN 'user'
+      |                  ELSE 'assistant' END)
+      |           OVER (PARTITION BY user_id
+      |                 ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events)
+      |SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+      |       CAST(sum(CASE WHEN prev = role THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_repeats,
+      |       max(CASE WHEN rn = 1 THEN role END) = 'user' AS starts_user,
+      |       max(CASE WHEN rnd = 1 THEN role END) = 'assistant'
+      |         AS ends_assistant,
+      |       (sum(CASE WHEN prev = role THEN 1 ELSE 0 END) = 0
+      |        AND max(CASE WHEN rn = 1 THEN role END) = 'user'
+      |        AND max(CASE WHEN rnd = 1 THEN role END) = 'assistant') AS valid
+      |FROM r GROUP BY conv_id ORDER BY conv_id""".stripMargin) { (s, dir) =>
+    graft.operators.Behavior.validateDialogues(t(s, dir, "events"),
+        "user_id", "ts",
+        when(col("event_type").isin("purchase", "signup"), "user")
+          .otherwise("assistant"),
+        "event_id")
+      .orderBy("conv_id")
+  }
+
   // URL canonicalization — the dedup-key normalizer of web-corpus
   // pipelines. One synthetic URL per doc cycles through the adversarial
   // branches (default port + www + tracking params + unsorted query +

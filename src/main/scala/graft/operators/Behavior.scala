@@ -80,6 +80,45 @@ object Behavior {
     * engine-identical.
     *
     * Returns (prev_type, next_type, n, p) ordered by (prev, next). */
+  /** Chat-transcript FORMAT validation — the instruction-data QA gate:
+    * a multi-turn dialogue ships to training only if roles strictly
+    * alternate, the conversation opens with the user and closes with the
+    * assistant. `roleCol` must evaluate to 'user'/'assistant' per turn;
+    * turns order by (tsCol, tieCol) — the tie column (an event/turn id)
+    * makes the ordering total, so verdicts are engine-exact.
+    *
+    * Scale shape: ONE hash exchange on the conversation key serves all
+    * three windows (lag + first-rank + last-rank — same partitioning,
+    * the SCD2 shared-exchange pattern), then one pre-combined agg;
+    * per-conversation partitions are turn-count-bounded. Returns
+    * (conv_id, n_turns, n_repeats, starts_user, ends_assistant,
+    * valid). */
+  def validateDialogues(events: DataFrame, convCol: String, tsCol: String,
+      roleCol: Column, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAsc = Window.partitionBy(col("conv_id"))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val wDesc = Window.partitionBy(col("conv_id"))
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    events
+      .select(col(convCol).as("conv_id"), col(tsCol), col(tieCol),
+        roleCol.as("__role"))
+      .withColumn("__prev", lag(col("__role"), 1).over(wAsc))
+      .withColumn("__rn", row_number().over(wAsc))
+      .withColumn("__rnd", row_number().over(wDesc))
+      .groupBy("conv_id")
+      .agg(count(lit(1)).as("n_turns"),
+        sum(when(col("__prev") === col("__role"), 1).otherwise(0))
+          .cast("long").as("n_repeats"),
+        max(when(col("__rn") === 1, col("__role"))).as("__first"),
+        max(when(col("__rnd") === 1, col("__role"))).as("__last"))
+      .select(col("conv_id"), col("n_turns"), col("n_repeats"),
+        (col("__first") === "user").as("starts_user"),
+        (col("__last") === "assistant").as("ends_assistant"),
+        (col("n_repeats") === 0 && col("__first") === "user" &&
+          col("__last") === "assistant").as("valid"))
+  }
+
   def markovTransitions(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

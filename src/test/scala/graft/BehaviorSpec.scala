@@ -76,4 +76,25 @@ class BehaviorSpec extends AnyFunSuite {
       (w0, 1L) -> 1L, (w0 + 1L, 1L) -> 1L,
       (w0, 3L) -> 1L))
   }
+
+  test("dialogue validation: alternation, opening and closing roles") {
+    import org.apache.spark.sql.functions._
+    // conv 1: user/asst/user/asst — valid. conv 2: double user turn.
+    // conv 3: opens with assistant. conv 4: ends on the user.
+    val ev = Seq(
+      (1L, 1L, "u"), (1L, 2L, "a"), (1L, 3L, "u"), (1L, 4L, "a"),
+      (2L, 1L, "u"), (2L, 2L, "u"), (2L, 3L, "a"),
+      (3L, 1L, "a"), (3L, 2L, "u"), (3L, 3L, "a"),
+      (4L, 1L, "u"), (4L, 2L, "a"), (4L, 3L, "u"))
+      .toDF("conv", "seq", "r")
+      .withColumn("ts", col("seq").cast("timestamp"))
+    val out = graft.operators.Behavior.validateDialogues(ev, "conv", "ts",
+        when(col("r") === "u", "user").otherwise("assistant"), "seq")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2),
+        x.getBoolean(3), x.getBoolean(4), x.getBoolean(5))).toMap
+    assert(out(1L) == ((4L, 0L, true, true, true)), s"valid conv: ${out(1L)}")
+    assert(out(2L) == ((3L, 1L, true, true, false)), s"repeat: ${out(2L)}")
+    assert(out(3L) == ((3L, 0L, false, true, false)), s"opens wrong: ${out(3L)}")
+    assert(out(4L) == ((3L, 0L, true, false, false)), s"ends wrong: ${out(4L)}")
+  }
 }

@@ -262,6 +262,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(canon("http://WWW.a.com/p?x=1&y=2") == canon("http://a.com:80/p/?y=2&x=1&gclid=g"))
   }
 
+  test("randomized invariants: containment dominates jaccard; coverage is monotone; decon threshold is monotone") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val params = Gen.Parameters.default
+    // C(A->B) >= J(A,B) for every pair (|A| <= |A∪B|), equality iff A ⊆ B
+    val textGen = for {
+      n <- Gen.choose(1, 10)
+      ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e"))
+    } yield ws.mkString(" ")
+    val pairs = (1 to 25).map(i => (
+      textGen.pureApply(params, Seed(i.toLong)),
+      textGen.pureApply(params, Seed(1000L + i))))
+    val rows = pairs.toDF("ta", "tb").select(
+      Dedup.containment(Dedup.wordShingles(col("ta"), 2),
+        Dedup.wordShingles(col("tb"), 2)).as("c"),
+      Dedup.jaccard(Dedup.wordShingles(col("ta"), 2),
+        Dedup.wordShingles(col("tb"), 2)).as("j")).collect()
+    rows.foreach(r => assert(r.getDouble(0) >= r.getDouble(1) - 1e-12,
+      s"containment must dominate jaccard: $r"))
+    // vocabCoverage is monotone non-decreasing in N and capped at 1
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cov = TextAnalysis.vocabCoverage(docs, "text", Seq(5, 50, 500, 5000))
+      .orderBy("n_vocab").collect().map(_.getDouble(3))
+    assert(cov.sameElements(cov.sorted) && cov.last <= 1.0,
+      s"coverage must be monotone: ${cov.toSeq}")
+    // semanticDecontaminate: raising the threshold can only ADD keeps
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bench = e.where(col("vec_id") < 5).select(col("embedding"))
+    def keeps(th: Double) = Dedup.semanticDecontaminate(e, bench, "vec_id",
+        "embedding", "embedding", th)
+      .where(col("keep")).select("vec_id").collect().map(_.getLong(0)).toSet
+    val strict = keeps(0.3)
+    val loose = keeps(0.9)
+    assert(strict.subsetOf(loose),
+      s"threshold monotonicity violated: ${strict.size} !<= ${loose.size}")
+  }
+
   test("url canonicalization is idempotent over randomized urls") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

@@ -674,6 +674,13 @@ class PlanSpec extends AnyFunSuite {
     assert(pl.contains("BroadcastHashJoin") || pl.contains("SortMergeJoin"),
       "lshTopK: bucket equi-join missing")
     assert(!pl.contains("UDF"), "lshTopK: UDF in plan")
+    // dialogue validation: the lag window and both rank windows share
+    // ONE conversation-key hash exchange (the scd2 pattern), plus only
+    // the agg's partial/final pair and the presentation sort
+    val pdv = plan("t53_dialogue_validate")
+    assert(pdv.split("Exchange hashpartitioning").length - 1 <= 2,
+      "dialogue validate: windows must reuse the conversation exchange")
+    assert(!pdv.contains("UDF"), "dialogue validate: UDF in plan")
     // surgical decontamination: gram text never crosses an exchange
     // (md5 keys only), and no quadratic join appears — the snippet side
     // is an equi-join on the hash
