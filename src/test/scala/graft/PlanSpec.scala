@@ -674,6 +674,13 @@ class PlanSpec extends AnyFunSuite {
     assert(pl.contains("BroadcastHashJoin") || pl.contains("SortMergeJoin"),
       "lshTopK: bucket equi-join missing")
     assert(!pl.contains("UDF"), "lshTopK: UDF in plan")
+    // vocab coverage: the top-k cut is the DISTRIBUTED TakeOrdered
+    // operator, so the single-partition rank/cumsum windows above it see
+    // only the <= max(sizes) survivors, never the full vocabulary
+    val pvc = plan("t46_vocab_coverage")
+    assert(pvc.contains("TakeOrderedAndProject"),
+      "vocab coverage: distributed top-k cut missing (global-window trap)")
+    assert(!pvc.contains("UDF"), "vocab coverage: UDF in plan")
     // dialogue validation: the lag window and both rank windows share
     // ONE conversation-key hash exchange (the scd2 pattern), plus only
     // the agg's partial/final pair and the presentation sort
