@@ -614,7 +614,12 @@ object Similarity {
     * 100× the corpus — candidate cost per query grows linearly and the
     * probes stop discriminating. When None the guard is skipped so this
     * stays a pure plan-builder (one limit(1) dimension probe aside — the
-    * [[Dedup.embeddingStagesBanded]] literal-matrix fast path). */
+    * [[Dedup.embeddingStagesBanded]] literal-matrix fast path).
+    *
+    * The QUERY side (probes + vectors-with-norms) broadcasts — correct for
+    * the serving contract where |Q| ≪ corpus. For corpus-×-corpus jobs
+    * (all-pairs mining) use [[Dedup.embeddingNearDupsBanded]], whose
+    * bucket SELF-join never broadcasts either side. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       bands: Int = 8, planesPerBand: Int = 6,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
