@@ -22,9 +22,14 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "q_id", queryVec: String = "q_vec"): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(queries))
+    // norms precomputed per side (r12): each pair pays ONE dot kernel,
+    // bit-identical to the inlined Dedup.cosine it replaced
+    val c = corpus.withColumn("__cn", Dedup.vecNorm(col(corpusVec)))
+    val q = queries.withColumn("__qn", Dedup.vecNorm(col(queryVec)))
+    val joined = c.crossJoin(broadcast(q))
       .where(col(corpusId) =!= col(queryId))
-      .withColumn("cos", Dedup.cosine(col(corpusVec), col(queryVec)))
+      .withColumn("cos", Dedup.cosineFromNorms(col(corpusVec), col(queryVec),
+        col("__cn"), col("__qn")))
     val w = Window.partitionBy(col(queryId))
       .orderBy(round(col("cos"), 6).desc, col(corpusId).asc)
     joined.withColumn("rank", row_number().over(w))
@@ -732,8 +737,14 @@ object Similarity {
   private def crossTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       corpusId: String, corpusVec: String,
       queryId: String, queryVec: String): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(queries))
-      .withColumn("cos", Dedup.cosine(col(corpusVec), col(queryVec)))
+    // norms are per-vector quantities: compute once per side, so each of
+    // the |corpus|·|queries| pairs costs ONE dot kernel instead of three
+    // (bit-identical to Dedup.cosine, which is cosineFromNorms inlined)
+    val c = corpus.withColumn("__cn", Dedup.vecNorm(col(corpusVec)))
+    val q = queries.withColumn("__qn", Dedup.vecNorm(col(queryVec)))
+    val joined = c.crossJoin(broadcast(q))
+      .withColumn("cos", Dedup.cosineFromNorms(col(corpusVec), col(queryVec),
+        col("__cn"), col("__qn")))
     val w = Window.partitionBy(col(queryId))
       .orderBy(round(col("cos"), 6).desc, col(corpusId).asc)
     joined.withColumn("rank", row_number().over(w))
