@@ -3990,6 +3990,70 @@ object Queries {
       .orderBy("q_id")
   }
 
+  // MMR diversity re-ranking over each query's exact top-8 shortlist:
+  // pick 3 of 8 maximizing 0.7·relevance − 0.3·max-cos-to-picked — the
+  // serving-side diversification of the retrieval chain. The oracle
+  // unrolls all 3 greedy rounds as CTEs with the operator's exact score
+  // rounding, coefficient literals (0.7/0.3 derived from integer
+  // percents on the Spark side so both engines parse the same doubles),
+  // max-sim fold, and (score desc, cand asc) tie-break.
+  register(
+    "ann_mmr_rerank",
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+      |           WHERE vec_id < 3),
+      |sc AS (SELECT q.q_id, c.vec_id AS cid,
+      |              round(list_cosine_similarity(c.embedding::DOUBLE[],
+      |                                           q.qv::DOUBLE[]), 6) AS rel,
+      |              c.embedding AS cv
+      |       FROM embeddings c CROSS JOIN q WHERE c.vec_id != q.q_id),
+      |cand AS (SELECT q_id, cid, rel, cv FROM (
+      |           SELECT *, row_number() OVER (PARTITION BY q_id
+      |                      ORDER BY rel DESC, cid ASC) AS rn FROM sc)
+      |         WHERE rn <= 8),
+      |s1 AS (SELECT q_id, cid, rel, cv,
+      |              floor((0.7 * rel - 0.3 * 0.0) * 1000000 + 0.5) / 1000000.0
+      |                AS score FROM cand),
+      |p1 AS (SELECT q_id, cid, score, cv FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY q_id
+      |                    ORDER BY score DESC, cid ASC) AS rn FROM s1)
+      |       WHERE rn = 1),
+      |st2 AS (SELECT c.q_id, c.cid, c.rel, c.cv,
+      |               greatest(0.0, round(list_cosine_similarity(
+      |                 c.cv::DOUBLE[], p1.cv::DOUBLE[]), 6)) AS maxsim
+      |        FROM cand c JOIN p1 ON p1.q_id = c.q_id AND c.cid != p1.cid),
+      |s2 AS (SELECT q_id, cid, rel, cv, maxsim,
+      |              floor((0.7 * rel - 0.3 * maxsim) * 1000000 + 0.5) / 1000000.0
+      |                AS score FROM st2),
+      |p2 AS (SELECT q_id, cid, score, cv FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY q_id
+      |                    ORDER BY score DESC, cid ASC) AS rn FROM s2)
+      |       WHERE rn = 1),
+      |st3 AS (SELECT c.q_id, c.cid, c.rel, c.cv,
+      |               greatest(c.maxsim, round(list_cosine_similarity(
+      |                 c.cv::DOUBLE[], p2.cv::DOUBLE[]), 6)) AS maxsim
+      |        FROM s2 c JOIN p2 ON p2.q_id = c.q_id AND c.cid != p2.cid),
+      |s3 AS (SELECT q_id, cid, rel, cv, maxsim,
+      |              floor((0.7 * rel - 0.3 * maxsim) * 1000000 + 0.5) / 1000000.0
+      |                AS score FROM st3),
+      |p3 AS (SELECT q_id, cid, score FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY q_id
+      |                    ORDER BY score DESC, cid ASC) AS rn FROM s3)
+      |       WHERE rn = 1)
+      |SELECT q_id, CAST(1 AS BIGINT) AS rank, cid AS cand_id, score FROM p1
+      |UNION ALL SELECT q_id, 2, cid, score FROM p2
+      |UNION ALL SELECT q_id, 3, cid, score FROM p3
+      |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val queries = e.where(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val shortlist = Similarity.bruteForceTopK(e, queries, k = 8)
+    val cands = shortlist.join(
+      e.select(col("vec_id").as("neighbor_id"), col("embedding")),
+      "neighbor_id")
+    Similarity.mmrRerank(cands, k = 3, lambdaPct = 70)
+      .orderBy("q_id", "rank")
+  }
+
   // Embedding covariance matrix (the PCA/whitening/OPQ training
   // statistic): ONE corpus pass through the vec_moments
   // TypedImperativeAggregate — fixed-size [n, Σx, upper-tri Σxy] buffers

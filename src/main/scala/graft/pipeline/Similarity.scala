@@ -821,6 +821,71 @@ object Similarity {
       .select(col("x_id"), col("y_id"), col("cos"), col("margin"))
   }
 
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+    * diversity re-ranking — the serving-side counterpart of
+    * [[kCenterSelect]]: from each query's candidate shortlist (an ANN /
+    * BM25 rerank window), greedily pick k items maximizing
+    * `λ·relevance − (1−λ)·max-cosine-to-already-picked` — relevant
+    * results that aren't near-duplicates of each other (search result
+    * diversification, RAG context packing, eval-set sampling per query).
+    *
+    * Determinism: relevance arrives 6-dp rounded (any kNN op here emits
+    * that); each round's score and the running max-similarity fold are
+    * fixed-shape 6-dp-rounded expressions; argmax ties break to the
+    * smallest candidate id — a SQL oracle unrolls the rounds exactly.
+    *
+    * Scale shape — ALL queries progress in parallel, unlike the
+    * single-loop kCenter: state is the (q_id, cand, rel, vec, maxsim)
+    * table (|Q| × window rows, window human-bounded); each of the k
+    * rounds is one pre-combined per-query argmax (min-of-struct — no
+    * window, no sort), one broadcast-join of the |Q| selected rows back
+    * for the max-sim fold, and an anti-join dropping the picks;
+    * `localCheckpoint` per round keeps lineage flat. No driver actions
+    * in the loop at all. Returns (q_id, rank, cand_id, score). */
+  def mmrRerank(candidates: DataFrame, k: Int, lambdaPct: Int = 70,
+      qIdCol: String = "q_id", candIdCol: String = "neighbor_id",
+      relCol: String = "cos", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"mmrRerank needs k >= 1, got $k")
+    require(lambdaPct >= 0 && lambdaPct <= 100, "lambdaPct in [0, 100]")
+    // both coefficients parse as their own shortest decimal literal
+    // (1.0 − 0.7 is 0.30000000000000004, NOT the 0.3 a SQL oracle
+    // writes — derive 0.3 from the integer percent instead)
+    val lam = lambdaPct / 100.0
+    val oneMinusLam = (100 - lambdaPct) / 100.0
+    var state = candidates.select(col(qIdCol).as("q_id"),
+        col(candIdCol).as("cand_id"), col(relCol).as("rel"),
+        col(vecCol).as("v"), lit(0.0).as("maxsim"))
+      .localCheckpoint()
+    val rounds = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    for (r <- 1 to k) {
+      // floor(x·10⁶ + 0.5)/10⁶ instead of round(x, 6): round()'s internal
+      // algorithm differs across engines exactly at the half-boundary a
+      // λ-scaled product can land on; the floor formulation is the same
+      // IEEE ops everywhere (the money-in-cents move)
+      val score = floor((lit(lam) * col("rel") -
+        lit(oneMinusLam) * col("maxsim")) * 1000000.0 + 0.5) / 1000000.0
+      val sel = state
+        .select(col("q_id"), struct((-score).as("ns"), col("cand_id").as("c"),
+          score.as("s"), col("v").as("sv")).as("__pick"))
+        .groupBy("q_id").agg(min(col("__pick")).as("__pick"))
+        .select(col("q_id"), col("__pick.c").as("cand_id"),
+          col("__pick.s").as("score"), col("__pick.sv").as("__sv"))
+        .localCheckpoint()
+      rounds += sel.select(col("q_id"), lit(r.toLong).as("rank"),
+        col("cand_id"), col("score"))
+      if (r < k) {
+        state = state.join(broadcast(sel.select(col("q_id"),
+            col("cand_id").as("__selc"), col("__sv"))), Seq("q_id"))
+          .where(col("cand_id") =!= col("__selc"))
+          .select(col("q_id"), col("cand_id"), col("rel"), col("v"),
+            greatest(col("maxsim"),
+              round(Dedup.cosine(col("v"), col("__sv")), 6)).as("maxsim"))
+          .localCheckpoint()
+      }
+    }
+    rounds.reduce(_ unionAll _)
+  }
+
   /** Greedy k-center (farthest-point, Gonzalez 1985) diverse-subset
     * selection — the coreset/diversity sampler for training-data curation:
     * pick the min-id point, then k−1 times the UNCHOSEN point FARTHEST

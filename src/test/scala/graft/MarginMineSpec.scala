@@ -60,6 +60,34 @@ class MarginMineSpec extends AnyFunSuite {
       s"approx path recovered ${approx.intersect(exact).size}/${exact.size}")
   }
 
+  test("mmr rerank: skips the near-duplicate plain top-k would take") {
+    import org.apache.spark.sql.functions.{col, lit, round}
+    // query along +x; candidates: 11 and 12 nearly identical high-rel
+    // vectors (12 pays a ~full max-sim penalty after 11 is picked), 13
+    // barely relevant but nearly orthogonal. Plain top-2 = {11, 12}; a
+    // diversity-weighted lambda must pick 11 then JUMP to 13 (the dup's
+    // penalty 0.7·1.0 dwarfs 13's relevance gap at lambda = 0.3).
+    val cands = Seq(
+      (11L, Array(1.0f, 0.02f)), (12L, Array(1.0f, 0.03f)),
+      (13L, Array(0.1f, 0.995f)))
+      .toDF("neighbor_id", "embedding")
+      .withColumn("q_id", lit(1L))
+      .withColumn("cos", round(graft.pipeline.Dedup.cosine(
+        col("embedding"), org.apache.spark.sql.functions.array(
+          lit(1.0f), lit(0.0f))), 6))
+    val picks = Similarity.mmrRerank(cands, k = 2, lambdaPct = 30)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(picks.toSeq == Seq((1L, 11L), (2L, 13L)), picks.toSeq)
+    // lambda = 100 degenerates to plain relevance order
+    val plain = Similarity.mmrRerank(cands, k = 2, lambdaPct = 100)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(plain == Seq(11L, 12L), plain)
+    // a query with fewer candidates than k just stops early
+    val short = Similarity.mmrRerank(cands.limit(1), k = 3, lambdaPct = 70)
+      .collect()
+    assert(short.length == 1)
+  }
+
   test("non-positive denominator yields no pair instead of a flipped margin") {
     // every target is anti-aligned with every source: all cosines are
     // negative, so both neighborhood means are negative and the margin
