@@ -2729,7 +2729,7 @@ object Queries {
   // multimodal plumbing (documents/embeddings tables)
   // ---------------------------------------------------------------------------
 
-  import graft.pipeline.{Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
+  import graft.pipeline.{Dedup, Multimodal, Preference, Similarity, Sketches, TextAnalysis}
 
   // The composite training-corpus filter — the query a data-curation user
   // actually runs: exact-dedup keep verdict ∧ quality floor ∧ language ∧
@@ -5514,6 +5514,177 @@ object Queries {
           .otherwise("assistant"),
         "event_id")
       .orderBy("conv_id")
+  }
+
+  // Preference-pair format audit (RLHF data QA): chosen/rejected pairs
+  // built from doc pairs, with adversarial branches — every 17th pair
+  // identical (vacuous label), every 23rd an empty chosen side. The
+  // audit is a pure scan-side projection (no shuffle); token counts are
+  // the t1 whitespace definition, the length ratio micro-floors before
+  // the 6 dp emit. Hash oracle over the full audit row.
+  register(
+    "t54_preference_audit",
+    """WITH pairs AS (
+      |  SELECT a.doc_id AS pair_id,
+      |         CASE WHEN a.doc_id % 17 = 0 THEN b.text
+      |              WHEN a.doc_id % 23 = 0 THEN '' ELSE a.text END AS chosen,
+      |         b.text AS rejected
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 25),
+      |tok AS (
+      |  SELECT pair_id, chosen, rejected,
+      |         len(list_filter(string_split_regex(chosen, '\s+'),
+      |             x -> x != '')) AS ct,
+      |         len(list_filter(string_split_regex(rejected, '\s+'),
+      |             x -> x != '')) AS rt
+      |  FROM pairs)
+      |SELECT pair_id,
+      |       CAST(ct AS BIGINT) AS chosen_toks,
+      |       CAST(rt AS BIGINT) AS rejected_toks,
+      |       chosen = rejected AS identical,
+      |       (trim(chosen) = '' OR trim(rejected) = '') AS empty_side,
+      |       ct > rt AS chosen_longer,
+      |       CASE WHEN rt > 0
+      |            THEN floor(ct * 1000000.0 / rt + 0.5) / 1000000.0
+      |       END AS len_ratio,
+      |       (NOT chosen = rejected
+      |        AND NOT (trim(chosen) = '' OR trim(rejected) = '')) AS valid
+      |FROM tok ORDER BY pair_id""".stripMargin) { (s, dir) =>
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val pairs = d.as("a").join(d.as("b"),
+        col("b.doc_id") === col("a.doc_id") + 25)
+      .select(col("a.doc_id").as("pair_id"),
+        when(col("a.doc_id") % 17 === 0, col("b.text"))
+          .when(col("a.doc_id") % 23 === 0, lit(""))
+          .otherwise(col("a.text")).as("chosen"),
+        col("b.text").as("rejected"))
+    Preference.pairAudit(pairs, "pair_id", "chosen", "rejected")
+      .orderBy("pair_id")
+  }
+
+  // Fleiss' kappa (inter-rater agreement): three synthetic raters label
+  // each doc's language, each rater disagreeing on a deterministic 2/5
+  // of (doc, rater) slots (defaulting to 'en') — the labeling-batch
+  // acceptance gate. Every fraction micro-floors BEFORE any cross-row
+  // sum, so the single output row hash-matches exactly.
+  register(
+    "t55_fleiss_kappa",
+    """WITH ratings AS (
+      |  SELECT doc_id AS item,
+      |         CASE WHEN (doc_id * 3 + r) % 5 < 3 THEN lang
+      |              ELSE 'en' END AS label
+      |  FROM documents, (SELECT unnest([0, 1, 2]) AS r)),
+      |counts AS (
+      |  SELECT item, label, count(*) AS c FROM ratings GROUP BY 1, 2),
+      |per_item AS (
+      |  SELECT item, CAST(sum(c) AS BIGINT) AS n,
+      |         CAST(sum(c * c) AS BIGINT) AS s2
+      |  FROM counts GROUP BY 1 HAVING sum(c) >= 2),
+      |items_agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_items,
+      |         CAST(sum(n) AS BIGINT) AS n_ratings,
+      |         CAST(sum(CAST(floor(CAST(s2 - n AS DOUBLE) * 1000000.0 /
+      |           (n * (n - 1)) + 0.5) AS BIGINT)) AS BIGINT) AS po_sum
+      |  FROM per_item),
+      |cat AS (
+      |  SELECT label, CAST(sum(c) AS BIGINT) AS tc FROM counts
+      |  WHERE item IN (SELECT item FROM per_item) GROUP BY 1),
+      |cat_agg AS (
+      |  SELECT CAST(sum(CAST(floor((CAST(tc AS DOUBLE) / t.n_ratings) *
+      |           (CAST(tc AS DOUBLE) / t.n_ratings) * 1000000.0 + 0.5)
+      |           AS BIGINT)) AS BIGINT) AS pe_sum
+      |  FROM cat, items_agg t)
+      |SELECT n_items, n_ratings,
+      |       CAST(floor(CAST(po_sum AS DOUBLE) / n_items + 0.5) AS BIGINT)
+      |         / 1000000.0 AS po,
+      |       pe_sum / 1000000.0 AS pe,
+      |       CASE WHEN pe_sum < 1000000 THEN
+      |         floor(CAST(CAST(floor(CAST(po_sum AS DOUBLE) / n_items + 0.5)
+      |           AS BIGINT) - pe_sum AS DOUBLE) * 1000000.0 /
+      |           (1000000 - pe_sum) + 0.5) / 1000000.0
+      |       END AS kappa
+      |FROM items_agg, cat_agg""".stripMargin) { (s, dir) =>
+    val ratings = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(0), lit(2))).as("r"))
+      .select(col("doc_id"),
+        when((col("doc_id") * 3 + col("r")) % 5 < 3, col("lang"))
+          .otherwise(lit("en")).as("label"))
+    Preference.fleissKappa(ratings, "doc_id", "label")
+  }
+
+  // Bradley–Terry strength ranking from pairwise outcomes: adjacent docs
+  // of different languages "play a match" won by the longer doc, and 3
+  // MM rounds turn the win/match counts into per-language strengths —
+  // the preference-aggregation shape of arena-style policy evals. The
+  // corpus-sized work is one count pass; the k² MM solve runs on micro
+  // longs with per-term floors, unrolled identically in the oracle.
+  register(
+    "t56_bt_rank",
+    """WITH m AS (
+      |  SELECT a.lang AS a, b.lang AS b,
+      |         CASE WHEN a.n_chars >= b.n_chars THEN a.lang
+      |              ELSE b.lang END AS winner
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |  WHERE a.lang <> b.lang),
+      |pc AS (SELECT least(a, b) AS i, greatest(a, b) AS j,
+      |              CAST(count(*) AS BIGINT) AS nij
+      |       FROM m GROUP BY 1, 2),
+      |sym AS (SELECT i AS it, j AS opp, nij FROM pc
+      |        UNION ALL SELECT j, i, nij FROM pc),
+      |wins AS (SELECT winner AS item, CAST(count(*) AS BIGINT) AS wi
+      |         FROM m GROUP BY 1),
+      |items AS (SELECT DISTINCT it AS item FROM sym),
+      |k AS (SELECT CAST(count(*) AS BIGINT) AS n FROM items),
+      |w0 AS (SELECT item, CAST(1000000 AS BIGINT) AS wm FROM items),
+      |d1 AS (SELECT s.it AS item,
+      |         CAST(sum(CAST(floor(CAST(s.nij AS DOUBLE) * 1000000000000.0 /
+      |           (wa.wm + wb.wm) + 0.5) AS BIGINT)) AS BIGINT) AS dm
+      |       FROM sym s JOIN w0 wa ON wa.item = s.it
+      |                  JOIN w0 wb ON wb.item = s.opp GROUP BY 1),
+      |u1 AS (SELECT d1.item,
+      |         CAST(floor(CAST(coalesce(w.wi, 0) AS DOUBLE) *
+      |           1000000000000.0 / d1.dm + 0.5) AS BIGINT) AS wm
+      |       FROM d1 LEFT JOIN wins w ON w.item = d1.item),
+      |w1 AS (SELECT item, CAST(floor(CAST(wm AS DOUBLE) * (SELECT n FROM k)
+      |         * 1000000.0 / (SELECT sum(wm) FROM u1) + 0.5) AS BIGINT) AS wm
+      |       FROM u1),
+      |d2 AS (SELECT s.it AS item,
+      |         CAST(sum(CAST(floor(CAST(s.nij AS DOUBLE) * 1000000000000.0 /
+      |           (wa.wm + wb.wm) + 0.5) AS BIGINT)) AS BIGINT) AS dm
+      |       FROM sym s JOIN w1 wa ON wa.item = s.it
+      |                  JOIN w1 wb ON wb.item = s.opp GROUP BY 1),
+      |u2 AS (SELECT d2.item,
+      |         CAST(floor(CAST(coalesce(w.wi, 0) AS DOUBLE) *
+      |           1000000000000.0 / d2.dm + 0.5) AS BIGINT) AS wm
+      |       FROM d2 LEFT JOIN wins w ON w.item = d2.item),
+      |w2 AS (SELECT item, CAST(floor(CAST(wm AS DOUBLE) * (SELECT n FROM k)
+      |         * 1000000.0 / (SELECT sum(wm) FROM u2) + 0.5) AS BIGINT) AS wm
+      |       FROM u2),
+      |d3 AS (SELECT s.it AS item,
+      |         CAST(sum(CAST(floor(CAST(s.nij AS DOUBLE) * 1000000000000.0 /
+      |           (wa.wm + wb.wm) + 0.5) AS BIGINT)) AS BIGINT) AS dm
+      |       FROM sym s JOIN w2 wa ON wa.item = s.it
+      |                  JOIN w2 wb ON wb.item = s.opp GROUP BY 1),
+      |u3 AS (SELECT d3.item,
+      |         CAST(floor(CAST(coalesce(w.wi, 0) AS DOUBLE) *
+      |           1000000000000.0 / d3.dm + 0.5) AS BIGINT) AS wm
+      |       FROM d3 LEFT JOIN wins w ON w.item = d3.item),
+      |w3 AS (SELECT item, CAST(floor(CAST(wm AS DOUBLE) * (SELECT n FROM k)
+      |         * 1000000.0 / (SELECT sum(wm) FROM u3) + 0.5) AS BIGINT) AS wm
+      |       FROM u3)
+      |SELECT item, wm / 1000000.0 AS w,
+      |       CAST(row_number() OVER (ORDER BY wm DESC, item) AS BIGINT) AS rnk
+      |FROM w3 ORDER BY rnk""".stripMargin) { (s, dir) =>
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val m = d.as("a").join(d.as("b"),
+        col("b.doc_id") === col("a.doc_id") + 1)
+      .where(col("a.lang") =!= col("b.lang"))
+      .select(col("a.lang").as("a"), col("b.lang").as("b"),
+        when(col("a.n_chars") >= col("b.n_chars"), col("a.lang"))
+          .otherwise(col("b.lang")).as("winner"))
+    Preference.btRank(m, "a", "b", "winner", iters = 3)
+      .orderBy("rnk")
   }
 
   // URL canonicalization — the dedup-key normalizer of web-corpus

@@ -1,0 +1,179 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Preference / human-label QA — the RLHF-side counterpart of the
+  * document-quality gates: preference-pair format auditing, inter-rater
+  * agreement (Fleiss' kappa), and Bradley–Terry strength aggregation
+  * from pairwise outcomes. The reference's engine surfaces record-level
+  * validation and scheduled aggregation (streamalert/shared/stats.py
+  * aggregates rule verdicts; rules_engine.py:175 gates records on
+  * predicate verdicts); these operators apply the same gate/aggregate
+  * shapes to labeled training data.
+  *
+  * Determinism: every fraction is lifted to integer micro-units with
+  * `floor(x·10⁶ + 0.5)` (the money-in-cents move — identical IEEE ops
+  * in any engine) BEFORE any cross-row sum, so the only aggregations
+  * are exact integer sums and the results hash-match a SQL oracle
+  * under any partitioning.
+  */
+object Preference {
+
+  /** Per-pair preference-data audit — the format gate a (prompt, chosen,
+    * rejected) pair must clear before it ships to reward-model training,
+    * plus the length fields the corpus-level length-bias audit (verbosity
+    * bias: "chosen is just longer") aggregates.
+    *
+    *  - `identical`: chosen and rejected are byte-equal (the label is
+    *    vacuous); `empty_side`: either side is whitespace-only.
+    *  - `chosen_toks`/`rejected_toks`: whitespace token counts (the
+    *    [[TextAnalysis.tokenCount]] definition, shared with t1).
+    *  - `len_ratio`: chosen/rejected token ratio at 6 dp (micro-floored;
+    *    null when rejected is empty) — `avg(chosen_longer)` over valid
+    *    pairs is the standard verbosity-bias statistic.
+    *
+    * Scale shape: a pure scan-side projection — no join, no shuffle, no
+    * UDF; at 100 TB this is one codegen'd pass. */
+  def pairAudit(pairs: DataFrame, pairId: String, chosenCol: String,
+      rejectedCol: String): DataFrame = {
+    val ct = TextAnalysis.tokenCount(col(chosenCol))
+    val rt = TextAnalysis.tokenCount(col(rejectedCol))
+    pairs.select(
+      col(pairId).as("pair_id"),
+      ct.cast("long").as("chosen_toks"),
+      rt.cast("long").as("rejected_toks"),
+      (col(chosenCol) === col(rejectedCol)).as("identical"),
+      (trim(col(chosenCol)) === "" || trim(col(rejectedCol)) === "")
+        .as("empty_side"),
+      (ct > rt).as("chosen_longer"),
+      when(rt > 0, floor(ct.cast("double") * 1000000.0 / rt + 0.5)
+        / 1000000.0).as("len_ratio"))
+      .withColumn("valid", !col("identical") && !col("empty_side"))
+  }
+
+  /** Fleiss' kappa — chance-corrected inter-rater agreement over a
+    * (item, label) ratings table, the acceptance gate for a human
+    * labeling batch (kappa below threshold → re-adjudicate before the
+    * labels train anything). Items with fewer than 2 ratings carry no
+    * agreement signal and are excluded (their ratings also leave the
+    * category marginals, per the standard formulation).
+    *
+    * Math: per item, `P_i = (Σ_c c_ic² − n_i) / (n_i (n_i − 1))`
+    * micro-floored; `P̄_o` = mean of the per-item micro values;
+    * `P̄_e = Σ_c (total_c / total)²` with each category's square
+    * micro-floored; `kappa = (P̄_o − P̄_e) / (1 − P̄_e)` as one
+    * fixed-shape expression over the micro longs (null when P̄_e = 1 —
+    * a single-category table has undefined kappa).
+    *
+    * Scale shape: one (item, label) pre-combined count, one item-level
+    * re-agg, one label-cardinality agg — shuffles carry counts only,
+    * and the label-marginal side is category-cardinality (human label
+    * sets are small by nature). Returns ONE row
+    * (n_items, n_ratings, po, pe, kappa), 6 dp. */
+  def fleissKappa(ratings: DataFrame, itemCol: String,
+      labelCol: String): DataFrame = {
+    val counts = ratings
+      .groupBy(col(itemCol).as("item"), col(labelCol).as("label"))
+      .agg(count(lit(1)).as("c"))
+    val perItem = counts.groupBy("item")
+      .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("s2"))
+      .where(col("n") >= 2)
+    val itemsAgg = perItem
+      .select(col("n"),
+        floor((col("s2") - col("n")).cast("double") * 1000000.0 /
+          (col("n") * (col("n") - 1)) + 0.5).cast("long").as("pim"))
+      .agg(count(lit(1)).as("n_items"), sum(col("n")).as("n_ratings"),
+        sum(col("pim")).as("po_sum"))
+    // category marginals over qualifying items only (item-cardinality
+    // broadcast semi-join; `counts` is already pre-combined)
+    val catAgg = counts.join(broadcast(perItem.select("item")), Seq("item"),
+        "left_semi")
+      .groupBy("label").agg(sum(col("c")).as("tc"))
+      .crossJoin(broadcast(itemsAgg.select(col("n_ratings").as("__tot"))))
+      .select(floor((col("tc").cast("double") / col("__tot")) *
+        (col("tc").cast("double") / col("__tot")) * 1000000.0 + 0.5)
+        .cast("long").as("pem"))
+      .agg(sum(col("pem")).as("pe_sum"))
+    val pom = floor(col("po_sum").cast("double") / col("n_items") + 0.5)
+      .cast("long")
+    itemsAgg.crossJoin(catAgg).select(
+      col("n_items"), col("n_ratings"),
+      (pom.cast("double") / 1000000.0).as("po"),
+      (col("pe_sum").cast("double") / 1000000.0).as("pe"),
+      when(col("pe_sum") < 1000000L,
+        floor((pom - col("pe_sum")).cast("double") * 1000000.0 /
+          (lit(1000000L) - col("pe_sum")) + 0.5) / 1000000.0).as("kappa"))
+  }
+
+  /** Bradley–Terry strength estimation from pairwise outcomes — the
+    * preference-aggregation step that turns A-vs-B human verdicts into a
+    * per-contestant strength/ranking (policy comparisons, arena-style
+    * evals, annotator-calibration sets). `matches` rows are
+    * (aCol, bCol, winnerCol) with winner ∈ {a, b}; same-contestant rows
+    * are ignored.
+    *
+    * Algorithm: `iters` rounds of the MM update (Hunter, Annals of
+    * Statistics 2004) `w_i ← W_i / Σ_j n_ij/(w_i + w_j)`, renormalized
+    * to mean 1 each round. Weights live as micro-unit longs; each
+    * round's per-opponent terms micro-floor BEFORE summing, so every
+    * cross-row sum is an exact integer sum and the trajectory is
+    * engine-exact (a SQL oracle unrolls the rounds).
+    *
+    * Scale shape: the corpus-sized work is ONE pass — the (i, j) match
+    * count and per-contestant win count aggregations (pre-combined,
+    * count-only shuffles). The contestant set is human-scale by contract
+    * (ranked systems/policies — the reference's per-rule stats table is
+    * the same rule-cardinality shape, rules_engine.py stats), so the MM
+    * solve folds the collected k² counts driver-side, k² longs — the
+    * [[Similarity.kmeansLloyd]] collect-the-centroids pattern. Returns
+    * (item, w, rnk): strength at 6 dp, rank 1 = strongest (ties on
+    * micro-weight break by item). */
+  def btRank(matches: DataFrame, aCol: String, bCol: String,
+      winnerCol: String, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"btRank needs iters >= 1, got $iters")
+    val m = matches
+      .select(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"),
+        col(winnerCol).cast("string").as("winner"))
+      .where(col("a") =!= col("b"))
+    val pairCounts = m
+      .groupBy(least(col("a"), col("b")).as("i"),
+        greatest(col("a"), col("b")).as("j"))
+      .agg(count(lit(1)).as("nij"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val wins = m.groupBy(col("winner")).agg(count(lit(1)).as("wi"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(pairCounts.nonEmpty, "btRank: no valid matches")
+
+    val items = pairCounts.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val nItems = items.length
+    // symmetric opponent view: (it, opp, nij)
+    val sym = pairCounts.flatMap { case (i, j, n) =>
+      Seq((i, j, n), (j, i, n)) }
+    var wm: Map[String, Long] = items.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      // denom per item: micro-floored terms, exact long sum (order-free)
+      val denom = sym.groupBy(_._1).map { case (it, opps) =>
+        it -> opps.map { case (_, opp, nij) =>
+          math.floor(nij.toDouble * 1.0E12 / (wm(it) + wm(opp)) + 0.5).toLong
+        }.sum
+      }
+      val updated = items.map { it =>
+        it -> math.floor(wins.getOrElse(it, 0L).toDouble * 1.0E12 /
+          denom(it) + 0.5).toLong
+      }
+      val s = updated.map(_._2).sum
+      wm = updated.map { case (it, w) =>
+        it -> math.floor(w.toDouble * nItems * 1000000.0 / s + 0.5).toLong
+      }.toMap
+    }
+    val spark = matches.sparkSession
+    import spark.implicits._
+    val ranked = items.map(it => (it, wm(it)))
+      .sortBy { case (it, w) => (-w, it) }
+      .zipWithIndex
+      .map { case ((it, w), idx) => (it, w / 1000000.0, (idx + 1).toLong) }
+    ranked.toSeq.toDF("item", "w", "rnk")
+  }
+}

@@ -728,4 +728,30 @@ class PlanSpec extends AnyFunSuite {
       "bpe encode: UDF in plan")
     assert(pe.contains("HashAggregate"), "bpe rollup must hash-aggregate")
   }
+
+  test("preference QA: audit is projection-only; kappa pre-combines") {
+    import org.apache.spark.sql.functions._
+    // pairAudit over an already-loaded pair frame must plan as a pure
+    // scan-side projection: no Exchange, no UDF — the property that
+    // makes the audit free at corpus scale
+    val pairs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").as("pair_id"), col("text").as("chosen"),
+        reverse(col("text")).as("rejected"))
+    val pa = graft.pipeline.Preference
+      .pairAudit(pairs, "pair_id", "chosen", "rejected")
+      .queryExecution.executedPlan.toString
+    assert(!pa.contains("Exchange"), "pairAudit must not shuffle")
+    assert(!pa.contains("UDF") && !pa.contains("BatchEvalPython"),
+      "pairAudit: UDF in plan")
+    // fleissKappa: the (item, label) count and the item re-agg must both
+    // pre-combine (partial+final HashAggregate pairs — counts cross the
+    // exchange, never raw ratings); the marginal side joins broadcast
+    val pk = plan("t55_fleiss_kappa")
+    assert(pk.split("HashAggregate").length - 1 >= 4,
+      "fleissKappa: expected pre-combined agg pairs")
+    assert(pk.contains("BroadcastExchange") ||
+      pk.contains("BroadcastNestedLoopJoin"),
+      "fleissKappa: marginal/assembly joins must broadcast")
+    assert(!pk.contains("UDF"), "fleissKappa: UDF in plan")
+  }
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Preference
+
+/** Preference-data QA semantics on hand-computed fixtures. */
+class PreferenceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pairAudit: identical/empty/valid flags and micro-floored ratio") {
+    val pairs = Seq(
+      (1L, "a b c", "a b"),     // valid, chosen longer, ratio 1.5
+      (2L, "same text", "same text"), // identical
+      (3L, "  ", "a b"),        // empty chosen side
+      (4L, "a", ""),            // empty rejected: ratio null
+      (5L, "x", "x y z"))       // valid, rejected longer
+      .toDF("pair_id", "chosen", "rejected")
+    val out = Preference.pairAudit(pairs, "pair_id", "chosen", "rejected")
+      .orderBy("pair_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getLong(1) == 3 && byId(1L).getLong(2) == 2)
+    assert(byId(1L).getDouble(6) == 1.5 && byId(1L).getBoolean(7))
+    assert(byId(2L).getBoolean(3) && !byId(2L).getBoolean(7)) // identical
+    assert(byId(3L).getBoolean(4) && !byId(3L).getBoolean(7)) // empty side
+    assert(byId(4L).isNullAt(6) && byId(4L).getBoolean(4))    // no ratio
+    assert(!byId(5L).getBoolean(5) && byId(5L).getBoolean(7)) // not longer
+  }
+
+  test("fleissKappa: perfect per-item agreement across two labels = 1") {
+    // i1 all-x, i2 all-y: Po = 1; marginals 50/50 -> Pe = 0.5; kappa = 1
+    val ratings = Seq((1L, "x"), (1L, "x"), (1L, "x"),
+      (2L, "y"), (2L, "y"), (2L, "y")).toDF("item", "label")
+    val r = Preference.fleissKappa(ratings, "item", "label").collect()(0)
+    assert(r.getLong(0) == 2 && r.getLong(1) == 6)
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 0.5)
+    assert(r.getDouble(4) == 1.0)
+  }
+
+  test("fleissKappa: chance-level agreement = 0; <2-rating items drop") {
+    // i1 {x,x,x} (P=1), i2 {x,y,z} (P=0) -> Po = 0.5; marginals
+    // 4/6,1/6,1/6 -> Pe = 0.5 (micro-floored) -> kappa = 0.
+    // i3 has ONE rating: excluded from items AND marginals.
+    val ratings = Seq((1L, "x"), (1L, "x"), (1L, "x"),
+      (2L, "x"), (2L, "y"), (2L, "z"), (3L, "w")).toDF("item", "label")
+    val r = Preference.fleissKappa(ratings, "item", "label").collect()(0)
+    assert(r.getLong(0) == 2 && r.getLong(1) == 6)
+    assert(r.getDouble(2) == 0.5 && r.getDouble(3) == 0.5)
+    assert(r.getDouble(4) == 0.0)
+  }
+
+  test("fleissKappa: single-category table has undefined kappa (null)") {
+    val ratings = Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "x"))
+      .toDF("item", "label")
+    val r = Preference.fleissKappa(ratings, "item", "label").collect()(0)
+    assert(r.getDouble(3) == 1.0 && r.isNullAt(4))
+  }
+
+  test("btRank: dominance ordering and mean-1 normalization") {
+    // A beats B 2-1, B beats C 2-1, A beats C 2-0: expect A > B > C
+    val m = Seq(("A", "B", "A"), ("A", "B", "A"), ("A", "B", "B"),
+      ("B", "C", "B"), ("B", "C", "B"), ("B", "C", "C"),
+      ("A", "C", "A"), ("A", "C", "A"),
+      ("A", "A", "A")) // same-contestant row: ignored
+      .toDF("a", "b", "winner")
+    val out = Preference.btRank(m, "a", "b", "winner", iters = 3)
+      .orderBy("rnk").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq == Seq("A", "B", "C"))
+    assert(out.map(_._3).toSeq == Seq(1L, 2L, 3L))
+    assert(out(0)._2 > out(1)._2 && out(1)._2 > out(2)._2)
+    // renormalized to mean 1 (within micro-rounding)
+    assert(math.abs(out.map(_._2).sum - 3.0) < 1e-5)
+  }
+
+  test("btRank: deterministic across reruns; empty matches fail loudly") {
+    val m = Seq(("A", "B", "A"), ("B", "C", "C")).toDF("a", "b", "winner")
+    val r1 = Preference.btRank(m, "a", "b", "winner").collect().toSeq
+    val r2 = Preference.btRank(m, "a", "b", "winner").collect().toSeq
+    assert(r1 == r2)
+    val empty = Seq(("A", "A", "A")).toDF("a", "b", "winner")
+    val ex = intercept[IllegalArgumentException] {
+      Preference.btRank(empty, "a", "b", "winner")
+    }
+    assert(ex.getMessage.contains("no valid matches"))
+  }
+}
