@@ -2729,7 +2729,7 @@ object Queries {
   // multimodal plumbing (documents/embeddings tables)
   // ---------------------------------------------------------------------------
 
-  import graft.pipeline.{Dedup, Multimodal, Preference, Similarity, Sketches, TextAnalysis}
+  import graft.pipeline.{Dedup, Eval, Multimodal, Preference, Similarity, Sketches, TextAnalysis}
 
   // The composite training-corpus filter — the query a data-curation user
   // actually runs: exact-dedup keep verdict ∧ quality floor ∧ language ∧
@@ -5685,6 +5685,158 @@ object Queries {
           .otherwise(col("b.lang")).as("winner"))
     Preference.btRank(m, "a", "b", "winner", iters = 3)
       .orderBy("rnk")
+  }
+
+  // ROUGE-2 over lead-extract summaries: candidate = first-25-token
+  // extract (the lead baseline of summarization eval), reference = the
+  // full document; every 13th doc's extract is token-reversed (kills
+  // bigram overlap, keeps unigrams) and every 19th is empty (null-metric
+  // path). Clipped-count P/R/F1 as micro-floored rationals — hash
+  // oracle over the full metric row.
+  register(
+    "t57_rouge2",
+    """WITH w AS (
+      |  SELECT doc_id AS pair_id,
+      |         list_filter(string_split_regex(lower(text), '\s+'),
+      |                     x -> x != '') AS toks
+      |  FROM documents),
+      |p AS (
+      |  SELECT pair_id,
+      |         CASE WHEN pair_id % 19 = 0 THEN []::VARCHAR[]
+      |              WHEN pair_id % 13 = 0 THEN list_reverse(list_slice(toks, 1, 25))
+      |              ELSE list_slice(toks, 1, 25) END AS ct,
+      |         toks AS rt
+      |  FROM w),
+      |cg AS (
+      |  SELECT pair_id, g, count(*) AS cc FROM (
+      |    SELECT pair_id, unnest(list_transform(
+      |      generate_series(1, greatest(len(ct) - 1, 0)),
+      |      i -> ct[i] || ' ' || ct[i+1])) AS g FROM p) GROUP BY 1, 2),
+      |rg AS (
+      |  SELECT pair_id, g, count(*) AS rc FROM (
+      |    SELECT pair_id, unnest(list_transform(
+      |      generate_series(1, greatest(len(rt) - 1, 0)),
+      |      i -> rt[i] || ' ' || rt[i+1])) AS g FROM p) GROUP BY 1, 2),
+      |m AS (
+      |  SELECT c.pair_id, CAST(sum(least(c.cc, r.rc)) AS BIGINT) AS mg
+      |  FROM cg c JOIN rg r ON r.pair_id = c.pair_id AND r.g = c.g
+      |  GROUP BY 1),
+      |agg AS (
+      |  SELECT p.pair_id,
+      |         CAST(greatest(len(ct) - 1, 0) AS BIGINT) AS cand_grams,
+      |         CAST(greatest(len(rt) - 1, 0) AS BIGINT) AS ref_grams,
+      |         coalesce(m.mg, 0) AS match_grams
+      |  FROM p LEFT JOIN m ON m.pair_id = p.pair_id),
+      |micro AS (
+      |  SELECT pair_id, cand_grams, ref_grams, match_grams,
+      |         CASE WHEN cand_grams > 0 THEN CAST(floor(CAST(match_grams AS
+      |           DOUBLE) * 1000000.0 / cand_grams + 0.5) AS BIGINT) END AS pm,
+      |         CASE WHEN ref_grams > 0 THEN CAST(floor(CAST(match_grams AS
+      |           DOUBLE) * 1000000.0 / ref_grams + 0.5) AS BIGINT) END AS rm
+      |  FROM agg)
+      |SELECT pair_id, cand_grams, ref_grams, match_grams,
+      |       pm / 1000000.0 AS rouge_p, rm / 1000000.0 AS rouge_r,
+      |       CASE WHEN pm IS NOT NULL AND rm IS NOT NULL THEN
+      |         CASE WHEN pm + rm > 0 THEN
+      |           floor(CAST(pm * rm * 2 AS DOUBLE) / (pm + rm) + 0.5)
+      |             / 1000000.0
+      |         ELSE 0.0 END END AS rouge_f1
+      |FROM micro ORDER BY pair_id""".stripMargin) { (s, dir) =>
+    val toksCol = TextAnalysis.tokens(lower(col("text")))
+    val p = t(s, dir, "documents")
+      .select(col("doc_id").as("pair_id"), toksCol.as("toks"))
+      .select(col("pair_id"),
+        array_join(
+          when(col("pair_id") % 19 === 0, array().cast("array<string>"))
+            .when(col("pair_id") % 13 === 0, reverse(slice(col("toks"), 1, 25)))
+            .otherwise(slice(col("toks"), 1, 25)), " ").as("cand"),
+        array_join(col("toks"), " ").as("ref"))
+    Eval.rougeN(p, "pair_id", "cand", "ref", n = 2)
+      .orderBy("pair_id")
+  }
+
+  // BLEU-4 with brevity penalty: candidate = first 30 tokens (reversed
+  // for every 11th doc — order destroyed, unigram precision kept),
+  // reference = first 40 tokens, so BP = exp(1 - 40/30) is active on
+  // every full-length pair. "+1" smoothing on orders 2-4; the geometric
+  // mean runs on IEEE-exact sqrt over micro longs in BOTH engines; bp
+  // and bleu are the two round-6 columns (ln/exp precedent of t12/t25).
+  register(
+    "t58_bleu",
+    """WITH w AS (
+      |  SELECT doc_id AS pair_id,
+      |         list_filter(string_split_regex(lower(text), '\s+'),
+      |                     x -> x != '') AS toks
+      |  FROM documents),
+      |p AS (
+      |  SELECT pair_id,
+      |         CASE WHEN pair_id % 11 = 0
+      |              THEN list_reverse(list_slice(toks, 1, 30))
+      |              ELSE list_slice(toks, 1, 30) END AS ct,
+      |         list_slice(toks, 1, 40) AS rt
+      |  FROM w),
+      |n4 AS (SELECT unnest([1, 2, 3, 4]) AS n),
+      |cg AS (
+      |  SELECT pair_id, n, g, count(*) AS cc FROM (
+      |    SELECT pair_id, n, unnest(list_transform(
+      |      generate_series(1, greatest(len(ct) - n + 1, 0)),
+      |      i -> array_to_string(list_slice(ct, i, i + n - 1), ' '))) AS g
+      |    FROM p, n4) GROUP BY 1, 2, 3),
+      |rg AS (
+      |  SELECT pair_id, n, g, count(*) AS rc FROM (
+      |    SELECT pair_id, n, unnest(list_transform(
+      |      generate_series(1, greatest(len(rt) - n + 1, 0)),
+      |      i -> array_to_string(list_slice(rt, i, i + n - 1), ' '))) AS g
+      |    FROM p, n4) GROUP BY 1, 2, 3),
+      |m AS (
+      |  SELECT c.pair_id, c.n, CAST(sum(least(c.cc, r.rc)) AS BIGINT) AS mg
+      |  FROM cg c JOIN rg r ON r.pair_id = c.pair_id AND r.n = c.n
+      |                     AND r.g = c.g
+      |  GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT pair_id, n,
+      |         CAST(greatest(len(ct) - n + 1, 0) AS BIGINT) AS cn,
+      |         CAST(greatest(len(rt) - n + 1, 0) AS BIGINT) AS rn
+      |  FROM p, n4),
+      |pn AS (
+      |  SELECT t.pair_id, t.n, t.cn, t.rn, coalesce(m.mg, 0) AS mg
+      |  FROM tot t LEFT JOIN m ON m.pair_id = t.pair_id AND m.n = t.n),
+      |pm AS (
+      |  SELECT pair_id,
+      |    max(CASE WHEN n = 1 THEN cn END) AS c1,
+      |    max(CASE WHEN n = 1 THEN rn END) AS r1,
+      |    max(CASE WHEN n = 1 THEN CASE WHEN cn > 0 THEN
+      |      CAST(floor(CAST(mg AS DOUBLE) * 1000000.0 / cn + 0.5) AS BIGINT)
+      |      ELSE 0 END END) AS p1m,
+      |    max(CASE WHEN n = 2 THEN CAST(floor(CAST(mg + 1 AS DOUBLE)
+      |      * 1000000.0 / (cn + 1) + 0.5) AS BIGINT) END) AS p2m,
+      |    max(CASE WHEN n = 3 THEN CAST(floor(CAST(mg + 1 AS DOUBLE)
+      |      * 1000000.0 / (cn + 1) + 0.5) AS BIGINT) END) AS p3m,
+      |    max(CASE WHEN n = 4 THEN CAST(floor(CAST(mg + 1 AS DOUBLE)
+      |      * 1000000.0 / (cn + 1) + 0.5) AS BIGINT) END) AS p4m
+      |  FROM pn GROUP BY 1)
+      |SELECT pair_id, c1 AS cand_len, r1 AS ref_len,
+      |       p1m / 1000000.0 AS p1, p2m / 1000000.0 AS p2,
+      |       p3m / 1000000.0 AS p3, p4m / 1000000.0 AS p4,
+      |       round(CASE WHEN c1 = 0 THEN 0.0 WHEN c1 >= r1 THEN 1.0
+      |             ELSE exp(1.0 - CAST(r1 AS DOUBLE) / c1) END, 6) AS bp,
+      |       CASE WHEN c1 > 0 THEN round(
+      |         (CASE WHEN c1 = 0 THEN 0.0 WHEN c1 >= r1 THEN 1.0
+      |               ELSE exp(1.0 - CAST(r1 AS DOUBLE) / c1) END) *
+      |         sqrt(sqrt(CAST(p1m * p2m AS DOUBLE)) *
+      |              sqrt(CAST(p3m * p4m AS DOUBLE))) / 1000000.0, 6)
+      |       ELSE 0.0 END AS bleu
+      |FROM pm ORDER BY pair_id""".stripMargin) { (s, dir) =>
+    val toksCol = TextAnalysis.tokens(lower(col("text")))
+    val p = t(s, dir, "documents")
+      .select(col("doc_id").as("pair_id"), toksCol.as("toks"))
+      .select(col("pair_id"),
+        array_join(
+          when(col("pair_id") % 11 === 0, reverse(slice(col("toks"), 1, 30)))
+            .otherwise(slice(col("toks"), 1, 30)), " ").as("cand"),
+        array_join(slice(col("toks"), 1, 40), " ").as("ref"))
+    Eval.bleu(p, "pair_id", "cand", "ref")
+      .orderBy("pair_id")
   }
 
   // URL canonicalization — the dedup-key normalizer of web-corpus

@@ -1,0 +1,154 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Generation-evaluation metrics at corpus scale — clipped n-gram
+  * overlap (ROUGE-N) and BLEU-4, the scoring pass a model-output QA
+  * pipeline runs over millions of (candidate, reference) pairs. The
+  * reference's engine applies per-record scoring expressions and
+  * aggregates verdicts relationally (streamalert/rules_engine.py:175
+  * record gates; shared/stats.py aggregation); these operators apply
+  * the same shape to text-overlap metrics.
+  *
+  * Determinism contract (shared with [[Preference]]): every ratio is
+  * lifted to integer micro-units with `floor(x·10⁶ + 0.5)` before any
+  * derived arithmetic; the only non-rational steps are IEEE-exact
+  * (`sqrt` is correctly rounded per IEEE 754 in both the JVM and
+  * DuckDB's libm) or 6-dp-rounded (`exp` in the brevity penalty — the
+  * [[TextAnalysis.unigramSurprisal]] `ln`/round-6 precedent).
+  *
+  * Scale shape: ONE scan of the pair table — candidate and reference
+  * grams explode side-tagged from the same row, so per-(pair, gram)
+  * counts for both sides come out of a single pre-combined aggregation;
+  * the shuffle carries (pair_id, md5(gram), side) and partial counts,
+  * never text. The per-pair re-agg shuffles already-collapsed
+  * (pair, gram) count rows (bounded by distinct grams per pair), and
+  * the id-universe join ships ids only.
+  */
+object Eval {
+
+  /** Word n-grams as a MULTISET (duplicates kept — clipped counts need
+    * them), built by iterated zip_with against shifted views (the
+    * [[TextAnalysis]] wordNgrams idiom minus its `array_distinct`);
+    * trailing null-padded entries drop via array_compact. */
+  private def gramArr(toks: Column, n: Int): Column = {
+    val grams = (1 until n).foldLeft(toks) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k + 1), greatest(size(toks) - k, lit(1))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    when(size(toks) >= n, array_compact(grams))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Side-tagged (gram, side) structs for one (cand, ref) row. */
+  private def taggedGrams(ct: Column, rt: Column, n: Int): Column = concat(
+    transform(gramArr(ct, n), g => struct(g.as("g"), lit(1).as("side"))),
+    transform(gramArr(rt, n), g => struct(g.as("g"), lit(2).as("side"))))
+
+  private def microRatio(num: Column, den: Column): Column =
+    floor(num.cast("double") * 1000000.0 / den + 0.5).cast("long")
+
+  /** ROUGE-N over (pair_id, candidate, reference) rows: clipped n-gram
+    * precision / recall / F1 (Lin 2004). `match_grams` is
+    * `Σ_g min(count_cand(g), count_ref(g))`; precision divides by the
+    * candidate gram count, recall by the reference gram count; a side
+    * with zero grams (shorter than n tokens) yields null for the
+    * metrics that divide by it, and F1 is 0 when both sides have grams
+    * but nothing overlaps. Tokens are lowercased whitespace words (the
+    * t1 definition); metrics are 6-dp micro-floored rationals. */
+  def rougeN(pairs: DataFrame, idCol: String, candCol: String,
+      refCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"rougeN needs n >= 1, got $n")
+    val base = pairs.select(col(idCol).as("pair_id"),
+      TextAnalysis.tokens(lower(col(candCol))).as("__ct"),
+      TextAnalysis.tokens(lower(col(refCol))).as("__rt"))
+    val counts = base
+      .select(col("pair_id"),
+        explode(taggedGrams(col("__ct"), col("__rt"), n)).as("t"))
+      .select(col("pair_id"), md5(col("t.g")).as("gram_key"), col("t.side"))
+      .groupBy("pair_id", "gram_key")
+      .agg(sum(when(col("side") === 1, 1L).otherwise(0L)).as("cc"),
+        sum(when(col("side") === 2, 1L).otherwise(0L)).as("rc"))
+    val perPair = counts.groupBy("pair_id")
+      .agg(sum(col("cc")).as("cand_grams"), sum(col("rc")).as("ref_grams"),
+        sum(least(col("cc"), col("rc"))).as("match_grams"))
+    val pm = when(col("cand_grams") > 0,
+      microRatio(col("match_grams"), col("cand_grams")))
+    val rm = when(col("ref_grams") > 0,
+      microRatio(col("match_grams"), col("ref_grams")))
+    pairs.select(col(idCol).as("pair_id"))
+      .join(perPair, Seq("pair_id"), "left")
+      .na.fill(0L, Seq("cand_grams", "ref_grams", "match_grams"))
+      .select(col("pair_id"), col("cand_grams"), col("ref_grams"),
+        col("match_grams"),
+        (pm.cast("double") / 1000000.0).as("rouge_p"),
+        (rm.cast("double") / 1000000.0).as("rouge_r"),
+        when(pm.isNotNull && rm.isNotNull,
+          when(pm + rm > 0,
+            floor((pm * rm * 2L).cast("double") / (pm + rm) + 0.5) / 1000000.0)
+            .otherwise(0.0)).as("rouge_f1"))
+  }
+
+  /** BLEU-4 over (pair_id, candidate, reference) rows (Papineni 2002,
+    * single reference) with "+1" smoothing on orders 2–4 (Lin & Och
+    * 2004: p_n = (m_n + 1)/(c_n + 1), so a zero higher-order match
+    * doesn't zero the geometric mean). The geometric mean runs as
+    * `sqrt(sqrt(p1·p2)·sqrt(p3·p4))` over micro longs — every product
+    * is < 2⁵³ (exact in double) and sqrt is IEEE-correctly-rounded, so
+    * the value is engine-exact; the brevity-penalty `exp(1 − r/c)` is
+    * the one 6-dp-rounded step. A candidate with zero tokens scores
+    * bleu = 0. Output: (pair_id, cand_len, ref_len, p1..p4, bp, bleu). */
+  def bleu(pairs: DataFrame, idCol: String, candCol: String,
+      refCol: String): DataFrame = {
+    val maxN = 4
+    val base = pairs.select(col(idCol).as("pair_id"),
+      TextAnalysis.tokens(lower(col(candCol))).as("__ct"),
+      TextAnalysis.tokens(lower(col(refCol))).as("__rt"))
+    // one explode for all 4 orders: (n, gram, side)
+    val allN = (1 to maxN).map { n =>
+      transform(taggedGrams(col("__ct"), col("__rt"), n),
+        t => struct(lit(n).as("n"), t.getField("g").as("g"),
+          t.getField("side").as("side")))
+    }
+    val counts = base
+      .select(col("pair_id"), explode(concat(allN: _*)).as("t"))
+      .select(col("pair_id"), col("t.n").as("n"),
+        md5(col("t.g")).as("gram_key"), col("t.side"))
+      .groupBy("pair_id", "n", "gram_key")
+      .agg(sum(when(col("side") === 1, 1L).otherwise(0L)).as("cc"),
+        sum(when(col("side") === 2, 1L).otherwise(0L)).as("rc"))
+    val perN = counts.groupBy("pair_id", "n")
+      .agg(sum(col("cc")).as("cn"), sum(col("rc")).as("rn"),
+        sum(least(col("cc"), col("rc"))).as("mg"))
+    def at(n: Int, c: Column): Column = max(when(col("n") === n, c))
+    val perPair = perN.groupBy("pair_id").agg(
+      coalesce(at(1, col("cn")), lit(0L)).as("c1"),
+      coalesce(at(1, col("rn")), lit(0L)).as("r1"),
+      coalesce(at(1, when(col("cn") > 0, microRatio(col("mg"), col("cn")))
+        .otherwise(0L)), lit(0L)).as("p1m"),
+      coalesce(at(2, microRatio(col("mg") + 1, col("cn") + 1)), lit(1000000L))
+        .as("p2m"),
+      coalesce(at(3, microRatio(col("mg") + 1, col("cn") + 1)), lit(1000000L))
+        .as("p3m"),
+      coalesce(at(4, microRatio(col("mg") + 1, col("cn") + 1)), lit(1000000L))
+        .as("p4m"))
+    val bpRaw = when(col("c1") === 0, 0.0)
+      .when(col("c1") >= col("r1"), 1.0)
+      .otherwise(exp(lit(1.0) - col("r1").cast("double") / col("c1")))
+    val gm = sqrt(sqrt((col("p1m") * col("p2m")).cast("double")) *
+      sqrt((col("p3m") * col("p4m")).cast("double")))
+    pairs.select(col(idCol).as("pair_id"))
+      .join(perPair, Seq("pair_id"), "left")
+      .na.fill(0L, Seq("c1", "r1", "p1m"))
+      .na.fill(1000000L, Seq("p2m", "p3m", "p4m"))
+      .select(col("pair_id"), col("c1").as("cand_len"), col("r1").as("ref_len"),
+        (col("p1m").cast("double") / 1000000.0).as("p1"),
+        (col("p2m").cast("double") / 1000000.0).as("p2"),
+        (col("p3m").cast("double") / 1000000.0).as("p3"),
+        (col("p4m").cast("double") / 1000000.0).as("p4"),
+        round(bpRaw, 6).as("bp"),
+        when(col("c1") > 0, round(bpRaw * gm / 1000000.0, 6))
+          .otherwise(0.0).as("bleu"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Eval
+
+/** Generation-eval metric semantics on hand-computed fixtures. */
+class EvalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("rougeN n=1: clipped unigram P/R/F1") {
+    val pairs = Seq(
+      (1L, "the cat sat", "the cat ate food"),
+      (2L, "same words here", "same words here"), // identical -> all 1
+      (3L, "", "some reference"),                 // empty cand -> nulls
+      (4L, "x y z", "a b c"))                     // disjoint -> F1 = 0
+      .toDF("pair_id", "cand", "ref")
+    val out = Eval.rougeN(pairs, "pair_id", "cand", "ref", n = 1)
+      .orderBy("pair_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // pair 1: match {the, cat} = 2 of cand 3 / ref 4
+    assert(byId(1L).getLong(3) == 2)
+    assert(byId(1L).getDouble(4) == 0.666667) // floor(2e6/3 + .5)
+    assert(byId(1L).getDouble(5) == 0.5)
+    assert(byId(1L).getDouble(6) == 0.571429) // harmonic of the micros
+    assert(byId(2L).getDouble(6) == 1.0)
+    assert(byId(3L).getLong(1) == 0 && byId(3L).isNullAt(4) &&
+      byId(3L).isNullAt(6))
+    assert(byId(4L).getDouble(6) == 0.0)
+  }
+
+  test("rougeN n=2: multiset clipping keeps duplicate grams") {
+    // cand bigrams {ab:1, bc:2, cb:1}; ref {ab:1, bc:2, cd:1, db:1}
+    // match = 1 + 2 = 3; P = 3/4, R = 3/5
+    val pairs = Seq((1L, "a b c b c", "a b c d b c"))
+      .toDF("pair_id", "cand", "ref")
+    val r = Eval.rougeN(pairs, "pair_id", "cand", "ref", n = 2).collect()(0)
+    assert(r.getLong(1) == 4 && r.getLong(2) == 5 && r.getLong(3) == 3)
+    assert(r.getDouble(4) == 0.75 && r.getDouble(5) == 0.6)
+    assert(r.getDouble(6) == 0.666667)
+  }
+
+  test("bleu: perfect match = 1; order destroyed -> only p1 survives") {
+    val pairs = Seq(
+      (1L, "a b c d e", "a b c d e"),
+      (2L, "e d c b a", "a b c d e")) // reversed: p1 = 1, p2 m = 0
+      .toDF("pair_id", "cand", "ref")
+    val out = Eval.bleu(pairs, "pair_id", "cand", "ref")
+      .orderBy("pair_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getDouble(7) == 1.0 && byId(1L).getDouble(8) == 1.0)
+    // reversed: p1 = 1.0; p2..p4 smoothed (0+1)/(c+1): 1/5, 1/4, 1/3
+    assert(byId(2L).getDouble(3) == 1.0)
+    assert(byId(2L).getDouble(4) == 0.2)
+    assert(byId(2L).getDouble(5) == 0.25)
+    assert(byId(2L).getDouble(6) == 0.333333)
+    assert(byId(2L).getDouble(8) < 0.45 && byId(2L).getDouble(8) > 0.0)
+  }
+
+  test("bleu: brevity penalty and degenerate candidates") {
+    val pairs = Seq(
+      (1L, "a b c", "a b c d"), // c=3 < r=4: bp = exp(-1/3), all pn = 1
+      (2L, "x y", "a b"),       // disjoint: p1 = 0 -> bleu 0, bp 1
+      (3L, "", "a b"))          // empty cand: bleu 0, bp 0
+      .toDF("pair_id", "cand", "ref")
+    val out = Eval.bleu(pairs, "pair_id", "cand", "ref")
+      .orderBy("pair_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getLong(1) == 3 && byId(1L).getLong(2) == 4)
+    assert(byId(1L).getDouble(3) == 1.0 && byId(1L).getDouble(6) == 1.0)
+    assert(byId(1L).getDouble(7) == 0.716531) // round(exp(-1/3), 6)
+    assert(byId(1L).getDouble(8) == 0.716531)
+    assert(byId(2L).getDouble(3) == 0.0 && byId(2L).getDouble(7) == 1.0 &&
+      byId(2L).getDouble(8) == 0.0)
+    assert(byId(3L).getLong(1) == 0 && byId(3L).getDouble(7) == 0.0 &&
+      byId(3L).getDouble(8) == 0.0)
+  }
+}

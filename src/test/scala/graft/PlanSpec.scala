@@ -754,4 +754,21 @@ class PlanSpec extends AnyFunSuite {
       "fleissKappa: marginal/assembly joins must broadcast")
     assert(!pk.contains("UDF"), "fleissKappa: UDF in plan")
   }
+
+  test("eval metrics: single tagged explode, pre-combined, no UDF") {
+    // ROUGE/BLEU gram counts must come from ONE side-tagged explode —
+    // the (pair, gram) agg and the per-pair re-agg both pre-combine
+    // (partial+final HashAggregate), the shuffle carries md5 keys and
+    // counts, and nothing falls back to a UDF or a cartesian product
+    for ((q, label) <- Seq(("t57_rouge2", "rouge2"), ("t58_bleu", "bleu"))) {
+      val p = plan(q)
+      assert(p.split("HashAggregate").length - 1 >= 4,
+        s"$label: expected pre-combined agg pairs")
+      assert(p.split("Generate").length - 1 <= 2,
+        s"$label: more explodes than the tagged-gram one per scan")
+      assert(!p.contains("UDF") && !p.contains("BatchEvalPython"),
+        s"$label: UDF in plan")
+      assert(!p.contains("CartesianProduct"), s"$label: cartesian product")
+    }
+  }
 }
