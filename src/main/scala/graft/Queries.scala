@@ -5839,6 +5839,96 @@ object Queries {
       .orderBy("pair_id")
   }
 
+  // Chat-template rendering with loss-mask spans: events become ordered
+  // conversation turns (the t53 role assignment), each rendered as
+  // <|role|>\ncontent<|end|>\n; assistant spans emit as 0-based
+  // "start:end;…" char offsets (null when a conversation has no
+  // assistant turn). Hash oracle over the FULL rendered text and the
+  // span string — any off-by-one in the offsets breaks the hash.
+  register(
+    "t59_chat_template",
+    """WITH r AS (
+      |  SELECT user_id AS conv_id,
+      |         CASE WHEN event_type IN ('purchase', 'signup') THEN 'user'
+      |              ELSE 'assistant' END AS role,
+      |         event_type || '#' || CAST(event_id AS VARCHAR) AS content,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events),
+      |p AS (
+      |  SELECT conv_id, rn, role,
+      |         '<|' || role || '|>' || chr(10) || content || '<|end|>' ||
+      |           chr(10) AS part
+      |  FROM r),
+      |o AS (
+      |  SELECT conv_id, rn, role, part,
+      |         CAST(coalesce(sum(len(part)) OVER (PARTITION BY conv_id
+      |           ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+      |           PRECEDING), 0) AS BIGINT) AS st
+      |  FROM p)
+      |SELECT conv_id,
+      |       CAST(count(*) AS BIGINT) AS n_turns,
+      |       CAST(sum(len(part)) AS BIGINT) AS n_chars,
+      |       string_agg(part, '' ORDER BY rn) AS text,
+      |       string_agg(CASE WHEN role = 'assistant' THEN
+      |         CAST(st + len(role) + 5 AS VARCHAR) || ':' ||
+      |         CAST(st + len(part) AS VARCHAR) END, ';' ORDER BY rn)
+      |         AS assistant_spans,
+      |       CAST(coalesce(sum(CASE WHEN role = 'assistant'
+      |         THEN len(part) - len(role) - 5 END), 0) AS BIGINT)
+      |         AS assistant_chars
+      |FROM o GROUP BY conv_id ORDER BY conv_id""".stripMargin) { (s, dir) =>
+    graft.operators.Behavior.renderChatTemplate(t(s, dir, "events"),
+        "user_id", "ts",
+        when(col("event_type").isin("purchase", "signup"), "user")
+          .otherwise("assistant"),
+        concat(col("event_type"), lit("#"), col("event_id").cast("string")),
+        "event_id")
+      .orderBy("conv_id")
+  }
+
+  // Reliability diagram + ECE over a synthetic miscalibrated classifier:
+  // conf cycles 0.00-1.00, outcomes land at ~0.8x the stated confidence
+  // (systematic overconfidence), so every bin carries a real gap and the
+  // ECE is material. Confidences micro-quantize scan-side before any
+  // sum, so the whole report is exact integer arithmetic — hash oracle.
+  register(
+    "t60_calibration_ece",
+    """WITH s AS (
+      |  SELECT CAST((doc_id * 37) % 101 AS DOUBLE) / 100.0 AS conf,
+      |         CASE WHEN (doc_id * 53) % 100 <
+      |                   ((doc_id * 37) % 101) * 0.8
+      |              THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |m AS (SELECT CAST(floor(conf * 1000000.0 + 0.5) AS BIGINT) AS cm, y
+      |      FROM s),
+      |b AS (SELECT least(CAST(floor(CAST(cm * 10 AS DOUBLE) / 1000000.0)
+      |        AS BIGINT), 9) AS bin, cm, y FROM m),
+      |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(cm) AS BIGINT) AS cs,
+      |             CAST(sum(y) AS BIGINT) AS ys
+      |      FROM b GROUP BY 1),
+      |mm AS (SELECT bin, n,
+      |         CAST(floor(CAST(cs AS DOUBLE) / n + 0.5) AS BIGINT)
+      |           AS confm,
+      |         CAST(floor(CAST(ys AS DOUBLE) * 1000000.0 / n + 0.5)
+      |           AS BIGINT) AS accm
+      |       FROM g),
+      |gg AS (SELECT bin, n, confm, accm, abs(accm - confm) AS gap FROM mm),
+      |e AS (SELECT CAST(floor(CAST(sum(n * gap) AS DOUBLE) / sum(n) + 0.5)
+      |        AS BIGINT) AS ecem FROM gg)
+      |SELECT bin, n, confm / 1000000.0 AS avg_conf,
+      |       accm / 1000000.0 AS accuracy, gap / 1000000.0 AS gap,
+      |       ecem / 1000000.0 AS ece
+      |FROM gg, e ORDER BY bin""".stripMargin) { (s, dir) =>
+    val scored = t(s, dir, "documents").select(
+      (((col("doc_id") * 37) % 101).cast("double") / 100.0).as("conf"),
+      when((col("doc_id") * 53) % 100 <
+        ((col("doc_id") * 37) % 101) * 0.8, 1).otherwise(0).as("y"))
+    Eval.calibrationReport(scored, "conf", "y", bins = 10)
+      .orderBy("bin")
+  }
+
   // URL canonicalization — the dedup-key normalizer of web-corpus
   // pipelines. One synthetic URL per doc cycles through the adversarial
   // branches (default port + www + tracking params + unsorted query +

@@ -119,6 +119,69 @@ object Behavior {
           col("__last") === "assistant").as("valid"))
   }
 
+  /** Chat-template rendering with loss-mask spans — the SFT-data prep
+    * step that turns ordered conversation turns into one packed training
+    * string plus the character spans a trainer unmasks (assistant
+    * content + end marker only, the standard SFT loss mask). Each turn
+    * renders as `<|role|>\ncontent<|end|>\n`; a turn's assistant span
+    * starts after its role header (`len(role) + 5` chars in) and runs to
+    * the end of the rendered turn. Spans emit as a `"start:end;…"`
+    * 0-based char-offset string (null when a conversation has no
+    * assistant turn), so the result stays flat and hash-comparable.
+    *
+    * Scale shape: ONE shuffle — turns group to their conversation (text
+    * must colocate to concatenate; that is the operator's essential
+    * cost), then rendering, prefix-sum offsets, and span extraction are
+    * all scan-side array expressions on turn-count-bounded rows. No
+    * window functions, no UDFs, no second exchange.
+    *
+    * Reference: rendering mirrors the alert-to-payload template pass
+    * (streamalert/alert_processor/outputs/output_base.py formats ordered
+    * record fields into one publishable body); the loss-mask span
+    * emission is the training-pipeline extension. */
+  def renderChatTemplate(events: DataFrame, convCol: String, tsCol: String,
+      roleCol: Column, contentCol: Column, tieCol: String): DataFrame = {
+    val conv = events
+      .select(col(convCol).as("conv_id"), col(tsCol).as("__ts"),
+        col(tieCol).as("__tie"), roleCol.as("__role"),
+        contentCol.as("__content"))
+      .groupBy("conv_id")
+      .agg(sort_array(collect_list(struct(col("__ts"), col("__tie"),
+        col("__role").as("role"), col("__content").as("content"))))
+        .as("__turns"))
+    val parts = transform(col("__turns"), t => concat(lit("<|"),
+      t.getField("role"), lit("|>\n"), t.getField("content"),
+      lit("<|end|>\n")))
+    val withParts = conv.select(col("conv_id"), col("__turns"),
+      parts.as("__parts"))
+    // prefix starts [0, l1, l1+l2, …]: n+1 entries, last = total chars
+    val offs = aggregate(col("__parts"), array(lit(0L)),
+      (acc, p) => concat(acc, array(element_at(acc, -1) +
+        length(p).cast("long"))))
+    val enriched = withParts.select(col("conv_id"), col("__turns"),
+      col("__parts"), offs.as("__offs"))
+    val spans = zip_with(col("__turns"),
+      zip_with(col("__parts"), slice(col("__offs"), lit(1), size(col("__parts"))),
+        (p, st) => struct(st.as("st"),
+          (st + length(p).cast("long")).as("en"))),
+      (t, se) => struct(t.getField("role").as("role"),
+        (se.getField("st") + length(t.getField("role")).cast("long") + 5L)
+          .as("cs"),
+        se.getField("en").as("en")))
+    val aspans = filter(spans, s => s.getField("role") === "assistant")
+    enriched.select(
+      col("conv_id"),
+      size(col("__turns")).cast("long").as("n_turns"),
+      element_at(col("__offs"), -1).as("n_chars"),
+      array_join(col("__parts"), "").as("text"),
+      nullif(array_join(transform(aspans,
+        s => concat(s.getField("cs").cast("string"), lit(":"),
+          s.getField("en").cast("string"))), ";"), lit("")).as("assistant_spans"),
+      aggregate(aspans, lit(0L),
+        (a, s) => a + (s.getField("en") - s.getField("cs")))
+        .as("assistant_chars"))
+  }
+
   def markovTransitions(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

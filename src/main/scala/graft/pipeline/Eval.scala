@@ -90,6 +90,52 @@ object Eval {
             .otherwise(0.0)).as("rouge_f1"))
   }
 
+  /** Reliability diagram + expected calibration error (ECE) for a
+    * [0, 1]-confidence classifier against boolean/0-1 outcomes — the QA
+    * gate on the quality/toxicity classifiers that decide what enters a
+    * training corpus (an overconfident filter silently skews the mix).
+    * Equal-width binning: bin i covers [i/bins, (i+1)/bins), conf = 1
+    * clamps into the last bin; `gap = |accuracy − avg_conf|` per bin and
+    * `ece = Σ_b n_b·gap_b / N` (Naeini 2015 / Guo 2017), stamped on
+    * every row for one-query consumption.
+    *
+    * Determinism: confidences quantize to micro longs scan-side BEFORE
+    * any sum (double summation is order-dependent; integer sums are
+    * not), so bin means, accuracies, and the ECE are exact integer
+    * arithmetic with one micro-floored division each.
+    *
+    * Scale shape: one pre-combined groupBy over at most `bins` keys;
+    * the ECE total rides a one-row broadcast back onto the bin rows.
+    * Returns (bin, n, avg_conf, accuracy, gap, ece), 6 dp. */
+  def calibrationReport(scored: DataFrame, confCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"calibrationReport needs bins >= 2, got $bins")
+    val cm = floor(col(confCol) * 1000000.0 + 0.5).cast("long")
+    val bin = least(floor((cm * bins).cast("double") / 1000000.0).cast("long"),
+      lit(bins - 1L))
+    val perBin = scored
+      .select(bin.as("bin"), cm.as("__cm"),
+        col(labelCol).cast("long").as("__y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("__cm")).as("__cs"),
+        sum(col("__y")).as("__ys"))
+      .select(col("bin"), col("n"),
+        floor(col("__cs").cast("double") / col("n") + 0.5).cast("long")
+          .as("__confm"),
+        floor(col("__ys").cast("double") * 1000000.0 / col("n") + 0.5)
+          .cast("long").as("__accm"))
+      .withColumn("__gap", abs(col("__accm") - col("__confm")))
+    val ece = perBin.agg(
+      floor(sum(col("n") * col("__gap")).cast("double") / sum(col("n")) + 0.5)
+        .cast("long").as("__ecem"))
+    perBin.crossJoin(broadcast(ece)).select(
+      col("bin"), col("n"),
+      (col("__confm").cast("double") / 1000000.0).as("avg_conf"),
+      (col("__accm").cast("double") / 1000000.0).as("accuracy"),
+      (col("__gap").cast("double") / 1000000.0).as("gap"),
+      (col("__ecem").cast("double") / 1000000.0).as("ece"))
+  }
+
   /** BLEU-4 over (pair_id, candidate, reference) rows (Papineni 2002,
     * single reference) with "+1" smoothing on orders 2–4 (Lin & Och
     * 2004: p_n = (m_n + 1)/(c_n + 1), so a zero higher-order match

@@ -771,4 +771,24 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"$label: cartesian product")
     }
   }
+
+  test("chat template renders in one exchange; ECE pre-combines + broadcasts") {
+    // renderChatTemplate: ONE shuffle (turns -> conversation), then all
+    // rendering/offset/span work is scan-side array expressions — no
+    // Window (the oracle's formulation, not ours), no second Exchange
+    val pt = plan("t59_chat_template")
+    assert(pt.split("Exchange").length - 1 <= 2, // agg shuffle + top-sort
+      "chat template: extra exchange beyond the conversation grouping")
+    assert(!pt.contains("Window"), "chat template: window crept in")
+    assert(!pt.contains("UDF"), "chat template: UDF in plan")
+    // calibration: micro-quantization is scan-side (project under the
+    // partial agg), bins pre-combine, the ECE row comes back broadcast
+    val pc = plan("t60_calibration_ece")
+    assert(pc.split("HashAggregate").length - 1 >= 2,
+      "calibration: expected pre-combined agg pair")
+    assert(pc.contains("BroadcastExchange") ||
+      pc.contains("BroadcastNestedLoopJoin"),
+      "calibration: ECE row must broadcast")
+    assert(!pc.contains("UDF"), "calibration: UDF in plan")
+  }
 }
