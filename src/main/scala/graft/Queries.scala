@@ -5839,6 +5839,65 @@ object Queries {
       .orderBy("pair_id")
   }
 
+  // ROUGE-L via the codegen'd LCS expression, on a PLANTED construction
+  // whose LCS is analytic (the d2c planted-twin pattern): the candidate
+  // is a kept-subsequence of the reference interleaved with md5 noise
+  // tokens (proven absent from the corpus vocabulary — no token matches
+  // ^[0-9a-f]{32}$ at any SF), so LCS = |kept| exactly; the doubled
+  // branch gives LCS = |ref|, the empty branch 0. The oracle computes
+  // the analytic values; EvalSpec proves the DP against a reference
+  // implementation on randomized inputs.
+  register(
+    "t61_rouge_l_planted",
+    """WITH w AS (
+      |  SELECT doc_id AS pair_id,
+      |         list_filter(string_split_regex(lower(text), '\s+'),
+      |                     x -> x != '') AS toks
+      |  FROM documents),
+      |b AS (SELECT pair_id, list_slice(toks, 1, 40) AS rt FROM w),
+      |k AS (SELECT pair_id, rt,
+      |             list_filter(rt, (x, i) -> i % 3 != 0) AS kept FROM b),
+      |a AS (
+      |  SELECT pair_id, CAST(len(rt) AS BIGINT) AS ref_len,
+      |         CASE WHEN pair_id % 7 = 0 THEN CAST(0 AS BIGINT)
+      |              WHEN pair_id % 5 = 0 THEN CAST(2 * len(rt) AS BIGINT)
+      |              ELSE CAST(len(kept) + 2 AS BIGINT) END AS cand_len,
+      |         CASE WHEN pair_id % 7 = 0 THEN CAST(0 AS BIGINT)
+      |              WHEN pair_id % 5 = 0 THEN CAST(len(rt) AS BIGINT)
+      |              ELSE CAST(len(kept) AS BIGINT) END AS lcs
+      |  FROM k),
+      |micro AS (
+      |  SELECT pair_id, cand_len, ref_len, lcs,
+      |         CASE WHEN cand_len > 0 THEN CAST(floor(CAST(lcs AS DOUBLE)
+      |           * 1000000.0 / cand_len + 0.5) AS BIGINT) END AS pm,
+      |         CASE WHEN ref_len > 0 THEN CAST(floor(CAST(lcs AS DOUBLE)
+      |           * 1000000.0 / ref_len + 0.5) AS BIGINT) END AS rm
+      |  FROM a)
+      |SELECT pair_id, cand_len, ref_len, lcs,
+      |       pm / 1000000.0 AS rouge_p, rm / 1000000.0 AS rouge_r,
+      |       CASE WHEN pm IS NOT NULL AND rm IS NOT NULL THEN
+      |         CASE WHEN pm + rm > 0 THEN
+      |           floor(CAST(pm * rm * 2 AS DOUBLE) / (pm + rm) + 0.5)
+      |             / 1000000.0
+      |         ELSE 0.0 END END AS rouge_f1
+      |FROM micro ORDER BY pair_id""".stripMargin) { (s, dir) =>
+    val toksCol = TextAnalysis.tokens(lower(col("text")))
+    val k = t(s, dir, "documents")
+      .select(col("doc_id").as("pair_id"), slice(toksCol, 1, 40).as("rt"))
+      .select(col("pair_id"), col("rt"),
+        filter(col("rt"), (_, i) => (i + 1) % 3 =!= 0).as("kept"))
+    val noise = md5(col("pair_id").cast("string"))
+    val candArr = when(col("pair_id") % 7 === 0,
+        array().cast("array<string>"))
+      .when(col("pair_id") % 5 === 0, concat(col("rt"), col("rt")))
+      .otherwise(concat(array(noise), slice(col("kept"), 1, 10),
+        array(noise),
+        slice(col("kept"), lit(11), greatest(size(col("kept")) - 10, lit(0)))))
+    val p = k.select(col("pair_id"), array_join(candArr, " ").as("cand"),
+      array_join(col("rt"), " ").as("ref"))
+    Eval.rougeL(p, "pair_id", "cand", "ref").orderBy("pair_id")
+  }
+
   // Chat-template rendering with loss-mask spans: events become ordered
   // conversation turns (the t53 role assignment), each rendered as
   // <|role|>\ncontent<|end|>\n; assistant spans emit as 0-based

@@ -90,6 +90,39 @@ object Eval {
             .otherwise(0.0)).as("rouge_f1"))
   }
 
+  /** ROUGE-L over (pair_id, candidate, reference) rows: LCS-based
+    * precision / recall / F1 (Lin 2004 §3.2, summary-level with a single
+    * reference). The LCS kernel is the codegen'd
+    * [[graft.functions.LcsLength]] expression — O(|c|·|r|) per row,
+    * which is the metric's intrinsic cost; use [[rougeN]] for
+    * document-scale inputs. Division semantics mirror [[rougeN]]: a
+    * side with zero tokens nulls the metrics dividing by it, F1 is 0
+    * when both sides are nonempty but share no subsequence.
+    *
+    * Scale shape: a pure scan-side projection — no shuffle, no join;
+    * the DP runs inside whole-stage codegen. */
+  def rougeL(pairs: DataFrame, idCol: String, candCol: String,
+      refCol: String): DataFrame = {
+    val base = pairs.select(col(idCol).as("pair_id"),
+      TextAnalysis.tokens(lower(col(candCol))).as("__ct"),
+      TextAnalysis.tokens(lower(col(refCol))).as("__rt"))
+    val withLcs = base.select(col("pair_id"),
+      size(col("__ct")).cast("long").as("cand_len"),
+      size(col("__rt")).cast("long").as("ref_len"),
+      graft.functions.LcsLength.column(col("__ct"), col("__rt"))
+        .cast("long").as("lcs"))
+    val pm = when(col("cand_len") > 0, microRatio(col("lcs"), col("cand_len")))
+    val rm = when(col("ref_len") > 0, microRatio(col("lcs"), col("ref_len")))
+    withLcs.select(col("pair_id"), col("cand_len"), col("ref_len"),
+      col("lcs"),
+      (pm.cast("double") / 1000000.0).as("rouge_p"),
+      (rm.cast("double") / 1000000.0).as("rouge_r"),
+      when(pm.isNotNull && rm.isNotNull,
+        when(pm + rm > 0,
+          floor((pm * rm * 2L).cast("double") / (pm + rm) + 0.5) / 1000000.0)
+          .otherwise(0.0)).as("rouge_f1"))
+  }
+
   /** Reliability diagram + expected calibration error (ECE) for a
     * [0, 1]-confidence classifier against boolean/0-1 outcomes — the QA
     * gate on the quality/toxicity classifiers that decide what enters a

@@ -75,4 +75,61 @@ class EvalSpec extends AnyFunSuite {
     assert(byId(3L).getLong(1) == 0 && byId(3L).getDouble(7) == 0.0 &&
       byId(3L).getDouble(8) == 0.0)
   }
+
+  private def lcsRef(a: Seq[String], b: Seq[String]): Int = {
+    val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+        else math.max(dp(i - 1)(j), dp(i)(j - 1))
+    dp(a.length)(b.length)
+  }
+
+  test("rougeL: hand cases and metric wiring") {
+    val pairs = Seq(
+      (1L, "a b c d", "a x b y d"), // lcs = 3 (a b d)
+      (2L, "w w w", "w w"),         // lcs = 2: duplicates count
+      (3L, "", "a b"))              // empty cand -> null P/F1
+      .toDF("pair_id", "cand", "ref")
+    val out = Eval.rougeL(pairs, "pair_id", "cand", "ref")
+      .orderBy("pair_id").collect()
+    assert(out(0).getLong(3) == 3)
+    assert(out(0).getDouble(4) == 0.75 && out(0).getDouble(5) == 0.6)
+    assert(out(1).getLong(3) == 2 && out(1).getDouble(5) == 1.0)
+    assert(out(2).isNullAt(4) && out(2).isNullAt(6))
+  }
+
+  test("rougeL: randomized agreement with a reference DP (codegen path)") {
+    val rnd = new scala.util.Random(61)
+    val vocab = Array("a", "b", "c", "d", "e")
+    val cases = (0 until 200).map { i =>
+      def arr() = Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length)))
+      val (c, r) = (arr(), arr())
+      (i.toLong, c.mkString(" "), r.mkString(" "), lcsRef(c, r).toLong)
+    }
+    val df = cases.map(t => (t._1, t._2, t._3)).toDF("pair_id", "cand", "ref")
+    val got = Eval.rougeL(df, "pair_id", "cand", "ref")
+      .select("pair_id", "lcs").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cases.foreach { case (id, c, r, want) =>
+      assert(got(id) == want, s"lcs mismatch on ($c | $r)")
+    }
+  }
+
+  test("LcsLength: interpreted eval path matches codegen semantics") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    def lit(xs: Seq[String]) = Literal.create(xs, ArrayType(StringType))
+    val e = graft.functions.LcsLength(
+      lit(Seq("a", "b", "c", "d")), lit(Seq("a", "x", "b", "y", "d")))
+    assert(e.eval(InternalRow.empty) == 3)
+    val rnd = new scala.util.Random(62)
+    val vocab = Array("a", "b", "c")
+    (0 until 100).foreach { _ =>
+      def arr() = Seq.fill(rnd.nextInt(10))(vocab(rnd.nextInt(vocab.length)))
+      val (c, r) = (arr(), arr())
+      assert(graft.functions.LcsLength(lit(c), lit(r)).eval(InternalRow.empty)
+        == lcsRef(c, r), s"interpreted lcs mismatch on ($c | $r)")
+    }
+  }
 }

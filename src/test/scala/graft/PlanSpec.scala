@@ -770,6 +770,17 @@ class PlanSpec extends AnyFunSuite {
         s"$label: UDF in plan")
       assert(!p.contains("CartesianProduct"), s"$label: cartesian product")
     }
+    // rougeL must stay a shuffle-free projection over the codegen'd
+    // lcs_length expression — never a UDF, never an exchange
+    import org.apache.spark.sql.functions.{col, reverse}
+    val pairs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").as("pair_id"), col("text").as("cand"),
+        reverse(col("text")).as("ref"))
+    val pl = graft.pipeline.Eval.rougeL(pairs, "pair_id", "cand", "ref")
+      .queryExecution.executedPlan.toString
+    assert(pl.contains("lcs_length"), "rougeL: native expression missing")
+    assert(!pl.contains("Exchange"), "rougeL must not shuffle")
+    assert(!pl.contains("UDF"), "rougeL: UDF in plan")
   }
 
   test("chat template renders in one exchange; ECE pre-combines + broadcasts") {
