@@ -5612,6 +5612,61 @@ object Queries {
     Preference.fleissKappa(ratings, "doc_id", "label")
   }
 
+  // Krippendorff's alpha with MISSING rating slots — the regime Fleiss'
+  // kappa (t55) can't handle: every (doc, rater) slot where
+  // (doc_id + r) % 7 = 0 is absent, so units carry 2 or 3 pairable
+  // ratings and sub-2 units drop. Per-unit disagreement terms
+  // micro-floor before the one cross-row sum; hash oracle on the
+  // single (n_items, n_ratings, d_obs, d_exp, alpha) row.
+  register(
+    "t62_krippendorff_alpha",
+    """WITH ratings AS (
+      |  SELECT doc_id AS item,
+      |         CASE WHEN (doc_id * 3 + r) % 5 < 3 THEN lang
+      |              ELSE 'en' END AS label
+      |  FROM documents, (SELECT unnest([0, 1, 2]) AS r)
+      |  WHERE (doc_id + r) % 7 != 0),
+      |counts AS (
+      |  SELECT item, label, count(*) AS c FROM ratings GROUP BY 1, 2),
+      |per_item AS (
+      |  SELECT item, CAST(sum(c) AS BIGINT) AS n
+      |  FROM counts GROUP BY 1 HAVING sum(c) >= 2),
+      |withn AS (
+      |  SELECT c.item, c.label, c.c, p.n
+      |  FROM counts c JOIN per_item p ON p.item = c.item),
+      |items_agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_items,
+      |         CAST(sum(n) AS BIGINT) AS n_ratings FROM per_item),
+      |do_agg AS (
+      |  SELECT CAST(sum(CAST(floor(CAST(c * (n - c) AS DOUBLE) * 1000000.0
+      |    / (n - 1) + 0.5) AS BIGINT)) AS BIGINT) AS do_sum FROM withn),
+      |cat AS (
+      |  SELECT label, CAST(sum(c) AS BIGINT) AS nc FROM withn GROUP BY 1),
+      |de_agg AS (
+      |  SELECT CAST(sum(nc * (t.n_ratings - nc)) AS BIGINT) AS de_sum
+      |  FROM cat, items_agg t),
+      |micro AS (
+      |  SELECT n_items, n_ratings,
+      |         CAST(floor(CAST(do_sum AS DOUBLE) / n_ratings + 0.5)
+      |           AS BIGINT) AS dom,
+      |         CAST(floor(CAST(de_sum AS DOUBLE) * 1000000.0 /
+      |           (n_ratings * (n_ratings - 1)) + 0.5) AS BIGINT) AS dem
+      |  FROM items_agg, do_agg, de_agg)
+      |SELECT n_items, n_ratings,
+      |       dom / 1000000.0 AS d_obs, dem / 1000000.0 AS d_exp,
+      |       CASE WHEN dem > 0 THEN floor(CAST(dem - dom AS DOUBLE) *
+      |         1000000.0 / dem + 0.5) / 1000000.0 END AS alpha
+      |FROM micro""".stripMargin) { (s, dir) =>
+    val ratings = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(0), lit(2))).as("r"))
+      .where((col("doc_id") + col("r")) % 7 =!= 0)
+      .select(col("doc_id"),
+        when((col("doc_id") * 3 + col("r")) % 5 < 3, col("lang"))
+          .otherwise(lit("en")).as("label"))
+    Preference.krippendorffAlpha(ratings, "doc_id", "label")
+  }
+
   // Bradley–Terry strength ranking from pairwise outcomes: adjacent docs
   // of different languages "play a match" won by the longer doc, and 3
   // MM rounds turn the win/match counts into per-language strengths —

@@ -106,6 +106,57 @@ object Preference {
           (lit(1000000L) - col("pe_sum")) + 0.5) / 1000000.0).as("kappa"))
   }
 
+  /** Krippendorff's alpha (nominal metric) — the agreement coefficient
+    * for labeling batches where raters differ per item and slots are
+    * missing (the regime Fleiss' kappa can't handle; Krippendorff 2004
+    * §11.3). Items with fewer than 2 ratings drop entirely (no pairable
+    * values). Using per-unit value counts n_uc, unit totals n_u,
+    * marginals n_c over qualifying items, and n = Σ n_u:
+    *
+    *   D_o = (1/n) Σ_u Σ_c n_uc·(n_u − n_uc)/(n_u − 1)
+    *   D_e = Σ_c n_c·(n − n_c) / (n·(n − 1))
+    *   alpha = 1 − D_o/D_e          (null when D_e = 0: one category)
+    *
+    * Each per-unit term micro-floors BEFORE the cross-row sum (the
+    * [[fleissKappa]] determinism contract), so the one output row
+    * hash-matches a SQL oracle under any partitioning.
+    *
+    * Scale shape: one (item, label) pre-combined count, the unit totals
+    * re-agg derives from it (never a corpus re-scan), marginals are
+    * label-cardinality, and the three assembly rows cross-join as
+    * broadcast singles. Returns (n_items, n_ratings, d_obs, d_exp,
+    * alpha), 6 dp. */
+  def krippendorffAlpha(ratings: DataFrame, itemCol: String,
+      labelCol: String): DataFrame = {
+    val counts = ratings
+      .groupBy(col(itemCol).as("item"), col(labelCol).as("label"))
+      .agg(count(lit(1)).as("c"))
+    val perItem = counts.groupBy("item").agg(sum(col("c")).as("n"))
+      .where(col("n") >= 2)
+    val withN = counts.join(perItem, Seq("item"))
+    val doAgg = withN
+      .select(col("n"),
+        floor((col("c") * (col("n") - col("c"))).cast("double") * 1000000.0 /
+          (col("n") - 1) + 0.5).cast("long").as("term"))
+      .agg(sum(col("term")).as("do_sum"))
+    val itemsAgg = perItem.agg(count(lit(1)).as("n_items"),
+      sum(col("n")).as("n_ratings"))
+    val catAgg = withN.groupBy("label").agg(sum(col("c")).as("nc"))
+      .crossJoin(broadcast(itemsAgg.select(col("n_ratings").as("__tot"))))
+      .agg(sum(col("nc") * (col("__tot") - col("nc"))).as("de_sum"))
+    val dom = floor(col("do_sum").cast("double") / col("n_ratings") + 0.5)
+      .cast("long")
+    val dem = floor(col("de_sum").cast("double") * 1000000.0 /
+      (col("n_ratings") * (col("n_ratings") - 1)) + 0.5).cast("long")
+    itemsAgg.crossJoin(doAgg).crossJoin(catAgg).select(
+      col("n_items"), col("n_ratings"),
+      (dom.cast("double") / 1000000.0).as("d_obs"),
+      (dem.cast("double") / 1000000.0).as("d_exp"),
+      when(dem > 0,
+        floor((dem - dom).cast("double") * 1000000.0 / dem + 0.5) / 1000000.0)
+        .as("alpha"))
+  }
+
   /** Bradley–Terry strength estimation from pairwise outcomes — the
     * preference-aggregation step that turns A-vs-B human verdicts into a
     * per-contestant strength/ranking (policy comparisons, arena-style

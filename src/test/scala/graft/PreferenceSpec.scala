@@ -56,6 +56,38 @@ class PreferenceSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 1.0 && r.isNullAt(4))
   }
 
+  test("krippendorffAlpha: perfect agreement = 1; unequal raters") {
+    // u1 {x,x}, u2 {y,y,y}: Do = 0; marginals x=2,y=3,n=5
+    // De = (2*3 + 3*2)/(5*4) = 0.6 -> alpha = 1
+    val ratings = Seq((1L, "x"), (1L, "x"),
+      (2L, "y"), (2L, "y"), (2L, "y")).toDF("item", "label")
+    val r = Preference.krippendorffAlpha(ratings, "item", "label")
+      .collect()(0)
+    assert(r.getLong(0) == 2 && r.getLong(1) == 5)
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 0.6)
+    assert(r.getDouble(4) == 1.0)
+  }
+
+  test("krippendorffAlpha: chance agreement = 0; <2-rating items drop") {
+    // u1 {x,x} (term 0), u2 {x,y} (terms 1+1), u3 single rating drops
+    // Do = 2/4 = 0.5; marginals x=3,y=1: De = (3*1+1*3)/(4*3) = 0.5
+    val ratings = Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "y"),
+      (3L, "z")).toDF("item", "label")
+    val r = Preference.krippendorffAlpha(ratings, "item", "label")
+      .collect()(0)
+    assert(r.getLong(0) == 2 && r.getLong(1) == 4)
+    assert(r.getDouble(2) == 0.5 && r.getDouble(3) == 0.5)
+    assert(r.getDouble(4) == 0.0)
+  }
+
+  test("krippendorffAlpha: single category has undefined alpha") {
+    val ratings = Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "x"))
+      .toDF("item", "label")
+    val r = Preference.krippendorffAlpha(ratings, "item", "label")
+      .collect()(0)
+    assert(r.getDouble(3) == 0.0 && r.isNullAt(4))
+  }
+
   test("btRank: dominance ordering and mean-1 normalization") {
     // A beats B 2-1, B beats C 2-1, A beats C 2-0: expect A > B > C
     val m = Seq(("A", "B", "A"), ("A", "B", "A"), ("A", "B", "B"),
