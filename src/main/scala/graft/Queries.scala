@@ -5612,6 +5612,168 @@ object Queries {
     Preference.fleissKappa(ratings, "doc_id", "label")
   }
 
+  // chrF2 over character-corrupted candidates: every 3rd doc's candidate
+  // has e->3 substitutions (the tokenization-free metric still scores
+  // partial char overlap where word-gram BLEU collapses), every 31st is
+  // empty. Whitespace-stripped char grams of orders 1-6 ride one
+  // side-tagged explode; all six orders' P/R micro-floor before the
+  // 5PR/(4P+R) harmonic — hash oracle.
+  register(
+    "t65_chrf",
+    """WITH w AS (
+      |  SELECT doc_id AS pair_id, substring(text, 1, 120) AS ref0
+      |  FROM documents),
+      |p AS (
+      |  SELECT pair_id,
+      |         CASE WHEN pair_id % 31 = 0 THEN ''
+      |              WHEN pair_id % 3 = 0 THEN replace(ref0, 'e', '3')
+      |              ELSE ref0 END AS cand0, ref0
+      |  FROM w),
+      |s AS (
+      |  SELECT pair_id,
+      |         regexp_replace(lower(cand0), '\s+', '', 'g') AS cs,
+      |         regexp_replace(lower(ref0), '\s+', '', 'g') AS rs
+      |  FROM p),
+      |n6 AS (SELECT unnest([1, 2, 3, 4, 5, 6]) AS n),
+      |cg AS (
+      |  SELECT pair_id, n, g, count(*) AS cc FROM (
+      |    SELECT pair_id, n, unnest(list_transform(
+      |      generate_series(1, greatest(length(cs) - n + 1, 0)),
+      |      i -> substring(cs, i, n))) AS g FROM s, n6) GROUP BY 1, 2, 3),
+      |rg AS (
+      |  SELECT pair_id, n, g, count(*) AS rc FROM (
+      |    SELECT pair_id, n, unnest(list_transform(
+      |      generate_series(1, greatest(length(rs) - n + 1, 0)),
+      |      i -> substring(rs, i, n))) AS g FROM s, n6) GROUP BY 1, 2, 3),
+      |m AS (
+      |  SELECT c.pair_id, c.n, CAST(sum(least(c.cc, r.rc)) AS BIGINT) AS mg
+      |  FROM cg c JOIN rg r ON r.pair_id = c.pair_id AND r.n = c.n
+      |                     AND r.g = c.g
+      |  GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT pair_id, n,
+      |         CAST(greatest(length(cs) - n + 1, 0) AS BIGINT) AS cn,
+      |         CAST(greatest(length(rs) - n + 1, 0) AS BIGINT) AS rn
+      |  FROM s, n6),
+      |pn AS (
+      |  SELECT t.pair_id, t.n,
+      |    CASE WHEN t.cn > 0 THEN CAST(floor(CAST(coalesce(m.mg, 0) AS
+      |      DOUBLE) * 1000000.0 / t.cn + 0.5) AS BIGINT) ELSE 0 END AS pm,
+      |    CASE WHEN t.rn > 0 THEN CAST(floor(CAST(coalesce(m.mg, 0) AS
+      |      DOUBLE) * 1000000.0 / t.rn + 0.5) AS BIGINT) ELSE 0 END AS rm
+      |  FROM tot t LEFT JOIN m ON m.pair_id = t.pair_id AND m.n = t.n),
+      |pp AS (
+      |  SELECT pair_id,
+      |         CAST(floor(CAST(sum(pm) AS DOUBLE) / 6 + 0.5) AS BIGINT)
+      |           AS pmm,
+      |         CAST(floor(CAST(sum(rm) AS DOUBLE) / 6 + 0.5) AS BIGINT)
+      |           AS rmm
+      |  FROM pn GROUP BY 1)
+      |SELECT s.pair_id, CAST(length(cs) AS BIGINT) AS cand_chars,
+      |       CAST(length(rs) AS BIGINT) AS ref_chars,
+      |       pmm / 1000000.0 AS chr_p, rmm / 1000000.0 AS chr_r,
+      |       CASE WHEN pmm * 4 + rmm > 0 THEN
+      |         floor(CAST(pmm * rmm * 5 AS DOUBLE) / (pmm * 4 + rmm) + 0.5)
+      |           / 1000000.0
+      |       ELSE 0.0 END AS chrf2
+      |FROM s JOIN pp ON pp.pair_id = s.pair_id
+      |ORDER BY s.pair_id""".stripMargin) { (s, dir) =>
+    val ref0 = substring(col("text"), 1, 120)
+    val p = t(s, dir, "documents")
+      .select(col("doc_id").as("pair_id"), ref0.as("ref0"))
+      .select(col("pair_id"),
+        when(col("pair_id") % 31 === 0, lit(""))
+          .when(col("pair_id") % 3 === 0,
+            regexp_replace(col("ref0"), "e", "3"))
+          .otherwise(col("ref0")).as("cand"),
+        col("ref0").as("ref"))
+    Eval.chrF(p, "pair_id", "cand", "ref").orderBy("pair_id")
+  }
+
+  // Exact tie-aware ROC-AUC over the SAME synthetic overconfident
+  // classifier as t60 — calibration (t60) and discrimination (this row)
+  // are the two halves of a corpus-filter QA report. The Mann–Whitney
+  // midrank algebra runs entirely on integers (2·rank sums), so the
+  // one-row result hash-matches exactly.
+  register(
+    "t64_roc_auc",
+    """WITH sc AS (
+      |  SELECT CAST((doc_id * 37) % 101 AS DOUBLE) / 100.0 AS conf,
+      |         CASE WHEN (doc_id * 53) % 100 <
+      |                   ((doc_id * 37) % 101) * 0.8
+      |              THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |m AS (SELECT CAST(floor(conf * 1000000.0 + 0.5) AS BIGINT) AS s, y
+      |      FROM sc),
+      |g AS (SELECT s, CAST(count(*) AS BIGINT) AS tied,
+      |             CAST(sum(y) AS BIGINT) AS tied_pos
+      |      FROM m GROUP BY 1),
+      |w AS (SELECT s, tied, tied_pos,
+      |             CAST(coalesce(sum(tied) OVER (ORDER BY s ROWS BETWEEN
+      |               UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |               AS below
+      |      FROM g),
+      |a AS (SELECT CAST(sum(tied_pos) AS BIGINT) AS n_pos,
+      |             CAST(sum(tied - tied_pos) AS BIGINT) AS n_neg,
+      |             CAST(sum(tied_pos * (below * 2 + tied + 1)) AS BIGINT)
+      |               AS r2
+      |      FROM w)
+      |SELECT n_pos, n_neg,
+      |       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+      |         floor(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE) * 1000000.0
+      |           / (n_pos * n_neg * 2) + 0.5) / 1000000.0 END AS auc
+      |FROM a""".stripMargin) { (s, dir) =>
+    val scored = t(s, dir, "documents").select(
+      (((col("doc_id") * 37) % 101).cast("double") / 100.0).as("conf"),
+      when((col("doc_id") * 53) % 100 <
+        ((col("doc_id") * 37) % 101) * 0.8, 1).otherwise(0).as("y"))
+    Eval.rocAuc(scored, "conf", "y")
+  }
+
+  // Wilson-interval win rates per language matchup — the arena-style
+  // reporting table beside t56's Bradley–Terry strengths, on the SAME
+  // match construction. The Wilson algebra is one fixed-shape double
+  // expression over exact (wins, n) integers, spelled IDENTICALLY here
+  // and in the oracle (z² always written 1.96*1.96 — a 3.8416 literal
+  // would parse to different bits), rounded at 6 dp.
+  register(
+    "t63_win_rate_wilson",
+    """WITH m AS (
+      |  SELECT a.lang AS a, b.lang AS b,
+      |         CASE WHEN a.n_chars >= b.n_chars THEN a.lang
+      |              ELSE b.lang END AS winner
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |  WHERE a.lang <> b.lang),
+      |pc AS (
+      |  SELECT least(a, b) AS item_i, greatest(a, b) AS item_j,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CASE WHEN winner = least(a, b) THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS wins
+      |  FROM m GROUP BY 1, 2)
+      |SELECT item_i, item_j, n, wins,
+      |       floor(CAST(wins AS DOUBLE) * 1000000.0 / n + 0.5) / 1000000.0
+      |         AS win_rate,
+      |       round((CAST(wins AS DOUBLE) / n + (1.96*1.96) / (n * 2) -
+      |         1.96 * sqrt((CAST(wins AS DOUBLE) / n *
+      |           (1.0 - CAST(wins AS DOUBLE) / n) + (1.96*1.96) / (n * 4))
+      |           / n)) / (1.0 + (1.96*1.96) / n), 6) AS wilson_lo,
+      |       round((CAST(wins AS DOUBLE) / n + (1.96*1.96) / (n * 2) +
+      |         1.96 * sqrt((CAST(wins AS DOUBLE) / n *
+      |           (1.0 - CAST(wins AS DOUBLE) / n) + (1.96*1.96) / (n * 4))
+      |           / n)) / (1.0 + (1.96*1.96) / n), 6) AS wilson_hi
+      |FROM pc ORDER BY item_i, item_j""".stripMargin) { (s, dir) =>
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val m = d.as("a").join(d.as("b"),
+        col("b.doc_id") === col("a.doc_id") + 1)
+      .where(col("a.lang") =!= col("b.lang"))
+      .select(col("a.lang").as("a"), col("b.lang").as("b"),
+        when(col("a.n_chars") >= col("b.n_chars"), col("a.lang"))
+          .otherwise(col("b.lang")).as("winner"))
+    Preference.winRateIntervals(m, "a", "b", "winner")
+      .orderBy("item_i", "item_j")
+  }
+
   // Krippendorff's alpha with MISSING rating slots — the regime Fleiss'
   // kappa (t55) can't handle: every (doc, rater) slot where
   // (doc_id + r) % 7 = 0 is absent, so units carry 2 or 3 pairable

@@ -169,6 +169,117 @@ object Eval {
       (col("__ecem").cast("double") / 1000000.0).as("ece"))
   }
 
+  /** Character n-grams as a MULTISET (per-position substr — chars have
+    * no array to zip_with over); empty when the string is shorter than
+    * n. */
+  private def charGrams(s: Column, n: Int): Column =
+    when(length(s) >= n,
+      transform(sequence(lit(1), length(s) - n + 1),
+        i => s.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+
+  /** chrF2 (Popović 2015): character n-gram F-score with β = 2, orders
+    * 1–6 over whitespace-stripped lowercased text — the tokenization-free
+    * MT/generation metric that complements the word-gram family
+    * ([[rougeN]], [[bleu]]). Per order: clipped char-gram precision and
+    * recall (0 when that side has no grams of the order — the fixed
+    * convention micro-determinism requires); P and R average the six
+    * orders; chrF2 = 5·P·R / (4·P + R) on micro longs (0 when both are
+    * 0). Returns (pair_id, cand_chars, ref_chars, chr_p, chr_r, chrf2),
+    * 6 dp.
+    *
+    * Scale shape: identical to [[bleu]] — all six orders ride ONE
+    * side-tagged explode keyed (pair, n, md5(gram)); counts pre-combine;
+    * text never crosses the exchange. */
+  def chrF(pairs: DataFrame, idCol: String, candCol: String,
+      refCol: String): DataFrame = {
+    val maxN = 6
+    def strip(c: Column): Column = regexp_replace(lower(c), "\\s+", "")
+    val base = pairs.select(col(idCol).as("pair_id"),
+      strip(col(candCol)).as("__cs"), strip(col(refCol)).as("__rs"))
+    val allN = (1 to maxN).map { n =>
+      concat(
+        transform(charGrams(col("__cs"), n),
+          g => struct(lit(n).as("n"), g.as("g"), lit(1).as("side"))),
+        transform(charGrams(col("__rs"), n),
+          g => struct(lit(n).as("n"), g.as("g"), lit(2).as("side"))))
+    }
+    val counts = base
+      .select(col("pair_id"), explode(concat(allN: _*)).as("t"))
+      .select(col("pair_id"), col("t.n").as("n"),
+        md5(col("t.g")).as("gram_key"), col("t.side"))
+      .groupBy("pair_id", "n", "gram_key")
+      .agg(sum(when(col("side") === 1, 1L).otherwise(0L)).as("cc"),
+        sum(when(col("side") === 2, 1L).otherwise(0L)).as("rc"))
+    val perN = counts.groupBy("pair_id", "n")
+      .agg(sum(col("cc")).as("cn"), sum(col("rc")).as("rn"),
+        sum(least(col("cc"), col("rc"))).as("mg"))
+      .select(col("pair_id"),
+        when(col("cn") > 0, microRatio(col("mg"), col("cn")))
+          .otherwise(0L).as("pm"),
+        when(col("rn") > 0, microRatio(col("mg"), col("rn")))
+          .otherwise(0L).as("rm"))
+    val perPair = perN.groupBy("pair_id")
+      .agg(sum(col("pm")).as("pm_sum"), sum(col("rm")).as("rm_sum"))
+      .select(col("pair_id"),
+        floor(col("pm_sum").cast("double") / maxN + 0.5).cast("long")
+          .as("__pm"),
+        floor(col("rm_sum").cast("double") / maxN + 0.5).cast("long")
+          .as("__rm"))
+    pairs.select(col(idCol).as("pair_id"),
+        length(strip(col(candCol))).cast("long").as("cand_chars"),
+        length(strip(col(refCol))).cast("long").as("ref_chars"))
+      .join(perPair, Seq("pair_id"), "left")
+      .na.fill(0L, Seq("__pm", "__rm"))
+      .select(col("pair_id"), col("cand_chars"), col("ref_chars"),
+        (col("__pm").cast("double") / 1000000.0).as("chr_p"),
+        (col("__rm").cast("double") / 1000000.0).as("chr_r"),
+        when(col("__pm") * 4 + col("__rm") > 0,
+          floor((col("__pm") * col("__rm") * 5L).cast("double") /
+            (col("__pm") * 4 + col("__rm")) + 0.5) / 1000000.0)
+          .otherwise(0.0).as("chrf2"))
+  }
+
+  /** Exact ROC-AUC with midrank tie handling — the discrimination
+    * counterpart of [[calibrationReport]]'s calibration for corpus-gate
+    * classifiers. Uses the Mann–Whitney identity
+    * `AUC = (Σ_{pos} rank − n⁺(n⁺+1)/2) / (n⁺·n⁻)` with average ranks
+    * on ties, folded into ALL-INTEGER algebra: scores quantize to micro
+    * longs scan-side, and per distinct score `2·Σ_{pos} rank =
+    * Σ_s tiedPos_s·(2·below_s + tied_s + 1)` — so the AUC numerator is
+    * exact and the single division micro-floors at 6 dp.
+    *
+    * Scale shape: one pre-combined (score → pos/total counts) groupBy
+    * collapses the corpus to score-cardinality rows (≤ 10⁶ + 1 levels
+    * by quantization — the t26 histogram precedent: resolution-bounded,
+    * never corpus-cardinality); the cumulative window runs over those
+    * bounded rows; one exact-integer global fold returns ONE row
+    * (n_pos, n_neg, auc). Degenerate single-class inputs yield null. */
+  def rocAuc(scored: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sm = floor(col(scoreCol) * 1000000.0 + 0.5).cast("long")
+    val perScore = scored
+      .select(sm.as("s"), col(labelCol).cast("long").as("__y"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("tied"), sum(col("__y")).as("tied_pos"))
+    // below_s = ranks preceding this score level (score-cardinality rows)
+    val w = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val withBelow = perScore
+      .withColumn("below", coalesce(sum(col("tied")).over(w), lit(0L)))
+    val agg = withBelow.agg(
+      sum(col("tied_pos")).as("n_pos"),
+      sum(col("tied") - col("tied_pos")).as("n_neg"),
+      sum(col("tied_pos") * (col("below") * 2 + col("tied") + 1))
+        .as("rank2_sum"))
+    agg.select(col("n_pos"), col("n_neg"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        floor((col("rank2_sum") - col("n_pos") * (col("n_pos") + 1))
+          .cast("double") * 1000000.0 / (col("n_pos") * col("n_neg") * 2)
+          + 0.5) / 1000000.0).as("auc"))
+  }
+
   /** BLEU-4 over (pair_id, candidate, reference) rows (Papineni 2002,
     * single reference) with "+1" smoothing on orders 2–4 (Lin & Och
     * 2004: p_n = (m_n + 1)/(c_n + 1), so a zero higher-order match

@@ -106,6 +106,47 @@ object Preference {
           (lit(1000000L) - col("pe_sum")) + 0.5) / 1000000.0).as("kappa"))
   }
 
+  /** Per-matchup win rates with Wilson score intervals — the arena
+    * reporting table next to [[btRank]]'s global strengths: for every
+    * unordered contestant pair, the lexicographically smaller side's
+    * win rate over the larger with a z-confidence interval (Wilson
+    * 1927; the interval of choice at small n where the normal
+    * approximation misbehaves). Same-contestant rows are ignored.
+    *
+    * Determinism: wins/matches aggregate as exact integers; the Wilson
+    * algebra is ONE fixed-shape double expression over (w, n) — every
+    * step (mul/div/add and IEEE-correctly-rounded sqrt) is
+    * deterministic given the same operand order, and the oracle spells
+    * the identical arrangement — then rounds at 6 dp.
+    *
+    * Scale shape: one pre-combined (i, j) groupBy; output is
+    * matchup-cardinality. Returns (item_i, item_j, n, wins, win_rate,
+    * wilson_lo, wilson_hi). */
+  def winRateIntervals(matches: DataFrame, aCol: String, bCol: String,
+      winnerCol: String, z: Double = 1.96): DataFrame = {
+    val m = matches
+      .select(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"),
+        col(winnerCol).cast("string").as("winner"))
+      .where(col("a") =!= col("b"))
+    val pc = m
+      .groupBy(least(col("a"), col("b")).as("item_i"),
+        greatest(col("a"), col("b")).as("item_j"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("winner") === least(col("a"), col("b")), 1L)
+          .otherwise(0L)).as("wins"))
+    val ph = col("wins").cast("double") / col("n")
+    val z2 = lit(z) * lit(z)
+    val half = lit(z) * sqrt((ph * (lit(1.0) - ph) + z2 / (col("n") * 4)) /
+      col("n"))
+    val denom = lit(1.0) + z2 / col("n")
+    pc.select(col("item_i"), col("item_j"), col("n"), col("wins"),
+      (floor(col("wins").cast("double") * 1000000.0 / col("n") + 0.5) /
+        1000000.0).as("win_rate"),
+      round((ph + z2 / (col("n") * 2) - half) / denom, 6).as("wilson_lo"),
+      round((ph + z2 / (col("n") * 2) + half) / denom, 6).as("wilson_hi"))
+  }
+
   /** Krippendorff's alpha (nominal metric) — the agreement coefficient
     * for labeling batches where raters differ per item and slots are
     * missing (the regime Fleiss' kappa can't handle; Krippendorff 2004

@@ -169,7 +169,9 @@ object GraftExtensions {
     binaryFn("l2_sq", classOf[graft.functions.L2Squared].getName,
       graft.functions.L2Squared(_, _)),
     binaryFn("intersect_size", classOf[graft.functions.IntersectSizeLong].getName,
-      graft.functions.IntersectSizeLong(_, _)))
+      graft.functions.IntersectSizeLong(_, _)),
+    binaryFn("lcs_length", classOf[graft.functions.LcsLength].getName,
+      graft.functions.LcsLength(_, _)))
 
   private def binaryFn(name: String, className: String,
       mk: (Expression, Expression) => Expression): FnEntry =

@@ -76,6 +76,80 @@ class EvalSpec extends AnyFunSuite {
       byId(3L).getDouble(8) == 0.0)
   }
 
+  private def chrfRef(cand: String, ref: String): (Double, Double, Double) = {
+    def grams(s: String, n: Int): Map[String, Int] =
+      if (s.length < n) Map.empty
+      else s.sliding(n).toSeq.groupBy(identity).map { case (g, o) => g -> o.size }
+    val (pms, rms) = (1 to 6).map { n =>
+      val (cg, rg) = (grams(cand, n), grams(ref, n))
+      val m = cg.map { case (g, c) => math.min(c, rg.getOrElse(g, 0)) }.sum
+      val cn = cg.values.sum; val rn = rg.values.sum
+      (if (cn > 0) math.floor(m.toDouble * 1000000.0 / cn + 0.5).toLong else 0L,
+        if (rn > 0) math.floor(m.toDouble * 1000000.0 / rn + 0.5).toLong else 0L)
+    }.unzip
+    val pm = math.floor(pms.sum.toDouble / 6 + 0.5).toLong
+    val rm = math.floor(rms.sum.toDouble / 6 + 0.5).toLong
+    val f = if (pm * 4 + rm > 0)
+      math.floor((pm * rm * 5L).toDouble / (pm * 4 + rm) + 0.5) / 1000000.0
+    else 0.0
+    (pm / 1000000.0, rm / 1000000.0, f)
+  }
+
+  test("chrF: identical = 1, empty = 0, randomized vs reference") {
+    val pairs = Seq(
+      (1L, "abcdefgh", "abcdefgh"),
+      (2L, "", "abc"),
+      (3L, "ab cd", "abcd")) // whitespace strips before gramming
+      .toDF("pair_id", "cand", "ref")
+    val out = Eval.chrF(pairs, "pair_id", "cand", "ref")
+      .orderBy("pair_id").collect()
+    assert(out(0).getDouble(5) == 1.0)
+    assert(out(1).getLong(1) == 0 && out(1).getDouble(5) == 0.0)
+    val (p3, r3, f3) = chrfRef("abcd", "abcd")
+    assert(out(2).getDouble(3) == p3 && out(2).getDouble(4) == r3 &&
+      out(2).getDouble(5) == f3) // strip makes them identical
+    val rnd = new scala.util.Random(65)
+    val cases = (10 until 110).map { i =>
+      def str() = Seq.fill(rnd.nextInt(11))("ab" (rnd.nextInt(2))).mkString
+      (i.toLong, str(), str())
+    }
+    val got = Eval.chrF(cases.toDF("pair_id", "cand", "ref"),
+      "pair_id", "cand", "ref").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getDouble(4),
+        r.getDouble(5))).toMap
+    cases.foreach { case (id, c, r) =>
+      assert(got(id) == chrfRef(c, r), s"chrF mismatch on ($c | $r)")
+    }
+  }
+
+  test("rocAuc: hand cases — perfect, random, tied") {
+    val perfect = Seq((0.1, 0), (0.2, 0), (0.8, 1), (0.9, 1))
+      .toDF("score", "y")
+    val p = Eval.rocAuc(perfect, "score", "y").collect()(0)
+    assert(p.getLong(0) == 2 && p.getLong(1) == 2 && p.getDouble(2) == 1.0)
+    // all scores tied -> midranks give exactly 0.5
+    val tied = Seq((0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)).toDF("score", "y")
+    assert(Eval.rocAuc(tied, "score", "y").collect()(0).getDouble(2) == 0.5)
+    // single class -> null
+    val mono = Seq((0.3, 1), (0.7, 1)).toDF("score", "y")
+    assert(Eval.rocAuc(mono, "score", "y").collect()(0).isNullAt(2))
+  }
+
+  test("rocAuc: randomized agreement with brute-force pair counting") {
+    val rnd = new scala.util.Random(64)
+    val rows = Seq.fill(300)((rnd.nextInt(20) / 20.0,
+      if (rnd.nextBoolean()) 1 else 0))
+    val pos = rows.filter(_._2 == 1).map(_._1)
+    val neg = rows.filter(_._2 == 0).map(_._1)
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val want = math.floor(wins * 2 * 1000000.0 / (pos.size * neg.size * 2)
+      + 0.5) / 1000000.0
+    val got = Eval.rocAuc(rows.toDF("score", "y"), "score", "y")
+      .collect()(0).getDouble(2)
+    assert(got == want, s"auc $got != brute-force $want")
+  }
+
   private def lcsRef(a: Seq[String], b: Seq[String]): Int = {
     val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
     for (i <- 1 to a.length; j <- 1 to b.length)

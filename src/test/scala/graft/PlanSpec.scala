@@ -760,7 +760,8 @@ class PlanSpec extends AnyFunSuite {
     // the (pair, gram) agg and the per-pair re-agg both pre-combine
     // (partial+final HashAggregate), the shuffle carries md5 keys and
     // counts, and nothing falls back to a UDF or a cartesian product
-    for ((q, label) <- Seq(("t57_rouge2", "rouge2"), ("t58_bleu", "bleu"))) {
+    for ((q, label) <- Seq(("t57_rouge2", "rouge2"), ("t58_bleu", "bleu"),
+      ("t65_chrf", "chrf"))) {
       val p = plan(q)
       assert(p.split("HashAggregate").length - 1 >= 4,
         s"$label: expected pre-combined agg pairs")
@@ -801,5 +802,13 @@ class PlanSpec extends AnyFunSuite {
       pc.contains("BroadcastNestedLoopJoin"),
       "calibration: ECE row must broadcast")
     assert(!pc.contains("UDF"), "calibration: UDF in plan")
+    // rocAuc: the corpus must collapse to score-cardinality counts
+    // (pre-combined HashAggregate) BEFORE the cumulative window runs —
+    // the window never sees corpus-cardinality rows
+    val pa = plan("t64_roc_auc")
+    assert(pa.split("HashAggregate").length - 1 >= 4,
+      "rocAuc: expected pre-combined score histogram + global fold")
+    assert(pa.contains("Window"), "rocAuc: cumulative window missing")
+    assert(!pa.contains("UDF"), "rocAuc: UDF in plan")
   }
 }

@@ -56,6 +56,34 @@ class PreferenceSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 1.0 && r.isNullAt(4))
   }
 
+  test("winRateIntervals: counts, canonical pair order, Wilson bounds") {
+    val matches = Seq(
+      ("x", "y", "x"), ("y", "x", "x"), ("x", "y", "x"), ("x", "y", "y"),
+      ("y", "z", "y"), ("z", "z", "z")) // self-match ignored
+      .toDF("a", "b", "winner")
+    val out = Preference.winRateIntervals(matches, "a", "b", "winner")
+      .orderBy("item_i", "item_j").collect()
+    assert(out.length == 2)
+    val xy = out(0)
+    assert(xy.getString(0) == "x" && xy.getString(1) == "y")
+    assert(xy.getLong(2) == 4 && xy.getLong(3) == 3)
+    assert(xy.getDouble(4) == 0.75)
+    // same fixed-shape arrangement as the operator
+    val (w, n, z) = (3.0, 4.0, 1.96)
+    val ph = w / n
+    val half = z * math.sqrt((ph * (1.0 - ph) + z * z / (n * 4)) / n)
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(xy.getDouble(5) == r6((ph + z * z / (n * 2) - half) /
+      (1.0 + z * z / n)))
+    assert(xy.getDouble(6) == r6((ph + z * z / (n * 2) + half) /
+      (1.0 + z * z / n)))
+    // degenerate n=1, w=1: interval stays within [0, 1]
+    val yz = out(1)
+    assert(yz.getLong(2) == 1 && yz.getDouble(4) == 1.0)
+    assert(yz.getDouble(5) >= 0.0 && yz.getDouble(6) <= 1.0 + 1e-9)
+  }
+
   test("krippendorffAlpha: perfect agreement = 1; unequal raters") {
     // u1 {x,x}, u2 {y,y,y}: Do = 0; marginals x=2,y=3,n=5
     // De = (2*3 + 3*2)/(5*4) = 0.6 -> alpha = 1

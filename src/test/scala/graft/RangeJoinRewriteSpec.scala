@@ -144,6 +144,11 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
         |       intersect_size(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS i""".stripMargin)
       .head
     assert(v.getDouble(0) == 11.0 && v.getDouble(1) == 8.0 && v.getInt(2) == 2)
+    val lcs = spark.sql(
+      """SELECT lcs_length(array('a', 'b', 'c', 'd'),
+        |                  array('a', 'x', 'b', 'y', 'd')) AS l""".stripMargin)
+      .head.getInt(0)
+    assert(lcs == 3)
     // non-literal k must fail loudly, not silently mis-sketch
     intercept[Exception] {
       spark.sql("SELECT misra_gries(item, length(item)) FROM VALUES ('a') AS t(item)")
