@@ -5612,6 +5612,113 @@ object Queries {
     Preference.fleissKappa(ratings, "doc_id", "label")
   }
 
+  // Unbiased pass@k (HumanEval estimator) over synthetic per-sample
+  // outcomes: ~n/200 samples per problem, 30% pass rate. The
+  // combinatorial C(n-c,k)/C(n,k) runs as the SAME left-to-right k-term
+  // product fold in both engines (each term a rational of exact
+  // integers), so the trajectory is engine-exact; n<k problems null,
+  // n-c<k problems score exactly 1 — hash oracle.
+  register(
+    "t66_pass_at_k",
+    """WITH s AS (
+      |  SELECT doc_id % 200 AS problem_id,
+      |         CASE WHEN (doc_id * 7) % 10 < 3 THEN 1 ELSE 0 END AS p
+      |  FROM documents),
+      |g AS (
+      |  SELECT problem_id, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(p) AS BIGINT) AS c
+      |  FROM s GROUP BY 1)
+      |SELECT problem_id, n, c,
+      |  CASE WHEN n < 1 THEN NULL WHEN n - c < 1 THEN 1.0
+      |       ELSE round(1.0 - list_reduce(list_transform(
+      |         generate_series(0, 0),
+      |         i -> CAST(n - c - i AS DOUBLE) / (n - i)),
+      |         (a, b) -> a * b), 6) END AS pass_at_1,
+      |  CASE WHEN n < 3 THEN NULL WHEN n - c < 3 THEN 1.0
+      |       ELSE round(1.0 - list_reduce(list_transform(
+      |         generate_series(0, 2),
+      |         i -> CAST(n - c - i AS DOUBLE) / (n - i)),
+      |         (a, b) -> a * b), 6) END AS pass_at_3
+      |FROM g ORDER BY problem_id""".stripMargin) { (s, dir) =>
+    val samples = t(s, dir, "documents").select(
+      (col("doc_id") % 200).as("problem_id"),
+      when((col("doc_id") * 7) % 10 < 3, 1).otherwise(0).as("p"))
+    Eval.passAtK(samples, "problem_id", "p", ks = Seq(1, 3))
+      .orderBy("problem_id")
+  }
+
+  // Per-class precision/recall/F1 + macro row for the t3/t42 language-ID
+  // classifier against gold labels — the confusion-matrix report that
+  // accuracy (t42) flattens away. One pre-combined (truth, pred) count;
+  // per-class ratios micro-floor; the macro row averages truth-present
+  // classes with an explicit Σ/n (avg()'s accumulation is
+  // engine-specific). Hash oracle over class rows + macro.
+  register(
+    "t67_classification_report",
+    """WITH toks AS (
+      |  SELECT doc_id, lang, list_distinct(list_filter(
+      |    string_split_regex(lower(text), '\s+'), x -> x != '')) AS tk
+      |  FROM documents),
+      |pred AS (
+      |  SELECT lang AS t, CASE
+      |    WHEN len(list_intersect(tk, ['the','a','and','scan','join'])) >=
+      |         len(list_intersect(tk, ['el','la','que','datos']))
+      |     AND len(list_intersect(tk, ['the','a','and','scan','join'])) >=
+      |         len(list_intersect(tk, ['der','die','und','das'])) THEN 'en'
+      |    WHEN len(list_intersect(tk, ['el','la','que','datos'])) >=
+      |         len(list_intersect(tk, ['der','die','und','das'])) THEN 'es'
+      |    ELSE 'de' END AS p
+      |  FROM toks),
+      |cells AS (SELECT t, p, CAST(count(*) AS BIGINT) AS n
+      |          FROM pred GROUP BY 1, 2),
+      |truth AS (SELECT t AS label, CAST(sum(n) AS BIGINT) AS n_true
+      |          FROM cells GROUP BY 1),
+      |pr AS (SELECT p AS label, CAST(sum(n) AS BIGINT) AS n_pred
+      |       FROM cells GROUP BY 1),
+      |tp AS (SELECT t AS label, n AS tp FROM cells WHERE t = p),
+      |pc AS (
+      |  SELECT coalesce(truth.label, pr.label) AS label,
+      |         coalesce(n_true, 0) AS n_true, coalesce(n_pred, 0) AS n_pred,
+      |         coalesce(tp.tp, 0) AS tp
+      |  FROM truth FULL JOIN pr ON pr.label = truth.label
+      |             LEFT JOIN tp ON tp.label = coalesce(truth.label, pr.label)),
+      |m AS (
+      |  SELECT label, n_true, n_pred, tp,
+      |    CASE WHEN n_pred > 0 THEN CAST(floor(CAST(tp AS DOUBLE) *
+      |      1000000.0 / n_pred + 0.5) AS BIGINT) END AS pm,
+      |    CASE WHEN n_true > 0 THEN CAST(floor(CAST(tp AS DOUBLE) *
+      |      1000000.0 / n_true + 0.5) AS BIGINT) END AS rm
+      |  FROM pc),
+      |m2 AS (
+      |  SELECT label, n_true, n_pred, tp, pm, rm,
+      |    CASE WHEN pm IS NOT NULL AND rm IS NOT NULL THEN
+      |      CASE WHEN pm + rm > 0 THEN CAST(floor(CAST(pm * rm * 2 AS
+      |        DOUBLE) / (pm + rm) + 0.5) AS BIGINT) ELSE 0 END END AS fm
+      |  FROM m),
+      |mac AS (
+      |  SELECT '__macro__' AS label,
+      |    CAST(sum(n_true) AS BIGINT) AS n_true,
+      |    CAST(sum(n_pred) AS BIGINT) AS n_pred,
+      |    CAST(sum(tp) AS BIGINT) AS tp,
+      |    CAST(floor(CAST(sum(coalesce(pm, 0)) AS DOUBLE) / count(*) + 0.5)
+      |      AS BIGINT) AS pm,
+      |    CAST(floor(CAST(sum(coalesce(rm, 0)) AS DOUBLE) / count(*) + 0.5)
+      |      AS BIGINT) AS rm,
+      |    CAST(floor(CAST(sum(coalesce(fm, 0)) AS DOUBLE) / count(*) + 0.5)
+      |      AS BIGINT) AS fm
+      |  FROM m2 WHERE n_true > 0)
+      |SELECT label, n_true, n_pred, tp, pm / 1000000.0 AS precision,
+      |       rm / 1000000.0 AS recall, fm / 1000000.0 AS f1
+      |FROM (SELECT * FROM m2 UNION ALL SELECT * FROM mac)
+      |ORDER BY label""".stripMargin) { (s, dir) =>
+    val scored = t(s, dir, "documents").select(col("lang").as("truth"),
+      TextAnalysis.langId(col("text"), Seq(
+        "en" -> Seq("the", "a", "and", "scan", "join"),
+        "es" -> Seq("el", "la", "que", "datos"),
+        "de" -> Seq("der", "die", "und", "das"))).as("pred"))
+    Eval.classificationReport(scored, "truth", "pred").orderBy("label")
+  }
+
   // chrF2 over character-corrupted candidates: every 3rd doc's candidate
   // has e->3 substitutions (the tokenization-free metric still scores
   // partial char overlap where word-gram BLEU collapses), every 31st is

@@ -169,6 +169,97 @@ object Eval {
       (col("__ecem").cast("double") / 1000000.0).as("ece"))
   }
 
+  /** Unbiased pass@k estimator (Chen et al. 2021, HumanEval §2.1) over
+    * per-sample outcome rows: for each problem with n samples and c
+    * passes, `pass@k = 1 − C(n−c, k)/C(n, k)`, computed as the exact
+    * left-to-right product `Π_{i<k} (n−c−i)/(n−i)` — each term is a
+    * rational of exact integers and the fold order is fixed, so the
+    * double trajectory is engine-exact (the oracle spells the same
+    * fold); 6-dp rounded. Problems with n − c < k (fewer failures than
+    * k draws) score 1 exactly; problems with n < k yield null (the
+    * estimator is undefined — not enough samples).
+    *
+    * Scale shape: one pre-combined (problem → n, c) count; the k-term
+    * fold is a scan-side expression over those two integers. Returns
+    * (problem_id, n, c, pass_at_<k>…) sorted columns per requested k. */
+  def passAtK(samples: DataFrame, problemCol: String, passCol: String,
+      ks: Seq[Int] = Seq(1, 10)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"passAtK needs ks >= 1, got $ks")
+    val perProblem = samples
+      .select(col(problemCol).as("problem_id"),
+        col(passCol).cast("long").as("__p"))
+      .groupBy("problem_id")
+      .agg(count(lit(1)).as("n"), sum(col("__p")).as("c"))
+    val cols = ks.map { k =>
+      val prod = aggregate(sequence(lit(0), lit(k - 1)), lit(1.0),
+        (acc, i) => acc * ((col("n") - col("c") - i).cast("double") /
+          (col("n") - i)))
+      when(col("n") < k, lit(null).cast("double"))
+        .when(col("n") - col("c") < k, 1.0)
+        .otherwise(round(lit(1.0) - prod, 6))
+        .as(s"pass_at_$k")
+    }
+    perProblem.select(col("problem_id") +: col("n") +: col("c") +: cols: _*)
+  }
+
+  /** Per-class precision/recall/F1 + macro averages from (truth,
+    * prediction) rows — the confusion-matrix report for the classifiers
+    * that gate a corpus (language-ID routing, quality/toxicity filters).
+    * Per class: tp / (tp + fp), tp / (tp + fn), harmonic on micro longs;
+    * a class never predicted has null precision, never occurring has
+    * null recall, F1 null when either side is. The `__macro__` row
+    * carries the unweighted means over classes appearing in the truth
+    * column (the standard macro convention) plus micro accuracy.
+    *
+    * Scale shape: ONE pre-combined (truth, pred) count collapses the
+    * corpus to confusion-cardinality rows; marginals and the macro fold
+    * all derive from that tiny table. Returns (label, n_true, n_pred,
+    * tp, precision, recall, f1) — one row per class plus `__macro__`. */
+  def classificationReport(scored: DataFrame, trueCol: String,
+      predCol: String): DataFrame = {
+    val cells = scored
+      .groupBy(col(trueCol).cast("string").as("t"),
+        col(predCol).cast("string").as("p"))
+      .agg(count(lit(1)).as("n"))
+    val truth = cells.groupBy(col("t").as("label"))
+      .agg(sum(col("n")).as("n_true"))
+    val pred = cells.groupBy(col("p").as("label"))
+      .agg(sum(col("n")).as("n_pred"))
+    val tp = cells.where(col("t") === col("p"))
+      .select(col("t").as("label"), col("n").as("tp"))
+    val perClass = truth.join(pred, Seq("label"), "full")
+      .join(tp, Seq("label"), "left")
+      .na.fill(0L, Seq("n_true", "n_pred", "tp"))
+    val pm = when(col("n_pred") > 0, microRatio(col("tp"), col("n_pred")))
+    val rm = when(col("n_true") > 0, microRatio(col("tp"), col("n_true")))
+    val f1m = when(pm.isNotNull && rm.isNotNull,
+      when(pm + rm > 0,
+        floor((pm * rm * 2L).cast("double") / (pm + rm) + 0.5).cast("long"))
+        .otherwise(0L))
+    val classRows = perClass.select(col("label"), col("n_true"),
+      col("n_pred"), col("tp"), pm.as("__pm"), rm.as("__rm"),
+      f1m.as("__fm"))
+    // macro over truth-present classes; micro accuracy = Σtp / Σn_true
+    // explicit Σ/n (not avg(): its accumulation strategy is
+    // engine-specific; an exact long sum over one division is not)
+    def meanMicro(c: Column): Column =
+      floor(sum(coalesce(c, lit(0L))).cast("double") / count(lit(1)) + 0.5)
+        .cast("long")
+    val macroRow = classRows.where(col("n_true") > 0)
+      .agg(sum(col("n_true")).as("n_true"), sum(col("n_pred")).as("n_pred"),
+        sum(col("tp")).as("tp"),
+        meanMicro(col("__pm")).as("__pm"),
+        meanMicro(col("__rm")).as("__rm"),
+        meanMicro(col("__fm")).as("__fm"))
+      .select(lit("__macro__").as("label"), col("n_true"), col("n_pred"),
+        col("tp"), col("__pm"), col("__rm"), col("__fm"))
+    classRows.unionByName(macroRow).select(
+      col("label"), col("n_true"), col("n_pred"), col("tp"),
+      (col("__pm").cast("double") / 1000000.0).as("precision"),
+      (col("__rm").cast("double") / 1000000.0).as("recall"),
+      (col("__fm").cast("double") / 1000000.0).as("f1"))
+  }
+
   /** Character n-grams as a MULTISET (per-position substr — chars have
     * no array to zip_with over); empty when the string is shorter than
     * n. */

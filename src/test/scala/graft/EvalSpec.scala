@@ -76,6 +76,57 @@ class EvalSpec extends AnyFunSuite {
       byId(3L).getDouble(8) == 0.0)
   }
 
+  test("passAtK: closed-form values, saturation, and undefined n<k") {
+    // problem 1: n=4, c=1 -> pass@1 = 1 - 3/4 = 0.25;
+    //   pass@3 = 1 - (3*2*1)/(4*3*2) = 0.75
+    // problem 2: n=4, c=2 -> n-c=2 < 3 -> pass@3 = 1 exactly
+    // problem 3: n=2 -> pass@3 undefined (null)
+    val samples = Seq(
+      (1L, 1), (1L, 0), (1L, 0), (1L, 0),
+      (2L, 1), (2L, 1), (2L, 0), (2L, 0),
+      (3L, 0), (3L, 1)).toDF("problem_id", "p")
+    val out = Eval.passAtK(samples, "problem_id", "p", ks = Seq(1, 3))
+      .orderBy("problem_id").collect()
+    assert(out(0).getDouble(3) == 0.25 && out(0).getDouble(4) == 0.75)
+    assert(out(1).getDouble(4) == 1.0)
+    assert(out(2).getDouble(3) == 0.5 && out(2).isNullAt(4))
+  }
+
+  test("classificationReport: confusion algebra and macro row") {
+    // truth a: 3 (2 as a, 1 as b); truth b: 1 (as b); c predicted never
+    // truth-present but... use: truth {a,a,a,b}, pred {a,a,b,b}
+    val scored = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"))
+      .toDF("truth", "pred")
+    val out = Eval.classificationReport(scored, "truth", "pred")
+      .orderBy("label").collect()
+    val byL = out.map(r => r.getString(0) -> r).toMap
+    val a = byL("a")
+    assert(a.getLong(1) == 3 && a.getLong(2) == 2 && a.getLong(3) == 2)
+    assert(a.getDouble(4) == 1.0)      // 2/2 predicted-a correct
+    assert(a.getDouble(5) == 0.666667) // 2/3 truth-a recovered
+    assert(a.getDouble(6) == 0.8)      // 2*1e6*666667/(1666667) = 800000.2->800000
+    val b = byL("b")
+    assert(b.getDouble(4) == 0.5 && b.getDouble(5) == 1.0)
+    assert(b.getDouble(6) == 0.666667)
+    val m = byL("__macro__")
+    assert(m.getLong(1) == 4 && m.getLong(3) == 3)
+    assert(m.getDouble(4) == 0.75)     // (1e6 + 5e5)/2
+    assert(m.getDouble(5) == 0.833334) // (666667+1000000)/2 = 833333.5 -> 833334
+    assert(m.getDouble(6) == 0.733334) // (800000+666667)/2 = 733333.5 -> 733334
+  }
+
+  test("classificationReport: never-predicted and never-true classes") {
+    val scored = Seq(("a", "a"), ("a", "c"), ("b", "a"))
+      .toDF("truth", "pred")
+    val out = Eval.classificationReport(scored, "truth", "pred")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("b").getLong(2) == 0 && out("b").isNullAt(4) &&
+      out("b").getDouble(5) == 0.0 && out("b").isNullAt(6))
+    assert(out("c").getLong(1) == 0 && out("c").isNullAt(5))
+    // macro only over truth-present classes (a, b), null pm counts as 0
+    assert(out("__macro__").getLong(1) == 3)
+  }
+
   private def chrfRef(cand: String, ref: String): (Double, Double, Double) = {
     def grams(s: String, n: Int): Map[String, Int] =
       if (s.length < n) Map.empty
