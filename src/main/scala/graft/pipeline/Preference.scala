@@ -135,6 +135,16 @@ object Preference {
       .agg(count(lit(1)).as("n"),
         sum(when(col("winner") === least(col("a"), col("b")), 1L)
           .otherwise(0L)).as("wins"))
+    winRateIntervalsFromCounts(pc, z)
+  }
+
+  /** The Wilson projection over ALREADY-AGGREGATED matchup counts
+    * (item_i, item_j, n, wins) — the stored/streaming seam: match
+    * counts are LINEAR, so per-batch count rows roll up by summing
+    * (the moment-store pattern) and feed this without rescanning
+    * matches; [[winRateIntervals]] is this over a one-shot count. */
+  def winRateIntervalsFromCounts(pc: DataFrame,
+      z: Double = 1.96): DataFrame = {
     val ph = col("wins").cast("double") / col("n")
     val z2 = lit(z) * lit(z)
     val half = lit(z) * sqrt((ph * (lit(1.0) - ph) + z2 / (col("n") * 4)) /
@@ -223,18 +233,34 @@ object Preference {
     * micro-weight break by item). */
   def btRank(matches: DataFrame, aCol: String, bCol: String,
       winnerCol: String, iters: Int = 3): DataFrame = {
-    require(iters >= 1, s"btRank needs iters >= 1, got $iters")
     val m = matches
       .select(col(aCol).cast("string").as("a"),
         col(bCol).cast("string").as("b"),
         col(winnerCol).cast("string").as("winner"))
       .where(col("a") =!= col("b"))
-    val pairCounts = m
-      .groupBy(least(col("a"), col("b")).as("i"),
+    btRankFromCounts(
+      m.groupBy(least(col("a"), col("b")).as("i"),
         greatest(col("a"), col("b")).as("j"))
-      .agg(count(lit(1)).as("nij"))
+        .agg(count(lit(1)).as("nij")),
+      m.groupBy(col("winner").as("item")).agg(count(lit(1)).as("wi")),
+      iters)
+  }
+
+  /** The MM solve over ALREADY-AGGREGATED (i, j, nij) match counts and
+    * (item, wi) win counts — the stored/streaming seam mirroring
+    * [[winRateIntervalsFromCounts]]: both tables are linear in the
+    * match stream, so per-batch rows roll up by summing and re-rank
+    * without rescanning matches; [[btRank]] is this over a one-shot
+    * count pass. */
+  def btRankFromCounts(pairCountsDf: DataFrame, winsDf: DataFrame,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"btRank needs iters >= 1, got $iters")
+    val pairCounts = pairCountsDf
+      .select(col("i").cast("string"), col("j").cast("string"),
+        col("nij").cast("long"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    val wins = m.groupBy(col("winner")).agg(count(lit(1)).as("wi"))
+    val wins = winsDf
+      .select(col("item").cast("string"), col("wi").cast("long"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     require(pairCounts.nonEmpty, "btRank: no valid matches")
 
@@ -260,7 +286,7 @@ object Preference {
         it -> math.floor(w.toDouble * nItems * 1000000.0 / s + 0.5).toLong
       }.toMap
     }
-    val spark = matches.sparkSession
+    val spark = pairCountsDf.sparkSession
     import spark.implicits._
     val ranked = items.map(it => (it, wm(it)))
       .sortBy { case (it, w) => (-w, it) }

@@ -201,6 +201,38 @@ class EvalSpec extends AnyFunSuite {
     assert(got == want, s"auc $got != brute-force $want")
   }
 
+  test("corpus invariants: every metric scores a self-pair perfect") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").as("pair_id"), col("text").as("cand"),
+        col("text").as("ref"))
+    val r2 = Eval.rougeN(d, "pair_id", "cand", "ref", 2)
+      .where(col("cand_grams") > 0)
+    assert(r2.where(col("rouge_f1") =!= 1.0).count() == 0, "rouge2 self != 1")
+    assert(r2.count() > 0)
+    val bl = Eval.bleu(d, "pair_id", "cand", "ref")
+      .where(col("cand_len") > 0)
+    assert(bl.where(col("bleu") =!= 1.0).count() == 0, "bleu self != 1")
+    val cf = Eval.chrF(d, "pair_id", "cand", "ref")
+      .where(col("cand_chars") > 0)
+    assert(cf.where(col("chrf2") =!= 1.0).count() == 0, "chrF self != 1")
+    val rl = Eval.rougeL(d, "pair_id", "cand", "ref")
+      .where(col("cand_len") > 0)
+    assert(rl.where(col("rouge_f1") =!= 1.0 ||
+      col("lcs") =!= col("cand_len")).count() == 0, "rougeL self != 1")
+  }
+
+  test("corpus invariant: labels ordered by score give AUC exactly 1") {
+    import org.apache.spark.sql.functions._
+    val scored = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select((col("n_chars").cast("double") / 10000.0).as("score"),
+        (col("n_chars") > 500).cast("int").as("y"))
+    val r = Eval.rocAuc(scored, "score", "y").collect()(0)
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0, "need both classes")
+    assert(r.getDouble(2) == 1.0, s"perfectly-ordered AUC = ${r.getDouble(2)}")
+  }
+
   private def lcsRef(a: Seq[String], b: Seq[String]): Int = {
     val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
     for (i <- 1 to a.length; j <- 1 to b.length)

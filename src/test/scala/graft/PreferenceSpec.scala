@@ -84,6 +84,49 @@ class PreferenceSpec extends AnyFunSuite {
     assert(yz.getDouble(5) >= 0.0 && yz.getDouble(6) <= 1.0 + 1e-9)
   }
 
+  test("from-counts seam: split-batch count rollup == one-shot") {
+    import org.apache.spark.sql.functions._
+    val all = Seq(
+      ("x", "y", "x"), ("x", "y", "x"), ("x", "y", "y"), ("y", "z", "y"),
+      ("x", "z", "x"), ("y", "z", "z"), ("x", "z", "x"), ("x", "y", "x"))
+      .toDF("a", "b", "winner")
+    // two "micro-batches" counted separately, rolled up by summing —
+    // the store path — must equal the one-shot pass exactly
+    val batches = Seq(all.limit(3), all.offset(3))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(least(col("a"), col("b")).as("i"),
+        greatest(col("a"), col("b")).as("j"), col("winner"))
+    val pcRolled = batches.map(b => canon(b)
+        .groupBy("i", "j").agg(count(lit(1)).as("nij")))
+      .reduce(_ unionByName _)
+      .groupBy("i", "j").agg(sum(col("nij")).as("nij"))
+    val winsRolled = batches.map(_.groupBy(col("winner").as("item"))
+        .agg(count(lit(1)).as("wi")))
+      .reduce(_ unionByName _)
+      .groupBy("item").agg(sum(col("wi")).as("wi"))
+    val oneShot = Preference.btRank(all, "a", "b", "winner", iters = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val stored = Preference.btRankFromCounts(pcRolled, winsRolled, iters = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(stored.sortBy(_._1).toSeq == oneShot.sortBy(_._1).toSeq)
+    val wrOne = Preference.winRateIntervals(all, "a", "b", "winner")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(5), r.getDouble(6)))
+    val pcWins = pcRolled.join(
+      batches.map(b => canon(b).where(col("winner") === col("i"))
+          .groupBy("i", "j").agg(count(lit(1)).as("wins")))
+        .reduce(_ unionByName _)
+        .groupBy("i", "j").agg(sum(col("wins")).as("wins")),
+      Seq("i", "j"), "left").na.fill(0L, Seq("wins"))
+      .select(col("i").as("item_i"), col("j").as("item_j"),
+        col("nij").as("n"), col("wins"))
+    val wrStored = Preference.winRateIntervalsFromCounts(pcWins)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(5), r.getDouble(6)))
+    assert(wrStored.sortBy(t => (t._1, t._2)).toSeq ==
+      wrOne.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
   test("krippendorffAlpha: perfect agreement = 1; unequal raters") {
     // u1 {x,x}, u2 {y,y,y}: Do = 0; marginals x=2,y=3,n=5
     // De = (2*3 + 3*2)/(5*4) = 0.6 -> alpha = 1
