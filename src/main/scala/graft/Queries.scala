@@ -5936,6 +5936,74 @@ object Queries {
     Preference.krippendorffAlpha(ratings, "doc_id", "label")
   }
 
+  // Dawid–Skene label aggregation (one hard-EM round, fully unrolled in
+  // the oracle): the t62 rating construction (3 raters, missing slots,
+  // 'en'-biased noise) aggregated beyond majority vote — worker
+  // confusion matrices learned from the majority init re-weight every
+  // vote. Log terms micro-floor before the only cross-row sums; ties
+  // break to the smallest label at both argmax sites. Hash oracle over
+  // (item, label, n_votes, n_agree).
+  register(
+    "t68_dawid_skene",
+    """WITH ratings AS (
+      |  SELECT CAST(doc_id AS VARCHAR) AS item,
+      |         'w' || CAST(r AS VARCHAR) AS worker,
+      |         CASE WHEN (doc_id * 3 + r) % 5 < 3 THEN lang
+      |              ELSE 'en' END AS vote
+      |  FROM documents, (SELECT unnest([0, 1, 2]) AS r)
+      |  WHERE (doc_id + r) % 7 != 0),
+      |kk AS (SELECT CAST(count(DISTINCT vote) AS BIGINT) AS k FROM ratings),
+      |nn AS (SELECT CAST(count(DISTINCT item) AS BIGINT) AS n FROM ratings),
+      |labels AS (SELECT DISTINCT vote AS cand FROM ratings),
+      |mj AS (SELECT item, vote, count(*) AS c FROM ratings GROUP BY 1, 2),
+      |init AS (SELECT item, vote AS t FROM (
+      |    SELECT item, vote, row_number() OVER (PARTITION BY item
+      |      ORDER BY c DESC, vote ASC) AS rn FROM mj) WHERE rn = 1),
+      |assigned AS (
+      |  SELECT r.item, r.worker, r.vote, i.t
+      |  FROM ratings r JOIN init i ON i.item = r.item),
+      |cwtv AS (SELECT worker, t, vote, CAST(count(*) AS BIGINT) AS cnt
+      |         FROM assigned GROUP BY 1, 2, 3),
+      |cwt AS (SELECT worker, t, CAST(sum(cnt) AS BIGINT) AS tot
+      |        FROM cwtv GROUP BY 1, 2),
+      |prior AS (SELECT t AS cand, CAST(count(*) AS BIGINT) AS nt
+      |          FROM init GROUP BY 1),
+      |escore AS (
+      |  SELECT r.item, l.cand,
+      |    CAST(sum(CAST(floor(ln(CAST(coalesce(cv.cnt, 0) + 1 AS DOUBLE) /
+      |      (coalesce(ct.tot, 0) + kk.k)) * 1000000.0 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS s
+      |  FROM ratings r
+      |  CROSS JOIN labels l CROSS JOIN kk
+      |  LEFT JOIN cwtv cv ON cv.worker = r.worker AND cv.t = l.cand
+      |                   AND cv.vote = r.vote
+      |  LEFT JOIN cwt ct ON ct.worker = r.worker AND ct.t = l.cand
+      |  GROUP BY 1, 2),
+      |wprior AS (
+      |  SELECT e.item, e.cand,
+      |    e.s + CAST(floor(ln(CAST(coalesce(p.nt, 0) + 1 AS DOUBLE) /
+      |      (nn.n + kk.k)) * 1000000.0 + 0.5) AS BIGINT) AS s
+      |  FROM escore e LEFT JOIN prior p ON p.cand = e.cand, nn, kk),
+      |assign1 AS (SELECT item, cand AS t FROM (
+      |    SELECT item, cand, row_number() OVER (PARTITION BY item
+      |      ORDER BY s DESC, cand ASC) AS rn FROM wprior) WHERE rn = 1)
+      |SELECT r.item, a.t AS label, CAST(count(*) AS BIGINT) AS n_votes,
+      |       CAST(sum(CASE WHEN r.vote = a.t THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_agree
+      |FROM ratings r JOIN assign1 a ON a.item = r.item
+      |GROUP BY 1, 2 ORDER BY CAST(r.item AS BIGINT)""".stripMargin) { (s, dir) =>
+    val ratings = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(0), lit(2))).as("r"))
+      .where((col("doc_id") + col("r")) % 7 =!= 0)
+      .select(col("doc_id").cast("string").as("item"),
+        concat(lit("w"), col("r").cast("string")).as("worker"),
+        when((col("doc_id") * 3 + col("r")) % 5 < 3, col("lang"))
+          .otherwise(lit("en")).as("vote"))
+    Preference.dawidSkene(ratings, "item", "worker", "vote", iters = 1)
+      .orderBy(col("item").cast("long"))
+  }
+
   // Bradley–Terry strength ranking from pairwise outcomes: adjacent docs
   // of different languages "play a match" won by the longer doc, and 3
   // MM rounds turn the win/match counts into per-language strengths —

@@ -208,6 +208,78 @@ object Preference {
         .as("alpha"))
   }
 
+  /** Dawid–Skene label aggregation (hard-EM variant; Dawid & Skene
+    * 1979) — THE crowd-label step beyond majority vote: workers get a
+    * learned confusion matrix, so an accurate rater outvotes a spammer
+    * even 1-vs-1. Init = per-item majority (ties to the smallest
+    * label); each round then (M) counts worker confusion
+    * `p(vote|true, w) = (c + 1)/(tot + K)` and class priors
+    * `(n_t + 1)/(N + K)` (add-1 smoothing — all-integer counts), and
+    * (E) re-assigns each item to the label maximizing
+    * `Σ log-terms`, with every log term floor-lifted to micro longs
+    * BEFORE the cross-row sum (exact integer sums; the t12 ln/round-6
+    * determinism precedent), ties to the smallest label.
+    *
+    * Scale shape: per round, confusion/prior tables are
+    * worker×K²-cardinality; the E-step joins each vote against the K
+    * candidate labels (a broadcast of the K-row label set) and
+    * pre-combines the (item, candidate) log-sums; `localCheckpoint`
+    * per round keeps the iterative lineage flat. Returns one row per
+    * item: (item, label, n_votes, n_agree) where n_agree counts votes
+    * matching the final label. */
+  def dawidSkene(ratings: DataFrame, itemCol: String, workerCol: String,
+      labelCol: String, iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"dawidSkene needs iters >= 1, got $iters")
+    val votes = ratings.select(col(itemCol).cast("string").as("item"),
+      col(workerCol).cast("string").as("worker"),
+      col(labelCol).cast("string").as("vote")).localCheckpoint()
+    val labels = votes.select(col("vote").as("cand")).distinct()
+    val k = labels.count()
+    val nItems = broadcast(votes.select(col("item")).distinct()
+      .agg(count(lit(1)).as("__n")))
+    import org.apache.spark.sql.expressions.Window
+    def lm(c: Column): Column = floor(log(c) * 1000000.0 + 0.5).cast("long")
+    val wIn = Window.partitionBy("item")
+    var assign = votes.groupBy("item", "vote").agg(count(lit(1)).as("__c"))
+      .withColumn("__rn", row_number().over(
+        wIn.orderBy(col("__c").desc, col("vote").asc)))
+      .where(col("__rn") === 1)
+      .select(col("item"), col("vote").as("t"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val assigned = votes.join(assign, "item")
+      val cwtv = assigned.groupBy("worker", "t", "vote")
+        .agg(count(lit(1)).as("__cnt"))
+      val cwt = cwtv.groupBy("worker", "t").agg(sum(col("__cnt")).as("__tot"))
+      val prior = assign.groupBy(col("t").as("cand"))
+        .agg(count(lit(1)).as("__nt"))
+      val cand = votes.crossJoin(broadcast(labels))
+        .join(cwtv.withColumnRenamed("t", "cand"),
+          Seq("worker", "cand", "vote"), "left")
+        .join(cwt.withColumnRenamed("t", "cand"),
+          Seq("worker", "cand"), "left")
+        .select(col("item"), col("cand"),
+          lm((coalesce(col("__cnt"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("__tot"), lit(0L)) + k)).as("__lm"))
+        .groupBy("item", "cand").agg(sum(col("__lm")).as("__score"))
+      assign = cand
+        .join(broadcast(prior), Seq("cand"), "left")
+        .crossJoin(nItems)
+        .withColumn("__score", col("__score") +
+          lm((coalesce(col("__nt"), lit(0L)) + 1).cast("double") /
+            (col("__n") + k)))
+        .withColumn("__rn", row_number().over(
+          wIn.orderBy(col("__score").desc, col("cand").asc)))
+        .where(col("__rn") === 1)
+        .select(col("item"), col("cand").as("t"))
+        .localCheckpoint()
+    }
+    votes.join(assign, "item")
+      .groupBy(col("item"), col("t").as("label"))
+      .agg(count(lit(1)).as("n_votes"),
+        sum(when(col("vote") === col("t"), 1L).otherwise(0L)).as("n_agree"))
+  }
+
   /** Bradley–Terry strength estimation from pairwise outcomes — the
     * preference-aggregation step that turns A-vs-B human verdicts into a
     * per-contestant strength/ranking (policy comparisons, arena-style

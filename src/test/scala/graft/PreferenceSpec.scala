@@ -159,6 +159,36 @@ class PreferenceSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 0.0 && r.isNullAt(4))
   }
 
+  test("dawidSkene: EM recovers what majority voting cannot") {
+    // w1/w2 accurate, w3 always votes 'a' (a spammer). Disputed items
+    // 7-8 see only w1 ('x', correct) vs w3 ('a') — a 1-1 tie majority
+    // init resolves WRONG (smallest label 'a'). One EM round learns
+    // w1's accuracy and w3's constant-'a' confusion from the anchor
+    // items and flips the disputed items to 'x'.
+    val votes = (
+      (1 to 4).flatMap(i => Seq((i, "w1", "x"), (i, "w2", "x"),
+        (i, "w3", "a"))) ++
+      (5 to 6).flatMap(i => Seq((i, "w1", "a"), (i, "w2", "a"),
+        (i, "w3", "a"))) ++
+      (7 to 8).flatMap(i => Seq((i, "w1", "x"), (i, "w3", "a"))))
+      .toDF("item", "worker", "vote")
+    val out = Preference.dawidSkene(votes, "item", "worker", "vote",
+      iters = 1).collect()
+      .map(r => r.getString(0).toInt -> r).toMap
+    (1 to 4).foreach(i => assert(out(i).getString(1) == "x"))
+    (5 to 6).foreach(i => assert(out(i).getString(1) == "a"))
+    (7 to 8).foreach { i =>
+      assert(out(i).getString(1) == "x",
+        s"item $i: EM failed to overrule the spammer")
+      assert(out(i).getLong(2) == 2 && out(i).getLong(3) == 1)
+    }
+    // a second round is stable (the fixed point holds)
+    val out2 = Preference.dawidSkene(votes, "item", "worker", "vote",
+      iters = 2).collect().map(r => r.getString(0).toInt -> r.getString(1))
+      .toMap
+    assert((1 to 8).forall(i => out2(i) == out(i).getString(1)))
+  }
+
   test("btRank: dominance ordering and mean-1 normalization") {
     // A beats B 2-1, B beats C 2-1, A beats C 2-0: expect A > B > C
     val m = Seq(("A", "B", "A"), ("A", "B", "A"), ("A", "B", "B"),
