@@ -5936,6 +5936,72 @@ object Queries {
     Preference.krippendorffAlpha(ratings, "doc_id", "label")
   }
 
+  // Retrieval eval at k=10 — recall/MRR/nDCG per query over synthetic
+  // ranked runs (rank = deterministic 13x%97 scramble within each
+  // query's candidate group) against graded judgments (rel 2/1/0 by an
+  // 11x%5 cycle). DCG terms micro-floor per (hit, rank) before the
+  // per-query sums; nDCG divides the two micro sums — hash oracle.
+  register(
+    "t69_retrieval_metrics",
+    """WITH base AS (
+      |  SELECT doc_id, 'q' || CAST(doc_id % 20 AS VARCHAR) AS q_id
+      |  FROM documents),
+      |runs AS (
+      |  SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id
+      |    ORDER BY (doc_id * 13) % 97, doc_id) AS BIGINT) AS rnk
+      |  FROM base),
+      |runk AS (SELECT * FROM runs WHERE rnk <= 10),
+      |rel AS (
+      |  SELECT * FROM (
+      |    SELECT q_id, doc_id,
+      |           CASE CAST((doc_id * 11) % 5 AS INT)
+      |                WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END AS rel
+      |    FROM base) WHERE rel > 0),
+      |j AS (
+      |  SELECT r.q_id, r.rnk,
+      |         CAST(floor((power(2, e.rel) - 1.0) * 1000000.0 /
+      |           log2(r.rnk + 1) + 0.5) AS BIGINT) AS term
+      |  FROM runk r JOIN rel e ON e.q_id = r.q_id AND e.doc_id = r.doc_id),
+      |perq AS (
+      |  SELECT q_id, CAST(count(*) AS BIGINT) AS hits,
+      |         CAST(min(rnk) AS BIGINT) AS minrnk,
+      |         CAST(sum(term) AS BIGINT) AS dcg
+      |  FROM j GROUP BY 1),
+      |ideal AS (
+      |  SELECT q_id, CAST(sum(CAST(floor((power(2, rel) - 1.0) * 1000000.0
+      |    / log2(irnk + 1) + 0.5) AS BIGINT)) AS BIGINT) AS idcg FROM (
+      |      SELECT q_id, rel, row_number() OVER (PARTITION BY q_id
+      |        ORDER BY rel DESC, doc_id ASC) AS irnk FROM rel)
+      |  WHERE irnk <= 10 GROUP BY 1),
+      |ra AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_rel
+      |       FROM rel GROUP BY 1),
+      |qs AS (SELECT DISTINCT q_id FROM runs)
+      |SELECT qs.q_id, coalesce(n_rel, 0) AS n_rel, coalesce(hits, 0) AS hits,
+      |  CASE WHEN coalesce(n_rel, 0) > 0 THEN
+      |    floor(CAST(coalesce(hits, 0) AS DOUBLE) * 1000000.0 / n_rel + 0.5)
+      |      / 1000000.0 END AS recall_at_k,
+      |  coalesce(CASE WHEN minrnk IS NOT NULL THEN
+      |    floor(1000000.0 / minrnk + 0.5) / 1000000.0 END, 0.0) AS mrr_at_k,
+      |  CASE WHEN idcg > 0 THEN
+      |    floor(CAST(coalesce(dcg, 0) AS DOUBLE) * 1000000.0 / idcg + 0.5)
+      |      / 1000000.0 END AS ndcg_at_k
+      |FROM qs LEFT JOIN ra USING (q_id) LEFT JOIN perq USING (q_id)
+      |        LEFT JOIN ideal USING (q_id)
+      |ORDER BY q_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val base = t(s, dir, "documents").select(col("doc_id"),
+      concat(lit("q"), (col("doc_id") % 20).cast("string")).as("q_id"))
+    val runs = base.withColumn("rank", row_number().over(
+      Window.partitionBy("q_id")
+        .orderBy((col("doc_id") * 13) % 97, col("doc_id"))))
+    val qrels = base.select(col("q_id"), col("doc_id"),
+      when((col("doc_id") * 11) % 5 === 0, 2)
+        .when((col("doc_id") * 11) % 5 === 1, 1).otherwise(0).as("rel"))
+    Eval.retrievalMetrics(runs, qrels, "q_id", "doc_id", "rank", "rel",
+        k = 10)
+      .orderBy("q_id")
+  }
+
   // Dawid–Skene label aggregation (one hard-EM round, fully unrolled in
   // the oracle): the t62 rating construction (3 raters, missing slots,
   // 'en'-biased noise) aggregated beyond majority vote — worker

@@ -169,6 +169,64 @@ object Eval {
       (col("__ecem").cast("double") / 1000000.0).as("ece"))
   }
 
+  /** Retrieval evaluation at k — recall@k, MRR@k, and nDCG@k per query
+    * from a ranked run table against graded relevance judgments (the
+    * missing half of the [[Retrieval]] family: BM25/RRF produce ranked
+    * lists; this scores them). Gains are the standard `2^rel − 1`;
+    * discounts `1/log2(rank+1)`; the ideal ranking sorts each query's
+    * judgments by (rel desc, doc asc). Every DCG term micro-floors
+    * BEFORE its per-query sum, MRR is the exact rational 1/first-hit
+    * rank, and nDCG divides the two micro sums — so the rows
+    * hash-match a SQL oracle (log2 rides the t12 ln/round precedent).
+    * Queries with no positive judgments yield null recall/nDCG.
+    *
+    * Scale shape: equi-joins on (query, doc) skinny keys; the ideal
+    * ranking window partitions per query over judgment-list-bounded
+    * rows; everything pre-combines. Expects the SAME `qCol`/`docCol`
+    * names in both inputs. Returns (q_id, n_rel, hits, recall_at_k,
+    * mrr_at_k, ndcg_at_k). */
+  def retrievalMetrics(runs: DataFrame, qrels: DataFrame, qCol: String,
+      docCol: String, rankCol: String, relCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"retrievalMetrics needs k >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val run = runs.select(col(qCol).as("q_id"), col(docCol).as("doc_id"),
+      col(rankCol).cast("long").as("rnk")).where(col("rnk") <= k)
+    val rel = qrels.select(col(qCol).as("q_id"), col(docCol).as("doc_id"),
+      col(relCol).cast("long").as("rel")).where(col("rel") > 0)
+    def dcgTerm(relC: Column, rankC: Column): Column =
+      floor((pow(lit(2.0), relC) - 1.0) * 1000000.0 / log2(rankC + 1) + 0.5)
+        .cast("long")
+    val perQ = run.join(rel, Seq("q_id", "doc_id"))
+      .select(col("q_id"), col("rnk"), dcgTerm(col("rel"), col("rnk"))
+        .as("__term"))
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("hits"), min(col("rnk")).as("__minrnk"),
+        sum(col("__term")).as("__dcg"))
+    val ideal = rel
+      .withColumn("__irnk", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("rel").desc, col("doc_id").asc)))
+      .where(col("__irnk") <= k)
+      .select(col("q_id"), dcgTerm(col("rel"), col("__irnk")).as("__it"))
+      .groupBy("q_id").agg(sum(col("__it")).as("__idcg"))
+    val relAgg = rel.groupBy("q_id").agg(count(lit(1)).as("n_rel"))
+    runs.select(col(qCol).as("q_id")).distinct()
+      .join(relAgg, Seq("q_id"), "left")
+      .join(perQ, Seq("q_id"), "left")
+      .join(ideal, Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_rel", "hits", "__dcg"))
+      .select(col("q_id"), col("n_rel"), col("hits"),
+        when(col("n_rel") > 0,
+          floor(col("hits").cast("double") * 1000000.0 / col("n_rel") + 0.5)
+            / 1000000.0).as("recall_at_k"),
+        coalesce(when(col("__minrnk").isNotNull,
+          floor(lit(1000000.0) / col("__minrnk") + 0.5) / 1000000.0),
+          lit(0.0)).as("mrr_at_k"),
+        when(col("__idcg") > 0,
+          floor(col("__dcg").cast("double") * 1000000.0 / col("__idcg") + 0.5)
+            / 1000000.0).as("ndcg_at_k"))
+  }
+
   /** Unbiased pass@k estimator (Chen et al. 2021, HumanEval §2.1) over
     * per-sample outcome rows: for each problem with n samples and c
     * passes, `pass@k = 1 − C(n−c, k)/C(n, k)`, computed as the exact

@@ -201,6 +201,42 @@ class EvalSpec extends AnyFunSuite {
     assert(got == want, s"auc $got != brute-force $want")
   }
 
+  test("retrievalMetrics: hand-computed recall/MRR/nDCG") {
+    import org.apache.spark.sql.functions.{col => c}
+    // q1: run [d1, d2, d3]; rels d2:2, d3:1, d9:1 (d9 unretrieved)
+    // q2: run [d4, d5]; no relevant docs at all
+    val runs = Seq(("q1", 1L, 1L), ("q1", 2L, 2L), ("q1", 3L, 3L),
+      ("q2", 4L, 1L), ("q2", 5L, 2L)).toDF("q", "doc", "rank")
+    val qrels = Seq(("q1", 2L, 2), ("q1", 3L, 1), ("q1", 9L, 1),
+      ("q2", 4L, 0)).toDF("q", "doc", "rel")
+    val out = Eval.retrievalMetrics(runs, qrels, "q", "doc", "rank", "rel",
+      k = 3).orderBy("q_id").collect()
+    val q1 = out(0)
+    assert(q1.getLong(1) == 3 && q1.getLong(2) == 2)
+    assert(q1.getDouble(3) == 0.666667)  // 2 of 3 rels retrieved
+    assert(q1.getDouble(4) == 0.5)       // first hit at rank 2
+    // DCG terms: d2 at r2: 3e6/log2(3)=1892789.26 -> 1892789
+    //            d3 at r3: 1e6/2 = 500000  => dcg 2392789
+    // ideal: rel 2 at r1 (3e6), rel 1 at r2 (1e6/log2(3)=630929.75 ->
+    //   630930), rel 1 at r3 (500000) => idcg 4130930
+    assert(q1.getDouble(5) ==
+      math.floor(2392789.0 * 1000000.0 / 4130930 + 0.5) / 1000000.0)
+    val q2 = out(1)
+    assert(q2.getLong(1) == 0 && q2.isNullAt(3) && q2.getDouble(4) == 0.0 &&
+      q2.isNullAt(5))
+  }
+
+  test("retrievalMetrics: perfect ranking gives nDCG exactly 1") {
+    val runs = Seq(("q", 1L, 1L), ("q", 2L, 2L), ("q", 3L, 3L))
+      .toDF("q", "doc", "rank")
+    val qrels = Seq(("q", 1L, 3), ("q", 2L, 2), ("q", 3L, 1))
+      .toDF("q", "doc", "rel")
+    val r = Eval.retrievalMetrics(runs, qrels, "q", "doc", "rank", "rel",
+      k = 3).collect()(0)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0 &&
+      r.getDouble(5) == 1.0)
+  }
+
   test("corpus invariants: every metric scores a self-pair perfect") {
     import org.apache.spark.sql.functions._
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
