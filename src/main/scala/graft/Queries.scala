@@ -5936,6 +5936,76 @@ object Queries {
     Preference.krippendorffAlpha(ratings, "doc_id", "label")
   }
 
+  // Model-output QA gate (the p1/p5-style composite a generation-data
+  // curator ships): every candidate clears non-empty ∧ non-verbatim ∧
+  // ROUGE-L recall ≥ 0.6 against its reference before it enters a
+  // training set. Branches: empty (%19), verbatim copy (%13, the
+  // plagiarism reject), kept-subsequence+noise (%5, ships), prefix
+  // (default, ships) — every branch has an ANALYTIC LCS (prefixes and
+  // subsequences of the reference), so the whole verdict row
+  // hash-matches end to end.
+  register(
+    "p6_output_qa",
+    """WITH w AS (
+      |  SELECT doc_id AS pair_id,
+      |         list_filter(string_split_regex(lower(text), '\s+'),
+      |                     x -> x != '') AS toks
+      |  FROM documents),
+      |b AS (SELECT pair_id, list_slice(toks, 1, 40) AS rt FROM w),
+      |k AS (SELECT pair_id, rt,
+      |             list_filter(rt, (x, i) -> i % 3 != 0) AS kept FROM b),
+      |a AS (
+      |  SELECT pair_id, CAST(len(rt) AS BIGINT) AS ref_toks,
+      |         CASE WHEN pair_id % 19 = 0 THEN CAST(0 AS BIGINT)
+      |              WHEN pair_id % 13 = 0 THEN CAST(len(rt) AS BIGINT)
+      |              WHEN pair_id % 5 = 0 THEN CAST(len(kept) + 2 AS BIGINT)
+      |              ELSE CAST(least(len(rt), 30) AS BIGINT) END AS cand_toks,
+      |         CASE WHEN pair_id % 19 = 0 THEN CAST(0 AS BIGINT)
+      |              WHEN pair_id % 13 = 0 THEN CAST(len(rt) AS BIGINT)
+      |              WHEN pair_id % 5 = 0 THEN CAST(len(kept) AS BIGINT)
+      |              ELSE CAST(least(len(rt), 30) AS BIGINT) END AS lcs,
+      |         pair_id % 19 = 0 AS empty_side,
+      |         (pair_id % 19 != 0 AND (pair_id % 13 = 0 OR
+      |          (pair_id % 5 != 0 AND len(rt) <= 30))) AS identical
+      |  FROM k),
+      |m AS (
+      |  SELECT pair_id, cand_toks, ref_toks, lcs, empty_side, identical,
+      |         CASE WHEN ref_toks > 0 THEN CAST(floor(CAST(lcs AS DOUBLE)
+      |           * 1000000.0 / ref_toks + 0.5) AS BIGINT) END AS rm
+      |  FROM a)
+      |SELECT pair_id, cand_toks, ref_toks, lcs,
+      |       rm / 1000000.0 AS rouge_r, identical, empty_side,
+      |       (NOT identical AND NOT empty_side
+      |        AND coalesce(rm, 0) >= 600000) AS ship
+      |FROM m ORDER BY pair_id""".stripMargin) { (s, dir) =>
+    val toksCol = TextAnalysis.tokens(lower(col("text")))
+    val kdf = t(s, dir, "documents")
+      .select(col("doc_id").as("pair_id"), slice(toksCol, 1, 40).as("rt"))
+      .select(col("pair_id"), col("rt"),
+        filter(col("rt"), (_, i) => (i + 1) % 3 =!= 0).as("kept"))
+    val noise = md5(col("pair_id").cast("string"))
+    val candArr = when(col("pair_id") % 19 === 0,
+        array().cast("array<string>"))
+      .when(col("pair_id") % 13 === 0, col("rt"))
+      .when(col("pair_id") % 5 === 0, concat(array(noise),
+        slice(col("kept"), 1, 10), array(noise),
+        slice(col("kept"), lit(11), greatest(size(col("kept")) - 10, lit(0)))))
+      .otherwise(slice(col("rt"), 1, 30))
+    val pairs = kdf.select(col("pair_id"),
+      array_join(candArr, " ").as("cand"), array_join(col("rt"), " ").as("ref"))
+    val flags = pairs.select(col("pair_id"),
+      (trim(col("cand")) === "").as("empty_side"),
+      (trim(col("cand")) =!= "" && col("cand") === col("ref")).as("identical"))
+    Eval.rougeL(pairs, "pair_id", "cand", "ref")
+      .join(flags, "pair_id")
+      .select(col("pair_id"), col("cand_len").as("cand_toks"),
+        col("ref_len").as("ref_toks"), col("lcs"), col("rouge_r"),
+        col("identical"), col("empty_side"),
+        (!col("identical") && !col("empty_side") &&
+          coalesce(col("rouge_r"), lit(0.0)) >= 0.6).as("ship"))
+      .orderBy("pair_id")
+  }
+
   // Retrieval eval at k=10 — recall/MRR/nDCG per query over synthetic
   // ranked runs (rank = deterministic 13x%97 scramble within each
   // query's candidate group) against graded judgments (rel 2/1/0 by an
