@@ -5936,6 +5936,43 @@ object Queries {
     Preference.krippendorffAlpha(ratings, "doc_id", "label")
   }
 
+  // WARC web-corpus ingestion round trip (the a6 round-trip oracle
+  // pattern): documents serialize into 50-record WARC blobs with real
+  // Content-Length byte framing — every 17th body EMBEDS the
+  // "WARC/1.0" magic verbatim, which shreds any delimiter-split parser
+  // — then warc_split parses the blobs back scan-side. The oracle never
+  // parses: it asserts the parse reproduces the source records exactly.
+  register(
+    "p7_warc_ingest",
+    """SELECT 'd' || CAST(doc_id AS VARCHAR) AS rec_id,
+      |       'conversion' AS rec_type,
+      |       CAST(strlen(body) AS BIGINT) AS content_length, body
+      |FROM (SELECT doc_id,
+      |        CASE WHEN doc_id % 17 = 0 THEN text || ' WARC/1.0 embedded'
+      |             ELSE text END AS body
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val body = when(col("doc_id") % 17 === 0,
+      concat(col("text"), lit(" WARC/1.0 embedded"))).otherwise(col("text"))
+    val rec = concat(
+      lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Record-ID: d"),
+      col("doc_id").cast("string"),
+      lit("\r\nContent-Length: "), octet_length(body).cast("string"),
+      lit("\r\n\r\n"), body, lit("\r\n\r\n"))
+    val blobs = t(s, dir, "documents")
+      .select((col("doc_id") / 50).cast("long").as("blob_id"),
+        struct(col("doc_id").as("i"), rec.as("r")).as("e"))
+      .groupBy("blob_id")
+      .agg(array_join(transform(sort_array(collect_list(col("e"))),
+        e => e.getField("r")), "").as("blob"))
+    blobs
+      .select(explode(graft.functions.WarcSplit.column(
+        col("blob").cast("binary"))).as("rec"))
+      .select(col("rec.rec_id"), col("rec.rec_type"),
+        col("rec.content_length"), col("rec.body"))
+      .orderBy(substring(col("rec_id"), 2, 18).cast("long"))
+  }
+
   // Model-output QA gate (the p1/p5-style composite a generation-data
   // curator ships): every candidate clears non-empty ∧ non-verbatim ∧
   // ROUGE-L recall ≥ 0.6 against its reference before it enters a
