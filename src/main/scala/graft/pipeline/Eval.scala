@@ -275,10 +275,15 @@ object Eval {
     * tp, precision, recall, f1) — one row per class plus `__macro__`. */
   def classificationReport(scored: DataFrame, trueCol: String,
       predCol: String): DataFrame = {
+    // materialize the confusion table: it is confusion-cardinality tiny
+    // and referenced by the truth/pred/tp marginals AND the macro fold —
+    // without this the corpus scan (often an expensive classifier
+    // expression) re-runs once per reference
     val cells = scored
       .groupBy(col(trueCol).cast("string").as("t"),
         col(predCol).cast("string").as("p"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val truth = cells.groupBy(col("t").as("label"))
       .agg(sum(col("n")).as("n_true"))
     val pred = cells.groupBy(col("p").as("label"))
