@@ -171,7 +171,14 @@ object GraftExtensions {
     binaryFn("intersect_size", classOf[graft.functions.IntersectSizeLong].getName,
       graft.functions.IntersectSizeLong(_, _)),
     binaryFn("lcs_length", classOf[graft.functions.LcsLength].getName,
-      graft.functions.LcsLength(_, _)))
+      graft.functions.LcsLength(_, _)),
+    (new org.apache.spark.sql.catalyst.FunctionIdentifier("warc_split"),
+      new ExpressionInfo(classOf[graft.functions.WarcSplit].getName,
+        "warc_split"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "warc_split(blob) takes one argument")
+        graft.functions.WarcSplit(args.head)
+      }))
 
   private def binaryFn(name: String, className: String,
       mk: (Expression, Expression) => Expression): FnEntry =

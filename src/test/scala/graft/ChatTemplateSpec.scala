@@ -50,6 +50,41 @@ class ChatTemplateSpec extends AnyFunSuite {
     assert(r.getLong(5) == 18)
   }
 
+  test("renderChatTemplate: spans slice real corpus renders exactly") {
+    // over real events: every span must be in-bounds, ascending,
+    // non-overlapping, and extracting [cs, en) must yield exactly an
+    // assistant turn's content + end marker — the property a trainer's
+    // loss mask depends on
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val out = Behavior.renderChatTemplate(events, "user_id", "ts",
+      when(col("event_type").isin("purchase", "signup"), "user")
+        .otherwise("assistant"),
+      concat(col("event_type"), lit("#"), col("event_id").cast("string")),
+      "event_id").collect()
+    assert(out.nonEmpty)
+    var checked = 0
+    out.foreach { r =>
+      val (text, spans) = (r.getString(3), r.getString(4))
+      assert(text.length == r.getLong(2))
+      if (!r.isNullAt(4)) {
+        var prevEnd = -1L
+        spans.split(";").foreach { s =>
+          val Array(cs, en) = s.split(":").map(_.toLong)
+          assert(cs > prevEnd && cs < en && en <= text.length,
+            s"bad span $s in ${r.get(0)}")
+          val sliced = text.substring(cs.toInt, en.toInt)
+          assert(sliced.endsWith("<|end|>\n") && !sliced.contains("<|assistant|>"),
+            s"span $s slices mid-turn: '$sliced'")
+          // walking back 14 chars must land on the assistant header
+          assert(text.substring(cs.toInt - 14, cs.toInt) == "<|assistant|>\n")
+          prevEnd = en
+          checked += 1
+        }
+      }
+    }
+    assert(checked > 10, s"only $checked spans exercised")
+  }
+
   test("calibrationReport: bin math, clamp at 1.0, and ECE") {
     val scored = Seq(
       (0.0, 0), (0.25, 1), (0.25, 0), (1.0, 1))

@@ -149,6 +149,11 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
         |                  array('a', 'x', 'b', 'y', 'd')) AS l""".stripMargin)
       .head.getInt(0)
     assert(lcs == 3)
+    val warc = spark.sql(
+      """SELECT warc_split(cast(concat('WARC/1.0\r\nContent-Length: 2',
+        |  '\r\n\r\nhi\r\n\r\n') as binary))[0].body AS b""".stripMargin)
+      .head.getString(0)
+    assert(warc == "hi")
     // non-literal k must fail loudly, not silently mis-sketch
     intercept[Exception] {
       spark.sql("SELECT misra_gries(item, length(item)) FROM VALUES ('a') AS t(item)")
