@@ -5936,6 +5936,63 @@ object Queries {
     Preference.krippendorffAlpha(ratings, "doc_id", "label")
   }
 
+  // Grouped-jackknife confidence interval on the corpus mean quality
+  // score — the deterministic error bar (no RNG, so it fits the
+  // exactness contract where bootstrap cannot): 20 doc_id-modulo
+  // buckets, leave-one-out means, Efron-Stein variance. One corpus
+  // scan collapses to 20 (count, sum) rows; all else is B-row integer
+  // math with one IEEE-exact sqrt — hash oracle on the single row.
+  register(
+    "t70_jackknife_ci",
+    """WITH q AS (
+      |  SELECT doc_id % 20 AS b,
+      |    CAST(floor(round(
+      |      greatest(0.0,
+      |        least(length(text) / 500.0, 1.0) * 0.4 +
+      |        least((len(list_filter(string_split_regex(lower(text), '\s+'),
+      |                x -> x IN ('the','a','of','and','to','in'))) ::DOUBLE /
+      |               greatest(len(list_filter(string_split_regex(lower(text),
+      |                '\s+'), x -> x != '')), 1)) * 3.0, 1.0) * 0.4 +
+      |        (1.0 - least(len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE /
+      |                     greatest(length(text), 1) * 5.0, 1.0)) * 0.2), 6)
+      |      * 1000000.0 + 0.5) AS BIGINT) AS v
+      |  FROM documents),
+      |pb AS (SELECT b, CAST(count(*) AS BIGINT) AS bn,
+      |              CAST(sum(v) AS BIGINT) AS bs FROM q GROUP BY 1),
+      |tot AS (SELECT CAST(sum(bn) AS BIGINT) AS n,
+      |               CAST(sum(bs) AS BIGINT) AS s,
+      |               CAST(count(*) AS BIGINT) AS nb FROM pb),
+      |loo AS (
+      |  SELECT t.n, t.s, t.nb,
+      |         CASE WHEN t.n > pb.bn THEN CAST(floor(CAST(t.s - pb.bs AS
+      |           DOUBLE) / (t.n - pb.bn) + 0.5) AS BIGINT) END AS theta
+      |  FROM pb, tot t),
+      |tm AS (SELECT CAST(floor(CAST(sum(theta) AS DOUBLE) / count(theta)
+      |         + 0.5) AS BIGINT) AS tm FROM loo),
+      |ssx AS (SELECT max(l.n) AS n, max(l.s) AS s, max(l.nb) AS nb,
+      |               CAST(sum((l.theta - t.tm) * (l.theta - t.tm))
+      |                 AS BIGINT) AS ss
+      |        FROM loo l, tm t),
+      |fin AS (SELECT n, nb,
+      |          CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) AS meanm,
+      |          CASE WHEN nb > 1 AND ss IS NOT NULL THEN
+      |            CAST(floor(sqrt(CAST(nb - 1 AS DOUBLE) * ss / nb) + 0.5)
+      |              AS BIGINT) END AS sem
+      |        FROM ssx)
+      |SELECT n, nb AS n_buckets, meanm / 1000000.0 AS mean,
+      |       sem / 1000000.0 AS se,
+      |       (meanm - CAST(floor(CAST(sem AS DOUBLE) * 1.96 + 0.5)
+      |         AS BIGINT)) / 1000000.0 AS lo,
+      |       (meanm + CAST(floor(CAST(sem AS DOUBLE) * 1.96 + 0.5)
+      |         AS BIGINT)) / 1000000.0 AS hi
+      |FROM fin""".stripMargin) { (s, dir) =>
+    val scored = t(s, dir, "documents").select(
+      (col("doc_id") % 20).as("bucket"),
+      TextAnalysis.qualityScore(col("text"),
+        Seq("the", "a", "of", "and", "to", "in")).as("quality"))
+    Eval.jackknifeCI(scored, "quality", "bucket")
+  }
+
   // WARC web-corpus ingestion round trip (the a6 round-trip oracle
   // pattern): documents serialize into 50-record WARC blobs with real
   // Content-Length byte framing — every 17th body EMBEDS the

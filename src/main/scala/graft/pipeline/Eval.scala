@@ -169,6 +169,56 @@ object Eval {
       (col("__ecem").cast("double") / 1000000.0).as("ece"))
   }
 
+  /** Delete-one-bucket jackknife confidence interval for a corpus-level
+    * mean — the deterministic error bar on any per-document metric
+    * (mean quality, dedup rate, pass rate): resampling without an RNG,
+    * so it fits the engine's exactness contract where bootstrap cannot.
+    * With B disjoint buckets, leave-one-out means
+    * `θ̂_i = (S − s_i)/(N − n_i)` give
+    * `se = sqrt((B−1)/B · Σ(θ̂_i − θ̄)²)` (Efron & Stein 1981; grouped
+    * jackknife), and the interval centers on the full-sample mean with
+    * a z = 1.96 multiplier. Values micro-quantize scan-side before any
+    * sum; the one sqrt is IEEE-exact; the oracle spells the identical
+    * arrangement.
+    *
+    * Scale shape: ONE corpus scan pre-combines into B (count, sum)
+    * rows (materialized — B is tiny and referenced by the totals AND
+    * the leave-one-out pass); everything after is B-row math. Returns
+    * one row (n, n_buckets, mean, se, lo, hi), 6 dp; a single-bucket
+    * input yields null se/lo/hi. */
+  def jackknifeCI(df: DataFrame, valueCol: String,
+      bucketCol: String): DataFrame = {
+    val vm = floor(col(valueCol) * 1000000.0 + 0.5).cast("long")
+    val perBucket = df.select(col(bucketCol).as("b"), vm.as("v"))
+      .groupBy("b").agg(count(lit(1)).as("bn"), sum(col("v")).as("bs"))
+      .localCheckpoint()
+    val tot = perBucket.agg(sum(col("bn")).as("n"), sum(col("bs")).as("s"),
+      count(lit(1)).as("nb"))
+    val loo = perBucket.crossJoin(broadcast(tot))
+      .select(col("n"), col("s"), col("nb"),
+        when(col("n") > col("bn"),
+          floor((col("s") - col("bs")).cast("double") /
+            (col("n") - col("bn")) + 0.5).cast("long")).as("theta"))
+    val thetaMean = loo.agg(
+      floor(sum(col("theta")).cast("double") / count(col("theta")) + 0.5)
+        .cast("long").as("tm"))
+    val ss = loo.crossJoin(broadcast(thetaMean))
+      .agg(max(col("n")).as("n"), max(col("s")).as("s"),
+        max(col("nb")).as("nb"), max(col("tm")).as("tm"),
+        sum((col("theta") - col("tm")) * (col("theta") - col("tm")))
+          .as("ss"))
+    val meanM = floor(col("s").cast("double") / col("n") + 0.5).cast("long")
+    val seM = when(col("nb") > 1 && col("ss").isNotNull,
+      floor(sqrt((col("nb") - 1).cast("double") * col("ss") / col("nb"))
+        + 0.5).cast("long"))
+    val deltaM = floor(seM.cast("double") * 1.96 + 0.5).cast("long")
+    ss.select(col("n"), col("nb").as("n_buckets"),
+      (meanM.cast("double") / 1000000.0).as("mean"),
+      (seM.cast("double") / 1000000.0).as("se"),
+      ((meanM - deltaM).cast("double") / 1000000.0).as("lo"),
+      ((meanM + deltaM).cast("double") / 1000000.0).as("hi"))
+  }
+
   /** Retrieval evaluation at k — recall@k, MRR@k, and nDCG@k per query
     * from a ranked run table against graded relevance judgments (the
     * missing half of the [[Retrieval]] family: BM25/RRF produce ranked

@@ -201,6 +201,23 @@ class EvalSpec extends AnyFunSuite {
     assert(got == want, s"auc $got != brute-force $want")
   }
 
+  test("jackknifeCI: hand-computed grouped jackknife; degenerate bucket") {
+    // buckets: b0 = {0.2, 0.4} (sum 600000, n 2), b1 = {0.8} -> N=3,
+    // S=1400000; leave-b0-out theta = 800000, leave-b1-out = 300000;
+    // mean theta 550000, ss = 2*250000^2; se = sqrt(ss/2) = 250000
+    val df = Seq((0L, 0.2), (0L, 0.4), (1L, 0.8)).toDF("b", "v")
+    val r = Eval.jackknifeCI(df, "v", "b").collect()(0)
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 0.466667) // floor(1400000/3 + .5)
+    assert(r.getDouble(3) == 0.25)
+    assert(r.getDouble(4) == -23333.0 / 1000000.0) // 466667 - 490000
+    assert(r.getDouble(5) == 956667.0 / 1000000.0)
+    // single bucket: se/lo/hi null, mean still defined
+    val one = Eval.jackknifeCI(Seq((0L, 0.5), (0L, 0.7)).toDF("b", "v"),
+      "v", "b").collect()(0)
+    assert(one.getDouble(2) == 0.6 && one.isNullAt(3) && one.isNullAt(4))
+  }
+
   test("retrievalMetrics: hand-computed recall/MRR/nDCG") {
     import org.apache.spark.sql.functions.{col => c}
     // q1: run [d1, d2, d3]; rels d2:2, d3:1, d9:1 (d9 unretrieved)
