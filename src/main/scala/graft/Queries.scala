@@ -5993,6 +5993,110 @@ object Queries {
     Eval.jackknifeCI(scored, "quality", "bucket")
   }
 
+  // Paired A/B system comparison with a significance envelope — the
+  // eval report that decides "ship system A or B": per document, both
+  // systems' candidates score ROUGE-L recall against the same
+  // reference (A = prefix-30, B = kept-subsequence+noise — both with
+  // ANALYTIC LCS), then win/tie/loss counts plus a grouped-jackknife
+  // CI on the mean per-pair delta. A CI excluding 0 = a significant
+  // winner, computed deterministically end to end — hash oracle on the
+  // single report row.
+  register(
+    "p8_ab_eval",
+    """WITH w AS (
+      |  SELECT doc_id AS pair_id,
+      |         list_filter(string_split_regex(lower(text), '\s+'),
+      |                     x -> x != '') AS toks
+      |  FROM documents),
+      |b AS (SELECT pair_id, list_slice(toks, 1, 40) AS rt FROM w),
+      |k AS (SELECT pair_id, rt,
+      |             list_filter(rt, (x, i) -> i % 3 != 0) AS kept FROM b),
+      |m AS (
+      |  SELECT pair_id, CAST(len(rt) AS BIGINT) AS rl,
+      |         CAST(least(len(rt), 30) AS BIGINT) AS lcs_a,
+      |         CAST(len(kept) AS BIGINT) AS lcs_b
+      |  FROM k WHERE len(rt) > 0),
+      |d AS (
+      |  SELECT pair_id,
+      |    CAST(floor(CAST(lcs_a AS DOUBLE) * 1000000.0 / rl + 0.5)
+      |      AS BIGINT) AS am,
+      |    CAST(floor(CAST(lcs_b AS DOUBLE) * 1000000.0 / rl + 0.5)
+      |      AS BIGINT) AS bm
+      |  FROM m),
+      |wl AS (
+      |  SELECT CAST(sum(CASE WHEN am / 1000000.0 > bm / 1000000.0
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS a_wins,
+      |         CAST(sum(CASE WHEN am / 1000000.0 = bm / 1000000.0
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS ties,
+      |         CAST(sum(CASE WHEN am / 1000000.0 < bm / 1000000.0
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS b_wins
+      |  FROM d),
+      |q AS (
+      |  SELECT pair_id % 20 AS bk,
+      |    CAST(floor((am / 1000000.0 - bm / 1000000.0) * 1000000.0 + 0.5)
+      |      AS BIGINT) AS v
+      |  FROM d),
+      |pb AS (SELECT bk, CAST(count(*) AS BIGINT) AS bn,
+      |              CAST(sum(v) AS BIGINT) AS bs FROM q GROUP BY 1),
+      |tot AS (SELECT CAST(sum(bn) AS BIGINT) AS n,
+      |               CAST(sum(bs) AS BIGINT) AS s,
+      |               CAST(count(*) AS BIGINT) AS nb FROM pb),
+      |loo AS (
+      |  SELECT t.n, t.s, t.nb,
+      |         CASE WHEN t.n > pb.bn THEN CAST(floor(CAST(t.s - pb.bs AS
+      |           DOUBLE) / (t.n - pb.bn) + 0.5) AS BIGINT) END AS theta
+      |  FROM pb, tot t),
+      |tm AS (SELECT CAST(floor(CAST(sum(theta) AS DOUBLE) / count(theta)
+      |         + 0.5) AS BIGINT) AS tm FROM loo),
+      |ssx AS (SELECT max(l.n) AS n, max(l.s) AS s, max(l.nb) AS nb,
+      |               CAST(sum((l.theta - t.tm) * (l.theta - t.tm))
+      |                 AS BIGINT) AS ss
+      |        FROM loo l, tm t),
+      |fin AS (SELECT n, nb,
+      |          CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) AS meanm,
+      |          CASE WHEN nb > 1 AND ss IS NOT NULL THEN
+      |            CAST(floor(sqrt(CAST(nb - 1 AS DOUBLE) * ss / nb) + 0.5)
+      |              AS BIGINT) END AS sem
+      |        FROM ssx)
+      |SELECT f.n, f.nb AS n_buckets, wl.a_wins, wl.ties, wl.b_wins,
+      |       f.meanm / 1000000.0 AS mean, f.sem / 1000000.0 AS se,
+      |       (f.meanm - CAST(floor(CAST(f.sem AS DOUBLE) * 1.96 + 0.5)
+      |         AS BIGINT)) / 1000000.0 AS lo,
+      |       (f.meanm + CAST(floor(CAST(f.sem AS DOUBLE) * 1.96 + 0.5)
+      |         AS BIGINT)) / 1000000.0 AS hi
+      |FROM fin f, wl""".stripMargin) { (s, dir) =>
+    val toksCol = TextAnalysis.tokens(lower(col("text")))
+    val kdf = t(s, dir, "documents")
+      .select(col("doc_id").as("pair_id"), slice(toksCol, 1, 40).as("rt"))
+      .select(col("pair_id"), col("rt"),
+        filter(col("rt"), (_, i) => (i + 1) % 3 =!= 0).as("kept"))
+      .where(size(col("rt")) > 0)
+    val noise = md5(col("pair_id").cast("string"))
+    val candB = concat(array(noise), slice(col("kept"), 1, 10), array(noise),
+      slice(col("kept"), lit(11), greatest(size(col("kept")) - 10, lit(0))))
+    val pa = kdf.select(col("pair_id"),
+      array_join(slice(col("rt"), 1, 30), " ").as("cand"),
+      array_join(col("rt"), " ").as("ref"))
+    val pb = kdf.select(col("pair_id"), array_join(candB, " ").as("cand"),
+      array_join(col("rt"), " ").as("ref"))
+    val ra = Eval.rougeL(pa, "pair_id", "cand", "ref")
+      .select(col("pair_id"), col("rouge_r").as("a_r"))
+    val rb = Eval.rougeL(pb, "pair_id", "cand", "ref")
+      .select(col("pair_id"), col("rouge_r").as("b_r"))
+    val joined = ra.join(rb, "pair_id").localCheckpoint()
+    val wl = joined.agg(
+      sum(when(col("a_r") > col("b_r"), 1L).otherwise(0L)).as("a_wins"),
+      sum(when(col("a_r") === col("b_r"), 1L).otherwise(0L)).as("ties"),
+      sum(when(col("a_r") < col("b_r"), 1L).otherwise(0L)).as("b_wins"))
+    val jk = Eval.jackknifeCI(
+      joined.select((col("pair_id") % 20).as("bucket"),
+        (col("a_r") - col("b_r")).as("delta")),
+      "delta", "bucket")
+    jk.crossJoin(broadcast(wl))
+      .select(col("n"), col("n_buckets"), col("a_wins"), col("ties"),
+        col("b_wins"), col("mean"), col("se"), col("lo"), col("hi"))
+  }
+
   // WARC web-corpus ingestion round trip (the a6 round-trip oracle
   // pattern): documents serialize into 50-record WARC blobs with real
   // Content-Length byte framing — every 17th body EMBEDS the
