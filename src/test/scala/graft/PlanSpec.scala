@@ -811,4 +811,22 @@ class PlanSpec extends AnyFunSuite {
     assert(pa.contains("Window"), "rocAuc: cumulative window missing")
     assert(!pa.contains("UDF"), "rocAuc: UDF in plan")
   }
+
+  test("dawidSkene E-step broadcasts the label set; no raw cartesian") {
+    // the votes x candidate-labels expansion must ride a broadcast of
+    // the K-row label set (BroadcastNestedLoopJoin is that broadcast
+    // cross), never a partitioned CartesianProduct; confusion tables
+    // and per-(item, cand) log-sums pre-combine
+    val p = plan("t68_dawid_skene")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      "dawidSkene: label-set broadcast missing")
+    assert(!p.contains("CartesianProduct"),
+      "dawidSkene: partitioned cartesian in plan")
+    // the EM rounds sit behind localCheckpoints (lineage cut per round),
+    // so only the final rollup's agg pair is visible here
+    assert(p.split("HashAggregate").length - 1 >= 2,
+      "dawidSkene: final rollup must pre-combine")
+    assert(!p.contains("UDF"), "dawidSkene: UDF in plan")
+  }
 }
