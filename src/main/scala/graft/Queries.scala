@@ -5993,6 +5993,61 @@ object Queries {
     Eval.jackknifeCI(scored, "quality", "bucket")
   }
 
+  // Word error rate via the codegen'd token-level edit distance, on a
+  // planted construction with ANALYTIC distances: empty hypothesis
+  // (edits = ref_len), identical (0), kept-subsequence — a
+  // deletions-only ASR-style hypothesis (edits = dropped count exactly:
+  // insertions-only is both achievable and the ref-LCS lower bound) —
+  // and prefix-30 (edits = tail length). Hash oracle over the analytic
+  // values; EvalSpec proves the DP against a reference implementation
+  // and the builtin char levenshtein. (A first cut planted noise
+  // tokens in the subsequence and assumed 2 substitutions were always
+  // available — the DP refuted it: fixed noise POSITIONS cannot always
+  // align to a dropped token, so the analytic claim held only
+  // gap-structure-dependently. Planted oracles must be provable under
+  // alignment constraints, not just edit-count arithmetic.)
+  register(
+    "t71_wer_planted",
+    """WITH w AS (
+      |  SELECT doc_id AS pair_id,
+      |         list_filter(string_split_regex(lower(text), '\s+'),
+      |                     x -> x != '') AS toks
+      |  FROM documents),
+      |b AS (SELECT pair_id, list_slice(toks, 1, 40) AS rt FROM w),
+      |k AS (SELECT pair_id, rt,
+      |             list_filter(rt, (x, i) -> i % 3 != 0) AS kept FROM b),
+      |a AS (
+      |  SELECT pair_id, CAST(len(rt) AS BIGINT) AS ref_len,
+      |         CASE WHEN pair_id % 19 = 0 THEN CAST(0 AS BIGINT)
+      |              WHEN pair_id % 13 = 0 THEN CAST(len(rt) AS BIGINT)
+      |              WHEN pair_id % 5 = 0 THEN CAST(len(kept) AS BIGINT)
+      |              ELSE CAST(least(len(rt), 30) AS BIGINT) END AS hyp_len,
+      |         CASE WHEN pair_id % 19 = 0 THEN CAST(len(rt) AS BIGINT)
+      |              WHEN pair_id % 13 = 0 THEN CAST(0 AS BIGINT)
+      |              WHEN pair_id % 5 = 0 THEN
+      |                CAST(len(rt) - len(kept) AS BIGINT)
+      |              ELSE CAST(len(rt) - least(len(rt), 30) AS BIGINT)
+      |         END AS edits
+      |  FROM k)
+      |SELECT pair_id, hyp_len, ref_len, edits,
+      |       CASE WHEN ref_len > 0 THEN floor(CAST(edits AS DOUBLE) *
+      |         1000000.0 / ref_len + 0.5) / 1000000.0 END AS wer
+      |FROM a ORDER BY pair_id""".stripMargin) { (s, dir) =>
+    val toksCol = TextAnalysis.tokens(lower(col("text")))
+    val kdf = t(s, dir, "documents")
+      .select(col("doc_id").as("pair_id"), slice(toksCol, 1, 40).as("rt"))
+      .select(col("pair_id"), col("rt"),
+        filter(col("rt"), (_, i) => (i + 1) % 3 =!= 0).as("kept"))
+    val hypArr = when(col("pair_id") % 19 === 0,
+        array().cast("array<string>"))
+      .when(col("pair_id") % 13 === 0, col("rt"))
+      .when(col("pair_id") % 5 === 0, col("kept"))
+      .otherwise(slice(col("rt"), 1, 30))
+    val p = kdf.select(col("pair_id"), array_join(hypArr, " ").as("hyp"),
+      array_join(col("rt"), " ").as("ref"))
+    Eval.wer(p, "pair_id", "hyp", "ref").orderBy("pair_id")
+  }
+
   // Paired A/B system comparison with a significance envelope — the
   // eval report that decides "ship system A or B": per document, both
   // systems' candidates score ROUGE-L recall against the same

@@ -123,6 +123,28 @@ object Eval {
           .otherwise(0.0)).as("rouge_f1"))
   }
 
+  /** Word error rate — token-level Levenshtein distance (unit
+    * insert/delete/substitute) over hypothesis/reference pairs, the
+    * ASR/translation counterpart of [[rougeL]]. The kernel is the
+    * codegen'd [[graft.functions.ArrayEditDistance]] (Spark's builtin
+    * `levenshtein` is character-level); `wer = edits / ref_len`
+    * micro-floored (can exceed 1 — standard WER semantics), null for
+    * an empty reference. A shuffle-free scan-side projection. */
+  def wer(pairs: DataFrame, idCol: String, hypCol: String,
+      refCol: String): DataFrame = {
+    val base = pairs.select(col(idCol).as("pair_id"),
+      TextAnalysis.tokens(lower(col(hypCol))).as("__ht"),
+      TextAnalysis.tokens(lower(col(refCol))).as("__rt"))
+    base.select(col("pair_id"),
+      size(col("__ht")).cast("long").as("hyp_len"),
+      size(col("__rt")).cast("long").as("ref_len"),
+      graft.functions.ArrayEditDistance.column(col("__ht"), col("__rt"))
+        .cast("long").as("edits"))
+      .withColumn("wer", when(col("ref_len") > 0,
+        floor(col("edits").cast("double") * 1000000.0 / col("ref_len") + 0.5)
+          / 1000000.0))
+  }
+
   /** Reliability diagram + expected calibration error (ECE) for a
     * [0, 1]-confidence classifier against boolean/0-1 outcomes — the QA
     * gate on the quality/toxicity classifiers that decide what enters a

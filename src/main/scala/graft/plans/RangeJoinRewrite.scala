@@ -172,6 +172,9 @@ object GraftExtensions {
       graft.functions.IntersectSizeLong(_, _)),
     binaryFn("lcs_length", classOf[graft.functions.LcsLength].getName,
       graft.functions.LcsLength(_, _)),
+    binaryFn("array_edit_distance",
+      classOf[graft.functions.ArrayEditDistance].getName,
+      graft.functions.ArrayEditDistance(_, _)),
     (new org.apache.spark.sql.catalyst.FunctionIdentifier("warc_split"),
       new ExpressionInfo(classOf[graft.functions.WarcSplit].getName,
         "warc_split"),

@@ -201,6 +201,61 @@ class EvalSpec extends AnyFunSuite {
     assert(got == want, s"auc $got != brute-force $want")
   }
 
+  private def editRef(a: Seq[String], b: Seq[String]): Int = {
+    val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+    for (i <- 0 to a.length) dp(i)(0) = i
+    for (j <- 0 to b.length) dp(0)(j) = j
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(dp(i - 1)(j - 1) +
+        (if (a(i - 1) == b(j - 1)) 0 else 1),
+        math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1))
+    dp(a.length)(b.length)
+  }
+
+  test("wer: hand cases and WER semantics") {
+    val pairs = Seq(
+      (1L, "a b c", "a b c"),     // 0 edits
+      (2L, "a x c", "a b c"),     // 1 substitution -> 1/3
+      (3L, "a b c d e", "a b"),   // 3 deletions -> wer 1.5 (> 1 ok)
+      (4L, "", "a b"),            // empty hyp -> 2 inserts, wer 1
+      (5L, "a b", ""))            // empty ref -> wer null
+      .toDF("pair_id", "hyp", "ref")
+    val out = Eval.wer(pairs, "pair_id", "hyp", "ref")
+      .orderBy("pair_id").collect()
+    assert(out(0).getLong(3) == 0 && out(0).getDouble(4) == 0.0)
+    assert(out(1).getLong(3) == 1 && out(1).getDouble(4) == 0.333333)
+    assert(out(2).getLong(3) == 3 && out(2).getDouble(4) == 1.5)
+    assert(out(3).getLong(3) == 2 && out(3).getDouble(4) == 1.0)
+    assert(out(4).getLong(3) == 2 && out(4).isNullAt(4))
+  }
+
+  test("array_edit_distance: randomized vs reference DP and char levenshtein") {
+    import org.apache.spark.sql.functions.{levenshtein, regexp_replace, col => c}
+    val rnd = new scala.util.Random(71)
+    val vocab = Array("a", "b", "c", "d")
+    val cases = (0 until 200).map { i =>
+      def arr() = Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length)))
+      val (x, y) = (arr(), arr())
+      (i.toLong, x.mkString(" "), y.mkString(" "), editRef(x, y).toLong)
+    }
+    val df = cases.map(t => (t._1, t._2, t._3)).toDF("pair_id", "hyp", "ref")
+    val got = Eval.wer(df, "pair_id", "hyp", "ref")
+      .select("pair_id", "edits").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cases.foreach { case (id, h, r, want) =>
+      assert(got(id) == want, s"edit mismatch on ($h | $r)")
+    }
+    // single-char tokens: token DP == Spark's builtin char levenshtein
+    // on the space-stripped strings
+    val lev = df.select(c("pair_id"),
+      levenshtein(regexp_replace(c("hyp"), " ", ""),
+        regexp_replace(c("ref"), " ", "")).as("l")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    cases.foreach { case (id, _, _, want) =>
+      assert(lev(id).toLong == want, s"levenshtein cross-check on $id")
+    }
+  }
+
   test("jackknifeCI: hand-computed grouped jackknife; degenerate bucket") {
     // buckets: b0 = {0.2, 0.4} (sum 600000, n 2), b1 = {0.8} -> N=3,
     // S=1400000; leave-b0-out theta = 800000, leave-b1-out = 300000;

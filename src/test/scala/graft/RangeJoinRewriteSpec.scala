@@ -149,6 +149,11 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
         |                  array('a', 'x', 'b', 'y', 'd')) AS l""".stripMargin)
       .head.getInt(0)
     assert(lcs == 3)
+    val aed = spark.sql(
+      """SELECT array_edit_distance(array('a', 'x', 'c'),
+        |                          array('a', 'b', 'c')) AS d""".stripMargin)
+      .head.getInt(0)
+    assert(aed == 1)
     val warc = spark.sql(
       """SELECT warc_split(cast(concat('WARC/1.0\r\nContent-Length: 2',
         |  '\r\n\r\nhi\r\n\r\n') as binary))[0].body AS b""".stripMargin)
