@@ -5993,6 +5993,46 @@ object Queries {
     Eval.jackknifeCI(scored, "quality", "bucket")
   }
 
+  // Compression-ratio quality signal, proven by WIDE-MARGIN planted
+  // verdicts (the recall-bound oracle-constant pattern — no SQL engine
+  // can deflate, but the orderings are entropy-forced): 20-char-unit
+  // boilerplate deflates below 0.1, pseudorandom hex cannot deflate
+  // below its ~0.5 entropy so sits above 0.4, 2000-char prose lands in
+  // the (0.2, 0.9) band, and prose repeated 4x (within DEFLATE's 32 KB
+  // window) compresses strictly better than prose itself.
+  register(
+    "t72_compression_ratio",
+    """SELECT * FROM (VALUES ('boiler_low', true), ('degenerate_low', true),
+      |  ('hex_high', true), ('prose_mid', true),
+      |  ('rep4_beats_prose', true)) AS v(probe, pass)
+      |ORDER BY probe""".stripMargin) { (s, dir) =>
+    val d1 = t(s, dir, "documents").where(col("doc_id") === 1)
+      .select(substring(col("text"), 1, 2000).as("prose"))
+    val probes = d1.select(
+      col("prose").as("prose"),
+      repeat(substring(col("prose"), 1, 20), 100).as("boiler"),
+      repeat(lit("a"), 2000).as("degenerate"),
+      array_join(transform(sequence(lit(1), lit(32)),
+        i => md5(concat(lit("entropy-probe-"), i))), "").as("hexblob"),
+      repeat(col("prose"), 4).as("rep4"))
+    def ratio(c: Column): Column =
+      floor(graft.functions.DeflateSize.column(c).cast("double") * 1000000.0 /
+        octet_length(c) + 0.5) / 1000000.0
+    val r = probes.select(ratio(col("prose")).as("rp"),
+      ratio(col("boiler")).as("rb"), ratio(col("degenerate")).as("rd"),
+      ratio(col("hexblob")).as("rh"), ratio(col("rep4")).as("r4"))
+    r.select(explode(array(
+      struct(lit("boiler_low").as("probe"), (col("rb") < 0.1).as("pass")),
+      struct(lit("degenerate_low").as("probe"), (col("rd") < 0.05).as("pass")),
+      struct(lit("hex_high").as("probe"), (col("rh") > 0.4).as("pass")),
+      struct(lit("prose_mid").as("probe"),
+        (col("rp") > 0.2 && col("rp") < 0.9).as("pass")),
+      struct(lit("rep4_beats_prose").as("probe"),
+        (col("r4") < col("rp")).as("pass")))).as("v"))
+      .select(col("v.probe").as("probe"), col("v.pass").as("pass"))
+      .orderBy("probe")
+  }
+
   // Word error rate via the codegen'd token-level edit distance, on a
   // planted construction with ANALYTIC distances: empty hypothesis
   // (edits = ref_len), identical (0), kept-subsequence — a

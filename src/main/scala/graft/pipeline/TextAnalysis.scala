@@ -1400,6 +1400,26 @@ object TextAnalysis {
     * pre-combined (doc, char) count, a skinny per-doc total join, one
     * pre-combined integer agg; empty documents return entropy 0, never
     * vanish. Returns (doc_id, n_chars, distinct_chars, entropy_nats). */
+  /** Compression-ratio quality signal — `deflate_bytes / utf8_bytes`
+    * per document (the Gopher/RefinedWeb repetition-and-noise detector
+    * [[charEntropy]]'s model-based sibling: DEFLATE sees LONG-RANGE
+    * repetition inside its 32 KB window that a unigram entropy cannot).
+    * Ratio near 0 = boilerplate/templated text; near/above the content
+    * entropy = encoded-blob noise; prose sits in a stable mid band.
+    * Runs on the eval-only [[graft.functions.DeflateSize]] expression —
+    * a scan-side projection, no shuffle; the ratio micro-floors. Null
+    * ratio for empty documents. Returns (doc_id, n_bytes,
+    * deflate_bytes, ratio). */
+  def compressionRatio(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      octet_length(col(textCol)).cast("long").as("n_bytes"),
+      graft.functions.DeflateSize.column(col(textCol)).cast("long")
+        .as("deflate_bytes"))
+      .withColumn("ratio", when(col("n_bytes") > 0,
+        floor(col("deflate_bytes").cast("double") * 1000000.0 /
+          col("n_bytes") + 0.5) / 1000000.0))
+
   def charEntropy(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val counts = docs
       .select(col(idCol).as("doc_id"),

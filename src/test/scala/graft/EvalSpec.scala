@@ -341,6 +341,31 @@ class EvalSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 1.0, s"perfectly-ordered AUC = ${r.getDouble(2)}")
   }
 
+  test("compressionRatio: repetition compresses, noise does not") {
+    import org.apache.spark.sql.functions.{col => c}
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog " * 40), // prose-ish
+      (2L, "ab" * 900),                                          // boilerplate
+      (3L, (1 to 40).map(i => s"x$i-${i * 7919}").mkString(" ")),// varied
+      (4L, ""))                                                  // empty
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.TextAnalysis
+      .compressionRatio(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    val ratios = out.map(r =>
+      r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(ratios(2L).get < 0.05, s"boilerplate ratio ${ratios(2L)}")
+    assert(ratios(1L).get < 0.4) // repeated sentence: window sees it
+    assert(ratios(3L).get > ratios(2L).get)
+    assert(ratios(4L).isEmpty && out(3).getLong(1) == 0)
+    // deterministic across evaluations
+    val again = graft.pipeline.TextAnalysis
+      .compressionRatio(docs, "text", "doc_id")
+      .orderBy("doc_id").collect().map(_.getLong(2)).toSeq
+    assert(again == out.map(_.getLong(2)).toSeq)
+  }
+
   private def lcsRef(a: Seq[String], b: Seq[String]): Int = {
     val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
     for (i <- 1 to a.length; j <- 1 to b.length)
