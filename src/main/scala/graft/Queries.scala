@@ -6033,6 +6033,48 @@ object Queries {
       .orderBy("probe")
   }
 
+  // Unicode NFC normalization — EXACT cross-engine oracle (Java
+  // Normalizer and DuckDB's utf8proc implement the same
+  // stability-guaranteed canonical algorithm; agreement probed on every
+  // branch below). The corpus is ASCII, so the un-normalized input is
+  // planted deterministically in BOTH engines: combining acute after
+  // every 'e' (composes to U+00E9), dot-below + acute after every 'o'
+  // (composition + canonical reordering -> U+1ECD U+0301), and on the
+  // %5 branch the U+212B angstrom singleton (-> U+00C5) plus the
+  // NFC-inert fi ligature; %11 rows carry NULL text (nulls propagate,
+  // ids survive). The hash pins the full normalized strings, so any
+  // divergence in composition, reordering, or singleton mapping breaks
+  // the row.
+  register(
+    "t73_unicode_normalize",
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 11 = 0 THEN NULL
+      |              ELSE replace(replace(substr(text, 1, 120),
+      |                     'e', 'e' || chr(769)),
+      |                     'o', 'o' || chr(803) || chr(769))
+      |                   || CASE WHEN doc_id % 5 = 0
+      |                           THEN ' ' || chr(8491) || chr(64257)
+      |                           ELSE '' END
+      |         END AS dirty
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(length(dirty) AS BIGINT) AS raw_chars,
+      |       CAST(length(nfc_normalize(dirty)) AS BIGINT) AS nfc_chars,
+      |       nfc_normalize(dirty) != dirty AS changed,
+      |       nfc_normalize(dirty) AS text_nfc
+      |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val dirty = when(col("doc_id") % 11 === 0, lit(null).cast("string"))
+      .otherwise(concat(
+        regexp_replace(regexp_replace(substring(col("text"), 1, 120),
+          "e", "e\u0301"), "o", "o\u0323\u0301"),
+        when(col("doc_id") % 5 === 0, lit(" \u212B\uFB01"))
+          .otherwise(lit(""))))
+    TextAnalysis.unicodeNormalize(
+      t(s, dir, "documents").select(col("doc_id"), dirty.as("dirty")),
+      "dirty", "doc_id").orderBy("doc_id")
+  }
+
   // Word error rate via the codegen'd token-level edit distance, on a
   // planted construction with ANALYTIC distances: empty hypothesis
   // (edits = ref_len), identical (0), kept-subsequence — a

@@ -1420,6 +1420,25 @@ object TextAnalysis {
         floor(col("deflate_bytes").cast("double") * 1000000.0 /
           col("n_bytes") + 0.5) / 1000000.0))
 
+  /** Unicode NFC normalization pass — the cleanup that makes every
+    * downstream equality-based operator (shingle dedup, BPE words,
+    * decontamination grams) see one canonical byte form per grapheme;
+    * see [[graft.functions.NfcNormalize]] for why. A scan-side
+    * projection on the codegen'd expression — no shuffle, no UDF;
+    * `changed` marks the rows a real pipeline would audit. Null text
+    * nulls the row's text/lengths but keeps the id (o9-style routing
+    * stays possible). Returns (doc_id, raw_chars, nfc_chars, changed,
+    * text_nfc). */
+  def unicodeNormalize(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val nfc = graft.functions.NfcNormalize.column(col(textCol))
+    docs.select(col(idCol).as("doc_id"),
+      length(col(textCol)).cast("long").as("raw_chars"),
+      length(nfc).cast("long").as("nfc_chars"),
+      (nfc =!= col(textCol)).as("changed"),
+      nfc.as("text_nfc"))
+  }
+
   def charEntropy(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val counts = docs
       .select(col(idCol).as("doc_id"),

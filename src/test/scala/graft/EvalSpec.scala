@@ -366,6 +366,39 @@ class EvalSpec extends AnyFunSuite {
     assert(again == out.map(_.getLong(2)).toSeq)
   }
 
+  test("unicodeNormalize: composition, reordering, singletons, idempotence") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "cafe\u0301"),      // e + combining acute -> U+00E9
+      (2L, "caf\u00e9"),       // already NFC: untouched
+      (3L, "o\u0301\u0323"),  // canonical REORDER (ccc 220 < 230) then compose
+      (4L, "\u212bngstro\u0308m"), // angstrom singleton -> U+00C5; o+diaeresis -> U+00F6
+      (5L, "plain ascii"),
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.TextAnalysis
+      .unicodeNormalize(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    def nfc(i: Int) = out(i).getString(4)
+    assert(nfc(0) == "caf\u00e9" && out(0).getBoolean(3) &&
+      out(0).getLong(1) == 5 && out(0).getLong(2) == 4)
+    assert(nfc(1) == "caf\u00e9" && !out(1).getBoolean(3))
+    // dot-below (ccc 220) reorders before acute (ccc 230), then o+0323
+    // composes to U+1ECD; no fully-precomposed o-dot-acute exists
+    assert(nfc(2) == "\u1ecd\u0301" && out(2).getBoolean(3))
+    assert(nfc(3) == "\u00c5ngstr\u00f6m" && out(3).getBoolean(3))
+    assert(nfc(4) == "plain ascii" && !out(4).getBoolean(3))
+    assert(out(5).isNullAt(1) && out(5).isNullAt(3) && out(5).isNullAt(4))
+    // idempotence: NFC of the normalized column is a fixed point
+    val again = graft.pipeline.TextAnalysis.unicodeNormalize(
+      graft.pipeline.TextAnalysis.unicodeNormalize(docs, "text", "doc_id")
+        .select(col("doc_id"), col("text_nfc")),
+      "text_nfc", "doc_id").orderBy("doc_id").collect()
+    assert(again.forall(r => r.isNullAt(3) || !r.getBoolean(3)))
+    assert(again.map(r => if (r.isNullAt(4)) null else r.getString(4)).toSeq ==
+      out.map(r => if (r.isNullAt(4)) null else r.getString(4)).toSeq)
+  }
+
   private def lcsRef(a: Seq[String], b: Seq[String]): Int = {
     val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
     for (i <- 1 to a.length; j <- 1 to b.length)
