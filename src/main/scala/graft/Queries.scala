@@ -7289,6 +7289,62 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // Interpolated Kneser-Ney bigram surprisal: the LM trains on the EVEN
+  // doc_ids and scores the whole corpus, so odd docs genuinely exercise
+  // every smoothing leg — discounted seen bigrams, unseen-bigram
+  // continuation interpolation, unseen contexts backing off to P_cont,
+  // and never-seen continuation words on the OOV floor. The probability
+  // is one fixed-shape double expression over exact integer counts
+  // (parenthesized identically here and in TextAnalysis.knSurprisal);
+  // per-bigram-type surprisal micro-floors before the per-doc
+  // occurrence-weighted integer sum.
+  register(
+    "t74_kneser_ney",
+    """WITH w AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '\s+'),
+      |                     x -> x != '') AS toks
+      |  FROM documents),
+      |refw AS (SELECT toks FROM w WHERE doc_id % 2 = 0 AND len(toks) >= 2),
+      |refbg AS (
+      |  SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS nb FROM (
+      |    SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+      |      i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS bg
+      |    FROM refw) GROUP BY 1, 2),
+      |ctx AS (SELECT w1, CAST(sum(nb) AS BIGINT) AS nc,
+      |               CAST(count(*) AS BIGINT) AS n1 FROM refbg GROUP BY w1),
+      |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS nw FROM refbg GROUP BY w2),
+      |nbbt AS (SELECT CAST(count(*) AS BIGINT) AS nbb FROM refbg),
+      |docbg AS (
+      |  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+      |      i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS bg
+      |    FROM w WHERE len(toks) >= 2) GROUP BY 1, 2, 3),
+      |scored AS (
+      |  SELECT d.doc_id, d.c,
+      |    CAST(floor(-ln(
+      |      CASE WHEN ctx.nc IS NOT NULL THEN
+      |        ((CASE WHEN refbg.nb IS NOT NULL
+      |               THEN CAST(refbg.nb AS DOUBLE) - 0.75 ELSE 0.0 END)
+      |         + ((0.75 * ctx.n1) *
+      |            (coalesce(CAST(cont.nw AS DOUBLE), 0.5) / nbbt.nbb)))
+      |        / ctx.nc
+      |      ELSE coalesce(CAST(cont.nw AS DOUBLE), 0.5) / nbbt.nbb END
+      |    ) * 1000000.0 + 0.5) AS BIGINT) AS s
+      |  FROM docbg d
+      |  LEFT JOIN refbg ON d.w1 = refbg.w1 AND d.w2 = refbg.w2
+      |  LEFT JOIN ctx ON d.w1 = ctx.w1
+      |  LEFT JOIN cont ON d.w2 = cont.w2, nbbt)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |       floor(CAST(sum(c * s) AS DOUBLE) / sum(c) + 0.5) / 1000000.0
+      |         AS avg_surprisal
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    TextAnalysis.knSurprisal(docs, "text", "doc_id",
+      refCorpus = Some(docs.where(col("doc_id") % 2 === 0)))
+      .orderBy("doc_id")
+  }
+
   // Per-source quality calibration: keep each source's exact top-30% by
   // quality score. The cutoff is an order statistic computed over the
   // per-source score HISTOGRAM (distinct rounded scores), never a

@@ -1091,6 +1091,83 @@ object TextAnalysis {
           .as("avg_surprisal"))
   }
 
+  /** Interpolated Kneser–Ney bigram surprisal (Chen & Goodman 1999) —
+    * the canonical LM smoothing, one rung above [[bigramSurprisal]]'s
+    * stupid backoff: absolute discount D on seen bigrams, with the
+    * discounted mass re-spent on the CONTINUATION probability
+    * `P_cont(w2) = |{w1 : c(w1,w2) > 0}| / |distinct bigrams|` — "how
+    * many contexts does w2 complete" rather than "how often does w2
+    * occur", which is what makes KN rank `francisco` low even though
+    * `san francisco` is frequent. Per bigram:
+    * `P(w2|w1) = max(c12−D, 0)/c1 + (D·N1+(w1·)/c1)·P_cont(w2)`;
+    * an unseen context backs off to `P_cont(w2)` directly, and a word
+    * never seen ending a bigram floors at `oovFloorOver / |bigrams|`.
+    *
+    * Cross-engine exactness: the probability is ONE fixed-shape double
+    * expression over exact integer counts (parenthesized identically in
+    * the oracle), `-ln` is correctly rounded in both engines, and the
+    * per-bigram-TYPE surprisal micro-floors BEFORE the per-doc
+    * occurrence-weighted integer sum — no order-dependent double
+    * accumulation anywhere.
+    *
+    * Scale shape mirrors [[bigramSurprisal]]: every model table
+    * pre-combines map-side and is derived from the already-aggregated
+    * bigram table (never a corpus re-scan); N1+(w1·) rides the same
+    * groupBy as c1; per-doc bigram counts aggregate before any join;
+    * the distinct-bigram total is one broadcast row; AQE broadcasts the
+    * model tables at real vocabulary sizes. Output: (doc_id, n_bigrams,
+    * avg_surprisal) in nats; docs with < 2 tokens drop. */
+  def knSurprisal(docs: DataFrame, textCol: String, idCol: String,
+      refCorpus: Option[DataFrame] = None, refTextCol: String = "text",
+      discount: Double = 0.75, oovFloorOver: Double = 0.5): DataFrame = {
+    require(discount > 0 && discount < 1, "KN discount must be in (0, 1)")
+    def bigramsOf(toks: Column): Column = explode(zip_with(
+      slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2"))))
+    def withToks(df: DataFrame, tc: String, extra: Column*): DataFrame =
+      df.select(extra :+ tokens(lower(col(tc))).as("__toks"): _*)
+        .where(size(col("__toks")) >= 2)
+
+    val refT = withToks(refCorpus.getOrElse(docs),
+      refCorpus.map(_ => refTextCol).getOrElse(textCol))
+    val refBg = refT.select(bigramsOf(col("__toks")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("__nb"))
+    // context totals AND follower-type counts in one pass over the
+    // (already bigram-type-cardinality) model table
+    val ctx = refBg.groupBy("w1")
+      .agg(sum(col("__nb")).as("__nc"), count(lit(1)).as("__n1"))
+    val cont = refBg.groupBy("w2").agg(count(lit(1)).as("__nw"))
+      .withColumnRenamed("w2", "__cw2")
+    val nbb = broadcast(refBg.agg(count(lit(1)).as("__nbb")))
+
+    val docBg = withToks(docs, textCol, col(idCol).as("doc_id"))
+      .select(col("doc_id"), bigramsOf(col("__toks")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("__c"))
+
+    // ONE fixed-shape double expression, parenthesized exactly as in
+    // the DuckDB oracle; every input is an exact integer
+    val pc = coalesce(col("__nw").cast("double"), lit(oovFloorOver)) /
+      col("__nbb")
+    val prob = when(col("__nc").isNotNull,
+        (when(col("__nb").isNotNull, col("__nb").cast("double") - discount)
+          .otherwise(lit(0.0)) +
+          ((lit(discount) * col("__n1")) * pc)) / col("__nc"))
+      .otherwise(pc)
+    docBg.join(refBg, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, col("w2") === col("__cw2"), "left").drop("__cw2")
+      .crossJoin(nbb)
+      .withColumn("__s",
+        floor(-log(prob) * 1000000.0 + 0.5).cast("long"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("__c")).as("n_bigrams"),
+        (floor(sum(col("__c") * col("__s")).cast("double") /
+          sum(col("__c")) + 0.5) / 1000000.0).as("avg_surprisal"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023): score each raw document by
     * `log p_target(x) − log p_raw(x)` under unigram bag-of-words LMs — the
     * data-selection step that resamples a web corpus toward a target

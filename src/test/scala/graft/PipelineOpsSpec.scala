@@ -767,6 +767,39 @@ class PipelineOpsSpec extends AnyFunSuite {
       "OOV continuation must floor at alpha * oovFloor / total")
   }
 
+  test("kneser-ney: every smoothing leg is analytic; model normalizes to 1") {
+    // trained bigrams: (a,b)=2, (b,a)=2, (a,c)=1, (d,a)=1, (a,x)=1,
+    // (x,y)=1 -> nbb=6; ctx a: nc=4, n1=3; cont: a=2, b=c=x=y=1
+    val ref = Seq((0L, "a b a b a c"), (2L, "d a x y")).toDF("doc_id", "text")
+    def p(nb: Option[Int], nc: Option[Int], n1: Int, nw: Option[Int]): Double = {
+      val pc = nw.map(_.toDouble).getOrElse(0.5) / 6
+      nc.map(c => (nb.map(_.toDouble - 0.75).getOrElse(0.0) +
+        ((0.75 * n1) * pc)) / c).getOrElse(pc)
+    }
+    val probes = Seq((1L, "a b"), (3L, "a y"), (5L, "b c"),
+      (7L, "q a"), (9L, "q zz")).toDF("doc_id", "text")
+    val score = TextAnalysis.knSurprisal(probes, "text", "doc_id",
+      refCorpus = Some(ref))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    def expect(v: Double): Double =
+      math.floor(-math.log(v) * 1000000.0 + 0.5) / 1000000.0
+    assert(score(1L) == expect(p(Some(2), Some(4), 3, Some(1))), "seen bigram")
+    assert(score(3L) == expect(p(None, Some(4), 3, Some(1))),
+      "unseen bigram, seen context: pure continuation interpolation")
+    assert(score(5L) == expect(p(None, Some(2), 1, Some(1))), "other context")
+    assert(score(7L) == expect(p(None, None, 0, Some(2))),
+      "unseen context backs off to P_cont")
+    assert(score(9L) == expect(p(None, None, 0, None)), "OOV floor")
+    // KN invariant: sum over the full continuation vocabulary of
+    // P(w2 | a) is exactly 1 — the discounted mass is fully re-spent
+    val vocabProbes = Seq("a", "b", "c", "x", "y").zipWithIndex
+      .map { case (w, i) => (100L + i, s"a $w") }.toDF("doc_id", "text")
+    val mass = TextAnalysis.knSurprisal(vocabProbes, "text", "doc_id",
+      refCorpus = Some(ref))
+      .collect().map(r => math.exp(-r.getDouble(2))).sum
+    assert(math.abs(mass - 1.0) < 1e-4, s"continuation mass $mass != 1")
+  }
+
   test("winnowing: shared run >= window+k-1 words guarantees a shared fingerprint") {
     // k=3, window=4: the guarantee threshold is 6 words. Docs 20/21 share
     // exactly a 6-word run embedded in otherwise-disjoint text; doc 22 is

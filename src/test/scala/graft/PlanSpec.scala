@@ -173,7 +173,8 @@ class PlanSpec extends AnyFunSuite {
 
   test("sampling and PII scrub stay scan-side (no shuffle beyond the sort)") {
     // the single Exchange allowed is the oracle-stability orderBy
-    for (q <- Seq("t7_stratified_sample", "t6_pii_redact", "t9_repetition")) {
+    for (q <- Seq("t7_stratified_sample", "t6_pii_redact", "t9_repetition",
+        "t73_unicode_normalize")) {
       val p = plan(q)
       assert(p.split("Exchange").length - 1 <= 1, s"$q: unexpected shuffle")
       assert(!p.contains("BatchEvalPython") && !p.contains("UDF"), s"$q: UDF in plan")
@@ -408,6 +409,12 @@ class PlanSpec extends AnyFunSuite {
       "unigram total must ride a one-row broadcast")
     assert(!p25.contains("CartesianProduct"), "bigram: cartesian in plan")
     assert(!p25.contains("UDF"), "bigram: UDF in plan")
+    val p74 = plan("t74_kneser_ney")
+    assert(p74.contains("partial"), "KN model counts must pre-combine map-side")
+    assert(p74.contains("BroadcastNestedLoopJoin"),
+      "KN distinct-bigram total must ride a one-row broadcast")
+    assert(!p74.contains("CartesianProduct"), "KN: cartesian in plan")
+    assert(!p74.contains("UDF"), "KN: UDF in plan")
     val p24 = plan("t24_vocab_drift")
     assert(p24.contains("partial"), "cohort freq aggs must pre-combine")
     assert(p24.contains("BroadcastNestedLoopJoin"),
