@@ -3392,6 +3392,44 @@ object Queries {
     Similarity.bruteForceTopK(e, queries, k = 3).orderBy("q_id", "rank")
   }
 
+  // Scalar int8 quantization serving: per-dim min-max codes, SYMMETRIC
+  // integer-dot ranking — the whole pipeline (range training, encoding,
+  // scoring, top-k) is exact integer/fixed-shape-double arithmetic, so
+  // unlike the LSH/IVF families this quantized path is hash-proven
+  // END-TO-END, not recall-bounded.
+  register(
+    "ann_sq8_topk",
+    """WITH st AS (
+      |  SELECT pos, min(CAST(v AS DOUBLE)) AS mn, max(CAST(v AS DOUBLE)) AS mx
+      |  FROM (SELECT unnest(embedding) AS v,
+      |               generate_subscripts(embedding, 1) AS pos FROM embeddings)
+      |  GROUP BY pos),
+      |mnmx AS (SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx
+      |         FROM st),
+      |qz AS (
+      |  SELECT vec_id, list_transform(range(1, len(embedding) + 1),
+      |    i -> CASE WHEN s.mx[i] > s.mn[i] THEN
+      |           CAST(floor(((CAST(embedding[i] AS DOUBLE) - s.mn[i]) /
+      |             (s.mx[i] - s.mn[i])) * 255.0 + 0.5) AS BIGINT)
+      |         ELSE CAST(0 AS BIGINT) END) AS code
+      |  FROM embeddings, mnmx s),
+      |q AS (SELECT vec_id AS q_id, code AS q_code FROM qz WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.q_id, c.vec_id AS neighbor_id,
+      |         CAST(list_sum(list_transform(range(1, len(c.code) + 1),
+      |           i -> c.code[i] * q.q_code[i])) AS BIGINT) AS score
+      |  FROM qz c CROSS JOIN q WHERE c.vec_id != q.q_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY score DESC, neighbor_id ASC) AS rank FROM scored)
+      |SELECT q_id, neighbor_id, score, rank FROM ranked WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val queries = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.sq8TopK(e, queries, k = 3).orderBy("q_id", "rank")
+  }
+
   // IVF coarse-quantizer training step: per-group per-dimension centroids.
   register(
     "ann_centroids",

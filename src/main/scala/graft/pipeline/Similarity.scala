@@ -949,4 +949,71 @@ object Similarity {
     import spark.implicits._
     chosen.toSeq.toDF("sel_rank", "vec_id")
   }
+
+  /** Per-dimension (min, max) quantization range of an embedding corpus
+    * as ONE row (mn, mx double arrays) — the scalar quantizer's training
+    * step. posexplode + groupBy(pos) pre-combines map-side (min/max are
+    * algebraic), so the shuffle carries dim × partitions rows; the
+    * dim-cardinality table then folds into sorted arrays. */
+  def sq8Stats(corpus: DataFrame, vecCol: String): DataFrame =
+    corpus.select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(min(col("v").cast("double")).as("mn"),
+        max(col("v").cast("double")).as("mx"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mn"),
+        col("mx")))).as("a"))
+      .select(transform(col("a"), s => s.getField("mn")).as("mn"),
+        transform(col("a"), s => s.getField("mx")).as("mx"))
+
+  // code_i = floor((x_i − mn_i) / (mx_i − mn_i) · 255 + 0.5) ∈ [0, 255];
+  // a degenerate dimension (mx == mn) codes to 0. One fixed-shape double
+  // expression over the exactly-widened float — spelled identically in
+  // the DuckDB oracle.
+  private def sq8Code(vec: Column, mn: Column, mx: Column): Column =
+    transform(sequence(lit(0), size(vec) - 1), i => {
+      val x = element_at(vec, (i + 1).cast("int")).cast("double")
+      val lo = element_at(mn, (i + 1).cast("int"))
+      val hi = element_at(mx, (i + 1).cast("int"))
+      when(hi > lo,
+        floor(((x - lo) / (hi - lo)) * 255.0 + 0.5).cast("long"))
+        .otherwise(lit(0L))
+    })
+
+  /** Scalar (int8) quantization serving path — the memory-bound half of
+    * the quantization family next to PQ/ADC ([[pqAdcTopK]]): per-dim
+    * min-max codes shrink float32 vectors 4× (and integer dot products
+    * replace float kernels — on real serving hardware the int8 SIMD
+    * path), at far better fidelity than PQ's codebook but none of its
+    * sub-linear scan savings. Ranking is by SYMMETRIC quantized dot —
+    * exact integer arithmetic end to end, so unlike the LSH/IVF rows
+    * this path is hash-provable, not recall-bounded.
+    *
+    * Scale shape: the (mn, mx) stats ride ONE broadcast row (the ivf
+    * codebook pattern — corpus partitioning preserved); encoding is a
+    * scan-side projection; after encoding, floats never move — the
+    * serving join carries (id, long-code) only; the top-k is the
+    * [[bruteForceTopK]] broadcast-queries window shape with integer
+    * scores and id tie-breaks. Returns (q_id, neighbor_id, score,
+    * rank). */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "q_id", queryVec: String = "q_vec"): DataFrame = {
+    val st = broadcast(sq8Stats(corpus, corpusVec))
+    val c = corpus.crossJoin(st)
+      .select(col(corpusId),
+        sq8Code(col(corpusVec), col("mn"), col("mx")).as("__code"))
+    val q = queries.crossJoin(st)
+      .select(col(queryId),
+        sq8Code(col(queryVec), col("mn"), col("mx")).as("__qcode"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col(corpusId) =!= col(queryId))
+      .withColumn("score", aggregate(
+        zip_with(col("__code"), col("__qcode"), _ * _), lit(0L), _ + _))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("score").desc, col(corpusId).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(corpusId).as("neighbor_id"),
+        col("score"), col("rank"))
+  }
 }

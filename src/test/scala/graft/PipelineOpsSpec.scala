@@ -1018,6 +1018,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(adists(0) == adists(1) && adists(0) < 2.0)
   }
 
+  test("sq8: analytic codes, degenerate dim inert, own-cluster ranks first") {
+    // mn = (0,0,7), mx = (10,10,7): dim 3 is degenerate (codes to 0 and
+    // contributes nothing); codes are analytic: 10->255, 9->230, 1->26
+    val corpus = Seq(
+      (0L, Seq(10f, 0f, 7f)), (1L, Seq(9f, 1f, 7f)),   // cluster A
+      (2L, Seq(0f, 10f, 7f)), (3L, Seq(1f, 9f, 7f)))   // cluster B
+      .toDF("vec_id", "embedding")
+    val queries = Seq((0L, Seq(10f, 0f, 7f))).toDF("q_id", "q_vec")
+    val out = Similarity.sq8TopK(corpus, queries, k = 3)
+      .orderBy("rank").collect()
+    // q code = (255, 0, 0): scores id1 = 255*230, id3 = 255*26, id2 = 0
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 3L, 2L))
+    assert(out.map(_.getLong(2)).toSeq == Seq(255L * 230, 255L * 26, 0L))
+    assert(!out.map(_.getLong(1)).contains(0L), "self must be excluded")
+  }
+
   test("kmeans lloyd: separable clusters converge to their true means") {
     val corpus = Seq(
       (0L, Array(0f, 0f)), (1L, Array(0f, 2f)), (4L, Array(0f, 1f)),

@@ -322,6 +322,15 @@ class PlanSpec extends AnyFunSuite {
     assert(pi.contains("BroadcastNestedLoopJoin") || pi.contains("BroadcastHashJoin"),
       "IVF-PQ probes must broadcast")
     assert(!pi.contains("SortMergeJoin"), "IVF-PQ must not shuffle the corpus")
+    // SQ8: stats + queries ride broadcasts over the corpus scan; after
+    // encoding only (id, code) moves — no SortMergeJoin anywhere
+    val ps = plan("ann_sq8_topk")
+    assert(ps.contains("BroadcastNestedLoopJoin"),
+      "SQ8 range stats must ride a one-row broadcast")
+    assert(!ps.contains("SortMergeJoin"), "SQ8 must not join-shuffle the corpus")
+    assert(!ps.contains("CartesianProduct"), "SQ8: cartesian in plan")
+    assert(!ps.contains("BatchEvalPython") && !ps.contains("UDF"),
+      "SQ8: UDF in plan")
   }
 
   test("kmeans: assignment is a scan-side argmin, plan O(1) in k") {
