@@ -6113,6 +6113,30 @@ object Queries {
       "dirty", "doc_id").orderBy("doc_id")
   }
 
+  // C4-style blocklist filter on the native Aho-Corasick expression.
+  // The pattern set exercises the automaton's structure for real:
+  // 'slo' nests inside 'slow' (fail-link output closure must emit
+  // both), 'join order' crosses a token boundary (substring semantics),
+  // 'zzzz' never occurs. EXACT oracle: DuckDB re-derives the matches
+  // with per-pattern contains() — P probes, the very shape the
+  // automaton exists to avoid, which is fine for a 5-phrase oracle.
+  register(
+    "t75_blocklist_filter",
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         list_sort(list_filter(['dup', 'join order', 'slo', 'slow',
+      |                                'zzzz'],
+      |           p -> contains(lower(text), p))) AS hits
+      |  FROM documents)
+      |SELECT doc_id, coalesce(array_to_string(hits, ','), '') AS matched,
+      |       CAST(len(hits) AS BIGINT) AS n_matched,
+      |       len(hits) > 0 AS blocked
+      |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.blocklistFilter(t(s, dir, "documents"), "text", "doc_id",
+      Seq("dup", "join order", "slo", "slow", "zzzz"))
+      .orderBy("doc_id")
+  }
+
   // Word error rate via the codegen'd token-level edit distance, on a
   // planted construction with ANALYTIC distances: empty hypothesis
   // (edits = ref_len), identical (0), kept-subsequence — a

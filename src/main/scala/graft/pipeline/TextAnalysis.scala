@@ -1516,6 +1516,25 @@ object TextAnalysis {
       nfc.as("text_nfc"))
   }
 
+  /** C4-style blocklist filter — drop a page if any listed phrase
+    * occurs — on the [[graft.functions.MultiMatch]] Aho–Corasick
+    * expression: every pattern is matched in ONE O(len) walk per
+    * document instead of P `contains` probes, which is what makes a
+    * 10³–10⁴-phrase blocklist affordable at corpus scale. Substring
+    * semantics (phrases may cross token boundaries); matching is on the
+    * lowercased text. A pure scan-side projection. Returns (doc_id,
+    * matched — the distinct hits, sorted, comma-joined — n_matched,
+    * blocked). */
+  def blocklistFilter(docs: DataFrame, textCol: String, idCol: String,
+      patterns: Seq[String]): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.MultiMatch.multi_match(lower(col(textCol)),
+        patterns.map(_.toLowerCase)).as("__m"))
+      .select(col("doc_id"),
+        concat_ws(",", col("__m")).as("matched"),
+        size(col("__m")).cast("long").as("n_matched"),
+        (size(col("__m")) > 0).as("blocked"))
+
   def charEntropy(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val counts = docs
       .select(col(idCol).as("doc_id"),

@@ -1195,15 +1195,50 @@ class PipelineOpsSpec extends AnyFunSuite {
         graft.functions.MinHashSig.minhash_sig(col("la"), 8).as("mh"),
         graft.functions.SimHashSig.simhash_sig(col("la")).as("sh"),
         graft.functions.WinnowMins.winnow_mins(col("g"), 2).as("w"),
-        graft.functions.RollingHash.rolling_hash(lit("abc")).as("rh"))
+        graft.functions.RollingHash.rolling_hash(lit("abc")).as("rh"),
+        graft.functions.MultiMatch.multi_match(lit("xabcx"),
+          Seq("ab", "abc", "zz")).as("mm"))
         .collect().head
       assert(r.getInt(0) == 2 && r.getDouble(1) == 11.0 && r.getDouble(2) == 8.0)
       assert(r.getSeq[Long](3).length == 8)
       assert(r.getSeq[String](5) == Seq("aa", "ab"))
+      assert(r.getSeq[String](7) == Seq("ab", "abc"))
     } finally {
       spark.conf.unset("spark.sql.codegen.factoryMode")
       spark.conf.unset("spark.sql.codegen.fallback")
     }
+  }
+
+  test("aho-corasick: nested/overlapping/cross-boundary patterns; randomized vs contains") {
+    import graft.functions.MultiMatch.multi_match
+    // nested ('slo' in 'slow'), overlapping self-matches, suffix emission
+    // through fail links, phrase across a space, absent pattern
+    val pats = Seq("ab", "abc", "bc", "c", "zz", "n o")
+    val hand = Seq(
+      ("xabcx", Seq("ab", "abc", "bc", "c")), // one walk emits all four
+      ("aaa", Seq[String]()),
+      ("abab", Seq("ab")),                    // overlap dedupes
+      ("m n op", Seq("n o")),                 // crosses token boundary
+      ("", Seq[String]()))
+      .toDF("t", "want")
+    hand.select(multi_match(col("t"), pats).as("got"), col("want"))
+      .collect().foreach(r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString))
+    // null text nulls out; empty/duplicate patterns are dropped at build
+    val edge = Seq(Tuple1(null.asInstanceOf[String])).toDF("t")
+      .select(multi_match(col("t"), Seq("", "x", "x")).as("got")).collect()
+    assert(edge(0).isNullAt(0))
+    // randomized equivalence against per-pattern contains + sort
+    val rnd = new scala.util.Random(31)
+    def randS(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    val rpats = (0 until 12).map(_ => randS(rnd.nextInt(4) + 1)).distinct
+    val texts = (0 until 150).map(_ => randS(rnd.nextInt(40))).toDF("t")
+    texts.select(col("t"), multi_match(col("t"), rpats).as("got"))
+      .collect().foreach { r =>
+        val want = rpats.filter(r.getString(0).contains(_)).sorted
+        assert(r.getSeq[String](1) == want,
+          s"'${r.getString(0)}' got ${r.getSeq[String](1)} want $want")
+      }
   }
 
   test("kernel equivalence under random inputs: intersect_size, winnow_mins, minhash/simhash sigs") {

@@ -174,7 +174,7 @@ class PlanSpec extends AnyFunSuite {
   test("sampling and PII scrub stay scan-side (no shuffle beyond the sort)") {
     // the single Exchange allowed is the oracle-stability orderBy
     for (q <- Seq("t7_stratified_sample", "t6_pii_redact", "t9_repetition",
-        "t73_unicode_normalize")) {
+        "t73_unicode_normalize", "t75_blocklist_filter")) {
       val p = plan(q)
       assert(p.split("Exchange").length - 1 <= 1, s"$q: unexpected shuffle")
       assert(!p.contains("BatchEvalPython") && !p.contains("UDF"), s"$q: UDF in plan")
