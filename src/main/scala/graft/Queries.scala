@@ -6137,6 +6137,99 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // Full-batch logistic-regression quality classifier, 3 GD rounds
+  // unrolled in the oracle (the dawidSkene precedent): features are the
+  // t2 quality components micro-quantized scan-side, weights live in
+  // integer nanos, the margin/sigmoid/update arithmetic is the same
+  // fixed-shape IEEE expression in both engines, and per-doc gradient
+  // terms nano-floor before the order-free integer sum — the whole
+  // training trajectory plus final accuracy hash-matches.
+  register(
+    "t76_logreg_quality",
+    """WITH f AS (
+      |  SELECT CASE WHEN source IN ('src0', 'src1', 'src2')
+      |              THEN 1 ELSE 0 END AS y,
+      |         CAST(floor(least(length(text) / 500.0, 1.0) * 1000000.0
+      |           + 0.5) AS BIGINT) AS lm,
+      |         CAST(floor((CASE WHEN len(toks) > 0 THEN
+      |             len(list_filter(toks, x -> x IN ('the','a','of','and',
+      |               'to','in')))::DOUBLE / len(toks)
+      |           ELSE 0.0 END) * 1000000.0 + 0.5) AS BIGINT) AS sm,
+      |         CAST(floor((CASE WHEN length(text) > 0 THEN
+      |             len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE /
+      |               length(text)
+      |           ELSE 0.0 END) * 1000000.0 + 0.5) AS BIGINT) AS pm
+      |  FROM (SELECT source, text,
+      |          list_filter(string_split_regex(lower(text), '\s+'),
+      |                      x -> x != '') AS toks
+      |        FROM documents)),
+      |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+      |w0 AS (SELECT CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS l,
+      |              CAST(0 AS BIGINT) AS s, CAST(0 AS BIGINT) AS p),
+      |g1 AS (
+      |  SELECT
+      |    CAST(sum(CAST(floor((CAST(y AS DOUBLE) - (1.0 / (1.0 + exp(-((((CAST(w.b AS DOUBLE) / 1000000000.0) + ((CAST(w.l AS DOUBLE) / 1000000000.0) * (CAST(lm AS DOUBLE) / 1000000.0))) + ((CAST(w.s AS DOUBLE) / 1000000000.0) * (CAST(sm AS DOUBLE) / 1000000.0))) + ((CAST(w.p AS DOUBLE) / 1000000000.0) * (CAST(pm AS DOUBLE) / 1000000.0))))))) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS gb,
+      |    CAST(sum(CAST(floor(((CAST(y AS DOUBLE) - (1.0 / (1.0 + exp(-((((CAST(w.b AS DOUBLE) / 1000000000.0) + ((CAST(w.l AS DOUBLE) / 1000000000.0) * (CAST(lm AS DOUBLE) / 1000000.0))) + ((CAST(w.s AS DOUBLE) / 1000000000.0) * (CAST(sm AS DOUBLE) / 1000000.0))) + ((CAST(w.p AS DOUBLE) / 1000000000.0) * (CAST(pm AS DOUBLE) / 1000000.0))))))) * (CAST(lm AS DOUBLE) / 1000000.0)) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS gl,
+      |    CAST(sum(CAST(floor(((CAST(y AS DOUBLE) - (1.0 / (1.0 + exp(-((((CAST(w.b AS DOUBLE) / 1000000000.0) + ((CAST(w.l AS DOUBLE) / 1000000000.0) * (CAST(lm AS DOUBLE) / 1000000.0))) + ((CAST(w.s AS DOUBLE) / 1000000000.0) * (CAST(sm AS DOUBLE) / 1000000.0))) + ((CAST(w.p AS DOUBLE) / 1000000000.0) * (CAST(pm AS DOUBLE) / 1000000.0))))))) * (CAST(sm AS DOUBLE) / 1000000.0)) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS gs,
+      |    CAST(sum(CAST(floor(((CAST(y AS DOUBLE) - (1.0 / (1.0 + exp(-((((CAST(w.b AS DOUBLE) / 1000000000.0) + ((CAST(w.l AS DOUBLE) / 1000000000.0) * (CAST(lm AS DOUBLE) / 1000000.0))) + ((CAST(w.s AS DOUBLE) / 1000000000.0) * (CAST(sm AS DOUBLE) / 1000000.0))) + ((CAST(w.p AS DOUBLE) / 1000000000.0) * (CAST(pm AS DOUBLE) / 1000000.0))))))) * (CAST(pm AS DOUBLE) / 1000000.0)) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS gp
+      |  FROM f, w0 w),
+      |w1 AS (SELECT
+      |    w.b + CAST(floor((0.5 * CAST(g.gb AS DOUBLE)) / nt.n + 0.5) AS BIGINT) AS b,
+      |    w.l + CAST(floor((0.5 * CAST(g.gl AS DOUBLE)) / nt.n + 0.5) AS BIGINT) AS l,
+      |    w.s + CAST(floor((0.5 * CAST(g.gs AS DOUBLE)) / nt.n + 0.5) AS BIGINT) AS s,
+      |    w.p + CAST(floor((0.5 * CAST(g.gp AS DOUBLE)) / nt.n + 0.5) AS BIGINT) AS p
+      |  FROM w0 w, g1 g, nt),
+      |g2 AS (
+      |  SELECT
+      |    CAST(sum(CAST(floor((CAST(y AS DOUBLE) - (1.0 / (1.0 + exp(-((((CAST(w.b AS DOUBLE) / 1000000000.0) + ((CAST(w.l AS DOUBLE) / 1000000000.0) * (CAST(lm AS DOUBLE) / 1000000.0))) + ((CAST(w.s AS DOUBLE) / 1000000000.0) * (CAST(sm AS DOUBLE) / 1000000.0))) + ((CAST(w.p AS DOUBLE) / 1000000000.0) * (CAST(pm AS DOUBLE) / 1000000.0))))))) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS gb,
+      |    CAST(sum(CAST(floor(((CAST(y AS DOUBLE) - (1.0 / (1.0 + exp(-((((CAST(w.b AS DOUBLE) / 1000000000.0) + ((CAST(w.l AS DOUBLE) / 1000000000.0) * (CAST(lm AS DOUBLE) / 1000000.0))) + ((CAST(w.s AS DOUBLE) / 1000000000.0) * (CAST(sm AS DOUBLE) / 1000000.0))) + ((CAST(w.p AS DOUBLE) / 1000000000.0) * (CAST(pm AS DOUBLE) / 1000000.0))))))) * (CAST(lm AS DOUBLE) / 1000000.0)) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS gl,
+      |    CAST(sum(CAST(floor(((CAST(y AS DOUBLE) - (1.0 / (1.0 + exp(-((((CAST(w.b AS DOUBLE) / 1000000000.0) + ((CAST(w.l AS DOUBLE) / 1000000000.0) * (CAST(lm AS DOUBLE) / 1000000.0))) + ((CAST(w.s AS DOUBLE) / 1000000000.0) * (CAST(sm AS DOUBLE) / 1000000.0))) + ((CAST(w.p AS DOUBLE) / 1000000000.0) * (CAST(pm AS DOUBLE) / 1000000.0))))))) * (CAST(sm AS DOUBLE) / 1000000.0)) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS gs,
+      |    CAST(sum(CAST(floor(((CAST(y AS DOUBLE) - (1.0 / (1.0 + exp(-((((CAST(w.b AS DOUBLE) / 1000000000.0) + ((CAST(w.l AS DOUBLE) / 1000000000.0) * (CAST(lm AS DOUBLE) / 1000000.0))) + ((CAST(w.s AS DOUBLE) / 1000000000.0) * (CAST(sm AS DOUBLE) / 1000000.0))) + ((CAST(w.p AS DOUBLE) / 1000000000.0) * (CAST(pm AS DOUBLE) / 1000000.0))))))) * (CAST(pm AS DOUBLE) / 1000000.0)) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS gp
+      |  FROM f, w1 w),
+      |w2 AS (SELECT
+      |    w.b + CAST(floor((0.5 * CAST(g.gb AS DOUBLE)) / nt.n + 0.5) AS BIGINT) AS b,
+      |    w.l + CAST(floor((0.5 * CAST(g.gl AS DOUBLE)) / nt.n + 0.5) AS BIGINT) AS l,
+      |    w.s + CAST(floor((0.5 * CAST(g.gs AS DOUBLE)) / nt.n + 0.5) AS BIGINT) AS s,
+      |    w.p + CAST(floor((0.5 * CAST(g.gp AS DOUBLE)) / nt.n + 0.5) AS BIGINT) AS p
+      |  FROM w1 w, g2 g, nt),
+      |g3 AS (
+      |  SELECT
+      |    CAST(sum(CAST(floor((CAST(y AS DOUBLE) - (1.0 / (1.0 + exp(-((((CAST(w.b AS DOUBLE) / 1000000000.0) + ((CAST(w.l AS DOUBLE) / 1000000000.0) * (CAST(lm AS DOUBLE) / 1000000.0))) + ((CAST(w.s AS DOUBLE) / 1000000000.0) * (CAST(sm AS DOUBLE) / 1000000.0))) + ((CAST(w.p AS DOUBLE) / 1000000000.0) * (CAST(pm AS DOUBLE) / 1000000.0))))))) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS gb,
+      |    CAST(sum(CAST(floor(((CAST(y AS DOUBLE) - (1.0 / (1.0 + exp(-((((CAST(w.b AS DOUBLE) / 1000000000.0) + ((CAST(w.l AS DOUBLE) / 1000000000.0) * (CAST(lm AS DOUBLE) / 1000000.0))) + ((CAST(w.s AS DOUBLE) / 1000000000.0) * (CAST(sm AS DOUBLE) / 1000000.0))) + ((CAST(w.p AS DOUBLE) / 1000000000.0) * (CAST(pm AS DOUBLE) / 1000000.0))))))) * (CAST(lm AS DOUBLE) / 1000000.0)) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS gl,
+      |    CAST(sum(CAST(floor(((CAST(y AS DOUBLE) - (1.0 / (1.0 + exp(-((((CAST(w.b AS DOUBLE) / 1000000000.0) + ((CAST(w.l AS DOUBLE) / 1000000000.0) * (CAST(lm AS DOUBLE) / 1000000.0))) + ((CAST(w.s AS DOUBLE) / 1000000000.0) * (CAST(sm AS DOUBLE) / 1000000.0))) + ((CAST(w.p AS DOUBLE) / 1000000000.0) * (CAST(pm AS DOUBLE) / 1000000.0))))))) * (CAST(sm AS DOUBLE) / 1000000.0)) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS gs,
+      |    CAST(sum(CAST(floor(((CAST(y AS DOUBLE) - (1.0 / (1.0 + exp(-((((CAST(w.b AS DOUBLE) / 1000000000.0) + ((CAST(w.l AS DOUBLE) / 1000000000.0) * (CAST(lm AS DOUBLE) / 1000000.0))) + ((CAST(w.s AS DOUBLE) / 1000000000.0) * (CAST(sm AS DOUBLE) / 1000000.0))) + ((CAST(w.p AS DOUBLE) / 1000000000.0) * (CAST(pm AS DOUBLE) / 1000000.0))))))) * (CAST(pm AS DOUBLE) / 1000000.0)) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS gp
+      |  FROM f, w2 w),
+      |w3 AS (SELECT
+      |    w.b + CAST(floor((0.5 * CAST(g.gb AS DOUBLE)) / nt.n + 0.5) AS BIGINT) AS b,
+      |    w.l + CAST(floor((0.5 * CAST(g.gl AS DOUBLE)) / nt.n + 0.5) AS BIGINT) AS l,
+      |    w.s + CAST(floor((0.5 * CAST(g.gs AS DOUBLE)) / nt.n + 0.5) AS BIGINT) AS s,
+      |    w.p + CAST(floor((0.5 * CAST(g.gp AS DOUBLE)) / nt.n + 0.5) AS BIGINT) AS p
+      |  FROM w2 w, g3 g, nt),
+      |acc AS (
+      |  SELECT CAST(sum(CASE WHEN (((((CAST(w.b AS DOUBLE) / 1000000000.0) + ((CAST(w.l AS DOUBLE) / 1000000000.0) * (CAST(lm AS DOUBLE) / 1000000.0))) + ((CAST(w.s AS DOUBLE) / 1000000000.0) * (CAST(sm AS DOUBLE) / 1000000.0))) + ((CAST(w.p AS DOUBLE) / 1000000000.0) * (CAST(pm AS DOUBLE) / 1000000.0))) >= 0.0) = (y = 1)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS c
+      |  FROM f, w3 w)
+      |SELECT nt.n,
+      |       CAST(w3.b AS DOUBLE) / 1000000000.0 AS w_bias,
+      |       CAST(w3.l AS DOUBLE) / 1000000000.0 AS w_f_len,
+      |       CAST(w3.s AS DOUBLE) / 1000000000.0 AS w_f_stop,
+      |       CAST(w3.p AS DOUBLE) / 1000000000.0 AS w_f_punct,
+      |       floor((CAST(acc.c AS DOUBLE) * 1000000.0) / nt.n + 0.5)
+      |         / 1000000.0 AS accuracy
+      |FROM nt, w3, acc""".stripMargin) { (s, dir) =>
+    val stop = Seq("the", "a", "of", "and", "to", "in")
+    val feats = t(s, dir, "documents").select(
+      when(col("source").isin("src0", "src1", "src2"), 1).otherwise(0).as("y"),
+      floor(least(length(col("text")).cast("double") / 500.0, lit(1.0)) *
+        1000000.0 + 0.5).cast("long").as("f_len"),
+      floor(TextAnalysis.stopwordRatio(col("text"), stop) * 1000000.0 + 0.5)
+        .cast("long").as("f_stop"),
+      floor(TextAnalysis.punctRatio(col("text")) * 1000000.0 + 0.5)
+        .cast("long").as("f_punct"))
+    TextAnalysis.logregTrain(feats, Seq("f_len", "f_stop", "f_punct"), "y",
+      rounds = 3, lr = 0.5)
+  }
+
   // Word error rate via the codegen'd token-level edit distance, on a
   // planted construction with ANALYTIC distances: empty hypothesis
   // (edits = ref_len), identical (0), kept-subsequence — a

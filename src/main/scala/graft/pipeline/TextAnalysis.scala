@@ -1168,6 +1168,66 @@ object TextAnalysis {
           sum(col("__c")) + 0.5) / 1000000.0).as("avg_surprisal"))
   }
 
+  /** Full-batch logistic-regression trainer — the discriminative
+    * quality-classifier paradigm (fastText-style linear scorer) beside
+    * [[naiveBayesClassify]]'s generative one. Full-batch gradient
+    * descent, NOT SGD: the gradient is an order-free SUM over the
+    * corpus, which is what makes distributed training deterministic —
+    * each round is ONE scan producing (|features|+1) pre-combined
+    * integer sums; the weight vector lives driver-side as a handful of
+    * longs (the kmeansLloyd collect-the-centroids pattern) and re-enters
+    * the next round's plan as literals.
+    *
+    * Exactness contract: features arrive micro-quantized (1e-6 longs),
+    * weights live in nano units (1e-9 longs), the margin z and sigmoid
+    * are fixed-shape double expressions over those exact integers,
+    * per-doc gradient terms nano-floor BEFORE the integer sum, and the
+    * driver's update arithmetic is the same IEEE ops an unrolled SQL
+    * replica performs — so the whole K-round trajectory hash-matches
+    * (the dawidSkene unrolled-EM precedent). Returns ONE row:
+    * (n, w_bias, w_<feature>..., accuracy) with weights as doubles.
+    * `rounds` is a human training budget, never data-sized. */
+  def logregTrain(feats: DataFrame, featureCols: Seq[String],
+      labelCol: String, rounds: Int = 3, lr: Double = 0.5): DataFrame = {
+    require(rounds >= 1, s"logregTrain: rounds must be >= 1, got $rounds")
+    require(featureCols.nonEmpty, "logregTrain: no feature columns")
+    val spark = feats.sparkSession
+    val f = feats.select((labelCol +: featureCols).map(col): _*).localCheckpoint()
+    val n = f.count()
+    require(n > 0, "logregTrain: empty input")
+    val yd = col(labelCol).cast("double")
+    def fj(c: String): Column = col(c).cast("double") / 1000000.0
+    val w = Array.fill(featureCols.length + 1)(0L)
+    // (((w0 + w1·f1) + w2·f2) + …) — left-associated, spelled exactly so
+    // in the oracle; each literal is the exact nano/1e9 double
+    def zExpr: Column =
+      featureCols.zipWithIndex.foldLeft(lit(w(0).toDouble / 1e9): Column) {
+        case (z, (c, i)) => z + (lit(w(i + 1).toDouble / 1e9) * fj(c))
+      }
+    for (_ <- 1 to rounds) {
+      val sig = lit(1.0) / (lit(1.0) + exp(-zExpr))
+      val g0 = sum(floor((yd - sig) * 1000000000.0 + 0.5).cast("long"))
+      val gs = featureCols.map(c =>
+        sum(floor(((yd - sig) * fj(c)) * 1000000000.0 + 0.5).cast("long")))
+      val row = f.agg(g0, gs: _*).collect()(0)
+      for (j <- w.indices)
+        w(j) += math.floor((lr * row.getLong(j).toDouble) / n + 0.5).toLong
+    }
+    val hits = f.agg(sum(when((zExpr >= 0.0) === (col(labelCol) === 1), 1L)
+      .otherwise(0L))).collect()(0).getLong(0)
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType) +:
+      (("w_bias" +: featureCols.map("w_" + _)) :+ "accuracy").map(c =>
+        org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.DoubleType)))
+    val vals: Seq[Any] = n +: w.toSeq.map(_.toDouble / 1e9) :+
+      (math.floor((hits.toDouble * 1000000.0) / n + 0.5) / 1000000.0)
+    spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(vals: _*)), schema)
+  }
+
   /** DSIR importance weights (Xie et al. 2023): score each raw document by
     * `log p_target(x) − log p_raw(x)` under unigram bag-of-words LMs — the
     * data-selection step that resamples a web corpus toward a target

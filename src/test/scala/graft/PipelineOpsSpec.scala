@@ -1034,6 +1034,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!out.map(_.getLong(1)).contains(0L), "self must be excluded")
   }
 
+  test("logreg: analytic first round; separable fixture reaches accuracy 1") {
+    // balanced fixture, one perfectly-separating micro feature
+    val feats = Seq((1, 1000000L), (1, 1000000L), (0, 0L), (0, 0L))
+      .toDF("y", "f")
+    // round 1 analytic: w=0 -> sigmoid exactly 0.5 everywhere;
+    // grad_b = 0 (balanced), grad_f = 2*floor(0.5*1.0*1e9+0.5) = 1e9;
+    // delta w_f = floor((0.5*1e9)/4 + 0.5) nanos = 0.125
+    val r1 = TextAnalysis.logregTrain(feats, Seq("f"), "y", rounds = 1)
+      .collect()(0)
+    assert(r1.getLong(0) == 4)
+    assert(r1.getDouble(1) == 0.0 && r1.getDouble(2) == 0.125)
+    // enough rounds: the bias must go negative (so f=0 predicts class 0)
+    // and the fixture classifies perfectly
+    val r8 = TextAnalysis.logregTrain(feats, Seq("f"), "y", rounds = 8)
+      .collect()(0)
+    assert(r8.getDouble(2) > 0 && r8.getDouble(1) < 0,
+      s"weights ${r8.getDouble(1)}, ${r8.getDouble(2)}")
+    assert(r8.getDouble(3) == 1.0, s"accuracy ${r8.getDouble(3)}")
+  }
+
   test("kmeans lloyd: separable clusters converge to their true means") {
     val corpus = Seq(
       (0L, Array(0f, 0f)), (1L, Array(0f, 2f)), (4L, Array(0f, 1f)),
