@@ -6230,6 +6230,79 @@ object Queries {
       rounds = 3, lr = 0.5)
   }
 
+  // Zipf power-law fit over the top-200 vocabulary ranks: micro-floored
+  // log moments, exact-integer OLS sums, one double division per
+  // coefficient — hash-matched.
+  register(
+    "t77_zipf_fit",
+    """WITH c AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS n
+      |  FROM (SELECT unnest(list_filter(string_split_regex(lower(text),
+      |          '\s+'), x -> x != '')) AS tok FROM documents)
+      |  GROUP BY tok),
+      |t AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rank
+      |      FROM c ORDER BY n DESC, tok ASC LIMIT 200),
+      |mm AS (SELECT
+      |    CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS x,
+      |    CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS y
+      |  FROM t),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS r,
+      |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |             CAST(sum(x * x) AS BIGINT) AS sxx,
+      |             CAST(sum(x * y) AS BIGINT) AS sxy FROM mm)
+      |SELECT r,
+      |  floor((CAST(r * sxy - sx * sy AS DOUBLE) /
+      |         CAST(r * sxx - sx * sx AS DOUBLE)) * 1000000.0 + 0.5)
+      |    / 1000000.0 AS slope,
+      |  floor((CAST(sy AS DOUBLE) - (CAST(r * sxy - sx * sy AS DOUBLE) /
+      |         CAST(r * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) /
+      |         CAST(r AS DOUBLE) + 0.5) / 1000000.0 AS intercept
+      |FROM m""".stripMargin) { (s, dir) =>
+    TextAnalysis.zipfFit(t(s, dir, "documents"), "text", topR = 200)
+  }
+
+  // Dataset card: the one-row release summary (sizes, vocab, mean
+  // quality, exact-dup rate, blocklist exposure) — a composite of
+  // individually-proven pieces (t2 quality, d1 hash-dedup, t75
+  // blocklist) in ONE pre-combined per-doc aggregate + a vocab pass.
+  register(
+    "p9_dataset_card",
+    """WITH d AS (
+      |  SELECT text, lower(text) AS lt,
+      |         list_filter(string_split_regex(lower(text), '\s+'),
+      |                     x -> x != '') AS toks
+      |  FROM documents),
+      |a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(len(toks)) AS BIGINT) AS ntok,
+      |         CAST(sum(length(text)) AS BIGINT) AS nch,
+      |         CAST(sum(CAST(floor(round(greatest(0.0,
+      |           least(length(text) / 500.0, 1.0) * 0.4 +
+      |           least((len(list_filter(toks, x -> x IN ('the','a','of',
+      |             'and','to','in')))::DOUBLE /
+      |             greatest(len(toks), 1)) * 3.0, 1.0) * 0.4 +
+      |           (1.0 - least(len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE /
+      |             greatest(length(text), 1) * 5.0, 1.0)) * 0.2), 6)
+      |           * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS q,
+      |         CAST(count(DISTINCT md5(text)) AS BIGINT) AS dh,
+      |         CAST(sum(CASE WHEN len(list_filter(['dup', 'join order',
+      |             'slo', 'slow', 'zzzz'], p -> contains(lt, p))) > 0
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS bln
+      |  FROM d),
+      |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+      |      FROM (SELECT unnest(toks) AS tok FROM d))
+      |SELECT n AS n_docs, ntok AS n_tokens, nch AS n_chars, vocab,
+      |       floor(CAST(q AS DOUBLE) / n + 0.5) / 1000000.0 AS mean_quality,
+      |       floor(CAST(n - dh AS DOUBLE) * 1000000.0 / n + 0.5)
+      |         / 1000000.0 AS dup_rate,
+      |       floor(CAST(bln AS DOUBLE) * 1000000.0 / n + 0.5)
+      |         / 1000000.0 AS blocked_frac
+      |FROM a, v""".stripMargin) { (s, dir) =>
+    TextAnalysis.datasetCard(t(s, dir, "documents"), "text",
+      stopwords = Seq("the", "a", "of", "and", "to", "in"),
+      blocklist = Seq("dup", "join order", "slo", "slow", "zzzz"))
+  }
+
   // Word error rate via the codegen'd token-level edit distance, on a
   // planted construction with ANALYTIC distances: empty hypothesis
   // (edits = ref_len), identical (0), kept-subsequence — a

@@ -690,6 +690,82 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("tok").asc)
       .limit(k)
 
+  /** Dataset card — the one-row corpus summary a curated release ships
+    * with: sizes, vocabulary, mean quality, exact-duplicate rate, and
+    * blocklist exposure. Two scans total: ONE per-doc projection feeds a
+    * single pre-combined aggregate (counts/sums/distinct-hash/blocklist
+    * verdict all ride it), and the vocabulary count is its own
+    * explode+distinct pass; both collapse to 1-row frames joined by a
+    * trivial cross. Quality micro-floors per doc before the integer sum;
+    * the three ratios are single double divisions, micro-floored.
+    * Returns (n_docs, n_tokens, n_chars, vocab, mean_quality, dup_rate,
+    * blocked_frac). */
+  def datasetCard(docs: DataFrame, textCol: String, stopwords: Seq[String],
+      blocklist: Seq[String]): DataFrame = {
+    val perDoc = docs.select(
+      length(col(textCol)).cast("long").as("nc"),
+      size(tokens(lower(col(textCol)))).cast("long").as("nt"),
+      floor(qualityScore(col(textCol), stopwords) * 1000000.0 + 0.5)
+        .cast("long").as("qm"),
+      md5(col(textCol)).as("h"),
+      when(size(graft.functions.MultiMatch.multi_match(lower(col(textCol)),
+        blocklist.map(_.toLowerCase))) > 0, 1L).otherwise(0L).as("bl"))
+    val a = perDoc.agg(count(lit(1)).as("n"), sum(col("nt")).as("ntok"),
+      sum(col("nc")).as("nch"), sum(col("qm")).as("q"),
+      countDistinct(col("h")).as("dh"), sum(col("bl")).as("bln"))
+    val v = docs.select(explode(tokens(lower(col(textCol)))).as("tok"))
+      .agg(countDistinct(col("tok")).as("vocab"))
+    a.crossJoin(v).select(
+      col("n").as("n_docs"), col("ntok").as("n_tokens"),
+      col("nch").as("n_chars"), col("vocab"),
+      (floor(col("q").cast("double") / col("n") + 0.5) / 1000000.0)
+        .as("mean_quality"),
+      (floor((col("n") - col("dh")).cast("double") * 1000000.0 / col("n")
+        + 0.5) / 1000000.0).as("dup_rate"),
+      (floor(col("bln").cast("double") * 1000000.0 / col("n") + 0.5)
+        / 1000000.0).as("blocked_frac"))
+  }
+
+  /** Zipf power-law fit — OLS of ln(freq) on ln(rank) over the top-R
+    * vocabulary ranks: the corpus-statistics check that natural language
+    * obeys (slope ≈ −1); a flat slope flags templated/machine noise, a
+    * cliff flags boilerplate domination — the distributional cousin of
+    * [[vocabCoverage]]'s rank-1 share. R is a human analysis budget
+    * (default 200), never data-sized.
+    *
+    * Exactness: ln(rank)/ln(count) micro-floor scan-side, the five OLS
+    * moments are exact integer sums (bounds: |x| ≤ ln R·10⁶, |y| ≤
+    * ln N·10⁶ keep every product under 2⁶³ for any real corpus at
+    * R ≤ 200), and slope/intercept are single double divisions over
+    * exact integers, micro-floored. Ranking shuffles the
+    * vocab-cardinality count table, never the corpus; ties break
+    * (count desc, token asc). Returns one row (r, slope, intercept). */
+  def zipfFit(docs: DataFrame, textCol: String, topR: Int = 200): DataFrame = {
+    val counts = docs.select(explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    // top-R via distributed TakeOrdered (the t46 cut); the global
+    // row_number window then sees only R rows
+    val top = counts.orderBy(col("n").desc, col("tok").asc).limit(topR)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("tok").asc)
+    val ranked = top.withColumn("rank", row_number().over(w))
+    val xm = floor(log(col("rank").cast("double")) * 1000000.0 + 0.5)
+      .cast("long")
+    val ym = floor(log(col("n").cast("double")) * 1000000.0 + 0.5)
+      .cast("long")
+    val m = ranked.select(xm.as("x"), ym.as("y"))
+      .agg(count(lit(1)).as("r"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+    val num = (col("r") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = (col("r") * col("sxx") - col("sx") * col("sx")).cast("double")
+    m.select(col("r"),
+      (floor((num / den) * 1000000.0 + 0.5) / 1000000.0).as("slope"),
+      (floor((col("sy").cast("double") - (num / den) *
+        col("sx").cast("double")) / col("r").cast("double") + 0.5) /
+        1000000.0).as("intercept"))
+  }
+
   /** Vocabulary coverage curve — for each candidate vocabulary size N,
     * the fraction of all corpus TOKEN OCCURRENCES covered by the N most
     * frequent words: the statistic that sizes a tokenizer's vocabulary

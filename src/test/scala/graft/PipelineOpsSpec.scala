@@ -1054,6 +1054,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r8.getDouble(3) == 1.0, s"accuracy ${r8.getDouble(3)}")
   }
 
+  test("zipf fit: planted 1/r corpus recovers slope -1; card summarizes exactly") {
+    // counts 60/r for ranks 1..6: ln(count) = ln 60 - ln(rank) exactly,
+    // so the OLS slope is -1 up to micro rounding
+    val words = Seq(("a", 60), ("b", 30), ("c", 20), ("d", 15), ("e", 12),
+      ("f", 10)).flatMap { case (w, k) => Seq.fill(k)(w) }
+    val docs = Seq((0L, words.mkString(" "))).toDF("doc_id", "text")
+    val fit = TextAnalysis.zipfFit(docs, "text", topR = 200).collect()(0)
+    assert(fit.getLong(0) == 6)
+    assert(math.abs(fit.getDouble(1) + 1.0) < 0.001, s"slope ${fit.getDouble(1)}")
+    assert(math.abs(fit.getDouble(2) - math.log(60.0)) < 0.001)
+
+    val corpus = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the cat sat on the mat"),   // exact duplicate
+      (2L, "bad apple text here"),      // blocklisted
+      (3L, "clean and different text"))
+      .toDF("doc_id", "text")
+    val card = TextAnalysis.datasetCard(corpus, "text",
+      stopwords = Seq("the"), blocklist = Seq("bad apple")).collect()(0)
+    assert(card.getLong(0) == 4 && card.getLong(1) == 6 + 6 + 4 + 4)
+    assert(card.getLong(3) == 12, s"vocab ${card.getLong(3)}") // distinct words
+    assert(card.getDouble(5) == 0.25, "one duplicate pair of four docs")
+    assert(card.getDouble(6) == 0.25, "one blocked doc of four")
+  }
+
   test("kmeans lloyd: separable clusters converge to their true means") {
     val corpus = Seq(
       (0L, Array(0f, 0f)), (1L, Array(0f, 2f)), (4L, Array(0f, 1f)),

@@ -418,6 +418,16 @@ class PlanSpec extends AnyFunSuite {
       "unigram total must ride a one-row broadcast")
     assert(!p25.contains("CartesianProduct"), "bigram: cartesian in plan")
     assert(!p25.contains("UDF"), "bigram: UDF in plan")
+    val p77 = plan("t77_zipf_fit")
+    assert(p77.contains("partial"), "zipf: token counts must pre-combine")
+    assert(p77.contains("TakeOrdered"),
+      "zipf: top-R cut must be TakeOrdered, not a global sort")
+    assert(!p77.contains("UDF"), "zipf: UDF in plan")
+    val p9 = plan("p9_dataset_card")
+    assert(p9.contains("partial"), "card: per-doc agg must pre-combine")
+    assert(!p9.contains("SortMergeJoin"),
+      "card: 1-row branches must broadcast, not shuffle-join")
+    assert(!p9.contains("UDF"), "card: UDF in plan")
     val p74 = plan("t74_kneser_ney")
     assert(p74.contains("partial"), "KN model counts must pre-combine map-side")
     assert(p74.contains("BroadcastNestedLoopJoin"),
