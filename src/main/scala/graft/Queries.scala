@@ -6303,6 +6303,50 @@ object Queries {
       blocklist = Seq("dup", "join order", "slo", "slow", "zzzz"))
   }
 
+  // Unigram-LM (SentencePiece-style) tokenizer training — realistic run
+  // (rows-only: the Viterbi E-step is not SQL-expressible; the planted
+  // twin below hash-proves the full mechanism, the t44 BPE precedent).
+  registerNoOracle("t78_unigram_lm") { (s, dir) =>
+    TextAnalysis.unigramLmLearn(t(s, dir, "documents"), "text",
+      maxPieceLen = 3, seedSize = 30, rounds = 2).orderBy("piece")
+  }
+
+  // Planted twin with PROVABLE segmentations: words are pure repetitions
+  // of the disjoint-alphabet pieces 'ab' and 'cd' (lengths driven by
+  // doc_id arithmetic), maxPieceLen = 2. Under the seed scores
+  // p(ab) = p(a) = p(b) (every 'a' occurs inside an 'ab'), so the
+  // 2-piece path beats any char/straddle path strictly:
+  // p(ab)² > p(a)·p(ba)·p(b) because p(ba) < 1 — Viterbi MUST emit
+  // k × [ab] for 'ab'^k in every round. Piece counts are therefore
+  // analytic (sum of the doc_id arithmetic), straddle pieces 'ba'/'dc'
+  // win zero mass and are pruned, chars sit at the -25.0 UNK floor, and
+  // the M-step log-probs are ln(count/total) micro-floored — all
+  // SQL-reproducible, hash-matched.
+  register(
+    "t78b_unigram_lm_planted",
+    """WITH k AS (SELECT CAST(sum(doc_id % 3 + 1) AS BIGINT) AS nab,
+      |                  CAST(sum(doc_id % 5 + 1) AS BIGINT) AS ncd
+      |           FROM documents)
+      |SELECT piece, count, logprob FROM (
+      |  SELECT 'ab' AS piece, nab AS count,
+      |         floor(ln(CAST(nab AS DOUBLE) / CAST(nab + ncd AS DOUBLE))
+      |           * 1000000.0 + 0.5) / 1000000.0 AS logprob FROM k
+      |  UNION ALL
+      |  SELECT 'cd', ncd,
+      |         floor(ln(CAST(ncd AS DOUBLE) / CAST(nab + ncd AS DOUBLE))
+      |           * 1000000.0 + 0.5) / 1000000.0 FROM k
+      |  UNION ALL SELECT 'a', CAST(0 AS BIGINT), -25.0 FROM k
+      |  UNION ALL SELECT 'b', CAST(0 AS BIGINT), -25.0 FROM k
+      |  UNION ALL SELECT 'c', CAST(0 AS BIGINT), -25.0 FROM k
+      |  UNION ALL SELECT 'd', CAST(0 AS BIGINT), -25.0 FROM k)
+      |ORDER BY piece""".stripMargin) { (s, dir) =>
+    val planted = t(s, dir, "documents").select(concat(
+      expr("repeat('ab', CAST(doc_id % 3 + 1 AS INT))"), lit(" "),
+      expr("repeat('cd', CAST(doc_id % 5 + 1 AS INT))")).as("text"))
+    TextAnalysis.unigramLmLearn(planted, "text", maxPieceLen = 2,
+      seedSize = 10, rounds = 2).orderBy("piece")
+  }
+
   // Word error rate via the codegen'd token-level edit distance, on a
   // planted construction with ANALYTIC distances: empty hypothesis
   // (edits = ref_len), identical (0), kept-subsequence — a

@@ -1304,6 +1304,91 @@ object TextAnalysis {
         org.apache.spark.sql.Row(vals: _*)), schema)
   }
 
+  /** Unigram-LM tokenizer training (SentencePiece-style, Kudo 2018) —
+    * the third tokenizer family beside [[bpeLearn]] and the WordPiece
+    * fertility audit: seed a candidate vocabulary from frequent word
+    * substrings, then hard-EM — E: Viterbi-segment every DISTINCT word
+    * under current piece scores (the all-integer
+    * [[graft.functions.UnigramSegment]] expression — reference-object,
+    * no UDF, deterministic tie-breaks); M: re-estimate piece log-probs
+    * from segmentation counts; prune multi-char pieces that won zero
+    * mass (they cannot revive under hard-EM). Uncovered single chars
+    * stay at the UNK floor, the byte-fallback analogue.
+    *
+    * Scale shape: ONE corpus scan builds the distinct-word frequency
+    * table; everything after is vocabulary-cardinality — substring
+    * seeding explodes the WORD table (bounded by maxPieceLen · word
+    * length), the seed cut is a distributed TakeOrdered, and each EM
+    * round is one vocab-table scan whose piece counts collect
+    * driver-side (bounded by seedSize + alphabet — the kmeans pattern)
+    * and re-enter the next round as expression literals. `seedSize`,
+    * `maxPieceLen`, `rounds` are human budgets, never data-sized.
+    *
+    * Exactness: seed/EM scores are micro-floored ln(count/total) longs
+    * (driver math.log == engine ln, both correctly rounded), the DP is
+    * exact-integer, and the M-step normalizes over positive-count
+    * pieces only — the planted twin's oracle reproduces counts AND
+    * log-probs analytically. Returns (piece, count, logprob) sorted by
+    * piece. */
+  def unigramLmLearn(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
+      seedSize: Int = 40, rounds: Int = 2): DataFrame = {
+    require(maxPieceLen >= 2, s"maxPieceLen must be >= 2, got $maxPieceLen")
+    require(seedSize >= 1 && rounds >= 1, "seedSize and rounds must be >= 1")
+    val spark = docs.sparkSession
+    val words = docs.select(explode(tokens(lower(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc")).localCheckpoint()
+
+    // candidate substrings weighted by word frequency (every occurrence
+    // inside a word counts once per corpus occurrence of the word)
+    val subs = words.select(col("wc"), explode(flatten(
+        transform(sequence(lit(1), least(length(col("w")), lit(maxPieceLen))),
+          l => transform(sequence(lit(1), length(col("w")) - l + 1),
+            st => col("w").substr(st, l))))).as("p"))
+      .groupBy("p").agg(sum(col("wc")).as("f"))
+    val chars = subs.where(length(col("p")) === 1)
+    val multi = subs.where(length(col("p")) >= 2)
+      .orderBy(col("f").desc, col("p").asc).limit(seedSize)
+    val seedRows = chars.unionAll(multi).collect()
+    val seedTotal = seedRows.map(_.getLong(1)).sum
+    var pieces: Seq[(String, Long)] = seedRows.map { r =>
+      r.getString(0) -> math.floor(
+        math.log(r.getLong(1).toDouble / seedTotal.toDouble) * 1000000.0
+          + 0.5).toLong
+    }.toSeq
+    var counts: Map[String, Long] = Map.empty
+
+    for (_ <- 1 to rounds) {
+      val seg = graft.functions.UnigramSegment
+        .unigram_segment(col("w"), pieces)
+      val cRows = words.select(col("wc"), explode(seg).as("p"))
+        .groupBy("p").agg(sum(col("wc")).as("c")).collect()
+      counts = cRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+      val total = counts.values.sum
+      val kept = pieces.map(_._1).filter(p =>
+        p.length == 1 || counts.getOrElse(p, 0L) > 0L)
+      pieces = kept.sorted.map { p =>
+        val c = counts.getOrElse(p, 0L)
+        p -> (if (c > 0)
+          math.floor(math.log(c.toDouble / total.toDouble) * 1000000.0
+            + 0.5).toLong
+        else graft.functions.UnigramSegment.UnkFloorMicro)
+      }
+    }
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("piece",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("count",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("logprob",
+        org.apache.spark.sql.types.DoubleType)))
+    val out = pieces.map { case (p, micro) =>
+      org.apache.spark.sql.Row(p, counts.getOrElse(p, 0L), micro / 1000000.0)
+    }
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava, schema)
+  }
+
   /** DSIR importance weights (Xie et al. 2023): score each raw document by
     * `log p_target(x) − log p_raw(x)` under unigram bag-of-words LMs — the
     * data-selection step that resamples a web corpus toward a target

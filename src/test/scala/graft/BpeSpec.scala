@@ -137,4 +137,45 @@ class BpeSpec extends AnyFunSuite {
       s"path divergence:\nlocal: $local\ndist:  $distributed")
     assert(local.nonEmpty && local.size <= 25)
   }
+
+  test("unigram segment: integer-DP Viterbi, UNK floor, deterministic ties") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.functions.UnigramSegment.unigram_segment
+    // scores in micro-lns: ab/cd strong, chars weak, straddle ba weaker
+    val pieces = Seq("ab" -> -1000000L, "cd" -> -1500000L,
+      "ba" -> -3000000L, "a" -> -4000000L, "b" -> -4000000L,
+      "c" -> -4000000L, "d" -> -4000000L)
+    def seg(w: String): Seq[String] =
+      Seq(w).toDF("w").select(unigram_segment(col("w"), pieces).as("s"))
+        .collect()(0).getSeq[String](0)
+    assert(seg("abab") == Seq("ab", "ab"))
+    assert(seg("abcd") == Seq("ab", "cd"))
+    // ab(−1)+a(−4) = −5 beats a(−4)+ba(−3) = −7
+    assert(seg("aba") == Seq("ab", "a"))
+    // uncovered char emits itself at the UNK floor rather than failing
+    assert(seg("abxcd") == Seq("ab", "x", "cd"))
+    assert(seg("") == Seq())
+    // equal-score tie: fewer pieces wins ('zz' one piece vs 'z','z')
+    val tie = Seq("zz" -> -2000000L, "z" -> -1000000L)
+    val t = Seq("zz").toDF("w")
+      .select(unigram_segment(col("w"), tie).as("s"))
+      .collect()(0).getSeq[String](0)
+    assert(t == Seq("zz"), s"tie broke to $t")
+  }
+
+  test("unigram LM learn: planted pieces win mass; straddles prune; fixed point") {
+    // 'ab'^2 x3 docs + 'cd'^3 x2 docs
+    val docs = Seq("abab abab", "cdcdcd", "abab cdcdcd").toDF("text")
+    val out = TextAnalysis.unigramLmLearn(docs, "text", maxPieceLen = 2,
+      seedSize = 8, rounds = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // straddle pieces ba/dc pruned; chars at the floor
+    assert(!out.contains("ba") && !out.contains("dc"))
+    assert(out("a") == (0L, -25.0) && out("d") == (0L, -25.0))
+    // counts: ab = 2+2+2 = 6, cd = 3+3 = 6 (word 'abab' x3 occurrences,
+    // 'cdcdcd' x2)
+    assert(out("ab")._1 == 6 && out("cd")._1 == 6)
+    assert(out("ab")._2 == out("cd")._2, "equal mass, equal logprob")
+    assert(math.abs(out("ab")._2 - math.log(0.5)) < 1e-6)
+  }
 }

@@ -1242,12 +1242,15 @@ class PipelineOpsSpec extends AnyFunSuite {
         graft.functions.WinnowMins.winnow_mins(col("g"), 2).as("w"),
         graft.functions.RollingHash.rolling_hash(lit("abc")).as("rh"),
         graft.functions.MultiMatch.multi_match(lit("xabcx"),
-          Seq("ab", "abc", "zz")).as("mm"))
+          Seq("ab", "abc", "zz")).as("mm"),
+        graft.functions.UnigramSegment.unigram_segment(lit("abcd"),
+          Seq("ab" -> -1000000L, "cd" -> -1500000L)).as("us"))
         .collect().head
       assert(r.getInt(0) == 2 && r.getDouble(1) == 11.0 && r.getDouble(2) == 8.0)
       assert(r.getSeq[Long](3).length == 8)
       assert(r.getSeq[String](5) == Seq("aa", "ab"))
       assert(r.getSeq[String](7) == Seq("ab", "abc"))
+      assert(r.getSeq[String](8) == Seq("ab", "cd"))
     } finally {
       spark.conf.unset("spark.sql.codegen.factoryMode")
       spark.conf.unset("spark.sql.codegen.fallback")
