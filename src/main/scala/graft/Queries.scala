@@ -6347,6 +6347,77 @@ object Queries {
       seedSize = 10, rounds = 2).orderBy("piece")
   }
 
+  // Minimum-Bayes-risk candidate selection: 5 "samples" per problem
+  // (doc_id % 100 buckets), winner = max mean pairwise ROUGE-2 F1.
+  // EXACT oracle — the pairwise clipped-gram algebra is fully
+  // SQL-expressible, so unlike ROUGE-L rows no planting is needed.
+  register(
+    "t79_mbr_select",
+    """WITH c AS (
+      |  SELECT doc_id % 100 AS problem, doc_id AS cand_id,
+      |         list_filter(string_split_regex(lower(text), '\s+'),
+      |                     x -> x != '') AS toks
+      |  FROM documents),
+      |tk AS (SELECT problem, cand_id,
+      |         CASE WHEN len(toks) >= 2 THEN
+      |           list_transform(generate_series(1, len(toks) - 1),
+      |             i -> md5(toks[i] || ' ' || toks[i+1]))
+      |         ELSE [] END AS gs FROM c),
+      |g AS (SELECT problem, cand_id, gk, CAST(count(*) AS BIGINT) AS c
+      |      FROM (SELECT problem, cand_id, unnest(gs) AS gk FROM tk)
+      |      GROUP BY 1, 2, 3),
+      |tot AS (SELECT problem, cand_id, CAST(sum(c) AS BIGINT) AS ng
+      |        FROM g GROUP BY 1, 2),
+      |ids AS (SELECT t.problem, t.cand_id, coalesce(tot.ng, 0) AS ng
+      |        FROM (SELECT problem, cand_id FROM c) t
+      |        LEFT JOIN tot USING (problem, cand_id)),
+      |pr AS (SELECT a.problem, a.cand_id AS ida, b.cand_id AS idb,
+      |              a.ng AS na, b.ng AS nb
+      |       FROM ids a JOIN ids b
+      |         ON a.problem = b.problem AND a.cand_id != b.cand_id),
+      |mt AS (SELECT x.problem, x.cand_id AS ida, y.cand_id AS idb,
+      |              CAST(sum(least(x.c, y.c)) AS BIGINT) AS m
+      |       FROM g x JOIN g y ON x.problem = y.problem AND x.gk = y.gk
+      |         AND x.cand_id != y.cand_id
+      |       GROUP BY 1, 2, 3),
+      |f AS (SELECT problem, ida, pm, rm FROM (
+      |        SELECT pr.problem, pr.ida,
+      |          CASE WHEN na > 0 THEN CAST(floor(CAST(coalesce(mt.m, 0)
+      |            AS DOUBLE) * 1000000.0 / na + 0.5) AS BIGINT) END AS pm,
+      |          CASE WHEN nb > 0 THEN CAST(floor(CAST(coalesce(mt.m, 0)
+      |            AS DOUBLE) * 1000000.0 / nb + 0.5) AS BIGINT) END AS rm
+      |        FROM pr LEFT JOIN mt ON pr.problem = mt.problem
+      |          AND pr.ida = mt.ida AND pr.idb = mt.idb)),
+      |f1 AS (SELECT problem, ida,
+      |         CASE WHEN pm IS NOT NULL AND rm IS NOT NULL THEN
+      |           CASE WHEN pm + rm > 0 THEN
+      |             CAST(floor(CAST(pm * rm * 2 AS DOUBLE) / (pm + rm) + 0.5)
+      |               AS BIGINT)
+      |           ELSE CAST(0 AS BIGINT) END
+      |         ELSE CAST(0 AS BIGINT) END AS f1m FROM f),
+      |pc AS (SELECT problem, ida, CAST(sum(f1m) AS BIGINT) AS sf,
+      |              CAST(count(*) AS BIGINT) AS np FROM f1 GROUP BY 1, 2),
+      |kt AS (SELECT problem, CAST(count(*) AS BIGINT) AS k
+      |       FROM ids GROUP BY 1),
+      |al AS (SELECT ids.problem, ids.cand_id AS ida, pc.sf, pc.np, kt.k
+      |       FROM ids LEFT JOIN pc ON ids.problem = pc.problem
+      |         AND ids.cand_id = pc.ida
+      |       JOIN kt ON ids.problem = kt.problem),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY problem ORDER BY
+      |         (CASE WHEN np IS NOT NULL THEN
+      |            floor(CAST(sf AS DOUBLE) / np + 0.5) END) DESC,
+      |         ida ASC) AS rnk FROM al)
+      |SELECT problem, ida AS winner_id,
+      |       CASE WHEN np IS NOT NULL THEN
+      |         floor(CAST(sf AS DOUBLE) / np + 0.5) / 1000000.0 END
+      |         AS mbr_score, k
+      |FROM rk WHERE rnk = 1 ORDER BY problem""".stripMargin) { (s, dir) =>
+    Eval.mbrSelect(
+      t(s, dir, "documents").select((col("doc_id") % 100).as("problem"),
+        col("doc_id").as("cand_id"), col("text")),
+      "problem", "cand_id", "text", n = 2).orderBy("problem")
+  }
+
   // Word error rate via the codegen'd token-level edit distance, on a
   // planted construction with ANALYTIC distances: empty hypothesis
   // (edits = ref_len), identical (0), kept-subsequence — a

@@ -567,4 +567,69 @@ object Eval {
         when(col("c1") > 0, round(bpRaw * gm / 1000000.0, 6))
           .otherwise(0.0).as("bleu"))
   }
+
+  /** Minimum-Bayes-risk candidate selection (self-consistency for
+    * generation pipelines): per problem, pick the candidate maximizing
+    * mean pairwise ROUGE-n F1 against its k−1 siblings — the "most
+    * central sample wins" rule that beats plain majority vote on
+    * free-form outputs. Ties break on candidate id; a single-candidate
+    * problem wins trivially with a null score.
+    *
+    * Scale shape: GRAMS-FIRST — each candidate explodes once to
+    * (problem, cand, md5-gram, count) and the k² pairwise clipped
+    * matches come from a gram-keyed equi-join WITHIN the problem, so
+    * candidate text never enters the self-join and the shuffle carries
+    * (problem, hash, id, count) only; per-pair F1 is the t57 micro
+    * algebra; the winner is a candidate-cardinality window. k is the
+    * per-problem sample budget (human-sized), so k² stays trivial.
+    * Returns (problem, winner_id, mbr_score, k). */
+  def mbrSelect(cands: DataFrame, problemCol: String, idCol: String,
+      textCol: String, n: Int = 2): DataFrame = {
+    require(n >= 1, s"mbrSelect needs n >= 1, got $n")
+    val base = cands.select(col(problemCol).as("problem"),
+      col(idCol).as("cand_id"),
+      TextAnalysis.tokens(lower(col(textCol))).as("__t"))
+    val grams = base.select(col("problem"), col("cand_id"),
+        explode(gramArr(col("__t"), n)).as("g"))
+      .select(col("problem"), col("cand_id"), md5(col("g")).as("gk"))
+      .groupBy("problem", "cand_id", "gk").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // both sides of the match join consume it
+    val totals = grams.groupBy("problem", "cand_id").agg(sum(col("c")).as("ng"))
+    val ids = base.select(col("problem"), col("cand_id"))
+      .join(totals, Seq("problem", "cand_id"), "left")
+      .na.fill(0L, Seq("ng"))
+    val pairs = ids.as("a").join(ids.as("b"),
+        col("a.problem") === col("b.problem") &&
+          col("a.cand_id") =!= col("b.cand_id"))
+      .select(col("a.problem").as("problem"), col("a.cand_id").as("ida"),
+        col("b.cand_id").as("idb"), col("a.ng").as("na"), col("b.ng").as("nb"))
+    val matches = grams.as("x").join(grams.as("y"),
+        col("x.problem") === col("y.problem") && col("x.gk") === col("y.gk") &&
+          col("x.cand_id") =!= col("y.cand_id"))
+      .select(col("x.problem").as("problem"), col("x.cand_id").as("ida"),
+        col("y.cand_id").as("idb"), least(col("x.c"), col("y.c")).as("m0"))
+      .groupBy("problem", "ida", "idb").agg(sum(col("m0")).as("m"))
+    val withM = pairs.join(matches, Seq("problem", "ida", "idb"), "left")
+      .na.fill(0L, Seq("m"))
+    val pm = when(col("na") > 0, microRatio(col("m"), col("na")))
+    val rm = when(col("nb") > 0, microRatio(col("m"), col("nb")))
+    val f1m = when(pm.isNotNull && rm.isNotNull,
+      when(pm + rm > 0,
+        floor((pm * rm * 2L).cast("double") / (pm + rm) + 0.5).cast("long"))
+        .otherwise(0L)).otherwise(0L)
+    val perCand = withM.select(col("problem"), col("ida"), f1m.as("f1m"))
+      .groupBy("problem", "ida")
+      .agg(sum(col("f1m")).as("sf"), count(lit(1)).as("np"))
+    val kTab = ids.groupBy("problem").agg(count(lit(1)).as("k"))
+    val all = ids.select(col("problem"), col("cand_id").as("ida"))
+      .join(perCand, Seq("problem", "ida"), "left")
+      .join(kTab, "problem")
+    val scoreMicro = when(col("np").isNotNull,
+      floor(col("sf").cast("double") / col("np") + 0.5))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("problem"))
+      .orderBy(scoreMicro.desc, col("ida").asc)
+    all.withColumn("__rnk", row_number().over(w)).where(col("__rnk") === 1)
+      .select(col("problem"), col("ida").as("winner_id"),
+        (scoreMicro / 1000000.0).as("mbr_score"), col("k"))
+  }
 }

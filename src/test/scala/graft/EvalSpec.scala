@@ -399,6 +399,28 @@ class EvalSpec extends AnyFunSuite {
       out.map(r => if (r.isNullAt(4)) null else r.getString(4)).toSeq)
   }
 
+  test("mbrSelect: central candidate wins, ties break on id, k=1 trivial") {
+    val cands = Seq(
+      (1L, 10L, "a b c d"),    // near-identical pair
+      (1L, 11L, "a b c d e"),
+      (1L, 12L, "x y z w"),    // outlier: shares nothing
+      (2L, 20L, "only sample"),// k=1 problem
+      (3L, 30L, "p q r"),
+      (3L, 31L, ""))           // empty candidate: sim 0 both ways
+      .toDF("problem", "cand_id", "text")
+    val out = Eval.mbrSelect(cands, "problem", "cand_id", "text", n = 2)
+      .orderBy("problem").collect()
+    // pairwise f1(10,11): m=3, p=1, r=750000 -> 857143; f1 to outlier 0;
+    // mean = floor(857143/2 + .5) = 428572; 10 and 11 tie -> id asc
+    assert(out(0).getLong(1) == 10L)
+    assert(out(0).getDouble(2) == 0.428572 && out(0).getLong(3) == 3)
+    assert(out(1).getLong(1) == 20L && out(1).isNullAt(2) &&
+      out(1).getLong(3) == 1)
+    // empty candidate scores 0 against its sibling; sibling also 0
+    // (nothing shared) -> id asc picks 30
+    assert(out(2).getLong(1) == 30L && out(2).getDouble(2) == 0.0)
+  }
+
   private def lcsRef(a: Seq[String], b: Seq[String]): Int = {
     val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
     for (i <- 1 to a.length; j <- 1 to b.length)

@@ -418,6 +418,12 @@ class PlanSpec extends AnyFunSuite {
       "unigram total must ride a one-row broadcast")
     assert(!p25.contains("CartesianProduct"), "bigram: cartesian in plan")
     assert(!p25.contains("UDF"), "bigram: UDF in plan")
+    val p79 = plan("t79_mbr_select")
+    assert(p79.contains("partial"), "mbr: gram counts must pre-combine")
+    assert(!p79.matches("(?s).*Exchange[^\\n]*\\n[^\\n]*text#.*"),
+      "mbr: candidate text entered a shuffle — pairwise must be grams-first")
+    assert(!p79.contains("CartesianProduct"), "mbr: cartesian in plan")
+    assert(!p79.contains("UDF"), "mbr: UDF in plan")
     val p77 = plan("t77_zipf_fit")
     assert(p77.contains("partial"), "zipf: token counts must pre-combine")
     assert(p77.contains("TakeOrdered"),
