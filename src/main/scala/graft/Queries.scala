@@ -6418,6 +6418,26 @@ object Queries {
       "problem", "cand_id", "text", n = 2).orderBy("problem")
   }
 
+  // Unigram-LM tokenizer APPLICATION on the t78b planted corpus: the
+  // learned table (trained in-query — full train->apply composition)
+  // must segment 'ab'^k1 'cd'^k2 into exactly k1 + k2 pieces, so the
+  // per-doc counts are pure doc_id arithmetic — hash-matched.
+  register(
+    "t78c_unigram_counts_planted",
+    """SELECT doc_id, CAST(2 AS BIGINT) AS n_words,
+      |       CAST((doc_id % 3 + 1) + (doc_id % 5 + 1) AS BIGINT) AS n_pieces
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val planted = t(s, dir, "documents").select(col("doc_id"), concat(
+      expr("repeat('ab', CAST(doc_id % 3 + 1 AS INT))"), lit(" "),
+      expr("repeat('cd', CAST(doc_id % 5 + 1 AS INT))")).as("text"))
+    val learned = TextAnalysis.unigramLmLearn(planted, "text",
+      maxPieceLen = 2, seedSize = 10, rounds = 2)
+      .collect().map(r => r.getString(0) ->
+        math.floor(r.getDouble(2) * 1000000.0 + 0.5).toLong).toSeq
+    TextAnalysis.unigramTokenCounts(planted, "text", "doc_id", learned)
+      .orderBy("doc_id")
+  }
+
   // Word error rate via the codegen'd token-level edit distance, on a
   // planted construction with ANALYTIC distances: empty hypothesis
   // (edits = ref_len), identical (0), kept-subsequence — a

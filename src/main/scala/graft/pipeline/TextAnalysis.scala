@@ -1058,6 +1058,29 @@ object TextAnalysis {
         sum(col("__c") * col("__nt")).as("n_tokens"))
   }
 
+  /** Token counting under a LEARNED unigram-LM table — the apply step
+    * closing the loop [[unigramLmLearn]] opens, mirroring
+    * [[bpeTokenCounts]]: Viterbi-segment each DISTINCT word once (the
+    * all-integer [[graft.functions.UnigramSegment]] expression over the
+    * vocabulary, never the corpus), join piece counts back by word,
+    * pre-combined per-doc rollup. `pieces` is (piece → micro-ln score)
+    * as [[unigramLmLearn]] emits. Returns (doc_id, n_words,
+    * n_pieces). */
+  def unigramTokenCounts(docs: DataFrame, textCol: String, idCol: String,
+      pieces: Seq[(String, Long)]): DataFrame = {
+    val words = docs
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("__c"))
+    val vocab = words.select("word").distinct()
+      .withColumn("__nt", size(
+        graft.functions.UnigramSegment.unigram_segment(col("word"), pieces)))
+    words.join(vocab, "word")
+      .groupBy("doc_id")
+      .agg(sum(col("__c")).as("n_words"),
+        sum(col("__c") * col("__nt")).as("n_pieces"))
+  }
+
   // ---------------------------------------------------------------------------
   // Benchmark decontamination
   // ---------------------------------------------------------------------------

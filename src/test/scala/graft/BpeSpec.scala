@@ -177,5 +177,13 @@ class BpeSpec extends AnyFunSuite {
     assert(out("ab")._1 == 6 && out("cd")._1 == 6)
     assert(out("ab")._2 == out("cd")._2, "equal mass, equal logprob")
     assert(math.abs(out("ab")._2 - math.log(0.5)) < 1e-6)
+    // apply step: per-doc piece counts under the learned table
+    val learned = out.map { case (p, (_, lp)) =>
+      p -> math.floor(lp * 1000000.0 + 0.5).toLong }.toSeq
+    val idDocs = Seq((0L, "abab abab"), (1L, "cdcdcd"), (2L, "abab cdcdcd"))
+      .toDF("doc_id", "text")
+    val tc = TextAnalysis.unigramTokenCounts(idDocs, "text", "doc_id", learned)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(tc(0L) == (2L, 4L) && tc(1L) == (1L, 3L) && tc(2L) == (2L, 5L))
   }
 }
