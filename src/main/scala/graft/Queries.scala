@@ -6438,6 +6438,45 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // Heaps' law fit over 10 ingestion checkpoints — the vocabulary-growth
+  // exponent beside t77's static Zipf check; micro-floored log points,
+  // exact-integer OLS — hash-matched.
+  register(
+    "t80_heaps_fit",
+    """WITH tk AS (
+      |  SELECT doc_id AS id,
+      |         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                x -> x != '')) AS tok
+      |  FROM documents),
+      |fs AS (SELECT tok, CAST(min(id) AS BIGINT) AS fd FROM tk GROUP BY tok),
+      |pd AS (SELECT id, CAST(count(*) AS BIGINT) AS nt FROM tk GROUP BY id),
+      |mx AS (SELECT CAST(max(id) AS BIGINT) AS m FROM pd),
+      |cuts AS (SELECT DISTINCT CAST((m * i) // 10 AS BIGINT) AS cut
+      |         FROM mx, range(1, 11) r(i)),
+      |v AS (SELECT cut, CAST(count(*) AS BIGINT) AS vv
+      |      FROM cuts, fs WHERE fd <= cut GROUP BY cut),
+      |tt AS (SELECT cut, CAST(sum(nt) AS BIGINT) AS tn
+      |       FROM cuts, pd WHERE id <= cut GROUP BY cut),
+      |pts AS (SELECT
+      |    CAST(floor(ln(CAST(tn AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS x,
+      |    CAST(floor(ln(CAST(vv AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS y
+      |  FROM v JOIN tt USING (cut) WHERE tn > 0),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS r,
+      |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |             CAST(sum(x * x) AS BIGINT) AS sxx,
+      |             CAST(sum(x * y) AS BIGINT) AS sxy FROM pts)
+      |SELECT r AS c,
+      |  floor((CAST(r * sxy - sx * sy AS DOUBLE) /
+      |         CAST(r * sxx - sx * sx AS DOUBLE)) * 1000000.0 + 0.5)
+      |    / 1000000.0 AS beta,
+      |  floor((CAST(sy AS DOUBLE) - (CAST(r * sxy - sx * sy AS DOUBLE) /
+      |         CAST(r * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) /
+      |         CAST(r AS DOUBLE) + 0.5) / 1000000.0 AS ln_k
+      |FROM m""".stripMargin) { (s, dir) =>
+    TextAnalysis.heapsFit(t(s, dir, "documents"), "text", "doc_id",
+      checkpoints = 10)
+  }
+
   // Word error rate via the codegen'd token-level edit distance, on a
   // planted construction with ANALYTIC distances: empty hypothesis
   // (edits = ref_len), identical (0), kept-subsequence — a

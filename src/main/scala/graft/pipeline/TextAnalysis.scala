@@ -766,6 +766,63 @@ object TextAnalysis {
         1000000.0).as("intercept"))
   }
 
+  /** Heaps' law fit — OLS of ln(vocab) on ln(tokens) over ingestion
+    * checkpoints: vocabulary grows as V ≈ K·Tᵝ with β ≈ 0.4–0.6 for
+    * natural language; β near 0 means a closed vocabulary (templated/
+    * synthetic text), β near 1 means unbounded novelty (noise, ids,
+    * encoded blobs). The growth-curve cousin of [[zipfFit]]'s static
+    * rank check, and the statistic that sizes vocabulary budgets as a
+    * corpus scales 100×.
+    *
+    * Shape: one corpus scan yields per-doc token counts AND the
+    * (token → first doc) table (both pre-combined); each of the C
+    * checkpoints (ingestion prefixes by doc-id order) is a skinny
+    * aggregate over those two vocab/doc-cardinality tables — C is a
+    * human budget. The OLS is [[zipfFit]]'s exact micro machinery.
+    * Checkpoints with zero tokens drop. Returns one row
+    * (c, beta, ln_k). */
+  def heapsFit(docs: DataFrame, textCol: String, idCol: String,
+      checkpoints: Int = 10): DataFrame = {
+    require(checkpoints >= 2, s"heapsFit needs >= 2 checkpoints")
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+      explode(tokens(lower(col(textCol)))).as("tok"))
+    val firstSeen = toks.groupBy("tok").agg(min(col("id")).as("fd"))
+      .localCheckpoint()
+    val perDoc = toks.groupBy("id").agg(count(lit(1)).as("nt"))
+      .localCheckpoint()
+    val maxId = perDoc.agg(max(col("id"))).collect()(0).getLong(0)
+    // C evenly-spaced doc-id prefixes (last one = the whole corpus)
+    val cuts = (1 to checkpoints)
+      .map(i => maxId * i / checkpoints).distinct
+    val cutDf = broadcast(docs.sparkSession
+      .createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          cuts.map(c => org.apache.spark.sql.Row(c))).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cut",
+            org.apache.spark.sql.types.LongType)))))
+    val v = cutDf.join(firstSeen, col("fd") <= col("cut"))
+      .groupBy("cut").agg(count(lit(1)).as("vv"))
+    val tt = cutDf.join(perDoc, col("id") <= col("cut"))
+      .groupBy("cut").agg(sum(col("nt")).as("tn"))
+    val pts = v.join(tt, "cut").where(col("tn") > 0)
+      .select(
+        floor(log(col("tn").cast("double")) * 1000000.0 + 0.5).cast("long")
+          .as("x"),
+        floor(log(col("vv").cast("double")) * 1000000.0 + 0.5).cast("long")
+          .as("y"))
+    val m = pts.agg(count(lit(1)).as("r"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+    val num = (col("r") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = (col("r") * col("sxx") - col("sx") * col("sx")).cast("double")
+    m.select(col("r").as("c"),
+      (floor((num / den) * 1000000.0 + 0.5) / 1000000.0).as("beta"),
+      (floor((col("sy").cast("double") - (num / den) *
+        col("sx").cast("double")) / col("r").cast("double") + 0.5) /
+        1000000.0).as("ln_k"))
+  }
+
   /** Vocabulary coverage curve — for each candidate vocabulary size N,
     * the fraction of all corpus TOKEN OCCURRENCES covered by the N most
     * frequent words: the statistic that sizes a tokenizer's vocabulary

@@ -1079,6 +1079,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(card.getDouble(6) == 0.25, "one blocked doc of four")
   }
 
+  test("heaps fit: all-novel corpus gives beta 1; closed vocab gives beta 0") {
+    // every token globally unique -> V(T) = T at every checkpoint
+    val novel = (0L until 20L).map(i =>
+      (i, (0 until 3).map(j => s"tok_${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val f1 = TextAnalysis.heapsFit(novel, "text", "doc_id").collect()(0)
+    assert(f1.getDouble(1) == 1.0, s"beta ${f1.getDouble(1)}")
+    assert(math.abs(f1.getDouble(2)) < 1e-6, s"ln_k ${f1.getDouble(2)}")
+    // single-token vocabulary -> V = 1 everywhere -> beta 0, ln K = 0
+    val closed = (0L until 20L).map(i =>
+      (i, Seq.fill((i % 4 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val f0 = TextAnalysis.heapsFit(closed, "text", "doc_id").collect()(0)
+    assert(f0.getDouble(1) == 0.0 && f0.getDouble(2) == 0.0)
+  }
+
   test("kmeans lloyd: separable clusters converge to their true means") {
     val corpus = Seq(
       (0L, Array(0f, 0f)), (1L, Array(0f, 2f)), (4L, Array(0f, 1f)),
