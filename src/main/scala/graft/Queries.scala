@@ -6477,6 +6477,56 @@ object Queries {
       checkpoints = 10)
   }
 
+  // Luhn-validated card detection: every doc gets a planted 16-digit
+  // number whose check digit is COMPUTED by the same Luhn fold in both
+  // engines — even docs get the valid digit, odd docs get it shifted
+  // by 5 (never equal mod 10, so provably invalid). The validator then
+  // splits the corpus exactly in half — hash-matched.
+  register(
+    "t81_luhn_pii",
+    """WITH b AS (
+      |  SELECT doc_id,
+      |         lpad(CAST(doc_id * 7919 AS VARCHAR), 15, '0') AS base
+      |  FROM documents),
+      |ck AS (
+      |  SELECT doc_id, base,
+      |    CAST((10 - CAST(list_sum(list_transform(
+      |        range(1, length(base) + 1),
+      |        i -> CASE WHEN (length(base) + 1 - i) % 2 = 1 THEN
+      |               CASE WHEN CAST(base[i] AS INTEGER) * 2 > 9
+      |                    THEN CAST(base[i] AS INTEGER) * 2 - 9
+      |                    ELSE CAST(base[i] AS INTEGER) * 2 END
+      |             ELSE CAST(base[i] AS INTEGER) END)) AS BIGINT) % 10)
+      |      % 10 AS BIGINT) AS cd
+      |  FROM b),
+      |t AS (
+      |  SELECT doc_id,
+      |         'card ' || base ||
+      |           CAST((cd + CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 5 END) % 10
+      |                AS VARCHAR) || ' end' AS text81
+      |  FROM ck),
+      |e AS (
+      |  SELECT doc_id, regexp_extract_all(text81, '[0-9]{13,19}') AS cands
+      |  FROM t)
+      |SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates,
+      |  CAST(len(list_filter(cands, c ->
+      |    CAST(list_sum(list_transform(range(1, length(c) + 1),
+      |      i -> CASE WHEN (length(c) - i) % 2 = 1 THEN
+      |             CASE WHEN CAST(c[i] AS INTEGER) * 2 > 9
+      |                  THEN CAST(c[i] AS INTEGER) * 2 - 9
+      |                  ELSE CAST(c[i] AS INTEGER) * 2 END
+      |           ELSE CAST(c[i] AS INTEGER) END)) AS BIGINT) % 10 = 0))
+      |    AS BIGINT) AS n_valid
+      |FROM e ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val base = lpad((col("doc_id") * 7919).cast("string"), 15, "0")
+    val cd = TextAnalysis.luhnCheckDigit(base)
+    val planted = t(s, dir, "documents").select(col("doc_id"), concat(
+      lit("card "), base,
+      ((cd + when(col("doc_id") % 2 === 0, 0).otherwise(5)) % 10)
+        .cast("string"), lit(" end")).as("text81"))
+    TextAnalysis.luhnCards(planted, "text81", "doc_id").orderBy("doc_id")
+  }
+
   // Word error rate via the codegen'd token-level edit distance, on a
   // planted construction with ANALYTIC distances: empty hypothesis
   // (edits = ref_len), identical (0), kept-subsequence — a

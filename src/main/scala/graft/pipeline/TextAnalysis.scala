@@ -766,6 +766,46 @@ object TextAnalysis {
         1000000.0).as("intercept"))
   }
 
+  /** Luhn checksum validity of a digit-string Column — the checksum
+    * that separates real card numbers from arbitrary digit runs, so a
+    * PII scrubber redacts actual cards instead of order ids (a large
+    * false-positive cut in practice). Pure HOF arithmetic (double every
+    * second digit from the right, −9 overflow fold, mod 10) — no UDF,
+    * exactly replicable in the oracle's list algebra. */
+  def luhnValid(digits: Column): Column = {
+    val n = length(digits)
+    val terms = transform(sequence(lit(1), n), i => {
+      val d = digits.substr(i, lit(1)).cast("int")
+      val doubled = d * 2
+      when((n - i) % 2 === 1,
+        when(doubled > 9, doubled - 9).otherwise(doubled)).otherwise(d)
+    })
+    aggregate(terms, lit(0), (acc, t) => acc + t) % 10 === 0
+  }
+
+  /** The check digit that makes `base || digit` Luhn-valid — used by
+    * the planted oracle to mint valid card numbers in BOTH engines. */
+  def luhnCheckDigit(base: Column): Column = {
+    val n = length(base)
+    val terms = transform(sequence(lit(1), n), i => {
+      val d = base.substr(i, lit(1)).cast("int")
+      val doubled = d * 2
+      when((n + 1 - i) % 2 === 1,
+        when(doubled > 9, doubled - 9).otherwise(doubled)).otherwise(d)
+    })
+    (lit(10) - aggregate(terms, lit(0), (acc, t) => acc + t) % 10) % 10
+  }
+
+  /** Card-number detection with Luhn validation: extract 13–19-digit
+    * runs, validate each scan-side. Returns (doc_id, n_candidates,
+    * n_valid) — a pure projection, no shuffle. */
+  def luhnCards(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val cands = regexp_extract_all(col(textCol), lit("[0-9]{13,19}"), lit(0))
+    docs.select(col(idCol).as("doc_id"),
+      size(cands).cast("long").as("n_candidates"),
+      size(filter(cands, c => luhnValid(c))).cast("long").as("n_valid"))
+  }
+
   /** Heaps' law fit — OLS of ln(vocab) on ln(tokens) over ingestion
     * checkpoints: vocabulary grows as V ≈ K·Tᵝ with β ≈ 0.4–0.6 for
     * natural language; β near 0 means a closed vocabulary (templated/

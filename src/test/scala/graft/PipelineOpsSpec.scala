@@ -1079,6 +1079,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(card.getDouble(6) == 0.25, "one blocked doc of four")
   }
 
+  test("luhn: known card validates, off-by-one fails, check digit closes") {
+    import org.apache.spark.sql.functions.{col => c, lit => l}
+    // 4539578763621486 is a standard Luhn-valid test number
+    val rows = Seq(
+      (0L, "pay 4539578763621486 now"),       // valid
+      (1L, "pay 4539578763621487 now"),       // check digit off by one
+      (2L, "order 123456789012 id"),          // 12 digits: not a candidate
+      (3L, "no digits at all"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.luhnCards(rows, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 1L), (1L, 0L), (0L, 0L), (0L, 0L)))
+    // the minted check digit always closes the checksum
+    val minted = Seq(Tuple1("453957876362148"), Tuple1("000000000000001"))
+      .toDF("base")
+      .select(TextAnalysis.luhnValid(concat(c("base"),
+        TextAnalysis.luhnCheckDigit(c("base")).cast("string"))).as("v"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(minted == Seq(true, true))
+  }
+
   test("heaps fit: all-novel corpus gives beta 1; closed vocab gives beta 0") {
     // every token globally unique -> V(T) = T at every checkpoint
     val novel = (0L until 20L).map(i =>
