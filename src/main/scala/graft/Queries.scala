@@ -3430,6 +3430,39 @@ object Queries {
     Similarity.sq8TopK(e, queries, k = 3).orderBy("q_id", "rank")
   }
 
+  // Dominant principal component by power iteration — realistic run
+  // (rows-only: eigen-solves aren't SQL; the planted twin hash-proves
+  // the mechanism).
+  registerNoOracle("ann_power_iteration") { (s, dir) =>
+    Similarity.powerIteration(t(s, dir, "embeddings"), "embedding",
+      dim = 64).orderBy("pos")
+  }
+
+  // Planted twin: each source row contributes the PAIR ±[1, 2, 0…], so
+  // the mean is exactly zero regardless of corpus parity and the
+  // covariance is the exact-integer rank-1 matrix [[1,2],[2,4]] ⊕ 0 —
+  // the dominant eigenvector is analytically [1,2]/√5 with eigenvalue
+  // 5, and every iterate stays on it, so loadings and eigenvalue
+  // hash-match the closed form.
+  register(
+    "ann_power_planted",
+    """SELECT pos,
+      |  CASE WHEN pos = 0 THEN
+      |         floor((1 / sqrt(5.0)) * 1000000.0 + 0.5) / 1000000.0
+      |       WHEN pos = 1 THEN
+      |         floor((2 / sqrt(5.0)) * 1000000.0 + 0.5) / 1000000.0
+      |       ELSE 0.0 END AS loading,
+      |  5.0 AS eigenvalue
+      |FROM (SELECT unnest(range(0, 64)) AS pos) ORDER BY pos""".stripMargin) {
+    (s, dir) =>
+      val sgn = explode(array(lit(1.0), lit(-1.0)))
+      val planted = t(s, dir, "embeddings").select(sgn.as("s"))
+        .select(transform(sequence(lit(0), lit(63)),
+          i => when(i === 0, col("s")).when(i === 1, col("s") * 2)
+            .otherwise(lit(0.0))).as("v"))
+      Similarity.powerIteration(planted, "v", dim = 64).orderBy("pos")
+  }
+
   // IVF coarse-quantizer training step: per-group per-dimension centroids.
   register(
     "ann_centroids",

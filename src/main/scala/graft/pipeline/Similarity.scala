@@ -950,6 +950,54 @@ object Similarity {
     chosen.toSeq.toDF("sel_rank", "vec_id")
   }
 
+  /** Dominant principal component by power iteration — the PCA step
+    * that sizes embedding whitening, matryoshka truncation, and "is one
+    * direction eating the variance" drift diagnostics. Architecture
+    * follows the moments rule: the DISTRIBUTED work is the one
+    * [[covarianceMatrix]] scan (exact integer micro moments —
+    * GramAggSpec pins batch-split invariance); the eigen-solve then
+    * runs driver-side on the collected dim×dim cell table (dim is
+    * 10¹–10³ — trivially driver-sized, the kmeans collect pattern), so
+    * corpus scale only ever touches the moments scan. Sign fixes to a
+    * positive first nonzero loading; a zero-variance corpus fails
+    * loudly. Returns dim rows (pos, loading, eigenvalue), micro-floored.
+    * `iters` is a convergence budget, never data-sized. */
+  def powerIteration(df: DataFrame, vecCol: String, dim: Int,
+      iters: Int = 30): DataFrame = {
+    require(iters >= 1, s"powerIteration needs iters >= 1, got $iters")
+    val spark = df.sparkSession
+    val cells = covarianceMatrix(df, vecCol, dim).collect()
+    val c = Array.ofDim[Double](dim, dim)
+    cells.foreach { r =>
+      val (i, j, v) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      c(i)(j) = v; c(j)(i) = v
+    }
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).foldLeft(0.0)((acc, j) => acc + c(i)(j) * v(j)))
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      require(nrm > 0, "powerIteration: zero-variance input")
+      v = w.map(_ / nrm)
+    }
+    val firstNz = v.indexWhere(x => math.abs(x) > 1e-12)
+    if (firstNz >= 0 && v(firstNz) < 0) v = v.map(x => -x)
+    val lam = (0 until dim).foldLeft(0.0)((acc, i) =>
+      acc + v(i) * (0 until dim).foldLeft(0.0)((a, j) => a + c(i)(j) * v(j)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("loading",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("eigenvalue",
+        org.apache.spark.sql.types.DoubleType)))
+    val lamM = math.floor(lam * 1000000.0 + 0.5) / 1000000.0
+    val rows = (0 until dim).map(i => org.apache.spark.sql.Row(
+      i, math.floor(v(i) * 1000000.0 + 0.5) / 1000000.0, lamM))
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+  }
+
   /** Per-dimension (min, max) quantization range of an embedding corpus
     * as ONE row (mn, mx double arrays) — the scalar quantizer's training
     * step. posexplode + groupBy(pos) pre-combines map-side (min/max are

@@ -1018,6 +1018,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(adists(0) == adists(1) && adists(0) < 2.0)
   }
 
+  test("power iteration: exact rank-1 recovery, sign fix, unit norm") {
+    // ±[3,4]: covariance [[9,12],[12,16]], eigenvector [0.6, 0.8], λ=25
+    val vecs = Seq(Seq(3.0, 4.0), Seq(-3.0, -4.0), Seq(3.0, 4.0),
+      Seq(-3.0, -4.0)).toDF("v")
+    val out = Similarity.powerIteration(vecs, "v", dim = 2)
+      .orderBy("pos").collect()
+    assert(out(0).getDouble(1) == 0.6 && out(1).getDouble(1) == 0.8,
+      s"loadings ${out.map(_.getDouble(1)).toSeq}")
+    assert(out(0).getDouble(2) == 25.0)
+    // sign convention: first nonzero loading positive even when the
+    // natural iterate would be negative
+    val neg = Seq(Seq(-5.0, 0.0), Seq(5.0, 0.0)).toDF("v")
+    val o2 = Similarity.powerIteration(neg, "v", dim = 2)
+      .orderBy("pos").collect()
+    assert(o2(0).getDouble(1) == 1.0 && o2(1).getDouble(1) == 0.0)
+    // degenerate input fails loudly
+    val zero = Seq(Seq(0.0, 0.0)).toDF("v")
+    intercept[Exception] {
+      Similarity.powerIteration(zero, "v", dim = 2).collect()
+    }
+  }
+
   test("sq8: analytic codes, degenerate dim inert, own-cluster ranks first") {
     // mn = (0,0,7), mx = (10,10,7): dim 3 is degenerate (codes to 0 and
     // contributes nothing); codes are analytic: 10->255, 9->230, 1->26
