@@ -9060,6 +9060,34 @@ object Queries {
     graft.pipeline.Graphs.triangleCount(edges)
   }
 
+  // k-core of the trade graph (rows-only: the peel fixpoint is not
+  // SQL-expressible; the planted twin below hash-proves the mechanism).
+  registerNoOracle("q56_kcore") { (s, dir) =>
+    val edges = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+    graft.pipeline.Graphs.kCore(edges, k = 8).orderBy("node")
+  }
+
+  // Planted k-core twin: K6 clique on nodes 0..5 with a 20-node chain
+  // hung off node 5. At k = 4 every chain node has degree <= 2 and
+  // peels in round 1; the clique survives with in-core degree exactly
+  // 5 and round 2 is the no-op fixpoint — the answer is analytic.
+  register(
+    "q56b_kcore_planted",
+    """SELECT i AS node, CAST(5 AS BIGINT) AS deg
+      |FROM range(0, 6) r(i) ORDER BY node""".stripMargin) { (s, dir) =>
+    val ids = s.range(6).toDF("i")
+    val clique = ids.as("x").join(ids.as("y"), col("x.i") < col("y.i"))
+      .select(col("x.i").as("src"), col("y.i").as("dst"))
+    val chain = s.range(5, 25).toDF("i")
+      .select(col("i").as("src"), (col("i") + 1).as("dst"))
+    graft.pipeline.Graphs.kCore(clique.unionAll(chain), k = 4)
+      .orderBy("node")
+  }
+
   // Local clustering coefficient per nation over the trade graph —
   // per-node triangle membership from the same degree-oriented machinery
   // as q53, divided by the node's possible neighbor pairs. The density

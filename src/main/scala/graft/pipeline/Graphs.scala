@@ -313,4 +313,53 @@ object Graphs {
       .agg(min(struct((-col("m")).as("nm"), col("label").as("l"))).as("best"))
       .select(col("node"), col("best.l").as("label"))
   }
+
+  /** k-core: the maximal subgraph where every node keeps degree ≥ k —
+    * the dense-subgraph extractor (spam rings, genuine communities vs
+    * long tails) completing the density family next to triangles and
+    * clustering coefficients. Iterative peel: drop all nodes of degree
+    * < k simultaneously, re-count, repeat to fixpoint. Converges in at
+    * most graph-diameter-ish rounds; fails LOUDLY past `maxRounds`
+    * (forestRootDepth tradition) instead of silently truncating.
+    *
+    * Scale shape per round: ONE pre-combined degree aggregate over the
+    * (a, b) edge table + two semi-joins against the skinny keep set;
+    * edges `localCheckpoint` per round (the iterative-lineage rule);
+    * the only driver value is the edge count driving the fixpoint test.
+    * Edge-count fixpoint is sound: unchanged edges ⇒ unchanged degrees
+    * ⇒ unchanged keep set. Returns (node, deg) of the surviving core —
+    * empty when no k-core exists. */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 50,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(k >= 1, s"kCore needs k >= 1, got $k")
+    val a = least(col(srcCol), col(dstCol))
+    val b = greatest(col(srcCol), col(dstCol))
+    var e = edges.select(a.as("a"), b.as("b"))
+      .where(col("a") =!= col("b")).distinct().localCheckpoint()
+    var n = e.count()
+    var stable = false
+    var rounds = 0
+    while (!stable) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"kCore: no fixpoint after $maxRounds peel rounds — raise " +
+          "maxRounds (peel cascades are at most node-count deep)")
+      val deg = e.select(col("a").as("node"))
+        .unionAll(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.where(col("deg") >= k).select("node").localCheckpoint()
+      val e2 = e
+        .join(keep.withColumnRenamed("node", "__ka"),
+          col("a") === col("__ka"), "left_semi")
+        .join(keep.withColumnRenamed("node", "__kb"),
+          col("b") === col("__kb"), "left_semi")
+        .localCheckpoint()
+      val n2 = e2.count()
+      if (n2 == n) stable = true
+      e = e2
+      n = n2
+    }
+    e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+  }
 }

@@ -169,6 +169,23 @@ class GraphsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("overflow"), e.getMessage)
   }
 
+  test("kCore: clique survives the peel, cascades converge, no-core empties, cap is loud") {
+    // K4 + a pendant: at k=3 the pendant peels, the clique stays deg 3
+    val k4 = (for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b))
+    val edges = (k4 ++ Seq((3L, 9L))).toDF("src", "dst")
+    val core = Graphs.kCore(edges, k = 3).orderBy("node").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(core == Seq(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // a path has no 2-core: ends peel, new ends peel — the CASCADE must
+    // run to an empty fixpoint across multiple rounds, not one
+    val path = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    assert(Graphs.kCore(path, k = 2).count() == 0)
+    // round cap fails loudly, never silently truncates
+    intercept[IllegalArgumentException] {
+      Graphs.kCore(path, k = 2, maxRounds = 2).count()
+    }
+  }
+
   test("hits: directory page is the hub, linked pages the authorities; partitioning-invariant") {
     // 0 links to 1,2,3 (a directory); 4 links to 1 as well
     val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (4L, 1L)).toDF("src", "dst")
