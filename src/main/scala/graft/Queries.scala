@@ -8728,6 +8728,53 @@ object Queries {
       .orderBy("id")
   }
 
+  // Cluster-aware split assignment — the FIX for the leakage p2 detects:
+  // hash the dedup CLUSTER id (d6's fingerprint clusters), not the doc
+  // id, so near-identical docs can never straddle train/test. The
+  // cross-split duplicate-pair count is computed for real in both
+  // engines and must be exactly 0 (fingerprint-equal => same cluster =>
+  // same md5 bucket) — the invariant rides the hash.
+  register(
+    "p10_cluster_split",
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 80) AS f
+      |  FROM documents),
+      |cl AS (SELECT f, CAST(min(doc_id) AS BIGINT) AS cluster_id
+      |       FROM fp GROUP BY f),
+      |d AS (
+      |  SELECT fp.doc_id, fp.f, cl.cluster_id,
+      |    CASE WHEN substr(md5(CAST(cl.cluster_id AS VARCHAR)), 1, 8)
+      |              < 'cccccccc' THEN 'train'
+      |         WHEN substr(md5(CAST(cl.cluster_id AS VARCHAR)), 1, 8)
+      |              < 'e6666666' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM fp JOIN cl ON fp.f = cl.f),
+      |x AS (SELECT CAST(count(*) AS BIGINT) AS cross_split_dup_pairs
+      |      FROM d a JOIN d b ON a.f = b.f AND a.doc_id < b.doc_id
+      |        AND a.split != b.split)
+      |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+      |       x.cross_split_dup_pairs
+      |FROM d, x GROUP BY split, x.cross_split_dup_pairs
+      |ORDER BY split""".stripMargin) { (s, dir) =>
+    val fp = t(s, dir, "documents").select(col("doc_id"),
+      substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, 80)
+        .as("f"))
+    val cl = fp.groupBy("f").agg(min(col("doc_id")).as("cluster_id"))
+    val d = TextAnalysis.splitAssign(fp.join(cl, "f"), "cluster_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).localCheckpoint()
+    val cross = broadcast(d.as("a").join(d.as("b"),
+        col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.split") =!= col("b.split"))
+      .agg(count(lit(1)).as("cross_split_dup_pairs")))
+    d.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+      .crossJoin(cross)
+      .orderBy("split")
+  }
+
   // Benchmark decontamination: exact-substring containment of a broadcast
   // snippet set (the first tier of train/test-overlap filtering).
   register(
