@@ -800,6 +800,59 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(mass - 1.0) < 1e-4, s"continuation mass $mass != 1")
   }
 
+  test("kneser-ney: randomized corpora match an independent reference exactly") {
+    val rnd = new scala.util.Random(91)
+    def word(): String =
+      (0 until rnd.nextInt(3) + 1).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    def doc(minW: Int): String =
+      (0 until rnd.nextInt(6) + minW).map(_ => word()).mkString(" ")
+    for (_ <- 0 until 8) {
+      val refDocs = (0 until rnd.nextInt(5) + 4).map(_ => doc(2))
+      // scored docs overlap the ref vocab AND introduce novel words
+      // ('zq' can never be generated above) so every smoothing leg fires
+      val scored = (0 until 5).map(i =>
+        (i.toLong, doc(2) + (if (i % 2 == 0) " zq " + word() else "")))
+      // independent reference: same arithmetic, built from plain maps
+      val refBg = refDocs.flatMap { d =>
+        val t = d.split("\\s+").filter(_.nonEmpty)
+        t.zip(t.drop(1))
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val nc = refBg.groupBy(_._1._1).map { case (w, m) =>
+        w -> m.values.sum }
+      val n1 = refBg.groupBy(_._1._1).map { case (w, m) => w -> m.size.toLong }
+      val nw = refBg.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+      val nbb = refBg.size.toLong
+      def prob(w1: String, w2: String): Double = {
+        val pc = nw.get(w2).map(_.toDouble).getOrElse(0.5) / nbb
+        nc.get(w1) match {
+          case Some(c1) =>
+            (refBg.get((w1, w2)).map(_.toDouble - 0.75).getOrElse(0.0) +
+              ((0.75 * n1(w1)) * pc)) / c1
+          case None => pc
+        }
+      }
+      val want = scored.flatMap { case (id, text) =>
+        val t = text.split("\\s+").filter(_.nonEmpty)
+        if (t.length < 2) None else {
+          val bgs = t.zip(t.drop(1))
+          val byType = bgs.groupBy(identity).map { case (k, v) =>
+            k -> v.size.toLong }
+          val n = bgs.length.toLong
+          val sum = byType.map { case ((a, b), c) =>
+            c * math.floor(-math.log(prob(a, b)) * 1000000.0 + 0.5).toLong
+          }.sum
+          Some(id -> (n,
+            math.floor(sum.toDouble / n + 0.5) / 1000000.0))
+        }
+      }.toMap
+      val got = TextAnalysis.knSurprisal(scored.toDF("doc_id", "text"),
+        "text", "doc_id", refCorpus = Some(refDocs.toDF("text")))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      assert(got == want, s"KN mismatch:\ngot  $got\nwant $want")
+    }
+  }
+
   test("winnowing: shared run >= window+k-1 words guarantees a shared fingerprint") {
     // k=3, window=4: the guarantee threshold is 6 words. Docs 20/21 share
     // exactly a 6-word run embedded in otherwise-disjoint text; doc 22 is
