@@ -68,10 +68,13 @@ case class WarcSplit(child: Expression) extends UnaryExpression
         .split("\r\n").iterator
         .map(_.split(": ", 2)).collect { case Array(k, v) => k -> v }
         .toMap
-      val len = headers.get("Content-Length").flatMap(_.toLongOption)
-        .getOrElse(return null)
       val bodyStart = hdrEnd + crlf2.length
-      if (bodyStart + len + crlf2.length > bytes.length) return null
+      // hostile headers are the expected case: a negative or oversized
+      // Content-Length must yield NULL, never reach array arithmetic
+      // (the subtraction below is in Long, so it cannot overflow)
+      val len = headers.get("Content-Length").flatMap(_.toLongOption)
+        .filter(l => l >= 0L && l <= bytes.length.toLong - bodyStart - crlf2.length)
+        .getOrElse(return null)
       if (!startsWith(bytes, bodyStart + len.toInt, crlf2)) return null
       out += InternalRow(
         headers.get("WARC-Record-ID").map(UTF8String.fromString).orNull,

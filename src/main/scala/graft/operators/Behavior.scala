@@ -67,19 +67,6 @@ object Behavior {
       .select(col("r.step_idx"), col("r.step"), col("r.n_users"))
   }
 
-  /** First-order Markov transition matrix over per-user event sequences:
-    * for each ordered (prev_type → next_type) adjacent pair, the count and
-    * the transition probability P(next | prev).
-    *
-    * Shape: ONE window shuffle keyed by user (lead over (micros, event id)
-    * — the id tie-break makes simultaneous events deterministic), then one
-    * pre-combined (prev, next) count agg; the per-prev total folds back as
-    * a window over the event-type-cardinality matrix, so nothing after
-    * the first window is corpus-sized. Probability = count/total computed
-    * by one double division over exact integer counts, rounded at 6 dp —
-    * engine-identical.
-    *
-    * Returns (prev_type, next_type, n, p) ordered by (prev, next). */
   /** Chat-transcript FORMAT validation — the instruction-data QA gate:
     * a multi-turn dialogue ships to training only if roles strictly
     * alternate, the conversation opens with the user and closes with the
@@ -182,6 +169,19 @@ object Behavior {
         .as("assistant_chars"))
   }
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * for each ordered (prev_type → next_type) adjacent pair, the count and
+    * the transition probability P(next | prev).
+    *
+    * Shape: ONE window shuffle keyed by user (lead over (micros, event id)
+    * — the id tie-break makes simultaneous events deterministic), then one
+    * pre-combined (prev, next) count agg; the per-prev total folds back as
+    * a window over the event-type-cardinality matrix, so nothing after
+    * the first window is corpus-sized. Probability = count/total computed
+    * by one double division over exact integer counts, rounded at 6 dp —
+    * engine-identical.
+    *
+    * Returns (prev_type, next_type, n, p) ordered by (prev, next). */
   def markovTransitions(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -109,6 +109,92 @@ object Dedup {
           s => s.getField("span")), " ").as("dedup_text"))
   }
 
+  /** Variable-length exact-substring dedup — the suffix-array tier of
+    * the dedup family (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better": remove every token inside a
+    * substring of >= `minLen` tokens that occurs >= 2 times corpus-wide,
+    * across documents OR at two positions within one). [[spanDedup]]
+    * only catches FIXED-aligned spans — a 300-token boilerplate block
+    * offset by one token slips its chunk grid; this operator flags it at
+    * any offset and any length >= minLen.
+    *
+    * Relational equivalence to the suffix-array semantics: token t of a
+    * doc lies inside a >= minLen-token repeat IFF some minLen-gram
+    * window containing t is globally repeated (every window of a longer
+    * repeat is itself repeated; any repeated window IS a repeat). So
+    * flagged tokens = union of [p, p+minLen-1] over all positions p
+    * whose minLen-gram occurs >= 2 times — and maximal variable-length
+    * repeats fall out of interval union for free: starts offset by one
+    * token chain into one merged span, reproducing the suffix array's
+    * run extension exactly.
+    *
+    * Scale shape: positional grams build scan-side by the
+    * [[wordShingles]] shifted-zip_with fold (no per-position slice
+    * allocation) and leave the scan as (doc_id, pos, 16-byte md5) —
+    * text never shuffles. The global repeat test is one pre-combined
+    * groupBy(hash) + one semi-join (both exchanges carry skinny hash
+    * rows; AQE handles boilerplate-gram skew). Interval union is the
+    * classic prev-max-end sweep: windows partition by doc_id, so
+    * partitions are doc-token-bounded, never corpus-sized. Returns
+    * (doc_id, n_tokens, n_dup_spans, dup_tokens, dup_spans) for EVERY
+    * document — clean docs carry 0/0/null; spans are 0-based inclusive
+    * token offsets "s:e;s:e" ordered by start.
+    *
+    * Reference tie: the reference's nearest cleanup is record-level
+    * dedup in the classifier (streamalert/classifier/payload_record.py
+    * dedups identical records per batch); this is the corpus-scale
+    * sub-document generalization an LLM pipeline needs. */
+  def repeatedSubstringSpans(df: DataFrame, textCol: String, idCol: String,
+      minLen: Int): DataFrame = {
+    require(minLen >= 2, "repeatedSubstringSpans needs minLen >= 2")
+    val L = minLen
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    // positional L-grams: grams[i] = toks[i..i+L-1] joined — the shifted
+    // zip_with fold; concat-with-null nulls the padded tail, slice drops it
+    val grams = (1 until L).foldLeft(col("__toks")) { (acc, k) =>
+      zip_with(acc, slice(col("__toks"), lit(k + 1),
+        greatest(size(col("__toks")) - k, lit(1))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    val base = df.select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast(LongType).as("n_tokens"),
+        slice(grams, lit(1), greatest(size(col("__toks")) - (L - 1), lit(0)))
+          .as("__grams"))
+    val docUniverse = base.select(col("doc_id"), col("n_tokens"))
+    val positional = base
+      .select(col("doc_id"), posexplode(col("__grams")).as(Seq("pos", "__g")))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        md5(col("__g")).as("__gh"))
+    // globally repeated grams: pre-combined count, skinny semi-join side
+    val repeated = positional.groupBy("__gh")
+      .agg(count(lit(1)).as("__c")).where(col("__c") >= 2)
+      .select("__gh")
+    val covered = positional.join(repeated, Seq("__gh"), "left_semi")
+      .select(col("doc_id"), col("pos"), (col("pos") + (L - 1)).as("__end"))
+    // interval union per doc: new span when start > 1 + max(prior ends)
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val prevMax = max(col("__end"))
+      .over(wDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = covered
+      .withColumn("__new",
+        when(prevMax.isNull || col("pos") > prevMax + 1, 1L).otherwise(0L))
+      .withColumn("__grp", sum(col("__new")).over(wDoc))
+      .groupBy("doc_id", "__grp")
+      .agg(min(col("pos")).as("__s"), max(col("__end")).as("__e"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("__e") - col("__s") + 1).as("dup_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__s"), col("__e")))),
+          s => concat(s.getField("__s").cast("string"), lit(":"),
+            s.getField("__e").cast("string"))), ";").as("dup_spans"))
+    docUniverse.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        col("dup_spans"))
+  }
+
   /** Streaming ingestion dedup: drop redeliveries of the same document
     * within the watermark horizon. State carries ONLY the 16-byte
     * fingerprint + event time (dropDuplicatesWithinWatermark evicts state
@@ -1366,7 +1452,7 @@ object Dedup {
       threshold: Double): DataFrame = {
     val b = broadcast(bench.select(col(benchVec).as("__bv"),
       vecNorm(col(benchVec)).as("__bn")))
-    train.select(col(trainId), col(trainVec).as("__tv"),
+    val agg = train.select(col(trainId), col(trainVec).as("__tv"),
         vecNorm(col(trainVec)).as("__tn"))
       .crossJoin(b)
       .select(col(trainId),
@@ -1374,7 +1460,14 @@ object Dedup {
           col("__bn")), 6).as("__c"))
       .groupBy(trainId)
       .agg(max(col("__c")).as("max_bench_cos"))
-      .withColumn("keep", col("max_bench_cos") < threshold)
+    // left-join back onto the train id universe (the retrievalMetrics
+    // pattern): an EMPTY bench frame must yield every training row with
+    // keep=true / null max_bench_cos, not an empty result — callers that
+    // treat absence as drop would otherwise invert the verdict
+    train.select(col(trainId)).distinct()
+      .join(agg, Seq(trainId), "left")
+      .withColumn("keep",
+        coalesce(col("max_bench_cos") < threshold, lit(true)))
   }
 
   // -------------------------------------------------------------------------

@@ -1014,16 +1014,20 @@ object Similarity {
         transform(col("a"), s => s.getField("mx")).as("mx"))
 
   // code_i = floor((x_i − mn_i) / (mx_i − mn_i) · 255 + 0.5) ∈ [0, 255];
-  // a degenerate dimension (mx == mn) codes to 0. One fixed-shape double
-  // expression over the exactly-widened float — spelled identically in
-  // the DuckDB oracle.
+  // a degenerate dimension (mx == mn) codes to 0. Codes CLAMP to
+  // [0, 255] so query vectors outside the corpus-trained range still
+  // honor the int8 contract (corpus vectors are in range by
+  // construction — the clamp is a no-op for them). One fixed-shape
+  // double expression over the exactly-widened float — spelled
+  // identically in the DuckDB oracle.
   private def sq8Code(vec: Column, mn: Column, mx: Column): Column =
     transform(sequence(lit(0), size(vec) - 1), i => {
       val x = element_at(vec, (i + 1).cast("int")).cast("double")
       val lo = element_at(mn, (i + 1).cast("int"))
       val hi = element_at(mx, (i + 1).cast("int"))
       when(hi > lo,
-        floor(((x - lo) / (hi - lo)) * 255.0 + 0.5).cast("long"))
+        greatest(lit(0L), least(lit(255L),
+          floor(((x - lo) / (hi - lo)) * 255.0 + 0.5).cast("long"))))
         .otherwise(lit(0L))
     })
 

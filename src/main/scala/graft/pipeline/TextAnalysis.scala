@@ -1802,22 +1802,6 @@ object TextAnalysis {
     }
   }
 
-  /** Per-document character-level Shannon entropy (nats) — the
-    * gibberish / encoded-blob / repeated-filler detector that rounds out
-    * the quality family (low entropy = repetitive filler, high ≈ uniform
-    * entropy = base64/compressed junk; natural text sits in a stable
-    * band). Characters are code points of the lowered text, whitespace
-    * included.
-    *
-    * Determinism (the money-in-cents move on − p·ln p): each character
-    * class's term `floor(p·ln(p)·10⁹ + 0.5)` is one fixed double
-    * expression over exact integer counts, and the per-document SUM is
-    * an INTEGER sum — order-free under any partitioning and any engine,
-    * so the row hash-matches (ln parity with DuckDB is already proven by
-    * the surprisal rows). Scale shape: one char explode into a
-    * pre-combined (doc, char) count, a skinny per-doc total join, one
-    * pre-combined integer agg; empty documents return entropy 0, never
-    * vanish. Returns (doc_id, n_chars, distinct_chars, entropy_nats). */
   /** Compression-ratio quality signal — `deflate_bytes / utf8_bytes`
     * per document (the Gopher/RefinedWeb repetition-and-noise detector
     * [[charEntropy]]'s model-based sibling: DEFLATE sees LONG-RANGE
@@ -1876,6 +1860,25 @@ object TextAnalysis {
         size(col("__m")).cast("long").as("n_matched"),
         (size(col("__m")) > 0).as("blocked"))
 
+  /** Per-document character-level Shannon entropy (nats) — the
+    * gibberish / encoded-blob / repeated-filler detector that rounds out
+    * the quality family (low entropy = repetitive filler, high ≈ uniform
+    * entropy = base64/compressed junk; natural text sits in a stable
+    * band). Characters are UTF-16 code units of the lowered text
+    * (`split(text, "")` semantics, matching the DuckDB oracle),
+    * whitespace included — a supplementary-plane character counts as
+    * its two surrogate halves; use [[unicodeNormalize]] first if non-BMP
+    * text dominates a corpus.
+    *
+    * Determinism (the money-in-cents move on − p·ln p): each character
+    * class's term `floor(p·ln(p)·10⁹ + 0.5)` is one fixed double
+    * expression over exact integer counts, and the per-document SUM is
+    * an INTEGER sum — order-free under any partitioning and any engine,
+    * so the row hash-matches (ln parity with DuckDB is already proven by
+    * the surprisal rows). Scale shape: one char explode into a
+    * pre-combined (doc, char) count, a skinny per-doc total join, one
+    * pre-combined integer agg; empty documents return entropy 0, never
+    * vanish. Returns (doc_id, n_chars, distinct_chars, entropy_nats). */
   def charEntropy(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val counts = docs
       .select(col(idCol).as("doc_id"),

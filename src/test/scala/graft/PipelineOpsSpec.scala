@@ -737,6 +737,56 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(1L)._2.split(" ").forall(Set("x", "y")))
   }
 
+  test("semantic decontamination: empty benchmark keeps every training row") {
+    val train = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val bench = Seq.empty[Tuple1[Array[Float]]].toDF("embedding")
+    val out = Dedup.semanticDecontaminate(train, bench, "vec_id",
+        "embedding", "embedding", threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.isNullAt(1), r.getBoolean(2)))
+      .toMap
+    assert(out.size == 2, s"every training row must appear: $out")
+    assert(out(1L) == ((true, true)) && out(2L) == ((true, true)),
+      s"no bench row -> null max_bench_cos, keep=true: $out")
+  }
+
+  test("repeated substrings: shared block found at ANY offset, boundaries exact") {
+    // the case spanDedup's fixed chunk grid misses: the same 5-token block
+    // at offset 2 in doc 0 and offset 1 in doc 1 (minLen=4)
+    val rsDocs = Seq(
+      (0L, "u00 u01 w1 w2 w3 w4 w5 u02 u03"),
+      (1L, "v0 w1 w2 w3 w4 w5 v1 v2 v3"),
+      (2L, "x0 x1 x2 x3 x4 x5 x6 x7"))
+      .toDF("doc_id", "text")
+    val out = Dedup.repeatedSubstringSpans(rsDocs, "text", "doc_id", minLen = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), Option(r.getString(4))))
+      .toMap
+    // run extension: starts {2,3} union to the single maximal span [2,6]
+    assert(out(0L) == ((9L, 1L, 5L, Some("2:6"))), s"doc 0: ${out(0L)}")
+    assert(out(1L) == ((9L, 1L, 5L, Some("1:5"))), s"doc 1: ${out(1L)}")
+    assert(out(2L) == ((8L, 0L, 0L, None)), s"clean doc: ${out(2L)}")
+  }
+
+  test("repeated substrings: intra-doc repeats flag both occurrences; gaps split spans") {
+    val rsDocs = Seq(
+      (3L, "r1 r2 r3 r4 z1 r1 r2 r3 r4"),       // same 4-gram twice in ONE doc
+      (4L, "s1 s2 s3 s4 s5 s6 s7 s8"),           // covered starts {0,4}: touching
+      (5L, "s1 s2 s3 s4 q1 s5 s6 s7 s8"),        // doc 4's halves, split by q1
+      (6L, ""))                                   // empty doc never vanishes
+      .toDF("doc_id", "text")
+    val out = Dedup.repeatedSubstringSpans(rsDocs, "text", "doc_id", minLen = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), Option(r.getString(4))))
+      .toMap
+    assert(out(3L) == ((9L, 2L, 8L, Some("0:3;5:8"))), s"intra-doc: ${out(3L)}")
+    // [0,3] and [4,7] touch -> ONE contiguous flagged region
+    assert(out(4L) == ((8L, 1L, 8L, Some("0:7"))), s"touching merge: ${out(4L)}")
+    assert(out(5L) == ((9L, 2L, 8L, Some("0:3;5:8"))), s"gap splits: ${out(5L)}")
+    assert(out(6L) == ((0L, 0L, 0L, None)), s"empty doc: ${out(6L)}")
+  }
+
   test("unigram surprisal: rare-token docs score higher than common-token docs") {
     val corpus = Seq(
       (0L, "the the the the the"),

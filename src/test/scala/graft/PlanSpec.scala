@@ -640,6 +640,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("repeated substrings: hash anchors only in shuffles, pre-combined repeat filter, doc-bounded windows") {
+    val p = plan("d20_repeated_substrings")
+    // anchors leave the scan as (doc_id, pos, md5) — candidate discovery is
+    // an equi-(semi-)join on the hash, never an all-pairs operator
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "d20: quadratic join operator in plan")
+    assert(!p.contains("UDF") && !p.contains("BatchEvalPython"), "d20: UDF in plan")
+    // the global repeat test must be the pre-combined groupBy(hash) (+ the
+    // skinny join back), never a Window over the skewed gram key: the only
+    // windows allowed partition by doc_id (doc-token-bounded)
+    assert(p.contains("HashAggregate"), "d20: repeat count must hash-aggregate")
+    p.split("\n").filter(_.contains("windowspecdefinition")).foreach { ln =>
+      assert(ln.contains("doc_id"), s"d20: window not keyed by doc_id: $ln")
+    }
+    // no shuffle may carry document text — grams ride as 16-byte md5 only
+    p.split("\n").filter(_.contains("Exchange hashpartitioning")).foreach { ln =>
+      assert(!ln.contains("text#"), s"d20: text in shuffle: $ln")
+    }
+  }
+
   test("winnowing: selection is scan-side, candidate join releases caches") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val fps = graft.pipeline.Dedup.winnowFingerprints(docs, "text", "doc_id")

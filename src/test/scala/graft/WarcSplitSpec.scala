@@ -45,7 +45,14 @@ class WarcSplitSpec extends AnyFunSuite {
       "GARBAGE" + r,                       // wrong magic
       r.dropRight(2),                      // truncated trailer
       r.replace("Content-Length: 4", "Content-Length: 99"), // over-read
-      r.replace("Content-Length: 4", "Content-Length: x"))) // unparsable
+      r.replace("Content-Length: 4", "Content-Length: x"),  // unparsable
+      // hostile headers are the expected case in web-corpus bytes: a
+      // negative or Long-overflow length must route to null, never
+      // reach array arithmetic
+      r.replace("Content-Length: 4", "Content-Length: -1000"),
+      r.replace("Content-Length: 4", "Content-Length: -1"),
+      r.replace("Content-Length: 4",
+        "Content-Length: 9223372036854775800")))
       assert(parse(bad).isNullAt(0), s"expected null for: ${bad.take(30)}")
     // missing optional headers stay null, record still parses
     val minimal = "WARC/1.0\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n"
