@@ -1,0 +1,785 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+import graft.core.LogSchema
+import graft.core.{NormCondition, NormalizedField}
+import graft.core.FieldType._
+import graft.classify.Classifier
+import graft.classify.{ArtifactExtractor, Normalizer, Sanitizer}
+import graft.rules._
+import graft.alerts.{AlertMerger, MergeInputAlert, Publishers}
+import graft.sources.Sources
+import graft.history.{HistoricalSink, RulePromotion, ScheduledQueries}
+import graft.pipeline.{Dedup, Eval, Multimodal, Preference, Similarity, Sketches, TextAnalysis}
+
+/** ANN / embedding serving: brute force, IVF, PQ/ADC, SQ8, banded LSH,
+  * k-means, k-center, power iteration, margin mining, MMR. */
+private[graft] trait AnnQueries extends RegistryBase {
+
+
+  // Brute-force cosine top-k ANN (correctness baseline).
+  register(
+    "ann_bruteforce_topk",
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.q_id, c.vec_id AS neighbor_id,
+      |         round(list_cosine_similarity(c.embedding::DOUBLE[], q.q_vec::DOUBLE[]), 6) AS cos
+      |  FROM embeddings c CROSS JOIN q WHERE c.vec_id != q.q_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      |  FROM scored)
+      |SELECT q_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val queries = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.bruteForceTopK(e, queries, k = 3).orderBy("q_id", "rank")
+  }
+
+
+  // Scalar int8 quantization serving: per-dim min-max codes, SYMMETRIC
+  // integer-dot ranking — the whole pipeline (range training, encoding,
+  // scoring, top-k) is exact integer/fixed-shape-double arithmetic, so
+  // unlike the LSH/IVF families this quantized path is hash-proven
+  // END-TO-END, not recall-bounded.
+  register(
+    "ann_sq8_topk",
+    """WITH st AS (
+      |  SELECT pos, min(CAST(v AS DOUBLE)) AS mn, max(CAST(v AS DOUBLE)) AS mx
+      |  FROM (SELECT unnest(embedding) AS v,
+      |               generate_subscripts(embedding, 1) AS pos FROM embeddings)
+      |  GROUP BY pos),
+      |mnmx AS (SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx
+      |         FROM st),
+      |qz AS (
+      |  SELECT vec_id, list_transform(range(1, len(embedding) + 1),
+      |    i -> CASE WHEN s.mx[i] > s.mn[i] THEN
+      |           greatest(CAST(0 AS BIGINT), least(CAST(255 AS BIGINT),
+      |             CAST(floor(((CAST(embedding[i] AS DOUBLE) - s.mn[i]) /
+      |               (s.mx[i] - s.mn[i])) * 255.0 + 0.5) AS BIGINT)))
+      |         ELSE CAST(0 AS BIGINT) END) AS code
+      |  FROM embeddings, mnmx s),
+      |q AS (SELECT vec_id AS q_id, code AS q_code FROM qz WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.q_id, c.vec_id AS neighbor_id,
+      |         CAST(list_sum(list_transform(range(1, len(c.code) + 1),
+      |           i -> c.code[i] * q.q_code[i])) AS BIGINT) AS score
+      |  FROM qz c CROSS JOIN q WHERE c.vec_id != q.q_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY score DESC, neighbor_id ASC) AS rank FROM scored)
+      |SELECT q_id, neighbor_id, score, rank FROM ranked WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val queries = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.sq8TopK(e, queries, k = 3).orderBy("q_id", "rank")
+  }
+
+
+  // Dominant principal component by power iteration — realistic run
+  // (rows-only: eigen-solves aren't SQL; the planted twin hash-proves
+  // the mechanism).
+  registerNoOracle("ann_power_iteration") { (s, dir) =>
+    Similarity.powerIteration(t(s, dir, "embeddings"), "embedding",
+      dim = 64).orderBy("pos")
+  }
+
+
+  // Planted twin: each source row contributes the PAIR ±[1, 2, 0…], so
+  // the mean is exactly zero regardless of corpus parity and the
+  // covariance is the exact-integer rank-1 matrix [[1,2],[2,4]] ⊕ 0 —
+  // the dominant eigenvector is analytically [1,2]/√5 with eigenvalue
+  // 5, and every iterate stays on it, so loadings and eigenvalue
+  // hash-match the closed form.
+  register(
+    "ann_power_planted",
+    """SELECT pos,
+      |  CASE WHEN pos = 0 THEN
+      |         floor((1 / sqrt(5.0)) * 1000000.0 + 0.5) / 1000000.0
+      |       WHEN pos = 1 THEN
+      |         floor((2 / sqrt(5.0)) * 1000000.0 + 0.5) / 1000000.0
+      |       ELSE 0.0 END AS loading,
+      |  5.0 AS eigenvalue
+      |FROM (SELECT unnest(range(0, 64)) AS pos) ORDER BY pos""".stripMargin) {
+    (s, dir) =>
+      val sgn = explode(array(lit(1.0), lit(-1.0)))
+      val planted = t(s, dir, "embeddings").select(sgn.as("s"))
+        .select(transform(sequence(lit(0), lit(63)),
+          i => when(i === 0, col("s")).when(i === 1, col("s") * 2)
+            .otherwise(lit(0.0))).as("v"))
+      Similarity.powerIteration(planted, "v", dim = 64).orderBy("pos")
+  }
+
+
+  // IVF coarse-quantizer training step: per-group per-dimension centroids.
+  register(
+    "ann_centroids",
+    """SELECT label AS grp, pos - 1 AS pos, round(avg(v), 6) AS centroid
+      |FROM (SELECT label, unnest(embedding) AS v,
+      |             generate_subscripts(embedding, 1) AS pos FROM embeddings)
+      |GROUP BY label, pos ORDER BY grp, pos""".stripMargin) { (s, dir) =>
+    graft.pipeline.Similarity.centroids(
+      t(s, dir, "embeddings").withColumnRenamed("label", "grp"), "embedding", "grp")
+      .select(col("group").as("grp"), col("pos"),
+        round(col("centroid"), 6).as("centroid"))
+      .orderBy("grp", "pos")
+  }
+
+
+  // IVF ANN: inverted lists by nearest centroid, n-probe search (rows-only).
+  registerNoOracle("ann_ivf_topk") { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val queries = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    graft.pipeline.Similarity.ivfTopK(e, queries, k = 3, nLists = 8, nProbe = 3)
+      .orderBy("q_id", "rank")
+  }
+
+
+  // Banded (AND-OR) LSH ANN with in-band multi-probe (approximate ->
+  // rows-only check; the recall-bound row pins the measured quality).
+  registerNoOracle("ann_lsh_topk") { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val queries = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.lshTopK(e, queries, k = 3).orderBy("q_id", "rank")
+  }
+
+
+  // Hyperplane-LSH ANN, hash-matched via the planted corpus: the top-3 for
+  // every query MUST be its three planted copies (cos 1.0, id order) — the
+  // approximate path's recall is certain by construction, so the full
+  // bucket/multi-probe/top-k machinery gets a real hash oracle.
+  register("ann_lsh_planted", AnnPlantedOracle) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val queries = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.lshTopK(plantedAnnCorpus(e, 3), queries, k = 3)
+      .orderBy("q_id", "rank")
+  }
+
+
+  // IVF ANN, hash-matched via the same planted corpus: identical vectors
+  // land in the query's own nearest inverted list, which nProbe >= 1 always
+  // searches — recall through the coarse-quantizer path is certain.
+  register("ann_ivf_planted", AnnPlantedOracle) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val queries = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    graft.pipeline.Similarity.ivfTopK(plantedAnnCorpus(e, 3), queries,
+      k = 3, nLists = 8, nProbe = 3)
+      .orderBy("q_id", "rank")
+  }
+
+
+  register("ann_ivf_recall_bound", AnnRecallOracle) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val queries = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    annRecallClaim(
+      Similarity.bruteForceTopK(e, queries, k = 3),
+      graft.pipeline.Similarity.ivfTopK(e, queries, k = 3, nLists = 8, nProbe = 3),
+      // measured recall@3 is 0.667 (10/15) at BOTH sf0.001 and sf0.01,
+      // stable for three rounds — an honest number: the synthetic corpus
+      // is near-orthogonal, so the "true" top-3 sit at cos ~0.3 where
+      // 3-of-8 probed lists genuinely miss some (the planted rows prove
+      // the machinery; this row pins the realistic-corpus behavior).
+      // Floor 0.65 = within 0.05 of worst measured (the d5e stability rule)
+      floor = 0.65)
+  }
+
+
+  register("ann_lsh_recall_bound", AnnRecallOracle) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val queries = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    annRecallClaim(
+      Similarity.bruteForceTopK(e, queries, k = 3),
+      Similarity.lshTopK(e, queries, k = 3),
+      // banded AND-OR scheme (8 bands x 6 planes + in-band 1-bit probes):
+      // measured recall@3 is 0.867 (13/15) at sf0.001 and 0.933 (14/15)
+      // at sf0.01 — theory for cos~0.3 neighbors (p ~ 0.6) predicts ~0.98
+      // with probes, vs the 0.2 the single 6-bit signature measured before
+      // the r12 graduation. Floor 0.8 = within 0.05 of worst measured
+      // (the d5e stability rule)
+      floor = 0.8)
+  }
+
+
+  // Greedy k-center diverse selection (Gonzalez farthest-point): 4
+  // selection rounds, each a corpus scan folding the running min-distance
+  // against a one-row broadcast center — the coreset/diversity sampler
+  // for curation. The oracle unrolls all 4 rounds as CTEs with the
+  // operator's exact fold nesting (least of 6-dp-rounded distances),
+  // argmax tie-break (mind desc, vec_id asc), and the chosen-id
+  // exclusion (NOT IN prior centers — k distinct ids guaranteed).
+  register(
+    "ann_kcenter_select",
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |c1 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1),
+      |d1 AS (SELECT e.vec_id,
+      |              round(1 - list_cosine_similarity(e.embedding::DOUBLE[],
+      |                    c1.embedding::DOUBLE[]), 6) AS mind
+      |       FROM e, c1),
+      |c2 AS (SELECT e.vec_id, e.embedding FROM e JOIN d1 USING (vec_id)
+      |       WHERE e.vec_id NOT IN (SELECT vec_id FROM c1)
+      |       ORDER BY d1.mind DESC, e.vec_id LIMIT 1),
+      |d2 AS (SELECT d1.vec_id,
+      |              least(d1.mind, round(1 - list_cosine_similarity(
+      |                e.embedding::DOUBLE[], c2.embedding::DOUBLE[]), 6)) AS mind
+      |       FROM d1 JOIN e USING (vec_id), c2),
+      |c3 AS (SELECT e.vec_id, e.embedding FROM e JOIN d2 USING (vec_id)
+      |       WHERE e.vec_id NOT IN (SELECT vec_id FROM c1
+      |                              UNION SELECT vec_id FROM c2)
+      |       ORDER BY d2.mind DESC, e.vec_id LIMIT 1),
+      |d3 AS (SELECT d2.vec_id,
+      |              least(d2.mind, round(1 - list_cosine_similarity(
+      |                e.embedding::DOUBLE[], c3.embedding::DOUBLE[]), 6)) AS mind
+      |       FROM d2 JOIN e USING (vec_id), c3),
+      |c4 AS (SELECT e.vec_id FROM e JOIN d3 USING (vec_id)
+      |       WHERE e.vec_id NOT IN (SELECT vec_id FROM c1
+      |                              UNION SELECT vec_id FROM c2
+      |                              UNION SELECT vec_id FROM c3)
+      |       ORDER BY d3.mind DESC, e.vec_id LIMIT 1)
+      |SELECT CAST(1 AS BIGINT) AS sel_rank, (SELECT vec_id FROM c1) AS vec_id
+      |UNION ALL SELECT 2, (SELECT vec_id FROM c2)
+      |UNION ALL SELECT 3, (SELECT vec_id FROM c3)
+      |UNION ALL SELECT 4, (SELECT vec_id FROM c4)
+      |ORDER BY sel_rank""".stripMargin) { (s, dir) =>
+    Similarity.kCenterSelect(t(s, dir, "embeddings"), "embedding", "vec_id",
+      k = 4).orderBy("sel_rank")
+  }
+
+
+  // Matryoshka-truncation audit: recall@3 of 16-dim-prefix cosine search
+  // against the full 64-dim ranking — the "can we serve on a prefix"
+  // embedding-efficiency question (Kusupati et al. 2022). Both rankings
+  // are deterministic (6-dp cosines, id tie-breaks), so per-query recall
+  // is EXACT on both engines — no floor needed, the values themselves
+  // hash-match. Measured recall here is 0.0: the synthetic random
+  // embeddings have NO nested structure, and the audit's whole point is
+  // to measure that before anyone serves on a prefix (MRL-trained
+  // embeddings would score near 1). Truncation is a scan-side slice.
+  register(
+    "ann_matryoshka_recall",
+    """WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 5),
+      |full_r AS (
+      |  SELECT q_id, neighbor_id FROM (
+      |    SELECT q.q_id, c.vec_id AS neighbor_id,
+      |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |             round(list_cosine_similarity(c.embedding::DOUBLE[],
+      |               q.embedding::DOUBLE[]), 6) DESC, c.vec_id ASC) AS rank
+      |    FROM embeddings c CROSS JOIN q WHERE c.vec_id != q.q_id)
+      |  WHERE rank <= 3),
+      |tr AS (
+      |  SELECT q_id, neighbor_id FROM (
+      |    SELECT q.q_id, c.vec_id AS neighbor_id,
+      |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |             round(list_cosine_similarity(c.embedding[1:16]::DOUBLE[],
+      |               q.embedding[1:16]::DOUBLE[]), 6) DESC, c.vec_id ASC) AS rank
+      |    FROM embeddings c CROSS JOIN q WHERE c.vec_id != q.q_id)
+      |  WHERE rank <= 3)
+      |SELECT f.q_id,
+      |       round(CAST(count(t.neighbor_id) AS DOUBLE) / 3.0, 6) AS recall
+      |FROM full_r f LEFT JOIN tr t
+      |  ON t.q_id = f.q_id AND t.neighbor_id = f.neighbor_id
+      |GROUP BY f.q_id ORDER BY f.q_id""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val queries = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val full = Similarity.bruteForceTopK(e, queries, k = 3)
+      .select(col("q_id"), col("neighbor_id"))
+    val eT = e.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+    val qT = queries.select(col("q_id"), slice(col("q_vec"), 1, 16).as("q_vec"))
+    val trunc = Similarity.bruteForceTopK(eT, qT, k = 3)
+      .select(col("q_id"), col("neighbor_id"), lit(1).as("__hit"))
+    full.join(trunc, Seq("q_id", "neighbor_id"), "left")
+      .groupBy("q_id")
+      .agg(round(sum(coalesce(col("__hit"), lit(0))).cast("double") / 3.0, 6)
+        .as("recall"))
+      .orderBy("q_id")
+  }
+
+
+  // MMR diversity re-ranking over each query's exact top-8 shortlist:
+  // pick 3 of 8 maximizing 0.7·relevance − 0.3·max-cos-to-picked — the
+  // serving-side diversification of the retrieval chain. The oracle
+  // unrolls all 3 greedy rounds as CTEs with the operator's exact score
+  // rounding, coefficient literals (0.7/0.3 derived from integer
+  // percents on the Spark side so both engines parse the same doubles),
+  // max-sim fold, and (score desc, cand asc) tie-break.
+  register(
+    "ann_mmr_rerank",
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+      |           WHERE vec_id < 3),
+      |sc AS (SELECT q.q_id, c.vec_id AS cid,
+      |              round(list_cosine_similarity(c.embedding::DOUBLE[],
+      |                                           q.qv::DOUBLE[]), 6) AS rel,
+      |              c.embedding AS cv
+      |       FROM embeddings c CROSS JOIN q WHERE c.vec_id != q.q_id),
+      |cand AS (SELECT q_id, cid, rel, cv FROM (
+      |           SELECT *, row_number() OVER (PARTITION BY q_id
+      |                      ORDER BY rel DESC, cid ASC) AS rn FROM sc)
+      |         WHERE rn <= 8),
+      |s1 AS (SELECT q_id, cid, rel, cv,
+      |              floor((0.7 * rel - 0.3 * 0.0) * 1000000 + 0.5) / 1000000.0
+      |                AS score FROM cand),
+      |p1 AS (SELECT q_id, cid, score, cv FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY q_id
+      |                    ORDER BY score DESC, cid ASC) AS rn FROM s1)
+      |       WHERE rn = 1),
+      |st2 AS (SELECT c.q_id, c.cid, c.rel, c.cv,
+      |               greatest(0.0, round(list_cosine_similarity(
+      |                 c.cv::DOUBLE[], p1.cv::DOUBLE[]), 6)) AS maxsim
+      |        FROM cand c JOIN p1 ON p1.q_id = c.q_id AND c.cid != p1.cid),
+      |s2 AS (SELECT q_id, cid, rel, cv, maxsim,
+      |              floor((0.7 * rel - 0.3 * maxsim) * 1000000 + 0.5) / 1000000.0
+      |                AS score FROM st2),
+      |p2 AS (SELECT q_id, cid, score, cv FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY q_id
+      |                    ORDER BY score DESC, cid ASC) AS rn FROM s2)
+      |       WHERE rn = 1),
+      |st3 AS (SELECT c.q_id, c.cid, c.rel, c.cv,
+      |               greatest(c.maxsim, round(list_cosine_similarity(
+      |                 c.cv::DOUBLE[], p2.cv::DOUBLE[]), 6)) AS maxsim
+      |        FROM s2 c JOIN p2 ON p2.q_id = c.q_id AND c.cid != p2.cid),
+      |s3 AS (SELECT q_id, cid, rel, cv, maxsim,
+      |              floor((0.7 * rel - 0.3 * maxsim) * 1000000 + 0.5) / 1000000.0
+      |                AS score FROM st3),
+      |p3 AS (SELECT q_id, cid, score FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY q_id
+      |                    ORDER BY score DESC, cid ASC) AS rn FROM s3)
+      |       WHERE rn = 1)
+      |SELECT q_id, CAST(1 AS BIGINT) AS rank, cid AS cand_id, score FROM p1
+      |UNION ALL SELECT q_id, 2, cid, score FROM p2
+      |UNION ALL SELECT q_id, 3, cid, score FROM p3
+      |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val queries = e.where(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val shortlist = Similarity.bruteForceTopK(e, queries, k = 8)
+    val cands = shortlist.join(
+      e.select(col("vec_id").as("neighbor_id"), col("embedding")),
+      "neighbor_id")
+    Similarity.mmrRerank(cands, k = 3, lambdaPct = 70)
+      .orderBy("q_id", "rank")
+  }
+
+
+  // Embedding covariance matrix (the PCA/whitening/OPQ training
+  // statistic): ONE corpus pass through the vec_moments
+  // TypedImperativeAggregate — fixed-size [n, Σx, upper-tri Σxy] buffers
+  // partial-aggregate map-side, never a dim²-per-row explode. Per-term
+  // integer micro-unit lifting makes the sums partitioning-exact, and
+  // the covariance derivation is the same double expression tree in both
+  // engines — full hash oracle over all dim(dim+1)/2 = 2080 cells.
+  register(
+    "ann_covariance",
+    """WITH v AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS p,
+      |         unnest(embedding)::DOUBLE AS x
+      |  FROM embeddings),
+      |pp AS (
+      |  SELECT a.p AS i, b.p AS j,
+      |         sum(CAST(floor(a.x * b.x * 1000000 + 0.5) AS BIGINT)) AS pxy
+      |  FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.p <= b.p
+      |  GROUP BY a.p, b.p),
+      |s AS (SELECT p, sum(CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS sx
+      |      FROM v GROUP BY p),
+      |n AS (SELECT count(*) AS n FROM embeddings)
+      |SELECT pp.i - 1 AS i, pp.j - 1 AS j,
+      |       round(pxy / (1000000.0 * n) -
+      |             (sa.sx / (1000000.0 * n)) * (sb.sx / (1000000.0 * n)), 6)
+      |         + 0.0 AS cov
+      |FROM pp JOIN s sa ON sa.p = pp.i JOIN s sb ON sb.p = pp.j CROSS JOIN n
+      |ORDER BY i, j""".stripMargin) { (s, dir) =>
+    Similarity.covarianceMatrix(t(s, dir, "embeddings"), "embedding", dim = 64)
+      .orderBy("i", "j")
+  }
+
+
+  // Two-sample embedding drift: covariance cells of the even-id slice vs
+  // the odd-id slice with |delta| — the quantizer-retraining signal
+  // between corpus snapshots. Same fixed-point moments machinery as
+  // ann_covariance (one GramAgg pass per slice), so every cell
+  // hash-matches; on the synthetic corpus the halves are iid draws and
+  // the measured dcov is honestly tiny but nonzero.
+  register(
+    "ann_embedding_drift",
+    """WITH v AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS p,
+      |         unnest(embedding)::DOUBLE AS x
+      |  FROM embeddings),
+      |cov AS (
+      |  SELECT pp.side, i - 1 AS i, j - 1 AS j,
+      |         round(pxy / (1000000.0 * n) -
+      |               (si / (1000000.0 * n)) * (sj / (1000000.0 * n)), 6) + 0.0
+      |           AS cov
+      |  FROM (
+      |    SELECT a.vec_id % 2 AS side, a.p AS i, b.p AS j,
+      |           sum(CAST(floor(a.x * b.x * 1000000 + 0.5) AS BIGINT)) AS pxy
+      |    FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.p <= b.p
+      |    GROUP BY 1, 2, 3) pp
+      |  JOIN (SELECT vec_id % 2 AS side, p,
+      |               sum(CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS si
+      |        FROM v GROUP BY 1, 2) s1 ON s1.side = pp.side AND s1.p = pp.i
+      |  JOIN (SELECT vec_id % 2 AS side, p,
+      |               sum(CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS sj
+      |        FROM v GROUP BY 1, 2) s2 ON s2.side = pp.side AND s2.p = pp.j
+      |  JOIN (SELECT vec_id % 2 AS side, count(*) AS n
+      |        FROM embeddings GROUP BY 1) nn ON nn.side = pp.side)
+      |SELECT ca.i, ca.j, ca.cov AS cov_a, cb.cov AS cov_b,
+      |       round(abs(ca.cov - cb.cov), 6) + 0.0 AS dcov
+      |FROM (SELECT * FROM cov WHERE side = 0) ca
+      |JOIN (SELECT * FROM cov WHERE side = 1) cb USING (i, j)
+      |ORDER BY i, j""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    Similarity.embeddingDrift(
+      e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 === 1),
+      "embedding", dim = 64)
+      .orderBy("i", "j")
+  }
+
+
+  // Margin-based parallel-pair mining (Artetxe & Schwenk 2019 — the
+  // CCMatrix/NLLB bitext-mining score): even vec_ids play the source
+  // language, odd ones the target; each source keeps its best-margin
+  // target (cos normalized by both sides' mean top-4 neighborhood
+  // cosine). EXACT hash oracle: cosines round to 6 dp then lift to
+  // integer micro-units (the money-in-cents move), neighborhood means
+  // stay integer-sum / exact-count, and the margin is one fixed-shape
+  // double expression over exact integers — bit-identical across
+  // engines. Source side is id-bounded (< 200) so the mining pass stays
+  // O(|X|·|Y|) with a small X at every sf; cos is symmetric, so both
+  // kNN directions share one scored table in the oracle.
+  register(
+    "ann_margin_mine",
+    """WITH x AS (SELECT vec_id AS x_id, embedding AS xv FROM embeddings
+      |           WHERE vec_id % 2 = 0 AND vec_id < 200),
+      |y AS (SELECT vec_id AS y_id, embedding AS yv FROM embeddings
+      |      WHERE vec_id % 2 = 1),
+      |sx AS (SELECT x_id, y_id,
+      |              round(list_cosine_similarity(yv::DOUBLE[], xv::DOUBLE[]), 6) AS cos
+      |       FROM x CROSS JOIN y),
+      |xk AS (SELECT x_id, y_id, cos FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY x_id
+      |                    ORDER BY cos DESC, y_id ASC) AS rn FROM sx)
+      |       WHERE rn <= 4),
+      |yk AS (SELECT x_id, y_id, cos FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY y_id
+      |                    ORDER BY cos DESC, x_id ASC) AS rn FROM sx)
+      |       WHERE rn <= 4),
+      |xa AS (SELECT x_id, sum(CAST(floor(cos * 1000000 + 0.5) AS BIGINT)) AS sxs,
+      |              count(*) AS cx FROM xk GROUP BY x_id),
+      |ya AS (SELECT y_id, sum(CAST(floor(cos * 1000000 + 0.5) AS BIGINT)) AS sys,
+      |              count(*) AS cy FROM yk GROUP BY y_id),
+      |m AS (SELECT xk.x_id, xk.y_id, xk.cos,
+      |             CASE WHEN (CAST(sxs AS DOUBLE) / cx + CAST(sys AS DOUBLE) / cy) / 2 > 0
+      |               THEN round(CAST(floor(xk.cos * 1000000 + 0.5) AS BIGINT) /
+      |                 ((CAST(sxs AS DOUBLE) / cx + CAST(sys AS DOUBLE) / cy) / 2), 6)
+      |             END AS margin
+      |      FROM xk JOIN xa USING (x_id) JOIN ya USING (y_id)),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY x_id
+      |               ORDER BY margin DESC NULLS LAST, y_id ASC) AS rn FROM m)
+      |SELECT x_id, y_id, cos, margin FROM r
+      |WHERE rn = 1 AND margin IS NOT NULL AND margin >= 1.0
+      |ORDER BY x_id""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val xs = e.where(col("vec_id") % 2 === 0 && col("vec_id") < 200)
+      .select(col("vec_id").as("x_id"), col("embedding").as("x_vec"))
+    val ys = e.where(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("y_id"), col("embedding").as("y_vec"))
+    Similarity.marginMine(xs, ys, k = 4, threshold = 1.0)
+      .orderBy("x_id")
+  }
+
+
+  // PQ encode: 64-dim float vectors -> 4 code bytes (nearest codebook
+  // centroid per 16-dim subspace). Exact hash oracle — encoding is a
+  // deterministic argmin on 6-decimal-rounded distances, no planting
+  // needed. The memory move of billion-vector ANN. Codes project as ONE
+  // comma-joined string on both sides — the q17_array_agg trick — because
+  // the driver's pandas compare cannot lexsort a LIST column.
+  register(
+    "ann_pq_encode",
+    s"""WITH $PqCbSql
+      |SELECT vec_id, string_agg(code::VARCHAR, ',' ORDER BY sub) AS codes
+      |FROM enc WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    graft.pipeline.Similarity.pqEncode(e, pqSliceCodebook(e))
+      .select(col("vec_id"),
+        concat_ws(",", col("codes").cast("array<string>")).as("codes"))
+      .orderBy("vec_id")
+  }
+
+
+  // PQ asymmetric-distance top-k: per-query m-by-K distance table, candidate
+  // distance = 4 table lookups summed over the CODES table (the float
+  // corpus is never touched). Deterministic end-to-end -> exact hash oracle.
+  register(
+    "ann_pq_adc_topk",
+    s"""WITH $PqCbSql,
+      |codes AS (SELECT vec_id, sub, code FROM enc WHERE rn = 1),
+      |q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 5),
+      |dt AS (
+      |  SELECT q.q_id, cb.sub, cb.code,
+      |         round(list_sum(list_transform(range(1, 17),
+      |           i -> (q.embedding[cb.sub * 16 + i]::DOUBLE - cb.cvec[i]) *
+      |                (q.embedding[cb.sub * 16 + i]::DOUBLE - cb.cvec[i]))), 6) AS d2
+      |  FROM q CROSS JOIN cb),
+      |cand AS (
+      |  SELECT dt.q_id, c.vec_id AS neighbor_id,
+      |         round(list_sum(list(dt.d2 ORDER BY dt.sub)), 6) AS adist
+      |  FROM codes c JOIN dt ON c.sub = dt.sub AND c.code = dt.code
+      |  WHERE c.vec_id != dt.q_id
+      |  GROUP BY dt.q_id, c.vec_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY adist ASC, neighbor_id ASC) AS rank FROM cand)
+      |SELECT q_id, neighbor_id, adist, rank FROM ranked WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val cb = pqSliceCodebook(e)
+    val codes = graft.pipeline.Similarity.pqEncode(e, cb)
+    val queries = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    graft.pipeline.Similarity.pqAdcTopK(codes, queries, cb, k = 3)
+      .orderBy("q_id", "rank")
+  }
+
+
+  // Two-stage PQ serving: the ADC scan over-fetches a 10-candidate
+  // shortlist per query (codes only), then exact squared-L2 re-ranks
+  // just those ids to top-3 — the standard recovery for PQ quantization
+  // error. Float reads are shortlist-cardinality; every stage is a
+  // deterministic argmin on 6-decimal-rounded distances → exact oracle.
+  register(
+    "ann_pq_refine_topk",
+    s"""WITH $PqCbSql,
+      |codes AS (SELECT vec_id, sub, code FROM enc WHERE rn = 1),
+      |q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 5),
+      |dt AS (
+      |  SELECT q.q_id, cb.sub, cb.code,
+      |         round(list_sum(list_transform(range(1, 17),
+      |           i -> (q.embedding[cb.sub * 16 + i]::DOUBLE - cb.cvec[i]) *
+      |                (q.embedding[cb.sub * 16 + i]::DOUBLE - cb.cvec[i]))), 6) AS d2
+      |  FROM q CROSS JOIN cb),
+      |cand AS (
+      |  SELECT dt.q_id, c.vec_id AS neighbor_id,
+      |         round(list_sum(list(dt.d2 ORDER BY dt.sub)), 6) AS adist
+      |  FROM codes c JOIN dt ON c.sub = dt.sub AND c.code = dt.code
+      |  WHERE c.vec_id != dt.q_id
+      |  GROUP BY dt.q_id, c.vec_id),
+      |shortlist AS (
+      |  SELECT q_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id
+      |      ORDER BY adist ASC, neighbor_id ASC) AS arank FROM cand)
+      |  WHERE arank <= 10),
+      |refined AS (
+      |  SELECT s.q_id, s.neighbor_id,
+      |         round(list_sum(list_transform(range(1, 65),
+      |           i -> (q.embedding[i]::DOUBLE - v.embedding[i]::DOUBLE) *
+      |                (q.embedding[i]::DOUBLE - v.embedding[i]::DOUBLE))), 6) AS dist2
+      |  FROM shortlist s
+      |  JOIN embeddings v ON v.vec_id = s.neighbor_id
+      |  JOIN q ON q.q_id = s.q_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY dist2 ASC, neighbor_id ASC) AS rank FROM refined)
+      |SELECT q_id, neighbor_id, dist2, rank FROM ranked WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val cb = pqSliceCodebook(e)
+    val codes = graft.pipeline.Similarity.pqEncode(e, cb)
+    val queries = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    graft.pipeline.Similarity.pqRefineTopK(e, codes, queries, cb,
+        k = 3, rerank = 10)
+      .orderBy("q_id", "rank")
+  }
+
+
+  // IVF-PQ: the composed serving architecture (coarse inverted lists
+  // restrict the scan, PQ codes replace floats, ADC scores candidates).
+  // Explicit centroids (vectors 0-7) + sliced codebook make EVERY stage —
+  // list assignment, probes, codes, distance tables, final rank — a
+  // deterministic argmin on 6-decimal-rounded distances, so the whole
+  // composition carries an exact hash oracle with no planting.
+  register(
+    "ann_ivfpq_topk",
+    s"""WITH $PqCbSql,
+      |codes AS (SELECT vec_id, sub, code FROM enc WHERE rn = 1),
+      |cen AS (SELECT vec_id::INT AS g, list_transform(embedding, x -> x::DOUBLE) AS cv
+      |        FROM embeddings WHERE vec_id < 8),
+      |lists AS (
+      |  SELECT v.vec_id, cen.g,
+      |         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |           round(list_sum(list_transform(range(1, 65),
+      |             i -> (v.embedding[i]::DOUBLE - cen.cv[i]) *
+      |                  (v.embedding[i]::DOUBLE - cen.cv[i]))), 6) ASC, cen.g ASC) AS rn
+      |  FROM embeddings v CROSS JOIN cen),
+      |assign AS (SELECT vec_id, g AS list FROM lists WHERE rn = 1),
+      |q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 5),
+      |qprobe AS (
+      |  SELECT q.q_id, cen.g AS list,
+      |         row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |           round(list_sum(list_transform(range(1, 65),
+      |             i -> (q.embedding[i]::DOUBLE - cen.cv[i]) *
+      |                  (q.embedding[i]::DOUBLE - cen.cv[i]))), 6) ASC, cen.g ASC) AS rn
+      |  FROM q CROSS JOIN cen),
+      |probes AS (SELECT q_id, list FROM qprobe WHERE rn <= 3),
+      |dt AS (
+      |  SELECT q.q_id, cb.sub, cb.code,
+      |         round(list_sum(list_transform(range(1, 17),
+      |           i -> (q.embedding[cb.sub * 16 + i]::DOUBLE - cb.cvec[i]) *
+      |                (q.embedding[cb.sub * 16 + i]::DOUBLE - cb.cvec[i]))), 6) AS d2
+      |  FROM q CROSS JOIN cb),
+      |cand AS (
+      |  SELECT p.q_id, a.vec_id AS neighbor_id
+      |  FROM probes p JOIN assign a ON a.list = p.list
+      |  WHERE a.vec_id != p.q_id),
+      |scored AS (
+      |  SELECT c.q_id, c.neighbor_id,
+      |         round(list_sum(list(dt.d2 ORDER BY dt.sub)), 6) AS adist
+      |  FROM cand c
+      |  JOIN codes co ON co.vec_id = c.neighbor_id
+      |  JOIN dt ON dt.q_id = c.q_id AND dt.sub = co.sub AND dt.code = co.code
+      |  GROUP BY c.q_id, c.neighbor_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY adist ASC, neighbor_id ASC) AS rank FROM scored)
+      |SELECT q_id, neighbor_id, adist, rank FROM ranked WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val cents = e.where(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("group"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "centroid")))
+    val queries = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    graft.pipeline.Similarity.ivfPqTopK(e, queries, cents, pqSliceCodebook(e),
+      k = 3, nProbe = 3)
+      .orderBy("q_id", "rank")
+  }
+
+
+  // IVF-PQ against a MATERIALIZED (id, list, codes) index — the
+  // build-once/probe-many serving loop (the ANN analogue of t13b's staged
+  // postings): the index localCheckpoints so the serving plan provably
+  // starts from the store with no float-corpus lineage, and the result
+  // must hash-equal the inline composition's (same oracle).
+  register(
+    "ann_ivfpq_store",
+    s"""WITH $PqCbSql,
+      |codes AS (SELECT vec_id, sub, code FROM enc WHERE rn = 1),
+      |cen AS (SELECT vec_id::INT AS g, list_transform(embedding, x -> x::DOUBLE) AS cv
+      |        FROM embeddings WHERE vec_id < 8),
+      |lists AS (
+      |  SELECT v.vec_id, cen.g,
+      |         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |           round(list_sum(list_transform(range(1, 65),
+      |             i -> (v.embedding[i]::DOUBLE - cen.cv[i]) *
+      |                  (v.embedding[i]::DOUBLE - cen.cv[i]))), 6) ASC, cen.g ASC) AS rn
+      |  FROM embeddings v CROSS JOIN cen),
+      |assign AS (SELECT vec_id, g AS list FROM lists WHERE rn = 1),
+      |q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 5),
+      |qprobe AS (
+      |  SELECT q.q_id, cen.g AS list,
+      |         row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |           round(list_sum(list_transform(range(1, 65),
+      |             i -> (q.embedding[i]::DOUBLE - cen.cv[i]) *
+      |                  (q.embedding[i]::DOUBLE - cen.cv[i]))), 6) ASC, cen.g ASC) AS rn
+      |  FROM q CROSS JOIN cen),
+      |probes AS (SELECT q_id, list FROM qprobe WHERE rn <= 3),
+      |dt AS (
+      |  SELECT q.q_id, cb.sub, cb.code,
+      |         round(list_sum(list_transform(range(1, 17),
+      |           i -> (q.embedding[cb.sub * 16 + i]::DOUBLE - cb.cvec[i]) *
+      |                (q.embedding[cb.sub * 16 + i]::DOUBLE - cb.cvec[i]))), 6) AS d2
+      |  FROM q CROSS JOIN cb),
+      |cand AS (
+      |  SELECT p.q_id, a.vec_id AS neighbor_id
+      |  FROM probes p JOIN assign a ON a.list = p.list
+      |  WHERE a.vec_id != p.q_id),
+      |scored AS (
+      |  SELECT c.q_id, c.neighbor_id,
+      |         round(list_sum(list(dt.d2 ORDER BY dt.sub)), 6) AS adist
+      |  FROM cand c
+      |  JOIN codes co ON co.vec_id = c.neighbor_id
+      |  JOIN dt ON dt.q_id = c.q_id AND dt.sub = co.sub AND dt.code = co.code
+      |  GROUP BY c.q_id, c.neighbor_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY adist ASC, neighbor_id ASC) AS rank FROM scored)
+      |SELECT q_id, neighbor_id, adist, rank FROM ranked WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val cents = e.where(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("group"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "centroid")))
+    val queries = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val cb = pqSliceCodebook(e)
+    val index = graft.pipeline.Similarity.ivfPqIndex(e, cents, cb)
+      .localCheckpoint(true)
+    graft.pipeline.Similarity.ivfPqTopKAgainstStore(index, queries, cents, cb,
+      k = 3, nProbe = 3)
+      .orderBy("q_id", "rank")
+  }
+
+
+  // K-means Lloyd training (the trainer behind the IVF quantizer and
+  // semantic dedup), proven EXACTLY — no planting needed: Lloyd from fixed
+  // seeds is deterministic (assignment argmin on 6-decimal-rounded squared
+  // distances with cluster-id tie-break, means in double), so two rounds
+  // seeded from the first four vectors have exactly one answer and the
+  // whole assign→mean→reassign→mean loop hash-matches DuckDB.
+  register(
+    "ann_kmeans_lloyd",
+    """WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |init AS (SELECT vec_id::INT AS cluster, embedding::DOUBLE[] AS c
+      |         FROM embeddings WHERE vec_id < 4),
+      |a1 AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT corpus.vec_id, init.cluster,
+      |           row_number() OVER (PARTITION BY corpus.vec_id ORDER BY
+      |             round(list_sum(list_transform(range(1, len(v) + 1),
+      |               i -> (v[i] - c[i]) * (v[i] - c[i]))), 6), init.cluster) AS rn
+      |    FROM corpus CROSS JOIN init)
+      |  WHERE rn = 1),
+      |c1 AS (
+      |  SELECT cluster, pos - 1 AS pos, avg(val) AS cen FROM (
+      |    SELECT a1.cluster, unnest(corpus.v) AS val,
+      |           generate_subscripts(corpus.v, 1) AS pos
+      |    FROM a1 JOIN corpus ON a1.vec_id = corpus.vec_id)
+      |  GROUP BY cluster, pos),
+      |c1v AS (SELECT cluster, list(cen ORDER BY pos) AS c FROM c1 GROUP BY cluster),
+      |a2 AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT corpus.vec_id, c1v.cluster,
+      |           row_number() OVER (PARTITION BY corpus.vec_id ORDER BY
+      |             round(list_sum(list_transform(range(1, len(v) + 1),
+      |               i -> (v[i] - c[i]) * (v[i] - c[i]))), 6), c1v.cluster) AS rn
+      |    FROM corpus CROSS JOIN c1v)
+      |  WHERE rn = 1),
+      |c2 AS (
+      |  SELECT cluster, pos - 1 AS pos, avg(val) AS cen FROM (
+      |    SELECT a2.cluster, unnest(corpus.v) AS val,
+      |           generate_subscripts(corpus.v, 1) AS pos
+      |    FROM a2 JOIN corpus ON a2.vec_id = corpus.vec_id)
+      |  GROUP BY cluster, pos)
+      |SELECT cluster, pos, round(cen, 6) AS centroid FROM c2
+      |ORDER BY cluster, pos""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val init = e.where(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cluster"),
+        col("embedding").as("centroid_vec"))
+    Similarity.kmeansLloyd(e, init, iters = 2)
+      .select(col("cluster"), col("pos"),
+        round(col("centroid"), 6).as("centroid"))
+      .orderBy("cluster", "pos")
+  }
+}

@@ -1,0 +1,453 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+import graft.core.LogSchema
+import graft.core.{NormCondition, NormalizedField}
+import graft.core.FieldType._
+import graft.classify.Classifier
+import graft.classify.{ArtifactExtractor, Normalizer, Sanitizer}
+import graft.rules._
+import graft.alerts.{AlertMerger, MergeInputAlert, Publishers}
+import graft.sources.Sources
+import graft.history.{HistoricalSink, RulePromotion, ScheduledQueries}
+import graft.pipeline.{Dedup, Eval, Multimodal, Preference, Similarity, Sketches, TextAnalysis}
+
+/** Sources and the classifier pipeline (S1-S10, O1-O12): payload
+  * decode, parsers, schema resolution, validation, sanitization,
+  * normalization, artifacts. */
+private[graft] trait ClassifyQueries extends RegistryBase {
+
+
+  // O1: JSON parser — parse + strict key check + coercion round-trip.
+  register(
+    "o1_json_parser",
+    "SELECT event_id, event_type, value AS val, props FROM events") { (s, dir) =>
+    val raw = t(s, dir, "events").select(
+      to_json(struct(col("event_id"), col("event_type"), col("value"), col("props")))
+        .as("line"))
+    new Classifier(Seq(DemoSchemas.jsonEvents))
+      .classify(raw, "line").forType("demo:json_events")
+      .select(
+        col("record.event_id").as("event_id"),
+        col("record.event_type").as("event_type"),
+        col("record.value").as("val"),
+        col("record.props").as("props"))
+  }
+
+
+  // O1b + O8: json_path record explosion with envelope extraction — one
+  // payload becomes two child records, each carrying the parent's event_id.
+  register(
+    "o1_json_path_envelope",
+    """SELECT event_id, 1 AS n, value AS v FROM events
+      |UNION ALL
+      |SELECT event_id, 2 AS n, value + 1 AS v FROM events""".stripMargin) { (s, dir) =>
+    val raw = t(s, dir, "events").select(
+      to_json(struct(
+        col("event_id"),
+        array(
+          struct(lit(1).as("n"), col("value").as("v")),
+          struct(lit(2).as("n"), (col("value") + 1).as("v"))).as("Records")))
+        .as("line"))
+    new Classifier(Seq(DemoSchemas.jsonNested))
+      .classify(raw, "line").forType("demo:json_nested")
+      .select(
+        col(s"${LogSchema.EnvelopeKey}.event_id").as("event_id"),
+        col("record.n").as("n"),
+        col("record.v").as("v"))
+  }
+
+
+  // O1b: json_regex_key — a JSON blob embedded in a string field (the
+  // osquery-via-syslog shape) regex-extracted then parsed
+  // (parsers.py:520,565-593).
+  register(
+    "o1b_json_regex_key",
+    "SELECT event_id, event_type FROM events") { (s, dir) =>
+    import graft.core.FieldType._
+    val schema = graft.core.LogSchema(
+      name = "demo:json_regex", parser = graft.core.ParserKind.Json,
+      schema = TStruct.of("event_id" -> TInteger, "event_type" -> TString),
+      jsonRegexKey = Some("data"))
+    val raw = t(s, dir, "events").select(
+      to_json(struct(
+        concat(lit("app[123]: "),
+          to_json(struct(col("event_id"), col("event_type")))).as("data"))).as("line"))
+    new Classifier(Seq(schema)).classify(raw, "line").forType("demo:json_regex")
+      .select(col("record.event_id").as("event_id"),
+        col("record.event_type").as("event_type"))
+  }
+
+
+  // O1c: embedded_json — json_path children that are STRINGIFIED JSON,
+  // parsed a second time (parsers.py:546-563; the CloudWatch-Logs shape).
+  register(
+    "o1c_embedded_json",
+    "SELECT event_id, event_type FROM events") { (s, dir) =>
+    import graft.core.FieldType._
+    val schema = graft.core.LogSchema(
+      name = "demo:json_embedded", parser = graft.core.ParserKind.Json,
+      schema = TStruct.of("event_id" -> TInteger, "event_type" -> TString),
+      jsonPath = Some("logs[]"), embeddedJson = true)
+    val raw = t(s, dir, "events").select(
+      to_json(struct(array(
+        to_json(struct(col("event_id"), col("event_type")))).as("logs"))).as("line"))
+    new Classifier(Seq(schema)).classify(raw, "line").forType("demo:json_embedded")
+      .select(col("record.event_id").as("event_id"),
+        col("record.event_type").as("event_type"))
+  }
+
+
+  // O2: CSV parser — positional columns to schema keys.
+  register(
+    "o2_csv_parser",
+    "SELECT p_partkey AS partkey, p_brand AS brand, p_size AS psize FROM part") { (s, dir) =>
+    val raw = t(s, dir, "part").select(
+      concat_ws(",", col("p_partkey"), col("p_brand"), col("p_size")).as("line"))
+    new Classifier(Seq(DemoSchemas.csvParts))
+      .classify(raw, "line").forType("demo:csv_parts")
+      .select(
+        col("record.partkey").as("partkey"),
+        col("record.brand").as("brand"),
+        col("record.psize").as("psize"))
+  }
+
+
+  // O3: KV parser — delimiter/separator split into schema keys.
+  register(
+    "o3_kv_parser",
+    "SELECT user_id AS uid, event_type AS etype, event_id AS eid FROM events") { (s, dir) =>
+    val raw = t(s, dir, "events").select(
+      concat(lit("uid="), col("user_id"), lit(" etype="), col("event_type"),
+        lit(" eid="), col("event_id")).as("line"))
+    new Classifier(Seq(DemoSchemas.kvEvents))
+      .classify(raw, "line").forType("demo:kv_events")
+      .select(
+        col("record.uid").as("uid"),
+        col("record.etype").as("etype"),
+        col("record.eid").as("eid"))
+  }
+
+
+  // O3b: KV duplicate-key positional fallback (parsers.py:795-801) — the
+  // repeated key 'k' lands in the schema key at its position ('k2').
+  register(
+    "o3b_kv_duplicate_keys",
+    "SELECT user_id AS k, event_type AS k2, event_id AS eid FROM events") { (s, dir) =>
+    import graft.core.FieldType._
+    val schema = graft.core.LogSchema(
+      name = "demo:kv_dup", parser = graft.core.ParserKind.Kv,
+      schema = TStruct.of("k" -> TInteger, "k2" -> TString, "eid" -> TInteger))
+    val raw = t(s, dir, "events").select(
+      concat(lit("k="), col("user_id"), lit(" k="), col("event_type"),
+        lit(" eid="), col("event_id")).as("line"))
+    new Classifier(Seq(schema)).classify(raw, "line").forType("demo:kv_dup")
+      .select(
+        col("record.k").as("k"),
+        col("record.k2").as("k2"),
+        col("record.eid").as("eid"))
+  }
+
+
+  // O4: Syslog parser — fixed regex into 4 fields.
+  register(
+    "o4_syslog_parser",
+    """SELECT concat('h-', CAST(user_id AS VARCHAR)) AS host,
+      |       concat('app', CAST(event_id AS VARCHAR)) AS application,
+      |       concat(event_type, ' event') AS message
+      |FROM events""".stripMargin) { (s, dir) =>
+    val raw = t(s, dir, "events").select(
+      concat(lit("Jan 10 19:35:33 h-"), col("user_id"), lit(" app"), col("event_id"),
+        lit(": "), col("event_type"), lit(" event")).as("line"))
+    new Classifier(Seq(DemoSchemas.syslog))
+      .classify(raw, "line").forType("demo:syslog")
+      .select(
+        col("record.host").as("host"),
+        col("record.application").as("application"),
+        col("record.message").as("message"))
+  }
+
+
+  // O5: schema resolution — mixed csv/kv input, first full parse wins,
+  // per-type routing counts.
+  register(
+    "o5_schema_resolution",
+    """SELECT * FROM (
+      |  SELECT 'demo:csv_parts' AS log_schema_type, count(*) AS n FROM part
+      |  UNION ALL
+      |  SELECT 'demo:kv_events' AS log_schema_type, count(*) AS n FROM events)
+      |ORDER BY log_schema_type""".stripMargin) { (s, dir) =>
+    val csvLines = t(s, dir, "part").select(
+      concat_ws(",", col("p_partkey"), col("p_brand"), col("p_size")).as("line"))
+    val kvLines = t(s, dir, "events").select(
+      concat(lit("uid="), col("user_id"), lit(" etype="), col("event_type"),
+        lit(" eid="), col("event_id")).as("line"))
+    new Classifier(Seq(DemoSchemas.csvParts, DemoSchemas.kvEvents))
+      .classify(csvLines.unionAll(kvLines), "line")
+      .tagged.groupBy("log_schema_type").agg(count(lit(1)).as("n"))
+      .orderBy("log_schema_type")
+  }
+
+
+  // O5b: cluster data_sources candidate filtering (classifier.py:82-114) —
+  // two sources declare IDENTICAL schemas; the resource's source config
+  // admits only 'beta', so every record classifies as beta:events even
+  // though alpha:events is declared first and would otherwise win.
+  register(
+    "o5b_data_sources_filter",
+    "SELECT 'beta:events' AS log_schema_type, count(*) AS n FROM events") { (s, dir) =>
+    import graft.core.FieldType._
+    def schemaFor(src: String) = graft.core.LogSchema(
+      name = s"$src:events", parser = graft.core.ParserKind.Json,
+      schema = TStruct.of("event_id" -> TInteger, "event_type" -> TString))
+    val ds = Map("kinesis" -> Map("stream-1" -> Seq("beta")))
+    val candidates = graft.core.DataSources.candidates(
+      Seq(schemaFor("alpha"), schemaFor("beta")), ds, "kinesis", "stream-1")
+    val raw = t(s, dir, "events").select(
+      to_json(struct(col("event_id"), col("event_type"))).as("line"))
+    new Classifier(candidates).classify(raw, "line")
+      .tagged.groupBy("log_schema_type").agg(count(lit(1)).as("n"))
+  }
+
+
+  // O6: type coercion + optional-key zero-value back-fill.
+  register(
+    "o6_coercion_optionals",
+    "SELECT event_id, '' AS opt_s, 0 AS opt_i FROM events") { (s, dir) =>
+    val raw = t(s, dir, "events").select(
+      to_json(struct(col("event_id").cast("string").as("event_id"))).as("line"))
+    new Classifier(Seq(DemoSchemas.jsonOptional))
+      .classify(raw, "line").forType("demo:json_optional")
+      .select(
+        col("record.event_id").as("event_id"),
+        col("record.opt_s").as("opt_s"),
+        col("record.opt_i").as("opt_i"))
+  }
+
+
+  // O9: invalid-record routing — records failing coercion go to the
+  // dead-letter stream; valid/invalid split counts.
+  register(
+    "o9_invalid_routing",
+    """SELECT CAST(sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+      |       CAST(sum(CASE WHEN event_id % 10 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_valid
+      |FROM events""".stripMargin) { (s, dir) =>
+    val raw = t(s, dir, "events").select(
+      to_json(struct(
+        when(col("event_id") % 10 === 0, lit("bad"))
+          .otherwise(col("event_id").cast("string")).as("event_id"),
+        col("event_type"), col("value"), col("props"))).as("line"))
+    val c = new Classifier(Seq(DemoSchemas.jsonEvents.copy(schema =
+      graft.core.FieldType.TStruct.of(
+        "event_id" -> graft.core.FieldType.TInteger,
+        "event_type" -> graft.core.FieldType.TString,
+        "value" -> graft.core.FieldType.TFloat,
+        "props" -> graft.core.FieldType.TString))))
+      .classify(raw, "line")
+    c.tagged.agg(
+      sum(when(col("log_schema_type").isNull, 1).otherwise(0)).as("n_invalid"),
+      sum(when(col("log_schema_type").isNull, 0).otherwise(1)).as("n_valid"))
+  }
+
+
+  // O10: log_patterns fnmatch filter — only event types matching p*/s* classify.
+  register(
+    "o10_log_patterns",
+    """SELECT event_type AS etype, count(*) AS n FROM events
+      |WHERE event_type LIKE 'p%' OR event_type LIKE 's%'
+      |GROUP BY event_type ORDER BY etype""".stripMargin) { (s, dir) =>
+    val raw = t(s, dir, "events").select(
+      to_json(struct(col("event_id"), col("event_type").as("etype"))).as("line"))
+    new Classifier(Seq(DemoSchemas.jsonPatterned))
+      .classify(raw, "line").forType("demo:json_patterned")
+      .groupBy(col("record.etype").as("etype")).agg(count(lit(1)).as("n"))
+      .orderBy("etype")
+  }
+
+
+  // O11: normalization map + conditional extraction + falsey semantics.
+  register(
+    "o11_normalization",
+    """SELECT event_id,
+      |  CASE WHEN event_type IN ('purchase','signup') THEN event_type ELSE '' END AS cat,
+      |  CASE WHEN CAST(json_extract_string(props,'$.k') AS BIGINT) != 0
+      |       THEN json_extract_string(props,'$.k') ELSE '' END AS kv
+      |FROM events""".stripMargin) { (s, dir) =>
+    normalizedEvents(s, dir).select(
+      col("record.event_id").as("event_id"),
+      array_join(Normalizer.valuesForNormalizedType(
+        col(Normalizer.NormalizationKey), "event_category"), ",").as("cat"),
+      array_join(Normalizer.valuesForNormalizedType(
+        col(Normalizer.NormalizationKey), "numeric_k"), ",").as("kv"))
+  }
+
+
+  // O12: artifact explosion into 5 string columns; send_to_artifacts=false
+  // entries skipped.
+  register(
+    "o12_artifacts",
+    """SELECT 'Event category' AS function, md5(CAST(event_id AS VARCHAR)) AS streamalert_record_id,
+      |       'demo:json_norm' AS source_type, 'event_category' AS type, event_type AS value
+      |FROM events WHERE event_type IN ('purchase','signup')
+      |UNION ALL
+      |SELECT 'K value', md5(CAST(event_id AS VARCHAR)), 'demo:json_norm', 'numeric_k',
+      |       json_extract_string(props,'$.k')
+      |FROM events WHERE CAST(json_extract_string(props,'$.k') AS BIGINT) != 0""".stripMargin) {
+    (s, dir) =>
+      ArtifactExtractor.artifacts(normalizedEvents(s, dir), "demo:json_norm")
+  }
+
+
+  // O7: key sanitization — hostile (nested) key names rewritten \W -> _ as a
+  // pure schema transform before the historical sink.
+  register(
+    "o7_sanitize_keys",
+    """SELECT concat('u', CAST(user_id AS VARCHAR)) AS user_name,
+      |       event_id % 500 AS status_code
+      |FROM events""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types._
+    val hostileSchema = graft.core.LogSchema(
+      name = "demo:json_hostile", parser = graft.core.ParserKind.Json,
+      schema = TStruct.of("user name" -> TString, "status-code" -> TInteger))
+    val raw = t(s, dir, "events").select(
+      to_json(struct(
+        concat(lit("u"), col("user_id")).as("user name"),
+        (col("event_id") % 500).as("status-code"))).as("line"))
+    val typed = new Classifier(Seq(hostileSchema)).classify(raw, "line")
+      .forType("demo:json_hostile")
+    Sanitizer.sanitizeKeys(typed.select("record.*"))
+  }
+
+
+  // S1: kinesis-style base64(+gzip) payload decode -> classify.
+  register(
+    "s1_kinesis_decode",
+    "SELECT event_id, event_type FROM events") { (s, dir) =>
+    val gzB64 = udf { (text: String) =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(text.getBytes("UTF-8")); gz.close()
+      java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+    }
+    val encoded = t(s, dir, "events").select(gzB64(
+      to_json(struct(col("event_id"), col("event_type")))).as("data"))
+    val schema = graft.core.LogSchema(
+      name = "demo:kinesis", parser = graft.core.ParserKind.Json,
+      schema = graft.core.FieldType.TStruct.of(
+        "event_id" -> graft.core.FieldType.TInteger,
+        "event_type" -> graft.core.FieldType.TString))
+    new Classifier(Seq(schema))
+      .classify(encoded.select(Sources.decodeKinesisData(col("data")).as("value")))
+      .forType("demo:kinesis")
+      .select(col("record.event_id").as("event_id"),
+        col("record.event_type").as("event_type"))
+  }
+
+
+  // S2: whole-object S3 drop — pretty-printed multi-line JSON objects (one
+  // gzip-compressed) read wholetext, minified, classified via json_path
+  // explosion (ref s3.py:124-174: gz reader -> json.load -> jsonlines).
+  register(
+    "s2_s3_object",
+    "SELECT event_id, event_type FROM events WHERE event_id < 120") { (s, dir) =>
+    val root = new java.io.File(s"/tmp/graft_s2_${dir.replaceAll("\\W", "_")}")
+    if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+    root.mkdirs()
+    // fixture prep (driver-side, 120 tiny rows — test scaffolding, not the
+    // operator): 4 pretty-printed {"Records":[...]} documents, the
+    // CloudTrail-export shape, one of them gzipped
+    val rows = t(s, dir, "events").where(col("event_id") < 120)
+      .select(col("event_id"), col("event_type")).collect()
+    rows.groupBy(r => r.getLong(0) % 4).foreach { case (k, rs) =>
+      val recs = rs.map(r =>
+        s"""    {\n      "event_id": ${r.getLong(0)},\n      "event_type": "${r.getString(1)}"\n    }""")
+        .mkString(",\n")
+      val doc = s"{\n  \"Records\": [\n$recs\n  ]\n}\n"
+      if (k == 3) {
+        val out = new java.util.zip.GZIPOutputStream(
+          new java.io.FileOutputStream(new java.io.File(root, s"obj_$k.json.gz")))
+        out.write(doc.getBytes("UTF-8")); out.close()
+      } else
+        java.nio.file.Files.writeString(root.toPath.resolve(s"obj_$k.json"), doc)
+    }
+    val schema = graft.core.LogSchema(
+      name = "demo:s3_object", parser = graft.core.ParserKind.Json,
+      schema = graft.core.FieldType.TStruct.of(
+        "event_id" -> graft.core.FieldType.TInteger,
+        "event_type" -> graft.core.FieldType.TString),
+      jsonPath = Some("Records[]"))
+    new Classifier(Seq(schema)).classify(Sources.objectDrop(s, root.getPath))
+      .forType("demo:s3_object")
+      .select(col("record.event_id").as("event_id"),
+        col("record.event_type").as("event_type"))
+  }
+
+
+  // S3: SNS envelope unwrap -> classify the inner message.
+  register(
+    "s3_sns_unwrap",
+    "SELECT event_id, value AS val FROM events") { (s, dir) =>
+    val envelope = t(s, dir, "events").select(
+      to_json(struct(struct(
+        to_json(struct(col("event_id"), col("value"))).as("Message")).as("Sns")))
+        .as("envelope"))
+    val schema = graft.core.LogSchema(
+      name = "demo:sns", parser = graft.core.ParserKind.Json,
+      schema = graft.core.FieldType.TStruct.of(
+        "event_id" -> graft.core.FieldType.TInteger,
+        "value" -> graft.core.FieldType.TFloat))
+    new Classifier(Seq(schema))
+      .classify(envelope.select(Sources.snsMessage(col("envelope")).as("value")))
+      .forType("demo:sns")
+      .select(col("record.event_id").as("event_id"), col("record.value").as("val"))
+  }
+
+
+  // S6: historical sink round-trip — write alerts dt-partitioned, read back
+  // with a dt predicate (partition-pruned scan).
+  register(
+    "s6_historical_sink",
+    """SELECT count(*) AS n FROM events WHERE event_type = 'error'""".stripMargin) { (s, dir) =>
+    val alerts = {
+      val rules = Seq(Rule("err", RuleOpts(logs = Seq("demo:json_events")),
+        rec => rec.getField("event_type") === "error"))
+      new RulesEngine(rules, deterministicIds = true, clock = Some(fixedClock))
+        .evaluate(classifiedEvents(s, dir), "demo:json_events")
+    }
+    val root = s"/tmp/graft_hist_${dir.replaceAll("\\W", "_")}"
+    val dirF = new java.io.File(s"$root/demo_events")
+    if (dirF.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dirF)
+    HistoricalSink.write(alerts, root, "demo:events")
+    s.read.parquet(s"$root/demo_events")
+      .where(col("dt") === "2024-01-01-00")
+      .agg(count(lit(1)).as("n"))
+  }
+
+
+  // S10: scheduled-query results wrapped as streamquery records, re-entering
+  // the classifier, fields recovered downstream.
+  register(
+    "s10_streamquery_reinject",
+    """SELECT 'hourly_by_flag' AS qname, l_returnflag AS flag, count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY flag""".stripMargin) { (s, dir) =>
+    val result = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("flag")).agg(count(lit(1)).as("n"))
+    val wrapped = ScheduledQueries.asStreamQueryRecords(result, "hourly_by_flag")
+    val sqSchema = graft.core.LogSchema(
+      name = "streamquery:version1", parser = graft.core.ParserKind.Json,
+      schema = graft.core.FieldType.TStruct.of(
+        "streamquery_name" -> graft.core.FieldType.TString,
+        "streamquery_version" -> graft.core.FieldType.TString,
+        "data" -> graft.core.FieldType.TString))
+    new Classifier(Seq(sqSchema)).classify(wrapped, "value")
+      .forType("streamquery:version1")
+      .select(
+        col("record.streamquery_name").as("qname"),
+        get_json_object(col("record.data"), "$.flag").as("flag"),
+        get_json_object(col("record.data"), "$.n").cast("long").as("n"))
+      .orderBy("flag")
+  }
+}

@@ -1,0 +1,790 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+import graft.core.LogSchema
+import graft.core.{NormCondition, NormalizedField}
+import graft.core.FieldType._
+import graft.classify.Classifier
+import graft.classify.{ArtifactExtractor, Normalizer, Sanitizer}
+import graft.rules._
+import graft.alerts.{AlertMerger, MergeInputAlert, Publishers}
+import graft.sources.Sources
+import graft.history.{HistoricalSink, RulePromotion, ScheduledQueries}
+import graft.pipeline.{Dedup, Eval, Multimodal, Preference, Similarity, Sketches, TextAnalysis}
+
+/** End-to-end curation composites and multimodal rows: corpus
+  * curation, split leakage, warehouse loop, entity resolution,
+  * WARC ingest, dataset cards, media plumbing. */
+private[graft] trait PipelineQueries extends RegistryBase {
+
+
+  // The composite training-corpus filter — the query a data-curation user
+  // actually runs: exact-dedup keep verdict ∧ quality floor ∧ language ∧
+  // minimum length, returning the kept corpus with its curation columns.
+  // Every stage is an already-oracled operator (d1/t1/t2/t3) composed in
+  // one plan: the dedup verdict is the only shuffle (16-byte fingerprint
+  // groupBy), everything else stays scan-side.
+  register(
+    "p0_training_corpus",
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |         md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS f
+      |  FROM documents),
+      |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+      |feat AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))
+      |      AS n_tokens,
+      |    round(greatest(0.0,
+      |      least(length(text) / 500.0, 1.0) * 0.4 +
+      |      least((len(list_filter(string_split_regex(lower(text), '\s+'),
+      |              x -> x IN ('the','a','of','and','to','in'))) ::DOUBLE /
+      |             greatest(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |              x -> x != '')), 1)) * 3.0, 1.0) * 0.4 +
+      |      (1.0 - least(len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE /
+      |                   greatest(length(text), 1) * 5.0, 1.0)) * 0.2), 6)
+      |      AS quality,
+      |    (SELECT CASE
+      |       WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+      |       WHEN s_es >= s_de THEN 'es' ELSE 'de' END
+      |     FROM (SELECT
+      |       len(list_intersect(t, ['the','a','and','scan','join'])) AS s_en,
+      |       len(list_intersect(t, ['el','la','que','datos'])) AS s_es,
+      |       len(list_intersect(t, ['der','die','und','das'])) AS s_de
+      |       FROM (SELECT list_distinct(list_filter(
+      |         string_split_regex(lower(text), '\s+'), x -> x != '')) AS t)))
+      |      AS langid
+      |  FROM documents)
+      |SELECT f.doc_id, f.n_tokens, f.quality
+      |FROM feat f JOIN keep k ON f.doc_id = k.doc_id
+      |WHERE f.quality >= 0.3 AND f.langid = 'en' AND f.n_tokens >= 5
+      |ORDER BY f.doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val kept = Dedup.dropExactDuplicates(docs, "text", "doc_id")
+    kept.select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.qualityScore(col("text"),
+        Seq("the", "a", "of", "and", "to", "in")).as("quality"),
+      TextAnalysis.langId(col("text"), Seq(
+        "en" -> Seq("the", "a", "and", "scan", "join"),
+        "es" -> Seq("el", "la", "que", "datos"),
+        "de" -> Seq("der", "die", "und", "das"))).as("langid"))
+      .where(col("quality") >= 0.3 && col("langid") === "en" &&
+        col("n_tokens") >= 5)
+      .drop("langid")
+      .orderBy("doc_id")
+  }
+
+
+  // Round-10 warehouse loop composite: three batches COMMIT to the
+  // snapshot store, the materialized view refreshes incrementally after
+  // each (manifest delta + moment merge), and the drift monitor compares
+  // the first and last ingest batches' histograms — the steady-state
+  // closed loop a 100 TB store runs daily, pinned as ONE hash-matched
+  // program (the p0/p1 composite tradition for the storage family).
+  // Random thirds drift ~0, so the monitor correctly stays silent.
+  register(
+    "p3_warehouse_loop",
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+      |              AS BIGINT) AS s,
+      |         CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) *
+      |                  CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+      |              AS BIGINT) AS ss
+      |  FROM lineitem GROUP BY l_returnflag),
+      |a AS (
+      |  SELECT l_returnflag,
+      |         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) // 500 AS bin,
+      |         count(*) AS n
+      |  FROM lineitem WHERE l_orderkey % 3 = 0 GROUP BY 1, 2),
+      |b AS (
+      |  SELECT l_returnflag,
+      |         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) // 500 AS bin,
+      |         count(*) AS n
+      |  FROM lineitem WHERE l_orderkey % 3 = 2 GROUP BY 1, 2),
+      |ta AS (SELECT l_returnflag, CAST(sum(n) AS DOUBLE) AS t FROM a GROUP BY 1),
+      |tb AS (SELECT l_returnflag, CAST(sum(n) AS DOUBLE) AS t FROM b GROUP BY 1),
+      |j AS (
+      |  SELECT coalesce(a.l_returnflag, b.l_returnflag) AS l_returnflag,
+      |         coalesce(a.bin, b.bin) AS bin,
+      |         coalesce(a.n, 0) AS na, coalesce(b.n, 0) AS nb
+      |  FROM a FULL OUTER JOIN b
+      |    ON a.l_returnflag = b.l_returnflag AND a.bin = b.bin),
+      |c AS (
+      |  SELECT j.l_returnflag, j.bin,
+      |         (greatest(CAST(na AS DOUBLE) / ta.t, 0.000001) -
+      |          greatest(CAST(nb AS DOUBLE) / tb.t, 0.000001)) *
+      |         ln(greatest(CAST(na AS DOUBLE) / ta.t, 0.000001) /
+      |            greatest(CAST(nb AS DOUBLE) / tb.t, 0.000001)) AS c
+      |  FROM j JOIN ta USING (l_returnflag) JOIN tb USING (l_returnflag)),
+      |psi AS (
+      |  SELECT l_returnflag,
+      |         round(list_sum(list(c ORDER BY bin)), 6) AS psi
+      |  FROM c GROUP BY l_returnflag)
+      |SELECT m.l_returnflag, m.n,
+      |       round((CAST(m.s AS DOUBLE) / 100.0) / m.n, 6) AS mean,
+      |       round((CAST(m.ss AS DOUBLE) / 10000.0 -
+      |              (CAST(m.s AS DOUBLE) / 100.0) *
+      |              (CAST(m.s AS DOUBLE) / 100.0) / m.n) / m.n, 6) AS var_pop,
+      |       psi.psi, psi.psi > 0.1 AS drifted
+      |FROM m JOIN psi USING (l_returnflag)
+      |ORDER BY m.l_returnflag""".stripMargin) { (s, dir) =>
+    import graft.history.{Materialized, Snapshots}
+    val root = scratchDir("graft_p3base")
+    val viewRoot = scratchDir("graft_p3view")
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_returnflag"),
+      floor(col("l_quantity") * 100 + 0.5).cast("long").as("qc"))
+    val partial = (df: DataFrame) =>
+      Sketches.momentSketches(df, Seq("l_returnflag"), col("qc"))
+    val merge = (df: DataFrame) => Sketches.momentMerge(df, Seq("l_returnflag"))
+    var view: DataFrame = null
+    for (b <- 0 to 2) {
+      Snapshots.commit(li.where(pmod(col("l_orderkey"), lit(3)) === b), root)
+      view = Materialized.refresh(s, root, viewRoot, partial, merge)
+    }
+    // drift monitor over the FIRST vs LAST committed batches, read back
+    // from their snapshot versions (time travel is the monitor's input)
+    def hist(v: Long) = Sketches.histSketches(
+      if (v == 1) Snapshots.read(s, root, Some(1L))
+      else Snapshots.read(s, root, Some(v))
+        .exceptAll(Snapshots.read(s, root, Some(v - 1))),
+      Seq("l_returnflag"), col("qc"), binWidthCents = 500L)
+    val drift = Sketches.psiDrift(hist(1L), hist(3L), Seq("l_returnflag"))
+    Sketches.momentStats(view)
+      .join(drift, "l_returnflag")
+      .select(col("l_returnflag"), col("n"), col("mean"), col("var_pop"),
+        col("psi"), col("drifted"))
+      .orderBy("l_returnflag")
+  }
+
+
+  // Blocked fuzzy entity resolution: a corrupted twin of every customer
+  // (the '#' separator swapped for '=') must link back to exactly its
+  // source — levenshtein 1 to the source, >= 2 to every other name —
+  // searched only inside (name-digit-prefix, nation) blocks so the
+  // quadratic edit distance never sees the table, just the block.
+  register(
+    "p4_entity_resolution",
+    """WITH dirty AS (
+      |  SELECT c_custkey + 1000000 AS d_id,
+      |         replace(c_name, '#', '=') AS d_name,
+      |         c_nationkey AS d_nat
+      |  FROM customer),
+      |m AS (
+      |  SELECT d.d_id, c.c_custkey,
+      |         CAST(levenshtein(d.d_name, c.c_name) AS BIGINT) AS dist
+      |  FROM dirty d JOIN customer c
+      |    ON substr(d.d_name, 10, 6) = substr(c.c_name, 10, 6)
+      |   AND d.d_nat = c.c_nationkey
+      |  WHERE levenshtein(d.d_name, c.c_name) <= 1),
+      |r AS (SELECT d_id, c_custkey, dist,
+      |             row_number() OVER (PARTITION BY d_id
+      |                                ORDER BY dist, c_custkey) AS rn
+      |      FROM m)
+      |SELECT d_id, c_custkey AS matched_id, dist
+      |FROM r WHERE rn = 1 ORDER BY d_id""".stripMargin) { (s, dir) =>
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val dirty = cust.select(
+      (col("c_custkey") + 1000000).as("d_id"),
+      regexp_replace(col("c_name"), "#", "=").as("d_name"),
+      col("c_nationkey").as("d_nat"))
+    Dedup.entityMatch(dirty, cust, "d_id", "c_custkey", "d_name", "c_name",
+        blockKeys = Seq(
+          substring(col("d_name"), 10, 6) -> substring(col("c_name"), 10, 6),
+          col("d_nat") -> col("c_nationkey")),
+        maxDist = 1)
+      .orderBy("d_id")
+  }
+
+
+  // Composite program (the p0/p1 tradition): margin-mine parallel pairs,
+  // then gate each mined pair's TARGET through semantic benchmark
+  // decontamination — the bitext-curation loop a multilingual pipeline
+  // runs end to end (mine -> decontaminate -> ship), pinned as ONE
+  // hash-matched program. Mining algebra = ann_margin_mine's; the gate =
+  // d17's max-bench-cos; on this corpus the keeps are honestly all true
+  // (near-orthogonal bench), with d17 carrying the planted drop proof.
+  register(
+    "p5_mined_pair_curation",
+    """WITH x AS (SELECT vec_id AS x_id, embedding AS xv FROM embeddings
+      |           WHERE vec_id % 2 = 0 AND vec_id < 200),
+      |y AS (SELECT vec_id AS y_id, embedding AS yv FROM embeddings
+      |      WHERE vec_id % 2 = 1),
+      |sx AS (SELECT x_id, y_id,
+      |              round(list_cosine_similarity(yv::DOUBLE[], xv::DOUBLE[]), 6) AS cos
+      |       FROM x CROSS JOIN y),
+      |xk AS (SELECT x_id, y_id, cos FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY x_id
+      |                    ORDER BY cos DESC, y_id ASC) AS rn FROM sx)
+      |       WHERE rn <= 4),
+      |yk AS (SELECT x_id, y_id, cos FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY y_id
+      |                    ORDER BY cos DESC, x_id ASC) AS rn FROM sx)
+      |       WHERE rn <= 4),
+      |xa AS (SELECT x_id, sum(CAST(floor(cos * 1000000 + 0.5) AS BIGINT)) AS sxs,
+      |              count(*) AS cx FROM xk GROUP BY x_id),
+      |ya AS (SELECT y_id, sum(CAST(floor(cos * 1000000 + 0.5) AS BIGINT)) AS sys,
+      |              count(*) AS cy FROM yk GROUP BY y_id),
+      |m AS (SELECT xk.x_id, xk.y_id, xk.cos,
+      |             CASE WHEN (CAST(sxs AS DOUBLE) / cx + CAST(sys AS DOUBLE) / cy) / 2 > 0
+      |               THEN round(CAST(floor(xk.cos * 1000000 + 0.5) AS BIGINT) /
+      |                 ((CAST(sxs AS DOUBLE) / cx + CAST(sys AS DOUBLE) / cy) / 2), 6)
+      |             END AS margin
+      |      FROM xk JOIN xa USING (x_id) JOIN ya USING (y_id)),
+      |mined AS (SELECT x_id, y_id, cos, margin FROM (
+      |            SELECT *, row_number() OVER (PARTITION BY x_id
+      |                       ORDER BY margin DESC NULLS LAST, y_id ASC) AS rn
+      |            FROM m)
+      |          WHERE rn = 1 AND margin IS NOT NULL AND margin >= 1.0),
+      |deco AS (SELECT y.y_id,
+      |                max(round(list_cosine_similarity(y.yv::DOUBLE[],
+      |                                                 be.bv::DOUBLE[]), 6))
+      |                  AS bench_cos
+      |         FROM y CROSS JOIN (SELECT embedding AS bv FROM embeddings
+      |                            WHERE vec_id < 5) be
+      |         GROUP BY y.y_id)
+      |SELECT mined.x_id, mined.y_id, mined.margin, deco.bench_cos,
+      |       deco.bench_cos < 0.95 AS keep
+      |FROM mined JOIN deco USING (y_id)
+      |ORDER BY x_id""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val xs = e.where(col("vec_id") % 2 === 0 && col("vec_id") < 200)
+      .select(col("vec_id").as("x_id"), col("embedding").as("x_vec"))
+    val ys = e.where(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("y_id"), col("embedding").as("y_vec"))
+    val bench = e.where(col("vec_id") < 5).select(col("embedding"))
+    val mined = Similarity.marginMine(xs, ys, k = 4, threshold = 1.0)
+    val deco = Dedup.semanticDecontaminate(ys, bench, "y_id", "y_vec",
+      "embedding", threshold = 0.95)
+    mined.join(deco, "y_id")
+      .select(col("x_id"), col("y_id"), col("margin"),
+        col("max_bench_cos").as("bench_cos"), col("keep"))
+      .orderBy("x_id")
+  }
+
+
+  // Split-leakage audit — the eval-hygiene composite: near-duplicate
+  // pairs whose members land in DIFFERENT train/val/test splits are
+  // contamination that benchmark decontamination (t8/t8b/t33) cannot
+  // see, because both sides live inside the corpus. Composes the real
+  // minhash near-dup pipeline with the md5-interval split rule on the
+  // planted corpus (byte-identical copies under id+1e6 — the d2c
+  // construction), where the leaked set is SQL-exact: the planted pairs
+  // whose two ids hash into different splits (4 at sf0.01, 22 at sf0.1).
+  register(
+    "p2_split_leakage",
+    """WITH p AS (SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+      |           FROM documents WHERE doc_id % 97 = 0),
+      |s AS (SELECT id,
+      |        CASE WHEN substr(md5(CAST(id AS VARCHAR)), 1, 8) < 'cccccccc'
+      |               THEN 'train'
+      |             WHEN substr(md5(CAST(id AS VARCHAR)), 1, 8) < 'e6666666'
+      |               THEN 'val'
+      |             ELSE 'test' END AS split
+      |      FROM (SELECT id_a AS id FROM p UNION SELECT id_b FROM p))
+      |SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b
+      |FROM p JOIN s sa ON sa.id = p.id_a JOIN s sb ON sb.id = p.id_b
+      |WHERE sa.split != sb.split ORDER BY p.id_a""".stripMargin) { (s, dir) =>
+    val corpus = docPlantedCorpus(t(s, dir, "documents"))
+    val pairs = Dedup.minhashNearDups(corpus, "text", "doc_id",
+      shingleWords = 2, numHashes = 32, bands = 8, threshold = 0.5)
+    val splits = TextAnalysis.splitAssign(corpus.select("doc_id"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("id_a"), col("split").as("split_a")),
+        "id_a")
+      .join(splits.select(col("doc_id").as("id_b"), col("split").as("split_b")),
+        "id_b")
+      .where(col("split_a") =!= col("split_b"))
+      .select("id_a", "id_b", "split_a", "split_b")
+      .orderBy("id_a")
+  }
+
+
+  // Dataset card: the one-row release summary (sizes, vocab, mean
+  // quality, exact-dup rate, blocklist exposure) — a composite of
+  // individually-proven pieces (t2 quality, d1 hash-dedup, t75
+  // blocklist) in ONE pre-combined per-doc aggregate + a vocab pass.
+  register(
+    "p9_dataset_card",
+    """WITH d AS (
+      |  SELECT text, lower(text) AS lt,
+      |         list_filter(string_split_regex(lower(text), '\s+'),
+      |                     x -> x != '') AS toks
+      |  FROM documents),
+      |a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(len(toks)) AS BIGINT) AS ntok,
+      |         CAST(sum(length(text)) AS BIGINT) AS nch,
+      |         CAST(sum(CAST(floor(round(greatest(0.0,
+      |           least(length(text) / 500.0, 1.0) * 0.4 +
+      |           least((len(list_filter(toks, x -> x IN ('the','a','of',
+      |             'and','to','in')))::DOUBLE /
+      |             greatest(len(toks), 1)) * 3.0, 1.0) * 0.4 +
+      |           (1.0 - least(len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE /
+      |             greatest(length(text), 1) * 5.0, 1.0)) * 0.2), 6)
+      |           * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS q,
+      |         CAST(count(DISTINCT md5(text)) AS BIGINT) AS dh,
+      |         CAST(sum(CASE WHEN len(list_filter(['dup', 'join order',
+      |             'slo', 'slow', 'zzzz'], p -> contains(lt, p))) > 0
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS bln
+      |  FROM d),
+      |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+      |      FROM (SELECT unnest(toks) AS tok FROM d))
+      |SELECT n AS n_docs, ntok AS n_tokens, nch AS n_chars, vocab,
+      |       floor(CAST(q AS DOUBLE) / n + 0.5) / 1000000.0 AS mean_quality,
+      |       floor(CAST(n - dh AS DOUBLE) * 1000000.0 / n + 0.5)
+      |         / 1000000.0 AS dup_rate,
+      |       floor(CAST(bln AS DOUBLE) * 1000000.0 / n + 0.5)
+      |         / 1000000.0 AS blocked_frac
+      |FROM a, v""".stripMargin) { (s, dir) =>
+    TextAnalysis.datasetCard(t(s, dir, "documents"), "text",
+      stopwords = Seq("the", "a", "of", "and", "to", "in"),
+      blocklist = Seq("dup", "join order", "slo", "slow", "zzzz"))
+  }
+
+
+  // Paired A/B system comparison with a significance envelope — the
+  // eval report that decides "ship system A or B": per document, both
+  // systems' candidates score ROUGE-L recall against the same
+  // reference (A = prefix-30, B = kept-subsequence+noise — both with
+  // ANALYTIC LCS), then win/tie/loss counts plus a grouped-jackknife
+  // CI on the mean per-pair delta. A CI excluding 0 = a significant
+  // winner, computed deterministically end to end — hash oracle on the
+  // single report row.
+  register(
+    "p8_ab_eval",
+    """WITH w AS (
+      |  SELECT doc_id AS pair_id,
+      |         list_filter(string_split_regex(lower(text), '\s+'),
+      |                     x -> x != '') AS toks
+      |  FROM documents),
+      |b AS (SELECT pair_id, list_slice(toks, 1, 40) AS rt FROM w),
+      |k AS (SELECT pair_id, rt,
+      |             list_filter(rt, (x, i) -> i % 3 != 0) AS kept FROM b),
+      |m AS (
+      |  SELECT pair_id, CAST(len(rt) AS BIGINT) AS rl,
+      |         CAST(least(len(rt), 30) AS BIGINT) AS lcs_a,
+      |         CAST(len(kept) AS BIGINT) AS lcs_b
+      |  FROM k WHERE len(rt) > 0),
+      |d AS (
+      |  SELECT pair_id,
+      |    CAST(floor(CAST(lcs_a AS DOUBLE) * 1000000.0 / rl + 0.5)
+      |      AS BIGINT) AS am,
+      |    CAST(floor(CAST(lcs_b AS DOUBLE) * 1000000.0 / rl + 0.5)
+      |      AS BIGINT) AS bm
+      |  FROM m),
+      |wl AS (
+      |  SELECT CAST(sum(CASE WHEN am / 1000000.0 > bm / 1000000.0
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS a_wins,
+      |         CAST(sum(CASE WHEN am / 1000000.0 = bm / 1000000.0
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS ties,
+      |         CAST(sum(CASE WHEN am / 1000000.0 < bm / 1000000.0
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS b_wins
+      |  FROM d),
+      |q AS (
+      |  SELECT pair_id % 20 AS bk,
+      |    CAST(floor((am / 1000000.0 - bm / 1000000.0) * 1000000.0 + 0.5)
+      |      AS BIGINT) AS v
+      |  FROM d),
+      |pb AS (SELECT bk, CAST(count(*) AS BIGINT) AS bn,
+      |              CAST(sum(v) AS BIGINT) AS bs FROM q GROUP BY 1),
+      |tot AS (SELECT CAST(sum(bn) AS BIGINT) AS n,
+      |               CAST(sum(bs) AS BIGINT) AS s,
+      |               CAST(count(*) AS BIGINT) AS nb FROM pb),
+      |loo AS (
+      |  SELECT t.n, t.s, t.nb,
+      |         CASE WHEN t.n > pb.bn THEN CAST(floor(CAST(t.s - pb.bs AS
+      |           DOUBLE) / (t.n - pb.bn) + 0.5) AS BIGINT) END AS theta
+      |  FROM pb, tot t),
+      |tm AS (SELECT CAST(floor(CAST(sum(theta) AS DOUBLE) / count(theta)
+      |         + 0.5) AS BIGINT) AS tm FROM loo),
+      |ssx AS (SELECT max(l.n) AS n, max(l.s) AS s, max(l.nb) AS nb,
+      |               CAST(sum((l.theta - t.tm) * (l.theta - t.tm))
+      |                 AS BIGINT) AS ss
+      |        FROM loo l, tm t),
+      |fin AS (SELECT n, nb,
+      |          CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) AS meanm,
+      |          CASE WHEN nb > 1 AND ss IS NOT NULL THEN
+      |            CAST(floor(sqrt(CAST(nb - 1 AS DOUBLE) * ss / nb) + 0.5)
+      |              AS BIGINT) END AS sem
+      |        FROM ssx)
+      |SELECT f.n, f.nb AS n_buckets, wl.a_wins, wl.ties, wl.b_wins,
+      |       f.meanm / 1000000.0 AS mean, f.sem / 1000000.0 AS se,
+      |       (f.meanm - CAST(floor(CAST(f.sem AS DOUBLE) * 1.96 + 0.5)
+      |         AS BIGINT)) / 1000000.0 AS lo,
+      |       (f.meanm + CAST(floor(CAST(f.sem AS DOUBLE) * 1.96 + 0.5)
+      |         AS BIGINT)) / 1000000.0 AS hi
+      |FROM fin f, wl""".stripMargin) { (s, dir) =>
+    val toksCol = TextAnalysis.tokens(lower(col("text")))
+    val kdf = t(s, dir, "documents")
+      .select(col("doc_id").as("pair_id"), slice(toksCol, 1, 40).as("rt"))
+      .select(col("pair_id"), col("rt"),
+        filter(col("rt"), (_, i) => (i + 1) % 3 =!= 0).as("kept"))
+      .where(size(col("rt")) > 0)
+    val noise = md5(col("pair_id").cast("string"))
+    val candB = concat(array(noise), slice(col("kept"), 1, 10), array(noise),
+      slice(col("kept"), lit(11), greatest(size(col("kept")) - 10, lit(0))))
+    val pa = kdf.select(col("pair_id"),
+      array_join(slice(col("rt"), 1, 30), " ").as("cand"),
+      array_join(col("rt"), " ").as("ref"))
+    val pb = kdf.select(col("pair_id"), array_join(candB, " ").as("cand"),
+      array_join(col("rt"), " ").as("ref"))
+    val ra = Eval.rougeL(pa, "pair_id", "cand", "ref")
+      .select(col("pair_id"), col("rouge_r").as("a_r"))
+    val rb = Eval.rougeL(pb, "pair_id", "cand", "ref")
+      .select(col("pair_id"), col("rouge_r").as("b_r"))
+    val joined = ra.join(rb, "pair_id").localCheckpoint()
+    val wl = joined.agg(
+      sum(when(col("a_r") > col("b_r"), 1L).otherwise(0L)).as("a_wins"),
+      sum(when(col("a_r") === col("b_r"), 1L).otherwise(0L)).as("ties"),
+      sum(when(col("a_r") < col("b_r"), 1L).otherwise(0L)).as("b_wins"))
+    val jk = Eval.jackknifeCI(
+      joined.select((col("pair_id") % 20).as("bucket"),
+        (col("a_r") - col("b_r")).as("delta")),
+      "delta", "bucket")
+    jk.crossJoin(broadcast(wl))
+      .select(col("n"), col("n_buckets"), col("a_wins"), col("ties"),
+        col("b_wins"), col("mean"), col("se"), col("lo"), col("hi"))
+  }
+
+
+  // WARC web-corpus ingestion round trip (the a6 round-trip oracle
+  // pattern): documents serialize into 50-record WARC blobs with real
+  // Content-Length byte framing — every 17th body EMBEDS the
+  // "WARC/1.0" magic verbatim, which shreds any delimiter-split parser
+  // — then warc_split parses the blobs back scan-side. The oracle never
+  // parses: it asserts the parse reproduces the source records exactly.
+  register(
+    "p7_warc_ingest",
+    """SELECT 'd' || CAST(doc_id AS VARCHAR) AS rec_id,
+      |       'conversion' AS rec_type,
+      |       CAST(strlen(body) AS BIGINT) AS content_length, body
+      |FROM (SELECT doc_id,
+      |        CASE WHEN doc_id % 17 = 0 THEN text || ' WARC/1.0 embedded'
+      |             ELSE text END AS body
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val body = when(col("doc_id") % 17 === 0,
+      concat(col("text"), lit(" WARC/1.0 embedded"))).otherwise(col("text"))
+    val rec = concat(
+      lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Record-ID: d"),
+      col("doc_id").cast("string"),
+      lit("\r\nContent-Length: "), octet_length(body).cast("string"),
+      lit("\r\n\r\n"), body, lit("\r\n\r\n"))
+    val blobs = t(s, dir, "documents")
+      .select((col("doc_id") / 50).cast("long").as("blob_id"),
+        struct(col("doc_id").as("i"), rec.as("r")).as("e"))
+      .groupBy("blob_id")
+      .agg(array_join(transform(sort_array(collect_list(col("e"))),
+        e => e.getField("r")), "").as("blob"))
+    blobs
+      .select(explode(graft.functions.WarcSplit.column(
+        col("blob").cast("binary"))).as("rec"))
+      .select(col("rec.rec_id"), col("rec.rec_type"),
+        col("rec.content_length"), col("rec.body"))
+      .orderBy(substring(col("rec_id"), 2, 18).cast("long"))
+  }
+
+
+  // Model-output QA gate (the p1/p5-style composite a generation-data
+  // curator ships): every candidate clears non-empty ∧ non-verbatim ∧
+  // ROUGE-L recall ≥ 0.6 against its reference before it enters a
+  // training set. Branches: empty (%19), verbatim copy (%13, the
+  // plagiarism reject), kept-subsequence+noise (%5, ships), prefix
+  // (default, ships) — every branch has an ANALYTIC LCS (prefixes and
+  // subsequences of the reference), so the whole verdict row
+  // hash-matches end to end.
+  register(
+    "p6_output_qa",
+    """WITH w AS (
+      |  SELECT doc_id AS pair_id,
+      |         list_filter(string_split_regex(lower(text), '\s+'),
+      |                     x -> x != '') AS toks
+      |  FROM documents),
+      |b AS (SELECT pair_id, list_slice(toks, 1, 40) AS rt FROM w),
+      |k AS (SELECT pair_id, rt,
+      |             list_filter(rt, (x, i) -> i % 3 != 0) AS kept FROM b),
+      |a AS (
+      |  SELECT pair_id, CAST(len(rt) AS BIGINT) AS ref_toks,
+      |         CASE WHEN pair_id % 19 = 0 THEN CAST(0 AS BIGINT)
+      |              WHEN pair_id % 13 = 0 THEN CAST(len(rt) AS BIGINT)
+      |              WHEN pair_id % 5 = 0 THEN CAST(len(kept) + 2 AS BIGINT)
+      |              ELSE CAST(least(len(rt), 30) AS BIGINT) END AS cand_toks,
+      |         CASE WHEN pair_id % 19 = 0 THEN CAST(0 AS BIGINT)
+      |              WHEN pair_id % 13 = 0 THEN CAST(len(rt) AS BIGINT)
+      |              WHEN pair_id % 5 = 0 THEN CAST(len(kept) AS BIGINT)
+      |              ELSE CAST(least(len(rt), 30) AS BIGINT) END AS lcs,
+      |         pair_id % 19 = 0 AS empty_side,
+      |         (pair_id % 19 != 0 AND (pair_id % 13 = 0 OR
+      |          (pair_id % 5 != 0 AND len(rt) <= 30))) AS identical
+      |  FROM k),
+      |m AS (
+      |  SELECT pair_id, cand_toks, ref_toks, lcs, empty_side, identical,
+      |         CASE WHEN ref_toks > 0 THEN CAST(floor(CAST(lcs AS DOUBLE)
+      |           * 1000000.0 / ref_toks + 0.5) AS BIGINT) END AS rm
+      |  FROM a)
+      |SELECT pair_id, cand_toks, ref_toks, lcs,
+      |       rm / 1000000.0 AS rouge_r, identical, empty_side,
+      |       (NOT identical AND NOT empty_side
+      |        AND coalesce(rm, 0) >= 600000) AS ship
+      |FROM m ORDER BY pair_id""".stripMargin) { (s, dir) =>
+    val toksCol = TextAnalysis.tokens(lower(col("text")))
+    val kdf = t(s, dir, "documents")
+      .select(col("doc_id").as("pair_id"), slice(toksCol, 1, 40).as("rt"))
+      .select(col("pair_id"), col("rt"),
+        filter(col("rt"), (_, i) => (i + 1) % 3 =!= 0).as("kept"))
+    val noise = md5(col("pair_id").cast("string"))
+    val candArr = when(col("pair_id") % 19 === 0,
+        array().cast("array<string>"))
+      .when(col("pair_id") % 13 === 0, col("rt"))
+      .when(col("pair_id") % 5 === 0, concat(array(noise),
+        slice(col("kept"), 1, 10), array(noise),
+        slice(col("kept"), lit(11), greatest(size(col("kept")) - 10, lit(0)))))
+      .otherwise(slice(col("rt"), 1, 30))
+    val pairs = kdf.select(col("pair_id"),
+      array_join(candArr, " ").as("cand"), array_join(col("rt"), " ").as("ref"))
+    val flags = pairs.select(col("pair_id"),
+      (trim(col("cand")) === "").as("empty_side"),
+      (trim(col("cand")) =!= "" && col("cand") === col("ref")).as("identical"))
+    Eval.rougeL(pairs, "pair_id", "cand", "ref")
+      .join(flags, "pair_id")
+      .select(col("pair_id"), col("cand_len").as("cand_toks"),
+        col("ref_len").as("ref_toks"), col("lcs"), col("rouge_r"),
+        col("identical"), col("empty_side"),
+        (!col("identical") && !col("empty_side") &&
+          coalesce(col("rouge_r"), lit(0.0)) >= 0.6).as("ship"))
+      .orderBy("pair_id")
+  }
+
+
+  // Composite curation v2 — the round-9 operators chained end-to-end the
+  // way a real corpus build runs them: exact dedup (md5 keep-min) →
+  // EXACT PPJoin near-dup drop at τ=0.8 (drop the higher id of every
+  // pair among exact survivors) → Bloom-pruned 5-gram decontamination
+  // (drop any doc colliding with the benchmark snippets) → stratified
+  // A-ES sample (15 per language by n_chars). Every stage is
+  // individually hash-proven (d1/d14/t33/t32b); this row pins the
+  // COMPOSITION, stage ordering included, against one DuckDB program.
+  register(
+    "p1_curation_v2",
+    """WITH fp AS (
+      |  SELECT doc_id, lang, n_chars, text,
+      |         md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS f
+      |  FROM documents),
+      |s1 AS (  -- exact dedup survivors (keep min id per fingerprint)
+      |  SELECT * FROM fp WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY f)),
+      |toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS t
+      |  FROM s1),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(t) >= 2
+      |    THEN list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+      |    ELSE [array_to_string(t, ' ')] END AS s
+      |  FROM toks),
+      |neardup_b AS (  -- higher id of every >=0.8 pair among s1
+      |  SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+      |        len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+      |s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM neardup_b)),
+      |grams AS (
+      |  SELECT s2.doc_id, unnest(list_distinct(
+      |    CASE WHEN len(t.t) >= 5
+      |      THEN list_transform(generate_series(1, len(t.t) - 4),
+      |             i -> t.t[i] || ' ' || t.t[i+1] || ' ' || t.t[i+2] ||
+      |                  ' ' || t.t[i+3] || ' ' || t.t[i+4])
+      |      ELSE [] END)) AS gram
+      |  FROM s2 JOIN toks t ON t.doc_id = s2.doc_id),
+      |snips AS (
+      |  SELECT DISTINCT substr(text, 1, 100) AS snip FROM documents
+      |  WHERE doc_id % 41 = 0 AND length(text) >= 100),
+      |sgrams AS (
+      |  SELECT DISTINCT unnest(list_distinct(
+      |    CASE WHEN len(words) >= 5
+      |      THEN list_transform(generate_series(1, len(words) - 4),
+      |             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] ||
+      |                  ' ' || words[i+3] || ' ' || words[i+4])
+      |      ELSE [] END)) AS gram
+      |  FROM (SELECT list_filter(string_split_regex(lower(snip), '\s+'),
+      |                           x -> x != '') AS words FROM snips)),
+      |contaminated AS (SELECT DISTINCT g.doc_id FROM grams g JOIN sgrams USING (gram)),
+      |s3 AS (SELECT * FROM s2
+      |       WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+      |         AND n_chars > 0)
+      |SELECT doc_id, lang, n_chars FROM (
+      |  SELECT doc_id, lang, n_chars, row_number() OVER (PARTITION BY lang ORDER BY
+      |    -ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'cur1'),
+      |                                  1, 13)) AS BIGINT) + 0.5)
+      |        / 4503599627370496.0) / n_chars) AS rn
+      |  FROM s3)
+      |WHERE rn <= 15 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val s1 = Dedup.dropExactDuplicates(docs, "text", "doc_id")
+      .localCheckpoint() // three downstream stages read the survivor set
+    val dropB = Dedup.similarityJoin(s1, "text", "doc_id",
+      shingleWords = 2, threshold = 0.8).select(col("id_b").as("doc_id"))
+    val s2 = s1.join(dropB, Seq("doc_id"), "left_anti")
+    val snips = docs.where(col("doc_id") % 41 === 0 && length(col("text")) >= 100)
+      .select(substring(col("text"), 1, 100).as("snip")).distinct()
+    val contaminated = TextAnalysis.ngramContaminationBloom(
+      s2, "text", "doc_id", snips, "snip", n = 5).select("doc_id")
+    val s3 = s2.join(contaminated, Seq("doc_id"), "left_anti")
+    TextAnalysis.weightedSamplePerGroup(s3, "doc_id", "lang",
+        col("n_chars"), k = 15, seed = "cur1")
+      .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+  }
+
+
+  // Cluster-aware split assignment — the FIX for the leakage p2 detects:
+  // hash the dedup CLUSTER id (d6's fingerprint clusters), not the doc
+  // id, so near-identical docs can never straddle train/test. The
+  // cross-split duplicate-pair count is computed for real in both
+  // engines and must be exactly 0 (fingerprint-equal => same cluster =>
+  // same md5 bucket) — the invariant rides the hash.
+  register(
+    "p10_cluster_split",
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 80) AS f
+      |  FROM documents),
+      |cl AS (SELECT f, CAST(min(doc_id) AS BIGINT) AS cluster_id
+      |       FROM fp GROUP BY f),
+      |d AS (
+      |  SELECT fp.doc_id, fp.f, cl.cluster_id,
+      |    CASE WHEN substr(md5(CAST(cl.cluster_id AS VARCHAR)), 1, 8)
+      |              < 'cccccccc' THEN 'train'
+      |         WHEN substr(md5(CAST(cl.cluster_id AS VARCHAR)), 1, 8)
+      |              < 'e6666666' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM fp JOIN cl ON fp.f = cl.f),
+      |x AS (SELECT CAST(count(*) AS BIGINT) AS cross_split_dup_pairs
+      |      FROM d a JOIN d b ON a.f = b.f AND a.doc_id < b.doc_id
+      |        AND a.split != b.split)
+      |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+      |       x.cross_split_dup_pairs
+      |FROM d, x GROUP BY split, x.cross_split_dup_pairs
+      |ORDER BY split""".stripMargin) { (s, dir) =>
+    val fp = t(s, dir, "documents").select(col("doc_id"),
+      substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, 80)
+        .as("f"))
+    val cl = fp.groupBy("f").agg(min(col("doc_id")).as("cluster_id"))
+    val d = TextAnalysis.splitAssign(fp.join(cl, "f"), "cluster_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).localCheckpoint()
+    val cross = broadcast(d.as("a").join(d.as("b"),
+        col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.split") =!= col("b.split"))
+      .agg(count(lit(1)).as("cross_split_dup_pairs")))
+    d.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+      .crossJoin(cross)
+      .orderBy("split")
+  }
+
+
+  // Multimodal perceptual-hash near-dup: the pigeonhole machinery over a
+  // 64-bit media hash (stub = md5-derived, so only byte-identical media
+  // collide — which is exactly what the oracle can pin; a real pHash slots
+  // into the same pipeline).
+  register(
+    "mm_phash_neardup",
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 97 = 0),
+      |h AS (SELECT doc_id, md5(text) AS m FROM corpus)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming
+      |FROM h a JOIN h b ON a.m = b.m AND a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    // plant byte-identical "media" (re-ingested copies) so the pair output
+    // is non-empty and the oracle pins them exactly
+    val corpus = docs.unionAll(docs.where(col("doc_id") % 97 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    val media = Multimodal.asMediaTable(corpus, "doc_id", "text", "image")
+    Multimodal.phashNearDups(media)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
+
+  // Multimodal: binary media table with typed metadata + stub frame sampling
+  // (decode itself is stubbed; schema/partitioning/batch shape are real).
+  register(
+    "mm_media_frames",
+    """SELECT doc_id AS media_id, f AS frame_idx,
+      |       (f * length(text)) // 4 AS byte_offset,
+      |       md5(text || CAST(f AS VARCHAR)) AS frame_md5
+      |FROM documents, range(4) r(f) ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
+    val media = Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text", "image")
+    Multimodal.stubFrameSample(media, 4)
+      .select("media_id", "frame_idx", "byte_offset", "frame_md5")
+      .orderBy("media_id", "frame_idx")
+  }
+
+
+  // Scene-change detection over the sampled frames: consecutive frame
+  // hashes' hamming distance against a threshold — the shot-segmentation
+  // primitive for video corpora (threshold 30 splits the stub hash's
+  // random ~30-bit median, so both verdicts occur; a real pHash makes it
+  // a visual knob). One lag window per media.
+  register(
+    "mm_scene_changes",
+    """WITH f AS (
+      |  SELECT doc_id AS media_id, f AS frame_idx,
+      |         CAST(('0x' || substr(md5(text || CAST(f AS VARCHAR)), 1, 15))
+      |              AS BIGINT) AS h
+      |  FROM documents, range(4) r(f)),
+      |l AS (SELECT media_id, frame_idx, h,
+      |             lag(h) OVER (PARTITION BY media_id ORDER BY frame_idx) AS ph
+      |      FROM f)
+      |SELECT media_id, frame_idx,
+      |       CAST(bit_count(xor(h, ph)) AS BIGINT) AS hamming,
+      |       bit_count(xor(h, ph)) > 30 AS is_scene_change
+      |FROM l WHERE ph IS NOT NULL
+      |ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
+    val media = Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id",
+      "text", "video")
+    Multimodal.sceneChanges(Multimodal.stubFrameSample(media, 4),
+        hammingThreshold = 30)
+      .orderBy("media_id", "frame_idx")
+  }
+
+
+  // Voice-activity segmentation over the sampled frames: runs of
+  // consecutive "speech" frames (stub energy = md5 hex lexically >= 'c',
+  // ~25% of frames) collapse to segments — the gaps-and-islands
+  // run-length grouping every audio corpus needs before transcription.
+  // The window partitions by media_id over the frame-count-bounded frame
+  // set, never a corpus-cardinality key.
+  register(
+    "mm_audio_vad",
+    """WITH f AS (
+      |  SELECT doc_id AS media_id, f AS frame_idx,
+      |         md5(text || CAST(f AS VARCHAR)) AS h
+      |  FROM documents, range(8) r(f)),
+      |sp AS (SELECT media_id, frame_idx,
+      |              row_number() OVER (PARTITION BY media_id
+      |                                 ORDER BY frame_idx) AS rn
+      |       FROM f WHERE h >= 'c')
+      |SELECT media_id, min(frame_idx) AS seg_start,
+      |       max(frame_idx) AS seg_end,
+      |       CAST(count(*) AS BIGINT) AS n_frames
+      |FROM sp GROUP BY media_id, frame_idx - rn
+      |ORDER BY media_id, seg_start""".stripMargin) { (s, dir) =>
+    val media = Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id",
+      "text", "audio")
+    Multimodal.vadSegments(Multimodal.stubFrameSample(media, 8),
+        speechThresholdHex = "c")
+      .orderBy("media_id", "seg_start")
+  }
+}
