@@ -25,6 +25,14 @@ object StreamBench {
     val rate = sys.env.getOrElse("SPARK_GRAFT_STREAM_RATE", "500000").toInt
     val secs = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "30").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_STREAM_DEDUP=minhash|ppjoin benches the incremental
+    // dedup STORE loop (foreachBatch -> *StoreStep) instead of the
+    // classify->rules->alerts pipeline: per-batch docs/sec + the on-disk
+    // state-size trajectory over >= SPARK_GRAFT_STREAM_BATCHES batches
+    sys.env.get("SPARK_GRAFT_STREAM_DEDUP") match {
+      case Some(mode) => runDedupStoreBench(mode, cpus); return
+      case None =>
+    }
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
@@ -118,6 +126,89 @@ object StreamBench {
       s""""unit":"rec/s","offered":$rate,"secs":$secs,"cpus":$cpus,""" +
       s""""merge":${mergeMode || twsMode},"tws":$twsMode,"wm":"$wmDelay",""" +
       s""""samples":${steady.size}}""")
+    spark.stop()
+  }
+
+  /** Incremental dedup store-loop bench: rate source → synthetic docs
+    * (16 deterministic tokens keyed by a seed; every 10th row reuses
+    * seed % 997, so later batches repeat earlier content and the
+    * against-store path actually fires) → `foreachBatch` into
+    * [[graft.pipeline.Dedup.minhashStoreStep]] /
+    * [[graft.pipeline.Dedup.similarityStoreStep]]. Reports per-batch
+    * docs/sec (median after the warmup third) and the parquet store's
+    * on-disk byte trajectory — the evidence that per-batch cost and
+    * state growth stay batch-proportional, not corpus-proportional. */
+  private def runDedupStoreBench(mode: String, cpus: String): Unit = {
+    val docsPerBatch = sys.env.getOrElse("SPARK_GRAFT_STREAM_RATE", "5000").toInt
+    val targetBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "25").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val storeDir = s"/tmp/graft_streambench_dedup_${System.nanoTime()}"
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def storeBytes(): Long =
+      if (fs.exists(new org.apache.hadoop.fs.Path(storeDir)))
+        fs.getContentSummary(new org.apache.hadoop.fs.Path(storeDir)).getLength
+      else 0L
+
+    val seed = org.apache.spark.sql.functions.when(col("value") % 10 === 0,
+      pmod(col("value"), lit(997L))).otherwise(col("value"))
+    val toks = (0 until 16).map(i =>
+      concat(lit(s"w${i}_"),
+        pmod(col("__seed") * 2654435761L + i * 40503, lit(1000003L))))
+    val docs = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", docsPerBatch)
+      .option("numPartitions", cpus)
+      .load()
+      .select(col("value").as("doc_id"), seed.as("__seed"))
+      .select(col("doc_id"), concat_ws(" ", toks: _*).as("text"))
+
+    case class B(id: Long, rows: Long, dups: Long, secs: Double, bytes: Long)
+    val batches = scala.collection.mutable.ArrayBuffer[B]()
+    val q = docs.writeStream
+      .option("checkpointLocation", s"$storeDir/_ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        val bb = b.localCheckpoint() // isolate the step from source cost
+        val n = bb.count()
+        val t0 = System.nanoTime()
+        val dups = mode match {
+          case "ppjoin" => graft.pipeline.Dedup.similarityStoreStep(
+            bb, storeDir, "text", "doc_id", shingleWords = 2, threshold = 0.6)
+          case _ => graft.pipeline.Dedup.minhashStoreStep(
+            bb, storeDir, "text", "doc_id", shingleWords = 3,
+            numHashes = 32, bands = 8, threshold = 0.7)
+        }
+        val nd = dups.count()
+        val s = (System.nanoTime() - t0) / 1e9
+        batches.synchronized { batches += B(id, n, nd, s, storeBytes()) }
+        bb.unpersist(true): Unit
+      }
+      .start()
+    while (batches.synchronized(batches.size) < targetBatches) Thread.sleep(500)
+    q.stop()
+
+    val bs = batches.synchronized(batches.toVector).sortBy(_.id)
+      .take(targetBatches)
+    bs.foreach(b => println(
+      f"[dedup-store] batch=${b.id}%2d rows=${b.rows} dups=${b.dups}%4d " +
+        f"step=${b.secs}%.2f s store=${b.bytes / 1048576.0}%.1f MiB"))
+    val steady = bs.drop(bs.size / 3).map(b => b.rows / b.secs).sorted
+    val median = if (steady.isEmpty) 0.0 else steady(steady.size / 2)
+    val growth = bs.drop(bs.size / 3).map(_.bytes)
+    val perBatchGrowth =
+      if (growth.size >= 2) (growth.last - growth.head).toDouble /
+        (growth.size - 1) / 1048576.0
+      else 0.0
+    println(s"""{"metric":"dedup_store_docs_per_sec","value":${median.round},""" +
+      s""""unit":"docs/s","mode":"$mode","rowsPerBatch":$docsPerBatch,""" +
+      s""""batches":${bs.size},"cpus":$cpus,""" +
+      s""""dups_last":${bs.last.dups},"store_mib":${bs.last.bytes / 1048576},""" +
+      f""""store_growth_mib_per_batch":$perBatchGrowth%.2f}""")
     spark.stop()
   }
 }

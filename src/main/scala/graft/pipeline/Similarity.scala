@@ -612,7 +612,11 @@ object Similarity {
     * scale widen `planesPerBand` (buckets sharpen exponentially) and
     * recover the lost per-band recall with more `bands` — the knobs move
     * cost and recall independently, which the single-signature scheme
-    * could not.
+    * could not. SCALE.md ("lshTopK occupancy-driven bands/planes
+    * defaults") tabulates recommended (bands, planesPerBand) by corpus
+    * size with the recall/candidate closed forms — the 8×6 defaults are
+    * tuned for a 10⁴-vector corpus and deliberately probe ~87% of it;
+    * production sizes want r 14–20.
     *
     * `corpusSize`, when known (the serving path over a staged corpus always
     * knows it), feeds the occupancy guard: a fixed band width saturates at
