@@ -147,6 +147,24 @@ object Dedup {
   def repeatedSubstringSpans(df: DataFrame, textCol: String, idCol: String,
       minLen: Int): DataFrame = {
     require(minLen >= 2, "repeatedSubstringSpans needs minLen >= 2")
+    val (docUniverse, positional) =
+      substringAnchors(df, textCol, idCol, minLen)
+    // globally repeated grams: pre-combined count, skinny semi-join side
+    val repeated = positional.groupBy("__gh")
+      .agg(count(lit(1)).as("__c")).where(col("__c") >= 2)
+      .select("__gh")
+    val covered = positional.join(repeated, Seq("__gh"), "left_semi")
+      .select(col("doc_id"), col("pos"),
+        (col("pos") + (minLen - 1)).as("__end"))
+    substringSpansFromCovered(docUniverse, covered)
+  }
+
+  /** The positional-anchor stage shared by [[repeatedSubstringSpans]] and
+    * [[repeatedSubstringStoreStep]]: (doc universe with token counts,
+    * (doc_id, pos, 16-byte md5 of the minLen-gram at pos)). Text never
+    * leaves this stage. */
+  private def substringAnchors(df: DataFrame, textCol: String,
+      idCol: String, minLen: Int): (DataFrame, DataFrame) = {
     val L = minLen
     val toks = TextAnalysis.tokens(lower(col(textCol)))
     // positional L-grams: grams[i] = toks[i..i+L-1] joined — the shifted
@@ -165,12 +183,13 @@ object Dedup {
       .select(col("doc_id"), posexplode(col("__grams")).as(Seq("pos", "__g")))
       .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
         md5(col("__g")).as("__gh"))
-    // globally repeated grams: pre-combined count, skinny semi-join side
-    val repeated = positional.groupBy("__gh")
-      .agg(count(lit(1)).as("__c")).where(col("__c") >= 2)
-      .select("__gh")
-    val covered = positional.join(repeated, Seq("__gh"), "left_semi")
-      .select(col("doc_id"), col("pos"), (col("pos") + (L - 1)).as("__end"))
+    (docUniverse, positional)
+  }
+
+  /** Interval-union + per-doc report tail shared by the substring-dedup
+    * pair: `covered` is (doc_id, pos, __end) repeated-window starts. */
+  private def substringSpansFromCovered(docUniverse: DataFrame,
+      covered: DataFrame): DataFrame = {
     // interval union per doc: new span when start > 1 + max(prior ends)
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
     val prevMax = max(col("__end"))
@@ -193,6 +212,58 @@ object Dedup {
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         col("dup_spans"))
+  }
+
+  /** One micro-batch step of the STREAMING variable-length substring
+    * dedup loop — the [[minhashStoreStep]] shape for the suffix-array
+    * tier: the arriving batch's spans are computed against the gram
+    * counts of EVERYTHING ingested so far (earlier batches + this one,
+    * intra-batch repeats included), then the batch's own gram counts
+    * join the store. Per the store-loop contract the report covers the
+    * ARRIVING batch only — an earlier doc whose content a later batch
+    * repeats is flagged at the batch where the repeat arrives, via that
+    * batch's row (the id_new side of [[minhashStoreStep]], same
+    * asymmetry).
+    *
+    * RETRY-IDEMPOTENT by construction, which append-only count stores
+    * are not: each batch's partial (gh, c) counts write to their OWN
+    * `batch_id=<id>` partition with overwrite, and the read side
+    * excludes the current batch's partition (own counts come from the
+    * in-flight frame) — a retried batch replaces its partial instead of
+    * double-counting, so no gram can become spuriously "repeated" under
+    * at-least-once execution. Store growth per batch = the batch's
+    * DISTINCT gram count (pre-combined before the write), and the step
+    * never rereads corpus text — cost is batch-grams + one
+    * (gh, count)-cardinality store scan. Returns the d20 report columns
+    * for the batch's docs. */
+  def repeatedSubstringStoreStep(batch: DataFrame, storeDir: String,
+      textCol: String, idCol: String, minLen: Int, batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    val countsPath = s"$storeDir/gramcounts"
+    val (docUniverse, positional0) =
+      substringAnchors(batch, textCol, idCol, minLen)
+    val positional = positional0.localCheckpoint()
+    val batchCounts = positional.groupBy("__gh")
+      .agg(count(lit(1)).as("__c")).localCheckpoint()
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val priorCounts =
+      if (fs.exists(new org.apache.hadoop.fs.Path(countsPath)))
+        spark.read.option("basePath", countsPath).parquet(countsPath)
+          .where(col("batch_id") =!= batchId)
+          .select(col("__gh"), col("__c"))
+      else batchCounts.limit(0)
+    val repeated = priorCounts.unionAll(batchCounts)
+      .groupBy("__gh").agg(sum(col("__c")).as("__tot"))
+      .where(col("__tot") >= 2).select("__gh")
+    val covered = positional.join(repeated, Seq("__gh"), "left_semi")
+      .select(col("doc_id"), col("pos"),
+        (col("pos") + (minLen - 1)).as("__end"))
+    val out = substringSpansFromCovered(docUniverse, covered)
+      .localCheckpoint() // materialize BEFORE the store write
+    batchCounts.write.mode("overwrite")
+      .parquet(s"$countsPath/batch_id=$batchId")
+    out
   }
 
   /** Streaming ingestion dedup: drop redeliveries of the same document

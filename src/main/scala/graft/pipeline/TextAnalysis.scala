@@ -1903,6 +1903,79 @@ object TextAnalysis {
         coalesce(col("entropy_nats"), lit(0.0)).as("entropy_nats"))
   }
 
+  /** Unicode script profile + homoglyph-spoofing signal — the
+    * cross-lingual corpus hygiene pass beside [[langId]]: per-document
+    * counts of Latin / Cyrillic / Greek / Han letters plus the number of
+    * MIXED-SCRIPT tokens (a token carrying Latin AND Cyrillic-or-Greek
+    * letters — the confusable-substitution shape of spoofed domains,
+    * poisoned entities, and OCR noise; pure single-script text never
+    * trips it). `suspicious` flags any doc with a mixed token — route to
+    * quarantine or NFKC-confusable normalization downstream.
+    *
+    * A pure scan-side projection (regexp counts + one token filter, all
+    * codegen'd) — zero shuffle at any corpus size. Script classes are
+    * Java `\p{IsX}` here and RE2 `\p{X}` in the oracle — same Unicode
+    * script property either way. Returns (doc_id, latin_chars,
+    * cyrillic_chars, greek_chars, han_chars, mixed_tokens,
+    * suspicious). */
+  def scriptProfile(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    def cnt(cls: String) =
+      size(regexp_extract_all(col(textCol), lit(s"[\\p{Is$cls}]"), lit(0)))
+        .cast(LongType)
+    val mixed = size(filter(tokens(col(textCol)), t =>
+      t.rlike("\\p{IsLatin}") &&
+        t.rlike("[\\p{IsCyrillic}\\p{IsGreek}]"))).cast(LongType)
+    docs.select(col(idCol).as("doc_id"),
+      cnt("Latin").as("latin_chars"),
+      cnt("Cyrillic").as("cyrillic_chars"),
+      cnt("Greek").as("greek_chars"),
+      cnt("Han").as("han_chars"),
+      mixed.as("mixed_tokens"))
+      .withColumn("suspicious", col("mixed_tokens") > 0)
+  }
+
+  /** HTML boilerplate extraction with the jusText/boilerpipe link-density
+    * signal — the post-WARC step between [[graft.functions.WarcSplit]]
+    * framing and the text-quality family: strip tags, decode the five
+    * basic entities, and measure how much of the visible text sits
+    * inside anchors. High link density = navigation/footer chrome; low =
+    * content. `text_chars` counts the stripped visible text, `link_chars`
+    * the visible text inside `<a ...>...</a>` pairs,
+    * `link_density = link_chars / text_chars` (null for empty pages),
+    * `tag_count` the raw tag count.
+    *
+    * A pure scan-side projection (three regexp passes + entity
+    * replaces, codegen'd, RE2-compatible lazy quantifiers) — zero
+    * shuffle; run it in the ingest scan right after WARC framing.
+    * Returns (doc_id, text_chars, link_chars, tag_count, link_density,
+    * text). */
+  def htmlExtract(docs: DataFrame, htmlCol: String,
+      idCol: String): DataFrame = {
+    // amp decodes LAST so '&amp;lt;' yields the literal '&lt;', not '<'
+    def decode(c: Column): Column =
+      Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&amp;" -> "&")
+        .foldLeft(c) { case (acc, (e, r)) => regexp_replace(acc, e, r) }
+    val stripped = regexp_replace(col(htmlCol), "<[^>]*>", "")
+    val linkBodies = regexp_extract_all(col(htmlCol),
+      lit("<a[^>]*>(.*?)</a>"), lit(1))
+    docs.select(col(idCol).as("doc_id"),
+      decode(stripped).as("text"),
+      aggregate(linkBodies, lit(0L),
+        (acc, b) => acc + length(decode(regexp_replace(b, "<[^>]*>", "")))
+          .cast(LongType)).as("link_chars"),
+      size(regexp_extract_all(col(htmlCol), lit("<[^>]+>"), lit(0)))
+        .cast(LongType).as("tag_count"))
+      .select(col("doc_id"),
+        length(col("text")).cast(LongType).as("text_chars"),
+        col("link_chars"), col("tag_count"),
+        when(length(col("text")) > 0,
+          floor(col("link_chars").cast(DoubleType) * 1000000.0 /
+            length(col("text")) + 0.5) / 1000000.0).as("link_density"),
+        col("text"))
+  }
+
   /** SURGICAL span decontamination — remove the n-gram-matching SPANS and
     * keep the rest of the document, instead of dropping whole documents
     * ([[ngramContamination]] counts; this cleans): the standard upgrade

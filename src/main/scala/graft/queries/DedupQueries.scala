@@ -814,6 +814,67 @@ private[graft] trait DedupQueries extends RegistryBase {
         .orderBy("doc_id")
   }
 
+  // Incremental tier of the suffix family: two batches through the
+  // parquet-staged gram-count store (repeatedSubstringStoreStep). The
+  // contract is the minhashStoreStep asymmetry — a batch's report sees
+  // gram counts of everything ingested UP TO AND INCLUDING itself — so
+  // the oracle computes batch-0 docs against batch-0 grams and batch-1
+  // docs against the full corpus, with the identical interval algebra.
+  // The store round-trips real parquet (scratchDir) and the write is
+  // retry-idempotent (per-batch partition overwrite; spec-pinned).
+  register(
+    "d21_substring_incremental",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |         CAST(unnest(range(1, greatest(len(t) - 6, 1))) AS BIGINT) - 1 AS pos,
+      |         unnest(list_transform(range(1, greatest(len(t) - 6, 1)),
+      |           i -> md5(array_to_string(t[i:i+7], ' ')))) AS gh
+      |  FROM toks),
+      |rep0 AS (SELECT gh FROM g WHERE doc_id < 250 GROUP BY gh HAVING count(*) >= 2),
+      |repAll AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+      |cov AS (
+      |  SELECT g.doc_id, g.pos, g.pos + 7 AS e
+      |  FROM g JOIN rep0 USING (gh) WHERE g.doc_id < 250
+      |  UNION ALL
+      |  SELECT g.doc_id, g.pos, g.pos + 7 AS e
+      |  FROM g JOIN repAll USING (gh) WHERE g.doc_id >= 250),
+      |m AS (SELECT doc_id, pos, e,
+      |        max(e) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |      FROM cov),
+      |f AS (SELECT doc_id, pos, e,
+      |        CASE WHEN pm IS NULL OR pos > pm + 1 THEN 1 ELSE 0 END AS nw
+      |      FROM m),
+      |gr AS (SELECT doc_id, pos, e,
+      |         sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM f),
+      |sp AS (SELECT doc_id, min(pos) AS s, max(e) AS e2
+      |       FROM gr GROUP BY doc_id, grp),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+      |          CAST(sum(e2 - s + 1) AS BIGINT) AS dup_tokens,
+      |          string_agg(s || ':' || e2, ';' ORDER BY s) AS dup_spans
+      |        FROM sp GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+      |       coalesce(a.n_dup_spans, CAST(0 AS BIGINT)) AS n_dup_spans,
+      |       coalesce(a.dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
+      |       coalesce(a.dup_spans, '') AS dup_spans
+      |FROM toks t LEFT JOIN agg a USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    val store = scratchDir("d21_store")
+    val docs = t(s, dir, "documents")
+    val b0 = Dedup.repeatedSubstringStoreStep(
+      docs.where(col("doc_id") < 250), store, "text", "doc_id",
+      minLen = 8, batchId = 0L)
+    val b1 = Dedup.repeatedSubstringStoreStep(
+      docs.where(col("doc_id") >= 250), store, "text", "doc_id",
+      minLen = 8, batchId = 1L)
+    b0.unionAll(b1)
+      .withColumn("dup_spans", coalesce(col("dup_spans"), lit("")))
+      .orderBy("doc_id")
+  }
+
 
   // Duplicate-cluster labeling: prefix-fingerprint chain edges → min-label
   // propagation to fixpoint (Dedup.connectedComponents). The oracle computes

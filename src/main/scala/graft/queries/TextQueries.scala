@@ -2335,4 +2335,99 @@ private[graft] trait TextQueries extends RegistryBase {
     TextAnalysis.unigramSurprisal(t(s, dir, "documents"), "text", "doc_id")
       .orderBy("doc_id")
   }
+
+  // Unicode script profile + homoglyph detection. The corpus is ASCII, so
+  // the construction plants the signals deterministically in BOTH engines:
+  // doc_id % 5 = 0 swaps every 'a' for Cyrillic U+0430 (the confusable-
+  // substitution attack — every such token goes MIXED-script), 1 swaps
+  // 'o' for Greek omicron, 2 appends a Han run, 3 appends pure-Cyrillic
+  // TOKENS (single-script — the negative control: suspicious stays
+  // false), else untouched. Script classes are Java \p{IsX} on the
+  // engine and RE2 \p{X} in the oracle — the same Unicode property.
+  register(
+    "t82_script_mix",
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 5 AS INT)
+      |      WHEN 0 THEN regexp_replace(text, 'a', 'а', 'g')
+      |      WHEN 1 THEN regexp_replace(text, 'o', 'ο', 'g')
+      |      WHEN 2 THEN text || ' 中文段落'
+      |      WHEN 3 THEN text || ' привет мир'
+      |      ELSE text END AS tx
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(tx, '\p{Latin}')) AS BIGINT) AS latin_chars,
+      |  CAST(len(regexp_extract_all(tx, '\p{Cyrillic}')) AS BIGINT) AS cyrillic_chars,
+      |  CAST(len(regexp_extract_all(tx, '\p{Greek}')) AS BIGINT) AS greek_chars,
+      |  CAST(len(regexp_extract_all(tx, '\p{Han}')) AS BIGINT) AS han_chars,
+      |  CAST(len(list_filter(list_filter(string_split_regex(tx, '\s+'), x -> x != ''),
+      |    t -> regexp_matches(t, '\p{Latin}')
+      |         AND regexp_matches(t, '[\p{Cyrillic}\p{Greek}]'))) AS BIGINT)
+      |    AS mixed_tokens,
+      |  len(list_filter(list_filter(string_split_regex(tx, '\s+'), x -> x != ''),
+      |    t -> regexp_matches(t, '\p{Latin}')
+      |         AND regexp_matches(t, '[\p{Cyrillic}\p{Greek}]'))) > 0
+      |    AS suspicious
+      |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val planted = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        regexp_replace(col("text"), "a", "а"))
+        .when(col("doc_id") % 5 === 1,
+          regexp_replace(col("text"), "o", "ο"))
+        .when(col("doc_id") % 5 === 2,
+          concat(col("text"), lit(" 中文段落")))
+        .when(col("doc_id") % 5 === 3,
+          concat(col("text"),
+            lit(" привет мир")))
+        .otherwise(col("text")).as("text"))
+    TextAnalysis.scriptProfile(planted, "text", "doc_id").orderBy("doc_id")
+  }
+
+  // HTML boilerplate extraction + link density (jusText/boilerpipe
+  // signal). The construction wraps each doc in one of three page shapes
+  // — content page (one small anchor), nav-heavy chrome (5 repeated link
+  // items — high density), entity-laden page (decode path) — identically
+  // in both engines; strip/decode/density then hash-compare end to end.
+  register(
+    "t83_link_density",
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 3 AS INT)
+      |      WHEN 0 THEN '<html><body><p>' || text || '</p><a href="/next">next page</a></body></html>'
+      |      WHEN 1 THEN '<ul>' || repeat('<li><a href="/x">section link text here</a></li>', 5) || '</ul><p>' || text || '</p>'
+      |      ELSE '<p>A &amp; B &lt;tagless&gt; &quot;q&quot;</p><a href="#">&#39;tick&#39; anchor</a><p>' || text || '</p>' END AS html
+      |  FROM documents),
+      |x AS (
+      |  SELECT doc_id,
+      |    replace(replace(replace(replace(replace(
+      |      regexp_replace(html, '<[^>]*>', '', 'g'),
+      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS text,
+      |    coalesce(list_sum(list_transform(
+      |      regexp_extract_all(html, '<a[^>]*>(.*?)</a>', 1),
+      |      b -> length(replace(replace(replace(replace(replace(
+      |        regexp_replace(b, '<[^>]*>', '', 'g'),
+      |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&')))), 0) AS link_chars,
+      |    CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT) AS tag_count
+      |  FROM h)
+      |SELECT doc_id, CAST(length(text) AS BIGINT) AS text_chars,
+      |       CAST(link_chars AS BIGINT) AS link_chars, tag_count,
+      |       CASE WHEN length(text) > 0
+      |            THEN floor(CAST(link_chars AS DOUBLE) * 1000000.0 /
+      |                       length(text) + 0.5) / 1000000.0 END AS link_density,
+      |       text
+      |FROM x ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val html = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("<html><body><p>"), col("text"),
+          lit("</p><a href=\"/next\">next page</a></body></html>")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("<ul>"),
+            repeat(lit("<li><a href=\"/x\">section link text here</a></li>"), 5),
+            lit("</ul><p>"), col("text"), lit("</p>")))
+        .otherwise(
+          concat(lit("<p>A &amp; B &lt;tagless&gt; &quot;q&quot;</p>" +
+            "<a href=\"#\">&#39;tick&#39; anchor</a><p>"), col("text"),
+            lit("</p>"))).as("html"))
+    TextAnalysis.htmlExtract(html, "html", "doc_id").orderBy("doc_id")
+  }
 }

@@ -787,6 +787,65 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(6L) == ((0L, 0L, 0L, None)), s"empty doc: ${out(6L)}")
   }
 
+  test("substring store step: repeats flag the arriving batch; retried batches overwrite, never double-count") {
+    val store = java.nio.file.Files.createTempDirectory("d21spec").toString
+    // doc 0: an 8-token block + 2 unique tokens (3 grams at minLen=8)
+    val b0 = Seq((0L, "a1 a2 a3 a4 a5 a6 a7 a8 x1 x2")).toDF("doc_id", "text")
+    // doc 10 repeats doc 0's block at offset 1
+    val b1 = Seq((10L, "y1 a1 a2 a3 a4 a5 a6 a7 a8 y2")).toDF("doc_id", "text")
+    def run(b: org.apache.spark.sql.DataFrame, id: Long) =
+      Dedup.repeatedSubstringStoreStep(b, store, "text", "doc_id",
+        minLen = 8, batchId = id)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(2), Option(r.getString(4)))).toMap
+    // batch 0: store empty, block unique so far -> clean
+    assert(run(b0, 0L)(0L) == ((0L, None)), "first batch must see no repeats")
+    // batch 1: block now repeated across batches -> arriving doc flagged
+    assert(run(b1, 1L)(10L) == ((1L, Some("1:8"))), "cross-batch repeat must flag")
+    // RETRY batch 0 (at-least-once): its own prior counts are REPLACED,
+    // not added — the block is repeated via batch 1 (span exactly 0:7),
+    // but doc 0's unique tail grams must NOT be flagged, which is what a
+    // double-counted append would do (span would widen to 0:9)
+    assert(run(b0, 0L)(0L) == ((1L, Some("0:7"))),
+      "retried batch must overwrite its partial counts, not double-count")
+  }
+
+  test("script profile: homoglyph substitution trips mixed-token, single-script text never does") {
+    val docs = Seq(
+      (0L, "plain ascii text"),
+      (1L, "pаypal login page"),           // Cyrillic а inside a Latin token
+      (2L, "ascii then привет мир"),            // pure-Cyrillic TOKENS: not mixed
+      (3L, "οmega sιgn here"))         // Greek ο/ι inside Latin tokens
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.scriptProfile(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5), r.getBoolean(6)))
+      .toMap
+    assert(out(0L) == ((14L, 0L, 0L, 0L, false)), s"ascii: ${out(0L)}")
+    assert(out(1L)._2 == 1L && out(1L)._4 == 1L && out(1L)._5,
+      s"homoglyph must flag: ${out(1L)}")
+    assert(out(2L)._2 == 9L && out(2L)._4 == 0L && !out(2L)._5,
+      s"single-script Cyrillic tokens must NOT flag: ${out(2L)}")
+    assert(out(3L)._3 == 2L && out(3L)._4 == 2L && out(3L)._5,
+      s"Greek homoglyphs must flag: ${out(3L)}")
+  }
+
+  test("html extract: strip + entity decode + link density, hand-computed") {
+    val docs = Seq(
+      (0L, """<p>abcde</p><a href="/x">12345</a>"""),      // 10 visible, 5 linked
+      (1L, """<p>A &amp;&lt;B</p>"""),                      // entities decode
+      (2L, """<div></div>"""))                              // empty page
+      .toDF("doc_id", "html")
+    val out = TextAnalysis.htmlExtract(docs, "html", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getString(5)))
+      .toMap
+    assert(out(0L) == ((10L, 5L, 4L, Some(0.5), "abcde12345")), s"${out(0L)}")
+    assert(out(1L)._5 == "A &<B" && out(1L)._1 == 5L, s"decode: ${out(1L)}")
+    assert(out(2L) == ((0L, 0L, 2L, None, "")), s"empty: ${out(2L)}")
+  }
+
   test("unigram surprisal: rare-token docs score higher than common-token docs") {
     val corpus = Seq(
       (0L, "the the the the the"),
