@@ -242,9 +242,12 @@ object Dedup {
     val countsPath = s"$storeDir/gramcounts"
     val (docUniverse, positional0) =
       substringAnchors(batch, textCol, idCol, minLen)
+    // one materialization serves every consumer: batch counts, the
+    // repeat filter, and the covered-start join all re-read these
+    // anchors instead of re-running the text scan (iterative-op rule)
     val positional = positional0.localCheckpoint()
     val batchCounts = positional.groupBy("__gh")
-      .agg(count(lit(1)).as("__c")).localCheckpoint()
+      .agg(count(lit(1)).as("__c"))
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val priorCounts =
@@ -259,8 +262,12 @@ object Dedup {
     val covered = positional.join(repeated, Seq("__gh"), "left_semi")
       .select(col("doc_id"), col("pos"),
         (col("pos") + (minLen - 1)).as("__end"))
+    // materialize BEFORE the store write: the exclusion read makes the
+    // result immune to OWN write, but a lazily-executed plan evaluated
+    // after a LATER batch's append would see that batch's counts as
+    // "prior" — eager materialization pins the as-of-this-batch verdict
     val out = substringSpansFromCovered(docUniverse, covered)
-      .localCheckpoint() // materialize BEFORE the store write
+      .localCheckpoint()
     batchCounts.write.mode("overwrite")
       .parquet(s"$countsPath/batch_id=$batchId")
     out

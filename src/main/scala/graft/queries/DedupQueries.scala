@@ -822,11 +822,14 @@ private[graft] trait DedupQueries extends RegistryBase {
   // docs against the full corpus, with the identical interval algebra.
   // The store round-trips real parquet (scratchDir) and the write is
   // retry-idempotent (per-batch partition overwrite; spec-pinned).
+  // Confined to the doc_id < 500 slice (the d2e harness rule): this row
+  // proves STORE semantics, which is id-bounded by nature; the corpus-
+  // scale path is d20 itself, which runs the full table every rep.
   register(
     "d21_substring_incremental",
     """WITH toks AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS t
-      |  FROM documents),
+      |  FROM documents WHERE doc_id < 500),
       |g AS (
       |  SELECT doc_id,
       |         CAST(unnest(range(1, greatest(len(t) - 6, 1))) AS BIGINT) - 1 AS pos,
@@ -863,7 +866,7 @@ private[graft] trait DedupQueries extends RegistryBase {
       |FROM toks t LEFT JOIN agg a USING (doc_id)
       |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
     val store = scratchDir("d21_store")
-    val docs = t(s, dir, "documents")
+    val docs = t(s, dir, "documents").where(col("doc_id") < 500)
     val b0 = Dedup.repeatedSubstringStoreStep(
       docs.where(col("doc_id") < 250), store, "text", "doc_id",
       minLen = 8, batchId = 0L)
