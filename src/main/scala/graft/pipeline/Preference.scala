@@ -71,6 +71,50 @@ object Preference {
     * and the label-marginal side is category-cardinality (human label
     * sets are small by nature). Returns ONE row
     * (n_items, n_ratings, po, pe, kappa), 6 dp. */
+  /** Length-bias audit over preference pairs — the reward-hacking
+    * pre-check on RLHF data: if annotators (or a judge model)
+    * systematically prefer the LONGER response, a reward model trained
+    * on the pairs learns length, not quality. One row out:
+    * `longer_win_rate` = share of length-decided pairs where the chosen
+    * side is longer (0.5 = unbiased), `mean_len_delta` = mean
+    * (chosen − rejected) token delta, `effect_size` = that mean over
+    * the delta's sample standard deviation (the one-sample Cohen's d a
+    * data card reports; null when n < 2 or the deltas are constant).
+    *
+    * Scale shape: token counts are scan-side, everything folds into ONE
+    * pre-combined aggregation of integer sums (Σd, Σd² — order-free
+    * under any partitioning); the mean/sd division and sqrt are one
+    * fixed double expression over those integer sums, micro-floored —
+    * engine-exact (the q44/t70 sqrt precedent). Zero windows, zero
+    * joins. Returns (n_pairs, n_ties, longer_wins, longer_win_rate,
+    * mean_len_delta, effect_size). */
+  def lengthBias(pairs: DataFrame, chosenCol: String,
+      rejectedCol: String): DataFrame = {
+    val ct = size(TextAnalysis.tokens(col(chosenCol))).cast("long")
+    val rt = size(TextAnalysis.tokens(col(rejectedCol))).cast("long")
+    val agg = pairs.select((ct - rt).as("__d"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__d") === 0, 1L).otherwise(0L)).as("n_ties"),
+        sum(when(col("__d") > 0, 1L).otherwise(0L)).as("longer_wins"),
+        sum(col("__d")).as("__sd"),
+        sum(col("__d") * col("__d")).as("__sd2"))
+    val nD = col("n_pairs").cast("double")
+    val decided = (col("n_pairs") - col("n_ties")).cast("double")
+    val sdD = col("__sd").cast("double")
+    val sd2D = col("__sd2").cast("double")
+    val meanD = sdD / nD
+    val variance = (sd2D - sdD * sdD / nD) / (nD - 1.0)
+    agg.select(col("n_pairs"), col("n_ties"), col("longer_wins"),
+      when(decided > 0,
+        floor(col("longer_wins").cast("double") * 1000000.0 / decided + 0.5)
+          / 1000000.0).as("longer_win_rate"),
+      when(col("n_pairs") > 0,
+        floor(meanD * 1000000.0 + 0.5) / 1000000.0).as("mean_len_delta"),
+      when(col("n_pairs") > 1 && variance > 0,
+        floor(meanD / sqrt(variance) * 1000000.0 + 0.5) / 1000000.0)
+        .as("effect_size"))
+  }
+
   def fleissKappa(ratings: DataFrame, itemCol: String,
       labelCol: String): DataFrame = {
     val counts = ratings

@@ -67,6 +67,66 @@ private[graft] trait EvalQueries extends RegistryBase {
   }
 
 
+  // Length-bias audit (reward-hacking pre-check on preference data):
+  // pairs (a, a+25) with a PLANTED 2/3 bias — two of three pairs pick
+  // the longer doc as chosen, every third picks the shorter — so
+  // longer_win_rate must land near 2/3 and effect_size positive. All
+  // cross-row state is integer sums (Σd, Σd²); the mean/sd/sqrt tail is
+  // one identically-spelled double expression in both engines.
+  register(
+    "t84_length_bias",
+    """WITH p AS (
+      |  SELECT a.doc_id AS pid, a.text AS ta, b.text AS tb,
+      |         len(list_filter(string_split_regex(a.text, '\s+'), x -> x != '')) AS na,
+      |         len(list_filter(string_split_regex(b.text, '\s+'), x -> x != '')) AS nb
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 25),
+      |pr AS (
+      |  SELECT CASE WHEN (pid % 3 = 0) = (na >= nb) THEN tb ELSE ta END AS chosen,
+      |         CASE WHEN (pid % 3 = 0) = (na >= nb) THEN ta ELSE tb END AS rejected
+      |  FROM p),
+      |t AS (
+      |  SELECT len(list_filter(string_split_regex(chosen, '\s+'), x -> x != '')) -
+      |         len(list_filter(string_split_regex(rejected, '\s+'), x -> x != '')) AS d
+      |  FROM pr),
+      |a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+      |         CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ties,
+      |         CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS longer_wins,
+      |         CAST(sum(d) AS BIGINT) AS sd, CAST(sum(d * d) AS BIGINT) AS sd2
+      |  FROM t)
+      |SELECT n_pairs, n_ties, longer_wins,
+      |  CASE WHEN n_pairs - n_ties > 0
+      |       THEN floor(CAST(longer_wins AS DOUBLE) * 1000000.0 /
+      |                  CAST(n_pairs - n_ties AS DOUBLE) + 0.5) / 1000000.0
+      |  END AS longer_win_rate,
+      |  CASE WHEN n_pairs > 0
+      |       THEN floor(CAST(sd AS DOUBLE) / CAST(n_pairs AS DOUBLE) *
+      |                  1000000.0 + 0.5) / 1000000.0
+      |  END AS mean_len_delta,
+      |  CASE WHEN n_pairs > 1 AND
+      |            (CAST(sd2 AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) /
+      |             CAST(n_pairs AS DOUBLE)) / (CAST(n_pairs AS DOUBLE) - 1.0) > 0
+      |       THEN floor(CAST(sd AS DOUBLE) / CAST(n_pairs AS DOUBLE) /
+      |                  sqrt((CAST(sd2 AS DOUBLE) -
+      |                        CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) /
+      |                        CAST(n_pairs AS DOUBLE)) /
+      |                       (CAST(n_pairs AS DOUBLE) - 1.0)) *
+      |                  1000000.0 + 0.5) / 1000000.0
+      |  END AS effect_size
+      |FROM a""".stripMargin) { (s, dir) =>
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"),
+      size(TextAnalysis.tokens(col("text"))).as("__n"))
+    val p = d.as("a").join(d.as("b"),
+        col("b.doc_id") === col("a.doc_id") + 25)
+      .select(col("a.doc_id").as("pid"), col("a.text").as("ta"),
+        col("b.text").as("tb"), col("a.__n").as("na"), col("b.__n").as("nb"))
+    val flip = (col("pid") % 3 === 0) === (col("na") >= col("nb"))
+    val pairs = p.select(
+      when(flip, col("tb")).otherwise(col("ta")).as("chosen"),
+      when(flip, col("ta")).otherwise(col("tb")).as("rejected"))
+    Preference.lengthBias(pairs, "chosen", "rejected")
+  }
+
   // Fleiss' kappa (inter-rater agreement): three synthetic raters label
   // each doc's language, each rater disagreeing on a deterministic 2/5
   // of (doc, rater) slots (defaulting to 'en') — the labeling-batch

@@ -846,6 +846,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(2L) == ((0L, 0L, 2L, None, "")), s"empty: ${out(2L)}")
   }
 
+  test("length bias: hand-computed rate/mean/effect, tie-only data nulls out") {
+    val pairs = Seq(
+      ("a b c", "a"), ("a", "a b c"), ("x y", "p q"), ("a b c d", "a b"))
+      .toDF("chosen", "rejected")
+    val r = Preference.lengthBias(pairs, "chosen", "rejected").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 1L, 2L)), s"$r")
+    assert(r.getDouble(3) == 0.666667 && r.getDouble(4) == 0.5, s"$r")
+    // d = (2,-2,0,2): var = (12 - 1)/3, effect = 0.5/sqrt(11/3)
+    assert(r.getDouble(5) == 0.261116, s"$r")
+    val ties = Seq(("a b", "c d"), ("e", "f")).toDF("chosen", "rejected")
+    val r2 = Preference.lengthBias(ties, "chosen", "rejected").collect()(0)
+    assert(r2.isNullAt(3) && r2.getDouble(4) == 0.0 && r2.isNullAt(5),
+      s"tie-only: $r2")
+  }
+
   test("unigram surprisal: rare-token docs score higher than common-token docs") {
     val corpus = Seq(
       (0L, "the the the the the"),
