@@ -25,10 +25,14 @@ object StreamBench {
     val rate = sys.env.getOrElse("SPARK_GRAFT_STREAM_RATE", "500000").toInt
     val secs = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "30").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // SPARK_GRAFT_STREAM_DEDUP=minhash|ppjoin benches the incremental
-    // dedup STORE loop (foreachBatch -> *StoreStep) instead of the
-    // classify->rules->alerts pipeline: per-batch docs/sec + the on-disk
-    // state-size trajectory over >= SPARK_GRAFT_STREAM_BATCHES batches
+    // SPARK_GRAFT_STREAM_DEDUP=minhash|ppjoin|substring benches the
+    // incremental dedup STORE loop (foreachBatch -> *StoreStep) instead
+    // of the classify->rules->alerts pipeline: per-batch docs/sec + the
+    // on-disk state-size trajectory over >= SPARK_GRAFT_STREAM_BATCHES
+    // batches. substring = repeatedSubstringStoreStep (gram-count store;
+    // the per-batch step time staying FLAT as the store grows is the
+    // receipt that the broadcast-semi prune keeps the step
+    // batch-proportional)
     sys.env.get("SPARK_GRAFT_STREAM_DEDUP") match {
       case Some(mode) => runDedupStoreBench(mode, cpus); return
       case None =>
@@ -179,6 +183,9 @@ object StreamBench {
         val dups = mode match {
           case "ppjoin" => graft.pipeline.Dedup.similarityStoreStep(
             bb, storeDir, "text", "doc_id", shingleWords = 2, threshold = 0.6)
+          case "substring" => graft.pipeline.Dedup.repeatedSubstringStoreStep(
+            bb, storeDir, "text", "doc_id", minLen = 8, batchId = id)
+            .where(col("dup_tokens") > 0)
           case _ => graft.pipeline.Dedup.minhashStoreStep(
             bb, storeDir, "text", "doc_id", shingleWords = 3,
             numHashes = 32, bands = 8, threshold = 0.7)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
 /** Deduplication family for training-data pipelines, each shaped for 100 TB.
   *
@@ -214,6 +214,65 @@ object Dedup {
         col("dup_spans"))
   }
 
+  /** The CLEANED corpus from the variable-length substring pass — cut
+    * every token inside a [[repeatedSubstringSpans]] repeat span and
+    * reassemble the survivors in order (the deliverable of Lee et al.
+    * 2022's ExactSubstr dedup: the paper removes ALL occurrences of a
+    * ≥ minLen-token repeat, which in-practice loses nothing because one
+    * copy survives whenever the repeat sits inside unique context
+    * shorter than minLen). Every input document comes back as
+    * (doc_id, clean_text, n_tokens, n_removed) — a fully-repeated
+    * document returns EMPTY text, it never silently vanishes (the
+    * [[graft.pipeline.TextAnalysis.removeContaminatedSpans]] rule).
+    * Tokens are whitespace-canonicalized and lowered, the same stream
+    * every other text op sees.
+    *
+    * Scale shape: span discovery is the d20 pipeline unchanged (grams
+    * leave the scan as (doc_id, pos, 16-byte md5); repeat test = one
+    * pre-combined groupBy(hash) + skinny semi-join; interval union on
+    * doc-bounded windows). The cut itself adds NO per-token shuffle:
+    * spans collapse to one skinny (doc_id, [s,e] list) row per flagged
+    * doc, and the corpus text rides exactly ONE doc-keyed exchange into
+    * that join — the surgical filter runs scan-side over the token
+    * array (per-token span probe is O(spans/doc), spans are few by
+    * construction since they merged in the union). */
+  def removeRepeatedSubstrings(df: DataFrame, textCol: String, idCol: String,
+      minLen: Int): DataFrame = {
+    require(minLen >= 2, "removeRepeatedSubstrings needs minLen >= 2")
+    val (_, positional) = substringAnchors(df, textCol, idCol, minLen)
+    val repeated = positional.groupBy("__gh")
+      .agg(count(lit(1)).as("__c")).where(col("__c") >= 2)
+      .select("__gh")
+    val covered = positional.join(repeated, Seq("__gh"), "left_semi")
+      .select(col("doc_id"), col("pos"),
+        (col("pos") + (minLen - 1)).as("__end"))
+    // interval union (the d20 sweep), then per-doc span LIST — skinny:
+    // one row per flagged doc carrying its few merged [s, e] intervals
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val prevMax = max(col("__end"))
+      .over(wDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = covered
+      .withColumn("__new",
+        when(prevMax.isNull || col("pos") > prevMax + 1, 1L).otherwise(0L))
+      .withColumn("__grp", sum(col("__new")).over(wDoc))
+      .groupBy("doc_id", "__grp")
+      .agg(min(col("pos")).as("__s"), max(col("__end")).as("__e"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("__s"), col("__e"))))
+        .as("__spans"))
+    val base = df.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+    base.join(spans, Seq("doc_id"), "left")
+      .withColumn("__kept", filter(col("__toks"), (_, i) =>
+        col("__spans").isNull || !exists(col("__spans"), sp =>
+          i >= sp.getField("__s") && i <= sp.getField("__e"))))
+      .select(col("doc_id"),
+        array_join(col("__kept"), " ").as("clean_text"),
+        size(col("__toks")).cast(LongType).as("n_tokens"),
+        (size(col("__toks")) - size(col("__kept"))).cast(LongType)
+          .as("n_removed"))
+  }
+
   /** One micro-batch step of the STREAMING variable-length substring
     * dedup loop — the [[minhashStoreStep]] shape for the suffix-array
     * tier: the arriving batch's spans are computed against the gram
@@ -233,13 +292,31 @@ object Dedup {
     * double-counting, so no gram can become spuriously "repeated" under
     * at-least-once execution. Store growth per batch = the batch's
     * DISTINCT gram count (pre-combined before the write), and the step
-    * never rereads corpus text — cost is batch-grams + one
-    * (gh, count)-cardinality store scan. Returns the d20 report columns
+    * never rereads corpus text.
+    *
+    * BATCH-PROPORTIONAL step cost: the ≥2 verdict only matters for grams
+    * PRESENT in the batch (the covered semi-join keeps batch positions
+    * only), so prior counts are pruned by the batch's distinct gram set
+    * BEFORE the global aggregate — a broadcast left-semi that turns the
+    * store side into scan + probe with NO store-side exchange, and
+    * shrinks the count aggregate from store- to batch-cardinality. The
+    * broadcast is bounded by the micro-batch's distinct gram set, the
+    * same bound the in-flight frame itself carries. The scan prunes too:
+    * each batch partition ships a bloom sidecar over its gram keys
+    * (`gramblooms/batch_id=N`), and the step probes prior blooms with
+    * the batch's gram keys (early-exit on first hit) to skip prior
+    * partitions sharing NO gram with the batch — sound because blooms
+    * have no false negatives and the probe set is the batch's COMPLETE
+    * distinct gram set (when it exceeds [[SubstringProbeCap]] the skip
+    * is bypassed, not approximated: a batch that large overlaps
+    * everything on organic text anyway, and row-level pruning still
+    * holds via the broadcast semi-join). Returns the d20 report columns
     * for the batch's docs. */
   def repeatedSubstringStoreStep(batch: DataFrame, storeDir: String,
       textCol: String, idCol: String, minLen: Int, batchId: Long): DataFrame = {
     val spark = batch.sparkSession
     val countsPath = s"$storeDir/gramcounts"
+    val bloomsPath = s"$storeDir/gramblooms"
     val (docUniverse, positional0) =
       substringAnchors(batch, textCol, idCol, minLen)
     // one materialization serves every consumer: batch counts, the
@@ -250,15 +327,31 @@ object Dedup {
       .agg(count(lit(1)).as("__c"))
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val priorCounts =
+    // committed prior partitions only (never the current batch's — a
+    // retried batch must not see its own failed partial)
+    val priorParts: Seq[(Long, String)] =
       if (fs.exists(new org.apache.hadoop.fs.Path(countsPath)))
-        spark.read.option("basePath", countsPath).parquet(countsPath)
-          .where(col("batch_id") =!= batchId)
+        fs.listStatus(new org.apache.hadoop.fs.Path(countsPath)).toSeq
+          .filter(_.isDirectory).map(_.getPath)
+          .collect { case p if p.getName.startsWith("batch_id=") =>
+            (p.getName.stripPrefix("batch_id=").toLong, p.toString) }
+          .filter(_._1 != batchId)
+      else Seq.empty
+    val keptParts = prunePriorPartsByBloom(spark, fs, bloomsPath,
+      positional, priorParts)
+    val priorCounts =
+      if (keptParts.isEmpty) batchCounts.limit(0)
+      else
+        // explicit schema: a crashed first write that left only
+        // _temporary under a partition must read as empty, not fail
+        // schema inference and wedge the stream until manual cleanup
+        spark.read.schema(StructType(Seq(
+            StructField("__gh", StringType), StructField("__c", LongType),
+            StructField("batch_id", LongType))))
+          .option("basePath", countsPath)
+          .parquet(keptParts.map(_._2): _*)
           .select(col("__gh"), col("__c"))
-      else batchCounts.limit(0)
-    val repeated = priorCounts.unionAll(batchCounts)
-      .groupBy("__gh").agg(sum(col("__c")).as("__tot"))
-      .where(col("__tot") >= 2).select("__gh")
+    val repeated = substringRepeatVerdict(priorCounts, batchCounts)
     val covered = positional.join(repeated, Seq("__gh"), "left_semi")
       .select(col("doc_id"), col("pos"),
         (col("pos") + (minLen - 1)).as("__end"))
@@ -270,7 +363,75 @@ object Dedup {
       .localCheckpoint()
     batchCounts.write.mode("overwrite")
       .parquet(s"$countsPath/batch_id=$batchId")
+    // bloom sidecar AFTER counts (a sidecar without data reads as
+    // overlap-everything — sound); same per-partition overwrite idiom
+    positional.select(xxhash64(col("__gh")).as("__k"))
+      .agg(graft.functions.Bloom.bloom_filter_agg(col("__k"),
+        SubstringBloomItems, SubstringBloomBits).as("bloom"))
+      .write.mode("overwrite").parquet(s"$bloomsPath/batch_id=$batchId")
     out
+  }
+
+  /** The batch-proportional global repeat verdict of the store step
+    * (PlanSpec-pinned): prior (gh, c) partials prune by the batch's
+    * distinct gram set via a BROADCAST left-semi BEFORE the
+    * union + count aggregate — the store side reaches the verdict as
+    * scan + probe with no exchange, and the aggregate's input is
+    * batch-cardinality (prior rows surviving the probe + the batch's
+    * own counts), never store-cardinality. Semantics are identical to
+    * aggregating the full store: grams absent from the batch cannot
+    * appear in the batch's covered positions, so their verdicts are
+    * never consulted. */
+  private[graft] def substringRepeatVerdict(priorCounts: DataFrame,
+      batchCounts: DataFrame): DataFrame =
+    priorCounts
+      .join(broadcast(batchCounts.select("__gh")), Seq("__gh"), "left_semi")
+      .unionAll(batchCounts)
+      .groupBy("__gh").agg(sum(col("__c")).as("__tot"))
+      .where(col("__tot") >= 2).select("__gh")
+
+  /** Sound probe-set size cap for the bloom partition skip: collecting
+    * the batch's distinct gram keys is bounded driver memory (64k longs
+    * = 512 KiB); a batch with more distinct grams skips the file-level
+    * prune (row-level pruning still applies) rather than probe with an
+    * incomplete — unsound — subset. */
+  private val SubstringProbeCap = 1 << 16
+  private val SubstringBloomItems = 1L << 17
+  private val SubstringBloomBits = 1L << 20 // 128 KiB per batch partition
+
+  /** Prior partitions that MIGHT share a gram with the batch: probe each
+    * prior batch's bloom with the batch's distinct gram keys, early-exit
+    * on the first hit (O(1) probes for overlapping batches — the common
+    * case — and O(batch grams) exactly when the skip pays). Partitions
+    * without a committed sidecar are always kept (sound). */
+  private def prunePriorPartsByBloom(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, bloomsPath: String,
+      positional: DataFrame, priorParts: Seq[(Long, String)]): Seq[(Long, String)] = {
+    if (priorParts.isEmpty) return priorParts
+    if (!fs.exists(new org.apache.hadoop.fs.Path(bloomsPath))) return priorParts
+    val keysCapped = positional.select(xxhash64(col("__gh")).as("__k"))
+      .distinct().limit(SubstringProbeCap + 1).collect().map(_.getLong(0))
+    if (keysCapped.length > SubstringProbeCap) return priorParts // incomplete set: no sound skip
+    // ONE sidecar read for all prior batches: (batch_id, bloom) rows,
+    // batch-count cardinality — bounded driver state by construction
+    val blooms: Map[Long, Array[Byte]] =
+      spark.read.schema(StructType(Seq(
+          StructField("bloom", org.apache.spark.sql.types.BinaryType),
+          StructField("batch_id", LongType))))
+        .option("basePath", bloomsPath).parquet(bloomsPath)
+        .collect()
+        .map(r => r.getAs[Long]("batch_id") -> r.getAs[Array[Byte]]("bloom"))
+        .toMap
+    priorParts.filter { case (id, _) =>
+      blooms.get(id) match {
+        case Some(bytes) if bytes != null =>
+          val bloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(bytes))
+          keysCapped.exists(bloom.mightContainLong)
+        // counts committed but no (or null — empty batch) sidecar: keep (sound)
+        case _ => true
+      }
+    }
   }
 
   /** Streaming ingestion dedup: drop redeliveries of the same document

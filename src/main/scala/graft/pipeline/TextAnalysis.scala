@@ -1865,10 +1865,12 @@ object TextAnalysis {
     * the quality family (low entropy = repetitive filler, high ≈ uniform
     * entropy = base64/compressed junk; natural text sits in a stable
     * band). Characters are UTF-16 code units of the lowered text
-    * (`split(text, "")` semantics, matching the DuckDB oracle),
-    * whitespace included — a supplementary-plane character counts as
-    * its two surrogate halves; use [[unicodeNormalize]] first if non-BMP
-    * text dominates a corpus.
+    * (`split(text, "")` semantics), whitespace included — a
+    * supplementary-plane character counts as its two surrogate halves.
+    * DuckDB splits by CODE POINT, so oracle parity holds for BMP text
+    * only (the test corpora are BMP/ASCII); for non-BMP corpora the
+    * two engines diverge by design of their string models — count code
+    * points (or [[unicodeNormalize]] first) if that matters.
     *
     * Determinism (the money-in-cents move on − p·ln p): each character
     * class's term `floor(p·ln(p)·10⁹ + 0.5)` is one fixed double
@@ -1945,11 +1947,14 @@ object TextAnalysis {
     * `link_density = link_chars / text_chars` (null for empty pages),
     * `tag_count` the raw tag count.
     *
-    * A pure scan-side projection (three regexp passes + entity
-    * replaces, codegen'd, RE2-compatible lazy quantifiers) — zero
-    * shuffle; run it in the ingest scan right after WARC framing.
-    * Returns (doc_id, text_chars, link_chars, tag_count, link_density,
-    * text). */
+    * A pure scan-side projection (regexp passes + entity replaces,
+    * codegen'd, RE2-compatible lazy quantifiers) — zero shuffle; run it
+    * in the ingest scan right after WARC framing. `<script>`/`<style>`
+    * bodies are stripped BEFORE counting visible text (their contents
+    * are code, not prose), and the anchor pattern requires a tag-name
+    * boundary (`<a>` or `<a␣...>`, case-insensitive) so `<abbr>`,
+    * `<article>`, `<aside>`, `<audio>` never read as anchors. Returns
+    * (doc_id, text_chars, link_chars, tag_count, link_density, text). */
   def htmlExtract(docs: DataFrame, htmlCol: String,
       idCol: String): DataFrame = {
     // amp decodes LAST so '&amp;lt;' yields the literal '&lt;', not '<'
@@ -1957,9 +1962,15 @@ object TextAnalysis {
       Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
         "&#39;" -> "'", "&amp;" -> "&")
         .foldLeft(c) { case (acc, (e, r)) => regexp_replace(acc, e, r) }
-    val stripped = regexp_replace(col(htmlCol), "<[^>]*>", "")
-    val linkBodies = regexp_extract_all(col(htmlCol),
-      lit("<a[^>]*>(.*?)</a>"), lit(1))
+    // two passes, one tag each: RE2 (the oracle engine) has no
+    // backreferences, so '</(script|style)>' cross-matching is avoided
+    // by construction rather than by a backref
+    val content = Seq("script", "style").foldLeft(col(htmlCol)) { (acc, tag) =>
+      regexp_replace(acc, s"(?is)<$tag(\\s[^>]*)?>.*?</$tag>", "")
+    }
+    val stripped = regexp_replace(content, "<[^>]*>", "")
+    val linkBodies = regexp_extract_all(content,
+      lit("(?is)<a(?:\\s[^>]*)?>(.*?)</a>"), lit(1))
     docs.select(col(idCol).as("doc_id"),
       decode(stripped).as("text"),
       aggregate(linkBodies, lit(0L),

@@ -202,11 +202,11 @@ private[graft] trait AnnQueries extends RegistryBase {
       Similarity.lshTopK(e, queries, k = 3),
       // banded AND-OR scheme (8 bands x 6 planes + in-band 1-bit probes):
       // measured recall@3 is 0.867 (13/15) at sf0.001 and 0.933 (14/15)
-      // at sf0.01 — theory for cos~0.3 neighbors (p ~ 0.6) predicts ~0.98
-      // with probes, vs the 0.2 the single 6-bit signature measured before
-      // the r12 graduation. Floor 0.8 = within 0.05 of worst measured
-      // (the d5e stability rule)
-      floor = 0.8)
+      // at sf0.01, stable 2+ rounds — theory for cos~0.3 neighbors
+      // (p ~ 0.6) predicts ~0.98 with probes, vs the 0.2 the single
+      // 6-bit signature measured before the r12 graduation. Floor 0.82 =
+      // within 0.05 of worst measured (the d5e stability rule)
+      floor = 0.82)
   }
 
 

@@ -319,11 +319,13 @@ private[graft] trait DedupQueries extends RegistryBase {
     exact.join(sim, Seq("id_a", "id_b"), "left")
       .agg(count(lit(1)).as("__exact"), sum(coalesce(col("__found"), lit(0))).as("__hit"))
       .select(col("__exact").cast("long").as("exact_pairs"),
-        // measured recall is 0.92-0.93 at sf0.001/sf0.01 (deterministic);
-        // 0.8 leaves drift margin while still catching a real regression.
+        // measured recall is 0.92-0.93 at sf0.001/sf0.01, DETERMINISTIC and
+        // stable 3+ rounds — floor 0.87 = within 0.05 of worst measured
+        // (the d2e/d5e stability rule; no drift margin applies to a
+        // deterministic pipeline).
         // coalesce: empty ground truth → 0/0 → NULL would hash-mismatch the
         // oracle's constant TRUE; degrade to vacuous-true on both engines
-        coalesce(col("__hit").cast("double") / col("__exact") >= 0.8, lit(true))
+        coalesce(col("__hit").cast("double") / col("__exact") >= 0.87, lit(true))
           .as("recall_floor_met"))
   }
 
@@ -875,6 +877,58 @@ private[graft] trait DedupQueries extends RegistryBase {
       minLen = 8, batchId = 1L)
     b0.unionAll(b1)
       .withColumn("dup_spans", coalesce(col("dup_spans"), lit("")))
+      .orderBy("doc_id")
+  }
+
+
+  // The CLEANED corpus from the substring tier — d20's spans actually cut
+  // and the survivors reassembled (the Lee et al. 2022 ExactSubstr
+  // deliverable; d20 only reports). The oracle recomputes the identical
+  // algebra through the span sweep, then cuts by per-position anti-join
+  // and reassembles in token order — hash-proven down to the clean_text
+  // bytes. Fully-repeated docs return EMPTY text (never vanish).
+  register(
+    "d22_substring_dedup_clean",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |         CAST(unnest(range(1, greatest(len(t) - 6, 1))) AS BIGINT) - 1 AS pos,
+      |         unnest(list_transform(range(1, greatest(len(t) - 6, 1)),
+      |           i -> md5(array_to_string(t[i:i+7], ' ')))) AS gh
+      |  FROM toks),
+      |rep AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+      |cov AS (SELECT g.doc_id, g.pos, g.pos + 7 AS e FROM g JOIN rep USING (gh)),
+      |m AS (SELECT doc_id, pos, e,
+      |        max(e) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |      FROM cov),
+      |f AS (SELECT doc_id, pos, e,
+      |        CASE WHEN pm IS NULL OR pos > pm + 1 THEN 1 ELSE 0 END AS nw
+      |      FROM m),
+      |gr AS (SELECT doc_id, pos, e,
+      |         sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM f),
+      |sp AS (SELECT doc_id, min(pos) AS s, max(e) AS e2
+      |       FROM gr GROUP BY doc_id, grp),
+      |cpos AS (SELECT doc_id, unnest(range(s, e2 + 1)) AS pos FROM sp),
+      |dt AS (SELECT doc_id, unnest(t) AS tok,
+      |              CAST(generate_subscripts(t, 1) AS BIGINT) - 1 AS pos
+      |       FROM toks),
+      |kept AS (
+      |  SELECT dt.doc_id, dt.tok, dt.pos FROM dt
+      |  ANTI JOIN cpos ON cpos.doc_id = dt.doc_id AND cpos.pos = dt.pos),
+      |agg AS (
+      |  SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS clean_text,
+      |         count(*) AS n_kept
+      |  FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+      |       CAST(len(t.t) AS BIGINT) AS n_tokens,
+      |       CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+      |FROM toks t LEFT JOIN agg a USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    Dedup.removeRepeatedSubstrings(t(s, dir, "documents"), "text", "doc_id",
+      minLen = 8)
       .orderBy("doc_id")
   }
 

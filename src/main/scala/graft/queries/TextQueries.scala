@@ -2397,18 +2397,25 @@ private[graft] trait TextQueries extends RegistryBase {
       |      WHEN 1 THEN '<ul>' || repeat('<li><a href="/x">section link text here</a></li>', 5) || '</ul><p>' || text || '</p>'
       |      ELSE '<p>A &amp; B &lt;tagless&gt; &quot;q&quot;</p><a href="#">&#39;tick&#39; anchor</a><p>' || text || '</p>' END AS html
       |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(html,
+      |      '(?is)<script(\s[^>]*)?>.*?</script>', '', 'g'),
+      |      '(?is)<style(\s[^>]*)?>.*?</style>', '', 'g') AS content,
+      |    html
+      |  FROM h),
       |x AS (
       |  SELECT doc_id,
       |    replace(replace(replace(replace(replace(
-      |      regexp_replace(html, '<[^>]*>', '', 'g'),
+      |      regexp_replace(content, '<[^>]*>', '', 'g'),
       |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS text,
       |    coalesce(list_sum(list_transform(
-      |      regexp_extract_all(html, '<a[^>]*>(.*?)</a>', 1),
+      |      regexp_extract_all(content, '(?is)<a(?:\s[^>]*)?>(.*?)</a>', 1),
       |      b -> length(replace(replace(replace(replace(replace(
       |        regexp_replace(b, '<[^>]*>', '', 'g'),
       |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&')))), 0) AS link_chars,
       |    CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT) AS tag_count
-      |  FROM h)
+      |  FROM c)
       |SELECT doc_id, CAST(length(text) AS BIGINT) AS text_chars,
       |       CAST(link_chars AS BIGINT) AS link_chars, tag_count,
       |       CASE WHEN length(text) > 0
