@@ -246,8 +246,17 @@ object Dedup {
     val covered = positional.join(repeated, Seq("__gh"), "left_semi")
       .select(col("doc_id"), col("pos"),
         (col("pos") + (minLen - 1)).as("__end"))
-    // interval union (the d20 sweep), then per-doc span LIST — skinny:
-    // one row per flagged doc carrying its few merged [s, e] intervals
+    cutCoveredSpans(df, textCol, idCol, covered)
+  }
+
+  /** The span-cut tail shared by [[removeRepeatedSubstrings]] and
+    * [[repeatedSubstringCleanStoreStep]]: interval-union `covered`
+    * (doc_id, pos, __end) repeated-window starts into per-doc merged
+    * [s, e] lists (skinny — one row per flagged doc), then cut the
+    * token arrays SCAN-side (per-token probe is O(spans/doc)) behind
+    * one doc-keyed join. */
+  private def cutCoveredSpans(df: DataFrame, textCol: String,
+      idCol: String, covered: DataFrame): DataFrame = {
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
     val prevMax = max(col("__end"))
       .over(wDoc.rowsBetween(Window.unboundedPreceding, -1))
@@ -314,6 +323,45 @@ object Dedup {
     * for the batch's docs. */
   def repeatedSubstringStoreStep(batch: DataFrame, storeDir: String,
       textCol: String, idCol: String, minLen: Int, batchId: Long): DataFrame = {
+    val (docUniverse, covered, writeStore) =
+      substringStoreBatchCovered(batch, storeDir, textCol, idCol, minLen, batchId)
+    // materialize BEFORE the store write: the exclusion read makes the
+    // result immune to OWN write, but a lazily-executed plan evaluated
+    // after a LATER batch's append would see that batch's counts as
+    // "prior" — eager materialization pins the as-of-this-batch verdict
+    val out = substringSpansFromCovered(docUniverse, covered)
+      .localCheckpoint()
+    writeStore()
+    out
+  }
+
+  /** [[repeatedSubstringStoreStep]]'s CLEAN twin — the incremental tier
+    * of [[removeRepeatedSubstrings]]: the arriving batch's repeat spans
+    * (against everything ingested so far, the store-loop asymmetry) are
+    * CUT and the surviving tokens reassembled, so the stream emits the
+    * deduplicated corpus batch by batch instead of a span report.
+    * Identical store contract (per-batch partition overwrite, bloom
+    * sidecar, batch-proportional verdict); identical cut contract
+    * (fully-repeated docs come back EMPTY, never vanish). Returns
+    * (doc_id, clean_text, n_tokens, n_removed) for the batch's docs. */
+  def repeatedSubstringCleanStoreStep(batch: DataFrame, storeDir: String,
+      textCol: String, idCol: String, minLen: Int, batchId: Long): DataFrame = {
+    val (_, covered, writeStore) =
+      substringStoreBatchCovered(batch, storeDir, textCol, idCol, minLen, batchId)
+    val out = cutCoveredSpans(batch, textCol, idCol, covered)
+      .localCheckpoint()
+    writeStore()
+    out
+  }
+
+  /** Shared store-loop front half of the substring pair: batch anchors,
+    * the batch-proportional global repeat verdict against the
+    * parquet-staged gram-count store, and the covered repeated-window
+    * starts — plus the deferred store write (counts partition + bloom
+    * sidecar) the caller runs AFTER materializing its result. */
+  private def substringStoreBatchCovered(batch: DataFrame, storeDir: String,
+      textCol: String, idCol: String, minLen: Int, batchId: Long)
+      : (DataFrame, DataFrame, () => Unit) = {
     val spark = batch.sparkSession
     val countsPath = s"$storeDir/gramcounts"
     val bloomsPath = s"$storeDir/gramblooms"
@@ -355,21 +403,17 @@ object Dedup {
     val covered = positional.join(repeated, Seq("__gh"), "left_semi")
       .select(col("doc_id"), col("pos"),
         (col("pos") + (minLen - 1)).as("__end"))
-    // materialize BEFORE the store write: the exclusion read makes the
-    // result immune to OWN write, but a lazily-executed plan evaluated
-    // after a LATER batch's append would see that batch's counts as
-    // "prior" — eager materialization pins the as-of-this-batch verdict
-    val out = substringSpansFromCovered(docUniverse, covered)
-      .localCheckpoint()
-    batchCounts.write.mode("overwrite")
-      .parquet(s"$countsPath/batch_id=$batchId")
-    // bloom sidecar AFTER counts (a sidecar without data reads as
-    // overlap-everything — sound); same per-partition overwrite idiom
-    positional.select(xxhash64(col("__gh")).as("__k"))
-      .agg(graft.functions.Bloom.bloom_filter_agg(col("__k"),
-        SubstringBloomItems, SubstringBloomBits).as("bloom"))
-      .write.mode("overwrite").parquet(s"$bloomsPath/batch_id=$batchId")
-    out
+    val writeStore = () => {
+      batchCounts.write.mode("overwrite")
+        .parquet(s"$countsPath/batch_id=$batchId")
+      // bloom sidecar AFTER counts (a sidecar without data reads as
+      // overlap-everything — sound); same per-partition overwrite idiom
+      positional.select(xxhash64(col("__gh")).as("__k"))
+        .agg(graft.functions.Bloom.bloom_filter_agg(col("__k"),
+          SubstringBloomItems, SubstringBloomBits).as("bloom"))
+        .write.mode("overwrite").parquet(s"$bloomsPath/batch_id=$batchId")
+    }
+    (docUniverse, covered, writeStore)
   }
 
   /** The batch-proportional global repeat verdict of the store step

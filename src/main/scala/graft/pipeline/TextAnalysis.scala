@@ -1987,6 +1987,70 @@ object TextAnalysis {
         col("text"))
   }
 
+  /** C4-style line cleaning with CORPUS-WIDE exact line dedup — the
+    * web-corpus cleanup pass that precedes document-level dedup: C4
+    * (Raffel et al. 2020) keeps only lines that end in terminal
+    * punctuation and carry enough words, and CCNet/FineWeb dedup
+    * repeated lines/paragraphs ACROSS the whole corpus (navigation
+    * chrome, cookie banners, boilerplate headers appear on thousands
+    * of pages — document-level dedup never sees them). Line filters
+    * apply first (terminal `.`/`!`/`?` with an optional closing quote,
+    * ≥ `minWords` whitespace words); filter-surviving lines then dedup
+    * corpus-wide on the md5 of their trimmed text, keeping the FIRST
+    * occurrence in (doc_id, line_idx) order. The doc verdict is C4's
+    * page rule: ≥ 3 kept lines, no "lorem ipsum", no `{` in the raw
+    * text. Every input document returns (doc_id, clean_text, n_lines,
+    * n_kept, n_drop_filter, n_drop_dup, keep_doc) — a fully-dropped
+    * page comes back with empty text, never silently vanishes.
+    *
+    * Scale shape: the line filter is scan-side; only filter-surviving
+    * lines enter the dedup as skinny (doc_id, idx, 16-byte md5) rows
+    * (line TEXT never shuffles). First-occurrence election is one
+    * pre-combined groupBy(hash) min(struct) — no window over the
+    * skewed hash key — and losers collapse to one per-doc dropped-idx
+    * list, so the corpus text rides exactly ONE doc-keyed exchange
+    * into the reassembly join; the cut runs scan-side over the split
+    * array. */
+  def c4LineClean(docs: DataFrame, textCol: String, idCol: String,
+      minWords: Int = 3): DataFrame = {
+    def linePass(l: Column): Column = {
+      val t = trim(l)
+      t.rlike("[.!?][\"']?$") &&
+        size(tokens(t)) >= minWords
+    }
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__raw"),
+      split(col(textCol), "\n").as("__lines"))
+    val occ = base
+      .select(col("doc_id"), posexplode(col("__lines")).as(Seq("idx", "__l")))
+      .where(linePass(col("__l")))
+      .select(col("doc_id"), col("idx").cast(LongType).as("idx"),
+        md5(trim(col("__l"))).as("__lh"))
+    val winners = occ.groupBy("__lh")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("__w"))
+    val dupDropped = occ.join(winners, Seq("__lh"))
+      .where(struct(col("doc_id"), col("idx")) =!= col("__w"))
+      .groupBy("doc_id").agg(collect_list(col("idx")).as("__dup_idx"))
+    base.join(dupDropped, Seq("doc_id"), "left")
+      .withColumn("__dup_idx",
+        coalesce(col("__dup_idx"), array().cast("array<long>")))
+      .withColumn("__kept", filter(col("__lines"), (l, i) =>
+        linePass(l) && !array_contains(col("__dup_idx"), i.cast(LongType))))
+      .withColumn("__n_pass",
+        size(filter(col("__lines"), l => linePass(l))).cast(LongType))
+      .select(col("doc_id"),
+        array_join(transform(col("__kept"), l => trim(l)), "\n")
+          .as("clean_text"),
+        size(col("__lines")).cast(LongType).as("n_lines"),
+        size(col("__kept")).cast(LongType).as("n_kept"),
+        (size(col("__lines")) - col("__n_pass")).cast(LongType)
+          .as("n_drop_filter"),
+        (col("__n_pass") - size(col("__kept"))).cast(LongType)
+          .as("n_drop_dup"),
+        (size(col("__kept")) >= 3 &&
+          !lower(col("__raw")).contains("lorem ipsum") &&
+          !col("__raw").contains("{")).as("keep_doc"))
+  }
+
   /** SURGICAL span decontamination — remove the n-gram-matching SPANS and
     * keep the rest of the document, instead of dropping whole documents
     * ([[ngramContamination]] counts; this cleans): the standard upgrade

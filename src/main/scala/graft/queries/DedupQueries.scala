@@ -881,6 +881,70 @@ private[graft] trait DedupQueries extends RegistryBase {
   }
 
 
+  // The incremental CLEAN tier: d21's two-batch store loop, but emitting
+  // the deduplicated TEXT of each arriving batch instead of the span
+  // report (repeatedSubstringCleanStoreStep = storeStep semantics + the
+  // d22 cut). The oracle reuses d21's asymmetric cov algebra (batch-0
+  // docs vs batch-0 grams, batch-1 vs full corpus) and then cuts by
+  // per-position anti-join — hash-proven to the clean_text bytes.
+  register(
+    "d23_substring_clean_incremental",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS t
+      |  FROM documents WHERE doc_id < 500),
+      |g AS (
+      |  SELECT doc_id,
+      |         CAST(unnest(range(1, greatest(len(t) - 6, 1))) AS BIGINT) - 1 AS pos,
+      |         unnest(list_transform(range(1, greatest(len(t) - 6, 1)),
+      |           i -> md5(array_to_string(t[i:i+7], ' ')))) AS gh
+      |  FROM toks),
+      |rep0 AS (SELECT gh FROM g WHERE doc_id < 250 GROUP BY gh HAVING count(*) >= 2),
+      |repAll AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+      |cov AS (
+      |  SELECT g.doc_id, g.pos, g.pos + 7 AS e
+      |  FROM g JOIN rep0 USING (gh) WHERE g.doc_id < 250
+      |  UNION ALL
+      |  SELECT g.doc_id, g.pos, g.pos + 7 AS e
+      |  FROM g JOIN repAll USING (gh) WHERE g.doc_id >= 250),
+      |m AS (SELECT doc_id, pos, e,
+      |        max(e) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |      FROM cov),
+      |f AS (SELECT doc_id, pos, e,
+      |        CASE WHEN pm IS NULL OR pos > pm + 1 THEN 1 ELSE 0 END AS nw
+      |      FROM m),
+      |gr AS (SELECT doc_id, pos, e,
+      |         sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM f),
+      |sp AS (SELECT doc_id, min(pos) AS s, max(e) AS e2
+      |       FROM gr GROUP BY doc_id, grp),
+      |cpos AS (SELECT doc_id, unnest(range(s, e2 + 1)) AS pos FROM sp),
+      |dt AS (SELECT doc_id, unnest(t) AS tok,
+      |              CAST(generate_subscripts(t, 1) AS BIGINT) - 1 AS pos
+      |       FROM toks),
+      |kept AS (
+      |  SELECT dt.doc_id, dt.tok, dt.pos FROM dt
+      |  ANTI JOIN cpos ON cpos.doc_id = dt.doc_id AND cpos.pos = dt.pos),
+      |agg AS (
+      |  SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS clean_text,
+      |         count(*) AS n_kept
+      |  FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+      |       CAST(len(t.t) AS BIGINT) AS n_tokens,
+      |       CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+      |FROM toks t LEFT JOIN agg a USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    val store = scratchDir("d23_store")
+    val docs = t(s, dir, "documents").where(col("doc_id") < 500)
+    val b0 = Dedup.repeatedSubstringCleanStoreStep(
+      docs.where(col("doc_id") < 250), store, "text", "doc_id",
+      minLen = 8, batchId = 0L)
+    val b1 = Dedup.repeatedSubstringCleanStoreStep(
+      docs.where(col("doc_id") >= 250), store, "text", "doc_id",
+      minLen = 8, batchId = 1L)
+    b0.unionAll(b1).orderBy("doc_id")
+  }
+
+
   // The CLEANED corpus from the substring tier — d20's spans actually cut
   // and the survivors reassembled (the Lee et al. 2022 ExactSubstr
   // deliverable; d20 only reports). The oracle recomputes the identical

@@ -2437,4 +2437,78 @@ private[graft] trait TextQueries extends RegistryBase {
             lit("</p>"))).as("html"))
     TextAnalysis.htmlExtract(html, "html", "doc_id").orderBy("doc_id")
   }
+
+
+  // C4 line filters + CCNet/FineWeb corpus-wide line dedup. The planted
+  // page shape gives every branch a worked case: a content line (first 8
+  // tokens + terminal punct — dedups only when docs share an opening), a
+  // boilerplate line shared by all even docs (exactly ONE survivor
+  // corpus-wide), two filter-failing lines (too short / no terminal
+  // punct), a per-doc unique line (always kept), and lorem-ipsum /
+  // brace lines tripping the page verdict. Exact set logic over line
+  // hashes, first-occurrence election by (doc_id, idx) — hash-proven
+  // down to the reassembled clean_text bytes.
+  register(
+    "t85_c4_line_clean",
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_filter(string_split_regex(text, '\s+'),
+      |                                x -> x != '')[1:8], ' ') || ' end.'
+      |    || CASE WHEN doc_id % 2 = 0
+      |            THEN chr(10) || 'subscribe to our newsletter today.' ELSE '' END
+      |    || chr(10) || 'read more'
+      |    || chr(10) || 'no terminal punctuation here'
+      |    || chr(10) || 'document ' || doc_id || ' summary ends here.'
+      |    || CASE WHEN doc_id % 97 = 0
+      |            THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
+      |    || CASE WHEN doc_id % 89 = 0
+      |            THEN chr(10) || 'config { tuned }.' ELSE '' END AS text
+      |  FROM documents),
+      |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+      |             CAST(generate_subscripts(string_split(text, chr(10)), 1)
+      |               AS BIGINT) - 1 AS idx
+      |      FROM raw),
+      |p AS (SELECT doc_id, idx, trim(line) AS tl,
+      |             regexp_matches(trim(line), '[.!?]["'']?$') AND
+      |               len(list_filter(string_split_regex(trim(line), '\s+'),
+      |                               x -> x != '')) >= 3 AS pass
+      |      FROM l),
+      |occ AS (SELECT doc_id, idx, tl, md5(tl) AS lh FROM p WHERE pass),
+      |k AS (SELECT doc_id, idx, tl,
+      |        row_number() OVER (PARTITION BY lh ORDER BY doc_id, idx) AS rn
+      |      FROM occ),
+      |kept AS (SELECT doc_id, idx, tl FROM k WHERE rn = 1),
+      |agg AS (SELECT doc_id,
+      |          array_to_string(list(tl ORDER BY idx), chr(10)) AS clean_text,
+      |          count(*) AS n_kept
+      |        FROM kept GROUP BY doc_id),
+      |stats AS (SELECT doc_id, count(*) AS n_lines,
+      |            sum(CASE WHEN pass THEN 1 ELSE 0 END) AS n_pass
+      |          FROM p GROUP BY doc_id)
+      |SELECT r.doc_id,
+      |       coalesce(a.clean_text, '') AS clean_text,
+      |       CAST(s.n_lines AS BIGINT) AS n_lines,
+      |       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+      |       CAST(s.n_lines - s.n_pass AS BIGINT) AS n_drop_filter,
+      |       CAST(s.n_pass - coalesce(a.n_kept, 0) AS BIGINT) AS n_drop_dup,
+      |       (coalesce(a.n_kept, 0) >= 3
+      |          AND NOT contains(lower(r.text), 'lorem ipsum')
+      |          AND NOT contains(r.text, '{')) AS keep_doc
+      |FROM raw r JOIN stats s USING (doc_id) LEFT JOIN agg a USING (doc_id)
+      |ORDER BY r.doc_id""".stripMargin) { (s, dir) =>
+    val d = t(s, dir, "documents")
+    val pages = d.select(col("doc_id"), concat(
+      concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 8)),
+      lit(" end."),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("\nsubscribe to our newsletter today."))).otherwise(lit("")),
+      lit("\nread more"),
+      lit("\nno terminal punctuation here"),
+      concat(lit("\ndocument "), col("doc_id"), lit(" summary ends here.")),
+      when(col("doc_id") % 97 === 0,
+        lit("\nlorem ipsum dolor sit amet.")).otherwise(lit("")),
+      when(col("doc_id") % 89 === 0,
+        lit("\nconfig { tuned }.")).otherwise(lit(""))).as("text"))
+    TextAnalysis.c4LineClean(pages, "text", "doc_id").orderBy("doc_id")
+  }
 }

@@ -810,6 +810,50 @@ class PipelineOpsSpec extends AnyFunSuite {
       "retried batch must overwrite its partial counts, not double-count")
   }
 
+  test("substring CLEAN store step: cross-batch repeats cut from the arriving batch") {
+    val store = java.nio.file.Files.createTempDirectory("d23spec").toString
+    val b0 = Seq((0L, "a1 a2 a3 a4 a5 a6 a7 a8 x1 x2")).toDF("doc_id", "text")
+    val b1 = Seq((10L, "y1 a1 a2 a3 a4 a5 a6 a7 a8 y2")).toDF("doc_id", "text")
+    def run(b: org.apache.spark.sql.DataFrame, id: Long) =
+      Dedup.repeatedSubstringCleanStoreStep(b, store, "text", "doc_id",
+        minLen = 8, batchId = id)
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // batch 0: store empty, nothing repeated -> text passes through intact
+    assert(run(b0, 0L)(0L) == (("a1 a2 a3 a4 a5 a6 a7 a8 x1 x2", 10L, 0L)),
+      "first batch must pass through uncut")
+    // batch 1: the block is now corpus-repeated -> cut, survivors reassemble
+    assert(run(b1, 1L)(10L) == (("y1 y2", 10L, 8L)),
+      "cross-batch repeat must be cut from the arriving doc")
+  }
+
+  test("c4 line clean: filters, corpus-wide first-occurrence dedup, page verdict") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta.\nsubscribe to our newsletter today.\n" +
+        "read more\nunique zero line here."),
+      (1L, "alpha beta gamma delta.\nsubscribe to our newsletter today.\n" +
+        "unique one line here."),
+      (2L, "no terminal punct line\nlorem ipsum dolor sit amet.\nshort.\n" +
+        "unique two line here."))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.c4LineClean(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getBoolean(6)))
+      .toMap
+    // doc 0: all three passing lines are first occurrences; 'read more'
+    // fails the filter (no terminal punct, < 3 words); page verdict holds
+    assert(out(0L) == (("alpha beta gamma delta.\n" +
+      "subscribe to our newsletter today.\nunique zero line here.",
+      4L, 3L, 1L, 0L, true)), s"doc0: ${out(0L)}")
+    // doc 1: its first two lines lost the corpus-wide election to doc 0
+    assert(out(1L) == (("unique one line here.", 3L, 1L, 0L, 2L, false)),
+      s"doc1: ${out(1L)}")
+    // doc 2: two filter drops ('short.' has one word), lorem trips verdict
+    assert(out(2L) == (("lorem ipsum dolor sit amet.\nunique two line here.",
+      4L, 2L, 2L, 0L, false)), s"doc2: ${out(2L)}")
+  }
+
   test("script profile: homoglyph substitution trips mixed-token, single-script text never does") {
     val docs = Seq(
       (0L, "plain ascii text"),

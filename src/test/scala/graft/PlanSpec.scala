@@ -714,6 +714,26 @@ class PlanSpec extends AnyFunSuite {
       "d22: more than the covered sweep + corpus join shuffle by doc")
   }
 
+  test("t85 line clean: line hashes shuffle skinny, election is an agg, text rides one doc join") {
+    val p = plan("t85_c4_line_clean")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "t85: quadratic join operator in plan")
+    assert(!p.contains("UDF") && !p.contains("BatchEvalPython"), "t85: UDF in plan")
+    // first-occurrence election must be the pre-combined min(struct)
+    // aggregate, never a window over the (skewed) line-hash key
+    assert(!p.contains("windowspecdefinition"),
+      "t85: window in plan — election must be an aggregate")
+    val hashEx = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    hashEx.foreach { ln =>
+      assert(ln.contains("doc_id") || ln.contains("__lh"),
+        s"t85: unexpected shuffle key: $ln")
+      assert(!ln.contains("text#") && !ln.contains("__lines#"),
+        s"t85: text keyed a shuffle: $ln")
+    }
+    assert(hashEx.count(_.contains("doc_id")) <= 2,
+      "t85: more than the dropped-idx collapse + corpus join shuffle by doc")
+  }
+
   test("winnowing: selection is scan-side, candidate join releases caches") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val fps = graft.pipeline.Dedup.winnowFingerprints(docs, "text", "doc_id")
