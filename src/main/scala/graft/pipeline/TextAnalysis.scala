@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 /** Text analysis for large-scale training-data pipelines: language ID,
@@ -2013,30 +2013,56 @@ object TextAnalysis {
     * array. */
   def c4LineClean(docs: DataFrame, textCol: String, idCol: String,
       minWords: Int = 3): DataFrame = {
-    def linePass(l: Column): Column = {
-      val t = trim(l)
-      t.rlike("[.!?][\"']?$") &&
-        size(tokens(t)) >= minWords
-    }
-    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__raw"),
-      split(col(textCol), "\n").as("__lines"))
-    val occ = base
-      .select(col("doc_id"), posexplode(col("__lines")).as(Seq("idx", "__l")))
-      .where(linePass(col("__l")))
-      .select(col("doc_id"), col("idx").cast(LongType).as("idx"),
-        md5(trim(col("__l"))).as("__lh"))
+    val (base, occ) = c4LineBase(docs, textCol, idCol, minWords)
     val winners = occ.groupBy("__lh")
       .agg(min(struct(col("doc_id"), col("idx"))).as("__w"))
     val dupDropped = occ.join(winners, Seq("__lh"))
       .where(struct(col("doc_id"), col("idx")) =!= col("__w"))
+      .select(col("doc_id"), col("idx"))
+    c4Reassemble(base, dupDropped, minWords)
+  }
+
+  /** C4 line-pass predicate: trimmed line ends in terminal punctuation
+    * (optionally followed by a closing quote) and carries ≥ minWords
+    * whitespace words. */
+  private def c4LinePass(l: Column, minWords: Int): Column = {
+    val t = trim(l)
+    t.rlike("[.!?][\"']?$") && size(tokens(t)) >= minWords
+  }
+
+  /** Shared front half of the line-clean pair: `base` keeps the raw text
+    * + split lines per doc; `occ` is the filter-SURVIVING line
+    * occurrences as skinny (doc_id, idx, 16-byte md5) rows — line text
+    * never leaves the scan. */
+  private def c4LineBase(docs: DataFrame, textCol: String, idCol: String,
+      minWords: Int): (DataFrame, DataFrame) = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__raw"),
+      split(col(textCol), "\n").as("__lines"))
+    val occ = base
+      .select(col("doc_id"), posexplode(col("__lines")).as(Seq("idx", "__l")))
+      .where(c4LinePass(col("__l"), minWords))
+      .select(col("doc_id"), col("idx").cast(LongType).as("idx"),
+        md5(trim(col("__l"))).as("__lh"))
+    (base, occ)
+  }
+
+  /** Shared reassembly tail: `dupDropped` is the (doc_id, idx) set of
+    * dedup-losing line occurrences; they collapse to one per-doc index
+    * list, the corpus rides ONE doc-keyed join, and the cut + page
+    * verdict run scan-side over the split array. */
+  private def c4Reassemble(base: DataFrame, dupDropped: DataFrame,
+      minWords: Int): DataFrame = {
+    val dupIdx = dupDropped
       .groupBy("doc_id").agg(collect_list(col("idx")).as("__dup_idx"))
-    base.join(dupDropped, Seq("doc_id"), "left")
+    base.join(dupIdx, Seq("doc_id"), "left")
       .withColumn("__dup_idx",
         coalesce(col("__dup_idx"), array().cast("array<long>")))
       .withColumn("__kept", filter(col("__lines"), (l, i) =>
-        linePass(l) && !array_contains(col("__dup_idx"), i.cast(LongType))))
+        c4LinePass(l, minWords) &&
+          !array_contains(col("__dup_idx"), i.cast(LongType))))
       .withColumn("__n_pass",
-        size(filter(col("__lines"), l => linePass(l))).cast(LongType))
+        size(filter(col("__lines"), l => c4LinePass(l, minWords)))
+          .cast(LongType))
       .select(col("doc_id"),
         array_join(transform(col("__kept"), l => trim(l)), "\n")
           .as("clean_text"),
@@ -2049,6 +2075,66 @@ object TextAnalysis {
         (size(col("__kept")) >= 3 &&
           !lower(col("__raw")).contains("lorem ipsum") &&
           !col("__raw").contains("{")).as("keep_doc"))
+  }
+
+  /** One micro-batch step of STREAMING corpus-wide line dedup — the
+    * [[graft.pipeline.Dedup.repeatedSubstringStoreStep]] contract at
+    * line granularity: the arriving batch's lines are cleaned against
+    * every line hash ingested so far (earlier batches win the
+    * first-occurrence election; within the batch, (doc_id, idx) order
+    * wins), then the batch's distinct line hashes join the store.
+    * RETRY-IDEMPOTENT: hashes write to their OWN `batch_id=` partition
+    * with overwrite and the read excludes the current batch's partition
+    * (a line-hash store is a SET, so even a duplicate write would be
+    * harmless — the partition idiom keeps the store's per-batch growth
+    * accounting exact). Batch-proportional: prior hashes prune by the
+    * batch's distinct line set via broadcast left-semi (scan + probe,
+    * no store-side exchange), so only hashes the batch actually carries
+    * ever reach a join. Returns the [[c4LineClean]] report columns for
+    * the batch's docs. */
+  def c4LineCleanStoreStep(batch: DataFrame, storeDir: String,
+      textCol: String, idCol: String, minWords: Int = 3,
+      batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    val path = s"$storeDir/linehashes"
+    val (base, occ0) = c4LineBase(batch, textCol, idCol, minWords)
+    val occ = occ0.localCheckpoint()
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val priorParts =
+      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+        fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+          .filter(_.isDirectory).map(_.getPath)
+          .collect { case p if p.getName.startsWith("batch_id=") &&
+              p.getName.stripPrefix("batch_id=").toLong != batchId => p.toString }
+      else Seq.empty
+    val batchHashes = occ.select("__lh").distinct()
+    val priorHit =
+      if (priorParts.isEmpty) batchHashes.limit(0)
+      else
+        // explicit schema: a crashed write's _temporary-only partition
+        // reads as empty instead of failing inference (the substring
+        // store-step rule)
+        spark.read.schema(StructType(Seq(
+            StructField("__lh", StringType), StructField("batch_id", LongType))))
+          .option("basePath", path).parquet(priorParts: _*)
+          .select("__lh")
+          .join(broadcast(batchHashes), Seq("__lh"), "left_semi")
+          .distinct()
+    val winners = occ.groupBy("__lh")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("__w"))
+    // dropped = prior-seen occurrences ∪ in-batch election losers
+    val dropped = occ.join(broadcast(priorHit), Seq("__lh"), "left_semi")
+      .select(col("doc_id"), col("idx"))
+      .unionAll(occ.join(winners, Seq("__lh"))
+        .where(struct(col("doc_id"), col("idx")) =!= col("__w"))
+        .select(col("doc_id"), col("idx")))
+      .distinct()
+    // pin the as-of-this-batch verdict before the store write (the
+    // substring store-step materialization rule)
+    val out = c4Reassemble(base, dropped, minWords).localCheckpoint()
+    batchHashes.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+    out
   }
 
   /** SURGICAL span decontamination — remove the n-gram-matching SPANS and

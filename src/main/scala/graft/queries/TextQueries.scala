@@ -2496,8 +2496,14 @@ private[graft] trait TextQueries extends RegistryBase {
       |          AND NOT contains(r.text, '{')) AS keep_doc
       |FROM raw r JOIN stats s USING (doc_id) LEFT JOIN agg a USING (doc_id)
       |ORDER BY r.doc_id""".stripMargin) { (s, dir) =>
-    val d = t(s, dir, "documents")
-    val pages = d.select(col("doc_id"), concat(
+    TextAnalysis.c4LineClean(c4Pages(t(s, dir, "documents")), "text", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** The t85/t86 planted multi-line page construction (mirrored verbatim
+    * in both oracles' `raw` CTE). */
+  private def c4Pages(d: org.apache.spark.sql.DataFrame) =
+    d.select(col("doc_id"), concat(
       concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 8)),
       lit(" end."),
       when(col("doc_id") % 2 === 0,
@@ -2509,6 +2515,76 @@ private[graft] trait TextQueries extends RegistryBase {
         lit("\nlorem ipsum dolor sit amet.")).otherwise(lit("")),
       when(col("doc_id") % 89 === 0,
         lit("\nconfig { tuned }.")).otherwise(lit(""))).as("text"))
-    TextAnalysis.c4LineClean(pages, "text", "doc_id").orderBy("doc_id")
+
+
+  // The incremental tier of the line-clean pass: two batches through the
+  // parquet-staged line-hash store (c4LineCleanStoreStep). The store-loop
+  // asymmetry at line granularity: batch-0 docs elect among batch-0 lines
+  // only; batch-1 lines lose to ANY batch-0 occurrence (the boilerplate
+  // line survives once, in batch 0) and otherwise elect within batch 1.
+  // Same planted page shape as t85 — hash-proven to the clean_text bytes.
+  register(
+    "t86_line_clean_incremental",
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_filter(string_split_regex(text, '\s+'),
+      |                                x -> x != '')[1:8], ' ') || ' end.'
+      |    || CASE WHEN doc_id % 2 = 0
+      |            THEN chr(10) || 'subscribe to our newsletter today.' ELSE '' END
+      |    || chr(10) || 'read more'
+      |    || chr(10) || 'no terminal punctuation here'
+      |    || chr(10) || 'document ' || doc_id || ' summary ends here.'
+      |    || CASE WHEN doc_id % 97 = 0
+      |            THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
+      |    || CASE WHEN doc_id % 89 = 0
+      |            THEN chr(10) || 'config { tuned }.' ELSE '' END AS text
+      |  FROM documents WHERE doc_id < 500),
+      |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+      |             CAST(generate_subscripts(string_split(text, chr(10)), 1)
+      |               AS BIGINT) - 1 AS idx
+      |      FROM raw),
+      |p AS (SELECT doc_id, idx, trim(line) AS tl,
+      |             regexp_matches(trim(line), '[.!?]["'']?$') AND
+      |               len(list_filter(string_split_regex(trim(line), '\s+'),
+      |                               x -> x != '')) >= 3 AS pass
+      |      FROM l),
+      |occ AS (SELECT doc_id, idx, tl, md5(tl) AS lh FROM p WHERE pass),
+      |k0 AS (SELECT doc_id, idx, tl,
+      |         row_number() OVER (PARTITION BY lh ORDER BY doc_id, idx) AS rn
+      |       FROM occ WHERE doc_id < 250),
+      |b0set AS (SELECT DISTINCT lh FROM occ WHERE doc_id < 250),
+      |k1 AS (SELECT o.doc_id, o.idx, o.tl,
+      |         row_number() OVER (PARTITION BY o.lh ORDER BY o.doc_id, o.idx) AS rn
+      |       FROM occ o ANTI JOIN b0set USING (lh)
+      |       WHERE o.doc_id >= 250),
+      |kept AS (SELECT doc_id, idx, tl FROM k0 WHERE rn = 1
+      |         UNION ALL SELECT doc_id, idx, tl FROM k1 WHERE rn = 1),
+      |agg AS (SELECT doc_id,
+      |          array_to_string(list(tl ORDER BY idx), chr(10)) AS clean_text,
+      |          count(*) AS n_kept
+      |        FROM kept GROUP BY doc_id),
+      |stats AS (SELECT doc_id, count(*) AS n_lines,
+      |            sum(CASE WHEN pass THEN 1 ELSE 0 END) AS n_pass
+      |          FROM p GROUP BY doc_id)
+      |SELECT r.doc_id,
+      |       coalesce(a.clean_text, '') AS clean_text,
+      |       CAST(s.n_lines AS BIGINT) AS n_lines,
+      |       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+      |       CAST(s.n_lines - s.n_pass AS BIGINT) AS n_drop_filter,
+      |       CAST(s.n_pass - coalesce(a.n_kept, 0) AS BIGINT) AS n_drop_dup,
+      |       (coalesce(a.n_kept, 0) >= 3
+      |          AND NOT contains(lower(r.text), 'lorem ipsum')
+      |          AND NOT contains(r.text, '{')) AS keep_doc
+      |FROM raw r JOIN stats s USING (doc_id) LEFT JOIN agg a USING (doc_id)
+      |ORDER BY r.doc_id""".stripMargin) { (s, dir) =>
+    val store = scratchDir("t86_store")
+    val pages = c4Pages(t(s, dir, "documents").where(col("doc_id") < 500))
+    val b0 = TextAnalysis.c4LineCleanStoreStep(
+      pages.where(col("doc_id") < 250), store, "text", "doc_id",
+      minWords = 3, batchId = 0L)
+    val b1 = TextAnalysis.c4LineCleanStoreStep(
+      pages.where(col("doc_id") >= 250), store, "text", "doc_id",
+      minWords = 3, batchId = 1L)
+    b0.unionAll(b1).orderBy("doc_id")
   }
 }

@@ -827,6 +827,31 @@ class PipelineOpsSpec extends AnyFunSuite {
       "cross-batch repeat must be cut from the arriving doc")
   }
 
+  test("line clean store step: prior batches win the election, retry reads store not self") {
+    val store = java.nio.file.Files.createTempDirectory("t86spec").toString
+    val b0 = Seq((0L, "shared boilerplate line here.\nunique zero line here."))
+      .toDF("doc_id", "text")
+    val b1 = Seq((10L, "shared boilerplate line here.\nunique ten line here."))
+      .toDF("doc_id", "text")
+    def run(b: org.apache.spark.sql.DataFrame, id: Long) =
+      TextAnalysis.c4LineCleanStoreStep(b, store, "text", "doc_id",
+        minWords = 3, batchId = id)
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getLong(3), r.getLong(5))).toMap
+    // batch 0: store empty — both lines are first occurrences
+    assert(run(b0, 0L)(0L) ==
+      (("shared boilerplate line here.\nunique zero line here.", 2L, 0L)),
+      "first batch must keep all its first occurrences")
+    // batch 1: the shared line lost to batch 0's store entry
+    assert(run(b1, 1L)(10L) == (("unique ten line here.", 1L, 1L)),
+      "cross-batch duplicate line must drop")
+    // RETRY batch 0: its own partition is excluded from the prior read,
+    // but batch 1's committed hashes now count as prior — the shared
+    // line yields to the store (the substring store-step asymmetry)
+    assert(run(b0, 0L)(0L) == (("unique zero line here.", 1L, 1L)),
+      "retried batch must read the store, never its own partial")
+  }
+
   test("c4 line clean: filters, corpus-wide first-occurrence dedup, page verdict") {
     val docs = Seq(
       (0L, "alpha beta gamma delta.\nsubscribe to our newsletter today.\n" +
