@@ -145,6 +145,10 @@ object StreamBench {
   private def runDedupStoreBench(mode: String, cpus: String): Unit = {
     val docsPerBatch = sys.env.getOrElse("SPARK_GRAFT_STREAM_RATE", "5000").toInt
     val targetBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "25").toInt
+    // SPARK_GRAFT_STREAM_COMPACT_EVERY=N folds the substring store's
+    // batch partitions every N batches (upTo = id-1 keeps the latest
+    // batch retryable) — the receipt that partition count stays bounded
+    val compactEvery = sys.env.get("SPARK_GRAFT_STREAM_COMPACT_EVERY").map(_.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -192,6 +196,15 @@ object StreamBench {
         }
         val nd = dups.count()
         val s = (System.nanoTime() - t0) / 1e9
+        if (compactEvery.exists(ce => mode == "substring" && id > 0 && id % ce == 0)) {
+          val t1 = System.nanoTime()
+          val folded = graft.pipeline.Dedup.repeatedSubstringStoreCompact(
+            bb.sparkSession, storeDir, -id, id - 1)
+          val nparts = fs.listStatus(
+            new org.apache.hadoop.fs.Path(s"$storeDir/gramcounts")).count(_.isDirectory)
+          println(f"[dedup-store] batch=$id%2d compacted ${folded.size}%2d partitions " +
+            f"in ${(System.nanoTime() - t1) / 1e9}%.2f s -> $nparts live")
+        }
         batches.synchronized { batches += B(id, n, nd, s, storeBytes()) }
         bb.unpersist(true): Unit
       }

@@ -1,0 +1,126 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Per-batch-partitioned parquet store lifecycle shared by the
+  * incremental dedup store loops ([[Dedup.repeatedSubstringStoreStep]],
+  * [[TextAnalysis.c4LineCleanStoreStep]]): discovery, and LSM-style
+  * COMPACTION that folds many small `batch_id=` partitions into one
+  * consolidated partition without breaking the loops' retry contract.
+  *
+  * Why compaction is a 100 TB requirement and not hygiene: the store
+  * loops write one partition per micro-batch, so a long-lived stream
+  * accumulates an unbounded partition count — directory listing, footer
+  * reads, and per-partition bloom probes all scale with BATCHES, not
+  * data. Folding history into a handful of consolidated partitions
+  * bounds that metadata cost while leaving byte-identical semantics.
+  *
+  * Crash-safety protocol (single-file-rename commit):
+  *  1. consolidated data writes to `batch_id=<compactId>` (compactId is
+  *     NEGATIVE — stream batches are >= 0, so the id spaces never meet);
+  *  2. an optional bloom sidecar writes beside it;
+  *  3. the marker file `<markersDir>/<compactId>` commits atomically via
+  *     write-temp + rename, listing every folded partition id;
+  *  4. folded partitions delete lazily (best-effort, also retried by the
+  *     next compaction's cleanup).
+  * Readers apply two rules that make every crash window safe: a
+  * CONSOLIDATED (negative-id) partition is readable ONLY IF its marker
+  * exists (a crash between steps 1 and 3 leaves inert garbage, never a
+  * double count), and any partition id listed in a committed marker is
+  * EXCLUDED even if its directory still exists (a crash during step 4
+  * leaves stale sources that no reader counts).
+  *
+  * Retry contract: callers pass `upToBatchId` — only stream partitions
+  * with id <= upToBatchId fold. With foreachBatch semantics a batch can
+  * only retry while it is the LATEST batch, so compacting up to
+  * currentBatch − 1 is always safe: a retried batch's `batch_id=N`
+  * overwrite still fully replaces its partial, because N was never
+  * folded.
+  */
+private[graft] object BatchStore {
+
+  /** Committed, readable (id, path) partitions of `dataPath` under the
+    * reader rules above, excluding `excludeBatchId` (the in-flight
+    * batch — its counts come from the live frame, and a retried batch
+    * must never see its own failed partial). */
+  def readableParts(fs: FileSystem, dataPath: String, markersDir: String,
+      excludeBatchId: Option[Long]): Seq[(Long, String)] = {
+    if (!fs.exists(new Path(dataPath))) return Seq.empty
+    val markers = readMarkers(fs, markersDir)
+    val folded = markers.values.flatten.toSet
+    fs.listStatus(new Path(dataPath)).toSeq
+      .filter(_.isDirectory).map(_.getPath)
+      .collect { case p if p.getName.startsWith("batch_id=") =>
+        (p.getName.stripPrefix("batch_id=").toLong, p.toString) }
+      .filter { case (id, _) =>
+        !excludeBatchId.contains(id) && !folded.contains(id) &&
+          (id >= 0 || markers.contains(id)) }
+  }
+
+  /** Committed compaction markers: consolidated id -> folded ids. */
+  def readMarkers(fs: FileSystem, markersDir: String): Map[Long, Seq[Long]] = {
+    val dir = new Path(markersDir)
+    if (!fs.exists(dir)) return Map.empty
+    fs.listStatus(dir).toSeq.filter(_.isFile).map(_.getPath)
+      .filter(p => p.getName.matches("-?\\d+"))
+      .map { p =>
+        val in = fs.open(p)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        p.getName.toLong ->
+          body.split("\n").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toLong)
+      }.toMap
+  }
+
+  /** Fold every readable partition with stream id <= upToBatchId (plus
+    * earlier consolidated partitions) into `batch_id=<compactId>`:
+    * `merge` reduces the unioned rows (sum for count stores, distinct
+    * for set stores) so the consolidated partition is byte-equivalent
+    * to its sources under the store's own algebra. `sidecar`, when
+    * given, writes the consolidated partition's bloom/sketch sidecar
+    * BEFORE the marker commits (a sidecar-less consolidated partition
+    * is still sound — probes keep it). Returns the folded ids (empty =
+    * nothing worth folding; fewer than two candidates). */
+  def compact(spark: SparkSession, dataPath: String, markersDir: String,
+      schema: StructType, compactId: Long, upToBatchId: Long,
+      merge: DataFrame => DataFrame,
+      sidecar: Option[DataFrame => Unit] = None): Seq[Long] = {
+    require(compactId < 0,
+      "compaction ids are negative to stay out of the stream's id space")
+    val fs = new Path(dataPath).getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(new Path(s"$markersDir/$compactId")),
+      s"compaction id $compactId already committed")
+    val candidates = readableParts(fs, dataPath, markersDir, None)
+      .filter { case (id, _) => id < 0 || id <= upToBatchId }
+    if (candidates.size < 2) return Seq.empty
+    val merged = merge(
+      spark.read.schema(schema).option("basePath", dataPath)
+        .parquet(candidates.map(_._2): _*))
+    // sort for parquet row-group stats on the key column (scan-side
+    // min/max skipping once the store is mostly consolidated)
+    merged.sortWithinPartitions(merged.columns.head)
+      .write.mode("overwrite").parquet(s"$dataPath/batch_id=$compactId")
+    sidecar.foreach(_(spark.read.parquet(s"$dataPath/batch_id=$compactId")))
+    commitMarker(fs, markersDir, compactId, candidates.map(_._1))
+    // lazy cleanup: stale sources are already invisible to readers
+    candidates.foreach { case (_, p) =>
+      try fs.delete(new Path(p), true) catch { case _: java.io.IOException => }
+    }
+    candidates.map(_._1)
+  }
+
+  /** Atomic marker commit: write `<id>.tmp`, rename to `<id>`. */
+  private def commitMarker(fs: FileSystem, markersDir: String,
+      compactId: Long, folded: Seq[Long]): Unit = {
+    fs.mkdirs(new Path(markersDir))
+    val tmp = new Path(s"$markersDir/$compactId.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(folded.mkString("\n").getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, new Path(s"$markersDir/$compactId")))
+      throw new java.io.IOException(
+        s"compaction marker rename failed for $compactId")
+  }
+}

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -376,15 +376,10 @@ object Dedup {
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     // committed prior partitions only (never the current batch's — a
-    // retried batch must not see its own failed partial)
-    val priorParts: Seq[(Long, String)] =
-      if (fs.exists(new org.apache.hadoop.fs.Path(countsPath)))
-        fs.listStatus(new org.apache.hadoop.fs.Path(countsPath)).toSeq
-          .filter(_.isDirectory).map(_.getPath)
-          .collect { case p if p.getName.startsWith("batch_id=") =>
-            (p.getName.stripPrefix("batch_id=").toLong, p.toString) }
-          .filter(_._1 != batchId)
-      else Seq.empty
+    // retried batch must not see its own failed partial), with
+    // compaction markers applied ([[BatchStore]] reader rules)
+    val priorParts: Seq[(Long, String)] = BatchStore.readableParts(
+      fs, countsPath, s"$storeDir/compactions", Some(batchId))
     val keptParts = prunePriorPartsByBloom(spark, fs, bloomsPath,
       positional, priorParts)
     val priorCounts =
@@ -433,6 +428,44 @@ object Dedup {
       .unionAll(batchCounts)
       .groupBy("__gh").agg(sum(col("__c")).as("__tot"))
       .where(col("__tot") >= 2).select("__gh")
+
+  /** Fold the substring gram-count store's committed batch partitions
+    * (stream ids <= upToBatchId, plus earlier consolidations) into ONE
+    * consolidated negative-id partition — counts sum, so the store's
+    * ≥2 verdicts are byte-identical before and after; the retry
+    * contract survives because only batches that can no longer retry
+    * fold (call between batches with upToBatchId = lastCommitted − 1).
+    * Crash-safe via the [[BatchStore]] marker protocol: a torn
+    * compaction leaves inert garbage, never a double count. The
+    * consolidated partition gets an 8×-sized bloom sidecar (it carries
+    * many batches' gram cardinality); folded partitions' sidecars are
+    * cleaned up with them. Bounds the store's partition count — and
+    * with it listing, footer, and bloom-probe cost — for long-lived
+    * streams. Returns the folded ids (empty = nothing to fold). */
+  def repeatedSubstringStoreCompact(spark: SparkSession, storeDir: String,
+      compactId: Long, upToBatchId: Long): Seq[Long] = {
+    val bloomsPath = s"$storeDir/gramblooms"
+    val folded = BatchStore.compact(spark, s"$storeDir/gramcounts",
+      s"$storeDir/compactions",
+      StructType(Seq(
+        StructField("__gh", StringType), StructField("__c", LongType),
+        StructField("batch_id", LongType))),
+      compactId, upToBatchId,
+      df => df.groupBy("__gh").agg(sum(col("__c")).as("__c")),
+      sidecar = Some(consol => consol
+        .select(xxhash64(col("__gh")).as("__k"))
+        .agg(graft.functions.Bloom.bloom_filter_agg(col("__k"),
+          SubstringBloomItems * 8, SubstringBloomBits * 8).as("bloom"))
+        .write.mode("overwrite").parquet(s"$bloomsPath/batch_id=$compactId")))
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    folded.foreach { id =>
+      try fs.delete(
+        new org.apache.hadoop.fs.Path(s"$bloomsPath/batch_id=$id"), true)
+      catch { case _: java.io.IOException => }
+    }
+    folded
+  }
 
   /** Sound probe-set size cap for the bloom partition skip: collecting
     * the batch's distinct gram keys is bounded driver memory (64k longs

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
@@ -2101,13 +2101,8 @@ object TextAnalysis {
     val occ = occ0.localCheckpoint()
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val priorParts =
-      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-        fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
-          .filter(_.isDirectory).map(_.getPath)
-          .collect { case p if p.getName.startsWith("batch_id=") &&
-              p.getName.stripPrefix("batch_id=").toLong != batchId => p.toString }
-      else Seq.empty
+    val priorParts = BatchStore.readableParts(
+      fs, path, s"$storeDir/compactions", Some(batchId)).map(_._2)
     val batchHashes = occ.select("__lh").distinct()
     val priorHit =
       if (priorParts.isEmpty) batchHashes.limit(0)
@@ -2136,6 +2131,21 @@ object TextAnalysis {
     batchHashes.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
     out
   }
+
+  /** Fold the line-hash store's committed batch partitions into one
+    * consolidated negative-id partition (set semantics: distinct union),
+    * bounding partition-count growth for long-lived streams — the
+    * [[graft.pipeline.Dedup.repeatedSubstringStoreCompact]] lifecycle
+    * at line granularity, same [[BatchStore]] marker protocol and retry
+    * rules. Returns the folded ids. */
+  def c4LineStoreCompact(spark: SparkSession, storeDir: String,
+      compactId: Long, upToBatchId: Long): Seq[Long] =
+    BatchStore.compact(spark, s"$storeDir/linehashes",
+      s"$storeDir/compactions",
+      StructType(Seq(
+        StructField("__lh", StringType), StructField("batch_id", LongType))),
+      compactId, upToBatchId,
+      df => df.select("__lh").distinct())
 
   /** SURGICAL span decontamination — remove the n-gram-matching SPANS and
     * keep the rest of the document, instead of dropping whole documents

@@ -810,6 +810,89 @@ class PipelineOpsSpec extends AnyFunSuite {
       "retried batch must overwrite its partial counts, not double-count")
   }
 
+  test("BatchStore reader rules: unmarked consolidated invisible, folded excluded even if present") {
+    val root = java.nio.file.Files.createTempDirectory("bstore").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val data = s"$root/data"
+    val markers = s"$root/compactions"
+    for (id <- Seq(0L, 1L, -1L))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$data/batch_id=$id"))
+    def ids(ex: Option[Long]) = graft.pipeline.BatchStore
+      .readableParts(fs, data, markers, ex).map(_._1).toSet
+    // crash window 1: consolidated partition exists, marker does not —
+    // the consolidated data is INVISIBLE (no double count), sources live
+    assert(ids(None) == Set(0L, 1L), s"unmarked consolidated must hide: ${ids(None)}")
+    // the in-flight batch's own partition is always excluded
+    assert(ids(Some(0L)) == Set(1L), "own partition must be excluded")
+    // commit the marker: -1 folds {0, 1}
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$markers/-1"), true)
+    out.write("0\n1".getBytes("UTF-8")); out.close()
+    // crash window 2: marker committed, stale sources not yet deleted —
+    // folded ids are EXCLUDED even though their directories exist
+    assert(ids(None) == Set(-1L), s"folded sources must hide: ${ids(None)}")
+  }
+
+  test("substring store compaction: verdicts byte-identical, torn compaction inert") {
+    val store = java.nio.file.Files.createTempDirectory("d21compact").toString
+    def run(doc: (Long, String), id: Long) =
+      Dedup.repeatedSubstringStoreStep(Seq(doc).toDF("doc_id", "text"),
+        store, "text", "doc_id", minLen = 8, batchId = id)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(2), Option(r.getString(4)))).toMap
+    assert(run((0L, "a1 a2 a3 a4 a5 a6 a7 a8 x1 x2"), 0L)(0L) == ((0L, None)))
+    assert(run((10L, "y1 a1 a2 a3 a4 a5 a6 a7 a8 y2"), 1L)(10L) == ((1L, Some("1:8"))))
+    assert(run((20L, "z1 z2 z3 z4 z5 z6 z7 z8 z9"), 2L)(20L) == ((0L, None)))
+    // fold batches 0 and 1 (batch 2 is the latest — still retryable)
+    val folded = Dedup.repeatedSubstringStoreCompact(spark, store,
+      compactId = -1L, upToBatchId = 1L)
+    assert(folded.toSet == Set(0L, 1L), s"folded: $folded")
+    // the a-block now counts 2 via the CONSOLIDATED partition only —
+    // a batch repeating it must flag exactly as before compaction
+    assert(run((30L, "b1 b2 a1 a2 a3 a4 a5 a6 a7 a8"), 3L)(30L) ==
+      ((1L, Some("2:9"))), "consolidated counts must flag identically")
+    // retry of the unfolded latest batch: byte-identical report
+    assert(run((20L, "z1 z2 z3 z4 z5 z6 z7 z8 z9"), 2L)(20L) == ((0L, None)),
+      "retrying the unfolded latest batch must stay clean")
+    // torn-compaction simulation: a consolidated partition with NO
+    // marker (here: a foreign store's counts copied in as batch_id=-77)
+    // must be invisible — the probe doc's grams would otherwise flag
+    val victim = java.nio.file.Files.createTempDirectory("d21victim").toString
+    Dedup.repeatedSubstringStoreStep(
+      Seq((99L, "w1 w2 w3 w4 w5 w6 w7 w8 w9")).toDF("doc_id", "text"),
+      victim, "text", "doc_id", minLen = 8, batchId = 0L).collect()
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$victim/gramcounts/batch_id=0"), fs,
+      new org.apache.hadoop.fs.Path(s"$store/gramcounts/batch_id=-77"),
+      false, spark.sessionState.newHadoopConf()))
+    assert(run((40L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"), 4L)(40L) == ((0L, None)),
+      "unmarked consolidated partition must never count")
+  }
+
+  test("line store compaction: set union preserved across the fold") {
+    val store = java.nio.file.Files.createTempDirectory("t86compact").toString
+    def run(doc: (Long, String), id: Long) =
+      TextAnalysis.c4LineCleanStoreStep(Seq(doc).toDF("doc_id", "text"),
+        store, "text", "doc_id", minWords = 3, batchId = id)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(5))).toMap
+    assert(run((0L, "shared boilerplate line here."), 0L)(0L) ==
+      (("shared boilerplate line here.", 0L)))
+    assert(run((10L, "another unique line entirely."), 1L)(10L) ==
+      (("another unique line entirely.", 0L)))
+    assert(run((20L, "third unique line of text."), 2L)(20L) ==
+      (("third unique line of text.", 0L)))
+    val folded = TextAnalysis.c4LineStoreCompact(spark, store,
+      compactId = -1L, upToBatchId = 1L)
+    assert(folded.toSet == Set(0L, 1L), s"folded: $folded")
+    // both folded batches' hashes still win the election from the
+    // consolidated partition
+    assert(run((30L, "shared boilerplate line here.\nanother unique line entirely."),
+      3L)(30L) == (("", 2L)),
+      "consolidated line hashes must keep winning the election")
+  }
+
   test("substring CLEAN store step: cross-batch repeats cut from the arriving batch") {
     val store = java.nio.file.Files.createTempDirectory("d23spec").toString
     val b0 = Seq((0L, "a1 a2 a3 a4 a5 a6 a7 a8 x1 x2")).toDF("doc_id", "text")
