@@ -1987,6 +1987,41 @@ object TextAnalysis {
         col("text"))
   }
 
+  /** Mojibake / encoding-artifact profile — the double-encoding detector
+    * (ftfy's bread and butter) that belongs beside [[scriptProfile]] in
+    * corpus hygiene: UTF-8 bytes decoded as Windows-1252/Latin-1 leave
+    * unmistakable signatures — `Ã` followed by a Latin-1 high character
+    * (é→Ã©, ü→Ã¼ — the accented-Latin family), the `â€` prefix (curly
+    * quotes/dashes ’ “ ” – — all corrupt to â€-led runs), stray `Â`
+    * (non-breaking spaces), and the replacement character U+FFFD from
+    * lossy decodes. Counts each family plus a per-code-point ratio;
+    * `suspect` flags any document carrying an artifact. All counts are
+    * exact integers and both engines measure length in CODE POINTS, so
+    * the row hash-matches.
+    *
+    * A pure scan-side regexp projection, zero shuffle at any corpus
+    * size. Returns (doc_id, latin1_runs, quote_runs, nbsp_runs,
+    * replacement_chars, mojibake_ratio, suspect). */
+  def mojibakeProfile(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    def cnt(pat: String) =
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast(LongType)
+    val latin1 = cnt("Ã[\\x{80}-\\x{ff}]")
+    val quotes = cnt("â€")
+    val nbsp = cnt("Â")
+    val repl = cnt("�")
+    docs.select(col(idCol).as("doc_id"),
+      latin1.as("latin1_runs"), quotes.as("quote_runs"),
+      nbsp.as("nbsp_runs"), repl.as("replacement_chars"),
+      when(length(col(textCol)) > 0,
+        floor((latin1 + quotes + nbsp + repl).cast(DoubleType) * 1000000.0 /
+          length(col(textCol)).cast(DoubleType) + 0.5) / 1000000.0)
+        .otherwise(lit(0.0)).as("mojibake_ratio"))
+      .withColumn("suspect",
+        col("latin1_runs") + col("quote_runs") + col("nbsp_runs") +
+          col("replacement_chars") > 0)
+  }
+
   /** C4-style line cleaning with CORPUS-WIDE exact line dedup — the
     * web-corpus cleanup pass that precedes document-level dedup: C4
     * (Raffel et al. 2020) keeps only lines that end in terminal

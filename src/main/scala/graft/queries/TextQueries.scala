@@ -2587,4 +2587,49 @@ private[graft] trait TextQueries extends RegistryBase {
       minWords = 3, batchId = 1L)
     b0.unionAll(b1).orderBy("doc_id")
   }
+
+
+  // Mojibake / double-encoding artifact profile. Planted corruption by
+  // id residue exercises each artifact family (accented-Latin Ã-runs,
+  // curly-quote â€-runs, stray Â non-breaking spaces, U+FFFD), with the
+  // clean remainder as the negative control. Exact integer counts over
+  // code-point lengths in both engines — hash oracle.
+  register(
+    "t87_mojibake",
+    """WITH c AS (
+      |  SELECT doc_id, text
+      |    || CASE WHEN doc_id % 5 = 0 THEN ' caffÃ© crÃ¨me' ELSE '' END
+      |    || CASE WHEN doc_id % 7 = 0 THEN ' â€œquoted dash â€“ here' ELSE '' END
+      |    || CASE WHEN doc_id % 11 = 0 THEN ' brokenÂ space and �' ELSE '' END
+      |    AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, 'Ã[\x{80}-\x{ff}]')) AS BIGINT)
+      |    AS latin1_runs,
+      |  CAST(len(regexp_extract_all(text, 'â€')) AS BIGINT) AS quote_runs,
+      |  CAST(len(regexp_extract_all(text, 'Â')) AS BIGINT) AS nbsp_runs,
+      |  CAST(len(regexp_extract_all(text, '�')) AS BIGINT)
+      |    AS replacement_chars,
+      |  CASE WHEN length(text) > 0 THEN
+      |    floor((len(regexp_extract_all(text, 'Ã[\x{80}-\x{ff}]'))
+      |         + len(regexp_extract_all(text, 'â€'))
+      |         + len(regexp_extract_all(text, 'Â'))
+      |         + len(regexp_extract_all(text, '�'))) * 1000000.0
+      |      / length(text) + 0.5) / 1000000.0
+      |    ELSE 0.0 END AS mojibake_ratio,
+      |  (len(regexp_extract_all(text, 'Ã[\x{80}-\x{ff}]'))
+      |   + len(regexp_extract_all(text, 'â€'))
+      |   + len(regexp_extract_all(text, 'Â'))
+      |   + len(regexp_extract_all(text, '�'))) > 0 AS suspect
+      |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val corrupted = t(s, dir, "documents").select(col("doc_id"), concat(
+      col("text"),
+      when(col("doc_id") % 5 === 0, lit(" caffÃ© crÃ¨me")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        lit(" â€œquoted dash â€“ here")).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        lit(" brokenÂ space and �")).otherwise(lit(""))).as("text"))
+    TextAnalysis.mojibakeProfile(corrupted, "text", "doc_id")
+      .orderBy("doc_id")
+  }
 }

@@ -935,6 +935,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       "retried batch must read the store, never its own partial")
   }
 
+  test("mojibake profile: each artifact family counted, clean text never flags") {
+    val docs = Seq(
+      (0L, "caffÃ© and crÃ¨me"),      // two accented-Latin corruptions
+      (1L, "perfectly clean text"),
+      (2L, "â€œbad quote Â here �"),  // quote run + stray Â + U+FFFD
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.mojibakeProfile(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(6)))
+      .toMap
+    assert(out(0L) == ((2L, 0L, 0L, 0L, true)), s"latin1: ${out(0L)}")
+    assert(out(1L) == ((0L, 0L, 0L, 0L, false)), s"clean: ${out(1L)}")
+    assert(out(2L) == ((0L, 1L, 1L, 1L, true)), s"mixed: ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, 0L, 0L, false)), s"empty: ${out(3L)}")
+  }
+
   test("c4 line clean: filters, corpus-wide first-occurrence dedup, page verdict") {
     val docs = Seq(
       (0L, "alpha beta gamma delta.\nsubscribe to our newsletter today.\n" +
