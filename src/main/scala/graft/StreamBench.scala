@@ -145,9 +145,9 @@ object StreamBench {
   private def runDedupStoreBench(mode: String, cpus: String): Unit = {
     val docsPerBatch = sys.env.getOrElse("SPARK_GRAFT_STREAM_RATE", "5000").toInt
     val targetBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "25").toInt
-    // SPARK_GRAFT_STREAM_COMPACT_EVERY=N folds the substring store's
-    // batch partitions every N batches (upTo = id-1 keeps the latest
-    // batch retryable) — the receipt that partition count stays bounded
+    // SPARK_GRAFT_STREAM_COMPACT_EVERY=N folds the active mode's store
+    // partitions every N batches (upTo = id-1 keeps the latest batch
+    // retryable) — the receipt that partition count stays bounded
     val compactEvery = sys.env.get("SPARK_GRAFT_STREAM_COMPACT_EVERY").map(_.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -186,22 +186,29 @@ object StreamBench {
         val t0 = System.nanoTime()
         val dups = mode match {
           case "ppjoin" => graft.pipeline.Dedup.similarityStoreStep(
-            bb, storeDir, "text", "doc_id", shingleWords = 2, threshold = 0.6)
+            bb, storeDir, "text", "doc_id", shingleWords = 2, threshold = 0.6,
+            batchId = id)
           case "substring" => graft.pipeline.Dedup.repeatedSubstringStoreStep(
             bb, storeDir, "text", "doc_id", minLen = 8, batchId = id)
             .where(col("dup_tokens") > 0)
           case _ => graft.pipeline.Dedup.minhashStoreStep(
             bb, storeDir, "text", "doc_id", shingleWords = 3,
-            numHashes = 32, bands = 8, threshold = 0.7)
+            numHashes = 32, bands = 8, threshold = 0.7, batchId = id)
         }
         val nd = dups.count()
         val s = (System.nanoTime() - t0) / 1e9
-        if (compactEvery.exists(ce => mode == "substring" && id > 0 && id % ce == 0)) {
+        if (compactEvery.exists(ce => id > 0 && id % ce == 0)) {
           val t1 = System.nanoTime()
-          val folded = graft.pipeline.Dedup.repeatedSubstringStoreCompact(
-            bb.sparkSession, storeDir, -id, id - 1)
+          val (folded, watchDir) = mode match {
+            case "ppjoin" => (graft.pipeline.Dedup.similarityStoreCompact(
+              bb.sparkSession, storeDir, -id, id - 1), "sorted")
+            case "substring" => (graft.pipeline.Dedup.repeatedSubstringStoreCompact(
+              bb.sparkSession, storeDir, -id, id - 1), "gramcounts")
+            case _ => (graft.pipeline.Dedup.minhashStoreCompact(
+              bb.sparkSession, storeDir, -id, id - 1), "shingles")
+          }
           val nparts = fs.listStatus(
-            new org.apache.hadoop.fs.Path(s"$storeDir/gramcounts")).count(_.isDirectory)
+            new org.apache.hadoop.fs.Path(s"$storeDir/$watchDir")).count(_.isDirectory)
           println(f"[dedup-store] batch=$id%2d compacted ${folded.size}%2d partitions " +
             f"in ${(System.nanoTime() - t1) / 1e9}%.2f s -> $nparts live")
         }

@@ -85,7 +85,7 @@ private[graft] object BatchStore {
     * is still sound — probes keep it). Returns the folded ids (empty =
     * nothing worth folding; fewer than two candidates). */
   def compact(spark: SparkSession, dataPath: String, markersDir: String,
-      schema: StructType, compactId: Long, upToBatchId: Long,
+      schema: Option[StructType], compactId: Long, upToBatchId: Long,
       merge: DataFrame => DataFrame,
       sidecar: Option[DataFrame => Unit] = None): Seq[Long] = {
     require(compactId < 0,
@@ -96,9 +96,9 @@ private[graft] object BatchStore {
     val candidates = readableParts(fs, dataPath, markersDir, None)
       .filter { case (id, _) => id < 0 || id <= upToBatchId }
     if (candidates.size < 2) return Seq.empty
-    val merged = merge(
-      spark.read.schema(schema).option("basePath", dataPath)
-        .parquet(candidates.map(_._2): _*))
+    val reader = schema.foldLeft(spark.read)(_ schema _)
+      .option("basePath", dataPath)
+    val merged = merge(reader.parquet(candidates.map(_._2): _*))
     // sort for parquet row-group stats on the key column (scan-side
     // min/max skipping once the store is mostly consolidated)
     merged.sortWithinPartitions(merged.columns.head)

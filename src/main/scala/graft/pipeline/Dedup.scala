@@ -447,9 +447,9 @@ object Dedup {
     val bloomsPath = s"$storeDir/gramblooms"
     val folded = BatchStore.compact(spark, s"$storeDir/gramcounts",
       s"$storeDir/compactions",
-      StructType(Seq(
+      Some(StructType(Seq(
         StructField("__gh", StringType), StructField("__c", LongType),
-        StructField("batch_id", LongType))),
+        StructField("batch_id", LongType)))),
       compactId, upToBatchId,
       df => df.groupBy("__gh").agg(sum(col("__c")).as("__c")),
       sidecar = Some(consol => consol
@@ -720,36 +720,67 @@ object Dedup {
     * against the parquet-staged signature store FIRST (so a duplicate of any
     * earlier batch's document surfaces at the batch where it arrives,
     * [[minhashNearDupsAgainstStore]]), then the stages of the batch's
-    * non-duplicate documents APPEND to the store — keep-one semantics: the
-    * store stays canonical, and a later copy of a dropped duplicate still
-    * resolves to the originally-kept document. Returns the dup pairs
+    * non-duplicate documents land in the store under keep-one semantics:
+    * the store stays canonical, and a later copy of a dropped duplicate
+    * still resolves to the originally-kept document. Returns the dup pairs
     * (id_new, id_store, jaccard), eagerly materialized BEFORE the store
-    * append (safe read-then-append ordering). Use from
-    * `writeStream.foreachBatch`; corpus text is never re-shingled — only
-    * the new batch computes signatures, the mirror of the per-batch
-    * threat-intel refresh loop. */
+    * write. Use from `writeStream.foreachBatch`; corpus text is never
+    * re-shingled — only the new batch computes signatures, the mirror of
+    * the per-batch threat-intel refresh loop.
+    *
+    * Since r14 the store is PER-BATCH-PARTITIONED (`batch_id=` overwrite,
+    * [[BatchStore]] discovery) instead of append-only: a retried batch
+    * REPLACES its partial and reads everything but its own partition, so
+    * at-least-once execution can neither double-insert signatures nor
+    * (the old founding hazard) dedup a retried batch against itself.
+    * [[minhashStoreCompact]] folds history. */
   def minhashStoreStep(batch: DataFrame, storeDir: String, textCol: String,
       idCol: String, shingleWords: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.7, maxBucketPairing: Int = 64): DataFrame = {
+      threshold: Double = 0.7, maxBucketPairing: Int = 64,
+      batchId: Long): DataFrame = {
     val spark = batch.sparkSession
     val shinglesPath = s"$storeDir/shingles"
     val bucketsPath = s"$storeDir/buckets"
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val (storeShingles, storeBuckets) =
-      if (fs.exists(new org.apache.hadoop.fs.Path(shinglesPath)))
-        (spark.read.parquet(shinglesPath), spark.read.parquet(bucketsPath))
-      else // first batch: an empty store with the exact staged schema
-        minhashStages(batch.limit(0), textCol, idCol, shingleWords, numHashes, bands)
+    // staged empties carry the EXACT store schema (id type follows idCol)
+    val (emptySh, emptyBk) =
+      minhashStages(batch.limit(0), textCol, idCol, shingleWords, numHashes, bands)
+    def readStore(sub: String, empty: DataFrame): DataFrame = {
+      val parts = BatchStore.readableParts(fs, s"$storeDir/$sub",
+        s"$storeDir/compactions/$sub", Some(batchId))
+      if (parts.isEmpty) empty
+      else spark.read
+        .schema(org.apache.spark.sql.types.StructType(
+          empty.schema.fields :+ StructField("batch_id", LongType)))
+        .option("basePath", s"$storeDir/$sub").parquet(parts.map(_._2): _*)
+        .select(empty.columns.map(col): _*)
+    }
     val dups = minhashNearDupsAgainstStore(batch, textCol, idCol,
-      storeShingles, storeBuckets, shingleWords, numHashes, bands,
-      threshold, maxBucketPairing)
+      readStore("shingles", emptySh), readStore("buckets", emptyBk),
+      shingleWords, numHashes, bands, threshold, maxBucketPairing)
     val kept = batch.join(dups.select(col("id_new").as(idCol)), Seq(idCol), "left_anti")
     val (sh, bk) = minhashStages(kept, textCol, idCol, shingleWords, numHashes, bands)
-    sh.write.mode("append").parquet(shinglesPath)
-    bk.write.mode("append").parquet(bucketsPath)
+    sh.write.mode("overwrite").parquet(s"$shinglesPath/batch_id=$batchId")
+    bk.write.mode("overwrite").parquet(s"$bucketsPath/batch_id=$batchId")
     dups
   }
+
+  /** Fold the minhash signature store's committed batch partitions
+    * ([[BatchStore]] marker protocol; stream ids <= upToBatchId stay out
+    * of the retry horizon). Signatures are per-document rows, so the
+    * merge is identity — compaction only bounds partition-count growth
+    * (listing/footer cost) for long-lived streams. Shingles and buckets
+    * fold independently under their own markers (a crash between the
+    * two partition writes of some batch leaves them individually
+    * consistent). Returns the folded ids across both. */
+  def minhashStoreCompact(spark: SparkSession, storeDir: String,
+      compactId: Long, upToBatchId: Long): Seq[Long] =
+    Seq("shingles", "buckets").flatMap { sub =>
+      BatchStore.compact(spark, s"$storeDir/$sub",
+        s"$storeDir/compactions/$sub", None, compactId, upToBatchId,
+        df => df.drop("batch_id"))
+    }.distinct
 
   // -------------------------------------------------------------------------
   // Cluster labeling (connected components over candidate pairs)
@@ -1154,34 +1185,61 @@ object Dedup {
     * preserves exactness). Returns (id_new, id_store, jaccard), eagerly
     * materialized BEFORE the append. */
   def similarityStoreStep(batch: DataFrame, storeDir: String, textCol: String,
-      idCol: String, shingleWords: Int = 2, threshold: Double = 0.6): DataFrame = {
+      idCol: String, shingleWords: Int = 2, threshold: Double = 0.6,
+      batchId: Long): DataFrame = {
     val spark = batch.sparkSession
     val freqPath = s"$storeDir/freq"
     val sortedPath = s"$storeDir/sorted"
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(new org.apache.hadoop.fs.Path(freqPath))) {
-      // first batch founds the store and freezes the canonical order
-      val (freq, sorted) = similarityStages(batch, textCol, idCol, shingleWords)
+    // the canonical (df, tok) order freezes at FOUNDING: freq writes once,
+    // from the first batch. Re-founding is overwrite-idempotent (the same
+    // batch derives the same frequencies), and a crashed founding write
+    // (no committed part files) re-founds instead of freezing a torn order
+    val freqFiles = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$freqPath/part-*"))
+    if (freqFiles == null || freqFiles.isEmpty) {
+      val (freq, _) = similarityStages(batch, textCol, idCol, shingleWords)
       freq.write.mode("overwrite").parquet(freqPath)
-      sorted.write.mode("overwrite").parquet(sortedPath)
-      batch.limit(0).select(col(idCol).cast(LongType).as("id_new"),
-        col(idCol).cast(LongType).as("id_store"), lit(0.0).as("jaccard"))
-    } else {
-      val storeFreq = spark.read.parquet(freqPath)
-      val storeSorted = spark.read.parquet(sortedPath)
-      val dups = similarityJoinAgainstStore(batch, textCol, idCol,
-        storeFreq, storeSorted, shingleWords, threshold)
-      val kept = batch.join(dups.select(col("id_new").as(idCol)),
-        Seq(idCol), "left_anti")
-      ppjoinSorted(
-          ppjoinExploded(kept, textCol, idCol, shingleWords)
-            .join(storeFreq, Seq("tok"), "left")
-            .na.fill(0L, Seq("df")))
-        .write.mode("append").parquet(sortedPath)
-      dups
     }
+    val storeFreq = spark.read.schema(StructType(Seq(
+        StructField("tok", LongType), StructField("df", LongType))))
+      .parquet(freqPath)
+    val (_, emptySorted) = similarityStages(batch.limit(0), textCol, idCol,
+      shingleWords)
+    val sortedParts = BatchStore.readableParts(fs, sortedPath,
+      s"$storeDir/compactions/sorted", Some(batchId))
+    val storeSorted =
+      if (sortedParts.isEmpty) emptySorted
+      else spark.read
+        .schema(org.apache.spark.sql.types.StructType(
+          emptySorted.schema.fields :+ StructField("batch_id", LongType)))
+        .option("basePath", sortedPath).parquet(sortedParts.map(_._2): _*)
+        .select(emptySorted.columns.map(col): _*)
+    val dups = similarityJoinAgainstStore(batch, textCol, idCol,
+      storeFreq, storeSorted, shingleWords, threshold)
+    val kept = batch.join(dups.select(col("id_new").as(idCol)),
+      Seq(idCol), "left_anti")
+    // survivors land under the FROZEN order (unseen tokens fall back to
+    // df 0 — the drifted-order exactness claim, spec-pinned); per-batch
+    // partition overwrite makes retries replace, never double-insert
+    ppjoinSorted(
+        ppjoinExploded(kept, textCol, idCol, shingleWords)
+          .join(storeFreq, Seq("tok"), "left")
+          .na.fill(0L, Seq("df")))
+      .write.mode("overwrite").parquet(s"$sortedPath/batch_id=$batchId")
+    dups
   }
+
+  /** Fold the PPJoin store's committed `sorted` batch partitions
+    * ([[BatchStore]] marker protocol; identity merge — rows are
+    * per-document). `freq` is founding-frozen (one directory, never
+    * partitioned) so only `sorted` compacts. */
+  def similarityStoreCompact(spark: SparkSession, storeDir: String,
+      compactId: Long, upToBatchId: Long): Seq[Long] =
+    BatchStore.compact(spark, s"$storeDir/sorted",
+      s"$storeDir/compactions/sorted", None, compactId, upToBatchId,
+      df => df.drop("batch_id"))
 
   // -------------------------------------------------------------------------
   // Winnowing

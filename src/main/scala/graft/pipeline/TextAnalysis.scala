@@ -2177,8 +2177,8 @@ object TextAnalysis {
       compactId: Long, upToBatchId: Long): Seq[Long] =
     BatchStore.compact(spark, s"$storeDir/linehashes",
       s"$storeDir/compactions",
-      StructType(Seq(
-        StructField("__lh", StringType), StructField("batch_id", LongType))),
+      Some(StructType(Seq(
+        StructField("__lh", StringType), StructField("batch_id", LongType)))),
       compactId, upToBatchId,
       df => df.select("__lh").distinct())
 

@@ -833,6 +833,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ids(None) == Set(-1L), s"folded sources must hide: ${ids(None)}")
   }
 
+  test("minhash store step: retry never self-dedups; compaction preserves canonical resolution") {
+    val dir = java.nio.file.Files.createTempDirectory("mhstore").toString
+    def run(docs: Seq[(Long, String)], id: Long) =
+      Dedup.minhashStoreStep(docs.toDF("doc_id", "text"), dir, "text",
+        "doc_id", shingleWords = 2, numHashes = 32, bands = 8,
+        threshold = 0.5, batchId = id)
+        .select("id_new", "id_store").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b0 = Seq((0L, "alpha beta gamma delta epsilon"),
+      (1L, "one two three four five"))
+    assert(run(b0, 0L).isEmpty, "founding batch has nothing to collide with")
+    // RETRY the founding batch: the pre-r14 append-only store would
+    // dedup docs 0/1 against their own first-attempt signatures
+    assert(run(b0, 0L).isEmpty, "retried founding batch must not self-dedup")
+    assert(run(Seq((10L, "alpha beta gamma delta epsilon")), 1L) ==
+      Set((10L, 0L)), "cross-batch dup resolves to the canonical doc")
+    assert(run(Seq((20L, "red green blue yellow purple")), 2L).isEmpty)
+    val folded = Dedup.minhashStoreCompact(spark, dir,
+      compactId = -1L, upToBatchId = 1L)
+    assert(folded.toSet == Set(0L, 1L), s"folded: $folded")
+    // post-compaction: a dup of a folded doc still resolves canonically
+    assert(run(Seq((30L, "one two three four five")), 3L) == Set((30L, 1L)),
+      "consolidated signatures must keep resolving dups")
+  }
+
   test("substring store compaction: verdicts byte-identical, torn compaction inert") {
     val store = java.nio.file.Files.createTempDirectory("d21compact").toString
     def run(doc: (Long, String), id: Long) =
@@ -1846,10 +1871,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("ppjstore").toString
     val b1 = Seq((0L, "the quick brown fox jumps over the lazy dog"),
       (1L, "some other corpus document about engines")).toDF("doc_id", "text")
-    assert(Dedup.similarityStoreStep(b1, dir, "text", "doc_id").count() == 0)
+    assert(Dedup.similarityStoreStep(b1, dir, "text", "doc_id",
+      batchId = 0L).count() == 0)
+    // RETRY of the founding batch: the pre-r14 append-only store deduped
+    // a retried founding batch against ITSELF — the partition contract
+    // excludes the batch's own partial, so the retry stays clean
+    assert(Dedup.similarityStoreStep(b1, dir, "text", "doc_id",
+      batchId = 0L).count() == 0, "retried founding batch must not self-dedup")
     val b2 = Seq((10L, "the quick brown fox jumps over the lazy dog"), // dup of 0
       (11L, "a wholly new document with unseen vocabulary")).toDF("doc_id", "text")
-    val d2 = Dedup.similarityStoreStep(b2, dir, "text", "doc_id")
+    val d2 = Dedup.similarityStoreStep(b2, dir, "text", "doc_id", batchId = 1L)
       .select("id_new", "id_store").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(d2 == Set((10L, 0L)))
@@ -1857,7 +1888,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     // findable by a LATER batch — the drifted-order exactness claim
     val b3 = Seq((20L, "a wholly new document with unseen vocabulary"))
       .toDF("doc_id", "text")
-    val d3 = Dedup.similarityStoreStep(b3, dir, "text", "doc_id")
+    val d3 = Dedup.similarityStoreStep(b3, dir, "text", "doc_id", batchId = 2L)
       .select("id_new", "id_store").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(d3 == Set((20L, 11L)))

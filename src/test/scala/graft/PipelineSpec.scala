@@ -95,10 +95,10 @@ class PipelineSpec extends AnyFunSuite {
     val input = MemoryStream[(Long, String)]
     val seen = scala.collection.mutable.Buffer[(Long, Long)]()
     val q = input.toDF().toDF("doc_id", "text").writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
         val dups = graft.pipeline.Dedup.minhashStoreStep(batch, s"$tmp/store",
           "text", "doc_id", shingleWords = 2, numHashes = 32, bands = 8,
-          threshold = 0.5)
+          threshold = 0.5, batchId = bid)
         seen.synchronized {
           seen ++= dups.select("id_new", "id_store").as[(Long, Long)].collect()
         }
@@ -136,9 +136,9 @@ class PipelineSpec extends AnyFunSuite {
     val input = MemoryStream[(Long, String)]
     val seen = scala.collection.mutable.Buffer[(Long, Long)]()
     val q = input.toDF().toDF("doc_id", "text").writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
         val dups = graft.pipeline.Dedup.similarityStoreStep(batch, s"$tmp/store",
-          "text", "doc_id", shingleWords = 2, threshold = 0.6)
+          "text", "doc_id", shingleWords = 2, threshold = 0.6, batchId = bid)
         seen.synchronized {
           seen ++= dups.select("id_new", "id_store").as[(Long, Long)].collect()
         }
