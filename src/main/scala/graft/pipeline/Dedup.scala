@@ -1761,25 +1761,45 @@ object Dedup {
     * the batch computes signatures. */
   def bandedStoreStep(batch: DataFrame, storeDir: String, vecCol: String,
       idCol: String, bands: Int = 16, planesPerBand: Int = 8,
-      threshold: Double = 0.95, maxBucketPairing: Int = 64): DataFrame = {
+      threshold: Double = 0.95, maxBucketPairing: Int = 64,
+      batchId: Long): DataFrame = {
     val spark = batch.sparkSession
-    val basePath = s"$storeDir/vectors"
-    val bucketsPath = s"$storeDir/buckets"
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val (storeBase, storeBuckets) =
-      if (fs.exists(new org.apache.hadoop.fs.Path(basePath)))
-        (spark.read.parquet(basePath), spark.read.parquet(bucketsPath))
-      else // first batch: an empty store with the exact staged schema
-        embeddingStagesBanded(batch.limit(0), vecCol, idCol, bands, planesPerBand)
+    // per-batch partition contract ([[BatchStore]], the minhashStoreStep
+    // r14 migration): retries replace their partial and never read it
+    val (emptyBase, emptyBk) =
+      embeddingStagesBanded(batch.limit(0), vecCol, idCol, bands, planesPerBand)
+    def readStore(sub: String, empty: DataFrame): DataFrame = {
+      val parts = BatchStore.readableParts(fs, s"$storeDir/$sub",
+        s"$storeDir/compactions/$sub", Some(batchId))
+      if (parts.isEmpty) empty
+      else spark.read
+        .schema(org.apache.spark.sql.types.StructType(
+          empty.schema.fields :+ StructField("batch_id", LongType)))
+        .option("basePath", s"$storeDir/$sub").parquet(parts.map(_._2): _*)
+        .select(empty.columns.map(col): _*)
+    }
     val dups = embeddingNearDupsBandedAgainstStore(batch, vecCol, idCol,
-      storeBase, storeBuckets, bands, planesPerBand, threshold, maxBucketPairing)
+      readStore("vectors", emptyBase), readStore("buckets", emptyBk),
+      bands, planesPerBand, threshold, maxBucketPairing)
     val kept = batch.join(dups.select(col("id_new").as(idCol)), Seq(idCol), "left_anti")
     val (base, bk) = embeddingStagesBanded(kept, vecCol, idCol, bands, planesPerBand)
-    base.write.mode("append").parquet(basePath)
-    bk.write.mode("append").parquet(bucketsPath)
+    base.write.mode("overwrite").parquet(s"$storeDir/vectors/batch_id=$batchId")
+    bk.write.mode("overwrite").parquet(s"$storeDir/buckets/batch_id=$batchId")
     dups
   }
+
+  /** Fold the banded embedding store's committed batch partitions
+    * (identity merge; [[BatchStore]] marker protocol — the
+    * [[minhashStoreCompact]] twin for the embedding tier). */
+  def bandedStoreCompact(spark: SparkSession, storeDir: String,
+      compactId: Long, upToBatchId: Long): Seq[Long] =
+    Seq("vectors", "buckets").flatMap { sub =>
+      BatchStore.compact(spark, s"$storeDir/$sub",
+        s"$storeDir/compactions/$sub", None, compactId, upToBatchId,
+        df => df.drop("batch_id"))
+    }.distinct
 
   /** Corpus snapshot diff: classify every document id across two corpus
     * snapshots (crawl N vs crawl N+1, pre- vs post-filter) as

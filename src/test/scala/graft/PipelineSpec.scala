@@ -179,10 +179,10 @@ class PipelineSpec extends AnyFunSuite {
     val input = MemoryStream[(Long, Seq[Double])]
     val seen = scala.collection.mutable.Buffer[(Long, Long)]()
     val q = input.toDF().toDF("vec_id", "embedding").writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
         val dups = graft.pipeline.Dedup.bandedStoreStep(batch, s"$tmp/store",
           "embedding", "vec_id", bands = 16, planesPerBand = 4,
-          threshold = 0.95)
+          threshold = 0.95, batchId = bid)
         seen.synchronized {
           seen ++= dups.select("id_new", "id_store").as[(Long, Long)].collect()
         }
