@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Per-batch-partitioned parquet store lifecycle shared by the
   * incremental dedup store loops ([[Dedup.repeatedSubstringStoreStep]],
@@ -59,6 +59,33 @@ private[graft] object BatchStore {
         !excludeBatchId.contains(id) && !folded.contains(id) &&
           (id >= 0 || markers.contains(id)) }
   }
+
+  /** Read one per-batch-partitioned store sub-table under the EXACT
+    * staged schema (`empty` — the stage function applied to a limit(0)
+    * batch), excluding the in-flight batch's partition. An explicit
+    * schema means a crashed write's `_temporary`-only partition reads
+    * as empty instead of failing inference; no committed partitions at
+    * all returns the staged empty itself. */
+  def readStore(spark: SparkSession, storeDir: String, sub: String,
+      empty: DataFrame, batchId: Long): DataFrame = {
+    val fs = new Path(storeDir).getFileSystem(spark.sessionState.newHadoopConf())
+    val parts = readableParts(fs, s"$storeDir/$sub",
+      s"$storeDir/compactions/$sub", Some(batchId))
+    if (parts.isEmpty) empty
+    else spark.read
+      .schema(StructType(empty.schema.fields :+ StructField("batch_id", LongType)))
+      .option("basePath", s"$storeDir/$sub").parquet(parts.map(_._2): _*)
+      .select(empty.columns.map(col): _*)
+  }
+
+  /** Identity-merge compaction over several sub-tables of one store
+    * (signature stores: rows are per-document, nothing to reduce). */
+  def compactIdentity(spark: SparkSession, storeDir: String,
+      subs: Seq[String], compactId: Long, upToBatchId: Long): Seq[Long] =
+    subs.flatMap { sub =>
+      compact(spark, s"$storeDir/$sub", s"$storeDir/compactions/$sub",
+        None, compactId, upToBatchId, df => df.drop("batch_id"))
+    }.distinct
 
   /** Committed compaction markers: consolidated id -> folded ids. */
   def readMarkers(fs: FileSystem, markersDir: String): Map[Long, Seq[Long]] = {

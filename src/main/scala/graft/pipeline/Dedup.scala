@@ -741,23 +741,12 @@ object Dedup {
     val spark = batch.sparkSession
     val shinglesPath = s"$storeDir/shingles"
     val bucketsPath = s"$storeDir/buckets"
-    val fs = new org.apache.hadoop.fs.Path(storeDir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
     // staged empties carry the EXACT store schema (id type follows idCol)
     val (emptySh, emptyBk) =
       minhashStages(batch.limit(0), textCol, idCol, shingleWords, numHashes, bands)
-    def readStore(sub: String, empty: DataFrame): DataFrame = {
-      val parts = BatchStore.readableParts(fs, s"$storeDir/$sub",
-        s"$storeDir/compactions/$sub", Some(batchId))
-      if (parts.isEmpty) empty
-      else spark.read
-        .schema(org.apache.spark.sql.types.StructType(
-          empty.schema.fields :+ StructField("batch_id", LongType)))
-        .option("basePath", s"$storeDir/$sub").parquet(parts.map(_._2): _*)
-        .select(empty.columns.map(col): _*)
-    }
     val dups = minhashNearDupsAgainstStore(batch, textCol, idCol,
-      readStore("shingles", emptySh), readStore("buckets", emptyBk),
+      BatchStore.readStore(spark, storeDir, "shingles", emptySh, batchId),
+      BatchStore.readStore(spark, storeDir, "buckets", emptyBk, batchId),
       shingleWords, numHashes, bands, threshold, maxBucketPairing)
     val kept = batch.join(dups.select(col("id_new").as(idCol)), Seq(idCol), "left_anti")
     val (sh, bk) = minhashStages(kept, textCol, idCol, shingleWords, numHashes, bands)
@@ -776,11 +765,8 @@ object Dedup {
     * consistent). Returns the folded ids across both. */
   def minhashStoreCompact(spark: SparkSession, storeDir: String,
       compactId: Long, upToBatchId: Long): Seq[Long] =
-    Seq("shingles", "buckets").flatMap { sub =>
-      BatchStore.compact(spark, s"$storeDir/$sub",
-        s"$storeDir/compactions/$sub", None, compactId, upToBatchId,
-        df => df.drop("batch_id"))
-    }.distinct
+    BatchStore.compactIdentity(spark, storeDir, Seq("shingles", "buckets"),
+      compactId, upToBatchId)
 
   // -------------------------------------------------------------------------
   // Cluster labeling (connected components over candidate pairs)
@@ -1207,15 +1193,8 @@ object Dedup {
       .parquet(freqPath)
     val (_, emptySorted) = similarityStages(batch.limit(0), textCol, idCol,
       shingleWords)
-    val sortedParts = BatchStore.readableParts(fs, sortedPath,
-      s"$storeDir/compactions/sorted", Some(batchId))
     val storeSorted =
-      if (sortedParts.isEmpty) emptySorted
-      else spark.read
-        .schema(org.apache.spark.sql.types.StructType(
-          emptySorted.schema.fields :+ StructField("batch_id", LongType)))
-        .option("basePath", sortedPath).parquet(sortedParts.map(_._2): _*)
-        .select(emptySorted.columns.map(col): _*)
+      BatchStore.readStore(spark, storeDir, "sorted", emptySorted, batchId)
     val dups = similarityJoinAgainstStore(batch, textCol, idCol,
       storeFreq, storeSorted, shingleWords, threshold)
     val kept = batch.join(dups.select(col("id_new").as(idCol)),
@@ -1324,6 +1303,42 @@ object Dedup {
       .groupBy("id_new", "id_store")
       .agg(count(lit(1)).as("shared_fps"))
   }
+
+  /** One micro-batch step of the STREAMING winnowing candidate loop —
+    * [[minhashStoreStep]]'s shape for the MOSS fingerprint tier, and the
+    * fully DETERMINISTIC member of the store-loop family (window minima,
+    * no RNG — the whole loop is SQL-expressible and hash-oracled).
+    * Candidates of the arriving batch against everything ingested so
+    * far; docs sharing at least `minSharedFps` fingerprints with a store
+    * doc are near-dups and do NOT enter the store (keep-one semantics);
+    * per-batch-overwrite partitions make retries replace, never
+    * double-insert ([[BatchStore]] contract). Returns (id_new, id_store,
+    * shared_fps). */
+  def winnowingStoreStep(batch: DataFrame, storeDir: String, textCol: String,
+      idCol: String, k: Int = 3, window: Int = 4, maxBucketPairing: Int = 64,
+      minSharedFps: Int = 2, batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    val emptyFps = winnowFingerprints(batch.limit(0), textCol, idCol, k, window)
+    val storeFps =
+      BatchStore.readStore(spark, storeDir, "fps", emptyFps, batchId)
+    // pin the as-of-this-batch verdict before the store write
+    val dups = winnowingCandidatesAgainstStore(batch, textCol, idCol,
+      storeFps, k, window, maxBucketPairing)
+      .where(col("shared_fps") >= minSharedFps)
+      .localCheckpoint()
+    val kept = batch.join(dups.select(col("id_new").as(idCol)),
+      Seq(idCol), "left_anti")
+    winnowFingerprints(kept, textCol, idCol, k, window)
+      .write.mode("overwrite").parquet(s"$storeDir/fps/batch_id=$batchId")
+    dups
+  }
+
+  /** Fold the winnowing fingerprint store's committed batch partitions
+    * (identity merge; [[BatchStore]] marker protocol). */
+  def winnowingStoreCompact(spark: SparkSession, storeDir: String,
+      compactId: Long, upToBatchId: Long): Seq[Long] =
+    BatchStore.compactIdentity(spark, storeDir, Seq("fps"),
+      compactId, upToBatchId)
 
   // -------------------------------------------------------------------------
   // SimHash
@@ -1453,6 +1468,38 @@ object Dedup {
       .select("id_new", "id_store", "hamming")
     materializeAndRelease(pairs, Seq(newSims))
   }
+
+  /** One micro-batch step of the STREAMING simhash near-dup loop —
+    * [[minhashStoreStep]]'s shape for the fingerprint tier: the batch
+    * dedups against the staged (id, sim) + pigeonhole-bucket store,
+    * survivors land in per-batch-overwrite partitions ([[BatchStore]]
+    * contract: retries replace their partial and never read it).
+    * Deterministic end-to-end (simhash has no RNG), so unlike the
+    * minhash loop the store path is exactly SQL-expressible. Returns
+    * (id_new, id_store, hamming) for the arriving batch. */
+  def simhashStoreStep(batch: DataFrame, storeDir: String, textCol: String,
+      idCol: String, maxDist: Int = 3, maxBucketPairing: Int = 64,
+      batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    val (emptySims, emptyBk) = simhashStages(batch.limit(0), textCol, idCol)
+    val dups = simhashNearDupsAgainstStore(batch, textCol, idCol,
+      BatchStore.readStore(spark, storeDir, "sims", emptySims, batchId),
+      BatchStore.readStore(spark, storeDir, "buckets", emptyBk, batchId),
+      maxDist, maxBucketPairing)
+    val kept = batch.join(dups.select(col("id_new").as(idCol)),
+      Seq(idCol), "left_anti")
+    val (sims, bk) = simhashStages(kept, textCol, idCol)
+    sims.write.mode("overwrite").parquet(s"$storeDir/sims/batch_id=$batchId")
+    bk.write.mode("overwrite").parquet(s"$storeDir/buckets/batch_id=$batchId")
+    dups
+  }
+
+  /** Fold the simhash store's committed batch partitions (identity
+    * merge; [[BatchStore]] marker protocol). */
+  def simhashStoreCompact(spark: SparkSession, storeDir: String,
+      compactId: Long, upToBatchId: Long): Seq[Long] =
+    BatchStore.compactIdentity(spark, storeDir, Seq("sims", "buckets"),
+      compactId, upToBatchId)
 
   // -------------------------------------------------------------------------
   // Embedding cosine near-dup (random hyperplane LSH)
@@ -1764,24 +1811,13 @@ object Dedup {
       threshold: Double = 0.95, maxBucketPairing: Int = 64,
       batchId: Long): DataFrame = {
     val spark = batch.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(storeDir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
     // per-batch partition contract ([[BatchStore]], the minhashStoreStep
     // r14 migration): retries replace their partial and never read it
     val (emptyBase, emptyBk) =
       embeddingStagesBanded(batch.limit(0), vecCol, idCol, bands, planesPerBand)
-    def readStore(sub: String, empty: DataFrame): DataFrame = {
-      val parts = BatchStore.readableParts(fs, s"$storeDir/$sub",
-        s"$storeDir/compactions/$sub", Some(batchId))
-      if (parts.isEmpty) empty
-      else spark.read
-        .schema(org.apache.spark.sql.types.StructType(
-          empty.schema.fields :+ StructField("batch_id", LongType)))
-        .option("basePath", s"$storeDir/$sub").parquet(parts.map(_._2): _*)
-        .select(empty.columns.map(col): _*)
-    }
     val dups = embeddingNearDupsBandedAgainstStore(batch, vecCol, idCol,
-      readStore("vectors", emptyBase), readStore("buckets", emptyBk),
+      BatchStore.readStore(spark, storeDir, "vectors", emptyBase, batchId),
+      BatchStore.readStore(spark, storeDir, "buckets", emptyBk, batchId),
       bands, planesPerBand, threshold, maxBucketPairing)
     val kept = batch.join(dups.select(col("id_new").as(idCol)), Seq(idCol), "left_anti")
     val (base, bk) = embeddingStagesBanded(kept, vecCol, idCol, bands, planesPerBand)
@@ -1795,11 +1831,8 @@ object Dedup {
     * [[minhashStoreCompact]] twin for the embedding tier). */
   def bandedStoreCompact(spark: SparkSession, storeDir: String,
       compactId: Long, upToBatchId: Long): Seq[Long] =
-    Seq("vectors", "buckets").flatMap { sub =>
-      BatchStore.compact(spark, s"$storeDir/$sub",
-        s"$storeDir/compactions/$sub", None, compactId, upToBatchId,
-        df => df.drop("batch_id"))
-    }.distinct
+    BatchStore.compactIdentity(spark, storeDir, Seq("vectors", "buckets"),
+      compactId, upToBatchId)
 
   /** Corpus snapshot diff: classify every document id across two corpus
     * snapshots (crawl N vs crawl N+1, pre- vs post-filter) as

@@ -945,6 +945,52 @@ private[graft] trait DedupQueries extends RegistryBase {
   }
 
 
+  // The winnowing STORE LOOP, hash-matched end to end — the fully
+  // deterministic member of the incremental dedup family (window minima,
+  // no RNG), so unlike the minhash/banded loops the whole two-batch store
+  // path is exactly SQL-expressible: batch 0 founds the store (no dups by
+  // construction), batch 1 candidates against batch-0 fingerprints under
+  // the store-side cap, pairs need >= 2 shared fingerprints. Confined to
+  // the doc_id < 500 slice (the store-semantics harness rule; the
+  // corpus-scale batch path is d10).
+  register(
+    "d24_winnowing_incremental",
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             x -> x != '') AS t
+      |  FROM documents WHERE doc_id < 500),
+      |g AS (
+      |  SELECT doc_id, list_transform(generate_series(0, len(t) - 3),
+      |           i -> md5(array_to_string(t[i+1:i+3], ' '))) AS grams
+      |  FROM w WHERE len(t) >= 3),
+      |fps AS (
+      |  SELECT DISTINCT doc_id, fp FROM (
+      |    SELECT doc_id, unnest(list_distinct(list_transform(
+      |             generate_series(0, greatest(len(grams) - 4, 0)),
+      |             i -> list_min(grams[i+1:i+4])))) AS fp
+      |    FROM g)),
+      |rk AS (
+      |  SELECT fp, doc_id AS id_store,
+      |         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |  FROM fps WHERE doc_id < 250),
+      |pairs AS (
+      |  SELECT f1.doc_id AS id_new, rk.id_store,
+      |         CAST(count(*) AS BIGINT) AS shared_fps
+      |  FROM fps f1 JOIN rk USING (fp)
+      |  WHERE f1.doc_id >= 250 AND rk.rn <= 64
+      |  GROUP BY f1.doc_id, rk.id_store)
+      |SELECT id_new, id_store, shared_fps FROM pairs WHERE shared_fps >= 2
+      |ORDER BY id_new, id_store""".stripMargin) { (s, dir) =>
+    val store = scratchDir("d24_store")
+    val docs = t(s, dir, "documents").where(col("doc_id") < 500)
+    val b0 = Dedup.winnowingStoreStep(docs.where(col("doc_id") < 250),
+      store, "text", "doc_id", batchId = 0L)
+    val b1 = Dedup.winnowingStoreStep(docs.where(col("doc_id") >= 250),
+      store, "text", "doc_id", batchId = 1L)
+    b0.unionAll(b1).orderBy("id_new", "id_store")
+  }
+
+
   // The CLEANED corpus from the substring tier — d20's spans actually cut
   // and the survivors reassembled (the Lee et al. 2022 ExactSubstr
   // deliverable; d20 only reports). The oracle recomputes the identical

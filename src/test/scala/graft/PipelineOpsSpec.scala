@@ -858,6 +858,45 @@ class PipelineOpsSpec extends AnyFunSuite {
       "consolidated signatures must keep resolving dups")
   }
 
+  test("simhash store loop: identical text caught cross-batch, retry never self-dedups") {
+    val dir = java.nio.file.Files.createTempDirectory("shstore").toString
+    def run(docs: Seq[(Long, String)], id: Long) =
+      Dedup.simhashStoreStep(docs.toDF("doc_id", "text"), dir, "text",
+        "doc_id", maxDist = 3, batchId = id)
+        .select("id_new", "id_store").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b0 = Seq((0L, "the quick brown fox jumps over the lazy dog today"))
+    assert(run(b0, 0L).isEmpty, "founding batch is clean")
+    assert(run(b0, 0L).isEmpty, "retried founding batch must not self-dedup")
+    assert(run(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "entirely different content with other vocabulary words used")),
+      1L) == Set((10L, 0L)), "identical text must pair at hamming 0")
+  }
+
+  test("winnowing store loop: deterministic candidates, retry, compaction") {
+    val dir = java.nio.file.Files.createTempDirectory("wnstore").toString
+    def run(docs: Seq[(Long, String)], id: Long) =
+      Dedup.winnowingStoreStep(docs.toDF("doc_id", "text"), dir, "text",
+        "doc_id", batchId = id)
+        .select("id_new", "id_store").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    assert(run(Seq((0L, shared)), 0L).isEmpty)
+    assert(run(Seq((0L, shared)), 0L).isEmpty,
+      "retried founding batch must not self-dedup")
+    assert(run(Seq((10L, shared),
+      (11L, "one two three four five six seven eight nine ten")), 1L) ==
+      Set((10L, 0L)), "shared fingerprint run must pair")
+    assert(run(Seq((20L, "red orange yellow green blue indigo violet pink gray black")),
+      2L).isEmpty)
+    val folded = Dedup.winnowingStoreCompact(spark, dir,
+      compactId = -1L, upToBatchId = 1L)
+    assert(folded.toSet == Set(0L, 1L), s"folded: $folded")
+    assert(run(Seq((30L, "one two three four five six seven eight nine ten")), 3L) ==
+      Set((30L, 11L)), "consolidated fingerprints must keep pairing")
+  }
+
   test("substring store compaction: verdicts byte-identical, torn compaction inert") {
     val store = java.nio.file.Files.createTempDirectory("d21compact").toString
     def run(doc: (Long, String), id: Long) =
