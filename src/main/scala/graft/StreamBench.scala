@@ -25,14 +25,14 @@ object StreamBench {
     val rate = sys.env.getOrElse("SPARK_GRAFT_STREAM_RATE", "500000").toInt
     val secs = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "30").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // SPARK_GRAFT_STREAM_DEDUP=minhash|ppjoin|substring benches the
-    // incremental dedup STORE loop (foreachBatch -> *StoreStep) instead
-    // of the classify->rules->alerts pipeline: per-batch docs/sec + the
-    // on-disk state-size trajectory over >= SPARK_GRAFT_STREAM_BATCHES
-    // batches. substring = repeatedSubstringStoreStep (gram-count store;
-    // the per-batch step time staying FLAT as the store grows is the
-    // receipt that the broadcast-semi prune keeps the step
-    // batch-proportional)
+    // SPARK_GRAFT_STREAM_DEDUP=minhash|ppjoin|substring|simhash|winnow
+    // benches the incremental dedup STORE loop (foreachBatch ->
+    // *StoreStep) instead of the classify->rules->alerts pipeline:
+    // per-batch docs/sec + the on-disk state-size trajectory over
+    // >= SPARK_GRAFT_STREAM_BATCHES batches. substring =
+    // repeatedSubstringStoreStep (gram-count store; the per-batch step
+    // time staying FLAT as the store grows is the receipt that the
+    // broadcast-semi prune keeps the step batch-proportional)
     sys.env.get("SPARK_GRAFT_STREAM_DEDUP") match {
       case Some(mode) => runDedupStoreBench(mode, cpus); return
       case None =>
@@ -188,6 +188,10 @@ object StreamBench {
           case "ppjoin" => graft.pipeline.Dedup.similarityStoreStep(
             bb, storeDir, "text", "doc_id", shingleWords = 2, threshold = 0.6,
             batchId = id)
+          case "simhash" => graft.pipeline.Dedup.simhashStoreStep(
+            bb, storeDir, "text", "doc_id", maxDist = 3, batchId = id)
+          case "winnow" => graft.pipeline.Dedup.winnowingStoreStep(
+            bb, storeDir, "text", "doc_id", batchId = id)
           case "substring" => graft.pipeline.Dedup.repeatedSubstringStoreStep(
             bb, storeDir, "text", "doc_id", minLen = 8, batchId = id)
             .where(col("dup_tokens") > 0)
@@ -204,6 +208,10 @@ object StreamBench {
               bb.sparkSession, storeDir, -id, id - 1), "sorted")
             case "substring" => (graft.pipeline.Dedup.repeatedSubstringStoreCompact(
               bb.sparkSession, storeDir, -id, id - 1), "gramcounts")
+            case "simhash" => (graft.pipeline.Dedup.simhashStoreCompact(
+              bb.sparkSession, storeDir, -id, id - 1), "sims")
+            case "winnow" => (graft.pipeline.Dedup.winnowingStoreCompact(
+              bb.sparkSession, storeDir, -id, id - 1), "fps")
             case _ => (graft.pipeline.Dedup.minhashStoreCompact(
               bb.sparkSession, storeDir, -id, id - 1), "shingles")
           }
