@@ -1957,25 +1957,16 @@ object TextAnalysis {
     * (doc_id, text_chars, link_chars, tag_count, link_density, text). */
   def htmlExtract(docs: DataFrame, htmlCol: String,
       idCol: String): DataFrame = {
-    // amp decodes LAST so '&amp;lt;' yields the literal '&lt;', not '<'
-    def decode(c: Column): Column =
-      Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-        "&#39;" -> "'", "&amp;" -> "&")
-        .foldLeft(c) { case (acc, (e, r)) => regexp_replace(acc, e, r) }
-    // two passes, one tag each: RE2 (the oracle engine) has no
-    // backreferences, so '</(script|style)>' cross-matching is avoided
-    // by construction rather than by a backref
-    val content = Seq("script", "style").foldLeft(col(htmlCol)) { (acc, tag) =>
-      regexp_replace(acc, s"(?is)<$tag(\\s[^>]*)?>.*?</$tag>", "")
-    }
+    val content = stripScriptStyle(col(htmlCol))
     val stripped = regexp_replace(content, "<[^>]*>", "")
     val linkBodies = regexp_extract_all(content,
       lit("(?is)<a(?:\\s[^>]*)?>(.*?)</a>"), lit(1))
     docs.select(col(idCol).as("doc_id"),
-      decode(stripped).as("text"),
+      decodeEntities(stripped).as("text"),
       aggregate(linkBodies, lit(0L),
-        (acc, b) => acc + length(decode(regexp_replace(b, "<[^>]*>", "")))
-          .cast(LongType)).as("link_chars"),
+        (acc, b) => acc +
+          length(decodeEntities(regexp_replace(b, "<[^>]*>", "")))
+            .cast(LongType)).as("link_chars"),
       size(regexp_extract_all(col(htmlCol), lit("<[^>]+>"), lit(0)))
         .cast(LongType).as("tag_count"))
       .select(col("doc_id"),
@@ -2020,6 +2011,158 @@ object TextAnalysis {
       .withColumn("suspect",
         col("latin1_runs") + col("quote_runs") + col("nbsp_runs") +
           col("replacement_chars") > 0)
+  }
+
+  /** The five basic HTML entities, decoded in a fixed order — `&amp;`
+    * LAST so `&amp;lt;` yields the literal `&lt;`, not `<`. */
+  private def decodeEntities(c: Column): Column =
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(c) { case (acc, (e, r)) => regexp_replace(acc, e, r) }
+
+  /** Drop `<script>`/`<style>` bodies — two passes, one tag each: RE2
+    * (the oracle engine) has no backreferences, so `</(script|style)>`
+    * cross-matching is avoided by construction rather than by a backref. */
+  private def stripScriptStyle(c: Column): Column =
+    Seq("script", "style").foldLeft(c) { (acc, tag) =>
+      regexp_replace(acc, s"(?is)<$tag(\\s[^>]*)?>.*?</$tag>", "")
+    }
+
+  /** Block-level HTML tags (open, close, or self-closing) — the segment
+    * boundaries of [[justextBlocks]]. */
+  private val blockTagPattern: String =
+    "(?i)</?(p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|" +
+      "blockquote|pre|section|article|header|footer|nav|aside|form|" +
+      "fieldset|br|hr)(\\s[^>]*)?/?>"
+
+  /** Visible text inside `<a ...>...</a>` pairs of one raw segment,
+    * summed in characters after tag-strip + entity decode. */
+  private def anchorChars(raw: Column): Column =
+    aggregate(
+      regexp_extract_all(raw, lit("(?is)<a(?:\\s[^>]*)?>(.*?)</a>"), lit(1)),
+      lit(0L),
+      (acc, b) => acc +
+        length(decodeEntities(regexp_replace(b, "<[^>]*>", ""))).cast(LongType))
+
+  /** jusText-style block-level boilerplate classification (Pomikálek
+    * 2011) — the context-sensitive upgrade of [[htmlExtract]]'s
+    * page-level link-density signal: pages segment into blocks at
+    * block-level tags, each block scores link density + stopword
+    * density + length, and undecided blocks inherit from their
+    * neighbors (boilerplate clusters at page edges; content runs in
+    * the middle).
+    *
+    * Context-free classes: `bad` (link density > `maxLinkDensity`, or
+    * stopword density below `stopwordsLow`), `short` (under
+    * `lengthLow` visible chars), `good` (stopword density ≥
+    * `stopwordsHigh` and over `lengthHigh` chars), `near_good`
+    * (stopword-dense but short of `good`). Context pass, per document
+    * in block order against the nearest PRECEDING and FOLLOWING
+    * context-free good/bad block (page edge = bad): `near_good` →
+    * good iff either neighbor is good; `short` → good iff both are.
+    * This is the paper's decision structure with one simplification —
+    * neighbors come from the context-free classes in one pass rather
+    * than iterating near-good resolution first. Defaults are the
+    * paper's English parameters; callers with a small demo stoplist
+    * should scale the stopword thresholds down accordingly.
+    *
+    * Scale shape: segmentation, per-block metrics, and context-free
+    * classes are all scan-side (posexplode of a regexp split — no
+    * join, no UDF); the context pass and re-indexing are windows
+    * PARTITIONED BY doc_id ONLY (blocks-per-page bounded), sharing
+    * one doc_id hash exchange. Returns (doc_id, block_idx, n_chars,
+    * link_density, stop_density, cf_class, block_class, text). */
+  def justextBlocks(docs: DataFrame, htmlCol: String, idCol: String,
+      stopwords: Seq[String], maxLinkDensity: Double = 0.2,
+      lengthLow: Int = 70, lengthHigh: Int = 200,
+      stopwordsLow: Double = 0.30, stopwordsHigh: Double = 0.32): DataFrame = {
+    val segmented =
+      regexp_replace(stripScriptStyle(col(htmlCol)), blockTagPattern, "\n")
+    val raw = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(segmented, "\n")).as(Seq("__pos", "__raw")))
+    val visible =
+      trim(decodeEntities(regexp_replace(col("__raw"), "<[^>]*>", "")))
+    val scored0 = raw
+      .select(col("doc_id"), col("__pos"), visible.as("text"),
+        anchorChars(col("__raw")).as("__lc"))
+      .where(length(col("text")) > 0)
+    val toks = tokens(lower(col("text")))
+    val nChars = length(col("text")).cast(LongType)
+    // exact integer/integer divisions — identical IEEE doubles in both
+    // engines, so the threshold compares match without rounding
+    val linkDensity = col("__lc").cast(DoubleType) / nChars.cast(DoubleType)
+    val stopDensity =
+      size(filter(toks, t => t.isin(stopwords: _*))).cast(DoubleType) /
+        greatest(size(toks), lit(1)).cast(DoubleType)
+    val cf = when(linkDensity > maxLinkDensity, "bad")
+      .when(nChars < lengthLow, "short")
+      .when(stopDensity >= stopwordsHigh,
+        when(nChars > lengthHigh, lit("good")).otherwise(lit("near_good")))
+      .when(stopDensity >= stopwordsLow, "near_good")
+      .otherwise("bad")
+    val scored = scored0.select(col("doc_id"), col("__pos"), col("text"),
+      nChars.as("n_chars"), linkDensity.as("__ld"), stopDensity.as("__sd"),
+      cf.as("cf_class"))
+    val w = Window.partitionBy("doc_id").orderBy("__pos")
+    val gb = when(col("cf_class").isin("good", "bad"), col("cf_class"))
+    val prev = coalesce(last(gb, ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit("bad"))
+    val nxt = coalesce(first(gb, ignoreNulls = true)
+      .over(w.rowsBetween(1, Window.unboundedFollowing)), lit("bad"))
+    val finalClass = when(col("cf_class").isin("good", "bad"), col("cf_class"))
+      .when(col("cf_class") === "near_good",
+        when(prev === "good" || nxt === "good", "good").otherwise("bad"))
+      .otherwise(when(prev === "good" && nxt === "good", "good")
+        .otherwise("bad"))
+    scored.select(col("doc_id"),
+      (row_number().over(w) - 1).cast(LongType).as("block_idx"),
+      col("n_chars"),
+      (floor(col("__ld") * 1000000.0 + 0.5) / 1000000.0).as("link_density"),
+      (floor(col("__sd") * 1000000.0 + 0.5) / 1000000.0).as("stop_density"),
+      col("cf_class"), finalClass.as("block_class"), col("text"))
+  }
+
+  /** Assemble [[justextBlocks]] output into per-document extracted
+    * content: `good` blocks joined in block order (newline-separated).
+    * A page with no good blocks returns empty content, never vanishes
+    * (the c4LineClean rule). One groupBy(doc_id) that REUSES the block
+    * window's partitioning — no second exchange. */
+  def justextContent(blocks: DataFrame): DataFrame =
+    blocks.groupBy("doc_id").agg(
+      count(lit(1)).as("n_blocks"),
+      sum(when(col("block_class") === "good", 1L).otherwise(0L)).as("n_good"),
+      // when() without otherwise → null for non-good → collect_list drops
+      array_join(transform(array_sort(collect_list(
+        when(col("block_class") === "good",
+          struct(col("block_idx"), col("text"))))),
+        _.getField("text")), "\n").as("content"))
+      .withColumn("content_chars", length(col("content")).cast(LongType))
+
+  /** Site-template fingerprint — structural near-dup detection for web
+    * corpora: pages generated from one CMS template share their TAG
+    * SEQUENCE even when text and attribute values differ entirely, so
+    * md5 over the ordered lowercased tag names clusters a crawl by
+    * template. Template-dominant corpora (one template = thousands of
+    * pages) are chrome-heavy; per-template keep caps or the
+    * [[justextBlocks]] pass then apply per cluster, not per page.
+    *
+    * Scale shape: the fingerprint is a scan-side projection (the html
+    * never shuffles); clustering is one pre-combined groupBy on the
+    * 16-byte hash plus a hash-keyed join back of the skinny
+    * (hash, template_id, size) table. Returns (doc_id, tpl_hash,
+    * template_id = min doc_id of the cluster, template_size, n_tags). */
+  def templateFingerprint(docs: DataFrame, htmlCol: String,
+      idCol: String): DataFrame = {
+    val names = regexp_extract_all(col(htmlCol),
+      lit("</?([A-Za-z][A-Za-z0-9]*)"), lit(1))
+    val tagged = docs.select(col(idCol).as("doc_id"),
+      md5(array_join(transform(names, t => lower(t)), ",")).as("tpl_hash"),
+      size(names).cast(LongType).as("n_tags"))
+    val clusters = tagged.groupBy("tpl_hash").agg(
+      min(col("doc_id")).as("template_id"),
+      count(lit(1)).as("template_size"))
+    tagged.join(clusters, Seq("tpl_hash"))
+      .select("doc_id", "tpl_hash", "template_id", "template_size", "n_tags")
   }
 
   /** C4-style line cleaning with CORPUS-WIDE exact line dedup — the

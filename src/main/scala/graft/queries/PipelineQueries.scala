@@ -691,6 +691,82 @@ private[graft] trait PipelineQueries extends RegistryBase {
   }
 
 
+  // Dolma-style tag-then-filter curation (Soldaini et al. 2024): ONE
+  // tagging pass writes the skinny per-doc attribute table (quality,
+  // langid, repetition, token/char counts, exact-dedup canonical
+  // verdict), then declarative filter CONFIGS select from it — two
+  // configs here (lenient keep-set + strict flag) off the SAME
+  // localCheckpoint'd attribute table, pinning the architecture's point:
+  // threshold iteration re-reads attributes, never the corpus. Every
+  // attribute reuses an individually-oracled tagger (t1/t2/t3/t9/d1);
+  // this row pins their composition and the config compiler.
+  register(
+    "p11_attribute_filter",
+    """WITH fp AS (
+      |  SELECT doc_id, text,
+      |         md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS f
+      |  FROM documents),
+      |cn AS (SELECT f, min(doc_id) AS keep FROM fp GROUP BY f),
+      |w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                                 x -> x != '') AS words FROM documents),
+      |g AS (SELECT doc_id, CASE WHEN len(words) >= 2
+      |        THEN list_transform(generate_series(1, len(words) - 1),
+      |                            i -> words[i] || ' ' || words[i + 1])
+      |        ELSE [] END AS grams FROM w),
+      |at AS (
+      |  SELECT fp.doc_id,
+      |    CAST(len(list_filter(string_split_regex(fp.text, '\s+'), x -> x != '')) AS BIGINT) AS n_tokens,
+      |    CAST(length(fp.text) AS BIGINT) AS n_chars,
+      |    round(greatest(0.0,
+      |      least(length(fp.text) / 500.0, 1.0) * 0.4 +
+      |      least((len(list_filter(string_split_regex(lower(fp.text), '\s+'),
+      |              x -> x IN ('the','a','of','and','to','in')))::DOUBLE /
+      |             greatest(len(list_filter(string_split_regex(lower(fp.text), '\s+'),
+      |              x -> x != '')), 1)) * 3.0, 1.0) * 0.4 +
+      |      (1.0 - least(len(regexp_extract_all(fp.text, '[^\w\s]'))::DOUBLE /
+      |                   greatest(length(fp.text), 1) * 5.0, 1.0)) * 0.2), 6) AS quality,
+      |    (SELECT CASE
+      |       WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+      |       WHEN s_es >= s_de THEN 'es' ELSE 'de' END
+      |     FROM (SELECT
+      |       len(list_intersect(t, ['the','a','and','scan','join'])) AS s_en,
+      |       len(list_intersect(t, ['el','la','que','datos'])) AS s_es,
+      |       len(list_intersect(t, ['der','die','und','das'])) AS s_de
+      |       FROM (SELECT list_distinct(list_filter(
+      |         string_split_regex(lower(fp.text), '\s+'), x -> x != '')) AS t))) AS langid,
+      |    CASE WHEN len(g.grams) > 0
+      |      THEN round(1.0 - len(list_distinct(g.grams))::DOUBLE / len(g.grams), 6)
+      |      ELSE 0.0 END AS rep_frac,
+      |    (fp.doc_id = cn.keep) AS is_canonical
+      |  FROM fp JOIN cn USING (f) JOIN g ON g.doc_id = fp.doc_id)
+      |SELECT doc_id, n_tokens, n_chars, quality, langid, rep_frac,
+      |       (quality >= 0.35 AND langid = 'en' AND rep_frac <= 0.2) AS kept_strict
+      |FROM at
+      |WHERE quality >= 0.25 AND n_tokens >= 5 AND is_canonical
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import graft.pipeline.Curation
+    import graft.pipeline.Curation.AttrRule
+    val attrs = Curation.tagAttributes(t(s, dir, "documents"), "text",
+        "doc_id", Seq("the", "a", "of", "and", "to", "in"),
+        Seq("en" -> Seq("the", "a", "and", "scan", "join"),
+          "es" -> Seq("el", "la", "que", "datos"),
+          "de" -> Seq("der", "die", "und", "das")))
+      .localCheckpoint() // diamond: two filter configs read the table
+    val lenient = Seq(AttrRule("quality", ">=", "0.25"),
+      AttrRule("n_tokens", ">=", "5"), AttrRule("is_canonical", "==", "true"))
+    val strictOnly = Seq(AttrRule("quality", ">=", "0.35"),
+      AttrRule("langid", "==", "en"), AttrRule("rep_frac", "<=", "0.2"))
+    val keptStrict = Curation.applyConfig(attrs, lenient ++ strictOnly)
+      .select(col("doc_id"), lit(true).as("kept_strict"))
+    Curation.applyConfig(attrs, lenient)
+      .join(keptStrict, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_chars"), col("quality"),
+        col("langid"), col("rep_frac"),
+        coalesce(col("kept_strict"), lit(false)).as("kept_strict"))
+      .orderBy("doc_id")
+  }
+
+
   // Multimodal perceptual-hash near-dup: the pigeonhole machinery over a
   // 64-bit media hash (stub = md5-derived, so only byte-identical media
   // collide — which is exactly what the oracle can pin; a real pHash slots

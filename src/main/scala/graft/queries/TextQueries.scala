@@ -2438,6 +2438,202 @@ private[graft] trait TextQueries extends RegistryBase {
     TextAnalysis.htmlExtract(html, "html", "doc_id").orderBy("doc_id")
   }
 
+  // ---- jusText block classification (t88/t88b) -------------------------
+  // Planted paragraph constants for the context-promotion branches:
+  // GOOD is 201 chars at stop density 0.405 (> lengthHigh and >=
+  // stopwordsHigh -> context-free good); NEAR is 122 chars at 0.056
+  // (in [stopwordsLow, stopwordsHigh) -> near_good) — so residue-3
+  // pages ALWAYS exercise near_good-next-to-good promotion, and the
+  // short <h4> after them exercises the short rule with a good
+  // preceding neighbor. Residue 2 puts a short header between two
+  // copies of the body, so short->good fires whenever the body
+  // classifies good. Thresholds (0.04/0.08) are the paper's structure
+  // scaled to the 6-word demo stoplist (corpus stop density averages
+  // 0.066 against it; the paper's 0.30/0.32 assume a full stoplist).
+  private val justextGoodPara: String =
+    "the quick brown fox jumps over the lazy dog and runs to a shaded " +
+      "hollow in the woods while the wind keeps a steady measure of time " +
+      "and the river bends to a quiet pool of light in the late afternoon sun"
+  private val justextNearPara: String =
+    "compilers emit scans filters joins windows buffers spill partitions " +
+      "shuffle hash probe build rows columns the vector batch"
+
+  /** Four page shapes: nav-heavy chrome, header+code page, short header
+    * between two content paragraphs, planted good/near-good run. */
+  private def justextPages(docs: DataFrame): DataFrame = {
+    val body = regexp_replace(col("text"), "\\s+", " ")
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("<div><ul>"),
+          repeat(lit("<li><a href=\"/s\">links and links</a></li>"), 4),
+          lit("</ul></div><h2>Docs</h2><p>"), body,
+          lit("</p><div><a href=\"/f\">footer terms</a> - " +
+            "<a href=\"/p\">privacy notice</a></div>")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("<h1>Guide page</h1><p>"), body,
+            lit("</p><pre>0x1f 0x2e cfg z9 q7 w3 r4 v8 k2 m6</pre>")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("<p>"), body, lit("</p><h3>A &amp; B &lt;x&gt;</h3><p>"),
+            body, lit("</p>")))
+        .otherwise(concat(
+          lit(s"<p>$justextGoodPara</p><p>$justextNearPara</p><h4>Notes</h4><p>"),
+          body, lit("</p>"))).as("html"))
+  }
+
+  private val justextPagesSql: String =
+    """h AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN '<div><ul>' || repeat('<li><a href="/s">links and links</a></li>', 4)
+      |        || '</ul></div><h2>Docs</h2><p>' || regexp_replace(text, '\s+', ' ', 'g')
+      |        || '</p><div><a href="/f">footer terms</a> - <a href="/p">privacy notice</a></div>'
+      |      WHEN 1 THEN '<h1>Guide page</h1><p>' || regexp_replace(text, '\s+', ' ', 'g')
+      |        || '</p><pre>0x1f 0x2e cfg z9 q7 w3 r4 v8 k2 m6</pre>'
+      |      WHEN 2 THEN '<p>' || regexp_replace(text, '\s+', ' ', 'g')
+      |        || '</p><h3>A &amp; B &lt;x&gt;</h3><p>' || regexp_replace(text, '\s+', ' ', 'g') || '</p>'
+      |      ELSE '<p>the quick brown fox jumps over the lazy dog and runs to a shaded hollow in the woods while the wind keeps a steady measure of time and the river bends to a quiet pool of light in the late afternoon sun</p>'
+      |        || '<p>compilers emit scans filters joins windows buffers spill partitions shuffle hash probe build rows columns the vector batch</p>'
+      |        || '<h4>Notes</h4><p>' || regexp_replace(text, '\s+', ' ', 'g') || '</p>' END AS html
+      |  FROM documents)""".stripMargin
+
+  /** Segment -> per-block metrics -> context-free class -> context pass,
+    * the identical algebra to TextAnalysis.justextBlocks. */
+  private val justextBlocksSql: String =
+    """seg AS (
+      |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+      |    '(?is)<script(\s[^>]*)?>.*?</script>', '', 'g'),
+      |    '(?is)<style(\s[^>]*)?>.*?</style>', '', 'g'),
+      |    '(?i)</?(p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|blockquote|pre|section|article|header|footer|nav|aside|form|fieldset|br|hr)(\s[^>]*)?/?>', chr(10), 'g') AS segd
+      |  FROM h),
+      |blk AS (SELECT doc_id, unnest(string_split(segd, chr(10))) AS rawb,
+      |               CAST(generate_subscripts(string_split(segd, chr(10)), 1) AS BIGINT) - 1 AS pos
+      |        FROM seg),
+      |vis AS (SELECT doc_id, pos,
+      |  trim(replace(replace(replace(replace(replace(
+      |    regexp_replace(rawb, '<[^>]*>', '', 'g'),
+      |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&')) AS text,
+      |  coalesce(list_sum(list_transform(
+      |    regexp_extract_all(rawb, '(?is)<a(?:\s[^>]*)?>(.*?)</a>', 1),
+      |    x -> length(replace(replace(replace(replace(replace(
+      |      regexp_replace(x, '<[^>]*>', '', 'g'),
+      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&')))), 0) AS lc
+      |  FROM blk),
+      |sc AS (SELECT doc_id, pos, text, CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(lc AS DOUBLE) / length(text) AS ld,
+      |  len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), x -> x != ''),
+      |      t -> t IN ('the','a','of','and','to','in')))::DOUBLE /
+      |    greatest(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')), 1) AS sd
+      |  FROM vis WHERE length(text) > 0),
+      |cf AS (SELECT *, CASE WHEN ld > 0.2 THEN 'bad'
+      |    WHEN n_chars < 70 THEN 'short'
+      |    WHEN sd >= 0.08 THEN CASE WHEN n_chars > 200 THEN 'good' ELSE 'near_good' END
+      |    WHEN sd >= 0.04 THEN 'near_good'
+      |    ELSE 'bad' END AS cf_class FROM sc),
+      |ctx AS (SELECT *,
+      |  coalesce(last_value(CASE WHEN cf_class IN ('good','bad') THEN cf_class END IGNORE NULLS)
+      |    OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'bad') AS prev,
+      |  coalesce(first_value(CASE WHEN cf_class IN ('good','bad') THEN cf_class END IGNORE NULLS)
+      |    OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 'bad') AS nxt,
+      |  row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS block_idx
+      |  FROM cf),
+      |fin AS (SELECT doc_id, CAST(block_idx AS BIGINT) AS block_idx, n_chars,
+      |  floor(ld * 1000000.0 + 0.5) / 1000000.0 AS link_density,
+      |  floor(sd * 1000000.0 + 0.5) / 1000000.0 AS stop_density,
+      |  cf_class,
+      |  CASE WHEN cf_class IN ('good','bad') THEN cf_class
+      |       WHEN cf_class = 'near_good' THEN CASE WHEN prev = 'good' OR nxt = 'good' THEN 'good' ELSE 'bad' END
+      |       ELSE CASE WHEN prev = 'good' AND nxt = 'good' THEN 'good' ELSE 'bad' END END AS block_class,
+      |  text
+      |  FROM ctx)""".stripMargin
+
+  // jusText block-level boilerplate classification (Pomikálek 2011):
+  // segment at block tags, score link/stopword density + length per
+  // block, then promote/demote undecided blocks from their neighbors.
+  // The four page shapes + planted paragraph constants give every
+  // (cf_class -> block_class) transition organic coverage at sf0.001:
+  // bad->bad, good->good, near_good->good, near_good->bad, short->good,
+  // short->bad (measured 756/250/195/277/48/599). Hash-proven per-block
+  // down to the visible text bytes.
+  register(
+    "t88_justext_blocks",
+    // plain concatenation: a second stripMargin would eat the leading
+    // pipe of the inner SQL's '||' continuation lines
+    "WITH " + justextPagesSql + ",\n" + justextBlocksSql +
+      "\nSELECT * FROM fin ORDER BY doc_id, block_idx") { (s, dir) =>
+    TextAnalysis.justextBlocks(justextPages(t(s, dir, "documents")),
+        "html", "doc_id", Seq("the", "a", "of", "and", "to", "in"),
+        stopwordsLow = 0.04, stopwordsHigh = 0.08)
+      .orderBy("doc_id", "block_idx")
+  }
+
+  // The extracted-content deliverable: good blocks reassembled in block
+  // order per page; chrome-only pages come back with empty content
+  // rather than vanishing. Same block algebra, one doc-keyed aggregate.
+  register(
+    "t88b_justext_content",
+    "WITH " + justextPagesSql + ",\n" + justextBlocksSql + "\n" +
+      """SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+        |       CAST(coalesce(count(*) FILTER (WHERE block_class = 'good'), 0) AS BIGINT) AS n_good,
+        |       coalesce(string_agg(text, chr(10) ORDER BY block_idx)
+        |                  FILTER (WHERE block_class = 'good'), '') AS content,
+        |       CAST(length(coalesce(string_agg(text, chr(10) ORDER BY block_idx)
+        |                  FILTER (WHERE block_class = 'good'), '')) AS BIGINT) AS content_chars
+        |FROM fin GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.justextContent(
+      TextAnalysis.justextBlocks(justextPages(t(s, dir, "documents")),
+        "html", "doc_id", Seq("the", "a", "of", "and", "to", "in"),
+        stopwordsLow = 0.04, stopwordsHigh = 0.08))
+      .orderBy("doc_id")
+  }
+
+  // Site-template fingerprint: md5 over the ordered lowercased tag-name
+  // sequence clusters a crawl by CMS template. Three planted behaviors:
+  // residue 0 varies attributes AND text per doc yet lands in ONE
+  // cluster (structure invariance); residue 1 varies the <li> repeat
+  // count by doc_id % 4 -> four structure-distinct clusters; residue 2
+  // is byte-constant chrome -> one cluster. template_id = min doc_id.
+  register(
+    "t89_template_fingerprint",
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 3 AS INT)
+      |      WHEN 0 THEN '<html><head><title>T</title></head><body><div class="x'
+      |        || CAST(doc_id AS VARCHAR) || '"><p>'
+      |        || regexp_replace(text, '\s+', ' ', 'g') || '</p></div></body></html>'
+      |      WHEN 1 THEN '<body><ul>'
+      |        || repeat('<li><a href="/a">x</a></li>', 1 + CAST(doc_id % 4 AS INT))
+      |        || '</ul><p>' || regexp_replace(text, '\s+', ' ', 'g') || '</p></body>'
+      |      ELSE '<article><h1>t</h1><p>s</p><p>s</p></article>' END AS html
+      |  FROM documents),
+      |tg AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(list_transform(
+      |      regexp_extract_all(html, '</?([A-Za-z][A-Za-z0-9]*)', 1),
+      |      t -> lower(t)), ',')) AS tpl_hash,
+      |    CAST(len(regexp_extract_all(html, '</?([A-Za-z][A-Za-z0-9]*)', 1)) AS BIGINT) AS n_tags
+      |  FROM h),
+      |cl AS (SELECT tpl_hash, min(doc_id) AS template_id,
+      |              CAST(count(*) AS BIGINT) AS template_size
+      |       FROM tg GROUP BY 1)
+      |SELECT tg.doc_id, tg.tpl_hash, cl.template_id, cl.template_size, tg.n_tags
+      |FROM tg JOIN cl USING (tpl_hash) ORDER BY tg.doc_id""".stripMargin) { (s, dir) =>
+    val body = regexp_replace(col("text"), "\\s+", " ")
+    val pages = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("<html><head><title>T</title></head><body><div class=\"x"),
+          col("doc_id").cast("string"), lit("\"><p>"), body,
+          lit("</p></div></body></html>")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("<body><ul>"),
+            array_join(array_repeat(lit("<li><a href=\"/a\">x</a></li>"),
+              (lit(1) + (col("doc_id") % 4)).cast("int")), ""),
+            lit("</ul><p>"), body, lit("</p></body>")))
+        .otherwise(lit("<article><h1>t</h1><p>s</p><p>s</p></article>"))
+        .as("html"))
+    TextAnalysis.templateFingerprint(pages, "html", "doc_id")
+      .orderBy("doc_id")
+  }
+
 
   // C4 line filters + CCNet/FineWeb corpus-wide line dedup. The planted
   // page shape gives every branch a worked case: a content line (first 8

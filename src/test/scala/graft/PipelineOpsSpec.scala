@@ -2016,4 +2016,125 @@ class PipelineOpsSpec extends AnyFunSuite {
       Seq((2L, 3L)).toDF("id_a", "id_b"), root))
     assert(l3 == l2)
   }
+
+  // jusText planted paragraphs: GOOD is >200 chars at stop density 0.40
+  // (context-free good at the 0.04/0.08 demo thresholds); NEAR is 122
+  // chars at 0.056 (near_good)
+  private val jtGood =
+    "the quick brown fox jumps over the lazy dog and runs to a shaded " +
+      "hollow in the woods while the wind keeps a steady measure of time " +
+      "and the river bends to a quiet pool of light in the late afternoon sun"
+  private val jtNear =
+    "compilers emit scans filters joins windows buffers spill partitions " +
+      "shuffle hash probe build rows columns the vector batch"
+  private val jtStops = Seq("the", "a", "of", "and", "to", "in")
+
+  test("justext: link-density bad, neighbor promotion/demotion, chrome-only page survives empty") {
+    val pages = Seq(
+      (1L, "<ul><li><a href=\"/a\">nav link one</a></li>" +
+        "<li><a href=\"/b\">nav link two</a></li></ul>" +
+        s"<h2>Title</h2><p>$jtGood</p><p>$jtNear</p>" +
+        "<pre>0x00 0x01 raw dump</pre>"),
+      (2L, "<div><a href=\"/x\">only chrome here</a></div>"),
+      (3L, s"<p>$jtGood</p><h3>Mid</h3><p>$jtGood</p>"))
+      .toDF("doc_id", "html")
+    val blocks = TextAnalysis.justextBlocks(pages, "html", "doc_id",
+      jtStops, stopwordsLow = 0.04, stopwordsHigh = 0.08)
+    def classesOf(id: Long) = blocks.where(col("doc_id") === id)
+      .orderBy("block_idx").select("cf_class", "block_class")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // doc 1: two pure-anchor blocks (density 1.0 -> bad), a short title
+    // with a bad neighbor (-> bad), the good paragraph, the near_good
+    // promoted by its good neighbor, and a short code block demoted
+    // (prev good but next is the page edge = bad)
+    assert(classesOf(1L) == Seq("bad" -> "bad", "bad" -> "bad",
+      "short" -> "bad", "good" -> "good", "near_good" -> "good",
+      "short" -> "bad"))
+    // doc 3: short header BETWEEN two goods promotes
+    assert(classesOf(3L) == Seq("good" -> "good", "short" -> "good",
+      "good" -> "good"))
+    val content = TextAnalysis.justextContent(blocks).orderBy("doc_id")
+      .collect()
+    assert(content.length == 3)
+    val c1 = content(0)
+    assert(c1.getAs[String]("content") == s"$jtGood\n$jtNear")
+    // chrome-only page: present with EMPTY content, never dropped
+    val c2 = content(1)
+    assert(c2.getAs[Long]("n_good") == 0L &&
+      c2.getAs[String]("content") == "" &&
+      c2.getAs[Long]("content_chars") == 0L)
+  }
+
+  test("template fingerprint: attribute/text-invariant, structure-sensitive") {
+    val pages = Seq(
+      (1L, "<div class=\"a\"><p>alpha text</p></div>"),
+      (2L, "<div class=\"zzz\" id=\"k9\"><p>wholly different words</p></div>"),
+      (3L, "<div><p>x</p><p>x</p></div>"), // extra <p> -> new template
+      (4L, "<DIV><P>case folded</P></DIV>")) // tag case folds together
+      .toDF("doc_id", "html")
+    val out = TextAnalysis.templateFingerprint(pages, "html", "doc_id")
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("template_id"), r.getAs[Long]("template_size"))).toMap
+    assert(byId(1L) == (1L, 3L) && byId(2L) == (1L, 3L) && byId(4L) == (1L, 3L),
+      "attrs/text/case must not split a template cluster")
+    assert(byId(3L) == (3L, 1L), "structure change must split")
+  }
+
+  test("curation: config compiler comparators; tag-then-filter equals the inline predicate") {
+    import Curation.AttrRule
+    val attrs = Curation.tagAttributes(docs, "text", "doc_id", jtStops,
+      Seq("en" -> Seq("the", "a"), "de" -> Seq("der", "die")))
+    // docs 0/1/4 share a fingerprint -> only 0 canonical
+    val canon = attrs.where(col("is_canonical")).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(canon == Seq(0L, 2L, 3L))
+    val cfg = Seq(AttrRule("n_tokens", ">=", "9"),
+      AttrRule("langid", "==", "en"), AttrRule("is_canonical", "==", "true"))
+    val kept = Curation.applyConfig(attrs, cfg).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    val inline = attrs.where(col("n_tokens") >= 9 && col("langid") === "en"
+      && col("is_canonical")).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == inline && kept.nonEmpty)
+    // != on strings, < on numbers
+    assert(Curation.applyConfig(attrs,
+      Seq(AttrRule("langid", "!=", "en"))).count() ==
+      attrs.where(col("langid") =!= "en").count())
+    assert(Curation.applyConfig(attrs,
+      Seq(AttrRule("rep_frac", "<", "0.01"))).count() ==
+      attrs.where(col("rep_frac") < 0.01).count())
+    intercept[IllegalArgumentException] {
+      AttrRule("quality", "~", "0.5").toColumn
+    }
+    intercept[IllegalArgumentException] {
+      AttrRule("langid", ">=", "en").toColumn // string supports ==/!= only
+    }
+  }
+
+  test("attribute store step: cross-batch canonical, retry replaces partial, compaction inert") {
+    val dir = java.nio.file.Files.createTempDirectory("attrstore").toString
+    val langs = Seq("en" -> Seq("the", "a"))
+    def step(df: org.apache.spark.sql.DataFrame, id: Long) =
+      Curation.attributeStoreStep(df, dir, id, "text", "doc_id",
+        jtStops, langs)
+        .select("doc_id", "is_canonical").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val b1 = Seq((0L, "the quick brown fox"), (1L, "the quick brown fox"),
+      (2L, "engines and joins")).toDF("doc_id", "text")
+    assert(step(b1, 0L) == Map(0L -> true, 1L -> false, 2L -> true))
+    // RETRY of the founding batch: own partition excluded -> same verdict
+    assert(step(b1, 0L) == Map(0L -> true, 1L -> false, 2L -> true),
+      "retried batch must not read its own partial store write")
+    // batch 2: cross-batch dup is non-canonical, novel doc is canonical
+    val b2 = Seq((10L, "the quick brown fox"), (11L, "wholly new words"))
+      .toDF("doc_id", "text")
+    assert(step(b2, 1L) == Map(10L -> false, 11L -> true))
+    // compact batches 0..1, then a third batch still sees the folded set
+    assert(Curation.attributeStoreCompact(spark, dir, -1L, 1L)
+      .sorted == Seq(0L, 1L))
+    val b3 = Seq((20L, "wholly new words"), (21L, "never seen before text"))
+      .toDF("doc_id", "text")
+    assert(step(b3, 2L) == Map(20L -> false, 21L -> true),
+      "consolidated partition must serve the membership verdict")
+  }
 }
