@@ -78,6 +78,49 @@ private[graft] object BatchStore {
       .select(empty.columns.map(col): _*)
   }
 
+  /** Write one micro-batch's partition (`batch_id=<batchId>`, overwrite —
+    * the retry-replaces-partial idiom every store loop uses), REFUSING a
+    * batch id already listed in a committed compaction marker. Folded ids
+    * are excluded from every read forever, so letting such a write land
+    * would be silent data loss — it happens only when a storeDir outlives
+    * its stream checkpoint and batch ids restart at 0. A storeDir is
+    * bound to ONE checkpoint lineage; recreate them together. */
+  def writeBatchPart(df: DataFrame, dataPath: String, markersDir: String,
+      batchId: Long): Unit = {
+    val fs = new Path(dataPath)
+      .getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    val folded = readMarkers(fs, markersDir).values.flatten.toSet
+    if (folded.contains(batchId))
+      throw new IllegalStateException(
+        s"batch_id=$batchId under $dataPath was already folded by a " +
+        "committed compaction: this store belongs to an earlier checkpoint " +
+        "lineage (batch ids restarted). Writing would be invisible to every " +
+        "reader; recreate the storeDir together with the new checkpoint.")
+    df.write.mode("overwrite").parquet(s"$dataPath/batch_id=$batchId")
+  }
+
+  /** Default probe-side broadcast cap for the store-prune left-semi
+    * joins: 2M distinct keys (~100–200 MB of md5 hex / fingerprints)
+    * stays well under Spark's broadcast ceiling; a fatter micro-batch
+    * falls back to a shuffled semi-join instead of failing the stream. */
+  val ProbeBroadcastCap: Long = 1L << 21
+
+  /** The batch's distinct-key probe side for a store-prune left-semi,
+    * broadcast-hinted ONLY when provably small: a `limit(cap + 1)` count
+    * (early-stopping, batch-cardinality input) decides. Above the cap the
+    * frame returns unhinted and the semi-join shuffles — semantics
+    * identical, per-partition cost still batch-proportional, and no
+    * broadcast cliff (the [[graft.pipeline.Dedup]] SubstringProbeCap
+    * idiom applied to the join side). */
+  def probeSide(keys: DataFrame, cap: Long = ProbeBroadcastCap): DataFrame =
+    if (fitsBroadcast(keys, cap)) broadcast(keys) else keys
+
+  /** Cheap (early-stopping limit + count) test that `keys` has at most
+    * `cap` rows — the [[probeSide]] decision, exposed for steps that hint
+    * several joins off one batch key set. */
+  def fitsBroadcast(keys: DataFrame, cap: Long = ProbeBroadcastCap): Boolean =
+    keys.limit((cap + 1).toInt).count() <= cap
+
   /** Identity-merge compaction over several sub-tables of one store
     * (signature stores: rows are per-document, nothing to reduce). */
   def compactIdentity(spark: SparkSession, storeDir: String,
@@ -118,8 +161,21 @@ private[graft] object BatchStore {
     require(compactId < 0,
       "compaction ids are negative to stay out of the stream's id space")
     val fs = new Path(dataPath).getFileSystem(spark.sessionState.newHadoopConf())
-    require(!fs.exists(new Path(s"$markersDir/$compactId")),
-      s"compaction id $compactId already committed")
+    if (fs.exists(new Path(s"$markersDir/$compactId"))) {
+      // an ALREADY-COMMITTED compaction id is an idempotent no-op, not an
+      // error: under at-least-once foreachBatch semantics the triggering
+      // batch can replay (compactId derives from the batch id), and a
+      // rethrow here would wedge the stream on every restart. The marker
+      // already makes the folded sources invisible; just retry their lazy
+      // cleanup (a first attempt may have crashed between commit and
+      // delete) and report nothing newly folded.
+      readMarkers(fs, markersDir).getOrElse(compactId, Seq.empty)
+        .filter(_ != compactId).foreach { id =>
+          try fs.delete(new Path(s"$dataPath/batch_id=$id"), true)
+          catch { case _: java.io.IOException => }
+        }
+      return Seq.empty
+    }
     val candidates = readableParts(fs, dataPath, markersDir, None)
       .filter { case (id, _) => id < 0 || id <= upToBatchId }
     if (candidates.size < 2) return Seq.empty

@@ -100,7 +100,8 @@ object Curation {
     * id). */
   def attributeStoreStep(batch: DataFrame, storeDir: String, batchId: Long,
       textCol: String, idCol: String, stopwords: Seq[String],
-      langs: Seq[(String, Seq[String])]): DataFrame = {
+      langs: Seq[(String, Seq[String])],
+      probeCap: Long = BatchStore.ProbeBroadcastCap): DataFrame = {
     val spark = batch.sparkSession
     val scanAttrs = batch.select(col(idCol).as("doc_id"),
       TextAnalysis.tokenCount(col(textCol)).as("n_tokens"),
@@ -110,9 +111,11 @@ object Curation {
       TextAnalysis.repetitionFraction(col(textCol), 2).as("rep_frac"),
       TextAnalysis.fingerprint(col(textCol)).as("__fp"))
     val batchFps = scanAttrs.select("__fp").distinct().localCheckpoint()
+    // broadcast-hinted only when the batch's fingerprint set is provably
+    // small; a fat batch shuffles the semi instead of failing the stream
     val prior = BatchStore.readStore(spark, storeDir, "fingerprints",
         fpFrame(batch.limit(0), textCol), batchId)
-      .join(broadcast(batchFps), Seq("__fp"), "left_semi")
+      .join(BatchStore.probeSide(batchFps, probeCap), Seq("__fp"), "left_semi")
       .distinct()
     val canon = scanAttrs.groupBy("__fp").agg(min(col("doc_id")).as("__keep"))
     val attrs = scanAttrs
@@ -123,8 +126,8 @@ object Curation {
         (col("doc_id") === col("__keep") && col("__seen").isNull)
           .as("is_canonical"))
       .localCheckpoint() // pin the verdict before the store mutates
-    batchFps.write.mode("overwrite")
-      .parquet(s"$storeDir/fingerprints/batch_id=$batchId")
+    BatchStore.writeBatchPart(batchFps, s"$storeDir/fingerprints",
+      s"$storeDir/compactions/fingerprints", batchId)
     attrs
   }
 

@@ -309,8 +309,10 @@ object Dedup {
     * BEFORE the global aggregate — a broadcast left-semi that turns the
     * store side into scan + probe with NO store-side exchange, and
     * shrinks the count aggregate from store- to batch-cardinality. The
-    * broadcast is bounded by the micro-batch's distinct gram set, the
-    * same bound the in-flight frame itself carries. The scan prunes too:
+    * broadcast hint applies only when the batch's distinct gram set is
+    * provably under [[BatchStore.ProbeBroadcastCap]]; a fatter batch
+    * falls back to a shuffled semi (same semantics, no broadcast
+    * ceiling). The scan prunes too:
     * each batch partition ships a bloom sidecar over its gram keys
     * (`gramblooms/batch_id=N`), and the step probes prior blooms with
     * the batch's gram keys (early-exit on first hit) to skip prior
@@ -399,8 +401,8 @@ object Dedup {
       .select(col("doc_id"), col("pos"),
         (col("pos") + (minLen - 1)).as("__end"))
     val writeStore = () => {
-      batchCounts.write.mode("overwrite")
-        .parquet(s"$countsPath/batch_id=$batchId")
+      BatchStore.writeBatchPart(batchCounts, countsPath,
+        s"$storeDir/compactions", batchId)
       // bloom sidecar AFTER counts (a sidecar without data reads as
       // overlap-everything — sound); same per-partition overwrite idiom
       positional.select(xxhash64(col("__gh")).as("__k"))
@@ -413,18 +415,23 @@ object Dedup {
 
   /** The batch-proportional global repeat verdict of the store step
     * (PlanSpec-pinned): prior (gh, c) partials prune by the batch's
-    * distinct gram set via a BROADCAST left-semi BEFORE the
-    * union + count aggregate — the store side reaches the verdict as
-    * scan + probe with no exchange, and the aggregate's input is
-    * batch-cardinality (prior rows surviving the probe + the batch's
-    * own counts), never store-cardinality. Semantics are identical to
-    * aggregating the full store: grams absent from the batch cannot
-    * appear in the batch's covered positions, so their verdicts are
-    * never consulted. */
+    * distinct gram set via a left-semi BEFORE the union + count
+    * aggregate — broadcast-hinted when the batch's distinct gram set is
+    * provably under [[BatchStore.ProbeBroadcastCap]] (the store side
+    * reaches the verdict as scan + probe with no exchange), shuffled
+    * otherwise (a fat micro-batch degrades to a sort-merge semi instead
+    * of hitting Spark's broadcast ceiling and failing the stream) — and
+    * the aggregate's input is batch-cardinality (prior rows surviving
+    * the probe + the batch's own counts), never store-cardinality.
+    * Semantics are identical to aggregating the full store: grams absent
+    * from the batch cannot appear in the batch's covered positions, so
+    * their verdicts are never consulted. */
   private[graft] def substringRepeatVerdict(priorCounts: DataFrame,
-      batchCounts: DataFrame): DataFrame =
+      batchCounts: DataFrame,
+      probeCap: Long = BatchStore.ProbeBroadcastCap): DataFrame =
     priorCounts
-      .join(broadcast(batchCounts.select("__gh")), Seq("__gh"), "left_semi")
+      .join(BatchStore.probeSide(batchCounts.select("__gh"), probeCap),
+        Seq("__gh"), "left_semi")
       .unionAll(batchCounts)
       .groupBy("__gh").agg(sum(col("__c")).as("__tot"))
       .where(col("__tot") >= 2).select("__gh")
@@ -750,8 +757,10 @@ object Dedup {
       shingleWords, numHashes, bands, threshold, maxBucketPairing)
     val kept = batch.join(dups.select(col("id_new").as(idCol)), Seq(idCol), "left_anti")
     val (sh, bk) = minhashStages(kept, textCol, idCol, shingleWords, numHashes, bands)
-    sh.write.mode("overwrite").parquet(s"$shinglesPath/batch_id=$batchId")
-    bk.write.mode("overwrite").parquet(s"$bucketsPath/batch_id=$batchId")
+    BatchStore.writeBatchPart(sh, shinglesPath,
+      s"$storeDir/compactions/shingles", batchId)
+    BatchStore.writeBatchPart(bk, bucketsPath,
+      s"$storeDir/compactions/buckets", batchId)
     dups
   }
 
@@ -1180,11 +1189,13 @@ object Dedup {
       .getFileSystem(spark.sessionState.newHadoopConf())
     // the canonical (df, tok) order freezes at FOUNDING: freq writes once,
     // from the first batch. Re-founding is overwrite-idempotent (the same
-    // batch derives the same frequencies), and a crashed founding write
-    // (no committed part files) re-founds instead of freezing a torn order
-    val freqFiles = fs.globStatus(
-      new org.apache.hadoop.fs.Path(s"$freqPath/part-*"))
-    if (freqFiles == null || freqFiles.isEmpty) {
+    // batch derives the same frequencies). Founding commits via the job's
+    // _SUCCESS marker, NOT a part-file glob: a crash mid-job-commit (or a
+    // committer that surfaces partial part files) re-founds with a full
+    // overwrite instead of freezing a torn (df, tok) order. Effect of a
+    // torn founding is bounded to order drift (unseen tokens fall back to
+    // df 0), but the marker closes even that window.
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$freqPath/_SUCCESS"))) {
       val (freq, _) = similarityStages(batch, textCol, idCol, shingleWords)
       freq.write.mode("overwrite").parquet(freqPath)
     }
@@ -1202,11 +1213,12 @@ object Dedup {
     // survivors land under the FROZEN order (unseen tokens fall back to
     // df 0 — the drifted-order exactness claim, spec-pinned); per-batch
     // partition overwrite makes retries replace, never double-insert
-    ppjoinSorted(
+    BatchStore.writeBatchPart(
+      ppjoinSorted(
         ppjoinExploded(kept, textCol, idCol, shingleWords)
           .join(storeFreq, Seq("tok"), "left")
-          .na.fill(0L, Seq("df")))
-      .write.mode("overwrite").parquet(s"$sortedPath/batch_id=$batchId")
+          .na.fill(0L, Seq("df"))),
+      sortedPath, s"$storeDir/compactions/sorted", batchId)
     dups
   }
 
@@ -1328,8 +1340,8 @@ object Dedup {
       .localCheckpoint()
     val kept = batch.join(dups.select(col("id_new").as(idCol)),
       Seq(idCol), "left_anti")
-    winnowFingerprints(kept, textCol, idCol, k, window)
-      .write.mode("overwrite").parquet(s"$storeDir/fps/batch_id=$batchId")
+    BatchStore.writeBatchPart(winnowFingerprints(kept, textCol, idCol, k, window),
+      s"$storeDir/fps", s"$storeDir/compactions/fps", batchId)
     dups
   }
 
@@ -1489,8 +1501,10 @@ object Dedup {
     val kept = batch.join(dups.select(col("id_new").as(idCol)),
       Seq(idCol), "left_anti")
     val (sims, bk) = simhashStages(kept, textCol, idCol)
-    sims.write.mode("overwrite").parquet(s"$storeDir/sims/batch_id=$batchId")
-    bk.write.mode("overwrite").parquet(s"$storeDir/buckets/batch_id=$batchId")
+    BatchStore.writeBatchPart(sims, s"$storeDir/sims",
+      s"$storeDir/compactions/sims", batchId)
+    BatchStore.writeBatchPart(bk, s"$storeDir/buckets",
+      s"$storeDir/compactions/buckets", batchId)
     dups
   }
 
@@ -1821,8 +1835,10 @@ object Dedup {
       bands, planesPerBand, threshold, maxBucketPairing)
     val kept = batch.join(dups.select(col("id_new").as(idCol)), Seq(idCol), "left_anti")
     val (base, bk) = embeddingStagesBanded(kept, vecCol, idCol, bands, planesPerBand)
-    base.write.mode("overwrite").parquet(s"$storeDir/vectors/batch_id=$batchId")
-    bk.write.mode("overwrite").parquet(s"$storeDir/buckets/batch_id=$batchId")
+    BatchStore.writeBatchPart(base, s"$storeDir/vectors",
+      s"$storeDir/compactions/vectors", batchId)
+    BatchStore.writeBatchPart(bk, s"$storeDir/buckets",
+      s"$storeDir/compactions/buckets", batchId)
     dups
   }
 

@@ -2272,7 +2272,8 @@ object TextAnalysis {
     * the batch's docs. */
   def c4LineCleanStoreStep(batch: DataFrame, storeDir: String,
       textCol: String, idCol: String, minWords: Int = 3,
-      batchId: Long): DataFrame = {
+      batchId: Long,
+      probeCap: Long = BatchStore.ProbeBroadcastCap): DataFrame = {
     val spark = batch.sparkSession
     val path = s"$storeDir/linehashes"
     val (base, occ0) = c4LineBase(batch, textCol, idCol, minWords)
@@ -2282,6 +2283,14 @@ object TextAnalysis {
     val priorParts = BatchStore.readableParts(
       fs, path, s"$storeDir/compactions", Some(batchId)).map(_._2)
     val batchHashes = occ.select("__lh").distinct()
+    // one cardinality probe hints BOTH semi joins below: priorHit is a
+    // subset of the batch's hash set, so the same bound covers it. A fat
+    // batch drops the hint and the semis shuffle (still batch-
+    // proportional) instead of hitting the broadcast ceiling
+    val hinted: DataFrame => DataFrame =
+      if (BatchStore.fitsBroadcast(batchHashes, probeCap))
+        org.apache.spark.sql.functions.broadcast
+      else identity
     val priorHit =
       if (priorParts.isEmpty) batchHashes.limit(0)
       else
@@ -2292,12 +2301,12 @@ object TextAnalysis {
             StructField("__lh", StringType), StructField("batch_id", LongType))))
           .option("basePath", path).parquet(priorParts: _*)
           .select("__lh")
-          .join(broadcast(batchHashes), Seq("__lh"), "left_semi")
+          .join(hinted(batchHashes), Seq("__lh"), "left_semi")
           .distinct()
     val winners = occ.groupBy("__lh")
       .agg(min(struct(col("doc_id"), col("idx"))).as("__w"))
     // dropped = prior-seen occurrences ∪ in-batch election losers
-    val dropped = occ.join(broadcast(priorHit), Seq("__lh"), "left_semi")
+    val dropped = occ.join(hinted(priorHit), Seq("__lh"), "left_semi")
       .select(col("doc_id"), col("idx"))
       .unionAll(occ.join(winners, Seq("__lh"))
         .where(struct(col("doc_id"), col("idx")) =!= col("__w"))
@@ -2306,7 +2315,8 @@ object TextAnalysis {
     // pin the as-of-this-batch verdict before the store write (the
     // substring store-step materialization rule)
     val out = c4Reassemble(base, dropped, minWords).localCheckpoint()
-    batchHashes.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+    BatchStore.writeBatchPart(batchHashes, path,
+      s"$storeDir/compactions", batchId)
     out
   }
 
