@@ -25,14 +25,18 @@ object StreamBench {
     val rate = sys.env.getOrElse("SPARK_GRAFT_STREAM_RATE", "500000").toInt
     val secs = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "30").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // SPARK_GRAFT_STREAM_DEDUP=minhash|ppjoin|substring|simhash|winnow
-    // benches the incremental dedup STORE loop (foreachBatch ->
+    // SPARK_GRAFT_STREAM_DEDUP=minhash|ppjoin|substring|simhash|winnow|
+    // line|attrs benches the incremental STORE loop (foreachBatch ->
     // *StoreStep) instead of the classify->rules->alerts pipeline:
     // per-batch docs/sec + the on-disk state-size trajectory over
     // >= SPARK_GRAFT_STREAM_BATCHES batches. substring =
     // repeatedSubstringStoreStep (gram-count store; the per-batch step
     // time staying FLAT as the store grows is the receipt that the
-    // broadcast-semi prune keeps the step batch-proportional)
+    // broadcast-semi prune keeps the step batch-proportional); line =
+    // c4LineCleanStoreStep (corpus-wide line dedup); attrs =
+    // Curation.attributeStoreStep (incremental tagging).
+    // SPARK_GRAFT_STREAM_AUTO_PARTS=N passes maxStoreParts=N to the step
+    // (the size-tiered AUTO-compaction trigger live in-stream)
     sys.env.get("SPARK_GRAFT_STREAM_DEDUP") match {
       case Some(mode) => runDedupStoreBench(mode, cpus); return
       case None =>
@@ -164,19 +168,43 @@ object StreamBench {
         fs.getContentSummary(new org.apache.hadoop.fs.Path(storeDir)).getLength
       else 0L
 
+    val autoParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_AUTO_PARTS", "0").toInt
     val seed = org.apache.spark.sql.functions.when(col("value") % 10 === 0,
       pmod(col("value"), lit(997L))).otherwise(col("value"))
     val toks = (0 until 16).map(i =>
       concat(lit(s"w${i}_"),
         pmod(col("__seed") * 2654435761L + i * 40503, lit(1000003L))))
+    // line mode reshapes the same 16 tokens into 4 lines of 4 words, with
+    // every 5th doc leading with a shared boilerplate line — so the
+    // cross-batch line election actually fires
+    // C4's line filter keeps terminal-punctuation lines only — the
+    // synthetic lines end with "." so they reach the dedup election
+    def lineExpr(j: Int) =
+      concat(concat_ws(" ", toks.slice(j * 4, j * 4 + 4): _*), lit("."))
+    val text =
+      if (mode == "line") concat_ws("\n",
+        when(pmod(col("__seed"), lit(5)) === 0,
+          lit("please subscribe to our newsletter today.")).otherwise(lineExpr(0)),
+        lineExpr(1), lineExpr(2), lineExpr(3))
+      else concat_ws(" ", toks: _*)
     val docs = spark.readStream.format("rate-micro-batch")
       .option("rowsPerBatch", docsPerBatch)
       .option("numPartitions", cpus)
       .load()
       .select(col("value").as("doc_id"), seed.as("__seed"))
-      .select(col("doc_id"), concat_ws(" ", toks: _*).as("text"))
+      .select(col("doc_id"), text.as("text"))
+    val watchSub = mode match {
+      case "ppjoin" => "sorted"
+      case "substring" => "gramcounts"
+      case "simhash" => "sims"
+      case "winnow" => "fps"
+      case "line" => "linehashes"
+      case "attrs" => "fingerprints"
+      case _ => "shingles"
+    }
 
-    case class B(id: Long, rows: Long, dups: Long, secs: Double, bytes: Long)
+    case class B(id: Long, rows: Long, dups: Long, secs: Double, bytes: Long,
+      parts: Int)
     val batches = scala.collection.mutable.ArrayBuffer[B]()
     val q = docs.writeStream
       .option("checkpointLocation", s"$storeDir/_ckpt")
@@ -187,40 +215,62 @@ object StreamBench {
         val dups = mode match {
           case "ppjoin" => graft.pipeline.Dedup.similarityStoreStep(
             bb, storeDir, "text", "doc_id", shingleWords = 2, threshold = 0.6,
-            batchId = id)
+            batchId = id, maxStoreParts = autoParts)
           case "simhash" => graft.pipeline.Dedup.simhashStoreStep(
-            bb, storeDir, "text", "doc_id", maxDist = 3, batchId = id)
+            bb, storeDir, "text", "doc_id", maxDist = 3, batchId = id,
+            maxStoreParts = autoParts)
           case "winnow" => graft.pipeline.Dedup.winnowingStoreStep(
-            bb, storeDir, "text", "doc_id", batchId = id)
+            bb, storeDir, "text", "doc_id", batchId = id,
+            maxStoreParts = autoParts)
           case "substring" => graft.pipeline.Dedup.repeatedSubstringStoreStep(
-            bb, storeDir, "text", "doc_id", minLen = 8, batchId = id)
+            bb, storeDir, "text", "doc_id", minLen = 8, batchId = id,
+            maxStoreParts = autoParts)
             .where(col("dup_tokens") > 0)
+          case "line" => graft.pipeline.TextAnalysis.c4LineCleanStoreStep(
+            bb, storeDir, "text", "doc_id", minWords = 3, batchId = id,
+            maxStoreParts = autoParts)
+            .where(col("n_drop_dup") > 0)
+          case "attrs" => graft.pipeline.Curation.attributeStoreStep(
+            bb, storeDir, id, "text", "doc_id",
+            Seq("the", "and", "of", "to", "a"),
+            Seq("en" -> Seq("the", "and", "of")),
+            maxStoreParts = autoParts)
+            .where(!col("is_canonical"))
           case _ => graft.pipeline.Dedup.minhashStoreStep(
             bb, storeDir, "text", "doc_id", shingleWords = 3,
-            numHashes = 32, bands = 8, threshold = 0.7, batchId = id)
+            numHashes = 32, bands = 8, threshold = 0.7, batchId = id,
+            maxStoreParts = autoParts)
         }
         val nd = dups.count()
         val s = (System.nanoTime() - t0) / 1e9
         if (compactEvery.exists(ce => id > 0 && id % ce == 0)) {
           val t1 = System.nanoTime()
-          val (folded, watchDir) = mode match {
-            case "ppjoin" => (graft.pipeline.Dedup.similarityStoreCompact(
-              bb.sparkSession, storeDir, -id, id - 1), "sorted")
-            case "substring" => (graft.pipeline.Dedup.repeatedSubstringStoreCompact(
-              bb.sparkSession, storeDir, -id, id - 1), "gramcounts")
-            case "simhash" => (graft.pipeline.Dedup.simhashStoreCompact(
-              bb.sparkSession, storeDir, -id, id - 1), "sims")
-            case "winnow" => (graft.pipeline.Dedup.winnowingStoreCompact(
-              bb.sparkSession, storeDir, -id, id - 1), "fps")
-            case _ => (graft.pipeline.Dedup.minhashStoreCompact(
-              bb.sparkSession, storeDir, -id, id - 1), "shingles")
+          val folded = mode match {
+            case "ppjoin" => graft.pipeline.Dedup.similarityStoreCompact(
+              bb.sparkSession, storeDir, -id, id - 1)
+            case "substring" => graft.pipeline.Dedup.repeatedSubstringStoreCompact(
+              bb.sparkSession, storeDir, -id, id - 1)
+            case "simhash" => graft.pipeline.Dedup.simhashStoreCompact(
+              bb.sparkSession, storeDir, -id, id - 1)
+            case "winnow" => graft.pipeline.Dedup.winnowingStoreCompact(
+              bb.sparkSession, storeDir, -id, id - 1)
+            case "line" => graft.pipeline.TextAnalysis.c4LineStoreCompact(
+              bb.sparkSession, storeDir, -id, id - 1)
+            case "attrs" => graft.pipeline.Curation.attributeStoreCompact(
+              bb.sparkSession, storeDir, -id, id - 1)
+            case _ => graft.pipeline.Dedup.minhashStoreCompact(
+              bb.sparkSession, storeDir, -id, id - 1)
           }
           val nparts = fs.listStatus(
-            new org.apache.hadoop.fs.Path(s"$storeDir/$watchDir")).count(_.isDirectory)
+            new org.apache.hadoop.fs.Path(s"$storeDir/$watchSub")).count(_.isDirectory)
           println(f"[dedup-store] batch=$id%2d compacted ${folded.size}%2d partitions " +
             f"in ${(System.nanoTime() - t1) / 1e9}%.2f s -> $nparts live")
         }
-        batches.synchronized { batches += B(id, n, nd, s, storeBytes()) }
+        val live = {
+          val p = new org.apache.hadoop.fs.Path(s"$storeDir/$watchSub")
+          if (fs.exists(p)) fs.listStatus(p).count(_.isDirectory) else 0
+        }
+        batches.synchronized { batches += B(id, n, nd, s, storeBytes(), live) }
         bb.unpersist(true): Unit
       }
       .start()
@@ -231,7 +281,8 @@ object StreamBench {
       .take(targetBatches)
     bs.foreach(b => println(
       f"[dedup-store] batch=${b.id}%2d rows=${b.rows} dups=${b.dups}%4d " +
-        f"step=${b.secs}%.2f s store=${b.bytes / 1048576.0}%.1f MiB"))
+        f"step=${b.secs}%.2f s store=${b.bytes / 1048576.0}%.1f MiB " +
+        f"parts=${b.parts}%2d"))
     val steady = bs.drop(bs.size / 3).map(b => b.rows / b.secs).sorted
     val median = if (steady.isEmpty) 0.0 else steady(steady.size / 2)
     val growth = bs.drop(bs.size / 3).map(_.bytes)
@@ -243,6 +294,7 @@ object StreamBench {
       s""""unit":"docs/s","mode":"$mode","rowsPerBatch":$docsPerBatch,""" +
       s""""batches":${bs.size},"cpus":$cpus,""" +
       s""""dups_last":${bs.last.dups},"store_mib":${bs.last.bytes / 1048576},""" +
+      s""""parts_last":${bs.last.parts},"auto_parts":$autoParts,""" +
       f""""store_growth_mib_per_batch":$perBatchGrowth%.2f}""")
     spark.stop()
   }

@@ -130,6 +130,27 @@ private[graft] object BatchStore {
         None, compactId, upToBatchId, df => df.drop("batch_id"))
     }.distinct
 
+  /** Size-tiered AUTO-compaction trigger — makes long-lived store loops
+    * self-maintaining instead of relying on an operator calling the
+    * family's compact by hand: when `dataPath`'s readable partition count
+    * exceeds `maxParts`, run `runCompact(compactId, upToBatchId)` with
+    * `compactId = -(batchId + 1)` (derived from the TRIGGERING batch, so
+    * an at-least-once replay of that batch re-derives the same id and
+    * lands on [[compact]]'s committed-marker no-op) and
+    * `upToBatchId = batchId − 1` (the retry horizon: only batches that
+    * can no longer retry fold). Call AFTER the batch's own partition
+    * commits. `maxParts <= 0` disables the trigger. Returns the folded
+    * ids (empty = below threshold or replayed trigger). */
+  def autoCompact(spark: SparkSession, dataPath: String, markersDir: String,
+      maxParts: Int, batchId: Long)
+      (runCompact: (Long, Long) => Seq[Long]): Seq[Long] = {
+    if (maxParts <= 0 || batchId < 1) return Seq.empty
+    val fs = new Path(dataPath).getFileSystem(spark.sessionState.newHadoopConf())
+    if (readableParts(fs, dataPath, markersDir, None).size > maxParts)
+      runCompact(-(batchId + 1), batchId - 1)
+    else Seq.empty
+  }
+
   /** Committed compaction markers: consolidated id -> folded ids. */
   def readMarkers(fs: FileSystem, markersDir: String): Map[Long, Seq[Long]] = {
     val dir = new Path(markersDir)

@@ -101,7 +101,8 @@ object Curation {
   def attributeStoreStep(batch: DataFrame, storeDir: String, batchId: Long,
       textCol: String, idCol: String, stopwords: Seq[String],
       langs: Seq[(String, Seq[String])],
-      probeCap: Long = BatchStore.ProbeBroadcastCap): DataFrame = {
+      probeCap: Long = BatchStore.ProbeBroadcastCap,
+      maxStoreParts: Int = 0): DataFrame = {
     val spark = batch.sparkSession
     val scanAttrs = batch.select(col(idCol).as("doc_id"),
       TextAnalysis.tokenCount(col(textCol)).as("n_tokens"),
@@ -128,6 +129,9 @@ object Curation {
       .localCheckpoint() // pin the verdict before the store mutates
     BatchStore.writeBatchPart(batchFps, s"$storeDir/fingerprints",
       s"$storeDir/compactions/fingerprints", batchId)
+    BatchStore.autoCompact(spark, s"$storeDir/fingerprints",
+      s"$storeDir/compactions/fingerprints", maxStoreParts, batchId)(
+      attributeStoreCompact(spark, storeDir, _, _))
     attrs
   }
 

@@ -324,9 +324,11 @@ object Dedup {
     * holds via the broadcast semi-join). Returns the d20 report columns
     * for the batch's docs. */
   def repeatedSubstringStoreStep(batch: DataFrame, storeDir: String,
-      textCol: String, idCol: String, minLen: Int, batchId: Long): DataFrame = {
+      textCol: String, idCol: String, minLen: Int, batchId: Long,
+      maxStoreParts: Int = 0): DataFrame = {
     val (docUniverse, covered, writeStore) =
-      substringStoreBatchCovered(batch, storeDir, textCol, idCol, minLen, batchId)
+      substringStoreBatchCovered(batch, storeDir, textCol, idCol, minLen,
+        batchId, maxStoreParts)
     // materialize BEFORE the store write: the exclusion read makes the
     // result immune to OWN write, but a lazily-executed plan evaluated
     // after a LATER batch's append would see that batch's counts as
@@ -347,9 +349,11 @@ object Dedup {
     * (fully-repeated docs come back EMPTY, never vanish). Returns
     * (doc_id, clean_text, n_tokens, n_removed) for the batch's docs. */
   def repeatedSubstringCleanStoreStep(batch: DataFrame, storeDir: String,
-      textCol: String, idCol: String, minLen: Int, batchId: Long): DataFrame = {
+      textCol: String, idCol: String, minLen: Int, batchId: Long,
+      maxStoreParts: Int = 0): DataFrame = {
     val (_, covered, writeStore) =
-      substringStoreBatchCovered(batch, storeDir, textCol, idCol, minLen, batchId)
+      substringStoreBatchCovered(batch, storeDir, textCol, idCol, minLen,
+        batchId, maxStoreParts)
     val out = cutCoveredSpans(batch, textCol, idCol, covered)
       .localCheckpoint()
     writeStore()
@@ -362,7 +366,8 @@ object Dedup {
     * starts — plus the deferred store write (counts partition + bloom
     * sidecar) the caller runs AFTER materializing its result. */
   private def substringStoreBatchCovered(batch: DataFrame, storeDir: String,
-      textCol: String, idCol: String, minLen: Int, batchId: Long)
+      textCol: String, idCol: String, minLen: Int, batchId: Long,
+      maxStoreParts: Int = 0)
       : (DataFrame, DataFrame, () => Unit) = {
     val spark = batch.sparkSession
     val countsPath = s"$storeDir/gramcounts"
@@ -409,6 +414,12 @@ object Dedup {
         .agg(graft.functions.Bloom.bloom_filter_agg(col("__k"),
           SubstringBloomItems, SubstringBloomBits).as("bloom"))
         .write.mode("overwrite").parquet(s"$bloomsPath/batch_id=$batchId")
+      // size-tiered self-maintenance: fold history once the partition
+      // count (listing/footer/bloom-probe cost) outgrows maxStoreParts
+      BatchStore.autoCompact(spark, countsPath, s"$storeDir/compactions",
+        maxStoreParts, batchId)(
+        repeatedSubstringStoreCompact(spark, storeDir, _, _))
+      ()
     }
     (docUniverse, covered, writeStore)
   }
@@ -744,7 +755,7 @@ object Dedup {
   def minhashStoreStep(batch: DataFrame, storeDir: String, textCol: String,
       idCol: String, shingleWords: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.7, maxBucketPairing: Int = 64,
-      batchId: Long): DataFrame = {
+      batchId: Long, maxStoreParts: Int = 0): DataFrame = {
     val spark = batch.sparkSession
     val shinglesPath = s"$storeDir/shingles"
     val bucketsPath = s"$storeDir/buckets"
@@ -761,6 +772,9 @@ object Dedup {
       s"$storeDir/compactions/shingles", batchId)
     BatchStore.writeBatchPart(bk, bucketsPath,
       s"$storeDir/compactions/buckets", batchId)
+    BatchStore.autoCompact(spark, shinglesPath,
+      s"$storeDir/compactions/shingles", maxStoreParts, batchId)(
+      minhashStoreCompact(spark, storeDir, _, _))
     dups
   }
 
@@ -1181,7 +1195,7 @@ object Dedup {
     * materialized BEFORE the append. */
   def similarityStoreStep(batch: DataFrame, storeDir: String, textCol: String,
       idCol: String, shingleWords: Int = 2, threshold: Double = 0.6,
-      batchId: Long): DataFrame = {
+      batchId: Long, maxStoreParts: Int = 0): DataFrame = {
     val spark = batch.sparkSession
     val freqPath = s"$storeDir/freq"
     val sortedPath = s"$storeDir/sorted"
@@ -1219,6 +1233,9 @@ object Dedup {
           .join(storeFreq, Seq("tok"), "left")
           .na.fill(0L, Seq("df"))),
       sortedPath, s"$storeDir/compactions/sorted", batchId)
+    BatchStore.autoCompact(spark, sortedPath,
+      s"$storeDir/compactions/sorted", maxStoreParts, batchId)(
+      similarityStoreCompact(spark, storeDir, _, _))
     dups
   }
 
@@ -1328,7 +1345,7 @@ object Dedup {
     * shared_fps). */
   def winnowingStoreStep(batch: DataFrame, storeDir: String, textCol: String,
       idCol: String, k: Int = 3, window: Int = 4, maxBucketPairing: Int = 64,
-      minSharedFps: Int = 2, batchId: Long): DataFrame = {
+      minSharedFps: Int = 2, batchId: Long, maxStoreParts: Int = 0): DataFrame = {
     val spark = batch.sparkSession
     val emptyFps = winnowFingerprints(batch.limit(0), textCol, idCol, k, window)
     val storeFps =
@@ -1342,6 +1359,9 @@ object Dedup {
       Seq(idCol), "left_anti")
     BatchStore.writeBatchPart(winnowFingerprints(kept, textCol, idCol, k, window),
       s"$storeDir/fps", s"$storeDir/compactions/fps", batchId)
+    BatchStore.autoCompact(spark, s"$storeDir/fps",
+      s"$storeDir/compactions/fps", maxStoreParts, batchId)(
+      winnowingStoreCompact(spark, storeDir, _, _))
     dups
   }
 
@@ -1491,7 +1511,7 @@ object Dedup {
     * (id_new, id_store, hamming) for the arriving batch. */
   def simhashStoreStep(batch: DataFrame, storeDir: String, textCol: String,
       idCol: String, maxDist: Int = 3, maxBucketPairing: Int = 64,
-      batchId: Long): DataFrame = {
+      batchId: Long, maxStoreParts: Int = 0): DataFrame = {
     val spark = batch.sparkSession
     val (emptySims, emptyBk) = simhashStages(batch.limit(0), textCol, idCol)
     val dups = simhashNearDupsAgainstStore(batch, textCol, idCol,
@@ -1505,6 +1525,9 @@ object Dedup {
       s"$storeDir/compactions/sims", batchId)
     BatchStore.writeBatchPart(bk, s"$storeDir/buckets",
       s"$storeDir/compactions/buckets", batchId)
+    BatchStore.autoCompact(spark, s"$storeDir/sims",
+      s"$storeDir/compactions/sims", maxStoreParts, batchId)(
+      simhashStoreCompact(spark, storeDir, _, _))
     dups
   }
 
@@ -1823,7 +1846,7 @@ object Dedup {
   def bandedStoreStep(batch: DataFrame, storeDir: String, vecCol: String,
       idCol: String, bands: Int = 16, planesPerBand: Int = 8,
       threshold: Double = 0.95, maxBucketPairing: Int = 64,
-      batchId: Long): DataFrame = {
+      batchId: Long, maxStoreParts: Int = 0): DataFrame = {
     val spark = batch.sparkSession
     // per-batch partition contract ([[BatchStore]], the minhashStoreStep
     // r14 migration): retries replace their partial and never read it
@@ -1839,6 +1862,9 @@ object Dedup {
       s"$storeDir/compactions/vectors", batchId)
     BatchStore.writeBatchPart(bk, s"$storeDir/buckets",
       s"$storeDir/compactions/buckets", batchId)
+    BatchStore.autoCompact(spark, s"$storeDir/vectors",
+      s"$storeDir/compactions/vectors", maxStoreParts, batchId)(
+      bandedStoreCompact(spark, storeDir, _, _))
     dups
   }
 

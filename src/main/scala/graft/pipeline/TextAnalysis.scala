@@ -2013,12 +2013,36 @@ object TextAnalysis {
           col("replacement_chars") > 0)
   }
 
-  /** The five basic HTML entities, decoded in a fixed order — `&amp;`
-    * LAST so `&amp;lt;` yields the literal `&lt;`, not `<`. */
+  /** The basic HTML entities plus their COMMON numeric/hex character
+    * references, decoded in a fixed order — the `&`-producing decodes
+    * (`&amp;`, `&#38;`, `&#x26;`) run LAST so `&amp;lt;` yields the
+    * literal `&lt;`, not `<`. Hex references are case-insensitive per
+    * the HTML spec (`(?i)` works identically in java.util.regex and
+    * RE2, so the oracle chain matches byte-for-byte). `&nbsp;`/`&#160;`
+    * decode to a PLAIN space: neither engine's `\s` matches U+00A0, so
+    * a real NBSP would silently glue tokens through every downstream
+    * tokenizer — documented divergence from a byte-faithful decode.
+    * Truly general `&#NNNN;` decoding needs per-codepoint char
+    * construction that has no common SQL surface; references outside
+    * this table pass through verbatim (and count as visible chars). */
+  private val entityTable: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&#60;" -> "<", "(?i)&#x3c;" -> "<",
+    "&gt;" -> ">", "&#62;" -> ">", "(?i)&#x3e;" -> ">",
+    "&quot;" -> "\"", "&#34;" -> "\"", "(?i)&#x22;" -> "\"",
+    "&#39;" -> "'", "(?i)&#x27;" -> "'", "&apos;" -> "'",
+    "&nbsp;" -> " ", "&#160;" -> " ", "(?i)&#xa0;" -> " ",
+    "&amp;" -> "&", "&#38;" -> "&", "(?i)&#x26;" -> "&")
+
   private def decodeEntities(c: Column): Column =
-    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&amp;" -> "&")
-      .foldLeft(c) { case (acc, (e, r)) => regexp_replace(acc, e, r) }
+    entityTable.foldLeft(c) { case (acc, (e, r)) => regexp_replace(acc, e, r) }
+
+  /** The identical decode chain as DuckDB SQL (regexp_replace with the
+    * same patterns, global flag), for oracles that mirror
+    * [[decodeEntities]]. */
+  def entityDecodeSql(expr: String): String =
+    entityTable.foldLeft(expr) { case (acc, (e, r)) =>
+      s"regexp_replace($acc, '${e.replace("'", "''")}', '${r.replace("'", "''")}', 'g')"
+    }
 
   /** Drop `<script>`/`<style>` bodies — two passes, one tag each: RE2
     * (the oracle engine) has no backreferences, so `</(script|style)>`
@@ -2057,14 +2081,18 @@ object TextAnalysis {
     * `lengthLow` visible chars), `good` (stopword density ≥
     * `stopwordsHigh` and over `lengthHigh` chars), `near_good`
     * (stopword-dense but short of `good`). Context pass, per document
-    * in block order against the nearest PRECEDING and FOLLOWING
-    * context-free good/bad block (page edge = bad): `near_good` →
-    * good iff either neighbor is good; `short` → good iff both are.
-    * This is the paper's decision structure with one simplification —
-    * neighbors come from the context-free classes in one pass rather
-    * than iterating near-good resolution first. Defaults are the
-    * paper's English parameters; callers with a small demo stoplist
-    * should scale the stopword thresholds down accordingly.
+    * in block order (page edge = bad on both sides) is the paper's
+    * TWO-STAGE revision: stage 1 resolves each `short` block from its
+    * nearest context-free good/bad neighbors SKIPPING short/near_good
+    * blocks ({good,good} → good, {bad,bad} → bad, mixed → good only
+    * when the bad side's nearest non-short neighbor is a near_good
+    * shield); stage 2 resolves each `near_good` block against the
+    * UPDATED classes (context-free good/bad plus the stage-1 shorts):
+    * bad on both sides → bad, otherwise good. (The paper's
+    * heading-promotion refinement, max_heading_distance, is out of
+    * scope.) Defaults are the paper's English parameters; callers
+    * with a small demo stoplist should scale the stopword thresholds
+    * down accordingly.
     *
     * Scale shape: segmentation, per-block metrics, and context-free
     * classes are all scan-side (posexplode of a regexp split — no
@@ -2104,17 +2132,38 @@ object TextAnalysis {
       nChars.as("n_chars"), linkDensity.as("__ld"), stopDensity.as("__sd"),
       cf.as("cf_class"))
     val w = Window.partitionBy("doc_id").orderBy("__pos")
-    val gb = when(col("cf_class").isin("good", "bad"), col("cf_class"))
-    val prev = coalesce(last(gb, ignoreNulls = true)
-      .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit("bad"))
-    val nxt = coalesce(first(gb, ignoreNulls = true)
-      .over(w.rowsBetween(1, Window.unboundedFollowing)), lit("bad"))
-    val finalClass = when(col("cf_class").isin("good", "bad"), col("cf_class"))
-      .when(col("cf_class") === "near_good",
-        when(prev === "good" || nxt === "good", "good").otherwise("bad"))
-      .otherwise(when(prev === "good" && nxt === "good", "good")
-        .otherwise("bad"))
-    scored.select(col("doc_id"),
+    val before = w.rowsBetween(Window.unboundedPreceding, -1)
+    val after = w.rowsBetween(1, Window.unboundedFollowing)
+    // the paper's TWO-STAGE context resolution (justext
+    // revise_paragraph_classification): stage 1 resolves SHORT blocks
+    // from the nearest good/bad neighbors SKIPPING short/near_good
+    // (page edge = bad) — {good,good} -> good, {bad,bad} -> bad, mixed
+    // -> good only when the bad side is shielded by an adjacent-ward
+    // near_good; stage 2 then resolves NEAR_GOOD blocks against the
+    // UPDATED classes (cf good/bad + stage-1 shorts): bad on both
+    // sides -> bad, any good neighbor -> good
+    val gbCf = when(col("cf_class").isin("good", "bad"), col("cf_class"))
+    val rawCf = when(col("cf_class") =!= "short", col("cf_class"))
+    val prevCf = coalesce(last(gbCf, ignoreNulls = true).over(before), lit("bad"))
+    val nextCf = coalesce(first(gbCf, ignoreNulls = true).over(after), lit("bad"))
+    val prevRaw = coalesce(last(rawCf, ignoreNulls = true).over(before), lit("bad"))
+    val nextRaw = coalesce(first(rawCf, ignoreNulls = true).over(after), lit("bad"))
+    val shortClass = when(prevCf === "good" && nextCf === "good", "good")
+      .when(prevCf === "bad" && nextCf === "bad", "bad")
+      .when((prevCf === "bad" && prevRaw === "near_good") ||
+        (nextCf === "bad" && nextRaw === "near_good"), "good")
+      .otherwise("bad")
+    val stage1 = scored.withColumn("__upd",
+      when(col("cf_class").isin("good", "bad"), col("cf_class"))
+        .when(col("cf_class") === "short", shortClass))
+    val prevU = coalesce(last(col("__upd"), ignoreNulls = true).over(before),
+      lit("bad"))
+    val nextU = coalesce(first(col("__upd"), ignoreNulls = true).over(after),
+      lit("bad"))
+    val finalClass = when(col("__upd").isNotNull, col("__upd"))
+      .otherwise(when(prevU === "bad" && nextU === "bad", "bad")
+        .otherwise("good"))
+    stage1.select(col("doc_id"),
       (row_number().over(w) - 1).cast(LongType).as("block_idx"),
       col("n_chars"),
       (floor(col("__ld") * 1000000.0 + 0.5) / 1000000.0).as("link_density"),
@@ -2273,7 +2322,8 @@ object TextAnalysis {
   def c4LineCleanStoreStep(batch: DataFrame, storeDir: String,
       textCol: String, idCol: String, minWords: Int = 3,
       batchId: Long,
-      probeCap: Long = BatchStore.ProbeBroadcastCap): DataFrame = {
+      probeCap: Long = BatchStore.ProbeBroadcastCap,
+      maxStoreParts: Int = 0): DataFrame = {
     val spark = batch.sparkSession
     val path = s"$storeDir/linehashes"
     val (base, occ0) = c4LineBase(batch, textCol, idCol, minWords)
@@ -2317,6 +2367,8 @@ object TextAnalysis {
     val out = c4Reassemble(base, dropped, minWords).localCheckpoint()
     BatchStore.writeBatchPart(batchHashes, path,
       s"$storeDir/compactions", batchId)
+    BatchStore.autoCompact(spark, path, s"$storeDir/compactions",
+      maxStoreParts, batchId)(c4LineStoreCompact(spark, storeDir, _, _))
     out
   }
 

@@ -2390,7 +2390,7 @@ private[graft] trait TextQueries extends RegistryBase {
   // in both engines; strip/decode/density then hash-compare end to end.
   register(
     "t83_link_density",
-    """WITH h AS (
+    s"""WITH h AS (
       |  SELECT doc_id,
       |    CASE CAST(doc_id % 3 AS INT)
       |      WHEN 0 THEN '<html><body><p>' || text || '</p><a href="/next">next page</a></body></html>'
@@ -2400,20 +2400,16 @@ private[graft] trait TextQueries extends RegistryBase {
       |c AS (
       |  SELECT doc_id,
       |    regexp_replace(regexp_replace(html,
-      |      '(?is)<script(\s[^>]*)?>.*?</script>', '', 'g'),
-      |      '(?is)<style(\s[^>]*)?>.*?</style>', '', 'g') AS content,
+      |      '(?is)<script(\\s[^>]*)?>.*?</script>', '', 'g'),
+      |      '(?is)<style(\\s[^>]*)?>.*?</style>', '', 'g') AS content,
       |    html
       |  FROM h),
       |x AS (
       |  SELECT doc_id,
-      |    replace(replace(replace(replace(replace(
-      |      regexp_replace(content, '<[^>]*>', '', 'g'),
-      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS text,
+      |    ${TextAnalysis.entityDecodeSql("regexp_replace(content, '<[^>]*>', '', 'g')")} AS text,
       |    coalesce(list_sum(list_transform(
-      |      regexp_extract_all(content, '(?is)<a(?:\s[^>]*)?>(.*?)</a>', 1),
-      |      b -> length(replace(replace(replace(replace(replace(
-      |        regexp_replace(b, '<[^>]*>', '', 'g'),
-      |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&')))), 0) AS link_chars,
+      |      regexp_extract_all(content, '(?is)<a(?:\\s[^>]*)?>(.*?)</a>', 1),
+      |      b -> length(${TextAnalysis.entityDecodeSql("regexp_replace(b, '<[^>]*>', '', 'g')")}))), 0) AS link_chars,
       |    CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT) AS tag_count
       |  FROM c)
       |SELECT doc_id, CAST(length(text) AS BIGINT) AS text_chars,
@@ -2473,7 +2469,8 @@ private[graft] trait TextQueries extends RegistryBase {
           concat(lit("<h1>Guide page</h1><p>"), body,
             lit("</p><pre>0x1f 0x2e cfg z9 q7 w3 r4 v8 k2 m6</pre>")))
         .when(col("doc_id") % 4 === 2,
-          concat(lit("<p>"), body, lit("</p><h3>A &amp; B &lt;x&gt;</h3><p>"),
+          concat(lit("<p>"), body,
+            lit("</p><h3>A &amp; B &lt;x&gt; &#39;q&#x27; r&nbsp;s &#60;t&#62;</h3><p>"),
             body, lit("</p>")))
         .otherwise(concat(
           lit(s"<p>$justextGoodPara</p><p>$justextNearPara</p><h4>Notes</h4><p>"),
@@ -2490,39 +2487,37 @@ private[graft] trait TextQueries extends RegistryBase {
       |      WHEN 1 THEN '<h1>Guide page</h1><p>' || regexp_replace(text, '\s+', ' ', 'g')
       |        || '</p><pre>0x1f 0x2e cfg z9 q7 w3 r4 v8 k2 m6</pre>'
       |      WHEN 2 THEN '<p>' || regexp_replace(text, '\s+', ' ', 'g')
-      |        || '</p><h3>A &amp; B &lt;x&gt;</h3><p>' || regexp_replace(text, '\s+', ' ', 'g') || '</p>'
+      |        || '</p><h3>A &amp; B &lt;x&gt; &#39;q&#x27; r&nbsp;s &#60;t&#62;</h3><p>' || regexp_replace(text, '\s+', ' ', 'g') || '</p>'
       |      ELSE '<p>the quick brown fox jumps over the lazy dog and runs to a shaded hollow in the woods while the wind keeps a steady measure of time and the river bends to a quiet pool of light in the late afternoon sun</p>'
       |        || '<p>compilers emit scans filters joins windows buffers spill partitions shuffle hash probe build rows columns the vector batch</p>'
       |        || '<h4>Notes</h4><p>' || regexp_replace(text, '\s+', ' ', 'g') || '</p>' END AS html
       |  FROM documents)""".stripMargin
 
-  /** Segment -> per-block metrics -> context-free class -> context pass,
-    * the identical algebra to TextAnalysis.justextBlocks. */
+  /** Segment -> per-block metrics -> context-free class -> the paper's
+    * two-stage context pass, the identical algebra to
+    * TextAnalysis.justextBlocks (entity decode chain shared via
+    * [[graft.pipeline.TextAnalysis.entityDecodeSql]]). */
   private val justextBlocksSql: String =
-    """seg AS (
+    s"""seg AS (
       |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
-      |    '(?is)<script(\s[^>]*)?>.*?</script>', '', 'g'),
-      |    '(?is)<style(\s[^>]*)?>.*?</style>', '', 'g'),
-      |    '(?i)</?(p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|blockquote|pre|section|article|header|footer|nav|aside|form|fieldset|br|hr)(\s[^>]*)?/?>', chr(10), 'g') AS segd
+      |    '(?is)<script(\\s[^>]*)?>.*?</script>', '', 'g'),
+      |    '(?is)<style(\\s[^>]*)?>.*?</style>', '', 'g'),
+      |    '(?i)</?(p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|blockquote|pre|section|article|header|footer|nav|aside|form|fieldset|br|hr)(\\s[^>]*)?/?>', chr(10), 'g') AS segd
       |  FROM h),
       |blk AS (SELECT doc_id, unnest(string_split(segd, chr(10))) AS rawb,
       |               CAST(generate_subscripts(string_split(segd, chr(10)), 1) AS BIGINT) - 1 AS pos
       |        FROM seg),
       |vis AS (SELECT doc_id, pos,
-      |  trim(replace(replace(replace(replace(replace(
-      |    regexp_replace(rawb, '<[^>]*>', '', 'g'),
-      |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&')) AS text,
+      |  trim(${TextAnalysis.entityDecodeSql("regexp_replace(rawb, '<[^>]*>', '', 'g')")}) AS text,
       |  coalesce(list_sum(list_transform(
-      |    regexp_extract_all(rawb, '(?is)<a(?:\s[^>]*)?>(.*?)</a>', 1),
-      |    x -> length(replace(replace(replace(replace(replace(
-      |      regexp_replace(x, '<[^>]*>', '', 'g'),
-      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&')))), 0) AS lc
+      |    regexp_extract_all(rawb, '(?is)<a(?:\\s[^>]*)?>(.*?)</a>', 1),
+      |    x -> length(${TextAnalysis.entityDecodeSql("regexp_replace(x, '<[^>]*>', '', 'g')")}))), 0) AS lc
       |  FROM blk),
       |sc AS (SELECT doc_id, pos, text, CAST(length(text) AS BIGINT) AS n_chars,
       |  CAST(lc AS DOUBLE) / length(text) AS ld,
-      |  len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), x -> x != ''),
+      |  len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != ''),
       |      t -> t IN ('the','a','of','and','to','in')))::DOUBLE /
-      |    greatest(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')), 1) AS sd
+      |    greatest(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')), 1) AS sd
       |  FROM vis WHERE length(text) > 0),
       |cf AS (SELECT *, CASE WHEN ld > 0.2 THEN 'bad'
       |    WHEN n_chars < 70 THEN 'short'
@@ -2531,29 +2526,47 @@ private[graft] trait TextQueries extends RegistryBase {
       |    ELSE 'bad' END AS cf_class FROM sc),
       |ctx AS (SELECT *,
       |  coalesce(last_value(CASE WHEN cf_class IN ('good','bad') THEN cf_class END IGNORE NULLS)
-      |    OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'bad') AS prev,
+      |    OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'bad') AS prev_cf,
       |  coalesce(first_value(CASE WHEN cf_class IN ('good','bad') THEN cf_class END IGNORE NULLS)
-      |    OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 'bad') AS nxt,
+      |    OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 'bad') AS next_cf,
+      |  coalesce(last_value(CASE WHEN cf_class <> 'short' THEN cf_class END IGNORE NULLS)
+      |    OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'bad') AS prev_raw,
+      |  coalesce(first_value(CASE WHEN cf_class <> 'short' THEN cf_class END IGNORE NULLS)
+      |    OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 'bad') AS next_raw,
       |  row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS block_idx
       |  FROM cf),
+      |upd AS (SELECT *,
+      |  CASE WHEN cf_class IN ('good','bad') THEN cf_class
+      |       WHEN cf_class = 'short' THEN
+      |         CASE WHEN prev_cf = 'good' AND next_cf = 'good' THEN 'good'
+      |              WHEN prev_cf = 'bad' AND next_cf = 'bad' THEN 'bad'
+      |              WHEN (prev_cf = 'bad' AND prev_raw = 'near_good')
+      |                OR (next_cf = 'bad' AND next_raw = 'near_good') THEN 'good'
+      |              ELSE 'bad' END
+      |       END AS updc
+      |  FROM ctx),
       |fin AS (SELECT doc_id, CAST(block_idx AS BIGINT) AS block_idx, n_chars,
       |  floor(ld * 1000000.0 + 0.5) / 1000000.0 AS link_density,
       |  floor(sd * 1000000.0 + 0.5) / 1000000.0 AS stop_density,
       |  cf_class,
-      |  CASE WHEN cf_class IN ('good','bad') THEN cf_class
-      |       WHEN cf_class = 'near_good' THEN CASE WHEN prev = 'good' OR nxt = 'good' THEN 'good' ELSE 'bad' END
-      |       ELSE CASE WHEN prev = 'good' AND nxt = 'good' THEN 'good' ELSE 'bad' END END AS block_class,
+      |  CASE WHEN updc IS NOT NULL THEN updc
+      |       WHEN coalesce(last_value(updc IGNORE NULLS)
+      |              OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'bad') = 'bad'
+      |        AND coalesce(first_value(updc IGNORE NULLS)
+      |              OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 'bad') = 'bad'
+      |       THEN 'bad' ELSE 'good' END AS block_class,
       |  text
-      |  FROM ctx)""".stripMargin
+      |  FROM upd)""".stripMargin
 
   // jusText block-level boilerplate classification (Pomikálek 2011):
   // segment at block tags, score link/stopword density + length per
-  // block, then promote/demote undecided blocks from their neighbors.
-  // The four page shapes + planted paragraph constants give every
-  // (cf_class -> block_class) transition organic coverage at sf0.001:
-  // bad->bad, good->good, near_good->good, near_good->bad, short->good,
-  // short->bad (measured 756/250/195/277/48/599). Hash-proven per-block
-  // down to the visible text bytes.
+  // block, then the paper's TWO-STAGE context revision (r15: shorts
+  // resolve first against good/bad neighbors skipping undecided blocks,
+  // with the near_good-shielded mixed case promoting; near_goods then
+  // resolve against the UPDATED classes). The four page shapes +
+  // planted paragraph constants keep every (cf_class -> block_class)
+  // transition organically covered. Hash-proven per-block down to the
+  // visible text bytes, numeric character references included.
   register(
     "t88_justext_blocks",
     // plain concatenation: a second stripMargin would eat the leading

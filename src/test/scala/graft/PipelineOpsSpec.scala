@@ -875,6 +875,43 @@ class PipelineOpsSpec extends AnyFunSuite {
       "unfolded batch ids must keep writing")
   }
 
+  test("auto-compaction: mid-stream self-fold preserves verdicts, bounds partitions") {
+    // maxStoreParts turns the store loops self-maintaining: once the
+    // readable partition count exceeds the cap the step folds history
+    // itself (compactId derived from the triggering batch, so a replayed
+    // trigger no-ops on the committed marker). Verdicts must match a
+    // never-compacted control store batch for batch, and the partition
+    // count must stay bounded while the control store's grows.
+    val auto = java.nio.file.Files.createTempDirectory("wnauto").toString
+    val ctl = java.nio.file.Files.createTempDirectory("wnctl").toString
+    def run(dir: String, doc: (Long, String), id: Long, cap: Int) =
+      Dedup.winnowingStoreStep(Seq(doc).toDF("doc_id", "text"), dir, "text",
+        "doc_id", batchId = id, maxStoreParts = cap)
+        .select("id_new", "id_store").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      "one two three four five six seven eight nine ten",
+      "red orange yellow green blue indigo violet pink gray black",
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa", // dup of 0
+      "north south east west up down left right front back",
+      "one two three four five six seven eight nine ten")         // dup of 1
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val a = run(auto, (i * 10L, t), i.toLong, cap = 2)
+      val c = run(ctl, (i * 10L, t), i.toLong, cap = 0)
+      assert(a == c, s"batch $i: auto-compacted store diverged: $a vs $c")
+    }
+    val fs = new org.apache.hadoop.fs.Path(auto)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def parts(dir: String) = graft.pipeline.BatchStore.readableParts(
+      fs, s"$dir/fps", s"$dir/compactions/fps", None)
+    assert(parts(auto).size <= 3,
+      s"auto store must stay bounded: ${parts(auto).map(_._1)}")
+    assert(parts(ctl).size == 6, // one partition per batch (dups write empty)
+      s"control store grows unbounded: ${parts(ctl).map(_._1)}")
+    assert(parts(auto).exists(_._1 < 0), "auto store must hold a consolidated part")
+  }
+
   test("store-prune semi survives the fat-batch (no-broadcast) path") {
     // the r14 judge finding: the broadcast-semi store prune had no
     // cardinality guard — a fat batch would hit the broadcast ceiling
@@ -2133,6 +2170,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(c2.getAs[Long]("n_good") == 0L &&
       c2.getAs[String]("content") == "" &&
       c2.getAs[Long]("content_chars") == 0L)
+  }
+
+  test("justext: near_good shield promotes a mixed-neighbor short (paper stage 1); numeric entities decode") {
+    // block order (bad, near_good, short, good): the short's good/bad
+    // neighbors are mixed, but the bad side's nearest NON-short block is
+    // the near_good — the paper's shield case promotes it to good. The
+    // r14 one-pass rule (good on BOTH sides) classified this bad.
+    val page = Seq((1L,
+      "<div><a href=\"/n\">chrome nav link</a></div>" +
+        s"<p>$jtNear</p><h3>Short heading here</h3><p>$jtGood</p>"))
+      .toDF("doc_id", "html")
+    val classes = TextAnalysis.justextBlocks(page, "html", "doc_id",
+      jtStops, stopwordsLow = 0.04, stopwordsHigh = 0.08)
+      .orderBy("block_idx").select("cf_class", "block_class")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(classes == Seq("bad" -> "bad", "near_good" -> "good",
+      "short" -> "good", "good" -> "good"),
+      s"shielded short must promote: $classes")
+    // numeric/hex character references decode like their named twins
+    val hd = TextAnalysis.justextBlocks(
+      Seq((1L, s"<p>$jtGood</p><h4>&#39;a&#x27; &#60;b&#62; c&nbsp;d &amp;#39;</h4>"))
+        .toDF("doc_id", "html"), "html", "doc_id", jtStops,
+      stopwordsLow = 0.04, stopwordsHigh = 0.08)
+      .orderBy("block_idx").select("text").collect().map(_.getString(0))
+    assert(hd(1) == "'a' <b> c d &#39;",
+      s"numeric refs must decode (and &amp;#39; stays literal): '${hd(1)}'")
   }
 
   test("template fingerprint: attribute/text-invariant, structure-sensitive") {
