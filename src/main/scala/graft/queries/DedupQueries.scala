@@ -675,17 +675,51 @@ private[graft] trait DedupQueries extends RegistryBase {
   // construction plants exactly that noise: doc_id % 50 picks the true
   // page, doc_id % 4 the noise variant, so each canonical key collapses
   // ~10 fetches to one keeper. Hash oracle over (doc_id, canon, keep).
-  register(
-    "d19_url_dedup",
-    """WITH raw AS (
+  /** The d22 exact-substring clean chain (Lee et al. 2022 cut) over a
+    * relation `rel(doc_id, <textExpr>)` — emits `toks(doc_id, t)` and
+    * `agg(doc_id, clean_text, n_kept)`; consumers LEFT JOIN `agg` onto
+    * `toks` (a fully-cut doc has no `agg` row). Shared by d22 and the
+    * p12 composite. */
+  private[graft] def substringCleanSql(rel: String, textExpr: String): String =
+    s"""toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower($textExpr), '\\s+'), x -> x != '') AS t
+      |  FROM $rel),
+      |g AS (
       |  SELECT doc_id,
-      |    CASE CAST(doc_id % 4 AS INT)
-      |      WHEN 0 THEN 'https://www.site' || (doc_id % 50) || '.com/page/'
-      |      WHEN 1 THEN 'HTTPS://Site' || (doc_id % 50) || '.com:443/page'
-      |      WHEN 2 THEN 'https://site' || (doc_id % 50) || '.com/page?utm_k=9'
-      |      ELSE 'https://site' || (doc_id % 50) || '.com/page#sec2' END AS url
-      |  FROM documents),
-      |s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag
+      |         CAST(unnest(range(1, greatest(len(t) - 6, 1))) AS BIGINT) - 1 AS pos,
+      |         unnest(list_transform(range(1, greatest(len(t) - 6, 1)),
+      |           i -> md5(array_to_string(t[i:i+7], ' ')))) AS gh
+      |  FROM toks),
+      |rep AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+      |cov AS (SELECT g.doc_id, g.pos, g.pos + 7 AS e FROM g JOIN rep USING (gh)),
+      |m AS (SELECT doc_id, pos, e,
+      |        max(e) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |      FROM cov),
+      |f AS (SELECT doc_id, pos, e,
+      |        CASE WHEN pm IS NULL OR pos > pm + 1 THEN 1 ELSE 0 END AS nw
+      |      FROM m),
+      |gr AS (SELECT doc_id, pos, e,
+      |         sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM f),
+      |sp AS (SELECT doc_id, min(pos) AS s, max(e) AS e2
+      |       FROM gr GROUP BY doc_id, grp),
+      |cpos AS (SELECT doc_id, unnest(range(s, e2 + 1)) AS pos FROM sp),
+      |dt AS (SELECT doc_id, unnest(t) AS tok,
+      |              CAST(generate_subscripts(t, 1) AS BIGINT) - 1 AS pos
+      |       FROM toks),
+      |kept AS (
+      |  SELECT dt.doc_id, dt.tok, dt.pos FROM dt
+      |  ANTI JOIN cpos ON cpos.doc_id = dt.doc_id AND cpos.pos = dt.pos),
+      |agg AS (
+      |  SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS clean_text,
+      |         count(*) AS n_kept
+      |  FROM kept GROUP BY doc_id)""".stripMargin
+
+  /** URL canonicalization chain over a CTE `raw(doc_id, url)` — emits
+    * `c(doc_id, canon)`. Shared by d19 and the p12 composite so both
+    * engines provably canonicalize identically. */
+  private[graft] val urlCanonSql: String =
+    """s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag
       |       FROM raw),
       |s2 AS (SELECT *,
       |         lower(regexp_extract(nofrag,
@@ -713,7 +747,19 @@ private[graft] trait DedupQueries extends RegistryBase {
       |             ELSE scheme || '://' || host || path ||
       |                  CASE WHEN len(joined) > 0 THEN '?' || joined
       |                       ELSE '' END END AS canon
-      |      FROM s5)
+      |      FROM s5)""".stripMargin
+
+  register(
+    "d19_url_dedup",
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN 'https://www.site' || (doc_id % 50) || '.com/page/'
+      |      WHEN 1 THEN 'HTTPS://Site' || (doc_id % 50) || '.com:443/page'
+      |      WHEN 2 THEN 'https://site' || (doc_id % 50) || '.com/page?utm_k=9'
+      |      ELSE 'https://site' || (doc_id % 50) || '.com/page#sec2' END AS url
+      |  FROM documents),
+      |""".stripMargin + urlCanonSql + """
       |SELECT doc_id, canon,
       |       doc_id = min(doc_id) OVER (PARTITION BY canon) AS keep
       |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
@@ -999,39 +1045,7 @@ private[graft] trait DedupQueries extends RegistryBase {
   // bytes. Fully-repeated docs return EMPTY text (never vanish).
   register(
     "d22_substring_dedup_clean",
-    """WITH toks AS (
-      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS t
-      |  FROM documents),
-      |g AS (
-      |  SELECT doc_id,
-      |         CAST(unnest(range(1, greatest(len(t) - 6, 1))) AS BIGINT) - 1 AS pos,
-      |         unnest(list_transform(range(1, greatest(len(t) - 6, 1)),
-      |           i -> md5(array_to_string(t[i:i+7], ' ')))) AS gh
-      |  FROM toks),
-      |rep AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
-      |cov AS (SELECT g.doc_id, g.pos, g.pos + 7 AS e FROM g JOIN rep USING (gh)),
-      |m AS (SELECT doc_id, pos, e,
-      |        max(e) OVER (PARTITION BY doc_id ORDER BY pos
-      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
-      |      FROM cov),
-      |f AS (SELECT doc_id, pos, e,
-      |        CASE WHEN pm IS NULL OR pos > pm + 1 THEN 1 ELSE 0 END AS nw
-      |      FROM m),
-      |gr AS (SELECT doc_id, pos, e,
-      |         sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM f),
-      |sp AS (SELECT doc_id, min(pos) AS s, max(e) AS e2
-      |       FROM gr GROUP BY doc_id, grp),
-      |cpos AS (SELECT doc_id, unnest(range(s, e2 + 1)) AS pos FROM sp),
-      |dt AS (SELECT doc_id, unnest(t) AS tok,
-      |              CAST(generate_subscripts(t, 1) AS BIGINT) - 1 AS pos
-      |       FROM toks),
-      |kept AS (
-      |  SELECT dt.doc_id, dt.tok, dt.pos FROM dt
-      |  ANTI JOIN cpos ON cpos.doc_id = dt.doc_id AND cpos.pos = dt.pos),
-      |agg AS (
-      |  SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS clean_text,
-      |         count(*) AS n_kept
-      |  FROM kept GROUP BY doc_id)
+    "WITH " + substringCleanSql("documents", "text") + """
       |SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
       |       CAST(len(t.t) AS BIGINT) AS n_tokens,
       |       CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed

@@ -19,6 +19,9 @@ import graft.pipeline.{Dedup, Eval, Multimodal, Preference, Similarity, Sketches
   * curation, split leakage, warehouse loop, entity resolution,
   * WARC ingest, dataset cards, media plumbing. */
 private[graft] trait PipelineQueries extends RegistryBase {
+  // p12 composes the justext page fixtures and the URL canon chain —
+  // both defined (and individually oracled) in the sibling traits
+  this: TextQueries with DedupQueries =>
 
 
   // The composite training-corpus filter — the query a data-curation user
@@ -690,6 +693,229 @@ private[graft] trait PipelineQueries extends RegistryBase {
       .orderBy("split")
   }
 
+
+  // The full WEB-CORPUS program pinned as ONE hash-matched composite —
+  // WARC bytes to shippable split corpus, every stage an individually
+  // oracled operator (p7/d19/t75/t88/d1/d22/t17/t33/p10), this row pins
+  // their COMPOSITION: WARC framing round trip → URL canonicalize +
+  // domain blocklist + url dedup (keep min fetch per canonical URL) →
+  // jusText content extraction (chrome-only pages drop) → exact content
+  // dedup → corpus-wide exact-substring cut (Lee et al. 2022, over the
+  // SURVIVOR set) → Gopher quality gates (minWords scaled to the cut
+  // corpus) → 5-gram benchmark decontamination → cluster-safe
+  // train/val/test split with the cross-split duplicate-pair invariant
+  // computed FOR REAL in both engines (must be 0). The funnel's planted
+  // shapes: 500 fetches collapse to 150 canonical pages on 7 hosts (2
+  // hosts blocklisted), page shapes exercise every jusText class, the
+  // shared good/near paragraphs become corpus-wide repeated substrings
+  // that the cut removes everywhere.
+  register(
+    "p12_web_pipeline",
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 17 = 0 THEN text || ' WARC/1.0 embedded'
+      |         ELSE text END AS body
+      |  FROM documents),
+      |raw AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN 'https://www.site' || ((doc_id % 150) % 7) || '.com/p/' || (doc_id % 150) || '/'
+      |      WHEN 1 THEN 'HTTPS://Site' || ((doc_id % 150) % 7) || '.com:443/p/' || (doc_id % 150)
+      |      WHEN 2 THEN 'https://site' || ((doc_id % 150) % 7) || '.com/p/' || (doc_id % 150) || '?utm_k=9'
+      |      ELSE 'https://site' || ((doc_id % 150) % 7) || '.com/p/' || (doc_id % 150) || '#sec' END AS url
+      |  FROM b),
+      |""".stripMargin + urlCanonSql + """,
+      |k AS (SELECT b.doc_id, b.body, c.canon,
+      |             min(b.doc_id) OVER (PARTITION BY c.canon) AS mke
+      |      FROM b JOIN c USING (doc_id)),
+      |u AS (SELECT doc_id, body, canon FROM k
+      |      WHERE doc_id = mke
+      |        AND NOT contains(lower(canon), 'site3.com')
+      |        AND NOT contains(lower(canon), 'site5.com')),
+      |""".stripMargin +
+      justextPagesSql("u", "body") + ",\n" +
+      justextBlocksSql + """,
+      |jx AS (SELECT doc_id,
+      |         coalesce(string_agg(text, chr(10) ORDER BY block_idx)
+      |                    FILTER (WHERE block_class = 'good'), '') AS content
+      |       FROM fin GROUP BY doc_id),
+      |j AS (SELECT doc_id, content FROM jx WHERE length(content) > 0),
+      |ef AS (SELECT doc_id, content,
+      |         md5(regexp_replace(lower(content), '[^a-z0-9]', '', 'g')) AS fe
+      |       FROM j),
+      |e AS (SELECT doc_id, content FROM ef
+      |      WHERE doc_id IN (SELECT min(doc_id) FROM ef GROUP BY fe)),
+      |""".stripMargin + substringCleanSql("e", "content") + """,
+      |clean AS (SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text
+      |          FROM toks t LEFT JOIN agg a USING (doc_id)),
+      |gt AS (SELECT doc_id, clean_text,
+      |         list_filter(string_split_regex(clean_text, '\s+'), x -> x != '') AS tk,
+      |         list_filter(string_split(clean_text, chr(10)), l -> trim(l) != '') AS ls
+      |       FROM clean),
+      |gm AS (SELECT doc_id, clean_text,
+      |         len(tk)::BIGINT AS n_words,
+      |         round(CASE WHEN len(tk) > 0
+      |           THEN list_sum(list_transform(tk, x -> length(x)))::DOUBLE / len(tk)
+      |           ELSE 0.0 END, 6) AS mean_word_len,
+      |         round((len(regexp_extract_all(clean_text, '#')) +
+      |                len(regexp_extract_all(clean_text, '\.\.\.')))::DOUBLE /
+      |               greatest(len(tk), 1), 6) AS symbol_ratio,
+      |         round(CASE WHEN len(ls) > 0
+      |           THEN len(list_filter(ls, l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•')))::DOUBLE / len(ls)
+      |           ELSE 0.0 END, 6) AS bullet_ratio,
+      |         round(CASE WHEN len(ls) > 0
+      |           THEN len(list_filter(ls, l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))::DOUBLE / len(ls)
+      |           ELSE 0.0 END, 6) AS ellipsis_ratio,
+      |         round(CASE WHEN len(tk) > 0
+      |           THEN len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(tk)
+      |           ELSE 0.0 END, 6) AS alpha_frac,
+      |         len(list_intersect(
+      |           list_distinct(list_filter(string_split_regex(lower(clean_text), '\s+'), x -> x != '')),
+      |           ['the','be','to','of','and','that','have','with']))::BIGINT AS stop_hits
+      |       FROM gt),
+      |gk AS (SELECT doc_id, clean_text FROM gm
+      |       WHERE n_words BETWEEN 30 AND 100000
+      |         AND mean_word_len BETWEEN 3.0 AND 10.0
+      |         AND symbol_ratio < 0.1 AND bullet_ratio < 0.9
+      |         AND ellipsis_ratio < 0.3 AND alpha_frac >= 0.8
+      |         AND stop_hits >= 1),
+      |gw AS (SELECT doc_id, list_filter(string_split_regex(lower(clean_text), '\s+'),
+      |                                  x -> x != '') AS w FROM gk),
+      |grams AS (SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(w) >= 5
+      |      THEN list_transform(generate_series(1, len(w) - 4),
+      |             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] ||
+      |                  ' ' || w[i+3] || ' ' || w[i+4])
+      |      ELSE [] END)) AS gram
+      |  FROM gw),
+      |snips AS (
+      |  SELECT DISTINCT substr(text, 1, 100) AS snip FROM documents
+      |  WHERE doc_id % 41 = 0 AND length(text) >= 100),
+      |sgrams AS (
+      |  SELECT DISTINCT unnest(list_distinct(
+      |    CASE WHEN len(words) >= 5
+      |      THEN list_transform(generate_series(1, len(words) - 4),
+      |             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] ||
+      |                  ' ' || words[i+3] || ' ' || words[i+4])
+      |      ELSE [] END)) AS gram
+      |  FROM (SELECT list_filter(string_split_regex(lower(snip), '\s+'),
+      |                           x -> x != '') AS words FROM snips)),
+      |contaminated AS (SELECT DISTINCT g2.doc_id FROM grams g2 JOIN sgrams USING (gram)),
+      |dk AS (SELECT * FROM gk
+      |       WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      |fp2 AS (SELECT doc_id, clean_text,
+      |          substr(regexp_replace(lower(clean_text), '[^a-z0-9]', '', 'g'), 1, 80) AS f2
+      |        FROM dk),
+      |cl2 AS (SELECT f2, CAST(min(doc_id) AS BIGINT) AS cluster_id
+      |        FROM fp2 GROUP BY f2),
+      |d2 AS (SELECT fp2.doc_id, fp2.clean_text, fp2.f2,
+      |         CASE WHEN substr(md5(CAST(cl2.cluster_id AS VARCHAR)), 1, 8)
+      |                   < 'cccccccc' THEN 'train'
+      |              WHEN substr(md5(CAST(cl2.cluster_id AS VARCHAR)), 1, 8)
+      |                   < 'e6666666' THEN 'val'
+      |              ELSE 'test' END AS split
+      |       FROM fp2 JOIN cl2 USING (f2)),
+      |x AS (SELECT CAST(count(*) AS BIGINT) AS cross_split_dup_pairs
+      |      FROM d2 a JOIN d2 b ON a.f2 = b.f2 AND a.doc_id < b.doc_id
+      |        AND a.split != b.split)
+      |SELECT d2.doc_id, c.canon AS url, d2.split,
+      |       CAST(len(list_filter(string_split_regex(d2.clean_text, '\s+'),
+      |                            x -> x != '')) AS BIGINT) AS n_tokens,
+      |       d2.clean_text, x.cross_split_dup_pairs
+      |FROM d2 JOIN c USING (doc_id), x
+      |ORDER BY d2.doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    // 0: WARC serialize into 50-record blobs + byte-framed parse back
+    val body0 = when(col("doc_id") % 17 === 0,
+      concat(col("text"), lit(" WARC/1.0 embedded"))).otherwise(col("text"))
+    val rec = concat(
+      lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Record-ID: d"),
+      col("doc_id").cast("string"),
+      lit("\r\nContent-Length: "), octet_length(body0).cast("string"),
+      lit("\r\n\r\n"), body0, lit("\r\n\r\n"))
+    val parsed = docs
+      .select((col("doc_id") / 50).cast("long").as("blob_id"),
+        struct(col("doc_id").as("i"), rec.as("r")).as("e"))
+      .groupBy("blob_id")
+      .agg(array_join(transform(sort_array(collect_list(col("e"))),
+        e => e.getField("r")), "").as("blob"))
+      .select(explode(graft.functions.WarcSplit.column(
+        col("blob").cast("binary"))).as("rec"))
+      .select(substring(col("rec.rec_id"), 2, 18).cast("long").as("doc_id"),
+        col("rec.body").as("body"))
+    // 1: URL synthesis (fetch noise per d19) + canonicalize + url dedup
+    //    keep + domain blocklist — 500 fetches -> 150 pages on 7 hosts
+    val page = col("doc_id") % 150
+    val host = page % 7
+    val withUrl = parsed.withColumn("url",
+      when(col("doc_id") % 4 === 0,
+        concat(lit("https://www.site"), host, lit(".com/p/"), page, lit("/")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("HTTPS://Site"), host, lit(".com:443/p/"), page))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://site"), host, lit(".com/p/"), page, lit("?utm_k=9")))
+        .otherwise(concat(lit("https://site"), host, lit(".com/p/"), page,
+          lit("#sec"))))
+      .withColumn("canon", TextAnalysis.canonicalizeUrl(col("url")))
+    val keepers = withUrl.withColumn("__m", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("canon")))
+      .where(col("doc_id") === col("__m")).drop("__m")
+    val blocked = TextAnalysis.blocklistFilter(keepers, "canon", "doc_id",
+      Seq("site3.com", "site5.com")).where(col("blocked")).select("doc_id")
+    val u = keepers.join(blocked, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // feeds the page build AND the final url join
+    // 2: jusText extraction; chrome-only pages (no good block) drop
+    val blocks = TextAnalysis.justextBlocks(
+      justextPages(u, col("body")), "html", "doc_id",
+      Seq("the", "a", "of", "and", "to", "in"),
+      stopwordsLow = 0.04, stopwordsHigh = 0.08)
+    val j = TextAnalysis.justextContent(blocks)
+      .where(col("content_chars") > 0).select("doc_id", "content")
+    // 3: exact dedup on the extracted content (d1 algebra)
+    val e = Dedup.dropExactDuplicates(j, "content", "doc_id")
+    // 4: corpus-wide exact-substring cut over the survivor set (d22)
+    val clean = Dedup.removeRepeatedSubstrings(e, "content", "doc_id",
+        minLen = 8)
+      .select("doc_id", "clean_text")
+      .localCheckpoint() // feeds the gopher report AND the survivor join
+    // 5: Gopher quality gates on the cut text — the per-corpus CONFIG
+    //    over the individually-oracled report columns (the synthetic
+    //    corpus is domain jargon, so the stop-hit floor scales to >= 1
+    //    the way the stopword thresholds scale in t88)
+    val gk = clean.join(
+      TextAnalysis.gopherRuleReport(clean, "clean_text", "doc_id",
+        minWords = 30)
+        .where(col("ok_words") && col("ok_word_len") && col("ok_symbols") &&
+          col("ok_bullets") && col("ok_ellipsis") && col("ok_alpha") &&
+          col("stop_hits") >= 1)
+        .select("doc_id"),
+      Seq("doc_id")).localCheckpoint() // feeds decontamination AND dk
+    // 6: 5-gram benchmark decontamination (t33 algebra)
+    val snips = docs.where(col("doc_id") % 41 === 0 && length(col("text")) >= 100)
+      .select(substring(col("text"), 1, 100).as("snip")).distinct()
+    val dk = gk.join(TextAnalysis.ngramContaminationBloom(
+        gk, "clean_text", "doc_id", snips, "snip", n = 5).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    // 7: cluster-safe split; the cross-split duplicate invariant rides
+    //    the hash (p10 rule)
+    val fp2 = dk.select(col("doc_id"), col("clean_text"),
+      substring(regexp_replace(lower(col("clean_text")), "[^a-z0-9]", ""),
+        1, 80).as("f2"))
+    val cl2 = fp2.groupBy("f2").agg(min(col("doc_id")).as("cluster_id"))
+    val d2 = TextAnalysis.splitAssign(fp2.join(cl2, "f2"), "cluster_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .localCheckpoint() // feeds the output AND the invariant self-join
+    val cross = broadcast(d2.as("a").join(d2.as("b"),
+        col("a.f2") === col("b.f2") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.split") =!= col("b.split"))
+      .agg(count(lit(1)).as("cross_split_dup_pairs")))
+    d2.join(u.select(col("doc_id"), col("canon").as("url")), Seq("doc_id"))
+      .select(col("doc_id"), col("url"), col("split"),
+        TextAnalysis.tokenCount(col("clean_text")).cast("long").as("n_tokens"),
+        col("clean_text"))
+      .crossJoin(cross)
+      .orderBy("doc_id")
+  }
 
   // Dolma-style tag-then-filter curation (Soldaini et al. 2024): ONE
   // tagging pass writes the skinny per-doc attribute table (quality,

@@ -2446,18 +2446,22 @@ private[graft] trait TextQueries extends RegistryBase {
   // classifies good. Thresholds (0.04/0.08) are the paper's structure
   // scaled to the 6-word demo stoplist (corpus stop density averages
   // 0.066 against it; the paper's 0.30/0.32 assume a full stoplist).
-  private val justextGoodPara: String =
+  private[graft] val justextGoodPara: String =
     "the quick brown fox jumps over the lazy dog and runs to a shaded " +
       "hollow in the woods while the wind keeps a steady measure of time " +
       "and the river bends to a quiet pool of light in the late afternoon sun"
-  private val justextNearPara: String =
+  private[graft] val justextNearPara: String =
     "compilers emit scans filters joins windows buffers spill partitions " +
       "shuffle hash probe build rows columns the vector batch"
 
   /** Four page shapes: nav-heavy chrome, header+code page, short header
-    * between two content paragraphs, planted good/near-good run. */
-  private def justextPages(docs: DataFrame): DataFrame = {
-    val body = regexp_replace(col("text"), "\\s+", " ")
+    * between two content paragraphs, planted good/near-good run.
+    * `bodyIn` is the raw body column (t88 wraps the documents text; p12
+    * wraps the WARC-round-tripped bodies). Shared with the p12 composite
+    * so both engines provably build the same pages. */
+  private[graft] def justextPages(docs: DataFrame,
+      bodyIn: Column = col("text")): DataFrame = {
+    val body = regexp_replace(bodyIn, "\\s+", " ")
     docs.select(col("doc_id"),
       when(col("doc_id") % 4 === 0,
         concat(lit("<div><ul>"),
@@ -2477,27 +2481,30 @@ private[graft] trait TextQueries extends RegistryBase {
           body, lit("</p>"))).as("html"))
   }
 
-  private val justextPagesSql: String =
-    """h AS (
+  /** The page-shape CTE over a relation `rel(doc_id, <bodyExpr>)` —
+    * emits `h(doc_id, html)`. */
+  private[graft] def justextPagesSql(rel: String = "documents",
+      bodyExpr: String = "text"): String =
+    s"""h AS (
       |  SELECT doc_id,
       |    CASE CAST(doc_id % 4 AS INT)
       |      WHEN 0 THEN '<div><ul>' || repeat('<li><a href="/s">links and links</a></li>', 4)
-      |        || '</ul></div><h2>Docs</h2><p>' || regexp_replace(text, '\s+', ' ', 'g')
+      |        || '</ul></div><h2>Docs</h2><p>' || regexp_replace($bodyExpr, '\\s+', ' ', 'g')
       |        || '</p><div><a href="/f">footer terms</a> - <a href="/p">privacy notice</a></div>'
-      |      WHEN 1 THEN '<h1>Guide page</h1><p>' || regexp_replace(text, '\s+', ' ', 'g')
+      |      WHEN 1 THEN '<h1>Guide page</h1><p>' || regexp_replace($bodyExpr, '\\s+', ' ', 'g')
       |        || '</p><pre>0x1f 0x2e cfg z9 q7 w3 r4 v8 k2 m6</pre>'
-      |      WHEN 2 THEN '<p>' || regexp_replace(text, '\s+', ' ', 'g')
-      |        || '</p><h3>A &amp; B &lt;x&gt; &#39;q&#x27; r&nbsp;s &#60;t&#62;</h3><p>' || regexp_replace(text, '\s+', ' ', 'g') || '</p>'
-      |      ELSE '<p>the quick brown fox jumps over the lazy dog and runs to a shaded hollow in the woods while the wind keeps a steady measure of time and the river bends to a quiet pool of light in the late afternoon sun</p>'
-      |        || '<p>compilers emit scans filters joins windows buffers spill partitions shuffle hash probe build rows columns the vector batch</p>'
-      |        || '<h4>Notes</h4><p>' || regexp_replace(text, '\s+', ' ', 'g') || '</p>' END AS html
-      |  FROM documents)""".stripMargin
+      |      WHEN 2 THEN '<p>' || regexp_replace($bodyExpr, '\\s+', ' ', 'g')
+      |        || '</p><h3>A &amp; B &lt;x&gt; &#39;q&#x27; r&nbsp;s &#60;t&#62;</h3><p>' || regexp_replace($bodyExpr, '\\s+', ' ', 'g') || '</p>'
+      |      ELSE '<p>$justextGoodPara</p>'
+      |        || '<p>$justextNearPara</p>'
+      |        || '<h4>Notes</h4><p>' || regexp_replace($bodyExpr, '\\s+', ' ', 'g') || '</p>' END AS html
+      |  FROM $rel)""".stripMargin
 
   /** Segment -> per-block metrics -> context-free class -> the paper's
     * two-stage context pass, the identical algebra to
     * TextAnalysis.justextBlocks (entity decode chain shared via
     * [[graft.pipeline.TextAnalysis.entityDecodeSql]]). */
-  private val justextBlocksSql: String =
+  private[graft] val justextBlocksSql: String =
     s"""seg AS (
       |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
       |    '(?is)<script(\\s[^>]*)?>.*?</script>', '', 'g'),
@@ -2571,7 +2578,7 @@ private[graft] trait TextQueries extends RegistryBase {
     "t88_justext_blocks",
     // plain concatenation: a second stripMargin would eat the leading
     // pipe of the inner SQL's '||' continuation lines
-    "WITH " + justextPagesSql + ",\n" + justextBlocksSql +
+    "WITH " + justextPagesSql() + ",\n" + justextBlocksSql +
       "\nSELECT * FROM fin ORDER BY doc_id, block_idx") { (s, dir) =>
     TextAnalysis.justextBlocks(justextPages(t(s, dir, "documents")),
         "html", "doc_id", Seq("the", "a", "of", "and", "to", "in"),
@@ -2584,7 +2591,7 @@ private[graft] trait TextQueries extends RegistryBase {
   // rather than vanishing. Same block algebra, one doc-keyed aggregate.
   register(
     "t88b_justext_content",
-    "WITH " + justextPagesSql + ",\n" + justextBlocksSql + "\n" +
+    "WITH " + justextPagesSql() + ",\n" + justextBlocksSql + "\n" +
       """SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
         |       CAST(coalesce(count(*) FILTER (WHERE block_class = 'good'), 0) AS BIGINT) AS n_good,
         |       coalesce(string_agg(text, chr(10) ORDER BY block_idx)

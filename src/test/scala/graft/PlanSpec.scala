@@ -727,6 +727,25 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("p12 composite: no UDFs, no text-keyed exchange, one-row-only nested loops") {
+    // the WARC->corpus composite executes stage by stage (each stage is
+    // localCheckpoint'd, so its own plan pins live with its operator's
+    // tests — t88/d20/d22); this pin covers the assembled tail: the only
+    // nested-loop join is the one-row invariant broadcast (p10 rule), no
+    // UDFs anywhere, and no exchange partitions by raw page/corpus text.
+    val p = plan("p12_web_pipeline")
+    assert(!p.contains("UDF") && !p.contains("BatchEvalPython"),
+      "p12: UDF in plan")
+    assert(!p.contains("CartesianProduct"), "p12: cartesian product")
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 1,
+      "p12: only the one-row cross-split invariant may nested-loop")
+    p.split("\n").filter(_.contains("Exchange hashpartitioning")).foreach { ln =>
+      assert(!ln.contains("html#") && !ln.contains("body#") &&
+        !ln.contains("clean_text#") && !ln.contains("content#"),
+        s"p12: text-keyed exchange: $ln")
+    }
+  }
+
   test("d22 clean corpus: gram shuffles carry hashes, corpus text rides one doc-keyed join") {
     val p = plan("d22_substring_dedup_clean")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
