@@ -387,8 +387,17 @@ object Dedup {
     // compaction markers applied ([[BatchStore]] reader rules)
     val priorParts: Seq[(Long, String)] = BatchStore.readableParts(
       fs, countsPath, s"$storeDir/compactions", Some(batchId))
+    // ONE capped distinct-key collection serves BOTH the bloom partition
+    // probe and the broadcast-cap decision of the verdict's semi prune
+    // (at most SubstringProbeCap keys collected is PROOF the batch's
+    // gram set fits the broadcast cap — no second counting job); a
+    // founding batch (no priors) skips the collection entirely
+    val batchKeys: Array[Long] =
+      if (priorParts.isEmpty) Array.empty
+      else positional.select(xxhash64(col("__gh")).as("__k"))
+        .distinct().limit(SubstringProbeCap + 1).collect().map(_.getLong(0))
     val keptParts = prunePriorPartsByBloom(spark, fs, bloomsPath,
-      positional, priorParts)
+      batchKeys, priorParts)
     val priorCounts =
       if (keptParts.isEmpty) batchCounts.limit(0)
       else
@@ -401,7 +410,13 @@ object Dedup {
           .option("basePath", countsPath)
           .parquet(keptParts.map(_._2): _*)
           .select(col("__gh"), col("__c"))
-    val repeated = substringRepeatVerdict(priorCounts, batchCounts)
+    val repeated =
+      if (keptParts.isEmpty)
+        // no committed prior counts: the union + semi degenerate to the
+        // batch's own >=2 verdict (founding batches pay zero extra jobs)
+        batchCounts.where(col("__c") >= 2).select("__gh")
+      else substringRepeatVerdict(priorCounts, batchCounts,
+        knownSmall = batchKeys.length <= SubstringProbeCap)
     val covered = positional.join(repeated, Seq("__gh"), "left_semi")
       .select(col("doc_id"), col("pos"),
         (col("pos") + (minLen - 1)).as("__end"))
@@ -439,13 +454,21 @@ object Dedup {
     * their verdicts are never consulted. */
   private[graft] def substringRepeatVerdict(priorCounts: DataFrame,
       batchCounts: DataFrame,
-      probeCap: Long = BatchStore.ProbeBroadcastCap): DataFrame =
+      probeCap: Long = BatchStore.ProbeBroadcastCap,
+      knownSmall: Boolean = false): DataFrame = {
+    // knownSmall = the caller already PROVED the batch's distinct gram
+    // set is small (the bloom probe's capped collection) — broadcast
+    // without a second counting job; otherwise probeSide limit-counts
+    // against the cap and falls back to a shuffled semi above it
+    val probe =
+      if (knownSmall) broadcast(batchCounts.select("__gh"))
+      else BatchStore.probeSide(batchCounts.select("__gh"), probeCap)
     priorCounts
-      .join(BatchStore.probeSide(batchCounts.select("__gh"), probeCap),
-        Seq("__gh"), "left_semi")
+      .join(probe, Seq("__gh"), "left_semi")
       .unionAll(batchCounts)
       .groupBy("__gh").agg(sum(col("__c")).as("__tot"))
       .where(col("__tot") >= 2).select("__gh")
+  }
 
   /** Fold the substring gram-count store's committed batch partitions
     * (stream ids <= upToBatchId, plus earlier consolidations) into ONE
@@ -495,17 +518,16 @@ object Dedup {
   private val SubstringBloomBits = 1L << 20 // 128 KiB per batch partition
 
   /** Prior partitions that MIGHT share a gram with the batch: probe each
-    * prior batch's bloom with the batch's distinct gram keys, early-exit
-    * on the first hit (O(1) probes for overlapping batches — the common
-    * case — and O(batch grams) exactly when the skip pays). Partitions
-    * without a committed sidecar are always kept (sound). */
+    * prior batch's bloom with the batch's distinct gram keys
+    * (pre-collected ONCE by the caller, capped at [[SubstringProbeCap]]),
+    * early-exit on the first hit (O(1) probes for overlapping batches —
+    * the common case — and O(batch grams) exactly when the skip pays).
+    * Partitions without a committed sidecar are always kept (sound). */
   private def prunePriorPartsByBloom(spark: org.apache.spark.sql.SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, bloomsPath: String,
-      positional: DataFrame, priorParts: Seq[(Long, String)]): Seq[(Long, String)] = {
+      keysCapped: Array[Long], priorParts: Seq[(Long, String)]): Seq[(Long, String)] = {
     if (priorParts.isEmpty) return priorParts
     if (!fs.exists(new org.apache.hadoop.fs.Path(bloomsPath))) return priorParts
-    val keysCapped = positional.select(xxhash64(col("__gh")).as("__k"))
-      .distinct().limit(SubstringProbeCap + 1).collect().map(_.getLong(0))
     if (keysCapped.length > SubstringProbeCap) return priorParts // incomplete set: no sound skip
     // ONE sidecar read for all prior batches: (batch_id, bloom) rows,
     // batch-count cardinality — bounded driver state by construction

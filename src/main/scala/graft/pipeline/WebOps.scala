@@ -1,0 +1,161 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Web-crawl governance operators a corpus builder runs before any text
+  * work: robots.txt allow/deny verdicts (the crawl-politeness gate),
+  * HTML metadata extraction (title/description/canonical/lang — the
+  * fields every page index and dedup-by-canonical pass needs), and
+  * IBAN PII detection with the real mod-97 checksum (the financial
+  * sibling of the Luhn gate in TextAnalysis.luhnScan).
+  *
+  * All three are scan-side column programs: parsing explodes lines or
+  * extracts with RE2-compatible regexes, verdicts pre-combine per doc,
+  * and nothing shuffles wider than (id, small-string) rows.
+  */
+object WebOps {
+
+  // -------------------------------------------------------------------------
+  // robots.txt
+  // -------------------------------------------------------------------------
+
+  /** Parse the `User-agent: *` sections of per-host robots.txt bodies
+    * into (host, allow, path) prefix rules — the Robots Exclusion
+    * Protocol (RFC 9309) subset every crawler applies first: group
+    * lines into user-agent sections (a section = the run of lines after
+    * one or more consecutive `User-agent:` lines), keep sections whose
+    * agent set includes `*`, and collect their `Allow:` / `Disallow:`
+    * directives. Scope (documented, oracle-mirrored): literal PATH
+    * PREFIX rules only — `*` wildcards and `$` anchors pass through as
+    * literals; empty-path `Disallow:` means "no restriction" per the
+    * RFC and is dropped; directive names and agent tokens match
+    * case-insensitively; `#` comments strip to end of line.
+    *
+    * Scale shape: one posexplode over robots lines (robots files are
+    * KB-bounded), section assignment is a running count window
+    * PARTITIONED BY HOST (line-count-bounded), output is the skinny
+    * per-host rule table a broadcast join ships to every URL.
+    */
+  def robotsRules(robots: DataFrame, hostCol: String,
+      bodyCol: String): DataFrame = {
+    val lines = robots.select(col(hostCol).as("host"),
+        posexplode(split(col(bodyCol), "\n")).as(Seq("idx", "__l0")))
+      .withColumn("__l", trim(regexp_replace(col("__l0"), "#.*$", "")))
+      .where(length(col("__l")) > 0)
+      .withColumn("__dir", lower(trim(regexp_extract(col("__l"), "^([^:]+):", 1))))
+      .withColumn("__val", trim(regexp_extract(col("__l"), "^[^:]+:(.*)$", 1)))
+    val w = Window.partitionBy("host").orderBy("idx")
+    // a new section starts at a User-agent line NOT preceded by another
+    // User-agent line (consecutive agent lines share one section)
+    val sectioned = lines
+      .withColumn("__isUa", (col("__dir") === "user-agent").cast("int"))
+      .withColumn("__prevUa", coalesce(lag(col("__isUa"), 1).over(w), lit(0)))
+      .withColumn("__sec",
+        sum(when(col("__isUa") === 1 && col("__prevUa") === 0, 1)
+          .otherwise(0)).over(w))
+    val starSections = sectioned
+      .where(col("__dir") === "user-agent" && col("__val") === "*")
+      .select(col("host"), col("__sec")).distinct()
+    sectioned
+      .where(col("__dir").isin("allow", "disallow") && length(col("__val")) > 0)
+      .join(starSections, Seq("host", "__sec"), "left_semi")
+      .select(col("host"), (col("__dir") === "allow").as("allow"),
+        col("__val").as("path"))
+  }
+
+  /** Allow/deny verdict per URL under the parsed rules —
+    * LONGEST-MATCH-WINS with Allow beating Disallow on equal length
+    * (the RFC 9309 precedence rule), and no matching rule = allowed.
+    * `urls` carries (idCol, hostCol, pathCol); rules broadcast (per-host
+    * rule tables are small by construction) and the verdict is one
+    * pre-combined max(struct(len, allow)) per URL. */
+  def robotsVerdict(urls: DataFrame, idCol: String, hostCol: String,
+      pathCol: String, rules: DataFrame): DataFrame = {
+    // left join keeps every URL (a host with rules but no MATCHING rule
+    // must still verdict as allowed, not vanish); non-matching rule rows
+    // null out under the conditional max instead of filtering
+    val matched = urls.select(col(idCol).as("__id"), col(hostCol).as("host"),
+        col(pathCol).as("__p"))
+      .join(broadcast(rules), Seq("host"), "left")
+      .groupBy("__id", "host", "__p")
+      .agg(max(when(col("path").isNotNull && col("__p").startsWith(col("path")),
+        struct(length(col("path")).as("l"), col("allow").as("a")))).as("__m"))
+    matched.select(col("__id").as(idCol), col("host"), col("__p").as(pathCol),
+      coalesce(col("__m.a"), lit(true)).as("allowed"),
+      coalesce(col("__m.l"), lit(0)).cast(LongType).as("rule_len"))
+  }
+
+  // -------------------------------------------------------------------------
+  // HTML metadata
+  // -------------------------------------------------------------------------
+
+  private def attrAfter(tag: Column, attr: String): Column =
+    regexp_extract(tag, "(?i)" + attr + "\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+
+  /** Page metadata every index/canonical-dedup pass wants, extracted
+    * scan-side: first `<title>`, `<meta name=description>` content,
+    * `<link rel=canonical>` href, `<html lang=…>`, `<meta
+    * property=og:title>` content. Attribute ORDER inside a tag is free
+    * (the tag is located by its identifying attribute, then the value
+    * attribute extracts from the matched tag text); values
+    * entity-decode is NOT applied (metadata is compared/joined raw —
+    * decode is the text pipeline's job). Missing fields return empty
+    * strings, never null, so downstream group-bys are total. */
+  def htmlMeta(docs: DataFrame, htmlCol: String, idCol: String): DataFrame = {
+    val h = col(htmlCol)
+    val title = regexp_replace(
+      trim(regexp_extract(h, "(?is)<title[^>]*>(.*?)</title>", 1)),
+      "\\s+", " ")
+    val metaDesc = attrAfter(
+      regexp_extract(h,
+        "(?is)(<meta\\s[^>]*name\\s*=\\s*[\"']description[\"'][^>]*>)", 1),
+      "content")
+    val canonical = attrAfter(
+      regexp_extract(h,
+        "(?is)(<link\\s[^>]*rel\\s*=\\s*[\"']canonical[\"'][^>]*>)", 1),
+      "href")
+    val lang = regexp_extract(h,
+      "(?is)<html[^>]*\\slang\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+    val ogTitle = attrAfter(
+      regexp_extract(h,
+        "(?is)(<meta\\s[^>]*property\\s*=\\s*[\"']og:title[\"'][^>]*>)", 1),
+      "content")
+    docs.select(col(idCol).as("doc_id"), title.as("title"),
+      metaDesc.as("meta_description"), canonical.as("canonical_url"),
+      lang.as("lang"), ogTitle.as("og_title"))
+  }
+
+  // -------------------------------------------------------------------------
+  // IBAN PII (ISO 13616 mod-97)
+  // -------------------------------------------------------------------------
+
+  /** mod-97 of the IBAN digit expansion of `s` (letters → 10..35, two
+    * digits each), as one LEFT-TO-RIGHT integer fold — the fixed-order
+    * fold both engines execute identically (`aggregate` here,
+    * `list_reduce` in DuckDB; the pass@k / Luhn precedent). The
+    * accumulator stays < 97·100 + 35 so Long never overflows. */
+  def ibanMod97(s: Column): Column =
+    aggregate(split(s, ""), lit(0L), (acc, ch) =>
+      when(ch >= "0" && ch <= "9", (acc * 10 + (ascii(ch) - 48)) % 97)
+        .otherwise((acc * 100 + (ascii(ch) - 55)) % 97))
+
+  /** IBAN candidates per document with the REAL ISO 13616 verdict:
+    * candidates match `[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}` on word
+    * boundaries, each validates by moving the first four chars to the
+    * end, expanding letters to two digits, and checking mod 97 == 1.
+    * (Country-specific length tables are out of scope — documented; the
+    * checksum alone rejects 96/97 of random candidates.) Output is one
+    * row per candidate: (doc_id, iban, valid) — the PII audit shape of
+    * TextAnalysis.luhnScan, scan-side end to end. */
+  def ibanScan(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val cands = docs.select(col(idCol).as("doc_id"),
+        explode(regexp_extract_all(col(textCol),
+          lit("\\b([A-Z]{2}[0-9]{2}[A-Z0-9]{11,30})\\b"), lit(1))).as("iban"))
+    cands.select(col("doc_id"), col("iban"),
+      (ibanMod97(concat(substring(col("iban"), 5, 1000000),
+        substring(col("iban"), 1, 4))) === 1).as("valid"))
+  }
+}

@@ -13,7 +13,7 @@ import graft.rules._
 import graft.alerts.{AlertMerger, MergeInputAlert, Publishers}
 import graft.sources.Sources
 import graft.history.{HistoricalSink, RulePromotion, ScheduledQueries}
-import graft.pipeline.{Dedup, Eval, Multimodal, Preference, Similarity, Sketches, TextAnalysis}
+import graft.pipeline.{Dedup, Eval, Multimodal, Preference, Similarity, Sketches, TextAnalysis, WebOps}
 
 /** Text analysis and tokenizers: token counts, quality, langid,
   * fingerprints, n-gram stats, BPE/wordpiece/unigram-LM training,
@@ -2847,5 +2847,199 @@ private[graft] trait TextQueries extends RegistryBase {
         lit(" brokenÂ space and �")).otherwise(lit(""))).as("text"))
     TextAnalysis.mojibakeProfile(corrupted, "text", "doc_id")
       .orderBy("doc_id")
+  }
+
+  // robots.txt allow/deny verdicts (RFC 9309 longest-match, Allow wins
+  // ties) — the crawl-politeness gate a corpus builder applies before
+  // any fetch enters the pipeline. The fixture plants per-host policies
+  // where the host digit is derived FROM the page number, so every url
+  // organically exercises: prefix block (/p/<k>), longer-Allow override
+  // (/p/<k>2 re-allows a subset of the blocked prefix), an empty
+  // Disallow (dropped per the RFC), a case-folded directive, a comment
+  // line, and a non-* section that must be ignored. Hash oracle over
+  // (doc_id, host, path, allowed, rule_len).
+  register(
+    "t90_robots_filter",
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'site' || ((doc_id % 150) % 7) || '.com' AS host,
+      |    '/p/' || (doc_id % 150) AS path
+      |  FROM documents),
+      |hosts AS (SELECT DISTINCT host,
+      |            CAST(regexp_extract(host, 'site([0-9]+)', 1) AS BIGINT) AS kk
+      |          FROM u),
+      |rb AS (SELECT host,
+      |    '# crawl policy' || chr(10) ||
+      |    'User-agent: megabot' || chr(10) || 'Disallow: /' || chr(10) || chr(10) ||
+      |    'User-agent: *' || chr(10) ||
+      |    'Disallow: /p/' || kk || chr(10) ||
+      |    'Allow: /p/' || kk || '2' || chr(10) ||
+      |    'Disallow:' || chr(10) ||
+      |    'disallow: /q/' AS body
+      |  FROM hosts),
+      |ln0 AS (SELECT host, unnest(string_split(body, chr(10))) AS l0,
+      |          CAST(generate_subscripts(string_split(body, chr(10)), 1) AS BIGINT) AS idx
+      |        FROM rb),
+      |lx AS (SELECT host, idx,
+      |         lower(trim(regexp_extract(l, '^([^:]+):', 1))) AS dir,
+      |         trim(regexp_extract(l, '^[^:]+:(.*)$', 1)) AS val
+      |       FROM (SELECT host, idx, trim(regexp_replace(l0, '#.*$', '')) AS l
+      |             FROM ln0)
+      |       WHERE length(l) > 0),
+      |lp AS (SELECT *,
+      |         coalesce(lag(CASE WHEN dir = 'user-agent' THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY host ORDER BY idx), 0) AS prev_ua
+      |       FROM lx),
+      |sec AS (SELECT *,
+      |          sum(CASE WHEN dir = 'user-agent' AND prev_ua = 0
+      |              THEN 1 ELSE 0 END)
+      |            OVER (PARTITION BY host ORDER BY idx) AS s
+      |        FROM lp),
+      |star AS (SELECT DISTINCT host, s FROM sec
+      |         WHERE dir = 'user-agent' AND val = '*'),
+      |rules AS (SELECT sec.host, sec.dir = 'allow' AS allow, sec.val AS rpath
+      |          FROM sec JOIN star USING (host, s)
+      |          WHERE sec.dir IN ('allow', 'disallow') AND length(sec.val) > 0),
+      |cand AS (SELECT u.doc_id, u.host, u.path, r.allow, length(r.rpath) AS rl
+      |         FROM u LEFT JOIN rules r
+      |           ON r.host = u.host AND starts_with(u.path, r.rpath)),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |         ORDER BY rl DESC NULLS LAST, allow DESC NULLS LAST) AS rn
+      |       FROM cand)
+      |SELECT doc_id, host, path, coalesce(allow, TRUE) AS allowed,
+      |       CAST(coalesce(rl, 0) AS BIGINT) AS rule_len
+      |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val u = t(s, dir, "documents").select(col("doc_id"),
+      concat(lit("site"), (col("doc_id") % 150) % 7, lit(".com")).as("host"),
+      concat(lit("/p/"), col("doc_id") % 150).as("path"))
+    val hosts = u.select(col("host"),
+        regexp_extract(col("host"), "site([0-9]+)", 1).cast("long").as("kk"))
+      .distinct()
+    val body = concat(
+      lit("# crawl policy\nUser-agent: megabot\nDisallow: /\n\n" +
+        "User-agent: *\nDisallow: /p/"),
+      col("kk"), lit("\nAllow: /p/"), col("kk"),
+      lit("2\nDisallow:\ndisallow: /q/"))
+    val rules = WebOps.robotsRules(
+      hosts.select(col("host"), body.as("body")), "host", "body")
+    WebOps.robotsVerdict(u, "doc_id", "host", "path", rules)
+      .orderBy("doc_id")
+  }
+
+  // HTML metadata extraction — title / meta description / canonical URL
+  // / html lang / og:title, the fields a page index and a
+  // canonical-URL dedup tier key on. Fixture residues exercise:
+  // whitespace-collapsed multi-line title with an UNDECODED entity
+  // (metadata compares raw), flipped attribute order + single quotes +
+  // case-folded tag/attr names, and a metadata-free page (all fields
+  // empty string, never null). Hash-proven byte-for-byte.
+  register(
+    "t91_html_meta",
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 3 AS INT)
+      |      WHEN 0 THEN '<html lang="en"><head><title>  Page ' || doc_id || chr(10)
+      |        || ' &amp; notes  </title>'
+      |        || '<meta name="description" content="summary of page ' || doc_id || '">'
+      |        || '<link rel="canonical" href="https://site.example/p/' || (doc_id % 150) || '">'
+      |        || '</head><body><p>' || text || '</p></body></html>'
+      |      WHEN 1 THEN '<HTML Lang=''fr''><head>'
+      |        || '<meta content="og title ' || doc_id || '" property=''og:title''>'
+      |        || '<META CONTENT="flipped desc ' || doc_id || '" NAME=''description''>'
+      |        || '</head><body>' || text || '</body></HTML>'
+      |      ELSE '<div><p>' || text || '</p></div>' END AS html
+      |  FROM documents)
+      |SELECT doc_id,
+      |  regexp_replace(trim(regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1)), '\s+', ' ', 'g') AS title,
+      |  regexp_extract(regexp_extract(html,
+      |    '(?is)(<meta\s[^>]*name\s*=\s*["'']description["''][^>]*>)', 1),
+      |    '(?i)content\s*=\s*["'']([^"'']*)["'']', 1) AS meta_description,
+      |  regexp_extract(regexp_extract(html,
+      |    '(?is)(<link\s[^>]*rel\s*=\s*["'']canonical["''][^>]*>)', 1),
+      |    '(?i)href\s*=\s*["'']([^"'']*)["'']', 1) AS canonical_url,
+      |  regexp_extract(html, '(?is)<html[^>]*\slang\s*=\s*["'']([^"'']*)["'']', 1) AS lang,
+      |  regexp_extract(regexp_extract(html,
+      |    '(?is)(<meta\s[^>]*property\s*=\s*["'']og:title["''][^>]*>)', 1),
+      |    '(?i)content\s*=\s*["'']([^"'']*)["'']', 1) AS og_title
+      |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val pages = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, concat(
+        lit("<html lang=\"en\"><head><title>  Page "), col("doc_id"),
+        lit("\n &amp; notes  </title>" +
+          "<meta name=\"description\" content=\"summary of page "),
+        col("doc_id"),
+        lit("\"><link rel=\"canonical\" href=\"https://site.example/p/"),
+        col("doc_id") % 150,
+        lit("\"></head><body><p>"), col("text"), lit("</p></body></html>")))
+        .when(col("doc_id") % 3 === 1, concat(
+          lit("<HTML Lang='fr'><head><meta content=\"og title "),
+          col("doc_id"),
+          lit("\" property='og:title'><META CONTENT=\"flipped desc "),
+          col("doc_id"),
+          lit("\" NAME='description'></head><body>"), col("text"),
+          lit("</body></HTML>")))
+        .otherwise(concat(lit("<div><p>"), col("text"), lit("</p></div>")))
+        .as("html"))
+    WebOps.htmlMeta(pages, "html", "doc_id").orderBy("doc_id")
+  }
+
+  // IBAN PII detection with the REAL ISO 13616 mod-97 checksum — the
+  // financial sibling of t81's Luhn gate. Check digits are MINTED by
+  // the same left-to-right fold in both engines (the planted-oracle
+  // rule: the oracle computes the invariant, never asserts a constant):
+  // residue-7 docs corrupt the check by +1 (always invalid — check
+  // digits are unique mod 97), residue-11 docs add a well-formed but
+  // checksum-failing candidate. Exploded (doc_id, iban, valid) rows,
+  // hash-proven.
+  register(
+    "t92_iban_pii",
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    '370' || lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0') || '0532013000' AS bban
+      |  FROM documents),
+      |ck AS (
+      |  SELECT doc_id, bban,
+      |    98 - list_reduce(
+      |      list_concat([CAST(0 AS BIGINT)],
+      |        list_transform(range(1, length(bban || 'DE00') + 1),
+      |          i -> CASE WHEN (bban || 'DE00')[i] BETWEEN '0' AND '9'
+      |                 THEN CAST(10000 + ascii((bban || 'DE00')[i]) - 48 AS BIGINT)
+      |                 ELSE CAST(100000 + ascii((bban || 'DE00')[i]) - 55 AS BIGINT) END)),
+      |      (acc, x) -> (acc * (x // 1000) + (x % 1000)) % 97) AS cd
+      |  FROM b),
+      |txt AS (
+      |  SELECT doc_id,
+      |    'invoice DE' ||
+      |      lpad(CAST(cd + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS VARCHAR), 2, '0') ||
+      |      bban ||
+      |      CASE WHEN doc_id % 11 = 0 THEN ' ref XX00ABCDEFGHIJKLM' ELSE '' END ||
+      |      ' end' AS t92
+      |  FROM ck),
+      |cand AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_extract_all(t92, '\b([A-Z]{2}[0-9]{2}[A-Z0-9]{11,30})\b', 1)) AS iban
+      |  FROM txt)
+      |SELECT doc_id, iban,
+      |  list_reduce(
+      |    list_concat([CAST(0 AS BIGINT)],
+      |      list_transform(range(1, length(substr(iban, 5) || substr(iban, 1, 4)) + 1),
+      |        i -> CASE WHEN (substr(iban, 5) || substr(iban, 1, 4))[i] BETWEEN '0' AND '9'
+      |               THEN CAST(10000 + ascii((substr(iban, 5) || substr(iban, 1, 4))[i]) - 48 AS BIGINT)
+      |               ELSE CAST(100000 + ascii((substr(iban, 5) || substr(iban, 1, 4))[i]) - 55 AS BIGINT) END)),
+      |    (acc, x) -> (acc * (x // 1000) + (x % 1000)) % 97) = 1 AS valid
+      |FROM cand ORDER BY doc_id, iban""".stripMargin) { (s, dir) =>
+    val bban = concat(lit("370"),
+      lpad((col("doc_id") % 100000).cast("string"), 5, "0"),
+      lit("0532013000"))
+    val cd = lit(98) - WebOps.ibanMod97(concat(bban, lit("DE00")))
+    val planted = t(s, dir, "documents").select(col("doc_id"), concat(
+      lit("invoice DE"),
+      lpad((cd + when(col("doc_id") % 7 === 0, 1).otherwise(0)).cast("string"),
+        2, "0"),
+      bban,
+      when(col("doc_id") % 11 === 0, lit(" ref XX00ABCDEFGHIJKLM"))
+        .otherwise(lit("")),
+      lit(" end")).as("t92"))
+    WebOps.ibanScan(planted, "t92", "doc_id").orderBy("doc_id", "iban")
   }
 }

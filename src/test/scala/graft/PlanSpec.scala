@@ -746,6 +746,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("web ops: robots rules broadcast, metadata/iban extraction scan-side") {
+    val p90 = plan("t90_robots_filter")
+    assert(!p90.contains("UDF") && !p90.contains("CartesianProduct"),
+      "t90: UDF/cartesian in plan")
+    assert(p90.contains("BroadcastHashJoin"),
+      "t90: the per-host rule table must broadcast to the URLs")
+    p90.split("\n").filter(_.contains("windowspecdefinition")).foreach { ln =>
+      assert(ln.contains("host"), s"t90: robots window not keyed by host: $ln")
+    }
+    // metadata + IBAN are pure scan-side projections: the only exchange
+    // allowed is the output ordering's range partitioning
+    Seq("t91_html_meta", "t92_iban_pii").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("UDF") && !p.contains("Exchange hashpartitioning"),
+        s"$q: must plan scan-side (no UDF, no hash exchange)")
+    }
+  }
+
   test("d22 clean corpus: gram shuffles carry hashes, corpus text rides one doc-keyed join") {
     val p = plan("d22_substring_dedup_clean")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

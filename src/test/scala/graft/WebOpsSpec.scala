@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.WebOps
+
+/** robots.txt parsing/verdicts, HTML metadata, IBAN mod-97. */
+class WebOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("robots: section scoping, empty disallow dropped, longest match, allow tie-break") {
+    val robots = Seq(
+      ("a.com",
+        "# policy\n" +
+          "User-agent: megabot\nDisallow: /\n\n" + // non-* section: ignored
+          "User-agent: *\n" +
+          "Disallow: /p/1\n" +
+          "Allow: /p/12\n" +
+          "Disallow:\n" + // empty path: no restriction (RFC) — dropped
+          "disallow: /q/\n"), // case-folded directive
+      ("b.com", "User-agent: *\nAllow: /x\nDisallow: /x\n")) // equal length
+      .toDF("host", "body")
+    val rules = WebOps.robotsRules(robots, "host", "body")
+    assert(rules.collect().map(r =>
+      (r.getString(0), r.getBoolean(1), r.getString(2))).toSet == Set(
+      ("a.com", false, "/p/1"), ("a.com", true, "/p/12"),
+      ("a.com", false, "/q/"), ("b.com", true, "/x"), ("b.com", false, "/x")),
+      "parsed rule set")
+    val urls = Seq(
+      (1L, "a.com", "/p/1"),    // blocked by /p/1
+      (2L, "a.com", "/p/120"),  // /p/12 (allow, len 5) beats /p/1 (len 4)
+      (3L, "a.com", "/p/57"),   // host HAS rules, none match -> allowed
+      (4L, "a.com", "/q/x"),    // case-folded disallow applies
+      (5L, "c.com", "/p/1"),    // host with NO rules -> allowed
+      (6L, "b.com", "/x/y"))    // equal-length allow vs disallow -> allow wins
+      .toDF("doc_id", "host", "path")
+    val v = WebOps.robotsVerdict(urls, "doc_id", "host", "path", rules)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(v == Map(1L -> false, 2L -> true, 3L -> true, 4L -> false,
+      5L -> true, 6L -> true), s"verdicts: $v")
+  }
+
+  test("htmlMeta: attribute order and case free; missing fields empty, never null") {
+    val pages = Seq(
+      (1L, "<html lang=\"en\"><head><title> A\n  B </title>" +
+        "<meta name=\"description\" content=\"d1\">" +
+        "<link rel=\"canonical\" href=\"https://e/p\"></head></html>"),
+      (2L, "<HTML Lang='fr'><META CONTENT=\"d2\" NAME='description'>" +
+        "<meta content=\"og2\" property='og:title'></HTML>"),
+      (3L, "<div>no metadata</div>")).toDF("doc_id", "html")
+    val m = WebOps.htmlMeta(pages, "html", "doc_id").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getString(5)))
+    assert(m(0) == ((1L, "A B", "d1", "https://e/p", "en", "")))
+    assert(m(1) == ((2L, "", "d2", "", "fr", "og2")),
+      "flipped attribute order + case-folded names must extract")
+    assert(m(2) == ((3L, "", "", "", "", "")), "missing fields empty")
+  }
+
+  test("iban: ISO 13616 known vectors validate, single-digit corruption fails") {
+    val docs = Seq(
+      (1L, "pay DE89370400440532013000 now"),  // ISO example: valid
+      (2L, "pay GB82WEST12345698765432 now"),  // ISO example: valid
+      (3L, "pay DE88370400440532013000 now"),  // check digits off by one
+      (4L, "pay DE89370400440532013001 now"),  // body digit flipped
+      (5L, "no candidates here")).toDF("doc_id", "text")
+    val out = WebOps.ibanScan(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false),
+      s"iban verdicts: $out")
+  }
+}
