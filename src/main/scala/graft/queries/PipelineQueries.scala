@@ -709,9 +709,10 @@ private[graft] trait PipelineQueries extends RegistryBase {
   // hosts blocklisted), page shapes exercise every jusText class, the
   // shared good/near paragraphs become corpus-wide repeated substrings
   // that the cut removes everywhere.
-  register(
-    "p12_web_pipeline",
-    """WITH b AS (
+  /** The p12 WITH chain (WARC bodies through the split d2 + invariant x),
+    * shared verbatim by `p12_web_pipeline` and `p12b_web_funnel`. */
+  private lazy val webPipelineChainSql: String =
+    """b AS (
       |  SELECT doc_id,
       |    CASE WHEN doc_id % 17 = 0 THEN text || ' WARC/1.0 embedded'
       |         ELSE text END AS body
@@ -817,13 +818,68 @@ private[graft] trait PipelineQueries extends RegistryBase {
       |       FROM fp2 JOIN cl2 USING (f2)),
       |x AS (SELECT CAST(count(*) AS BIGINT) AS cross_split_dup_pairs
       |      FROM d2 a JOIN d2 b ON a.f2 = b.f2 AND a.doc_id < b.doc_id
-      |        AND a.split != b.split)
+      |        AND a.split != b.split)""".stripMargin
+
+  register(
+    "p12_web_pipeline",
+    "WITH " + webPipelineChainSql + """
       |SELECT d2.doc_id, c.canon AS url, d2.split,
       |       CAST(len(list_filter(string_split_regex(d2.clean_text, '\s+'),
       |                            x -> x != '')) AS BIGINT) AS n_tokens,
       |       d2.clean_text, x.cross_split_dup_pairs
       |FROM d2 JOIN c USING (doc_id), x
       |ORDER BY d2.doc_id""".stripMargin) { (s, dir) =>
+    val st = webStages(s, dir)
+    val cross = broadcast(st.d2.as("a").join(st.d2.as("b"),
+        col("a.f2") === col("b.f2") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.split") =!= col("b.split"))
+      .agg(count(lit(1)).as("cross_split_dup_pairs")))
+    st.d2.join(st.u.select(col("doc_id"), col("canon").as("url")), Seq("doc_id"))
+      .select(col("doc_id"), col("url"), col("split"),
+        TextAnalysis.tokenCount(col("clean_text")).cast("long").as("n_tokens"),
+        col("clean_text"))
+      .crossJoin(cross)
+      .orderBy("doc_id")
+  }
+
+  /** Funnel counts of the SAME chain — the p12 stage survivors pinned as
+    * their own hash-matched row (per-split counts pin the split hashing
+    * too). Shares `webPipelineChainSql` / [[webStages]] with p12, so the
+    * two rows cannot silently diverge. */
+  register(
+    "p12b_web_funnel",
+    "WITH " + webPipelineChainSql + """
+      |SELECT stage, n_docs FROM (
+      |  SELECT '0_fetched' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM b
+      |  UNION ALL SELECT '1_url_kept', CAST(count(*) AS BIGINT) FROM u
+      |  UNION ALL SELECT '2_content', CAST(count(*) AS BIGINT) FROM j
+      |  UNION ALL SELECT '3_exact_unique', CAST(count(*) AS BIGINT) FROM e
+      |  UNION ALL SELECT '4_gopher_pass', CAST(count(*) AS BIGINT) FROM gk
+      |  UNION ALL SELECT '5_decontaminated', CAST(count(*) AS BIGINT) FROM dk
+      |  UNION ALL SELECT '6_split_' || split, CAST(count(*) AS BIGINT)
+      |            FROM d2 GROUP BY split)
+      |ORDER BY stage""".stripMargin) { (s, dir) =>
+    val st = webStages(s, dir)
+    def cnt(stage: String, df: DataFrame) =
+      df.agg(count(lit(1)).cast("long").as("n_docs"))
+        .select(lit(stage).as("stage"), col("n_docs"))
+    cnt("0_fetched", st.parsed)
+      .unionAll(cnt("1_url_kept", st.u))
+      .unionAll(cnt("2_content", st.j))
+      .unionAll(cnt("3_exact_unique", st.e))
+      .unionAll(cnt("4_gopher_pass", st.gk))
+      .unionAll(cnt("5_decontaminated", st.dk))
+      .unionAll(st.d2
+        .groupBy(concat(lit("6_split_"), col("split")).as("stage"))
+        .agg(count(lit(1)).cast("long").as("n_docs")))
+      .orderBy("stage")
+  }
+
+  private case class WebStages(parsed: DataFrame, u: DataFrame, j: DataFrame,
+    e: DataFrame, gk: DataFrame, dk: DataFrame, d2: DataFrame)
+
+  /** The p12 stage frames (Scala side of [[webPipelineChainSql]]). */
+  private def webStages(s: SparkSession, dir: String): WebStages = {
     val docs = t(s, dir, "documents")
     // 0: WARC serialize into 50-record blobs + byte-framed parse back
     val body0 = when(col("doc_id") % 17 === 0,
@@ -843,6 +899,7 @@ private[graft] trait PipelineQueries extends RegistryBase {
         col("blob").cast("binary"))).as("rec"))
       .select(substring(col("rec.rec_id"), 2, 18).cast("long").as("doc_id"),
         col("rec.body").as("body"))
+      .localCheckpoint() // every stage frame feeds its successor AND the funnel count
     // 1: URL synthesis (fetch noise per d19) + canonicalize + url dedup
     //    keep + domain blocklist — 500 fetches -> 150 pages on 7 hosts
     val page = col("doc_id") % 150
@@ -871,8 +928,10 @@ private[graft] trait PipelineQueries extends RegistryBase {
       stopwordsLow = 0.04, stopwordsHigh = 0.08)
     val j = TextAnalysis.justextContent(blocks)
       .where(col("content_chars") > 0).select("doc_id", "content")
+      .localCheckpoint()
     // 3: exact dedup on the extracted content (d1 algebra)
     val e = Dedup.dropExactDuplicates(j, "content", "doc_id")
+      .localCheckpoint()
     // 4: corpus-wide exact-substring cut over the survivor set (d22)
     val clean = Dedup.removeRepeatedSubstrings(e, "content", "doc_id",
         minLen = 8)
@@ -896,6 +955,7 @@ private[graft] trait PipelineQueries extends RegistryBase {
     val dk = gk.join(TextAnalysis.ngramContaminationBloom(
         gk, "clean_text", "doc_id", snips, "snip", n = 5).select("doc_id"),
       Seq("doc_id"), "left_anti")
+      .localCheckpoint()
     // 7: cluster-safe split; the cross-split duplicate invariant rides
     //    the hash (p10 rule)
     val fp2 = dk.select(col("doc_id"), col("clean_text"),
@@ -904,17 +964,8 @@ private[graft] trait PipelineQueries extends RegistryBase {
     val cl2 = fp2.groupBy("f2").agg(min(col("doc_id")).as("cluster_id"))
     val d2 = TextAnalysis.splitAssign(fp2.join(cl2, "f2"), "cluster_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-      .localCheckpoint() // feeds the output AND the invariant self-join
-    val cross = broadcast(d2.as("a").join(d2.as("b"),
-        col("a.f2") === col("b.f2") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.split") =!= col("b.split"))
-      .agg(count(lit(1)).as("cross_split_dup_pairs")))
-    d2.join(u.select(col("doc_id"), col("canon").as("url")), Seq("doc_id"))
-      .select(col("doc_id"), col("url"), col("split"),
-        TextAnalysis.tokenCount(col("clean_text")).cast("long").as("n_tokens"),
-        col("clean_text"))
-      .crossJoin(cross)
-      .orderBy("doc_id")
+      .localCheckpoint() // feeds the output, the invariant, and the funnel
+    WebStages(parsed, u, j, e, gk, dk, d2)
   }
 
   // Dolma-style tag-then-filter curation (Soldaini et al. 2024): ONE
