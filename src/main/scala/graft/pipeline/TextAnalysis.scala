@@ -2468,4 +2468,72 @@ object TextAnalysis {
         least(size(col("__toks")) - col("chunk_idx") * step, lit(chunkWords))
           .as("chunk_words"))
   }
+
+  /** Per-line language segmentation — the multilingual-document triage a
+    * corpus language filter needs (a page-level langid mislabels half of
+    * a half-and-half page): split into lines, language-id each non-blank
+    * line by the stopword-hit argmax (the [[langId]] heuristic), then
+    * group CONTIGUOUS same-language lines into segments
+    * (gaps-and-islands: a new segment starts where the line's language
+    * differs from the previous line's). Output per segment:
+    * (doc_id, seg_idx, lang, n_lines, first_line, last_line) with
+    * seg_idx 0-based in line order.
+    *
+    * Scale shape: line langid is scan-side column work on the exploded
+    * lines; run grouping is a lag + running-sum window pair PARTITIONED
+    * BY doc_id (line-count bounded) sharing one exchange, and the
+    * per-segment rollup pre-combines on (doc_id, seg_idx). */
+  def langSegments(docs: DataFrame, textCol: String, idCol: String,
+      langs: Seq[(String, Seq[String])]): DataFrame = {
+    val lines = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("idx", "__l")))
+      .where(length(trim(col("__l"))) > 0)
+      .withColumn("lang", langId(col("__l"), langs))
+    val w = Window.partitionBy("doc_id").orderBy("idx")
+    lines
+      .withColumn("__prev", lag(col("lang"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("__prev") =!= col("lang"), 1)
+          .otherwise(0))
+      .withColumn("seg_idx", (sum(col("__new")).over(w) - 1).cast(LongType))
+      .groupBy("doc_id", "seg_idx")
+      .agg(min(col("lang")).as("lang"), // constant within a segment
+        count(lit(1)).as("n_lines"),
+        min(col("idx")).cast(LongType).as("first_line"),
+        max(col("idx")).cast(LongType).as("last_line"))
+  }
+
+  /** Flesch readability report: sentences split on `[.!?]+` (non-blank
+    * segments, floor 1), words = [[tokens]] of the lowered text, and a
+    * SYLLABLE HEURISTIC both engines mirror exactly — vowel-group count
+    * per word (`[aeiouy]+` matches), floor 1 per word. Scores are exact
+    * integer micro-units (the floor(x·1e6 + 0.5) rule on each ratio
+    * term) so Flesch Reading Ease and Flesch–Kincaid grade hash-match:
+    * FRE = 206.835 − 1.015·(W/S) − 84.6·(Syl/W);
+    * FKG = 0.39·(W/S) + 11.8·(Syl/W) − 15.59.
+    * The heuristic under-counts silent-e words and over-counts some
+    * diphthongs — fine for corpus-level FILTERING (the use case),
+    * documented for anyone expecting dictionary syllables. Scan-side,
+    * zero shuffle. */
+  def readabilityReport(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val text = col(textCol)
+    val sents = greatest(
+      size(filter(split(text, "[.!?]+"), s => length(trim(s)) > 0)), lit(1))
+    val toks = tokens(lower(text))
+    val words = greatest(size(toks), lit(1))
+    val sylls = aggregate(toks, lit(0L), (acc, w) =>
+      acc + greatest(
+        size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))), lit(1)))
+    docs.select(col(idCol).as("doc_id"),
+      sents.cast(LongType).as("n_sentences"),
+      size(toks).cast(LongType).as("n_words"),
+      sylls.as("n_syllables"),
+      ((lit(206835000L) - floor(lit(1015000.0) * words / sents + 0.5)
+        - floor(lit(84600000.0) * sylls / words + 0.5)) / 1000000.0)
+        .as("fre"),
+      ((floor(lit(390000.0) * words / sents + 0.5)
+        + floor(lit(11800000.0) * sylls / words + 0.5) - lit(15590000L))
+        / 1000000.0).as("fk_grade"))
+  }
 }

@@ -3042,4 +3042,107 @@ private[graft] trait TextQueries extends RegistryBase {
       lit(" end")).as("t92"))
     WebOps.ibanScan(planted, "t92", "doc_id").orderBy("doc_id", "iban")
   }
+
+  // Per-line language segmentation — the multilingual-page triage a
+  // corpus language filter needs. Fixture residues build 5/3/4-line
+  // pages from three disjoint-stopword languages, so the segmentation
+  // exercises single-run, alternating, and sandwich shapes; the oracle
+  // recomputes the SAME stopword-argmax per line and the same
+  // gaps-and-islands run grouping. Hash-matched per segment.
+  register(
+    "t93_lang_segments",
+    """WITH pages AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 3 AS INT)
+      |      WHEN 0 THEN 'the quick scan and join runs' || chr(10) ||
+      |        'the table and the join scan' || chr(10) ||
+      |        'el que la datos tabla' || chr(10) ||
+      |        'el la que datos' || chr(10) ||
+      |        'the scan and join again'
+      |      WHEN 1 THEN 'der und die das system' || chr(10) ||
+      |        'die das und der' || chr(10) || chr(10) ||
+      |        'der das und die wieder'
+      |      ELSE 'the scan and join' || chr(10) ||
+      |        'el que la datos' || chr(10) ||
+      |        'der und die das' || chr(10) ||
+      |        'el la que datos otra' END AS page
+      |  FROM documents),
+      |ln0 AS (SELECT doc_id, unnest(string_split(page, chr(10))) AS l,
+      |          CAST(generate_subscripts(string_split(page, chr(10)), 1) AS BIGINT) - 1 AS idx
+      |        FROM pages),
+      |ln AS (SELECT * FROM ln0 WHERE length(trim(l)) > 0),
+      |sc AS (SELECT doc_id, idx,
+      |         len(list_intersect(list_distinct(list_filter(
+      |           string_split_regex(lower(l), '\s+'), x -> x != '')),
+      |           ['the','and','scan','join'])) AS s_en,
+      |         len(list_intersect(list_distinct(list_filter(
+      |           string_split_regex(lower(l), '\s+'), x -> x != '')),
+      |           ['el','la','que','datos'])) AS s_es,
+      |         len(list_intersect(list_distinct(list_filter(
+      |           string_split_regex(lower(l), '\s+'), x -> x != '')),
+      |           ['der','die','und','das'])) AS s_de
+      |       FROM ln),
+      |lng AS (SELECT doc_id, idx, CASE
+      |          WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+      |          WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS lang
+      |        FROM sc),
+      |pv AS (SELECT *, lag(lang) OVER (PARTITION BY doc_id ORDER BY idx) AS prev
+      |       FROM lng),
+      |nw AS (SELECT *, CASE WHEN prev IS NULL OR prev != lang THEN 1 ELSE 0 END AS isnew
+      |       FROM pv),
+      |seg AS (SELECT *, sum(isnew) OVER (PARTITION BY doc_id ORDER BY idx) - 1 AS seg_idx
+      |        FROM nw)
+      |SELECT doc_id, CAST(seg_idx AS BIGINT) AS seg_idx, min(lang) AS lang,
+      |       CAST(count(*) AS BIGINT) AS n_lines,
+      |       CAST(min(idx) AS BIGINT) AS first_line,
+      |       CAST(max(idx) AS BIGINT) AS last_line
+      |FROM seg GROUP BY doc_id, seg_idx
+      |ORDER BY doc_id, seg_idx""".stripMargin) { (s, dir) =>
+    val pages = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, lit(
+        "the quick scan and join runs\nthe table and the join scan\n" +
+          "el que la datos tabla\nel la que datos\nthe scan and join again"))
+        .when(col("doc_id") % 3 === 1, lit(
+          "der und die das system\ndie das und der\n\nder das und die wieder"))
+        .otherwise(lit(
+          "the scan and join\nel que la datos\nder und die das\n" +
+            "el la que datos otra")).as("page"))
+    TextAnalysis.langSegments(pages, "page", "doc_id", Seq(
+        "en" -> Seq("the", "and", "scan", "join"),
+        "es" -> Seq("el", "la", "que", "datos"),
+        "de" -> Seq("der", "die", "und", "das")))
+      .orderBy("doc_id", "seg_idx")
+  }
+
+  // Flesch readability over the organic corpus text — sentence split,
+  // word tokens, and the vowel-group syllable heuristic mirrored exactly;
+  // FRE/FK-grade in exact integer micro-units (floor(x*1e6 + 0.5) per
+  // ratio term), so the scores hash-match.
+  register(
+    "t94_readability",
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    greatest(len(list_filter(string_split_regex(text, '[.!?]+'),
+      |      s -> trim(s) != '')), 1) AS s_n,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS tk
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, s_n,
+      |    CAST(len(tk) AS BIGINT) AS n_words,
+      |    greatest(len(tk), 1) AS w_n,
+      |    CAST(list_sum(list_concat([0], list_transform(tk,
+      |      w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1))))
+      |      AS BIGINT) AS syl
+      |  FROM m)
+      |SELECT doc_id, CAST(s_n AS BIGINT) AS n_sentences, n_words,
+      |  syl AS n_syllables,
+      |  (206835000 - CAST(floor(1015000.0 * w_n / s_n + 0.5) AS BIGINT)
+      |    - CAST(floor(84600000.0 * syl / w_n + 0.5) AS BIGINT)) / 1000000.0 AS fre,
+      |  (CAST(floor(390000.0 * w_n / s_n + 0.5) AS BIGINT)
+      |    + CAST(floor(11800000.0 * syl / w_n + 0.5) AS BIGINT)
+      |    - 15590000) / 1000000.0 AS fk_grade
+      |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.readabilityReport(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy("doc_id")
+  }
 }

@@ -755,12 +755,19 @@ class PlanSpec extends AnyFunSuite {
     p90.split("\n").filter(_.contains("windowspecdefinition")).foreach { ln =>
       assert(ln.contains("host"), s"t90: robots window not keyed by host: $ln")
     }
-    // metadata + IBAN are pure scan-side projections: the only exchange
-    // allowed is the output ordering's range partitioning
-    Seq("t91_html_meta", "t92_iban_pii").foreach { q =>
+    // metadata + IBAN + readability are pure scan-side projections: the
+    // only exchange allowed is the output ordering's range partitioning
+    Seq("t91_html_meta", "t92_iban_pii", "t94_readability").foreach { q =>
       val p = plan(q)
       assert(!p.contains("UDF") && !p.contains("Exchange hashpartitioning"),
         s"$q: must plan scan-side (no UDF, no hash exchange)")
+    }
+    // language segmentation: line langid scan-side, run windows keyed by
+    // doc_id only (line-count bounded)
+    val p93 = plan("t93_lang_segments")
+    assert(!p93.contains("UDF") && !p93.contains("CartesianProduct"))
+    p93.split("\n").filter(_.contains("windowspecdefinition")).foreach { ln =>
+      assert(ln.contains("doc_id"), s"t93: window not keyed by doc_id: $ln")
     }
   }
 
