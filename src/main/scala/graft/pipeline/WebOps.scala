@@ -69,17 +69,22 @@ object WebOps {
   /** Allow/deny verdict per URL under the parsed rules —
     * LONGEST-MATCH-WINS with Allow beating Disallow on equal length
     * (the RFC 9309 precedence rule), and no matching rule = allowed.
-    * `urls` carries (idCol, hostCol, pathCol); rules broadcast (per-host
-    * rule tables are small by construction) and the verdict is one
-    * pre-combined max(struct(len, allow)) per URL. */
+    * `urls` carries (idCol, hostCol, pathCol); the rule table broadcasts
+    * when provably under [[BatchStore.ProbeBroadcastCap]] (per-host rule
+    * tables are small, but a many-million-host crawl shuffles instead of
+    * failing) and the verdict is one pre-combined max(struct(len,
+    * allow)) per URL. */
   def robotsVerdict(urls: DataFrame, idCol: String, hostCol: String,
       pathCol: String, rules: DataFrame): DataFrame = {
     // left join keeps every URL (a host with rules but no MATCHING rule
     // must still verdict as allowed, not vanish); non-matching rule rows
-    // null out under the conditional max instead of filtering
+    // null out under the conditional max instead of filtering. The rule
+    // table broadcast is CAP-GUARDED (the r14 broadcast-cliff rule): a
+    // pathological crawl with millions of hosts falls back to a shuffled
+    // host-keyed join instead of failing
     val matched = urls.select(col(idCol).as("__id"), col(hostCol).as("host"),
         col(pathCol).as("__p"))
-      .join(broadcast(rules), Seq("host"), "left")
+      .join(BatchStore.probeSide(rules), Seq("host"), "left")
       .groupBy("__id", "host", "__p")
       .agg(max(when(col("path").isNotNull && col("__p").startsWith(col("path")),
         struct(length(col("path")).as("l"), col("allow").as("a")))).as("__m"))
