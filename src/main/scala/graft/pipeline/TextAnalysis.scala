@@ -2536,4 +2536,45 @@ object TextAnalysis {
         + floor(lit(11800000.0) * sylls / words + 0.5) - lit(15590000L))
         / 1000000.0).as("fk_grade"))
   }
+
+  /** Deterministic output-shard packing + manifest — the last mile of a
+    * corpus build: docs fill shards GREEDILY in id order by token budget
+    * (a doc lands in the shard where its FIRST token falls, so shards
+    * overflow by at most one document — the standard trainer-shard
+    * contract), and the manifest carries per-shard integrity facts
+    * (n_docs, n_tokens, first/last doc, md5 over the ordered id list)
+    * that a consumer can re-verify after transport.
+    *
+    * Scale shape (the q46/t15 shard-with-carry rule): the global
+    * token-prefix sum NEVER runs as one unpartitioned window over the
+    * corpus — docs bucket by id range, per-bucket token sums pre-combine
+    * to a bucket-cardinality table whose offsets broadcast back, and the
+    * in-bucket running sum windows partition by bucket (id-range
+    * bounded). Manifest rollup pre-combines per shard; per-shard id
+    * lists are budget-bounded by construction. */
+  def packShards(docs: DataFrame, textCol: String, idCol: String,
+      shardTokens: Long, idsPerBucket: Long = 4096): DataFrame = {
+    require(shardTokens > 0 && idsPerBucket > 0)
+    val base = docs.select(col(idCol).as("doc_id"),
+      tokenCount(col(textCol)).cast(LongType).as("n_tokens"),
+      floor(col(idCol) / idsPerBucket).cast(LongType).as("__b"))
+    val offsets = base.groupBy("__b").agg(sum(col("n_tokens")).as("__bt"))
+      .withColumn("__off", coalesce(
+        sum(col("__bt")).over(Window.orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__b", "__off")
+    val wb = Window.partitionBy("__b").orderBy("doc_id")
+    base.join(broadcast(offsets), Seq("__b"))
+      .withColumn("__start", col("__off") + coalesce(
+        sum(col("n_tokens")).over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("shard_id", floor(col("__start") / shardTokens).cast(LongType))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        md5(array_join(transform(array_sort(collect_list(col("doc_id"))),
+          _.cast("string")), ",")).as("ids_md5"))
+  }
 }

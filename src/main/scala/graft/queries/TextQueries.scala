@@ -3145,4 +3145,36 @@ private[graft] trait TextQueries extends RegistryBase {
     TextAnalysis.readabilityReport(t(s, dir, "documents"), "text", "doc_id")
       .orderBy("doc_id")
   }
+
+  // Output-shard packing + integrity manifest — the corpus build's last
+  // mile: greedy token-budget fill in doc order (a doc lands where its
+  // first token falls), manifest rows carry per-shard doc/token counts,
+  // id range, and an md5 over the ordered id list a consumer re-verifies
+  // after transport. The oracle computes the SAME start offsets with one
+  // global prefix sum; the Spark side decomposes it shard-with-carry
+  // (bucket offsets broadcast + in-bucket windows) — value-identical by
+  // construction, hash-matched.
+  register(
+    "t95_shard_manifest",
+    """WITH tks AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))
+      |      AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |st AS (
+      |  SELECT doc_id, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+      |  FROM tks)
+      |SELECT CAST(strt // 2000 AS BIGINT) AS shard_id,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |       CAST(min(doc_id) AS BIGINT) AS first_doc,
+      |       CAST(max(doc_id) AS BIGINT) AS last_doc,
+      |       md5(array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',')) AS ids_md5
+      |FROM st GROUP BY 1 ORDER BY shard_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.packShards(t(s, dir, "documents"), "text", "doc_id",
+        shardTokens = 2000L)
+      .orderBy("shard_id")
+  }
 }

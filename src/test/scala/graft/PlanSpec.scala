@@ -769,6 +769,15 @@ class PlanSpec extends AnyFunSuite {
     p93.split("\n").filter(_.contains("windowspecdefinition")).foreach { ln =>
       assert(ln.contains("doc_id"), s"t93: window not keyed by doc_id: $ln")
     }
+    // shard packing: the global prefix sum must be DECOMPOSED — every
+    // window is bucket-keyed (partitioned by __b, or the offsets window
+    // over the pre-combined bucket-cardinality table ordered by __b);
+    // no corpus-cardinality unpartitioned window
+    val p95 = plan("t95_shard_manifest")
+    assert(!p95.contains("UDF") && !p95.contains("CartesianProduct"))
+    p95.split("\n").filter(_.contains("windowspecdefinition")).foreach { ln =>
+      assert(ln.contains("__b"), s"t95: window not bucket-keyed: $ln")
+    }
   }
 
   test("d22 clean corpus: gram shuffles carry hashes, corpus text rides one doc-keyed join") {

@@ -58,6 +58,22 @@ class WebOpsSpec extends AnyFunSuite {
     assert(m(2) == ((3L, "", "", "", "", "")), "missing fields empty")
   }
 
+  test("packShards: greedy fill crosses boundaries correctly under bucket carry") {
+    // tokens per doc: 4,4,4,4,4 with shardTokens=10 -> starts 0,4,8,12,16
+    // -> shards 0,0,0,1,1 (doc 2 STARTS at 8 < 10, so it lands in shard 0
+    // and overflows it to 12 tokens — the at-most-one-doc overflow rule).
+    // idsPerBucket=2 forces the carry across three buckets, so the
+    // decomposed prefix sum must equal the global one.
+    val docs = (0L to 4L).map(i => (i, "w1 w2 w3 w4")).toDF("doc_id", "text")
+    val m = graft.pipeline.TextAnalysis.packShards(docs, "text", "doc_id",
+        shardTokens = 10L, idsPerBucket = 2L)
+      .orderBy("shard_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(m.toSeq == Seq((0L, 3L, 12L, 0L, 2L), (1L, 2L, 8L, 3L, 4L)),
+      s"manifest: ${m.toSeq}")
+  }
+
   test("iban: ISO 13616 known vectors validate, single-digit corruption fails") {
     val docs = Seq(
       (1L, "pay DE89370400440532013000 now"),  // ISO example: valid
