@@ -119,7 +119,7 @@ private[graft] object BatchStore {
     * `cap` rows — the [[probeSide]] decision, exposed for steps that hint
     * several joins off one batch key set. */
   def fitsBroadcast(keys: DataFrame, cap: Long = ProbeBroadcastCap): Boolean =
-    keys.limit((cap + 1).toInt).count() <= cap
+    keys.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).count() <= cap
 
   /** Identity-merge compaction over several sub-tables of one store
     * (signature stores: rows are per-document, nothing to reduce). */

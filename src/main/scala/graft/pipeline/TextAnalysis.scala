@@ -2553,8 +2553,9 @@ object TextAnalysis {
     * bounded). Manifest rollup pre-combines per shard; per-shard id
     * lists are budget-bounded by construction. */
   def packShards(docs: DataFrame, textCol: String, idCol: String,
-      shardTokens: Long, idsPerBucket: Long = 4096): DataFrame = {
-    require(shardTokens > 0 && idsPerBucket > 0)
+      shardTokens: Long, idsPerBucket: Long = 4096,
+      startOffset: Long = 0L): DataFrame = {
+    require(shardTokens > 0 && idsPerBucket > 0 && startOffset >= 0)
     val base = docs.select(col(idCol).as("doc_id"),
       tokenCount(col(textCol)).cast(LongType).as("n_tokens"),
       floor(col(idCol) / idsPerBucket).cast(LongType).as("__b"))
@@ -2565,7 +2566,7 @@ object TextAnalysis {
       .select("__b", "__off")
     val wb = Window.partitionBy("__b").orderBy("doc_id")
     base.join(broadcast(offsets), Seq("__b"))
-      .withColumn("__start", col("__off") + coalesce(
+      .withColumn("__start", lit(startOffset) + col("__off") + coalesce(
         sum(col("n_tokens")).over(wb.rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .withColumn("shard_id", floor(col("__start") / shardTokens).cast(LongType))
@@ -2577,4 +2578,45 @@ object TextAnalysis {
         md5(array_join(transform(array_sort(collect_list(col("doc_id"))),
           _.cast("string")), ",")).as("ids_md5"))
   }
+
+  /** STREAMING tier of [[packShards]] under the [[BatchStore]] contract —
+    * shard ids stay GLOBAL across the stream: each batch packs from the
+    * running token total of every committed prior batch (one 1-row
+    * aggregate over the skinny manifest store), so a shard left partly
+    * filled by batch N keeps filling in batch N+1 (the two batches each
+    * emit a PARTIAL manifest row for that shard: counts and id ranges
+    * merge by summing/min/max; ids_md5 stays per-partial — per-batch
+    * integrity, the property a consumer re-verifies per delivery).
+    * Retry-idempotent: the manifest partition writes per-batch with
+    * overwrite AFTER the result materializes, and the prior read
+    * excludes the in-flight batch, so a retried batch re-derives the
+    * SAME offset and replaces its partial. `maxStoreParts` enables the
+    * size-tiered auto-compaction (identity merge — manifest rows are
+    * per-(batch, shard)). Returns the batch's partial manifest rows. */
+  def shardStoreStep(batch: DataFrame, storeDir: String, textCol: String,
+      idCol: String, shardTokens: Long, batchId: Long,
+      idsPerBucket: Long = 4096, maxStoreParts: Int = 0): DataFrame = {
+    val spark = batch.sparkSession
+    val empty = packShards(batch.limit(0), textCol, idCol, shardTokens,
+      idsPerBucket)
+    val prior = BatchStore.readStore(spark, storeDir, "manifests", empty,
+      batchId)
+    val offset = prior.agg(coalesce(sum(col("n_tokens")), lit(0L)))
+      .collect()(0).getLong(0) // 1-row aggregate: bounded driver state
+    val out = packShards(batch, textCol, idCol, shardTokens, idsPerBucket,
+      startOffset = offset).localCheckpoint()
+    BatchStore.writeBatchPart(out, s"$storeDir/manifests",
+      s"$storeDir/compactions/manifests", batchId)
+    BatchStore.autoCompact(spark, s"$storeDir/manifests",
+      s"$storeDir/compactions/manifests", maxStoreParts, batchId)(
+      shardStoreCompact(spark, storeDir, _, _))
+    out
+  }
+
+  /** Fold committed manifest partitions (identity merge — rows are
+    * per-(batch, shard) partials; [[BatchStore]] marker protocol). */
+  def shardStoreCompact(spark: SparkSession, storeDir: String,
+      compactId: Long, upToBatchId: Long): Seq[Long] =
+    BatchStore.compactIdentity(spark, storeDir, Seq("manifests"),
+      compactId, upToBatchId)
 }

@@ -3177,4 +3177,45 @@ private[graft] trait TextQueries extends RegistryBase {
         shardTokens = 2000L)
       .orderBy("shard_id")
   }
+
+  // Incremental shard packing under the BatchStore contract — shard ids
+  // stay GLOBAL across the stream (each batch packs from the committed
+  // prior batches' running token total), and a shard spanning a batch
+  // boundary emits one PARTIAL manifest row per batch (counts/ranges
+  // merge; ids_md5 stays per-delivery). Two id-split batches mirror the
+  // stream order; the oracle computes the same packing with ONE global
+  // prefix sum grouped by (shard, batch). Deterministic end-to-end, so
+  // the whole store loop hash-matches (the d24 rule).
+  register(
+    "t95b_shard_incremental",
+    """WITH tks AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))
+      |      AS BIGINT) AS n_tokens,
+      |    CASE WHEN doc_id < 250 THEN 0 ELSE 1 END AS batch_id
+      |  FROM documents),
+      |st AS (
+      |  SELECT doc_id, n_tokens, batch_id,
+      |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+      |  FROM tks)
+      |SELECT CAST(strt // 2000 AS BIGINT) AS shard_id,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |       CAST(min(doc_id) AS BIGINT) AS first_doc,
+      |       CAST(max(doc_id) AS BIGINT) AS last_doc,
+      |       md5(array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',')) AS ids_md5,
+      |       CAST(batch_id AS BIGINT) AS batch_id
+      |FROM st GROUP BY strt // 2000, batch_id
+      |ORDER BY shard_id, batch_id""".stripMargin) { (s, dir) =>
+    val store = java.nio.file.Files.createTempDirectory("t95b_store").toString
+    val docs = t(s, dir, "documents")
+    val m0 = TextAnalysis.shardStoreStep(docs.where(col("doc_id") < 250),
+      store, "text", "doc_id", shardTokens = 2000L, batchId = 0L)
+    val m1 = TextAnalysis.shardStoreStep(docs.where(col("doc_id") >= 250),
+      store, "text", "doc_id", shardTokens = 2000L, batchId = 1L)
+    m0.withColumn("batch_id", lit(0L))
+      .unionAll(m1.withColumn("batch_id", lit(1L)))
+      .orderBy("shard_id", "batch_id")
+  }
 }

@@ -41,6 +41,18 @@ class WebOpsSpec extends AnyFunSuite {
       5L -> true, 6L -> true), s"verdicts: $v")
   }
 
+  test("robots: CRLF line endings and no-space-after-colon parse like LF") {
+    // real robots.txt is frequently CRLF and 'User-agent:*' (no space) —
+    // both must parse identically to the canonical form
+    val robots = Seq(
+      ("crlf.com", "User-agent:*\r\nDisallow:/a\r\nAllow: /a/b\r\n"))
+      .toDF("host", "body")
+    val rules = WebOps.robotsRules(robots, "host", "body")
+    assert(rules.collect().map(r =>
+      (r.getBoolean(1), r.getString(2))).toSet ==
+      Set((false, "/a"), (true, "/a/b")), "CRLF + no-space rules")
+  }
+
   test("htmlMeta: attribute order and case free; missing fields empty, never null") {
     val pages = Seq(
       (1L, "<html lang=\"en\"><head><title> A\n  B </title>" +
@@ -72,6 +84,29 @@ class WebOpsSpec extends AnyFunSuite {
         r.getLong(4)))
     assert(m.toSeq == Seq((0L, 3L, 12L, 0L, 2L), (1L, 2L, 8L, 3L, 4L)),
       s"manifest: ${m.toSeq}")
+  }
+
+  test("shard store step: global offsets, retry re-derives, compaction preserves") {
+    val dir = java.nio.file.Files.createTempDirectory("shardstore").toString
+    def run(docs: Seq[(Long, String)], id: Long) =
+      graft.pipeline.TextAnalysis.shardStoreStep(docs.toDF("doc_id", "text"),
+        dir, "text", "doc_id", shardTokens = 10L, batchId = id)
+        .select("shard_id", "n_docs", "n_tokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b0 = (0L to 3L).map(i => (i, "w1 w2 w3 w4")) // 16 tokens
+    assert(run(b0, 0L) == Set((0L, 3L, 12L), (1L, 1L, 4L)))
+    // batch 1 continues the HALF-FULL shard 1 from the global offset 16
+    val b1 = Seq((10L, "w1 w2 w3 w4"), (11L, "w1 w2 w3 w4"))
+    val r1 = run(b1, 1L)
+    assert(r1 == Set((1L, 1L, 4L), (2L, 1L, 4L)), s"cross-batch fill: $r1")
+    // RETRY batch 1: the offset read excludes its own partial
+    assert(run(b1, 1L) == r1, "retried batch must re-derive the same offset")
+    assert(run(Seq((20L, "w1 w2")), 2L) == Set((2L, 1L, 2L)))
+    val folded = graft.pipeline.TextAnalysis.shardStoreCompact(
+      spark, dir, compactId = -1L, upToBatchId = 1L)
+    assert(folded.toSet == Set(0L, 1L), s"folded: $folded")
+    assert(run(Seq((30L, "w1 w2 w3 w4")), 3L) == Set((2L, 1L, 4L)),
+      "the running offset must survive compaction")
   }
 
   test("iban: ISO 13616 known vectors validate, single-digit corruption fails") {
