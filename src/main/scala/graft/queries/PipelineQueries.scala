@@ -13,7 +13,7 @@ import graft.rules._
 import graft.alerts.{AlertMerger, MergeInputAlert, Publishers}
 import graft.sources.Sources
 import graft.history.{HistoricalSink, RulePromotion, ScheduledQueries}
-import graft.pipeline.{Dedup, Eval, Multimodal, Preference, Similarity, Sketches, TextAnalysis}
+import graft.pipeline.{Dedup, Eval, Multimodal, Preference, Similarity, Sketches, TextAnalysis, WebOps}
 
 /** End-to-end curation composites and multimodal rows: corpus
   * curation, split leakage, warehouse loop, entity resolution,
@@ -699,6 +699,7 @@ private[graft] trait PipelineQueries extends RegistryBase {
   // oracled operator (p7/d19/t75/t88/d1/d22/t17/t33/p10), this row pins
   // their COMPOSITION: WARC framing round trip → URL canonicalize +
   // domain blocklist + url dedup (keep min fetch per canonical URL) →
+  // robots.txt allow/deny gate (t90 algebra, per-host policies) →
   // jusText content extraction (chrome-only pages drop) → exact content
   // dedup → corpus-wide exact-substring cut (Lee et al. 2022, over the
   // SURVIVOR set) → Gopher quality gates (minWords scaled to the cut
@@ -733,8 +734,28 @@ private[graft] trait PipelineQueries extends RegistryBase {
       |      WHERE doc_id = mke
       |        AND NOT contains(lower(canon), 'site3.com')
       |        AND NOT contains(lower(canon), 'site5.com')),
+      |uh AS (SELECT DISTINCT regexp_extract(canon, '(site[0-9]+\.com)', 1) AS host
+      |       FROM u),
+      |rb AS (SELECT host,
+      |         'User-agent: *' || chr(10) ||
+      |         'Disallow: /p/' || regexp_extract(host, 'site([0-9]+)', 1) || chr(10) ||
+      |         'Allow: /p/' || regexp_extract(host, 'site([0-9]+)', 1) || '2' AS body
+      |       FROM uh),
+      |""".stripMargin + robotsRulesSql + """,
+      |up AS (SELECT doc_id, canon,
+      |         regexp_extract(canon, '(site[0-9]+\.com)', 1) AS host,
+      |         regexp_extract(canon, '\.com(/p/[0-9]+)', 1) AS upath
+      |       FROM u),
+      |rcand AS (SELECT up.doc_id, r.allow, length(r.rpath) AS rl
+      |          FROM up LEFT JOIN rules r
+      |            ON r.host = up.host AND starts_with(up.upath, r.rpath)),
+      |rbest AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |            ORDER BY rl DESC NULLS LAST, allow DESC NULLS LAST) AS rn
+      |          FROM rcand),
+      |rallow AS (SELECT doc_id FROM rbest WHERE rn = 1 AND coalesce(allow, TRUE)),
+      |u2 AS (SELECT u.doc_id, u.body, u.canon FROM u JOIN rallow USING (doc_id)),
       |""".stripMargin +
-      justextPagesSql("u", "body") + ",\n" +
+      justextPagesSql("u2", "body") + ",\n" +
       justextBlocksSql + """,
       |jx AS (SELECT doc_id,
       |         coalesce(string_agg(text, chr(10) ORDER BY block_idx)
@@ -852,6 +873,7 @@ private[graft] trait PipelineQueries extends RegistryBase {
       |SELECT stage, n_docs FROM (
       |  SELECT '0_fetched' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM b
       |  UNION ALL SELECT '1_url_kept', CAST(count(*) AS BIGINT) FROM u
+      |  UNION ALL SELECT '1b_robots_ok', CAST(count(*) AS BIGINT) FROM u2
       |  UNION ALL SELECT '2_content', CAST(count(*) AS BIGINT) FROM j
       |  UNION ALL SELECT '3_exact_unique', CAST(count(*) AS BIGINT) FROM e
       |  UNION ALL SELECT '4_gopher_pass', CAST(count(*) AS BIGINT) FROM gk
@@ -865,6 +887,7 @@ private[graft] trait PipelineQueries extends RegistryBase {
         .select(lit(stage).as("stage"), col("n_docs"))
     cnt("0_fetched", st.parsed)
       .unionAll(cnt("1_url_kept", st.u))
+      .unionAll(cnt("1b_robots_ok", st.u2))
       .unionAll(cnt("2_content", st.j))
       .unionAll(cnt("3_exact_unique", st.e))
       .unionAll(cnt("4_gopher_pass", st.gk))
@@ -875,8 +898,9 @@ private[graft] trait PipelineQueries extends RegistryBase {
       .orderBy("stage")
   }
 
-  private case class WebStages(parsed: DataFrame, u: DataFrame, j: DataFrame,
-    e: DataFrame, gk: DataFrame, dk: DataFrame, d2: DataFrame)
+  private case class WebStages(parsed: DataFrame, u: DataFrame,
+    u2: DataFrame, j: DataFrame, e: DataFrame, gk: DataFrame, dk: DataFrame,
+    d2: DataFrame)
 
   /** The p12 stage frames (Scala side of [[webPipelineChainSql]]). */
   private def webStages(s: SparkSession, dir: String): WebStages = {
@@ -920,10 +944,23 @@ private[graft] trait PipelineQueries extends RegistryBase {
     val blocked = TextAnalysis.blocklistFilter(keepers, "canon", "doc_id",
       Seq("site3.com", "site5.com")).where(col("blocked")).select("doc_id")
     val u = keepers.join(blocked, Seq("doc_id"), "left_anti")
-      .localCheckpoint() // feeds the page build AND the final url join
+      .localCheckpoint() // feeds the robots gate, funnel, AND the url join
+    // 1b: robots.txt gate (t90 algebra) — per-host policies synthesized
+    //     from the canonical URL, RFC 9309 longest-match verdicts
+    val hostOf = regexp_extract(col("canon"), "(site[0-9]+\\.com)", 1)
+    val urls = u.select(col("doc_id"), hostOf.as("host"),
+      regexp_extract(col("canon"), "\\.com(/p/[0-9]+)", 1).as("upath"))
+    val kOf = regexp_extract(col("host"), "site([0-9]+)", 1)
+    val robots = urls.select("host").distinct()
+      .select(col("host"), concat(lit("User-agent: *\nDisallow: /p/"), kOf,
+        lit("\nAllow: /p/"), kOf, lit("2")).as("body"))
+    val rallow = WebOps.robotsVerdict(urls, "doc_id", "host", "upath",
+        WebOps.robotsRules(robots, "host", "body"))
+      .where(col("allowed")).select("doc_id")
+    val u2 = u.join(rallow, Seq("doc_id")).localCheckpoint()
     // 2: jusText extraction; chrome-only pages (no good block) drop
     val blocks = TextAnalysis.justextBlocks(
-      justextPages(u, col("body")), "html", "doc_id",
+      justextPages(u2, col("body")), "html", "doc_id",
       Seq("the", "a", "of", "and", "to", "in"),
       stopwordsLow = 0.04, stopwordsHigh = 0.08)
     val j = TextAnalysis.justextContent(blocks)
@@ -965,7 +1002,7 @@ private[graft] trait PipelineQueries extends RegistryBase {
     val d2 = TextAnalysis.splitAssign(fp2.join(cl2, "f2"), "cluster_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       .localCheckpoint() // feeds the output, the invariant, and the funnel
-    WebStages(parsed, u, j, e, gk, dk, d2)
+    WebStages(parsed, u, u2, j, e, gk, dk, d2)
   }
 
   // Dolma-style tag-then-filter curation (Soldaini et al. 2024): ONE

@@ -2858,26 +2858,11 @@ private[graft] trait TextQueries extends RegistryBase {
   // Disallow (dropped per the RFC), a case-folded directive, a comment
   // line, and a non-* section that must be ignored. Hash oracle over
   // (doc_id, host, path, allowed, rule_len).
-  register(
-    "t90_robots_filter",
-    """WITH u AS (
-      |  SELECT doc_id,
-      |    'site' || ((doc_id % 150) % 7) || '.com' AS host,
-      |    '/p/' || (doc_id % 150) AS path
-      |  FROM documents),
-      |hosts AS (SELECT DISTINCT host,
-      |            CAST(regexp_extract(host, 'site([0-9]+)', 1) AS BIGINT) AS kk
-      |          FROM u),
-      |rb AS (SELECT host,
-      |    '# crawl policy' || chr(10) ||
-      |    'User-agent: megabot' || chr(10) || 'Disallow: /' || chr(10) || chr(10) ||
-      |    'User-agent: *' || chr(10) ||
-      |    'Disallow: /p/' || kk || chr(10) ||
-      |    'Allow: /p/' || kk || '2' || chr(10) ||
-      |    'Disallow:' || chr(10) ||
-      |    'disallow: /q/' AS body
-      |  FROM hosts),
-      |ln0 AS (SELECT host, unnest(string_split(body, chr(10))) AS l0,
+  /** robots.txt parsing chain over a CTE `rb(host, body)` — emits
+    * `rules(host, allow, rpath)` (the `User-agent: *` sections' non-empty
+    * Allow/Disallow directives). Shared by t90 and the p12 composite. */
+  private[graft] val robotsRulesSql: String =
+    """ln0 AS (SELECT host, unnest(string_split(body, chr(10))) AS l0,
       |          CAST(generate_subscripts(string_split(body, chr(10)), 1) AS BIGINT) AS idx
       |        FROM rb),
       |lx AS (SELECT host, idx,
@@ -2899,7 +2884,28 @@ private[graft] trait TextQueries extends RegistryBase {
       |         WHERE dir = 'user-agent' AND val = '*'),
       |rules AS (SELECT sec.host, sec.dir = 'allow' AS allow, sec.val AS rpath
       |          FROM sec JOIN star USING (host, s)
-      |          WHERE sec.dir IN ('allow', 'disallow') AND length(sec.val) > 0),
+      |          WHERE sec.dir IN ('allow', 'disallow') AND length(sec.val) > 0)""".stripMargin
+
+  register(
+    "t90_robots_filter",
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'site' || ((doc_id % 150) % 7) || '.com' AS host,
+      |    '/p/' || (doc_id % 150) AS path
+      |  FROM documents),
+      |hosts AS (SELECT DISTINCT host,
+      |            CAST(regexp_extract(host, 'site([0-9]+)', 1) AS BIGINT) AS kk
+      |          FROM u),
+      |rb AS (SELECT host,
+      |    '# crawl policy' || chr(10) ||
+      |    'User-agent: megabot' || chr(10) || 'Disallow: /' || chr(10) || chr(10) ||
+      |    'User-agent: *' || chr(10) ||
+      |    'Disallow: /p/' || kk || chr(10) ||
+      |    'Allow: /p/' || kk || '2' || chr(10) ||
+      |    'Disallow:' || chr(10) ||
+      |    'disallow: /q/' AS body
+      |  FROM hosts),
+      |""".stripMargin + robotsRulesSql + """,
       |cand AS (SELECT u.doc_id, u.host, u.path, r.allow, length(r.rpath) AS rl
       |         FROM u LEFT JOIN rules r
       |           ON r.host = u.host AND starts_with(u.path, r.rpath)),
