@@ -34,7 +34,8 @@ object StreamBench {
     // time staying FLAT as the store grows is the receipt that the
     // broadcast-semi prune keeps the step batch-proportional); line =
     // c4LineCleanStoreStep (corpus-wide line dedup); attrs =
-    // Curation.attributeStoreStep (incremental tagging).
+    // Curation.attributeStoreStep (incremental tagging); shards =
+    // shardStoreStep (global-offset manifest packing).
     // SPARK_GRAFT_STREAM_AUTO_PARTS=N passes maxStoreParts=N to the step
     // (the size-tiered AUTO-compaction trigger live in-stream)
     sys.env.get("SPARK_GRAFT_STREAM_DEDUP") match {
@@ -200,6 +201,7 @@ object StreamBench {
       case "winnow" => "fps"
       case "line" => "linehashes"
       case "attrs" => "fingerprints"
+      case "shards" => "manifests"
       case _ => "shingles"
     }
 
@@ -236,6 +238,9 @@ object StreamBench {
             Seq("en" -> Seq("the", "and", "of")),
             maxStoreParts = autoParts)
             .where(!col("is_canonical"))
+          case "shards" => graft.pipeline.TextAnalysis.shardStoreStep(
+            bb, storeDir, "text", "doc_id", shardTokens = 50000L,
+            batchId = id, maxStoreParts = autoParts)
           case _ => graft.pipeline.Dedup.minhashStoreStep(
             bb, storeDir, "text", "doc_id", shingleWords = 3,
             numHashes = 32, bands = 8, threshold = 0.7, batchId = id,
@@ -257,6 +262,8 @@ object StreamBench {
             case "line" => graft.pipeline.TextAnalysis.c4LineStoreCompact(
               bb.sparkSession, storeDir, -id, id - 1)
             case "attrs" => graft.pipeline.Curation.attributeStoreCompact(
+              bb.sparkSession, storeDir, -id, id - 1)
+            case "shards" => graft.pipeline.TextAnalysis.shardStoreCompact(
               bb.sparkSession, storeDir, -id, id - 1)
             case _ => graft.pipeline.Dedup.minhashStoreCompact(
               bb.sparkSession, storeDir, -id, id - 1)
