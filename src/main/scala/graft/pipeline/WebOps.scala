@@ -134,6 +134,42 @@ object WebOps {
   }
 
   // -------------------------------------------------------------------------
+  // Domain trust scores
+  // -------------------------------------------------------------------------
+
+  /** Per-domain quality with BAYESIAN SHRINKAGE toward the corpus mean —
+    * the domain-level filter tier of a web pipeline (a domain with 3
+    * sampled pages must not out-rank one with 3,000 on raw mean):
+    * shrunk = (sum_q + alpha * global_mean) / (n + alpha), all in exact
+    * integer micro-units (per-doc quality floors to micro BEFORE the
+    * order-free integer sums, the cross-engine determinism rule), so the
+    * scores hash-match. `keep` = shrunk mean >= threshold.
+    *
+    * Scale shape: one pre-combined groupBy(domain) over (domain,
+    * micro-quality) rows; the global mean is a 1-row aggregate broadcast
+    * back — document text never reaches either exchange. */
+  def domainTrust(docs: DataFrame, domainCol: String, qualityCol: String,
+      alpha: Long = 10L, keepAtLeast: Double = 0.5): DataFrame = {
+    require(alpha >= 0)
+    val q = docs.select(col(domainCol).as("domain"),
+      floor(col(qualityCol) * 1000000.0 + 0.5).cast(LongType).as("__qm"))
+    val perDomain = q.groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__qm")).as("__sum"))
+    val globalMean = q.agg(
+      floor(sum(col("__qm")).cast("double") / count(lit(1)) + 0.5)
+        .cast(LongType).as("__gm"))
+    perDomain.crossJoin(broadcast(globalMean))
+      .select(col("domain"), col("n_docs"),
+        (floor(col("__sum").cast("double") / col("n_docs") + 0.5)
+          .cast(LongType) / 1000000.0).as("mean_quality"),
+        (floor((col("__sum") + lit(alpha) * col("__gm")).cast("double") /
+          (col("n_docs") + alpha) + 0.5).cast(LongType) / 1000000.0)
+          .as("shrunk_quality"),
+        (col("__gm") / 1000000.0).as("global_mean"))
+      .withColumn("keep", col("shrunk_quality") >= keepAtLeast)
+  }
+
+  // -------------------------------------------------------------------------
   // IBAN PII (ISO 13616 mod-97)
   // -------------------------------------------------------------------------
 

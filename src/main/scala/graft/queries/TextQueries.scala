@@ -3224,4 +3224,51 @@ private[graft] trait TextQueries extends RegistryBase {
       .unionAll(m1.withColumn("batch_id", lit(1L)))
       .orderBy("shard_id", "batch_id")
   }
+
+  // Domain trust scores with Bayesian shrinkage toward the corpus mean —
+  // the domain-level filter tier (a 5-page domain must not out-rank a
+  // 500-page one on raw mean). Fixture mixes 7 large domains with three
+  // RARE ones (~5 docs each) so the shrinkage visibly pulls small-n
+  // domains toward the global mean; per-doc quality (the oracled t2
+  // score) floors to integer micro-units BEFORE the order-free sums, so
+  // every score hash-matches.
+  register(
+    "t96_domain_trust",
+    """WITH d AS (
+      |  SELECT CASE WHEN doc_id % 97 = 0 THEN 'rare' || (doc_id % 3) || '.net'
+      |              ELSE 'site' || ((doc_id % 150) % 7) || '.com' END AS domain,
+      |    CAST(floor(round(greatest(0.0,
+      |      least(length(text) / 500.0, 1.0) * 0.4 +
+      |      least((len(list_filter(string_split_regex(lower(text), '\s+'),
+      |              x -> x IN ('the','a','of','and','to','in'))) ::DOUBLE /
+      |             greatest(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |              x -> x != '')), 1)) * 3.0, 1.0) * 0.4 +
+      |      (1.0 - least(len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE /
+      |                   greatest(length(text), 1) * 5.0, 1.0)) * 0.2), 6)
+      |      * 1000000.0 + 0.5) AS BIGINT) AS qm
+      |  FROM documents),
+      |pd AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+      |              CAST(sum(qm) AS BIGINT) AS s
+      |       FROM d GROUP BY domain),
+      |g AS (SELECT CAST(floor(CAST(sum(qm) AS DOUBLE) / count(*) + 0.5)
+      |        AS BIGINT) AS gm FROM d)
+      |SELECT domain, n_docs,
+      |  CAST(floor(CAST(s AS DOUBLE) / n_docs + 0.5) AS BIGINT) / 1000000.0
+      |    AS mean_quality,
+      |  CAST(floor(CAST(s + 10 * g.gm AS DOUBLE) / (n_docs + 10) + 0.5)
+      |    AS BIGINT) / 1000000.0 AS shrunk_quality,
+      |  g.gm / 1000000.0 AS global_mean,
+      |  CAST(floor(CAST(s + 10 * g.gm AS DOUBLE) / (n_docs + 10) + 0.5)
+      |    AS BIGINT) / 1000000.0 >= 0.5 AS keep
+      |FROM pd, g ORDER BY domain""".stripMargin) { (s, dir) =>
+    val tagged = t(s, dir, "documents").select(
+      when(col("doc_id") % 97 === 0,
+        concat(lit("rare"), col("doc_id") % 3, lit(".net")))
+        .otherwise(concat(lit("site"), (col("doc_id") % 150) % 7,
+          lit(".com"))).as("domain"),
+      TextAnalysis.qualityScore(col("text"),
+        Seq("the", "a", "of", "and", "to", "in")).as("q"))
+    WebOps.domainTrust(tagged, "domain", "q", alpha = 10L, keepAtLeast = 0.5)
+      .orderBy("domain")
+  }
 }
