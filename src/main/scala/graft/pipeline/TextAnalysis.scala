@@ -2619,4 +2619,27 @@ object TextAnalysis {
       compactId: Long, upToBatchId: Long): Seq[Long] =
     BatchStore.compactIdentity(spark, storeDir, Seq("manifests"),
       compactId, upToBatchId)
+
+  /** Markdown code-fence extraction — the code-corpus miner: every
+    * ```lang\n…``` block becomes a row (doc_id, fence_idx, lang,
+    * n_lines, n_chars, code), with `lang` the info string ('' when
+    * unspecified). Lazy body match stops at the FIRST closing fence; an
+    * unterminated ``` (or one whose info string isn't a single token
+    * before the newline) matches nothing — identical leftmost-first
+    * semantics in java.util.regex and RE2, so the oracle mirrors
+    * byte-for-byte. Scan-side: two regexp_extract_all passes zip
+    * positionally and posexplode; nothing shuffles but the output. */
+  def codeFences(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val pat = "(?s)```([A-Za-z0-9_+-]*)\\n(.*?)```"
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(arrays_zip(
+          regexp_extract_all(col(textCol), lit(pat), lit(1)),
+          regexp_extract_all(col(textCol), lit(pat), lit(2))))
+          .as(Seq("fence_idx", "__z")))
+      .select(col("doc_id"), col("fence_idx").cast(LongType).as("fence_idx"),
+        col("__z.0").as("lang"),
+        size(split(col("__z.1"), "\n")).cast(LongType).as("n_lines"),
+        length(col("__z.1")).cast(LongType).as("n_chars"),
+        col("__z.1").as("code"))
+  }
 }

@@ -3271,4 +3271,50 @@ private[graft] trait TextQueries extends RegistryBase {
     WebOps.domainTrust(tagged, "domain", "q", alpha = 10L, keepAtLeast = 0.5)
       .orderBy("domain")
   }
+
+  // Markdown code-fence extraction (the code-corpus miner). Fixture
+  // residues plant: a python fence + an UNTERMINATED ``` run that must
+  // match nothing, a bare fence ('' info string) followed by a sql
+  // fence (multi-fence ordering), and a fence-free page (absent from
+  // output). Lazy first-close semantics identical in both regex
+  // engines; hash-matched down to the code bytes.
+  register(
+    "t97_code_fences",
+    """WITH pg AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 3 AS INT)
+      |      WHEN 0 THEN 'Intro text' || chr(10) || '```python' || chr(10)
+      |        || 'x = ' || doc_id || chr(10) || 'print(x)' || chr(10)
+      |        || '```' || chr(10) || 'tail ```not a fence'
+      |      WHEN 1 THEN '```' || chr(10) || 'plain block ' || doc_id || chr(10)
+      |        || '```' || chr(10) || 'between' || chr(10)
+      |        || '```sql' || chr(10) || 'SELECT ' || doc_id || ';' || chr(10) || '```'
+      |      ELSE 'no fences here ' || text END AS page
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    regexp_extract_all(page, '(?s)```([A-Za-z0-9_+-]*)\n(.*?)```', 1) AS ls,
+      |    regexp_extract_all(page, '(?s)```([A-Za-z0-9_+-]*)\n(.*?)```', 2) AS cs
+      |  FROM pg),
+      |e AS (
+      |  SELECT doc_id,
+      |    CAST(generate_subscripts(cs, 1) AS BIGINT) - 1 AS fence_idx,
+      |    unnest(ls) AS lang, unnest(cs) AS code
+      |  FROM f)
+      |SELECT doc_id, fence_idx, lang,
+      |       CAST(len(string_split(code, chr(10))) AS BIGINT) AS n_lines,
+      |       CAST(length(code) AS BIGINT) AS n_chars, code
+      |FROM e ORDER BY doc_id, fence_idx""".stripMargin) { (s, dir) =>
+    val pages = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, concat(
+        lit("Intro text\n```python\nx = "), col("doc_id"),
+        lit("\nprint(x)\n```\ntail ```not a fence")))
+        .when(col("doc_id") % 3 === 1, concat(
+          lit("```\nplain block "), col("doc_id"),
+          lit("\n```\nbetween\n```sql\nSELECT "), col("doc_id"),
+          lit(";\n```")))
+        .otherwise(concat(lit("no fences here "), col("text"))).as("page"))
+    TextAnalysis.codeFences(pages, "page", "doc_id")
+      .orderBy("doc_id", "fence_idx")
+  }
 }
