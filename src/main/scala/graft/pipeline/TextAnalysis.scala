@@ -2642,4 +2642,43 @@ object TextAnalysis {
         length(col("__z.1")).cast(LongType).as("n_chars"),
         col("__z.1").as("code"))
   }
+
+  /** StarCoder-style code quality gates over a code column — the filter
+    * pass of a code-corpus build: per snippet, non-blank line count,
+    * max/avg line length (minified/data blobs), comment-line ratio
+    * (`#`/`//`/`--` after ltrim), alphanumeric character fraction
+    * (binary-ish blobs), and an auto-generated marker flag; `keep` =
+    * max ≤ 1000 ∧ avg ≤ 100 ∧ alnum ≥ 0.25 ∧ ¬autogen (the published
+    * thresholds). Ratios floor to integer micro-units (the determinism
+    * rule). Pure scan-side column work appended to the input frame. */
+  def codeQuality(df: DataFrame, codeCol: String): DataFrame = {
+    val nonempty = filter(split(col(codeCol), "\n"),
+      l => length(trim(l)) > 0)
+    val lens = transform(nonempty, l => length(l).cast(LongType))
+    val nl = greatest(size(nonempty), lit(1))
+    val totalLen = aggregate(lens, lit(0L), _ + _)
+    val comments = filter(nonempty, l => {
+      val t = ltrim(l)
+      t.startsWith("#") || t.startsWith("//") || t.startsWith("--")
+    })
+    val nAl = length(regexp_replace(col(codeCol), "[^A-Za-z0-9]", ""))
+    val nCh = greatest(length(col(codeCol)), lit(1))
+    df.withColumn("n_code_lines", size(nonempty).cast(LongType))
+      .withColumn("max_line_len", coalesce(array_max(lens), lit(0L)))
+      .withColumn("avg_line_len",
+        floor(totalLen.cast(DoubleType) * 1000000.0 / nl + 0.5)
+          .cast(LongType) / 1000000.0)
+      .withColumn("comment_ratio",
+        floor(size(comments).cast(DoubleType) * 1000000.0 / nl + 0.5)
+          .cast(LongType) / 1000000.0)
+      .withColumn("alnum_frac",
+        floor(nAl.cast(DoubleType) * 1000000.0 / nCh + 0.5)
+          .cast(LongType) / 1000000.0)
+      .withColumn("autogen",
+        lower(col(codeCol)).contains("auto-generated") ||
+          lower(col(codeCol)).contains("do not edit"))
+      .withColumn("keep",
+        col("max_line_len") <= 1000 && col("avg_line_len") <= 100.0 &&
+          col("alnum_frac") >= 0.25 && !col("autogen"))
+  }
 }

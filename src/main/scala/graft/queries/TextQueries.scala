@@ -3317,4 +3317,73 @@ private[graft] trait TextQueries extends RegistryBase {
     TextAnalysis.codeFences(pages, "page", "doc_id")
       .orderBy("doc_id", "fence_idx")
   }
+
+  // StarCoder-style code quality gates composed onto the fence miner:
+  // residues plant a clean keeper, an auto-generated reject, and a
+  // minified single-line reject (1200-char line). Every metric in exact
+  // integer micro-units; hash-matched including the keep verdicts.
+  register(
+    "t98_code_quality",
+    """WITH pg AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 3 AS INT)
+      |      WHEN 0 THEN '```python' || chr(10) || '# setup' || chr(10)
+      |        || 'x = ' || doc_id || chr(10) || 'print(x)' || chr(10) || '```'
+      |      WHEN 1 THEN '```js' || chr(10) || '// auto-generated do not edit'
+      |        || chr(10) || 'var x = ' || doc_id || ';' || chr(10) || '```'
+      |      ELSE '```' || chr(10) || repeat('m', 1200) || chr(10) || '```' END AS page
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    regexp_extract_all(page, '(?s)```([A-Za-z0-9_+-]*)\n(.*?)```', 1) AS ls,
+      |    regexp_extract_all(page, '(?s)```([A-Za-z0-9_+-]*)\n(.*?)```', 2) AS cs
+      |  FROM pg),
+      |e AS (
+      |  SELECT doc_id,
+      |    CAST(generate_subscripts(cs, 1) AS BIGINT) - 1 AS fence_idx,
+      |    unnest(ls) AS lang, unnest(cs) AS code
+      |  FROM f),
+      |m AS (
+      |  SELECT doc_id, fence_idx, lang, code,
+      |    list_filter(string_split(code, chr(10)), l -> trim(l) != '') AS ne
+      |  FROM e),
+      |q AS (
+      |  SELECT doc_id, fence_idx, lang,
+      |    CAST(len(ne) AS BIGINT) AS n_code_lines,
+      |    CAST(coalesce(list_max(list_transform(ne, l -> length(l))), 0) AS BIGINT)
+      |      AS max_line_len,
+      |    CAST(floor(CAST(coalesce(list_sum(list_transform(ne, l -> length(l))), 0)
+      |      AS DOUBLE) * 1000000.0 / greatest(len(ne), 1) + 0.5) AS BIGINT)
+      |      / 1000000.0 AS avg_line_len,
+      |    CAST(floor(CAST(len(list_filter(ne, l ->
+      |        starts_with(ltrim(l), '#') OR starts_with(ltrim(l), '//')
+      |        OR starts_with(ltrim(l), '--'))) AS DOUBLE) * 1000000.0 /
+      |      greatest(len(ne), 1) + 0.5) AS BIGINT) / 1000000.0 AS comment_ratio,
+      |    CAST(floor(CAST(length(regexp_replace(code, '[^A-Za-z0-9]', '', 'g'))
+      |      AS DOUBLE) * 1000000.0 / greatest(length(code), 1) + 0.5) AS BIGINT)
+      |      / 1000000.0 AS alnum_frac,
+      |    (contains(lower(code), 'auto-generated')
+      |      OR contains(lower(code), 'do not edit')) AS autogen,
+      |    code
+      |  FROM m)
+      |SELECT doc_id, fence_idx, lang, code,
+      |       n_code_lines, max_line_len, avg_line_len, comment_ratio,
+      |       alnum_frac, autogen,
+      |       (max_line_len <= 1000 AND avg_line_len <= 100.0
+      |        AND alnum_frac >= 0.25 AND NOT autogen) AS keep
+      |FROM q ORDER BY doc_id, fence_idx""".stripMargin) { (s, dir) =>
+    val pages = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, concat(
+        lit("```python\n# setup\nx = "), col("doc_id"), lit("\nprint(x)\n```")))
+        .when(col("doc_id") % 3 === 1, concat(
+          lit("```js\n// auto-generated do not edit\nvar x = "),
+          col("doc_id"), lit(";\n```")))
+        .otherwise(concat(lit("```\n"), lit("m" * 1200), lit("\n```")))
+        .as("page"))
+    TextAnalysis.codeQuality(
+        TextAnalysis.codeFences(pages, "page", "doc_id")
+          .select("doc_id", "fence_idx", "lang", "code"),
+        "code")
+      .orderBy("doc_id", "fence_idx")
+  }
 }
