@@ -26,7 +26,7 @@ object StreamBench {
     val secs = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "30").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // SPARK_GRAFT_STREAM_DEDUP=minhash|ppjoin|substring|simhash|winnow|
-    // line|attrs benches the incremental STORE loop (foreachBatch ->
+    // line|attrs|shards benches the incremental STORE loop (foreachBatch ->
     // *StoreStep) instead of the classify->rules->alerts pipeline:
     // per-batch docs/sec + the on-disk state-size trajectory over
     // >= SPARK_GRAFT_STREAM_BATCHES batches. substring =

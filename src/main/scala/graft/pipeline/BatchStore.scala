@@ -134,9 +134,12 @@ private[graft] object BatchStore {
     * self-maintaining instead of relying on an operator calling the
     * family's compact by hand: when `dataPath`'s readable partition count
     * exceeds `maxParts`, run `runCompact(compactId, upToBatchId)` with
-    * `compactId = -(batchId + 1)` (derived from the TRIGGERING batch, so
-    * an at-least-once replay of that batch re-derives the same id and
-    * lands on [[compact]]'s committed-marker no-op) and
+    * `compactId = −(batchId + 2⁴⁰)` — derived from the TRIGGERING batch,
+    * so an at-least-once replay of that batch re-derives the same id and
+    * lands on [[compact]]'s committed-marker no-op, and offset into its
+    * OWN id namespace so it can never collide with the manual
+    * `-batchId`-style convention operators use (a collision would make
+    * the later manual compaction a silent no-op) — and
     * `upToBatchId = batchId − 1` (the retry horizon: only batches that
     * can no longer retry fold). Call AFTER the batch's own partition
     * commits. `maxParts <= 0` disables the trigger. Returns the folded
@@ -147,7 +150,7 @@ private[graft] object BatchStore {
     if (maxParts <= 0 || batchId < 1) return Seq.empty
     val fs = new Path(dataPath).getFileSystem(spark.sessionState.newHadoopConf())
     if (readableParts(fs, dataPath, markersDir, None).size > maxParts)
-      runCompact(-(batchId + 1), batchId - 1)
+      runCompact(-(batchId + (1L << 40)), batchId - 1)
     else Seq.empty
   }
 

@@ -378,8 +378,11 @@ object Dedup {
     // repeat filter, and the covered-start join all re-read these
     // anchors instead of re-running the text scan (iterative-op rule)
     val positional = positional0.localCheckpoint()
+    // materialized ONCE (diamond-DAG rule): the verdict's union, its
+    // probe side, and the store write all consume these counts — and the
+    // >64k-gram fallback's cardinality probe becomes a trivial scan
     val batchCounts = positional.groupBy("__gh")
-      .agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("__c")).localCheckpoint()
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     // committed prior partitions only (never the current batch's — a
@@ -500,7 +503,14 @@ object Dedup {
         .write.mode("overwrite").parquet(s"$bloomsPath/batch_id=$compactId")))
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    folded.foreach { id =>
+    // sidecar cleanup covers every MARKER-folded id, not just this call's
+    // folds: a crash between a prior compaction's marker commit and its
+    // bloom delete (or a replayed trigger, whose compact() no-ops) would
+    // otherwise leak sidecars forever — and every leaked sidecar inflates
+    // the per-batch driver-side bloom map
+    val allFolded = folded ++ BatchStore.readMarkers(fs,
+      s"$storeDir/compactions").values.flatten
+    allFolded.distinct.foreach { id =>
       try fs.delete(
         new org.apache.hadoop.fs.Path(s"$bloomsPath/batch_id=$id"), true)
       catch { case _: java.io.IOException => }
@@ -1225,15 +1235,20 @@ object Dedup {
       .getFileSystem(spark.sessionState.newHadoopConf())
     // the canonical (df, tok) order freezes at FOUNDING: freq writes once,
     // from the first batch. Re-founding is overwrite-idempotent (the same
-    // batch derives the same frequencies). Founding commits via the job's
-    // _SUCCESS marker, NOT a part-file glob: a crash mid-job-commit (or a
-    // committer that surfaces partial part files) re-founds with a full
-    // overwrite instead of freezing a torn (df, tok) order. Effect of a
-    // torn founding is bounded to order drift (unseen tokens fall back to
-    // df 0), but the marker closes even that window.
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$freqPath/_SUCCESS"))) {
+    // batch derives the same frequencies). Founding commits via graft's
+    // OWN marker file written AFTER the parquet job succeeds — neither a
+    // part-file glob (a crash mid-job-commit can surface partial parts
+    // and freeze a torn (df, tok) order) nor the committer's _SUCCESS
+    // (object-store configs commonly disable
+    // mapreduce.fileoutputcommitter.marksuccessfuljobs, which would
+    // re-found EVERY batch and silently drift the frozen order). A crash
+    // between write and marker re-founds with a full overwrite; readers
+    // skip the underscore file (FileIndex hidden-file rule).
+    val foundedMarker = new org.apache.hadoop.fs.Path(s"$freqPath/_GRAFT_FOUNDED")
+    if (!fs.exists(foundedMarker)) {
       val (freq, _) = similarityStages(batch, textCol, idCol, shingleWords)
       freq.write.mode("overwrite").parquet(freqPath)
+      fs.create(foundedMarker, true).close()
     }
     val storeFreq = spark.read.schema(StructType(Seq(
         StructField("tok", LongType), StructField("df", LongType))))

@@ -97,8 +97,18 @@ object WebOps {
   // HTML metadata
   // -------------------------------------------------------------------------
 
-  private def attrAfter(tag: Column, attr: String): Column =
-    regexp_extract(tag, "(?i)" + attr + "\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+  /** Attribute value with MATCHED quotes: a double-quoted value may
+    * contain apostrophes and vice versa (a mixed character class would
+    * silently truncate "Tom's guide" at the apostrophe). The two
+    * extracts can't be one regex: RE2/Java non-participating groups both
+    * return '', indistinguishable from an empty value — so prefer the
+    * double-quoted match when non-empty, else the single-quoted one
+    * (an empty value is '' either way). */
+  private def attrAfter(tag: Column, attr: String): Column = {
+    val dq = regexp_extract(tag, "(?i)" + attr + "\\s*=\\s*\"([^\"]*)\"", 1)
+    val sq = regexp_extract(tag, "(?i)" + attr + "\\s*=\\s*'([^']*)'", 1)
+    when(dq =!= "", dq).otherwise(sq)
+  }
 
   /** Page metadata every index/canonical-dedup pass wants, extracted
     * scan-side: first `<title>`, `<meta name=description>` content,
@@ -122,8 +132,8 @@ object WebOps {
       regexp_extract(h,
         "(?is)(<link\\s[^>]*rel\\s*=\\s*[\"']canonical[\"'][^>]*>)", 1),
       "href")
-    val lang = regexp_extract(h,
-      "(?is)<html[^>]*\\slang\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+    val lang = attrAfter(
+      regexp_extract(h, "(?is)(<html[^>]*>)", 1), "\\slang")
     val ogTitle = attrAfter(
       regexp_extract(h,
         "(?is)(<meta\\s[^>]*property\\s*=\\s*[\"']og:title[\"'][^>]*>)", 1),

@@ -2939,14 +2939,23 @@ private[graft] trait TextQueries extends RegistryBase {
   // (metadata compares raw), flipped attribute order + single quotes +
   // case-folded tag/attr names, and a metadata-free page (all fields
   // empty string, never null). Hash-proven byte-for-byte.
+  /** Matched-quote attribute extraction as DuckDB SQL — the exact
+    * algebra of WebOps.htmlMeta's attrAfter (prefer the double-quoted
+    * match when non-empty, else the single-quoted one). */
+  private def attrAfterSql(tagExpr: String, attr: String): String = {
+    val dq = s"""regexp_extract($tagExpr, '(?i)$attr\\s*=\\s*"([^"]*)"', 1)"""
+    val sq = s"""regexp_extract($tagExpr, '(?i)$attr\\s*=\\s*''([^'']*)''', 1)"""
+    s"CASE WHEN $dq != '' THEN $dq ELSE $sq END"
+  }
+
   register(
     "t91_html_meta",
-    """WITH h AS (
+    s"""WITH h AS (
       |  SELECT doc_id,
       |    CASE CAST(doc_id % 3 AS INT)
       |      WHEN 0 THEN '<html lang="en"><head><title>  Page ' || doc_id || chr(10)
       |        || ' &amp; notes  </title>'
-      |        || '<meta name="description" content="summary of page ' || doc_id || '">'
+      |        || '<meta name="description" content="page ' || doc_id || '''s summary">'
       |        || '<link rel="canonical" href="https://site.example/p/' || (doc_id % 150) || '">'
       |        || '</head><body><p>' || text || '</p></body></html>'
       |      WHEN 1 THEN '<HTML Lang=''fr''><head>'
@@ -2956,25 +2965,19 @@ private[graft] trait TextQueries extends RegistryBase {
       |      ELSE '<div><p>' || text || '</p></div>' END AS html
       |  FROM documents)
       |SELECT doc_id,
-      |  regexp_replace(trim(regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1)), '\s+', ' ', 'g') AS title,
-      |  regexp_extract(regexp_extract(html,
-      |    '(?is)(<meta\s[^>]*name\s*=\s*["'']description["''][^>]*>)', 1),
-      |    '(?i)content\s*=\s*["'']([^"'']*)["'']', 1) AS meta_description,
-      |  regexp_extract(regexp_extract(html,
-      |    '(?is)(<link\s[^>]*rel\s*=\s*["'']canonical["''][^>]*>)', 1),
-      |    '(?i)href\s*=\s*["'']([^"'']*)["'']', 1) AS canonical_url,
-      |  regexp_extract(html, '(?is)<html[^>]*\slang\s*=\s*["'']([^"'']*)["'']', 1) AS lang,
-      |  regexp_extract(regexp_extract(html,
-      |    '(?is)(<meta\s[^>]*property\s*=\s*["'']og:title["''][^>]*>)', 1),
-      |    '(?i)content\s*=\s*["'']([^"'']*)["'']', 1) AS og_title
+      |  regexp_replace(trim(regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1)), '\\s+', ' ', 'g') AS title,
+      |  ${attrAfterSql("regexp_extract(html, '(?is)(<meta\\s[^>]*name\\s*=\\s*[\"'']description[\"''][^>]*>)', 1)", "content")} AS meta_description,
+      |  ${attrAfterSql("regexp_extract(html, '(?is)(<link\\s[^>]*rel\\s*=\\s*[\"'']canonical[\"''][^>]*>)', 1)", "href")} AS canonical_url,
+      |  ${attrAfterSql("regexp_extract(html, '(?is)(<html[^>]*>)', 1)", "\\slang")} AS lang,
+      |  ${attrAfterSql("regexp_extract(html, '(?is)(<meta\\s[^>]*property\\s*=\\s*[\"'']og:title[\"''][^>]*>)', 1)", "content")} AS og_title
       |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val pages = t(s, dir, "documents").select(col("doc_id"),
       when(col("doc_id") % 3 === 0, concat(
         lit("<html lang=\"en\"><head><title>  Page "), col("doc_id"),
         lit("\n &amp; notes  </title>" +
-          "<meta name=\"description\" content=\"summary of page "),
+          "<meta name=\"description\" content=\"page "),
         col("doc_id"),
-        lit("\"><link rel=\"canonical\" href=\"https://site.example/p/"),
+        lit("'s summary\"><link rel=\"canonical\" href=\"https://site.example/p/"),
         col("doc_id") % 150,
         lit("\"></head><body><p>"), col("text"), lit("</p></body></html>")))
         .when(col("doc_id") % 3 === 1, concat(

@@ -56,7 +56,7 @@ class WebOpsSpec extends AnyFunSuite {
   test("htmlMeta: attribute order and case free; missing fields empty, never null") {
     val pages = Seq(
       (1L, "<html lang=\"en\"><head><title> A\n  B </title>" +
-        "<meta name=\"description\" content=\"d1\">" +
+        "<meta name=\"description\" content=\"Tom's d1\">" + // apostrophe inside ""
         "<link rel=\"canonical\" href=\"https://e/p\"></head></html>"),
       (2L, "<HTML Lang='fr'><META CONTENT=\"d2\" NAME='description'>" +
         "<meta content=\"og2\" property='og:title'></HTML>"),
@@ -64,7 +64,8 @@ class WebOpsSpec extends AnyFunSuite {
     val m = WebOps.htmlMeta(pages, "html", "doc_id").orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
         r.getString(3), r.getString(4), r.getString(5)))
-    assert(m(0) == ((1L, "A B", "d1", "https://e/p", "en", "")))
+    assert(m(0) == ((1L, "A B", "Tom's d1", "https://e/p", "en", "")),
+      s"matched-quote extraction must not truncate at the apostrophe: ${m(0)}")
     assert(m(1) == ((2L, "", "d2", "", "fr", "og2")),
       "flipped attribute order + case-folded names must extract")
     assert(m(2) == ((3L, "", "", "", "", "")), "missing fields empty")
