@@ -143,6 +143,25 @@ object WebOps {
       lang.as("lang"), ogTitle.as("og_title"))
   }
 
+  /** schema.org structured-data extraction: every
+    * `<script type="application/ld+json">…</script>` block becomes a row
+    * (doc_id, block_idx, is_valid, jtype, name) — the entity metadata
+    * (Article/Product/…) a web pipeline mines for provenance and
+    * document typing. Malformed JSON yields is_valid = false with null
+    * fields, never an error (Spark's get_json_object returns null on
+    * invalid input; the oracle guards with json_valid — same verdicts).
+    * Scan-side regexp extraction + codegen'd JSON path reads. */
+  def ldJson(docs: DataFrame, htmlCol: String, idCol: String): DataFrame = {
+    val pat = "(?is)<script\\s[^>]*type\\s*=\\s*[\"']application/ld\\+json[\"'][^>]*>(.*?)</script>"
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(regexp_extract_all(col(htmlCol), lit(pat), lit(1)))
+          .as(Seq("block_idx", "__j")))
+      .select(col("doc_id"), col("block_idx").cast(LongType).as("block_idx"),
+        get_json_object(col("__j"), "$").isNotNull.as("is_valid"),
+        get_json_object(col("__j"), "$['@type']").as("jtype"),
+        get_json_object(col("__j"), "$['name']").as("name"))
+  }
+
   // -------------------------------------------------------------------------
   // Domain trust scores
   // -------------------------------------------------------------------------

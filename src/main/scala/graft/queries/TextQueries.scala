@@ -3389,4 +3389,53 @@ private[graft] trait TextQueries extends RegistryBase {
         "code")
       .orderBy("doc_id", "fence_idx")
   }
+
+  // schema.org ld+json extraction — entity metadata mining for document
+  // typing/provenance. Fixture residues plant an Article block, a page
+  // with TWO blocks (Product + a TRUNCATED one that must yield
+  // is_valid=false with null fields, not an error), and a block-free
+  // page. Spark's null-on-invalid get_json_object mirrors DuckDB's
+  // json_valid guard; hash-matched per block.
+  register(
+    "t99_ldjson",
+    """WITH pg AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 3 AS INT)
+      |      WHEN 0 THEN '<html><head><script type="application/ld+json">'
+      |        || '{"@type":"Article","name":"Post ' || doc_id || '"}'
+      |        || '</script></head><body>' || text || '</body></html>'
+      |      WHEN 1 THEN '<script type=''application/ld+json''>'
+      |        || '{"@type":"Product","name":"Widget ' || doc_id || '"}'
+      |        || '</script><p>x</p><script type="application/ld+json">'
+      |        || '{"@type":"Broken","name":' || '</script>'
+      |      ELSE '<div>' || text || '</div>' END AS html
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |    CAST(generate_subscripts(js, 1) AS BIGINT) - 1 AS block_idx,
+      |    unnest(js) AS j
+      |  FROM (SELECT doc_id, regexp_extract_all(html,
+      |          '(?is)<script\s[^>]*type\s*=\s*["'']application/ld\+json["''][^>]*>(.*?)</script>',
+      |          1) AS js FROM pg))
+      |SELECT doc_id, block_idx,
+      |       json_valid(j) AS is_valid,
+      |       CASE WHEN json_valid(j)
+      |            THEN json_extract_string(j, '$."@type"') END AS jtype,
+      |       CASE WHEN json_valid(j)
+      |            THEN json_extract_string(j, '$.name') END AS name
+      |FROM b ORDER BY doc_id, block_idx""".stripMargin) { (s, dir) =>
+    val pages = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, concat(
+        lit("<html><head><script type=\"application/ld+json\">" +
+          "{\"@type\":\"Article\",\"name\":\"Post "), col("doc_id"),
+        lit("\"}</script></head><body>"), col("text"), lit("</body></html>")))
+        .when(col("doc_id") % 3 === 1, concat(
+          lit("<script type='application/ld+json'>" +
+            "{\"@type\":\"Product\",\"name\":\"Widget "), col("doc_id"),
+          lit("\"}</script><p>x</p><script type=\"application/ld+json\">" +
+            "{\"@type\":\"Broken\",\"name\":</script>")))
+        .otherwise(concat(lit("<div>"), col("text"), lit("</div>")))
+        .as("html"))
+    WebOps.ldJson(pages, "html", "doc_id").orderBy("doc_id", "block_idx")
+  }
 }
