@@ -2643,6 +2643,31 @@ object TextAnalysis {
         col("__z.1").as("code"))
   }
 
+  /** Script-aware token counting — whitespace tokenization under-counts
+    * no-space scripts (a 40-character Chinese sentence is ONE whitespace
+    * token), which silently breaks every token-budget decision (shard
+    * packing, source mixing, sequence packing) on multilingual corpora.
+    * Model (documented, oracle-mirrored): CJK code points (Han,
+    * Hiragana, Katakana, Hangul) count ONE token each; the non-CJK
+    * remainder counts whitespace tokens after CJK chars are replaced by
+    * spaces (so Latin glued to CJK still splits). Returns (doc_id,
+    * ws_tokens, cjk_chars, effective_tokens); scan-side, zero shuffle. */
+  def scriptAwareTokens(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    // Java spells Unicode scripts \p{IsHan}; RE2 spells them \p{Han} —
+    // same classes, so the oracle mirror stays value-identical (the t82
+    // scriptProfile precedent)
+    val cjk = "[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}]"
+    val text = col(textCol)
+    val cjkChars = size(regexp_extract_all(text, lit(cjk), lit(0)))
+      .cast(LongType)
+    docs.select(col(idCol).as("doc_id"),
+      tokenCount(text).cast(LongType).as("ws_tokens"),
+      cjkChars.as("cjk_chars"),
+      (tokenCount(regexp_replace(text, cjk, " ")).cast(LongType) + cjkChars)
+        .as("effective_tokens"))
+  }
+
   /** StarCoder-style code quality gates over a code column — the filter
     * pass of a code-corpus build: per snippet, non-blank line count,
     * max/avg line length (minified/data blobs), comment-line ratio

@@ -3438,4 +3438,42 @@ private[graft] trait TextQueries extends RegistryBase {
         .as("html"))
     WebOps.ldJson(pages, "html", "doc_id").orderBy("doc_id", "block_idx")
   }
+
+  // Script-aware token counting — the token-budget fix for no-space
+  // scripts (a 40-char Chinese sentence is ONE whitespace token): CJK
+  // code points count one token each, the non-CJK remainder counts
+  // whitespace tokens after CJK chars become spaces (glued Latin still
+  // splits). Residues plant glued Han, mixed-kana, Hangul-prefixed, and
+  // pure-Latin shapes; hash-matched.
+  register(
+    "t100_script_aware_tokens",
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN text || ' 中文字符串很长'
+      |      WHEN 1 THEN text || ' 日本語のテキストtext'
+      |      WHEN 2 THEN '한국어텍스트 ' || text
+      |      ELSE text END AS tx
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(list_filter(string_split_regex(tx, '\s+'), x -> x != ''))
+      |    AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(tx,
+      |    '[\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]')) AS BIGINT) AS cjk_chars,
+      |  CAST(len(list_filter(string_split_regex(
+      |      regexp_replace(tx, '[\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]', ' ', 'g'),
+      |      '\s+'), x -> x != '')) AS BIGINT)
+      |    + CAST(len(regexp_extract_all(tx,
+      |        '[\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]')) AS BIGINT)
+      |    AS effective_tokens
+      |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val planted = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 4 === 0, concat(col("text"), lit(" 中文字符串很长")))
+        .when(col("doc_id") % 4 === 1,
+          concat(col("text"), lit(" 日本語のテキストtext")))
+        .when(col("doc_id") % 4 === 2, concat(lit("한국어텍스트 "), col("text")))
+        .otherwise(col("text")).as("tx"))
+    TextAnalysis.scriptAwareTokens(planted, "tx", "doc_id")
+      .orderBy("doc_id")
+  }
 }
