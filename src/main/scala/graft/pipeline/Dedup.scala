@@ -507,10 +507,20 @@ object Dedup {
     // folds: a crash between a prior compaction's marker commit and its
     // bloom delete (or a replayed trigger, whose compact() no-ops) would
     // otherwise leak sidecars forever — and every leaked sidecar inflates
-    // the per-batch driver-side bloom map
-    val allFolded = folded ++ BatchStore.readMarkers(fs,
-      s"$storeDir/compactions").values.flatten
-    allFolded.distinct.foreach { id =>
+    // the per-batch driver-side bloom map. Deletes intersect with ONE
+    // listing of the sidecar dir (marker history grows with stream
+    // lifetime; blind per-id deletes would too)
+    val bloomsDir = new org.apache.hadoop.fs.Path(bloomsPath)
+    val existing: Set[Long] =
+      if (!fs.exists(bloomsDir)) Set.empty
+      else fs.listStatus(bloomsDir).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName).collect {
+          case n if n.startsWith("batch_id=") =>
+            n.stripPrefix("batch_id=").toLong
+        }.toSet
+    val allFolded = (folded ++ BatchStore.readMarkers(fs,
+      s"$storeDir/compactions").values.flatten).toSet
+    (allFolded intersect existing).foreach { id =>
       try fs.delete(
         new org.apache.hadoop.fs.Path(s"$bloomsPath/batch_id=$id"), true)
       catch { case _: java.io.IOException => }
@@ -1246,9 +1256,17 @@ object Dedup {
     // skip the underscore file (FileIndex hidden-file rule).
     val foundedMarker = new org.apache.hadoop.fs.Path(s"$freqPath/_GRAFT_FOUNDED")
     if (!fs.exists(foundedMarker)) {
-      val (freq, _) = similarityStages(batch, textCol, idCol, shingleWords)
-      freq.write.mode("overwrite").parquet(freqPath)
-      fs.create(foundedMarker, true).close()
+      // LEGACY MIGRATION: stores founded before the graft marker carry
+      // the committer's _SUCCESS — re-founding them would freeze a NEW
+      // (df, tok) order inconsistent with their already-sorted arrays
+      // (silent missed dedups), so an existing commit just gets stamped
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$freqPath/_SUCCESS"))) {
+        fs.create(foundedMarker, true).close()
+      } else {
+        val (freq, _) = similarityStages(batch, textCol, idCol, shingleWords)
+        freq.write.mode("overwrite").parquet(freqPath)
+        fs.create(foundedMarker, true).close()
+      }
     }
     val storeFreq = spark.read.schema(StructType(Seq(
         StructField("tok", LongType), StructField("df", LongType))))

@@ -100,14 +100,15 @@ object WebOps {
   /** Attribute value with MATCHED quotes: a double-quoted value may
     * contain apostrophes and vice versa (a mixed character class would
     * silently truncate "Tom's guide" at the apostrophe). The two
-    * extracts can't be one regex: RE2/Java non-participating groups both
-    * return '', indistinguishable from an empty value — so prefer the
-    * double-quoted match when non-empty, else the single-quoted one
-    * (an empty value is '' either way). */
+    * extracts can't be one regex (RE2/Java non-participating groups both
+    * return '', indistinguishable from an empty value) — so the
+    * double-quoted FORM's PRESENCE picks the branch: attr="" returns ''
+    * rather than falling through to some later single-quoted attribute
+    * on the same tag. */
   private def attrAfter(tag: Column, attr: String): Column = {
     val dq = regexp_extract(tag, "(?i)" + attr + "\\s*=\\s*\"([^\"]*)\"", 1)
     val sq = regexp_extract(tag, "(?i)" + attr + "\\s*=\\s*'([^']*)'", 1)
-    when(dq =!= "", dq).otherwise(sq)
+    when(tag.rlike("(?i)" + attr + "\\s*=\\s*\""), dq).otherwise(sq)
   }
 
   /** Page metadata every index/canonical-dedup pass wants, extracted
@@ -147,15 +148,23 @@ object WebOps {
     * `<script type="application/ld+json">…</script>` block becomes a row
     * (doc_id, block_idx, is_valid, jtype, name) — the entity metadata
     * (Article/Product/…) a web pipeline mines for provenance and
-    * document typing. Malformed JSON yields is_valid = false with null
-    * fields, never an error (Spark's get_json_object returns null on
-    * invalid input; the oracle guards with json_valid — same verdicts).
+    * document typing. Blocks NORMALIZE first (trailing `;`/whitespace
+    * stripped — the common real-page artifact), then malformed JSON
+    * yields is_valid = false with null fields, never an error.
+    * Validity caveat (measured, r15): every SparkSQL JSON reader —
+    * get_json_object, from_json, try_parse_json — tolerates trailing
+    * bytes after the first complete value, while a strict grammar
+    * (DuckDB json_valid) rejects them; normalization closes the gap for
+    * the artifact that actually occurs, and a multi-value block (rare,
+    * malformed HTML) reads VALID here with fields from the first value —
+    * lenient-by-design like the rest of Spark's JSON surface.
     * Scan-side regexp extraction + codegen'd JSON path reads. */
   def ldJson(docs: DataFrame, htmlCol: String, idCol: String): DataFrame = {
     val pat = "(?is)<script\\s[^>]*type\\s*=\\s*[\"']application/ld\\+json[\"'][^>]*>(.*?)</script>"
     docs.select(col(idCol).as("doc_id"),
         posexplode(regexp_extract_all(col(htmlCol), lit(pat), lit(1)))
-          .as(Seq("block_idx", "__j")))
+          .as(Seq("block_idx", "__j0")))
+      .withColumn("__j", regexp_replace(col("__j0"), "[;\\s]+$", ""))
       .select(col("doc_id"), col("block_idx").cast(LongType).as("block_idx"),
         get_json_object(col("__j"), "$").isNotNull.as("is_valid"),
         get_json_object(col("__j"), "$['@type']").as("jtype"),

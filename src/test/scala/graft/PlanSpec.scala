@@ -755,9 +755,12 @@ class PlanSpec extends AnyFunSuite {
     p90.split("\n").filter(_.contains("windowspecdefinition")).foreach { ln =>
       assert(ln.contains("host"), s"t90: robots window not keyed by host: $ln")
     }
-    // metadata + IBAN + readability are pure scan-side projections: the
-    // only exchange allowed is the output ordering's range partitioning
-    Seq("t91_html_meta", "t92_iban_pii", "t94_readability").foreach { q =>
+    // metadata + IBAN + readability + fences + ld+json + script-aware
+    // tokens are pure scan-side projections/generators: the only
+    // exchange allowed is the output ordering's range partitioning
+    Seq("t91_html_meta", "t92_iban_pii", "t94_readability",
+      "t97_code_fences", "t98_code_quality", "t99_ldjson",
+      "t100_script_aware_tokens").foreach { q =>
       val p = plan(q)
       assert(!p.contains("UDF") && !p.contains("Exchange hashpartitioning"),
         s"$q: must plan scan-side (no UDF, no hash exchange)")

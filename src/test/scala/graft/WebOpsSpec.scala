@@ -60,7 +60,11 @@ class WebOpsSpec extends AnyFunSuite {
         "<link rel=\"canonical\" href=\"https://e/p\"></head></html>"),
       (2L, "<HTML Lang='fr'><META CONTENT=\"d2\" NAME='description'>" +
         "<meta content=\"og2\" property='og:title'></HTML>"),
-      (3L, "<div>no metadata</div>")).toDF("doc_id", "html")
+      (3L, "<div>no metadata</div>"),
+      // empty double-quoted value must stay '' — not fall through to a
+      // later single-quoted attribute on the same tag
+      (4L, "<meta name=\"description\" content=\"\" data-x='leak'>"))
+      .toDF("doc_id", "html")
     val m = WebOps.htmlMeta(pages, "html", "doc_id").orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
         r.getString(3), r.getString(4), r.getString(5)))
@@ -69,6 +73,8 @@ class WebOpsSpec extends AnyFunSuite {
     assert(m(1) == ((2L, "", "d2", "", "fr", "og2")),
       "flipped attribute order + case-folded names must extract")
     assert(m(2) == ((3L, "", "", "", "", "")), "missing fields empty")
+    assert(m(3) == ((4L, "", "", "", "", "")),
+      s"empty dq value must not fall through to a later sq attr: ${m(3)}")
   }
 
   test("packShards: greedy fill crosses boundaries correctly under bucket carry") {
