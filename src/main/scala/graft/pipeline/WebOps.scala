@@ -171,6 +171,33 @@ object WebOps {
         get_json_object(col("__j"), "$['name']").as("name"))
   }
 
+  /** Soft-404 / error-page detection — crawls return thousands of
+    * HTTP-200 pages whose CONTENT is an error ("page not found", login
+    * walls, access denied); they poison a corpus because every quality
+    * gate sees short clean prose. Verdict = any pattern hit in the
+    * lowered (title + leading visible text) probe; output is the t75
+    * blocklist shape (matched, n_matched, soft404) so downstream config
+    * filters compose identically. Scan-side, zero shuffle. */
+  def soft404(docs: DataFrame, htmlCol: String, idCol: String,
+      patterns: Seq[String] = Seq("404", "page not found", "not found",
+        "access denied", "forbidden", "error 500"),
+      leadChars: Int = 200): DataFrame = {
+    val h = col(htmlCol)
+    val title = regexp_replace(
+      trim(regexp_extract(h, "(?is)<title[^>]*>(.*?)</title>", 1)),
+      "\\s+", " ")
+    val visible = trim(regexp_replace(
+      regexp_replace(h, "<[^>]*>", " "), "\\s+", " "))
+    val probe = lower(concat(title, lit(" | "),
+      substring(visible, 1, leadChars)))
+    val hits = sort_array(filter(array(patterns.map(lit): _*),
+      p => probe.contains(p)))
+    docs.select(col(idCol).as("doc_id"), title.as("title"),
+      array_join(hits, ",").as("matched"),
+      size(hits).cast(LongType).as("n_matched"),
+      (size(hits) > 0).as("soft404"))
+  }
+
   // -------------------------------------------------------------------------
   // Domain trust scores
   // -------------------------------------------------------------------------

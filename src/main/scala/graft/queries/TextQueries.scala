@@ -3480,4 +3480,57 @@ private[graft] trait TextQueries extends RegistryBase {
     TextAnalysis.scriptAwareTokens(planted, "tx", "doc_id")
       .orderBy("doc_id")
   }
+
+  // Soft-404 detection — HTTP-200 error pages (not-found, access-denied,
+  // login walls) poison a corpus because every quality gate sees short
+  // clean prose. Residues plant a healthy page, a classic 404 title, an
+  // access-denied page, and a title-less body-only error; verdicts ride
+  // the lowered (title + lead text) probe, t75 blocklist shape.
+  register(
+    "t101_soft404",
+    """WITH pg AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN '<html><head><title>Post ' || doc_id || '</title></head><body><p>'
+      |        || text || '</p></body></html>'
+      |      WHEN 1 THEN '<html><head><title>404 Page Not Found</title></head>'
+      |        || '<body>The page you requested was not found.</body></html>'
+      |      WHEN 2 THEN '<html><title>Access Denied</title><body>forbidden: '
+      |        || doc_id || '</body></html>'
+      |      ELSE '<div>error 500: page not found while loading ' || doc_id || '</div>' END AS html
+      |  FROM documents),
+      |x AS (
+      |  SELECT doc_id,
+      |    regexp_replace(trim(regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1)), '\s+', ' ', 'g') AS title,
+      |    lower(regexp_replace(trim(regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1)), '\s+', ' ', 'g')
+      |      || ' | '
+      |      || substr(trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')), 1, 200)) AS probe
+      |  FROM pg),
+      |m AS (
+      |  SELECT doc_id, title,
+      |    list_sort(list_filter(['404', 'page not found', 'not found',
+      |                           'access denied', 'forbidden', 'error 500'],
+      |      p -> contains(probe, p))) AS hits
+      |  FROM x)
+      |SELECT doc_id, title,
+      |       coalesce(array_to_string(hits, ','), '') AS matched,
+      |       CAST(len(hits) AS BIGINT) AS n_matched,
+      |       len(hits) > 0 AS soft404
+      |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val pages = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 4 === 0, concat(
+        lit("<html><head><title>Post "), col("doc_id"),
+        lit("</title></head><body><p>"), col("text"),
+        lit("</p></body></html>")))
+        .when(col("doc_id") % 4 === 1, lit(
+          "<html><head><title>404 Page Not Found</title></head>" +
+            "<body>The page you requested was not found.</body></html>"))
+        .when(col("doc_id") % 4 === 2, concat(
+          lit("<html><title>Access Denied</title><body>forbidden: "),
+          col("doc_id"), lit("</body></html>")))
+        .otherwise(concat(
+          lit("<div>error 500: page not found while loading "),
+          col("doc_id"), lit("</div>"))).as("html"))
+    WebOps.soft404(pages, "html", "doc_id").orderBy("doc_id")
+  }
 }
