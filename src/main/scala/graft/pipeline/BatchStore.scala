@@ -197,9 +197,15 @@ private[graft] object BatchStore {
         .filter(_ != compactId).foreach { id =>
           try fs.delete(new Path(s"$dataPath/batch_id=$id"), true)
           catch { case _: java.io.IOException => }
+          // a folded CONSOLIDATED id's own marker is superseded (its
+          // folded list was merged into this marker) — retry its prune
+          if (id < 0)
+            try fs.delete(new Path(s"$markersDir/$id"), false)
+            catch { case _: java.io.IOException => }
         }
       return Seq.empty
     }
+    val markers = readMarkers(fs, markersDir)
     val candidates = readableParts(fs, dataPath, markersDir, None)
       .filter { case (id, _) => id < 0 || id <= upToBatchId }
     if (candidates.size < 2) return Seq.empty
@@ -211,10 +217,23 @@ private[graft] object BatchStore {
     merged.sortWithinPartitions(merged.columns.head)
       .write.mode("overwrite").parquet(s"$dataPath/batch_id=$compactId")
     sidecar.foreach(_(spark.read.parquet(s"$dataPath/batch_id=$compactId")))
-    commitMarker(fs, markersDir, compactId, candidates.map(_._1))
+    // the new marker FOLDS superseded markers: ids a folded consolidated
+    // partition had itself folded merge in (so their exclusion survives
+    // the superseded marker's deletion), and the superseded marker files
+    // delete after commit — marker count stays bounded by the number of
+    // LIVE consolidated partitions instead of growing with compaction
+    // history (readMarkers opens every file on every store step)
+    val superseded = candidates.map(_._1).filter(_ < 0)
+    val transitive = superseded.flatMap(id => markers.getOrElse(id, Seq.empty))
+    commitMarker(fs, markersDir, compactId,
+      (candidates.map(_._1) ++ transitive).distinct)
     // lazy cleanup: stale sources are already invisible to readers
     candidates.foreach { case (_, p) =>
       try fs.delete(new Path(p), true) catch { case _: java.io.IOException => }
+    }
+    superseded.foreach { id =>
+      try fs.delete(new Path(s"$markersDir/$id"), false)
+      catch { case _: java.io.IOException => }
     }
     candidates.map(_._1)
   }

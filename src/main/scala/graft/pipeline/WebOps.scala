@@ -28,10 +28,10 @@ object WebOps {
     * lines into user-agent sections (a section = the run of lines after
     * one or more consecutive `User-agent:` lines), keep sections whose
     * agent set includes `*`, and collect their `Allow:` / `Disallow:`
-    * directives. Scope (documented, oracle-mirrored): literal PATH
-    * PREFIX rules only — `*` wildcards and `$` anchors pass through as
-    * literals; empty-path `Disallow:` means "no restriction" per the
-    * RFC and is dropped; directive names and agent tokens match
+    * directives. `*` wildcards and `$` end-anchors (RFC 9309 §2.2.3)
+    * pass through verbatim here and are INTERPRETED by
+    * [[robotsVerdict]]; empty-path `Disallow:` means "no restriction"
+    * per the RFC and is dropped; directive names and agent tokens match
     * case-insensitively; `#` comments strip to end of line.
     *
     * Scale shape: one posexplode over robots lines (robots files are
@@ -66,16 +66,59 @@ object WebOps {
         col("__val").as("path"))
   }
 
+  /** True iff the rule path is a plain literal prefix — no `*`
+    * wildcard, no trailing `$` anchor — and matching can stay on the
+    * cheap `startsWith` path. */
+  private def robotsIsLiteral(path: Column): Column =
+    !path.contains("*") && !path.endsWith("$")
+
+  /** RE2-safe anchored regex for one robots.txt path pattern (RFC 9309
+    * §2.2.3): a trailing `$` anchors the end of the path, `*` matches
+    * any character run, everything else is literal (regex
+    * metacharacters escape). Identical construction in java.util.regex
+    * and RE2, so the DuckDB oracle mirrors it byte-for-byte. A `$`
+    * anywhere but the end is literal (the reference-parser convention —
+    * only the FINAL character can anchor). */
+  private[graft] def robotsPathRegex(path: Column): Column = {
+    val anchored = path.endsWith("$")
+    val core = when(anchored, path.substr(lit(1), length(path) - 1))
+      .otherwise(path)
+    val escaped = regexp_replace(core, "([.^$|()\\[\\]{}+?\\\\])", "\\\\$1")
+    val wild = regexp_replace(escaped, "\\*", ".*")
+    concat(lit("^"), wild, when(anchored, lit("$")).otherwise(lit("")))
+  }
+
   /** Allow/deny verdict per URL under the parsed rules —
-    * LONGEST-MATCH-WINS with Allow beating Disallow on equal length
-    * (the RFC 9309 precedence rule), and no matching rule = allowed.
+    * MOST-SPECIFIC-MATCH-WINS (specificity = rule-path octet count, the
+    * RFC 9309 §2.2.2 rule) with Allow beating Disallow on equal length,
+    * and no matching rule = allowed. Rules match as path prefixes with
+    * RFC 9309 §2.2.3 special characters: `*` matches any character run
+    * and a trailing `$` anchors the end of the path; literal rules stay
+    * on the codegen'd `startsWith` fast path and wildcard rules pay a
+    * literal-prefix prefilter before the anchored regex probe.
+    *
     * `urls` carries (idCol, hostCol, pathCol); the rule table broadcasts
     * when provably under [[BatchStore.ProbeBroadcastCap]] (per-host rule
     * tables are small, but a many-million-host crawl shuffles instead of
-    * failing) and the verdict is one pre-combined max(struct(len,
-    * allow)) per URL. */
+    * failing — pass `knownSmall = true` to skip the cardinality probe
+    * job when the caller already bounds the table) and the verdict is
+    * one pre-combined max(struct(len, allow)) per URL. */
   def robotsVerdict(urls: DataFrame, idCol: String, hostCol: String,
-      pathCol: String, rules: DataFrame): DataFrame = {
+      pathCol: String, rules: DataFrame,
+      knownSmall: Boolean = false): DataFrame = {
+    // regex + literal-prefix columns build ONCE PER RULE on the small
+    // side of the join, never per (url, rule) pair
+    val prepped = rules.select(col("host"), col("allow"), col("path"),
+      robotsIsLiteral(col("path")).as("__lit"),
+      robotsPathRegex(col("path")).as("__rx"),
+      regexp_extract(col("path"), "^([^*$]*)", 1).as("__pfx"))
+    val side = if (knownSmall) broadcast(prepped)
+      else BatchStore.probeSide(prepped)
+    val hit = when(col("__lit"), col("__p").startsWith(col("path")))
+      // cheap literal-prefix prefilter short-circuits the per-pair
+      // regex for the common non-matching case
+      .otherwise(col("__p").startsWith(col("__pfx")) &&
+        regexp_like(col("__p"), col("__rx")))
     // left join keeps every URL (a host with rules but no MATCHING rule
     // must still verdict as allowed, not vanish); non-matching rule rows
     // null out under the conditional max instead of filtering. The rule
@@ -84,9 +127,9 @@ object WebOps {
     // host-keyed join instead of failing
     val matched = urls.select(col(idCol).as("__id"), col(hostCol).as("host"),
         col(pathCol).as("__p"))
-      .join(BatchStore.probeSide(rules), Seq("host"), "left")
+      .join(side, Seq("host"), "left")
       .groupBy("__id", "host", "__p")
-      .agg(max(when(col("path").isNotNull && col("__p").startsWith(col("path")),
+      .agg(max(when(col("path").isNotNull && hit,
         struct(length(col("path")).as("l"), col("allow").as("a")))).as("__m"))
     matched.select(col("__id").as(idCol), col("host"), col("__p").as(pathCol),
       coalesce(col("__m.a"), lit(true)).as("allowed"),
@@ -171,31 +214,79 @@ object WebOps {
         get_json_object(col("__j"), "$['name']").as("name"))
   }
 
+  /** The built-in soft-404 pattern pack, as (pattern, anchor) rows —
+    * the CONFIG DEFAULT a deployment extends with per-language packs.
+    * Anchors (see [[soft404]]): `start` patterns must open the title as
+    * a word ("404 Not Found" yes, "Post 404 review" no — the
+    * false-positive surface a bare substring probe has), `word` patterns
+    * match on word boundaries anywhere in the title, `phrase` patterns
+    * substring-match the whole (title + lead text) probe. */
+  val DefaultSoft404Patterns: Seq[(String, String)] = Seq(
+    "404" -> "start", "error 404" -> "word", "access denied" -> "word",
+    "forbidden" -> "word", "page not found" -> "phrase",
+    "not found" -> "phrase", "error 500" -> "phrase")
+
   /** Soft-404 / error-page detection — crawls return thousands of
     * HTTP-200 pages whose CONTENT is an error ("page not found", login
     * walls, access denied); they poison a corpus because every quality
-    * gate sees short clean prose. Verdict = any pattern hit in the
-    * lowered (title + leading visible text) probe; output is the t75
-    * blocklist shape (matched, n_matched, soft404) so downstream config
-    * filters compose identically. Scan-side, zero shuffle. */
+    * gate sees short clean prose. `patterns` is a CONFIG TABLE of
+    * (pattern, anchor) rows — lowercase patterns with three anchor
+    * classes: `start` = word-boundary match at the START of the lowered
+    * title (the cheap "404" probe, anchored so "Post 404 review" stays
+    * clean), `word` = word-boundary match anywhere in the lowered title,
+    * `phrase` = substring anywhere in the lowered (title + `leadChars`
+    * of visible text) probe. Remaining false-positive surface
+    * (documented): a `phrase` pattern still matches prose in the lead
+    * ("the file was not found" trips "not found") — keep `phrase` packs
+    * to unambiguous error boilerplate and anchor everything else.
+    *
+    * Output is the t75 blocklist shape (matched — distinct hits, sorted
+    * — n_matched, soft404) so downstream config filters compose
+    * identically. Scale shape: the pack pre-aggregates to ONE row of
+    * per-anchor arrays and broadcasts (plan-O(1), the domainTrust
+    * 1-row-crossJoin pattern); the per-document probe is scan-side,
+    * zero shuffle. Packs are config-bounded by contract; pass
+    * `knownSmall = false` to cap-guard an unvetted table (packs beyond
+    * the cap belong in [[TextAnalysis.blocklistFilter]]'s Aho–Corasick
+    * path, not a per-pattern regex probe). */
   def soft404(docs: DataFrame, htmlCol: String, idCol: String,
-      patterns: Seq[String] = Seq("404", "page not found", "not found",
-        "access denied", "forbidden", "error 500"),
-      leadChars: Int = 200): DataFrame = {
+      patterns: DataFrame, leadChars: Int = 200,
+      knownSmall: Boolean = true): DataFrame = {
+    if (!knownSmall)
+      require(BatchStore.fitsBroadcast(patterns),
+        "soft404 pattern pack exceeds the broadcast cap — use " +
+          "blocklistFilter (Aho-Corasick) for corpus-scale phrase lists")
+    val packed = patterns.agg(
+      sort_array(collect_list(when(lower(col("anchor")) === "start",
+        lower(col("pattern"))))).as("__sp"),
+      sort_array(collect_list(when(lower(col("anchor")) === "word",
+        lower(col("pattern"))))).as("__wp"),
+      sort_array(collect_list(when(lower(col("anchor")) === "phrase",
+        lower(col("pattern"))))).as("__pp"))
     val h = col(htmlCol)
     val title = regexp_replace(
       trim(regexp_extract(h, "(?is)<title[^>]*>(.*?)</title>", 1)),
       "\\s+", " ")
     val visible = trim(regexp_replace(
       regexp_replace(h, "<[^>]*>", " "), "\\s+", " "))
-    val probe = lower(concat(title, lit(" | "),
-      substring(visible, 1, leadChars)))
-    val hits = sort_array(filter(array(patterns.map(lit): _*),
-      p => probe.contains(p)))
-    docs.select(col(idCol).as("doc_id"), title.as("title"),
-      array_join(hits, ",").as("matched"),
-      size(hits).cast(LongType).as("n_matched"),
-      (size(hits) > 0).as("soft404"))
+    // regex-escape a pattern literal (RE2-safe class, mirrored in the
+    // oracle) so config text never injects regex syntax
+    def esc(p: Column): Column =
+      regexp_replace(p, "([.^$|()\\[\\]{}+?*\\\\])", "\\\\$1")
+    val titleL = lower(title)
+    val probe = concat(titleL, lit(" | "),
+      lower(substring(visible, 1, leadChars)))
+    val hits = sort_array(array_distinct(concat(
+      filter(col("__sp"), p =>
+        regexp_like(titleL, concat(lit("^"), esc(p), lit("\\b")))),
+      filter(col("__wp"), p =>
+        regexp_like(titleL, concat(lit("\\b"), esc(p), lit("\\b")))),
+      filter(col("__pp"), p => probe.contains(p)))))
+    docs.crossJoin(broadcast(packed))
+      .select(col(idCol).as("doc_id"), title.as("title"),
+        array_join(hits, ",").as("matched"),
+        size(hits).cast(LongType).as("n_matched"),
+        (size(hits) > 0).as("soft404"))
   }
 
   // -------------------------------------------------------------------------

@@ -955,7 +955,7 @@ private[graft] trait PipelineQueries extends RegistryBase {
       .select(col("host"), concat(lit("User-agent: *\nDisallow: /p/"), kOf,
         lit("\nAllow: /p/"), kOf, lit("2")).as("body"))
     val rallow = WebOps.robotsVerdict(urls, "doc_id", "host", "upath",
-        WebOps.robotsRules(robots, "host", "body"))
+        WebOps.robotsRules(robots, "host", "body"), knownSmall = true)
       .where(col("allowed")).select("doc_id")
     val u2 = u.join(rallow, Seq("doc_id")).localCheckpoint()
     // 2: jusText extraction; chrome-only pages (no good block) drop

@@ -2856,8 +2856,13 @@ private[graft] trait TextQueries extends RegistryBase {
   // organically exercises: prefix block (/p/<k>), longer-Allow override
   // (/p/<k>2 re-allows a subset of the blocked prefix), an empty
   // Disallow (dropped per the RFC), a case-folded directive, a comment
-  // line, and a non-* section that must be ignored. Hash oracle over
-  // (doc_id, host, path, allowed, rule_len).
+  // line, a non-* section that must be ignored, and the RFC 9309 §2.2.3
+  // special characters: a wildcard block (/p/*4$ — any page ending in
+  // 4), a LONGER wildcard Allow override (/p/1*4$ re-allows /p/1?4),
+  // and an end-anchored literal (/p/9$ blocks exactly /p/9, never
+  // /p/9X). Specificity = rule-path octet count, mirrored regex
+  // construction in the oracle. Hash oracle over (doc_id, host, path,
+  // allowed, rule_len).
   /** robots.txt parsing chain over a CTE `rb(host, body)` — emits
     * `rules(host, allow, rpath)` (the `User-agent: *` sections' non-empty
     * Allow/Disallow directives). Shared by t90 and the p12 composite. */
@@ -2886,6 +2891,27 @@ private[graft] trait TextQueries extends RegistryBase {
       |          FROM sec JOIN star USING (host, s)
       |          WHERE sec.dir IN ('allow', 'disallow') AND length(sec.val) > 0)""".stripMargin
 
+  /** RFC 9309 §2.2.3 rule-path match as DuckDB SQL — the exact algebra
+    * of WebOps.robotsVerdict's predicate: literal rules (no `*`, no
+    * trailing `$`) stay on `starts_with`; wildcard/anchored rules build
+    * the same RE2 regex (escape metacharacters except `*`, `*` → `.*`,
+    * trailing `$` → end anchor) and probe with regexp_matches. */
+  private[graft] def robotsMatchSql(pathExpr: String,
+      ruleExpr: String): String =
+    s"""CASE WHEN $ruleExpr NOT LIKE '%*%' AND $ruleExpr NOT LIKE '%$$'
+       |  THEN starts_with($pathExpr, $ruleExpr)
+       |  ELSE regexp_matches($pathExpr,
+       |    '^' ||
+       |    regexp_replace(
+       |      regexp_replace(
+       |        CASE WHEN $ruleExpr LIKE '%$$'
+       |             THEN substr($ruleExpr, 1, length($ruleExpr) - 1)
+       |             ELSE $ruleExpr END,
+       |        '([.^$$|()\\[\\]{}+?\\\\])', '\\\\\\1', 'g'),
+       |      '\\*', '.*', 'g') ||
+       |    CASE WHEN $ruleExpr LIKE '%$$' THEN '$$' ELSE '' END)
+       |END""".stripMargin
+
   register(
     "t90_robots_filter",
     """WITH u AS (
@@ -2903,12 +2929,16 @@ private[graft] trait TextQueries extends RegistryBase {
       |    'Disallow: /p/' || kk || chr(10) ||
       |    'Allow: /p/' || kk || '2' || chr(10) ||
       |    'Disallow:' || chr(10) ||
-      |    'disallow: /q/' AS body
+      |    'disallow: /q/' || chr(10) ||
+      |    'Disallow: /p/*4$' || chr(10) ||
+      |    'Allow: /p/1*4$' || chr(10) ||
+      |    'Disallow: /p/9$' AS body
       |  FROM hosts),
       |""".stripMargin + robotsRulesSql + """,
       |cand AS (SELECT u.doc_id, u.host, u.path, r.allow, length(r.rpath) AS rl
       |         FROM u LEFT JOIN rules r
-      |           ON r.host = u.host AND starts_with(u.path, r.rpath)),
+      |           ON r.host = u.host AND
+      |""".stripMargin + robotsMatchSql("u.path", "r.rpath") + """),
       |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
       |         ORDER BY rl DESC NULLS LAST, allow DESC NULLS LAST) AS rn
       |       FROM cand)
@@ -2925,11 +2955,12 @@ private[graft] trait TextQueries extends RegistryBase {
       lit("# crawl policy\nUser-agent: megabot\nDisallow: /\n\n" +
         "User-agent: *\nDisallow: /p/"),
       col("kk"), lit("\nAllow: /p/"), col("kk"),
-      lit("2\nDisallow:\ndisallow: /q/"))
+      lit("2\nDisallow:\ndisallow: /q/\nDisallow: /p/*4$\n" +
+        "Allow: /p/1*4$\nDisallow: /p/9$"))
     val rules = WebOps.robotsRules(
       hosts.select(col("host"), body.as("body")), "host", "body")
-    WebOps.robotsVerdict(u, "doc_id", "host", "path", rules)
-      .orderBy("doc_id")
+    WebOps.robotsVerdict(u, "doc_id", "host", "path", rules,
+      knownSmall = true).orderBy("doc_id")
   }
 
   // HTML metadata extraction — title / meta description / canonical URL
@@ -3483,22 +3514,37 @@ private[graft] trait TextQueries extends RegistryBase {
 
   // Soft-404 detection — HTTP-200 error pages (not-found, access-denied,
   // login walls) poison a corpus because every quality gate sees short
-  // clean prose. Residues plant a healthy page, a classic 404 title, an
-  // access-denied page, and a title-less body-only error; verdicts ride
-  // the lowered (title + lead text) probe, t75 blocklist shape.
+  // clean prose. Patterns come from a CONFIG TABLE (the default pack +
+  // a non-English extension) with three anchor classes: `start` =
+  // word-boundary at title start (so a healthy "Post N 404
+  // retrospective" review stays clean — the false-positive the bare
+  // substring probe had), `word` = word-boundary in the title, `phrase`
+  // = substring in the (title + lead) probe. Residues plant the
+  // 404-as-word healthy page, a classic 404 title, an access-denied
+  // page (body 'forbidden' must NOT hit the title-anchored pattern), a
+  // Spanish error page (the non-English pack), and a title-less
+  // body-only error; t75 blocklist shape, hash-proven.
   register(
     "t101_soft404",
     """WITH pg AS (
       |  SELECT doc_id,
-      |    CASE CAST(doc_id % 4 AS INT)
-      |      WHEN 0 THEN '<html><head><title>Post ' || doc_id || '</title></head><body><p>'
+      |    CASE CAST(doc_id % 5 AS INT)
+      |      WHEN 0 THEN '<html><head><title>Post ' || doc_id || ' 404 retrospective</title></head><body><p>'
       |        || text || '</p></body></html>'
       |      WHEN 1 THEN '<html><head><title>404 Page Not Found</title></head>'
       |        || '<body>The page you requested was not found.</body></html>'
       |      WHEN 2 THEN '<html><title>Access Denied</title><body>forbidden: '
       |        || doc_id || '</body></html>'
+      |      WHEN 3 THEN '<html><title>Error de página</title>'
+      |        || '<body>página no encontrada.</body></html>'
       |      ELSE '<div>error 500: page not found while loading ' || doc_id || '</div>' END AS html
       |  FROM documents),
+      |pats AS (SELECT * FROM (VALUES
+      |    ('404','start'),('error 404','word'),('access denied','word'),
+      |    ('forbidden','word'),('page not found','phrase'),
+      |    ('not found','phrase'),('error 500','phrase'),
+      |    ('página no encontrada','phrase'),
+      |    ('seite nicht gefunden','phrase')) p(pattern, anchor)),
       |x AS (
       |  SELECT doc_id,
       |    regexp_replace(trim(regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1)), '\s+', ' ', 'g') AS title,
@@ -3507,30 +3553,42 @@ private[graft] trait TextQueries extends RegistryBase {
       |      || substr(trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')), 1, 200)) AS probe
       |  FROM pg),
       |m AS (
-      |  SELECT doc_id, title,
-      |    list_sort(list_filter(['404', 'page not found', 'not found',
-      |                           'access denied', 'forbidden', 'error 500'],
-      |      p -> contains(probe, p))) AS hits
-      |  FROM x)
-      |SELECT doc_id, title,
-      |       coalesce(array_to_string(hits, ','), '') AS matched,
-      |       CAST(len(hits) AS BIGINT) AS n_matched,
-      |       len(hits) > 0 AS soft404
-      |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      |  SELECT x.doc_id, p.pattern
+      |  FROM x JOIN pats p ON
+      |    CASE p.anchor
+      |      WHEN 'start' THEN regexp_matches(lower(x.title),
+      |        '^' || regexp_replace(p.pattern, '([.^$|()\[\]{}+?*\\])', '\\\1', 'g') || '\b')
+      |      WHEN 'word' THEN regexp_matches(lower(x.title),
+      |        '\b' || regexp_replace(p.pattern, '([.^$|()\[\]{}+?*\\])', '\\\1', 'g') || '\b')
+      |      ELSE contains(x.probe, p.pattern) END),
+      |g AS (SELECT doc_id, list_sort(list_distinct(list(pattern))) AS hits
+      |      FROM m GROUP BY doc_id)
+      |SELECT x.doc_id, x.title,
+      |       coalesce(array_to_string(g.hits, ','), '') AS matched,
+      |       CAST(coalesce(len(g.hits), 0) AS BIGINT) AS n_matched,
+      |       coalesce(len(g.hits), 0) > 0 AS soft404
+      |FROM x LEFT JOIN g USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val pats = (WebOps.DefaultSoft404Patterns ++ Seq(
+      "página no encontrada" -> "phrase",
+      "seite nicht gefunden" -> "phrase")).toDF("pattern", "anchor")
     val pages = t(s, dir, "documents").select(col("doc_id"),
-      when(col("doc_id") % 4 === 0, concat(
+      when(col("doc_id") % 5 === 0, concat(
         lit("<html><head><title>Post "), col("doc_id"),
-        lit("</title></head><body><p>"), col("text"),
+        lit(" 404 retrospective</title></head><body><p>"), col("text"),
         lit("</p></body></html>")))
-        .when(col("doc_id") % 4 === 1, lit(
+        .when(col("doc_id") % 5 === 1, lit(
           "<html><head><title>404 Page Not Found</title></head>" +
             "<body>The page you requested was not found.</body></html>"))
-        .when(col("doc_id") % 4 === 2, concat(
+        .when(col("doc_id") % 5 === 2, concat(
           lit("<html><title>Access Denied</title><body>forbidden: "),
           col("doc_id"), lit("</body></html>")))
+        .when(col("doc_id") % 5 === 3, lit(
+          "<html><title>Error de página</title>" +
+            "<body>página no encontrada.</body></html>"))
         .otherwise(concat(
           lit("<div>error 500: page not found while loading "),
           col("doc_id"), lit("</div>"))).as("html"))
-    WebOps.soft404(pages, "html", "doc_id").orderBy("doc_id")
+    WebOps.soft404(pages, "html", "doc_id", pats).orderBy("doc_id")
   }
 }

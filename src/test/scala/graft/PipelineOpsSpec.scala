@@ -875,6 +875,44 @@ class PipelineOpsSpec extends AnyFunSuite {
       "unfolded batch ids must keep writing")
   }
 
+  test("compaction folds superseded markers: one live marker, transitive exclusions survive") {
+    // marker files must not accumulate with compaction history (readMarkers
+    // opens every file on every store step — the r15 ADVICE finding): a
+    // later compaction folds an earlier consolidated partition, merges its
+    // marker's folded ids into the new marker, and deletes the superseded
+    // marker file. Exclusions (reader rules + the lineage write guard)
+    // must survive the prune via the transitive list.
+    val store = java.nio.file.Files.createTempDirectory("bmarkers").toString
+    def run(doc: (Long, String), id: Long) =
+      Dedup.repeatedSubstringStoreStep(Seq(doc).toDF("doc_id", "text"),
+        store, "text", "doc_id", minLen = 8, batchId = id)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(2), Option(r.getString(4)))).toMap
+    run((0L, "a1 a2 a3 a4 a5 a6 a7 a8"), 0L)
+    run((10L, "b1 b2 b3 b4 b5 b6 b7 b8"), 1L)
+    assert(Dedup.repeatedSubstringStoreCompact(spark, store, -1L, 1L)
+      .toSet == Set(0L, 1L))
+    run((20L, "c1 c2 c3 c4 c5 c6 c7 c8"), 2L)
+    run((30L, "d1 d2 d3 d4 d5 d6 d7 d8"), 3L)
+    assert(Dedup.repeatedSubstringStoreCompact(spark, store, -2L, 3L)
+      .toSet == Set(-1L, 2L, 3L), "second compaction folds the first's output")
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val markers = graft.pipeline.BatchStore.readMarkers(
+      fs, s"$store/compactions")
+    assert(markers.keySet == Set(-2L),
+      s"superseded marker must prune: ${markers.keySet}")
+    assert(markers(-2L).toSet == Set(0L, 1L, -1L, 2L, 3L),
+      s"transitive folds must merge into the live marker: ${markers(-2L)}")
+    // the lineage guard still refuses a TRANSITIVELY folded batch id
+    intercept[IllegalStateException] {
+      run((40L, "e1 e2 e3 e4 e5 e6 e7 e8"), 0L)
+    }
+    // verdicts intact across both compactions
+    assert(run((50L, "x9 a1 a2 a3 a4 a5 a6 a7 a8"), 4L)(50L) ==
+      ((1L, Some("1:8"))), "verdicts must survive the marker fold")
+  }
+
   test("auto-compaction: mid-stream self-fold preserves verdicts, bounds partitions") {
     // maxStoreParts turns the store loops self-maintaining: once the
     // readable partition count exceeds the cap the step folds history

@@ -41,6 +41,55 @@ class WebOpsSpec extends AnyFunSuite {
       5L -> true, 6L -> true), s"verdicts: $v")
   }
 
+  test("robots: RFC 9309 wildcards (*) and end anchors ($), specificity by octets") {
+    val robots = Seq(
+      ("w.com",
+        "User-agent: *\n" +
+          "Disallow: /p/*4$\n" +  // any /p/ path ending in 4
+          "Allow: /p/1*4$\n" +    // longer (8 > 7): re-allows /p/1…4
+          "Disallow: /p/9$\n" +   // exactly /p/9, never /p/9X
+          "Disallow: /dl/*.pdf\n" + // unanchored wildcard: prefix after *
+          "Disallow: /a.b\n"))    // literal dot must not regex-match /axb
+      .toDF("host", "body")
+    val rules = WebOps.robotsRules(robots, "host", "body")
+    val urls = Seq(
+      (1L, "w.com", "/p/24"),        // *4$ matches -> blocked
+      (2L, "w.com", "/p/144"),       // both match; Allow /p/1*4$ longer -> allowed
+      (3L, "w.com", "/p/42"),        // ends in 2: no wildcard match -> allowed
+      (4L, "w.com", "/p/9"),         // anchored literal -> blocked
+      (5L, "w.com", "/p/90"),        // anchor must NOT match the prefix -> allowed
+      (6L, "w.com", "/dl/x/y.pdf?v"), // unanchored *: trailing chars ok -> blocked
+      (7L, "w.com", "/axb"))         // '.' stays literal -> allowed
+      .toDF("doc_id", "host", "path")
+    val v = WebOps.robotsVerdict(urls, "doc_id", "host", "path", rules,
+        knownSmall = true)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(v == Map(1L -> false, 2L -> true, 3L -> true, 4L -> false,
+      5L -> true, 6L -> false, 7L -> true), s"wildcard verdicts: $v")
+  }
+
+  test("soft404: anchor classes gate where a pattern may match") {
+    val pats = (WebOps.DefaultSoft404Patterns ++
+      Seq("página no encontrada" -> "phrase")).toDF("pattern", "anchor")
+    val pages = Seq(
+      // '404' mid-title: start-anchored pattern must NOT fire
+      (1L, "<html><title>Post 404 retrospective</title><body>fine prose</body></html>"),
+      (2L, "<html><title>404 Not Found</title><body>gone</body></html>"),
+      // 'forbidden' in the BODY only: word pattern is title-scoped
+      (3L, "<html><title>Members area</title><body>forbidden: log in</body></html>"),
+      (4L, "<html><title>Error</title><body>página no encontrada.</body></html>"),
+      // '4042' is not the word '404'
+      (5L, "<html><title>4042 plastics</title><body>catalog</body></html>"))
+      .toDF("doc_id", "html")
+    val out = WebOps.soft404(pages, "html", "doc_id", pats)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(4), r.getString(2))).toMap
+    assert(out(1L)._1 == false, s"mid-title 404 must stay clean: ${out(1L)}")
+    assert(out(2L) == ((true, "404,not found")), s"classic 404: ${out(2L)}")
+    assert(out(3L)._1 == false, s"body 'forbidden' is not a title hit: ${out(3L)}")
+    assert(out(4L) == ((true, "página no encontrada")), s"non-English pack: ${out(4L)}")
+    assert(out(5L)._1 == false, s"word boundary must hold: ${out(5L)}")
+  }
+
   test("robots: CRLF line endings and no-space-after-colon parse like LF") {
     // real robots.txt is frequently CRLF and 'User-agent:*' (no space) —
     // both must parse identically to the canonical form
