@@ -1957,16 +1957,14 @@ object TextAnalysis {
     * (doc_id, text_chars, link_chars, tag_count, link_density, text). */
   def htmlExtract(docs: DataFrame, htmlCol: String,
       idCol: String): DataFrame = {
-    val content = stripScriptStyle(col(htmlCol))
-    val stripped = regexp_replace(content, "<[^>]*>", "")
-    val linkBodies = regexp_extract_all(content,
-      lit("(?is)<a(?:\\s[^>]*)?>(.*?)</a>"), lit(1))
+    // strip + decode + anchor count fused into the one-scan native
+    // expression (graft.functions.HtmlVisible) — replaces ~9 regex
+    // passes per page; the oracle keeps the equivalent regex spelling
+    val hv = graft.functions.HtmlVisible.html_visible(
+      stripScriptStyle(col(htmlCol)))
     docs.select(col(idCol).as("doc_id"),
-      decodeEntities(stripped).as("text"),
-      aggregate(linkBodies, lit(0L),
-        (acc, b) => acc +
-          length(decodeEntities(regexp_replace(b, "<[^>]*>", "")))
-            .cast(LongType)).as("link_chars"),
+      hv.getField("text").as("text"),
+      hv.getField("link_chars").as("link_chars"),
       size(regexp_extract_all(col(htmlCol), lit("<[^>]+>"), lit(0)))
         .cast(LongType).as("tag_count"))
       .select(col("doc_id"),
@@ -2024,14 +2022,21 @@ object TextAnalysis {
     * tokenizer — documented divergence from a byte-faithful decode.
     * Truly general `&#NNNN;` decoding needs per-codepoint char
     * construction that has no common SQL surface; references outside
-    * this table pass through verbatim (and count as visible chars). */
-  private val entityTable: Seq[(String, String)] = Seq(
-    "&lt;" -> "<", "&#60;" -> "<", "(?i)&#x3c;" -> "<",
-    "&gt;" -> ">", "&#62;" -> ">", "(?i)&#x3e;" -> ">",
-    "&quot;" -> "\"", "&#34;" -> "\"", "(?i)&#x22;" -> "\"",
-    "&#39;" -> "'", "(?i)&#x27;" -> "'", "&apos;" -> "'",
-    "&nbsp;" -> " ", "&#160;" -> " ", "(?i)&#xa0;" -> " ",
-    "&amp;" -> "&", "&#38;" -> "&", "(?i)&#x26;" -> "&")
+    * this table pass through verbatim (and count as visible chars).
+    *
+    * One alternation PASS per target character (6 passes, not 18 — the
+    * decode chain runs per block AND per anchor in the jusText path, so
+    * pass count is the hot-path constant): within a pass the named /
+    * decimal / hex forms can't create each other, so the fold is
+    * behavior-identical to sequential passes — except the double-decode
+    * a sequential chain had ("&amp;#38;" decoded clear to "&"; one pass
+    * correctly stops at the literal "&#38;" the HTML means). Hex forms
+    * keep their case-insensitivity via an inline `(?i:...)` group
+    * (identical in java.util.regex and RE2). The single source of truth
+    * is [[graft.functions.HtmlVisible.Entities]] — the native scanner
+    * and this regex mirror decode identically by construction. */
+  private val entityTable: Seq[(String, String)] =
+    graft.functions.HtmlVisible.entityRegexTable
 
   private def decodeEntities(c: Column): Column =
     entityTable.foldLeft(c) { case (acc, (e, r)) => regexp_replace(acc, e, r) }
@@ -2058,15 +2063,6 @@ object TextAnalysis {
     "(?i)</?(p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|" +
       "blockquote|pre|section|article|header|footer|nav|aside|form|" +
       "fieldset|br|hr)(\\s[^>]*)?/?>"
-
-  /** Visible text inside `<a ...>...</a>` pairs of one raw segment,
-    * summed in characters after tag-strip + entity decode. */
-  private def anchorChars(raw: Column): Column =
-    aggregate(
-      regexp_extract_all(raw, lit("(?is)<a(?:\\s[^>]*)?>(.*?)</a>"), lit(1)),
-      lit(0L),
-      (acc, b) => acc +
-        length(decodeEntities(regexp_replace(b, "<[^>]*>", ""))).cast(LongType))
 
   /** jusText-style block-level boilerplate classification (Pomikálek
     * 2011) — the context-sensitive upgrade of [[htmlExtract]]'s
@@ -2108,12 +2104,23 @@ object TextAnalysis {
       regexp_replace(stripScriptStyle(col(htmlCol)), blockTagPattern, "\n")
     val raw = docs.select(col(idCol).as("doc_id"),
       posexplode(split(segmented, "\n")).as(Seq("__pos", "__raw")))
-    val visible =
-      trim(decodeEntities(regexp_replace(col("__raw"), "<[^>]*>", "")))
+    // strip + decode + anchor count fused into the one-scan native
+    // expression (graft.functions.HtmlVisible); the oracle keeps the
+    // equivalent regex spelling
+    val hv = graft.functions.HtmlVisible.html_visible(col("__raw"))
     val scored0 = raw
-      .select(col("doc_id"), col("__pos"), visible.as("text"),
-        anchorChars(col("__raw")).as("__lc"))
-      .where(length(col("text")) > 0)
+      // cheap NECESSARY pre-filter (visible text nonempty implies the raw
+      // segment is non-whitespace): drops the many empty splits block-tag
+      // segmentation produces BEFORE any extraction work
+      .where(length(trim(col("__raw"))) > 0)
+      .select(col("doc_id"), col("__pos"),
+        trim(hv.getField("text")).as("text"),
+        hv.getField("link_chars").as("__lc"))
+      // the `|| spark_partition_id() < 0` arm is always false: it makes
+      // the exact predicate non-deterministic so Catalyst can NOT push it
+      // below the projection — pushdown would alias-substitute `text` and
+      // re-run the extraction per surviving block in the Filter
+      .where(length(col("text")) > 0 || spark_partition_id() < 0)
     val toks = tokens(lower(col("text")))
     val nChars = length(col("text")).cast(LongType)
     // exact integer/integer divisions — identical IEEE doubles in both
