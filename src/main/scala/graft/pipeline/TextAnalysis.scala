@@ -2038,7 +2038,7 @@ object TextAnalysis {
   private val entityTable: Seq[(String, String)] =
     graft.functions.HtmlVisible.entityRegexTable
 
-  private def decodeEntities(c: Column): Column =
+  private[pipeline] def decodeEntities(c: Column): Column =
     entityTable.foldLeft(c) { case (acc, (e, r)) => regexp_replace(acc, e, r) }
 
   /** The identical decode chain as DuckDB SQL (regexp_replace with the

@@ -159,11 +159,18 @@ object WebOps {
     * `<link rel=canonical>` href, `<html lang=…>`, `<meta
     * property=og:title>` content. Attribute ORDER inside a tag is free
     * (the tag is located by its identifying attribute, then the value
-    * attribute extracts from the matched tag text); values
-    * entity-decode is NOT applied (metadata is compared/joined raw —
-    * decode is the text pipeline's job). Missing fields return empty
-    * strings, never null, so downstream group-bys are total. */
-  def htmlMeta(docs: DataFrame, htmlCol: String, idCol: String): DataFrame = {
+    * attribute extracts from the matched tag text). `decodeValues`
+    * composes the canonical entity decode
+    * ([[graft.functions.HtmlVisible.Entities]]) onto every extracted
+    * value — OFF by default (raw metadata joins byte-faithfully against
+    * other raw extractions), ON for any tier that GROUPS on these
+    * fields (title dedup, canonical-URL dedup: "&amp;"-encoded values
+    * must collapse with their decoded twins). Missing fields return
+    * empty strings, never null, so downstream group-bys are total. */
+  def htmlMeta(docs: DataFrame, htmlCol: String, idCol: String,
+      decodeValues: Boolean = false): DataFrame = {
+    def maybeDecode(c: Column): Column =
+      if (decodeValues) TextAnalysis.decodeEntities(c) else c
     val h = col(htmlCol)
     val title = regexp_replace(
       trim(regexp_extract(h, "(?is)<title[^>]*>(.*?)</title>", 1)),
@@ -182,9 +189,10 @@ object WebOps {
       regexp_extract(h,
         "(?is)(<meta\\s[^>]*property\\s*=\\s*[\"']og:title[\"'][^>]*>)", 1),
       "content")
-    docs.select(col(idCol).as("doc_id"), title.as("title"),
-      metaDesc.as("meta_description"), canonical.as("canonical_url"),
-      lang.as("lang"), ogTitle.as("og_title"))
+    docs.select(col(idCol).as("doc_id"), maybeDecode(title).as("title"),
+      maybeDecode(metaDesc).as("meta_description"),
+      maybeDecode(canonical).as("canonical_url"),
+      maybeDecode(lang).as("lang"), maybeDecode(ogTitle).as("og_title"))
   }
 
   /** schema.org structured-data extraction: every

@@ -3024,6 +3024,53 @@ private[graft] trait TextQueries extends RegistryBase {
     WebOps.htmlMeta(pages, "html", "doc_id").orderBy("doc_id")
   }
 
+  // t91's decode composition: the same extraction with decodeValues = on,
+  // so entity-encoded metadata collapses with its decoded twins before
+  // any title-dedup / canonical-URL grouping tier (the r15 verdict ask).
+  // Residues plant every entity family across the five fields — named,
+  // decimal, hex (mixed case), nbsp, and an &amp;-encoded query string in
+  // the canonical URL; the oracle wraps each extraction in the identical
+  // 6-pass decode chain. Hash-proven byte-for-byte.
+  register(
+    "t91b_html_meta_decoded",
+    s"""WITH h AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN '<html lang="en"><head><title> A &amp; B &lt;C&gt; '
+      |        || doc_id || ' </title>'
+      |        || '<meta name="description" content="say &quot;hi&quot; &#39;now&#x27;">'
+      |        || '<link rel="canonical" href="https://site.example/p/' || (doc_id % 150) || '?a=1&amp;b=2">'
+      |        || '</head><body>' || text || '</body></html>'
+      |      ELSE '<HTML lang=''fr''><head>'
+      |        || '<meta content=''R&nbsp;S &#38; T ' || doc_id || ''' property="og:title">'
+      |        || '</head><body>' || text || '</body></HTML>' END AS html
+      |  FROM documents)
+      |SELECT doc_id,
+      |  ${TextAnalysis.entityDecodeSql("regexp_replace(trim(regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1)), '\\s+', ' ', 'g')")} AS title,
+      |  ${TextAnalysis.entityDecodeSql(attrAfterSql("regexp_extract(html, '(?is)(<meta\\s[^>]*name\\s*=\\s*[\"'']description[\"''][^>]*>)', 1)", "content"))} AS meta_description,
+      |  ${TextAnalysis.entityDecodeSql(attrAfterSql("regexp_extract(html, '(?is)(<link\\s[^>]*rel\\s*=\\s*[\"'']canonical[\"''][^>]*>)', 1)", "href"))} AS canonical_url,
+      |  ${TextAnalysis.entityDecodeSql(attrAfterSql("regexp_extract(html, '(?is)(<html[^>]*>)', 1)", "\\slang"))} AS lang,
+      |  ${TextAnalysis.entityDecodeSql(attrAfterSql("regexp_extract(html, '(?is)(<meta\\s[^>]*property\\s*=\\s*[\"'']og:title[\"''][^>]*>)', 1)", "content"))} AS og_title
+      |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val pages = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, concat(
+        lit("<html lang=\"en\"><head><title> A &amp; B &lt;C&gt; "),
+        col("doc_id"),
+        lit(" </title><meta name=\"description\" content=\"say " +
+          "&quot;hi&quot; &#39;now&#x27;\">" +
+          "<link rel=\"canonical\" href=\"https://site.example/p/"),
+        col("doc_id") % 150,
+        lit("?a=1&amp;b=2\"></head><body>"), col("text"),
+        lit("</body></html>")))
+        .otherwise(concat(
+          lit("<HTML lang='fr'><head><meta content='R&nbsp;S &#38; T "),
+          col("doc_id"),
+          lit("' property=\"og:title\"></head><body>"), col("text"),
+          lit("</body></HTML>"))).as("html"))
+    WebOps.htmlMeta(pages, "html", "doc_id", decodeValues = true)
+      .orderBy("doc_id")
+  }
+
   // IBAN PII detection with the REAL ISO 13616 mod-97 checksum — the
   // financial sibling of t81's Luhn gate. Check digits are MINTED by
   // the same left-to-right fold in both engines (the planted-oracle

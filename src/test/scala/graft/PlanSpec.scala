@@ -758,8 +758,8 @@ class PlanSpec extends AnyFunSuite {
     // metadata + IBAN + readability + fences + ld+json + script-aware
     // tokens are pure scan-side projections/generators: the only
     // exchange allowed is the output ordering's range partitioning
-    Seq("t91_html_meta", "t92_iban_pii", "t94_readability",
-      "t97_code_fences", "t98_code_quality", "t99_ldjson",
+    Seq("t91_html_meta", "t91b_html_meta_decoded", "t92_iban_pii",
+      "t94_readability", "t97_code_fences", "t98_code_quality", "t99_ldjson",
       "t100_script_aware_tokens", "t101_soft404").foreach { q =>
       val p = plan(q)
       assert(!p.contains("UDF") && !p.contains("Exchange hashpartitioning"),
