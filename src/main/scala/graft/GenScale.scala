@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-receipt corpus generator: synthesize a `documents` table with
+  * the SAME marginal statistics as a source sf dir (vocabulary, per-doc
+  * word-count, lang/source mix — each new doc inherits them from its
+  * `id % n` base row) at `factor`× the row count, fully deterministic
+  * (seeded hash chain, no RNG). Generating BOTH the 1× and the 10×
+  * corpus through this generator gives apples-to-apples inputs for the
+  * linear-scaling receipts in SCALE.md — naive replication would
+  * multiply duplicate DENSITY (every doc ×k near-copies) and measure a
+  * data pathology, not the plan.
+  *
+  * Usage: runMain graft.GenScale <srcSfDir> <outDir> [factor]
+  */
+object GenScale {
+  def main(args: Array[String]): Unit = {
+    val srcDir = args(0)
+    val outDir = args(1)
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = spark.read.parquet(s"$srcDir/documents.parquet")
+    val n = src.count()
+    val vocab = src
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "").distinct().orderBy("w")
+      .collect().map(_.getString(0))
+    val vlit = array(vocab.map(lit): _*)
+    val base = src.select((col("doc_id")).as("__base"),
+      col("lang"), col("source"),
+      size(split(col("text"), " ")).as("__nw"))
+    val ids = spark.range(n * factor).select(col("id").as("doc_id"),
+      pmod(col("id"), lit(n)).as("__base"))
+    val out = ids.join(base, Seq("__base"))
+      .select(col("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), col("__nw") - 1),
+          j => element_at(vlit,
+            (pmod(xxhash64(col("doc_id") * 1009 + j * 7919), lit(vocab.length))
+              + 1).cast("int")))).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+    out.repartition(8).write.mode("overwrite")
+      .parquet(s"$outDir/documents.parquet")
+    println(s"[genscale] wrote ${n * factor} docs (${vocab.length}-word " +
+      s"vocab, factor $factor) to $outDir/documents.parquet")
+    spark.stop()
+  }
+}

@@ -26,8 +26,9 @@ object StreamBench {
     val secs = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "30").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // SPARK_GRAFT_STREAM_DEDUP=minhash|ppjoin|substring|simhash|winnow|
-    // line|attrs|shards benches the incremental STORE loop (foreachBatch ->
-    // *StoreStep) instead of the classify->rules->alerts pipeline:
+    // line|attrs|shards|web benches the incremental STORE loop
+    // (foreachBatch -> *StoreStep) instead of the
+    // classify->rules->alerts pipeline:
     // per-batch docs/sec + the on-disk state-size trajectory over
     // >= SPARK_GRAFT_STREAM_BATCHES batches. substring =
     // repeatedSubstringStoreStep (gram-count store; the per-batch step
@@ -35,7 +36,12 @@ object StreamBench {
     // broadcast-semi prune keeps the step batch-proportional); line =
     // c4LineCleanStoreStep (corpus-wide line dedup); attrs =
     // Curation.attributeStoreStep (incremental tagging); shards =
-    // shardStoreStep (global-offset manifest packing).
+    // shardStoreStep (global-offset manifest packing); web = the FULL
+    // streaming web-corpus program (WebOps.webStoreStep: canonicalize +
+    // blocklist + robots -> url-dedup store -> jusText -> exact-dedup
+    // attribute store -> incremental substring cut), synthetic HTML
+    // pages with recurring urls/boilerplate/content so every store
+    // fires.
     // SPARK_GRAFT_STREAM_AUTO_PARTS=N passes maxStoreParts=N to the step
     // (the size-tiered AUTO-compaction trigger live in-stream)
     sys.env.get("SPARK_GRAFT_STREAM_DEDUP") match {
@@ -188,12 +194,40 @@ object StreamBench {
           lit("please subscribe to our newsletter today.")).otherwise(lineExpr(0)),
         lineExpr(1), lineExpr(2), lineExpr(3))
       else concat_ws(" ", toks: _*)
-    val docs = spark.readStream.format("rate-micro-batch")
+    // web mode: synthetic crawl pages — recurring page numbers (url
+    // dedup), a blocklisted host, robots-disallowed prefixes + one live
+    // wildcard rule, boilerplate every 5th page (substring cut), and
+    // content reuse via the shared seed (exact dedup)
+    val jtStops = Seq("the", "a", "of", "and", "to", "in")
+    import spark.implicits._
+    val webRules = (Seq(("site0.com", false, "/p/*7$")) ++
+      (0 until 5).map(k => (s"site$k.com", false, s"/p/$k$k$k")))
+      .toDF("host", "allow", "path")
+    val pg = when(col("value") % 10 === 0, pmod(col("value"), lit(997L)))
+      .otherwise(col("value"))
+    val webHost = when(col("value") % 29 === 0, lit("badsite.com"))
+      .otherwise(concat(lit("site"), pmod(pg, lit(5L)), lit(".com")))
+    val webUrl = concat(lit("https://www."), webHost, lit("/p/"), pg,
+      when(col("value") % 3 === 0, lit("?utm_k=9")).otherwise(lit("")))
+    val para = concat_ws(" ", (0 until 16).flatMap(i =>
+      Seq(lit(jtStops(i % 6)), toks(i))): _*)
+    val webHtml = concat(
+      lit("<html><head><title>t</title></head><body>" +
+        "<div><a href=\"/nav\">home nav link chrome</a></div>"),
+      when(pmod(col("doc_id"), lit(5L)) === 0,
+        lit("<p>please subscribe to our newsletter and share the page " +
+          "with all of your friends today because it helps us out a " +
+          "lot.</p>")).otherwise(lit("")),
+      lit("<p>"), para, lit(".</p></body></html>"))
+    val stream0 = spark.readStream.format("rate-micro-batch")
       .option("rowsPerBatch", docsPerBatch)
       .option("numPartitions", cpus)
       .load()
-      .select(col("value").as("doc_id"), seed.as("__seed"))
-      .select(col("doc_id"), text.as("text"))
+      .select(col("value").as("doc_id"), col("value"), seed.as("__seed"))
+    val docs =
+      if (mode == "web") stream0
+        .select(col("doc_id"), webUrl.as("url"), webHtml.as("html"))
+      else stream0.select(col("doc_id"), text.as("text"))
     val watchSub = mode match {
       case "ppjoin" => "sorted"
       case "substring" => "gramcounts"
@@ -202,6 +236,7 @@ object StreamBench {
       case "line" => "linehashes"
       case "attrs" => "fingerprints"
       case "shards" => "manifests"
+      case "web" => "urlfps"
       case _ => "shingles"
     }
 
@@ -241,6 +276,12 @@ object StreamBench {
           case "shards" => graft.pipeline.TextAnalysis.shardStoreStep(
             bb, storeDir, "text", "doc_id", shardTokens = 50000L,
             batchId = id, maxStoreParts = autoParts)
+          case "web" => graft.pipeline.WebOps.webStoreStep(
+            bb, storeDir, id, "url", "html", "doc_id", webRules,
+            Seq("badsite.com"), jtStops,
+            stopwordsLow = 0.04, stopwordsHigh = 0.08,
+            maxStoreParts = autoParts)
+            .where(col("kept"))
           case _ => graft.pipeline.Dedup.minhashStoreStep(
             bb, storeDir, "text", "doc_id", shingleWords = 3,
             numHashes = 32, bands = 8, threshold = 0.7, batchId = id,
@@ -264,6 +305,8 @@ object StreamBench {
             case "attrs" => graft.pipeline.Curation.attributeStoreCompact(
               bb.sparkSession, storeDir, -id, id - 1)
             case "shards" => graft.pipeline.TextAnalysis.shardStoreCompact(
+              bb.sparkSession, storeDir, -id, id - 1)
+            case "web" => graft.pipeline.WebOps.webStoreCompact(
               bb.sparkSession, storeDir, -id, id - 1)
             case _ => graft.pipeline.Dedup.minhashStoreCompact(
               bb.sparkSession, storeDir, -id, id - 1)

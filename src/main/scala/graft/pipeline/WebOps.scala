@@ -298,6 +298,158 @@ object WebOps {
   }
 
   // -------------------------------------------------------------------------
+  // Streaming web-corpus program (the p12 composite as a store loop)
+  // -------------------------------------------------------------------------
+
+  /** One micro-batch of the STREAMING web-corpus program — the
+    * operational face of the p12 batch composite, run under the
+    * [[BatchStore]] contract:
+    *
+    *  1. canonicalize URL (t52 algebra) + domain blocklist (t75);
+    *  2. robots.txt gate (t90 algebra; `rules` is the caller's
+    *     pre-parsed config-scale table, broadcast);
+    *  3. URL dedup ACROSS batches — first fetch of a canonical URL wins
+    *     (url-fingerprint store, sub `urlfps`);
+    *  4. jusText content extraction (t88 algebra) — chrome-only pages
+    *     drop;
+    *  5. attribute tagging + cross-batch exact-content dedup
+    *     ([[Curation.attributeStoreStep]], sub `fingerprints`) — the
+    *     p12 order: exact dedup BEFORE the substring cut, so a verbatim
+    *     re-fetch never reaches the gram store (where its own grams
+    *     would read as corpus repeats and cut both copies to nothing);
+    *  6. corpus-wide exact-substring cut over the canonical survivors,
+    *     incremental (the d23 machinery: `gramcounts` + blooms), with
+    *     token/quality keep gates scored on the CUT text.
+    *
+    * Stream/batch contract: with doc_ids monotone across batches, a doc
+    * arriving in the LATEST batch verdicts byte-identically to the batch
+    * composite over the union (the stores hold exactly the union's prior
+    * state) — pinned in WebOpsSpec. Earlier batches differ only where a
+    * stream cannot rewrite history (content that only LATER becomes
+    * corpus-repeated is cut from later arrivals, not retroactively —
+    * the d21/d23 asymmetry).
+    *
+    * Retry contract: every sub-store excludes the in-flight batch id and
+    * overwrites its own `batch_id=` partition; verdicts pin
+    * (localCheckpoint) before their store writes, so an at-least-once
+    * replay re-derives identical output. Returns one verdict row per
+    * batch doc: (doc_id, canon, blocked, allowed, url_first,
+    * content_chars, is_canonical, cut_tokens, n_tokens, quality,
+    * langid, kept). */
+  def webStoreStep(batch: DataFrame, storeDir: String, batchId: Long,
+      urlCol: String, htmlCol: String, idCol: String,
+      rules: DataFrame, blockedDomains: Seq[String],
+      justextStopwords: Seq[String],
+      stopwordsLow: Double = 0.30, stopwordsHigh: Double = 0.32,
+      minSubstringLen: Int = 8,
+      attrStopwords: Seq[String] = Seq("the", "and", "of", "to", "a"),
+      langs: Seq[(String, Seq[String])] =
+        Seq("en" -> Seq("the", "and", "of")),
+      minTokens: Long = 5, minQuality: Double = 0.0,
+      maxStoreParts: Int = 0): DataFrame = {
+    val spark = batch.sparkSession
+    val canon = batch.select(col(idCol).as("doc_id"),
+      col(htmlCol).as("__html"),
+      TextAnalysis.canonicalizeUrl(col(urlCol)).as("canon"))
+    val blockedV = TextAnalysis.blocklistFilter(canon, "canon", "doc_id",
+      blockedDomains).select(col("doc_id"), col("blocked"))
+    val withHost = canon.select(col("doc_id"), col("__html"), col("canon"),
+      regexp_extract(col("canon"), "^[a-z0-9+.-]+://([^/?]+)", 1).as("host"),
+      regexp_extract(col("canon"), "^[a-z0-9+.-]+://[^/?]+([^?]*)", 1)
+        .as("__path"))
+    val allowedV = robotsVerdict(withHost, "doc_id", "host", "__path",
+      rules, knownSmall = true).select(col("doc_id"), col("allowed"))
+    val gated = withHost
+      .join(blockedV, Seq("doc_id")).join(allowedV, Seq("doc_id"))
+      .withColumn("__ufp", md5(col("canon")))
+    val eligible = gated.where(!col("blocked") && col("allowed"))
+    val batchUfps = eligible.select("__ufp").distinct().localCheckpoint()
+    val emptyU = batch.limit(0).select(md5(col(urlCol)).as("__ufp"))
+    // prior url fingerprints pruned to the batch's own set (cap-guarded
+    // broadcast semi — the attribute-store idiom)
+    val priorU = BatchStore.readStore(spark, storeDir, "urlfps", emptyU,
+        batchId)
+      .join(BatchStore.probeSide(batchUfps), Seq("__ufp"), "left_semi")
+      .distinct()
+    val electU = eligible.groupBy("__ufp").agg(min(col("doc_id")).as("__keep"))
+    // verdicts for EVERY batch doc (blocked/disallowed rows keep their
+    // flags; url_first is false for them)
+    val urlStage = gated
+      .join(electU, Seq("__ufp"), "left")
+      .join(priorU.withColumn("__seen", lit(true)), Seq("__ufp"), "left")
+      .select(col("doc_id"), col("__html"), col("canon"), col("blocked"),
+        col("allowed"),
+        (!col("blocked") && col("allowed") && col("doc_id") === col("__keep")
+          && col("__seen").isNull).as("url_first"))
+      .localCheckpoint() // pin before this batch's urlfps partition lands
+    val survivors = urlStage.where(col("url_first"))
+      .select(col("doc_id"), col("__html"))
+    val content = TextAnalysis.justextContent(
+        TextAnalysis.justextBlocks(survivors, "__html", "doc_id",
+          justextStopwords, stopwordsLow = stopwordsLow,
+          stopwordsHigh = stopwordsHigh))
+      .where(col("content_chars") > 0)
+      .select(col("doc_id"), col("content"), col("content_chars"))
+      .localCheckpoint() // feeds the substring store AND the output join
+    // exact dedup FIRST (the p12 order): attrs0 tags the justext content
+    // and elects the cross-batch canonical copy per content fingerprint
+    val attrs0 = Curation.attributeStoreStep(
+      content.select("doc_id", "content"), storeDir, batchId,
+      "content", "doc_id", attrStopwords, langs,
+      maxStoreParts = maxStoreParts)
+    val canonical = content
+      .join(attrs0.where(col("is_canonical")).select("doc_id"), Seq("doc_id"))
+    // substring cut over canonical survivors only; keep gates score the
+    // CUT text scan-side (the Gopher-on-clean-text convention)
+    val clean = Dedup.repeatedSubstringCleanStoreStep(
+      canonical.select("doc_id", "content"), storeDir, "content", "doc_id",
+      minSubstringLen, batchId, maxStoreParts)
+    val cleanScored = clean.select(col("doc_id"),
+      col("n_removed").as("cut_tokens"),
+      TextAnalysis.tokenCount(col("clean_text")).as("n_tokens"),
+      TextAnalysis.qualityScore(col("clean_text"), attrStopwords)
+        .as("quality"))
+    BatchStore.writeBatchPart(batchUfps, s"$storeDir/urlfps",
+      s"$storeDir/compactions/urlfps", batchId)
+    BatchStore.autoCompact(spark, s"$storeDir/urlfps",
+      s"$storeDir/compactions/urlfps", maxStoreParts, batchId)(
+      webUrlStoreCompact(spark, storeDir, _, _))
+    urlStage.drop("__html")
+      .join(content.select(col("doc_id"), col("content_chars")),
+        Seq("doc_id"), "left")
+      .join(attrs0.select(col("doc_id"), col("langid"),
+        col("is_canonical")), Seq("doc_id"), "left")
+      .join(cleanScored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("canon"), col("blocked"), col("allowed"),
+        col("url_first"),
+        coalesce(col("content_chars"), lit(0L)).as("content_chars"),
+        coalesce(col("is_canonical"), lit(false)).as("is_canonical"),
+        coalesce(col("cut_tokens"), lit(0L)).as("cut_tokens"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("quality"), lit(0.0)).as("quality"),
+        coalesce(col("langid"), lit("")).as("langid"))
+      .withColumn("kept", col("url_first") && col("is_canonical") &&
+        col("n_tokens") >= minTokens && col("quality") >= minQuality)
+  }
+
+  /** Fold committed url-fingerprint partitions (set store: distinct). */
+  def webUrlStoreCompact(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, compactId: Long, upToBatchId: Long): Seq[Long] =
+    BatchStore.compact(spark, s"$storeDir/urlfps",
+      s"$storeDir/compactions/urlfps", None, compactId, upToBatchId,
+      df => df.drop("batch_id").distinct())
+
+  /** Compact every sub-store the web loop writes (urlfps + gramcounts +
+    * content fingerprints) under one compaction id. */
+  def webStoreCompact(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, compactId: Long, upToBatchId: Long): Seq[Long] =
+    (webUrlStoreCompact(spark, storeDir, compactId, upToBatchId) ++
+      Dedup.repeatedSubstringStoreCompact(spark, storeDir, compactId,
+        upToBatchId) ++
+      Curation.attributeStoreCompact(spark, storeDir, compactId,
+        upToBatchId)).distinct
+
+  // -------------------------------------------------------------------------
   // Domain trust scores
   // -------------------------------------------------------------------------
 

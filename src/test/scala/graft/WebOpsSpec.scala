@@ -165,6 +165,132 @@ class WebOpsSpec extends AnyFunSuite {
       "the running offset must survive compaction")
   }
 
+  test("web store loop: latest batch verdicts byte-match the batch composite; retry idempotent") {
+    // three micro-batches through webStoreStep (url-dedup store ->
+    // jusText -> incremental substring cut -> attribute/exact-dedup
+    // store) vs the batch composite over the union. With monotone
+    // doc_ids, the LATEST batch's verdicts must match the batch twin
+    // exactly (the stores hold the union's prior state); the fixture
+    // keeps repeated substrings repeated WITHIN their first batch so
+    // earlier batches' clean text agrees too (the d23 asymmetry never
+    // fires asymmetrically).
+    val jtStops = Seq("the", "a", "of", "and", "to", "in")
+    val boiler = "please subscribe to our newsletter and share the page " +
+      "with all of your friends today because it helps us out a lot."
+    def para(seed: Long) = (1 to 4).map(r =>
+      s"the alpha$seed$r and beta$seed$r of gamma$seed$r to delta$seed$r " +
+        s"in epsilon$seed$r a zeta$seed$r").mkString(" ") + "."
+    def page(id: Long): (Long, String, String) = {
+      // ids 0,5,10,15,20,25 share page 0 (cross-batch url dups); other
+      // pages are unique per doc. ids ≡ 6 (mod 7) land on the blocklisted
+      // domain (incl. 20 and 27 in the last batch); page 22 is robots-
+      // disallowed on site0; 21 exact-dups 11's content after the cut.
+      val pg = if (id % 5 == 0) 0L else id
+      val host = if (id % 7 == 6) "badsite.com" else s"site${pg % 2}.com"
+      val url = (id % 3) match {
+        case 0 => s"https://www.$host/p/$pg?utm_k=9"
+        case 1 => s"HTTPS://$host:443/p/$pg"
+        case _ => s"https://$host/p/$pg#frag"
+      }
+      val contentSeed = if (id == 21L) 11L else id
+      val body = (if (id % 4 == 0) s"<p>$boiler</p>" else "") +
+        s"<p>${para(contentSeed)}</p>"
+      (id, url, "<html><head><title>t</title></head><body>" +
+        "<div><a href=\"/home\">home nav link chrome</a></div>" +
+        body + "</body></html>")
+    }
+    val batches = Seq(0L to 7L, 10L to 17L, 20L to 27L)
+      .map(r => r.map(page).toDF("doc_id", "url", "html"))
+    val rules = Seq(("site0.com", false, "/p/22"))
+      .toDF("host", "allow", "path")
+    val store = java.nio.file.Files.createTempDirectory("webstore").toString
+    def step(b: org.apache.spark.sql.DataFrame, id: Long) =
+      WebOps.webStoreStep(b, store, id, "url", "html", "doc_id",
+        rules, Seq("badsite.com"), jtStops,
+        stopwordsLow = 0.04, stopwordsHigh = 0.08)
+    step(batches(0), 0L).collect()
+    step(batches(1), 1L).collect()
+    val last = step(batches(2), 2L)
+    val lastRows = last.collect().map(_.toSeq).toSet
+    // RETRY the latest batch: partitions overwrite, verdicts identical
+    val retry = step(batches(2), 2L).collect().map(_.toSeq).toSet
+    assert(retry == lastRows, "retried web batch must re-derive verdicts")
+
+    // batch composite twin over the union, same algebra end to end
+    val all = batches.reduce(_ unionAll _)
+    val canonAll = all.select(col("doc_id"), col("html"),
+      graft.pipeline.TextAnalysis.canonicalizeUrl(col("url")).as("canon"))
+    val blockedV = graft.pipeline.TextAnalysis.blocklistFilter(
+      canonAll, "canon", "doc_id", Seq("badsite.com"))
+      .select(col("doc_id"), col("blocked"))
+    val withHost = canonAll.select(col("doc_id"), col("html"), col("canon"),
+      regexp_extract(col("canon"), "^[a-z0-9+.-]+://([^/?]+)", 1).as("host"),
+      regexp_extract(col("canon"), "^[a-z0-9+.-]+://[^/?]+([^?]*)", 1)
+        .as("__path"))
+    val allowedV = WebOps.robotsVerdict(withHost, "doc_id", "host", "__path",
+      rules, knownSmall = true).select(col("doc_id"), col("allowed"))
+    val gated = withHost.join(blockedV, Seq("doc_id"))
+      .join(allowedV, Seq("doc_id")).withColumn("__ufp", md5(col("canon")))
+    val eligible = gated.where(!col("blocked") && col("allowed"))
+    val elect = eligible.groupBy("__ufp").agg(min(col("doc_id")).as("__keep"))
+    val urlStage = gated.join(elect, Seq("__ufp"), "left")
+      .withColumn("url_first", !col("blocked") && col("allowed") &&
+        col("doc_id") === col("__keep"))
+    val content = graft.pipeline.TextAnalysis.justextContent(
+        graft.pipeline.TextAnalysis.justextBlocks(
+          urlStage.where(col("url_first")).select(col("doc_id"), col("html")),
+          "html", "doc_id", jtStops, stopwordsLow = 0.04,
+          stopwordsHigh = 0.08))
+      .where(col("content_chars") > 0)
+      .select(col("doc_id"), col("content"), col("content_chars"))
+    val attrs = graft.pipeline.Curation.tagAttributes(
+      content.select("doc_id", "content"), "content", "doc_id",
+      Seq("the", "and", "of", "to", "a"),
+      Seq("en" -> Seq("the", "and", "of")))
+    val canonical = content.join(
+      attrs.where(col("is_canonical")).select("doc_id"), Seq("doc_id"))
+    val clean = graft.pipeline.Dedup.removeRepeatedSubstrings(
+      canonical.select("doc_id", "content"), "content", "doc_id", minLen = 8)
+    val cleanScored = clean.select(col("doc_id"),
+      col("n_removed").as("cut_tokens"),
+      graft.pipeline.TextAnalysis.tokenCount(col("clean_text"))
+        .as("n_tokens"),
+      graft.pipeline.TextAnalysis.qualityScore(col("clean_text"),
+        Seq("the", "and", "of", "to", "a")).as("quality"))
+    val twin = urlStage.select("doc_id", "canon", "blocked", "allowed",
+        "url_first")
+      .join(content.select("doc_id", "content_chars"), Seq("doc_id"), "left")
+      .join(attrs.select("doc_id", "langid", "is_canonical"),
+        Seq("doc_id"), "left")
+      .join(cleanScored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("canon"), col("blocked"), col("allowed"),
+        col("url_first"),
+        coalesce(col("content_chars"), lit(0L)).as("content_chars"),
+        coalesce(col("is_canonical"), lit(false)).as("is_canonical"),
+        coalesce(col("cut_tokens"), lit(0L)).as("cut_tokens"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("quality"), lit(0.0)).as("quality"),
+        coalesce(col("langid"), lit("")).as("langid"))
+      .withColumn("kept", col("url_first") && col("is_canonical") &&
+        col("n_tokens") >= 5L && col("quality") >= 0.0)
+    val twinLast = twin.where(col("doc_id") >= 20L)
+      .collect().map(_.toSeq).toSet
+    assert(lastRows == twinLast,
+      s"latest-batch stream verdicts must match the batch composite:\n" +
+        s"stream-only: ${lastRows -- twinLast}\ntwin-only: ${twinLast -- lastRows}")
+    // the funnel must be non-trivial: every stage fires somewhere
+    val l = last.collect()
+    assert(l.exists(_.getAs[Boolean]("blocked")), "blocklist must fire")
+    assert(l.exists(!_.getAs[Boolean]("allowed")), "robots must fire")
+    assert(l.exists(r => !r.getAs[Boolean]("url_first") &&
+      !r.getAs[Boolean]("blocked") && r.getAs[Boolean]("allowed")),
+      "cross-batch url dedup must fire")
+    assert(l.exists(_.getAs[Long]("cut_tokens") > 0), "substring cut must fire")
+    assert(l.exists(r => r.getAs[Boolean]("url_first") &&
+      !r.getAs[Boolean]("is_canonical")), "exact content dedup must fire")
+    assert(l.exists(_.getAs[Boolean]("kept")), "some docs must survive")
+  }
+
   test("iban: ISO 13616 known vectors validate, single-digit corruption fails") {
     val docs = Seq(
       (1L, "pay DE89370400440532013000 now"),  // ISO example: valid
