@@ -13,6 +13,15 @@ import org.apache.spark.sql.functions._
   * multiply duplicate DENSITY (every doc ×k near-copies) and measure a
   * data pathology, not the plan.
   *
+  * Vocabulary scales with the corpus per Heaps' law (V ∝ N^0.5, the
+  * β ≈ 0.5 exponent of real text): every token carries an `x<v>`
+  * variant suffix with v < ceil(sqrt(factor)), so the effective vocab
+  * is |base| · ceil(sqrt(factor)). A FIXED vocab at 10× the docs multiplies random
+  * shingle/fingerprint collisions quadratically (measured: winnowing
+  * match rows grew 74× and the PPJoin candidate set ~19× at 10× docs
+  * with 31 fixed words) — that measures a data pathology no growing
+  * corpus exhibits, not the plan's scaling.
+  *
   * Usage: runMain graft.GenScale <srcSfDir> <outDir> [factor]
   */
 object GenScale {
@@ -39,12 +48,17 @@ object GenScale {
       size(split(col("text"), " ")).as("__nw"))
     val ids = spark.range(n * factor).select(col("id").as("doc_id"),
       pmod(col("id"), lit(n)).as("__base"))
+    val variants = math.ceil(math.sqrt(factor.toDouble)).toInt
     val out = ids.join(base, Seq("__base"))
       .select(col("doc_id"),
         concat_ws(" ", transform(sequence(lit(0), col("__nw") - 1),
-          j => element_at(vlit,
-            (pmod(xxhash64(col("doc_id") * 1009 + j * 7919), lit(vocab.length))
-              + 1).cast("int")))).as("text"),
+          j => concat(
+            element_at(vlit,
+              (pmod(xxhash64(col("doc_id") * 1009 + j * 7919),
+                lit(vocab.length)) + 1).cast("int")),
+            lit("x"),
+            pmod(xxhash64(col("doc_id") * 2971 + j * 6007),
+              lit(variants.toLong))))).as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")))
     out.repartition(8).write.mode("overwrite")

@@ -2675,6 +2675,43 @@ object TextAnalysis {
         .as("effective_tokens"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020) — the
+    * LM-quality tier of a web-corpus build: score every document with
+    * the interpolated Kneser–Ney bigram LM ([[knSurprisal]], trained on
+    * `refCorpus` — CCNet trains on Wikipedia), then bucket per LANGUAGE
+    * into head/middle/tail perplexity TERTILES (CCNet's split; `keep` =
+    * not tail, its default filter). Cutoffs are order statistics over
+    * the per-language score HISTOGRAM (distinct micro-rounded scores) —
+    * the t26 calibration pattern, never a corpus-cardinality window;
+    * ties at a cutoff land in the lower bucket in both engines.
+    * Documents under 2 tokens carry no bigram and are not scored
+    * (inherited from [[knSurprisal]]). Returns (doc_id, lang,
+    * n_bigrams, avg_surprisal, bucket, keep). */
+  def perplexityBuckets(docs: DataFrame, textCol: String, idCol: String,
+      langCol: String, refCorpus: Option[DataFrame] = None,
+      refTextCol: String = "text"): DataFrame = {
+    val scored = knSurprisal(docs, textCol, idCol, refCorpus, refTextCol)
+    val lg = scored.join(
+      docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")),
+      Seq("doc_id"))
+    val hist = lg.groupBy("lang", "avg_surprisal").agg(count(lit(1)).as("n"))
+    val cum = hist.withColumn("cum", sum(col("n")).over(
+      Window.partitionBy("lang").orderBy("avg_surprisal")))
+    val tot = hist.groupBy("lang").agg(sum(col("n")).as("total"))
+    def cutAt(frac: Column, name: String) = cum.join(tot, Seq("lang"))
+      .where(col("cum") >= ceil(frac))
+      .groupBy("lang").agg(min(col("avg_surprisal")).as(name))
+    val c1 = cutAt(col("total") / 3.0, "cut1")
+    val c2 = cutAt(col("total") * 2.0 / 3.0, "cut2")
+    lg.join(c1, Seq("lang")).join(c2, Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("avg_surprisal"),
+        when(col("avg_surprisal") <= col("cut1"), "head")
+          .when(col("avg_surprisal") <= col("cut2"), "middle")
+          .otherwise("tail").as("bucket"),
+        (col("avg_surprisal") <= col("cut2")).as("keep"))
+  }
+
   /** StarCoder-style code quality gates over a code column — the filter
     * pass of a code-corpus build: per snippet, non-blank line count,
     * max/avg line length (minified/data blobs), comment-line ratio

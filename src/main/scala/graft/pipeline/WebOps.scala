@@ -39,7 +39,11 @@ object WebOps {
     * PARTITIONED BY HOST (line-count-bounded), output is the skinny
     * per-host rule table a broadcast join ships to every URL.
     */
-  def robotsRules(robots: DataFrame, hostCol: String,
+  /** Comment-stripped, sectioned robots.txt lines: (host, idx, __dir,
+    * __val, __sec) — shared front half of [[robotsRules]] and
+    * [[robotsExtras]]. A new section starts at a `User-agent` line NOT
+    * preceded by another (consecutive agent lines share one section). */
+  private def robotsSectioned(robots: DataFrame, hostCol: String,
       bodyCol: String): DataFrame = {
     val lines = robots.select(col(hostCol).as("host"),
         posexplode(split(col(bodyCol), "\n")).as(Seq("idx", "__l0")))
@@ -48,22 +52,61 @@ object WebOps {
       .withColumn("__dir", lower(trim(regexp_extract(col("__l"), "^([^:]+):", 1))))
       .withColumn("__val", trim(regexp_extract(col("__l"), "^[^:]+:(.*)$", 1)))
     val w = Window.partitionBy("host").orderBy("idx")
-    // a new section starts at a User-agent line NOT preceded by another
-    // User-agent line (consecutive agent lines share one section)
-    val sectioned = lines
+    lines
       .withColumn("__isUa", (col("__dir") === "user-agent").cast("int"))
       .withColumn("__prevUa", coalesce(lag(col("__isUa"), 1).over(w), lit(0)))
       .withColumn("__sec",
         sum(when(col("__isUa") === 1 && col("__prevUa") === 0, 1)
           .otherwise(0)).over(w))
-    val starSections = sectioned
-      .where(col("__dir") === "user-agent" && col("__val") === "*")
-      .select(col("host"), col("__sec")).distinct()
+  }
+
+  /** The `User-agent: *` sections of one sectioned frame. */
+  private def starSections(sectioned: DataFrame): DataFrame = sectioned
+    .where(col("__dir") === "user-agent" && col("__val") === "*")
+    .select(col("host"), col("__sec")).distinct()
+
+  def robotsRules(robots: DataFrame, hostCol: String,
+      bodyCol: String): DataFrame = {
+    val sectioned = robotsSectioned(robots, hostCol, bodyCol)
     sectioned
       .where(col("__dir").isin("allow", "disallow") && length(col("__val")) > 0)
-      .join(starSections, Seq("host", "__sec"), "left_semi")
+      .join(starSections(sectioned), Seq("host", "__sec"), "left_semi")
       .select(col("host"), (col("__dir") === "allow").as("allow"),
         col("__val").as("path"))
+  }
+
+  /** The non-path robots.txt surface a polite crawler consumes beside
+    * the Allow/Disallow gate: per host, the `Crawl-delay` of the
+    * `User-agent: *` sections (MINIMUM across values — the conservative
+    * politeness choice; non-numeric values drop via null-safe cast;
+    * null = no delay declared; other agents' sections are ignored like
+    * in [[robotsRules]]) and every `Sitemap:` URL in the file (a GLOBAL
+    * directive per the sitemaps protocol — section membership is
+    * irrelevant), sorted and comma-joined. Same scale shape as the rule
+    * parse: one posexplode over KB-bounded bodies, host-keyed windows,
+    * skinny per-host output. Returns (host, crawl_delay, n_sitemaps,
+    * sitemaps). */
+  def robotsExtras(robots: DataFrame, hostCol: String,
+      bodyCol: String): DataFrame = {
+    val sectioned = robotsSectioned(robots, hostCol, bodyCol)
+    val cd = sectioned
+      .where(col("__dir") === "crawl-delay" && length(col("__val")) > 0)
+      .join(starSections(sectioned), Seq("host", "__sec"), "left_semi")
+      // try_cast, not cast: ANSI mode would fail the whole parse on one
+      // malformed delay value (the DuckDB mirror is TRY_CAST)
+      .groupBy("host")
+      .agg(min(expr("try_cast(__val AS double)")).as("crawl_delay"))
+    val sm = sectioned
+      .where(col("__dir") === "sitemap" && length(col("__val")) > 0)
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_sitemaps"),
+        array_join(sort_array(collect_list(col("__val"))), ",").as("sitemaps"))
+    robots.select(col(hostCol).as("host")).distinct()
+      .join(cd, Seq("host"), "left")
+      .join(sm, Seq("host"), "left")
+      .select(col("host"), col("crawl_delay"),
+        coalesce(col("n_sitemaps"), lit(0L)).as("n_sitemaps"),
+        coalesce(col("sitemaps"), lit("")).as("sitemaps"))
   }
 
   /** True iff the rule path is a plain literal prefix — no `*`

@@ -1659,9 +1659,12 @@ private[graft] trait TextQueries extends RegistryBase {
   // (parenthesized identically here and in TextAnalysis.knSurprisal);
   // per-bigram-type surprisal micro-floors before the per-doc
   // occurrence-weighted integer sum.
-  register(
-    "t74_kneser_ney",
-    """WITH w AS (
+  /** The interpolated-KN per-doc scoring chain as DuckDB CTEs ending in
+    * `knscored(doc_id, n_bigrams, avg_surprisal)` — shared verbatim by
+    * t74 and the t102 perplexity-bucket composite (hoisted-chain rule:
+    * composite and part cannot silently diverge). */
+  private[graft] val knChainSql: String =
+    """w AS (
       |  SELECT doc_id,
       |         list_filter(string_split_regex(lower(text), '\s+'),
       |                     x -> x != '') AS toks
@@ -1681,7 +1684,7 @@ private[graft] trait TextQueries extends RegistryBase {
       |    SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
       |      i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS bg
       |    FROM w WHERE len(toks) >= 2) GROUP BY 1, 2, 3),
-      |scored AS (
+      |knsc AS (
       |  SELECT d.doc_id, d.c,
       |    CAST(floor(-ln(
       |      CASE WHEN ctx.nc IS NOT NULL THEN
@@ -1695,13 +1698,57 @@ private[graft] trait TextQueries extends RegistryBase {
       |  FROM docbg d
       |  LEFT JOIN refbg ON d.w1 = refbg.w1 AND d.w2 = refbg.w2
       |  LEFT JOIN ctx ON d.w1 = ctx.w1
-      |  LEFT JOIN cont ON d.w2 = cont.w2, nbbt)
-      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
-      |       floor(CAST(sum(c * s) AS DOUBLE) / sum(c) + 0.5) / 1000000.0
-      |         AS avg_surprisal
-      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      |  LEFT JOIN cont ON d.w2 = cont.w2, nbbt),
+      |knscored AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |         floor(CAST(sum(c * s) AS DOUBLE) / sum(c) + 0.5) / 1000000.0
+      |           AS avg_surprisal
+      |  FROM knsc GROUP BY doc_id)""".stripMargin
+
+  register(
+    "t74_kneser_ney",
+    "WITH " + knChainSql + """
+      |SELECT doc_id, n_bigrams, avg_surprisal
+      |FROM knscored ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = t(s, dir, "documents")
     TextAnalysis.knSurprisal(docs, "text", "doc_id",
+      refCorpus = Some(docs.where(col("doc_id") % 2 === 0)))
+      .orderBy("doc_id")
+  }
+
+  // CCNet perplexity buckets (Wenzek et al. 2020) — the LM-quality tier
+  // of a web-corpus build: every doc scores under the t74 KN bigram LM
+  // (hoisted chain, shared verbatim), then buckets per LANGUAGE into
+  // head/middle/tail perplexity tertiles; keep = not tail (CCNet's
+  // default). Cutoffs are order statistics over the per-lang score
+  // histogram (t26 pattern — no corpus-cardinality window); ties land
+  // in the lower bucket identically in both engines.
+  register(
+    "t102_ccnet_perplexity",
+    "WITH " + knChainSql + """,
+      |lg AS (SELECT k.doc_id, d.lang, k.n_bigrams, k.avg_surprisal
+      |       FROM knscored k JOIN documents d USING (doc_id)),
+      |hist AS (SELECT lang, avg_surprisal AS sc, count(*) AS n
+      |         FROM lg GROUP BY 1, 2),
+      |cum AS (SELECT lang, sc,
+      |          sum(n) OVER (PARTITION BY lang ORDER BY sc) AS cum
+      |        FROM hist),
+      |tot AS (SELECT lang, sum(n) AS total FROM hist GROUP BY 1),
+      |c1 AS (SELECT c.lang, min(c.sc) AS cut1
+      |       FROM cum c JOIN tot t USING (lang)
+      |       WHERE c.cum >= ceil(t.total / 3.0) GROUP BY 1),
+      |c2 AS (SELECT c.lang, min(c.sc) AS cut2
+      |       FROM cum c JOIN tot t USING (lang)
+      |       WHERE c.cum >= ceil(t.total * 2.0 / 3.0) GROUP BY 1)
+      |SELECT lg.doc_id, lg.lang, lg.n_bigrams, lg.avg_surprisal,
+      |       CASE WHEN lg.avg_surprisal <= c1.cut1 THEN 'head'
+      |            WHEN lg.avg_surprisal <= c2.cut2 THEN 'middle'
+      |            ELSE 'tail' END AS bucket,
+      |       lg.avg_surprisal <= c2.cut2 AS keep
+      |FROM lg JOIN c1 USING (lang) JOIN c2 USING (lang)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    TextAnalysis.perplexityBuckets(docs, "text", "doc_id", "lang",
       refCorpus = Some(docs.where(col("doc_id") % 2 === 0)))
       .orderBy("doc_id")
   }
@@ -2961,6 +3008,66 @@ private[graft] trait TextQueries extends RegistryBase {
       hosts.select(col("host"), body.as("body")), "host", "body")
     WebOps.robotsVerdict(u, "doc_id", "host", "path", rules,
       knownSmall = true).orderBy("doc_id")
+  }
+
+  // robots.txt non-path surface — per-host Crawl-delay (star sections
+  // only, minimum across values, non-numeric dropped via null-safe
+  // cast, other agents' delays ignored) and Sitemap URLs (GLOBAL per
+  // the sitemaps protocol — collected from anywhere in the file,
+  // sorted). Even hosts declare a fractional delay; odd hosts only the
+  // unparseable one (-> null); a root sitemap sits BEFORE any section
+  // and a second one inside the star section.
+  register(
+    "t90b_robots_extras",
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'site' || ((doc_id % 150) % 7) || '.com' AS host,
+      |    '/p/' || (doc_id % 150) AS path
+      |  FROM documents),
+      |hosts AS (SELECT DISTINCT host,
+      |            CAST(regexp_extract(host, 'site([0-9]+)', 1) AS BIGINT) AS kk
+      |          FROM u),
+      |rb AS (SELECT host,
+      |    '# policy' || chr(10) ||
+      |    'Sitemap: https://' || host || '/sm-root.xml' || chr(10) ||
+      |    'User-agent: megabot' || chr(10) ||
+      |    'Crawl-delay: 99' || chr(10) || chr(10) ||
+      |    'User-agent: *' || chr(10) ||
+      |    'Disallow: /p/' || kk ||
+      |    CASE WHEN kk % 2 = 0
+      |         THEN chr(10) || 'Crawl-delay: ' || kk || '.5' ELSE '' END ||
+      |    chr(10) || 'Crawl-delay: abc' || chr(10) ||
+      |    'Sitemap: https://' || host || '/sm-' || kk || '.xml' AS body
+      |  FROM hosts),
+      |""".stripMargin + robotsRulesSql + """,
+      |cd AS (SELECT sec.host, min(TRY_CAST(sec.val AS DOUBLE)) AS crawl_delay
+      |       FROM sec JOIN star USING (host, s)
+      |       WHERE sec.dir = 'crawl-delay' AND length(sec.val) > 0
+      |       GROUP BY 1),
+      |sm AS (SELECT host, count(*) AS n,
+      |         array_to_string(list_sort(list(val)), ',') AS sitemaps
+      |       FROM lx WHERE dir = 'sitemap' AND length(val) > 0 GROUP BY 1)
+      |SELECT h.host, cd.crawl_delay,
+      |       CAST(coalesce(sm.n, 0) AS BIGINT) AS n_sitemaps,
+      |       coalesce(sm.sitemaps, '') AS sitemaps
+      |FROM hosts h LEFT JOIN cd USING (host) LEFT JOIN sm USING (host)
+      |ORDER BY host""".stripMargin) { (s, dir) =>
+    val u = t(s, dir, "documents").select(
+      concat(lit("site"), (col("doc_id") % 150) % 7, lit(".com")).as("host"))
+    val hosts = u.select(col("host"),
+        regexp_extract(col("host"), "site([0-9]+)", 1).cast("long").as("kk"))
+      .distinct()
+    val body = concat(
+      lit("# policy\nSitemap: https://"), col("host"),
+      lit("/sm-root.xml\nUser-agent: megabot\nCrawl-delay: 99\n\n" +
+        "User-agent: *\nDisallow: /p/"), col("kk"),
+      when(col("kk") % 2 === 0,
+        concat(lit("\nCrawl-delay: "), col("kk"), lit(".5")))
+        .otherwise(lit("")),
+      lit("\nCrawl-delay: abc\nSitemap: https://"), col("host"),
+      lit("/sm-"), col("kk"), lit(".xml"))
+    WebOps.robotsExtras(hosts.select(col("host"), body.as("body")),
+      "host", "body").orderBy("host")
   }
 
   // HTML metadata extraction — title / meta description / canonical URL

@@ -440,6 +440,19 @@ class PlanSpec extends AnyFunSuite {
       "KN distinct-bigram total must ride a one-row broadcast")
     assert(!p74.contains("CartesianProduct"), "KN: cartesian in plan")
     assert(!p74.contains("UDF"), "KN: UDF in plan")
+    // CCNet perplexity buckets: the tertile order statistic runs over the
+    // per-lang score HISTOGRAM (t26 rule), cutoff tables broadcast back,
+    // document text never enters an exchange
+    val p102 = plan("t102_ccnet_perplexity")
+    assert(p102.contains("partial"), "ccnet: histogram must pre-combine")
+    assert(p102.contains("BroadcastHashJoin"),
+      "ccnet: per-lang cutoffs must broadcast")
+    assert(!p102.matches("(?s).*Exchange[^\\n]*\\n[^\\n]*text#.*"),
+      "ccnet: document text entered a shuffle")
+    p102.split("\n").filter(_.contains("windowspecdefinition")).foreach { ln =>
+      assert(ln.contains("lang"), s"ccnet: window not lang-keyed: $ln")
+    }
+    assert(!p102.contains("UDF"), "ccnet: UDF in plan")
     val p24 = plan("t24_vocab_drift")
     assert(p24.contains("partial"), "cohort freq aggs must pre-combine")
     assert(p24.contains("BroadcastNestedLoopJoin"),
@@ -754,6 +767,12 @@ class PlanSpec extends AnyFunSuite {
       "t90: the per-host rule table must broadcast to the URLs")
     p90.split("\n").filter(_.contains("windowspecdefinition")).foreach { ln =>
       assert(ln.contains("host"), s"t90: robots window not keyed by host: $ln")
+    }
+    val p90b = plan("t90b_robots_extras")
+    assert(!p90b.contains("UDF") && !p90b.contains("CartesianProduct"),
+      "t90b: UDF/cartesian in plan")
+    p90b.split("\n").filter(_.contains("windowspecdefinition")).foreach { ln =>
+      assert(ln.contains("host"), s"t90b: robots window not keyed by host: $ln")
     }
     // metadata + IBAN + readability + fences + ld+json + script-aware
     // tokens are pure scan-side projections/generators: the only
