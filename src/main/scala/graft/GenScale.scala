@@ -38,6 +38,13 @@ object GenScale {
     spark.sparkContext.setLogLevel("WARN")
     val src = spark.read.parquet(s"$srcDir/documents.parquet")
     val n = src.count()
+    // the pmod(id, n) base join assumes DENSE doc_ids 0..n-1 — a sparse
+    // or duplicated id space would silently shrink/inflate the output
+    // and skew every scaling ratio derived from it
+    val s0 = src.agg(min(col("doc_id")), max(col("doc_id"))).head
+    require(s0.getLong(0) == 0L && s0.getLong(1) == n - 1,
+      s"source doc_ids must be dense 0..${n - 1}: " +
+        s"got [${s0.getLong(0)}, ${s0.getLong(1)}] over $n rows")
     val vocab = src
       .select(explode(split(col("text"), " ")).as("w"))
       .where(col("w") =!= "").distinct().orderBy("w")
@@ -63,8 +70,12 @@ object GenScale {
       .withColumn("n_chars", length(col("text")))
     out.repartition(8).write.mode("overwrite")
       .parquet(s"$outDir/documents.parquet")
-    println(s"[genscale] wrote ${n * factor} docs (${vocab.length}-word " +
-      s"vocab, factor $factor) to $outDir/documents.parquet")
+    val written = spark.read.parquet(s"$outDir/documents.parquet").count()
+    require(written == n * factor,
+      s"expected ${n * factor} rows, wrote $written")
+    println(s"[genscale] wrote $written docs (${vocab.length}-word " +
+      s"vocab x$variants variants, factor $factor) to " +
+      s"$outDir/documents.parquet")
     spark.stop()
   }
 }

@@ -200,8 +200,12 @@ object StreamBench {
     // content reuse via the shared seed (exact dedup)
     val jtStops = Seq("the", "a", "of", "and", "to", "in")
     import spark.implicits._
-    val webRules = (Seq(("site0.com", false, "/p/*7$")) ++
-      (0 until 5).map(k => (s"site$k.com", false, s"/p/$k$k$k")))
+    // host = site(pg%5).com, path = /p/pg — a page ending in 7 is ≡ 7
+    // (mod 10) so pg%5 == 2: the live wildcard rule must sit on
+    // site2.com to ever fire; the literal /p/kkk prefixes fire on pages
+    // starting with kkk (k>=1 — a numeric page can never start with 0)
+    val webRules = (Seq(("site2.com", false, "/p/*7$")) ++
+      (1 to 4).map(k => (s"site$k.com", false, s"/p/$k$k$k")))
       .toDF("host", "allow", "path")
     val pg = when(col("value") % 10 === 0, pmod(col("value"), lit(997L)))
       .otherwise(col("value"))

@@ -231,7 +231,12 @@ private[graft] object BatchStore {
     candidates.foreach { case (_, p) =>
       try fs.delete(new Path(p), true) catch { case _: java.io.IOException => }
     }
-    superseded.foreach { id =>
+    // prune superseded marker FILES — including transitively folded
+    // consolidated ids, whose markers a prior crash (or swallowed
+    // delete failure) may have orphaned: without the transitive sweep
+    // an orphan has no partition, is never a candidate again, and
+    // would be re-read by readMarkers forever
+    (superseded ++ transitive.filter(_ < 0)).distinct.foreach { id =>
       try fs.delete(new Path(s"$markersDir/$id"), false)
       catch { case _: java.io.IOException => }
     }

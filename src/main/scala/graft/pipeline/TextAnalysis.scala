@@ -2052,7 +2052,7 @@ object TextAnalysis {
   /** Drop `<script>`/`<style>` bodies — two passes, one tag each: RE2
     * (the oracle engine) has no backreferences, so `</(script|style)>`
     * cross-matching is avoided by construction rather than by a backref. */
-  private def stripScriptStyle(c: Column): Column =
+  private[pipeline] def stripScriptStyle(c: Column): Column =
     Seq("script", "style").foldLeft(c) { (acc, tag) =>
       regexp_replace(acc, s"(?is)<$tag(\\s[^>]*)?>.*?</$tag>", "")
     }
@@ -2691,6 +2691,9 @@ object TextAnalysis {
       langCol: String, refCorpus: Option[DataFrame] = None,
       refTextCol: String = "text"): DataFrame = {
     val scored = knSurprisal(docs, textCol, idCol, refCorpus, refTextCol)
+    // the lang lookup is a second read of `docs`, but column pruning
+    // reaches the scan: a parquet source reads only (id, lang) here —
+    // no second pass over the text bytes
     val lg = scored.join(
       docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")),
       Seq("doc_id"))

@@ -172,8 +172,11 @@ object WebOps {
         col(pathCol).as("__p"))
       .join(side, Seq("host"), "left")
       .groupBy("__id", "host", "__p")
+      // specificity in OCTETS (RFC 9309 §2.2.2 counts octets, not
+      // characters — they diverge on non-ASCII rule paths)
       .agg(max(when(col("path").isNotNull && hit,
-        struct(length(col("path")).as("l"), col("allow").as("a")))).as("__m"))
+        struct(octet_length(col("path")).as("l"), col("allow").as("a"))))
+        .as("__m"))
     matched.select(col("__id").as(idCol), col("host"), col("__p").as(pathCol),
       coalesce(col("__m.a"), lit(true)).as("allowed"),
       coalesce(col("__m.l"), lit(0)).cast(LongType).as("rule_len"))
@@ -286,7 +289,9 @@ object WebOps {
     * title (the cheap "404" probe, anchored so "Post 404 review" stays
     * clean), `word` = word-boundary match anywhere in the lowered title,
     * `phrase` = substring anywhere in the lowered (title + `leadChars`
-    * of visible text) probe. Remaining false-positive surface
+    * of visible text) probe. `<script>`/`<style>` bodies strip before
+    * the probe (inline JS/CSS neither consumes the lead budget nor
+    * false-positives via string literals). Remaining false-positive surface
     * (documented): a `phrase` pattern still matches prose in the lead
     * ("the file was not found" trips "not found") — keep `phrase` packs
     * to unambiguous error boilerplate and anchor everything else.
@@ -307,31 +312,40 @@ object WebOps {
       require(BatchStore.fitsBroadcast(patterns),
         "soft404 pattern pack exceeds the broadcast cap — use " +
           "blocklistFilter (Aho-Corasick) for corpus-scale phrase lists")
+    // regex-escape a pattern literal (RE2-safe class, mirrored in the
+    // oracle) so config text never injects regex syntax; escapes and
+    // anchors build ONCE in the packed config row, never per (doc,
+    // pattern) pair — anchored title patterns ride as (pattern, regex)
+    // structs so the hit report keeps the raw pattern
+    def esc(p: Column): Column =
+      regexp_replace(p, "([.^$|()\\[\\]{}+?*\\\\])", "\\\\$1")
+    def rxPair(anchor: String, prefix: String, suffix: String): Column =
+      sort_array(collect_list(when(lower(col("anchor")) === anchor,
+        struct(lower(col("pattern")).as("p"),
+          concat(lit(prefix), esc(lower(col("pattern"))), lit(suffix))
+            .as("r")))))
     val packed = patterns.agg(
-      sort_array(collect_list(when(lower(col("anchor")) === "start",
-        lower(col("pattern"))))).as("__sp"),
-      sort_array(collect_list(when(lower(col("anchor")) === "word",
-        lower(col("pattern"))))).as("__wp"),
+      rxPair("start", "^", "\\b").as("__sp"),
+      rxPair("word", "\\b", "\\b").as("__wp"),
       sort_array(collect_list(when(lower(col("anchor")) === "phrase",
         lower(col("pattern"))))).as("__pp"))
-    val h = col(htmlCol)
+    // script/style bodies strip FIRST (the htmlExtract/justext rule):
+    // inline JS/CSS must neither consume the lead-probe budget nor
+    // false-positive via string literals
+    val h = TextAnalysis.stripScriptStyle(col(htmlCol))
     val title = regexp_replace(
       trim(regexp_extract(h, "(?is)<title[^>]*>(.*?)</title>", 1)),
       "\\s+", " ")
     val visible = trim(regexp_replace(
       regexp_replace(h, "<[^>]*>", " "), "\\s+", " "))
-    // regex-escape a pattern literal (RE2-safe class, mirrored in the
-    // oracle) so config text never injects regex syntax
-    def esc(p: Column): Column =
-      regexp_replace(p, "([.^$|()\\[\\]{}+?*\\\\])", "\\\\$1")
     val titleL = lower(title)
     val probe = concat(titleL, lit(" | "),
       lower(substring(visible, 1, leadChars)))
+    def titleHits(arr: Column): Column = transform(
+      filter(arr, e => regexp_like(titleL, e.getField("r"))),
+      _.getField("p"))
     val hits = sort_array(array_distinct(concat(
-      filter(col("__sp"), p =>
-        regexp_like(titleL, concat(lit("^"), esc(p), lit("\\b")))),
-      filter(col("__wp"), p =>
-        regexp_like(titleL, concat(lit("\\b"), esc(p), lit("\\b")))),
+      titleHits(col("__sp")), titleHits(col("__wp")),
       filter(col("__pp"), p => probe.contains(p)))))
     docs.crossJoin(broadcast(packed))
       .select(col(idCol).as("doc_id"), title.as("title"),

@@ -746,7 +746,7 @@ private[graft] trait PipelineQueries extends RegistryBase {
       |         regexp_extract(canon, '(site[0-9]+\.com)', 1) AS host,
       |         regexp_extract(canon, '\.com(/p/[0-9]+)', 1) AS upath
       |       FROM u),
-      |rcand AS (SELECT up.doc_id, r.allow, length(r.rpath) AS rl
+      |rcand AS (SELECT up.doc_id, r.allow, strlen(r.rpath) AS rl
       |          FROM up LEFT JOIN rules r
       |            ON r.host = up.host AND starts_with(up.upath, r.rpath)),
       |rbest AS (SELECT *, row_number() OVER (PARTITION BY doc_id

@@ -2982,7 +2982,7 @@ private[graft] trait TextQueries extends RegistryBase {
       |    'Disallow: /p/9$' AS body
       |  FROM hosts),
       |""".stripMargin + robotsRulesSql + """,
-      |cand AS (SELECT u.doc_id, u.host, u.path, r.allow, length(r.rpath) AS rl
+      |cand AS (SELECT u.doc_id, u.host, u.path, r.allow, strlen(r.rpath) AS rl
       |         FROM u LEFT JOIN rules r
       |           ON r.host = u.host AND
       |""".stripMargin + robotsMatchSql("u.path", "r.rpath") + """),
@@ -3674,7 +3674,9 @@ private[graft] trait TextQueries extends RegistryBase {
   // retrospective" review stays clean — the false-positive the bare
   // substring probe had), `word` = word-boundary in the title, `phrase`
   // = substring in the (title + lead) probe. Residues plant the
-  // 404-as-word healthy page, a classic 404 title, an access-denied
+  // 404-as-word healthy page (whose inline <script> literal says "page
+  // not found" — script bodies strip before the probe, so it must stay
+  // clean), a classic 404 title, an access-denied
   // page (body 'forbidden' must NOT hit the title-anchored pattern), a
   // Spanish error page (the non-English pack), and a title-less
   // body-only error; t75 blocklist shape, hash-proven.
@@ -3683,7 +3685,8 @@ private[graft] trait TextQueries extends RegistryBase {
     """WITH pg AS (
       |  SELECT doc_id,
       |    CASE CAST(doc_id % 5 AS INT)
-      |      WHEN 0 THEN '<html><head><title>Post ' || doc_id || ' 404 retrospective</title></head><body><p>'
+      |      WHEN 0 THEN '<html><head><title>Post ' || doc_id || ' 404 retrospective</title></head><body>'
+      |        || '<script>var e="page not found";</script><p>'
       |        || text || '</p></body></html>'
       |      WHEN 1 THEN '<html><head><title>404 Page Not Found</title></head>'
       |        || '<body>The page you requested was not found.</body></html>'
@@ -3705,7 +3708,11 @@ private[graft] trait TextQueries extends RegistryBase {
       |    lower(regexp_replace(trim(regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1)), '\s+', ' ', 'g')
       |      || ' | '
       |      || substr(trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')), 1, 200)) AS probe
-      |  FROM pg),
+      |  FROM (SELECT doc_id,
+      |          regexp_replace(regexp_replace(pg.html,
+      |            '(?is)<script(\s[^>]*)?>.*?</script>', '', 'g'),
+      |            '(?is)<style(\s[^>]*)?>.*?</style>', '', 'g') AS html
+      |        FROM pg)),
       |m AS (
       |  SELECT x.doc_id, p.pattern
       |  FROM x JOIN pats p ON
@@ -3729,7 +3736,8 @@ private[graft] trait TextQueries extends RegistryBase {
     val pages = t(s, dir, "documents").select(col("doc_id"),
       when(col("doc_id") % 5 === 0, concat(
         lit("<html><head><title>Post "), col("doc_id"),
-        lit(" 404 retrospective</title></head><body><p>"), col("text"),
+        lit(" 404 retrospective</title></head><body>" +
+          "<script>var e=\"page not found\";</script><p>"), col("text"),
         lit("</p></body></html>")))
         .when(col("doc_id") % 5 === 1, lit(
           "<html><head><title>404 Page Not Found</title></head>" +
