@@ -13,7 +13,7 @@ import graft.rules._
 import graft.alerts.{AlertMerger, MergeInputAlert, Publishers}
 import graft.sources.Sources
 import graft.history.{HistoricalSink, RulePromotion, ScheduledQueries}
-import graft.pipeline.{Dedup, Eval, Multimodal, Preference, Similarity, Sketches, TextAnalysis, WebOps}
+import graft.pipeline.{Dedup, Eval, Graphs, Multimodal, Preference, Similarity, Sketches, TextAnalysis, WebOps}
 
 /** End-to-end curation composites and multimodal rows: corpus
   * curation, split leakage, warehouse loop, entity resolution,
@@ -896,6 +896,113 @@ private[graft] trait PipelineQueries extends RegistryBase {
         .groupBy(concat(lit("6_split_"), col("split")).as("stage"))
         .agg(count(lit(1)).cast("long").as("n_docs")))
       .orderBy("stage")
+  }
+
+  // Host link graph + PageRank — the domain-authority tier beside t96's
+  // Bayesian trust: hrefs extract scan-side from page HTML, resolve to
+  // target hosts (relative/mailto links and SELF-links drop — intra-site
+  // navigation is not authority), the (src_host, dst_host, weight) edge
+  // list pre-combines, and 3 unrolled integer-exact PageRank iterations
+  // (the q31 algebra: rank·w div outw mass passing, 15/85 teleport, all
+  // in parts-per-1e9) rank the hosts. Residues make every doc link its
+  // successor host and a 3x+2 rotation (self for doc%7==6 — dropped),
+  // with every 5th doc adding a site0 hub link, so in-weights differ per
+  // host and the ranking is non-trivial. Hash oracle over (host,
+  // out_hosts, in_hosts, rank_e9).
+  register(
+    "p13_host_pagerank",
+    """WITH pg AS (
+      |  SELECT doc_id, 'site' || (doc_id % 7) || '.com' AS src,
+      |    '<html><body>'
+      |    || '<a href="https://site' || ((doc_id + 1) % 7) || '.com/p/' || doc_id || '">next</a>'
+      |    || '<a href="https://site' || ((doc_id * 3 + 2) % 7) || '.com/x">rot</a>'
+      |    || CASE WHEN doc_id % 5 = 0
+      |            THEN '<a href="https://site0.com/">hub</a>' ELSE '' END
+      |    || '<a href="https://site' || (doc_id % 7) || '.com/self">self</a>'
+      |    || '<a href="/local">rel</a><a href="mailto:x@y.z">m</a>'
+      |    || '</body></html>' AS html
+      |  FROM documents),
+      |hr AS (SELECT doc_id, src,
+      |         unnest(regexp_extract_all(html,
+      |           '(?is)<a\s[^>]*href\s*=\s*["'']([^"'']+)["'']', 1)) AS href
+      |       FROM pg),
+      |e AS (SELECT src, regexp_extract(href, '^https?://([^/]+)', 1) AS dst,
+      |        CAST(count(*) AS BIGINT) AS w
+      |      FROM hr
+      |      WHERE length(regexp_extract(href, '^https?://([^/]+)', 1)) > 0
+      |        AND regexp_extract(href, '^https?://([^/]+)', 1) != src
+      |      GROUP BY 1, 2),
+      |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |nn AS (SELECT count(*) AS n FROM nodes),
+      |ow AS (SELECT src, sum(w) AS outw FROM e GROUP BY src),
+      |r0 AS (SELECT node, 1000000000 // (SELECT n FROM nn) AS rank
+      |       FROM nodes),
+      |r1 AS (SELECT nodes.node,
+      |         (15 * (1000000000 // (SELECT n FROM nn))) // 100 +
+      |         (85 * coalesce(m.s, 0)) // 100 AS rank
+      |       FROM nodes LEFT JOIN (
+      |         SELECT e.dst AS node, sum((r0.rank * e.w) // ow.outw) AS s
+      |         FROM e JOIN ow ON e.src = ow.src
+      |                JOIN r0 ON r0.node = e.src
+      |         GROUP BY e.dst) m ON m.node = nodes.node),
+      |r2 AS (SELECT nodes.node,
+      |         (15 * (1000000000 // (SELECT n FROM nn))) // 100 +
+      |         (85 * coalesce(m.s, 0)) // 100 AS rank
+      |       FROM nodes LEFT JOIN (
+      |         SELECT e.dst AS node, sum((r1.rank * e.w) // ow.outw) AS s
+      |         FROM e JOIN ow ON e.src = ow.src
+      |                JOIN r1 ON r1.node = e.src
+      |         GROUP BY e.dst) m ON m.node = nodes.node),
+      |r3 AS (SELECT nodes.node,
+      |         (15 * (1000000000 // (SELECT n FROM nn))) // 100 +
+      |         (85 * coalesce(m.s, 0)) // 100 AS rank
+      |       FROM nodes LEFT JOIN (
+      |         SELECT e.dst AS node, sum((r2.rank * e.w) // ow.outw) AS s
+      |         FROM e JOIN ow ON e.src = ow.src
+      |                JOIN r2 ON r2.node = e.src
+      |         GROUP BY e.dst) m ON m.node = nodes.node),
+      |od AS (SELECT src AS node, CAST(count(DISTINCT dst) AS BIGINT) AS out_hosts
+      |       FROM e GROUP BY 1),
+      |id2 AS (SELECT dst AS node, CAST(count(DISTINCT src) AS BIGINT) AS in_hosts
+      |        FROM e GROUP BY 1)
+      |SELECT r3.node AS host,
+      |       coalesce(od.out_hosts, 0) AS out_hosts,
+      |       coalesce(id2.in_hosts, 0) AS in_hosts,
+      |       CAST(r3.rank AS BIGINT) AS rank_e9
+      |FROM r3 LEFT JOIN od USING (node) LEFT JOIN id2 USING (node)
+      |ORDER BY host""".stripMargin) { (s, dir) =>
+    val pg = t(s, dir, "documents").select(col("doc_id"),
+      concat(lit("site"), col("doc_id") % 7, lit(".com")).as("src"),
+      concat(
+        lit("<html><body><a href=\"https://site"), (col("doc_id") + 1) % 7,
+        lit(".com/p/"), col("doc_id"),
+        lit("\">next</a><a href=\"https://site"), (col("doc_id") * 3 + 2) % 7,
+        lit(".com/x\">rot</a>"),
+        when(col("doc_id") % 5 === 0,
+          lit("<a href=\"https://site0.com/\">hub</a>")).otherwise(lit("")),
+        lit("<a href=\"https://site"), col("doc_id") % 7,
+        lit(".com/self\">self</a>" +
+          "<a href=\"/local\">rel</a><a href=\"mailto:x@y.z\">m</a>" +
+          "</body></html>")).as("html"))
+    val dstOf = regexp_extract(col("href"), "^https?://([^/]+)", 1)
+    val edges = pg.select(col("src"),
+        explode(regexp_extract_all(col("html"),
+          lit("(?is)<a\\s[^>]*href\\s*=\\s*[\"']([^\"']+)[\"']"),
+          lit(1))).as("href"))
+      .select(col("src"), dstOf.as("dst"))
+      .where(length(col("dst")) > 0 && col("dst") =!= col("src"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val ranks = Graphs.pagerank(edges, iters = 3)
+    val outd = edges.groupBy(col("src").as("node"))
+      .agg(countDistinct(col("dst")).as("out_hosts"))
+    val ind = edges.groupBy(col("dst").as("node"))
+      .agg(countDistinct(col("src")).as("in_hosts"))
+    ranks.join(outd, Seq("node"), "left").join(ind, Seq("node"), "left")
+      .select(col("node").as("host"),
+        coalesce(col("out_hosts"), lit(0L)).as("out_hosts"),
+        coalesce(col("in_hosts"), lit(0L)).as("in_hosts"),
+        col("rank").cast(LongType).as("rank_e9"))
+      .orderBy("host")
   }
 
   private case class WebStages(parsed: DataFrame, u: DataFrame,

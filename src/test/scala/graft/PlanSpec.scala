@@ -630,6 +630,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
       "pagerank output must read the checkpointed round, not replay lineage")
     assert(!p.contains("UDF") && !p.contains("BatchEvalPython"), "UDF in plan")
+    // host link graph: same invariants, plus page HTML must never enter
+    // an exchange (edges pre-combine to skinny host rows scan-side)
+    val p13 = plan("p13_host_pagerank")
+    assert(p13.contains("Scan ExistingRDD") || p13.contains("LocalTableScan"),
+      "p13 output must read the checkpointed round, not replay lineage")
+    assert(!p13.contains("UDF") && !p13.contains("CartesianProduct"))
+    p13.split("\n").filter(_.contains("Exchange hashpartitioning")).foreach {
+      ln => assert(!ln.contains("html#"), s"p13: html entered a shuffle: $ln")
+    }
   }
 
   test("r10 wave-2: proration one exchange for four windows, folds/transforms UDF-free") {
