@@ -2675,6 +2675,46 @@ object TextAnalysis {
         .as("effective_tokens"))
   }
 
+  /** HTML table extraction — the table-corpus miner of a web pipeline
+    * (tables feed QA/structured-training corpora and are MANGLED by
+    * plain text extraction, which collapses cells into word soup):
+    * every `<table>` becomes rows of (doc_id, table_idx, row_idx,
+    * col_idx, is_header, cell) with cell text tag-stripped, entity-
+    * decoded, and whitespace-collapsed. Header flags come from the tag
+    * NAME (`<th>` vs `<td>`), captured by a second positionally-zipped
+    * extract (the t97 fence-miner pattern — RE2 has one group per
+    * extract_all). Documented leniency (regex, not a tree parser):
+    * bodies are lazy-first-close, so a NESTED table truncates its outer
+    * table at the inner `</table>`, and a `<td>` closed by `</th>`
+    * still matches (`</t[dh]>` — RE2-safe, no backreference). Scan-side
+    * explode chain; only (ids, cell) rows shuffle for the output sort. */
+  def htmlTables(docs: DataFrame, htmlCol: String,
+      idCol: String): DataFrame = {
+    val tables = docs.select(col(idCol).as("doc_id"),
+      posexplode(regexp_extract_all(col(htmlCol),
+        lit("(?is)<table[^>]*>(.*?)</table>"), lit(1)))
+        .as(Seq("table_idx", "__t")))
+    val rows = tables.select(col("doc_id"), col("table_idx"),
+      posexplode(regexp_extract_all(col("__t"),
+        lit("(?is)<tr[^>]*>(.*?)</tr>"), lit(1))).as(Seq("row_idx", "__r")))
+    val cellPat = "(?is)<t([dh])[^>]*>.*?</t[dh]>"
+    val bodyPat = "(?is)<t[dh][^>]*>(.*?)</t[dh]>"
+    rows.select(col("doc_id"), col("table_idx"), col("row_idx"),
+        posexplode(zip_with(
+          regexp_extract_all(col("__r"), lit(cellPat), lit(1)),
+          regexp_extract_all(col("__r"), lit(bodyPat), lit(1)),
+          (t, b) => struct(t.as("tag"), b.as("body"))))
+          .as(Seq("col_idx", "__c")))
+      .select(col("doc_id"),
+        col("table_idx").cast(LongType).as("table_idx"),
+        col("row_idx").cast(LongType).as("row_idx"),
+        col("col_idx").cast(LongType).as("col_idx"),
+        (lower(col("__c.tag")) === "h").as("is_header"),
+        regexp_replace(trim(decodeEntities(
+          regexp_replace(col("__c.body"), "<[^>]*>", ""))), "\\s+", " ")
+          .as("cell"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020) — the
     * LM-quality tier of a web-corpus build: score every document with
     * the interpolated Kneser–Ney bigram LM ([[knSurprisal]], trained on

@@ -3666,6 +3666,63 @@ private[graft] trait TextQueries extends RegistryBase {
       .orderBy("doc_id")
   }
 
+  // HTML table extraction — the table-corpus miner (plain text
+  // extraction collapses tables into word soup): every <table> explodes
+  // into (doc_id, table_idx, row_idx, col_idx, is_header, cell) with
+  // tag-stripped entity-decoded whitespace-collapsed cell text; header
+  // flags from the tag name via the positionally-zipped second extract
+  // (t97 pattern). Residues: header+data table with entities and inline
+  // tags, a two-table page, the nested-table lazy-truncation edge
+  // (documented regex semantics, identical in RE2), and a table-free
+  // page that emits nothing. Hash-proven per cell.
+  register(
+    "t103_html_tables",
+    s"""WITH pg AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN '<p>intro</p><table class="x"><tr><th>Name</th><th>Qty &amp; Price</th></tr>'
+      |        || '<tr><td>item ' || doc_id || '</td><td><b>5</b> x 3</td></tr></table>'
+      |      WHEN 1 THEN '<table><tr><td>a ' || doc_id || '</td><td>b</td></tr></table>'
+      |        || '<p>between</p><table><tr><td>c</td></tr></table>'
+      |      WHEN 2 THEN '<table><tr><td>outer<table><tr><td>inner</td></tr></table></td></tr></table>'
+      |      ELSE '<p>no tables here ' || doc_id || '</p>' END AS html
+      |  FROM documents),
+      |tb AS (SELECT doc_id,
+      |         CAST(generate_subscripts(regexp_extract_all(html, '(?is)<table[^>]*>(.*?)</table>', 1), 1) - 1 AS BIGINT) AS table_idx,
+      |         unnest(regexp_extract_all(html, '(?is)<table[^>]*>(.*?)</table>', 1)) AS t
+      |       FROM pg),
+      |rw AS (SELECT doc_id, table_idx,
+      |         CAST(generate_subscripts(regexp_extract_all(t, '(?is)<tr[^>]*>(.*?)</tr>', 1), 1) - 1 AS BIGINT) AS row_idx,
+      |         unnest(regexp_extract_all(t, '(?is)<tr[^>]*>(.*?)</tr>', 1)) AS r
+      |       FROM tb),
+      |cl AS (SELECT doc_id, table_idx, row_idx,
+      |         CAST(generate_subscripts(regexp_extract_all(r, '(?is)<t([dh])[^>]*>.*?</t[dh]>', 1), 1) - 1 AS BIGINT) AS col_idx,
+      |         unnest(regexp_extract_all(r, '(?is)<t([dh])[^>]*>.*?</t[dh]>', 1)) AS tag,
+      |         unnest(regexp_extract_all(r, '(?is)<t[dh][^>]*>(.*?)</t[dh]>', 1)) AS body
+      |       FROM rw)
+      |SELECT doc_id, table_idx, row_idx, col_idx,
+      |       lower(tag) = 'h' AS is_header,
+      |       regexp_replace(trim(${TextAnalysis.entityDecodeSql("regexp_replace(body, '<[^>]*>', '', 'g')")}), '\\s+', ' ', 'g') AS cell
+      |FROM cl ORDER BY doc_id, table_idx, row_idx, col_idx""".stripMargin) {
+    (s, dir) =>
+    val pages = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 4 === 0, concat(
+        lit("<p>intro</p><table class=\"x\"><tr><th>Name</th>" +
+          "<th>Qty &amp; Price</th></tr><tr><td>item "), col("doc_id"),
+        lit("</td><td><b>5</b> x 3</td></tr></table>")))
+        .when(col("doc_id") % 4 === 1, concat(
+          lit("<table><tr><td>a "), col("doc_id"),
+          lit("</td><td>b</td></tr></table><p>between</p>" +
+            "<table><tr><td>c</td></tr></table>")))
+        .when(col("doc_id") % 4 === 2, lit(
+          "<table><tr><td>outer<table><tr><td>inner</td></tr>" +
+            "</table></td></tr></table>"))
+        .otherwise(concat(lit("<p>no tables here "), col("doc_id"),
+          lit("</p>"))).as("html"))
+    TextAnalysis.htmlTables(pages, "html", "doc_id")
+      .orderBy("doc_id", "table_idx", "row_idx", "col_idx")
+  }
+
   // Soft-404 detection — HTTP-200 error pages (not-found, access-denied,
   // login walls) poison a corpus because every quality gate sees short
   // clean prose. Patterns come from a CONFIG TABLE (the default pack +
