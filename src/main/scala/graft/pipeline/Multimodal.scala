@@ -137,6 +137,50 @@ object Multimodal {
       col("meta.duration_ms").as("duration_ms"),
       col("meta.codec").as("codec")))
 
+  /** Image dimension probe over opaque binary columns WITHOUT a codec —
+    * real byte parsing, not a stub: container formats put dimensions at
+    * spec-fixed offsets, so a corpus triage pass (drop icons, bucket by
+    * aspect ratio, route oversized scans) never needs to decode pixels.
+    *
+    *  - PNG (every standards-conformant file): width/height are the
+    *    big-endian u32 pairs at bytes 17–24, right after the 8-byte
+    *    magic and the IHDR chunk header — exact.
+    *  - JPEG: the first ALIGNED SOF0/SOF2 marker's height/width u16s.
+    *    Alignment rides the hex encoding: `^(?:..)*?FFC[02]` forces the
+    *    marker onto a byte boundary and lazy-scans to the first hit
+    *    (identical leftmost semantics in java.util.regex and RE2), so a
+    *    stray odd-offset FFC0 byte-pair in metadata never misparses.
+    *    Documented leniency: a crafted ALIGNED FFC0 inside an APPn
+    *    segment would win — a real parser walks segment lengths; this
+    *    stays one scan-side expression.
+    *
+    * Bytes parse via their hex encoding (conv(hex, 16, 10) here, the
+    * `'0x' || hex` cast in DuckDB — the mm_scene_changes precedent), so
+    * the binary plumbing is real end to end while the arithmetic stays
+    * cross-engine exact. Truncated magics yield null dims (valid =
+    * false), unrecognized blobs format 'unknown'. Returns (media_id,
+    * format, n_bytes, width, height, valid). */
+  def imageDims(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val hx = upper(hex(col(binCol)))
+    val isPng = hx.startsWith("89504E470D0A1A0A")
+    val isJpg = hx.startsWith("FFD8FF")
+    val pngOk = isPng && length(hx) >= 48
+    // after the aligned FFC0/FFC2: length u16 (4 hex) + precision u8
+    // (2 hex), then height u16, width u16
+    val jh = regexp_extract(hx, "^(?:..)*?FFC[02]......(....)", 1)
+    val jw = regexp_extract(hx, "^(?:..)*?FFC[02]..........(....)", 1)
+    val width = when(pngOk, conv(substring(hx, 33, 8), 16, 10))
+      .when(isJpg && jw =!= "", conv(jw, 16, 10)).cast(LongType)
+    val height = when(pngOk, conv(substring(hx, 41, 8), 16, 10))
+      .when(isJpg && jh =!= "", conv(jh, 16, 10)).cast(LongType)
+    df.select(col(idCol).as("media_id"),
+      when(isPng, "png").when(isJpg, "jpeg").otherwise("unknown")
+        .as("format"),
+      length(col(binCol)).cast(LongType).as("n_bytes"),
+      width.as("width"), height.as("height"))
+      .withColumn("valid", col("width").isNotNull && col("height").isNotNull)
+  }
+
   /** The mapPartitions decode loop a real codec would use (the Scala
     * analogue of mapInPandas batches): demonstrates the per-partition
     * batching shape with the STUB codec. */

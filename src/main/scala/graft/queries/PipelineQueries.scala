@@ -1284,4 +1284,68 @@ private[graft] trait PipelineQueries extends RegistryBase {
         speechThresholdHex = "c")
       .orderBy("media_id", "seg_start")
   }
+
+  // Image dimension probe — REAL byte parsing over opaque binary, no
+  // codec: PNG width/height at the spec-fixed IHDR offsets (exact for
+  // every conformant file), JPEG via the first ALIGNED SOF0/SOF2 marker
+  // on the hex encoding (the `^(?:..)*?FFC[02]` alignment trick — the
+  // fixture plants an odd-offset FFC0 decoy that must be skipped), a
+  // truncated PNG magic (null dims, valid=false), and a text blob
+  // (format unknown). The Spark side builds genuine binary via unhex;
+  // the oracle computes on the hex string with the '0x' cast.
+  register(
+    "mm_image_dims",
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN '89504E470D0A1A0A0000000D49484452'
+      |        || lpad(hex(100 + doc_id % 900), 8, '0')
+      |        || lpad(hex(50 + doc_id % 500), 8, '0')
+      |        || '08060000001A2B3C4D'
+      |      WHEN 1 THEN 'FFD8FFE000104A464946000101010060006000000FFC01FFC0001108'
+      |        || lpad(hex(240 + doc_id % 480), 4, '0')
+      |        || lpad(hex(320 + doc_id % 640), 4, '0')
+      |        || '03012200021101031101'
+      |      WHEN 2 THEN '89504E470D0A1A0A0000'
+      |      ELSE hex(text) END AS hx
+      |  FROM documents)
+      |SELECT doc_id AS media_id,
+      |  CASE WHEN starts_with(hx, '89504E470D0A1A0A') THEN 'png'
+      |       WHEN starts_with(hx, 'FFD8FF') THEN 'jpeg'
+      |       ELSE 'unknown' END AS format,
+      |  CAST(length(hx) // 2 AS BIGINT) AS n_bytes,
+      |  CASE WHEN starts_with(hx, '89504E470D0A1A0A') AND length(hx) >= 48
+      |         THEN CAST(('0x' || substr(hx, 33, 8)) AS BIGINT)
+      |       WHEN starts_with(hx, 'FFD8FF')
+      |         AND regexp_extract(hx, '^(?:..)*?FFC[02]..........(....)', 1) != ''
+      |         THEN CAST(('0x' || regexp_extract(hx, '^(?:..)*?FFC[02]..........(....)', 1)) AS BIGINT)
+      |       END AS width,
+      |  CASE WHEN starts_with(hx, '89504E470D0A1A0A') AND length(hx) >= 48
+      |         THEN CAST(('0x' || substr(hx, 41, 8)) AS BIGINT)
+      |       WHEN starts_with(hx, 'FFD8FF')
+      |         AND regexp_extract(hx, '^(?:..)*?FFC[02]......(....)', 1) != ''
+      |         THEN CAST(('0x' || regexp_extract(hx, '^(?:..)*?FFC[02]......(....)', 1)) AS BIGINT)
+      |       END AS height,
+      |  CASE WHEN starts_with(hx, '89504E470D0A1A0A') AND length(hx) >= 48
+      |         THEN TRUE
+      |       WHEN starts_with(hx, 'FFD8FF')
+      |         AND regexp_extract(hx, '^(?:..)*?FFC[02]..........(....)', 1) != ''
+      |         THEN TRUE ELSE FALSE END AS valid
+      |FROM b ORDER BY media_id""".stripMargin) { (s, dir) =>
+    val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"),
+      lpad(hex(lit(100) + col("doc_id") % 900), 8, "0"),
+      lpad(hex(lit(50) + col("doc_id") % 500), 8, "0"),
+      lit("08060000001A2B3C4D"))
+    val jpgHex = concat(
+      lit("FFD8FFE000104A464946000101010060006000000FFC01FFC0001108"),
+      lpad(hex(lit(240) + col("doc_id") % 480), 4, "0"),
+      lpad(hex(lit(320) + col("doc_id") % 640), 4, "0"),
+      lit("03012200021101031101"))
+    val blobs = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 4 === 0, unhex(pngHex))
+        .when(col("doc_id") % 4 === 1, unhex(jpgHex))
+        .when(col("doc_id") % 4 === 2, unhex(lit("89504E470D0A1A0A0000")))
+        .otherwise(col("text").cast("binary")).as("blob"))
+    Multimodal.imageDims(blobs, "blob", "doc_id").orderBy("media_id")
+  }
 }
