@@ -354,6 +354,56 @@ object WebOps {
         (size(hits) > 0).as("soft404"))
   }
 
+  /** Sitemap XML parsing — the crawl-frontier feed [[robotsExtras]]'
+    * sitemap URLs point at: every `<url>` entry of a urlset becomes one
+    * (host, url_idx, loc, lastmod, priority) row. `loc` entity-decodes
+    * (sitemap XML escapes `&` as `&amp;` — query-string URLs would
+    * otherwise never join the fetch log); a loc-less entry keeps its
+    * position with loc = '' (total, the htmlMeta rule); `lastmod` stays
+    * a raw string (W3C datetime variants are downstream's parse),
+    * `priority` is a null-safe double. Scan-side explode + extracts;
+    * sitemap files are spec-capped at 50k entries / 50 MB so per-row
+    * work is bounded. */
+  def sitemapUrls(df: DataFrame, hostCol: String,
+      xmlCol: String): DataFrame = {
+    val entries = df.select(col(hostCol).as("host"),
+      posexplode(regexp_extract_all(col(xmlCol),
+        lit("(?is)<url>(.*?)</url>"), lit(1))).as(Seq("url_idx", "__e")))
+    def tagOf(name: String): Column =
+      trim(regexp_extract(col("__e"), s"(?is)<$name>(.*?)</$name>", 1))
+    entries.select(col("host"), col("url_idx").cast(LongType).as("url_idx"),
+      TextAnalysis.decodeEntities(tagOf("loc")).as("loc"),
+      tagOf("lastmod").as("lastmod"),
+      expr("try_cast(regexp_extract(__e, '(?is)<priority>(.*?)</priority>', 1) AS double)")
+        .as("priority"))
+  }
+
+  /** HTTP response-head parsing — the ingest triage between raw fetch
+    * bytes and the HTML pipeline: status line (code + reason), media
+    * type (lowered, parameters stripped), charset parameter
+    * (case-insensitive, quoted or bare — the decode hint), and header
+    * count. Head = everything before the first blank line (CRLF or LF);
+    * a malformed status line yields null status with empty fields,
+    * never an error. Scan-side regexes, zero shuffle. Returns (id,
+    * status, reason, content_type, charset, n_headers). */
+  def httpHead(df: DataFrame, rawCol: String, idCol: String): DataFrame = {
+    val head = regexp_extract(col(rawCol), "(?s)^(.*?)(\\r?\\n\\r?\\n|$)", 1)
+    val status = expr(
+      s"try_cast(regexp_extract($rawCol, '^HTTP/[0-9.]+ ([0-9]{3})', 1) AS bigint)")
+    val reason = trim(regexp_extract(col(rawCol),
+      "^HTTP/[0-9.]+ [0-9]{3} ([^\\r\\n]*)", 1))
+    val ctHeader = regexp_extract(head,
+      "(?im)^content-type:\\s*([^\\r\\n]*)", 1)
+    val mediaType = lower(trim(regexp_extract(ctHeader, "^([^;]*)", 1)))
+    val charset = lower(regexp_extract(ctHeader,
+      "(?i)charset\\s*=\\s*\"?([A-Za-z0-9_.:-]+)\"?", 1))
+    val nHeaders = size(filter(split(head, "\r?\n"),
+      l => l.rlike("^[A-Za-z][A-Za-z0-9-]*:")))
+    df.select(col(idCol).as("doc_id"), status.as("status"),
+      reason.as("reason"), mediaType.as("content_type"),
+      charset.as("charset"), nHeaders.cast(LongType).as("n_headers"))
+  }
+
   // -------------------------------------------------------------------------
   // Streaming web-corpus program (the p12 composite as a store loop)
   // -------------------------------------------------------------------------

@@ -3070,6 +3070,104 @@ private[graft] trait TextQueries extends RegistryBase {
       "host", "body").orderBy("host")
   }
 
+  // Sitemap XML parsing — the crawl-frontier feed t90b's sitemap URLs
+  // point at: every <url> entry becomes (host, url_idx, loc, lastmod,
+  // priority); loc entity-decodes (sitemap XML escapes & as &amp; —
+  // residue-planted query-string locs must round-trip), loc-less
+  // entries keep their position with loc = '', priority is a null-safe
+  // double. Hash-proven per entry.
+  register(
+    "t104_sitemap_urls",
+    s"""WITH sm AS (
+      |  SELECT 'site' || doc_id || '.com' AS host,
+      |    '<?xml version="1.0"?><urlset>'
+      |    || '<url><loc>https://site' || doc_id || '.com/p/' || (doc_id % 150)
+      |    || '?a=1&amp;b=2</loc><lastmod>2025-0' || (doc_id % 9 + 1)
+      |    || '-01</lastmod><priority>0.' || (doc_id % 10) || '</priority></url>'
+      |    || '<url><loc>https://site' || doc_id || '.com/about</loc></url>'
+      |    || CASE WHEN doc_id % 4 = 0
+      |            THEN '<url><lastmod>2024-01-01</lastmod></url>' ELSE '' END
+      |    || '</urlset>' AS xml
+      |  FROM documents),
+      |e AS (SELECT host,
+      |        CAST(generate_subscripts(regexp_extract_all(xml, '(?is)<url>(.*?)</url>', 1), 1) - 1 AS BIGINT) AS url_idx,
+      |        unnest(regexp_extract_all(xml, '(?is)<url>(.*?)</url>', 1)) AS en
+      |      FROM sm)
+      |SELECT host, url_idx,
+      |  ${TextAnalysis.entityDecodeSql("trim(regexp_extract(en, '(?is)<loc>(.*?)</loc>', 1))")} AS loc,
+      |  trim(regexp_extract(en, '(?is)<lastmod>(.*?)</lastmod>', 1)) AS lastmod,
+      |  TRY_CAST(regexp_extract(en, '(?is)<priority>(.*?)</priority>', 1) AS DOUBLE) AS priority
+      |FROM e ORDER BY host, url_idx""".stripMargin) { (s, dir) =>
+    val xml = concat(
+      lit("<?xml version=\"1.0\"?><urlset><url><loc>https://site"),
+      col("doc_id"), lit(".com/p/"), col("doc_id") % 150,
+      lit("?a=1&amp;b=2</loc><lastmod>2025-0"), col("doc_id") % 9 + 1,
+      lit("-01</lastmod><priority>0."), col("doc_id") % 10,
+      lit("</priority></url><url><loc>https://site"), col("doc_id"),
+      lit(".com/about</loc></url>"),
+      when(col("doc_id") % 4 === 0,
+        lit("<url><lastmod>2024-01-01</lastmod></url>")).otherwise(lit("")),
+      lit("</urlset>"))
+    val sm = t(s, dir, "documents").select(
+      concat(lit("site"), col("doc_id"), lit(".com")).as("host"),
+      xml.as("xml"))
+    WebOps.sitemapUrls(sm, "host", "xml").orderBy("host", "url_idx")
+  }
+
+  // HTTP response-head parsing — ingest triage between fetch bytes and
+  // the HTML pipeline: status code/reason, lowered media type, the
+  // charset decode hint (case-insensitive, quoted or bare), header
+  // count. Residues: CRLF 200 html+charset, 404 plain without charset,
+  // LF-only 301 with an uppercase type and a QUOTED charset, and a
+  // status-less garbage response (null status, empty fields — never an
+  // error). Hash-proven.
+  register(
+    "t105_http_headers",
+    """WITH rs AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN 'HTTP/1.1 200 OK' || chr(13) || chr(10)
+      |        || 'Server: demo' || chr(13) || chr(10)
+      |        || 'Content-Type: text/html; charset=UTF-8' || chr(13) || chr(10)
+      |        || 'Content-Length: 123' || chr(13) || chr(10) || chr(13) || chr(10)
+      |        || '<html>' || text
+      |      WHEN 1 THEN 'HTTP/1.0 404 Not Found' || chr(13) || chr(10)
+      |        || 'Content-Type: text/plain' || chr(13) || chr(10)
+      |        || chr(13) || chr(10) || 'missing'
+      |      WHEN 2 THEN 'HTTP/2 301 Moved Permanently' || chr(10)
+      |        || 'Location: https://x.example/' || chr(10)
+      |        || 'Content-Type: TEXT/HTML;charset="iso-8859-1"' || chr(10)
+      |        || chr(10) || 'body'
+      |      ELSE 'garbage response ' || text END AS raw
+      |  FROM documents),
+      |h AS (SELECT doc_id, raw,
+      |        regexp_extract(raw, '(?s)^(.*?)(\r?\n\r?\n|$)', 1) AS head
+      |      FROM rs),
+      |c AS (SELECT doc_id, raw, head,
+      |        regexp_extract(head, '(?im)^content-type:\s*([^\r\n]*)', 1) AS ct
+      |      FROM h)
+      |SELECT doc_id,
+      |  TRY_CAST(regexp_extract(raw, '^HTTP/[0-9.]+ ([0-9]{3})', 1) AS BIGINT) AS status,
+      |  trim(regexp_extract(raw, '^HTTP/[0-9.]+ [0-9]{3} ([^\r\n]*)', 1)) AS reason,
+      |  lower(trim(regexp_extract(ct, '^([^;]*)', 1))) AS content_type,
+      |  lower(regexp_extract(ct, '(?i)charset\s*=\s*"?([A-Za-z0-9_.:-]+)"?', 1)) AS charset,
+      |  CAST(len(list_filter(string_split_regex(head, '\r?\n'),
+      |    l -> regexp_matches(l, '^[A-Za-z][A-Za-z0-9-]*:'))) AS BIGINT) AS n_headers
+      |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val raw = when(col("doc_id") % 4 === 0, concat(
+      lit("HTTP/1.1 200 OK\r\nServer: demo\r\n" +
+        "Content-Type: text/html; charset=UTF-8\r\n" +
+        "Content-Length: 123\r\n\r\n<html>"), col("text")))
+      .when(col("doc_id") % 4 === 1, lit(
+        "HTTP/1.0 404 Not Found\r\nContent-Type: text/plain\r\n\r\nmissing"))
+      .when(col("doc_id") % 4 === 2, lit(
+        "HTTP/2 301 Moved Permanently\nLocation: https://x.example/\n" +
+          "Content-Type: TEXT/HTML;charset=\"iso-8859-1\"\n\nbody"))
+      .otherwise(concat(lit("garbage response "), col("text")))
+    val rs = t(s, dir, "documents").select(col("doc_id"), raw.as("raw"))
+    WebOps.httpHead(rs, "raw", "doc_id").orderBy("doc_id")
+  }
+
   // HTML metadata extraction — title / meta description / canonical URL
   // / html lang / og:title, the fields a page index and a
   // canonical-URL dedup tier key on. Fixture residues exercise:
