@@ -40,11 +40,18 @@ object GenScale {
     val n = src.count()
     // the pmod(id, n) base join assumes DENSE doc_ids 0..n-1 — a sparse
     // or duplicated id space would silently shrink/inflate the output
-    // and skew every scaling ratio derived from it
-    val s0 = src.agg(min(col("doc_id")), max(col("doc_id"))).head
-    require(s0.getLong(0) == 0L && s0.getLong(1) == n - 1,
-      s"source doc_ids must be dense 0..${n - 1}: " +
-        s"got [${s0.getLong(0)}, ${s0.getLong(1)}] over $n rows")
+    // and skew every scaling ratio derived from it. min/max alone can't
+    // reject a duplicated+gapped space ({0,1,1,3}), so distinct count
+    // completes the bijection proof; n > 0 first (min/max are null on
+    // an empty table)
+    require(n > 0, s"$srcDir/documents.parquet is empty")
+    val s0 = src.agg(min(col("doc_id")), max(col("doc_id")),
+      countDistinct(col("doc_id"))).head
+    require(s0.getLong(0) == 0L && s0.getLong(1) == n - 1 &&
+      s0.getLong(2) == n,
+      s"source doc_ids must be dense 0..${n - 1}: got " +
+        s"[${s0.getLong(0)}, ${s0.getLong(1)}], ${s0.getLong(2)} distinct " +
+        s"over $n rows")
     val vocab = src
       .select(explode(split(col("text"), " ")).as("w"))
       .where(col("w") =!= "").distinct().orderBy("w")

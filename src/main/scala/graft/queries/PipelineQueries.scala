@@ -992,6 +992,10 @@ private[graft] trait PipelineQueries extends RegistryBase {
       .select(col("src"), dstOf.as("dst"))
       .where(length(col("dst")) > 0 && col("dst") =!= col("src"))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      // ONE scan+extract+pre-combine serves pagerank AND both degree
+      // aggs (diamond rule) — and the final plan then never references
+      // the page html at all
+      .localCheckpoint()
     val ranks = Graphs.pagerank(edges, iters = 3)
     val outd = edges.groupBy(col("src").as("node"))
       .agg(countDistinct(col("dst")).as("out_hosts"))

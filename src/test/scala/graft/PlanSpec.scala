@@ -636,9 +636,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p13.contains("Scan ExistingRDD") || p13.contains("LocalTableScan"),
       "p13 output must read the checkpointed round, not replay lineage")
     assert(!p13.contains("UDF") && !p13.contains("CartesianProduct"))
-    p13.split("\n").filter(_.contains("Exchange hashpartitioning")).foreach {
-      ln => assert(!ln.contains("html#"), s"p13: html entered a shuffle: $ln")
-    }
+    // the edge list checkpoints once for pagerank + both degree aggs,
+    // so the FINAL plan must not reference page html anywhere (stronger
+    // than a per-exchange key check — html as a shuffle PAYLOAD would
+    // also trip this)
+    assert(!p13.contains("html#"),
+      "p13: page html reached the final plan — edges must checkpoint once")
   }
 
   test("r10 wave-2: proration one exchange for four windows, folds/transforms UDF-free") {
