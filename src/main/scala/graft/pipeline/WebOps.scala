@@ -378,6 +378,40 @@ object WebOps {
         .as("priority"))
   }
 
+  /** Anchor-text pair mining — the (query, document) training-pair
+    * extractor behind anchor-text retrieval corpora (anchor text is a
+    * human-written query for the page it links to): every absolute-href
+    * anchor yields (anchor_text, target), navigation boilerplate drops
+    * (a configurable lowered-text blocklist plus a minimum token
+    * count), and identical pairs collapse with a frequency — the mined
+    * pair's weight. Anchor text is tag-stripped, entity-decoded, and
+    * whitespace-collapsed; hrefs extract with a simple quoted-value
+    * class (URLs with embedded quotes are out of scope — documented);
+    * target canonicalization composes downstream
+    * ([[TextAnalysis.canonicalizeUrl]], the t52 row). Scale shape:
+    * extraction is scan-side; only the skinny (text, target) pairs
+    * reach the one pre-combined groupBy. Returns (anchor_text, target,
+    * n_pairs). */
+  def anchorPairs(docs: DataFrame, htmlCol: String, idCol: String,
+      minTokens: Int = 2,
+      boilerplate: Seq[String] = Seq("click here", "read more", "more",
+        "next", "previous", "home")): DataFrame = {
+    val anchors = docs.select(col(idCol).as("doc_id"),
+      explode(regexp_extract_all(col(htmlCol),
+        lit("(?is)<a\\s[^>]*>.*?</a>"), lit(0))).as("__a"))
+    val href = regexp_extract(col("__a"),
+      "(?is)href\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+    val inner = regexp_extract(col("__a"), "(?is)^<a[^>]*>(.*)</a>$", 1)
+    val text = regexp_replace(trim(TextAnalysis.decodeEntities(
+      regexp_replace(inner, "<[^>]*>", ""))), "\\s+", " ")
+    anchors.select(text.as("anchor_text"), href.as("target"))
+      .where(col("target").rlike("^https?://") &&
+        size(split(col("anchor_text"), " ")) >= minTokens &&
+        !lower(col("anchor_text")).isin(boilerplate.map(_.toLowerCase): _*))
+      .groupBy("anchor_text", "target")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** HTTP response-head parsing — the ingest triage between raw fetch
     * bytes and the HTML pipeline: status line (code + reason), media
     * type (lowered, parameters stripped), charset parameter

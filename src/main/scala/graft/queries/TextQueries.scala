@@ -3168,6 +3168,58 @@ private[graft] trait TextQueries extends RegistryBase {
     WebOps.httpHead(rs, "raw", "doc_id").orderBy("doc_id")
   }
 
+  // Anchor-text pair mining — (query, document) training pairs from
+  // link anchor text: absolute-href anchors yield (anchor_text, target)
+  // with tag-stripped entity-decoded collapsed text, navigation
+  // boilerplate and sub-2-token anchors drop, identical pairs collapse
+  // with a frequency. Residues: a relative link (dropped), a shared
+  // guide link (docs 350 apart repeat the exact pair — counts > 1), a
+  // 'click here' boilerplate anchor, a one-token 'Next', and an
+  // entity+inline-tag anchor text. Hash-proven per pair.
+  register(
+    "t106_anchor_pairs",
+    s"""WITH pg AS (
+      |  SELECT doc_id,
+      |    '<div><a href="/local">home page link</a>'
+      |    || '<a href="https://site' || (doc_id % 7) || '.com/guide/' || (doc_id % 50)
+      |    || '">Spark tuning guide ' || (doc_id % 50) || '</a>'
+      |    || '<a href="https://site0.com/">click here</a>'
+      |    || '<a href="https://site1.com/x">Next</a>'
+      |    || CASE WHEN doc_id % 3 = 0
+      |         THEN '<a href="https://site2.com/e">R&amp;D <b>notes</b> ' || doc_id || '</a>'
+      |         ELSE '' END
+      |    || '</div>' AS html
+      |  FROM documents),
+      |an AS (SELECT doc_id,
+      |         unnest(regexp_extract_all(html, '(?is)<a\\s[^>]*>.*?</a>')) AS a
+      |       FROM pg),
+      |x AS (SELECT
+      |        regexp_replace(trim(${TextAnalysis.entityDecodeSql(
+        "regexp_replace(regexp_extract(a, '(?is)^<a[^>]*>(.*)</a>$', 1), '<[^>]*>', '', 'g')")}), '\\s+', ' ', 'g') AS anchor_text,
+      |        regexp_extract(a, '(?is)href\\s*=\\s*["'']([^"'']*)["'']', 1) AS target
+      |      FROM an)
+      |SELECT anchor_text, target, CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM x
+      |WHERE regexp_matches(target, '^https?://')
+      |  AND len(string_split(anchor_text, ' ')) >= 2
+      |  AND lower(anchor_text) NOT IN
+      |    ('click here', 'read more', 'more', 'next', 'previous', 'home')
+      |GROUP BY 1, 2 ORDER BY anchor_text, target""".stripMargin) { (s, dir) =>
+    val pages = t(s, dir, "documents").select(col("doc_id"), concat(
+      lit("<div><a href=\"/local\">home page link</a>" +
+        "<a href=\"https://site"), col("doc_id") % 7,
+      lit(".com/guide/"), col("doc_id") % 50,
+      lit("\">Spark tuning guide "), col("doc_id") % 50,
+      lit("</a><a href=\"https://site0.com/\">click here</a>" +
+        "<a href=\"https://site1.com/x\">Next</a>"),
+      when(col("doc_id") % 3 === 0, concat(
+        lit("<a href=\"https://site2.com/e\">R&amp;D <b>notes</b> "),
+        col("doc_id"), lit("</a>"))).otherwise(lit("")),
+      lit("</div>")).as("html"))
+    WebOps.anchorPairs(pages, "html", "doc_id")
+      .orderBy("anchor_text", "target")
+  }
+
   // HTML metadata extraction — title / meta description / canonical URL
   // / html lang / og:title, the fields a page index and a
   // canonical-URL dedup tier key on. Fixture residues exercise:

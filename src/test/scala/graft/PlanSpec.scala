@@ -780,6 +780,14 @@ class PlanSpec extends AnyFunSuite {
     p90.split("\n").filter(_.contains("windowspecdefinition")).foreach { ln =>
       assert(ln.contains("host"), s"t90: robots window not keyed by host: $ln")
     }
+    // anchor-pair mining: the one groupBy pre-combines map-side and only
+    // the skinny (text, target) pairs shuffle — never the page html
+    val p106 = plan("t106_anchor_pairs")
+    assert(p106.contains("partial"), "t106: pair counts must pre-combine")
+    assert(!p106.contains("UDF") && !p106.contains("CartesianProduct"))
+    p106.split("\n").filter(_.contains("Exchange hashpartitioning")).foreach {
+      ln => assert(!ln.contains("html#"), s"t106: html keyed a shuffle: $ln")
+    }
     val p90b = plan("t90b_robots_extras")
     assert(!p90b.contains("UDF") && !p90b.contains("CartesianProduct"),
       "t90b: UDF/cartesian in plan")
