@@ -1,0 +1,75 @@
+package graft.alerts
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CarbonBlack ban-hash output (SURVEY §2.1 S9's one declared-out
+  * dialect, now engine-implemented): the reference's dispatcher
+  * (alert_processor/outputs/carbonblack.py:60-109) runs a per-alert
+  * state machine against the CB Response banned-hash list —
+  *   - falsy alert context                  → error, dispatch fails
+  *   - context.carbonblack.action != 'ban'  → "Action not supported"
+  *   - hash banned & enabled                → no-op success (idempotent)
+  *   - hash banned & disabled               → re-enable the BannedHash
+  *   - hash not banned                      → create BannedHash
+  *     (text "Banned from StreamAlert", enabled=true)
+  *
+  * The live cbapi socket stays out of scope (zero egress); the dataflow
+  * half — deciding the action per alert against the current banned
+  * table, and folding the resulting state — is a join + case + merge,
+  * implemented here. At scale both sides are real tables (alerts ×
+  * banned list), so this is a plain equi-join on the hash key; no
+  * driver-side iteration. */
+object CarbonBlack {
+
+  val BanText = "Banned from StreamAlert"
+
+  /** Per-alert action plan. `alerts` needs (alert_id, context) where
+    * `context` is the alert's JSON context (carbonblack.py reads
+    * context['carbonblack']{action,value}); `banned` is the current
+    * banned-hash table (md5hash, enabled, text). Emits (alert_id,
+    * md5hash, action_plan, success) with the reference's exact
+    * precedence. A present-but-empty context `{}` is falsy in the
+    * reference (`if not alert.context`) and errors the same way. */
+  def banPlan(alerts: DataFrame, banned: DataFrame): DataFrame = {
+    val cb = alerts.select(
+      col("alert_id"),
+      col("context"),
+      get_json_object(col("context"), "$.carbonblack.action").as("__action"),
+      get_json_object(col("context"), "$.carbonblack.value").as("md5hash"))
+    cb.join(banned.select(col("md5hash"), col("enabled").as("__enabled")),
+        Seq("md5hash"), "left")
+      .withColumn("action_plan",
+        when(col("context").isNull || col("context") === "{}", "error_no_context")
+          .when(col("__action").isNull || col("__action") =!= "ban",
+            "error_unsupported_action")
+          // cbapi's Binary lookup would raise on a missing hash value —
+          // the dispatcher's caller counts that a failed send
+          .when(col("md5hash").isNull, "error_no_value")
+          .when(col("__enabled"), "noop_already_banned")
+          .when(col("__enabled").isNotNull, "reenable")
+          .otherwise("create_ban"))
+      .withColumn("success", col("action_plan")
+        .isin("noop_already_banned", "reenable", "create_ban"))
+      .select("alert_id", "md5hash", "action_plan", "success")
+  }
+
+  /** Fold a [[banPlan]] result into the banned table: re-enables flip
+    * `enabled` (text untouched — carbonblack.py:96-98 only sets
+    * enabled), creates append one row per distinct hash with the
+    * reference's fixed text. Idempotent: re-applying the same plan is a
+    * no-op (creates join as already-banned next round). */
+  def applyPlan(plan: DataFrame, banned: DataFrame): DataFrame = {
+    val reenabled = plan.filter(col("action_plan") === "reenable")
+      .select("md5hash").distinct().withColumn("__re", lit(true))
+    val created = plan.filter(col("action_plan") === "create_ban")
+      .select("md5hash").distinct()
+      .withColumn("enabled", lit(true))
+      .withColumn("text", lit(BanText))
+    banned.join(reenabled, Seq("md5hash"), "left")
+      .select(col("md5hash"),
+        (col("enabled") || coalesce(col("__re"), lit(false))).as("enabled"),
+        col("text"))
+      .unionByName(created.select("md5hash", "enabled", "text"))
+  }
+}

@@ -795,4 +795,83 @@ private[graft] trait AlertsQueries extends RegistryBase {
       .select(col("alert_id"), col("publication").as("pop_pub"))
     enumPub.join(popPub, "alert_id").drop("alert_id")
   }
+
+
+  // S9 carbonblack (the one previously declared-out dialect): the
+  // dispatcher's ban-hash state machine (carbonblack.py:60-109) as a
+  // join + case over (alerts × banned table). Fixture: alerts derived
+  // from events (every 7th has no context, the next an unsupported
+  // action, the next a ban with no hash value; the rest ban one of 40
+  // hashes), banned table seeds hashes 0..19 alternating enabled.
+  private val cbStateSql =
+    """SELECT md5(CAST(x AS VARCHAR)) AS md5hash, x % 2 = 0 AS enabled,
+      |       'seed' AS text
+      |FROM range(20) t(x)""".stripMargin
+
+  private val cbAlertsSql =
+    """SELECT event_id AS alert_id,
+      |       event_id % 7 <> 0 AS has_context,
+      |       CASE WHEN event_id % 7 = 0 THEN NULL
+      |            WHEN event_id % 7 = 1 THEN 'isolate' ELSE 'ban' END AS action,
+      |       CASE WHEN event_id % 7 IN (0, 1, 2) THEN NULL
+      |            ELSE md5(CAST(event_id % 40 AS VARCHAR)) END AS md5hash
+      |FROM events WHERE event_id < 240""".stripMargin
+
+  private val cbPlanSql =
+    s"""WITH state AS ($cbStateSql), al AS ($cbAlertsSql)
+       |SELECT alert_id, al.md5hash,
+       |       CASE WHEN NOT has_context THEN 'error_no_context'
+       |            WHEN action IS NULL OR action <> 'ban'
+       |              THEN 'error_unsupported_action'
+       |            WHEN al.md5hash IS NULL THEN 'error_no_value'
+       |            WHEN s.enabled THEN 'noop_already_banned'
+       |            WHEN s.enabled IS NOT NULL THEN 'reenable'
+       |            ELSE 'create_ban' END AS action_plan
+       |FROM al LEFT JOIN state s ON al.md5hash = s.md5hash""".stripMargin
+
+  private def cbFixture(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val alerts = t(s, dir, "events").where(col("event_id") < 240).select(
+      col("event_id").as("alert_id"),
+      when(col("event_id") % 7 === 0, lit(null).cast("string"))
+        .when(col("event_id") % 7 === 1, to_json(struct(
+          struct(lit("isolate").as("action")).as("carbonblack"))))
+        .when(col("event_id") % 7 === 2, to_json(struct(
+          struct(lit("ban").as("action")).as("carbonblack"))))
+        .otherwise(to_json(struct(struct(lit("ban").as("action"),
+          md5((col("event_id") % 40).cast("string")).as("value"))
+          .as("carbonblack")))).as("context"))
+    val banned = s.range(20).select(
+      md5(col("id").cast("string")).as("md5hash"),
+      (col("id") % 2 === 0).as("enabled"), lit("seed").as("text"))
+    (alerts, banned)
+  }
+
+  register(
+    "a8_carbonblack_plan",
+    s"""SELECT alert_id, md5hash, action_plan,
+       |       action_plan IN ('noop_already_banned', 'reenable', 'create_ban')
+       |         AS success
+       |FROM ($cbPlanSql) ORDER BY alert_id""".stripMargin) { (s, dir) =>
+    val (alerts, banned) = cbFixture(s, dir)
+    graft.alerts.CarbonBlack.banPlan(alerts, banned).orderBy("alert_id")
+  }
+
+  register(
+    "a8b_carbonblack_state",
+    s"""WITH plan AS ($cbPlanSql), state AS ($cbStateSql)
+       |SELECT md5hash,
+       |       enabled OR md5hash IN
+       |         (SELECT md5hash FROM plan WHERE action_plan = 'reenable')
+       |         AS enabled,
+       |       text
+       |FROM state
+       |UNION ALL
+       |SELECT DISTINCT md5hash, true AS enabled,
+       |       'Banned from StreamAlert' AS text
+       |FROM plan WHERE action_plan = 'create_ban'
+       |ORDER BY md5hash""".stripMargin) { (s, dir) =>
+    val (alerts, banned) = cbFixture(s, dir)
+    val plan = graft.alerts.CarbonBlack.banPlan(alerts, banned)
+    graft.alerts.CarbonBlack.applyPlan(plan, banned).orderBy("md5hash")
+  }
 }
