@@ -2563,6 +2563,24 @@ object TextAnalysis {
       shardTokens: Long, idsPerBucket: Long = 4096,
       startOffset: Long = 0L): DataFrame = {
     require(shardTokens > 0 && idsPerBucket > 0 && startOffset >= 0)
+    tokenSpans(docs, textCol, idCol, idsPerBucket, startOffset)
+      .withColumn("shard_id", floor(col("__start") / shardTokens).cast(LongType))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        md5(array_join(transform(array_sort(collect_list(col("doc_id"))),
+          _.cast("string")), ",")).as("ids_md5"))
+  }
+
+  /** (doc_id, n_tokens, __start) with __start the doc's first position in
+    * the doc_id-ordered global token stream — the shared prefix-sum core
+    * of [[packShards]]/[[packSequences]], decomposed shard-with-carry
+    * (bucket offsets broadcast + in-bucket windows; never one
+    * unpartitioned corpus window). */
+  private def tokenSpans(docs: DataFrame, textCol: String, idCol: String,
+      idsPerBucket: Long, startOffset: Long): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"),
       tokenCount(col(textCol)).cast(LongType).as("n_tokens"),
       floor(col(idCol) / idsPerBucket).cast(LongType).as("__b"))
@@ -2576,14 +2594,43 @@ object TextAnalysis {
       .withColumn("__start", lit(startOffset) + col("__off") + coalesce(
         sum(col("n_tokens")).over(wb.rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-      .withColumn("shard_id", floor(col("__start") / shardTokens).cast(LongType))
-      .groupBy("shard_id")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("n_tokens"),
-        min(col("doc_id")).as("first_doc"),
-        max(col("doc_id")).as("last_doc"),
-        md5(array_join(transform(array_sort(collect_list(col("doc_id"))),
-          _.cast("string")), ",")).as("ids_md5"))
+  }
+
+  /** Exact-cut sequence chunking — the concat-and-chunk pretraining
+    * layout (GPT/Megatron style): the doc_id-ordered corpus token stream
+    * is cut into fixed `seqLen`-token training sequences, and a doc whose
+    * span crosses a cut contributes to BOTH sequences. Complements
+    * [[packSequences]] (t15's offset-based approximate packing: a doc
+    * joins the sequence its start falls in, none is split) and differs
+    * from [[packShards]] (whole docs, variable fill): sequences here are
+    * exactly `seqLen` tokens (final remainder aside) and docs SPLIT —
+    * `n_continued` is the cross-boundary contamination count that packing
+    * studies report (and attention-mask resets must handle). Per-sequence
+    * manifest: (seq_id, n_tokens, n_docs, n_starts, n_continued) where
+    * n_starts counts docs whose first token lands here and n_continued
+    * docs cut by this sequence's right edge. Zero-token docs occupy no
+    * stream positions and drop (they vanish at tokenization). Scale
+    * shape: the [[tokenSpans]] carry decomposition plus a per-doc explode
+    * bounded by n_tokens/seqLen + 1 rows — no corpus-cardinality window,
+    * text never shuffles (spans are 3 longs). */
+  def chunkSequences(docs: DataFrame, textCol: String, idCol: String,
+      seqLen: Long, idsPerBucket: Long = 4096): DataFrame = {
+    require(seqLen > 0 && idsPerBucket > 0)
+    tokenSpans(docs, textCol, idCol, idsPerBucket, startOffset = 0L)
+      .filter(col("n_tokens") > 0)
+      .withColumn("__end", col("__start") + col("n_tokens"))
+      .withColumn("seq_id", explode(sequence(
+        floor(col("__start") / seqLen).cast(LongType),
+        floor((col("__end") - 1) / seqLen).cast(LongType))))
+      .groupBy("seq_id")
+      .agg(
+        sum(least(col("__end"), (col("seq_id") + 1) * seqLen) -
+          greatest(col("__start"), col("seq_id") * seqLen)).as("n_tokens"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__start") >= col("seq_id") * seqLen, 1L)
+          .otherwise(0L)).as("n_starts"),
+        sum(when(col("__end") > (col("seq_id") + 1) * seqLen, 1L)
+          .otherwise(0L)).as("n_continued"))
   }
 
   /** STREAMING tier of [[packShards]] under the [[BatchStore]] contract —

@@ -3523,6 +3523,46 @@ private[graft] trait TextQueries extends RegistryBase {
       .orderBy("shard_id")
   }
 
+  // Exact-cut sequence chunking (concat-and-chunk, the GPT/Megatron
+  // pretraining layout): the doc-ordered token stream cut into exact
+  // 1024-token training sequences; docs crossing a cut contribute to
+  // both sides (n_continued = the split-doc contamination count).
+  // Distinct from t15 (offset-based, never splits) and t95 (whole-doc
+  // shards, variable fill). The oracle runs ONE global
+  // prefix sum + generate_series explode; the Spark side decomposes
+  // shard-with-carry (bucket offsets broadcast) — value-identical.
+  register(
+    "t107_chunk_pack",
+    """WITH tks AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))
+      |      AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |st AS (
+      |  SELECT doc_id, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+      |  FROM tks),
+      |sp AS (SELECT doc_id, strt, strt + n_tokens AS e FROM st WHERE n_tokens > 0),
+      |ex AS (
+      |  SELECT doc_id, strt, e,
+      |    unnest(generate_series(CAST(strt // 1024 AS BIGINT),
+      |                           CAST((e - 1) // 1024 AS BIGINT))) AS seq_id
+      |  FROM sp)
+      |SELECT CAST(seq_id AS BIGINT) AS seq_id,
+      |       CAST(sum(least(e, (seq_id + 1) * 1024)
+      |             - greatest(strt, seq_id * 1024)) AS BIGINT) AS n_tokens,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN strt >= seq_id * 1024 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_starts,
+      |       CAST(sum(CASE WHEN e > (seq_id + 1) * 1024 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_continued
+      |FROM ex GROUP BY seq_id ORDER BY seq_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.chunkSequences(t(s, dir, "documents"), "text", "doc_id",
+        seqLen = 1024L)
+      .orderBy("seq_id")
+  }
+
   // Incremental shard packing under the BatchStore contract — shard ids
   // stay GLOBAL across the stream (each batch packs from the committed
   // prior batches' running token total), and a shard spanning a batch

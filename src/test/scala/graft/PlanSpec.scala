@@ -822,6 +822,16 @@ class PlanSpec extends AnyFunSuite {
     p95.split("\n").filter(_.contains("windowspecdefinition")).foreach { ln =>
       assert(ln.contains("__b"), s"t95: window not bucket-keyed: $ln")
     }
+    // exact-cut chunking shares the carry decomposition; its explode is
+    // span-bounded and text must not reach the post-explode exchange
+    val p107 = plan("t107_chunk_pack")
+    assert(!p107.contains("UDF") && !p107.contains("CartesianProduct"))
+    p107.split("\n").filter(_.contains("windowspecdefinition")).foreach { ln =>
+      assert(ln.contains("__b"), s"t107: window not bucket-keyed: $ln")
+    }
+    p107.split("\n").filter(_.contains("Exchange hashpartitioning")).foreach {
+      ln => assert(!ln.contains("text"), s"t107: text in an exchange: $ln")
+    }
   }
 
   test("d22 clean corpus: gram shuffles carry hashes, corpus text rides one doc-keyed join") {
