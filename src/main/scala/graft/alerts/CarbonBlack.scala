@@ -32,15 +32,17 @@ object CarbonBlack {
     * precedence. A present-but-empty context `{}` is falsy in the
     * reference (`if not alert.context`) and errors the same way. */
   def banPlan(alerts: DataFrame, banned: DataFrame): DataFrame = {
+    // context collapses to a boolean BEFORE the join — the wide JSON
+    // string must not ride the alerts-side exchange (skinny-shuffle rule)
     val cb = alerts.select(
       col("alert_id"),
-      col("context"),
+      (col("context").isNull || col("context") === "{}").as("__no_ctx"),
       get_json_object(col("context"), "$.carbonblack.action").as("__action"),
       get_json_object(col("context"), "$.carbonblack.value").as("md5hash"))
     cb.join(banned.select(col("md5hash"), col("enabled").as("__enabled")),
         Seq("md5hash"), "left")
       .withColumn("action_plan",
-        when(col("context").isNull || col("context") === "{}", "error_no_context")
+        when(col("__no_ctx"), "error_no_context")
           .when(col("__action").isNull || col("__action") =!= "ban",
             "error_unsupported_action")
           // cbapi's Binary lookup would raise on a missing hash value —
@@ -57,13 +59,17 @@ object CarbonBlack {
   /** Fold a [[banPlan]] result into the banned table: re-enables flip
     * `enabled` (text untouched — carbonblack.py:96-98 only sets
     * enabled), creates append one row per distinct hash with the
-    * reference's fixed text. Idempotent: re-applying the same plan is a
-    * no-op (creates join as already-banned next round). */
+    * reference's fixed text. Idempotent under BOTH replay shapes: a
+    * recomputed plan sees creates as already-banned, and a replayed
+    * MATERIALIZED plan's creates anti-join away against the current
+    * table — the banned list can never grow duplicate keys (which would
+    * fan out every later banPlan join). */
   def applyPlan(plan: DataFrame, banned: DataFrame): DataFrame = {
     val reenabled = plan.filter(col("action_plan") === "reenable")
       .select("md5hash").distinct().withColumn("__re", lit(true))
     val created = plan.filter(col("action_plan") === "create_ban")
       .select("md5hash").distinct()
+      .join(banned.select("md5hash"), Seq("md5hash"), "left_anti")
       .withColumn("enabled", lit(true))
       .withColumn("text", lit(BanText))
     banned.join(reenabled, Seq("md5hash"), "left")

@@ -2576,7 +2576,7 @@ object TextAnalysis {
 
   /** (doc_id, n_tokens, __start) with __start the doc's first position in
     * the doc_id-ordered global token stream — the shared prefix-sum core
-    * of [[packShards]]/[[packSequences]], decomposed shard-with-carry
+    * of [[packShards]]/[[chunkSequences]], decomposed shard-with-carry
     * (bucket offsets broadcast + in-bucket windows; never one
     * unpartitioned corpus window). */
   private def tokenSpans(docs: DataFrame, textCol: String, idCol: String,

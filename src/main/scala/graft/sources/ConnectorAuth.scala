@@ -52,27 +52,30 @@ object ConnectorAuth {
     (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
       (c >= '0' && c <= '9') || c == '-' || c == '_' || c == '.' || c == '~'
 
-  private def pctUtf8(sb: StringBuilder, c: Char,
-      keep: Char => Boolean, spaceAsPlus: Boolean): Unit =
-    if (keep(c)) { sb.append(c); () }
-    else if (spaceAsPlus && c == ' ') { sb.append('+'); () }
-    else c.toString.getBytes(UTF_8).foreach(b => sb.append(f"%%${b & 0xff}%02X"))
+  // iterates CODE POINTS, not chars — a surrogate pair must encode as
+  // one 4-byte UTF-8 sequence (char-by-char would mangle astral-plane
+  // input to '?' bytes and silently diverge from urllib)
+  private def pctEncode(s: String, spaceAsPlus: Boolean): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp < 128 && unreserved(cp.toChar)) sb.append(cp.toChar)
+      else if (spaceAsPlus && cp == ' ') sb.append('+')
+      else new String(Character.toChars(cp)).getBytes(UTF_8)
+        .foreach(b => sb.append(f"%%${b & 0xff}%02X"))
+      i += Character.charCount(cp)
+    }
+    sb.toString
+  }
 
   /** RFC 3986 percent-encoding with the unreserved set kept (space →
     * `%20`, uppercase hex) — the SigV4 component encoder. */
-  def percentEncode(s: String): String = {
-    val sb = new StringBuilder
-    s.foreach(pctUtf8(sb, _, unreserved, spaceAsPlus = false))
-    sb.toString
-  }
+  def percentEncode(s: String): String = pctEncode(s, spaceAsPlus = false)
 
   /** `urllib.parse.quote_plus` parity (urlencode's value encoder,
     * duo.py:70): space → `+`, the same `_.-~`+alnum safe set. */
-  def quotePlus(s: String): String = {
-    val sb = new StringBuilder
-    s.foreach(pctUtf8(sb, _, unreserved, spaceAsPlus = true))
-    sb.toString
-  }
+  def quotePlus(s: String): String = pctEncode(s, spaceAsPlus = true)
 
   /** `urllib.parse.urlencode` parity over an ordered param list — the
     * exact string Duo signs (duo.py:69-70 passes the params dict
@@ -110,13 +113,14 @@ object ConnectorAuth {
 
   /** OneLogin's token request (onelogin.py:89-96): the authorization
     * header carries BOTH creds in a literal template, body asks for
-    * client_credentials. Returns (headers, json body). */
+    * client_credentials. Returns (headers, json body); the body keeps
+    * `requests`' wire bytes (json.dumps' default `": "` separator). */
   def oneloginTokenRequest(clientId: String, clientSecret: String)
       : (Map[String, String], String) = (
     Map(
       "Authorization" -> s"client_id: $clientId, client_secret: $clientSecret",
       "Content-Type" -> "application/json"),
-    """{"grant_type":"client_credentials"}""")
+    """{"grant_type": "client_credentials"}""")
 
   /** OneLogin's resource-call header (onelogin.py:106-107) — the service
     * uses the non-standard lowercase `bearer:<token>` form. */
@@ -156,13 +160,19 @@ object ConnectorAuth {
     params.map { case (k, v) => (percentEncode(k), percentEncode(v)) }
       .sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
 
-  /** SigV4 canonical request. Headers: lowercase names, trimmed values,
-    * sorted; signed-headers line derives from the same list. `payloadSha`
-    * is hex SHA-256 of the body ("" body → e3b0c442...). */
+  /** SigV4 canonical request. Headers: lowercase names; values trimmed
+    * with inner space runs collapsed (the spec's trimall — quoted-string
+    * interiors are not special-cased here); duplicate names merge into
+    * one line with values comma-joined in appearance order; sorted by
+    * name; the signed-headers line derives from the same list.
+    * `payloadSha` is hex SHA-256 of the body ("" → e3b0c442...). */
   def sigV4CanonicalRequest(method: String, uri: String,
       query: Seq[(String, String)], headers: Seq[(String, String)],
       payloadSha: String): String = {
-    val canon = headers.map { case (k, v) => (k.toLowerCase, v.trim) }.sortBy(_._1)
+    val canon = headers
+      .map { case (k, v) => (k.toLowerCase, v.trim.replaceAll(" +", " ")) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).mkString(","))
+      .toSeq.sortBy(_._1)
     Seq(
       method.toUpperCase,
       if (uri.isEmpty) "/" else uri,

@@ -67,4 +67,13 @@ class CarbonBlackSpec extends AnyFunSuite {
     assert(s2.orderBy("md5hash").collect().toSeq ===
       s1.orderBy("md5hash").collect().toSeq)
   }
+
+  test("replaying the same MATERIALIZED plan cannot grow duplicate keys") {
+    val plan = CarbonBlack.banPlan(alerts, banned)
+    val s1 = CarbonBlack.applyPlan(plan, banned)
+    val s2 = CarbonBlack.applyPlan(plan, s1) // same plan, not recomputed
+    assert(s2.orderBy("md5hash").collect().toSeq ===
+      s1.orderBy("md5hash").collect().toSeq)
+    assert(s2.groupBy("md5hash").count().filter(col("count") > 1).count() === 0)
+  }
 }

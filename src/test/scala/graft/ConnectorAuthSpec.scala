@@ -100,6 +100,20 @@ class ConnectorAuthSpec extends AnyFunSuite {
     assert(urlencode(Seq("mintime" -> "1601510400", "limit" -> "1000")) ===
       "mintime=1601510400&limit=1000")
     assert(urlencode(Seq("q" -> "föö bar")) === "q=f%C3%B6%C3%B6+bar")
+    // astral-plane code points encode as ONE 4-byte UTF-8 sequence
+    // (urllib: quote_plus('\U0001F600') == '%F0%9F%98%80')
+    assert(quotePlus("😀") === "%F0%9F%98%80")
+    assert(percentEncode("😀 x") === "%F0%9F%98%80%20x")
+  }
+
+  test("sigv4 canonical headers merge duplicates and collapse space runs") {
+    val creq = sigV4CanonicalRequest("GET", "/", Seq.empty,
+      Seq("X-Amz-Meta-A" -> "1", "host" -> "h", "x-amz-meta-a" -> " a  b "),
+      emptySha)
+    val lines = creq.split("\n")
+    assert(lines(3) === "host:h")
+    assert(lines(4) === "x-amz-meta-a:1,a b")
+    assert(lines(6) === "host;x-amz-meta-a")
   }
 
   test("duo canonical string and auth headers (duo.py:63-88 shape)") {
@@ -130,7 +144,9 @@ class ConnectorAuthSpec extends AnyFunSuite {
     val (h, body) = oneloginTokenRequest("cid", "csec")
     assert(h("Authorization") === "client_id: cid, client_secret: csec")
     assert(h("Content-Type") === "application/json")
-    assert(body === """{"grant_type":"client_credentials"}""")
+    // requests' json= path serializes via json.dumps' default ": "
+    // separator — the wire bytes onelogin.py:95-96 actually sends
+    assert(body === """{"grant_type": "client_credentials"}""")
   }
 
   test("sigv4 canonical query sorts and component-encodes") {

@@ -41,6 +41,20 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("r7_threat_intel").contains("BroadcastHashJoin"))
   }
 
+  test("carbonblack ban plan: native JSON probes, banned side broadcast") {
+    // banPlan must stay a broadcast equi-join with codegen'd
+    // get_json_object probes; the wide context string collapses to a
+    // flag pre-join, so no exchange ever carries it
+    val p = plan("a8_carbonblack_plan")
+    assert(!p.contains("UDF") && !p.contains("BatchEvalPython"),
+      "a8: UDF in plan")
+    assert(!p.contains("CartesianProduct"), "a8: cartesian in plan")
+    assert(p.contains("BroadcastHashJoin"), "a8: banned side not broadcast")
+    p.split("\n").filter(_.contains("Exchange hashpartitioning")).foreach {
+      ln => assert(!ln.contains("context"), s"a8: context in an exchange: $ln")
+    }
+  }
+
   test("publisher chains fuse into a shuffle-free, UDF-free projection") {
     import org.apache.spark.sql.functions._
     // every dialect is pure column work over the alert row: a chain of
