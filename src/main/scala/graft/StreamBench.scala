@@ -26,7 +26,7 @@ object StreamBench {
     val secs = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "30").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // SPARK_GRAFT_STREAM_DEDUP=minhash|ppjoin|substring|simhash|winnow|
-    // line|attrs|shards|web benches the incremental STORE loop
+    // line|attrs|shards|chunks|web benches the incremental STORE loop
     // (foreachBatch -> *StoreStep) instead of the
     // classify->rules->alerts pipeline:
     // per-batch docs/sec + the on-disk state-size trajectory over
@@ -240,6 +240,7 @@ object StreamBench {
       case "line" => "linehashes"
       case "attrs" => "fingerprints"
       case "shards" => "manifests"
+      case "chunks" => "seq_manifests"
       case "web" => "urlfps"
       case _ => "shingles"
     }
@@ -280,6 +281,9 @@ object StreamBench {
           case "shards" => graft.pipeline.TextAnalysis.shardStoreStep(
             bb, storeDir, "text", "doc_id", shardTokens = 50000L,
             batchId = id, maxStoreParts = autoParts)
+          case "chunks" => graft.pipeline.TextAnalysis.chunkStoreStep(
+            bb, storeDir, "text", "doc_id", seqLen = 2048L,
+            batchId = id, maxStoreParts = autoParts)
           case "web" => graft.pipeline.WebOps.webStoreStep(
             bb, storeDir, id, "url", "html", "doc_id", webRules,
             Seq("badsite.com"), jtStops,
@@ -309,6 +313,8 @@ object StreamBench {
             case "attrs" => graft.pipeline.Curation.attributeStoreCompact(
               bb.sparkSession, storeDir, -id, id - 1)
             case "shards" => graft.pipeline.TextAnalysis.shardStoreCompact(
+              bb.sparkSession, storeDir, -id, id - 1)
+            case "chunks" => graft.pipeline.TextAnalysis.chunkStoreCompact(
               bb.sparkSession, storeDir, -id, id - 1)
             case "web" => graft.pipeline.WebOps.webStoreCompact(
               bb.sparkSession, storeDir, -id, id - 1)

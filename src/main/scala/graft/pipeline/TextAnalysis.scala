@@ -2614,9 +2614,10 @@ object TextAnalysis {
     * bounded by n_tokens/seqLen + 1 rows — no corpus-cardinality window,
     * text never shuffles (spans are 3 longs). */
   def chunkSequences(docs: DataFrame, textCol: String, idCol: String,
-      seqLen: Long, idsPerBucket: Long = 4096): DataFrame = {
-    require(seqLen > 0 && idsPerBucket > 0)
-    tokenSpans(docs, textCol, idCol, idsPerBucket, startOffset = 0L)
+      seqLen: Long, idsPerBucket: Long = 4096,
+      startOffset: Long = 0L): DataFrame = {
+    require(seqLen > 0 && idsPerBucket > 0 && startOffset >= 0)
+    tokenSpans(docs, textCol, idCol, idsPerBucket, startOffset)
       .filter(col("n_tokens") > 0)
       .withColumn("__end", col("__start") + col("n_tokens"))
       .withColumn("seq_id", explode(sequence(
@@ -2672,6 +2673,45 @@ object TextAnalysis {
   def shardStoreCompact(spark: SparkSession, storeDir: String,
       compactId: Long, upToBatchId: Long): Seq[Long] =
     BatchStore.compactIdentity(spark, storeDir, Seq("manifests"),
+      compactId, upToBatchId)
+
+  /** STREAMING tier of [[chunkSequences]] under the [[BatchStore]]
+    * contract — sequence ids stay GLOBAL across the stream: each batch
+    * chunks from the running token total of every committed prior batch
+    * (one 1-row aggregate over the skinny manifest store), so a sequence
+    * left partly filled by batch N keeps filling in batch N+1 (both
+    * batches emit a PARTIAL manifest row for that seq; n_tokens/n_docs/
+    * n_starts/n_continued all merge by SUM — n_continued counts cuts at
+    * the seq's right edge, which only the batch owning those tokens can
+    * see). Retry-idempotent exactly like [[shardStoreStep]]: the prior
+    * read excludes the in-flight batch, the partition overwrites after
+    * materialization, so a retried batch re-derives the SAME offset.
+    * Returns the batch's partial manifest rows. */
+  def chunkStoreStep(batch: DataFrame, storeDir: String, textCol: String,
+      idCol: String, seqLen: Long, batchId: Long,
+      idsPerBucket: Long = 4096, maxStoreParts: Int = 0): DataFrame = {
+    val spark = batch.sparkSession
+    val empty = chunkSequences(batch.limit(0), textCol, idCol, seqLen,
+      idsPerBucket)
+    val prior = BatchStore.readStore(spark, storeDir, "seq_manifests", empty,
+      batchId)
+    val offset = prior.agg(coalesce(sum(col("n_tokens")), lit(0L)))
+      .collect()(0).getLong(0) // 1-row aggregate: bounded driver state
+    val out = chunkSequences(batch, textCol, idCol, seqLen, idsPerBucket,
+      startOffset = offset).localCheckpoint()
+    BatchStore.writeBatchPart(out, s"$storeDir/seq_manifests",
+      s"$storeDir/compactions/seq_manifests", batchId)
+    BatchStore.autoCompact(spark, s"$storeDir/seq_manifests",
+      s"$storeDir/compactions/seq_manifests", maxStoreParts, batchId)(
+      chunkStoreCompact(spark, storeDir, _, _))
+    out
+  }
+
+  /** Fold committed sequence-manifest partitions (identity merge —
+    * rows are per-(batch, seq) partials). */
+  def chunkStoreCompact(spark: SparkSession, storeDir: String,
+      compactId: Long, upToBatchId: Long): Seq[Long] =
+    BatchStore.compactIdentity(spark, storeDir, Seq("seq_manifests"),
       compactId, upToBatchId)
 
   /** Markdown code-fence extraction — the code-corpus miner: every

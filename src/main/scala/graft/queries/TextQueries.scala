@@ -3563,6 +3563,54 @@ private[graft] trait TextQueries extends RegistryBase {
       .orderBy("seq_id")
   }
 
+  // Incremental exact-cut chunking under the BatchStore contract —
+  // sequence ids stay GLOBAL across the stream (each batch chunks from
+  // the committed prior token total); a sequence spanning the batch
+  // boundary emits one PARTIAL row per batch (all four counts merge by
+  // sum). Two id-split batches mirror the stream order; the oracle runs
+  // the same packing with ONE global prefix sum grouped by (seq, batch).
+  register(
+    "t107b_chunk_incremental",
+    """WITH tks AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))
+      |      AS BIGINT) AS n_tokens,
+      |    CASE WHEN doc_id < 250 THEN 0 ELSE 1 END AS batch_id
+      |  FROM documents),
+      |st AS (
+      |  SELECT doc_id, n_tokens, batch_id,
+      |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+      |  FROM tks),
+      |sp AS (SELECT doc_id, batch_id, strt, strt + n_tokens AS e
+      |       FROM st WHERE n_tokens > 0),
+      |ex AS (
+      |  SELECT doc_id, batch_id, strt, e,
+      |    unnest(generate_series(CAST(strt // 1024 AS BIGINT),
+      |                           CAST((e - 1) // 1024 AS BIGINT))) AS seq_id
+      |  FROM sp)
+      |SELECT CAST(seq_id AS BIGINT) AS seq_id,
+      |       CAST(sum(least(e, (seq_id + 1) * 1024)
+      |             - greatest(strt, seq_id * 1024)) AS BIGINT) AS n_tokens,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN strt >= seq_id * 1024 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_starts,
+      |       CAST(sum(CASE WHEN e > (seq_id + 1) * 1024 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_continued,
+      |       CAST(batch_id AS BIGINT) AS batch_id
+      |FROM ex GROUP BY seq_id, batch_id
+      |ORDER BY seq_id, batch_id""".stripMargin) { (s, dir) =>
+    val store = java.nio.file.Files.createTempDirectory("t107b_store").toString
+    val docs = t(s, dir, "documents")
+    val m0 = TextAnalysis.chunkStoreStep(docs.where(col("doc_id") < 250),
+      store, "text", "doc_id", seqLen = 1024L, batchId = 0L)
+    val m1 = TextAnalysis.chunkStoreStep(docs.where(col("doc_id") >= 250),
+      store, "text", "doc_id", seqLen = 1024L, batchId = 1L)
+    m0.withColumn("batch_id", lit(0L))
+      .unionAll(m1.withColumn("batch_id", lit(1L)))
+      .orderBy("seq_id", "batch_id")
+  }
+
   // Incremental shard packing under the BatchStore contract — shard ids
   // stay GLOBAL across the stream (each batch packs from the committed
   // prior batches' running token total), and a shard spanning a batch
