@@ -438,6 +438,47 @@ object WebOps {
       charset.as("charset"), nHeaders.cast(LongType).as("n_headers"))
   }
 
+  /** Per-page robots directives — the indexability gate completing the
+    * crawl-policy surface beside the robots.txt verdicts (t90), soft-404
+    * probe (t101) and response-head triage (t105): every
+    * `<meta name=robots content=…>` tag in the page (a page may carry
+    * several) merges with every `X-Robots-Tag` response header (the
+    * REP's meta/header convention) into one lowercased, comma-split,
+    * trimmed, distinct, sorted directive list. Verdict columns follow
+    * the spec: `none` expands to noindex+nofollow (but stays verbatim in
+    * the lists); `noindex` from EITHER source kills indexability.
+    * Scope pinned: user-agent-scoped X-Robots-Tag values
+    * ("googlebot: noindex") pass through verbatim as a single token and
+    * do NOT count as global directives (conservative — a UA-scoped
+    * directive is not ours to apply). Scan-side regex only, zero
+    * shuffle. Returns (doc_id, meta_directives, header_directives,
+    * noindex, nofollow, indexable). */
+  def robotsMeta(df: DataFrame, htmlCol: String, rawCol: String,
+      idCol: String): DataFrame = {
+    val head = regexp_extract(col(rawCol), "(?s)^(.*?)(\\r?\\n\\r?\\n|$)", 1)
+    val metaTags = regexp_extract_all(col(htmlCol),
+      lit("(?is)(<meta\\s[^>]*name\\s*=\\s*[\"']robots[\"'][^>]*>)"), lit(1))
+    val metaContents = transform(metaTags, t =>
+      when(t.rlike("(?i)content\\s*=\\s*\""),
+        regexp_extract(t, "(?i)content\\s*=\\s*\"([^\"]*)\"", 1))
+        .otherwise(regexp_extract(t, "(?i)content\\s*=\\s*'([^']*)'", 1)))
+    val hdrVals = regexp_extract_all(head,
+      lit("(?im)^x-robots-tag:\\s*([^\\r\\n]*)"), lit(1))
+    def norm(vals: Column): Column = array_sort(array_distinct(
+      filter(transform(flatten(transform(vals, v => split(lower(v), ","))),
+        x => trim(x)), x => x =!= "")))
+    val metaDirs = norm(metaContents)
+    val hdrDirs = norm(hdrVals)
+    val all = array_union(metaDirs, hdrDirs)
+    val noindex = array_contains(all, "noindex") || array_contains(all, "none")
+    val nofollow = array_contains(all, "nofollow") || array_contains(all, "none")
+    df.select(col(idCol).as("doc_id"),
+      array_join(metaDirs, ",").as("meta_directives"),
+      array_join(hdrDirs, ",").as("header_directives"),
+      noindex.as("noindex"), nofollow.as("nofollow"),
+      (!noindex).as("indexable"))
+  }
+
   // -------------------------------------------------------------------------
   // Streaming web-corpus program (the p12 composite as a store loop)
   // -------------------------------------------------------------------------

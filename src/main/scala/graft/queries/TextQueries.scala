@@ -3168,6 +3168,91 @@ private[graft] trait TextQueries extends RegistryBase {
     WebOps.httpHead(rs, "raw", "doc_id").orderBy("doc_id")
   }
 
+
+  // Per-page robots directives (REP meta/header convention) — merges all
+  // <meta name=robots> tags with every X-Robots-Tag response header into
+  // one sorted directive list + indexability verdict ('none' expands to
+  // noindex+nofollow; UA-scoped header values pass through verbatim and
+  // stay non-global, pinned in-code). Completes the crawl-policy surface
+  // beside t90/t101/t105. Scan-side regex in both engines.
+  register(
+    "t108_robots_meta",
+    """WITH rs AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 6 AS INT)
+      |      WHEN 1 THEN 'HTTP/1.1 200 OK' || chr(13) || chr(10)
+      |        || 'X-Robots-Tag: noarchive' || chr(13) || chr(10)
+      |        || chr(13) || chr(10) || 'body'
+      |      WHEN 3 THEN 'HTTP/1.1 200 OK' || chr(13) || chr(10)
+      |        || 'X-Robots-Tag: noindex' || chr(13) || chr(10)
+      |        || 'X-Robots-Tag: nosnippet' || chr(13) || chr(10)
+      |        || chr(13) || chr(10) || 'body'
+      |      WHEN 4 THEN 'HTTP/1.1 200 OK' || chr(13) || chr(10)
+      |        || 'X-Robots-Tag: googlebot: noindex' || chr(13) || chr(10)
+      |        || chr(13) || chr(10) || 'body'
+      |      ELSE 'HTTP/1.1 200 OK' || chr(13) || chr(10)
+      |        || 'Content-Type: text/html' || chr(13) || chr(10)
+      |        || chr(13) || chr(10) || 'body' END AS raw,
+      |    CASE CAST(doc_id % 6 AS INT)
+      |      WHEN 0 THEN '<html><head><meta name="robots" content="noindex, nofollow"><title>a</title></head><body>' || text
+      |      WHEN 2 THEN '<html><head><META NAME=''ROBOTS'' CONTENT=''NONE''></head><body>' || text
+      |      WHEN 4 THEN '<html><head><meta name="robots" content="nofollow"></head><body>' || text
+      |      ELSE '<html><body>' || text END AS html
+      |  FROM documents),
+      |ex AS (
+      |  SELECT doc_id,
+      |    list_transform(regexp_extract_all(html,
+      |      '(?is)(<meta\s[^>]*name\s*=\s*["'']robots["''][^>]*>)', 1),
+      |      t -> CASE WHEN regexp_matches(t, '(?i)content\s*=\s*"')
+      |             THEN regexp_extract(t, '(?i)content\s*=\s*"([^"]*)"', 1)
+      |             ELSE regexp_extract(t, '(?i)content\s*=\s*''([^'']*)''', 1)
+      |           END) AS metacs,
+      |    regexp_extract_all(regexp_extract(raw, '(?s)^(.*?)(\r?\n\r?\n|$)', 1),
+      |      '(?im)^x-robots-tag:\s*([^\r\n]*)', 1) AS hdrcs
+      |  FROM rs),
+      |nm AS (
+      |  SELECT doc_id,
+      |    list_sort(list_distinct(list_filter(list_transform(
+      |      flatten(list_transform(metacs, c -> string_split(lower(c), ','))),
+      |      x -> trim(x)), x -> x != ''))) AS md,
+      |    list_sort(list_distinct(list_filter(list_transform(
+      |      flatten(list_transform(hdrcs, c -> string_split(lower(c), ','))),
+      |      x -> trim(x)), x -> x != ''))) AS hd
+      |  FROM ex),
+      |v AS (
+      |  SELECT doc_id, md, hd, list_concat(md, hd) AS al FROM nm)
+      |SELECT doc_id,
+      |  coalesce(array_to_string(md, ','), '') AS meta_directives,
+      |  coalesce(array_to_string(hd, ','), '') AS header_directives,
+      |  (list_contains(al, 'noindex') OR list_contains(al, 'none')) AS noindex,
+      |  (list_contains(al, 'nofollow') OR list_contains(al, 'none')) AS nofollow,
+      |  NOT (list_contains(al, 'noindex') OR list_contains(al, 'none'))
+      |    AS indexable
+      |FROM v ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val hdrs = when(col("doc_id") % 6 === 1, lit(
+      "HTTP/1.1 200 OK\r\nX-Robots-Tag: noarchive\r\n\r\nbody"))
+      .when(col("doc_id") % 6 === 3, lit(
+        "HTTP/1.1 200 OK\r\nX-Robots-Tag: noindex\r\n" +
+          "X-Robots-Tag: nosnippet\r\n\r\nbody"))
+      .when(col("doc_id") % 6 === 4, lit(
+        "HTTP/1.1 200 OK\r\nX-Robots-Tag: googlebot: noindex\r\n\r\nbody"))
+      .otherwise(lit(
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nbody"))
+    val html = when(col("doc_id") % 6 === 0, concat(lit(
+      "<html><head><meta name=\"robots\" content=\"noindex, nofollow\">" +
+        "<title>a</title></head><body>"), col("text")))
+      .when(col("doc_id") % 6 === 2, concat(lit(
+        "<html><head><META NAME='ROBOTS' CONTENT='NONE'></head><body>"),
+        col("text")))
+      .when(col("doc_id") % 6 === 4, concat(lit(
+        "<html><head><meta name=\"robots\" content=\"nofollow\"></head><body>"),
+        col("text")))
+      .otherwise(concat(lit("<html><body>"), col("text")))
+    val rs2 = t(s, dir, "documents")
+      .select(col("doc_id"), hdrs.as("raw"), html.as("html"))
+    WebOps.robotsMeta(rs2, "html", "raw", "doc_id").orderBy("doc_id")
+  }
+
   // Anchor-text pair mining — (query, document) training pairs from
   // link anchor text: absolute-href anchors yield (anchor_text, target)
   // with tag-stripped entity-decoded collapsed text, navigation

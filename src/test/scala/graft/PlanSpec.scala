@@ -814,7 +814,8 @@ class PlanSpec extends AnyFunSuite {
     Seq("t91_html_meta", "t91b_html_meta_decoded", "t92_iban_pii",
       "t94_readability", "t97_code_fences", "t98_code_quality", "t99_ldjson",
       "t100_script_aware_tokens", "t101_soft404", "t103_html_tables",
-      "t104_sitemap_urls", "t105_http_headers", "mm_image_dims")
+      "t104_sitemap_urls", "t105_http_headers", "t108_robots_meta",
+      "mm_image_dims")
       .foreach { q =>
       val p = plan(q)
       assert(!p.contains("UDF") && !p.contains("Exchange hashpartitioning"),
