@@ -438,6 +438,47 @@ object WebOps {
       charset.as("charset"), nHeaders.cast(LongType).as("n_headers"))
   }
 
+  /** Hex-space structural UTF-8 validator: each alternative consumes one
+    * complete sequence (ASCII / 2- / 3- / 4-byte with the spec's
+    * continuation ranges, surrogate range ED A0-BF and >U+10FFFF
+    * excluded). Alternatives are disjoint on their first hex chars, so
+    * java.util.regex matches without backtracking and RE2 is linear —
+    * the same string works in both engines. */
+  val Utf8ValidHex: String =
+    "(?:[0-7].|(?:C[2-9A-F]|D.)[89AB].|E0[AB].[89AB].|ED[89].[89AB].|" +
+      "E[1-9A-CEF].[89AB].[89AB].|F0[9AB].[89AB].[89AB].|" +
+      "F[1-3][89AB].[89AB].[89AB].|F48.[89AB].[89AB].)*"
+
+  /** Charset sniffing over opaque fetched bytes — the deterministic core
+    * of the WARC-ingest encoding-detect stage (the mojibake audit t84 is
+    * the post-hoc complement): BOM detection (UTF-32BE/LE before their
+    * UTF-16 prefixes, then UTF-8), pure-ASCII probe, and full structural
+    * UTF-8 validation — all regex over the hex encoding (the
+    * mm_image_dims byte-plumbing precedent), so no engine ever attempts
+    * a decode that can throw. Undetected non-UTF-8 bytes classify
+    * `other-8bit` (the re-encode-from-legacy queue), never an error.
+    * Returns (doc_id, charset, has_bom, is_ascii, utf8_valid, n_bytes).
+    * Scan-side, zero shuffle. */
+  def charsetSniff(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val hx = upper(hex(col(binCol)))
+    val asciiOnly = hx.rlike("^(?:[0-7].)*$")
+    val utf8Ok = hx.rlike("^" + Utf8ValidHex + "$")
+    val charset = when(hx.startsWith("0000FEFF"), "utf-32be")
+      .when(hx.startsWith("FFFE0000"), "utf-32le")
+      .when(hx.startsWith("FFFE"), "utf-16le")
+      .when(hx.startsWith("FEFF"), "utf-16be")
+      .when(hx.startsWith("EFBBBF"), "utf-8")
+      .when(asciiOnly, "ascii")
+      .when(utf8Ok, "utf-8")
+      .otherwise("other-8bit")
+    val hasBom = hx.startsWith("0000FEFF") || hx.startsWith("FFFE") ||
+      hx.startsWith("FEFF") || hx.startsWith("EFBBBF")
+    df.select(col(idCol).as("doc_id"), charset.as("charset"),
+      hasBom.as("has_bom"), asciiOnly.as("is_ascii"),
+      utf8Ok.as("utf8_valid"),
+      (length(hx) / 2).cast(LongType).as("n_bytes"))
+  }
+
   /** Per-page robots directives — the indexability gate completing the
     * crawl-policy surface beside the robots.txt verdicts (t90), soft-404
     * probe (t101) and response-head triage (t105): every

@@ -3253,6 +3253,62 @@ private[graft] trait TextQueries extends RegistryBase {
     WebOps.robotsMeta(rs2, "html", "raw", "doc_id").orderBy("doc_id")
   }
 
+
+  // Charset sniffing over fetched bytes — BOM detection (UTF-32 before
+  // its UTF-16 prefix), pure-ASCII probe, full structural UTF-8
+  // validation; all regex over the hex encoding so neither engine ever
+  // attempts a throwing decode. Fixture cycles 8 byte shapes incl. a
+  // broken continuation and a truncated-free euro sign. Undetected
+  // non-UTF-8 classifies 'other-8bit', never errors.
+  register(
+    "t109_charset_sniff",
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 8 AS INT)
+      |      WHEN 0 THEN hex('doc ' || doc_id)
+      |      WHEN 1 THEN 'EFBBBF66C3B6C3B6'
+      |      WHEN 2 THEN 'FFFE68006900'
+      |      WHEN 3 THEN '66C328FF'
+      |      WHEN 4 THEN '66C3B6E282AC'
+      |      WHEN 5 THEN 'FEFF00680069'
+      |      WHEN 6 THEN 'FFFE000068000000'
+      |      ELSE '0000FEFF00000068' END AS hx
+      |  FROM documents),
+      |v AS (
+      |  SELECT doc_id, hx,
+      |    regexp_matches(hx, '^(?:[0-7].)*$') AS is_ascii,
+      |    regexp_matches(hx, '^(?:[0-7].|(?:C[2-9A-F]|D.)[89AB].|E0[AB].[89AB].|ED[89].[89AB].|E[1-9A-CEF].[89AB].[89AB].|F0[9AB].[89AB].[89AB].|F[1-3][89AB].[89AB].[89AB].|F48.[89AB].[89AB].)*$')
+      |      AS utf8_valid
+      |  FROM b)
+      |SELECT doc_id,
+      |  CASE WHEN starts_with(hx, '0000FEFF') THEN 'utf-32be'
+      |       WHEN starts_with(hx, 'FFFE0000') THEN 'utf-32le'
+      |       WHEN starts_with(hx, 'FFFE') THEN 'utf-16le'
+      |       WHEN starts_with(hx, 'FEFF') THEN 'utf-16be'
+      |       WHEN starts_with(hx, 'EFBBBF') THEN 'utf-8'
+      |       WHEN is_ascii THEN 'ascii'
+      |       WHEN utf8_valid THEN 'utf-8'
+      |       ELSE 'other-8bit' END AS charset,
+      |  (starts_with(hx, '0000FEFF') OR starts_with(hx, 'FFFE')
+      |    OR starts_with(hx, 'FEFF') OR starts_with(hx, 'EFBBBF')) AS has_bom,
+      |  is_ascii, utf8_valid,
+      |  CAST(length(hx) // 2 AS BIGINT) AS n_bytes
+      |FROM v ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val hxFix = when(col("doc_id") % 8 === 0,
+      upper(hex(concat(lit("doc "), col("doc_id").cast("string"))
+        .cast("binary"))))
+      .when(col("doc_id") % 8 === 1, lit("EFBBBF66C3B6C3B6"))
+      .when(col("doc_id") % 8 === 2, lit("FFFE68006900"))
+      .when(col("doc_id") % 8 === 3, lit("66C328FF"))
+      .when(col("doc_id") % 8 === 4, lit("66C3B6E282AC"))
+      .when(col("doc_id") % 8 === 5, lit("FEFF00680069"))
+      .when(col("doc_id") % 8 === 6, lit("FFFE000068000000"))
+      .otherwise(lit("0000FEFF00000068"))
+    val blobs = t(s, dir, "documents")
+      .select(col("doc_id"), unhex(hxFix).as("bytes"))
+    WebOps.charsetSniff(blobs, "bytes", "doc_id").orderBy("doc_id")
+  }
+
   // Anchor-text pair mining — (query, document) training pairs from
   // link anchor text: absolute-href anchors yield (anchor_text, target)
   // with tag-stripped entity-decoded collapsed text, navigation
