@@ -438,6 +438,39 @@ object WebOps {
       charset.as("charset"), nHeaders.cast(LongType).as("n_headers"))
   }
 
+  /** Redirect-chain resolution — the crawl canonicalization step between
+    * fetch and URL dedup: every 3xx source resolves to its final landing
+    * URL so duplicates/authority transfer to the target (composes with
+    * the t52 canonicalizer and the urlfps store). POINTER DOUBLING, not
+    * a linear walk: round k composes the current mapping with itself, so
+    * a hop cap of 2^r needs r skinny self-joins (8 hops = 3 rounds) —
+    * the log-round scale shape; each round `localCheckpoint`s (the
+    * iterative-operator rule). Exact semantics: the walk truncates at
+    * the first terminal (no outgoing edge) or at 2^rounds hops — a
+    * cycle never terminates, so it surfaces as hops = cap with
+    * `resolved` = false (final URL still has an outgoing edge). Returns
+    * one row per redirect SOURCE: (src, final_url, hops, resolved). */
+  def resolveRedirects(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", doublingRounds: Int = 3): DataFrame = {
+    require(doublingRounds >= 1 && doublingRounds <= 16)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    var st = e.select(col("src"), col("dst").as("cur"), lit(1L).as("hops"))
+    for (_ <- 1 to doublingRounds) {
+      val jump = st.select(col("src").as("__jsrc"), col("cur").as("__jcur"),
+        col("hops").as("__jh"))
+      st = st.join(jump, st("cur") === jump("__jsrc"), "left")
+        .select(col("src"), coalesce(col("__jcur"), col("cur")).as("cur"),
+          (col("hops") + coalesce(col("__jh"), lit(0L))).as("hops"))
+        .localCheckpoint()
+    }
+    st.join(e.select(col("src").as("__t")).distinct()
+        .withColumn("__has", lit(true)), st("cur") === col("__t"), "left")
+      .select(col("src"), col("cur").as("final_url"), col("hops"),
+        coalesce(col("__has"), lit(false)).as("__has"))
+      .withColumn("resolved", !col("__has")).drop("__has")
+  }
+
   /** Hex-space structural UTF-8 validator: each alternative consumes one
     * complete sequence (ASCII / 2- / 3- / 4-byte with the spec's
     * continuation ranges, surrogate range ED A0-BF and >U+10FFFF

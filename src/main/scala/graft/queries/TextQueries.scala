@@ -3309,6 +3309,46 @@ private[graft] trait TextQueries extends RegistryBase {
     WebOps.charsetSniff(blobs, "bytes", "doc_id").orderBy("doc_id")
   }
 
+
+  // Redirect-chain resolution by pointer doubling (3 rounds = 8-hop cap):
+  // chains of up to 7 hops inside each 8-block of doc ids (terminal at
+  // the block end) plus a planted 3-cycle that must surface as hops=cap,
+  // resolved=false. The oracle walks the SAME cap linearly with a
+  // recursive CTE; the Spark side composes the mapping with itself
+  // log-many times — value-identical truncated-walk semantics.
+  register(
+    "t110_redirect_chains",
+    """WITH ed AS (
+      |  SELECT 'u' || doc_id AS src, 'u' || (doc_id + 1) AS dst
+      |  FROM documents WHERE doc_id % 8 <> 7 AND doc_id < 400
+      |  UNION ALL SELECT 'c0', 'c1' UNION ALL SELECT 'c1', 'c2'
+      |  UNION ALL SELECT 'c2', 'c0'),
+      |walk AS (
+      |  WITH RECURSIVE w(src, cur, hops) AS (
+      |    SELECT src, dst, 1 FROM ed
+      |    UNION ALL
+      |    SELECT w.src, e.dst, w.hops + 1 FROM w JOIN ed e ON w.cur = e.src
+      |    WHERE w.hops < 8)
+      |  SELECT * FROM w),
+      |fin AS (
+      |  SELECT src, cur AS final_url, hops FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY src ORDER BY hops DESC)
+      |      AS rn FROM walk) WHERE rn = 1)
+      |SELECT src, final_url, CAST(hops AS BIGINT) AS hops,
+      |  final_url NOT IN (SELECT src FROM ed) AS resolved
+      |FROM fin ORDER BY src""".stripMargin) { (s, dir) =>
+    val session = s
+    import session.implicits._
+    val base = t(s, dir, "documents")
+      .where(col("doc_id") % 8 =!= 7 && col("doc_id") < 400)
+      .select(concat(lit("u"), col("doc_id")).as("src"),
+        concat(lit("u"), col("doc_id") + 1).as("dst"))
+    val cyc = Seq(("c0", "c1"), ("c1", "c2"), ("c2", "c0")).toDF("src", "dst")
+    WebOps.resolveRedirects(base.unionAll(cyc), "src", "dst",
+        doublingRounds = 3)
+      .orderBy("src")
+  }
+
   // Anchor-text pair mining — (query, document) training pairs from
   // link anchor text: absolute-href anchors yield (anchor_text, target)
   // with tag-stripped entity-decoded collapsed text, navigation

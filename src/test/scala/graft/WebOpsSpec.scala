@@ -303,4 +303,19 @@ class WebOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false),
       s"iban verdicts: $out")
   }
+
+  test("resolveRedirects: truncated-walk doubling, cycle surfaces as hops=cap") {
+    // a->b->c->d terminal (3 hops), x<->y 2-cycle; cap = 2^2 = 4
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("y", "x"))
+      .toDF("src", "dst")
+    val out = WebOps.resolveRedirects(edges, doublingRounds = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("a") === (("d", 3L, true)))  // terminal mid-doubling: exact hops
+    assert(out("b") === (("d", 2L, true)))
+    assert(out("c") === (("d", 1L, true)))
+    // 2-cycle walked exactly cap steps lands back where it started
+    assert(out("x") === (("x", 4L, false)))
+    assert(out("y") === (("y", 4L, false)))
+  }
 }
