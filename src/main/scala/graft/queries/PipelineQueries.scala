@@ -1352,4 +1352,153 @@ private[graft] trait PipelineQueries extends RegistryBase {
         .otherwise(col("text").cast("binary")).as("blob"))
     Multimodal.imageDims(blobs, "blob", "doc_id").orderBy("media_id")
   }
+
+
+  // The INGEST-TRIAGE composite — the fetch-to-frontier program in front
+  // of p12's content pipeline, chaining this round's surface: response
+  // head (t105) -> status/content-type gates -> charset sniff over body
+  // BYTES (t109) -> REP indexability (t108) -> redirect resolution for
+  // the 3xx rows (t110, the frontier update). One fixture drives every
+  // stage; the funnel pins per-stage survivor counts and the resolved
+  // redirect count against a single DuckDB program reusing each
+  // standalone row's expressions.
+  register(
+    "p14_ingest_triage",
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 8 AS INT)
+      |      WHEN 2 THEN 'HTTP/1.1 301 Moved Permanently' || chr(13) || chr(10)
+      |        || 'Location: u' || (doc_id + 8)
+      |      WHEN 3 THEN 'HTTP/1.1 404 Not Found' || chr(13) || chr(10)
+      |        || 'Content-Type: text/html'
+      |      WHEN 4 THEN 'HTTP/1.1 200 OK' || chr(13) || chr(10)
+      |        || 'Content-Type: text/plain'
+      |      WHEN 5 THEN 'HTTP/1.1 200 OK' || chr(13) || chr(10)
+      |        || 'Content-Type: text/html' || chr(13) || chr(10)
+      |        || 'X-Robots-Tag: noindex'
+      |      ELSE 'HTTP/1.1 200 OK' || chr(13) || chr(10)
+      |        || 'Content-Type: text/html; charset=UTF-8' END AS head,
+      |    CASE CAST(doc_id % 8 AS INT)
+      |      WHEN 0 THEN '<html><body>plain page ' || text
+      |      WHEN 1 THEN '<html><head><meta name="robots" content="noindex"></head><body>x'
+      |      WHEN 2 THEN ''
+      |      WHEN 3 THEN '<html><body>nope'
+      |      WHEN 4 THEN 'just text'
+      |      WHEN 5 THEN '<html><body>y'
+      |      WHEN 6 THEN '<html><body>bad bytes'
+      |      ELSE '<html><body>good ' || text END AS html
+      |  FROM documents),
+      |fb AS (
+      |  SELECT doc_id, head, html,
+      |    CASE WHEN doc_id % 8 = 6 THEN hex(html) || 'FF'
+      |         ELSE hex(html) END AS hx
+      |  FROM f),
+      |g AS (
+      |  SELECT doc_id,
+      |    TRY_CAST(regexp_extract(head, '^HTTP/[0-9.]+ ([0-9]{3})', 1)
+      |      AS BIGINT) AS status,
+      |    lower(trim(regexp_extract(regexp_extract(head,
+      |      '(?im)^content-type:\s*([^\r\n]*)', 1), '^([^;]*)', 1))) AS ct,
+      |    (regexp_matches(hx, '^(?:[0-7].)*$') OR regexp_matches(hx,
+      |      '^(?:[0-7].|(?:C[2-9A-F]|D.)[89AB].|E0[AB].[89AB].|ED[89].[89AB].|E[1-9A-CEF].[89AB].[89AB].|F0[9AB].[89AB].[89AB].|F[1-3][89AB].[89AB].[89AB].|F48.[89AB].[89AB].)*$'))
+      |      AS decodable,
+      |    NOT (list_contains(al, 'noindex') OR list_contains(al, 'none'))
+      |      AS indexable
+      |  FROM (
+      |    SELECT doc_id, head, hx, list_concat(
+      |      list_filter(list_transform(flatten(list_transform(
+      |        list_transform(regexp_extract_all(html,
+      |          '(?is)(<meta\s[^>]*name\s*=\s*["'']robots["''][^>]*>)', 1),
+      |          t -> CASE WHEN regexp_matches(t, '(?i)content\s*=\s*"')
+      |                 THEN regexp_extract(t, '(?i)content\s*=\s*"([^"]*)"', 1)
+      |                 ELSE regexp_extract(t, '(?i)content\s*=\s*''([^'']*)''', 1)
+      |               END),
+      |        c -> string_split(lower(c), ','))), x -> trim(x)), x -> x != ''),
+      |      list_filter(list_transform(flatten(list_transform(
+      |        regexp_extract_all(head, '(?im)^x-robots-tag:\s*([^\r\n]*)', 1),
+      |        c -> string_split(lower(c), ','))), x -> trim(x)), x -> x != ''))
+      |      AS al
+      |    FROM fb)),
+      |ed AS (
+      |  SELECT 'u' || doc_id AS src,
+      |         regexp_extract(head, '(?im)^location:\s*([^\r\n]*)', 1) AS dst
+      |  FROM f WHERE doc_id % 8 = 2),
+      |walk AS (
+      |  WITH RECURSIVE w(src, cur, hops) AS (
+      |    SELECT src, dst, 1 FROM ed
+      |    UNION ALL
+      |    SELECT w.src, e.dst, w.hops + 1 FROM w JOIN ed e ON w.cur = e.src
+      |    WHERE w.hops < 8)
+      |  SELECT * FROM w),
+      |rr AS (
+      |  SELECT src, cur AS final_url FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY src ORDER BY hops DESC)
+      |      AS rn FROM walk) WHERE rn = 1)
+      |SELECT stage, n_docs FROM (
+      |  SELECT '1_fetched' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM g
+      |  UNION ALL SELECT '2_status_ok', CAST(sum(CASE WHEN status = 200
+      |    THEN 1 ELSE 0 END) AS BIGINT) FROM g
+      |  UNION ALL SELECT '3_html', CAST(sum(CASE WHEN status = 200
+      |    AND ct = 'text/html' THEN 1 ELSE 0 END) AS BIGINT) FROM g
+      |  UNION ALL SELECT '4_decodable', CAST(sum(CASE WHEN status = 200
+      |    AND ct = 'text/html' AND decodable THEN 1 ELSE 0 END) AS BIGINT) FROM g
+      |  UNION ALL SELECT '5_indexable', CAST(sum(CASE WHEN status = 200
+      |    AND ct = 'text/html' AND decodable AND indexable THEN 1 ELSE 0 END)
+      |    AS BIGINT) FROM g
+      |  UNION ALL SELECT '6_redirects_resolved', CAST(sum(CASE WHEN
+      |    final_url NOT IN (SELECT src FROM ed) THEN 1 ELSE 0 END) AS BIGINT)
+      |    FROM rr)
+      |ORDER BY stage""".stripMargin) { (s, dir) =>
+    val m8 = col("doc_id") % 8
+    val head = when(m8 === 2, concat(
+      lit("HTTP/1.1 301 Moved Permanently\r\nLocation: u"), col("doc_id") + 8))
+      .when(m8 === 3, lit("HTTP/1.1 404 Not Found\r\nContent-Type: text/html"))
+      .when(m8 === 4, lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain"))
+      .when(m8 === 5, lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        "X-Robots-Tag: noindex"))
+      .otherwise(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8"))
+    val html = when(m8 === 0, concat(lit("<html><body>plain page "), col("text")))
+      .when(m8 === 1, lit("<html><head><meta name=\"robots\" " +
+        "content=\"noindex\"></head><body>x"))
+      .when(m8 === 2, lit(""))
+      .when(m8 === 3, lit("<html><body>nope"))
+      .when(m8 === 4, lit("just text"))
+      .when(m8 === 5, lit("<html><body>y"))
+      .when(m8 === 6, lit("<html><body>bad bytes"))
+      .otherwise(concat(lit("<html><body>good "), col("text")))
+    val fixture = t(s, dir, "documents").select(col("doc_id"),
+      head.as("head"), html.as("html"),
+      when(m8 === 6,
+        unhex(concat(upper(hex(html.cast("binary"))), lit("FF"))))
+        .otherwise(html.cast("binary")).as("bytes"))
+    val heads = WebOps.httpHead(
+      fixture.select(col("doc_id"), col("head").as("raw")), "raw", "doc_id")
+      .select(col("doc_id"), col("status"), col("content_type").as("ct"))
+    val cs = WebOps.charsetSniff(fixture, "bytes", "doc_id")
+      .select(col("doc_id"), col("charset").as("body_charset"))
+    val rm = WebOps.robotsMeta(fixture, "html", "head", "doc_id")
+      .select(col("doc_id"), col("indexable"))
+    val g = heads.join(cs, "doc_id").join(rm, "doc_id")
+    val s200 = col("status") === 200
+    val sHtml = s200 && col("ct") === "text/html"
+    val sDec = sHtml && col("body_charset").isin("ascii", "utf-8")
+    val sIdx = sDec && col("indexable")
+    val funnel = g.agg(
+      count(lit(1)).as("n1"),
+      sum(when(s200, 1L).otherwise(0L)).as("n2"),
+      sum(when(sHtml, 1L).otherwise(0L)).as("n3"),
+      sum(when(sDec, 1L).otherwise(0L)).as("n4"),
+      sum(when(sIdx, 1L).otherwise(0L)).as("n5"))
+      .selectExpr("stack(5, '1_fetched', n1, '2_status_ok', n2, " +
+        "'3_html', n3, '4_decodable', n4, '5_indexable', n5) " +
+        "AS (stage, n_docs)")
+    val edges = fixture.where(m8 === 2).select(
+      concat(lit("u"), col("doc_id")).as("src"),
+      regexp_extract(col("head"), "(?im)^location:\\s*([^\\r\\n]*)", 1)
+        .as("dst"))
+    val rr = WebOps.resolveRedirects(edges, "src", "dst", doublingRounds = 3)
+      .agg(sum(when(col("resolved"), 1L).otherwise(0L)).as("n_docs"))
+      .select(lit("6_redirects_resolved").as("stage"), col("n_docs"))
+    funnel.unionAll(rr).orderBy("stage")
+  }
 }
