@@ -438,6 +438,58 @@ object WebOps {
       charset.as("charset"), nHeaders.cast(LongType).as("n_headers"))
   }
 
+  /** URL-structure bitext candidate pairing — the ParaCrawl-style
+    * document-alignment prefilter: two pages whose URLs differ ONLY in a
+    * language path segment ("/en/" vs "/fr/") are translation candidates
+    * (the margin-based miner t34 then scores them; this stage needs no
+    * embeddings at all). Extracts the first path segment matching a
+    * caller-supplied language-code set, keys each page by the URL with
+    * that segment removed, keeps ONE page per (key, lang) (min id —
+    * recrawls collapse), and emits all cross-language pairs per key.
+    * Scale shape: the join key is a skinny string (the segment-free
+    * URL), per-key fan-out is bounded by |langs| BY CONSTRUCTION (one
+    * survivor per lang) — never a star join. Returns (url_key, lang_a,
+    * id_a, lang_b, id_b) with lang_a < lang_b. */
+  def urlBitextPairs(pages: DataFrame, urlCol: String, idCol: String,
+      langs: Seq[String]): DataFrame = {
+    require(langs.nonEmpty && langs.forall(_.matches("[a-z]{2}")))
+    val pat = "^(https?://[^/]+)/(" + langs.mkString("|") + ")(/.*|$)"
+    val withLang = pages.select(col(idCol).as("id"), col(urlCol).as("url"))
+      .withColumn("__lang", regexp_extract(col("url"), pat, 2))
+      .where(col("__lang") =!= "")
+      .withColumn("url_key", concat(
+        regexp_extract(col("url"), pat, 1),
+        regexp_extract(col("url"), pat, 3)))
+    val canon = withLang.groupBy(col("url_key"), col("__lang"))
+      .agg(min(col("id")).as("id"))
+    val a = canon.select(col("url_key"), col("__lang").as("lang_a"),
+      col("id").as("id_a"))
+    val b = canon.select(col("url_key"), col("__lang").as("lang_b"),
+      col("id").as("id_b"))
+    a.join(b, Seq("url_key")).where(col("lang_a") < col("lang_b"))
+      .select("url_key", "lang_a", "id_a", "lang_b", "id_b")
+  }
+
+  /** Politeness-aware fetch scheduling — turns the crawl frontier into
+    * per-host fetch slots honoring each host's crawl delay (the t90b
+    * crawl-delay surface): URLs rank per host by (priority DESC, url),
+    * the top `frontierCap` survive (a mega-host must not monopolize the
+    * fetch budget), and slot k fetches at k·delay seconds. The per-host
+    * window mirrors physical reality — politeness makes a host's fetches
+    * SERIAL, so window cardinality is exactly the per-host frontier cap,
+    * never corpus-sized. Returns (url, host, rank, slot_s). */
+  def fetchSchedule(frontier: DataFrame, urlCol: String, hostCol: String,
+      delayCol: String, priorityCol: String,
+      frontierCap: Int = 1000): DataFrame = {
+    require(frontierCap > 0)
+    val w = Window.partitionBy(col(hostCol))
+      .orderBy(col(priorityCol).desc, col(urlCol))
+    frontier.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= frontierCap)
+      .select(col(urlCol).as("url"), col(hostCol).as("host"), col("rank"),
+        ((col("rank") - 1) * col(delayCol)).cast(LongType).as("slot_s"))
+  }
+
   /** Redirect-chain resolution — the crawl canonicalization step between
     * fetch and URL dedup: every 3xx source resolves to its final landing
     * URL so duplicates/authority transfer to the target (composes with

@@ -3349,6 +3349,75 @@ private[graft] trait TextQueries extends RegistryBase {
       .orderBy("src")
   }
 
+
+  // URL-structure bitext candidate pairing (the ParaCrawl prefilter):
+  // pages whose URLs differ only in a language path segment pair up as
+  // translation candidates — one survivor per (key, lang) so per-key
+  // fan-out is bounded by |langs| by construction. Fixture spreads 3
+  // langs over coprime moduli so real multi-lang keys exist.
+  register(
+    "t111_url_bitext",
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'en' WHEN 1 THEN 'fr'
+      |      WHEN 2 THEN 'de' ELSE '' END AS lang,
+      |    doc_id % 199 AS g
+      |  FROM documents),
+      |wl AS (
+      |  SELECT doc_id AS id, lang,
+      |         'https://site.com/p/' || g || '/' AS url_key
+      |  FROM p WHERE lang != ''),
+      |cn AS (SELECT url_key, lang, min(id) AS id FROM wl
+      |       GROUP BY url_key, lang)
+      |SELECT a.url_key AS url_key, a.lang AS lang_a,
+      |       CAST(a.id AS BIGINT) AS id_a,
+      |       b.lang AS lang_b, CAST(b.id AS BIGINT) AS id_b
+      |FROM cn a JOIN cn b ON a.url_key = b.url_key
+      |WHERE a.lang < b.lang
+      |ORDER BY a.url_key, lang_a, lang_b""".stripMargin) { (s, dir) =>
+    val lang = when(col("doc_id") % 5 === 0, "en")
+      .when(col("doc_id") % 5 === 1, "fr")
+      .when(col("doc_id") % 5 === 2, "de").otherwise("")
+    val pages = t(s, dir, "documents").select(col("doc_id"),
+      when(lang =!= "", concat(lit("https://site.com/"), lang, lit("/p/"),
+        col("doc_id") % 199, lit("/")))
+        .otherwise(concat(lit("https://site.com/p/"), col("doc_id") % 199,
+          lit("/"))).as("url"))
+    WebOps.urlBitextPairs(pages, "url", "doc_id", Seq("en", "fr", "de"))
+      .orderBy("url_key", "lang_a", "lang_b")
+  }
+
+
+  // Politeness-aware fetch scheduling: the frontier ranks per host by
+  // priority, the top-K survive (mega-hosts can't monopolize the fetch
+  // budget), slot k fetches at k*crawl_delay seconds. The per-host
+  // window is exactly frontier-cap-bounded — politeness makes a host's
+  // fetches serial, so this window IS the physical schedule.
+  register(
+    "t112_fetch_schedule",
+    """WITH fr AS (
+      |  SELECT 'https://site' || (doc_id % 7) || '.com/p/' || doc_id AS url,
+      |         'site' || (doc_id % 7) || '.com' AS host,
+      |         1 + (doc_id % 7) % 3 AS delay, doc_id % 13 AS prio
+      |  FROM documents),
+      |r AS (SELECT url, host, delay,
+      |        row_number() OVER (PARTITION BY host
+      |          ORDER BY prio DESC, url) AS rank
+      |      FROM fr)
+      |SELECT url, host, CAST(rank AS BIGINT) AS rank,
+      |       CAST((rank - 1) * delay AS BIGINT) AS slot_s
+      |FROM r WHERE rank <= 50 ORDER BY host, rank""".stripMargin) { (s, dir) =>
+    val frontier = t(s, dir, "documents").select(
+      concat(lit("https://site"), col("doc_id") % 7, lit(".com/p/"),
+        col("doc_id")).as("url"),
+      concat(lit("site"), col("doc_id") % 7, lit(".com")).as("host"),
+      (lit(1) + (col("doc_id") % 7) % 3).as("delay"),
+      (col("doc_id") % 13).as("prio"))
+    WebOps.fetchSchedule(frontier, "url", "host", "delay", "prio",
+        frontierCap = 50)
+      .orderBy("host", "rank")
+  }
+
   // Anchor-text pair mining — (query, document) training pairs from
   // link anchor text: absolute-href anchors yield (anchor_text, target)
   // with tag-stripped entity-decoded collapsed text, navigation

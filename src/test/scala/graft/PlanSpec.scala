@@ -837,6 +837,15 @@ class PlanSpec extends AnyFunSuite {
     p95.split("\n").filter(_.contains("windowspecdefinition")).foreach { ln =>
       assert(ln.contains("__b"), s"t95: window not bucket-keyed: $ln")
     }
+    // bitext pairing: skinny-key equi-join, no cartesian; fetch schedule:
+    // every window keys on host (frontier-cap bounded)
+    val p111 = plan("t111_url_bitext")
+    assert(!p111.contains("UDF") && !p111.contains("CartesianProduct"))
+    val p112 = plan("t112_fetch_schedule")
+    assert(!p112.contains("UDF") && !p112.contains("CartesianProduct"))
+    p112.split("\n").filter(_.contains("windowspecdefinition")).foreach { ln =>
+      assert(ln.contains("host"), s"t112: window not host-keyed: $ln")
+    }
     // exact-cut chunking shares the carry decomposition; its explode is
     // span-bounded and text must not reach the post-explode exchange
     val p107 = plan("t107_chunk_pack")
