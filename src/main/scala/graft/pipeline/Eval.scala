@@ -632,4 +632,48 @@ object Eval {
       .select(col("problem"), col("ida").as("winner_id"),
         (scoreMicro / 1000000.0).as("mbr_score"), col("k"))
   }
+
+  /** Exact Spearman rank correlation between two integer signal columns,
+    * grouped — the metric-agreement audit between quality signals (or
+    * two judge models' scores). Average-tie ranks derive from a VALUE
+    * HISTOGRAM per group (pre-combined agg + a value-cardinality
+    * cumulative window — never a row-cardinality ranking sort): a value
+    * with count c and S smaller rows gives every row the DOUBLED average
+    * rank 2S + c + 1, kept integral (Pearson is affine-invariant, so
+    * rho is unchanged). rho folds from six per-group integer sums in one
+    * agg; sums convert to double BEFORE any product (the n·Σr² product
+    * overflows int64 past ~40k rows; the integer sums themselves stay
+    * exact below 2^53, i.e. groups to ~130k rows — beyond that, lift to
+    * the gramSketch decimal path). Rounded 6dp. Returns
+    * (byCol, n_docs, rho). */
+  def spearman(df: DataFrame, xCol: String, yCol: String,
+      byCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dranks(c: String, rName: String): DataFrame =
+      df.select(col(byCol).as("__g"), col(c).cast("long").as("__v"))
+        .groupBy("__g", "__v").agg(count(lit(1)).as("__c"))
+        .withColumn("__s", coalesce(
+          sum(col("__c")).over(Window.partitionBy("__g").orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("__g"), col("__v"),
+          (lit(2L) * col("__s") + col("__c") + 1L).as(rName))
+    val rx = dranks(xCol, "__rx")
+    val ry = dranks(yCol, "__ry")
+    val rows = df.select(col(byCol).as("__g"),
+        col(xCol).cast("long").as("__vx"), col(yCol).cast("long").as("__vy"))
+      .join(rx.withColumnRenamed("__v", "__vx"), Seq("__g", "__vx"))
+      .join(ry.withColumnRenamed("__v", "__vy"), Seq("__g", "__vy"))
+    val agg = rows.groupBy(col("__g").as(byCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("__rx")).as("__sx"), sum(col("__ry")).as("__sy"),
+      sum(col("__rx") * col("__rx")).as("__sxx"),
+      sum(col("__ry") * col("__ry")).as("__syy"),
+      sum(col("__rx") * col("__ry")).as("__sxy"))
+    val nd = col("n_docs").cast("double")
+    def d(c: String) = col(c).cast("double")
+    agg.select(col(byCol), col("n_docs"),
+      round((nd * d("__sxy") - d("__sx") * d("__sy")) /
+        sqrt((nd * d("__sxx") - d("__sx") * d("__sx")) *
+          (nd * d("__syy") - d("__sy") * d("__sy"))), 6).as("rho"))
+  }
 }

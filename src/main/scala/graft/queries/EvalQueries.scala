@@ -1211,4 +1211,56 @@ private[graft] trait EvalQueries extends RegistryBase {
     Eval.calibrationReport(scored, "conf", "y", bins = 10)
       .orderBy("bin")
   }
+
+
+  // Exact per-source Spearman rank correlation between two quality
+  // signals (char length vs token count) — the metric-agreement audit.
+  // Average-tie ranks come from a VALUE histogram (pre-combined agg +
+  // value-cardinality cumulative window, never a row-ranking sort),
+  // doubled to stay integral (Pearson is affine-invariant); the six
+  // sums convert to DOUBLE before any product in BOTH engines, so the
+  // IEEE arithmetic is identical — rho hash-matches at 6dp.
+  register(
+    "t113_spearman",
+    """WITH s AS (
+      |  SELECT source, length(text) AS x,
+      |    CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t != ''))
+      |      AS BIGINT) AS y
+      |  FROM documents),
+      |hx AS (
+      |  SELECT source, x, count(*) AS c,
+      |    coalesce(sum(count(*)) OVER (PARTITION BY source ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sm
+      |  FROM s GROUP BY source, x),
+      |hy AS (
+      |  SELECT source, y, count(*) AS c,
+      |    coalesce(sum(count(*)) OVER (PARTITION BY source ORDER BY y
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sm
+      |  FROM s GROUP BY source, y),
+      |r AS (
+      |  SELECT s.source,
+      |    CAST(2 * hx.sm + hx.c + 1 AS BIGINT) AS rx,
+      |    CAST(2 * hy.sm + hy.c + 1 AS BIGINT) AS ry
+      |  FROM s JOIN hx ON s.source = hx.source AND s.x = hx.x
+      |         JOIN hy ON s.source = hy.source AND s.y = hy.y),
+      |a AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+      |    CAST(sum(rx * rx) AS BIGINT) AS sxx,
+      |    CAST(sum(ry * ry) AS BIGINT) AS syy,
+      |    CAST(sum(rx * ry) AS BIGINT) AS sxy
+      |  FROM r GROUP BY source)
+      |SELECT source, n_docs,
+      |  round((CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / sqrt((CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |         * (CAST(n_docs AS DOUBLE) * CAST(syy AS DOUBLE)
+      |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS rho
+      |FROM a ORDER BY source""".stripMargin) { (s, dir) =>
+    val sig = t(s, dir, "documents").select(col("source"),
+      length(col("text")).cast("long").as("x"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("y"))
+    Eval.spearman(sig, "x", "y", "source").orderBy("source")
+  }
 }
