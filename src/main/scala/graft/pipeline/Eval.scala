@@ -671,9 +671,14 @@ object Eval {
       sum(col("__rx") * col("__ry")).as("__sxy"))
     val nd = col("n_docs").cast("double")
     def d(c: String) = col(c).cast("double")
+    // a constant signal makes its variance term exactly 0 — rho is
+    // undefined there, emitted as null (never NaN/Inf, which would also
+    // render differently across engines)
+    val denom = (nd * d("__sxx") - d("__sx") * d("__sx")) *
+      (nd * d("__syy") - d("__sy") * d("__sy"))
     agg.select(col(byCol), col("n_docs"),
-      round((nd * d("__sxy") - d("__sx") * d("__sy")) /
-        sqrt((nd * d("__sxx") - d("__sx") * d("__sx")) *
-          (nd * d("__syy") - d("__sy") * d("__sy"))), 6).as("rho"))
+      when(denom > 0.0,
+        round((nd * d("__sxy") - d("__sx") * d("__sy")) / sqrt(denom), 6))
+        .as("rho"))
   }
 }

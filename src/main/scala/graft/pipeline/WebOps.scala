@@ -412,6 +412,12 @@ object WebOps {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** The HTTP head/body split rule — everything before the first blank
+    * line (CRLF or LF). ONE definition shared by [[httpHead]] and
+    * [[robotsMeta]] so the two can never disagree on what counts as a
+    * header. */
+  private val HeadSplitRegex = "(?s)^(.*?)(\\r?\\n\\r?\\n|$)"
+
   /** HTTP response-head parsing — the ingest triage between raw fetch
     * bytes and the HTML pipeline: status line (code + reason), media
     * type (lowered, parameters stripped), charset parameter
@@ -421,7 +427,7 @@ object WebOps {
     * never an error. Scan-side regexes, zero shuffle. Returns (id,
     * status, reason, content_type, charset, n_headers). */
   def httpHead(df: DataFrame, rawCol: String, idCol: String): DataFrame = {
-    val head = regexp_extract(col(rawCol), "(?s)^(.*?)(\\r?\\n\\r?\\n|$)", 1)
+    val head = regexp_extract(col(rawCol), HeadSplitRegex, 1)
     val status = expr(
       s"try_cast(regexp_extract($rawCol, '^HTTP/[0-9.]+ ([0-9]{3})', 1) AS bigint)")
     val reason = trim(regexp_extract(col(rawCol),
@@ -477,7 +483,9 @@ object WebOps {
     * fetch budget), and slot k fetches at k·delay seconds. The per-host
     * window mirrors physical reality — politeness makes a host's fetches
     * SERIAL, so window cardinality is exactly the per-host frontier cap,
-    * never corpus-sized. Returns (url, host, rank, slot_s). */
+    * never corpus-sized. `slot_s` keeps the delay column's numeric type
+    * (no silent floor — a fractional Crawl-delay like 0.5 must not
+    * collapse adjacent slots). Returns (url, host, rank, slot_s). */
   def fetchSchedule(frontier: DataFrame, urlCol: String, hostCol: String,
       delayCol: String, priorityCol: String,
       frontierCap: Int = 1000): DataFrame = {
@@ -487,7 +495,7 @@ object WebOps {
     frontier.withColumn("rank", row_number().over(w).cast(LongType))
       .where(col("rank") <= frontierCap)
       .select(col(urlCol).as("url"), col(hostCol).as("host"), col("rank"),
-        ((col("rank") - 1) * col(delayCol)).cast(LongType).as("slot_s"))
+        ((col("rank") - 1) * col(delayCol)).as("slot_s"))
   }
 
   /** Redirect-chain resolution — the crawl canonicalization step between
@@ -581,7 +589,7 @@ object WebOps {
     * noindex, nofollow, indexable). */
   def robotsMeta(df: DataFrame, htmlCol: String, rawCol: String,
       idCol: String): DataFrame = {
-    val head = regexp_extract(col(rawCol), "(?s)^(.*?)(\\r?\\n\\r?\\n|$)", 1)
+    val head = regexp_extract(col(rawCol), HeadSplitRegex, 1)
     val metaTags = regexp_extract_all(col(htmlCol),
       lit("(?is)(<meta\\s[^>]*name\\s*=\\s*[\"']robots[\"'][^>]*>)"), lit(1))
     val metaContents = transform(metaTags, t =>

@@ -1251,12 +1251,17 @@ private[graft] trait EvalQueries extends RegistryBase {
       |    CAST(sum(rx * ry) AS BIGINT) AS sxy
       |  FROM r GROUP BY source)
       |SELECT source, n_docs,
-      |  round((CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE)
-      |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-      |    / sqrt((CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
-      |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-      |         * (CAST(n_docs AS DOUBLE) * CAST(syy AS DOUBLE)
-      |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS rho
+      |  CASE WHEN (CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |          * (CAST(n_docs AS DOUBLE) * CAST(syy AS DOUBLE)
+      |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+      |    THEN round((CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / sqrt((CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |           * (CAST(n_docs AS DOUBLE) * CAST(syy AS DOUBLE)
+      |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |  END AS rho
       |FROM a ORDER BY source""".stripMargin) { (s, dir) =>
     val sig = t(s, dir, "documents").select(col("source"),
       length(col("text")).cast("long").as("x"),

@@ -1474,14 +1474,18 @@ private[graft] trait PipelineQueries extends RegistryBase {
     val heads = WebOps.httpHead(
       fixture.select(col("doc_id"), col("head").as("raw")), "raw", "doc_id")
       .select(col("doc_id"), col("status"), col("content_type").as("ct"))
+    // decodable = structural validity (is_ascii OR utf8_valid), the exact
+    // predicate the oracle computes — NOT the charset label, whose BOM
+    // branch would accept an EFBBBF prefix with invalid bytes after it
     val cs = WebOps.charsetSniff(fixture, "bytes", "doc_id")
-      .select(col("doc_id"), col("charset").as("body_charset"))
+      .select(col("doc_id"),
+        (col("is_ascii") || col("utf8_valid")).as("body_ok"))
     val rm = WebOps.robotsMeta(fixture, "html", "head", "doc_id")
       .select(col("doc_id"), col("indexable"))
     val g = heads.join(cs, "doc_id").join(rm, "doc_id")
     val s200 = col("status") === 200
     val sHtml = s200 && col("ct") === "text/html"
-    val sDec = sHtml && col("body_charset").isin("ascii", "utf-8")
+    val sDec = sHtml && col("body_ok")
     val sIdx = sDec && col("indexable")
     val funnel = g.agg(
       count(lit(1)).as("n1"),

@@ -3850,7 +3850,7 @@ private[graft] trait TextQueries extends RegistryBase {
       |       CAST(batch_id AS BIGINT) AS batch_id
       |FROM ex GROUP BY seq_id, batch_id
       |ORDER BY seq_id, batch_id""".stripMargin) { (s, dir) =>
-    val store = java.nio.file.Files.createTempDirectory("t107b_store").toString
+    val store = scratchDir("t107b_store") // shutdown-hook cleaned
     val docs = t(s, dir, "documents")
     val m0 = TextAnalysis.chunkStoreStep(docs.where(col("doc_id") < 250),
       store, "text", "doc_id", seqLen = 1024L, batchId = 0L)
@@ -3891,7 +3891,7 @@ private[graft] trait TextQueries extends RegistryBase {
       |       CAST(batch_id AS BIGINT) AS batch_id
       |FROM st GROUP BY strt // 2000, batch_id
       |ORDER BY shard_id, batch_id""".stripMargin) { (s, dir) =>
-    val store = java.nio.file.Files.createTempDirectory("t95b_store").toString
+    val store = scratchDir("t95b_store") // shutdown-hook cleaned
     val docs = t(s, dir, "documents")
     val m0 = TextAnalysis.shardStoreStep(docs.where(col("doc_id") < 250),
       store, "text", "doc_id", shardTokens = 2000L, batchId = 0L)

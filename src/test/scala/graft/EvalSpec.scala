@@ -477,4 +477,20 @@ class EvalSpec extends AnyFunSuite {
         == lcsRef(c, r), s"interpreted lcs mismatch on ($c | $r)")
     }
   }
+
+  test("spearman: exact tie-aware rho; constant signal yields null, not NaN") {
+    // g1: perfect monotone pair -> rho = 1; g2: perfect inverse -> -1;
+    // g3: y constant -> variance 0 -> null
+    val df = Seq(
+      ("g1", 1L, 10L), ("g1", 2L, 20L), ("g1", 3L, 30L),
+      ("g2", 1L, 30L), ("g2", 2L, 20L), ("g2", 3L, 10L),
+      ("g3", 1L, 5L), ("g3", 2L, 5L), ("g3", 3L, 5L)
+    ).toDF("g", "x", "y")
+    val out = graft.pipeline.Eval.spearman(df, "x", "y", "g")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out("g1") === Some(1.0))
+    assert(out("g2") === Some(-1.0))
+    assert(out("g3") === None)
+  }
 }

@@ -837,6 +837,16 @@ class PlanSpec extends AnyFunSuite {
     p95.split("\n").filter(_.contains("windowspecdefinition")).foreach { ln =>
       assert(ln.contains("__b"), s"t95: window not bucket-keyed: $ln")
     }
+    // redirect resolution: skinny self-joins only, no cartesian, no UDF
+    val p110 = plan("t110_redirect_chains")
+    assert(!p110.contains("UDF") && !p110.contains("CartesianProduct"))
+    // spearman: every window keys on the group (value-histogram windows),
+    // never a row-cardinality unpartitioned ranking sort
+    val p113 = plan("t113_spearman")
+    assert(!p113.contains("UDF") && !p113.contains("CartesianProduct"))
+    p113.split("\n").filter(_.contains("windowspecdefinition")).foreach { ln =>
+      assert(ln.contains("__g"), s"t113: window not group-keyed: $ln")
+    }
     // bitext pairing: skinny-key equi-join, no cartesian; fetch schedule:
     // every window keys on host (frontier-cap bounded)
     val p111 = plan("t111_url_bitext")
