@@ -268,6 +268,53 @@ object WebOps {
         get_json_object(col("__j"), "$['name']").as("name"))
   }
 
+  /** Publication-date extraction — the knowledge-cutoff / freshness
+    * signal every dated-corpus curation needs (the htmldate/trafilatura
+    * problem, deterministic core): sources probe in fixed precedence and
+    * the first VALIDATED hit wins —
+    *   1. `og` — `<meta property="article:published_time">` content;
+    *   2. `ldjson` — the first ld+json block's `datePublished`;
+    *   3. `time` — the first `<time datetime=…>`;
+    *   4. `url` — a `/YYYY/MM/DD/` (day defaults to 01 for `/YYYY/MM/`)
+    *      path segment, years 1990-2029.
+    * Values normalize to the ISO `YYYY-MM-DD` prefix and must match it
+    * structurally (month 01-12, day 01-31) or the probe falls through —
+    * a malformed date never wins over a valid lower-precedence one.
+    * Scan-side regex + JSON path reads, zero shuffle. Returns
+    * (doc_id, pub_date, date_source) with nulls when nothing validates. */
+  def pubDate(docs: DataFrame, htmlCol: String, urlCol: String,
+      idCol: String): DataFrame = {
+    val h = col(htmlCol)
+    def isoPrefix(c: Column): Column = {
+      val d = substring(c, 1, 10)
+      when(d.rlike("^\\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\\d|3[01])$"), d)
+    }
+    val og = isoPrefix(attrAfter(regexp_extract(h,
+      "(?is)(<meta\\s[^>]*property\\s*=\\s*[\"']article:published_time[\"'][^>]*>)",
+      1), "content"))
+    val ld = isoPrefix(get_json_object(
+      regexp_replace(regexp_extract(h,
+        "(?is)<script\\s[^>]*type\\s*=\\s*[\"']application/ld\\+json[\"'][^>]*>(.*?)</script>",
+        1), "[;\\s]+$", ""),
+      "$.datePublished"))
+    val tm = isoPrefix(attrAfter(regexp_extract(h,
+      "(?is)(<time\\s[^>]*datetime\\s*=\\s*[\"'][^\"']*[\"'][^>]*>)", 1),
+      "datetime"))
+    val um = regexp_extract(col(urlCol),
+      "/((?:199\\d|20[0-2]\\d))/(0[1-9]|1[0-2])(?:/(0[1-9]|[12]\\d|3[01]))?(/|$)",
+      0)
+    val uy = regexp_extract(um, "/(\\d{4})/", 1)
+    val umo = regexp_extract(um, "/\\d{4}/(\\d{2})", 1)
+    val ud = regexp_extract(um, "/\\d{4}/\\d{2}/(\\d{2})", 1)
+    val urlDate = when(uy =!= "",
+      concat(uy, lit("-"), umo, lit("-"), when(ud =!= "", ud).otherwise("01")))
+    docs.select(col(idCol).as("doc_id"),
+      coalesce(og, ld, tm, urlDate).as("pub_date"),
+      when(og.isNotNull, "og").when(ld.isNotNull, "ldjson")
+        .when(tm.isNotNull, "time").when(urlDate.isNotNull, "url")
+        .as("date_source"))
+  }
+
   /** The built-in soft-404 pattern pack, as (pattern, anchor) rows —
     * the CONFIG DEFAULT a deployment extends with per-language packs.
     * Anchors (see [[soft404]]): `start` patterns must open the title as

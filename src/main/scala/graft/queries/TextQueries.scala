@@ -3418,6 +3418,77 @@ private[graft] trait TextQueries extends RegistryBase {
       .orderBy("host", "rank")
   }
 
+
+  // Publication-date extraction (knowledge-cutoff / freshness signal):
+  // og:published_time -> ld+json datePublished -> <time datetime> ->
+  // /YYYY/MM/DD/ URL segment, first VALIDATED hit wins — a malformed
+  // higher-precedence value falls through (case 4 pins that). ISO
+  // prefix normalization + structural validation in both engines.
+  register(
+    "t114_pub_date",
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 6 AS INT)
+      |      WHEN 0 THEN '<html><head><meta property="article:published_time" content="2023-05-12T10:00:00Z"><time datetime="2001-01-01">x</time></head><body>a'
+      |      WHEN 1 THEN '<html><head><script type="application/ld+json">{"@type":"Article","datePublished":"2021-11-03"}</script></head><body>b'
+      |      WHEN 2 THEN '<html><body><time datetime="2019-07-30T08:00">then</time>'
+      |      WHEN 3 THEN '<html><body>dated by url'
+      |      WHEN 4 THEN '<html><head><meta property="article:published_time" content="not-a-date"><time datetime="2018-03-09">y</time></head>'
+      |      ELSE '<html><body>undated ' || text END AS html,
+      |    CASE WHEN doc_id % 6 = 3
+      |      THEN 'https://site.com/2020/02/29/post.html'
+      |      ELSE 'https://site.com/p/x' END AS url
+      |  FROM documents),
+      |x AS (
+      |  SELECT doc_id,
+      |    substr(regexp_extract(regexp_extract(html,
+      |      '(?is)(<meta\s[^>]*property\s*=\s*["'']article:published_time["''][^>]*>)', 1),
+      |      '(?i)content\s*=\s*"([^"]*)"', 1), 1, 10) AS og0,
+      |    substr(json_extract_string(NULLIF(regexp_replace(regexp_extract(html,
+      |      '(?is)<script\s[^>]*type\s*=\s*["'']application/ld\+json["''][^>]*>(.*?)</script>', 1),
+      |      '[;\s]+$', ''), ''), '$.datePublished'), 1, 10) AS ld0,
+      |    substr(regexp_extract(regexp_extract(html,
+      |      '(?is)(<time\s[^>]*datetime\s*=\s*["''][^"'']*["''][^>]*>)', 1),
+      |      '(?i)datetime\s*=\s*"([^"]*)"', 1), 1, 10) AS tm0,
+      |    regexp_extract(url, '/((?:199\d|20[0-2]\d))/(0[1-9]|1[0-2])(?:/(0[1-9]|[12]\d|3[01]))?(/|$)', 1) AS uy,
+      |    regexp_extract(url, '/((?:199\d|20[0-2]\d))/(0[1-9]|1[0-2])(?:/(0[1-9]|[12]\d|3[01]))?(/|$)', 2) AS um,
+      |    regexp_extract(url, '/((?:199\d|20[0-2]\d))/(0[1-9]|1[0-2])(?:/(0[1-9]|[12]\d|3[01]))?(/|$)', 3) AS ud
+      |  FROM f),
+      |v AS (
+      |  SELECT doc_id,
+      |    CASE WHEN regexp_matches(og0, '^\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])$') THEN og0 END AS og,
+      |    CASE WHEN regexp_matches(ld0, '^\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])$') THEN ld0 END AS ld,
+      |    CASE WHEN regexp_matches(tm0, '^\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])$') THEN tm0 END AS tm,
+      |    CASE WHEN uy != '' THEN uy || '-' || um || '-' ||
+      |      (CASE WHEN ud != '' THEN ud ELSE '01' END) END AS ur
+      |  FROM x)
+      |SELECT doc_id, coalesce(og, ld, tm, ur) AS pub_date,
+      |  CASE WHEN og IS NOT NULL THEN 'og'
+      |       WHEN ld IS NOT NULL THEN 'ldjson'
+      |       WHEN tm IS NOT NULL THEN 'time'
+      |       WHEN ur IS NOT NULL THEN 'url' END AS date_source
+      |FROM v ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val m6 = col("doc_id") % 6
+    val html = when(m6 === 0, lit("<html><head><meta property=\"article:" +
+      "published_time\" content=\"2023-05-12T10:00:00Z\">" +
+      "<time datetime=\"2001-01-01\">x</time></head><body>a"))
+      .when(m6 === 1, lit("<html><head><script type=\"application/ld+json\">" +
+        "{\"@type\":\"Article\",\"datePublished\":\"2021-11-03\"}" +
+        "</script></head><body>b"))
+      .when(m6 === 2, lit("<html><body><time datetime=\"2019-07-30T08:00\">" +
+        "then</time>"))
+      .when(m6 === 3, lit("<html><body>dated by url"))
+      .when(m6 === 4, lit("<html><head><meta property=\"article:" +
+        "published_time\" content=\"not-a-date\">" +
+        "<time datetime=\"2018-03-09\">y</time></head>"))
+      .otherwise(concat(lit("<html><body>undated "), col("text")))
+    val url = when(m6 === 3, lit("https://site.com/2020/02/29/post.html"))
+      .otherwise(lit("https://site.com/p/x"))
+    val pages = t(s, dir, "documents").select(col("doc_id"),
+      html.as("html"), url.as("url"))
+    WebOps.pubDate(pages, "html", "url", "doc_id").orderBy("doc_id")
+  }
+
   // Anchor-text pair mining — (query, document) training pairs from
   // link anchor text: absolute-href anchors yield (anchor_text, target)
   // with tag-stripped entity-decoded collapsed text, navigation
