@@ -181,6 +181,43 @@ object Multimodal {
       .withColumn("valid", col("width").isNotNull && col("height").isNotNull)
   }
 
+  /** Audio duration/shape probe over opaque binary columns WITHOUT a
+    * codec — the audio sibling of [[imageDims]]: a canonical PCM WAV
+    * header puts everything a corpus triage needs at spec-fixed
+    * little-endian offsets (RIFF/WAVE/fmt/data magics; channels u16 @22,
+    * sample rate u32 @24, byte rate u32 @28, data size u32 @40), so
+    * duration = data_size / byte_rate without touching samples. Bytes
+    * parse via hex (the imageDims plumbing); little-endian u32s read as
+    * four swapped hex pairs — identical arithmetic in both engines.
+    * Non-RIFF / truncated / zero-byte-rate blobs yield valid=false with
+    * null fields, never an error. duration_ms floors from exact double
+    * math (ds·1000/br + 0.5 — both engines IEEE-identical). Returns
+    * (media_id, valid, channels, sample_rate, byte_rate, duration_ms). */
+  def audioDuration(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val hx = upper(hex(col(binCol)))
+    def u16le(at1: Int): Column = conv(
+      concat(substring(hx, at1 + 2, 2), substring(hx, at1, 2)), 16, 10)
+      .cast(LongType)
+    def u32le(at1: Int): Column = conv(
+      concat(substring(hx, at1 + 6, 2), substring(hx, at1 + 4, 2),
+        substring(hx, at1 + 2, 2), substring(hx, at1, 2)), 16, 10)
+      .cast(LongType)
+    val shape = substring(hx, 1, 8) === "52494646" && // 'RIFF'
+      substring(hx, 17, 8) === "57415645" &&          // 'WAVE'
+      substring(hx, 25, 8) === "666D7420" &&          // 'fmt '
+      substring(hx, 73, 8) === "64617461" &&          // 'data'
+      length(hx) >= 88
+    val byteRate = u32le(57)
+    val valid = shape && byteRate > 0
+    val dataSize = u32le(81)
+    df.select(col(idCol).as("media_id"), valid.as("valid"),
+      when(valid, u16le(45)).as("channels"),
+      when(valid, u32le(49)).as("sample_rate"),
+      when(valid, byteRate).as("byte_rate"),
+      when(valid, floor(dataSize.cast("double") * 1000.0 /
+        byteRate.cast("double") + 0.5).cast(LongType)).as("duration_ms"))
+  }
+
   /** The mapPartitions decode loop a real codec would use (the Scala
     * analogue of mapInPandas batches): demonstrates the per-partition
     * batching shape with the STUB codec. */

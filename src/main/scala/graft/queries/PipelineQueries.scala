@@ -1354,6 +1354,55 @@ private[graft] trait PipelineQueries extends RegistryBase {
   }
 
 
+  // Codec-free WAV duration probe (audio sibling of mm_image_dims):
+  // canonical 44-byte PCM headers built from doc_id (little-endian u32s
+  // as swapped hex pairs in BOTH engines), plus truncated and garbage
+  // cases; duration = data_size / byte_rate without touching samples.
+  // Oracle derives expected fields analytically from the same params.
+  register(
+    "mm_audio_duration",
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    8000 + (doc_id % 3) * 18050 AS rate,
+      |    1 + doc_id % 2 AS ch,
+      |    (8000 + (doc_id % 3) * 18050) * 2 * (1 + doc_id % 2) AS brate,
+      |    (doc_id % 1000 + 1) * 2000 AS dsize
+      |  FROM documents)
+      |SELECT doc_id AS media_id,
+      |  doc_id % 4 <= 1 AS valid,
+      |  CASE WHEN doc_id % 4 <= 1 THEN CAST(ch AS BIGINT) END AS channels,
+      |  CASE WHEN doc_id % 4 <= 1 THEN CAST(rate AS BIGINT) END AS sample_rate,
+      |  CASE WHEN doc_id % 4 <= 1 THEN CAST(brate AS BIGINT) END AS byte_rate,
+      |  CASE WHEN doc_id % 4 <= 1 THEN CAST(floor(
+      |    CAST(dsize AS DOUBLE) * 1000.0 / CAST(brate AS DOUBLE) + 0.5)
+      |    AS BIGINT) END AS duration_ms
+      |FROM p ORDER BY media_id""".stripMargin) { (s, dir) =>
+    def le32(v: Column): Column = {
+      val h = lpad(hex(v), 8, "0")
+      concat(substring(h, 7, 2), substring(h, 5, 2),
+        substring(h, 3, 2), substring(h, 1, 2))
+    }
+    def le16(v: Column): Column = {
+      val h = lpad(hex(v), 4, "0")
+      concat(substring(h, 3, 2), substring(h, 1, 2))
+    }
+    val rate = lit(8000) + (col("doc_id") % 3) * 18050
+    val ch = lit(1) + col("doc_id") % 2
+    val brate = rate * 2 * ch
+    val dsize = (col("doc_id") % 1000 + 1) * 2000
+    val hdr = concat(lit("52494646"), le32(dsize + 36),
+      lit("57415645"), lit("666D7420"), lit("10000000"), lit("0100"),
+      le16(ch), le32(rate), le32(brate), le16(ch * 2), lit("1000"),
+      lit("64617461"), le32(dsize))
+    val m4 = col("doc_id") % 4
+    val blobs = t(s, dir, "documents").select(col("doc_id"),
+      when(m4 <= 1, unhex(hdr))
+        .when(m4 === 2, unhex(substring(hdr, 1, 40))) // truncated header
+        .otherwise(unhex(lit("00DEADBEEF00"))).as("blob"))
+    Multimodal.audioDuration(blobs, "blob", "doc_id").orderBy("media_id")
+  }
+
+
   // The INGEST-TRIAGE composite — the fetch-to-frontier program in front
   // of p12's content pipeline, chaining this round's surface: response
   // head (t105) -> status/content-type gates -> charset sniff over body
