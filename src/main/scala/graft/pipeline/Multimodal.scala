@@ -208,7 +208,10 @@ object Multimodal {
       substring(hx, 73, 8) === "64617461" &&          // 'data'
       length(hx) >= 88
     val byteRate = u32le(57)
-    val valid = shape && byteRate > 0
+    // null bytes column -> null hx -> null comparisons; valid must stay
+    // two-valued (the docstring contract, and imageDims parity) or
+    // filter(!valid) silently drops null-blob rows
+    val valid = coalesce(shape && byteRate > 0, lit(false))
     val dataSize = u32le(81)
     df.select(col(idCol).as("media_id"), valid.as("valid"),
       when(valid, u16le(45)).as("channels"),

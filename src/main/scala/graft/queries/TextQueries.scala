@@ -3439,21 +3439,31 @@ private[graft] trait TextQueries extends RegistryBase {
       |      THEN 'https://site.com/2020/02/29/post.html'
       |      ELSE 'https://site.com/p/x' END AS url
       |  FROM documents),
-      |x AS (
+      |x0 AS (
       |  SELECT doc_id,
-      |    substr(regexp_extract(regexp_extract(html,
-      |      '(?is)(<meta\s[^>]*property\s*=\s*["'']article:published_time["''][^>]*>)', 1),
-      |      '(?i)content\s*=\s*"([^"]*)"', 1), 1, 10) AS og0,
-      |    substr(json_extract_string(NULLIF(regexp_replace(regexp_extract(html,
+      |    regexp_extract(html, '(?is)(<meta\s[^>]*property\s*=\s*["'']article:published_time["''][^>]*>)', 1) AS ogt,
+      |    NULLIF(regexp_replace(regexp_extract(html,
       |      '(?is)<script\s[^>]*type\s*=\s*["'']application/ld\+json["''][^>]*>(.*?)</script>', 1),
-      |      '[;\s]+$', ''), ''), '$.datePublished'), 1, 10) AS ld0,
-      |    substr(regexp_extract(regexp_extract(html,
-      |      '(?is)(<time\s[^>]*datetime\s*=\s*["''][^"'']*["''][^>]*>)', 1),
-      |      '(?i)datetime\s*=\s*"([^"]*)"', 1), 1, 10) AS tm0,
+      |      '[;\s]+$', ''), '') AS ldj,
+      |    regexp_extract(html, '(?is)(<time\s[^>]*datetime\s*=\s*["''][^"'']*["''][^>]*>)', 1) AS tmt,
       |    regexp_extract(url, '/((?:199\d|20[0-2]\d))/(0[1-9]|1[0-2])(?:/(0[1-9]|[12]\d|3[01]))?(/|$)', 1) AS uy,
       |    regexp_extract(url, '/((?:199\d|20[0-2]\d))/(0[1-9]|1[0-2])(?:/(0[1-9]|[12]\d|3[01]))?(/|$)', 2) AS um,
       |    regexp_extract(url, '/((?:199\d|20[0-2]\d))/(0[1-9]|1[0-2])(?:/(0[1-9]|[12]\d|3[01]))?(/|$)', 3) AS ud
       |  FROM f),
+      |x AS (
+      |  SELECT doc_id,
+      |    substr(CASE WHEN regexp_matches(ogt, '(?i)content\s*=\s*"')
+      |        THEN regexp_extract(ogt, '(?i)content\s*=\s*"([^"]*)"', 1)
+      |        ELSE regexp_extract(ogt, '(?i)content\s*=\s*''([^'']*)''', 1)
+      |      END, 1, 10) AS og0,
+      |    substr(CASE WHEN ldj IS NOT NULL AND json_valid(ldj)
+      |        THEN json_extract_string(ldj, '$.datePublished') END, 1, 10) AS ld0,
+      |    substr(CASE WHEN regexp_matches(tmt, '(?i)datetime\s*=\s*"')
+      |        THEN regexp_extract(tmt, '(?i)datetime\s*=\s*"([^"]*)"', 1)
+      |        ELSE regexp_extract(tmt, '(?i)datetime\s*=\s*''([^'']*)''', 1)
+      |      END, 1, 10) AS tm0,
+      |    uy, um, ud
+      |  FROM x0),
       |v AS (
       |  SELECT doc_id,
       |    CASE WHEN regexp_matches(og0, '^\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])$') THEN og0 END AS og,
