@@ -29,14 +29,25 @@ object CarbonBlack {
     * context['carbonblack']{action,value}); `banned` is the current
     * banned-hash table (md5hash, enabled, text). Emits (alert_id,
     * md5hash, action_plan, success) with the reference's exact
-    * precedence. A present-but-empty context `{}` is falsy in the
-    * reference (`if not alert.context`) and errors the same way. */
+    * precedence.
+    *
+    * Falsy context mirrors Python truthiness on the PARSED value
+    * (carbonblack.py:73 `if not alert.context`): since our `context`
+    * column is JSON text, the falsy set is NULL, whitespace-only /
+    * empty text, and the texts whose parse is falsy in Python — `null`,
+    * `false`, `0`, `""`, `{}`, `[]` (the containers with any interior
+    * whitespace, e.g. `{ }`). Anything else — incl. `"0"`-as-a-string
+    * inside an object — is truthy. */
   def banPlan(alerts: DataFrame, banned: DataFrame): DataFrame = {
     // context collapses to a boolean BEFORE the join — the wide JSON
     // string must not ride the alerts-side exchange (skinny-shuffle rule)
+    val ctxT = trim(col("context"))
+    val falsyCtx = col("context").isNull ||
+      ctxT.isin("", "null", "false", "0", "\"\"") ||
+      ctxT.rlike("^\\{\\s*\\}$|^\\[\\s*\\]$")
     val cb = alerts.select(
       col("alert_id"),
-      (col("context").isNull || col("context") === "{}").as("__no_ctx"),
+      falsyCtx.as("__no_ctx"),
       get_json_object(col("context"), "$.carbonblack.action").as("__action"),
       get_json_object(col("context"), "$.carbonblack.value").as("md5hash"))
     cb.join(banned.select(col("md5hash"), col("enabled").as("__enabled")),

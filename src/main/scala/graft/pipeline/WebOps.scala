@@ -556,11 +556,17 @@ object WebOps {
     * the first terminal (no outgoing edge) or at 2^rounds hops — a
     * cycle never terminates, so it surfaces as hops = cap with
     * `resolved` = false (final URL still has an outgoing edge). Returns
-    * one row per redirect SOURCE: (src, final_url, hops, resolved). */
+    * one row per redirect SOURCE: (src, final_url, hops, resolved).
+    * The edge set is made functional up front — duplicate rows for one
+    * src collapse to the lexicographically smallest dst (a real fetch
+    * log can record the same 3xx twice; without the collapse every
+    * self-join round would fan the duplicates out multiplicatively and
+    * break the one-row-per-source contract). */
   def resolveRedirects(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", doublingRounds: Int = 3): DataFrame = {
     require(doublingRounds >= 1 && doublingRounds <= 16)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .groupBy("src").agg(min("dst").as("dst"))
       .localCheckpoint()
     var st = e.select(col("src"), col("dst").as("cur"), lit(1L).as("hops"))
     for (_ <- 1 to doublingRounds) {

@@ -832,7 +832,13 @@ private[graft] trait AlertsQueries extends RegistryBase {
   private def cbFixture(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val alerts = t(s, dir, "events").where(col("event_id") < 240).select(
       col("event_id").as("alert_id"),
-      when(col("event_id") % 7 === 0, lit(null).cast("string"))
+      // falsy-context variants rotate through the Python-falsy JSON set
+      // (NULL, "{ }", " null ", "", "[]", "false") — all must classify
+      // error_no_context exactly like plain NULL (carbonblack.py:73)
+      when(col("event_id") % 7 === 0, element_at(
+        array(lit(null).cast("string"), lit("{ }"), lit(" null "),
+          lit(""), lit("[]"), lit("false")),
+        ((col("event_id") / 7).cast("int") % 6) + 1))
         .when(col("event_id") % 7 === 1, to_json(struct(
           struct(lit("isolate").as("action")).as("carbonblack"))))
         .when(col("event_id") % 7 === 2, to_json(struct(

@@ -160,22 +160,51 @@ object ConnectorAuth {
     params.map { case (k, v) => (percentEncode(k), percentEncode(v)) }
       .sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
 
-  /** SigV4 canonical request. Headers: lowercase names; values trimmed
-    * with inner space runs collapsed (the spec's trimall — quoted-string
-    * interiors are not special-cased here); duplicate names merge into
-    * one line with values comma-joined in appearance order; sorted by
-    * name; the signed-headers line derives from the same list.
-    * `payloadSha` is hex SHA-256 of the body ("" → e3b0c442...). */
+  /** SigV4 canonical URI path: RFC 3986 dot-segment removal, then each
+    * remaining segment percent-encoded ONCE MORE on top of its on-wire
+    * form — the spec's double-encoding, which every service except S3
+    * applies ('%' → "%25", so an already-encoded "%20" canonicalizes to
+    * "%2520"). S3 signs the path exactly as sent (single-encoded, no
+    * normalization): pass `normalize = false`. Empty → "/"; a trailing
+    * slash (or a path ending in "." / "..") keeps the trailing slash. */
+  def sigV4CanonicalPath(path: String, normalize: Boolean = true): String = {
+    if (path.isEmpty) "/"
+    else if (!normalize) path
+    else {
+      val parts = path.split("/", -1)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      parts.foreach {
+        case "" | "." => ()
+        case ".."     => if (out.nonEmpty) out.remove(out.length - 1)
+        case seg      => out += seg
+      }
+      val trailingSlash = path.endsWith("/") ||
+        parts.last == "." || parts.last == ".."
+      val body = out.map(percentEncode).mkString("/")
+      val p = "/" + body + (if (trailingSlash && body.nonEmpty) "/" else "")
+      if (p.isEmpty) "/" else p
+    }
+  }
+
+  /** SigV4 canonical request. Path: [[sigV4CanonicalPath]] (dot-segment
+    * normalization + double-encoding; S3-style raw paths via
+    * `normalizePath = false`). Headers: lowercase names; values trimmed
+    * with inner space/tab runs collapsed to one space (the spec's
+    * trimall — quoted-string interiors are not special-cased here);
+    * duplicate names merge into one line with values comma-joined in
+    * appearance order; sorted by name; the signed-headers line derives
+    * from the same list. `payloadSha` is hex SHA-256 of the body
+    * ("" → e3b0c442...). */
   def sigV4CanonicalRequest(method: String, uri: String,
       query: Seq[(String, String)], headers: Seq[(String, String)],
-      payloadSha: String): String = {
+      payloadSha: String, normalizePath: Boolean = true): String = {
     val canon = headers
-      .map { case (k, v) => (k.toLowerCase, v.trim.replaceAll(" +", " ")) }
+      .map { case (k, v) => (k.toLowerCase, v.trim.replaceAll("[ \t]+", " ")) }
       .groupBy(_._1).view.mapValues(_.map(_._2).mkString(","))
       .toSeq.sortBy(_._1)
     Seq(
       method.toUpperCase,
-      if (uri.isEmpty) "/" else uri,
+      sigV4CanonicalPath(uri, normalizePath),
       sigV4CanonicalQuery(query),
       canon.map { case (k, v) => s"$k:$v\n" }.mkString,
       canon.map(_._1).mkString(";"),

@@ -48,6 +48,22 @@ class CarbonBlackSpec extends AnyFunSuite {
       (8L, "create_ban", true)))
   }
 
+  test("falsy context matches Python truthiness on the parsed value") {
+    // carbonblack.py:73 `if not alert.context` — the falsy JSON texts
+    val falsy = Seq("{}", "{ }", " {}", "null", " null ", "", "  ",
+      "[]", "[ ]", "false", "0", "\"\"")
+    val truthy = Seq("""{"a":1}""", """{"carbonblack":{}}""", "\"0\"",
+      "[0]", "true", "1", "\"x\"")
+    val df = (falsy ++ truthy).zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toDF("alert_id", "context")
+    val plans = CarbonBlack.banPlan(df, banned).orderBy("alert_id")
+      .select("action_plan").as[String].collect().toSeq
+    assert(plans.take(falsy.length).forall(_ == "error_no_context"),
+      s"falsy variants must all be error_no_context: $plans")
+    assert(plans.drop(falsy.length).forall(_ != "error_no_context"),
+      s"truthy variants must never be error_no_context: $plans")
+  }
+
   test("applyPlan re-enables, creates once per hash, keeps text on re-enable") {
     val plan = CarbonBlack.banPlan(alerts, banned)
     val next = CarbonBlack.applyPlan(plan, banned)

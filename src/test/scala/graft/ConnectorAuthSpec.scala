@@ -116,6 +116,33 @@ class ConnectorAuthSpec extends AnyFunSuite {
     assert(lines(6) === "host;x-amz-meta-a")
   }
 
+  test("sigv4 trimall collapses tab runs and mixed space/tab padding") {
+    val creq = sigV4CanonicalRequest("GET", "/", Seq.empty,
+      Seq("host" -> "h", "x-pad" -> "\t a \t\t b\t "), emptySha)
+    assert(creq.split("\n")(4) === "x-pad:a b")
+  }
+
+  test("sigv4 canonical path: dot-segment removal + double-encoding") {
+    // the docs' get-vanilla shape is untouched
+    assert(sigV4CanonicalPath("") === "/")
+    assert(sigV4CanonicalPath("/") === "/")
+    // RFC 3986 dot-segment removal
+    assert(sigV4CanonicalPath("/foo/../bar") === "/bar")
+    assert(sigV4CanonicalPath("/./foo") === "/foo")
+    assert(sigV4CanonicalPath("/foo/bar/..") === "/foo/")
+    assert(sigV4CanonicalPath("/a//b/") === "/a/b/")
+    // ".." past the root is dropped, not an error
+    assert(sigV4CanonicalPath("/../a") === "/a")
+    // double-encoding: the on-wire (already-encoded) form encodes again
+    assert(sigV4CanonicalPath("/documents%20and%20settings/") ===
+      "/documents%2520and%2520settings/")
+    // S3 style: the path signs exactly as sent
+    assert(sigV4CanonicalPath("/a//b/./%20", normalize = false) === "/a//b/./%20")
+    val creq = sigV4CanonicalRequest("GET", "/x/../y%2Fz", Seq.empty,
+      Seq("host" -> "h"), emptySha)
+    assert(creq.split("\n")(1) === "/y%252Fz")
+  }
+
   test("duo canonical string and auth headers (duo.py:63-88 shape)") {
     val date = "Tue, 21 Aug 2018 17:00:00 -0000"
     val canon = duoCanonical(date, "GET", "api-xxx.duosecurity.com",

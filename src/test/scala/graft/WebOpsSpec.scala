@@ -318,4 +318,17 @@ class WebOpsSpec extends AnyFunSuite {
     assert(out("x") === (("x", 4L, false)))
     assert(out("y") === (("y", 4L, false)))
   }
+
+  test("resolveRedirects: duplicate src edges collapse to min dst, one row per src") {
+    // a recorded twice with conflicting dsts — min(dst)='b' wins; the
+    // exact duplicate (b->c twice) must not fan out the walk
+    val edges = Seq(("a", "z"), ("a", "b"), ("b", "c"), ("b", "c"))
+      .toDF("src", "dst")
+    val rows = WebOps.resolveRedirects(edges, doublingRounds = 2).collect()
+    assert(rows.length === 2) // exactly one row per source
+    val out = rows.map(r => r.getString(0) ->
+      ((r.getString(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("a") === (("c", 2L, true)))
+    assert(out("b") === (("c", 1L, true)))
+  }
 }
