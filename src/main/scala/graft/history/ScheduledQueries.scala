@@ -53,6 +53,35 @@ object ScheduledQueries {
       extra: Map[String, String] = Map.empty): DataFrame =
     spark.sql(substitute(sql, now, extra))
 
+  /** Run a Presto/Athena-dialect query pack VERBATIM. The reference's
+    * users author Presto SQL (scheduled_queries/sample/athena.py:18-50);
+    * two dialect gaps keep that text from running through plain
+    * `spark.sql`:
+    *
+    *  1. Presto function names (`json_extract`, `strpos`, ...) — closed
+    *     session-wide by [[graft.plans.GraftExtensions]]'s injected
+    *     aliases (the session must be built `.withExtensions`).
+    *  2. `"double-quoted"` identifiers (`"db"."table"`), which Spark
+    *     treats as string literals — closed here by scoping
+    *     `spark.sql.ansi.doubleQuotedIdentifiers` around the PARSE (the
+    *     conf only matters at parse time, so save/restore around
+    *     `spark.sql` is airtight; Spark 4 runs ANSI-on by default, which
+    *     the conf requires).
+    *
+    * Everything else in the pack contract (param substitution, map
+    * subscripts `col['key']`, comments) is already shared syntax. */
+  def runPresto(spark: SparkSession, sql: String, now: Instant,
+      extra: Map[String, String] = Map.empty): DataFrame = {
+    val key = "spark.sql.ansi.doubleQuotedIdentifiers"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try run(spark, sql, now, extra)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Execution stats for one scheduled-query run — the engine-side analogue
     * of the Athena statistics block the reference surfaces per query
     * (`data_scanned_in_bytes` / `engine_execution_time_in_millis`,

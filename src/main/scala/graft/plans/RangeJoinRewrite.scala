@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
 
 /** Optimizer rule: rewrite an inequality-only interval join into an
   * equi-join on a derived time bucket.
@@ -181,6 +181,71 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "warc_split(blob) takes one argument")
         graft.functions.WarcSplit(args.head)
+      })) ++ prestoAliases
+
+  /** Presto/Athena dialect aliases, so the reference's user-authored query
+    * packs run VERBATIM through `spark.sql` (its own sample pack calls
+    * `json_extract` at scheduled_queries/sample/athena.py:27, which Spark
+    * spells `get_json_object`). Mappings:
+    *
+    *  - `json_extract(json, path)` / `json_extract_scalar(json, path)` →
+    *    `GetJsonObject`. Divergence, documented: Presto's `json_extract`
+    *    returns the JSON-ENCODED value (a scalar string keeps its quotes)
+    *    while `get_json_object` unquotes scalars — i.e. both aliases get
+    *    `json_extract_scalar` semantics, which is what Athena packs
+    *    overwhelmingly mean (the sample extracts `$.database` for display).
+    *  - `from_iso8601_timestamp(s)` → ANSI cast to TIMESTAMP (ISO 8601
+    *    with optional offset parses; malformed input throws, as Presto's
+    *    does).
+    *  - `to_unixtime(ts)` → epoch seconds as DOUBLE with fractional
+    *    seconds (Presto returns DOUBLE; Spark's `unix_timestamp` truncates
+    *    to BIGINT, so this computes `unix_micros/1e6`).
+    *  - `strpos(s, sub)` → 1-based first occurrence, 0 when absent, as
+    *    BIGINT (Presto's return type; Spark's `instr` is INT).
+    *  - `arbitrary(x)` → `first(x) ignoring nulls` (Presto returns an
+    *    arbitrary NON-NULL value when one exists).
+    *  - `approx_distinct(x[, e])` → HyperLogLog++ with Presto's default
+    *    max standard error 0.023 (Spark's default is 0.05); the optional
+    *    second argument is the standard error, a double literal. */
+  private def prestoAliases: Seq[FnEntry] = Seq(
+    binaryFn("json_extract", classOf[GetJsonObject].getName,
+      GetJsonObject(_, _)),
+    binaryFn("json_extract_scalar", classOf[GetJsonObject].getName,
+      GetJsonObject(_, _)),
+    (new org.apache.spark.sql.catalyst.FunctionIdentifier("from_iso8601_timestamp"),
+      new ExpressionInfo(classOf[Cast].getName, "from_iso8601_timestamp"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          "from_iso8601_timestamp(str) takes one argument")
+        Cast(args.head, TimestampType)
+      }),
+    (new org.apache.spark.sql.catalyst.FunctionIdentifier("to_unixtime"),
+      new ExpressionInfo(classOf[Divide].getName, "to_unixtime"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "to_unixtime(timestamp) takes one argument")
+        Divide(Cast(UnixMicros(Cast(args.head, TimestampType)), DoubleType),
+          Literal(1000000.0d))
+      }),
+    binaryFn("strpos", classOf[StringInstr].getName,
+      (s, sub) => Cast(StringInstr(s, sub), LongType)),
+    (new org.apache.spark.sql.catalyst.FunctionIdentifier("arbitrary"),
+      new ExpressionInfo(classOf[aggregate.First].getName, "arbitrary"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "arbitrary(x) takes one argument")
+        aggregate.First(args.head, ignoreNulls = true)
+      }),
+    (new org.apache.spark.sql.catalyst.FunctionIdentifier("approx_distinct"),
+      new ExpressionInfo(classOf[aggregate.HyperLogLogPlusPlus].getName,
+        "approx_distinct"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2,
+          "approx_distinct(x[, e]) takes one or two arguments")
+        val rsd = if (args.length == 1) 0.023 else args(1) match {
+          case Literal(v: Double, _) => v
+          case other => throw new IllegalArgumentException(
+            s"approx_distinct standard error must be a double literal, got $other")
+        }
+        aggregate.HyperLogLogPlusPlus(args.head, rsd)
       }))
 
   private def binaryFn(name: String, className: String,

@@ -998,6 +998,141 @@ private[graft] trait SqlQueries extends RegistryBase {
   }
 
 
+  // §3.2 dialect compatibility: the reference's own sample query pack runs
+  // VERBATIM — text from scheduled_queries/sample/athena.py:24-47 (params
+  // substituted by the pack runner, exactly as the reference does), parsed
+  // by plain spark.sql via ScheduledQueries.runPresto: the injected Presto
+  // aliases resolve `json_extract`, ANSI double-quoted identifiers resolve
+  // `"ATHENA_DATABASE_NAME"."cloudwatch_cloudtrail"`, and Spark's native
+  // map subscript handles `requestparameters['querystring']`. The fixture
+  // is a catalog VIEW shaped like the Athena CloudTrail table (map-typed
+  // requestparameters/useridentity, dt partition strings), derived from
+  // events with decorrelated moduli so every WHERE clause discriminates.
+  private val prestoSampleSql =
+    """
+      |SELECT
+      |  eventtime,
+      |  json_extract(requestparameters['queryexecutioncontext'], '$.database') as database_name,
+      |  requestparameters['querystring'] as querystring,
+      |  useridentity['type'] as user_identity_type,
+      |  useridentity['arn'] as user_identity_arn,
+      |  dt
+      |FROM
+      |  "ATHENA_DATABASE_NAME"."cloudwatch_cloudtrail"
+      |WHERE
+      |  dt = '{utcdatehour_minus1hour}'
+      |
+      |  -- Only Events from Athena
+      |  AND eventsource = 'athena.amazonaws.com'
+      |  AND eventname = 'StartQueryExecution'
+      |
+      |  -- Only on the CSIRT Prod account
+      |  AND recipientaccountid = '123456789012'
+      |
+      |  -- Filter out noisy ALTER and SHOW queries. SHOW queries are commonly run in automation
+      |  -- by API clients, and ALTER queries are run commonly by the Athena partition function.
+      |  AND upper(substr(requestparameters['querystring'], 1, 5)) NOT IN ('ALTER', 'SHOW ')
+      |""".stripMargin
+
+  /** CloudTrail-shaped fixture view in a real catalog database, so the
+    * pack's qualified `"db"."table"` reference resolves. A catalog VIEW
+    * cannot reference a temp view, so the body reads the parquet path
+    * directly; the ts expression absorbs a raw-long encoding the way
+    * `Tables.normalize` does (all current warehouses are TIMESTAMP(us),
+    * where it is just `ts`). */
+  private def prestoFixture(s: SparkSession, dir: String): Unit = {
+    val tsExpr = s.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => "timestamp_micros(ts DIV 1000)"
+      case _ => "ts"
+    }
+    s.sql("CREATE DATABASE IF NOT EXISTS athena_database_name")
+    s.sql(
+      s"""CREATE OR REPLACE VIEW athena_database_name.cloudwatch_cloudtrail AS
+         |SELECT
+         |  date_format($tsExpr, 'yyyy-MM-dd''T''HH:mm:ss''Z''') AS eventtime,
+         |  element_at(array('athena.amazonaws.com', 's3.amazonaws.com',
+         |    'iam.amazonaws.com'), CAST(event_id % 3 AS INT) + 1) AS eventsource,
+         |  element_at(array('StartQueryExecution', 'GetQueryResults',
+         |    'CreateUser', 'BatchGetQueryExecution'),
+         |    CAST(event_id % 4 AS INT) + 1) AS eventname,
+         |  CASE WHEN user_id % 2 = 0 THEN '123456789012'
+         |       ELSE '999999999999' END AS recipientaccountid,
+         |  map(
+         |    'queryexecutioncontext',
+         |    concat('{"database":"db_', CAST(event_id % 7 AS STRING), '"}'),
+         |    'querystring',
+         |    element_at(array(
+         |      concat('SELECT * FROM t', CAST(event_id % 5 AS STRING)),
+         |      'ALTER TABLE t ADD PARTITION (dt = 1)',
+         |      'SHOW  TABLES',
+         |      concat('select count(*) from logs where id = ',
+         |        CAST(event_id AS STRING))),
+         |      CAST((event_id DIV 4) % 4 AS INT) + 1)) AS requestparameters,
+         |  map(
+         |    'type', CASE WHEN user_id % 3 = 0 THEN 'IAMUser'
+         |                 ELSE 'AssumedRole' END,
+         |    'arn', concat('arn:aws:iam::123456789012:user/u',
+         |      CAST(user_id AS STRING))) AS useridentity,
+         |  CASE WHEN event_id % 5 = 0 THEN '1995-06-18-11'
+         |       ELSE '1995-06-18-10' END AS dt
+         |FROM parquet.`$dir/events.parquet`""".stripMargin)
+  }
+
+  register(
+    "sq_presto_verbatim",
+    """SELECT strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS eventtime,
+      |       'db_' || CAST(event_id % 7 AS VARCHAR) AS database_name,
+      |       CASE WHEN (event_id // 4) % 4 = 0
+      |            THEN 'SELECT * FROM t' || CAST(event_id % 5 AS VARCHAR)
+      |            ELSE 'select count(*) from logs where id = ' ||
+      |                 CAST(event_id AS VARCHAR) END AS querystring,
+      |       CASE WHEN user_id % 3 = 0 THEN 'IAMUser'
+      |            ELSE 'AssumedRole' END AS user_identity_type,
+      |       'arn:aws:iam::123456789012:user/u' || CAST(user_id AS VARCHAR)
+      |         AS user_identity_arn,
+      |       '1995-06-18-11' AS dt
+      |FROM events
+      |WHERE event_id % 60 = 0 AND user_id % 2 = 0
+      |  AND (event_id // 4) % 4 IN (0, 3)
+      |ORDER BY eventtime, user_identity_arn, querystring""".stripMargin) {
+    (s, dir) =>
+    prestoFixture(s, dir)
+    ScheduledQueries.runPresto(s, prestoSampleSql,
+        java.time.Instant.parse("1995-06-18T12:00:00Z"))
+      .orderBy(col("eventtime"), col("user_identity_arn"), col("querystring"))
+  }
+
+  // §3.2: the remaining Presto aliases exercised as VERBATIM SQL text
+  // through the same surface — from_iso8601_timestamp/to_unixtime (double
+  // epoch seconds), strpos (1-based BIGINT), arbitrary (deterministic
+  // here: every value in the group is identical), approx_distinct (HLL++;
+  // deterministic for fixed data, and exact at the planted cardinality-10
+  // group sizes, so the exact-COUNT oracle hash-matches).
+  register(
+    "sq_presto_functions",
+    """SELECT event_type,
+      |       upper(event_type) AS etype_upper,
+      |       CAST(strpos(event_type, 'e') AS BIGINT) AS e_pos,
+      |       epoch(TIMESTAMP '1995-06-18 12:00:00') AS fixed_unixtime,
+      |       epoch(min(ts)) AS min_unixtime,
+      |       CAST(count(DISTINCT user_id % 10) AS BIGINT) AS approx_mod_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (s, dir) =>
+    Tables.registerAll(s, dir)
+    ScheduledQueries.runPresto(s,
+      """SELECT event_type,
+        |  arbitrary(upper(event_type)) AS etype_upper,
+        |  strpos(event_type, 'e') AS e_pos,
+        |  to_unixtime(from_iso8601_timestamp('1995-06-18T12:00:00Z'))
+        |    AS fixed_unixtime,
+        |  to_unixtime(min(ts)) AS min_unixtime,
+        |  approx_distinct(user_id % 10) AS approx_mod_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      java.time.Instant.parse("1995-06-18T12:00:00Z"))
+  }
+
+
   // §3.3: rule-promotion staging statistics (compound count query).
   register(
     "rp_promotion_stats",

@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.history.ScheduledQueries
+
+/** Presto/Athena dialect aliases (GraftExtensions.prestoAliases): each
+  * alias must resolve through PLAIN `spark.sql` text — the reference's
+  * users author Presto SQL, and its sample pack
+  * (scheduled_queries/sample/athena.py:27) calls `json_extract` — plus
+  * the `runPresto` double-quoted-identifier scope that lets the pack's
+  * `"db"."table"` reference resolve verbatim. */
+class PrestoAliasSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = TestSpark.spark
+    graft.plans.GraftExtensions.functions.foreach { case (id, info, builder) =>
+      s.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+    s
+  }
+
+  test("json_extract / json_extract_scalar resolve to get_json_object semantics") {
+    val r = spark.sql(
+      """SELECT json_extract('{"a":{"b":"x"},"n":3}', '$.a.b') AS jb,
+        |       json_extract_scalar('{"a":{"b":"x"},"n":3}', '$.n') AS jn,
+        |       json_extract('{"a":1}', '$.missing') AS jm""".stripMargin).head
+    assert(r.getString(0) === "x")
+    assert(r.getString(1) === "3")
+    assert(r.isNullAt(2))
+  }
+
+  test("from_iso8601_timestamp parses ISO 8601 incl. offsets; to_unixtime is DOUBLE") {
+    val r = spark.sql(
+      """SELECT to_unixtime(from_iso8601_timestamp('1995-06-18T12:00:00Z')) AS a,
+        |       to_unixtime(from_iso8601_timestamp('1995-06-18T13:00:00+01:00')) AS b,
+        |       to_unixtime(from_iso8601_timestamp('1995-06-18T12:00:00.250Z')) AS c
+        |""".stripMargin).head
+    assert(r.getDouble(0) === 803476800.0)
+    assert(r.getDouble(1) === 803476800.0) // offset normalizes to the same instant
+    assert(r.getDouble(2) === 803476800.25) // fractional seconds survive (Presto DOUBLE)
+  }
+
+  test("strpos is 1-based, 0 when absent, BIGINT-typed (Presto return type)") {
+    val df = spark.sql(
+      "SELECT strpos('hello', 'll') AS p, strpos('hello', 'z') AS z")
+    assert(df.schema("p").dataType === org.apache.spark.sql.types.LongType)
+    val r = df.head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 0L)
+  }
+
+  test("arbitrary returns a non-null value when one exists (first ignoring nulls)") {
+    val r = spark.sql(
+      """SELECT arbitrary(v) AS a FROM VALUES (CAST(NULL AS STRING)), ('x'),
+        |  (CAST(NULL AS STRING)) AS t(v)""".stripMargin).head
+    assert(r.getString(0) === "x")
+  }
+
+  test("approx_distinct defaults to Presto's 2.3% error; optional rsd literal") {
+    val r = spark.sql(
+      """SELECT approx_distinct(v) AS d, approx_distinct(v, 0.05D) AS d5
+        |FROM VALUES (1), (2), (3), (2), (1) AS t(v)""".stripMargin).head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 3L)
+  }
+
+  test("runPresto scopes double-quoted identifiers around the parse and restores") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS presto_spec_db")
+    spark.sql(
+      """CREATE OR REPLACE VIEW presto_spec_db.tbl AS
+        |SELECT id AS k, concat('v', CAST(id AS STRING)) AS v
+        |FROM range(5)""".stripMargin)
+    val key = "spark.sql.ansi.doubleQuotedIdentifiers"
+    assert(spark.conf.getOption(key).forall(_ == "false"))
+    val rows = ScheduledQueries.runPresto(spark,
+      """SELECT k, v FROM "PRESTO_SPEC_DB"."tbl" WHERE k < {utctimestamp}
+        |ORDER BY k""".stripMargin,
+      java.time.Instant.ofEpochSecond(3))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === Seq((0L, "v0"), (1L, "v1"), (2L, "v2")))
+    // the conf is restored: double quotes are string literals again
+    assert(spark.conf.getOption(key).forall(_ == "false"))
+    assert(spark.sql("SELECT \"plain string\" AS s").head.getString(0)
+      === "plain string")
+  }
+}
