@@ -221,6 +221,81 @@ object Multimodal {
         byteRate.cast("double") + 0.5).cast(LongType)).as("duration_ms"))
   }
 
+  /** EXIF metadata probe over opaque JPEG binary columns WITHOUT a codec
+    * — a real APP1/TIFF IFD walk (JEITA CP-3451 / TIFF 6.0, both public),
+    * the provenance/PII-triage pass a corpus ingest needs before any
+    * pixel work: orientation (tag 0x0112), DateTimeOriginal (tag 0x9003
+    * in the Exif sub-IFD via pointer tag 0x8769), and GPS-data PRESENCE
+    * (pointer tag 0x8825 — the PII signal; the coordinates themselves
+    * never need decoding to quarantine the image).
+    *
+    * Bytes parse via their hex encoding (the [[imageDims]] plumbing):
+    *  - the APP1 segment is found with the aligned lazy scan
+    *    `^FFD8(?:..)*?FFE1....457869660000` — an odd-offset FFE1+magic
+    *    decoy in an earlier segment cannot match (fixture plants one);
+    *  - the TIFF header picks the endianness ('II'→little, 'MM'→big);
+    *    every u16/u32 read goes through one endian-aware reader, so both
+    *    byte orders share the walk;
+    *  - IFD0's entry table walks via `transform`/`filter` over a sliced
+    *    index sequence (entry count capped at 64 — scan-side higher-order
+    *    functions, zero shuffle, no explode);
+    *  - DateTimeOriginal is ASCII count-20, so its value field is an
+    *    OFFSET; the 19 chars decode from hex (trailing NUL dropped).
+    *
+    * Truncated/garbage/EXIF-less blobs yield valid=false with null
+    * fields; `valid` and `has_gps` stay two-valued (filter-safe).
+    * Returns (media_id, valid, byte_order, orientation,
+    * datetime_original, has_gps). */
+  def exifProbe(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val hx = upper(hex(col(binCol)))
+    val tiff = regexp_extract(hx, "^FFD8(?:..)*?FFE1....457869660000(.*)$", 1)
+    val le = tiff.startsWith("4949")
+    // endian-aware reads; `pos` is a 1-based HEX position Column
+    def rd(pos: Column, nPairs: Int): Column = {
+      val pairs = (0 until nPairs).map(i => tiff.substr(pos + i * 2, lit(2)))
+      val beHex = concat(pairs: _*)
+      val leHex = concat(pairs.reverse: _*)
+      conv(when(le, leHex).otherwise(beHex), 16, 10).cast(LongType)
+    }
+    def u16(pos: Column): Column = rd(pos, 2)
+    def u32(pos: Column): Column = rd(pos, 4)
+    def hexPos(byteOff: Column): Column = byteOff * 2 + 1
+
+    val orderOk = (tiff.startsWith("49492A00") && le) ||
+      tiff.startsWith("4D4D002A")
+    val ifd0 = hexPos(u32(lit(9))) // IFD0 offset u32 at TIFF byte 4 (hex pos 9)
+    val n0 = u16(ifd0)
+    // in-bounds, sane entry count: IFD0 table must fit inside the blob
+    val structOk = orderOk && n0.isNotNull && n0.between(1, 64) &&
+      (ifd0 + 4 + n0 * 24 - 1) <= length(tiff)
+    // entry hex positions: count u16, then 12-byte entries
+    def entries(ifdPos: Column, n: Column): Column = transform(
+      slice(sequence(lit(0L), lit(63L)), lit(1),
+        coalesce(least(greatest(n, lit(0L)), lit(64L)), lit(0L)).cast("int")),
+      i => ifdPos + 4 + i * 24)
+    def find(ifdPos: Column, n: Column, tag: Int): Column =
+      get(filter(entries(ifdPos, n), p => u16(p) === tag), lit(0))
+
+    val orientEntry = find(ifd0, n0, 0x0112)
+    val orientation = u16(orientEntry + 16) // SHORT: first 2 value bytes
+    val gpsEntry = find(ifd0, n0, 0x8825)
+    val exifEntry = find(ifd0, n0, 0x8769)
+    val subIfd = hexPos(u32(exifEntry + 16))
+    val n1 = u16(subIfd)
+    val dtoEntry = find(subIfd, n1, 0x9003)
+    val dtoPos = hexPos(u32(dtoEntry + 16)) // ASCII count 20 → value is offset
+    val dtoInBounds = dtoPos.isNotNull && (dtoPos + 37) <= length(tiff)
+    val dto = when(dtoInBounds,
+      decode(unhex(tiff.substr(dtoPos, lit(38))), "UTF-8"))
+
+    val valid = coalesce(tiff =!= "" && structOk, lit(false))
+    df.select(col(idCol).as("media_id"), valid.as("valid"),
+      when(valid, when(le, "II").otherwise("MM")).as("byte_order"),
+      when(valid, orientation).as("orientation"),
+      when(valid, dto).as("datetime_original"),
+      coalesce(valid && gpsEntry.isNotNull, lit(false)).as("has_gps"))
+  }
+
   /** The mapPartitions decode loop a real codec would use (the Scala
     * analogue of mapInPandas batches): demonstrates the per-partition
     * batching shape with the STUB codec. */

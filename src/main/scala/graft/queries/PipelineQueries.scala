@@ -1403,6 +1403,71 @@ private[graft] trait PipelineQueries extends RegistryBase {
   }
 
 
+  // Codec-free EXIF probe (mm_image_dims' provenance sibling): a REAL
+  // APP1/TIFF IFD walk over planted JPEG bytes — little-endian with a
+  // GPS-IFD pointer, big-endian without, an EXIF-less JPEG, a truncated
+  // TIFF, and garbage. Every class carries the UNALIGNED FFE1+Exif-magic
+  // decoy inside APP0 (hex '0FFE1002...' puts FFE1 at an even 1-based
+  // hex index), so a broken alignment guard would misparse and fail the
+  // hash. The oracle derives expected fields analytically from the same
+  // doc_id parameters — the hash match proves the byte walk is exact.
+  register(
+    "mm_exif",
+    """SELECT doc_id AS media_id,
+      |  doc_id % 5 <= 1 AS valid,
+      |  CASE WHEN doc_id % 5 = 0 THEN 'II'
+      |       WHEN doc_id % 5 = 1 THEN 'MM' END AS byte_order,
+      |  CASE WHEN doc_id % 5 <= 1
+      |       THEN CAST(1 + doc_id % 8 AS BIGINT) END AS orientation,
+      |  CASE WHEN doc_id % 5 <= 1
+      |       THEN '1995:06:18 ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+      |            || ':00:00' END AS datetime_original,
+      |  doc_id % 5 = 0 AS has_gps
+      |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+    def le16h(v: Column): Column = {
+      val h = lpad(hex(v), 4, "0")
+      concat(substring(h, 3, 2), substring(h, 1, 2))
+    }
+    val orient = lit(1) + col("doc_id") % 8
+    val hh = col("doc_id") % 24
+    // "1995:06:18 HH:00:00\0" as ASCII hex (digits are 0x30 + d)
+    val dtoHex = concat(lit("313939353A30363A313820"),
+      hex(lit(48) + floor(hh / 10)), hex(lit(48) + hh % 10),
+      lit("3A30303A303000"))
+    // IFD0: orientation, Exif-IFD ptr -> 50, GPS-IFD ptr -> 88;
+    // sub-IFD: DateTimeOriginal ASCII(20) @ offset 68; GPS IFD: empty
+    val tiffLE = concat(lit("49492A0008000000"), lit("0300"),
+      lit("120103000100" + "0000"), le16h(orient), lit("0000"),
+      lit("6987040001000000" + "32000000"),
+      lit("2588040001000000" + "58000000"),
+      lit("00000000"),
+      lit("0100" + "039002001400000044000000" + "00000000"),
+      dtoHex, lit("0000" + "00000000"))
+    // BE: orientation + Exif-IFD ptr -> 38; DateTimeOriginal @ offset 56
+    val tiffBE = concat(lit("4D4D002A00000008"), lit("0002"),
+      lit("0112" + "0003" + "00000001"), lpad(hex(orient), 4, "0"),
+      lit("0000"),
+      lit("8769" + "0004" + "00000001" + "00000026"),
+      lit("00000000"),
+      lit("0001" + "9003" + "0002" + "00000014" + "00000038" + "00000000"),
+      dtoHex)
+    // APP0 payload = 'JFIF\0' + the 11-byte unaligned FFE1+magic decoy
+    val app0 = "FFE000124A46494600" + "0FFE100204578696600000"
+    val jpegLE = concat(lit("FFD8" + app0 + "FFE10066457869660000"), tiffLE)
+    val jpegBE = concat(lit("FFD8" + app0 + "FFE10054457869660000"), tiffBE)
+    val noExif = lit("FFD8" + app0 + "FFDB00430011223344FFD9")
+    val truncated = lit("FFD8FFE1000C45786966000049492A00")
+    val m5 = col("doc_id") % 5
+    val blobs = t(s, dir, "documents").select(col("doc_id"),
+      when(m5 === 0, unhex(jpegLE))
+        .when(m5 === 1, unhex(jpegBE))
+        .when(m5 === 2, unhex(noExif))
+        .when(m5 === 3, unhex(truncated))
+        .otherwise(col("text").cast("binary")).as("blob"))
+    Multimodal.exifProbe(blobs, "blob", "doc_id").orderBy("media_id")
+  }
+
+
   // The INGEST-TRIAGE composite — the fetch-to-frontier program in front
   // of p12's content pipeline, chaining this round's surface: response
   // head (t105) -> status/content-type gates -> charset sniff over body
