@@ -23,27 +23,46 @@ object Bench {
     // session startup
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // host-drift canary (see BenchDrift): fixed-cost query timed at sweep
+    // boundaries; warmed once so its JIT never reads as drift
+    val loadBefore = BenchDrift.loadAverage()
+    val canaryFn = SparkEntry.queries.get(BenchDrift.CanaryQuery)
+    def canarySample(): Double = canaryFn.map { fn =>
+      spark.catalog.clearCache()
+      val c0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); (System.nanoTime() - c0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
+    }.getOrElse(-1.0)
+    // untimed warm-up: the pre-sweep sample stays ~2.3x hot-state cost even
+    // after repeated warm-ups (whole-JVM C2 state, measured) — it ships in
+    // the JSON for visibility but is EXCLUDED from the drift ratio below
+    canaryFn.foreach(fn =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () })
+    val canary = scala.collection.mutable.ArrayBuffer(canarySample())
     // run-major order (full sweep per run) so consecutive samples of one
     // query don't share a hot page cache/JIT state unrealistically
     val samples = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
     val failed = scala.collection.mutable.LinkedHashSet[String]()
-    for (_ <- 1 to runs; name <- names) {
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      // failures must be LOUD — in the JSON itself, not just stderr: a
-      // swallowed exception would otherwise time as ~0s and read as a
-      // perf win (bit by the a6 repeat-run bug)
-      try {
-        fn(spark, sfDir).count()
-        samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
-      } catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+    for (run <- 1 to runs) {
+      for (name <- names) {
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        // failures must be LOUD — in the JSON itself, not just stderr: a
+        // swallowed exception would otherwise time as ~0s and read as a
+        // perf win (bit by the a6 repeat-run bug)
+        try {
+          fn(spark, sfDir).count()
+          samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
+        } catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+        // drop persisted stages (dedup/ANN pipelines cache their signature
+        // stage) so every run recomputes rather than reading the cache
+        spark.catalog.clearCache()
       }
-      // drop persisted stages (dedup/ANN pipelines cache their signature
-      // stage) so every run recomputes rather than reading the cache
-      spark.catalog.clearCache()
+      canary += canarySample() // boundary sample: start/…/mid/…/end
     }
     // a query that failed in ANY run reports -1 (never a time-to-throw,
     // never a partial-sample median) and is excluded from the total; the
@@ -67,17 +86,31 @@ object Bench {
       names.map(n => s"\"" + n + "\":" + num(m(n))).mkString("{", ",", "}")
     val total = med.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val loadAfter = BenchDrift.loadAverage()
+    // drift over the POST-SWEEP samples only: after one full sweep the JVM
+    // is hot and the canary is a pure host-contention signal; the pre-sweep
+    // sample (canary[0]) carries residual compile cost and would read as
+    // permanent ~2x false drift
+    val driftRatio = BenchDrift.driftRatio(canary.toSeq.drop(1).filter(_ > 0))
+    val canaryJson = canary.map(num).mkString("[", ",", "]")
     // field order matters: harness snapshots keep only a TAIL window of
     // stdout, so the dict that must survive truncation — the medians — goes
     // LAST (r8 post-mortem: spread-last meant the driver artifact's visible
     // tail was the spread dict, read as 200x-wrong "medians")
-    val json = s"""{"metric":"total_median","value":$total,"unit":"sec","runs":$runs,"failed":$failedJson,"sf":"$sfDir","spread":${jmap(spread)},"queries":${jmap(med)}}"""
+    val json = s"""{"metric":"total_median","value":$total,"unit":"sec","runs":$runs,"failed":$failedJson,"sf":"$sfDir","load_before":${num(loadBefore)},"load_after":${num(loadAfter)},"canary":$canaryJson,"drift_ratio":${num(driftRatio)},"spread":${jmap(spread)},"queries":${jmap(med)}}"""
     // printed TWICE and mirrored to a repo file: harness snapshots that keep
     // only a tail window of stdout front-truncate a single long line (seen
     // r4+r5); the duplicate line and the file keep the full payload reachable
     println(json)
     println(json)
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+    // a drifted run (canary max/min beyond BenchDrift.MaxDrift) must not
+    // overwrite the committed quiet snapshot — it lands in a sibling file
+    // and says so loudly
+    val snapFile = BenchDrift.snapshotFile(driftRatio)
+    if (snapFile != "BENCH_LOCAL.json")
+      System.err.println(f"[bench] HOST DRIFT: canary ratio $driftRatio%.2f > " +
+        f"${BenchDrift.MaxDrift}%.2f — snapshot diverted to $snapFile")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(snapFile),
       (json + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()

@@ -18,10 +18,22 @@ object BenchOne {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // first run per query is reported as COLD (JIT/codegen/file-index —
+    // 2-4x the steady-state cost, r16 verdict's spot-check trap); the
+    // number that matters for receipts is the warm median
     args.foreach { name =>
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"[benchone] $name%-32s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n rows)")
+      def timed(): (Double, Long) = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, sfDir).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (cold, n) = timed()
+      val warm = Seq(timed()._1, timed()._1)
+      val warmMed = warm.sorted.apply(warm.size / 2)
+      println(f"[benchone] $name%-32s cold $cold%7.2f s  " +
+        f"warm ${warm.map(w => f"$w%.2f").mkString("/")} s  " +
+        f"(median $warmMed%.2f s, $n rows)")
     }
     spark.stop()
   }
