@@ -78,9 +78,16 @@ object AlertMerger {
     val keyVals =
       if (alerts.columns.contains("merge_key_vals")) col("merge_key_vals")
       else lit(null).cast("string")
+    // record arrives as the typed struct (single-type evaluate output) or
+    // as its JSON text (Pipeline.alertsFor serializes at the cross-type
+    // union boundary) — both land as record_json here
+    val recordJson = alerts.schema("record").dataType match {
+      case org.apache.spark.sql.types.StringType => col("record")
+      case _ => to_json(col("record"))
+    }
     alerts.select(
       col("alert_id"), col("rule_name"), col("created"),
-      to_json(col("record")).as("record_json"),
+      recordJson.as("record_json"),
       col("merge_by_keys"), col("merge_window_mins"), col("outputs"),
       coalesce(col("staged"), lit(false)).as("staged"),
       keyVals.as("merge_key_vals"))

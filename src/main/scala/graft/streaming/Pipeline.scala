@@ -108,7 +108,16 @@ final class Pipeline(
 
   private val classifier = new Classifier(schemas)
 
-  /** Classify + normalize + evaluate one (micro-)batch of raw lines. */
+  /** Classify + normalize + evaluate one (micro-)batch of raw lines.
+    * The union across log types is where the type-specific record shape
+    * ends: each type's `record` struct serializes to its JSON text before
+    * the union (two log types' structs are incompatible column types —
+    * a struct-level `unionByName` fails the analyzer; the reference's
+    * Alert likewise carries the record as a serialized dict from the rules
+    * engine on, alert.py record round-trip). Everything downstream
+    * ([[graft.alerts.AlertMerger.fromAlerts]], dispatch) consumes the
+    * JSON form; merge-key values were already extracted column-side from
+    * the typed struct inside `evaluate`. */
   def alertsFor(raw: DataFrame, valueCol: String = "value"): DataFrame = {
     val classified = classifier.classify(raw, valueCol)
     // static applicability check — no action on the (possibly streaming) DF
@@ -121,6 +130,7 @@ final class Pipeline(
         .withColumn(Normalizer.RecordIdKey,
           Normalizer.recordIdCol(col(Normalizer.NormalizationKey)))
       engine.evaluate(withNorm, s.name)
+        .withColumn("record", to_json(col("record")))
     }
     perType.reduceOption(_ unionByName _)
       .getOrElse(raw.sparkSession.emptyDataFrame)
