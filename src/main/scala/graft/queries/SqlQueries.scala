@@ -1133,6 +1133,94 @@ private[graft] trait SqlQueries extends RegistryBase {
   }
 
 
+  // §3.2/§3.3 dialect compatibility, promotion leg: the reference's
+  // rule-promotion SQL TEMPLATES run verbatim — texts from
+  // rule_promotion/statistic.py:22-31 (_COUNT_QUERY_TEMPLATE /
+  // _COUNT_QUERY_WHERE_FRAGMENT / _INFO_QUERY_TEMPLATE), where-fragments
+  // formatted exactly as statistic.py sql_where_fragment does (the
+  // reference's own runner fills {where_clause} in Python, so template
+  // substitution is part of the contract, not a deviation).
+  private val cqTemplate =
+    "SELECT rule_name, count(*) AS count FROM alerts WHERE {where_clause} GROUP BY rule_name"
+  private val cqWhereFragment =
+    "(dt >= '{date}-{hour:02}' AND rule_name = '{rule_name}')"
+  private val infoTemplate =
+    "SELECT id, rule_name, created, cluster, log_source, source_entity, " +
+      "record FROM alerts WHERE dt >= '{date}-{hour:02}' AND " +
+      "rule_name = '{rule_name}' ORDER BY created DESC"
+
+  private def cqFragment(date: String, hour: Int, rule: String): String =
+    cqWhereFragment.replace("{date}", date)
+      .replace("{hour:02}", f"$hour%02d").replace("{rule_name}", rule)
+
+  // staged-alerts fixture view over events: 3 rules, dt over 2 days x 4
+  // hours, so each staged rule's dt bound discriminates differently and
+  // the unstaged rule falls out entirely
+  private val alertsFixtureSelect =
+    """SELECT event_id AS id,
+      |  element_at(array('err_rule', 'big_rule', 'quiet_rule'),
+      |    CAST(event_id % 3 AS INT) + 1) AS rule_name,
+      |  timestamp_micros(event_id * 1000000) AS created,
+      |  concat('c', CAST(event_id % 2 AS STRING)) AS cluster,
+      |  'demo:json_events' AS log_source,
+      |  concat('entity_', CAST(event_id % 5 AS STRING)) AS source_entity,
+      |  concat('{"event_id":', CAST(event_id AS STRING), '}') AS record,
+      |  concat('2024-01-0', CAST(event_id % 2 + 1 AS STRING), '-',
+      |    lpad(CAST((event_id % 4) * 6 AS STRING), 2, '0')) AS dt""".stripMargin
+
+  private val alertsFixtureDuck =
+    """SELECT event_id AS id,
+      |  CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'err_rule'
+      |    WHEN 1 THEN 'big_rule' ELSE 'quiet_rule' END AS rule_name,
+      |  make_timestamp(event_id * 1000000) AS created,
+      |  'c' || CAST(event_id % 2 AS VARCHAR) AS cluster,
+      |  'demo:json_events' AS log_source,
+      |  'entity_' || CAST(event_id % 5 AS VARCHAR) AS source_entity,
+      |  '{"event_id":' || CAST(event_id AS VARCHAR) || '}' AS record,
+      |  '2024-01-0' || CAST(event_id % 2 + 1 AS VARCHAR) || '-' ||
+      |    lpad(CAST((event_id % 4) * 6 AS VARCHAR), 2, '0') AS dt""".stripMargin
+
+  private def alertsFixture(s: SparkSession, dir: String): Unit = {
+    Tables.registerAll(s, dir)
+    s.sql(s"$alertsFixtureSelect FROM events")
+      .createOrReplaceTempView("alerts")
+  }
+
+  register(
+    "sq_presto_promotion",
+    s"""WITH alerts AS ($alertsFixtureDuck FROM events)
+       |SELECT rule_name, CAST(count(*) AS BIGINT) AS count FROM alerts
+       |WHERE (dt >= '2024-01-02-00' AND rule_name = 'err_rule')
+       |   OR (dt >= '2024-01-01-12' AND rule_name = 'big_rule')
+       |GROUP BY rule_name ORDER BY rule_name""".stripMargin) { (s, dir) =>
+    alertsFixture(s, dir)
+    val whereClause = Seq(
+      cqFragment("2024-01-02", 0, "err_rule"),
+      cqFragment("2024-01-01", 12, "big_rule")).mkString(" OR ")
+    ScheduledQueries.runPresto(s, cqTemplate,
+        java.time.Instant.parse("2024-01-03T00:00:00Z"),
+        extra = Map("where_clause" -> whereClause))
+      .orderBy("rule_name")
+  }
+
+  register(
+    "sq_presto_alert_info",
+    s"""WITH alerts AS ($alertsFixtureDuck FROM events)
+       |SELECT id, rule_name, created, cluster, log_source, source_entity,
+       |       record
+       |FROM alerts
+       |WHERE dt >= '2024-01-02-00' AND rule_name = 'err_rule'
+       |ORDER BY created DESC""".stripMargin) { (s, dir) =>
+    alertsFixture(s, dir)
+    // {hour:02} is a Python format spec — statistic.py fills it with
+    // .format() before the query ships; mirror that pre-formatting here
+    val sqlText = infoTemplate.replace("{date}", "2024-01-02")
+      .replace("{hour:02}", "00").replace("{rule_name}", "err_rule")
+    ScheduledQueries.runPresto(s, sqlText,
+      java.time.Instant.parse("2024-01-03T00:00:00Z"))
+  }
+
+
   // §3.3: rule-promotion staging statistics (compound count query).
   register(
     "rp_promotion_stats",
