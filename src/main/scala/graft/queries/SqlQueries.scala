@@ -1008,7 +1008,7 @@ private[graft] trait SqlQueries extends RegistryBase {
   // is a catalog VIEW shaped like the Athena CloudTrail table (map-typed
   // requestparameters/useridentity, dt partition strings), derived from
   // events with decorrelated moduli so every WHERE clause discriminates.
-  private val prestoSampleSql =
+  private[graft] val prestoSampleSql =
     """
       |SELECT
       |  eventtime,
@@ -1140,11 +1140,11 @@ private[graft] trait SqlQueries extends RegistryBase {
   // formatted exactly as statistic.py sql_where_fragment does (the
   // reference's own runner fills {where_clause} in Python, so template
   // substitution is part of the contract, not a deviation).
-  private val cqTemplate =
+  private[graft] val cqTemplate =
     "SELECT rule_name, count(*) AS count FROM alerts WHERE {where_clause} GROUP BY rule_name"
-  private val cqWhereFragment =
+  private[graft] val cqWhereFragment =
     "(dt >= '{date}-{hour:02}' AND rule_name = '{rule_name}')"
-  private val infoTemplate =
+  private[graft] val infoTemplate =
     "SELECT id, rule_name, created, cluster, log_source, source_entity, " +
       "record FROM alerts WHERE dt >= '{date}-{hour:02}' AND " +
       "rule_name = '{rule_name}' ORDER BY created DESC"
