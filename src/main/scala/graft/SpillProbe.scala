@@ -39,6 +39,11 @@ object SpillProbe {
       .config("spark.sql.adaptive.enabled", "true")
     sys.env.get("SPARK_GRAFT_MEM_FRACTION")
       .foreach(f => builder.config("spark.memory.fraction", f))
+    // broadcast builds ERROR (not spill) when the build side outgrows the
+    // memory budget — on a tight heap the operator's real-world move is a
+    // lower broadcast threshold (-1 = all joins shuffle, and shuffles spill)
+    sys.env.get("SPARK_GRAFT_BROADCAST_THRESHOLD")
+      .foreach(t => builder.config("spark.sql.autoBroadcastJoinThreshold", t))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -246,7 +246,32 @@ object GraftExtensions {
             s"approx_distinct standard error must be a double literal, got $other")
         }
         aggregate.HyperLogLogPlusPlus(args.head, rsd)
+      }),
+    // Presto's URL accessors (CloudTrail/ALB-log packs lean on these) —
+    // all views over Spark's ParseUrl; url_extract_parameter is the
+    // QUERY:<name> form. Presto returns NULL on malformed URLs; ParseUrl
+    // does too (failOnError = false).
+    urlFn("url_extract_host", "HOST"),
+    urlFn("url_extract_path", "PATH"),
+    urlFn("url_extract_protocol", "PROTOCOL"),
+    urlFn("url_extract_query", "QUERY"),
+    (new org.apache.spark.sql.catalyst.FunctionIdentifier("url_extract_parameter"),
+      new ExpressionInfo(classOf[ParseUrl].getName, "url_extract_parameter"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "url_extract_parameter(url, name) takes two arguments")
+        ParseUrl(Seq(args.head, Literal.create("QUERY",
+          org.apache.spark.sql.types.StringType), args(1)), failOnError = false)
       }))
+
+  private def urlFn(name: String, part: String): FnEntry =
+    (new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+      new ExpressionInfo(classOf[ParseUrl].getName, name),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"$name(url) takes one argument")
+        ParseUrl(Seq(args.head, Literal.create(part,
+          org.apache.spark.sql.types.StringType)), failOnError = false)
+      })
 
   private def binaryFn(name: String, className: String,
       mk: (Expression, Expression) => Expression): FnEntry =

@@ -61,6 +61,22 @@ class PrestoAliasSpec extends AnyFunSuite {
     assert(r.getLong(0) === 3L && r.getLong(1) === 3L)
   }
 
+  test("url_extract_* aliases view ParseUrl; malformed URLs yield NULL") {
+    val r = spark.sql(
+      """SELECT url_extract_host(u) AS h, url_extract_path(u) AS p,
+        |       url_extract_protocol(u) AS pr, url_extract_query(u) AS q,
+        |       url_extract_parameter(u, 'b') AS b,
+        |       url_extract_host('::not a url::') AS bad
+        |FROM VALUES ('https://ex.com:8443/x/y?a=1&b=two#f') AS t(u)""".stripMargin)
+      .head
+    assert(r.getString(0) === "ex.com")
+    assert(r.getString(1) === "/x/y")
+    assert(r.getString(2) === "https")
+    assert(r.getString(3) === "a=1&b=two")
+    assert(r.getString(4) === "two")
+    assert(r.isNullAt(5))
+  }
+
   test("runPresto scopes double-quoted identifiers around the parse and restores") {
     spark.sql("CREATE DATABASE IF NOT EXISTS presto_spec_db")
     spark.sql(
