@@ -90,8 +90,10 @@ object Bench {
     // drift over the POST-SWEEP samples only: after one full sweep the JVM
     // is hot and the canary is a pure host-contention signal; the pre-sweep
     // sample (canary[0]) carries residual compile cost and would read as
-    // permanent ~2x false drift
-    val driftRatio = BenchDrift.driftRatio(canary.toSeq.drop(1).filter(_ > 0))
+    // permanent ~2x false drift. Samples pass UNFILTERED so a failed
+    // canary run (-1) hits driftRatio's broken-canary guard (ratio 1.0 —
+    // an unadjudicable canary must not quarantine)
+    val driftRatio = BenchDrift.driftRatio(canary.toSeq.drop(1))
     val canaryJson = canary.map(num).mkString("[", ",", "]")
     // field order matters: harness snapshots keep only a TAIL window of
     // stdout, so the dict that must survive truncation — the medians — goes
@@ -105,8 +107,11 @@ object Bench {
     println(json)
     // a drifted run (canary max/min beyond BenchDrift.MaxDrift) must not
     // overwrite the committed quiet snapshot — it lands in a sibling file
-    // and says so loudly
-    val snapFile = BenchDrift.snapshotFile(driftRatio)
+    // and says so loudly; a run with FAILED queries is not a quiet-truth
+    // figure either (a killed/partial run once overwrote the snapshot)
+    val snapFile =
+      if (failed.nonEmpty) "BENCH_LOCAL.failed.json"
+      else BenchDrift.snapshotFile(driftRatio)
     if (snapFile != "BENCH_LOCAL.json")
       System.err.println(f"[bench] HOST DRIFT: canary ratio $driftRatio%.2f > " +
         f"${BenchDrift.MaxDrift}%.2f — snapshot diverted to $snapFile")

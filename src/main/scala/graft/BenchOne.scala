@@ -30,10 +30,12 @@ object BenchOne {
       }
       val (cold, n) = timed()
       val warm = Seq(timed()._1, timed()._1)
-      val warmMed = warm.sorted.apply(warm.size / 2)
+      // mean of the two warm samples (Bench's even-count median is the
+      // same middle-pair average); sorted(1) would be the warm MAX
+      val warmMean = warm.sum / warm.size
       println(f"[benchone] $name%-32s cold $cold%7.2f s  " +
         f"warm ${warm.map(w => f"$w%.2f").mkString("/")} s  " +
-        f"(median $warmMed%.2f s, $n rows)")
+        f"(mean $warmMean%.2f s, $n rows)")
     }
     spark.stop()
   }

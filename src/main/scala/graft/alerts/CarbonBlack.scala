@@ -34,16 +34,19 @@ object CarbonBlack {
     * Falsy context mirrors Python truthiness on the PARSED value
     * (carbonblack.py:73 `if not alert.context`): since our `context`
     * column is JSON text, the falsy set is NULL, whitespace-only /
-    * empty text, and the texts whose parse is falsy in Python — `null`,
-    * `false`, `0`, `""`, `{}`, `[]` (the containers with any interior
-    * whitespace, e.g. `{ }`). Anything else — incl. `"0"`-as-a-string
-    * inside an object — is truthy. */
+    * empty text (any whitespace, incl. tabs/newlines), and the texts
+    * whose parse is falsy in Python — `null`, `false`, any JSON zero
+    * (`0`, `0.0`, `-0`, `0e5`, ...), `""`, `{}`, `[]` (the containers
+    * with any interior whitespace, e.g. `{ }`). Anything else — incl.
+    * `"0"`-as-a-string inside an object — is truthy. */
   def banPlan(alerts: DataFrame, banned: DataFrame): DataFrame = {
     // context collapses to a boolean BEFORE the join — the wide JSON
     // string must not ride the alerts-side exchange (skinny-shuffle rule)
-    val ctxT = trim(col("context"))
+    val ctxT = trim(col("context"), " \t\r\n\f")
     val falsyCtx = col("context").isNull ||
-      ctxT.isin("", "null", "false", "0", "\"\"") ||
+      ctxT.isin("", "null", "false", "\"\"") ||
+      // any JSON number equal to zero is falsy in Python
+      ctxT.rlike("^-?0(\\.0+)?([eE][+-]?[0-9]+)?$") ||
       ctxT.rlike("^\\{\\s*\\}$|^\\[\\s*\\]$")
     val cb = alerts.select(
       col("alert_id"),

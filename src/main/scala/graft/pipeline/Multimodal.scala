@@ -236,9 +236,12 @@ object Multimodal {
     *  - the TIFF header picks the endianness ('II'→little, 'MM'→big);
     *    every u16/u32 read goes through one endian-aware reader, so both
     *    byte orders share the walk;
-    *  - IFD0's entry table walks via `transform`/`filter` over a sliced
-    *    index sequence (entry count capped at 64 — scan-side higher-order
-    *    functions, zero shuffle, no explode);
+    *  - each IFD's 12-byte-entry table is sliced out once (entry count
+    *    capped at 64) and tags are found with a stride-ALIGNED lazy regex
+    *    over it (`^(?:.{24})*?<tag>` — the hex stride keeps entry
+    *    alignment exactly like the APP1 scan), so the walk stays inside
+    *    codegen'd string expressions: no higher-order functions, whose
+    *    per-element interpreted evaluation measured ~10 ms/row;
     *  - DateTimeOriginal is ASCII count-20, so its value field is an
     *    OFFSET; the 19 chars decode from hex (trailing NUL dropped).
     *
@@ -247,10 +250,22 @@ object Multimodal {
     * Returns (media_id, valid, byte_order, orientation,
     * datetime_original, has_gps). */
   def exifProbe(df: DataFrame, binCol: String, idCol: String): DataFrame = {
-    val hx = upper(hex(col(binCol)))
-    val tiff = regexp_extract(hx, "^FFD8(?:..)*?FFE1....457869660000(.*)$", 1)
-    val le = tiff.startsWith("4949")
-    // endian-aware reads; `pos` is a 1-based HEX position Column
+    // the APP1 regex over the whole blob runs ONCE per row: it lands in
+    // its own projection and every downstream read references the
+    // attribute — inlining it would re-run the O(blob) scan inside each
+    // of the ~4x64 per-entry lambda evaluations (HOF lambdas get no CSE)
+    val withTiff = df.select(col(idCol).as("media_id"),
+      regexp_extract(upper(hex(col(binCol))),
+        "^FFD8(?:..)*?FFE1....457869660000(.*)$", 1).as("__tiff"))
+    val tiff = col("__tiff")
+    val le = col("__le")
+    // endian-aware reads; `pos` is a 1-based HEX position Column.
+    // STAGED EVALUATION, deliberately: every intermediate (ifd0, n0,
+    // table0, subIfd, ...) lands as a NAMED COLUMN in its own projection
+    // before anything reads it — inlining them instead multiplies the
+    // whole lower subtree into every reader (each level duplicates 2-4x,
+    // six levels deep), and the resulting combinatorial expression tree
+    // cost ~30 s of analyzer/codegen time per query, independent of rows.
     def rd(pos: Column, nPairs: Int): Column = {
       val pairs = (0 until nPairs).map(i => tiff.substr(pos + i * 2, lit(2)))
       val beHex = concat(pairs: _*)
@@ -260,40 +275,71 @@ object Multimodal {
     def u16(pos: Column): Column = rd(pos, 2)
     def u32(pos: Column): Column = rd(pos, 4)
     def hexPos(byteOff: Column): Column = byteOff * 2 + 1
+    // endian-swap a CAPTURED value-field string
+    def swap16(c: Column): Column = concat(substring(c, 3, 2), substring(c, 1, 2))
+    def swap32(c: Column): Column = concat(substring(c, 7, 2),
+      substring(c, 5, 2), substring(c, 3, 2), substring(c, 1, 2))
+    def tagHexBE(t: Int): String = f"$t%04X"
+    def tagHexLE(t: Int): String =
+      tagHexBE(t).substring(2) + tagHexBE(t).substring(0, 2)
+    // entry layout: tag(4) type(4) count(8) value(8) = 24 hex chars; the
+    // stride-aligned lazy scan finds the tag's entry and captures from its
+    // value field. Absent tag → regexp_extract '' → conv null.
+    def entryCapture(table: Column, tag: Int, capture: String): Column = {
+      def pat(tagHex: String) = s"^(?:.{24})*?$tagHex.{12}$capture"
+      when(le, regexp_extract(table, pat(tagHexLE(tag)), 1))
+        .otherwise(regexp_extract(table, pat(tagHexBE(tag)), 1))
+    }
+    def entryU16(table: Column, tag: Int): Column = {
+      val c = entryCapture(table, tag, "(....)")
+      conv(when(le, swap16(c)).otherwise(c), 16, 10).cast(LongType)
+    }
+    def entryU32(table: Column, tag: Int): Column = {
+      val c = entryCapture(table, tag, "(.{8})")
+      conv(when(le, swap32(c)).otherwise(c), 16, 10).cast(LongType)
+    }
+    def hasTag(table: Column, tag: Int): Column =
+      when(le, table.rlike(s"^(?:.{24})*?${tagHexLE(tag)}"))
+        .otherwise(table.rlike(s"^(?:.{24})*?${tagHexBE(tag)}"))
+    def ifdTable(ifdPos: Column, n: Column): Column =
+      tiff.substr(ifdPos + 4,
+        (coalesce(least(greatest(n, lit(0L)), lit(64L)), lit(0L)) * 24)
+          .cast("int"))
+    def keep(df: DataFrame, cols: Column*): DataFrame =
+      df.select(df.columns.map(col) ++ cols: _*)
 
+    val s1 = keep(withTiff.withColumn("__le", tiff.startsWith("4949")),
+      hexPos(u32(lit(9))).as("__ifd0")) // IFD0 offset u32 at TIFF byte 4
+    val s2 = keep(s1, u16(col("__ifd0")).as("__n0"))
+    val s3 = keep(s2, ifdTable(col("__ifd0"), col("__n0")).as("__table0"))
+    val s4 = keep(s3,
+      entryU16(col("__table0"), 0x0112).as("__orient"), // SHORT value field
+      hasTag(col("__table0"), 0x8825).as("__has_gps"),
+      hexPos(entryU32(col("__table0"), 0x8769)).as("__subifd"))
+    val s5 = keep(s4, u16(col("__subifd")).as("__n1"))
+    val s6 = keep(s5, ifdTable(col("__subifd"), col("__n1")).as("__table1"))
+    // ASCII(20) → the DateTimeOriginal value field is an OFFSET
+    val s7 = keep(s6,
+      hexPos(entryU32(col("__table1"), 0x9003)).as("__dtopos"))
+
+    val n0 = col("__n0")
+    val ifd0 = col("__ifd0")
     val orderOk = (tiff.startsWith("49492A00") && le) ||
       tiff.startsWith("4D4D002A")
-    val ifd0 = hexPos(u32(lit(9))) // IFD0 offset u32 at TIFF byte 4 (hex pos 9)
-    val n0 = u16(ifd0)
     // in-bounds, sane entry count: IFD0 table must fit inside the blob
     val structOk = orderOk && n0.isNotNull && n0.between(1, 64) &&
       (ifd0 + 4 + n0 * 24 - 1) <= length(tiff)
-    // entry hex positions: count u16, then 12-byte entries
-    def entries(ifdPos: Column, n: Column): Column = transform(
-      slice(sequence(lit(0L), lit(63L)), lit(1),
-        coalesce(least(greatest(n, lit(0L)), lit(64L)), lit(0L)).cast("int")),
-      i => ifdPos + 4 + i * 24)
-    def find(ifdPos: Column, n: Column, tag: Int): Column =
-      get(filter(entries(ifdPos, n), p => u16(p) === tag), lit(0))
-
-    val orientEntry = find(ifd0, n0, 0x0112)
-    val orientation = u16(orientEntry + 16) // SHORT: first 2 value bytes
-    val gpsEntry = find(ifd0, n0, 0x8825)
-    val exifEntry = find(ifd0, n0, 0x8769)
-    val subIfd = hexPos(u32(exifEntry + 16))
-    val n1 = u16(subIfd)
-    val dtoEntry = find(subIfd, n1, 0x9003)
-    val dtoPos = hexPos(u32(dtoEntry + 16)) // ASCII count 20 → value is offset
+    val dtoPos = col("__dtopos")
     val dtoInBounds = dtoPos.isNotNull && (dtoPos + 37) <= length(tiff)
     val dto = when(dtoInBounds,
       decode(unhex(tiff.substr(dtoPos, lit(38))), "UTF-8"))
 
     val valid = coalesce(tiff =!= "" && structOk, lit(false))
-    df.select(col(idCol).as("media_id"), valid.as("valid"),
+    s7.select(col("media_id"), valid.as("valid"),
       when(valid, when(le, "II").otherwise("MM")).as("byte_order"),
-      when(valid, orientation).as("orientation"),
+      when(valid, col("__orient")).as("orientation"),
       when(valid, dto).as("datetime_original"),
-      coalesce(valid && gpsEntry.isNotNull, lit(false)).as("has_gps"))
+      coalesce(valid && col("__has_gps"), lit(false)).as("has_gps"))
   }
 
   /** The mapPartitions decode loop a real codec would use (the Scala

@@ -240,10 +240,15 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1 || args.length == 2,
           "approx_distinct(x[, e]) takes one or two arguments")
+        // Presto text has no double-literal suffix — a plain SQL decimal
+        // (`approx_distinct(x, 0.0040625)`) parses as DecimalType, so all
+        // numeric literal shapes must convert
         val rsd = if (args.length == 1) 0.023 else args(1) match {
           case Literal(v: Double, _) => v
+          case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+          case Literal(v: Int, _) => v.toDouble
           case other => throw new IllegalArgumentException(
-            s"approx_distinct standard error must be a double literal, got $other")
+            s"approx_distinct standard error must be a numeric literal, got $other")
         }
         aggregate.HyperLogLogPlusPlus(args.head, rsd)
       }),

@@ -51,9 +51,10 @@ class CarbonBlackSpec extends AnyFunSuite {
   test("falsy context matches Python truthiness on the parsed value") {
     // carbonblack.py:73 `if not alert.context` — the falsy JSON texts
     val falsy = Seq("{}", "{ }", " {}", "null", " null ", "", "  ",
-      "[]", "[ ]", "false", "0", "\"\"")
+      "[]", "[ ]", "false", "0", "\"\"",
+      "\tnull", "\n{}\n", "0.0", "-0", "0e0", "0.00e-2")
     val truthy = Seq("""{"a":1}""", """{"carbonblack":{}}""", "\"0\"",
-      "[0]", "true", "1", "\"x\"")
+      "[0]", "true", "1", "\"x\"", "0.5", "10")
     val df = (falsy ++ truthy).zipWithIndex
       .map { case (c, i) => (i.toLong, c) }.toDF("alert_id", "context")
     val plans = CarbonBlack.banPlan(df, banned).orderBy("alert_id")
