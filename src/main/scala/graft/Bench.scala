@@ -27,11 +27,15 @@ object Bench {
     // boundaries; warmed once so its JIT never reads as drift
     val loadBefore = BenchDrift.loadAverage()
     val canaryFn = SparkEntry.queries.get(BenchDrift.CanaryQuery)
+    // each sample is the SUM of 3 back-to-back executions: a single ~0.1s
+    // run carries ±40% scheduler jitter, which false-trips the 1.3x gate
     def canarySample(): Double = canaryFn.map { fn =>
       spark.catalog.clearCache()
       val c0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); (System.nanoTime() - c0) / 1e9 }
-      catch { case _: Throwable => -1.0 }
+      try {
+        (1 to 3).foreach(_ => fn(spark, sfDir).count())
+        (System.nanoTime() - c0) / 1e9
+      } catch { case _: Throwable => -1.0 }
     }.getOrElse(-1.0)
     // untimed warm-up: the pre-sweep sample stays ~2.3x hot-state cost even
     // after repeated warm-ups (whole-JVM C2 state, measured) — it ships in
