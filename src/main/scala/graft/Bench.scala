@@ -17,6 +17,16 @@ object Bench {
       // events.parquet carries TIMESTAMP(NANOS); read as epoch-nanos long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE sizes every reduce stage from the MAP side's actual output
+      // bytes, but can only COALESCE below this initial width — give it
+      // headroom above the cpu-count floor so a 100x corpus's post-join
+      // exchanges (where the map output really is pair-volume-sized) keep
+      // enough partitions; parallelismFirst coalescing returns small
+      // exchanges to ~cpu-count tasks, so sf0.1 plans stay effectively
+      // unchanged (candidate-join INPUT exchanges, which AQE cannot price,
+      // are sized explicitly — see graft.pipeline.AdaptiveParts)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        math.max(64, cpus.toInt * 8).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up codegen/JIT/file-index so the first timed query isn't charged
@@ -116,7 +126,12 @@ object Bench {
     val snapFile =
       if (failed.nonEmpty) "BENCH_LOCAL.failed.json"
       else BenchDrift.snapshotFile(driftRatio)
-    if (snapFile != "BENCH_LOCAL.json")
+    // cause-specific diversion messages: a failed-query run is not host
+    // drift, and saying so when the ratio is quiet was misleading
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] QUERY FAILURES: ${failed.mkString(", ")} " +
+        s"— snapshot diverted to $snapFile")
+    else if (snapFile != "BENCH_LOCAL.json")
       System.err.println(f"[bench] HOST DRIFT: canary ratio $driftRatio%.2f > " +
         f"${BenchDrift.MaxDrift}%.2f — snapshot diverted to $snapFile")
     try java.nio.file.Files.write(java.nio.file.Paths.get(snapFile),

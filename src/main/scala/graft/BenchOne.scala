@@ -16,6 +16,9 @@ object BenchOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing headroom — same shape as Bench (see note there)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        math.max(64, cpus.toInt * 8).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // first run per query is reported as COLD (JIT/codegen/file-index —

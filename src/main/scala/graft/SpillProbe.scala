@@ -1,7 +1,7 @@
 package graft
 
 import java.util.concurrent.atomic.LongAdder
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Memory-pressure receipt harness (r16 verdict ask #3): run named
@@ -37,6 +37,9 @@ object SpillProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing headroom — same shape as Bench (see note there)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        math.max(64, parts.toInt * 8).toString)
     sys.env.get("SPARK_GRAFT_MEM_FRACTION")
       .foreach(f => builder.config("spark.memory.fraction", f))
     // broadcast builds ERROR (not spill) when the build side outgrows the
@@ -58,8 +61,13 @@ object SpillProbe {
           memSpill.add(m.memoryBytesSpilled)
           diskSpill.add(m.diskBytesSpilled)
           shuffleWrite.add(m.shuffleWriteMetrics.bytesWritten)
-          peakExec = math.max(peakExec, m.peakExecutionMemory)
         }
+      }
+      // per-TASK peak (stage-level taskMetrics.peakExecutionMemory is the
+      // SUM across the stage's tasks, which overstated this field pre-r18)
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) peakExec = math.max(peakExec, m.peakExecutionMemory)
       }
     }
     spark.sparkContext.addSparkListener(listener)

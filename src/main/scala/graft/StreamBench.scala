@@ -21,6 +21,27 @@ import graft.streaming.Pipeline
   * SPARK_GRAFT_CPUS (default 4).
   */
 object StreamBench {
+
+  /** The synthetic demo:json_events line for rate-counter `value` —
+    * factored out so StreamBenchSourceSpec can pin that these lines
+    * CLASSIFY (non-zero accept rate). r17 post-mortem: a triple-quoted
+    * `\"` left the props string unterminated, every record was
+    * unclassifiable, and all prior rec/s silently measured the
+    * classify-REJECT path; this guard retires that bug class. */
+  private[graft] def syntheticEventLine(value: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = concat(
+    lit("""{"event_id":"""), value,
+    lit(""","event_type":""""),
+    element_at(array(lit("purchase"), lit("view"), lit("error")),
+      (value % 3 + 1).cast("int")),
+    lit("""","value":"""), (value % 500).cast("string"),
+    lit(""","props":"{\"k\":"""), (value % 10).cast("string"),
+    // raw-text tail is }"} — inner brace ends the props JSON-in-a-string,
+    // bare quote closes the STRING, outer brace closes the record (a
+    // \" here would be a literal backslash in triple quotes, leaving
+    // the string unterminated and every record unclassifiable)
+    lit("""}"}"""))
+
   def main(args: Array[String]): Unit = {
     val rate = sys.env.getOrElse("SPARK_GRAFT_STREAM_RATE", "500000").toInt
     val secs = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "30").toInt
@@ -69,18 +90,7 @@ object StreamBench {
       .option("rowsPerBatch", rate)
       .option("numPartitions", cpus)
       .load()
-      .select(concat(
-        lit("""{"event_id":"""), col("value"),
-        lit(""","event_type":""""),
-        element_at(array(lit("purchase"), lit("view"), lit("error")),
-          (col("value") % 3 + 1).cast("int")),
-        lit("""","value":"""), (col("value") % 500).cast("string"),
-        lit(""","props":"{\"k\":"""), (col("value") % 10).cast("string"),
-        // raw-text tail is }"} — inner brace ends the props JSON-in-a-string,
-        // bare quote closes the STRING, outer brace closes the record (a
-        // \" here would be a literal backslash in triple quotes, leaving
-        // the string unterminated and every record unclassifiable)
-        lit("""}"}""")).as("value"))
+      .select(syntheticEventLine(col("value")).as("value"))
 
     // merge_by_keys=value gives ~500 distinct merge groups per rule — the
     // "merge per entity" shape (user/host). Without merge keys the alerts

@@ -69,17 +69,144 @@ object ScheduledQueries {
     *     the conf requires).
     *
     * Everything else in the pack contract (param substitution, map
-    * subscripts `col['key']`, comments) is already shared syntax. */
+    * subscripts `col['key']`, comments) is already shared syntax.
+    *
+    * Concurrency contract: the conf toggle is SESSION-GLOBAL, so the
+    * parse window is serialized below (two concurrent `runPresto` calls
+    * cannot interleave toggles), but a concurrent plain `spark.sql`
+    * parse on another thread of the SAME session would still see
+    * double-quoted strings as identifiers for the window's duration.
+    * The Verify/Bench harnesses and the reference's pack runner are
+    * sequential; a concurrent deployment should give pack execution its
+    * own `spark.newSession()` (per-session conf, shared catalog). */
   def runPresto(spark: SparkSession, sql: String, now: Instant,
-      extra: Map[String, String] = Map.empty): DataFrame = {
+      extra: Map[String, String] = Map.empty): DataFrame = synchronized {
     val key = "spark.sql.ansi.doubleQuotedIdentifiers"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
-    try run(spark, sql, now, extra)
+    try run(spark, rewriteUnnest(sql), now, extra)
     finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
     }
+  }
+
+  /** Rewrite Presto's `CROSS JOIN UNNEST(expr) AS t (c[, c2])` — the
+    * single most common Athena FROM-clause idiom Spark's parser rejects
+    * (the reference promises users arbitrary Athena SQL,
+    * scheduled_queries/query_packs/configuration.py:20-56) — into Spark's
+    * positionally identical `LATERAL VIEW explode(expr) t AS c[, c2]`.
+    * One alias = array element; two aliases = map key/value (`explode`
+    * covers both). Textual but token-aware: single-quoted strings and
+    * `--` comments are copied opaquely, the UNNEST argument is captured
+    * with balanced-paren (and quote) scanning, and the keyword match is
+    * word-bounded — `a.crossjoin_unnest` or 'CROSS JOIN UNNEST' inside a
+    * string literal never rewrites. Parallel-array UNNEST(a, b) and WITH
+    * ORDINALITY throw loudly (unsupported, NOT silently mis-run). */
+  private[graft] def rewriteUnnest(sql: String): String = {
+    val out = new StringBuilder
+    val n = sql.length
+    var i = 0
+    def isIdentChar(c: Char) = c.isLetterOrDigit || c == '_'
+    def skipWs(j0: Int): Int = {
+      var j = j0
+      while (j < n && sql.charAt(j).isWhitespace) j += 1
+      j
+    }
+    // case-insensitive word-bounded keyword at j; returns end or -1
+    def word(j0: Int, w: String): Int = {
+      val j = j0
+      if (j + w.length > n) return -1
+      if (!sql.regionMatches(true, j, w, 0, w.length)) return -1
+      if (j > 0 && isIdentChar(sql.charAt(j - 1))) return -1
+      val e = j + w.length
+      if (e < n && isIdentChar(sql.charAt(e))) return -1
+      e
+    }
+    def stringEnd(j0: Int): Int = { // j0 at the opening quote
+      var j = j0 + 1
+      while (j < n) {
+        if (sql.charAt(j) == '\'') {
+          if (j + 1 < n && sql.charAt(j + 1) == '\'') j += 2 // '' escape
+          else return j + 1
+        } else j += 1
+      }
+      n
+    }
+    def ident(j0: Int): Option[(String, Int)] = {
+      var j = j0
+      while (j < n && isIdentChar(sql.charAt(j))) j += 1
+      if (j > j0 && !sql.charAt(j0).isDigit) Some((sql.substring(j0, j), j))
+      else None
+    }
+    // CROSS JOIN UNNEST ( expr ) [WITH ORDINALITY] [AS] alias ( c[, c2] )
+    def parseUnnest(j0: Int): Option[(String, String, Seq[String], Int)] = {
+      var j = word(j0, "CROSS"); if (j < 0) return None
+      j = word(skipWs(j), "JOIN"); if (j < 0) return None
+      j = word(skipWs(j), "UNNEST"); if (j < 0) return None
+      j = skipWs(j)
+      if (j >= n || sql.charAt(j) != '(') return None
+      // balanced-paren, quote-aware capture of the argument
+      val argStart = j + 1
+      var depth = 1
+      var topLevelComma = false
+      j += 1
+      while (j < n && depth > 0) {
+        sql.charAt(j) match {
+          case '\'' => j = stringEnd(j) - 1
+          case '('  => depth += 1
+          case ')'  => depth -= 1
+          case ',' if depth == 1 => topLevelComma = true
+          case _    =>
+        }
+        j += 1
+      }
+      if (depth != 0) return None
+      val expr = sql.substring(argStart, j - 1).trim
+      if (topLevelComma) throw new IllegalArgumentException(
+        "UNNEST with parallel arrays (UNNEST(a, b)) is not supported by " +
+          "the Presto rewrite; unnest one array per CROSS JOIN")
+      var k = skipWs(j)
+      val ord = word(k, "WITH")
+      if (ord >= 0 && word(skipWs(ord), "ORDINALITY") >= 0)
+        throw new IllegalArgumentException(
+          "UNNEST ... WITH ORDINALITY is not supported by the Presto rewrite")
+      val afterAs = word(k, "AS")
+      if (afterAs >= 0) k = skipWs(afterAs)
+      val (alias, k2) = ident(k).getOrElse(return None)
+      k = skipWs(k2)
+      if (k >= n || sql.charAt(k) != '(') return None
+      k = skipWs(k + 1)
+      val cols = scala.collection.mutable.ArrayBuffer.empty[String]
+      var done = false
+      while (!done) {
+        val (c, k3) = ident(k).getOrElse(return None)
+        cols += c
+        k = skipWs(k3)
+        if (k < n && sql.charAt(k) == ',') k = skipWs(k + 1)
+        else if (k < n && sql.charAt(k) == ')') { k += 1; done = true }
+        else return None
+      }
+      if (cols.size > 2) return None // array=1, map=2; anything else is not ours
+      Some((expr, alias, cols.toSeq, k))
+    }
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'') {
+        val e = stringEnd(i); out.append(sql.substring(i, e)); i = e
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        val e = sql.indexOf('\n', i) match { case -1 => n; case x => x }
+        out.append(sql.substring(i, e)); i = e
+      } else if ((c == 'c' || c == 'C') && word(i, "CROSS") >= 0) {
+        parseUnnest(i) match {
+          case Some((expr, alias, cols, end)) =>
+            out.append(s"LATERAL VIEW explode($expr) $alias AS ${cols.mkString(", ")}")
+            i = end
+          case None => out.append(c); i += 1
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
   }
 
   /** Execution stats for one scheduled-query run — the engine-side analogue

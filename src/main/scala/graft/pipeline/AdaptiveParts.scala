@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Input-statistics-driven exchange sizing for the candidate-join family.
+  *
+  * The one scale knob SCALE.md's 100x matrix proved is still manual after
+  * r17 is PARTITIONS: a candidate join's output cardinality is pair math
+  * over its bucket histogram (sum of m²/2-ish terms), which can be 10-100x
+  * its input row count — so both a fixed `spark.sql.shuffle.partitions`
+  * harness and AQE under-partition it. AQE sizes a reduce stage from the
+  * MAP side's output bytes; a prefix/fingerprint table that is 100 MB of
+  * skinny (key, id) rows gets coalesced to a handful of partitions and the
+  * join then explodes 50x INSIDE those tasks (measured: d14 at 100x was
+  * 229.6 s / 32 parts vs 120.9 s / 256 parts at 4x LESS heap). The fix a
+  * 1000-executor cluster turns by hand — more, smaller partitions for the
+  * candidate exchange — is computed here from the join's own input
+  * statistics instead: aggregate the bucket histogram (one cheap job over
+  * a stage the caller already persists), estimate the pair output exactly
+  * under the operator's pairing rule, and repartition the join inputs by
+  * the join keys when the estimate exceeds what the session floor can
+  * hold. `repartition(n, keys)` shuffles are REPARTITION_BY_NUM origin,
+  * which AQE never coalesces, so the chosen width sticks; at correctness /
+  * bench scale the estimate stays below the floor and the plan is
+  * byte-identical to r17's (zero bench drift by construction).
+  */
+object AdaptiveParts {
+
+  /** Target candidate-pair rows per partition of a pair-producing join.
+    * A (long, long) pair row is ~16 bytes on the wire + sort/dedup
+    * working state: 4M rows ≈ 64 MB shuffle + ~128 MB peak per task —
+    * the AQE advisory size with headroom for the dedup hash table. */
+  val RowsPerPartition: Long = 4L * 1000 * 1000
+
+  /** Upper clamp — far above any local[32] shape, low enough that a
+    * wild overestimate cannot drown the scheduler in empty tasks. */
+  val MaxParts: Int = 4096
+
+  /** The session's configured parallelism — the floor below which this
+    * sizing never interferes (small inputs keep the r17 plan). */
+  def sessionFloor(spark: SparkSession): Int =
+    spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+  /** estimatedRows → partition count: never below `floor`, never above
+    * [[MaxParts]], monotone in the estimate. Pure — spec-pinned. */
+  def partsFor(estimatedRows: Long, floor: Int,
+      rowsPerPartition: Long = RowsPerPartition): Int = {
+    require(floor >= 1 && rowsPerPartition >= 1)
+    val want = math.ceil(estimatedRows.toDouble / rowsPerPartition)
+    math.max(floor, math.min(MaxParts.toDouble, want).toInt)
+  }
+
+  /** Exact output-pair count of the capped-star pairing rule
+    * ([[Dedup.cappedPairs]]: full pairing among the first `cap` bucket
+    * members, star to the head beyond) for ONE bucket of size m —
+    * C(min(m,cap), 2) + max(m − cap, 0). Column form so the histogram
+    * aggregate stays one distributed job. */
+  def cappedBucketPairs(m: Column, cap: Int): Column = {
+    val k = least(m, lit(cap.toLong))
+    // k(k−1) is even, so >>1 is exact integer halving (Column `/` on
+    // longs would return Double and lose exactness past 2^52)
+    shiftright(k * (k - lit(1L)), 1) + greatest(m - lit(cap.toLong), lit(0L))
+  }
+
+  /** Total pair estimate for a capped bucket self-join: aggregate the
+    * bucket histogram of `rows` over `keyCols` and sum the per-bucket
+    * capped-star counts. One job over a (usually already persisted)
+    * skinny stage; exact for [[Dedup.cappedPairs]] BEFORE its final
+    * dropDuplicates (a pair sharing several buckets counts once per
+    * bucket — the safe overestimate for sizing the pre-dedup exchange,
+    * which is exactly the exchange that melts). */
+  def cappedPairEstimate(rows: DataFrame, keyCols: Seq[String],
+      cap: Int): Long =
+    histogramPairSum(rows, keyCols, m => cappedBucketPairs(m, cap))
+
+  /** Total pair estimate for an UNCAPPED bucket self-join (the PPJoin
+    * prefix join: every same-token prefix pair is a candidate) —
+    * sum of C(m, 2) over the bucket histogram. */
+  def allPairEstimate(rows: DataFrame, keyCols: Seq[String]): Long =
+    histogramPairSum(rows, keyCols, m => shiftright(m * (m - lit(1L)), 1))
+
+  private def histogramPairSum(rows: DataFrame, keyCols: Seq[String],
+      perBucket: Column => Column): Long = {
+    val hist = rows.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__m"))
+    val r = hist.agg(sum(perBucket(col("__m"))).as("__pairs")).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** Repartition `df` by `keys` to `parts` when that exceeds the session
+    * floor; identity otherwise (keeps the small-scale plan untouched). */
+  def bySize(df: DataFrame, parts: Int, floor: Int, keys: Column*): DataFrame =
+    if (parts > floor) df.repartition(parts, keys: _*) else df
+}

@@ -646,13 +646,29 @@ object Dedup {
     * the bucket head (rn == 1) — a star, k-1 pairs — which still links the
     * whole cluster transitively for dedup while bounding the blow-up to
     * cap²/2 + k. Both join sides read the SAME ranked plan, so with the
-    * caller persisting it the bucketing stage computes once. */
-  private def cappedPairs(ranked: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
+    * caller persisting it the bucketing stage computes once.
+    *
+    * Exchange sizing is adaptive ([[AdaptiveParts]]): the bucket histogram
+    * prices the join's OUTPUT exactly under the capped-star rule, and when
+    * that exceeds the session floor both join inputs and the pre-dedup
+    * exchange repartition to pair-volume-proportional width — the
+    * fixed-32-partition 100x pathology (SCALE.md r17 matrix) sized away
+    * from input statistics, no env knob. Below the floor the plan is
+    * byte-identical to the unsized one. */
+  private[graft] def cappedPairs(ranked: DataFrame, keyCols: Seq[String],
+      cap: Int,
+      rowsPerPartition: Long = AdaptiveParts.RowsPerPartition): DataFrame = {
+    val floor = AdaptiveParts.sessionFloor(ranked.sparkSession)
+    val parts = AdaptiveParts.partsFor(
+      AdaptiveParts.cappedPairEstimate(ranked, keyCols, cap), floor,
+      rowsPerPartition)
+    val side = AdaptiveParts.bySize(ranked, parts, floor, keyCols.map(col): _*)
     val joinCond = keyCols.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
       col("x.id") < col("y.id") &&
       (col("y.rn") <= cap || col("x.rn") === 1)
-    ranked.as("x").join(ranked.as("y"), joinCond)
+    val pairs = side.as("x").join(side.as("y"), joinCond)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    AdaptiveParts.bySize(pairs, parts, floor, col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
   }
 
@@ -1083,8 +1099,9 @@ object Dedup {
   /** The lazy PPJoin plan + its persisted stages (exposed for plan tests;
     * callers use [[similarityJoin]], which materializes and releases). */
   private[graft] def similarityJoinPlan(df: DataFrame, textCol: String,
-      idCol: String, shingleWords: Int,
-      threshold: Double): (DataFrame, Seq[DataFrame]) = {
+      idCol: String, shingleWords: Int, threshold: Double,
+      rowsPerPartition: Long = AdaptiveParts.RowsPerPartition)
+      : (DataFrame, Seq[DataFrame]) = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
     // Shingles are hashed to 64 bits AT THE SCAN and never travel as
     // strings: the df attachment, the canonical sort, the prefix explode,
@@ -1109,21 +1126,38 @@ object Dedup {
     val sorted = ppjoinSorted(exploded.join(freq, "tok"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // prefix length p = n - ceil(t*n) + 1; 0-based pos from posexplode
-    val prefix = ppjoinPrefix(sorted, threshold)
+    //
+    // Exchange sizing ([[AdaptiveParts]]): the prefix join's candidate
+    // cardinality is sum-of-C(m,2) over the per-token histogram — pair
+    // math a fixed partition count or AQE's map-bytes heuristic cannot
+    // see (SCALE.md r17: 9.6 GB of candidates out of ~100 MB of prefix
+    // rows; 256 parts beat 4x the heap). The histogram aggregate reads
+    // the already-persisted `sorted` stage; length/positional filters
+    // only shrink the true volume, so the estimate is a safe upper
+    // bound. Below the session floor all three bySize calls are
+    // identity and the r17 plan is unchanged.
+    val prefix0 = ppjoinPrefix(sorted, threshold)
+    val floor = AdaptiveParts.sessionFloor(df.sparkSession)
+    val parts = AdaptiveParts.partsFor(
+      AdaptiveParts.allPairEstimate(prefix0, Seq("tok")), floor,
+      rowsPerPartition)
+    val prefix = AdaptiveParts.bySize(prefix0, parts, floor, col("tok"))
     val overlapNeeded =
       ceil(lit(threshold / (1 + threshold)) * (col("a.n") + col("b.n")))
-    val cand = prefix.as("a").join(prefix.as("b"),
+    val cand = AdaptiveParts.bySize(
+      prefix.as("a").join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
         least(col("a.n"), col("b.n")) >=
           ceil(lit(threshold) * greatest(col("a.n"), col("b.n"))) &&
         least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >= overlapNeeded)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")),
+      parts, floor, col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
     // verify computes ONLY the intersection: |union| = n_a + n_b − |∩|
     // (sets are distinct), so the second per-pair hash-set build that
     // array_union would do is replaced by two already-carried lengths —
     // the verify stage is the candidate-count-bound cost at scale
-    val verified = cand
+    val verified = AdaptiveParts.bySize(cand, parts, floor, col("id_a"))
       .join(sorted.select(col("id").as("id_a"), col("toks").as("__ta"),
         col("n").as("__na")), "id_a")
       .join(sorted.select(col("id").as("id_b"), col("toks").as("__tb"),

@@ -561,7 +561,11 @@ object WebOps {
     * src collapse to the lexicographically smallest dst (a real fetch
     * log can record the same 3xx twice; without the collapse every
     * self-join round would fan the duplicates out multiplicatively and
-    * break the one-row-per-source contract). */
+    * break the one-row-per-source contract). A source recorded with
+    * GENUINELY different targets (a flapping redirect) therefore
+    * resolves along the min-dst edge deterministically — audit those
+    * sources with [[redirectConflicts]] before trusting their final
+    * URLs. */
   def resolveRedirects(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", doublingRounds: Int = 3): DataFrame = {
     require(doublingRounds >= 1 && doublingRounds <= 16)
@@ -583,6 +587,18 @@ object WebOps {
         coalesce(col("__has"), lit(false)).as("__has"))
       .withColumn("resolved", !col("__has")).drop("__has")
   }
+
+  /** Sources whose fetch log records CONFLICTING redirect targets — the
+    * audit surface for [[resolveRedirects]]'s deterministic min-dst
+    * collapse (exact-duplicate re-fetches of the same 3xx are not
+    * conflicts). Returns (src, n_dsts, min_dst) with n_dsts >= 2; one
+    * distinct + one groupBy over the skinny edge list. */
+  def redirectConflicts(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame =
+    edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .groupBy("src")
+      .agg(count(lit(1)).as("n_dsts"), min("dst").as("min_dst"))
+      .where(col("n_dsts") >= 2)
 
   /** Hex-space structural UTF-8 validator: each alternative consumes one
     * complete sequence (ASCII / 2- / 3- / 4-byte with the spec's

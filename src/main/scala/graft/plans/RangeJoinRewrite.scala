@@ -189,11 +189,13 @@ object GraftExtensions {
     * spells `get_json_object`). Mappings:
     *
     *  - `json_extract(json, path)` / `json_extract_scalar(json, path)` →
-    *    `GetJsonObject`. Divergence, documented: Presto's `json_extract`
-    *    returns the JSON-ENCODED value (a scalar string keeps its quotes)
-    *    while `get_json_object` unquotes scalars — i.e. both aliases get
-    *    `json_extract_scalar` semantics, which is what Athena packs
-    *    overwhelmingly mean (the sample extracts `$.database` for display).
+    *    [[graft.functions.PrestoJsonExtract]], Presto-faithful since r18:
+    *    `json_extract` returns the JSON-ENCODED value (string scalars
+    *    keep their quotes, objects/arrays return as JSON text with field
+    *    order preserved, JSON `null` is the text `null`);
+    *    `json_extract_scalar` unquotes scalars and returns SQL NULL for
+    *    objects/arrays/JSON-null — the two halves of the divergence the
+    *    r17 GetJsonObject alias documented and conceded.
     *  - `from_iso8601_timestamp(s)` → ANSI cast to TIMESTAMP (ISO 8601
     *    with optional offset parses; malformed input throws, as Presto's
     *    does).
@@ -208,10 +210,11 @@ object GraftExtensions {
     *    max standard error 0.023 (Spark's default is 0.05); the optional
     *    second argument is the standard error, a double literal. */
   private def prestoAliases: Seq[FnEntry] = Seq(
-    binaryFn("json_extract", classOf[GetJsonObject].getName,
-      GetJsonObject(_, _)),
-    binaryFn("json_extract_scalar", classOf[GetJsonObject].getName,
-      GetJsonObject(_, _)),
+    binaryFn("json_extract", classOf[graft.functions.PrestoJsonExtract].getName,
+      graft.functions.PrestoJsonExtract(_, _, scalarMode = false)),
+    binaryFn("json_extract_scalar",
+      classOf[graft.functions.PrestoJsonExtract].getName,
+      graft.functions.PrestoJsonExtract(_, _, scalarMode = true)),
     (new org.apache.spark.sql.catalyst.FunctionIdentifier("from_iso8601_timestamp"),
       new ExpressionInfo(classOf[Cast].getName, "from_iso8601_timestamp"),
       (args: Seq[Expression]) => {

@@ -1002,9 +1002,11 @@ private[graft] trait SqlQueries extends RegistryBase {
   // VERBATIM — text from scheduled_queries/sample/athena.py:24-47 (params
   // substituted by the pack runner, exactly as the reference does), parsed
   // by plain spark.sql via ScheduledQueries.runPresto: the injected Presto
-  // aliases resolve `json_extract`, ANSI double-quoted identifiers resolve
-  // `"ATHENA_DATABASE_NAME"."cloudwatch_cloudtrail"`, and Spark's native
-  // map subscript handles `requestparameters['querystring']`. The fixture
+  // aliases resolve `json_extract` (Presto-faithful since r18 — the
+  // database_name column is the JSON-ENCODED '"db_N"' with quotes, exactly
+  // what Athena returns for this pack), ANSI double-quoted identifiers
+  // resolve `"ATHENA_DATABASE_NAME"."cloudwatch_cloudtrail"`, and Spark's
+  // native map subscript handles `requestparameters['querystring']`. The fixture
   // is a catalog VIEW shaped like the Athena CloudTrail table (map-typed
   // requestparameters/useridentity, dt partition strings), derived from
   // events with decorrelated moduli so every WHERE clause discriminates.
@@ -1082,7 +1084,7 @@ private[graft] trait SqlQueries extends RegistryBase {
   register(
     "sq_presto_verbatim",
     """SELECT strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS eventtime,
-      |       'db_' || CAST(event_id % 7 AS VARCHAR) AS database_name,
+      |       '"db_' || CAST(event_id % 7 AS VARCHAR) || '"' AS database_name,
       |       CASE WHEN (event_id // 4) % 4 = 0
       |            THEN 'SELECT * FROM t' || CAST(event_id % 5 AS VARCHAR)
       |            ELSE 'select count(*) from logs where id = ' ||
@@ -1101,6 +1103,72 @@ private[graft] trait SqlQueries extends RegistryBase {
     ScheduledQueries.runPresto(s, prestoSampleSql,
         java.time.Instant.parse("1995-06-18T12:00:00Z"))
       .orderBy(col("eventtime"), col("user_identity_arn"), col("querystring"))
+  }
+
+
+  // §3.2 dialect fidelity, JSON-encoded leg (r17 verdict ask #3): Presto's
+  // `json_extract` returns the JSON-ENCODED value — quoted string scalars,
+  // raw objects/arrays with FIELD ORDER preserved (the fixture's meta keys
+  // are deliberately unsorted b-then-a), and the text `null` for a JSON
+  // null — while `json_extract_scalar` unquotes scalars and is SQL NULL on
+  // objects/arrays/JSON-null. Both run as the native
+  // [[graft.functions.PrestoJsonExtract]] through the verbatim pack path.
+  // DuckDB's json_extract shares the encoded semantics (order-preserving
+  // yyjson) except on JSON null, where it yields SQL NULL — that column and
+  // the scalar-mode rows are spelled as literal CASE constructions instead.
+  register(
+    "sq_presto_json_encoded",
+    """WITH jd AS (
+      |  SELECT event_id AS id,
+      |         '{"name":"u' || CAST(event_id AS VARCHAR) ||
+      |         '","meta":{"b":' || CAST(event_id % 3 AS VARCHAR) ||
+      |         ',"a":"x' || CAST(event_id % 5 AS VARCHAR) ||
+      |         '"},"tags":["t' || CAST(event_id % 2 AS VARCHAR) ||
+      |         '",' || CAST(event_id % 7 AS VARCHAR) ||
+      |         '],"opt":' ||
+      |         CASE WHEN event_id % 4 = 0 THEN 'null' ELSE '"v"' END ||
+      |         '}' AS j
+      |  FROM events)
+      |SELECT id,
+      |  CAST(json_extract(j, '$.name') AS VARCHAR) AS name_json,
+      |  json_extract_string(j, '$.name') AS name_scalar,
+      |  CAST(json_extract(j, '$.meta') AS VARCHAR) AS meta_json,
+      |  CAST(NULL AS VARCHAR) AS meta_scalar,
+      |  CAST(json_extract(j, '$.meta.a') AS VARCHAR) AS meta_a_json,
+      |  CAST(json_extract(j, '$.tags[0]') AS VARCHAR) AS tag0_json,
+      |  json_extract_string(j, '$.tags[1]') AS tag1_scalar,
+      |  CASE WHEN id % 4 = 0 THEN 'null' ELSE '"v"' END AS opt_json,
+      |  CASE WHEN id % 4 = 0 THEN NULL ELSE 'v' END AS opt_scalar,
+      |  CAST(json_extract(j, '$.missing') AS VARCHAR) AS missing_json
+      |FROM jd ORDER BY id""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW json_docs AS
+        |SELECT event_id AS id,
+        |  concat('{"name":"u', CAST(event_id AS STRING),
+        |         '","meta":{"b":', CAST(event_id % 3 AS STRING),
+        |         ',"a":"x', CAST(event_id % 5 AS STRING),
+        |         '"},"tags":["t', CAST(event_id % 2 AS STRING),
+        |         '",', CAST(event_id % 7 AS STRING),
+        |         '],"opt":',
+        |         CASE WHEN event_id % 4 = 0 THEN 'null' ELSE '"v"' END,
+        |         '}') AS j
+        |FROM events""".stripMargin)
+    ScheduledQueries.runPresto(s,
+      """SELECT id,
+        |  json_extract(j, '$.name') AS name_json,
+        |  json_extract_scalar(j, '$.name') AS name_scalar,
+        |  json_extract(j, '$.meta') AS meta_json,
+        |  json_extract_scalar(j, '$.meta') AS meta_scalar,
+        |  json_extract(j, '$.meta.a') AS meta_a_json,
+        |  json_extract(j, '$.tags[0]') AS tag0_json,
+        |  json_extract_scalar(j, '$.tags[1]') AS tag1_scalar,
+        |  json_extract(j, '$.opt') AS opt_json,
+        |  json_extract_scalar(j, '$.opt') AS opt_scalar,
+        |  json_extract(j, '$.missing') AS missing_json
+        |FROM json_docs
+        |ORDER BY id""".stripMargin,
+      java.time.Instant.parse("1995-06-18T12:00:00Z"))
   }
 
   // §3.2: the remaining Presto aliases exercised as VERBATIM SQL text
@@ -1129,6 +1197,46 @@ private[graft] trait SqlQueries extends RegistryBase {
         |  to_unixtime(min(ts)) AS min_unixtime,
         |  approx_distinct(user_id % 10) AS approx_mod_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      java.time.Instant.parse("1995-06-18T12:00:00Z"))
+  }
+
+
+  // §3.2 dialect compatibility, UNNEST leg (r17 verdict ask #5): the
+  // single most common Athena FROM-clause idiom Spark's parser rejects —
+  // `CROSS JOIN UNNEST(col) AS t (x)` over an array and a map — runs
+  // VERBATIM through runPresto's token-aware rewrite to LATERAL VIEW
+  // explode (ScheduledQueries.rewriteUnnest). The oracle spells the same
+  // expansion as engine-neutral UNION ALL branches (duplicate array
+  // elements legitimately produce duplicate rows in both engines).
+  register(
+    "sq_presto_unnest",
+    """WITH base AS (
+      |  SELECT event_id AS id, event_type, user_id
+      |  FROM events WHERE event_id % 7 = 0),
+      |xs AS (
+      |  SELECT id, CAST(id % 3 AS INT) AS x FROM base
+      |  UNION ALL
+      |  SELECT id, CAST(id % 5 AS INT) AS x FROM base),
+      |kv AS (
+      |  SELECT id, 't' AS k, event_type AS v FROM base
+      |  UNION ALL
+      |  SELECT id, 'u' AS k, CAST(user_id AS VARCHAR) AS v FROM base)
+      |SELECT xs.id, x, k, v
+      |FROM xs JOIN kv USING (id)
+      |ORDER BY id, x, k, v""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW unnest_docs AS
+        |SELECT event_id AS id,
+        |  array(CAST(event_id % 3 AS INT), CAST(event_id % 5 AS INT)) AS arr,
+        |  map('t', event_type, 'u', CAST(user_id AS STRING)) AS m
+        |FROM events WHERE event_id % 7 = 0""".stripMargin)
+    ScheduledQueries.runPresto(s,
+      """SELECT id, x, k, v
+        |FROM unnest_docs
+        |CROSS JOIN UNNEST(arr) AS t (x)
+        |CROSS JOIN UNNEST(m) AS u (k, v)
+        |ORDER BY id, x, k, v""".stripMargin,
       java.time.Instant.parse("1995-06-18T12:00:00Z"))
   }
 

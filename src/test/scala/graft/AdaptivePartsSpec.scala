@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.{AdaptiveParts, Dedup}
+
+/** Input-statistics exchange sizing (r17 verdict ask #1): the chooser is
+  * monotone in the estimate and clamped to [session floor, MaxParts]; the
+  * capped-star pair pricing is exact; and the candidate-join operators
+  * actually WIRE it — a pair estimate above the target forces a
+  * REPARTITION_BY_NUM exchange of the computed width into the physical
+  * plan, while results stay identical to the un-sized plan. */
+class AdaptivePartsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def repartitionWidths(df: org.apache.spark.sql.DataFrame): Seq[Int] = {
+    df.count() // finalize the AQE plan before reading it
+    val p = df.queryExecution.executedPlan.toString
+    raw"hashpartitioning\([^)]*, (\d+)\), REPARTITION_BY_NUM".r
+      .findAllMatchIn(p).map(_.group(1).toInt).toSeq
+  }
+
+  test("partsFor: monotone in the estimate, clamped to [floor, MaxParts]") {
+    val floor = 32
+    assert(AdaptiveParts.partsFor(0L, floor) == floor)
+    assert(AdaptiveParts.partsFor(1L, floor) == floor)
+    // below floor * target rows → floor (small inputs keep the r17 plan)
+    assert(AdaptiveParts.partsFor(
+      AdaptiveParts.RowsPerPartition * floor, floor) == floor)
+    // scales linearly with the estimate past the floor
+    assert(AdaptiveParts.partsFor(
+      AdaptiveParts.RowsPerPartition * 100, floor) == 100)
+    assert(AdaptiveParts.partsFor(
+      AdaptiveParts.RowsPerPartition * 100 + 1, floor) == 101)
+    // monotone across a sweep
+    val sweep = Seq(1L, 1000L, 1000000L, 100000000L, 10000000000L)
+      .map(AdaptiveParts.partsFor(_, floor))
+    assert(sweep == sweep.sorted, s"must be monotone: $sweep")
+    // upper clamp
+    assert(AdaptiveParts.partsFor(Long.MaxValue / 2, floor) ==
+      AdaptiveParts.MaxParts)
+  }
+
+  test("cappedPairEstimate prices the capped-star rule exactly per bucket") {
+    // bucket sizes 1, 3, 5, 100 at cap 4:
+    //   m=1 → 0; m=3 → C(3,2)=3; m=5 → C(4,2)+1=7; m=100 → C(4,2)+96=102
+    val ranked = Seq(1, 3, 5, 100).zipWithIndex.flatMap { case (m, b) =>
+      (1 to m).map(i => (s"bucket$b", i.toLong, i))
+    }.toDF("fp", "id", "rn")
+    assert(AdaptiveParts.cappedPairEstimate(ranked, Seq("fp"), 4) ==
+      3L + 7L + 102L)
+    // and the estimate equals the operator's REAL pre-dedup output here
+    // (ids are bucket-local so no pair collapses in the dedup)
+    val ranked2 = Seq(1, 3, 5, 100).zipWithIndex.flatMap { case (m, b) =>
+      (1 to m).map(i => (s"bucket$b", b * 1000L + i, i))
+    }.toDF("fp", "id", "rn")
+    assert(Dedup.cappedPairs(ranked2, Seq("fp"), 4).count() == 3L + 7L + 102L)
+  }
+
+  test("allPairEstimate prices the uncapped prefix join") {
+    val rows = Seq(2, 4).zipWithIndex.flatMap { case (m, b) =>
+      (1 to m).map(i => (s"t$b", i.toLong))
+    }.toDF("tok", "id")
+    assert(AdaptiveParts.allPairEstimate(rows, Seq("tok")) == 1L + 6L)
+  }
+
+  test("cappedPairs sizes its exchanges from the pair estimate (wired)") {
+    // one hot bucket of 200 rows, cap 64: estimate = C(64,2)+136 = 2152
+    val ranked = (1 to 200).map(i => ("hot", i.toLong, i)).toDF("fp", "id", "rn")
+      .localCheckpoint()
+    val floor = AdaptiveParts.sessionFloor(spark)
+    val tiny = 100L // rows per partition — forces sizing on a test fixture
+    val expected = AdaptiveParts.partsFor(2152L, floor, tiny)
+    assert(expected > floor, s"fixture must exceed the floor: $expected")
+    val sized = Dedup.cappedPairs(ranked, Seq("fp"), 64, rowsPerPartition = tiny)
+    assert(repartitionWidths(sized).contains(expected),
+      s"expected a REPARTITION_BY_NUM($expected) exchange")
+    // default target at this scale: no repartition, identical results
+    val plain = Dedup.cappedPairs(ranked, Seq("fp"), 64)
+    assert(repartitionWidths(plain).isEmpty,
+      "below the floor the r17 plan must be untouched")
+    assert(sized.collect().toSet == plain.collect().toSet)
+  }
+
+  test("similarityJoinPlan sizes the prefix join from the token histogram") {
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon zeta${i % 4} eta${i % 7}"))
+      .toDF("doc_id", "text")
+    val floor = AdaptiveParts.sessionFloor(spark)
+    val (sized, stagesS) = Dedup.similarityJoinPlan(docs, "text", "doc_id",
+      shingleWords = 2, threshold = 0.6, rowsPerPartition = 1L)
+    val widths = repartitionWidths(sized)
+    assert(widths.nonEmpty && widths.forall(_ > floor),
+      s"tiny target must force sizing above floor $floor: $widths")
+    stagesS.foreach(_.unpersist())
+    val (plain, stagesP) = Dedup.similarityJoinPlan(docs, "text", "doc_id",
+      shingleWords = 2, threshold = 0.6)
+    assert(repartitionWidths(plain).isEmpty)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1),
+      math.round(r.getDouble(2) * 1e6))
+    assert(sized.collect().map(key).toSet == plain.collect().map(key).toSet,
+      "sizing must never change results")
+    stagesP.foreach(_.unpersist())
+  }
+}

@@ -18,14 +18,42 @@ class PrestoAliasSpec extends AnyFunSuite {
     s
   }
 
-  test("json_extract / json_extract_scalar resolve to get_json_object semantics") {
+  test("json_extract is JSON-encoded; json_extract_scalar unquotes (Presto)") {
     val r = spark.sql(
       """SELECT json_extract('{"a":{"b":"x"},"n":3}', '$.a.b') AS jb,
         |       json_extract_scalar('{"a":{"b":"x"},"n":3}', '$.n') AS jn,
         |       json_extract('{"a":1}', '$.missing') AS jm""".stripMargin).head
-    assert(r.getString(0) === "x")
+    assert(r.getString(0) === "\"x\"") // JSON-encoded: the quotes stay
     assert(r.getString(1) === "3")
     assert(r.isNullAt(2))
+  }
+
+  test("json_extract: field order preserved, JSON null text, bracket paths") {
+    val r = spark.sql(
+      """SELECT json_extract(j, '$.m') AS obj,
+        |       json_extract(j, '$.m.b') AS b,
+        |       json_extract(j, '$.t[1]') AS t1,
+        |       json_extract(j, '$["m"]["a"]') AS qa,
+        |       json_extract(j, '$.z') AS znull,
+        |       json_extract_scalar(j, '$.m') AS sobj,
+        |       json_extract_scalar(j, '$.z') AS snull,
+        |       json_extract_scalar(j, '$.t[0]') AS st0,
+        |       json_extract('not json', '$.a') AS bad
+        |FROM VALUES ('{"m":{"b":1,"a":"x"},"t":["u",2.50],"z":null}') AS v(j)
+        |""".stripMargin).head
+    assert(r.getString(0) === """{"b":1,"a":"x"}""") // unsorted order kept
+    assert(r.getString(1) === "1")
+    assert(r.getString(2) === "2.50") // number literal text round-trips
+    assert(r.getString(3) === "\"x\"")
+    assert(r.getString(4) === "null") // JSON null is the TEXT null
+    assert(r.isNullAt(5)) // scalar mode: object → SQL NULL
+    assert(r.isNullAt(6)) // scalar mode: JSON null → SQL NULL
+    assert(r.getString(7) === "u")
+    assert(r.isNullAt(8)) // malformed JSON → SQL NULL
+    // malformed PATH throws (Presto INVALID_FUNCTION_ARGUMENT contract)
+    intercept[Exception] {
+      spark.sql("SELECT json_extract('{}', 'a.b')").collect()
+    }
   }
 
   test("from_iso8601_timestamp parses ISO 8601 incl. offsets; to_unixtime is DOUBLE") {
@@ -75,6 +103,43 @@ class PrestoAliasSpec extends AnyFunSuite {
     assert(r.getString(3) === "a=1&b=two")
     assert(r.getString(4) === "two")
     assert(r.isNullAt(5))
+  }
+
+  test("CROSS JOIN UNNEST rewrites to LATERAL VIEW explode (array + map)") {
+    val rows = ScheduledQueries.runPresto(spark,
+      """SELECT id, x, k, v
+        |FROM (SELECT 1 AS id, array(10, 20) AS arr,
+        |             map('a', 'p', 'b', 'q') AS m) base
+        |CROSS JOIN UNNEST(arr) AS t (x)
+        |CROSS JOIN UNNEST(m) AS u (k, v)
+        |WHERE x > 0 AND k = 'a'
+        |ORDER BY x""".stripMargin,
+      java.time.Instant.ofEpochSecond(0))
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getString(3))).toSeq
+    assert(rows === Seq((10, "a", "p"), (20, "a", "p")))
+  }
+
+  test("UNNEST rewrite is token-aware: strings untouched, plain CROSS JOIN kept") {
+    // the phrase inside a string literal must survive verbatim
+    val s = ScheduledQueries.rewriteUnnest(
+      "SELECT 'CROSS JOIN UNNEST(a) AS t (x)' AS lit FROM tbl")
+    assert(s === "SELECT 'CROSS JOIN UNNEST(a) AS t (x)' AS lit FROM tbl")
+    // a plain CROSS JOIN (no UNNEST) is not touched
+    val c = "SELECT * FROM a CROSS JOIN b"
+    assert(ScheduledQueries.rewriteUnnest(c) === c)
+    // nested parens + quoted commas inside the argument survive
+    assert(ScheduledQueries.rewriteUnnest(
+      "FROM t CROSS JOIN UNNEST(split(s, ',')) AS u (w)") ===
+      "FROM t LATERAL VIEW explode(split(s, ',')) u AS w")
+    // unsupported shapes fail LOUDLY, never silently mis-run
+    intercept[IllegalArgumentException] {
+      ScheduledQueries.rewriteUnnest(
+        "FROM t CROSS JOIN UNNEST(a, b) AS u (x, y)")
+    }
+    intercept[IllegalArgumentException] {
+      ScheduledQueries.rewriteUnnest(
+        "FROM t CROSS JOIN UNNEST(a) WITH ORDINALITY AS u (x, i)")
+    }
   }
 
   test("runPresto scopes double-quoted identifiers around the parse and restores") {

@@ -331,4 +331,14 @@ class WebOpsSpec extends AnyFunSuite {
     assert(out("a") === (("c", 2L, true)))
     assert(out("b") === (("c", 1L, true)))
   }
+
+  test("redirectConflicts: flags genuinely conflicting sources, not re-fetches") {
+    val edges = Seq(("a", "z"), ("a", "b"), ("b", "c"), ("b", "c"))
+      .toDF("src", "dst")
+    val rows = WebOps.redirectConflicts(edges).collect()
+    assert(rows.length === 1) // b's exact-duplicate re-fetch is NOT a conflict
+    assert(rows.head.getString(0) === "a")
+    assert(rows.head.getLong(1) === 2L)
+    assert(rows.head.getString(2) === "b") // the edge resolveRedirects takes
+  }
 }
