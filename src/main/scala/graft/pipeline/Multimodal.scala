@@ -250,22 +250,148 @@ object Multimodal {
     * Returns (media_id, valid, byte_order, orientation,
     * datetime_original, has_gps). */
   def exifProbe(df: DataFrame, binCol: String, idCol: String): DataFrame = {
-    // the APP1 regex over the whole blob runs ONCE per row: it lands in
-    // its own projection and every downstream read references the
-    // attribute — inlining it would re-run the O(blob) scan inside each
-    // of the ~4x64 per-entry lambda evaluations (HOF lambdas get no CSE)
-    val withTiff = df.select(col(idCol).as("media_id"),
+    val withTiff = exifTiff(df, binCol, idCol)
+    val w = new TiffWalk(col("__tiff"), col("__le"))
+    import w._
+
+    val s1 = keep(withTiff.withColumn("__le", tiff.startsWith("4949")),
+      hexPos(u32(lit(9))).as("__ifd0")) // IFD0 offset u32 at TIFF byte 4
+    val s2 = keep(s1, u16(col("__ifd0")).as("__n0"))
+    val s3 = keep(s2, ifdTable(col("__ifd0"), col("__n0")).as("__table0"))
+    val s4 = keep(s3,
+      entryU16(col("__table0"), 0x0112).as("__orient"), // SHORT value field
+      hasTag(col("__table0"), 0x8825).as("__has_gps"),
+      hexPos(entryU32(col("__table0"), 0x8769)).as("__subifd"))
+    val s5 = keep(s4, u16(col("__subifd")).as("__n1"))
+    val s6 = keep(s5, ifdTable(col("__subifd"), col("__n1")).as("__table1"))
+    // ASCII(20) → the DateTimeOriginal value field is an OFFSET
+    val s7 = keep(s6,
+      hexPos(entryU32(col("__table1"), 0x9003)).as("__dtopos"))
+
+    val dtoPos = col("__dtopos")
+    val dtoInBounds = dtoPos.isNotNull && (dtoPos + 37) <= length(tiff)
+    val dto = when(dtoInBounds,
+      decode(unhex(tiff.substr(dtoPos, lit(38))), "UTF-8"))
+
+    val valid = exifValid(tiff, le, col("__ifd0"), col("__n0"))
+    s7.select(col("media_id"), valid.as("valid"),
+      when(valid, when(le, "II").otherwise("MM")).as("byte_order"),
+      when(valid, col("__orient")).as("orientation"),
+      when(valid, dto).as("datetime_original"),
+      coalesce(valid && col("__has_gps"), lit(false)).as("has_gps"))
+  }
+
+  /** GPS coordinates + orientation from the EXIF GPS IFD — the fields a
+    * media-corpus curation actually filters on (geo-fencing, PII
+    * quarantine with coordinates, rotation-aware pipelines), still with
+    * NO codec: the [[exifProbe]] walk followed through pointer tag 0x8825
+    * into the GPS IFD (JEITA CP-3451 §4.6.6), decoding GPSLatitudeRef/
+    * GPSLongitudeRef (ASCII, inline value field) and GPSLatitude/
+    * GPSLongitude (RATIONAL×3 — deg/min/sec numerator+denominator u32
+    * pairs at the value-field offset). Coordinates surface as SIGNED
+    * integer micro-degrees (S/W negative):
+    * `sign · floor((dn/dd + (mn/md)/60 + (sn/sd)/3600) · 1e6 + 0.5)` —
+    * a fixed-shape double expression over exact u32s, so a DuckDB oracle
+    * replays it bit-identically. Zero denominators or out-of-bounds
+    * rational blocks null the coordinate (has_gps stays true — presence
+    * is the PII signal, decodability is the bonus). Returns (media_id,
+    * valid, has_gps, orientation, lat_ref, lon_ref, lat_udeg, lon_udeg).
+    * Scan-side, zero shuffle, staged projections (the exifProbe
+    * codegen-tree rule). */
+  def exifGps(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val withTiff = exifTiff(df, binCol, idCol)
+    val w = new TiffWalk(col("__tiff"), col("__le"))
+    import w._
+
+    val s1 = keep(withTiff.withColumn("__le", tiff.startsWith("4949")),
+      hexPos(u32(lit(9))).as("__ifd0"))
+    val s2 = keep(s1, u16(col("__ifd0")).as("__n0"))
+    val s3 = keep(s2, ifdTable(col("__ifd0"), col("__n0")).as("__table0"))
+    val s4 = keep(s3,
+      entryU16(col("__table0"), 0x0112).as("__orient"),
+      hexPos(entryU32(col("__table0"), 0x8825)).as("__gps"))
+    val s5 = keep(s4, u16(col("__gps")).as("__ng"))
+    val s6 = keep(s5, ifdTable(col("__gps"), col("__ng")).as("__tg"))
+    // refs are ASCII count-2: the char sits INLINE in the value field;
+    // the rational triples sit at their value-field OFFSETS
+    val s7 = keep(s6,
+      entryCapture(col("__tg"), 0x0001, "(..)").as("__latRefHex"),
+      hexPos(entryU32(col("__tg"), 0x0002)).as("__latPos"),
+      entryCapture(col("__tg"), 0x0003, "(..)").as("__lonRefHex"),
+      hexPos(entryU32(col("__tg"), 0x0004)).as("__lonPos"))
+    // deg/min/sec (numerator, denominator) u32 pairs — 6 reads per coord,
+    // each staged off the SAME __latPos/__lonPos attribute
+    def rational3(posCol: Column): Seq[Column] =
+      (0 until 6).map(i => u32(posCol + i * 8))
+    val s8 = keep(s7,
+      rational3(col("__latPos")).zipWithIndex.map { case (c, i) =>
+        c.as(s"__la$i") } ++
+      rational3(col("__lonPos")).zipWithIndex.map { case (c, i) =>
+        c.as(s"__lo$i") }: _*)
+
+    def refChar(hexCol: Column): Column =
+      when(hexCol =!= "", decode(unhex(hexCol), "UTF-8"))
+    def inBounds(posCol: Column): Column =
+      posCol.isNotNull && (posCol + 47) <= length(tiff)
+    // the EXACT double shape the oracle replays: left-associated sum of
+    // three IEEE divisions, scaled and floor-rounded to micro-degrees
+    def udeg(p: String): Column = {
+      val Seq(dn, dd, mn, md, sn, sd) =
+        (0 until 6).map(i => col(s"__$p$i").cast("double"))
+      floor((dn / dd + (mn / md) / 60.0 + (sn / sd) / 3600.0)
+        * 1000000.0 + 0.5).cast(LongType)
+    }
+    def coordOk(p: String, posCol: Column): Column =
+      inBounds(posCol) &&
+        col(s"__${p}1") > 0 && col(s"__${p}3") > 0 && col(s"__${p}5") > 0
+    def signed(refCol: Column, neg: String, u: Column): Column =
+      when(refCol === neg, -u).otherwise(u)
+
+    val valid = exifValid(tiff, le, col("__ifd0"), col("__n0"))
+    val hasGps = valid && col("__ng").isNotNull && col("__ng") >= 1
+    val latRef = refChar(col("__latRefHex"))
+    val lonRef = refChar(col("__lonRefHex"))
+    s8.select(col("media_id"), valid.as("valid"),
+      coalesce(hasGps, lit(false)).as("has_gps"),
+      when(valid, col("__orient")).as("orientation"),
+      when(hasGps, latRef).as("lat_ref"),
+      when(hasGps, lonRef).as("lon_ref"),
+      when(hasGps && coordOk("la", col("__latPos")),
+        signed(latRef, "S", udeg("la"))).as("lat_udeg"),
+      when(hasGps && coordOk("lo", col("__lonPos")),
+        signed(lonRef, "W", udeg("lo"))).as("lon_udeg"))
+  }
+
+  /** The APP1 regex over the whole blob runs ONCE per row: it lands in
+    * its own projection and every downstream read references the
+    * attribute — inlining it would re-run the O(blob) scan inside each
+    * downstream expression (no CSE across projections' lambda bodies). */
+  private def exifTiff(df: DataFrame, binCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("media_id"),
       regexp_extract(upper(hex(col(binCol))),
         "^FFD8(?:..)*?FFE1....457869660000(.*)$", 1).as("__tiff"))
-    val tiff = col("__tiff")
-    val le = col("__le")
-    // endian-aware reads; `pos` is a 1-based HEX position Column.
-    // STAGED EVALUATION, deliberately: every intermediate (ifd0, n0,
-    // table0, subIfd, ...) lands as a NAMED COLUMN in its own projection
-    // before anything reads it — inlining them instead multiplies the
-    // whole lower subtree into every reader (each level duplicates 2-4x,
-    // six levels deep), and the resulting combinatorial expression tree
-    // cost ~30 s of analyzer/codegen time per query, independent of rows.
+
+  /** structural validity shared by the EXIF probes: right magic+order,
+    * sane in-bounds IFD0 entry count */
+  private def exifValid(tiff: Column, le: Column, ifd0: Column,
+      n0: Column): Column = {
+    val orderOk = (tiff.startsWith("49492A00") && le) ||
+      tiff.startsWith("4D4D002A")
+    coalesce(tiff =!= "" && orderOk && n0.isNotNull && n0.between(1, 64) &&
+      (ifd0 + 4 + n0 * 24 - 1) <= length(tiff), lit(false))
+  }
+
+  /** Endian-aware TIFF readers over the hex-encoded APP1 payload —
+    * shared by [[exifProbe]] and [[exifGps]]. `pos` is a 1-based HEX
+    * position Column. STAGED EVALUATION, deliberately: every
+    * intermediate (ifd0, n0, table0, subIfd, ...) lands as a NAMED
+    * COLUMN in its own projection (the `keep` helper) before anything
+    * reads it — inlining them instead multiplies the whole lower subtree
+    * into every reader (each level duplicates 2-4x, six levels deep),
+    * and the resulting combinatorial expression tree cost ~30 s of
+    * analyzer/codegen time per query, independent of rows (r17
+    * post-mortem, SCALE.md). */
+  private final class TiffWalk(val tiff: Column, val le: Column) {
     def rd(pos: Column, nPairs: Int): Column = {
       val pairs = (0 until nPairs).map(i => tiff.substr(pos + i * 2, lit(2)))
       val beHex = concat(pairs: _*)
@@ -307,39 +433,6 @@ object Multimodal {
           .cast("int"))
     def keep(df: DataFrame, cols: Column*): DataFrame =
       df.select(df.columns.map(col) ++ cols: _*)
-
-    val s1 = keep(withTiff.withColumn("__le", tiff.startsWith("4949")),
-      hexPos(u32(lit(9))).as("__ifd0")) // IFD0 offset u32 at TIFF byte 4
-    val s2 = keep(s1, u16(col("__ifd0")).as("__n0"))
-    val s3 = keep(s2, ifdTable(col("__ifd0"), col("__n0")).as("__table0"))
-    val s4 = keep(s3,
-      entryU16(col("__table0"), 0x0112).as("__orient"), // SHORT value field
-      hasTag(col("__table0"), 0x8825).as("__has_gps"),
-      hexPos(entryU32(col("__table0"), 0x8769)).as("__subifd"))
-    val s5 = keep(s4, u16(col("__subifd")).as("__n1"))
-    val s6 = keep(s5, ifdTable(col("__subifd"), col("__n1")).as("__table1"))
-    // ASCII(20) → the DateTimeOriginal value field is an OFFSET
-    val s7 = keep(s6,
-      hexPos(entryU32(col("__table1"), 0x9003)).as("__dtopos"))
-
-    val n0 = col("__n0")
-    val ifd0 = col("__ifd0")
-    val orderOk = (tiff.startsWith("49492A00") && le) ||
-      tiff.startsWith("4D4D002A")
-    // in-bounds, sane entry count: IFD0 table must fit inside the blob
-    val structOk = orderOk && n0.isNotNull && n0.between(1, 64) &&
-      (ifd0 + 4 + n0 * 24 - 1) <= length(tiff)
-    val dtoPos = col("__dtopos")
-    val dtoInBounds = dtoPos.isNotNull && (dtoPos + 37) <= length(tiff)
-    val dto = when(dtoInBounds,
-      decode(unhex(tiff.substr(dtoPos, lit(38))), "UTF-8"))
-
-    val valid = coalesce(tiff =!= "" && structOk, lit(false))
-    s7.select(col("media_id"), valid.as("valid"),
-      when(valid, when(le, "II").otherwise("MM")).as("byte_order"),
-      when(valid, col("__orient")).as("orientation"),
-      when(valid, dto).as("datetime_original"),
-      coalesce(valid && col("__has_gps"), lit(false)).as("has_gps"))
   }
 
   /** The mapPartitions decode loop a real codec would use (the Scala

@@ -16,17 +16,40 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Exact top-k neighbors per query by cosine. `queries` must be small
-    * enough to broadcast (driver-side collect of ids happens nowhere; the
-    * broadcast is plan-level). */
+  /** Broadcast cap for query-set join sides: 64k embedding rows (~32 MB
+    * at dim 64 doubles) stays inside any sane executor heap; a fatter
+    * query set DEMOTES to an unhinted join instead of hinting a broadcast
+    * that ERRORS (not spills) when the build outgrows a tight heap — the
+    * r17 memory-pressure receipt's one operational cliff, now decided
+    * per-run from the data ([[graft.pipeline.BatchStore.probeSide]]'s
+    * early-stopping count idiom applied to the ANN family). */
+  val QueryBroadcastCap: Long = 1L << 16
+
+  /** Hint `side` for broadcast only when `gate` — a CHEAP frame whose row
+    * count bounds side's rows within `factor` (side is usually a derived
+    * projection of gate whose recount would re-run real work) — is
+    * provably small. Above the cap the join shuffles/spills; semantics
+    * identical. */
+  private def broadcastIfSmall(side: DataFrame, gate: DataFrame,
+      factor: Long = 1L, cap: Long = QueryBroadcastCap): DataFrame =
+    if (BatchStore.fitsBroadcast(gate, math.max(1L, cap / math.max(1L, factor))))
+      broadcast(side)
+    else side
+
+  /** Exact top-k neighbors per query by cosine. The query side is
+    * broadcast-hinted only when provably small ([[QueryBroadcastCap]]);
+    * above the cap the cross join degrades to a spilling cartesian
+    * instead of a broadcast-build error. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
-      queryId: String = "q_id", queryVec: String = "q_vec"): DataFrame = {
+      queryId: String = "q_id", queryVec: String = "q_vec",
+      queryBroadcastCap: Long = QueryBroadcastCap): DataFrame = {
     // norms precomputed per side (r12): each pair pays ONE dot kernel,
     // bit-identical to the inlined Dedup.cosine it replaced
     val c = corpus.withColumn("__cn", Dedup.vecNorm(col(corpusVec)))
     val q = queries.withColumn("__qn", Dedup.vecNorm(col(queryVec)))
-    val joined = c.crossJoin(broadcast(q))
+    val joined = c.crossJoin(
+      broadcastIfSmall(q, queries, cap = queryBroadcastCap))
       .where(col(corpusId) =!= col(queryId))
       .withColumn("cos", Dedup.cosineFromNorms(col(corpusVec), col(queryVec),
         col("__cn"), col("__qn")))
@@ -102,7 +125,10 @@ object Similarity {
     val probes = queries.crossJoin(centRow)
       .withColumn("list", explode(nearestLists(col(queryVec), nProbe)))
       .drop("__cent_groups", "__cent_mat")
-    val candidates = invLists.join(broadcast(probes), Seq("list"))
+    // gate on the cheap base frame: probes = queries × nProbe by
+    // construction, and recounting probes would re-run the argmin
+    val candidates = invLists.join(
+      broadcastIfSmall(probes, queries, factor = nProbe), Seq("list"))
       .where(col(corpusId) =!= col(queryId))
       .withColumn("cos", Dedup.cosine(col(corpusVec), col(queryVec)))
     val w = Window.partitionBy(col(queryId))
@@ -320,7 +346,8 @@ object Similarity {
     val adist = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
       acc + element_at(element_at(col("__dt"), s + 1),
         element_at(col(codesCol), s + 1) + 1))
-    val candidates = codes.join(broadcast(withDt), col(codesId) =!= col(queryId))
+    val candidates = codes.join(
+      broadcastIfSmall(withDt, queries), col(codesId) =!= col(queryId))
       .withColumn("adist", round(adist, 6))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("adist").asc, col(codesId).asc)
@@ -356,8 +383,11 @@ object Similarity {
       col(corpusVec).cast("array<double>").as("__cv"))
     val qv = queries.select(col(queryId),
       col(queryVec).cast("array<double>").as("__qv"))
+    // the shortlist KEEPS its unconditional hint: its cardinality is
+    // bounded by queries × rerank by construction (never corpus-sized),
+    // and recounting it would re-run the whole ADC scan
     val exact = floats.join(broadcast(shortlist), "neighbor_id")
-      .join(broadcast(qv), queryId)
+      .join(broadcastIfSmall(qv, queries), queryId)
       .withColumn("dist2", round(dist2Col(col("__qv"), col("__cv")), 6))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("dist2").asc, col("neighbor_id").asc)

@@ -259,6 +259,48 @@ private[graft] trait DedupQueries extends RegistryBase {
   }
 
 
+  // The MOSS guarantee pinned as a row (d10's recall-bound companion —
+  // winnowing is DETERMINISTIC, so the guarantee is exactly oracled, not
+  // floor-bounded like d2e/d3c): any shared token run of length >=
+  // window + k - 1 (= 6 here) MUST share a selected fingerprint
+  // (Schleimer, Wilkerson & Aiken 2003, thm in §3). Doc-unique token
+  // prefixes make every non-planted gram globally unique (zero background
+  // pairs at any SF), while each planted twin copies its base's first 8
+  // tokens — an 8 >= 6 run, so the candidate join must surface EXACTLY
+  // the planted pairs. A selection/windowing regression that drops a
+  // guaranteed fingerprint loses a pair and fails the hash.
+  register(
+    "d10b_winnowing_guarantee",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split_regex(lower(text), '\s+'),
+      |        x -> x != '')) AS n
+      |  FROM documents)
+      |SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+      |FROM t WHERE doc_id % 37 = 0 AND n >= 8
+      |ORDER BY id_a""".stripMargin) { (s, dir) =>
+    val withN = t(s, dir, "documents").select(col("doc_id"),
+      size(TextAnalysis.tokens(lower(col("text")))).as("n"))
+    def uniqRun(prefix: String, count: Column): Column =
+      concat_ws(" ", transform(sequence(lit(1), count),
+        j => concat(lit(prefix), col("doc_id"), lit("w"), j)))
+    val baseDocs = withN.select(col("doc_id"),
+      uniqRun("d", greatest(col("n"), lit(1))).as("text"))
+    // two selects: with the id-shift aliased AS doc_id in the same
+    // projection, Spark 4's lateral column alias resolution would shadow
+    // the INPUT doc_id inside the text expression (planted tokens would
+    // not match their base's)
+    val plantedDocs = withN
+      .where(col("doc_id") % 37 === 0 && col("n") >= 8)
+      .select(col("doc_id"),
+        concat_ws(" ", uniqRun("d", lit(8)), uniqRun("p", lit(5))).as("text"))
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    Dedup.winnowingCandidates(baseDocs.unionByName(plantedDocs),
+        "text", "doc_id", k = 3, window = 4)
+      .orderBy("id_a", "id_b")
+  }
+
+
   // SimHash near-dup: 64-bit fingerprint, hamming <= 6, chunk-bucketed.
   registerNoOracle("d3_dedup_simhash") { (s, dir) =>
     Dedup.simhashNearDups(t(s, dir, "documents"), "text", "doc_id", maxDist = 6)

@@ -1468,6 +1468,116 @@ private[graft] trait PipelineQueries extends RegistryBase {
   }
 
 
+  // EXIF GPS decode (mm_exif's coordinate follow-through, r17 verdict ask
+  // #7): the same codec-free IFD walk follows pointer tag 0x8825 into the
+  // GPS IFD and decodes GPSLatitude/GPSLongitude RATIONAL(3) triples plus
+  // their N/S/E/W refs — planted LE and BE fixtures with doc_id-derived
+  // deg/min/centisec rationals, a no-GPS EXIF class, a zero-denominator
+  // class (has_gps stays true, coords null — presence is the PII signal),
+  // and garbage. Coordinates hash-compare as SIGNED micro-degree BIGINTs:
+  // both engines replay the identical fixed-shape IEEE expression
+  // (dn/dd + (mn/md)/60 + (sn/sd)/3600) * 1e6, floor-rounded, so the
+  // match is bit-exact, not approximate.
+  register(
+    "mm_exif_gps",
+    """WITH p AS (
+      |  SELECT doc_id, CAST(doc_id % 5 AS INT) AS m5,
+      |         1 + doc_id % 8 AS orient,
+      |         doc_id % 90 AS dla, doc_id % 60 AS mla, doc_id % 6000 AS sla,
+      |         doc_id % 180 AS dlo, doc_id % 59 AS mlo, doc_id % 5900 AS slo
+      |  FROM documents)
+      |SELECT doc_id AS media_id,
+      |  m5 <= 3 AS valid,
+      |  m5 IN (0, 1, 3) AS has_gps,
+      |  CASE WHEN m5 <= 3 THEN CAST(orient AS BIGINT) END AS orientation,
+      |  CASE WHEN m5 IN (0, 1, 3)
+      |       THEN CASE WHEN doc_id % 2 = 0 THEN 'N' ELSE 'S' END
+      |       END AS lat_ref,
+      |  CASE WHEN m5 IN (0, 1, 3)
+      |       THEN CASE WHEN doc_id % 3 = 0 THEN 'W' ELSE 'E' END
+      |       END AS lon_ref,
+      |  CASE WHEN m5 IN (0, 1) THEN
+      |    (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END) *
+      |    CAST(floor((CAST(dla AS DOUBLE) / 1.0 +
+      |      (CAST(mla AS DOUBLE) / 1.0) / 60.0 +
+      |      (CAST(sla AS DOUBLE) / 100.0) / 3600.0) * 1000000.0 + 0.5)
+      |      AS BIGINT) END AS lat_udeg,
+      |  CASE WHEN m5 IN (0, 1) THEN
+      |    (CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END) *
+      |    CAST(floor((CAST(dlo AS DOUBLE) / 1.0 +
+      |      (CAST(mlo AS DOUBLE) / 1.0) / 60.0 +
+      |      (CAST(slo AS DOUBLE) / 100.0) / 3600.0) * 1000000.0 + 0.5)
+      |      AS BIGINT) END AS lon_udeg
+      |FROM p ORDER BY media_id""".stripMargin) { (s, dir) =>
+    def be32(v: Column): Column = lpad(hex(v), 8, "0")
+    def le32h(v: Column): Column = {
+      val h = be32(v)
+      concat(substring(h, 7, 2), substring(h, 5, 2),
+        substring(h, 3, 2), substring(h, 1, 2))
+    }
+    def be16(v: Column): Column = lpad(hex(v), 4, "0")
+    def le16h(v: Column): Column = {
+      val h = be16(v)
+      concat(substring(h, 3, 2), substring(h, 1, 2))
+    }
+    val id = col("doc_id")
+    val orient = lit(1) + id % 8
+    val (dla, mla, sla) = (id % 90, id % 60, id % 6000)
+    val (dlo, mlo, slo) = (id % 180, id % 59, id % 5900)
+    val refLat = when(id % 2 === 0, lit("4E")).otherwise(lit("53")) // N/S
+    val refLon = when(id % 3 === 0, lit("57")).otherwise(lit("45")) // W/E
+    // RATIONAL(3) block: (deg, 1) (min, 1) (sec, secDen) as six u32s
+    def ratLE(d: Column, m: Column, sN: Column, sD: Column): Column =
+      concat(le32h(d), le32h(lit(1)), le32h(m), le32h(lit(1)),
+        le32h(sN), le32h(sD))
+    def ratBE(d: Column, m: Column, sN: Column, sD: Column): Column =
+      concat(be32(d), be32(lit(1)), be32(m), be32(lit(1)),
+        be32(sN), be32(sD))
+    // LE TIFF with GPS: IFD0 {orientation, GPS ptr -> 38}; GPS IFD at 38
+    // {latRef, lat -> 92, lonRef, lon -> 116}; rationals at 92 and 116
+    def tiffLE(secDen: Column): Column = concat(
+      lit("49492A00" + "08000000" + "0200"),
+      lit("120103000100" + "0000"), le16h(orient), lit("0000"),
+      lit("2588040001000000" + "26000000"),
+      lit("00000000"),
+      lit("0400"),
+      lit("0100" + "0200" + "02000000"), refLat, lit("000000"),
+      lit("0200" + "0500" + "03000000" + "5C000000"),
+      lit("0300" + "0200" + "02000000"), refLon, lit("000000"),
+      lit("0400" + "0500" + "03000000" + "74000000"),
+      lit("00000000"),
+      ratLE(dla, mla, sla, secDen), ratLE(dlo, mlo, slo, secDen))
+    val tiffBE = concat(
+      lit("4D4D002A" + "00000008" + "0002"),
+      lit("0112" + "0003" + "00000001"), be16(orient), lit("0000"),
+      lit("8825" + "0004" + "00000001" + "00000026"),
+      lit("00000000"),
+      lit("0004"),
+      lit("0001" + "0002" + "00000002"), refLat, lit("000000"),
+      lit("0002" + "0005" + "00000003" + "0000005C"),
+      lit("0003" + "0002" + "00000002"), refLon, lit("000000"),
+      lit("0004" + "0005" + "00000003" + "00000074"),
+      lit("00000000"),
+      ratBE(dla, mla, sla, lit(100)), ratBE(dlo, mlo, slo, lit(100)))
+    // EXIF with orientation but NO GPS pointer (has_gps must be false)
+    val tiffNoGps = concat(
+      lit("49492A00" + "08000000" + "0100"),
+      lit("120103000100" + "0000"), le16h(orient), lit("0000"),
+      lit("00000000"))
+    val app0 = "FFE000124A46494600" + "0FFE100204578696600000" // w/ decoy
+    def jpeg(app1Len: String, tiff: Column): Column =
+      concat(lit("FFD8" + app0 + "FFE1" + app1Len + "457869660000"), tiff)
+    val m5 = id % 5
+    val blobs = t(s, dir, "documents").select(id,
+      when(m5 === 0, unhex(jpeg("0094", tiffLE(lit(100)))))
+        .when(m5 === 1, unhex(jpeg("0094", tiffBE)))
+        .when(m5 === 2, unhex(jpeg("0022", tiffNoGps)))
+        .when(m5 === 3, unhex(jpeg("0094", tiffLE(lit(0))))) // 0-denominator
+        .otherwise(col("text").cast("binary")).as("blob"))
+    Multimodal.exifGps(blobs, "blob", "doc_id").orderBy("media_id")
+  }
+
+
   // The INGEST-TRIAGE composite — the fetch-to-frontier program in front
   // of p12's content pipeline, chaining this round's surface: response
   // head (t105) -> status/content-type gates -> charset sniff over body

@@ -83,6 +83,35 @@ class AdaptivePartsSpec extends AnyFunSuite {
     assert(sized.collect().toSet == plain.collect().toSet)
   }
 
+  test("ANN query-set broadcast demotes above the cap (spill, not error)") {
+    import graft.pipeline.Similarity
+    val corpus = (0L until 50L).map(i =>
+      (i, Array(i.toDouble, (i % 7).toDouble))).toDF("vec_id", "embedding")
+    val queries = (100L until 103L).map(i =>
+      (i, Array(i.toDouble, 1.0))).toDF("q_id", "q_vec")
+    // isolate the HINT: with auto-broadcast off, a BroadcastExchange can
+    // only come from broadcastIfSmall's hint
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      def planOf(cap: Long): (String, Set[(Long, Long)]) = {
+        val df = Similarity.bruteForceTopK(corpus, queries, k = 2,
+          queryBroadcastCap = cap)
+        df.count()
+        (df.queryExecution.executedPlan.toString,
+          df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      }
+      val (hinted, rHinted) = planOf(Similarity.QueryBroadcastCap)
+      assert(hinted.contains("Broadcast"),
+        "a provably-small query set must keep the broadcast hint")
+      val (demoted, rDemoted) = planOf(1L) // 3 queries > cap 1 → demote
+      assert(!demoted.contains("Broadcast"),
+        s"above the cap the hint must demote to a shuffling join:\n$demoted")
+      assert(rHinted == rDemoted, "demotion must never change results")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("similarityJoinPlan sizes the prefix join from the token histogram") {
     val docs = (0 until 40).map(i =>
       (i.toLong, s"alpha beta gamma delta epsilon zeta${i % 4} eta${i % 7}"))
