@@ -17,16 +17,15 @@ object Bench {
       // events.parquet carries TIMESTAMP(NANOS); read as epoch-nanos long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      // AQE sizes every reduce stage from the MAP side's actual output
-      // bytes, but can only COALESCE below this initial width — give it
-      // headroom above the cpu-count floor so a 100x corpus's post-join
-      // exchanges (where the map output really is pair-volume-sized) keep
-      // enough partitions; parallelismFirst coalescing returns small
-      // exchanges to ~cpu-count tasks, so sf0.1 plans stay effectively
-      // unchanged (candidate-join INPUT exchanges, which AQE cannot price,
-      // are sized explicitly — see graft.pipeline.AdaptiveParts)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        math.max(64, cpus.toInt * 8).toString)
+      // NO initialPartitionNum headroom: measured (r18), raising it to
+      // 8x/4x cpus taxes every exchange's map side (256 shuffle buckets
+      // per task beats the bypass-merge threshold; parallelismFirst
+      // coalescing then splinters small stages into 1 MB tasks) for
+      // +~12% total at sf0.1, while the scale wins it bought are owned
+      // by the operator-level estimates (graft.pipeline.AdaptiveParts
+      // sizes candidate-join exchanges from the bucket histogram, which
+      // AQE cannot price before the join runs). A real cluster sets its
+      // own parallelism; the operators carry their sizing with them.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up codegen/JIT/file-index so the first timed query isn't charged

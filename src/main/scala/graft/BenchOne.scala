@@ -16,9 +16,15 @@ object BenchOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      // AQE coalescing headroom — same shape as Bench (see note there)
+      // SPARK_GRAFT_AQE_* expose AQE coalescing knobs for headroom-cost
+      // experiments (defaults match Bench: Spark's own — the measured
+      // receipts on why NO initialPartitionNum headroom are in Bench)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        math.max(64, cpus.toInt * 8).toString)
+        sys.env.getOrElse("SPARK_GRAFT_AQE_INIT", cpus))
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PFIRST", "true"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "64m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // first run per query is reported as COLD (JIT/codegen/file-index —

@@ -37,9 +37,6 @@ object SpillProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      // AQE coalescing headroom — same shape as Bench (see note there)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        math.max(64, parts.toInt * 8).toString)
     sys.env.get("SPARK_GRAFT_MEM_FRACTION")
       .foreach(f => builder.config("spark.memory.fraction", f))
     // broadcast builds ERROR (not spill) when the build side outgrows the

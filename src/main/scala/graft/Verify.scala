@@ -20,9 +20,6 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); read as epoch-nanos long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // AQE coalescing headroom — same shape as Bench (see note there)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        math.max(64, cpus.toInt * 8).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -18,9 +18,6 @@ object VerifyOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // AQE coalescing headroom — same shape as Bench (see note there)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        math.max(64, cpus.toInt * 8).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -28,10 +28,13 @@ import org.apache.spark.sql.functions._
 object AdaptiveParts {
 
   /** Target candidate-pair rows per partition of a pair-producing join.
-    * A (long, long) pair row is ~16 bytes on the wire + sort/dedup
-    * working state: 4M rows ≈ 64 MB shuffle + ~128 MB peak per task —
-    * the AQE advisory size with headroom for the dedup hash table. */
-  val RowsPerPartition: Long = 4L * 1000 * 1000
+    * A candidate-pair row costs far more than its 16 wire bytes: the
+    * pre-dedup exchange rows carry join-side payloads and the dedup/sort
+    * working state amplifies ~4x. Empirically (d14 @100x matrix,
+    * SCALE.md): 256 partitions over ~9.6 GB of candidate shuffle
+    * (~1.2M pair rows per task) beat both 32 and 75 partitions at every
+    * heap size — so the target is ~1.2M pair rows per partition. */
+  val RowsPerPartition: Long = 1200L * 1000
 
   /** Upper clamp — far above any local[32] shape, low enough that a
     * wild overestimate cannot drown the scheduler in empty tasks. */

@@ -659,9 +659,17 @@ object Dedup {
       cap: Int,
       rowsPerPartition: Long = AdaptiveParts.RowsPerPartition): DataFrame = {
     val floor = AdaptiveParts.sessionFloor(ranked.sparkSession)
-    val parts = AdaptiveParts.partsFor(
-      AdaptiveParts.cappedPairEstimate(ranked, keyCols, cap), floor,
-      rowsPerPartition)
+    // two-tier estimate: the capped-star rule bounds output pairs by
+    // rows·cap, so a plain count (ONE cache-backed stage on the ranked
+    // frame the caller persists — work the join materializes anyway)
+    // proves most inputs can't exceed the floor and skips the histogram
+    // job entirely; only genuinely large inputs pay the exact pricing
+    val rows = ranked.count()
+    val parts =
+      if (rows <= floor.toLong * rowsPerPartition / math.max(1, cap)) floor
+      else AdaptiveParts.partsFor(
+        AdaptiveParts.cappedPairEstimate(ranked, keyCols, cap), floor,
+        rowsPerPartition)
     val side = AdaptiveParts.bySize(ranked, parts, floor, keyCols.map(col): _*)
     val joinCond = keyCols.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
       col("x.id") < col("y.id") &&
@@ -1134,7 +1142,7 @@ object Dedup {
     // rows; 256 parts beat 4x the heap). The histogram aggregate reads
     // the already-persisted `sorted` stage; length/positional filters
     // only shrink the true volume, so the estimate is a safe upper
-    // bound. Below the session floor all three bySize calls are
+    // bound. Below the session floor every bySize call is
     // identity and the r17 plan is unchanged.
     val prefix0 = ppjoinPrefix(sorted, threshold)
     val floor = AdaptiveParts.sessionFloor(df.sparkSession)
@@ -1156,10 +1164,16 @@ object Dedup {
     // verify computes ONLY the intersection: |union| = n_a + n_b − |∩|
     // (sets are distinct), so the second per-pair hash-set build that
     // array_union would do is replaced by two already-carried lengths —
-    // the verify stage is the candidate-count-bound cost at scale
-    val verified = AdaptiveParts.bySize(cand, parts, floor, col("id_a"))
-      .join(sorted.select(col("id").as("id_a"), col("toks").as("__ta"),
-        col("n").as("__na")), "id_a")
+    // the verify stage is the candidate-count-bound cost at scale. BOTH
+    // verify exchanges are pair-volume-sized: the second join's input
+    // additionally carries the id_a-side token arrays, so leaving it at
+    // the session floor is the d14@100x bottleneck once the candidate
+    // join itself is sized (measured r18: 270 s at floor vs 149 s sized)
+    val verified = AdaptiveParts.bySize(
+      AdaptiveParts.bySize(cand, parts, floor, col("id_a"))
+        .join(sorted.select(col("id").as("id_a"), col("toks").as("__ta"),
+          col("n").as("__na")), "id_a"),
+      parts, floor, col("id_b"))
       .join(sorted.select(col("id").as("id_b"), col("toks").as("__tb"),
         col("n").as("__nb")), "id_b")
       .withColumn("__i", graft.functions.VectorOps

@@ -28,13 +28,19 @@ object Similarity {
   /** Hint `side` for broadcast only when `gate` — a CHEAP frame whose row
     * count bounds side's rows within `factor` (side is usually a derived
     * projection of gate whose recount would re-run real work) — is
-    * provably small. Above the cap the join shuffles/spills; semantics
-    * identical. */
+    * provably small. Two tiers: the gate's logical-plan byte statistics
+    * (FREE — no job; parquet scans report real sizes) prove the common
+    * small case at ~512 bytes/row pessimism, and only a stats-ambiguous
+    * gate pays the early-stopping count. Above the cap the join
+    * shuffles/spills; semantics identical. */
   private def broadcastIfSmall(side: DataFrame, gate: DataFrame,
-      factor: Long = 1L, cap: Long = QueryBroadcastCap): DataFrame =
-    if (BatchStore.fitsBroadcast(gate, math.max(1L, cap / math.max(1L, factor))))
-      broadcast(side)
+      factor: Long = 1L, cap: Long = QueryBroadcastCap): DataFrame = {
+    val rowCap = math.max(1L, cap / math.max(1L, factor))
+    val statsBytes = gate.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (statsBytes <= BigInt(rowCap) * 512) broadcast(side)
+    else if (BatchStore.fitsBroadcast(gate, rowCap)) broadcast(side)
     else side
+  }
 
   /** Exact top-k neighbors per query by cosine. The query side is
     * broadcast-hinted only when provably small ([[QueryBroadcastCap]]);

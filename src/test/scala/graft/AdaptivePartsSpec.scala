@@ -87,7 +87,9 @@ class AdaptivePartsSpec extends AnyFunSuite {
     import graft.pipeline.Similarity
     val corpus = (0L until 50L).map(i =>
       (i, Array(i.toDouble, (i % 7).toDouble))).toDF("vec_id", "embedding")
-    val queries = (100L until 103L).map(i =>
+    // 30 rows: above the 512-byte stats tier for cap=1 (so demotion has
+    // to consult the count), still trivially small for the default cap
+    val queries = (100L until 130L).map(i =>
       (i, Array(i.toDouble, 1.0))).toDF("q_id", "q_vec")
     // isolate the HINT: with auto-broadcast off, a BroadcastExchange can
     // only come from broadcastIfSmall's hint
