@@ -84,12 +84,25 @@ object ScheduledQueries {
     val key = "spark.sql.ansi.doubleQuotedIdentifiers"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
-    try run(spark, rewriteUnnest(sql), now, extra)
+    try run(spark, rewritePrestoUnits(rewriteUnnest(sql)), now, extra)
     finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
     }
   }
+
+  /** Presto spells datetime units as STRING LITERALS
+    * (`date_diff('hour', a, b)`); Spark's parser special-cases the same
+    * function names with BARE unit keywords (`date_diff(hour, a, b)`) and
+    * intercepts them before the function registry, with the same argument
+    * order and semantics (ts2 − ts1 in units). Unquote the unit at parse
+    * time. Token-aware: the quoted unit must sit immediately after the
+    * function's open paren, so a string literal elsewhere can never
+    * match; units are validated against Spark's own list by its parser
+    * afterwards (an unsupported unit still fails loudly). */
+  private[graft] def rewritePrestoUnits(sql: String): String =
+    raw"(?i)\b(date_diff|date_add|dateadd|timestampdiff|timestampadd)\(\s*'(\w+)'\s*,".r
+      .replaceAllIn(sql, m => s"${m.group(1)}(${m.group(2)},")
 
   /** Rewrite Presto's `CROSS JOIN UNNEST(expr) AS t (c[, c2])` — the
     * single most common Athena FROM-clause idiom Spark's parser rejects

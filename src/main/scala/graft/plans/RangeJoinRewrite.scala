@@ -270,7 +270,108 @@ object GraftExtensions {
           "url_extract_parameter(url, name) takes two arguments")
         ParseUrl(Seq(args.head, Literal.create("QUERY",
           org.apache.spark.sql.types.StringType), args(1)), failOnError = false)
+      })) ++ prestoAliases2
+
+  /** r18 batch — the rest of the high-frequency Athena/Presto function
+    * surface (CloudTrail/ALB/VPC-flow pack idioms), still parse-time
+    * aliases over native Catalyst expressions (zero runtime cost):
+    *
+    *  - `date_parse(s, '%Y-%m-%d...')` — MySQL format converted to a JDK
+    *    pattern ([[PrestoDateFormat.mysqlToJdk]]; unknown `%x` throws,
+    *    never silently misparses).
+    *  - `format_datetime` / `parse_datetime` (Joda patterns; the common
+    *    tokens — yyyy MM dd HH mm ss — are JDK-identical, exotic Joda
+    *    tokens may diverge and are documented as such).
+    *  - `date_diff('unit', a, b)` / `date_add('unit', n, ts)` — the
+    *    3-arg unit-literal Presto forms map to TimestampDiff/TimestampAdd;
+    *    the 2-arg forms FALL THROUGH to Spark's own date_diff/date_add
+    *    semantics so the builtins are not shadowed.
+    *  - `map_agg(k, v)` → map_from_entries(collect_list(struct(k, v)))
+    *    (duplicate keys error under Spark's default dedup policy, as
+    *    Presto's map_agg does).
+    *  - `to_hex`/`from_hex`/`to_base64`/`from_base64` → Hex/Unhex/
+    *    Base64/UnBase64; `sha256(x)` → unhex(sha2(x, 256)) (varbinary
+    *    return, as Presto's).
+    *  - `try(e)` → TryEval (NULL on runtime error);
+    *    `is_nan`/`infinity`/`nan`; `bitwise_and/or/xor/not`;
+    *    `codepoint` (first char's code point); `levenshtein_distance`;
+    *    `normalize(s)` → NFC via the native [[graft.functions.NfcNormalize]]
+    *    (only the NFC form is supported; other forms throw). */
+  private def prestoAliases2: Seq[FnEntry] = Seq(
+    binaryFn("date_parse", classOf[ParseToTimestamp].getName, (s, f) => {
+      val fmt = f match {
+        case Literal(v, _) if v != null =>
+          PrestoDateFormat.mysqlToJdk(v.toString)
+        case other => throw new IllegalArgumentException(
+          s"date_parse format must be a string literal, got $other")
+      }
+      new ParseToTimestamp(s, Literal.create(fmt,
+        org.apache.spark.sql.types.StringType))
+    }),
+    binaryFn("format_datetime", classOf[DateFormatClass].getName,
+      (ts, f) => DateFormatClass(Cast(ts, TimestampType), f)),
+    binaryFn("parse_datetime", classOf[ParseToTimestamp].getName,
+      (s, f) => new ParseToTimestamp(s, f)),
+    // NOTE: Presto's date_diff('unit', a, b) / date_add('unit', n, ts)
+    // are NOT aliased here — Spark's PARSER intercepts those names with
+    // its own unit-keyword special form before the registry is consulted
+    // (same argument order and semantics as Presto's); only the QUOTED
+    // unit differs, which ScheduledQueries.rewritePrestoUnits unquotes
+    // at parse time.
+    binaryFn("map_agg", classOf[MapFromEntries].getName, (k, v) =>
+      MapFromEntries(aggregate.CollectList(CreateStruct(Seq(k, v)))
+        .toAggregateExpression())),
+    unaryFn("to_hex", classOf[Hex].getName, Hex(_)),
+    unaryFn("from_hex", classOf[Unhex].getName, Unhex(_)),
+    unaryFn("to_base64", classOf[Base64].getName, Base64(_)),
+    unaryFn("from_base64", classOf[UnBase64].getName, UnBase64(_)),
+    unaryFn("sha256", classOf[Sha2].getName,
+      e => Unhex(Sha2(e, Literal(256)))),
+    unaryFn("try", classOf[TryEval].getName, new TryEval(_)),
+    unaryFn("is_nan", classOf[IsNaN].getName, IsNaN(_)),
+    (new org.apache.spark.sql.catalyst.FunctionIdentifier("infinity"),
+      new ExpressionInfo(classOf[Literal].getName, "infinity"),
+      (args: Seq[Expression]) => {
+        require(args.isEmpty, "infinity() takes no arguments")
+        Literal(Double.PositiveInfinity)
+      }),
+    (new org.apache.spark.sql.catalyst.FunctionIdentifier("nan"),
+      new ExpressionInfo(classOf[Literal].getName, "nan"),
+      (args: Seq[Expression]) => {
+        require(args.isEmpty, "nan() takes no arguments")
+        Literal(Double.NaN)
+      }),
+    binaryFn("bitwise_and", classOf[BitwiseAnd].getName, BitwiseAnd(_, _)),
+    binaryFn("bitwise_or", classOf[BitwiseOr].getName, BitwiseOr(_, _)),
+    binaryFn("bitwise_xor", classOf[BitwiseXor].getName, BitwiseXor(_, _)),
+    unaryFn("bitwise_not", classOf[BitwiseNot].getName, BitwiseNot(_)),
+    unaryFn("codepoint", classOf[Ascii].getName, Ascii(_)),
+    binaryFn("levenshtein_distance", classOf[Levenshtein].getName,
+      new Levenshtein(_, _)),
+    (new org.apache.spark.sql.catalyst.FunctionIdentifier("normalize"),
+      new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName,
+        "normalize"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => graft.functions.NfcNormalize(s)
+        case Seq(s, Literal(form, _)) if form != null &&
+            form.toString.equalsIgnoreCase("NFC") =>
+          graft.functions.NfcNormalize(s)
+        // Presto's bare-keyword form normalize(s, NFC) is NOT reachable
+        // here: the analyzer resolves the bare identifier as a column
+        // (and fails) before this builder runs. The 1-arg form IS
+        // Presto's NFC default; other forms need the quoted spelling.
+        case other => throw new IllegalArgumentException(
+          "normalize supports normalize(s) and normalize(s, 'NFC'); got " + other)
       }))
+
+  private def unaryFn(name: String, className: String,
+      mk: Expression => Expression): FnEntry =
+    (new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+      new ExpressionInfo(className, name),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"$name takes one argument")
+        mk(args.head)
+      })
 
   private def urlFn(name: String, part: String): FnEntry =
     (new org.apache.spark.sql.catalyst.FunctionIdentifier(name),

@@ -1201,6 +1201,50 @@ private[graft] trait SqlQueries extends RegistryBase {
   }
 
 
+  // §3.2 dialect compatibility, r18 function batch: the high-frequency
+  // Athena pack functions beyond sq_presto_functions — quoted-unit
+  // date_diff/date_add (parse-rewritten to Spark's bare-keyword special
+  // form, same ts2−ts1 semantics), MySQL-format date_parse (token
+  // conversion, strict), format_datetime, sha256 (varbinary, hex'd for
+  // display), bitwise ops, levenshtein_distance, codepoint, TRY. The
+  // time-unit oracle avoids DuckDB's boundary-crossing date_diff (Presto
+  // and Spark truncate COMPLETE units) by integer epoch arithmetic.
+  register(
+    "sq_presto_functions2",
+    """SELECT event_type,
+      |  CAST((CAST(epoch(max(ts)) AS BIGINT) - CAST(epoch(min(ts)) AS BIGINT)) // 60
+      |       AS BIGINT) AS span_min,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+      |  CAST(epoch(strptime(strftime(min(ts), '%Y-%m-%d %H:%M:%S'),
+      |       '%Y-%m-%d %H:%M:%S')) AS BIGINT) AS roundtrip,
+      |  strftime(min(ts) + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S') AS plus2h,
+      |  sha256(event_type) AS type_sha,
+      |  CAST(min(event_id) & 255 AS BIGINT) AS ba,
+      |  CAST(levenshtein(event_type, 'purchase') AS BIGINT) AS lev,
+      |  CAST(ord(substr(event_type, 1, 1)) AS BIGINT) AS cp,
+      |  CAST(TRY_CAST(substr(event_type, 1, 1) AS INTEGER) AS BIGINT) AS tri
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (s, dir) =>
+    Tables.registerAll(s, dir)
+    ScheduledQueries.runPresto(s,
+      """SELECT event_type,
+        |  date_diff('minute', min(ts), max(ts)) AS span_min,
+        |  format_datetime(min(ts), 'yyyy-MM-dd HH:mm:ss') AS first_ts,
+        |  CAST(to_unixtime(date_parse(
+        |    format_datetime(min(ts), 'yyyy-MM-dd HH:mm:ss'),
+        |    '%Y-%m-%d %H:%i:%s')) AS BIGINT) AS roundtrip,
+        |  format_datetime(date_add('hour', 2, min(ts)),
+        |    'yyyy-MM-dd HH:mm:ss') AS plus2h,
+        |  lower(to_hex(sha256(event_type))) AS type_sha,
+        |  bitwise_and(min(event_id), 255) AS ba,
+        |  CAST(levenshtein_distance(event_type, 'purchase') AS BIGINT) AS lev,
+        |  CAST(codepoint(substr(event_type, 1, 1)) AS BIGINT) AS cp,
+        |  CAST(try(CAST(substr(event_type, 1, 1) AS INTEGER)) AS BIGINT) AS tri
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      java.time.Instant.parse("1995-06-18T12:00:00Z"))
+  }
+
+
   // §3.2 dialect compatibility, UNNEST leg (r17 verdict ask #5): the
   // single most common Athena FROM-clause idiom Spark's parser rejects —
   // `CROSS JOIN UNNEST(col) AS t (x)` over an array and a map — runs

@@ -105,6 +105,69 @@ class PrestoAliasSpec extends AnyFunSuite {
     assert(r.isNullAt(5))
   }
 
+  test("date_parse converts MySQL tokens; literals quoted; unknown %x throws") {
+    import graft.plans.PrestoDateFormat.mysqlToJdk
+    assert(mysqlToJdk("%Y-%m-%d %H:%i:%s") === "yyyy-MM-dd HH:mm:ss")
+    assert(mysqlToJdk("%d/%m/%YT%H") === "dd/MM/yyyy'T'HH")
+    assert(mysqlToJdk("%Y-%m-%dT%T") === "yyyy-MM-dd'T'HH:mm:ss")
+    assert(mysqlToJdk("%H%%") === "HH%") // bare % is a legal JDK literal
+    intercept[IllegalArgumentException] { mysqlToJdk("%Q") }
+    val r = spark.sql(
+      """SELECT to_unixtime(date_parse('1995-06-18 12:00:00',
+        |         '%Y-%m-%d %H:%i:%s')) AS a,
+        |       to_unixtime(date_parse('1995-06-18T12:00:00',
+        |         '%Y-%m-%dT%T')) AS b""".stripMargin).head
+    assert(r.getDouble(0) === 803476800.0 && r.getDouble(1) === 803476800.0)
+  }
+
+  test("r18 alias batch: date math, hex/base64/sha256, try, bitwise, misc") {
+    // quoted Presto units go through runPresto's rewritePrestoUnits — the
+    // plain spark.sql path here uses Spark's own bare-keyword form, which
+    // the rewrite targets (same argument order/semantics)
+    val r = ScheduledQueries.runPresto(spark,
+      """SELECT
+        |  date_diff('hour', timestamp'1995-06-18 00:00:00',
+        |            timestamp'1995-06-19 06:00:00') AS dd3,
+        |  date_diff(date'1995-06-19', date'1995-06-18') AS dd2,
+        |  format_datetime(date_add('day', 2, timestamp'1995-06-18 01:02:03'),
+        |                  'yyyy-MM-dd HH:mm:ss') AS da3,
+        |  date_add(date'1995-06-18', 2) AS da2,
+        |  to_hex(from_hex('0a1b')) AS hx,
+        |  to_base64(CAST('hi' AS BINARY)) AS b64,
+        |  CAST(from_base64('aGk=') AS STRING) AS b64d,
+        |  lower(to_hex(sha256(''))) AS sh,
+        |  try(CAST('x' AS INT)) AS tr,
+        |  is_nan(nan()) AS nn,
+        |  infinity() > 1e308 AS inf,
+        |  bitwise_and(12, 10) AS ba, bitwise_xor(12, 10) AS bx,
+        |  bitwise_not(0) AS bn,
+        |  codepoint('A') AS cp,
+        |  levenshtein_distance('kitten', 'sitting') AS lev,
+        |  normalize('abc') AS nrm""".stripMargin,
+      java.time.Instant.ofEpochSecond(0)).head
+    assert(r.getLong(0) === 30L) // ts2 - ts1 in hours (Presto order)
+    assert(r.getInt(1) === 1) // Spark's own 2-arg datediff is NOT shadowed
+    assert(r.getString(2) === "1995-06-20 01:02:03")
+    assert(r.getDate(3).toString === "1995-06-20")
+    assert(r.getString(4) === "0A1B")
+    assert(r.getString(5) === "aGk=" && r.getString(6) === "hi")
+    assert(r.getString(7) ===
+      "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855")
+    assert(r.isNullAt(8)) // ANSI cast error -> TRY -> NULL
+    assert(r.getBoolean(9) && r.getBoolean(10))
+    assert(r.getInt(11) === 8 && r.getInt(12) === 6 && r.getInt(13) === -1)
+    assert(r.getInt(14) === 65)
+    assert(r.getInt(15) === 3)
+    assert(r.getString(16) === "abc")
+  }
+
+  test("map_agg aggregates to a map (distinct keys)") {
+    val r = spark.sql(
+      """SELECT map_agg(k, v)[2] AS at2, cardinality(map_agg(k, v)) AS n
+        |FROM VALUES (1, 'a'), (2, 'b'), (3, 'c') AS t(k, v)""".stripMargin).head
+    assert(r.getString(0) === "b" && r.getInt(1) === 3)
+  }
+
   test("CROSS JOIN UNNEST rewrites to LATERAL VIEW explode (array + map)") {
     val rows = ScheduledQueries.runPresto(spark,
       """SELECT id, x, k, v
