@@ -107,15 +107,21 @@ object ScheduledQueries {
   /** Rewrite Presto's `CROSS JOIN UNNEST(expr) AS t (c[, c2])` — the
     * single most common Athena FROM-clause idiom Spark's parser rejects
     * (the reference promises users arbitrary Athena SQL,
-    * scheduled_queries/query_packs/configuration.py:20-56) — into Spark's
-    * positionally identical `LATERAL VIEW explode(expr) t AS c[, c2]`.
-    * One alias = array element; two aliases = map key/value (`explode`
-    * covers both). Textual but token-aware: single-quoted strings and
-    * `--` comments are copied opaquely, the UNNEST argument is captured
-    * with balanced-paren (and quote) scanning, and the keyword match is
-    * word-bounded — `a.crossjoin_unnest` or 'CROSS JOIN UNNEST' inside a
-    * string literal never rewrites. Parallel-array UNNEST(a, b) and WITH
-    * ORDINALITY throw loudly (unsupported, NOT silently mis-run). */
+    * scheduled_queries/query_packs/configuration.py:20-56) — into the
+    * positionally identical
+    * `CROSS JOIN LATERAL (SELECT explode(expr)) t (c[, c2])`.
+    * A LATERAL subquery (not `LATERAL VIEW`, which Spark's grammar only
+    * accepts AFTER every join in a FROM clause) keeps the rewrite valid
+    * mid-join-chain — `... CROSS JOIN UNNEST(tags) AS t (tag) JOIN users
+    * ON ...` stays parseable — and the table-alias column list renames
+    * the generator's output positionally (array → one column, map →
+    * key/value; an alias-count mismatch fails analysis loudly). Textual
+    * but token-aware: single-quoted strings and `--` comments are copied
+    * opaquely, the UNNEST argument is captured with balanced-paren (and
+    * quote) scanning, and the keyword match is word-bounded —
+    * `a.crossjoin_unnest` or 'CROSS JOIN UNNEST' inside a string literal
+    * never rewrites. Parallel-array UNNEST(a, b) and WITH ORDINALITY
+    * throw loudly (unsupported, NOT silently mis-run). */
   private[graft] def rewriteUnnest(sql: String): String = {
     val out = new StringBuilder
     val n = sql.length
@@ -213,7 +219,8 @@ object ScheduledQueries {
       } else if ((c == 'c' || c == 'C') && word(i, "CROSS") >= 0) {
         parseUnnest(i) match {
           case Some((expr, alias, cols, end)) =>
-            out.append(s"LATERAL VIEW explode($expr) $alias AS ${cols.mkString(", ")}")
+            out.append(s"CROSS JOIN LATERAL (SELECT explode($expr)) " +
+              s"$alias (${cols.mkString(", ")})")
             i = end
           case None => out.append(c); i += 1
         }

@@ -250,16 +250,10 @@ object Multimodal {
     * Returns (media_id, valid, byte_order, orientation,
     * datetime_original, has_gps). */
   def exifProbe(df: DataFrame, binCol: String, idCol: String): DataFrame = {
-    val withTiff = exifTiff(df, binCol, idCol)
     val w = new TiffWalk(col("__tiff"), col("__le"))
     import w._
 
-    val s1 = keep(withTiff.withColumn("__le", tiff.startsWith("4949")),
-      hexPos(u32(lit(9))).as("__ifd0")) // IFD0 offset u32 at TIFF byte 4
-    val s2 = keep(s1, u16(col("__ifd0")).as("__n0"))
-    val s3 = keep(s2, ifdTable(col("__ifd0"), col("__n0")).as("__table0"))
-    val s4 = keep(s3,
-      entryU16(col("__table0"), 0x0112).as("__orient"), // SHORT value field
+    val s4 = keep(ifd0Stage(df, binCol, idCol, w),
       hasTag(col("__table0"), 0x8825).as("__has_gps"),
       hexPos(entryU32(col("__table0"), 0x8769)).as("__subifd"))
     val s5 = keep(s4, u16(col("__subifd")).as("__n1"))
@@ -299,16 +293,10 @@ object Multimodal {
     * Scan-side, zero shuffle, staged projections (the exifProbe
     * codegen-tree rule). */
   def exifGps(df: DataFrame, binCol: String, idCol: String): DataFrame = {
-    val withTiff = exifTiff(df, binCol, idCol)
     val w = new TiffWalk(col("__tiff"), col("__le"))
     import w._
 
-    val s1 = keep(withTiff.withColumn("__le", tiff.startsWith("4949")),
-      hexPos(u32(lit(9))).as("__ifd0"))
-    val s2 = keep(s1, u16(col("__ifd0")).as("__n0"))
-    val s3 = keep(s2, ifdTable(col("__ifd0"), col("__n0")).as("__table0"))
-    val s4 = keep(s3,
-      entryU16(col("__table0"), 0x0112).as("__orient"),
+    val s4 = keep(ifd0Stage(df, binCol, idCol, w),
       hexPos(entryU32(col("__table0"), 0x8825)).as("__gps"))
     val s5 = keep(s4, u16(col("__gps")).as("__ng"))
     val s6 = keep(s5, ifdTable(col("__gps"), col("__ng")).as("__tg"))
@@ -370,6 +358,22 @@ object Multimodal {
     df.select(col(idCol).as("media_id"),
       regexp_extract(upper(hex(col(binCol))),
         "^FFD8(?:..)*?FFE1....457869660000(.*)$", 1).as("__tiff"))
+
+  /** The staged IFD0 walk shared by [[exifProbe]] and [[exifGps]] —
+    * APP1 extraction, endianness, IFD0 offset/entry-count/table slice,
+    * and the orientation read, each landing as a NAMED column in its own
+    * projection (the staging rule both probes depend on). Output columns:
+    * media_id, __tiff, __le, __ifd0, __n0, __table0, __orient. */
+  private def ifd0Stage(df: DataFrame, binCol: String, idCol: String,
+      w: TiffWalk): DataFrame = {
+    import w._
+    val s1 = keep(
+      exifTiff(df, binCol, idCol).withColumn("__le", tiff.startsWith("4949")),
+      hexPos(u32(lit(9))).as("__ifd0")) // IFD0 offset u32 at TIFF byte 4
+    val s2 = keep(s1, u16(col("__ifd0")).as("__n0"))
+    val s3 = keep(s2, ifdTable(col("__ifd0"), col("__n0")).as("__table0"))
+    keep(s3, entryU16(col("__table0"), 0x0112).as("__orient")) // SHORT inline
+  }
 
   /** structural validity shared by the EXIF probes: right magic+order,
     * sane in-bounds IFD0 entry count */

@@ -352,8 +352,15 @@ object Similarity {
     val adist = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
       acc + element_at(element_at(col("__dt"), s + 1),
         element_at(col(codesCol), s + 1) + 1))
+    // withDt rows are FAT — each carries an m×K double distance table
+    // (~m·K·8 bytes/row, e.g. 32 KB at m=16, K=256), so the broadcast
+    // cap must be row-size-aware: the default 64k-row cap would admit a
+    // ~2 GB build (the r17 error-not-spill cliff). m and K are known
+    // here, so derive the cap from a 32 MB build budget.
+    val dtCap = math.max(1L, (32L << 20) / (m.toLong * nCodes * 8 + 64))
     val candidates = codes.join(
-      broadcastIfSmall(withDt, queries), col(codesId) =!= col(queryId))
+      broadcastIfSmall(withDt, queries, cap = dtCap),
+      col(codesId) =!= col(queryId))
       .withColumn("adist", round(adist, 6))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("adist").asc, col(codesId).asc)

@@ -318,9 +318,37 @@ object GraftExtensions {
     // (same argument order and semantics as Presto's); only the QUOTED
     // unit differs, which ScheduledQueries.rewritePrestoUnits unquotes
     // at parse time.
-    binaryFn("map_agg", classOf[MapFromEntries].getName, (k, v) =>
-      MapFromEntries(aggregate.CollectList(CreateStruct(Seq(k, v)))
-        .toAggregateExpression())),
+    // Presto's map_agg SKIPS null keys and KEEPS THE FIRST value for a
+    // duplicate key (KeyValuePairs dedups on insert); map_from_entries
+    // over a raw collect_list would instead throw under Spark's default
+    // duplicate-key policy. So: null-keyed entries never enter the
+    // collect (CollectList ignores null inputs), and a keep-first fold
+    // dedups the entry array before the map builds. "First" is collect
+    // order — arbitrary across partitions in both engines.
+    binaryFn("map_agg", classOf[MapFromEntries].getName, (k, v) => {
+      def lv(n: String) = UnresolvedNamedLambdaVariable(Seq(n))
+      // fixed field names — CreateStruct would inherit the (arbitrary)
+      // input expression names and break the key-field lookup below
+      val entries = aggregate.CollectList(
+        CaseWhen(Seq((IsNotNull(k), CreateNamedStruct(Seq(
+          Literal("__k"), k, Literal("__v"), v)))), None))
+        .toAggregateExpression()
+      val (acc, e, x) = (lv("acc"), lv("e"), lv("x"))
+      val sameKey = LambdaFunction(
+        EqualTo(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+            x, Literal("__k")),
+          org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+            e, Literal("__k"))), Seq(x))
+      val dedup = ArrayAggregate(
+        entries,
+        Slice(entries, Literal(1), Literal(0)), // empty array, right type
+        LambdaFunction(
+          If(ArrayExists(acc, sameKey), acc,
+            Concat(Seq(acc, CreateArray(Seq(e))))), Seq(acc, e)),
+        LambdaFunction(lv("fin"), Seq(lv("fin"))))
+      MapFromEntries(dedup)
+    }),
     unaryFn("to_hex", classOf[Hex].getName, Hex(_)),
     unaryFn("from_hex", classOf[Unhex].getName, Unhex(_)),
     unaryFn("to_base64", classOf[Base64].getName, Base64(_)),
@@ -345,7 +373,15 @@ object GraftExtensions {
     binaryFn("bitwise_or", classOf[BitwiseOr].getName, BitwiseOr(_, _)),
     binaryFn("bitwise_xor", classOf[BitwiseXor].getName, BitwiseXor(_, _)),
     unaryFn("bitwise_not", classOf[BitwiseNot].getName, BitwiseNot(_)),
-    unaryFn("codepoint", classOf[Ascii].getName, Ascii(_)),
+    // Presto's codepoint is varchar(1)-typed — anything but exactly one
+    // character is a query error there, so a silent 0/first-char answer
+    // would be the misparse class this batch bans (the date_parse rule)
+    unaryFn("codepoint", classOf[Ascii].getName, e =>
+      If(EqualTo(Length(e), Literal(1)), Ascii(e),
+        Cast(new RaiseError(Literal.create(
+          "codepoint requires exactly one character (Presto varchar(1))",
+          org.apache.spark.sql.types.StringType)),
+          org.apache.spark.sql.types.IntegerType))),
     binaryFn("levenshtein_distance", classOf[Levenshtein].getName,
       new Levenshtein(_, _)),
     (new org.apache.spark.sql.catalyst.FunctionIdentifier("normalize"),

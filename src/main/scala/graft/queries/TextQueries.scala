@@ -3350,6 +3350,38 @@ private[graft] trait TextQueries extends RegistryBase {
   }
 
 
+  // t110's audit surface (r18): sources whose fetch log records
+  // CONFLICTING redirect targets — the ones resolveRedirects collapses to
+  // min-dst deterministically. Exact-duplicate re-fetches (the % 5 class)
+  // must NOT flag; only the genuinely flapping % 9 class does.
+  register(
+    "t110b_redirect_conflicts",
+    """WITH e AS (
+      |  SELECT 'u' || doc_id AS src, 'u' || (doc_id + 1) AS dst
+      |  FROM documents WHERE doc_id < 400
+      |  UNION ALL
+      |  SELECT 'u' || doc_id, 'u' || (doc_id + 1)
+      |  FROM documents WHERE doc_id < 400 AND doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT 'u' || doc_id, 'z' || doc_id
+      |  FROM documents WHERE doc_id < 400 AND doc_id % 9 = 0),
+      |d AS (SELECT DISTINCT src, dst FROM e)
+      |SELECT src, CAST(count(*) AS BIGINT) AS n_dsts, min(dst) AS min_dst
+      |FROM d GROUP BY src HAVING count(*) >= 2
+      |ORDER BY src""".stripMargin) { (s, dir) =>
+    val base = t(s, dir, "documents").where(col("doc_id") < 400)
+      .select(concat(lit("u"), col("doc_id")).as("src"),
+        concat(lit("u"), col("doc_id") + 1).as("dst"))
+    val refetch = base.where(substring(col("src"), 2, 100).cast("long") % 5 === 0)
+    val flap = t(s, dir, "documents")
+      .where(col("doc_id") < 400 && col("doc_id") % 9 === 0)
+      .select(concat(lit("u"), col("doc_id")).as("src"),
+        concat(lit("z"), col("doc_id")).as("dst"))
+    WebOps.redirectConflicts(base.unionAll(refetch).unionAll(flap))
+      .orderBy("src")
+  }
+
+
   // URL-structure bitext candidate pairing (the ParaCrawl prefilter):
   // pages whose URLs differ only in a language path segment pair up as
   // translation candidates — one survivor per (key, lang) so per-key

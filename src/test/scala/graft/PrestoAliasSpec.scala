@@ -161,11 +161,43 @@ class PrestoAliasSpec extends AnyFunSuite {
     assert(r.getString(16) === "abc")
   }
 
-  test("map_agg aggregates to a map (distinct keys)") {
+  test("map_agg: keeps first value per duplicate key, skips null keys (Presto)") {
     val r = spark.sql(
       """SELECT map_agg(k, v)[2] AS at2, cardinality(map_agg(k, v)) AS n
         |FROM VALUES (1, 'a'), (2, 'b'), (3, 'c') AS t(k, v)""".stripMargin).head
     assert(r.getString(0) === "b" && r.getInt(1) === 3)
+    // duplicate key: first collected value wins (single partition →
+    // deterministic order here); null keys never enter the map
+    val d = spark.sql(
+      """SELECT map_agg(k, v)[1] AS at1, cardinality(map_agg(k, v)) AS n
+        |FROM (SELECT * FROM VALUES (1, 'first'), (1, 'second'),
+        |      (CAST(NULL AS INT), 'x'), (2, 'b') AS t(k, v)
+        |      ORDER BY v)""".stripMargin).coalesce(1).head
+    assert(d.getString(0) === "first" || d.getString(0) === "second",
+      "duplicate key must keep ONE value, not throw")
+    assert(d.getInt(1) === 2, "null keys must be skipped")
+  }
+
+  test("UNNEST followed by a JOIN stays parseable (LATERAL subquery form)") {
+    val rows = ScheduledQueries.runPresto(spark,
+      """SELECT l.id, t.tag, u.uname
+        |FROM (SELECT 1 AS id, 7 AS uid, array('a', 'b') AS tags) l
+        |CROSS JOIN UNNEST(tags) AS t (tag)
+        |JOIN (SELECT 7 AS uid, 'alice' AS uname) u ON l.uid = u.uid
+        |ORDER BY tag""".stripMargin,
+      java.time.Instant.ofEpochSecond(0))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows === Seq((1, "a", "alice"), (1, "b", "alice")))
+  }
+
+  test("codepoint rejects non-single-character input (Presto varchar(1))") {
+    assert(spark.sql("SELECT codepoint('A')").head.getInt(0) === 65)
+    intercept[Exception] {
+      spark.sql("SELECT codepoint('')").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT codepoint('AB')").collect()
+    }
   }
 
   test("CROSS JOIN UNNEST rewrites to LATERAL VIEW explode (array + map)") {
@@ -193,7 +225,7 @@ class PrestoAliasSpec extends AnyFunSuite {
     // nested parens + quoted commas inside the argument survive
     assert(ScheduledQueries.rewriteUnnest(
       "FROM t CROSS JOIN UNNEST(split(s, ',')) AS u (w)") ===
-      "FROM t LATERAL VIEW explode(split(s, ',')) u AS w")
+      "FROM t CROSS JOIN LATERAL (SELECT explode(split(s, ','))) u (w)")
     // unsupported shapes fail LOUDLY, never silently mis-run
     intercept[IllegalArgumentException] {
       ScheduledQueries.rewriteUnnest(
