@@ -120,8 +120,10 @@ object ScheduledQueries {
     * opaquely, the UNNEST argument is captured with balanced-paren (and
     * quote) scanning, and the keyword match is word-bounded —
     * `a.crossjoin_unnest` or 'CROSS JOIN UNNEST' inside a string literal
-    * never rewrites. Parallel-array UNNEST(a, b) and WITH ORDINALITY
-    * throw loudly (unsupported, NOT silently mis-run). */
+    * never rewrites. `WITH ORDINALITY` is supported (posexplode; the
+    * 0-based pos surfaces as the 1-based TRAILING column, Presto's
+    * contract); parallel-array UNNEST(a, b) throws loudly (unsupported,
+    * NOT silently mis-run). */
   private[graft] def rewriteUnnest(sql: String): String = {
     val out = new StringBuilder
     val n = sql.length
@@ -158,8 +160,9 @@ object ScheduledQueries {
       if (j > j0 && !sql.charAt(j0).isDigit) Some((sql.substring(j0, j), j))
       else None
     }
-    // CROSS JOIN UNNEST ( expr ) [WITH ORDINALITY] [AS] alias ( c[, c2] )
-    def parseUnnest(j0: Int): Option[(String, String, Seq[String], Int)] = {
+    // CROSS JOIN UNNEST ( expr ) [WITH ORDINALITY] [AS] alias ( c[, c2[, c3]] )
+    def parseUnnest(j0: Int)
+        : Option[(String, String, Seq[String], Boolean, Int)] = {
       var j = word(j0, "CROSS"); if (j < 0) return None
       j = word(skipWs(j), "JOIN"); if (j < 0) return None
       j = word(skipWs(j), "UNNEST"); if (j < 0) return None
@@ -186,10 +189,12 @@ object ScheduledQueries {
         "UNNEST with parallel arrays (UNNEST(a, b)) is not supported by " +
           "the Presto rewrite; unnest one array per CROSS JOIN")
       var k = skipWs(j)
+      var ordinality = false
       val ord = word(k, "WITH")
-      if (ord >= 0 && word(skipWs(ord), "ORDINALITY") >= 0)
-        throw new IllegalArgumentException(
-          "UNNEST ... WITH ORDINALITY is not supported by the Presto rewrite")
+      if (ord >= 0) {
+        val afterOrd = word(skipWs(ord), "ORDINALITY")
+        if (afterOrd >= 0) { ordinality = true; k = skipWs(afterOrd) }
+      }
       val afterAs = word(k, "AS")
       if (afterAs >= 0) k = skipWs(afterAs)
       val (alias, k2) = ident(k).getOrElse(return None)
@@ -206,8 +211,11 @@ object ScheduledQueries {
         else if (k < n && sql.charAt(k) == ')') { k += 1; done = true }
         else return None
       }
-      if (cols.size > 2) return None // array=1, map=2; anything else is not ours
-      Some((expr, alias, cols.toSeq, k))
+      // array=1, map=2 data columns (+1 trailing ordinality column)
+      val maxCols = if (ordinality) 3 else 2
+      val minCols = if (ordinality) 2 else 1
+      if (cols.size > maxCols || cols.size < minCols) return None
+      Some((expr, alias, cols.toSeq, ordinality, k))
     }
     while (i < n) {
       val c = sql.charAt(i)
@@ -218,9 +226,19 @@ object ScheduledQueries {
         out.append(sql.substring(i, e)); i = e
       } else if ((c == 'c' || c == 'C') && word(i, "CROSS") >= 0) {
         parseUnnest(i) match {
-          case Some((expr, alias, cols, end)) =>
+          case Some((expr, alias, cols, false, end)) =>
             out.append(s"CROSS JOIN LATERAL (SELECT explode($expr)) " +
               s"$alias (${cols.mkString(", ")})")
+            i = end
+          case Some((expr, alias, cols, true, end)) =>
+            // WITH ORDINALITY: posexplode's 0-based pos becomes the
+            // 1-based TRAILING column (Presto's contract); the data
+            // columns keep their names via the inner alias list
+            val data = cols.init
+            out.append(s"CROSS JOIN LATERAL (SELECT ${data.mkString(", ")}, " +
+              s"__graft_pos + 1 AS ${cols.last} FROM " +
+              s"(SELECT posexplode($expr)) __graft_g " +
+              s"(__graft_pos, ${data.mkString(", ")})) $alias")
             i = end
           case None => out.append(c); i += 1
         }

@@ -1258,16 +1258,16 @@ private[graft] trait SqlQueries extends RegistryBase {
       |  SELECT event_id AS id, event_type, user_id
       |  FROM events WHERE event_id % 7 = 0),
       |xs AS (
-      |  SELECT id, CAST(id % 3 AS INT) AS x FROM base
+      |  SELECT id, CAST(id % 3 AS INT) AS x, CAST(1 AS BIGINT) AS i FROM base
       |  UNION ALL
-      |  SELECT id, CAST(id % 5 AS INT) AS x FROM base),
+      |  SELECT id, CAST(id % 5 AS INT) AS x, CAST(2 AS BIGINT) AS i FROM base),
       |kv AS (
       |  SELECT id, 't' AS k, event_type AS v FROM base
       |  UNION ALL
       |  SELECT id, 'u' AS k, CAST(user_id AS VARCHAR) AS v FROM base)
-      |SELECT xs.id, x, k, v
+      |SELECT xs.id, x, i, k, v
       |FROM xs JOIN kv USING (id)
-      |ORDER BY id, x, k, v""".stripMargin) { (s, dir) =>
+      |ORDER BY id, i, k, v""".stripMargin) { (s, dir) =>
     Tables.registerAll(s, dir)
     s.sql(
       """CREATE OR REPLACE TEMPORARY VIEW unnest_docs AS
@@ -1276,11 +1276,11 @@ private[graft] trait SqlQueries extends RegistryBase {
         |  map('t', event_type, 'u', CAST(user_id AS STRING)) AS m
         |FROM events WHERE event_id % 7 = 0""".stripMargin)
     ScheduledQueries.runPresto(s,
-      """SELECT id, x, k, v
+      """SELECT id, x, CAST(i AS BIGINT) AS i, k, v
         |FROM unnest_docs
-        |CROSS JOIN UNNEST(arr) AS t (x)
+        |CROSS JOIN UNNEST(arr) WITH ORDINALITY AS t (x, i)
         |CROSS JOIN UNNEST(m) AS u (k, v)
-        |ORDER BY id, x, k, v""".stripMargin,
+        |ORDER BY id, i, k, v""".stripMargin,
       java.time.Instant.parse("1995-06-18T12:00:00Z"))
   }
 

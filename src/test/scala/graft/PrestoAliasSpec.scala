@@ -231,10 +231,19 @@ class PrestoAliasSpec extends AnyFunSuite {
       ScheduledQueries.rewriteUnnest(
         "FROM t CROSS JOIN UNNEST(a, b) AS u (x, y)")
     }
-    intercept[IllegalArgumentException] {
-      ScheduledQueries.rewriteUnnest(
-        "FROM t CROSS JOIN UNNEST(a) WITH ORDINALITY AS u (x, i)")
-    }
+  }
+
+  test("UNNEST WITH ORDINALITY: 1-based trailing position (array + map)") {
+    val rows = ScheduledQueries.runPresto(spark,
+      """SELECT x, i, k, v, j
+        |FROM (SELECT array(10, 20) AS arr, map('a', 'p') AS m) base
+        |CROSS JOIN UNNEST(arr) WITH ORDINALITY AS t (x, i)
+        |CROSS JOIN UNNEST(m) WITH ORDINALITY AS u (k, v, j)
+        |ORDER BY i""".stripMargin,
+      java.time.Instant.ofEpochSecond(0))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getInt(4))).toSeq
+    assert(rows === Seq((10, 1, "a", "p", 1), (20, 2, "a", "p", 1)))
   }
 
   test("runPresto scopes double-quoted identifiers around the parse and restores") {
