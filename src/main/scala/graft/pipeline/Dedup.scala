@@ -1104,11 +1104,18 @@ object Dedup {
     materializeAndRelease(verified, stages)
   }
 
-  /** The lazy PPJoin plan + its persisted stages (exposed for plan tests;
-    * callers use [[similarityJoin]], which materializes and releases). */
+  /** The PPJoin plan + its persisted stages (exposed for plan tests;
+    * callers use [[similarityJoin]], which materializes and releases).
+    * NOT purely lazy: with `sizeExchanges` (the default) the
+    * [[AdaptiveParts]] estimate runs ONE distributed job — materializing
+    * the tokenize/frequency/sort stages — at plan-CONSTRUCTION time to
+    * price the candidate exchanges. Plan-only callers (explain, plan
+    * specs that pin non-sizing invariants) pass `sizeExchanges = false`
+    * and get the floor-width plan without executing anything. */
   private[graft] def similarityJoinPlan(df: DataFrame, textCol: String,
       idCol: String, shingleWords: Int, threshold: Double,
-      rowsPerPartition: Long = AdaptiveParts.RowsPerPartition)
+      rowsPerPartition: Long = AdaptiveParts.RowsPerPartition,
+      sizeExchanges: Boolean = true)
       : (DataFrame, Seq[DataFrame]) = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
     // Shingles are hashed to 64 bits AT THE SCAN and never travel as
@@ -1146,9 +1153,11 @@ object Dedup {
     // identity and the r17 plan is unchanged.
     val prefix0 = ppjoinPrefix(sorted, threshold)
     val floor = AdaptiveParts.sessionFloor(df.sparkSession)
-    val parts = AdaptiveParts.partsFor(
-      AdaptiveParts.allPairEstimate(prefix0, Seq("tok")), floor,
-      rowsPerPartition)
+    val parts = if (sizeExchanges)
+      AdaptiveParts.partsFor(
+        AdaptiveParts.allPairEstimate(prefix0, Seq("tok")), floor,
+        rowsPerPartition)
+    else floor
     val prefix = AdaptiveParts.bySize(prefix0, parts, floor, col("tok"))
     val overlapNeeded =
       ceil(lit(threshold / (1 + threshold)) * (col("a.n") + col("b.n")))

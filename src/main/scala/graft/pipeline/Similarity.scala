@@ -25,19 +25,27 @@ object Similarity {
     * early-stopping count idiom applied to the ANN family). */
   val QueryBroadcastCap: Long = 1L << 16
 
-  /** Hint `side` for broadcast only when `gate` — a CHEAP frame whose row
-    * count bounds side's rows within `factor` (side is usually a derived
-    * projection of gate whose recount would re-run real work) — is
-    * provably small. Two tiers: the gate's logical-plan byte statistics
-    * (FREE — no job; parquet scans report real sizes) prove the common
-    * small case at ~512 bytes/row pessimism, and only a stats-ambiguous
-    * gate pays the early-stopping count. Above the cap the join
-    * shuffles/spills; semantics identical. */
+  /** Byte budget for the free stats tier: a 32 MB build sits inside any
+    * sane executor heap (Spark's own autoBroadcastJoinThreshold scale). */
+  val BroadcastByteBudget: Long = 32L << 20
+
+  /** Hint `side` for broadcast only when provably small. Two tiers: the
+    * free one reads the BROADCAST SIDE'S OWN logical-plan byte statistics
+    * (no job; parquet scans report real sizes and projections propagate
+    * them) against [[BroadcastByteBudget]] — gating on the skinny `gate`
+    * frame's bytes instead assumed ~512 bytes/row of side payload, which
+    * a fat derived side (adcTopK's m×K distance tables) violates and a
+    * skinny gate could then admit a multi-GB build (r18 advice). A side
+    * whose stats are ambiguous (join-derived estimates overshoot) falls
+    * through to the early-stopping ROW count of `gate` — a cheap frame
+    * whose rows bound side's rows within `factor`, with `cap` priced by
+    * the caller for side's actual bytes-per-row. Above both tiers the
+    * join shuffles/spills; semantics identical. */
   private def broadcastIfSmall(side: DataFrame, gate: DataFrame,
       factor: Long = 1L, cap: Long = QueryBroadcastCap): DataFrame = {
     val rowCap = math.max(1L, cap / math.max(1L, factor))
-    val statsBytes = gate.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (statsBytes <= BigInt(rowCap) * 512) broadcast(side)
+    val sideBytes = side.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (sideBytes <= BigInt(BroadcastByteBudget)) broadcast(side)
     else if (BatchStore.fitsBroadcast(gate, rowCap)) broadcast(side)
     else side
   }

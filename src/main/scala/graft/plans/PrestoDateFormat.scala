@@ -20,11 +20,17 @@ object PrestoDateFormat {
     'f' -> "SSSSSS",
     'p' -> "a",
     'j' -> "DDD",
-    'a' -> "EEE", 'W' -> "EEEE",
     'b' -> "MMM", 'M' -> "MMMM",
     'T' -> "HH:mm:ss",
-    'r' -> "hh:mm:ss a",
-    'v' -> "ww")
+    'r' -> "hh:mm:ss a")
+
+  /** Tokens whose JDK mappings (EEE/EEEE/ww) Spark 4 REJECTS for parsing
+    * (unsupportedLettersForParsing bans 'E'; week-based 'w' is banned
+    * outright as DATETIME_WEEK_BASED_PATTERN) — mapping them would trade
+    * this mapper's clean error for a confusing cross-version one at
+    * runtime, so they throw the same strict exception as unknown tokens
+    * (r18 advice). */
+  private val unparseable = Set('a', 'W', 'v')
 
   def mysqlToJdk(fmt: String): String = {
     val out = new StringBuilder
@@ -45,6 +51,11 @@ object PrestoDateFormat {
         require(i + 1 < fmt.length, s"dangling %% at end of '$fmt'")
         val t = fmt.charAt(i + 1)
         if (t == '%') lit.append('%')
+        else if (unparseable.contains(t))
+          throw new IllegalArgumentException(
+            s"date_parse: MySQL format token %$t is not supported for " +
+              s"parsing (Spark 4 rejects its day-name/week-based JDK " +
+              s"pattern) in '$fmt'")
         else tokens.get(t) match {
           case Some(j) => flushLit(); out.append(j)
           case None => throw new IllegalArgumentException(

@@ -286,9 +286,10 @@ object GraftExtensions {
     *    3-arg unit-literal Presto forms map to TimestampDiff/TimestampAdd;
     *    the 2-arg forms FALL THROUGH to Spark's own date_diff/date_add
     *    semantics so the builtins are not shadowed.
-    *  - `map_agg(k, v)` → map_from_entries(collect_list(struct(k, v)))
-    *    (duplicate keys error under Spark's default dedup policy, as
-    *    Presto's map_agg does).
+    *  - `map_agg(k, v)` → map_from_entries over a null-key-skipping
+    *    collect_list with a keep-first dedup fold (Presto's map_agg
+    *    SKIPS null keys and keeps the first value per duplicate key —
+    *    see the NOTE at the implementation; it never throws).
     *  - `to_hex`/`from_hex`/`to_base64`/`from_base64` → Hex/Unhex/
     *    Base64/UnBase64; `sha256(x)` → unhex(sha2(x, 256)) (varbinary
     *    return, as Presto's).

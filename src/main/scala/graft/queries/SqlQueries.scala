@@ -1285,6 +1285,62 @@ private[graft] trait SqlQueries extends RegistryBase {
   }
 
 
+  // §3.2 dialect compatibility, parallel-array UNNEST leg (r18 verdict
+  // ask #2): Presto's `CROSS JOIN UNNEST(a, b) [WITH ORDINALITY]` zips
+  // the arrays to the LONGEST length and pads the shorter with nulls —
+  // exactly arrays_zip's contract, which the rewrite rides
+  // (inline(arrays_zip(...)) for the plain form, posexplode + trailing
+  // 1-based pos for ORDINALITY). Fixture arrays have UNEQUAL lengths in
+  // both directions (3-vs-2 zipped under ORDINALITY, 2-vs-3 under the
+  // inline form) so the null padding is exercised on each side; the
+  // oracle spells the same expansion as engine-neutral UNION ALL
+  // branches. Sort keys (id, i, q) are non-null and unique by
+  // construction — null-ordering defaults differ across engines.
+  register(
+    "sq_presto_unnest2",
+    """WITH base AS (
+      |  SELECT event_id AS id FROM events WHERE event_id % 11 = 0),
+      |t AS (
+      |  SELECT id, CAST(id % 3 AS INT) AS x,
+      |         'u' || CAST(id % 2 AS VARCHAR) AS y, CAST(1 AS BIGINT) AS i
+      |  FROM base
+      |  UNION ALL
+      |  SELECT id, CAST(id % 5 AS INT),
+      |         'v' || CAST(id % 3 AS VARCHAR), CAST(2 AS BIGINT) FROM base
+      |  UNION ALL
+      |  SELECT id, CAST(id % 7 AS INT), NULL, CAST(3 AS BIGINT) FROM base),
+      |u AS (
+      |  SELECT id, 'm' AS p, CAST(id % 4 AS INT) AS q FROM base
+      |  UNION ALL
+      |  SELECT id, 'n' || CAST(id % 3 AS VARCHAR),
+      |         CAST(id % 6 + 10 AS INT) FROM base
+      |  UNION ALL
+      |  SELECT id, NULL, CAST(id % 9 + 100 AS INT) FROM base)
+      |SELECT t.id, x, y, i, p, q
+      |FROM t JOIN u ON t.id = u.id
+      |ORDER BY t.id, i, q""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW unnest2_docs AS
+        |SELECT event_id AS id,
+        |  array(CAST(event_id % 3 AS INT), CAST(event_id % 5 AS INT),
+        |        CAST(event_id % 7 AS INT)) AS a,
+        |  array(concat('u', CAST(event_id % 2 AS STRING)),
+        |        concat('v', CAST(event_id % 3 AS STRING))) AS b,
+        |  array('m', concat('n', CAST(event_id % 3 AS STRING))) AS c,
+        |  array(CAST(event_id % 4 AS INT), CAST(event_id % 6 + 10 AS INT),
+        |        CAST(event_id % 9 + 100 AS INT)) AS d
+        |FROM events WHERE event_id % 11 = 0""".stripMargin)
+    ScheduledQueries.runPresto(s,
+      """SELECT id, x, y, CAST(i AS BIGINT) AS i, p, q
+        |FROM unnest2_docs
+        |CROSS JOIN UNNEST(a, b) WITH ORDINALITY AS t (x, y, i)
+        |CROSS JOIN UNNEST(c, d) AS u (p, q)
+        |ORDER BY id, i, q""".stripMargin,
+      java.time.Instant.parse("1995-06-18T12:00:00Z"))
+  }
+
+
   // §3.2/§3.3 dialect compatibility, promotion leg: the reference's
   // rule-promotion SQL TEMPLATES run verbatim — texts from
   // rule_promotion/statistic.py:22-31 (_COUNT_QUERY_TEMPLATE /

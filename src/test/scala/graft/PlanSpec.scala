@@ -570,8 +570,10 @@ class PlanSpec extends AnyFunSuite {
 
   test("PPJoin similarity join: prefix equi-join, no quadratic operator, cached stage, skinny shuffles") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // sizeExchanges=false: this test pins non-sizing invariants, so it
+    // takes the plan-only path (no estimate job at construction)
     val (pairs, stages) = graft.pipeline.Dedup.similarityJoinPlan(
-      docs, "text", "doc_id", 2, 0.6)
+      docs, "text", "doc_id", 2, 0.6, sizeExchanges = false)
     val p = pairs.queryExecution.executedPlan.toString
     // exact join but NEVER the all-pairs shape: candidates come from the
     // prefix-token equi-join, so no nested-loop/cartesian may appear

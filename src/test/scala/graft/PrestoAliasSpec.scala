@@ -112,6 +112,10 @@ class PrestoAliasSpec extends AnyFunSuite {
     assert(mysqlToJdk("%Y-%m-%dT%T") === "yyyy-MM-dd'T'HH:mm:ss")
     assert(mysqlToJdk("%H%%") === "HH%") // bare % is a legal JDK literal
     intercept[IllegalArgumentException] { mysqlToJdk("%Q") }
+    // %a/%W/%v map to JDK patterns Spark 4 rejects for PARSING — the
+    // mapper throws its own strict error, not a confusing runtime one
+    for (t <- Seq("%a", "%W", "%v"))
+      intercept[IllegalArgumentException] { mysqlToJdk(s"%Y $t") }
     val r = spark.sql(
       """SELECT to_unixtime(date_parse('1995-06-18 12:00:00',
         |         '%Y-%m-%d %H:%i:%s')) AS a,
@@ -226,11 +230,62 @@ class PrestoAliasSpec extends AnyFunSuite {
     assert(ScheduledQueries.rewriteUnnest(
       "FROM t CROSS JOIN UNNEST(split(s, ',')) AS u (w)") ===
       "FROM t CROSS JOIN LATERAL (SELECT explode(split(s, ','))) u (w)")
-    // unsupported shapes fail LOUDLY, never silently mis-run
-    intercept[IllegalArgumentException] {
-      ScheduledQueries.rewriteUnnest(
-        "FROM t CROSS JOIN UNNEST(a, b) AS u (x, y)")
+    // parallel arrays rewrite through arrays_zip (r18 verdict ask #2);
+    // a nested function call with commas stays one argument
+    assert(ScheduledQueries.rewriteUnnest(
+      "FROM t CROSS JOIN UNNEST(a, split(s, ',')) AS u (x, y)") ===
+      "FROM t CROSS JOIN LATERAL (SELECT inline(arrays_zip(" +
+        "a, split(s, ',')))) u (x, y)")
+    // alias-count mismatch leaves the text unrewritten (Spark's parser
+    // then rejects the raw UNNEST loudly)
+    val bad = "FROM t CROSS JOIN UNNEST(a, b) AS u (x)"
+    assert(ScheduledQueries.rewriteUnnest(bad) === bad)
+  }
+
+  test("parallel-array UNNEST: zip to longest, null padding, ordinality") {
+    val rows = ScheduledQueries.runPresto(spark,
+      """SELECT x, y, i, p, q
+        |FROM (SELECT array(1, 2, 3) AS a, array('u', 'v') AS b,
+        |             array('m') AS c, array(7, 8) AS d) base
+        |CROSS JOIN UNNEST(a, b) WITH ORDINALITY AS t (x, y, i)
+        |CROSS JOIN UNNEST(c, d) AS u (p, q)
+        |ORDER BY i, q""".stripMargin,
+      java.time.Instant.ofEpochSecond(0))
+      .collect().map(r => (r.getInt(0), Option(r.getString(1)),
+        r.getInt(2), Option(r.getString(3)), Option(r.get(4)))).toSeq
+    // (a,b) zips to length 3 with b null-padded; (c,d) to length 2 with
+    // c null-padded — Presto's pad-to-longest contract
+    assert(rows === Seq(
+      (1, Some("u"), 1, Some("m"), Some(7)), (1, Some("u"), 1, None, Some(8)),
+      (2, Some("v"), 2, Some("m"), Some(7)), (2, Some("v"), 2, None, Some(8)),
+      (3, None, 3, Some("m"), Some(7)), (3, None, 3, None, Some(8))))
+  }
+
+  test("runPresto parses on a cloned session: concurrent plain spark.sql never sees flipped quoting") {
+    // the r18 caveat retired (verdict ask #4): a pack parse used to flip
+    // a session-global conf inside a synchronized window; now each pack
+    // parses on its own clone, so hammering both paths concurrently must
+    // never let a double-quoted STRING parse as an identifier (or vice
+    // versa inside the pack)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW clone_spec_v AS " +
+      "SELECT id AS k FROM range(4)")
+    val packs = Future {
+      (1 to 40).map { _ =>
+        ScheduledQueries.runPresto(spark,
+          """SELECT count(*) AS c FROM "clone_spec_v" WHERE k < 3""",
+          java.time.Instant.ofEpochSecond(0)).head.getLong(0)
+      }
     }
+    val plains = Future {
+      (1 to 40).map { _ =>
+        spark.sql("SELECT \"plain string\" AS s").head.getString(0)
+      }
+    }
+    assert(Await.result(packs, 120.seconds).forall(_ == 3L))
+    assert(Await.result(plains, 120.seconds).forall(_ == "plain string"))
   }
 
   test("UNNEST WITH ORDINALITY: 1-based trailing position (array + map)") {
