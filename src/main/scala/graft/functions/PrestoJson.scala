@@ -54,6 +54,36 @@ case class PrestoJsonExtract(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Presto-faithful `json_parse(varchar)` / `json_format(json)` — in this
+  * engine's JSON-as-text representation both are the same operation:
+  * validate and re-serialize to compact JSON text (field order preserved,
+  * BigDecimal number round-trip, the [[PrestoJsonExtract]] encoder).
+  * INVALID JSON THROWS, as Presto's json_parse does
+  * (INVALID_FUNCTION_ARGUMENT) — returning SQL NULL would be the silent
+  * misparse class the dialect batch bans; `TRY(json_parse(x))` gives the
+  * null-on-bad-input form, exactly as in Presto. `fnName` keeps error
+  * messages honest for whichever alias was called. */
+case class PrestoJsonParse(child: Expression, fnName: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = fnName
+
+  override def nullSafeEval(json: Any): Any =
+    PrestoJsonUtil.parseCanonical(json.asInstanceOf[UTF8String], fnName)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = ctx.addReferenceObj("fnName", fnName, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, j =>
+      s"${ev.value} = graft.functions.PrestoJsonUtil.parseCanonical($j, $fn);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PrestoJsonParse =
+    copy(child = newChild)
+}
+
 object PrestoJsonUtil {
   // readTree on a shared mapper is thread-safe; BigDecimal floats (with
   // the exact-decimals node factory — the default one strips trailing
@@ -115,6 +145,19 @@ object PrestoJsonUtil {
     val arr = steps.toArray
     if (pathCache.size < PathCacheCap) pathCache.put(path, arr)
     arr
+  }
+
+  /** Codegen entry point for [[PrestoJsonParse]]: compact canonical
+    * re-serialization, field order preserved; invalid JSON throws. */
+  def parseCanonical(json: UTF8String, fnName: String): UTF8String = {
+    val root = try mapper.readTree(json.toString) catch {
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        throw new IllegalArgumentException(
+          s"$fnName: invalid JSON text: ${e.getOriginalMessage}")
+    }
+    if (root == null) throw new IllegalArgumentException(
+      s"$fnName: invalid JSON text: empty input")
+    UTF8String.fromString(root.toString)
   }
 
   /** Codegen entry point (called from generated Java). Null = SQL NULL. */

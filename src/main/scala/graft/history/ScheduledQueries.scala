@@ -86,8 +86,76 @@ object ScheduledQueries {
       extra: Map[String, String] = Map.empty): DataFrame = {
     val ps = org.apache.spark.sql.GraftSessionBridge.cloneSession(spark)
     ps.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
-    run(ps, rewritePrestoUnits(rewriteUnnest(sql)), now, extra)
+    run(ps, rewritePrestoTypes(rewritePrestoUnits(rewriteUnnest(
+      rewriteArrayLiterals(sql)))), now, extra)
   }
+
+  /** Presto's `ARRAY[a, b, ...]` literal constructor — the ONLY
+    * array-literal syntax Athena accepts, and one Spark's parser rejects
+    * (Spark spells it `array(a, b, ...)`). Token-aware like
+    * [[rewriteUnnest]]: strings and `--` comments are copied opaquely,
+    * the keyword is word-bounded, and a bracket stack rewrites exactly
+    * the brackets opened by an ARRAY keyword (nested literals recurse;
+    * subscript brackets `a[i]` are untouched). NOTE the subscript
+    * divergence that stays: Presto's `arr[1]` is 1-BASED while Spark's
+    * is 0-based — packs indexing arrays positionally should use
+    * `element_at`, 1-based in both engines (the rewrite cannot tell a
+    * subscript's base without type information, so it must not guess). */
+  private[graft] def rewriteArrayLiterals(sql: String): String = {
+    val out = new StringBuilder
+    val n = sql.length
+    var i = 0
+    def isIdentChar(c: Char) = c.isLetterOrDigit || c == '_'
+    // stack entry: true = this '[' came from an ARRAY literal
+    var stack = List.empty[Boolean]
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'') {
+        var j = i + 1
+        var done = false
+        while (j < n && !done) {
+          if (sql.charAt(j) == '\'') {
+            if (j + 1 < n && sql.charAt(j + 1) == '\'') j += 2 else done = true
+          } else j += 1
+        }
+        val e = math.min(n, j + 1)
+        out.append(sql.substring(i, e)); i = e
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        val e = sql.indexOf('\n', i) match { case -1 => n; case x => x }
+        out.append(sql.substring(i, e)); i = e
+      } else if ((c == 'a' || c == 'A') && i + 5 <= n &&
+          sql.regionMatches(true, i, "ARRAY", 0, 5) &&
+          (i == 0 || !isIdentChar(sql.charAt(i - 1))) &&
+          (i + 5 >= n || !isIdentChar(sql.charAt(i + 5)))) {
+        var j = i + 5
+        while (j < n && sql.charAt(j).isWhitespace) j += 1
+        if (j < n && sql.charAt(j) == '[') {
+          out.append("array("); stack ::= true; i = j + 1
+        } else { out.append(sql.substring(i, i + 5)); i += 5 }
+      } else if (c == '[') {
+        out.append('['); stack ::= false; i += 1
+      } else if (c == ']') {
+        stack match {
+          case true :: rest  => out.append(')'); stack = rest
+          case false :: rest => out.append(']'); stack = rest
+          case Nil           => out.append(']')
+        }
+        i += 1
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Presto's unparameterized CAST type names that Spark spells
+    * differently: `CAST(x AS VARCHAR)` (ubiquitous in real Athena packs —
+    * Presto's varchar is unbounded; Spark demands a length on VARCHAR) and
+    * `CAST(x AS VARBINARY)`. The `AS <type> )` shape keeps the match
+    * inside a cast-like context; like [[rewritePrestoUnits]] this is not
+    * string-literal-aware, the documented tradeoff of the textual layer. */
+  private[graft] def rewritePrestoTypes(sql: String): String =
+    raw"(?i)\bAS\s+VARBINARY\s*\)".r.replaceAllIn(
+      raw"(?i)\bAS\s+VARCHAR\s*\)".r.replaceAllIn(sql, "AS STRING)"),
+      "AS BINARY)")
 
   /** Presto spells datetime units as STRING LITERALS
     * (`date_diff('hour', a, b)`); Spark's parser special-cases the same

@@ -399,7 +399,89 @@ object GraftExtensions {
         // Presto's NFC default; other forms need the quoted spelling.
         case other => throw new IllegalArgumentException(
           "normalize supports normalize(s) and normalize(s, 'NFC'); got " + other)
-      }))
+      })) ++ prestoAliases3
+
+  /** r19 batch — the next idioms a real CloudTrail/ALB pack reaches for
+    * (the arbitrary-pack contract,
+    * scheduled_queries/query_packs/configuration.py:20-56), same
+    * parse-time-alias pattern:
+    *
+    *  - `json_parse(s)` / `json_format(j)` → [[graft.functions.PrestoJsonParse]]
+    *    (validate + compact canonical re-encode in the engine's
+    *    JSON-as-text representation; INVALID INPUT THROWS as Presto's
+    *    json_parse does — `TRY(json_parse(x))` is the null-on-bad form).
+    *  - `contains(arr, x)` → [[graft.functions.PrestoContains]], which
+    *    dispatches on the first argument's resolved type so Spark's own
+    *    string `contains` keeps working on the same session.
+    *  - `reduce(arr, init, merge, finish)` → ArrayAggregate (Spark's
+    *    `aggregate`; identical argument order and lambda semantics).
+    *  - `zip(a, b, ...)` → ArraysZip with Presto's `field0..fieldN`
+    *    row-field names (Spark's default names come from the input
+    *    expressions; a pack that reads `z.field0` needs Presto's).
+    *  - `split_to_map(s, entryDelim, kvDelim)` → StringToMap with the
+    *    LITERAL delimiters regex-quoted (Spark's str_to_map treats both
+    *    delimiters as regexes; Presto's are literal — an unquoted `.` or
+    *    `|` would silently shred the string). Duplicate keys throw in
+    *    both engines (Spark's default EXCEPTION dedup policy = Presto's
+    *    "Duplicate keys are not allowed").
+    *  - `day_of_week`/`dow` (ISO 1=Monday..7=Sunday — Spark's
+    *    `dayofweek` is 1=Sunday, so this is WeekDay+1), `day_of_year`/
+    *    `doy`, `week`/`week_of_year` (ISO week), `year_of_week`/`yow`
+    *    (ISO week-year), `day_of_month` — each BIGINT-typed as Presto
+    *    returns.
+    *
+    * `url_encode`/`url_decode` need NO alias: Spark's builtins share
+    * Presto's name and x-www-form-urlencoded semantics (space → '+');
+    * they are exercised by the sq_presto_functions3 row instead. */
+  private def prestoAliases3: Seq[FnEntry] = Seq(
+    unaryFn("json_parse", classOf[graft.functions.PrestoJsonParse].getName,
+      graft.functions.PrestoJsonParse(_, "json_parse")),
+    unaryFn("json_format", classOf[graft.functions.PrestoJsonParse].getName,
+      graft.functions.PrestoJsonParse(_, "json_format")),
+    binaryFn("contains", classOf[graft.functions.PrestoContains].getName,
+      graft.functions.PrestoContains(_, _)),
+    (new org.apache.spark.sql.catalyst.FunctionIdentifier("reduce"),
+      new ExpressionInfo(classOf[ArrayAggregate].getName, "reduce"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "reduce(array, init, merge, finish) takes four arguments (Presto)")
+        ArrayAggregate(args(0), args(1), args(2), args(3))
+      }),
+    (new org.apache.spark.sql.catalyst.FunctionIdentifier("zip"),
+      new ExpressionInfo(classOf[ArraysZip].getName, "zip"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 2, "zip takes at least two arrays")
+        ArraysZip(args, args.indices.map(i => Literal.create(s"field$i",
+          org.apache.spark.sql.types.StringType)))
+      }),
+    (new org.apache.spark.sql.catalyst.FunctionIdentifier("split_to_map"),
+      new ExpressionInfo(classOf[StringToMap].getName, "split_to_map"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "split_to_map(s, entryDelim, kvDelim) takes three arguments")
+        def quoted(e: Expression, which: String): Expression = e match {
+          case Literal(v, org.apache.spark.sql.types.StringType) if v != null =>
+            Literal.create(java.util.regex.Pattern.quote(v.toString),
+              org.apache.spark.sql.types.StringType)
+          case other => throw new IllegalArgumentException(
+            s"split_to_map $which delimiter must be a string literal " +
+              s"(Presto's delimiters are literal, Spark's are regexes), " +
+              s"got $other")
+        }
+        StringToMap(args(0), quoted(args(1), "entry"), quoted(args(2), "key-value"))
+      })) ++ Seq[(Seq[String], Expression => Expression)](
+    (Seq("day_of_week", "dow"),
+      d => Add(WeekDay(d), Literal(1))),
+    (Seq("day_of_year", "doy"), DayOfYear(_)),
+    (Seq("week", "week_of_year"), WeekOfYear(_)),
+    (Seq("year_of_week", "yow"), YearOfWeek(_)),
+    (Seq("day_of_month"), DayOfMonth(_))
+  ).flatMap { case (names, mk) =>
+    names.map(name => unaryFn(name, classOf[WeekDay].getName,
+      // Presto accepts date or timestamp and returns BIGINT; the Cast to
+      // DateType carries the session zone for timestamps
+      e => Cast(mk(Cast(e, org.apache.spark.sql.types.DateType)), LongType)))
+  }
 
   private def unaryFn(name: String, className: String,
       mk: Expression => Expression): FnEntry =

@@ -1245,6 +1245,74 @@ private[graft] trait SqlQueries extends RegistryBase {
   }
 
 
+  // §3.2 dialect compatibility, r19 function batch (r18 verdict ask #3):
+  // json_parse/json_format (canonical compact re-encode — the fixture
+  // plants extra whitespace the canonicalization must strip), contains
+  // over an array (the type-dispatching alias that keeps Spark's string
+  // contains alive), 4-arg reduce, zip with Presto field names + null
+  // padding, split_to_map with LITERAL delimiters, url_encode/url_decode
+  // (Spark builtins sharing Presto's x-www-form semantics), and the ISO
+  // date fields (day_of_week 1=Monday, week, year_of_week). Every
+  // integer output casts to BIGINT on both sides (the cross-engine
+  // schema convention); the oracle derives each value analytically.
+  register(
+    "sq_presto_functions3",
+    """SELECT event_type,
+      |  '{"t":"' || event_type || '","n":' ||
+      |    CAST(min(event_id) % 5 AS VARCHAR) || '}' AS jnorm,
+      |  (min(event_id) % 3 = 1 OR min(event_id) % 5 = 1) AS has1,
+      |  CAST((min(event_id) % 4 + 1) * (min(event_id) % 4 + 2) AS BIGINT) AS red,
+      |  CAST(min(event_id) % 5 AS BIGINT) AS z0,
+      |  CAST(min(event_id) % 11 AS BIGINT) AS z1,
+      |  CAST(NULL AS BIGINT) AS zpad,
+      |  CAST(min(event_id) % 9 AS VARCHAR) AS mb,
+      |  replace(replace(event_type || ' &x', ' ', '+'), '&', '%26') AS ue,
+      |  event_type || ' &x' AS ud,
+      |  CAST(isodow(min(ts)) AS BIGINT) AS dw,
+      |  CAST(dayofyear(min(ts)) AS BIGINT) AS dy,
+      |  CAST(weekofyear(min(ts)) AS BIGINT) AS wk,
+      |  CAST(isoyear(min(ts)) AS BIGINT) AS yw,
+      |  CAST(day(min(ts)) AS BIGINT) AS dm
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (s, dir) =>
+    Tables.registerAll(s, dir)
+    ScheduledQueries.runPresto(s,
+      """SELECT event_type,
+        |  json_format(json_parse(concat('{"t": "', event_type, '", "n": ',
+        |    CAST(min(event_id) % 5 AS VARCHAR), '}'))) AS jnorm,
+        |  contains(ARRAY[CAST(min(event_id) % 3 AS INTEGER),
+        |                 CAST(min(event_id) % 5 AS INTEGER)], 1) AS has1,
+        |  CAST(reduce(sequence(1, CAST(min(event_id) % 4 + 1 AS INTEGER)),
+        |    0, (s, x) -> s + x, s -> s * 2) AS BIGINT) AS red,
+        |  CAST(element_at(zip(
+        |    ARRAY[CAST(min(event_id) % 3 AS INTEGER),
+        |          CAST(min(event_id) % 5 AS INTEGER)],
+        |    ARRAY[CAST(min(event_id) % 7 AS INTEGER)]), 2).field0
+        |    AS BIGINT) AS z0,
+        |  CAST(element_at(zip(
+        |    ARRAY[CAST(min(event_id) % 3 AS INTEGER)],
+        |    ARRAY[CAST(min(event_id) % 7 AS INTEGER),
+        |          CAST(min(event_id) % 11 AS INTEGER)]), 2).field1
+        |    AS BIGINT) AS z1,
+        |  CAST(element_at(zip(
+        |    ARRAY[CAST(min(event_id) % 3 AS INTEGER)],
+        |    ARRAY[CAST(min(event_id) % 7 AS INTEGER),
+        |          CAST(min(event_id) % 11 AS INTEGER)]), 2).field0
+        |    AS BIGINT) AS zpad,
+        |  element_at(split_to_map(concat('a=1;b=',
+        |    CAST(min(event_id) % 9 AS VARCHAR)), ';', '='), 'b') AS mb,
+        |  url_encode(concat(event_type, ' &x')) AS ue,
+        |  url_decode(url_encode(concat(event_type, ' &x'))) AS ud,
+        |  day_of_week(min(ts)) AS dw,
+        |  day_of_year(min(ts)) AS dy,
+        |  week(min(ts)) AS wk,
+        |  year_of_week(min(ts)) AS yw,
+        |  day_of_month(min(ts)) AS dm
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      java.time.Instant.parse("1995-06-18T12:00:00Z"))
+  }
+
+
   // §3.2 dialect compatibility, UNNEST leg (r17 verdict ask #5): the
   // single most common Athena FROM-clause idiom Spark's parser rejects —
   // `CROSS JOIN UNNEST(col) AS t (x)` over an array and a map — runs

@@ -182,6 +182,81 @@ class PrestoAliasSpec extends AnyFunSuite {
     assert(d.getInt(1) === 2, "null keys must be skipped")
   }
 
+  test("r19 alias batch: json_parse/json_format, contains, reduce, zip, split_to_map, date fields") {
+    val r = spark.sql(
+      """SELECT json_parse(' {"b" : 1.50, "a": [1, null]} ') AS jp,
+        |  json_format(json_parse('[1, "x"]')) AS jf,
+        |  try(json_parse('{oops')) AS jbad,
+        |  contains(array(1, 2, 3), 2) AS c_arr,
+        |  contains(array('a', 'b'), 'z') AS c_arr2,
+        |  contains('hello', 'ell') AS c_str,
+        |  contains(array(1L, 2L), 2) AS c_coerce,
+        |  reduce(array(1, 2, 3, 4), 0, (s, x) -> s + x, s -> s * 10) AS red,
+        |  zip(array(1, 2, 3), array('a', 'b')) AS z,
+        |  split_to_map('a=1;b=2', ';', '=') AS m,
+        |  split_to_map('a.1|b.2', '|', '.') AS m2,
+        |  day_of_week(DATE '1995-06-18') AS dw,
+        |  dow(TIMESTAMP '1995-06-19 23:00:00') AS dw2,
+        |  day_of_year(DATE '1995-02-01') AS dy,
+        |  week(DATE '1995-01-02') AS wk,
+        |  year_of_week(DATE '1995-01-01') AS yw,
+        |  day_of_month(DATE '1995-06-18') AS dm,
+        |  url_encode('a b&c') AS ue,
+        |  url_decode('a+b%26c') AS ud""".stripMargin).head
+    assert(r.getString(0) === """{"b":1.50,"a":[1,null]}""") // order + scale kept
+    assert(r.getString(1) === """[1,"x"]""")
+    assert(r.isNullAt(2)) // TRY(json_parse(bad)) = NULL, Presto's idiom
+    assert(r.getBoolean(3) && !r.getBoolean(4) && r.getBoolean(5) && r.getBoolean(6))
+    assert(r.getInt(7) === 100)
+    // zip: Presto field names field0/field1, null padding to longest
+    val z = r.getSeq[org.apache.spark.sql.Row](8)
+    assert(z.map(x => (x.getInt(0), Option(x.getString(1)))) ===
+      Seq((1, Some("a")), (2, Some("b")), (3, None)))
+    assert(r.getMap[String, String](9) === Map("a" -> "1", "b" -> "2"))
+    // literal delimiters: '|' and '.' are regex metachars, must be quoted
+    assert(r.getMap[String, String](10) === Map("a" -> "1", "b" -> "2"))
+    assert(r.getLong(11) === 7L) // 1995-06-18 is a Sunday → ISO 7
+    assert(r.getLong(12) === 1L) // Monday → ISO 1
+    assert(r.getLong(13) === 32L)
+    assert(r.getLong(14) === 1L)  // 1995-01-02 is ISO week 1
+    assert(r.getLong(15) === 1994L) // 1995-01-01 (Sunday) is ISO year 1994
+    assert(r.getLong(16) === 18L)
+    assert(r.getString(17) === "a+b%26c" && r.getString(18) === "a b&c")
+    // invalid JSON THROWS without TRY (Presto's json_parse contract)
+    val e = intercept[Exception] {
+      spark.sql("SELECT json_parse('{bad') AS x").collect()
+    }
+    assert(e.getMessage.contains("invalid JSON") ||
+      Option(e.getCause).exists(_.getMessage.contains("invalid JSON")))
+    // zip field names are Presto's: a pack reading z.field0 resolves
+    val f0 = spark.sql(
+      "SELECT transform(zip(array(1,2), array(3,4)), e -> e.field0 + e.field1) AS s"
+    ).head.getSeq[Int](0)
+    assert(f0 === Seq(4, 6))
+  }
+
+  test("ARRAY[] literal + bare VARCHAR/VARBINARY casts rewrite (Presto spellings)") {
+    import ScheduledQueries.{rewriteArrayLiterals, rewritePrestoTypes}
+    // nested literals recurse; subscript brackets are untouched
+    assert(rewriteArrayLiterals("SELECT ARRAY[1, ARRAY[2, 3]], a[1] FROM t")
+      === "SELECT array(1, array(2, 3)), a[1] FROM t")
+    // word-bounded: an identifier containing 'array' never rewrites; the
+    // keyword inside a string literal survives verbatim
+    assert(rewriteArrayLiterals("SELECT my_array[1], 'ARRAY[9]' FROM t")
+      === "SELECT my_array[1], 'ARRAY[9]' FROM t")
+    // Presto's whitespace between ARRAY and [ is legal
+    assert(rewriteArrayLiterals("ARRAY ['a', 'b[c]']") === "array('a', 'b[c]')")
+    assert(rewritePrestoTypes("CAST(x AS VARCHAR), CAST(y AS varchar )")
+      === "CAST(x AS STRING), CAST(y AS STRING)")
+    assert(rewritePrestoTypes("CAST(x AS VARBINARY)") === "CAST(x AS BINARY)")
+    // parameterized VARCHAR(n) is already Spark syntax — untouched
+    assert(rewritePrestoTypes("CAST(x AS VARCHAR(10))") === "CAST(x AS VARCHAR(10))")
+    val rows = ScheduledQueries.runPresto(spark,
+      "SELECT element_at(ARRAY[CAST(7 AS VARCHAR), 'b'], 1) AS v",
+      java.time.Instant.ofEpochSecond(0))
+    assert(rows.head.getString(0) === "7")
+  }
+
   test("UNNEST followed by a JOIN stays parseable (LATERAL subquery form)") {
     val rows = ScheduledQueries.runPresto(spark,
       """SELECT l.id, t.tag, u.uname
