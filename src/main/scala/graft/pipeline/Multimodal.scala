@@ -350,6 +350,98 @@ object Multimodal {
         signed(lonRef, "W", udeg("lo"))).as("lon_udeg"))
   }
 
+  /** Video duration probe over opaque ISO-BMFF (MP4/MOV) binary columns
+    * WITHOUT a codec — the video sibling of [[audioDuration]], closing
+    * the biggest byte mass of a real multimodal corpus (r18 verdict ask
+    * #8): `moov/mvhd` puts timescale and duration at spec-fixed offsets
+    * (ISO/IEC 14496-12, public), so corpus triage (drop clips, bucket by
+    * length, price transcode) never demuxes a frame.
+    *
+    * A REAL bounded box walk, not an offset guess: top-level boxes are
+    * length-framed `[u32 size]["fourcc"]` (the [[graft.functions.WarcSplit]]
+    * framing pattern, big-endian) — the walk follows up to 6 of them
+    * (`ftyp`/`free`/`mdat`/... before `moov`, the non-faststart layout),
+    * honoring the 64-bit `size==1` largesize escape, then up to 4 `moov`
+    * children to find `mvhd` (files commonly put `udta`/`iods` first).
+    * Version 0 reads timescale u32 @ box+20 / duration u32 @ box+24;
+    * version 1 (64-bit times) timescale u32 @ box+28 / duration u64
+    * @ box+32. A box size < 8, an out-of-bounds read, a missing
+    * moov/mvhd, an unknown version, or timescale 0 → valid=false with
+    * null fields, never an error. duration_ms floors from the exact
+    * double shape both engines replay (`dur·1000/ts + 0.5`). Staged
+    * projections (the [[exifProbe]] codegen-tree rule); scan-side, zero
+    * shuffle. Returns (media_id, valid, version, timescale, duration,
+    * duration_ms). */
+  def videoDuration(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    def keep(d: DataFrame, cols: Column*): DataFrame =
+      d.select(d.columns.map(col) ++ cols: _*)
+    val hx = col("__hx")
+    def u32(pos: Column): Column =
+      conv(hx.substr(pos, lit(8)), 16, 10).cast(LongType)
+    def u64(pos: Column): Column =
+      conv(hx.substr(pos, lit(16)), 16, 10).cast(LongType)
+    def fourcc(pos: Column): Column = hx.substr(pos + 8, lit(8))
+    // one top-level step: (pos) -> (type, nextPos); size==1 reads the
+    // largesize u64 at +16 (header then 16 bytes). size<8 poisons the
+    // walk, and so does a next position past end-of-blob+1 — garbage
+    // size fields would otherwise walk positions beyond substr's INT
+    // range (a real 4 GB u32 size is legal framing, but any box past the
+    // blob's end is unreadable anyway)
+    def step(pos: Column): (Column, Column) = {
+      val sz = u32(pos)
+      val real = when(sz === 1L, u64(pos + 16)).otherwise(sz)
+      val minSz = when(sz === 1L, lit(16L)).otherwise(lit(8L))
+      val next = pos + real * 2
+      // real <= hex length first: a garbage u64 size could overflow
+      // real*2 to negative and sneak under the end-of-blob bound
+      (fourcc(pos),
+        when(real >= minSz && real <= length(hx).cast(LongType) &&
+          next <= length(hx).cast(LongType) + 1, next))
+    }
+    val TopBoxes = 6
+    val MoovChildren = 4
+    val base = df.select(col(idCol).as("media_id"),
+      upper(hex(col(binCol))).as("__hx"))
+    // top-level walk: __tp_i / __tt_i staged so each position is computed
+    // once (inlining would double the subtree per level)
+    var d = keep(base, lit(1L).as("__tp0"))
+    for (i <- 0 until TopBoxes) {
+      val (t, next) = step(col(s"__tp$i"))
+      d = keep(d, t.as(s"__tt$i"), next.as(s"__tp${i + 1}"))
+    }
+    val moovPos = coalesce((0 until TopBoxes).map(i =>
+      when(col(s"__tt$i") === "6D6F6F76", col(s"__tp$i"))): _*)
+    d = keep(d, (moovPos + 16).as("__cp0"))
+    for (j <- 0 until MoovChildren) {
+      val (t, next) = step(col(s"__cp$j"))
+      d = keep(d, t.as(s"__ct$j"), next.as(s"__cp${j + 1}"))
+    }
+    val mvhdPos = coalesce((0 until MoovChildren).map(j =>
+      when(col(s"__ct$j") === "6D766864", col(s"__cp$j"))): _*)
+    d = keep(d, mvhdPos.as("__mv"))
+    val mv = col("__mv")
+    d = keep(d,
+      conv(hx.substr(mv + 16, lit(2)), 16, 10).cast(LongType).as("__ver"))
+    val ver = col("__ver")
+    val tsPos = when(ver === 0L, mv + 40).when(ver === 1L, mv + 56)
+    val durPos = when(ver === 0L, mv + 48).when(ver === 1L, mv + 64)
+    val durHexLen = when(ver === 0L, lit(8L)).otherwise(lit(16L))
+    d = keep(d,
+      u32(tsPos).as("__ts"),
+      when(ver === 0L, u32(durPos)).when(ver === 1L, u64(durPos)).as("__dur"),
+      (durPos + durHexLen - 1 <= length(hx)).as("__inb"))
+    val valid = coalesce(
+      mv.isNotNull && (ver === 0L || ver === 1L) &&
+        col("__ts") > 0 && col("__dur").isNotNull && col("__inb"),
+      lit(false))
+    d.select(col("media_id"), valid.as("valid"),
+      when(valid, ver).as("version"),
+      when(valid, col("__ts")).as("timescale"),
+      when(valid, col("__dur")).as("duration"),
+      when(valid, floor(col("__dur").cast("double") * 1000.0 /
+        col("__ts").cast("double") + 0.5).cast(LongType)).as("duration_ms"))
+  }
+
   /** The APP1 regex over the whole blob runs ONCE per row: it lands in
     * its own projection and every downstream read references the
     * attribute — inlining it would re-run the O(blob) scan inside each

@@ -1578,6 +1578,66 @@ private[graft] trait PipelineQueries extends RegistryBase {
   }
 
 
+  // Codec-free MP4/ISO-BMFF duration probe (r18 verdict ask #8 — video
+  // was the one multimodal tier with only the stubbed frame sampler):
+  // a REAL length-framed box walk to moov/mvhd over planted bytes. The
+  // v0 fixture is the non-faststart layout (ftyp + free before moov)
+  // with a udta child BEFORE mvhd, so both walks must actually follow
+  // box sizes; the v1 fixture routes through the 64-bit size==1
+  // largesize escape and reads duration as u64. Truncated-mvhd, no-moov,
+  // and garbage classes yield valid=false. The oracle derives expected
+  // fields analytically from the same doc_id parameters — the hash match
+  // proves the byte walk is exact.
+  register(
+    "mm_video_duration",
+    """WITH p AS (
+      |  SELECT doc_id, CAST(doc_id % 5 AS INT) AS m5,
+      |         600 + doc_id % 1000 AS ts,
+      |         (doc_id % 5000 + 1) * 123 AS dur
+      |  FROM documents)
+      |SELECT doc_id AS media_id,
+      |  m5 <= 1 AS valid,
+      |  CASE WHEN m5 <= 1 THEN CAST(m5 AS BIGINT) END AS version,
+      |  CASE WHEN m5 <= 1 THEN CAST(ts AS BIGINT) END AS timescale,
+      |  CASE WHEN m5 <= 1 THEN CAST(dur AS BIGINT) END AS duration,
+      |  CASE WHEN m5 <= 1 THEN CAST(floor(
+      |    CAST(dur AS DOUBLE) * 1000.0 / CAST(ts AS DOUBLE) + 0.5)
+      |    AS BIGINT) END AS duration_ms
+      |FROM p ORDER BY media_id""".stripMargin) { (s, dir) =>
+    def be32(v: Column): Column = lpad(hex(v), 8, "0")
+    val id = col("doc_id")
+    val ts = lit(600) + id % 1000
+    val dur = (id % 5000 + 1) * 123
+    val ftyp = "00000010" + "66747970" + "69736F6D" + "00000000"
+    val free8 = "00000008" + "66726565"
+    // size==1 largesize escape: 24-byte free box, length in the u64
+    val freeLarge = "00000001" + "66726565" + "0000000000000018" +
+      "0000000000000000"
+    val udta8 = "00000008" + "75647461"
+    // v0 mvhd: 28-byte box (header + version/flags + ctime + mtime + ts + dur)
+    val mvhd0 = concat(lit("0000001C" + "6D766864" + "00000000" +
+      "00000000" + "00000000"), be32(ts), be32(dur))
+    // v1 mvhd: 40-byte box (u64 ctime/mtime, u32 ts, u64 dur)
+    val mvhd1 = concat(lit("00000028" + "6D766864" + "01000000" +
+      "0000000000000000" + "0000000000000000"), be32(ts),
+      lit("00000000"), be32(dur))
+    val moov0 = concat(lit("0000002C" + "6D6F6F76" + udta8), mvhd0)
+    val moov1 = concat(lit("00000030" + "6D6F6F76"), mvhd1)
+    // truncated: mvhd header present, timescale/duration cut off
+    val truncated = ftyp + "0000002C6D6F6F76" + udta8 +
+      "0000001C6D766864" + "00000000"
+    val noMoov = ftyp + "00000010" + "6D646174" + "0011223344556677"
+    val m5 = id % 5
+    val blobs = t(s, dir, "documents").select(id,
+      when(m5 === 0, unhex(concat(lit(ftyp + free8), moov0)))
+        .when(m5 === 1, unhex(concat(lit(ftyp + freeLarge), moov1)))
+        .when(m5 === 2, unhex(lit(truncated)))
+        .when(m5 === 3, unhex(lit(noMoov)))
+        .otherwise(col("text").cast("binary")).as("blob"))
+    Multimodal.videoDuration(blobs, "blob", "doc_id").orderBy("media_id")
+  }
+
+
   // The INGEST-TRIAGE composite — the fetch-to-frontier program in front
   // of p12's content pipeline, chaining this round's surface: response
   // head (t105) -> status/content-type gates -> charset sniff over body
