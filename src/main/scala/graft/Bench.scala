@@ -108,11 +108,15 @@ object Bench {
     // an unadjudicable canary must not quarantine)
     val driftRatio = BenchDrift.driftRatio(canary.toSeq.drop(1))
     val canaryJson = canary.map(num).mkString("[", ",", "]")
+    // host-speed index vs the COMMITTED snapshot (read before this run
+    // overwrites it): cross-round comparisons normalize by this instead
+    // of reconstructing control-row ratios by hand (r18 verdict ask #7)
+    val hostIndex = BenchDrift.hostIndex(med, BenchDrift.committedQueries())
     // field order matters: harness snapshots keep only a TAIL window of
     // stdout, so the dict that must survive truncation — the medians — goes
     // LAST (r8 post-mortem: spread-last meant the driver artifact's visible
     // tail was the spread dict, read as 200x-wrong "medians")
-    val json = s"""{"metric":"total_median","value":$total,"unit":"sec","runs":$runs,"failed":$failedJson,"sf":"$sfDir","load_before":${num(loadBefore)},"load_after":${num(loadAfter)},"canary":$canaryJson,"drift_ratio":${num(driftRatio)},"spread":${jmap(spread)},"queries":${jmap(med)}}"""
+    val json = s"""{"metric":"total_median","value":$total,"unit":"sec","runs":$runs,"failed":$failedJson,"sf":"$sfDir","load_before":${num(loadBefore)},"load_after":${num(loadAfter)},"canary":$canaryJson,"drift_ratio":${num(driftRatio)},"host_index":${num(hostIndex)},"spread":${jmap(spread)},"queries":${jmap(med)}}"""
     // printed TWICE and mirrored to a repo file: harness snapshots that keep
     // only a tail window of stdout front-truncate a single long line (seen
     // r4+r5); the duplicate line and the file keep the full payload reachable

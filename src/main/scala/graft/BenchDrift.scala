@@ -34,4 +34,50 @@ object BenchDrift {
   def loadAverage(): Double =
     java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Host-speed control set for [[hostIndex]] (r18 verdict ask #7): ten
+    * long-stable rows across families — classification, alerts, rules,
+    * graph, dedup-adjacent text, eval — each ≥1.5 s at sf0.1 (single-shot
+    * noise on a 0.2 s row false-reads as drift) and none on any active
+    * optimization path. The round-over-round verdict used to reconstruct
+    * this by hand from prose; now the bench computes it. */
+  val HostIndexControl: Seq[String] = Seq(
+    "o1_json_path_envelope", "o12_artifacts", "s1_kinesis_decode",
+    "r5_datatype_rule", "a7_attempt_ledger", "q34_hits_trade",
+    "q54_label_propagation", "t102_ccnet_perplexity", "t68_dawid_skene",
+    "t20_boilerplate_ngrams")
+
+  /** Median per-query ratio of the current run's medians vs the committed
+    * quiet snapshot over [[HostIndexControl]] — the mechanical form of
+    * the host-speed adjudication r18's verdict did in prose (its hand
+    * analysis: median control ratio 1.165 ≙ a ~1.17× slower host).
+    * Cross-round comparisons divide by this. -1.0 when fewer than 5
+    * control rows are usable (no committed snapshot, renamed rows) —
+    * distinct from 1.0, which means "same-speed host". */
+  def hostIndex(current: Map[String, Double],
+      baseline: Map[String, Double]): Double = {
+    val ratios = HostIndexControl.flatMap { q =>
+      for {
+        c <- current.get(q); b <- baseline.get(q)
+        if c > 0 && b > 0
+      } yield c / b
+    }.sorted
+    if (ratios.size < 5) -1.0
+    else if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+    else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
+  }
+
+  /** The committed quiet snapshot's per-query medians (empty map when the
+    * file is missing/unparseable — hostIndex then reports -1.0). Read
+    * BEFORE the run overwrites the snapshot. */
+  def committedQueries(path: String = "BENCH_LOCAL.json"): Map[String, Double] =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      val idx = s.lastIndexOf("\"queries\":{")
+      if (idx < 0) Map.empty
+      else "\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.]*)".r
+        .findAllMatchIn(s.substring(idx + 11))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
 }
