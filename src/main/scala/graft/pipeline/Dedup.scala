@@ -772,7 +772,8 @@ object Dedup {
   def minhashNearDupsAgainstStore(newDocs: DataFrame, textCol: String,
       idCol: String, storeShingles: DataFrame, storeBuckets: DataFrame,
       shingleWords: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.7, maxBucketPairing: Int = 64): DataFrame = {
+      threshold: Double = 0.7, maxBucketPairing: Int = 64,
+      rowsPerPartition: Long = AdaptiveParts.RowsPerPartition): DataFrame = {
     val (newShingledRaw, newBuckets) = minhashStages(newDocs, textCol, idCol,
       shingleWords, numHashes, bands)
     val newShingled = newShingledRaw.persist(StorageLevel.MEMORY_AND_DISK)
@@ -783,20 +784,50 @@ object Dedup {
       .withColumn("__rn", row_number().over(
         Window.partitionBy("band", "bucket").orderBy("id")))
       .where(col("__rn") <= maxBucketPairing).drop("__rn")
-    val candidates = newBuckets.as("n")
-      .join(cappedStore.as("s"), Seq("band", "bucket"))
-      .select(col("n.id").as("id_new"), col("s.id").as("id_store"))
-      .where(col("id_new") =!= col("id_store")) // store may already hold the doc
+    // exchange sizing ([[bipartiteParts]]): as the STORE grows past the
+    // batch, candidate volume is bucket-histogram math a fixed session
+    // width cannot see — the same r17 pathology the batch paths fixed
+    val floor = AdaptiveParts.sessionFloor(newDocs.sparkSession)
+    val parts = bipartiteParts(newBuckets, storeBuckets,
+      Seq("band", "bucket"), maxBucketPairing, floor, rowsPerPartition)
+    val candidates = AdaptiveParts.bySize(
+      AdaptiveParts.bySize(newBuckets, parts, floor,
+          col("band"), col("bucket")).as("n")
+        .join(AdaptiveParts.bySize(cappedStore, parts, floor,
+          col("band"), col("bucket")).as("s"), Seq("band", "bucket"))
+        .select(col("n.id").as("id_new"), col("s.id").as("id_store"))
+        .where(col("id_new") =!= col("id_store")), // store may hold the doc
+      parts, floor, col("id_new"), col("id_store"))
       .dropDuplicates("id_new", "id_store")
-    val pairs = candidates
-      .join(newShingled.select(col("id").as("id_new"), col("shingles").as("sh_n")),
-        "id_new")
+    val pairs = AdaptiveParts.bySize(
+      AdaptiveParts.bySize(candidates, parts, floor, col("id_new"))
+        .join(newShingled.select(col("id").as("id_new"),
+          col("shingles").as("sh_n")), "id_new"),
+      parts, floor, col("id_store"))
       .join(storeShingles.select(col("id").as("id_store"), col("shingles").as("sh_s")),
         "id_store")
       .withColumn("jaccard", jaccardLongDistinct(col("sh_n"), col("sh_s")))
       .where(col("jaccard") >= threshold)
       .select(col("id_new"), col("id_store"), round(col("jaccard"), 6).as("jaccard"))
     materializeAndRelease(pairs, Seq(newShingled))
+  }
+
+  /** Exchange width for a bipartite (batch × capped store) candidate
+    * join — [[cappedPairs]]' sizing tier for the `*AgainstStore` family
+    * (r18 verdict ask #5). Cheap tier first: capped pairing bounds output
+    * by newRows·cap, so a batch-side count (a stage the join materializes
+    * anyway) proves the common small case and skips the store histogram;
+    * only a genuinely large batch pays the exact bipartite pricing — one
+    * scan of the skinny store key table the candidate join reads
+    * regardless. */
+  private def bipartiteParts(newSide: DataFrame, storeSide: DataFrame,
+      keyCols: Seq[String], cap: Int, floor: Int,
+      rowsPerPartition: Long): Int = {
+    val newRows = newSide.count()
+    if (newRows <= floor.toLong * rowsPerPartition / math.max(1, cap)) floor
+    else AdaptiveParts.partsFor(
+      AdaptiveParts.bipartiteCappedEstimate(newSide, storeSide, keyCols, cap),
+      floor, rowsPerPartition)
   }
 
   /** One micro-batch step of the STREAMING incremental near-dup loop — the
@@ -1252,7 +1283,19 @@ object Dedup {
     * arrays. */
   def similarityJoinAgainstStore(newDocs: DataFrame, textCol: String,
       idCol: String, storeFreq: DataFrame, storeSorted: DataFrame,
-      shingleWords: Int = 2, threshold: Double = 0.6): DataFrame = {
+      shingleWords: Int = 2, threshold: Double = 0.6,
+      rowsPerPartition: Long = AdaptiveParts.RowsPerPartition): DataFrame = {
+    val (verified, stages) = similarityJoinAgainstStorePlan(newDocs, textCol,
+      idCol, storeFreq, storeSorted, shingleWords, threshold, rowsPerPartition)
+    materializeAndRelease(verified, stages)
+  }
+
+  /** The lazy against-store PPJoin plan + its persisted stages (exposed
+    * for plan tests; callers use [[similarityJoinAgainstStore]]). */
+  private[graft] def similarityJoinAgainstStorePlan(newDocs: DataFrame,
+      textCol: String, idCol: String, storeFreq: DataFrame,
+      storeSorted: DataFrame, shingleWords: Int, threshold: Double,
+      rowsPerPartition: Long): (DataFrame, Seq[DataFrame]) = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
     val newSorted = ppjoinSorted(
         ppjoinExploded(newDocs, textCol, idCol, shingleWords)
@@ -1261,19 +1304,39 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val newPrefix = ppjoinPrefix(newSorted, threshold)
     val storePrefix = ppjoinPrefix(storeSorted, threshold)
+    // exchange sizing ([[AdaptiveParts]], r18 verdict ask #5): the
+    // bipartite prefix join's candidate volume is per-token histogram
+    // math. The store side's histogram never needs the store re-exploded:
+    // its STAGED frequency table bounds it (prefix rows per token ≤ doc
+    // frequency — a prefix holds at most one row per (doc, tok)), so the
+    // estimate is one join of the batch's prefix histogram (off the
+    // persisted newSorted stage) against the freq parquet the batch scan
+    // already reads. Safe overestimate; below the floor the plan is
+    // byte-identical to the unsized one.
+    val floor = AdaptiveParts.sessionFloor(newDocs.sparkSession)
+    val parts = AdaptiveParts.partsFor(
+      AdaptiveParts.bipartiteFromHists(
+        newPrefix.groupBy("tok").agg(count(lit(1)).as("__ml")),
+        storeFreq.select(col("tok"), col("df").as("__mr")), Seq("tok")),
+      floor, rowsPerPartition)
     val overlapNeeded =
       ceil(lit(threshold / (1 + threshold)) * (col("a.n") + col("b.n")))
-    val cand = newPrefix.as("a").join(storePrefix.as("b"),
+    val cand = AdaptiveParts.bySize(
+      AdaptiveParts.bySize(newPrefix, parts, floor, col("tok")).as("a")
+        .join(AdaptiveParts.bySize(storePrefix, parts, floor, col("tok")).as("b"),
         col("a.tok") === col("b.tok") &&
         col("a.id") =!= col("b.id") && // the store may already hold the doc
         least(col("a.n"), col("b.n")) >=
           ceil(lit(threshold) * greatest(col("a.n"), col("b.n"))) &&
         least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >= overlapNeeded)
-      .select(col("a.id").as("id_new"), col("b.id").as("id_store"))
+      .select(col("a.id").as("id_new"), col("b.id").as("id_store")),
+      parts, floor, col("id_new"), col("id_store"))
       .dropDuplicates("id_new", "id_store")
-    val verified = cand
-      .join(newSorted.select(col("id").as("id_new"), col("toks").as("__ta"),
-        col("n").as("__na")), "id_new")
+    val verified = AdaptiveParts.bySize(
+      AdaptiveParts.bySize(cand, parts, floor, col("id_new"))
+        .join(newSorted.select(col("id").as("id_new"), col("toks").as("__ta"),
+          col("n").as("__na")), "id_new"),
+      parts, floor, col("id_store"))
       .join(storeSorted.select(col("id").as("id_store"), col("toks").as("__tb"),
         col("n").as("__nb")), "id_store")
       .withColumn("__i", graft.functions.VectorOps
@@ -1281,7 +1344,7 @@ object Dedup {
       .select(col("id_new"), col("id_store"),
         (col("__i") / (col("__na") + col("__nb") - col("__i"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
-    materializeAndRelease(verified, Seq(newSorted))
+    (verified, Seq(newSorted))
   }
 
   /** One micro-batch step of the streaming EXACT-similarity dedup loop —
@@ -1431,18 +1494,42 @@ object Dedup {
     * (fp, id) pairs only. */
   def winnowingCandidatesAgainstStore(newDocs: DataFrame, textCol: String,
       idCol: String, storeFps: DataFrame,
-      k: Int = 3, window: Int = 4, maxBucketPairing: Int = 64): DataFrame = {
+      k: Int = 3, window: Int = 4, maxBucketPairing: Int = 64,
+      rowsPerPartition: Long = AdaptiveParts.RowsPerPartition): DataFrame = {
+    val (shared, stages) = winnowingCandidatesAgainstStorePlan(newDocs,
+      textCol, idCol, storeFps, k, window, maxBucketPairing, rowsPerPartition)
+    materializeAndRelease(shared, stages)
+  }
+
+  /** The lazy against-store plan + its persisted stages (exposed for plan
+    * tests; callers use [[winnowingCandidatesAgainstStore]]). */
+  private[graft] def winnowingCandidatesAgainstStorePlan(newDocs: DataFrame,
+      textCol: String, idCol: String, storeFps: DataFrame,
+      k: Int, window: Int, maxBucketPairing: Int,
+      rowsPerPartition: Long): (DataFrame, Seq[DataFrame]) = {
+    // persisted: the sizing tier counts the batch's fingerprints and the
+    // join reads them again (same contract as minhashNearDupsAgainstStore
+    // — result materialized, zero cache entries on return)
     val newFps = winnowFingerprints(newDocs, textCol, idCol, k, window)
       .select(col("fp"), col("doc_id").as("id_new"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cappedStore = storeFps
       .select(col("fp"), col("doc_id").as("id_store"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy("fp").orderBy("id_store")))
       .where(col("__rn") <= maxBucketPairing).drop("__rn")
-    newFps.join(cappedStore, Seq("fp"))
-      .where(col("id_new") =!= col("id_store")) // store may already hold the doc
+    val floor = AdaptiveParts.sessionFloor(newDocs.sparkSession)
+    val parts = bipartiteParts(newFps, storeFps.select("fp"), Seq("fp"),
+      maxBucketPairing, floor, rowsPerPartition)
+    val shared = AdaptiveParts.bySize(
+      AdaptiveParts.bySize(newFps, parts, floor, col("fp"))
+        .join(AdaptiveParts.bySize(cappedStore, parts, floor, col("fp")),
+          Seq("fp"))
+        .where(col("id_new") =!= col("id_store")), // store may hold the doc
+      parts, floor, col("id_new"), col("id_store"))
       .groupBy("id_new", "id_store")
       .agg(count(lit(1)).as("shared_fps"))
+    (shared, Seq(newFps))
   }
 
   /** One micro-batch step of the STREAMING winnowing candidate loop —
@@ -1917,7 +2004,8 @@ object Dedup {
   def embeddingNearDupsBandedAgainstStore(newVecs: DataFrame, vecCol: String,
       idCol: String, storeBase: DataFrame, storeBuckets: DataFrame,
       bands: Int = 16, planesPerBand: Int = 8, threshold: Double = 0.95,
-      maxBucketPairing: Int = 64): DataFrame = {
+      maxBucketPairing: Int = 64,
+      rowsPerPartition: Long = AdaptiveParts.RowsPerPartition): DataFrame = {
     val (newBaseRaw, newBuckets) = embeddingStagesBanded(newVecs, vecCol, idCol,
       bands, planesPerBand)
     val newBase = newBaseRaw.persist(StorageLevel.MEMORY_AND_DISK)
@@ -1929,14 +2017,24 @@ object Dedup {
       .withColumn("__rn", row_number().over(
         Window.partitionBy("band", "sig").orderBy("id")))
       .where(col("__rn") <= maxBucketPairing).drop("__rn")
-    val candidates = newBuckets.as("n")
-      .join(cappedStore.as("s"), Seq("band", "sig"))
-      .select(col("n.id").as("id_new"), col("s.id").as("id_store"))
-      .where(col("id_new") =!= col("id_store")) // store may already hold the vec
+    // exchange sizing: same bipartite pricing as the minhash store join
+    val floor = AdaptiveParts.sessionFloor(newVecs.sparkSession)
+    val parts = bipartiteParts(newBuckets, storeBuckets, Seq("band", "sig"),
+      maxBucketPairing, floor, rowsPerPartition)
+    val candidates = AdaptiveParts.bySize(
+      AdaptiveParts.bySize(newBuckets, parts, floor,
+          col("band"), col("sig")).as("n")
+        .join(AdaptiveParts.bySize(cappedStore, parts, floor,
+          col("band"), col("sig")).as("s"), Seq("band", "sig"))
+        .select(col("n.id").as("id_new"), col("s.id").as("id_store"))
+        .where(col("id_new") =!= col("id_store")), // store may hold the vec
+      parts, floor, col("id_new"), col("id_store"))
       .dropDuplicates("id_new", "id_store")
-    val pairs = candidates
-      .join(newBase.select(col("id").as("id_new"), col("v").as("v_n"),
-        col("nrm").as("n_n")), "id_new")
+    val pairs = AdaptiveParts.bySize(
+      AdaptiveParts.bySize(candidates, parts, floor, col("id_new"))
+        .join(newBase.select(col("id").as("id_new"), col("v").as("v_n"),
+          col("nrm").as("n_n")), "id_new"),
+      parts, floor, col("id_store"))
       .join(withNorm(storeBase).select(col("id").as("id_store"),
         col("v").as("v_s"), col("nrm").as("n_s")), "id_store")
       .withColumn("cos",

@@ -31,13 +31,16 @@ object Similarity {
 
   /** Hint `side` for broadcast only when provably small. Two tiers: the
     * free one reads the BROADCAST SIDE'S OWN logical-plan byte statistics
-    * (no job; parquet scans report real sizes and projections propagate
-    * them) against [[BroadcastByteBudget]] — gating on the skinny `gate`
-    * frame's bytes instead assumed ~512 bytes/row of side payload, which
-    * a fat derived side (adcTopK's m×K distance tables) violates and a
-    * skinny gate could then admit a multi-GB build (r18 advice). A side
-    * whose stats are ambiguous (join-derived estimates overshoot) falls
-    * through to the early-stopping ROW count of `gate` — a cheap frame
+    * (no job) against [[BroadcastByteBudget]] — gating on the skinny
+    * `gate` frame's bytes instead assumed ~512 bytes/row of side payload,
+    * which a fat derived side (adcTopK's m×K distance tables) violates
+    * and a skinny gate could then admit a multi-GB build (r18 advice).
+    * The stats tier only fires when the side's schema is FIXED-WIDTH:
+    * Catalyst's size-only estimation prices variable-size columns at
+    * `defaultSize` (an Array[Double] column counts 8 bytes regardless of
+    * runtime length), so for array/map/string-bearing sides — every ANN
+    * side — the byte statistic is not a bound and the decision falls
+    * through to the early-stopping ROW count of `gate`, a cheap frame
     * whose rows bound side's rows within `factor`, with `cap` priced by
     * the caller for side's actual bytes-per-row. Above both tiers the
     * join shuffles/spills; semantics identical. */
@@ -45,7 +48,14 @@ object Similarity {
       factor: Long = 1L, cap: Long = QueryBroadcastCap): DataFrame = {
     val rowCap = math.max(1L, cap / math.max(1L, factor))
     val sideBytes = side.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (sideBytes <= BigInt(BroadcastByteBudget)) broadcast(side)
+    val statsSound = side.schema.fields.forall(f => f.dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.BooleanType |
+           org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.TimestampType => true
+      case _ => false
+    })
+    if (statsSound && sideBytes <= BigInt(BroadcastByteBudget)) broadcast(side)
     else if (BatchStore.fitsBroadcast(gate, rowCap)) broadcast(side)
     else side
   }

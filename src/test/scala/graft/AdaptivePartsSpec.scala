@@ -83,6 +83,75 @@ class AdaptivePartsSpec extends AnyFunSuite {
     assert(sized.collect().toSet == plain.collect().toSet)
   }
 
+  test("bipartite estimates price the batch-x-capped-store join exactly") {
+    // left buckets: a=2, b=3; right buckets: a=5, b=1, c=9; cap 4
+    //   a: 2·min(5,4)=8; b: 3·min(1,4)=3; c unmatched → 0
+    val left = Seq.tabulate(2)(i => ("a", i)) ++ Seq.tabulate(3)(i => ("b", i))
+    val right = Seq.tabulate(5)(i => ("a", i)) ++ Seq(("b", 0)) ++
+      Seq.tabulate(9)(i => ("c", i))
+    val l = left.toDF("fp", "x")
+    val r = right.toDF("fp", "x")
+    assert(AdaptiveParts.bipartiteCappedEstimate(l, r, Seq("fp"), 4) == 11L)
+    // uncapped via hists (the PPJoin-store freq-table path)
+    val lh = l.groupBy("fp").agg(count(lit(1)).as("__ml"))
+    val rh = r.groupBy("fp").agg(count(lit(1)).as("__mr"))
+    assert(AdaptiveParts.bipartiteFromHists(lh, rh, Seq("fp")) ==
+      2L * 5 + 3L * 1)
+    assert(AdaptiveParts.bipartiteFromHists(lh, rh, Seq("fp"), 4) == 11L)
+    // no matching buckets → 0, never null
+    assert(AdaptiveParts.bipartiteCappedEstimate(
+      Seq(("z", 1)).toDF("fp", "x"), r, Seq("fp"), 4) == 0L)
+  }
+
+  test("against-store joins size their exchanges from the bipartite estimate (wired)") {
+    val floor = AdaptiveParts.sessionFloor(spark)
+    val tiny = 2L // rows per partition — forces sizing on a test fixture
+    // winnowing: batch and store share boilerplate text → one hot fp
+    val mk = (ids: Range) => ids.map(i =>
+      (i.toLong, s"alpha beta gamma delta shared boiler plate text run $i"))
+      .toDF("doc_id", "text")
+    val store = Dedup.winnowFingerprints(mk(0 until 40), "text", "doc_id")
+      .localCheckpoint()
+    val (sized, stW) = Dedup.winnowingCandidatesAgainstStorePlan(
+      mk(100 until 140), "text", "doc_id", store, 3, 4,
+      maxBucketPairing = 8, rowsPerPartition = tiny)
+    assert(repartitionWidths(sized).exists(_ > floor),
+      "store path must carry a REPARTITION_BY_NUM exchange above the floor")
+    val (plain, stW2) = Dedup.winnowingCandidatesAgainstStorePlan(
+      mk(100 until 140), "text", "doc_id", store, 3, 4,
+      maxBucketPairing = 8, AdaptiveParts.RowsPerPartition)
+    assert(repartitionWidths(plain).isEmpty,
+      "below the floor the store-path plan must be untouched")
+    assert(sized.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet == plain.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2))).toSet, "sizing must never change results")
+    (stW ++ stW2).foreach(_.unpersist(true))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "winnowing store path leaked cache entries")
+    // PPJoin store: the freq-table bound prices the prefix join
+    val (freq, sorted) = Dedup.similarityStages(mk(0 until 40), "text", "doc_id")
+    val freqC = freq.localCheckpoint(); val sortedC = sorted.localCheckpoint()
+    val (sizedS, stS) = Dedup.similarityJoinAgainstStorePlan(mk(100 until 140),
+      "text", "doc_id", freqC, sortedC, 2, 0.3, rowsPerPartition = tiny)
+    assert(repartitionWidths(sizedS).exists(_ > floor),
+      "ppjoin store path must size above the floor")
+    val (plainS, stS2) = Dedup.similarityJoinAgainstStorePlan(mk(100 until 140),
+      "text", "doc_id", freqC, sortedC, 2, 0.3,
+      AdaptiveParts.RowsPerPartition)
+    assert(repartitionWidths(plainS).isEmpty)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1),
+      math.round(r.getDouble(2) * 1e6))
+    assert(sizedS.collect().map(key).toSet == plainS.collect().map(key).toSet)
+    (stS ++ stS2).foreach(_.unpersist(true))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "ppjoin store path leaked cache entries")
+    // the materializing wrappers stay cache-clean too
+    assert(Dedup.winnowingCandidatesAgainstStore(mk(100 until 110), "text",
+      "doc_id", store, maxBucketPairing = 8).count() > 0)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "winnowing wrapper leaked cache entries")
+  }
+
   test("ANN query-set broadcast demotes above the cap (spill, not error)") {
     import graft.pipeline.Similarity
     val corpus = (0L until 50L).map(i =>
