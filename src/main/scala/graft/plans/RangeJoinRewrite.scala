@@ -443,9 +443,16 @@ object GraftExtensions {
     (new org.apache.spark.sql.catalyst.FunctionIdentifier("reduce"),
       new ExpressionInfo(classOf[ArrayAggregate].getName, "reduce"),
       (args: Seq[Expression]) => {
-        require(args.length == 4,
-          "reduce(array, init, merge, finish) takes four arguments (Presto)")
-        ArrayAggregate(args(0), args(1), args(2), args(3))
+        // Presto's reduce is 4-arg; Spark's own `reduce` builtin (an
+        // aggregate alias this registration REPLACES) also accepts the
+        // 3-arg identity-finish form — keep it working
+        require(args.length == 3 || args.length == 4,
+          "reduce(array, init, merge[, finish]) takes 3 or 4 arguments")
+        if (args.length == 4) ArrayAggregate(args(0), args(1), args(2), args(3))
+        else {
+          val v = UnresolvedNamedLambdaVariable(Seq("__graft_fin"))
+          ArrayAggregate(args(0), args(1), args(2), LambdaFunction(v, Seq(v)))
+        }
       }),
     (new org.apache.spark.sql.catalyst.FunctionIdentifier("zip"),
       new ExpressionInfo(classOf[ArraysZip].getName, "zip"),

@@ -202,7 +202,8 @@ class PrestoAliasSpec extends AnyFunSuite {
         |  year_of_week(DATE '1995-01-01') AS yw,
         |  day_of_month(DATE '1995-06-18') AS dm,
         |  url_encode('a b&c') AS ue,
-        |  url_decode('a+b%26c') AS ud""".stripMargin).head
+        |  url_decode('a+b%26c') AS ud,
+        |  reduce(array(1, 2, 3), 0, (s, x) -> s + x) AS red3""".stripMargin).head
     assert(r.getString(0) === """{"b":1.50,"a":[1,null]}""") // order + scale kept
     assert(r.getString(1) === """[1,"x"]""")
     assert(r.isNullAt(2)) // TRY(json_parse(bad)) = NULL, Presto's idiom
@@ -222,6 +223,9 @@ class PrestoAliasSpec extends AnyFunSuite {
     assert(r.getLong(15) === 1994L) // 1995-01-01 (Sunday) is ISO year 1994
     assert(r.getLong(16) === 18L)
     assert(r.getString(17) === "a+b%26c" && r.getString(18) === "a b&c")
+    // Spark's own 3-arg identity-finish reduce keeps working under the
+    // replaced registration
+    assert(r.getInt(19) === 6)
     // invalid JSON THROWS without TRY (Presto's json_parse contract)
     val e = intercept[Exception] {
       spark.sql("SELECT json_parse('{bad') AS x").collect()
