@@ -152,6 +152,13 @@ class AdaptivePartsSpec extends AnyFunSuite {
       "winnowing wrapper leaked cache entries")
   }
 
+  test("outgrown-exactness advisory fires exactly past the sizing budget") {
+    val budget = AdaptiveParts.MaxParts.toLong * 100
+    assert(!Dedup.warnIfExactnessOutgrown("spec", budget, 100, 0.6))
+    assert(Dedup.warnIfExactnessOutgrown("spec", budget + 1, 100, 0.6))
+    assert(!Dedup.warnIfExactnessOutgrown("spec", 0L, 100, 0.6))
+  }
+
   test("ANN query-set broadcast demotes above the cap (spill, not error)") {
     import graft.pipeline.Similarity
     val corpus = (0L until 50L).map(i =>
