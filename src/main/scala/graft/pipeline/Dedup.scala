@@ -1127,7 +1127,20 @@ object Dedup {
     *
     * A viral exact-duplicate cluster of size k legitimately yields k²/2
     * output pairs (exactness demands them); run [[dropExactDuplicates]]
-    * first so only genuine near-dup structure reaches this join. */
+    * first so only genuine near-dup structure reaches this join.
+    *
+    * CORPUS-SIZE CUTOFF (measured, r19): candidate volume is corpus
+    * math — exactness must examine every same-prefix-token pair — and on
+    * the GenScale receipts corpus it crosses the sizing budget
+    * (`AdaptiveParts.MaxParts × RowsPerPartition` ≈ 4.9 B pair rows)
+    * between 500 k docs (1.29 B pairs at τ=0.6 — comfortably inside;
+    * completes zero-knob) and 5 M docs (12.6 B pairs at τ=0.6, 5.9 B even
+    * at τ=0.8 — a ~200+ GB candidate exchange that exhausted a 76 GB
+    * local spill disk). Past the budget the run emits the
+    * [[warnIfExactnessOutgrown]] advisory: use [[minhashNearDups]] (the
+    * banded path holds its third data decade linearly, SCALE.md) and
+    * reserve exact PPJoin for corpus slices below ~1 M docs or
+    * aggressively pre-deduped/high-τ inputs. */
   def similarityJoin(df: DataFrame, textCol: String, idCol: String,
       shingleWords: Int = 2, threshold: Double = 0.6): DataFrame = {
     val (verified, stages) =
@@ -1166,11 +1179,8 @@ object Dedup {
     // chain is not recomputed for the frequency branch. The (df, tok_hash)
     // sort is a total order identical across documents, no global rank
     // table needed.
-    val exploded = ppjoinExploded(df, textCol, idCol, shingleWords)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val freq = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
-    val sorted = ppjoinSorted(exploded.join(freq, "tok"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (prefix0, sorted, stages) =
+      ppjoinPrefixStage(df, textCol, idCol, shingleWords, threshold)
     // prefix length p = n - ceil(t*n) + 1; 0-based pos from posexplode
     //
     // Exchange sizing ([[AdaptiveParts]]): the prefix join's candidate
@@ -1182,7 +1192,6 @@ object Dedup {
     // only shrink the true volume, so the estimate is a safe upper
     // bound. Below the session floor every bySize call is
     // identity and the r17 plan is unchanged.
-    val prefix0 = ppjoinPrefix(sorted, threshold)
     val floor = AdaptiveParts.sessionFloor(df.sparkSession)
     val parts = if (sizeExchanges) {
       val estimate = AdaptiveParts.allPairEstimate(prefix0, Seq("tok"))
@@ -1222,7 +1231,21 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (col("__i") / (col("__na") + col("__nb") - col("__i"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
-    (verified, Seq(exploded, sorted))
+    (verified, stages)
+  }
+
+  /** The PPJoin prefix stage shared by [[similarityJoinPlan]] and the
+    * [[graft.ScaleEstimate]] receipts tool: (prefix rows, sorted stage,
+    * persisted stages to release). */
+  private[graft] def ppjoinPrefixStage(df: DataFrame, textCol: String,
+      idCol: String, shingleWords: Int, threshold: Double)
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
+    val exploded = ppjoinExploded(df, textCol, idCol, shingleWords)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val freq = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
+    val sorted = ppjoinSorted(exploded.join(freq, "tok"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    (ppjoinPrefix(sorted, threshold), sorted, Seq(exploded, sorted))
   }
 
   /** (id, tok) rows of 64-bit-hashed distinct shingles — the shared scan
