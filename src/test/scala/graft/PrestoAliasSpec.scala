@@ -380,7 +380,7 @@ class PrestoAliasSpec extends AnyFunSuite {
     assert(rows === Seq((10, 1, "a", "p", 1), (20, 2, "a", "p", 1)))
   }
 
-  test("runPresto scopes double-quoted identifiers around the parse and restores") {
+  test("runPresto resolves double-quoted identifiers; caller session untouched") {
     spark.sql("CREATE DATABASE IF NOT EXISTS presto_spec_db")
     spark.sql(
       """CREATE OR REPLACE VIEW presto_spec_db.tbl AS
