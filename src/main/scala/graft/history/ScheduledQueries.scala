@@ -86,6 +86,12 @@ object ScheduledQueries {
       extra: Map[String, String] = Map.empty): DataFrame = {
     val ps = org.apache.spark.sql.GraftSessionBridge.cloneSession(spark)
     ps.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+    // Presto names whose semantics CONFLICT with the same-named Spark
+    // builtin bind to the CLONE's registry only (r19 batch 4) — pack
+    // text is Presto-faithful, the caller's session stays Spark-faithful
+    graft.plans.GraftExtensions.packOverrides.foreach { case (id, info, b) =>
+      org.apache.spark.sql.GraftSessionBridge.registerFunction(ps, id, info, b)
+    }
     run(ps, rewritePrestoTypes(rewritePrestoUnits(rewriteUnnest(
       rewriteArrayLiterals(sql)))), now, extra)
   }

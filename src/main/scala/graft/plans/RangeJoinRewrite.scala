@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, TimestampType}
 
 /** Optimizer rule: rewrite an inequality-only interval join into an
   * equi-join on a derived time bucket.
@@ -488,7 +488,114 @@ object GraftExtensions {
       // Presto accepts date or timestamp and returns BIGINT; the Cast to
       // DateType carries the session zone for timestamps
       e => Cast(mk(Cast(e, org.apache.spark.sql.types.DateType)), LongType)))
-  }
+  } ++ prestoAliases4
+
+  /** r19 batch 4, global half — Presto names Spark does NOT use, so the
+    * session-wide registration shadows nothing:
+    *
+    *  - `any_match(arr, x -> p)` → ArrayExists (Spark's `exists`),
+    *    `all_match` → ArrayForAll (`forall`), `none_match` →
+    *    NOT exists — all three keep Presto's three-valued NULL logic
+    *    (a NULL predicate result propagates unless decided by a
+    *    true/false element), which is Spark's default too.
+    *  - `format(fmt, args...)` → FormatString (Spark's `format_string`;
+    *    both engines speak java.util.Formatter syntax).
+    *
+    * The CONFLICTING-semantics half of batch 4 (`regexp_extract`,
+    * `split_part`, `from_unixtime`, `array_agg`) is NOT here — those
+    * names are Spark builtins with different return conventions, so they
+    * live in [[packOverrides]] and bind only to `runPresto`'s cloned
+    * session. */
+  private def prestoAliases4: Seq[FnEntry] = Seq(
+    binaryFn("any_match", classOf[ArrayExists].getName, ArrayExists(_, _)),
+    binaryFn("all_match", classOf[ArrayForAll].getName, ArrayForAll(_, _)),
+    // NOT(exists) would be the direct spelling, but the analyzer requires
+    // a function whose arguments contain a lambda to RESOLVE to a
+    // higher-order function (INVALID_LAMBDA_FUNCTION_CALL otherwise), so
+    // the negation moves inside: none_match(a, p) ≡ all_match(a, NOT p),
+    // identical under three-valued logic (any true → false; else a null
+    // element propagates NULL; else true)
+    binaryFn("none_match", classOf[ArrayForAll].getName, (a, f) => f match {
+      case LambdaFunction(body, largs, hidden) =>
+        ArrayForAll(a, LambdaFunction(Not(body), largs, hidden))
+      case other => throw new IllegalArgumentException(
+        s"none_match(arr, x -> pred) requires a lambda predicate, got $other")
+    }),
+    (new org.apache.spark.sql.catalyst.FunctionIdentifier("format"),
+      new ExpressionInfo(classOf[FormatString].getName, "format"),
+      (args: Seq[Expression]) => {
+        require(args.nonEmpty, "format(fmt, args...) takes at least one argument")
+        FormatString(args: _*)
+      }))
+
+  /** r19 batch 4, pack-scoped half — Presto names whose semantics
+    * CONFLICT with the same-named Spark builtin. Registered by
+    * [[graft.history.ScheduledQueries.runPresto]] onto its CLONED
+    * session's own function registry
+    * ([[org.apache.spark.sql.GraftSessionBridge.registerFunction]]), so
+    * pack text gets Presto behavior while plain `spark.sql` on the
+    * caller's session keeps Spark's — the isolation the r19
+    * cloned-session architecture was built for:
+    *
+    *  - `regexp_extract(s, p[, group])` → NULL when the pattern does not
+    *    match (Spark returns `''` — a pack's `IS NOT NULL` gate would
+    *    silently pass everything); the 2-arg form returns the WHOLE
+    *    match, group 0 (Spark's 2-arg default is group 1). Residual
+    *    divergence: a matched-but-nonparticipating group returns `''`
+    *    here where Presto returns NULL — needs a custom expression for
+    *    one exotic case, documented instead.
+    *  - `split_part(s, delim, n)` → NULL when n exceeds the field count
+    *    (Spark returns `''`); n <= 0 raises (Presto's INVALID_FUNCTION_
+    *    ARGUMENT; Spark's 0 raises too but negatives count from the
+    *    end — silently different fields, the misparse class this
+    *    surface bans).
+    *  - `from_unixtime(t)` → TIMESTAMP from epoch SECONDS, fractional
+    *    seconds kept (Presto returns timestamp(3); Spark's builtin
+    *    returns a formatted STRING). Presto's 2-arg zone / 3-arg
+    *    hours-minutes forms throw loudly — mapping the zone argument
+    *    onto Spark's format argument would silently misparse.
+    *  - `array_agg(x)` → KEEPS NULL elements (Presto's default; Spark's
+    *    collect_list drops them — a count-preserving pack aggregation
+    *    would silently shrink): nulls ride a non-null struct wrapper
+    *    through the collect, then unwrap.
+    *
+    * Scala-side callers never see these: the Column API has no
+    * `runPresto`, and the parent session's registry is untouched
+    * (pinned by PrestoPackOverrideSpec). */
+  val packOverrides: Seq[FnEntry] = Seq(
+    (new org.apache.spark.sql.catalyst.FunctionIdentifier("regexp_extract"),
+      new ExpressionInfo(classOf[RegExpExtract].getName, "regexp_extract"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 || args.length == 3,
+          "regexp_extract(s, pattern[, group]) takes two or three arguments")
+        val grp = if (args.length == 3) args(2) else Literal(0)
+        If(RLike(args(0), args(1)),
+          RegExpExtract(args(0), args(1), grp),
+          Literal.create(null, StringType))
+      }),
+    (new org.apache.spark.sql.catalyst.FunctionIdentifier("split_part"),
+      new ExpressionInfo(classOf[StringSplitSQL].getName, "split_part"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "split_part(s, delimiter, index) takes three arguments")
+        val idx = Cast(args(2), org.apache.spark.sql.types.IntegerType)
+        If(GreaterThan(idx, Literal(0)),
+          ElementAt(StringSplitSQL(args(0), args(1)), idx,
+            defaultValueOutOfBound = None, failOnError = false),
+          Cast(new RaiseError(Literal.create(
+            "split_part index must be positive (Presto INVALID_FUNCTION_ARGUMENT)",
+            StringType)), StringType))
+      }),
+    unaryFn("from_unixtime", classOf[SecondsToTimestamp].getName,
+      e => SecondsToTimestamp(Cast(e, DoubleType))),
+    unaryFn("array_agg", classOf[aggregate.CollectList].getName, { x =>
+      val collected = aggregate.CollectList(
+        CreateNamedStruct(Seq(Literal("__v"), x))).toAggregateExpression()
+      val e = UnresolvedNamedLambdaVariable(Seq("__graft_av"))
+      ArrayTransform(collected, LambdaFunction(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+          e, Literal("__v")), Seq(e)))
+    }))
 
   private def unaryFn(name: String, className: String,
       mk: Expression => Expression): FnEntry =

@@ -1313,6 +1313,77 @@ private[graft] trait SqlQueries extends RegistryBase {
   }
 
 
+  // §3.2 dialect compatibility, r19 batch 4 — the PACK-SCOPED overrides
+  // (GraftExtensions.packOverrides): Presto names whose semantics
+  // conflict with the same-named Spark builtin, bound to runPresto's
+  // cloned session only. regexp_extract returns NULL on no-match and
+  // the WHOLE match for the 2-arg form (Spark: '' and group 1);
+  // split_part returns NULL past the field count (Spark: '');
+  // from_unixtime returns a real TIMESTAMP usable by date functions
+  // (Spark: a formatted string) with fractional seconds kept; array_agg
+  // KEEPS null elements (collect_list drops them — pinned via
+  // cardinality + null-count, which are order-deterministic where the
+  // element order is not). Plus the batch-4 global aliases: any_match/
+  // all_match/none_match with Presto's three-valued NULL logic (the
+  // null-element rows pin unknown-propagation on both sides) and
+  // format (java.util.Formatter ≡ DuckDB's C-style printf for %s/%0Nd).
+  register(
+    "sq_presto_functions4",
+    """SELECT event_type,
+      |  CASE WHEN regexp_matches(event_type, '[aeiou]+')
+      |       THEN regexp_extract(event_type, '[aeiou]+') END AS vox,
+      |  CAST(NULL AS VARCHAR) AS nomatch,
+      |  CASE WHEN length(event_type) >= 2
+      |       THEN substr(event_type, 2, 1) END AS ch2,
+      |  CAST(min(event_id) % 7 AS VARCHAR) AS sp2,
+      |  CAST(NULL AS VARCHAR) AS sp_oob,
+      |  '1995-06-18 12:00:00.500' AS fu,
+      |  CAST(count(*) AS BIGINT) AS aa_n,
+      |  CAST(sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS aa_nulls,
+      |  (min(event_id) % 4 + 1 > 2 OR min(event_id) % 6 + 1 > 2) AS am,
+      |  CAST(NULL AS BOOLEAN) AS am_null,
+      |  CAST(NULL AS BOOLEAN) AS alm_null,
+      |  NOT (min(event_id) % 4 + 1 > 2 OR min(event_id) % 6 + 1 > 2) AS nm,
+      |  printf('%s|%03d', event_type, min(event_id) % 47) AS fmt
+      |FROM events
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    ScheduledQueries.runPresto(s,
+      """SELECT event_type,
+        |  regexp_extract(event_type, '[aeiou]+') AS vox,
+        |  regexp_extract(event_type, 'zqj+') AS nomatch,
+        |  regexp_extract(event_type, '^(.)(.)', 2) AS ch2,
+        |  split_part(event_type || '-' ||
+        |    CAST(min(event_id) % 7 AS VARCHAR), '-', 2) AS sp2,
+        |  split_part(event_type, '-', 9) AS sp_oob,
+        |  format_datetime(from_unixtime(803476800.5),
+        |    'yyyy-MM-dd HH:mm:ss.SSS') AS fu,
+        |  CAST(cardinality(array_agg(
+        |    CASE WHEN event_id % 3 = 0 THEN NULL ELSE event_id END))
+        |    AS BIGINT) AS aa_n,
+        |  CAST(cardinality(filter(array_agg(
+        |    CASE WHEN event_id % 3 = 0 THEN NULL ELSE event_id END),
+        |    x -> x IS NULL)) AS BIGINT) AS aa_nulls,
+        |  any_match(ARRAY[CAST(min(event_id) % 4 + 1 AS INTEGER),
+        |                  CAST(min(event_id) % 6 + 1 AS INTEGER)],
+        |            x -> x > 2) AS am,
+        |  any_match(ARRAY[CAST(NULL AS INTEGER),
+        |                  CAST(min(event_id) % 4 AS INTEGER)],
+        |            x -> x > 99) AS am_null,
+        |  all_match(ARRAY[CAST(NULL AS INTEGER),
+        |                  CAST(min(event_id) % 4 AS INTEGER)],
+        |            x -> x >= 0) AS alm_null,
+        |  none_match(ARRAY[CAST(min(event_id) % 4 + 1 AS INTEGER),
+        |                   CAST(min(event_id) % 6 + 1 AS INTEGER)],
+        |             x -> x > 2) AS nm,
+        |  format('%s|%03d', event_type, min(event_id) % 47) AS fmt
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+      java.time.Instant.parse("1995-06-18T12:00:00Z"))
+  }
+
+
   // §3.2 dialect compatibility, UNNEST leg (r17 verdict ask #5): the
   // single most common Athena FROM-clause idiom Spark's parser rejects —
   // `CROSS JOIN UNNEST(col) AS t (x)` over an array and a map — runs

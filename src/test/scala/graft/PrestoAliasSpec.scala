@@ -399,4 +399,78 @@ class PrestoAliasSpec extends AnyFunSuite {
     assert(spark.sql("SELECT \"plain string\" AS s").head.getString(0)
       === "plain string")
   }
+
+  test("pack overrides are pack-scoped: regexp_extract / split_part NULL conventions") {
+    def pack(expr: String): org.apache.spark.sql.Row =
+      ScheduledQueries.runPresto(spark, s"SELECT $expr AS x",
+        java.time.Instant.ofEpochSecond(0)).head
+    // Presto semantics INSIDE runPresto: NULL on no-match, whole match
+    // for the 2-arg form, NULL past the field count
+    assert(pack("regexp_extract('purchase', 'zq+')").isNullAt(0))
+    assert(pack("regexp_extract('purchase', '[aeiou]+')").getString(0) === "u")
+    assert(pack("regexp_extract('purchase', '^(.)(.)', 2)").getString(0) === "u")
+    assert(pack("split_part('a-b', '-', 9)").isNullAt(0))
+    assert(pack("split_part('a-b', '-', 2)").getString(0) === "b")
+    intercept[Exception] {
+      ScheduledQueries.runPresto(spark, "SELECT split_part('a-b', '-', -1) AS x",
+        java.time.Instant.ofEpochSecond(0)).collect()
+    }
+    // Spark semantics OUTSIDE — the caller's registry is untouched even
+    // after the pack calls above registered overrides on their clones
+    val plain = spark.sql(
+      """SELECT regexp_extract('purchase', 'zq+'),
+        |       regexp_extract('purchase', '([aeiou])'),
+        |       split_part('a-b', '-', 9)""".stripMargin).head
+    assert(plain.getString(0) === "") // Spark: empty string on no-match
+    assert(plain.getString(1) === "u") // Spark 2-arg default is group 1
+    assert(plain.getString(2) === "") // Spark: empty string out of range
+  }
+
+  test("pack overrides: from_unixtime is a TIMESTAMP, array_agg keeps nulls") {
+    val r = ScheduledQueries.runPresto(spark,
+      """SELECT format_datetime(from_unixtime(86400.25),
+        |         'yyyy-MM-dd HH:mm:ss.SSS') AS fu,
+        |       array_agg(v) AS aa
+        |FROM (SELECT CASE WHEN id = 1 THEN NULL ELSE id END AS v
+        |      FROM range(3)) t""".stripMargin,
+      java.time.Instant.ofEpochSecond(0)).head
+    assert(r.getString(0) === "1970-01-02 00:00:00.250")
+    assert(r.getSeq[Any](1).count(_ == null) === 1) // the null SURVIVES
+    assert(r.getSeq[Any](1).length === 3)
+    // Spark outside: from_unixtime formats to a string; collect_list
+    // (array_agg's Spark binding) DROPS nulls
+    val plain = spark.sql(
+      """SELECT from_unixtime(86400) AS fu, array_agg(v) AS aa
+        |FROM (SELECT CASE WHEN id = 1 THEN NULL ELSE id END AS v
+        |      FROM range(3)) t""".stripMargin).head
+    assert(plain.get(0).isInstanceOf[String])
+    assert(plain.getSeq[Any](1).length === 2)
+    // Presto's zone/hour-minute from_unixtime forms throw loudly rather
+    // than silently misparse onto Spark's format argument
+    intercept[Exception] {
+      ScheduledQueries.runPresto(spark,
+        "SELECT from_unixtime(0, 'UTC') AS x",
+        java.time.Instant.ofEpochSecond(0)).collect()
+    }
+  }
+
+  test("any_match / all_match / none_match: Presto three-valued logic") {
+    val r = spark.sql(
+      """SELECT any_match(array(1, 5), x -> x > 3),
+        |       any_match(array(CAST(NULL AS INT), 1), x -> x > 99),
+        |       any_match(array(CAST(NULL AS INT), 5), x -> x > 3),
+        |       all_match(array(CAST(NULL AS INT), 1), x -> x >= 0),
+        |       all_match(array(1, 5), x -> x > 3),
+        |       none_match(array(1, 5), x -> x > 3),
+        |       none_match(array(CAST(NULL AS INT), 1), x -> x > 99),
+        |       format('%s|%03d', 'a', 7)""".stripMargin).head
+    assert(r.getBoolean(0) === true)
+    assert(r.isNullAt(1))       // undecided + null element -> NULL
+    assert(r.getBoolean(2) === true) // a true decides despite the null
+    assert(r.isNullAt(3))       // all true except a null -> NULL
+    assert(r.getBoolean(4) === false)
+    assert(r.getBoolean(5) === false)
+    assert(r.isNullAt(6))       // none_match inherits the 3VL
+    assert(r.getString(7) === "a|007")
+  }
 }
