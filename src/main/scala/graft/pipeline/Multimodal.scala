@@ -442,6 +442,135 @@ object Multimodal {
         col("__ts").cast("double") + 0.5).cast(LongType)).as("duration_ms"))
   }
 
+  /** Codec-free MP3/MPEG-audio duration probe — the compressed-audio
+    * sibling of [[videoDuration]] ([[audioDuration]] covers PCM WAV):
+    * the MPEG frame header packs version/layer/bitrate/sample-rate into
+    * 4 spec-fixed bytes (ISO/IEC 11172-3, public), so audio-corpus
+    * triage (drop jingles, bucket by length, price transcode) never
+    * decodes a frame.
+    *
+    * The walk, all scan-side Columns over the hex encoding:
+    *  1. an ID3v2 tag (`"ID3"` magic) is skipped via its SYNCSAFE u28
+    *     size (4 bytes of 7 significant bits each — the top bit is
+    *     banned precisely so broken parsers never see a false 0xFF
+    *     sync);
+    *  2. the first frame header is validated: 11-bit sync, non-reserved
+    *     version (MPEG1/2/2.5), Layer III, bitrate index 1–14, sample
+    *     rate index 0–2 — each decoded against the published tables
+    *     (`element_at` over in-plan literal arrays, not a UDF);
+    *  3. a `Xing`/`Info` metadata block — located at the spec offset
+    *     that depends on version and channel mode (MPEG1: mono 21 /
+    *     stereo 36; MPEG2/2.5: mono 13 / stereo 21, = 4-byte header +
+    *     side-info size) — supplies the EXACT frame count when its
+    *     flags bit 0 is set: duration = frames · samplesPerFrame
+    *     (1152 MPEG1 / 576 MPEG2) / sampleRate. `Xing` marks VBR
+    *     (`vbr = true`); `Info` is the same block written by CBR
+    *     encoders.
+    *  4. no metadata block → the CBR estimate from the first frame's
+    *     bitrate: duration = audioBytes · 8 / bitrate — the honest
+    *     fallback every tag-less CBR file supports (WRONG for
+    *     headerless VBR, as it is in every triage tool; the Xing path
+    *     exists because encoders write it for exactly that reason).
+    *
+    * Truncated ID3, missing sync, reserved version/layer, bad table
+    * indices, or any out-of-bounds read → valid=false with null fields,
+    * never an error. duration_ms floors from exact-integer numerators
+    * over IEEE double division, replayed identically by the oracle.
+    * Returns (media_id, valid, version, bitrate_kbps, sample_rate, vbr,
+    * n_frames, duration_ms). */
+  def mp3Duration(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    def keep(d: DataFrame, cols: Column*): DataFrame =
+      d.select(d.columns.map(col) ++ cols: _*)
+    val hx = col("__hx")
+    val hxLen = length(hx).cast(LongType)
+    def u8(pos: Column): Column =
+      conv(hx.substr(pos, lit(2)), 16, 10).cast(LongType)
+    def u32(pos: Column): Column =
+      conv(hx.substr(pos, lit(8)), 16, 10).cast(LongType)
+    val base = df.select(col(idCol).as("media_id"),
+      length(col(binCol)).cast(LongType).as("__nb"),
+      upper(hex(col(binCol))).as("__hx"))
+    // ID3v2 skip: syncsafe size bytes live at byte offsets 6..9 (hex
+    // positions 13/15/17/19); a blob claiming ID3 but too short for the
+    // 10-byte tag header poisons the probe
+    val hasId3 = hx.startsWith("494433")
+    val id3Size = u8(lit(13)) * 2097152L + u8(lit(15)) * 16384L +
+      u8(lit(17)) * 128L + u8(lit(19))
+    var d = keep(base,
+      when(!hasId3, lit(0L))
+        .when(hasId3 && hxLen >= 20L, lit(10L) + id3Size).as("__off"))
+    // frame header at byte __off: hex position (1-based) and the 3 bytes
+    // after the 0xFF sync byte
+    d = keep(d, (col("__off") * 2 + 1).as("__hp"))
+    val hp = col("__hp")
+    d = keep(d, (hp + 7 <= hxLen).as("__hok"))
+    d = keep(d,
+      when(col("__hok"), u8(hp + 2)).as("__b1"),
+      when(col("__hok"), u8(hp + 4)).as("__b2"),
+      when(col("__hok"), u8(hp + 6)).as("__b3"))
+    val (b1, b2, b3) = (col("__b1"), col("__b2"), col("__b3"))
+    d = keep(d,
+      (floor(b1 / 8) % 4).as("__verBits"),   // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+      (floor(b1 / 2) % 4).as("__layer"),     // 1 = Layer III
+      floor(b2 / 16).as("__brIdx"),
+      (floor(b2 / 4) % 4).as("__srIdx"),
+      ((floor(b3 / 64) % 4) === 3L).as("__mono"))
+    val verBits = col("__verBits")
+    val isV1 = verBits === 3L
+    val headerOk = coalesce(col("__hok") &&
+      hx.substr(hp, lit(2)) === "FF" && (b1 >= 224L) &&
+      col("__layer") === 1L && verBits =!= 1L &&
+      col("__brIdx").between(1L, 14L) && col("__srIdx") <= 2L, lit(false))
+    // published Layer III tables (kbps / Hz); MPEG2 and 2.5 share the
+    // bitrate column, sample rates differ by version. Indices clamp to
+    // in-bounds when the header is invalid — ANSI element_at would
+    // otherwise ERROR on a garbage row the probe must map to
+    // valid=false (the final projection nulls the clamped lookups out)
+    val brIdxI = when(headerOk, col("__brIdx")).otherwise(1L).cast("int")
+    val srIdxI = when(headerOk, col("__srIdx") + 1).otherwise(1L).cast("int")
+    d = keep(d, headerOk.as("__headok"),
+      when(isV1, element_at(array(Seq(32, 40, 48, 56, 64, 80, 96, 112, 128,
+          160, 192, 224, 256, 320).map(lit): _*), brIdxI))
+        .otherwise(element_at(array(Seq(8, 16, 24, 32, 40, 48, 56, 64, 80,
+          96, 112, 128, 144, 160).map(lit): _*), brIdxI))
+        .cast(LongType).as("__br"),
+      when(verBits === 3L, element_at(array(Seq(44100, 48000, 32000)
+          .map(lit): _*), srIdxI))
+        .when(verBits === 2L, element_at(array(Seq(22050, 24000, 16000)
+          .map(lit): _*), srIdxI))
+        .otherwise(element_at(array(Seq(11025, 12000, 8000)
+          .map(lit): _*), srIdxI))
+        .cast(LongType).as("__sr"),
+      when(isV1, 1152L).otherwise(576L).as("__spf"),
+      // Xing/Info block position: header + side info, mode-dependent
+      (hp + when(isV1, when(col("__mono"), 21L).otherwise(36L))
+        .otherwise(when(col("__mono"), 13L).otherwise(21L)) * 2)
+        .as("__xp"))
+    val xp = col("__xp")
+    d = keep(d, hx.substr(xp, lit(8)).as("__magic"))
+    val hasBlock = col("__headok") &&
+      col("__magic").isin("58696E67", "496E666F") // "Xing" / "Info"
+    d = keep(d,
+      (hasBlock && xp + 23 <= hxLen && u32(xp + 8) % 2 === 1L)
+        .as("__framed"),
+      when(hasBlock, u32(xp + 16)).as("__frames"))
+    val framed = coalesce(col("__framed"), lit(false))
+    val valid = col("__headok")
+    val durMs = when(framed,
+      floor((col("__frames") * col("__spf") * 1000L).cast("double") /
+        col("__sr").cast("double") + 0.5))
+      .otherwise(floor(((col("__nb") - col("__off")) * 8000L).cast("double") /
+        (col("__br") * 1000L).cast("double") + 0.5))
+    d.select(col("media_id"), valid.as("valid"),
+      when(valid, when(verBits === 3L, "1").when(verBits === 2L, "2")
+        .otherwise("2.5")).as("version"),
+      when(valid, col("__br")).as("bitrate_kbps"),
+      when(valid, col("__sr")).as("sample_rate"),
+      when(valid, col("__magic") === "58696E67").as("vbr"),
+      when(valid && framed, col("__frames")).as("n_frames"),
+      when(valid, durMs).cast(LongType).as("duration_ms"))
+  }
+
   /** The APP1 regex over the whole blob runs ONCE per row: it lands in
     * its own projection and every downstream read references the
     * attribute — inlining it would re-run the O(blob) scan inside each

@@ -1638,6 +1638,74 @@ private[graft] trait PipelineQueries extends RegistryBase {
   }
 
 
+  // Codec-free MP3 duration probe (compressed-audio sibling of
+  // mm_audio_duration's PCM WAV): frame-header decode against the
+  // published ISO 11172-3 tables + ID3v2 syncsafe skip + Xing/Info
+  // exact-frame-count path. Fixture classes: CBR MPEG1 128k/44100
+  // behind a VARIABLE-size ID3v2 tag (the syncsafe skip must land the
+  // sync on the right byte for every size), VBR MPEG1 stereo with a
+  // Xing frame count (offset 36 path), CBR MPEG2 MONO with an Info
+  // count behind a second ID3 size (offset 13 path — both version and
+  // channel-mode offsets exercised), a truncated ID3 claiming audio
+  // past end-of-blob, and text garbage. The oracle derives every field
+  // analytically from the same doc_id parameters — the hash match
+  // proves the bit-field decode and both duration paths are exact.
+  register(
+    "mm_mp3_duration",
+    """WITH p AS (
+      |  SELECT doc_id, CAST(doc_id % 5 AS INT) AS m5,
+      |         doc_id % 100 AS id3s, doc_id % 400 + 50 AS fill,
+      |         doc_id % 10000 + 1 AS xf, doc_id % 5000 + 2 AS inf
+      |  FROM documents)
+      |SELECT doc_id AS media_id,
+      |  m5 <= 2 AS valid,
+      |  CASE WHEN m5 IN (0, 1) THEN '1' WHEN m5 = 2 THEN '2' END AS version,
+      |  CASE WHEN m5 IN (0, 1) THEN CAST(128 AS BIGINT)
+      |       WHEN m5 = 2 THEN CAST(64 AS BIGINT) END AS bitrate_kbps,
+      |  CASE WHEN m5 IN (0, 1) THEN CAST(44100 AS BIGINT)
+      |       WHEN m5 = 2 THEN CAST(22050 AS BIGINT) END AS sample_rate,
+      |  CASE WHEN m5 <= 2 THEN m5 = 1 END AS vbr,
+      |  CASE WHEN m5 = 1 THEN CAST(xf AS BIGINT)
+      |       WHEN m5 = 2 THEN CAST(inf AS BIGINT) END AS n_frames,
+      |  CASE WHEN m5 = 0 THEN CAST(floor(
+      |         CAST((fill + 4) * 8000 AS DOUBLE) / 128000.0 + 0.5) AS BIGINT)
+      |       WHEN m5 = 1 THEN CAST(floor(
+      |         CAST(xf * 1152 * 1000 AS DOUBLE) / 44100.0 + 0.5) AS BIGINT)
+      |       WHEN m5 = 2 THEN CAST(floor(
+      |         CAST(inf * 576 * 1000 AS DOUBLE) / 22050.0 + 0.5) AS BIGINT)
+      |  END AS duration_ms
+      |FROM p ORDER BY media_id""".stripMargin) { (s, dir) =>
+    val id = col("doc_id")
+    val zeros = lit("0" * 1024)
+    def zpad(nBytes: Column): Column = zeros.substr(lit(1), (nBytes * 2).cast("int"))
+    def be32(v: Column): Column = lpad(hex(v), 8, "0")
+    // ID3v2 header with a syncsafe size (< 128, so only the low byte)
+    def id3(size: Column): Column =
+      concat(lit("494433" + "0400" + "00" + "000000"),
+        lpad(hex(size), 2, "0"), zpad(size))
+    val id3s = id % 100
+    val fill = id % 400 + 50
+    val xf = id % 10000 + 1
+    val inf = id % 5000 + 2
+    // MPEG1 Layer III 128kbps 44100 stereo: FF FB 90 00; MPEG2 Layer III
+    // 64kbps 22050 mono: FF F3 80 C0
+    val cbr1 = concat(id3(id3s), lit("FFFB9000"), zpad(fill))
+    val xing = concat(lit("FFFB9000"), zpad(lit(32)),
+      lit("58696E67" + "00000001"), be32(xf))
+    val info2 = concat(id3(id % 50), lit("FFF380C0"), zpad(lit(9)),
+      lit("496E666F" + "00000001"), be32(inf))
+    val truncId3 = "494433" + "0400" + "00" + "00000010"
+    val m5 = id % 5
+    val blobs = t(s, dir, "documents").select(id,
+      when(m5 === 0, unhex(cbr1))
+        .when(m5 === 1, unhex(xing))
+        .when(m5 === 2, unhex(info2))
+        .when(m5 === 3, unhex(lit(truncId3)))
+        .otherwise(col("text").cast("binary")).as("blob"))
+    Multimodal.mp3Duration(blobs, "blob", "doc_id").orderBy("media_id")
+  }
+
+
   // The INGEST-TRIAGE composite — the fetch-to-frontier program in front
   // of p12's content pipeline, chaining this round's surface: response
   // head (t105) -> status/content-type gates -> charset sniff over body
