@@ -153,6 +153,18 @@ object Multimodal {
     *    Documented leniency: a crafted ALIGNED FFC0 inside an APPn
     *    segment would win — a real parser walks segment lengths; this
     *    stays one scan-side expression.
+    *  - GIF (87a/89a): logical-screen width/height u16 LITTLE-endian at
+    *    bytes 6/8 — exact for every conformant file.
+    *  - BMP ("BM" + BITMAPINFOHEADER): width i32 LE at byte 18, height
+    *    i32 LE at byte 22; a NEGATIVE height is the legal top-down
+    *    layout, reported as its magnitude (row order is irrelevant to
+    *    triage).
+    *  - WebP (RIFF/WEBP, all three container flavors): `VP8 ` lossy —
+    *    14-bit width/height u16s after the 9D012A start code (the
+    *    start code is validated, not assumed); `VP8L` lossless — the
+    *    0x2F-signature 28-bit packed width-1/height-1 bitfield decoded
+    *    from its little-endian bytes; `VP8X` extended — 24-bit LE
+    *    canvas width-1/height-1 at payload +4/+7.
     *
     * Bytes parse via their hex encoding (conv(hex, 16, 10) here, the
     * `'0x' || hex` cast in DuckDB — the mm_scene_changes precedent), so
@@ -162,6 +174,21 @@ object Multimodal {
     * format, n_bytes, width, height, valid). */
   def imageDims(df: DataFrame, binCol: String, idCol: String): DataFrame = {
     val hx = upper(hex(col(binCol)))
+    // 1-based HEX position of 0-based BYTE offset b: b*2+1
+    def u16le(bytePos: Int): Column = conv(concat(
+      substring(hx, bytePos * 2 + 3, 2), substring(hx, bytePos * 2 + 1, 2)),
+      16, 10).cast(LongType)
+    def u24le(bytePos: Int): Column = conv(concat(
+      substring(hx, bytePos * 2 + 5, 2), substring(hx, bytePos * 2 + 3, 2),
+      substring(hx, bytePos * 2 + 1, 2)), 16, 10).cast(LongType)
+    def u32le(bytePos: Int): Column = conv(concat(
+      substring(hx, bytePos * 2 + 7, 2), substring(hx, bytePos * 2 + 5, 2),
+      substring(hx, bytePos * 2 + 3, 2), substring(hx, bytePos * 2 + 1, 2)),
+      16, 10).cast(LongType)
+    def i32le(bytePos: Int): Column = {
+      val u = u32le(bytePos)
+      when(u >= 2147483648L, u - 4294967296L).otherwise(u)
+    }
     val isPng = hx.startsWith("89504E470D0A1A0A")
     val isJpg = hx.startsWith("FFD8FF")
     val pngOk = isPng && length(hx) >= 48
@@ -169,12 +196,41 @@ object Multimodal {
     // (2 hex), then height u16, width u16
     val jh = regexp_extract(hx, "^(?:..)*?FFC[02]......(....)", 1)
     val jw = regexp_extract(hx, "^(?:..)*?FFC[02]..........(....)", 1)
-    val width = when(pngOk, conv(substring(hx, 33, 8), 16, 10))
-      .when(isJpg && jw =!= "", conv(jw, 16, 10)).cast(LongType)
-    val height = when(pngOk, conv(substring(hx, 41, 8), 16, 10))
-      .when(isJpg && jh =!= "", conv(jh, 16, 10)).cast(LongType)
+    val isGif = hx.startsWith("474946383761") || hx.startsWith("474946383961")
+    val gifOk = isGif && length(hx) >= 20
+    val isBmp = hx.startsWith("424D")
+    val bmpOk = isBmp && length(hx) >= 52
+    val isWebp = hx.startsWith("52494646") &&
+      substring(hx, 17, 8) === "57454250"
+    val chunk = substring(hx, 25, 8) // fourcc at byte 12
+    // VP8 lossy: 3-byte frame tag at payload(20), start code 9D012A at
+    // 23, width/height u16 LE at 26/28 (high 2 bits are scale factors)
+    val vp8Ok = isWebp && chunk === "56503820" && length(hx) >= 60 &&
+      substring(hx, 47, 6) === "9D012A"
+    // VP8L lossless: 0x2F signature at payload, then width-1/height-1 as
+    // 14-bit fields of the LE u32 at 21
+    val vp8lOk = isWebp && chunk === "5650384C" && length(hx) >= 50 &&
+      substring(hx, 41, 2) === "2F"
+    val vp8lBits = u32le(21)
+    // VP8X extended: canvas width-1/height-1 u24 LE at payload +4/+7
+    val vp8xOk = isWebp && chunk === "56503858" && length(hx) >= 60
+    val width = when(pngOk, conv(substring(hx, 33, 8), 16, 10).cast(LongType))
+      .when(isJpg && jw =!= "", conv(jw, 16, 10).cast(LongType))
+      .when(gifOk, u16le(6))
+      .when(bmpOk, abs(i32le(18)))
+      .when(vp8Ok, u16le(26) % 16384L)
+      .when(vp8lOk, vp8lBits % 16384L + 1L)
+      .when(vp8xOk, u24le(24) + 1L)
+    val height = when(pngOk, conv(substring(hx, 41, 8), 16, 10).cast(LongType))
+      .when(isJpg && jh =!= "", conv(jh, 16, 10).cast(LongType))
+      .when(gifOk, u16le(8))
+      .when(bmpOk, abs(i32le(22)))
+      .when(vp8Ok, u16le(28) % 16384L)
+      .when(vp8lOk, floor(vp8lBits / 16384L) % 16384L + 1L)
+      .when(vp8xOk, u24le(27) + 1L)
     df.select(col(idCol).as("media_id"),
-      when(isPng, "png").when(isJpg, "jpeg").otherwise("unknown")
+      when(isPng, "png").when(isJpg, "jpeg").when(isGif, "gif")
+        .when(isBmp, "bmp").when(isWebp, "webp").otherwise("unknown")
         .as("format"),
       length(col(binCol)).cast(LongType).as("n_bytes"),
       width.as("width"), height.as("height"))

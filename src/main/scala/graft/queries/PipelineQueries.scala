@@ -1354,6 +1354,71 @@ private[graft] trait PipelineQueries extends RegistryBase {
   }
 
 
+  // Image dimension probe, r19 format-extension classes: GIF 87a+89a
+  // (u16 LITTLE-endian logical-screen dims — the byte-swap path), BMP
+  // bottom-up AND top-down (the NEGATIVE i32 height must report its
+  // magnitude), and all three WebP container flavors (VP8 lossy behind
+  // its validated 9D012A start code, VP8L's 28-bit packed bitfield,
+  // VP8X's u24 canvas dims). The oracle derives every field
+  // analytically from the doc_id parameters; garbage is prefixed with
+  // 0x00 bytes so no ASCII text can spoof the two-letter BMP magic.
+  register(
+    "mm_image_dims2",
+    """WITH p AS (
+      |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS m8,
+      |         doc_id % 1920 + 1 AS w, doc_id % 1080 + 1 AS h,
+      |         strlen(text) AS tlen
+      |  FROM documents)
+      |SELECT doc_id AS media_id,
+      |  CASE WHEN m8 <= 1 THEN 'gif' WHEN m8 <= 3 THEN 'bmp'
+      |       WHEN m8 <= 6 THEN 'webp' ELSE 'unknown' END AS format,
+      |  CAST(CASE WHEN m8 <= 1 THEN 13 WHEN m8 <= 3 THEN 26
+      |            WHEN m8 = 4 THEN 30 WHEN m8 = 5 THEN 25
+      |            WHEN m8 = 6 THEN 30 ELSE tlen + 2 END AS BIGINT)
+      |    AS n_bytes,
+      |  CASE WHEN m8 <= 6 THEN CAST(w AS BIGINT) END AS width,
+      |  CASE WHEN m8 <= 6 THEN CAST(h AS BIGINT) END AS height,
+      |  m8 <= 6 AS valid
+      |FROM p ORDER BY media_id""".stripMargin) { (s, dir) =>
+    val id = col("doc_id")
+    val w = id % 1920 + 1
+    val h = id % 1080 + 1
+    def byteHex(v: Column): Column = lpad(hex(v % 256), 2, "0")
+    def le16(v: Column): Column = concat(byteHex(v), byteHex(floor(v / 256)))
+    def le24(v: Column): Column =
+      concat(byteHex(v), byteHex(floor(v / 256)), byteHex(floor(v / 65536)))
+    def le32(v: Column): Column = concat(byteHex(v), byteHex(floor(v / 256)),
+      byteHex(floor(v / 65536)), byteHex(floor(v / 16777216)))
+    val gif87 = concat(lit("474946383761"), le16(w), le16(h), lit("F70000"))
+    val gif89 = concat(lit("474946383961"), le16(w), le16(h), lit("F70000"))
+    val bmpUp = concat(lit("424D" + "00" * 12 + "28000000"), le32(w), le32(h))
+    val bmpDown = concat(lit("424D" + "00" * 12 + "28000000"), le32(w),
+      le32(lit(4294967296L) - h)) // two's-complement -h: top-down rows
+    val webpHead = "52494646" + "18000000" + "57454250"
+    val vp8 = concat(lit(webpHead + "56503820" + "10000000" + "000000" +
+      "9D012A"), le16(w), le16(h))
+    // VP8L: 0x2F then width-1/height-1 as the low 28 bits of a LE u32
+    val wm = w - 1
+    val hm = h - 1
+    val vp8l = concat(lit(webpHead + "5650384C" + "05000000" + "2F"),
+      byteHex(wm), byteHex(floor(wm / 256) + (hm % 4) * 64),
+      byteHex(floor(hm / 4)), byteHex(floor(hm / 1024)))
+    val vp8x = concat(lit(webpHead + "56503858" + "0A000000" + "00000000"),
+      le24(w - 1), le24(h - 1))
+    val m8 = id % 8
+    val blobs = t(s, dir, "documents").select(id,
+      when(m8 === 0, unhex(gif87))
+        .when(m8 === 1, unhex(gif89))
+        .when(m8 === 2, unhex(bmpUp))
+        .when(m8 === 3, unhex(bmpDown))
+        .when(m8 === 4, unhex(vp8))
+        .when(m8 === 5, unhex(vp8l))
+        .when(m8 === 6, unhex(vp8x))
+        .otherwise(unhex(concat(lit("0000"), hex(col("text"))))).as("blob"))
+    Multimodal.imageDims(blobs, "blob", "doc_id").orderBy("media_id")
+  }
+
+
   // Codec-free WAV duration probe (audio sibling of mm_image_dims):
   // canonical 44-byte PCM headers built from doc_id (little-endian u32s
   // as swapped hex pairs in BOTH engines), plus truncated and garbage
