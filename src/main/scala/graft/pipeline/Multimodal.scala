@@ -627,6 +627,48 @@ object Multimodal {
       when(valid, durMs).cast(LongType).as("duration_ms"))
   }
 
+  /** Codec-free FLAC duration probe — completes the audio triage tier
+    * ([[audioDuration]] PCM WAV, [[mp3Duration]] MPEG): the STREAMINFO
+    * metadata block is REQUIRED to be the first block after the `fLaC`
+    * magic (FLAC spec §"METADATA_BLOCK"), so every field sits at a
+    * fixed offset — no walk needed. Its packed 8 bytes at offsets
+    * 18–25 carry sample rate (20 bits), channels−1 (3), bits-per-
+    * sample−1 (5), and total samples (36), decoded PIECEWISE from u8
+    * reads (a single u64 conv could exceed signed-long range for
+    * in-spec sample rates ≥ 2^19). The block header is validated:
+    * type bits 0 (STREAMINFO; the is-last flag bit is legitimately
+    * either) and length 34. Sample rate 0 (non-audio stream), a
+    * truncated block, or a wrong magic/type/length → valid=false,
+    * null fields. duration_ms floors from the exact integer numerator
+    * over IEEE double division (the [[mp3Duration]] shape). Returns
+    * (media_id, valid, sample_rate, channels, bits_per_sample,
+    * n_samples, duration_ms). */
+  def flacDuration(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val hx = upper(hex(col(binCol)))
+    def u8(bytePos: Int): Column =
+      conv(substring(hx, bytePos * 2 + 1, 2), 16, 10).cast(LongType)
+    def u32be(bytePos: Int): Column =
+      conv(substring(hx, bytePos * 2 + 1, 8), 16, 10).cast(LongType)
+    val isFlac = hx.startsWith("664C6143")
+    // block header at byte 4: 1 bit is-last + 7 bits type (0 =
+    // STREAMINFO), u24 BE length (= 34); STREAMINFO spans bytes 8..41
+    val headOk = isFlac && length(hx) >= 84 &&
+      (u8(4) % 128) === 0L &&
+      conv(substring(hx, 11, 6), 16, 10).cast(LongType) === 34L
+    val rate = u8(18) * 4096L + u8(19) * 16L + floor(u8(20) / 16)
+    val channels = floor(u8(20) / 2) % 8 + 1
+    val bps = (u8(20) % 2) * 16L + floor(u8(21) / 16) + 1
+    val nSamples = (u8(21) % 16) * 4294967296L + u32be(22)
+    val valid = coalesce(headOk && rate > 0L, lit(false))
+    df.select(col(idCol).as("media_id"), valid.as("valid"),
+      when(valid, rate).as("sample_rate"),
+      when(valid, channels).cast(LongType).as("channels"),
+      when(valid, bps).cast(LongType).as("bits_per_sample"),
+      when(valid, nSamples).as("n_samples"),
+      when(valid, floor((nSamples * 1000L).cast("double") /
+        rate.cast("double") + 0.5)).cast(LongType).as("duration_ms"))
+  }
+
   /** The APP1 regex over the whole blob runs ONCE per row: it lands in
     * its own projection and every downstream read references the
     * attribute — inlining it would re-run the O(blob) scan inside each

@@ -1771,6 +1771,57 @@ private[graft] trait PipelineQueries extends RegistryBase {
   }
 
 
+  // Codec-free FLAC duration probe completing the audio tier (WAV PCM +
+  // MP3 + FLAC lossless): STREAMINFO is REQUIRED first, so the packed
+  // rate/channels/bps/total-samples bitfield sits at fixed offsets —
+  // decoded piecewise from u8 reads. Class 1 plants a total-sample
+  // count ABOVE 2^32 so the 36-bit path (the high nibble of byte 21)
+  // is exercised for real; truncated-header and garbage classes yield
+  // valid=false. The oracle derives every field analytically.
+  register(
+    "mm_flac_duration",
+    """WITH p AS (
+      |  SELECT doc_id, CAST(doc_id % 4 AS INT) AS m4,
+      |         doc_id % 10000000 AS n0,
+      |         4294967296 + doc_id % 100000 AS n1
+      |  FROM documents)
+      |SELECT doc_id AS media_id,
+      |  m4 <= 1 AS valid,
+      |  CASE WHEN m4 = 0 THEN CAST(44100 AS BIGINT)
+      |       WHEN m4 = 1 THEN CAST(8000 AS BIGINT) END AS sample_rate,
+      |  CASE WHEN m4 = 0 THEN CAST(2 AS BIGINT)
+      |       WHEN m4 = 1 THEN CAST(1 AS BIGINT) END AS channels,
+      |  CASE WHEN m4 = 0 THEN CAST(16 AS BIGINT)
+      |       WHEN m4 = 1 THEN CAST(8 AS BIGINT) END AS bits_per_sample,
+      |  CASE WHEN m4 = 0 THEN CAST(n0 AS BIGINT)
+      |       WHEN m4 = 1 THEN CAST(n1 AS BIGINT) END AS n_samples,
+      |  CASE WHEN m4 = 0 THEN CAST(floor(
+      |         CAST(n0 * 1000 AS DOUBLE) / 44100.0 + 0.5) AS BIGINT)
+      |       WHEN m4 = 1 THEN CAST(floor(
+      |         CAST(n1 * 1000 AS DOUBLE) / 8000.0 + 0.5) AS BIGINT)
+      |  END AS duration_ms
+      |FROM p ORDER BY media_id""".stripMargin) { (s, dir) =>
+    val id = col("doc_id")
+    val n0 = id % 10000000
+    val n1 = id % 100000 // low 32 bits; the 36-bit high nibble rides b21
+    // magic + header(type 0, len 34) + min/max block + min/max frame
+    val pre = "664C6143" + "00" + "000022" + "1000" + "1000" +
+      "000000" + "000000"
+    val md5 = "00" * 16
+    // packed prefixes: (rate, ch-1, bps-1) = 44100/1/15 -> 0A C4 42 F0;
+    // 8000/0/7 -> 01 F4 00 7n with n = samples bit 35..32 = 1
+    val flac0 = concat(lit(pre + "0AC442F0"), lpad(hex(n0), 8, "0"), lit(md5))
+    val flac1 = concat(lit(pre + "01F40071"), lpad(hex(n1), 8, "0"), lit(md5))
+    val m4 = id % 4
+    val blobs = t(s, dir, "documents").select(id,
+      when(m4 === 0, unhex(flac0))
+        .when(m4 === 1, unhex(flac1))
+        .when(m4 === 2, unhex(lit("664C6143" + "000000"))) // truncated
+        .otherwise(unhex(concat(lit("0000"), hex(col("text"))))).as("blob"))
+    Multimodal.flacDuration(blobs, "blob", "doc_id").orderBy("media_id")
+  }
+
+
   // The INGEST-TRIAGE composite — the fetch-to-frontier program in front
   // of p12's content pipeline, chaining this round's surface: response
   // head (t105) -> status/content-type gates -> charset sniff over body

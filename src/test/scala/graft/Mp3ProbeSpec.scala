@@ -68,4 +68,27 @@ class Mp3ProbeSpec extends AnyFunSuite {
     // rounds to 0ms
     assert(r(5).getBoolean(1) && r(5).getLong(7) === 0L)
   }
+
+  test("flac probe: is-last flag tolerated, wrong type / zero rate rejected") {
+    import spark.implicits._
+    val pre = "000022" + "1000" + "1000" + "000000" + "000000"
+    val md5 = "00" * 16
+    // 44100 stereo 16bps, 44100 samples -> exactly 1000 ms; header byte
+    // 0x80 = STREAMINFO with the is-last flag SET (legal: no more blocks)
+    val lastFlag = "664C6143" + "80" + pre + "0AC442F0" + "0000AC44" + md5
+    // type bits 1 (PADDING first) violate the spec ordering
+    val wrongType = "664C6143" + "01" + pre + "0AC442F0" + "0000AC44" + md5
+    // sample rate 0 is the non-audio sentinel
+    val zeroRate = "664C6143" + "00" + pre + "000002F0" + "0000AC44" + md5
+    val df = Seq(1 -> lastFlag, 2 -> wrongType, 3 -> zeroRate)
+      .toDF("id", "hx")
+      .select(col("id"), unhex(col("hx")).as("blob"))
+    val r = Multimodal.flacDuration(df, "blob", "id")
+      .collect().map(x => x.getInt(0) -> x).toMap
+    assert(r(1).getBoolean(1) && r(1).getLong(2) === 44100L &&
+      r(1).getLong(3) === 2L && r(1).getLong(4) === 16L &&
+      r(1).getLong(6) === 1000L)
+    assert(!r(2).getBoolean(1))
+    assert(!r(3).getBoolean(1))
+  }
 }
