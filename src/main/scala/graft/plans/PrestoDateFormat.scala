@@ -29,10 +29,16 @@ object PrestoDateFormat {
     * outright as DATETIME_WEEK_BASED_PATTERN) — mapping them would trade
     * this mapper's clean error for a confusing cross-version one at
     * runtime, so they throw the same strict exception as unknown tokens
-    * (r18 advice). */
+    * (r18 advice). In OUTPUT mode (`date_format`, r19) the day-name
+    * tokens are legal — 'E' is only banned for parsing — while %v stays
+    * banned both ways (Spark rejects every week-based pattern letter in
+    * both directions). */
   private val unparseable = Set('a', 'W', 'v')
+  private val outputOnly: Map[Char, String] = Map('a' -> "EEE", 'W' -> "EEEE")
 
-  def mysqlToJdk(fmt: String): String = {
+  def mysqlToJdk(fmt: String): String = mysqlToJdk(fmt, forOutput = false)
+
+  def mysqlToJdk(fmt: String, forOutput: Boolean): String = {
     val out = new StringBuilder
     val lit = new StringBuilder
     def flushLit(): Unit = if (lit.nonEmpty) {
@@ -51,15 +57,21 @@ object PrestoDateFormat {
         require(i + 1 < fmt.length, s"dangling %% at end of '$fmt'")
         val t = fmt.charAt(i + 1)
         if (t == '%') lit.append('%')
-        else if (unparseable.contains(t))
+        else if (!forOutput && unparseable.contains(t))
           throw new IllegalArgumentException(
             s"date_parse: MySQL format token %$t is not supported for " +
               s"parsing (Spark 4 rejects its day-name/week-based JDK " +
               s"pattern) in '$fmt'")
-        else tokens.get(t) match {
+        else if (forOutput && t == 'v')
+          throw new IllegalArgumentException(
+            s"date_format: MySQL format token %v is not supported " +
+              s"(Spark rejects every week-based JDK pattern letter; " +
+              s"use the week() function instead) in '$fmt'")
+        else (if (forOutput) tokens ++ outputOnly else tokens).get(t) match {
           case Some(j) => flushLit(); out.append(j)
           case None => throw new IllegalArgumentException(
-            s"date_parse: unsupported MySQL format token %$t in '$fmt'")
+            s"date_${if (forOutput) "format" else "parse"}: unsupported " +
+              s"MySQL format token %$t in '$fmt'")
         }
         i += 2
       } else { lit.append(c); i += 1 }

@@ -500,6 +500,10 @@ object GraftExtensions {
     *    true/false element), which is Spark's default too.
     *  - `format(fmt, args...)` → FormatString (Spark's `format_string`;
     *    both engines speak java.util.Formatter syntax).
+    *  - `to_iso8601(x)` → [[graft.functions.PrestoToIso8601]] (renders
+    *    by resolved input type: date `yyyy-MM-dd`, timestamp
+    *    `yyyy-MM-dd'T'HH:mm:ss.SSS`; other types fail at analysis).
+    *  - `from_iso8601_date(s)` → ANSI cast to DATE.
     *
     * The CONFLICTING-semantics half of batch 4 (`regexp_extract`,
     * `split_part`, `from_unixtime`, `array_agg`) is NOT here — those
@@ -526,7 +530,14 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.nonEmpty, "format(fmt, args...) takes at least one argument")
         FormatString(args: _*)
-      }))
+      }),
+    // to_iso8601's rendering depends on the resolved input TYPE (date vs
+    // timestamp), so it dispatches like PrestoContains; other types fail
+    // loudly at analysis
+    unaryFn("to_iso8601", classOf[graft.functions.PrestoToIso8601].getName,
+      graft.functions.PrestoToIso8601(_)),
+    unaryFn("from_iso8601_date", classOf[Cast].getName,
+      e => Cast(e, org.apache.spark.sql.types.DateType)))
 
   /** r19 batch 4, pack-scoped half — Presto names whose semantics
     * CONFLICT with the same-named Spark builtin. Registered by
@@ -558,6 +569,10 @@ object GraftExtensions {
     *    collect_list drops them — a count-preserving pack aggregation
     *    would silently shrink): nulls ride a non-null struct wrapper
     *    through the collect, then unwrap.
+    *  - `date_format(ts, '%Y-%m-%d...')` → MySQL tokens converted in
+    *    OUTPUT mode ([[PrestoDateFormat.mysqlToJdk]] — %a/%W day names
+    *    allowed, %v still banned; Spark's same-named builtin speaks JDK
+    *    patterns, under which a pack's '%Y-%m-%d' renders literally).
     *
     * Scala-side callers never see these: the Column API has no
     * `runPresto`, and the parent session's registry is untouched
@@ -588,6 +603,20 @@ object GraftExtensions {
       }),
     unaryFn("from_unixtime", classOf[SecondsToTimestamp].getName,
       e => SecondsToTimestamp(Cast(e, DoubleType))),
+    // Presto's date_format speaks MySQL %-tokens (the output sibling of
+    // date_parse); Spark's same-named builtin speaks JDK patterns — a
+    // CloudTrail pack's '%Y-%m-%d' would render LITERALLY under Spark's.
+    // Output mode allows the day-name tokens parsing must reject.
+    binaryFn("date_format", classOf[DateFormatClass].getName, (ts, f) => {
+      val fmt = f match {
+        case Literal(v, _) if v != null =>
+          PrestoDateFormat.mysqlToJdk(v.toString, forOutput = true)
+        case other => throw new IllegalArgumentException(
+          s"date_format format must be a string literal, got $other")
+      }
+      DateFormatClass(Cast(ts, TimestampType), Literal.create(fmt,
+        org.apache.spark.sql.types.StringType))
+    }),
     unaryFn("array_agg", classOf[aggregate.CollectList].getName, { x =>
       val collected = aggregate.CollectList(
         CreateNamedStruct(Seq(Literal("__v"), x))).toAggregateExpression()

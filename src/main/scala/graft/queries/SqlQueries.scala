@@ -1325,8 +1325,11 @@ private[graft] trait SqlQueries extends RegistryBase {
   // cardinality + null-count, which are order-deterministic where the
   // element order is not). Plus the batch-4 global aliases: any_match/
   // all_match/none_match with Presto's three-valued NULL logic (the
-  // null-element rows pin unknown-propagation on both sides) and
-  // format (java.util.Formatter ≡ DuckDB's C-style printf for %s/%0Nd).
+  // null-element rows pin unknown-propagation on both sides), format
+  // (java.util.Formatter ≡ DuckDB's C-style printf for %s/%0Nd),
+  // date_format with MySQL tokens incl. the output-only %a day name
+  // (pack-scoped — Spark's builtin speaks JDK patterns), and
+  // to_iso8601's type-dispatched rendering over both input types.
   register(
     "sq_presto_functions4",
     """SELECT event_type,
@@ -1345,7 +1348,10 @@ private[graft] trait SqlQueries extends RegistryBase {
       |  CAST(NULL AS BOOLEAN) AS am_null,
       |  CAST(NULL AS BOOLEAN) AS alm_null,
       |  NOT (min(event_id) % 4 + 1 > 2 OR min(event_id) % 6 + 1 > 2) AS nm,
-      |  printf('%s|%03d', event_type, min(event_id) % 47) AS fmt
+      |  printf('%s|%03d', event_type, min(event_id) % 47) AS fmt,
+      |  strftime(min(ts), '%Y-%m-%d %a') AS df,
+      |  '1995-06-18T12:00:00.500' AS iso_ts,
+      |  '2024-02-29' AS iso_d
       |FROM events
       |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
     Tables.registerAll(s, dir)
@@ -1377,7 +1383,10 @@ private[graft] trait SqlQueries extends RegistryBase {
         |  none_match(ARRAY[CAST(min(event_id) % 4 + 1 AS INTEGER),
         |                   CAST(min(event_id) % 6 + 1 AS INTEGER)],
         |             x -> x > 2) AS nm,
-        |  format('%s|%03d', event_type, min(event_id) % 47) AS fmt
+        |  format('%s|%03d', event_type, min(event_id) % 47) AS fmt,
+        |  date_format(min(ts), '%Y-%m-%d %a') AS df,
+        |  to_iso8601(from_unixtime(803476800.5)) AS iso_ts,
+        |  to_iso8601(from_iso8601_date('2024-02-29')) AS iso_d
         |FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
       java.time.Instant.parse("1995-06-18T12:00:00Z"))

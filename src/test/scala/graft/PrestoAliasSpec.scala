@@ -454,6 +454,39 @@ class PrestoAliasSpec extends AnyFunSuite {
     }
   }
 
+  test("pack date_format speaks MySQL tokens; Spark's JDK builtin untouched") {
+    val r = ScheduledQueries.runPresto(spark,
+      """SELECT date_format(from_unixtime(803476800), '%Y-%m-%d %H:%i %a') AS x,
+        |       date_format(from_unixtime(803476800), '100%% %W') AS w""".stripMargin,
+      java.time.Instant.ofEpochSecond(0)).head
+    assert(r.getString(0) === "1995-06-18 12:00 Sun")
+    assert(r.getString(1) === "100% Sunday")
+    // %v (ISO week) stays banned: Spark rejects week-based patterns
+    intercept[Exception] {
+      ScheduledQueries.runPresto(spark,
+        "SELECT date_format(current_timestamp, '%v') AS x",
+        java.time.Instant.ofEpochSecond(0)).collect()
+    }
+    // the caller's session still speaks JDK patterns
+    assert(spark.sql(
+      "SELECT date_format(timestamp_seconds(803476800), 'yyyy-MM-dd HH:mm')")
+      .head.getString(0) === "1995-06-18 12:00")
+  }
+
+  test("to_iso8601 dispatches on input type; strings fail loudly") {
+    val r = spark.sql(
+      """SELECT to_iso8601(DATE '2024-02-29') AS d,
+        |       to_iso8601(timestamp_seconds(803476800)) AS ts""".stripMargin)
+      .head
+    assert(r.getString(0) === "2024-02-29")
+    assert(r.getString(1) === "1995-06-18T12:00:00.000")
+    assert(spark.sql("SELECT from_iso8601_date('2024-02-29')").head
+      .getDate(0).toString === "2024-02-29")
+    intercept[Exception] {
+      spark.sql("SELECT to_iso8601('2024-02-29')").collect()
+    }
+  }
+
   test("any_match / all_match / none_match: Presto three-valued logic") {
     val r = spark.sql(
       """SELECT any_match(array(1, 5), x -> x > 3),
