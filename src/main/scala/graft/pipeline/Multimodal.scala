@@ -434,8 +434,12 @@ object Multimodal {
     val hx = col("__hx")
     def u32(pos: Column): Column =
       conv(hx.substr(pos, lit(8)), 16, 10).cast(LongType)
+    // toBase -10 = SIGNED read: a garbage largesize with its high bit
+    // set would render an unsigned decimal > Long.MaxValue and ANSI cast
+    // would THROW; the negative value instead fails the size guards
+    // (real files cannot carry >= 2^63 boxes)
     def u64(pos: Column): Column =
-      conv(hx.substr(pos, lit(16)), 16, 10).cast(LongType)
+      conv(hx.substr(pos, lit(16)), 16, -10).cast(LongType)
     def fourcc(pos: Column): Column = hx.substr(pos + 8, lit(8))
     // one top-level step: (pos) -> (type, nextPos); size==1 reads the
     // largesize u64 at +16 (header then 16 bytes). size<8 poisons the
@@ -488,7 +492,7 @@ object Multimodal {
       (durPos + durHexLen - 1 <= length(hx)).as("__inb"))
     val valid = coalesce(
       mv.isNotNull && (ver === 0L || ver === 1L) &&
-        col("__ts") > 0 && col("__dur").isNotNull && col("__inb"),
+        col("__ts") > 0 && col("__dur") >= 0L && col("__inb"),
       lit(false))
     d.select(col("media_id"), valid.as("valid"),
       when(valid, ver).as("version"),
@@ -625,6 +629,123 @@ object Multimodal {
       when(valid, col("__magic") === "58696E67").as("vbr"),
       when(valid && framed, col("__frames")).as("n_frames"),
       when(valid, durMs).cast(LongType).as("duration_ms"))
+  }
+
+  /** Codec-free WebM/Matroska duration probe — the EBML sibling of
+    * [[videoDuration]]'s ISO-BMFF walk (together they cover the two
+    * dominant video containers): Segment → Info carries Duration (a
+    * FLOAT, in TimestampScale units) at no fixed offset, so the probe
+    * is a REAL bounded EBML walk (RFC 8794, public), not an offset
+    * guess.
+    *
+    * EBML elements are `[varint ID][varint size][payload]`: the leading
+    * byte's high bits give each varint's length (IDs keep their marker
+    * bit per the spec's quoted form, sizes strip it — subtracting
+    * 2^(7·len)). The walk: up to 2 top-level elements to find Segment
+    * (`18538067`, its UNKNOWN-size `01FF…` streaming form accepted —
+    * only the payload position is needed), up to 6 Segment children
+    * (SeekHead/Void commonly precede) to find Info (`1549A966`), up to
+    * 6 Info children for TimestampScale (`2AD7B1`, uint, default
+    * 1 000 000 ns absent) and Duration (`4489`, float64 or float32).
+    * Floats decode bit-exactly in-plan: (2^52+mantissa)·2^(exp−1075)
+    * via shiftright/% field extraction and a power-of-two multiply —
+    * IEEE-exact, no string round-trip (denormals render 0, ±Inf/NaN
+    * land on the guard). duration_ms floors from
+    * duration·scale_ns/10^6 + 0.5. Any malformed varint, out-of-bounds
+    * jump, or missing element → valid=false, null fields. Returns
+    * (media_id, valid, timescale_ns, duration_ms). */
+  def webmDuration(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    def keep(d: DataFrame, cols: Column*): DataFrame =
+      d.select(d.columns.map(col) ++ cols: _*)
+    val hx = col("__hx")
+    val hxLen = length(hx).cast(LongType)
+    def u8at(pos: Column): Column =
+      conv(hx.substr(pos, lit(2)), 16, 10).cast(LongType)
+    def idLen(b: Column): Column = when(b >= 128L, 1L).when(b >= 64L, 2L)
+      .when(b >= 32L, 3L).when(b >= 16L, 4L)
+    def szLen(b: Column): Column = when(b >= 128L, 1L).when(b >= 64L, 2L)
+      .when(b >= 32L, 3L).when(b >= 16L, 4L).when(b >= 8L, 5L)
+      .when(b >= 4L, 6L).when(b >= 2L, 7L).when(b >= 1L, 8L)
+    def markerOf(l: Column): Column = when(l === 1L, 128L)
+      .when(l === 2L, 16384L).when(l === 3L, 2097152L)
+      .when(l === 4L, 268435456L).when(l === 5L, 34359738368L)
+      .when(l === 6L, 4398046511104L).when(l === 7L, 562949953421312L)
+      .when(l === 8L, 72057594037927936L)
+    // one element step at byte-hex position p: (idHex, size, payloadPos,
+    // nextSiblingPos) — any malformed piece nulls through
+    def step(p: Column): (Column, Column, Column, Column) = {
+      val il = idLen(u8at(p))
+      val sb = u8at(p + il * 2)
+      val sl = szLen(sb)
+      val raw = conv(hx.substr(p + il * 2, (sl * 2).cast("int")), 16, 10)
+        .cast(LongType)
+      val size = raw - markerOf(sl)
+      val payload = p + (il + sl) * 2
+      val next = when(size >= 0L && payload + size * 2 <= hxLen + 1,
+        payload + size * 2)
+      (hx.substr(p, (il * 2).cast("int")), size, payload, next)
+    }
+    val base = df.select(col(idCol).as("media_id"),
+      upper(hex(col(binCol))).as("__hx"))
+    // top-level: find Segment within 2 elements
+    var d = keep(base, lit(1L).as("__g0"))
+    for (i <- 0 until 2) {
+      val (id, _, pay, next) = step(col(s"__g$i"))
+      d = keep(d, id.as(s"__gi$i"), pay.as(s"__gp$i"), next.as(s"__g${i + 1}"))
+    }
+    val segPay = coalesce((0 until 2).map(i =>
+      when(col(s"__gi$i") === "18538067", col(s"__gp$i"))): _*)
+    // Segment children: find Info within 6
+    d = keep(d, segPay.as("__s0"))
+    for (i <- 0 until 6) {
+      val (id, _, pay, next) = step(col(s"__s$i"))
+      d = keep(d, id.as(s"__si$i"), pay.as(s"__sp$i"), next.as(s"__s${i + 1}"))
+    }
+    val infoPay = coalesce((0 until 6).map(i =>
+      when(col(s"__si$i") === "1549A966", col(s"__sp$i"))): _*)
+    // Info children: TimestampScale (uint) + Duration (float)
+    d = keep(d, infoPay.as("__c0"))
+    for (i <- 0 until 6) {
+      val (id, sz, pay, next) = step(col(s"__c$i"))
+      d = keep(d, id.as(s"__ci$i"), sz.as(s"__cs$i"), pay.as(s"__cp$i"),
+        next.as(s"__c${i + 1}"))
+    }
+    def firstChild(wanted: String, f: (Column, Column) => Column): Column =
+      coalesce((0 until 6).map(i => when(col(s"__ci$i") === wanted,
+        f(col(s"__cs$i"), col(s"__cp$i")))): _*)
+    // toBase -10: SIGNED two's-complement read — conv's unsigned string
+    // for a high-bit-set 8-byte field would THROW under ANSI cast; the
+    // negative result instead fails the bits>0 / scale>0 guards cleanly
+    val tsRead = firstChild("2AD7B1", (sz, pay) =>
+      when(sz.between(1L, 8L) && pay + sz * 2 <= hxLen + 1,
+        conv(hx.substr(pay, (sz * 2).cast("int")), 16, -10).cast(LongType)))
+    val durBits = firstChild("4489", (sz, pay) =>
+      when(sz.isin(4L, 8L) && pay + sz * 2 <= hxLen + 1,
+        conv(hx.substr(pay, (sz * 2).cast("int")), 16, -10).cast(LongType)))
+    val durSz = firstChild("4489", (sz, _) => sz)
+    d = keep(d, tsRead.as("__ts"), durBits.as("__db"), durSz.as("__dsz"))
+    val bits = col("__db")
+    // IEEE decode: exponent/mantissa by shift and modulus, value =
+    // (2^p + mant) * 2^(exp - bias - p); zero bits -> 0.0; a negative
+    // raw (sign bit set) or all-ones exponent (Inf/NaN) fails the guard
+    val f64 = (col("__db") % 4503599627370496L + 4503599627370496L)
+      .cast("double") * pow(lit(2.0), shiftright(bits, 52) % 2048L - 1075L)
+    val f32 = (col("__db") % 8388608L + 8388608L).cast("double") *
+      pow(lit(2.0), shiftright(bits, 23) % 256L - 150L)
+    val exp64 = shiftright(bits, 52) % 2048L
+    val exp32 = shiftright(bits, 23) % 256L
+    val durVal = when(bits === 0L, lit(0.0))
+      .when(col("__dsz") === 8L && bits > 0L && exp64 === 0L, lit(0.0))
+      .when(col("__dsz") === 8L && bits > 0L && exp64 =!= 2047L, f64)
+      .when(col("__dsz") === 4L && bits > 0L && exp32 === 0L, lit(0.0))
+      .when(col("__dsz") === 4L && bits > 0L && exp32 =!= 255L, f32)
+    val scale = coalesce(col("__ts"), lit(1000000L))
+    val valid = coalesce(durVal.isNotNull && durVal >= 0.0 && scale > 0L,
+      lit(false))
+    d.select(col("media_id"), valid.as("valid"),
+      when(valid, scale).as("timescale_ns"),
+      when(valid, floor(durVal * scale.cast("double") / 1.0e6 + 0.5))
+        .cast(LongType).as("duration_ms"))
   }
 
   /** Codec-free FLAC duration probe — completes the audio triage tier

@@ -1771,6 +1771,53 @@ private[graft] trait PipelineQueries extends RegistryBase {
   }
 
 
+  // Codec-free WebM/Matroska duration probe — a REAL bounded EBML
+  // varint walk (Segment -> Info -> TimestampScale/Duration), the
+  // second dominant video container next to mm_video_duration's
+  // ISO-BMFF. Duration is a FLOAT in scale units: fixtures plant values
+  // in [2^20, 2^21) so the IEEE bit patterns build EXACTLY from integer
+  // arithmetic (bits = (1023+20)<<52 | (v-2^20)<<32 for f64;
+  // (127+20)<<23 | (v-2^20)<<3 for f32) and the in-plan float decode
+  // must reproduce v exactly. Class 0 walks past a Void child with an
+  // explicit TimestampScale; class 1 rides the UNKNOWN-size streaming
+  // Segment (01FF..) with the default scale and an f32 Duration; no
+  // Info / truncated / garbage yield valid=false.
+  register(
+    "mm_webm_duration",
+    """WITH p AS (
+      |  SELECT doc_id, CAST(doc_id % 5 AS INT) AS m5,
+      |         1048576 + doc_id % 1000000 AS v
+      |  FROM documents)
+      |SELECT doc_id AS media_id,
+      |  m5 <= 1 AS valid,
+      |  CASE WHEN m5 <= 1 THEN CAST(1000000 AS BIGINT) END AS timescale_ns,
+      |  CASE WHEN m5 <= 1 THEN CAST(v AS BIGINT) END AS duration_ms
+      |FROM p ORDER BY media_id""".stripMargin) { (s, dir) =>
+    val id = col("doc_id")
+    val v = id % 1000000 + 1048576
+    val f64bits = lit(1043L * 4503599627370496L) + (v - 1048576) * 4294967296L
+    val f32bits = lit(147L * 8388608L) + (v - 1048576) * 8
+    val ebml = "1A45DFA3" + "84" + "42868101"
+    // Info: TimestampScale 1e6 + f64 Duration; Void precedes Info
+    val info0 = concat(lit("1549A966" + "92" + "2AD7B1" + "83" + "0F4240" +
+      "4489" + "88"), lpad(hex(f64bits), 16, "0"))
+    val seg0 = concat(lit("18538067" + "9B" + "EC" + "82" + "0000"), info0)
+    // unknown-size Segment, Info first, f32 Duration, default scale
+    val info1 = concat(lit("1549A966" + "87" + "4489" + "84"),
+      lpad(hex(f32bits), 8, "0"))
+    val seg1 = concat(lit("18538067" + "01FFFFFFFFFFFFFF"), info1)
+    val noInfo = ebml + "18538067" + "88" + "EC" + "86" + "000000000000"
+    val m5 = id % 5
+    val blobs = t(s, dir, "documents").select(id,
+      when(m5 === 0, unhex(concat(lit(ebml), seg0)))
+        .when(m5 === 1, unhex(concat(lit(ebml), seg1)))
+        .when(m5 === 2, unhex(lit(noInfo)))
+        .when(m5 === 3, unhex(lit("1A45DF")))
+        .otherwise(unhex(concat(lit("0000"), hex(col("text"))))).as("blob"))
+    Multimodal.webmDuration(blobs, "blob", "doc_id").orderBy("media_id")
+  }
+
+
   // Codec-free FLAC duration probe completing the audio tier (WAV PCM +
   // MP3 + FLAC lossless): STREAMINFO is REQUIRED first, so the packed
   // rate/channels/bps/total-samples bitfield sits at fixed offsets —

@@ -819,7 +819,8 @@ class PlanSpec extends AnyFunSuite {
       "t104_sitemap_urls", "t105_http_headers", "t108_robots_meta",
       "t109_charset_sniff", "t114_pub_date", "mm_image_dims",
       "mm_audio_duration", "mm_exif", "mm_exif_gps", "mm_video_duration",
-      "mm_mp3_duration", "mm_image_dims2", "mm_flac_duration")
+      "mm_mp3_duration", "mm_image_dims2", "mm_flac_duration",
+      "mm_webm_duration")
       .foreach { q =>
       val p = plan(q)
       assert(!p.contains("UDF") && !p.contains("Exchange hashpartitioning"),
