@@ -504,6 +504,9 @@ object GraftExtensions {
     *    by resolved input type: date `yyyy-MM-dd`, timestamp
     *    `yyyy-MM-dd'T'HH:mm:ss.SSS`; other types fail at analysis).
     *  - `from_iso8601_date(s)` → ANSI cast to DATE.
+    *  - `regexp_split(s, pattern)` → StringSplit keeping trailing empty
+    *    fields; 2-arg `regexp_replace(s, p)` (match REMOVAL) joins the
+    *    builtin's 3/4-arg forms, which pass through unchanged.
     *
     * The CONFLICTING-semantics half of batch 4 (`regexp_extract`,
     * `split_part`, `from_unixtime`, `array_agg`) is NOT here — those
@@ -537,7 +540,23 @@ object GraftExtensions {
     unaryFn("to_iso8601", classOf[graft.functions.PrestoToIso8601].getName,
       graft.functions.PrestoToIso8601(_)),
     unaryFn("from_iso8601_date", classOf[Cast].getName,
-      e => Cast(e, org.apache.spark.sql.types.DateType)))
+      e => Cast(e, org.apache.spark.sql.types.DateType)),
+    // regexp_split is Presto's regex-delimiter split (Spark spells it
+    // `split`); -1 keeps trailing empty fields, as Presto does
+    binaryFn("regexp_split", classOf[StringSplit].getName,
+      (s, p) => StringSplit(s, p, Literal(-1))),
+    // Presto's 2-arg regexp_replace REMOVES matches; Spark's builtin
+    // requires the replacement. 3/4-arg forms pass through with
+    // identical semantics, so the replacement only ADDS the 2-arg form
+    (new org.apache.spark.sql.catalyst.FunctionIdentifier("regexp_replace"),
+      new ExpressionInfo(classOf[RegExpReplace].getName, "regexp_replace"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s, p) => RegExpReplace(s, p, Literal(""))
+        case Seq(s, p, r) => RegExpReplace(s, p, r)
+        case Seq(s, p, r, pos) => RegExpReplace(s, p, r, pos)
+        case other => throw new IllegalArgumentException(
+          s"regexp_replace takes 2-4 arguments, got ${other.length}")
+      }))
 
   /** r19 batch 4, pack-scoped half — Presto names whose semantics
     * CONFLICT with the same-named Spark builtin. Registered by
@@ -573,6 +592,10 @@ object GraftExtensions {
     *    OUTPUT mode ([[PrestoDateFormat.mysqlToJdk]] — %a/%W day names
     *    allowed, %v still banned; Spark's same-named builtin speaks JDK
     *    patterns, under which a pack's '%Y-%m-%d' renders literally).
+    *  - `split(s, delim[, limit])` → delimiter regex-QUOTED (Presto's
+    *    delimiter is literal, Spark's is a regex — `split(col, '.')`
+    *    would silently shred); the regex spelling stays available in
+    *    pack scope as `regexp_split`.
     *
     * Scala-side callers never see these: the Column API has no
     * `runPresto`, and the parent session's registry is untouched
@@ -617,6 +640,27 @@ object GraftExtensions {
       DateFormatClass(Cast(ts, TimestampType), Literal.create(fmt,
         org.apache.spark.sql.types.StringType))
     }),
+    // Presto's split delimiter is LITERAL; Spark's same-named builtin
+    // treats it as a REGEX — a pack's split(col, '.') or split(col, '|')
+    // would silently shred every row (the split_to_map hazard class).
+    // Presto's optional limit shares Spark's remainder-in-last-element
+    // semantics; no limit = keep all fields incl. trailing empties (-1).
+    (new org.apache.spark.sql.catalyst.FunctionIdentifier("split"),
+      new ExpressionInfo(classOf[StringSplit].getName, "split"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 || args.length == 3,
+          "split(s, delimiter[, limit]) takes two or three arguments")
+        val quoted = args(1) match {
+          case Literal(v, StringType) if v != null =>
+            Literal.create(java.util.regex.Pattern.quote(v.toString),
+              StringType)
+          case other => throw new IllegalArgumentException(
+            s"split delimiter must be a string literal (Presto's is " +
+              s"literal, Spark's is a regex), got $other")
+        }
+        StringSplit(args(0), quoted,
+          if (args.length == 3) args(2) else Literal(-1))
+      }),
     unaryFn("array_agg", classOf[aggregate.CollectList].getName, { x =>
       val collected = aggregate.CollectList(
         CreateNamedStruct(Seq(Literal("__v"), x))).toAggregateExpression()

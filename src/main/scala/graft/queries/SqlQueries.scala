@@ -1351,7 +1351,10 @@ private[graft] trait SqlQueries extends RegistryBase {
       |  printf('%s|%03d', event_type, min(event_id) % 47) AS fmt,
       |  strftime(min(ts), '%Y-%m-%d %a') AS df,
       |  '1995-06-18T12:00:00.500' AS iso_ts,
-      |  '2024-02-29' AS iso_d
+      |  '2024-02-29' AS iso_d,
+      |  event_type AS sp1,
+      |  CAST(3 AS BIGINT) AS rsn,
+      |  regexp_replace(event_type, '[aeiou]', '', 'g') AS rr
       |FROM events
       |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
     Tables.registerAll(s, dir)
@@ -1386,7 +1389,11 @@ private[graft] trait SqlQueries extends RegistryBase {
         |  format('%s|%03d', event_type, min(event_id) % 47) AS fmt,
         |  date_format(min(ts), '%Y-%m-%d %a') AS df,
         |  to_iso8601(from_unixtime(803476800.5)) AS iso_ts,
-        |  to_iso8601(from_iso8601_date('2024-02-29')) AS iso_d
+        |  to_iso8601(from_iso8601_date('2024-02-29')) AS iso_d,
+        |  element_at(split(event_type || '.x.y', '.'), 1) AS sp1,
+        |  CAST(cardinality(regexp_split('a1b22c', '[0-9]+')) AS BIGINT)
+        |    AS rsn,
+        |  regexp_replace(event_type, '[aeiou]') AS rr
         |FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
       java.time.Instant.parse("1995-06-18T12:00:00Z"))

@@ -487,6 +487,28 @@ class PrestoAliasSpec extends AnyFunSuite {
     }
   }
 
+  test("pack split is literal-delimiter; Spark's regex split untouched") {
+    val r = ScheduledQueries.runPresto(spark,
+      """SELECT split('a.b.c', '.') AS s3,
+        |       split('a|b|c', '|', 2) AS s2""".stripMargin,
+      java.time.Instant.ofEpochSecond(0)).head
+    assert(r.getSeq[String](0) === Seq("a", "b", "c"))
+    assert(r.getSeq[String](1) === Seq("a", "b|c")) // remainder in last
+    // outside the pack, '.' is still a regex matching every character
+    assert(spark.sql("SELECT split('a.b.c', '.')").head
+      .getSeq[String](0).forall(_ === ""))
+    // global additions: regexp_split keeps trailing empties; 2-arg
+    // regexp_replace removes matches; the 3-arg builtin is unchanged
+    val g = spark.sql(
+      """SELECT regexp_split('a1b22c3', '[0-9]+') AS rs,
+        |       regexp_replace('purchase', '[aeiou]') AS rr2,
+        |       regexp_replace('purchase', '[aeiou]', '_') AS rr3""".stripMargin)
+      .head
+    assert(g.getSeq[String](0) === Seq("a", "b", "c", ""))
+    assert(g.getString(1) === "prchs")
+    assert(g.getString(2) === "p_rch_s_")
+  }
+
   test("any_match / all_match / none_match: Presto three-valued logic") {
     val r = spark.sql(
       """SELECT any_match(array(1, 5), x -> x > 3),
