@@ -86,14 +86,67 @@ object ScheduledQueries {
       extra: Map[String, String] = Map.empty): DataFrame = {
     val ps = org.apache.spark.sql.GraftSessionBridge.cloneSession(spark)
     ps.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
-    // Presto names whose semantics CONFLICT with the same-named Spark
-    // builtin bind to the CLONE's registry only (r19 batch 4) — pack
-    // text is Presto-faithful, the caller's session stays Spark-faithful
-    graft.plans.GraftExtensions.packOverrides.foreach { case (id, info, b) =>
-      org.apache.spark.sql.GraftSessionBridge.registerFunction(ps, id, info, b)
+    run(ps, rewritePackCalls(rewritePrestoTypes(rewritePrestoUnits(
+      rewriteUnnest(rewriteArrayLiterals(sql))))), now, extra)
+  }
+
+  /** Function names whose PRESTO semantics conflict with the same-named
+    * Spark builtin — rewritten in the pack TEXT to the reserved
+    * `__presto_*` registrations ([[graft.plans.GraftExtensions]], r19
+    * batch 4). Why a TEXT rewrite and not a registry override on the
+    * cloned session: a pack may read a catalog VIEW authored in Spark
+    * dialect, and view text re-RESOLVES against the reading session's
+    * registry — a clone-registry override would silently re-interpret
+    * the view's `date_format`/`split` under Presto semantics (caught
+    * live: the verbatim CloudTrail pack's fixture view rendered its JDK
+    * time pattern literally). Rewriting only the pack's own tokens
+    * leaves every view resolving under Spark semantics, exactly the
+    * boundary Presto↔Athena users expect. */
+  private val packCallNames = Set("regexp_extract", "split_part",
+    "from_unixtime", "array_agg", "date_format", "split")
+
+  /** Token-aware: strings, `--` comments, and double-quoted identifiers
+    * are copied opaquely; a name rewrites only when word-bounded, not
+    * preceded by `.` (qualified references), and followed by `(`. */
+  private[graft] def rewritePackCalls(sql: String): String = {
+    val out = new StringBuilder
+    val n = sql.length
+    var i = 0
+    var prevSig: Char = 0 // last significant char emitted (not ws)
+    def isIdentChar(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"') {
+        var j = i + 1
+        var done = false
+        while (j < n && !done) {
+          if (sql.charAt(j) == c) {
+            if (j + 1 < n && sql.charAt(j + 1) == c) j += 2 else done = true
+          } else j += 1
+        }
+        val e = math.min(n, j + 1)
+        out.append(sql.substring(i, e)); prevSig = c; i = e
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        val e = sql.indexOf('\n', i) match { case -1 => n; case x => x }
+        out.append(sql.substring(i, e)); i = e
+      } else if (c.isLetter || c == '_') {
+        var j = i
+        while (j < n && isIdentChar(sql.charAt(j))) j += 1
+        val word = sql.substring(i, j)
+        var k = j
+        while (k < n && sql.charAt(k).isWhitespace) k += 1
+        if (packCallNames.contains(word.toLowerCase) && prevSig != '.' &&
+            k < n && sql.charAt(k) == '(')
+          out.append("__presto_").append(word.toLowerCase)
+        else out.append(word)
+        prevSig = word.last; i = j
+      } else {
+        out.append(c)
+        if (!c.isWhitespace) prevSig = c
+        i += 1
+      }
     }
-    run(ps, rewritePrestoTypes(rewritePrestoUnits(rewriteUnnest(
-      rewriteArrayLiterals(sql)))), now, extra)
+    out.toString
   }
 
   /** Presto's `ARRAY[a, b, ...]` literal constructor — the ONLY

@@ -488,7 +488,7 @@ object GraftExtensions {
       // Presto accepts date or timestamp and returns BIGINT; the Cast to
       // DateType carries the session zone for timestamps
       e => Cast(mk(Cast(e, org.apache.spark.sql.types.DateType)), LongType)))
-  } ++ prestoAliases4
+  } ++ prestoAliases4 ++ packOverrides
 
   /** r19 batch 4, global half — Presto names Spark does NOT use, so the
     * session-wide registration shadows nothing:
@@ -509,10 +509,11 @@ object GraftExtensions {
     *    builtin's 3/4-arg forms, which pass through unchanged.
     *
     * The CONFLICTING-semantics half of batch 4 (`regexp_extract`,
-    * `split_part`, `from_unixtime`, `array_agg`) is NOT here — those
-    * names are Spark builtins with different return conventions, so they
-    * live in [[packOverrides]] and bind only to `runPresto`'s cloned
-    * session. */
+    * `split_part`, `from_unixtime`, `array_agg`, `date_format`,
+    * `split`) is NOT here under its own names — those are Spark
+    * builtins with different conventions, so they register under
+    * reserved `__presto_*` names the pack-text rewrite targets
+    * ([[packOverrides]]). */
   private def prestoAliases4: Seq[FnEntry] = Seq(
     binaryFn("any_match", classOf[ArrayExists].getName, ArrayExists(_, _)),
     binaryFn("all_match", classOf[ArrayForAll].getName, ArrayForAll(_, _)),
@@ -559,13 +560,14 @@ object GraftExtensions {
       }))
 
   /** r19 batch 4, pack-scoped half — Presto names whose semantics
-    * CONFLICT with the same-named Spark builtin. Registered by
-    * [[graft.history.ScheduledQueries.runPresto]] onto its CLONED
-    * session's own function registry
-    * ([[org.apache.spark.sql.GraftSessionBridge.registerFunction]]), so
-    * pack text gets Presto behavior while plain `spark.sql` on the
-    * caller's session keeps Spark's — the isolation the r19
-    * cloned-session architecture was built for:
+    * CONFLICT with the same-named Spark builtin. Registered GLOBALLY
+    * under reserved `__presto_*` names; the pack TEXT is token-rewritten
+    * onto them by [[graft.history.ScheduledQueries.rewritePackCalls]],
+    * so pack text gets Presto behavior while plain `spark.sql` — and,
+    * critically, every catalog VIEW a pack reads, whose text re-resolves
+    * against the reading session's registry — keeps Spark's. (A
+    * clone-registry override was tried first and leaked into view
+    * resolution; see the rewritePackCalls Scaladoc.)
     *
     *  - `regexp_extract(s, p[, group])` → NULL when the pattern does not
     *    match (Spark returns `''` — a pack's `IS NOT NULL` gate would
@@ -598,9 +600,9 @@ object GraftExtensions {
     *    pack scope as `regexp_split`.
     *
     * Scala-side callers never see these: the Column API has no
-    * `runPresto`, and the parent session's registry is untouched
-    * (pinned by PrestoPackOverrideSpec). */
-  val packOverrides: Seq[FnEntry] = Seq(
+    * `runPresto`, and no builtin name is ever replaced (pinned by
+    * PrestoAliasSpec). */
+  private def packOverrides: Seq[FnEntry] = Seq(
     (new org.apache.spark.sql.catalyst.FunctionIdentifier("regexp_extract"),
       new ExpressionInfo(classOf[RegExpExtract].getName, "regexp_extract"),
       (args: Seq[Expression]) => {
@@ -668,7 +670,10 @@ object GraftExtensions {
       ArrayTransform(collected, LambdaFunction(
         org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
           e, Literal("__v")), Seq(e)))
-    }))
+    })).map { case (id, info, b) =>
+    (new org.apache.spark.sql.catalyst.FunctionIdentifier(
+      "__presto_" + id.funcName), info, b)
+  }
 
   private def unaryFn(name: String, className: String,
       mk: Expression => Expression): FnEntry =

@@ -509,6 +509,39 @@ class PrestoAliasSpec extends AnyFunSuite {
     assert(g.getString(2) === "p_rch_s_")
   }
 
+  test("pack overrides never leak into Spark-authored views a pack reads") {
+    // the live regression behind the __presto_* text-rewrite design: a
+    // catalog/temp view's text re-RESOLVES against the reading session's
+    // registry, so a registry override of date_format/split would
+    // re-interpret the view's JDK pattern / regex under Presto semantics
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW pack_view_spec_v AS
+        |SELECT date_format(timestamp_seconds(803476800),
+        |         'yyyy-MM-dd''T''HH') AS jdk_fmt,
+        |       split('a.b', '.') AS regex_split""".stripMargin)
+    val r = ScheduledQueries.runPresto(spark,
+      """SELECT jdk_fmt, cardinality(regex_split) AS n,
+        |       split_part('x-y', '-', 2) AS packside
+        |FROM pack_view_spec_v""".stripMargin,
+      java.time.Instant.ofEpochSecond(0)).head
+    assert(r.getString(0) === "1995-06-18T12") // JDK pattern, not literal
+    assert(r.getInt(1) === 4) // regex '.' split: 4 empty fields
+    assert(r.getString(2) === "y") // pack text stays Presto-faithful
+  }
+
+  test("rewritePackCalls is token-aware and word-bounded") {
+    import ScheduledQueries.{rewritePackCalls => rw}
+    assert(rw("SELECT split(a, '.') FROM t") ===
+      "SELECT __presto_split(a, '.') FROM t")
+    // strings, comments, quoted identifiers, qualified names, and
+    // non-call uses stay untouched; case folds; whitespace before (
+    assert(rw("SELECT 'split(x)' AS s, \"split\", t.split, my_split(x)," +
+      " splitter(x), SPLIT (a, b) -- split(c)\nFROM t") ===
+      "SELECT 'split(x)' AS s, \"split\", t.split, my_split(x)," +
+      " splitter(x), __presto_split (a, b) -- split(c)\nFROM t")
+    assert(rw("date_format(ts, '%Y')") === "__presto_date_format(ts, '%Y')")
+  }
+
   test("any_match / all_match / none_match: Presto three-valued logic") {
     val r = spark.sql(
       """SELECT any_match(array(1, 5), x -> x > 3),
