@@ -750,6 +750,68 @@ object Multimodal {
         .cast(LongType).as("duration_ms"))
   }
 
+  /** Codec-free Ogg/Opus duration probe — the streaming-audio sibling
+    * of [[flacDuration]] (together with WAV/MP3 the audio container
+    * tier is complete): an Ogg stream's duration lives in its LAST
+    * page's granule position (RFC 3533 §6 — for Opus, RFC 7845 §4:
+    * 48 kHz sample count, minus the OpusHead pre-skip).
+    *
+    *  - the FIRST page's payload (at byte 27+nsegs, past the segment
+    *    table) is probed for the `OpusHead` magic; channels u8 and
+    *    pre-skip u16 LE read at +9/+10. Non-Opus Ogg (Vorbis, ...) →
+    *    valid=false: no other codec's granule→time mapping is known
+    *    without its own head parse.
+    *  - the LAST page is located with ONE greedy aligned scan over the
+    *    hex encoding — `^(?:..)*4F676753(.{20})` captures the 10 bytes
+    *    after the final byte-aligned `OggS` (version, header type,
+    *    granule u64 LE); the greedy prefix forces the LAST occurrence
+    *    the way the JPEG SOF scan forces the FIRST. O(blob) once per
+    *    row, the documented cost class of [[imageDims]]'s SOF scan.
+    *    The EOS flag (0x04) is reported, not required — a truncated
+    *    live stream still has a best-known duration.
+    *
+    * duration_ms floors from (granule − preskip)·1000/48000; a granule
+    * below pre-skip (pathological) or a signed-overflow granule fails
+    * the guard. Truncated/garbage → valid=false, null fields. Returns
+    * (media_id, valid, channels, pre_skip, eos, granule, duration_ms). */
+  def oggDuration(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    def keep(d: DataFrame, cols: Column*): DataFrame =
+      d.select(d.columns.map(col) ++ cols: _*)
+    val hx = col("__hx")
+    def u8(bytePos: Int): Column =
+      conv(substring(hx, bytePos * 2 + 1, 2), 16, 10).cast(LongType)
+    val base = df.select(col(idCol).as("media_id"),
+      upper(hex(col(binCol))).as("__hx"))
+    val isOgg = hx.startsWith("4F676753")
+    // first-page payload position: 27 header bytes + nsegs(@26) table
+    var d = keep(base, when(isOgg && length(hx) >= 54,
+      (lit(27L) + u8(26)) * 2 + 1).as("__pp"))
+    val pp = col("__pp")
+    d = keep(d,
+      (hx.substr(pp, lit(16)) === "4F70757348656164").as("__opus"),
+      // channels u8 @ payload+9; pre-skip u16 LE @ payload+10
+      conv(hx.substr(pp + 18, lit(2)), 16, 10).cast(LongType).as("__ch"),
+      conv(concat(hx.substr(pp + 22, lit(2)), hx.substr(pp + 20, lit(2))),
+        16, 10).cast(LongType).as("__skip"),
+      regexp_extract(hx, "^(?:..)*4F676753(.{20})", 1).as("__last"))
+    val last = col("__last")
+    val granule = conv(concat((0 until 8).reverse.map(i =>
+      substring(last, 5 + i * 2, 2)): _*), 16, -10).cast(LongType)
+    d = keep(d,
+      (conv(substring(last, 3, 2), 16, 10).cast(LongType) % 8 >= 4)
+        .as("__eos"),
+      granule.as("__gr"))
+    val valid = coalesce(col("__opus") && col("__gr") >= col("__skip"),
+      lit(false))
+    d.select(col("media_id"), valid.as("valid"),
+      when(valid, col("__ch")).as("channels"),
+      when(valid, col("__skip")).as("pre_skip"),
+      when(valid, col("__eos")).as("eos"),
+      when(valid, col("__gr")).as("granule"),
+      when(valid, floor(((col("__gr") - col("__skip")) * 1000L)
+        .cast("double") / 48000.0 + 0.5)).cast(LongType).as("duration_ms"))
+  }
+
   /** Codec-free FLAC duration probe — completes the audio triage tier
     * ([[audioDuration]] PCM WAV, [[mp3Duration]] MPEG): the STREAMINFO
     * metadata block is REQUIRED to be the first block after the `fLaC`

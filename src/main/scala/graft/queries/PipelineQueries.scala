@@ -1818,6 +1818,64 @@ private[graft] trait PipelineQueries extends RegistryBase {
   }
 
 
+  // Codec-free Ogg/Opus duration probe: the LAST page's granule
+  // position (one greedy aligned scan — the last-occurrence dual of
+  // the JPEG SOF first-occurrence trick) minus the OpusHead pre-skip,
+  // at Opus's fixed 48 kHz granule rate. Class 0 is a BOS+EOS pair with
+  // a real pre-skip (312, the libopus default); class 1 a pre-skip-0
+  // mono stream whose final page lacks the EOS flag (live-stream shape
+  // — reported, not required); a Vorbis-headed Ogg is valid=false (no
+  // codec-free granule mapping without its head parse); garbage too.
+  // Granules are planted as preskip + ms*48 so duration_ms hash-equals
+  // the analytic oracle exactly.
+  register(
+    "mm_ogg_duration",
+    """WITH p AS (
+      |  SELECT doc_id, CAST(doc_id % 4 AS INT) AS m4,
+      |         doc_id % 100000 AS ms
+      |  FROM documents)
+      |SELECT doc_id AS media_id,
+      |  m4 <= 1 AS valid,
+      |  CASE WHEN m4 = 0 THEN CAST(2 AS BIGINT)
+      |       WHEN m4 = 1 THEN CAST(1 AS BIGINT) END AS channels,
+      |  CASE WHEN m4 = 0 THEN CAST(312 AS BIGINT)
+      |       WHEN m4 = 1 THEN CAST(0 AS BIGINT) END AS pre_skip,
+      |  CASE WHEN m4 = 0 THEN TRUE WHEN m4 = 1 THEN FALSE END AS eos,
+      |  CASE WHEN m4 = 0 THEN CAST(312 + ms * 48 AS BIGINT)
+      |       WHEN m4 = 1 THEN CAST(ms * 48 AS BIGINT) END AS granule,
+      |  CASE WHEN m4 <= 1 THEN CAST(ms AS BIGINT) END AS duration_ms
+      |FROM p ORDER BY media_id""".stripMargin) { (s, dir) =>
+    val id = col("doc_id")
+    val ms = id % 100000
+    def byteHex(v: Column): Column = lpad(hex(v % 256), 2, "0")
+    def leN(v: Column, n: Int): Column =
+      concat((0 until n).map(i => byteHex(floor(v / math.pow(256, i)))): _*)
+    def opusHead(ch: String, preskip: Column): Column =
+      concat(lit("4F70757348656164" + "01" + ch), leN(preskip, 2),
+        lit("80BB0000" + "0000" + "00")) // rate 48000 LE, gain, family
+    def page0(flags: String, head: Column): Column =
+      concat(lit("4F676753" + "00" + flags + "00" * 8 + "01000000" +
+        "00000000" + "00000000" + "01" + "13"), head)
+    def lastPage(flags: String, granule: Column): Column =
+      concat(lit("4F676753" + "00" + flags), leN(granule, 8),
+        lit("01000000" + "01000000" + "00000000" + "00"))
+    val ogg0 = concat(page0("02", opusHead("02", lit(312))),
+      lastPage("04", ms * 48 + 312))
+    val ogg1 = concat(page0("02", opusHead("01", lit(0))),
+      lastPage("00", ms * 48))
+    val vorbis = "4F676753" + "00" + "02" + "00" * 8 + "01000000" +
+      "00000000" + "00000000" + "01" + "13" +
+      "01766F72626973" + "00" * 12
+    val m4 = id % 4
+    val blobs = t(s, dir, "documents").select(id,
+      when(m4 === 0, unhex(ogg0))
+        .when(m4 === 1, unhex(ogg1))
+        .when(m4 === 2, unhex(lit(vorbis)))
+        .otherwise(unhex(concat(lit("0000"), hex(col("text"))))).as("blob"))
+    Multimodal.oggDuration(blobs, "blob", "doc_id").orderBy("media_id")
+  }
+
+
   // Codec-free FLAC duration probe completing the audio tier (WAV PCM +
   // MP3 + FLAC lossless): STREAMINFO is REQUIRED first, so the packed
   // rate/channels/bps/total-samples bitfield sits at fixed offsets —

@@ -69,6 +69,41 @@ class Mp3ProbeSpec extends AnyFunSuite {
     assert(r(5).getBoolean(1) && r(5).getLong(7) === 0L)
   }
 
+  test("ogg probe: aligned-last-page selection, decoys, pre-skip guard") {
+    import spark.implicits._
+    val head = "4F70757348656164" + "01" + "02" + "0000" + "80BB0000" +
+      "0000" + "00"
+    val page0 = "4F676753" + "00" + "02" + "00" * 8 + "01000000" +
+      "00000000" + "00000000" + "01" + "13" + head
+    def lastPage(granuleLE: String) = "4F676753" + "00" + "04" + granuleLE +
+      "01000000" + "01000000" + "00000000" + "00"
+    // granule 96000 samples, pre-skip 0 -> 2000 ms
+    val g = "00770100" + "00000000"
+    val clean = page0 + lastPage(g)
+    // a MID-BYTE OggS decoy after the real last page: bytes A4 F6 76 75
+    // 30 contain the magic at an ODD hex index, which the (?:..)* stride
+    // must skip (with trailing room so an unaligned match COULD capture)
+    val oddDecoy = clean + "A4F6767530" + "00" * 10
+    // an ALIGNED decoy in trailing bytes WINS — the documented leniency
+    // of a one-scan probe (a real parser CRC-checks resync candidates);
+    // its 20-char tail here yields garbage granule -> pinned as read
+    val alignedDecoy = clean + "4F676753" + "00" + "00" + "FF" * 8 +
+      "00" * 10
+    // granule below pre-skip is pathological -> invalid
+    val below = page0.replace("0000" + "80BB", "FFFF" + "80BB") // preskip 65535
+    // granule 1000 < pre-skip 65535
+    val df = Seq(1 -> clean, 2 -> oddDecoy, 3 -> alignedDecoy,
+      4 -> (below + lastPage("E8030000" + "00000000"))).toDF("id", "hx")
+      .select(col("id"), unhex(col("hx")).as("blob"))
+    val r = Multimodal.oggDuration(df, "blob", "id")
+      .collect().map(x => x.getInt(0) -> x).toMap
+    assert(r(1).getBoolean(1) && r(1).getLong(5) === 96000L &&
+      r(1).getLong(6) === 2000L && r(1).getBoolean(4))
+    assert(r(2).getBoolean(1) && r(2).getLong(5) === 96000L) // decoy skipped
+    assert(!r(3).getBoolean(1)) // negative (signed) garbage granule rejected
+    assert(!r(4).getBoolean(1)) // granule < pre-skip
+  }
+
   test("flac probe: is-last flag tolerated, wrong type / zero rate rejected") {
     import spark.implicits._
     val pre = "000022" + "1000" + "1000" + "000000" + "000000"

@@ -820,7 +820,7 @@ class PlanSpec extends AnyFunSuite {
       "t109_charset_sniff", "t114_pub_date", "mm_image_dims",
       "mm_audio_duration", "mm_exif", "mm_exif_gps", "mm_video_duration",
       "mm_mp3_duration", "mm_image_dims2", "mm_flac_duration",
-      "mm_webm_duration")
+      "mm_webm_duration", "mm_ogg_duration")
       .foreach { q =>
       val p = plan(q)
       assert(!p.contains("UDF") && !p.contains("Exchange hashpartitioning"),
