@@ -546,6 +546,25 @@ object GraftExtensions {
     // `split`); -1 keeps trailing empty fields, as Presto does
     binaryFn("regexp_split", classOf[StringSplit].getName,
       (s, p) => StringSplit(s, p, Literal(-1))),
+    // ngrams(arr, n) — adjacent-n sub-sequences; composed as
+    // transform(sequence(1, greatest(size-n+1, 1)), i -> slice(arr, i, n)).
+    // Trino's edges reproduce exactly: a shorter-than-n (or empty) array
+    // yields ONE gram holding the whole array (numGrams = max(len-n+1,1);
+    // Spark's slice truncates at the end the same way).
+    binaryFn("ngrams", classOf[ArrayTransform].getName, (a, n) => {
+      val i = UnresolvedNamedLambdaVariable(Seq("__graft_ng"))
+      ArrayTransform(
+        Sequence(Literal(1),
+          Greatest(Seq(Subtract(Add(Size(a), Literal(1)), n), Literal(1))),
+          None),
+        LambdaFunction(Slice(a, i, n), Seq(i)))
+    }),
+    // geometric_mean(x) = exp(avg(ln(x))). Divergence on non-positive
+    // inputs, documented: Presto's log yields NaN and poisons the mean;
+    // Spark's Log yields NULL and the row silently drops from the
+    // average — callers filter x > 0 for identical answers.
+    unaryFn("geometric_mean", classOf[aggregate.Average].getName,
+      x => Exp(aggregate.Average(Log(x)).toAggregateExpression())),
     // Presto's 2-arg regexp_replace REMOVES matches; Spark's builtin
     // requires the replacement. 3/4-arg forms pass through with
     // identical semantics, so the replacement only ADDS the 2-arg form

@@ -1354,7 +1354,10 @@ private[graft] trait SqlQueries extends RegistryBase {
       |  '2024-02-29' AS iso_d,
       |  event_type AS sp1,
       |  CAST(3 AS BIGINT) AS rsn,
-      |  regexp_replace(event_type, '[aeiou]', '', 'g') AS rr
+      |  regexp_replace(event_type, '[aeiou]', '', 'g') AS rr,
+      |  CAST(min(event_id) % 5 + 1 AS BIGINT) AS ng,
+      |  CAST(2 AS BIGINT) AS ng_short,
+      |  round(exp(avg(ln(CAST(event_id % 7 + 1 AS DOUBLE)))), 6) AS gm
       |FROM events
       |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
     Tables.registerAll(s, dir)
@@ -1393,7 +1396,17 @@ private[graft] trait SqlQueries extends RegistryBase {
         |  element_at(split(event_type || '.x.y', '.'), 1) AS sp1,
         |  CAST(cardinality(regexp_split('a1b22c', '[0-9]+')) AS BIGINT)
         |    AS rsn,
-        |  regexp_replace(event_type, '[aeiou]') AS rr
+        |  regexp_replace(event_type, '[aeiou]') AS rr,
+        |  CAST(element_at(element_at(ngrams(ARRAY[
+        |    CAST(min(event_id) % 5 AS INTEGER),
+        |    CAST(min(event_id) % 5 + 1 AS INTEGER),
+        |    CAST(min(event_id) % 5 + 2 AS INTEGER)], 2), 2), 1)
+        |    AS BIGINT) AS ng,
+        |  CAST(cardinality(element_at(ngrams(ARRAY[
+        |    CAST(min(event_id) % 5 AS INTEGER),
+        |    CAST(min(event_id) % 5 + 1 AS INTEGER)], 5), 1))
+        |    AS BIGINT) AS ng_short,
+        |  round(geometric_mean(CAST(event_id % 7 + 1 AS DOUBLE)), 6) AS gm
         |FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
       java.time.Instant.parse("1995-06-18T12:00:00Z"))
