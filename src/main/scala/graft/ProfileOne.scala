@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Dev helper: attribute a query's wall time to (a) DataFrame
@@ -31,8 +31,21 @@ object ProfileOne {
     @volatile var tasks = 0L
     @volatile var shuffleRead = 0L
     @volatile var shuffleWrite = 0L
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[(Double, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs += 1
+        val site = j.stageInfos.lastOption.map(si =>
+          s"${si.name} (${j.stageInfos.size} stages, " +
+            s"${j.stageInfos.map(_.numTasks).sum} tasks)").getOrElse("?")
+        jobStart.put(j.jobId, (System.nanoTime(), site))
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        Option(jobStart.remove(j.jobId)).foreach { case (t0, site) =>
+          jobLog.add(((System.nanoTime() - t0) / 1e9, site))
+        }
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages += 1
         tasks += s.stageInfo.numTasks
@@ -55,7 +68,14 @@ object ProfileOne {
       }
       one() // cold: JIT + codegen, discarded
       jobs = 0; stages = 0; tasks = 0; shuffleRead = 0; shuffleWrite = 0
+      jobLog.clear()
       val (c1, p1, e1, _) = one()
+      if (sys.env.get("SPARK_GRAFT_PROFILE_JOBS").contains("1")) {
+        import scala.jdk.CollectionConverters._
+        jobLog.asScala.toSeq.sortBy(-_._1).take(20).foreach { case (d, site) =>
+          println(f"[profile-job] $name $d%6.2f s  $site")
+        }
+      }
       val (j1, s1, t1, sr, sw) = (jobs, stages, tasks, shuffleRead, shuffleWrite)
       val (c2, p2, e2, n) = one()
       println(f"[profile] $name%-32s construct ${(c1 + c2) / 2}%6.2f s  " +

@@ -123,4 +123,54 @@ object AdaptiveParts {
     * floor; identity otherwise (keeps the small-scale plan untouched). */
   def bySize(df: DataFrame, parts: Int, floor: Int, keys: Column*): DataFrame =
     if (parts > floor) df.repartition(parts, keys: _*) else df
+
+  /** Estimated split count of `df`'s file-source scans — file count when
+    * there are already at least `want` files (no FS stats needed), else
+    * per-file ceil(size / maxPartitionBytes). None when the lineage has no
+    * file source (in-memory batches, checkpointed frames). Plan-only: no
+    * job runs. */
+  def scanSplits(df: DataFrame, want: Int): Option[Long] = {
+    val files = df.inputFiles
+    if (files.isEmpty) None
+    else if (files.length >= want) Some(files.length.toLong)
+    else {
+      val spark = df.sparkSession
+      val maxBytes = spark.conf
+        .get("spark.sql.files.maxPartitionBytes", "134217728")
+        .stripSuffix("b").toLong
+      val conf = spark.sessionState.newHadoopConf()
+      var splits = 0L
+      files.foreach { f =>
+        val path = new org.apache.hadoop.fs.Path(f)
+        val len =
+          try path.getFileSystem(conf).getFileStatus(path).getLen
+          catch { case scala.util.control.NonFatal(_) => 0L }
+        splits += math.max(1L, (len + maxBytes - 1) / maxBytes)
+      }
+      Some(splits)
+    }
+  }
+
+  /** Guide §2.5 "input skew — one huge unsplittable file ... otherwise
+    * repartition immediately after the read": CPU-heavy per-row operators
+    * (shingling, JSON classification, gram hashing) inherit the SCAN's
+    * split count, which for a single small file is 1-3 tasks no matter how
+    * many cores the cluster has — the whole downstream chain then runs
+    * effectively single-threaded (measured r19: d14's shingle+estimate
+    * stage 0.98 s on ONE task at local[32]; o1's JSON parse 5.9 s on 3).
+    * When the scan provably yields fewer splits than the default
+    * parallelism, repartition by `keys` to spread the work; when the scan
+    * is already wide — every real corpus — this is IDENTITY, so no
+    * exchange exists at 100 TB. Unknown lineage (in-memory stream batches,
+    * checkpointed frames) is treated as narrow: those frames are
+    * batch-sized by construction and the widening shuffle prices at batch
+    * bytes, not corpus bytes. Hash repartition on the operator's id key —
+    * deterministic under retry (guide §2.5's rand() caveat) and never
+    * coalesced by AQE (REPARTITION_BY_NUM). */
+  def widenNarrowScan(df: DataFrame, keys: Column*): DataFrame = {
+    require(keys.nonEmpty, "widenNarrowScan needs a deterministic key")
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (scanSplits(df, want).forall(_ < want)) df.repartition(want, keys: _*)
+    else df
+  }
 }

@@ -53,7 +53,10 @@ object Dedup {
   /** Exact duplicate groups by normalized-text fingerprint: one row per
     * distinct document, keeping the smallest id as canonical. */
   def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+    // widenNarrowScan: the whole-text canonicalize+md5 fingerprint runs
+    // map-side and inherits scan width; identity on wide scans (guide §2.5)
+    AdaptiveParts.widenNarrowScan(df, col(idCol))
+      .groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("canonical_id"))
 
   def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
@@ -84,7 +87,10 @@ object Dedup {
     * coordination happens at all. */
   def spanDedup(df: DataFrame, textCol: String, idCol: String,
       spanWords: Int = 8, withinDoc: Boolean = false): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
+    // fenced: __toks is referenced by the span bound AND per-span slices;
+    // without the fence CollapseProject re-inlines the tokenize per ref
+    val toks = graft.functions.OptimizerFence.fence(
+      TextAnalysis.tokens(col(textCol)))
     val lastSpan = ceil(size(col("__toks")).cast("double") / spanWords).cast("int") - 1
     val spans = df
       .select(col(idCol).as("doc_id"), toks.as("__toks"))
@@ -174,7 +180,17 @@ object Dedup {
         greatest(size(col("__toks")) - k, lit(1))),
         (a, b) => concat(a, lit(" "), b))
     }
-    val base = df.select(col(idCol).as("doc_id"), toks.as("__toks"))
+    // guide §2.5: the gram+md5 chain inherits the scan's split count —
+    // widen a provably narrow input so it isn't single-threaded (identity
+    // once the scan is wide, i.e. any real corpus).
+    // OptimizerFence on the token array: the gram fold references __toks
+    // 15 times (slice + size per zip_with level); CollapseProject would
+    // inline the tokenize tree into every reference and the interpreted
+    // HOF chain then re-splits the text per reference — measured r19:
+    // 1.57 s -> 0.25 s per batch at sf0.1 with the fence (evaluate-once)
+    val base = AdaptiveParts.widenNarrowScan(df, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        graft.functions.OptimizerFence.fence(toks).as("__toks"))
       .select(col("doc_id"), size(col("__toks")).cast(LongType).as("n_tokens"),
         slice(grams, lit(1), greatest(size(col("__toks")) - (L - 1), lit(0)))
           .as("__grams"))
@@ -189,12 +205,12 @@ object Dedup {
   /** Interval-union + per-doc report tail shared by the substring-dedup
     * pair: `covered` is (doc_id, pos, __end) repeated-window starts. */
   private def substringSpansFromCovered(docUniverse: DataFrame,
-      covered: DataFrame): DataFrame = {
+      covered: DataFrame, parts: Int = 0): DataFrame = {
     // interval union per doc: new span when start > 1 + max(prior ends)
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
     val prevMax = max(col("__end"))
       .over(wDoc.rowsBetween(Window.unboundedPreceding, -1))
-    val spans = covered
+    val spans = widenCovered(covered, parts)
       .withColumn("__new",
         when(prevMax.isNull || col("pos") > prevMax + 1, 1L).otherwise(0L))
       .withColumn("__grp", sum(col("__new")).over(wDoc))
@@ -249,6 +265,18 @@ object Dedup {
     cutCoveredSpans(df, textCol, idCol, covered)
   }
 
+  /** Width carrier for the span-algebra window exchange: the covered
+    * rows are md5-keyed 24-byte triples that COMPRESS far below AQE's
+    * 1 MB minimum partition size at batch scale, so the doc_id window
+    * exchange coalesces to 1 task while its per-row window+agg work is
+    * the store step's dominant cost (measured r19: 1.3 s single-task at
+    * sf0.1). Callers that already materialized the anchors pass that
+    * stage's REAL width (free off the checkpoint RDD) so the window runs
+    * as wide as the anchors did; 0 = leave AQE in charge (batch paths
+    * whose anchors are lazy). REPARTITION_BY_NUM, so AQE keeps it. */
+  private def widenCovered(covered: DataFrame, parts: Int): DataFrame =
+    if (parts > 1) covered.repartition(parts, col("doc_id")) else covered
+
   /** The span-cut tail shared by [[removeRepeatedSubstrings]] and
     * [[repeatedSubstringCleanStoreStep]]: interval-union `covered`
     * (doc_id, pos, __end) repeated-window starts into per-doc merged
@@ -256,11 +284,11 @@ object Dedup {
     * token arrays SCAN-side (per-token probe is O(spans/doc)) behind
     * one doc-keyed join. */
   private def cutCoveredSpans(df: DataFrame, textCol: String,
-      idCol: String, covered: DataFrame): DataFrame = {
+      idCol: String, covered: DataFrame, parts: Int = 0): DataFrame = {
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
     val prevMax = max(col("__end"))
       .over(wDoc.rowsBetween(Window.unboundedPreceding, -1))
-    val spans = covered
+    val spans = widenCovered(covered, parts)
       .withColumn("__new",
         when(prevMax.isNull || col("pos") > prevMax + 1, 1L).otherwise(0L))
       .withColumn("__grp", sum(col("__new")).over(wDoc))
@@ -269,8 +297,11 @@ object Dedup {
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("__s"), col("__e"))))
         .as("__spans"))
+    // fenced: the cut filter + two size() calls reference __toks — keep
+    // the tokenize evaluate-once (see substringAnchors)
     val base = df.select(col(idCol).as("doc_id"),
-      TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+      graft.functions.OptimizerFence.fence(
+        TextAnalysis.tokens(lower(col(textCol)))).as("__toks"))
     base.join(spans, Seq("doc_id"), "left")
       .withColumn("__kept", filter(col("__toks"), (_, i) =>
         col("__spans").isNull || !exists(col("__spans"), sp =>
@@ -326,14 +357,14 @@ object Dedup {
   def repeatedSubstringStoreStep(batch: DataFrame, storeDir: String,
       textCol: String, idCol: String, minLen: Int, batchId: Long,
       maxStoreParts: Int = 0): DataFrame = {
-    val (docUniverse, covered, writeStore) =
+    val (docUniverse, covered, anchorParts, writeStore) =
       substringStoreBatchCovered(batch, storeDir, textCol, idCol, minLen,
         batchId, maxStoreParts)
     // materialize BEFORE the store write: the exclusion read makes the
     // result immune to OWN write, but a lazily-executed plan evaluated
     // after a LATER batch's append would see that batch's counts as
     // "prior" — eager materialization pins the as-of-this-batch verdict
-    val out = substringSpansFromCovered(docUniverse, covered)
+    val out = substringSpansFromCovered(docUniverse, covered, anchorParts)
       .localCheckpoint()
     writeStore()
     out
@@ -351,10 +382,10 @@ object Dedup {
   def repeatedSubstringCleanStoreStep(batch: DataFrame, storeDir: String,
       textCol: String, idCol: String, minLen: Int, batchId: Long,
       maxStoreParts: Int = 0): DataFrame = {
-    val (_, covered, writeStore) =
+    val (_, covered, anchorParts, writeStore) =
       substringStoreBatchCovered(batch, storeDir, textCol, idCol, minLen,
         batchId, maxStoreParts)
-    val out = cutCoveredSpans(batch, textCol, idCol, covered)
+    val out = cutCoveredSpans(batch, textCol, idCol, covered, anchorParts)
       .localCheckpoint()
     writeStore()
     out
@@ -368,7 +399,7 @@ object Dedup {
   private def substringStoreBatchCovered(batch: DataFrame, storeDir: String,
       textCol: String, idCol: String, minLen: Int, batchId: Long,
       maxStoreParts: Int = 0)
-      : (DataFrame, DataFrame, () => Unit) = {
+      : (DataFrame, DataFrame, Int, () => Unit) = {
     val spark = batch.sparkSession
     val countsPath = s"$storeDir/gramcounts"
     val bloomsPath = s"$storeDir/gramblooms"
@@ -439,7 +470,9 @@ object Dedup {
         repeatedSubstringStoreCompact(spark, storeDir, _, _))
       ()
     }
-    (docUniverse, covered, writeStore)
+    // the anchors' materialized width — free off the checkpoint RDD —
+    // carries into the span window exchange (see widenCovered)
+    (docUniverse, covered, positional.rdd.getNumPartitions, writeStore)
   }
 
   /** The batch-proportional global repeat verdict of the store step
@@ -599,8 +632,18 @@ object Dedup {
     * shifted views of the token array — no per-position slice allocation
     * (the naive transform(sequence)+slice formulation was the dominant cost
     * of the whole minhash pipeline at sf0.1). */
-  def wordShingles(text: Column, w: Int): Column = {
-    val toks = TextAnalysis.tokens(lower(text))
+  def wordShingles(text: Column, w: Int): Column =
+    wordShinglesFromToks(TextAnalysis.tokens(lower(text)), w)
+
+  /** [[wordShingles]] over an ALREADY-TOKENIZED column. The shingle fold
+    * references its token array ~3× per shingle word (slice + size per
+    * zip_with level); callers that stage the tokens behind an
+    * [[graft.functions.OptimizerFence]] projection pay the tokenize ONCE
+    * per row instead of once per reference (the r19 substringAnchors
+    * measurement: 6× on the anchors stage; CollapseProject otherwise
+    * re-inlines the tokenize tree into every reference and the
+    * interpreted HOF chain re-splits the text each time). */
+  def wordShinglesFromToks(toks: Column, w: Int): Column = {
     val grams = (1 until w).foldLeft(toks) { (acc, k) =>
       zip_with(acc, slice(toks, lit(k + 1), greatest(size(toks) - k, lit(1))),
         (a, b) => concat(a, lit(" "), b))
@@ -746,10 +789,18 @@ object Dedup {
     // the dominant cost — materialize once (the in-line minhashPairsPlan
     // makes the same trade with persist). Storage cost ≈ the store itself,
     // which the caller is about to land anyway.
-    val shingled = df.select(
-      col(idCol).as("id"),
-      array_distinct(transform(wordShingles(col(textCol), shingleWords),
-        s => xxhash64(s))).as("shingles"))
+    // widenNarrowScan: the CodegenFallback shingle chain is the dominant
+    // cost and inherits scan width (1-3 tasks on a single small file) —
+    // spread it; identity on wide scans (guide §2.5).
+    // Fenced token stage: see wordShinglesFromToks — tokenize once per row.
+    val shingled = AdaptiveParts.widenNarrowScan(df, col(idCol))
+      .select(col(idCol).as("id"),
+        graft.functions.OptimizerFence.fence(
+          TextAnalysis.tokens(lower(col(textCol)))).as("__toks"))
+      .select(col("id"),
+        array_distinct(transform(
+          wordShinglesFromToks(col("__toks"), shingleWords),
+          s => xxhash64(s))).as("shingles"))
       .localCheckpoint()
     val buckets = shingled
       // the signature is a materialized column: the band array references
@@ -1252,8 +1303,17 @@ object Dedup {
     * stage of the PPJoin family. */
   private def ppjoinExploded(df: DataFrame, textCol: String, idCol: String,
       shingleWords: Int): DataFrame =
-    df.select(col(idCol).cast(LongType).as("id"),
-        array_distinct(transform(wordShingles(col(textCol), shingleWords),
+    // widenNarrowScan: shingling is the dominant per-row cost and inherits
+    // scan width (measured r19: the whole prefix-stage materialization ran
+    // on ONE task at local[32]); identity on wide scans (guide §2.5)
+    // Fenced token stage: see wordShinglesFromToks — tokenize once per row.
+    AdaptiveParts.widenNarrowScan(df, col(idCol))
+      .select(col(idCol).cast(LongType).as("id"),
+        graft.functions.OptimizerFence.fence(
+          TextAnalysis.tokens(lower(col(textCol)))).as("__toks"))
+      .select(col("id"),
+        array_distinct(transform(
+          wordShinglesFromToks(col("__toks"), shingleWords),
           s => xxhash64(s))).as("s"))
       .select(col("id"), explode(col("s")).as("tok"))
 
@@ -1469,8 +1529,15 @@ object Dedup {
     * never text. */
   def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, window: Int = 4): DataFrame = {
-    val toks = TextAnalysis.tokens(lower(col(textCol)))
-    df.select(col(idCol).as("doc_id"), toks.as("__toks"))
+    // fenced: the k-gram transform's LAMBDA slices __toks per element —
+    // an inlined tokenize tree would re-split the text once per gram
+    // (O(tokens × tokenize) per row); the fence keeps it evaluate-once
+    val toks = graft.functions.OptimizerFence.fence(
+      TextAnalysis.tokens(lower(col(textCol))))
+    // widenNarrowScan: tokenize + per-gram md5 + winnow inherit scan width;
+    // identity on wide scans (guide §2.5)
+    AdaptiveParts.widenNarrowScan(df, col(idCol))
+      .select(col(idCol).as("doc_id"), toks.as("__toks"))
       .where(size(col("__toks")) >= k)
       .withColumn("__grams", transform(
         sequence(lit(0), size(col("__toks")) - k),

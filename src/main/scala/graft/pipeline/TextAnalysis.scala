@@ -1252,7 +1252,7 @@ object TextAnalysis {
       slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
       (a, b) => struct(a.as("w1"), b.as("w2"))))
     def withToks(df: DataFrame, tc: String, extra: Column*): DataFrame =
-      df.select(extra :+ tokens(lower(col(tc))).as("__toks"): _*)
+      df.select(extra :+ graft.functions.OptimizerFence.fence(tokens(lower(col(tc)))).as("__toks"): _*)
         .where(size(col("__toks")) >= 2)
 
     val refT = withToks(refCorpus.getOrElse(docs),
@@ -1321,7 +1321,7 @@ object TextAnalysis {
       slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
       (a, b) => struct(a.as("w1"), b.as("w2"))))
     def withToks(df: DataFrame, tc: String, extra: Column*): DataFrame =
-      df.select(extra :+ tokens(lower(col(tc))).as("__toks"): _*)
+      df.select(extra :+ graft.functions.OptimizerFence.fence(tokens(lower(col(tc)))).as("__toks"): _*)
         .where(size(col("__toks")) >= 2)
 
     val refT = withToks(refCorpus.getOrElse(docs),
@@ -1656,7 +1656,8 @@ object TextAnalysis {
     * vocab sizes; top-k is orderBy+limit (TakeOrdered). */
   def pmiCollocations(docs: DataFrame, textCol: String, k: Int = 30,
       minCount: Long = 5L): DataFrame = {
-    val withToks = docs.select(tokens(lower(col(textCol))).as("__toks"))
+    val withToks = docs.select(graft.functions.OptimizerFence.fence(
+      tokens(lower(col(textCol)))).as("__toks"))
     val uni = withToks.select(explode(col("__toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("__n"))
     val bigrams = withToks.where(size(col("__toks")) >= 2)
@@ -1743,11 +1744,11 @@ object TextAnalysis {
   def ngramContamination(docs: DataFrame, textCol: String, idCol: String,
       snippets: DataFrame, snippetCol: String, n: Int = 5): DataFrame = {
     val docGrams = docs
-      .select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("__toks"))
+      .select(col(idCol).as("doc_id"), graft.functions.OptimizerFence.fence(tokens(lower(col(textCol)))).as("__toks"))
       .select(col("doc_id"), explode(wordNgrams(col("__toks"), n)).as("gram"))
       .select(col("doc_id"), md5(col("gram")).as("gram_key"))
     val snipGrams = snippets
-      .select(tokens(lower(col(snippetCol))).as("__toks"))
+      .select(graft.functions.OptimizerFence.fence(tokens(lower(col(snippetCol)))).as("__toks"))
       .select(explode(wordNgrams(col("__toks"), n)).as("gram"))
       .select(md5(col("gram")).as("gram_key")).distinct()
     docGrams.join(snipGrams, "gram_key")
@@ -1772,7 +1773,7 @@ object TextAnalysis {
       snippets: DataFrame, snippetCol: String, n: Int = 5): DataFrame = {
     import graft.functions.Bloom
     val snipGrams = snippets
-      .select(tokens(lower(col(snippetCol))).as("__toks"))
+      .select(graft.functions.OptimizerFence.fence(tokens(lower(col(snippetCol)))).as("__toks"))
       .select(explode(wordNgrams(col("__toks"), n)).as("gram"))
       .select(md5(col("gram")).as("gram_key"), xxhash64(col("gram")).as("__h"))
       .distinct()
@@ -1791,7 +1792,7 @@ object TextAnalysis {
         .agg(Bloom.bloom_filter_agg(col("__h"), items, numBits).as("bf"))
         .collect()(0).getAs[Array[Byte]](0)
       val docGrams = docs
-        .select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("__toks"))
+        .select(col(idCol).as("doc_id"), graft.functions.OptimizerFence.fence(tokens(lower(col(textCol)))).as("__toks"))
         .select(col("doc_id"), explode(wordNgrams(col("__toks"), n)).as("gram"))
         .where(Bloom.might_contain(bloomBytes, xxhash64(col("gram"))))
         .select(col("doc_id"), md5(col("gram")).as("gram_key"))
@@ -2414,7 +2415,7 @@ object TextAnalysis {
   def removeContaminatedSpans(docs: DataFrame, textCol: String, idCol: String,
       snippets: DataFrame, snippetCol: String, n: Int = 5): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"),
-      tokens(lower(col(textCol))).as("__toks"))
+      graft.functions.OptimizerFence.fence(tokens(lower(col(textCol)))).as("__toks"))
     // positional n-grams: index s (0-based) covers tokens s .. s+n-1
     val starts = base.select(col("doc_id"),
       posexplode(
@@ -2424,7 +2425,7 @@ object TextAnalysis {
           .otherwise(array().cast("array<string>"))).as(Seq("s", "gram")))
       .select(col("doc_id"), col("s"), md5(col("gram")).as("gram_key"))
     val snipGrams = snippets
-      .select(tokens(lower(col(snippetCol))).as("__toks"))
+      .select(graft.functions.OptimizerFence.fence(tokens(lower(col(snippetCol)))).as("__toks"))
       .select(explode(wordNgrams(col("__toks"), n)).as("gram"))
       .select(md5(col("gram")).as("gram_key")).distinct()
     val covered = starts.join(snipGrams, "gram_key")
@@ -2465,7 +2466,7 @@ object TextAnalysis {
     val lastChunk = floor(
       greatest(size(col("__toks")) - overlapWords - 1, lit(0))
         .cast(DoubleType) / step).cast("int")
-    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+    df.select(col(idCol).as("doc_id"), graft.functions.OptimizerFence.fence(tokens(col(textCol))).as("__toks"))
       .select(col("doc_id"), col("__toks"),
         explode(sequence(lit(0), lastChunk)).as("chunk_idx"))
       .select(

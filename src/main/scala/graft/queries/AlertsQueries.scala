@@ -34,7 +34,7 @@ private[graft] trait AlertsQueries extends RegistryBase {
     (s, dir) =>
       import org.apache.spark.sql.Encoders
       implicit val enc = Encoders.product[MergeInputAlert]
-      val alerts = t(s, dir, "events").select(
+      val alerts = eventsWide(s, dir).select(
         md5(col("event_id").cast("string")).as("alert_id"),
         lit("merge_demo").as("rule_name"),
         // 1704067200 = 2024-01-01T00:00:00Z; +10min per (event_id % 4)
@@ -94,7 +94,7 @@ private[graft] trait AlertsQueries extends RegistryBase {
     import org.apache.spark.sql.Encoders
     implicit val enc = Encoders.product[MergeInputAlert]
     val grp = floor(col("event_id") / 30).cast("string")
-    val alerts = t(s, dir, "events").select(
+    val alerts = eventsWide(s, dir).select(
       md5(col("event_id").cast("string")).as("alert_id"),
       lit("common_diff_demo").as("rule_name"),
       (lit(1704067200L) + col("event_id") % 30).cast(TimestampType).as("created"),

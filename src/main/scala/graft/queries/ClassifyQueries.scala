@@ -25,7 +25,7 @@ private[graft] trait ClassifyQueries extends RegistryBase {
   register(
     "o1_json_parser",
     "SELECT event_id, event_type, value AS val, props FROM events") { (s, dir) =>
-    val raw = t(s, dir, "events").select(
+    val raw = eventsWide(s, dir).select(
       to_json(struct(col("event_id"), col("event_type"), col("value"), col("props")))
         .as("line"))
     new Classifier(Seq(DemoSchemas.jsonEvents))
@@ -45,7 +45,7 @@ private[graft] trait ClassifyQueries extends RegistryBase {
     """SELECT event_id, 1 AS n, value AS v FROM events
       |UNION ALL
       |SELECT event_id, 2 AS n, value + 1 AS v FROM events""".stripMargin) { (s, dir) =>
-    val raw = t(s, dir, "events").select(
+    val raw = eventsWide(s, dir).select(
       to_json(struct(
         col("event_id"),
         array(
@@ -72,7 +72,7 @@ private[graft] trait ClassifyQueries extends RegistryBase {
       name = "demo:json_regex", parser = graft.core.ParserKind.Json,
       schema = TStruct.of("event_id" -> TInteger, "event_type" -> TString),
       jsonRegexKey = Some("data"))
-    val raw = t(s, dir, "events").select(
+    val raw = eventsWide(s, dir).select(
       to_json(struct(
         concat(lit("app[123]: "),
           to_json(struct(col("event_id"), col("event_type")))).as("data"))).as("line"))
@@ -92,7 +92,7 @@ private[graft] trait ClassifyQueries extends RegistryBase {
       name = "demo:json_embedded", parser = graft.core.ParserKind.Json,
       schema = TStruct.of("event_id" -> TInteger, "event_type" -> TString),
       jsonPath = Some("logs[]"), embeddedJson = true)
-    val raw = t(s, dir, "events").select(
+    val raw = eventsWide(s, dir).select(
       to_json(struct(array(
         to_json(struct(col("event_id"), col("event_type")))).as("logs"))).as("line"))
     new Classifier(Seq(schema)).classify(raw, "line").forType("demo:json_embedded")
@@ -120,7 +120,7 @@ private[graft] trait ClassifyQueries extends RegistryBase {
   register(
     "o3_kv_parser",
     "SELECT user_id AS uid, event_type AS etype, event_id AS eid FROM events") { (s, dir) =>
-    val raw = t(s, dir, "events").select(
+    val raw = eventsWide(s, dir).select(
       concat(lit("uid="), col("user_id"), lit(" etype="), col("event_type"),
         lit(" eid="), col("event_id")).as("line"))
     new Classifier(Seq(DemoSchemas.kvEvents))
@@ -141,7 +141,7 @@ private[graft] trait ClassifyQueries extends RegistryBase {
     val schema = graft.core.LogSchema(
       name = "demo:kv_dup", parser = graft.core.ParserKind.Kv,
       schema = TStruct.of("k" -> TInteger, "k2" -> TString, "eid" -> TInteger))
-    val raw = t(s, dir, "events").select(
+    val raw = eventsWide(s, dir).select(
       concat(lit("k="), col("user_id"), lit(" k="), col("event_type"),
         lit(" eid="), col("event_id")).as("line"))
     new Classifier(Seq(schema)).classify(raw, "line").forType("demo:kv_dup")
@@ -159,7 +159,7 @@ private[graft] trait ClassifyQueries extends RegistryBase {
       |       concat('app', CAST(event_id AS VARCHAR)) AS application,
       |       concat(event_type, ' event') AS message
       |FROM events""".stripMargin) { (s, dir) =>
-    val raw = t(s, dir, "events").select(
+    val raw = eventsWide(s, dir).select(
       concat(lit("Jan 10 19:35:33 h-"), col("user_id"), lit(" app"), col("event_id"),
         lit(": "), col("event_type"), lit(" event")).as("line"))
     new Classifier(Seq(DemoSchemas.syslog))
@@ -182,7 +182,7 @@ private[graft] trait ClassifyQueries extends RegistryBase {
       |ORDER BY log_schema_type""".stripMargin) { (s, dir) =>
     val csvLines = t(s, dir, "part").select(
       concat_ws(",", col("p_partkey"), col("p_brand"), col("p_size")).as("line"))
-    val kvLines = t(s, dir, "events").select(
+    val kvLines = eventsWide(s, dir).select(
       concat(lit("uid="), col("user_id"), lit(" etype="), col("event_type"),
         lit(" eid="), col("event_id")).as("line"))
     new Classifier(Seq(DemoSchemas.csvParts, DemoSchemas.kvEvents))
@@ -206,7 +206,7 @@ private[graft] trait ClassifyQueries extends RegistryBase {
     val ds = Map("kinesis" -> Map("stream-1" -> Seq("beta")))
     val candidates = graft.core.DataSources.candidates(
       Seq(schemaFor("alpha"), schemaFor("beta")), ds, "kinesis", "stream-1")
-    val raw = t(s, dir, "events").select(
+    val raw = eventsWide(s, dir).select(
       to_json(struct(col("event_id"), col("event_type"))).as("line"))
     new Classifier(candidates).classify(raw, "line")
       .tagged.groupBy("log_schema_type").agg(count(lit(1)).as("n"))
@@ -217,7 +217,7 @@ private[graft] trait ClassifyQueries extends RegistryBase {
   register(
     "o6_coercion_optionals",
     "SELECT event_id, '' AS opt_s, 0 AS opt_i FROM events") { (s, dir) =>
-    val raw = t(s, dir, "events").select(
+    val raw = eventsWide(s, dir).select(
       to_json(struct(col("event_id").cast("string").as("event_id"))).as("line"))
     new Classifier(Seq(DemoSchemas.jsonOptional))
       .classify(raw, "line").forType("demo:json_optional")
@@ -235,7 +235,7 @@ private[graft] trait ClassifyQueries extends RegistryBase {
     """SELECT CAST(sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
       |       CAST(sum(CASE WHEN event_id % 10 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_valid
       |FROM events""".stripMargin) { (s, dir) =>
-    val raw = t(s, dir, "events").select(
+    val raw = eventsWide(s, dir).select(
       to_json(struct(
         when(col("event_id") % 10 === 0, lit("bad"))
           .otherwise(col("event_id").cast("string")).as("event_id"),
@@ -259,7 +259,7 @@ private[graft] trait ClassifyQueries extends RegistryBase {
     """SELECT event_type AS etype, count(*) AS n FROM events
       |WHERE event_type LIKE 'p%' OR event_type LIKE 's%'
       |GROUP BY event_type ORDER BY etype""".stripMargin) { (s, dir) =>
-    val raw = t(s, dir, "events").select(
+    val raw = eventsWide(s, dir).select(
       to_json(struct(col("event_id"), col("event_type").as("etype"))).as("line"))
     new Classifier(Seq(DemoSchemas.jsonPatterned))
       .classify(raw, "line").forType("demo:json_patterned")
@@ -312,7 +312,7 @@ private[graft] trait ClassifyQueries extends RegistryBase {
     val hostileSchema = graft.core.LogSchema(
       name = "demo:json_hostile", parser = graft.core.ParserKind.Json,
       schema = TStruct.of("user name" -> TString, "status-code" -> TInteger))
-    val raw = t(s, dir, "events").select(
+    val raw = eventsWide(s, dir).select(
       to_json(struct(
         concat(lit("u"), col("user_id")).as("user name"),
         (col("event_id") % 500).as("status-code"))).as("line"))
@@ -332,7 +332,7 @@ private[graft] trait ClassifyQueries extends RegistryBase {
       gz.write(text.getBytes("UTF-8")); gz.close()
       java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
     }
-    val encoded = t(s, dir, "events").select(gzB64(
+    val encoded = eventsWide(s, dir).select(gzB64(
       to_json(struct(col("event_id"), col("event_type")))).as("data"))
     val schema = graft.core.LogSchema(
       name = "demo:kinesis", parser = graft.core.ParserKind.Json,
@@ -390,7 +390,7 @@ private[graft] trait ClassifyQueries extends RegistryBase {
   register(
     "s3_sns_unwrap",
     "SELECT event_id, value AS val FROM events") { (s, dir) =>
-    val envelope = t(s, dir, "events").select(
+    val envelope = eventsWide(s, dir).select(
       to_json(struct(struct(
         to_json(struct(col("event_id"), col("value"))).as("Message")).as("Sns")))
         .as("envelope"))

@@ -110,8 +110,17 @@ private[graft] trait RegistryBase {
     }
 
 
+  /** Events scan widened for the CPU-heavy ingest fixtures: a single
+    * small parquet file yields 1-3 scan splits, and the JSON round-trip +
+    * classification chain inherits that width (guide §2.5). Identity once
+    * the scan is wide — a real ingest reads many shards/objects. */
+  protected def eventsWide(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.AdaptiveParts.widenNarrowScan(
+      t(s, dir, "events"), col("event_id"))
+
+
   protected def classifiedEvents(s: SparkSession, dir: String): DataFrame = {
-    val raw = t(s, dir, "events").select(
+    val raw = eventsWide(s, dir).select(
       to_json(struct(col("event_id"), col("event_type"), col("value"), col("props")))
         .as("line"))
     new Classifier(Seq(DemoSchemas.jsonEvents))
@@ -136,7 +145,7 @@ private[graft] trait RegistryBase {
 
 
   protected def normalizedEvents(s: SparkSession, dir: String): DataFrame = {
-    val raw = t(s, dir, "events").select(
+    val raw = eventsWide(s, dir).select(
       to_json(struct(col("event_id"), col("event_type").as("etype"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))).as("line"))
     val typed = new Classifier(Seq(normSchema)).classify(raw, "line")

@@ -89,7 +89,7 @@ private[graft] trait RulesQueries extends RegistryBase {
       schema = TStruct.of("event_id" -> TInteger,
         "props" -> TStruct.of("k" -> TInteger)),
       optionalTopLevelKeys = Set("props"))
-    val raw = t(s, dir, "events").select(
+    val raw = eventsWide(s, dir).select(
       to_json(struct(
         col("event_id"),
         when(get_json_object(col("props"), "$.k").cast("long") % 5 =!= 0,
@@ -120,7 +120,7 @@ private[graft] trait RulesQueries extends RegistryBase {
     val schema = graft.core.LogSchema(
       name = "demo:json_ip", parser = graft.core.ParserKind.Json,
       schema = TStruct.of("event_id" -> TInteger, "etype" -> TString, "ip" -> TString))
-    val raw = t(s, dir, "events").select(
+    val raw = eventsWide(s, dir).select(
       to_json(struct(
         col("event_id"), col("event_type").as("etype"),
         concat(
@@ -192,7 +192,7 @@ private[graft] trait RulesQueries extends RegistryBase {
           "type" -> TString,
           "inner" -> TStruct.of("v" -> TFloat)),
         "tags" -> TList))
-    val raw = t(s, dir, "events").select(
+    val raw = eventsWide(s, dir).select(
       to_json(struct(
         col("event_id"),
         struct(col("event_type").as("type"),
@@ -275,7 +275,7 @@ private[graft] trait RulesQueries extends RegistryBase {
       schema = TStruct.of("event_id" -> TInteger, "ip" -> TString))
     val ipCol = concat(lit("10.0."), (col("user_id") % 256).cast("string"),
       lit("."), (col("event_id") % 256).cast("string"))
-    val raw = t(s, dir, "events").select(
+    val raw = eventsWide(s, dir).select(
       to_json(struct(col("event_id"), ipCol.as("ip"))).as("line"))
     val typed = new Classifier(Seq(ipSchema)).classify(raw, "line").forType("demo:json_ioc")
       .withColumn(Normalizer.NormalizationKey,
