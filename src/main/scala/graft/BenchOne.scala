@@ -25,6 +25,11 @@ object BenchOne {
         sys.env.getOrElse("SPARK_GRAFT_AQE_PFIRST", "true"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "64m"))
+      // SPARK_GRAFT_OPENCOST: scan-split floor experiment (guide §6) —
+      // openCostInBytes is the binding constraint on split count for
+      // single small files (maxSplitBytes = max(openCost, bytes/cores))
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPENCOST", "4194304"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // first run per query is reported as COLD (JIT/codegen/file-index —

@@ -61,8 +61,8 @@ object Eval {
       refCol: String, n: Int): DataFrame = {
     require(n >= 1, s"rougeN needs n >= 1, got $n")
     val base = pairs.select(col(idCol).as("pair_id"),
-      TextAnalysis.tokens(lower(col(candCol))).as("__ct"),
-      TextAnalysis.tokens(lower(col(refCol))).as("__rt"))
+      graft.functions.OptimizerFence.fence(TextAnalysis.tokens(lower(col(candCol)))).as("__ct"),
+      graft.functions.OptimizerFence.fence(TextAnalysis.tokens(lower(col(refCol)))).as("__rt"))
     val counts = base
       .select(col("pair_id"),
         explode(taggedGrams(col("__ct"), col("__rt"), n)).as("t"))
@@ -104,8 +104,8 @@ object Eval {
   def rougeL(pairs: DataFrame, idCol: String, candCol: String,
       refCol: String): DataFrame = {
     val base = pairs.select(col(idCol).as("pair_id"),
-      TextAnalysis.tokens(lower(col(candCol))).as("__ct"),
-      TextAnalysis.tokens(lower(col(refCol))).as("__rt"))
+      graft.functions.OptimizerFence.fence(TextAnalysis.tokens(lower(col(candCol)))).as("__ct"),
+      graft.functions.OptimizerFence.fence(TextAnalysis.tokens(lower(col(refCol)))).as("__rt"))
     val withLcs = base.select(col("pair_id"),
       size(col("__ct")).cast("long").as("cand_len"),
       size(col("__rt")).cast("long").as("ref_len"),
@@ -133,8 +133,8 @@ object Eval {
   def wer(pairs: DataFrame, idCol: String, hypCol: String,
       refCol: String): DataFrame = {
     val base = pairs.select(col(idCol).as("pair_id"),
-      TextAnalysis.tokens(lower(col(hypCol))).as("__ht"),
-      TextAnalysis.tokens(lower(col(refCol))).as("__rt"))
+      graft.functions.OptimizerFence.fence(TextAnalysis.tokens(lower(col(hypCol)))).as("__ht"),
+      graft.functions.OptimizerFence.fence(TextAnalysis.tokens(lower(col(refCol)))).as("__rt"))
     base.select(col("pair_id"),
       size(col("__ht")).cast("long").as("hyp_len"),
       size(col("__rt")).cast("long").as("ref_len"),
@@ -519,8 +519,8 @@ object Eval {
       refCol: String): DataFrame = {
     val maxN = 4
     val base = pairs.select(col(idCol).as("pair_id"),
-      TextAnalysis.tokens(lower(col(candCol))).as("__ct"),
-      TextAnalysis.tokens(lower(col(refCol))).as("__rt"))
+      graft.functions.OptimizerFence.fence(TextAnalysis.tokens(lower(col(candCol)))).as("__ct"),
+      graft.functions.OptimizerFence.fence(TextAnalysis.tokens(lower(col(refCol)))).as("__rt"))
     // one explode for all 4 orders: (n, gram, side)
     val allN = (1 to maxN).map { n =>
       transform(taggedGrams(col("__ct"), col("__rt"), n),
@@ -586,9 +586,13 @@ object Eval {
   def mbrSelect(cands: DataFrame, problemCol: String, idCol: String,
       textCol: String, n: Int = 2): DataFrame = {
     require(n >= 1, s"mbrSelect needs n >= 1, got $n")
-    val base = cands.select(col(problemCol).as("problem"),
-      col(idCol).as("cand_id"),
-      TextAnalysis.tokens(lower(col(textCol))).as("__t"))
+    // widenNarrowScan + fence: the gram fold is the dominant per-row cost
+    // (guide §2.5 / the substringAnchors measurement)
+    val base = graft.pipeline.AdaptiveParts
+      .widenNarrowScan(cands, col(problemCol), col(idCol))
+      .select(col(problemCol).as("problem"),
+        col(idCol).as("cand_id"),
+        graft.functions.OptimizerFence.fence(TextAnalysis.tokens(lower(col(textCol)))).as("__t"))
     val grams = base.select(col("problem"), col("cand_id"),
         explode(gramArr(col("__t"), n)).as("g"))
       .select(col("problem"), col("cand_id"), md5(col("g")).as("gk"))

@@ -95,17 +95,23 @@ object Graphs {
       nodes.join(raw, Seq("node"), "left").crossJoin(broadcast(tot))
         .select(col("node"),
           expr(s"(coalesce(raw, 0L) * $scale) div tot").as("score"))
-        .localCheckpoint()
     }
     val n = nodes.count()
     require(n > 0, "hits needs a non-empty edge list")
     var hubs = nodes.select(col("node"), lit(scale / n).as("score"))
     var auths: DataFrame = null
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
+      // ONE checkpoint per iteration, on hubs: the auth half-step's plan
+      // nests inside it at fixed depth 2, so lineage stays flat while the
+      // per-iteration job count halves (r19: q34 ran 65 scheduling-bound
+      // jobs at sf0.1 with a checkpoint per HALF-step). auths checkpoints
+      // only on the last iteration, where the caller's final join reads it.
       auths = normalize(e.join(hubs.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node")).agg(sum(col("score")).as("raw")))
+      if (it == iters) auths = auths.localCheckpoint()
       hubs = normalize(e.join(auths.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node")).agg(sum(col("score")).as("raw")))
+        .localCheckpoint()
     }
     hubs.withColumnRenamed("score", "hub_ppm")
       .join(auths.withColumnRenamed("score", "auth_ppm"), "node")

@@ -17,8 +17,12 @@ class AdaptivePartsSpec extends AnyFunSuite {
   private def repartitionWidths(df: org.apache.spark.sql.DataFrame): Seq[Int] = {
     df.count() // finalize the AQE plan before reading it
     val p = df.queryExecution.executedPlan.toString
+    // the r19 widenNarrowScan input fix repartitions narrow SCANS to
+    // defaultParallelism — those exchanges are input hygiene, not
+    // candidate-join sizing; this helper measures SIZING exchanges only
+    val widen = spark.sparkContext.defaultParallelism
     raw"hashpartitioning\([^)]*, (\d+)\), REPARTITION_BY_NUM".r
-      .findAllMatchIn(p).map(_.group(1).toInt).toSeq
+      .findAllMatchIn(p).map(_.group(1).toInt).filterNot(_ == widen).toSeq
   }
 
   test("partsFor: monotone in the estimate, clamped to [floor, MaxParts]") {
