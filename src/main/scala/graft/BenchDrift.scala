@@ -36,16 +36,20 @@ object BenchDrift {
       .getOperatingSystemMXBean.getSystemLoadAverage
 
   /** Host-speed control set for [[hostIndex]] (r18 verdict ask #7): ten
-    * long-stable rows across families — classification, alerts, rules,
-    * graph, dedup-adjacent text, eval — each ≥1.5 s at sf0.1 (single-shot
+    * long-stable rows across families, each ≥1 s at sf0.1 (single-shot
     * noise on a 0.2 s row false-reads as drift) and none on any active
-    * optimization path. The round-over-round verdict used to reconstruct
-    * this by hand from prose; now the bench computes it. */
+    * optimization path. REPICKED r19-opt: the r18 set (o1/o12/s1/r5/a7 +
+    * friends) became exactly the rows that optimization round targeted —
+    * a control row that speeds up reads as a "faster host" and corrupts
+    * every cross-round normalization — so the set now draws from the
+    * graph/ANN/SQL/window families this round measured and deliberately
+    * left alone. The round after ANY round that optimizes a control row
+    * must repick, or retire the stale row from the ratio by hand. */
   val HostIndexControl: Seq[String] = Seq(
-    "o1_json_path_envelope", "o12_artifacts", "s1_kinesis_decode",
-    "r5_datatype_rule", "a7_attempt_ledger", "q34_hits_trade",
-    "q54_label_propagation", "t102_ccnet_perplexity", "t68_dawid_skene",
-    "t20_boilerplate_ngrams")
+    "q31_pagerank_trade", "q40_incremental_view", "q51_weighted_median",
+    "q54_label_propagation", "p4_entity_resolution", "ann_lsh_planted",
+    "ann_ivf_planted", "t68_dawid_skene", "t28_nb_classifier",
+    "t26_quality_calibration")
 
   /** Median per-query ratio of the current run's medians vs the committed
     * quiet snapshot over [[HostIndexControl]] — the mechanical form of
