@@ -122,6 +122,13 @@ object Bench {
     // r4+r5); the duplicate line and the file keep the full payload reachable
     println(json)
     println(json)
+    // compact summary printed LAST (r19 verdict ask #2): the full line is
+    // ~17 KB for 335 queries and a harness that keeps only a ~2000-char
+    // stdout tail always front-truncates it — this <500-char line carries
+    // the totals (no per-query dicts) and survives any tail window. The
+    // full-payload lines above and the BENCH_LOCAL.json mirror are
+    // unchanged; nothing about the measurement itself changed.
+    println(s"""{"metric":"total_median","value":$total,"unit":"sec","runs":$runs,"n_queries":${names.size},"failed":$failedJson,"drift_ratio":${num(driftRatio)},"host_index":${num(hostIndex)},"sf":"$sfDir"}""")
     // a drifted run (canary max/min beyond BenchDrift.MaxDrift) must not
     // overwrite the committed quiet snapshot — it lands in a sibling file
     // and says so loudly; a run with FAILED queries is not a quiet-truth

@@ -67,9 +67,16 @@ object ProfileOne {
         ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9, n)
       }
       one() // cold: JIT + codegen, discarded
+      // listener events are delivered asynchronously: give the bus time to
+      // drain cold-run stragglers before resetting, and again before
+      // reading, so counters cover exactly the measured run (r19 advice;
+      // the bus-drain API is private[spark], a settle pause is the honest
+      // public-API equivalent at these event volumes)
+      Thread.sleep(300)
       jobs = 0; stages = 0; tasks = 0; shuffleRead = 0; shuffleWrite = 0
       jobLog.clear()
       val (c1, p1, e1, _) = one()
+      Thread.sleep(300)
       if (sys.env.get("SPARK_GRAFT_PROFILE_JOBS").contains("1")) {
         import scala.jdk.CollectionConverters._
         jobLog.asScala.toSeq.sortBy(-_._1).take(20).foreach { case (d, site) =>

@@ -54,8 +54,11 @@ object Dedup {
     * distinct document, keeping the smallest id as canonical. */
   def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
     // widenNarrowScan: the whole-text canonicalize+md5 fingerprint runs
-    // map-side and inherits scan width; identity on wide scans (guide §2.5)
-    AdaptiveParts.widenNarrowScan(df, col(idCol))
+    // map-side and inherits scan width; identity on wide scans (guide §2.5).
+    // EAGER floor (r20): the per-row work is ONE cheap pass, so below
+    // ~8 MB the exchange costs more than the single-task compute it
+    // spreads (measured: d1 0.70→0.44 s warm at sf0.1 with the widen off)
+    AdaptiveParts.widenNarrowScan(df, AdaptiveParts.WidenMinBytesEager, col(idCol))
       .groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("canonical_id"))
 
@@ -182,13 +185,18 @@ object Dedup {
     }
     // guide §2.5: the gram+md5 chain inherits the scan's split count —
     // widen a provably narrow input so it isn't single-threaded (identity
-    // once the scan is wide, i.e. any real corpus).
+    // once the scan is wide, i.e. any real corpus). EAGER floor (r20):
+    // every consumer localCheckpoints this stage right away, so the widen
+    // shuffle is paid twice (exchange + checkpoint write of the exploded
+    // grams) — below ~8 MB it measured a net LOSS (d21 3.20→2.23 s,
+    // d20 0.63→0.45 s warm at sf0.1 with the widen off).
     // OptimizerFence on the token array: the gram fold references __toks
     // 15 times (slice + size per zip_with level); CollapseProject would
     // inline the tokenize tree into every reference and the interpreted
     // HOF chain then re-splits the text per reference — measured r19:
     // 1.57 s -> 0.25 s per batch at sf0.1 with the fence (evaluate-once)
-    val base = AdaptiveParts.widenNarrowScan(df, col(idCol))
+    val base = AdaptiveParts.widenNarrowScan(df,
+        AdaptiveParts.WidenMinBytesEager, col(idCol))
       .select(col(idCol).as("doc_id"),
         graft.functions.OptimizerFence.fence(toks).as("__toks"))
       .select(col("doc_id"), size(col("__toks")).cast(LongType).as("n_tokens"),

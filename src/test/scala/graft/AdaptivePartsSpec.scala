@@ -25,6 +25,15 @@ class AdaptivePartsSpec extends AnyFunSuite {
       .findAllMatchIn(p).map(_.group(1).toInt).filterNot(_ == widen).toSeq
   }
 
+  /** r19 advice: a genuine sizing exchange whose width happens to equal
+    * the host's core count would be silently dropped by the widen filter
+    * above — every test asserting a sizing width must first prove its
+    * fixture does not collide (loud fixture error, never a blind spot). */
+  private def requireNoWidenCollision(expected: Int): Unit =
+    assert(expected != spark.sparkContext.defaultParallelism,
+      s"fixture sizing width $expected collides with defaultParallelism — " +
+        "adjust the test's rowsPerPartition so the assertion can see it")
+
   test("partsFor: monotone in the estimate, clamped to [floor, MaxParts]") {
     val floor = 32
     assert(AdaptiveParts.partsFor(0L, floor) == floor)
@@ -77,6 +86,7 @@ class AdaptivePartsSpec extends AnyFunSuite {
     val tiny = 100L // rows per partition — forces sizing on a test fixture
     val expected = AdaptiveParts.partsFor(2152L, floor, tiny)
     assert(expected > floor, s"fixture must exceed the floor: $expected")
+    requireNoWidenCollision(expected)
     val sized = Dedup.cappedPairs(ranked, Seq("fp"), 64, rowsPerPartition = tiny)
     assert(repartitionWidths(sized).contains(expected),
       s"expected a REPARTITION_BY_NUM($expected) exchange")

@@ -39,15 +39,21 @@ class PlanSpec extends AnyFunSuite {
     // rule; identity once the scan is wide, i.e. at corpus scale). The
     // classification chain itself must still add NO exchange: exactly
     // the one REPARTITION_BY_NUM widen, nothing else.
+    // r20: the widen is additionally gated on input bytes (WidenMinBytes)
+    // so at this spec's sf0.001 fixture the scan stays unwidened — the pin
+    // is "no exchange at all, or exactly the guarded widen", never a
+    // shuffle of the classification chain itself.
     val p = plan("o1_json_parser")
     val exchanges = p.split("\n").filter(_.contains("Exchange"))
-    assert(exchanges.length == 1,
-      s"classification must add no shuffle beyond the widen: $exchanges")
-    assert(exchanges.head.contains("REPARTITION_BY_NUM"),
-      s"the one exchange must be the guarded widen: ${exchanges.head}")
-    // the widen moves parquet columns, never the serialized JSON line
-    assert(!exchanges.head.contains("line"),
-      s"widen exchange must precede the JSON synthesis: ${exchanges.head}")
+    assert(exchanges.length <= 1,
+      s"classification must add no shuffle beyond the widen: ${exchanges.toSeq}")
+    exchanges.foreach { e =>
+      assert(e.contains("REPARTITION_BY_NUM"),
+        s"the one exchange must be the guarded widen: $e")
+      // the widen moves parquet columns, never the serialized JSON line
+      assert(!e.contains("line"),
+        s"widen exchange must precede the JSON synthesis: $e")
+    }
   }
 
   test("threat-intel join broadcasts the IOC table") {
@@ -1160,5 +1166,39 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("HashAggregate").length - 1 >= 2,
       "dawidSkene: final rollup must pre-combine")
     assert(!p.contains("UDF"), "dawidSkene: UDF in plan")
+  }
+
+  test("fence discipline: no filter is stuck above a fenced projection") {
+    // r19 verdict ask #9: a fence blocks every optimizer move through its
+    // projection, so "fence the alias, filter upstream" (CLAUDE.md) must
+    // hold STRUCTURALLY — a Filter sitting directly on a fenced Project
+    // while referencing none of its fenced columns is a filter that lost
+    // pushdown to the fence and should have been applied upstream. Pinned
+    // over the fence-bearing operator families so refactors cannot
+    // silently reintroduce the shape.
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Project => LProject}
+    val fenced = Seq(
+      "d10_winnowing", "d20_repeated_substrings", "d8_span_dedup",
+      "t5_chunking", "t8_decontaminate", "t8b_ngram_decontaminate",
+      "t74_kneser_ney", "t79_mbr_select", "t102_ccnet_perplexity",
+      "o1_json_parser")
+    val stuck = fenced.flatMap { name =>
+      val qe = SparkEntry.queries(name)(spark, sf).queryExecution
+      qe.optimizedPlan.collect {
+        case LFilter(cond, pr: LProject) =>
+          val fencedIds = pr.projectList.collect {
+            case a: Alias
+              if a.child.exists(_.isInstanceOf[graft.functions.OptimizerFence]) =>
+              a.exprId
+          }.toSet
+          if (fencedIds.nonEmpty &&
+              cond.references.forall(r => !fencedIds.contains(r.exprId)))
+            Some(s"$name: filter '${cond.sql}' is stuck above a fenced " +
+              "projection it does not read — filter upstream of the fence")
+          else None
+      }.flatten
+    }
+    assert(stuck.isEmpty, stuck.mkString("\n"))
   }
 }
