@@ -96,6 +96,32 @@ object Snapshots {
     spark.read.parquet(dirs: _*)
   }
 
+  /** Rows version `v` added over version `v − 1` — the time-travel diff
+    * `read(v).exceptAll(read(v − 1))`, computed from the manifests
+    * instead of a two-sided shuffle wherever possible (guide §2.4
+    * "remove shuffles outright"): when v's file set is a strict superset
+    * of v−1's (the append-only common case), the multiset difference is
+    * EXACTLY the rows of the added directories — the prior version's
+    * files are byte-identical in both manifests — so one scan of the
+    * delta directories replaces two full snapshot scans plus the
+    * exceptAll exchange of every column. Falls back to the real
+    * exceptAll when history was rewritten (compaction/replace), where
+    * no such shortcut exists. */
+  def readVersionDelta(spark: SparkSession, root: String, v: Long): DataFrame = {
+    require(v >= 1, s"version delta needs v >= 1, got $v")
+    if (v == 1) read(spark, root, Some(1L))
+    else {
+      val newDirs = manifestDirs(spark, root, v)
+      val oldDirs = manifestDirs(spark, root, v - 1)
+      if (oldDirs.toSet.subsetOf(newDirs.toSet)) {
+        val delta = newDirs.filterNot(oldDirs.toSet)
+        if (delta.isEmpty) read(spark, root, Some(v)).limit(0)
+        else spark.read.parquet(delta: _*)
+      } else read(spark, root, Some(v))
+        .exceptAll(read(spark, root, Some(v - 1)))
+    }
+  }
+
   /** Drop manifests older than `keepLast` versions and delete data
     * directories no surviving manifest references. Returns reclaimed
     * directories. */

@@ -1238,8 +1238,15 @@ object Dedup {
     // chain is not recomputed for the frequency branch. The (df, tok_hash)
     // sort is a total order identical across documents, no global rank
     // table needed.
-    val (prefix0, sorted, stages) =
+    val (prefix0raw, sorted, stages) =
       ppjoinPrefixStage(df, textCol, idCol, shingleWords, threshold)
+    // r20: persist the prefix rows too — the estimate's histogram pass,
+    // BOTH sides of the candidate self-join, and the sizing repartition
+    // all consume them; without the cache each consumer re-runs the
+    // posexplode+slice over `sorted`, so the estimate was a second full
+    // pass over the sorted-prefix stage (r19 verdict ask #4). Skinny
+    // (id, n, pos, tok) rows, ~the prefix fraction of the exploded stage.
+    val prefix0 = prefix0raw.persist(StorageLevel.MEMORY_AND_DISK)
     // prefix length p = n - ceil(t*n) + 1; 0-based pos from posexplode
     //
     // Exchange sizing ([[AdaptiveParts]]): the prefix join's candidate
@@ -1290,7 +1297,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (col("__i") / (col("__na") + col("__nb") - col("__i"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
-    (verified, stages)
+    (verified, stages :+ prefix0)
   }
 
   /** The PPJoin prefix stage shared by [[similarityJoinPlan]] and the
@@ -2061,8 +2068,17 @@ object Dedup {
     * independent hyperplane families). At 100 TB both ARE the staged index
     * schema, exactly like [[minhashStages]]. */
   def embeddingStagesBanded(df: DataFrame, vecCol: String, idCol: String,
-      bands: Int = 16, planesPerBand: Int = 8): (DataFrame, DataFrame) = {
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      bands: Int = 16, planesPerBand: Int = 8,
+      widen: Boolean = true): (DataFrame, DataFrame) = {
+    // guide §2.5 (r20): bands × planesPerBand codegen'd dot products per
+    // row inherit the scan's split count — a single small vector file runs
+    // the whole signature stage on 1-4 tasks (profiled: ann_lsh_planted's
+    // dominant 0.9 s job had 4 tasks at local[32]). Identity on wide scans
+    // (a staged index is many shards); query-side callers whose frame
+    // feeds a broadcast build pass widen = false — an exchange under a
+    // broadcast build only adds latency.
+    val wide = if (widen) AdaptiveParts.widenNarrowScan(df, col(idCol)) else df
+    val base = wide.select(col(idCol).as("id"), col(vecCol).as("v"),
       vecNorm(col(vecCol)).as("nrm"))
     val dim = vecDim(df, vecCol) // one tiny driver job, shared by all bands
     def bandSig(b: Int): Column = dim match {

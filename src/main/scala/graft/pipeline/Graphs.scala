@@ -90,11 +90,20 @@ object Graphs {
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
+    // r20: normalize no longer left-joins the node universe per
+    // half-step — a node absent from `raw` would get score 0, and zero
+    // scores are INERT through the propagation (they contribute nothing
+    // to either half-step's incoming sums and nothing to the rescale
+    // total), so carrying them through every iteration only added a
+    // join + its AQE stage-jobs per half-step (q34 profiled 62
+    // scheduling-bound ~45 ms jobs at sf0.1, construct-dominated). The
+    // node universe re-attaches ONCE in the final select, where the
+    // missing rows take their provable 0. Scores and totals are the
+    // same integers as before at every step.
     def normalize(raw: DataFrame): DataFrame = {
       val tot = raw.agg(sum(col("raw")).as("tot"))
-      nodes.join(raw, Seq("node"), "left").crossJoin(broadcast(tot))
-        .select(col("node"),
-          expr(s"(coalesce(raw, 0L) * $scale) div tot").as("score"))
+      raw.crossJoin(broadcast(tot))
+        .select(col("node"), expr(s"(raw * $scale) div tot").as("score"))
     }
     val n = nodes.count()
     require(n > 0, "hits needs a non-empty edge list")
@@ -113,8 +122,11 @@ object Graphs {
         .groupBy(col("src").as("node")).agg(sum(col("score")).as("raw")))
         .localCheckpoint()
     }
-    hubs.withColumnRenamed("score", "hub_ppm")
-      .join(auths.withColumnRenamed("score", "auth_ppm"), "node")
+    nodes
+      .join(hubs.withColumnRenamed("score", "hub_ppm"), Seq("node"), "left")
+      .join(auths.withColumnRenamed("score", "auth_ppm"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("hub_ppm"), lit(0L)).as("hub_ppm"),
+        coalesce(col("auth_ppm"), lit(0L)).as("auth_ppm"))
   }
 
   /** Weighted PageRank with damping d = dampingPct/100 for a fixed

@@ -699,8 +699,11 @@ object Similarity {
       Dedup.warnIfUnderPlaned("lshTopK", n, planesPerBand, maxBucketPairing = 512))
     val (cBase, cBuckets) =
       Dedup.embeddingStagesBanded(corpus, corpusVec, corpusId, bands, planesPerBand)
+    // query side rides broadcasts (probes, qBase) — no widen under a
+    // broadcast build (the exchange would only delay the build)
     val (qBase, qBuckets) =
-      Dedup.embeddingStagesBanded(queries, queryVec, queryId, bands, planesPerBand)
+      Dedup.embeddingStagesBanded(queries, queryVec, queryId, bands, planesPerBand,
+        widen = false)
     // multi-probe: own bucket + flip each of the band's `planesPerBand` bits
     val probes = qBuckets.select(col("id").as("__qid"), col("band"),
       explode(array((-1 until planesPerBand).map {

@@ -152,11 +152,13 @@ private[graft] trait PipelineQueries extends RegistryBase {
       view = Materialized.refresh(s, root, viewRoot, partial, merge)
     }
     // drift monitor over the FIRST vs LAST committed batches, read back
-    // from their snapshot versions (time travel is the monitor's input)
+    // from their snapshot versions (time travel is the monitor's input).
+    // r20: the version diff comes from the manifests (readVersionDelta —
+    // provably the same rows as read(v).exceptAll(read(v−1)) for these
+    // append-only commits), so the monitor scans ONE batch directory
+    // instead of two full snapshots plus an all-column exceptAll shuffle
     def hist(v: Long) = Sketches.histSketches(
-      if (v == 1) Snapshots.read(s, root, Some(1L))
-      else Snapshots.read(s, root, Some(v))
-        .exceptAll(Snapshots.read(s, root, Some(v - 1))),
+      Snapshots.readVersionDelta(s, root, v),
       Seq("l_returnflag"), col("qc"), binWidthCents = 500L)
     val drift = Sketches.psiDrift(hist(1L), hist(3L), Seq("l_returnflag"))
     Sketches.momentStats(view)

@@ -23,6 +23,28 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, root, Some(1L)).count() == 1)
   }
 
+  test("readVersionDelta equals the exceptAll diff; rewritten history falls back") {
+    val root = java.nio.file.Files.createTempDirectory("snapdelta").toString
+    // duplicate rows across batches on purpose: the manifest shortcut must
+    // reproduce exceptAll's MULTISET semantics, not a distinct-set diff
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root)
+    Snapshots.commit(Seq((2L, "b"), (3L, "c")).toDF("id", "v"), root)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(rows(Snapshots.readVersionDelta(spark, root, 1L)) ==
+      Seq((1L, "a"), (2L, "b")))
+    val want2 = rows(Snapshots.read(spark, root, Some(2L))
+      .exceptAll(Snapshots.read(spark, root, Some(1L))))
+    assert(rows(Snapshots.readVersionDelta(spark, root, 2L)) == want2)
+    assert(want2 == Seq((2L, "b"), (3L, "c")))
+    // compaction rewrites history: v3's file set is no longer a superset
+    // of v2's, so the delta must take the real exceptAll path
+    Snapshots.commit(Snapshots.read(spark, root), root, replace = true)
+    val want3 = rows(Snapshots.read(spark, root, Some(3L))
+      .exceptAll(Snapshots.read(spark, root, Some(2L))))
+    assert(rows(Snapshots.readVersionDelta(spark, root, 3L)) == want3)
+  }
+
   test("replace commit compacts without disturbing pinned history; expire reclaims") {
     val root = java.nio.file.Files.createTempDirectory("snapstore2").toString
     Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), root)
