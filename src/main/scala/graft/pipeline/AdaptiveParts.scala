@@ -124,6 +124,34 @@ object AdaptiveParts {
   def bySize(df: DataFrame, parts: Int, floor: Int, keys: Column*): DataFrame =
     if (parts > floor) df.repartition(parts, keys: _*) else df
 
+  /** Rows of CPU-bound VERIFY work per task. A verify row costs an
+    * array-intersect / dot-product kernel (~5-20 μs measured: p1's PPJoin
+    * verify ran 0.77 s over 2 AQE-coalesced tasks), three orders of
+    * magnitude more than its ~16 wire bytes — so AQE, which prices
+    * partitions by bytes, collapses a verify exchange to 1-2 tasks long
+    * before the compute is small (r19 verdict ask #5). ~2k rows/task keeps
+    * each task in the hundreds-of-μs-to-ms range. */
+  val VerifyRowsPerPartition: Long = 2000L
+
+  /** Width for a verify exchange fed by an estimated `estimatedRows`
+    * candidate pairs, when the bytes-priced sizing stayed at the session
+    * floor: CPU-priced width, never ABOVE the floor (the floor is the
+    * session's own parallelism — the right ceiling for a compute-bound
+    * stage at bench scale; above the floor the candidate sizing `parts`
+    * owns every exchange and this helper is not consulted). Identity
+    * (width ≤ 1 → 0) when the estimate is too small to beat the
+    * exchange's fixed cost. */
+  def verifyParts(estimatedRows: Long, floor: Int): Int = {
+    val want = math.ceil(estimatedRows.toDouble / VerifyRowsPerPartition)
+    val w = math.min(floor.toDouble, want).toInt
+    if (w > 1) w else 0
+  }
+
+  /** REPARTITION_BY_NUM `df` by `keys` to `parts` when parts > 0 —
+    * the verify-exchange spread ([[verifyParts]]); identity otherwise. */
+  def byVerifyCost(df: DataFrame, parts: Int, keys: Column*): DataFrame =
+    if (parts > 0) df.repartition(parts, keys: _*) else df
+
   /** Estimated split count and total data bytes of `df`'s file-source
     * scans — `(splits, bytes)`; None when the lineage has no file source
     * (in-memory batches, checkpointed frames). Plan-only: no job runs.

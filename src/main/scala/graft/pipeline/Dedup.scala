@@ -1259,12 +1259,19 @@ object Dedup {
     // bound. Below the session floor every bySize call is
     // identity and the r17 plan is unchanged.
     val floor = AdaptiveParts.sessionFloor(df.sparkSession)
-    val parts = if (sizeExchanges) {
-      val estimate = AdaptiveParts.allPairEstimate(prefix0, Seq("tok"))
-      warnIfExactnessOutgrown("similarityJoin", estimate, rowsPerPartition,
-        threshold)
-      AdaptiveParts.partsFor(estimate, floor, rowsPerPartition)
-    } else floor
+    val estimate = if (sizeExchanges) {
+      val e = AdaptiveParts.allPairEstimate(prefix0, Seq("tok"))
+      warnIfExactnessOutgrown("similarityJoin", e, rowsPerPartition, threshold)
+      e
+    } else 0L
+    val parts = AdaptiveParts.partsFor(estimate, floor, rowsPerPartition)
+    // r20 verify spread (r19 verdict ask #5): below the floor the verify
+    // exchanges carry bytes AQE coalesces to 1-2 tasks while each pair
+    // costs an intersect kernel — hold them at a CPU-priced width instead
+    // (never above the floor; above the floor `parts` owns the layout and
+    // this is 0 = identity)
+    val vp = if (parts > floor) 0
+      else AdaptiveParts.verifyParts(estimate, floor)
     val prefix = AdaptiveParts.bySize(prefix0, parts, floor, col("tok"))
     val overlapNeeded =
       ceil(lit(threshold / (1 + threshold)) * (col("a.n") + col("b.n")))
@@ -1285,8 +1292,14 @@ object Dedup {
     // additionally carries the id_a-side token arrays, so leaving it at
     // the session floor is the d14@100x bottleneck once the candidate
     // join itself is sized (measured r18: 270 s at floor vs 149 s sized)
+    // verify spread applies to the SKINNY candidate side only (id_a, before
+    // any token array attaches); spreading the id_b exchange — whose rows
+    // already carry the id_a-side arrays — measured a net LOSS (r20: p1
+    // 3.8→4.8 s, d14 1.65→2.2 s with both sides spread), so that exchange
+    // keeps AQE's bytes-priced width below the floor
     val verified = AdaptiveParts.bySize(
-      AdaptiveParts.bySize(cand, parts, floor, col("id_a"))
+      AdaptiveParts.byVerifyCost(
+        AdaptiveParts.bySize(cand, parts, floor, col("id_a")), vp, col("id_a"))
         .join(sorted.select(col("id").as("id_a"), col("toks").as("__ta"),
           col("n").as("__na")), "id_a"),
       parts, floor, col("id_b"))

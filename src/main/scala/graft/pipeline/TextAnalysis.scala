@@ -2103,33 +2103,49 @@ object TextAnalysis {
       stopwordsLow: Double = 0.30, stopwordsHigh: Double = 0.32): DataFrame = {
     val segmented =
       regexp_replace(stripScriptStyle(col(htmlCol)), blockTagPattern, "\n")
+    // NOT widened (r20 receipt): spreading the input before the segment +
+    // HtmlVisible extraction measured a clear LOSS at sf0.1 (t88
+    // 0.45→0.92 s, p12 4.7→6.1 s) — the chain's two doc_id window passes
+    // re-exchange right above it and the extra shuffle of raw HTML beats
+    // any spread of the extraction, the same class as the rejected
+    // justext fence (r19).
     val raw = docs.select(col(idCol).as("doc_id"),
       posexplode(split(segmented, "\n")).as(Seq("__pos", "__raw")))
     // strip + decode + anchor count fused into the one-scan native
     // expression (graft.functions.HtmlVisible); the oracle keeps the
     // equivalent regex spelling
     val hv = graft.functions.HtmlVisible.html_visible(col("__raw"))
+    // stop density computed ONCE below the non-deterministic filter (r20,
+    // the deferred justext 2x-tokenize item): the outer select references
+    // it 3x (the __sd column and twice inside cf), and the tokenize +
+    // isin-filter HOF is CodegenFallback — no codegen CSE — so inlining
+    // re-tokenized every block per reference. The nondet filter below
+    // already blocks CollapseProject from merging the two selects, which
+    // is what the rejected fence bought at a higher price (r19 probe).
+    val innerText = trim(hv.getField("text"))
+    val innerToks = tokens(lower(innerText))
+    val sdOnce =
+      size(filter(innerToks, t => t.isin(stopwords: _*))).cast(DoubleType) /
+        greatest(size(innerToks), lit(1)).cast(DoubleType)
     val scored0 = raw
       // cheap NECESSARY pre-filter (visible text nonempty implies the raw
       // segment is non-whitespace): drops the many empty splits block-tag
       // segmentation produces BEFORE any extraction work
       .where(length(trim(col("__raw"))) > 0)
       .select(col("doc_id"), col("__pos"),
-        trim(hv.getField("text")).as("text"),
-        hv.getField("link_chars").as("__lc"))
+        innerText.as("text"),
+        hv.getField("link_chars").as("__lc"),
+        sdOnce.as("__sd0"))
       // the `|| spark_partition_id() < 0` arm is always false: it makes
       // the exact predicate non-deterministic so Catalyst can NOT push it
       // below the projection — pushdown would alias-substitute `text` and
       // re-run the extraction per surviving block in the Filter
       .where(length(col("text")) > 0 || spark_partition_id() < 0)
-    val toks = tokens(lower(col("text")))
     val nChars = length(col("text")).cast(LongType)
     // exact integer/integer divisions — identical IEEE doubles in both
     // engines, so the threshold compares match without rounding
     val linkDensity = col("__lc").cast(DoubleType) / nChars.cast(DoubleType)
-    val stopDensity =
-      size(filter(toks, t => t.isin(stopwords: _*))).cast(DoubleType) /
-        greatest(size(toks), lit(1)).cast(DoubleType)
+    val stopDensity = col("__sd0")
     val cf = when(linkDensity > maxLinkDensity, "bad")
       .when(nChars < lengthLow, "short")
       .when(stopDensity >= stopwordsHigh,
