@@ -2341,7 +2341,17 @@ object Dedup {
       blockKeys.zipWithIndex.map { case ((d, _), i) => d.as(s"__bk$i") }: _*)
     val ck = clean.select(col(cleanId).as("c_id") +: col(cleanName).as("__cn") +:
       blockKeys.zipWithIndex.map { case ((_, c), i) => c.as(s"__bk$i") }: _*)
-    val scored = dk.join(ck, blockKeys.indices.map(i => s"__bk$i"))
+    // r20, guide §2.5 applied to the VERIFY: at bench scale both sides are
+    // one-split scans, the block join broadcasts one of them, and the
+    // per-pair edit distance then runs at the probe's 1-task width
+    // (profiled: p4's 1.74 s single-task job at local[32]). Widen the
+    // block-pair stream by d_id BEFORE the levenshtein — the d_id hash
+    // layout is exactly what the best-match window below needs, so the
+    // window's own exchange moves under the verify instead of adding one;
+    // identity once the scans are wide (any real reference table).
+    val cand = AdaptiveParts.widenNarrowScan(
+      dk.join(ck, blockKeys.indices.map(i => s"__bk$i")), col("d_id"))
+    val scored = cand
       .select(col("d_id"), col("c_id"),
         levenshtein(col("__dn"), col("__cn")).cast(LongType).as("dist"))
       .where(col("dist") <= maxDist)

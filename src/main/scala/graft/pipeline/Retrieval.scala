@@ -36,7 +36,11 @@ object Retrieval {
     // explode, the analyzer would place size(tokenize(text)) in the project
     // ABOVE the Generate and re-tokenize the document once per exploded
     // row — a |tokens|× regex blowup (measured 9× on the bench corpus)
-    docs.select(col(idCol), size(toks).as("dl"), toks.as("__toks"))
+    // guide §2.5 (r20): tokenize + explode inherit scan width — a single
+    // small corpus file runs the postings build on 1-3 tasks; identity on
+    // wide scans (a real corpus is many shards)
+    AdaptiveParts.widenNarrowScan(docs, col(idCol))
+      .select(col(idCol), size(toks).as("dl"), toks.as("__toks"))
       .select(col(idCol), col("dl"), explode(col("__toks")).as("term"))
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))

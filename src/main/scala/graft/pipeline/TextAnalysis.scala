@@ -1251,12 +1251,24 @@ object TextAnalysis {
     def bigramsOf(toks: Column): Column = explode(zip_with(
       slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
       (a, b) => struct(a.as("w1"), b.as("w2"))))
-    def withToks(df: DataFrame, tc: String, extra: Column*): DataFrame =
-      df.select(extra :+ graft.functions.OptimizerFence.fence(tokens(lower(col(tc)))).as("__toks"): _*)
+    def withToks(df: DataFrame, tc: String, widen: Boolean,
+        extra: Column*): DataFrame = {
+      // guide §2.5 (r20): tokenize + bigram explode inherit scan width —
+      // widen a provably narrow scan (text column as the deterministic
+      // key; identity on wide corpora) for the SINGLE-consumer docs side
+      // only. The ref side feeds 2-3 model tables, each of which would
+      // re-execute the widen exchange (the tokenized ref is deliberately
+      // never materialized), and widening it measured a net LOSS
+      // (t102 2.8 -> 3.4+ s at sf0.1 with both sides widened).
+      val base = if (widen)
+        graft.pipeline.AdaptiveParts.widenNarrowScan(df, col(tc)) else df
+      base
+        .select(extra :+ graft.functions.OptimizerFence.fence(tokens(lower(col(tc)))).as("__toks"): _*)
         .where(size(col("__toks")) >= 2)
+    }
 
     val refT = withToks(refCorpus.getOrElse(docs),
-      refCorpus.map(_ => refTextCol).getOrElse(textCol))
+      refCorpus.map(_ => refTextCol).getOrElse(textCol), widen = false)
     val refBg = refT.select(bigramsOf(col("__toks")).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("__nb"))
@@ -1266,7 +1278,7 @@ object TextAnalysis {
       .groupBy("tok").agg(count(lit(1)).as("__nu"))
     val tot = broadcast(uni.agg(sum(col("__nu")).cast(DoubleType).as("__total")))
 
-    val docBg = withToks(docs, textCol, col(idCol).as("doc_id"))
+    val docBg = withToks(docs, textCol, widen = true, col(idCol).as("doc_id"))
       .select(col("doc_id"), bigramsOf(col("__toks")).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("__c"))
@@ -1320,12 +1332,24 @@ object TextAnalysis {
     def bigramsOf(toks: Column): Column = explode(zip_with(
       slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
       (a, b) => struct(a.as("w1"), b.as("w2"))))
-    def withToks(df: DataFrame, tc: String, extra: Column*): DataFrame =
-      df.select(extra :+ graft.functions.OptimizerFence.fence(tokens(lower(col(tc)))).as("__toks"): _*)
+    def withToks(df: DataFrame, tc: String, widen: Boolean,
+        extra: Column*): DataFrame = {
+      // guide §2.5 (r20): tokenize + bigram explode inherit scan width —
+      // widen a provably narrow scan (text column as the deterministic
+      // key; identity on wide corpora) for the SINGLE-consumer docs side
+      // only. The ref side feeds 2-3 model tables, each of which would
+      // re-execute the widen exchange (the tokenized ref is deliberately
+      // never materialized), and widening it measured a net LOSS
+      // (t102 2.8 -> 3.4+ s at sf0.1 with both sides widened).
+      val base = if (widen)
+        graft.pipeline.AdaptiveParts.widenNarrowScan(df, col(tc)) else df
+      base
+        .select(extra :+ graft.functions.OptimizerFence.fence(tokens(lower(col(tc)))).as("__toks"): _*)
         .where(size(col("__toks")) >= 2)
+    }
 
     val refT = withToks(refCorpus.getOrElse(docs),
-      refCorpus.map(_ => refTextCol).getOrElse(textCol))
+      refCorpus.map(_ => refTextCol).getOrElse(textCol), widen = false)
     val refBg = refT.select(bigramsOf(col("__toks")).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("__nb"))
@@ -1337,7 +1361,7 @@ object TextAnalysis {
       .withColumnRenamed("w2", "__cw2")
     val nbb = broadcast(refBg.agg(count(lit(1)).as("__nbb")))
 
-    val docBg = withToks(docs, textCol, col(idCol).as("doc_id"))
+    val docBg = withToks(docs, textCol, widen = true, col(idCol).as("doc_id"))
       .select(col("doc_id"), bigramsOf(col("__toks")).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("__c"))
