@@ -222,22 +222,6 @@ object AdaptiveParts {
     * ≥8 MB of per-row work — there the spread pays even twice-shuffled. */
   val WidenMinBytesEager: Long = 8L << 20
 
-  /** Partition width of an already-materialized in-memory frame (a
-    * localCheckpoint'd batch, possibly behind narrow ops) — free off the
-    * checkpoint RDD, no job. None when the lineage is anything else. */
-  private def inMemoryWidth(df: DataFrame): Option[Int] = {
-    import org.apache.spark.sql.catalyst.plans.logical._
-    def walk(p: LogicalPlan): Option[Int] = p match {
-      case f: Filter => walk(f.child)
-      case pr: Project => walk(pr.child)
-      case s: SubqueryAlias => walk(s.child)
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        Some(l.rdd.getNumPartitions)
-      case _ => None
-    }
-    walk(df.queryExecution.analyzed)
-  }
-
   /** Guide §2.5 "input skew — one huge unsplittable file ... otherwise
     * repartition immediately after the read": CPU-heavy per-row operators
     * (shingling, JSON classification, gram hashing) inherit the SCAN's
@@ -273,10 +257,15 @@ object AdaptiveParts {
       case Some((splits, _)) if splits >= want => df // wide scan: identity
       case Some((_, bytes)) if bytes < minBytes => df // tiny: tax > win
       case Some(_) => df.repartition(want, keys: _*)
-      case None => inMemoryWidth(df) match {
-        case Some(p) if p >= want => df // checkpointed batch already wide
-        case _ => df.repartition(want, keys: _*)
-      }
+      // non-file lineage stays UNCONDITIONALLY widened: the r19 advice to
+      // skip re-widening an already-wide checkpointed batch was
+      // implemented and MEASURED A NET LOSS (r20 A/B: the winnowing store
+      // loop fell 3104 -> 2081 docs/s with the skip) — a store-loop
+      // batch's checkpoint is nominally wide but its rows are unevenly
+      // spread post-dedup, and the per-batch hash widen doubles as the
+      // rebalance. Batch-sized by construction, so the shuffle prices at
+      // batch bytes, not corpus bytes.
+      case None => df.repartition(want, keys: _*)
     }
   }
 }
